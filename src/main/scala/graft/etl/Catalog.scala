@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A "database" backed by a directory of parquet tables.
+  *
+  * Mirrors the reference's two-connection model (source DB for extract,
+  * target DB for load + link lookups — /root/reference/easy_etl/__init__.py:8-10)
+  * as two directory-backed namespaces sharing one SparkSession.
+  *
+  * Layout conventions:
+  *   - `dir/<name>.parquet` — a single parquet file (the driver testdata layout,
+  *     /root/repo/TESTDATA.md:13-16), read-only source tables.
+  *   - `dir/<name>` — a parquet directory written by [[Loader]] (target tables).
+  *
+  * At cluster scale each catalog is just a path prefix on a distributed FS;
+  * nothing here assumes a local filesystem except the existence checks, which
+  * go through the Hadoop FileSystem API.
+  */
+class Catalog(val spark: SparkSession, val dir: String) {
+
+  private def fs = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Path for a source-style single-file table, if present. */
+  def filePath(name: String): String = s"$dir/$name.parquet"
+
+  /** Path for a target-style directory table (what [[Loader]] writes). */
+  def dirPath(name: String): String = s"$dir/$name"
+
+  def exists(name: String): Boolean = {
+    val f = fs
+    f.exists(new org.apache.hadoop.fs.Path(filePath(name))) ||
+      f.exists(new org.apache.hadoop.fs.Path(dirPath(name)))
+  }
+
+  /** Resolve a table to the path that exists (file layout wins). */
+  def resolve(name: String): Option[String] = {
+    val f = fs
+    if (f.exists(new org.apache.hadoop.fs.Path(filePath(name)))) Some(filePath(name))
+    else if (f.exists(new org.apache.hadoop.fs.Path(dirPath(name)))) Some(dirPath(name))
+    else None
+  }
+
+  def table(name: String): DataFrame =
+    graft.sources.ParquetSource.read(spark, resolve(name).getOrElse(
+      throw new IllegalArgumentException(s"table '$name' not found in $dir")))
+
+  def tableIfExists(name: String): Option[DataFrame] =
+    resolve(name).map(graft.sources.ParquetSource.read(spark, _))
+
+  /** List table names present in the directory. */
+  def tableNames(): Seq[String] = {
+    val f = fs
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".parquet")) n.stripSuffix(".parquet") else n
+    }.filterNot(_.startsWith("_")).filterNot(_.startsWith(".")).distinct.sorted
+  }
+
+  /** Register every table as a temp view so raw-SQL extracts
+    * (reference E1/E2, easy_etl/__init__.py:17-25) resolve by name.
+    * Views are session-scoped; re-registering replaces. Parquet scans behind
+    * these views get Catalyst filter pushdown + column pruning for free.
+    */
+  def registerViews(prefix: String = ""): Unit =
+    tableNames().foreach { n =>
+      tableIfExists(n).foreach(_.createOrReplaceTempView(prefix + n))
+    }
+}

@@ -1,0 +1,192 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.operators.AsOfJoin
+
+/** The reference's pipeline API (exit99/easy-etl `ETLProcess`,
+  * /root/reference/easy_etl/__init__.py:7-106), re-expressed Spark-first.
+  *
+  * Staging calls only RECORD work; everything executes at [[load]] — which is
+  * exactly Spark's lazy model, so "staging" builds a logical plan and `load`
+  * triggers one distributed write (reference README.md:15-16).
+  *
+  * Stage order within a load (authoritative, easy_etl/__init__.py:101-106):
+  * extract → middleware → types → transforms → links → ignore → write.
+  *
+  * Deliberate fixes of reference bugs, per documented intent
+  * (SURVEY.md §2.1/§7.5 item 7):
+  *   - `link(..., name=None)` defaults the output column to `field`
+  *     (the reference stores it under the literal key `None`).
+  *   - upsert honors `ensure` (the reference drops it on the upsert path).
+  */
+class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String) {
+
+  private var extractThunk: Option[() => DataFrame] = None
+  private var types: Map[String, DataType] = Map.empty
+  private var writePkField: Option[String] = None
+  private val pipeline = new TransformPipeline
+  private var middlewares: Vector[DataFrame => DataFrame] = Vector.empty
+  private var links: Vector[LinkSpec] = Vector.empty
+  private var ignored: Vector[String] = Vector.empty
+
+  /** Deterministic insertion order for surrogate ids (see [[Loader.load]]);
+    * a distributed engine must pick an explicit total order where the
+    * reference relied on source-DB result order. */
+  var idOrder: Seq[String] = Seq.empty
+
+  private def spark: SparkSession = src.spark
+
+  private case class LinkSpec(field: String, target: String, tableName: String,
+                              childField: String, name: Option[String],
+                              method: Option[String]) // None = exact
+
+  // ---- extract (E1–E5) ---------------------------------------------------
+
+  /** Stage a SQL extract against the source catalog. `sqlOrPath` ending in
+    * `.sql` is read as a file (E2). With `writePkField`, the SQL must contain
+    * a single `{}` placeholder, substituted with `max(pk)` of the target
+    * table (0 if absent/empty) — the reference's incremental watermark (E4,
+    * easy_etl/__init__.py:77-87). Only the most recent extract wins
+    * (README.md:43).
+    */
+  def extract(sqlOrPath: String, writePkField: Option[String] = None,
+              types: Map[String, DataType] = Map.empty): this.type = {
+    val sql =
+      if (sqlOrPath.endsWith(".sql"))
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sqlOrPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else sqlOrPath
+    this.types = types
+    this.writePkField = writePkField
+    this.extractThunk = Some(() => {
+      src.registerViews()
+      val finalSql = writePkField match {
+        case Some(pk) =>
+          val last: Long = tgt.tableIfExists(writeTableName) match {
+            case Some(t) if t.columns.contains(pk) =>
+              val r = t.agg(max(col(pk)).cast("long")).head()
+              if (r.isNullAt(0)) 0L else r.getLong(0)
+            case _ => 0L
+          }
+          // single-placeholder substitution, NOT full format: literal braces
+          // elsewhere in the SQL (JSON etc.) stay intact (SURVEY §7.5 item 4)
+          val i = sql.indexOf("{}")
+          require(i >= 0, "incremental extract SQL needs a {} placeholder")
+          sql.substring(0, i) + last.toString + sql.substring(i + 2)
+        case None => sql
+      }
+      spark.sql(finalSql)
+    })
+    this
+  }
+
+  /** Replace extraction with an arbitrary DataFrame producer (E5). */
+  def extractOverride(f: () => DataFrame): this.type = {
+    extractThunk = Some(f); this
+  }
+
+  // ---- middleware (M1) ----------------------------------------------------
+
+  /** Whole-result-set rewrite, applied between extract and transforms in
+    * registration order (easy_etl/__init__.py:58-59, 72-75). */
+  def middleware(f: DataFrame => DataFrame): this.type = {
+    middlewares :+= f; this
+  }
+
+  // ---- transforms (T1–T3) -------------------------------------------------
+
+  /** Start/extend per-column transform chains (see [[TransformPipeline]]). */
+  def transform(fields: String*): TransformPipeline = pipeline.on(fields)
+
+  // ---- links (L1–L3) ------------------------------------------------------
+
+  /** Exact FK lookup into a target-catalog dimension table: left-join the
+    * dim's `id` onto rows where `row(target) == dim(childField)`; no match ⇒
+    * null (L1). The reference issues one SELECT per row (N+1); here it is a
+    * single broadcast-eligible left equi-join.
+    */
+  def link(field: String, target: String, tableName: String,
+           childField: String, name: Option[String] = None): this.type = {
+    links :+= LinkSpec(field, target, tableName, childField, name, None); this
+  }
+
+  /** As-of FK lookup (L2/L3): `method` ">=" (default) attaches the dim row
+    * with the smallest `childField` ≥ `row(target)`; "<="/"<"/">" per
+    * [[AsOfJoin]]. */
+  def linkClosest(field: String, target: String, tableName: String,
+                  childField: String, name: Option[String] = None,
+                  method: String = ">="): this.type = {
+    links :+= LinkSpec(field, target, tableName, childField, name, Some(method)); this
+  }
+
+  // ---- ignore (X1) --------------------------------------------------------
+
+  /** Drop fields just before load (easy_etl/__init__.py:61-62, 108-111).
+    * Missing fields error at load, mirroring the reference's KeyError. */
+  def ignore(fields: String*): this.type = { ignored ++= fields; this }
+
+  // ---- load (S1–S5) ------------------------------------------------------
+
+  /** Execute the staged pipeline and write the target table. See
+    * [[Loader.load]] for id/upsert/schema-evolution semantics. All staged
+    * state resets afterwards (easy_etl/__init__.py:44, 64-70). */
+  def load(upsertFields: Seq[String] = Nil, ensure: Boolean = true,
+           safe: Boolean = false): Unit = {
+    val extracted = extractThunk
+      .getOrElse(throw new IllegalStateException("no extract staged"))
+      .apply()
+
+    val afterMw = middlewares.foldLeft(extracted)((df, f) => f(df))
+
+    val afterTypes = types.foldLeft(afterMw) { case (df, (c, dt)) =>
+      if (df.columns.contains(c)) df.withColumn(c, col(c).cast(dt)) else df
+    }
+
+    val afterTransforms = pipeline(afterTypes)
+
+    val afterLinks = links.foldLeft(afterTransforms) { (df, l) =>
+      val outName = l.name.getOrElse(l.field)
+      val dim = tgt.table(l.tableName)
+      l.method match {
+        case None =>
+          // dedupe dim on the child key deterministically (min id), then
+          // broadcast left equi-join — Catalyst auto-broadcasts small dims,
+          // we force it: link dims are dimension tables by construction.
+          val keyed = dim.groupBy(col(l.childField).as("__lk"))
+            .agg(min(col(Loader.IdCol)).as(outName))
+          df.join(broadcast(keyed), df(l.target) === keyed("__lk"), "left")
+            .drop("__lk")
+        case Some(m) =>
+          AsOfJoin.asOf(df, l.target, dim, l.childField,
+            payloadCols = Seq(Loader.IdCol), direction = m,
+            rename = Map(Loader.IdCol -> outName))
+      }
+    }
+
+    val missing = ignored.filterNot(afterLinks.columns.contains)
+    require(missing.isEmpty, s"ignore() of absent field(s): ${missing.mkString(", ")}")
+    val afterIgnore =
+      if (ignored.isEmpty) afterLinks else afterLinks.drop(ignored: _*)
+
+    Loader.load(tgt, writeTableName, afterIgnore,
+      upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
+
+    reset()
+  }
+
+  /** Read back the current target table. */
+  def result(): DataFrame = tgt.table(writeTableName)
+
+  private def reset(): Unit = {
+    extractThunk = None
+    types = Map.empty
+    writePkField = None
+    pipeline.reset()
+    middlewares = Vector.empty
+    links = Vector.empty
+    ignored = Vector.empty
+  }
+}

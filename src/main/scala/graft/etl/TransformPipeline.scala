@@ -1,0 +1,121 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Per-column scalar transform chains — the reference's `transform(*fields)`
+  * DSL (T1–T3, /root/reference/easy_etl/__init__.py:157-195).
+  *
+  * The reference records `(method, args)` tuples via `__getattr__` and
+  * resolves them against the value's *runtime* type at execution, raising
+  * `AttributeError` mid-load on a mismatch. Here each chain step is a
+  * `(Column, DataType) => Column` recorded at staging time against a fixed
+  * dispatch surface — unknown methods fail at staging, and every step
+  * compiles to a Catalyst expression inside a single projection
+  * (whole-stage-codegen friendly; no per-row interpretation).
+  *
+  * Semantics preserved from the reference (verified in SURVEY.md §2.1/T1):
+  *   - `transform(f1, f2)` re-targets the field list; previously staged
+  *     chains for other fields are RETAINED and accumulate
+  *     (easy_etl/__init__.py:27-29, 170-177).
+  *   - Chained calls compose left-to-right per field.
+  *   - Application across fields follows first-staged order
+  *     (dict-insertion order in the reference, :179-182).
+  */
+class TransformPipeline {
+
+  /** One chain step; receives the column expression so far plus the field's
+    * ORIGINAL schema type (used by type-aware steps like falsy `default`).
+    */
+  type Step = (Column, DataType) => Column
+
+  private var fields: Seq[String] = Seq.empty
+  private val chains = mutable.LinkedHashMap.empty[String, Vector[Step]]
+
+  /** Re-target the chain at `fs` (reference `transform(*fields)`). */
+  def on(fs: Seq[String]): this.type = { fields = fs; this }
+
+  private def add(step: Step): this.type = {
+    fields.foreach { f => chains(f) = chains.getOrElse(f, Vector.empty) :+ step }
+    this
+  }
+
+  // ---- Python-str-method surface (T1) ----------------------------------
+  def upper(): this.type = add((c, _) => org.apache.spark.sql.functions.upper(c))
+  def lower(): this.type = add((c, _) => org.apache.spark.sql.functions.lower(c))
+  def strip(): this.type = add((c, _) => trim(c))
+  def lstrip(): this.type = add((c, _) => ltrim(c))
+  def rstrip(): this.type = add((c, _) => rtrim(c))
+
+  /** Python `str.replace` is a LITERAL replace, not regex — quote both sides. */
+  def replace(from: String, to: String): this.type =
+    add((c, _) => regexp_replace(c,
+      java.util.regex.Pattern.quote(from),
+      java.util.regex.Matcher.quoteReplacement(to)))
+
+  /** Python `str.title`: initcap each word (lowering the rest first). */
+  def title(): this.type =
+    add((c, _) => initcap(org.apache.spark.sql.functions.lower(c)))
+
+  /** Python `str.capitalize`: first char upper, rest lower. */
+  def capitalize(): this.type = add((c, _) =>
+    concat(org.apache.spark.sql.functions.upper(substring(c, 1, 1)),
+           org.apache.spark.sql.functions.lower(expr_substr_from2(c))))
+
+  private def expr_substr_from2(c: Column): Column = c.substr(lit(2), length(c))
+
+  def zfill(width: Int): this.type =
+    add((c, _) => lpad(c.cast(StringType), width, "0"))
+
+  def substringOf(pos: Int, len: Int): this.type = add((c, _) => substring(c, pos, len))
+
+  def cast(dt: DataType): this.type = add((c, _) => c.cast(dt))
+
+  /** Escape hatch for any `Column => Column` (stays in codegen). */
+  def map(f: Column => Column): this.type = add((c, _) => f(c))
+
+  // ---- default (T2): FALSY-coalesce, not null-coalesce ------------------
+  /** The reference's `default` replaces Python-falsy values — `data or dflt`
+    * (easy_etl/__init__.py:145-148, verified): null always; "" for strings;
+    * 0 for numerics; false for booleans. Type-aware `when/otherwise`,
+    * no custom Expression needed (SURVEY.md §4).
+    */
+  def default(value: Any): this.type = add { (c, dt) =>
+    val falsy: Column = dt match {
+      case StringType                       => c.isNull || c === lit("")
+      case _: NumericType                   => c.isNull || c === lit(0)
+      case BooleanType                      => c.isNull || c === lit(false)
+      case _                                => c.isNull
+    }
+    when(falsy, lit(value)).otherwise(c)
+  }
+
+  // ---- func (T3): arbitrary scalar UDF -----------------------------------
+  def func(u: UserDefinedFunction): this.type = add((c, _) => u(c))
+
+  // ---- execution ---------------------------------------------------------
+  /** Materialize all staged chains as ONE projection over `df`. */
+  def apply(df: DataFrame): DataFrame = {
+    if (chains.isEmpty) return df
+    val schema = df.schema
+    val outCols = df.columns.map { name =>
+      chains.get(name) match {
+        case Some(steps) =>
+          val dt = schema(name).dataType
+          steps.foldLeft(col(name))((acc, s) => s(acc, dt)).as(name)
+        case None => col(name)
+      }
+    }
+    // Chains on fields absent from df mirror the reference's behavior of
+    // only touching keys present in the row (easy_etl/__init__.py:180-182).
+    df.select(outCols.toIndexedSeq: _*)
+  }
+
+  def isEmpty: Boolean = chains.isEmpty
+
+  def reset(): Unit = { fields = Seq.empty; chains.clear() }
+}

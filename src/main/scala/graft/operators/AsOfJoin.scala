@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of ("closest value") joins — the reference's `link_closest`
+  * (L2/L3, /root/reference/easy_etl/__init__.py:53-56, 119-136), generalized.
+  *
+  * Semantics (per direction):
+  *   - ">=" / ">" : attach the dim row with the SMALLEST dim value ≥ (resp. >)
+  *     the fact value (reference `WHERE child >= v ORDER BY child`, first row).
+  *   - "<=" / "<" : the LARGEST dim value ≤ (resp. <) the fact value
+  *     (the "July 1st bucket" case, reference README.md:159-173).
+  *   - No qualifying dim row ⇒ null payload (reference returns None).
+  *   - Duplicate dim keys ⇒ deterministic min payload per key (the reference
+  *     takes whichever row the DB returns first; we pin it down).
+  *
+  * Scale design: an as-of dimension is a date/bucket dimension — small by
+  * construction (10 years of days = 3652 rows). We collect its sorted key
+  * array to the driver, broadcast it, and BINARY-SEARCH per fact row to get a
+  * match index; payloads then attach via a broadcast hash equi-join on that
+  * index. Total cost O(|fact|·log|dim|) with zero shuffle of the fact side
+  * and no row blowup — strictly better at 100 TB than the naive non-equi
+  * join (BroadcastNestedLoopJoin, O(|fact|·|dim|)) or a global-order merge
+  * (single-partition window). A guard refuses dims above `maxDimRows` so a
+  * silently huge dimension fails loudly instead of OOMing the driver.
+  */
+object AsOfJoin {
+
+  val MaxDimRowsDefault: Int = 10_000_000 // ~80MB of longs — broadcastable
+
+  /** Attach `dim`'s `payloadCols` (renamed via `rename`) to each `fact` row
+    * by as-of match of `fact(factCol)` against `dim(dimCol)`.
+    */
+  def asOf(fact: DataFrame, factCol: String,
+           dim: DataFrame, dimCol: String,
+           payloadCols: Seq[String],
+           direction: String = ">=",
+           rename: Map[String, String] = Map.empty,
+           maxDimRows: Int = MaxDimRowsDefault): DataFrame = {
+    require(Seq(">=", ">", "<=", "<").contains(direction), s"bad direction: $direction")
+    val spark = fact.sparkSession
+
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def isTemporal(dt: DataType): Boolean = dt match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    val keyType = dim.schema(dimCol).dataType
+    def toOrd(df: DataFrame, name: String): Column = {
+      val c = df(name)
+      if (isTemporal(keyType)) unix_micros(c.cast(TimestampType))
+      else if (isIntegral(keyType)) c.cast(LongType)
+      else throw new IllegalArgumentException(
+        s"unsupported as-of key type $keyType; map to an integral domain first")
+    }
+    val factType = fact.schema(factCol).dataType
+    require(isIntegral(factType) == isIntegral(keyType) && isTemporal(factType) == isTemporal(keyType),
+      s"fact/dim as-of key types differ: $factType vs $keyType")
+
+    // Dedupe + sort the dimension, stamp a dense index (tiny: done as one
+    // narrow plan; row_number over a dim this small is fine and deterministic).
+    val dimDedup = dim
+      .groupBy(col(dimCol))
+      .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
+      .select(col(dimCol) +: payloadCols.map(p => col(s"__p.$p").as(p)): _*)
+    val dimSorted = dimDedup.orderBy(col(dimCol))
+    val keys: Array[Long] = dimSorted.select(toOrd(dimSorted, dimCol)).collect().map(_.getLong(0))
+    require(keys.length <= maxDimRows,
+      s"as-of dimension has ${keys.length} rows > $maxDimRows; pre-aggregate it")
+
+    val dimIndexed = {
+      val schema = StructType(StructField("__asof_idx", IntegerType, nullable = false) +:
+        payloadCols.map(p => dimSorted.schema(p)))
+      val rows = dimSorted.select(payloadCols.map(col): _*).collect()
+        .zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    }
+
+    val bcKeys = spark.sparkContext.broadcast(keys)
+    val dir = direction
+    val idxOf = udf { (v: java.lang.Long) =>
+      if (v == null) -1
+      else {
+        val ks = bcKeys.value
+        val n = ks.length
+        // boundary = first index i with ks(i) >/≥ v (per direction semantics)
+        val strictUpper = dir == ">" || dir == "<="
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val above = if (strictUpper) ks(mid) > v else ks(mid) >= v
+          if (above) hi = mid else lo = mid + 1
+        }
+        if (dir == ">=" || dir == ">") { if (lo < n) lo else -1 } // first ≥/> v
+        else { if (lo - 1 >= 0) lo - 1 else -1 }                  // last ≤/< v
+      }
+    }
+
+    val renamedDim = payloadCols.foldLeft(dimIndexed) { (d, p) =>
+      d.withColumnRenamed(p, rename.getOrElse(p, p))
+    }
+    fact
+      .withColumn("__asof_idx", idxOf(toOrd(fact, factCol)))
+      .join(broadcast(renamedDim), Seq("__asof_idx"), "left")
+      .drop("__asof_idx")
+  }
+}

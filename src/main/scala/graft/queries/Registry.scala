@@ -1,0 +1,17 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregates every query group into the driver-facing maps
+  * (SparkEntry.queries / SparkEntry.oracleSql).
+  */
+object Registry {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] =
+    EtlQueries.queries
+
+  def oracleSql: Map[String, String] =
+    EtlQueries.oracleSql
+}
