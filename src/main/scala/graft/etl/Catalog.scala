@@ -36,12 +36,26 @@ class Catalog(val spark: SparkSession, val dir: String) {
       f.exists(new org.apache.hadoop.fs.Path(dirPath(name)))
   }
 
-  /** Resolve a table to the path that exists (file layout wins). */
+  /** Resolve a table to the path that exists (file layout wins). If the
+    * table is absent but a stranded `.__old-UUID` sibling exists (a crash
+    * between [[Loader]]'s rename-aside and rename-in), recover it by
+    * renaming it back into place.
+    */
   def resolve(name: String): Option[String] = {
     val f = fs
     if (f.exists(new org.apache.hadoop.fs.Path(filePath(name)))) Some(filePath(name))
     else if (f.exists(new org.apache.hadoop.fs.Path(dirPath(name)))) Some(dirPath(name))
-    else None
+    else {
+      val parent = new org.apache.hadoop.fs.Path(dir)
+      val stranded =
+        if (!f.exists(parent)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else f.listStatus(parent).filter(_.getPath.getName.startsWith(name + ".__old-"))
+      stranded.headOption.flatMap { st =>
+        if (f.rename(st.getPath, new org.apache.hadoop.fs.Path(dirPath(name))))
+          Some(dirPath(name))
+        else None
+      }
+    }
   }
 
   def table(name: String): DataFrame =
@@ -59,7 +73,9 @@ class Catalog(val spark: SparkSession, val dir: String) {
     else f.listStatus(p).toSeq.map { st =>
       val n = st.getPath.getName
       if (n.endsWith(".parquet")) n.stripSuffix(".parquet") else n
-    }.filterNot(_.startsWith("_")).filterNot(_.startsWith(".")).distinct.sorted
+    }.filterNot(_.startsWith("_")).filterNot(_.startsWith("."))
+      .filterNot(n => n.contains(".__tmp-") || n.contains(".__old-"))
+      .distinct.sorted
   }
 
   /** Register every table as a temp view so raw-SQL extracts

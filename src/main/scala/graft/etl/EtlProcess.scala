@@ -152,12 +152,14 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
       val dim = tgt.table(l.tableName)
       l.method match {
         case None =>
-          // dedupe dim on the child key deterministically (min id), then
-          // broadcast left equi-join — Catalyst auto-broadcasts small dims,
-          // we force it: link dims are dimension tables by construction.
+          // dedupe dim on the child key deterministically (min id), then a
+          // left equi-join. No forced broadcast: Catalyst/AQE broadcasts
+          // automatically when the aggregated dim is under the threshold,
+          // and a genuinely large dimension (plausible at 100 TB) must be
+          // free to shuffle-hash-join instead of OOMing executors.
           val keyed = dim.groupBy(col(l.childField).as("__lk"))
             .agg(min(col(Loader.IdCol)).as(outName))
-          df.join(broadcast(keyed), df(l.target) === keyed("__lk"), "left")
+          df.join(keyed, df(l.target) === keyed("__lk"), "left")
             .drop("__lk")
         case Some(m) =>
           AsOfJoin.asOf(df, l.target, dim, l.childField,

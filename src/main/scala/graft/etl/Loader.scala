@@ -63,16 +63,48 @@ object Loader {
 
       case Some(ex) if upsertFields.nonEmpty =>
         val keys = upsertFields
-        val exKeyed = ex.select((keys :+ IdCol).map(col): _*)
-        // incoming rows that hit an existing key: incoming values win, id kept
-        val matched = incoming.join(exKeyed, keys, "inner")
+        // The reference's sequential per-row upsert converges to one row per
+        // key: later incoming rows overwrite earlier ones. Collapse incoming
+        // to the LAST row per key under the deterministic insertion order
+        // (ties broken by the remaining columns) before the matched/fresh
+        // split, so duplicate keys can't multiply the join.
+        val one = {
+          val tieBreak = (order ++ incoming.columns.filterNot(order.contains)).distinct
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(tieBreak.map(c => col(c).desc_nulls_last): _*)
+          incoming.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+        }
+        // Matched rows: join incoming onto the FULL existing row and pick
+        // per column — incoming's value where the column exists in incoming
+        // (the supplied fields), the existing value otherwise. This mirrors
+        // the reference's UPDATE-of-supplied-fields: columns the incoming
+        // extract doesn't carry keep their previously-loaded values (the
+        // safe=true retention case). Existing duplicates of a key all get
+        // updated in place (SQL UPDATE semantics), each keeping its id.
+        val inCols = one.columns.toSet
+        val renamedIn = one.columns.filterNot(keys.contains).foldLeft(one) {
+          (d, c) => d.withColumnRenamed(c, s"__in_$c")
+        }
+        val joined = ex.join(renamedIn, keys, "inner")
+        val matchedCols = ex.columns.toIndexedSeq.map { c =>
+          if (keys.contains(c) || c == IdCol) col(c)
+          else if (inCols.contains(c)) col(s"__in_$c").as(c)
+          else col(c)
+        } ++ one.columns.filterNot(c => keys.contains(c) || ex.columns.contains(c))
+          .toIndexedSeq.map(c => col(s"__in_$c").as(c))
+        val matched = joined.select(matchedCols: _*)
         // fresh keys get new ids (deterministic order among themselves)
         val fresh = withSurrogateIds(
-          incoming.join(exKeyed.select(keys.map(col): _*), keys, "left_anti"),
+          one.join(ex.select(keys.map(col): _*), keys, "left_anti"),
           maxId, order)
         // untouched existing rows survive as-is
-        val kept = ex.join(incoming.select(keys.map(col): _*), keys, "left_anti")
-        val target = finalSchema(ex, matched, ensure, safe)
+        val kept = ex.join(one.select(keys.map(col): _*), keys, "left_anti")
+        // schema evolution resolves against INCOMING's column set (fresh =
+        // id + incoming columns), not matched's widened set — otherwise
+        // safe=false could never narrow on the upsert path.
+        val target = finalSchema(ex, fresh, ensure, safe)
         unionAligned(Seq(kept, matched, fresh), target)
 
       case Some(ex) =>
@@ -134,16 +166,29 @@ object Loader {
   /** Write to a temp dir, then swap into place. The plan may lazily read the
     * current table contents; the swap happens only after the full result is
     * durably written.
+    *
+    * Crash safety: the old table is renamed ASIDE (`.__old-UUID`) before the
+    * new dir renames in, and only then deleted — a crash at any point leaves
+    * either the old table in place, or the new one, or a recoverable
+    * `.__old` sibling (picked up by [[Catalog.resolve]]'s stranded-table
+    * recovery). Never a window with no data at all.
     */
   private def writeAtomic(tgt: Catalog, table: String, df: DataFrame): Unit = {
     val conf = tgt.spark.sparkContext.hadoopConfiguration
     val finalPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
-    val tmpPath = new org.apache.hadoop.fs.Path(
-      tgt.dirPath(table) + ".__tmp-" + java.util.UUID.randomUUID().toString)
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmpPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
+    val oldPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__old-" + uuid)
     val fs = finalPath.getFileSystem(conf)
     df.write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
-    if (fs.exists(finalPath)) fs.delete(finalPath, true)
-    if (!fs.rename(tmpPath, finalPath))
+    val hadOld = fs.exists(finalPath)
+    if (hadOld && !fs.rename(finalPath, oldPath))
+      throw new java.io.IOException(s"could not move old table aside: $finalPath")
+    if (!fs.rename(tmpPath, finalPath)) {
+      // put the old table back so readers still see a table, then fail
+      if (hadOld) fs.rename(oldPath, finalPath)
       throw new java.io.IOException(s"atomic swap failed for $finalPath")
+    }
+    if (hadOld) fs.delete(oldPath, true)
   }
 }

@@ -69,15 +69,23 @@ object AsOfJoin {
       .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
       .select(col(dimCol) +: payloadCols.map(p => col(s"__p.$p").as(p)): _*)
     val dimSorted = dimDedup.orderBy(col(dimCol))
-    val keys: Array[Long] = dimSorted.select(toOrd(dimSorted, dimCol)).collect().map(_.getLong(0))
-    require(keys.length <= maxDimRows,
-      s"as-of dimension has ${keys.length} rows > $maxDimRows; pre-aggregate it")
+    // Guard BEFORE any collect: an oversized dimension must fail loudly, not
+    // OOM the driver mid-collect. limit(max+1).count() scans at most max+1
+    // rows distributed-side.
+    val guardCount = dimSorted.limit(maxDimRows + 1).count()
+    require(guardCount <= maxDimRows,
+      s"as-of dimension has > $maxDimRows rows; pre-aggregate it")
+    // One collect for keys + payload together (the guard bounded its size).
+    val collected: Array[Row] =
+      dimSorted.select(toOrd(dimSorted, dimCol).as("__ord") +: payloadCols.map(col): _*).collect()
+    val keys: Array[Long] = collected.map(_.getLong(0))
 
     val dimIndexed = {
       val schema = StructType(StructField("__asof_idx", IntegerType, nullable = false) +:
         payloadCols.map(p => dimSorted.schema(p)))
-      val rows = dimSorted.select(payloadCols.map(col): _*).collect()
-        .zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+      val rows = collected.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(i +: (1 until r.length).map(r.get))
+      }
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
     }
 

@@ -315,6 +315,61 @@ class EtlProcessSpec extends SparkSpec {
     assert(p.result().count() == 3)
   }
 
+  // ADVICE r1 (medium): upsert + safe=true must RETAIN existing column
+  // values on matched rows — only the supplied (incoming) fields update.
+  test("upsert with safe=true keeps existing columns not in the incoming set") {
+    val (src, tgt) = fixture()
+    val p = proc(src, tgt)
+    p.extract("SELECT name, age, last_name FROM mytable"); p.load()
+
+    // narrower incoming: only name + age; last_name must survive on matches
+    p.extract("SELECT name, age + 100 AS age FROM mytable WHERE name <> 'Tom'")
+    p.load(upsertFields = Seq("name"), safe = true)
+    val out = p.result().orderBy("id").collect()
+    assert(out.length == 3)
+    val byName = out.map(r => r.getAs[String]("name") -> r).toMap
+    assert(byName("Joe").getAs[String]("last_name") == "Smith")   // retained
+    assert(byName("Mary").getAs[String]("last_name") == "Jones")  // retained
+    assert(byName("Joe").getAs[Int]("age") == 123)                // updated
+    assert(byName("Tom").getAs[Int]("age") == 5)                  // untouched
+  }
+
+  // ADVICE r1: duplicate upsert keys in incoming must collapse to one row
+  // per key (last under the deterministic order), not multiply rows.
+  test("upsert collapses duplicate incoming keys to one row per key") {
+    val (src, tgt) = fixture()
+    val p = proc(src, tgt)
+    p.idOrder = Seq("name", "age")
+    p.extractOverride(() => spark.createDataFrame(
+      Seq(("A", 1), ("B", 2))).toDF("name", "age"))
+    p.load()
+    // incoming has key A twice: ages 10 then 20 — last (20) must win
+    p.idOrder = Seq("name", "age")
+    p.extractOverride(() => spark.createDataFrame(
+      Seq(("A", 10), ("A", 20), ("C", 3))).toDF("name", "age"))
+    p.load(upsertFields = Seq("name"))
+    val out = p.result().orderBy("name").collect()
+    assert(out.map(r => (r.getAs[String]("name"), r.getAs[Int]("age"))).toSeq
+      == Seq(("A", 20), ("B", 2), ("C", 3)))
+    // no duplicate ids
+    assert(p.result().agg(countDistinct("id")).head().getLong(0) == 3L)
+  }
+
+  // ADVICE r1: a stranded .__old dir (crash between rename-aside and
+  // rename-in) must be recovered on the next read.
+  test("catalog recovers a stranded .__old table dir") {
+    val (src, tgt) = fixture()
+    val p = proc(src, tgt)
+    p.extract("SELECT name FROM mytable"); p.load()
+    // simulate a crash window: table renamed aside, new dir never arrived
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tablePath = new org.apache.hadoop.fs.Path(tgt.dirPath("target_table"))
+    val aside = new org.apache.hadoop.fs.Path(tgt.dirPath("target_table") + ".__old-deadbeef")
+    assert(fs.rename(tablePath, aside))
+    assert(tgt.table("target_table").count() == 3) // recovered transparently
+    assert(fs.exists(tablePath) && !fs.exists(aside))
+  }
+
   test("empty extract result skips the write (reference `if rows:`)") {
     val (src, tgt) = fixture()
     val p = proc(src, tgt, "empty")
