@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.PortableHash
+import graft.functions.PortableHash.P
+
+/** Deduplication operators for training-data pipelines — exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash near-dup. Extension scope beyond the
+  * reference (no dedup of any kind in easy-etl); first-class 100 TB
+  * components:
+  *
+  *   - Exact dedup is one hash-shuffle on the dedup key (map-side partial
+  *     aggregation; no driver state).
+  *   - MinHash+LSH is the scale path for near-dup: per-doc signatures are
+  *     a single projection (no shuffle); candidate generation shuffles
+  *     (band, value) pairs — O(docs × bands) rows, NOT O(docs²); only
+  *     candidates pay the exact-Jaccard verification join.
+  *   - Pairwise n-gram Jaccard is the exact-but-quadratic baseline; keep it
+  *     for small blocks / validation of the LSH recall.
+  *   - SimHash packs a doc into one 31-bit int; near-dups are pairs at
+  *     Hamming distance ≤ τ found by byte-banding (pigeonhole: any pair at
+  *     distance ≤ 3 shares at least one of 4 bytes).
+  *
+  * All hashes are [[PortableHash]]-based so the DuckDB oracle reproduces
+  * results bit-for-bit.
+  */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Keep one row per distinct value of `keyCols`: the row with the minimal
+    * `tieBreak` (deterministic). Single hash-shuffle on the key.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- shingling ---------------------------------------------------------
+
+  /** Distinct word n-gram shingles of lowercased text (n ≥ 1). Shorter
+    * texts yield their single partial shingle (never an empty array).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** Portable hashes of the distinct shingles (values < P). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => PortableHash.hmod(s)))
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b)).cast(DoubleType)
+
+  // ---- n-gram Jaccard (exact, quadratic) ---------------------------------
+
+  /** All pairs (idA < idB) with shingle-Jaccard ≥ `threshold`. Quadratic in
+    * |df| — the exact baseline for small blocks; use [[minHashPairs]] at
+    * scale.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
+    val a = withSh.select(col(idCol).as("id_a"), col("__sh").as("__sha"))
+    val b = withSh.select(col(idCol).as("id_b"), col("__sh").as("__shb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /** MinHash signature: element k = min over shingle hashes h of
+    * (a_k·h + b_k) mod P. One projection, no shuffle.
+    */
+  def minHashSignature(shingleHashCol: Column, numPerms: Int): Column =
+    array((0 until numPerms).map { k =>
+      val (a, b) = PortableHash.perm(k)
+      array_min(transform(shingleHashCol, h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+
+  /** Near-dup pairs via MinHash banding: docs agreeing on ALL rows of any
+    * band become candidates (shuffle on the band key — O(docs × bands)
+    * rows), then candidates verify with exact shingle Jaccard ≥ threshold.
+    * Returns (id_a, id_b, jaccard), id_a < id_b, one row per pair.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, numPerms: Int, bands: Int,
+                   threshold: Double): DataFrame = {
+    require(numPerms % bands == 0, s"numPerms $numPerms not divisible by bands $bands")
+    val r = numPerms / bands
+    val withSig = df
+      .select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__sh"))
+      .withColumn("__sig", minHashSignature(col("__sh"), numPerms))
+    // band rows: (band index, band slice as string key, id)
+    val banded = withSig.select(
+      col("__id"), col("__sh"),
+      explode(array((0 until bands).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          concat_ws(",", slice(col("__sig"), bIdx * r + 1, r)).as("key"))
+      }: _*)).as("__b"))
+    val a = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
+      col("__id").as("id_a"), col("__sh").as("__sha"))
+    val b = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
+      col("__id").as("id_b"), col("__sh").as("__shb"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__sha", "__shb")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 31-bit SimHash over the distinct 3-gram shingle hashes of `text`:
+    * bit b is set iff Σ_shingles (±1 per bit b of the shingle hash) > 0.
+    * One projection. Shingles, not tokens: on a corpus with a small shared
+    * vocabulary, distinct-token sets saturate and token-level SimHash
+    * collapses to near-zero Hamming distances everywhere; word-order
+    * n-grams keep the signal.
+    */
+  def simHash(text: Column): Column = {
+    val hs = shingleHashes(text, 3)
+    (0 until 31).map { b =>
+      val w = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(w > 0L, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Pairs at Hamming distance ≤ maxDist between 31-bit SimHashes, found by
+    * byte-banding (4 bands; pigeonhole-complete for maxDist ≤ 3). Returns
+    * (id_a, id_b, hamming).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val withSig = df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sig"))
+    val banded = withSig.select(col("__id"), col("__sig"),
+      explode(array((0 until 4).map { k =>
+        struct(lit(k).as("band"),
+          shiftright(col("__sig"), k * 8).bitwiseAND(lit(255L)).as("key"))
+      }: _*)).as("__b"))
+    val a = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
+      col("__id").as("id_a"), col("__sig").as("__siga"))
+    val b = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
+      col("__id").as("id_b"), col("__sig").as("__sigb"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).cast(LongType))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.PortableHash
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and document
+  * fingerprinting. Extension scope beyond the reference (which has no text
+  * functions at all — /root/reference/easy_etl/__init__.py delegates
+  * everything scalar to Python string methods, §2.1/T1); these are the
+  * operations a 100 TB corpus pipeline runs before training.
+  *
+  * Design: every operator is a pure `Column` expression (whole-stage
+  * codegen, no UDFs), so scans stay pipelined and columns prune — a
+  * quality-score pass over 100 TB is one projection over the text column,
+  * no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased text, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+
+  /** A BPE-ish subword segmentation: runs of 1–4 letters, digits, or a
+    * single other non-space char — a deterministic stand-in for a real BPE
+    * vocab (not shipped here), with the right cost shape (≈ chars/3).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** English stopwords used by quality scoring (tiny, deterministic). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def ratioIn(toks: Column, words: Seq[String]): Column = {
+    val inSet = (t: Column) => words.map(w => t === lit(w)).reduce(_ || _)
+    size(filter(toks, inSet)).cast(DoubleType) /
+      greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  /** Token/char statistics + a composite quality score, as a projection.
+    * Emits: n_tokens, n_uniq_tokens, n_bpe_tokens, avg_token_len,
+    * alpha_ratio, stopword_ratio, quality_score (all deterministic).
+    */
+  def withStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val totLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast(LongType))
+    val alpha = length(regexp_replace(lower(t), "[^a-z]", ""))
+    val uniqRatio = nUniq.cast(DoubleType) / greatest(nTok, lit(1)).cast(DoubleType)
+    val alphaRatio = alpha.cast(DoubleType) / greatest(length(t), lit(1)).cast(DoubleType)
+    val stopRatio = ratioIn(toks, Stopwords)
+    // quality: unique-vocab ratio, alphabetic density, stopword presence,
+    // and a saturating length prior — the standard heuristic-filter shape
+    // (Gopher/C4-style rules), weights fixed for determinism.
+    val quality =
+      uniqRatio * 0.3 + alphaRatio * 0.3 +
+        least(stopRatio * lit(4.0), lit(1.0)) * 0.2 +
+        least(nTok.cast(DoubleType) / lit(100.0), lit(1.0)) * 0.2
+    df.withColumn("n_tokens", nTok.cast(LongType))
+      .withColumn("n_uniq_tokens", nUniq.cast(LongType))
+      .withColumn("n_bpe_tokens", size(bpeTokens(t)).cast(LongType))
+      .withColumn("avg_token_len",
+        totLen.cast(DoubleType) / greatest(nTok, lit(1)).cast(DoubleType))
+      .withColumn("alpha_ratio", alphaRatio)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score", quality)
+  }
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Order matters: ties resolve to the FIRST language in this list.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和")
+  )
+
+  /** Predict a language per row from stopword-hit ratios; emits
+    * `<out>` (the argmax language, first-wins on ties) and
+    * `<out>_score` (the winning ratio). A heuristic n-gram profiler, not a
+    * trained model — the point is the distributed shape: one projection,
+    * no shuffle, runs at scan speed on 100 TB.
+    */
+  def withLangId(df: DataFrame, textCol: String, out: String = "pred_lang"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scores = LangProfiles.map { case (lang, words) => lang -> ratioIn(toks, words) }
+    // first-wins argmax as a CASE cascade: the first language whose score is
+    // >= every LATER score is the global max (earlier ones already failed
+    // against some later score), ties resolving to profile order.
+    val pred = scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val beatsLater = scores.drop(i + 1).map { case (_, s2) => s >= s2 }.reduce(_ && _)
+        when(beatsLater, lit(lang)).otherwise(elseCol)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    df.withColumn(out, pred).withColumn(s"${out}_score", best)
+  }
+
+  /** Rolling polynomial fingerprint of the token stream:
+    * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
+    * Order-sensitive (unlike a bag-of-words hash) and portable; used for
+    * exact-dedup keys and shard-stable document identity.
+    */
+  def fingerprint(text: Column): Column = {
+    val hs = transform(tokens(text), t => PortableHash.hmod(t))
+    aggregate(hs, lit(0L), (acc, h) => (acc * 31L + h) % PortableHash.P)
+  }
+}

@@ -10,8 +10,8 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] =
-    EtlQueries.queries
+    EtlQueries.queries ++ TrainingDataQueries.queries
 
   def oracleSql: Map[String, String] =
-    EtlQueries.oracleSql
+    EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql
 }

@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+import graft.functions.PortableHash
+import graft.functions.PortableHash.{P, e9, e9Sql, hmodSql}
+import graft.operators.{Dedup, TextAnalysis, VectorSimilarity}
+
+/** Oracle-checked queries for the training-data extension operators
+  * (SURVEY.md §7.5 item 6): text analysis, dedup (exact / n-gram Jaccard /
+  * MinHash+LSH / SimHash / embedding-cosine), and similarity search
+  * (brute-force + LSH top-k) over the driver's `documents` and `embeddings`
+  * tables.
+  *
+  * Cross-engine determinism rules (verified empirically against the
+  * driver's DuckDB 1.0.0 — see [[PortableHash]]):
+  *   - all hashing goes through the portable md5-prefix hash;
+  *   - all derived constants (MinHash permutations, LSH hyperplanes) are
+  *     computed ONCE in Scala and interpolated into both engines' plans;
+  *   - double arithmetic is written with identical association order in
+  *     both engines (bit-exact empirically) and exported via the exact
+  *     fixed-point projection [[PortableHash.e9]], never decimal round();
+  *   - int-typed outputs are cast to BIGINT on both sides.
+  *
+  * The synthetic corpus has no natural duplicates, so dedup queries build
+  * deterministic duplicate/near-duplicate copies in-query (same
+  * construction in both engines): exact copies at doc_id+100000, near
+  * copies (first two tokens dropped) at doc_id+200000, scaled embedding
+  * copies at vec_id+100000.
+  */
+object TrainingDataQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** documents ∪ near-dup copies (every `everyN`th doc, first 2 tokens
+    * dropped, id + 200000). */
+  private def nearDupCorpus(d: DataFrame, everyN: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val near = d.where(col("doc_id") % everyN === 0)
+      .select((col("doc_id") + lit(200000L)).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(3), size(toks))).as("text"))
+    d.select("doc_id", "text").unionByName(near)
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // ---- text analysis ---------------------------------------------------
+
+    "q_text_stats" -> { (spark, sfDir) =>
+      TextAnalysis.withStats(docs(spark, sfDir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
+          col("n_bpe_tokens"),
+          e9(col("avg_token_len")).as("avg_token_len_e9"),
+          e9(col("alpha_ratio")).as("alpha_ratio_e9"),
+          e9(col("stopword_ratio")).as("stopword_ratio_e9"),
+          e9(col("quality_score")).as("quality_score_e9"))
+        .orderBy("doc_id")
+    },
+
+    "q_text_langid" -> { (spark, sfDir) =>
+      TextAnalysis.withLangId(docs(spark, sfDir), "text")
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          e9(col("pred_lang_score")).as("score_e9"))
+        .orderBy("doc_id")
+    },
+
+    "q_text_fingerprint" -> { (spark, sfDir) =>
+      docs(spark, sfDir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup -----------------------------------------------------------
+
+    "q_dedup_exact" -> { (spark, sfDir) =>
+      val base = docs(spark, sfDir).select("doc_id", "text", "lang")
+      val copies = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"), col("text"), col("lang"))
+      Dedup.exact(base.unionByName(copies), Seq("text"), "doc_id")
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    "q_dedup_ngram_jaccard" -> { (spark, sfDir) =>
+      val subset = docs(spark, sfDir).where(col("doc_id") % 5 === 0)
+      Dedup.jaccardPairs(nearDupCorpus(subset, 10), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), e9(col("jaccard")).as("jaccard_e9"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "q_dedup_minhash" -> { (spark, sfDir) =>
+      Dedup.minHashPairs(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
+          n = 3, numPerms = 16, bands = 4, threshold = 0.6)
+        .select(col("id_a"), col("id_b"), e9(col("jaccard")).as("jaccard_e9"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "q_dedup_simhash" -> { (spark, sfDir) =>
+      Dedup.simHashPairs(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    "q_dedup_embedding" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val copies = e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5)).cast(FloatType)).as("embedding"))
+      VectorSimilarity.cosineNearDupPairs(e.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.99, numPlanes = 6, dim = 64)
+        .select(col("id_a"), col("id_b"), e9(col("cosine")).as("cosine_e9"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- similarity search ----------------------------------------------
+
+    "q_knn_bruteforce" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      VectorSimilarity.bruteForceTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          e9(col("cosine")).as("cosine_e9"))
+        .orderBy("query_id", "rank")
+    },
+
+    "q_knn_lsh" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      VectorSimilarity.lshTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, numPlanes = 6, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          e9(col("cosine")).as("cosine_e9"))
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  // ---- DuckDB oracle twins ----------------------------------------------
+
+  /** Tokens of lowercased `c`, empties removed (DuckDB spelling of
+    * [[TextAnalysis.tokens]]). */
+  private def tok(c: String): String =
+    s"""list_filter(regexp_split_to_array(lower($c), '\\s+'), x -> x <> '')"""
+
+  /** documents ∪ near-dup copies, as a CTE body (DuckDB twin of
+    * [[nearDupCorpus]]); `pred` restricts the base set. */
+  private def nearDupCorpusSql(everyN: Int, pred: String = "TRUE"): String =
+    s"""base AS (SELECT doc_id, text FROM documents WHERE $pred),
+       |basew AS (SELECT doc_id, ${tok("text")} AS w FROM base),
+       |corpus AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 200000, array_to_string(w[3:len(w)], ' ')
+       |  FROM basew WHERE doc_id % $everyN = 0)""".stripMargin
+
+  /** (doc_id, h) where h = distinct portable hashes of 3-gram shingles of
+    * `corpus.text`. */
+  private val shingleHashesSql: String =
+    s"""cw AS (SELECT doc_id, ${tok("text")} AS w FROM corpus),
+       |hs AS (SELECT doc_id, list_distinct(list_transform(
+       |  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+       |                i -> array_to_string(w[i:i+2], ' '))),
+       |  s -> ${hmodSql("s")})) AS h FROM cw)""".stripMargin
+
+  private val jaccardSql: String =
+    """CAST(len(list_filter(ha, x -> list_contains(hb, x))) AS DOUBLE)
+      | / CAST(len(ha) + len(hb) - len(list_filter(ha, x -> list_contains(hb, x))) AS DOUBLE)"""
+      .stripMargin.replace("\n", "")
+
+  /** VALUES rows for the deterministic LSH hyperplanes (shared constants
+    * with [[VectorSimilarity.lshBucket]]). */
+  private def planesSql(numPlanes: Int, dim: Int): String =
+    (0 until numPlanes).map { j =>
+      val vs = PortableHash.hyperplane(j, dim).mkString("[", ", ", "]")
+      s"(CAST($j AS BIGINT), CAST($vs AS DOUBLE[]))"
+    }.mkString(",\n  ")
+
+  /** (vec_id, embedding, bucket) over relation `src(vec_id, embedding)`. */
+  private def bucketSql(src: String, numPlanes: Int, dim: Int): String =
+    s"""planes(j, p) AS (VALUES
+       |  ${planesSql(numPlanes, dim)}),
+       |bk AS (
+       |  SELECT vec_id, embedding,
+       |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (SELECT s.vec_id, s.embedding, planes.j,
+       |               list_sum(list_transform(generate_series(1, $dim),
+       |                        i -> CAST(s.embedding[i] AS DOUBLE) * planes.p[i])) AS d
+       |        FROM $src s CROSS JOIN planes) x
+       |  GROUP BY vec_id, embedding)""".stripMargin
+
+  private val cosineSql: String =
+    """list_sum(list_transform(generate_series(1, 64), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      | / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |    * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+      .stripMargin.replace("\n", "")
+
+  private val stopwordsSql: String =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, ${tok("text")} AS w FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(list_sum(list_transform(w, t2 -> length(t2))) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS avg_token_len,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS uniq_ratio,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_filter(w, x -> x IN $stopwordsSql)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(w) AS DOUBLE) AS n_tok_d
+         |FROM t)
+         |SELECT doc_id, n_tokens, n_uniq_tokens, n_bpe_tokens,
+         |  ${e9Sql("avg_token_len")} AS avg_token_len_e9,
+         |  ${e9Sql("alpha_ratio")} AS alpha_ratio_e9,
+         |  ${e9Sql("stopword_ratio")} AS stopword_ratio_e9,
+         |  ${e9Sql("uniq_ratio * 0.3 + alpha_ratio * 0.3 + least(stopword_ratio * 4.0, 1.0) * 0.2 + least(n_tok_d / 100.0, 1.0) * 0.2")} AS quality_score_e9
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      val profiles = TextAnalysis.LangProfiles
+      val scoreCols = profiles.map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"CAST(len(list_filter(w, x -> x IN $inList)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS s_$lang"
+      }.mkString(",\n  ")
+      val caseArms = profiles.zipWithIndex.init.map { case ((lang, _), i) =>
+        val later = profiles.drop(i + 1).map { case (l2, _) => s"s_$lang >= s_$l2" }.mkString(" AND ")
+        s"WHEN $later THEN '$lang'"
+      }.mkString("\n    ")
+      val bestExpr = profiles.map(p => s"s_${p._1}").reduce((a, b) => s"greatest($a, $b)")
+      s"""WITH t AS (SELECT doc_id, lang, ${tok("text")} AS w FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |FROM t)
+         |SELECT doc_id, lang,
+         |  CASE $caseArms ELSE '${profiles.last._1}' END AS pred_lang,
+         |  ${e9Sql(bestExpr)} AS score_e9
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS w FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(w, t2 -> ${hmodSql("t2")})),
+         |    (acc, h) -> (acc * 31 + h) % $P) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 7 = 0),
+         |d AS (SELECT doc_id, lang,
+         |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |      FROM corpus)
+         |SELECT doc_id, lang FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH ${nearDupCorpusSql(10, "doc_id % 5 = 0")},
+         |$shingleHashesSql,
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+         |          FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b, $jaccardSql AS jac FROM pairs)
+         |SELECT id_a, id_b, ${e9Sql("jac")} AS jaccard_e9
+         |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val sigExprs = (0 until 16).map { k =>
+        val (a, b) = PortableHash.perm(k)
+        s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH ${nearDupCorpusSql(10)},
+         |$shingleHashesSql,
+         |sigs AS (SELECT doc_id, h, $sigExprs AS sig FROM hs),
+         |bands AS (SELECT doc_id, t.b AS band,
+         |                 array_to_string(sig[t.b*4+1 : t.b*4+4], ',') AS key
+         |          FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b, ha.h AS ha, hb.h AS hb
+         |          FROM cand c
+         |          JOIN hs ha ON ha.doc_id = c.id_a
+         |          JOIN hs hb ON hb.doc_id = c.id_b),
+         |j AS (SELECT id_a, id_b, $jaccardSql AS jac FROM pairs)
+         |SELECT id_a, id_b, ${e9Sql("jac")} AS jaccard_e9
+         |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_simhash" ->
+      s"""WITH ${nearDupCorpusSql(10)},
+         |$shingleHashesSql,
+         |th AS (SELECT doc_id, h FROM hs),
+         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 30), b ->
+         |    CASE WHEN list_sum(list_transform(h, x ->
+         |           CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM th),
+         |bands AS (SELECT doc_id, s, t.k AS band, (s >> (t.k * 8)) & 255 AS key
+         |          FROM sig, unnest([0, 1, 2, 3]) AS t(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |${bucketSql("corpus", 6, 64)},
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |                 a.embedding AS ea, b.embedding AS eb
+         |          FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT id_a, id_b, $cosineSql AS cos FROM pairs)
+         |SELECT id_a, id_b, ${e9Sql("cos")} AS cosine_e9
+         |FROM sc WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, $cosineSql AS cos
+         |       FROM q JOIN c ON query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, rank, neighbor_id, ${e9Sql("cos")} AS cosine_e9
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_lsh" ->
+      s"""WITH ${bucketSql("embeddings", 6, 64)},
+         |q AS (SELECT vec_id AS query_id, embedding AS ea, bucket FROM bk WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS eb, bucket FROM bk),
+         |sc AS (SELECT query_id, neighbor_id, $cosineSql AS cos
+         |       FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, rank, neighbor_id, ${e9Sql("cos")} AS cosine_e9
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  )
+}
