@@ -10,8 +10,8 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] =
-    EtlQueries.queries ++ TrainingDataQueries.queries
+    EtlQueries.queries ++ TrainingDataQueries.queries ++ SqlQueries.queries
 
   def oracleSql: Map[String, String] =
-    EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql
+    EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql ++ SqlQueries.oracleSql
 }
