@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.PortableHash.P
+
+/** Multimodal-column pipeline plumbing: image/audio/video travel as opaque
+  * `binary` columns with a typed metadata struct, and decode/feature-extract
+  * runs as a per-partition batch pass. Extension scope beyond the reference.
+  *
+  * The actual codec is STUBBED — no image/audio libraries ship in this
+  * container — behind [[DecoderStub]], which computes deterministic integer
+  * features from the raw bytes. Everything AROUND the stub is the real
+  * 100 TB design and is what's tested:
+  *
+  *   - storage layout: `content: binary` + `media_meta: struct` columns in
+  *     parquet (the parquet-binary/Petastorm shape — media inlined with
+  *     scalars so one scan feeds both);
+  *   - decode runs via `mapPartitions` with ONE decoder init per partition
+  *     (the per-partition-model-load pattern — at scale the init is an
+  *     expensive codec/model handle you must not pay per row);
+  *   - the row iterator stays lazy — partitions stream through the decoder
+  *     without materializing the partition in memory;
+  *   - frame sampling slices the binary without copying the full payload
+  *     per frame.
+  *
+  * To swap in a real decoder, replace [[DecoderStub.decode]] /
+  * [[DecoderStub.open]] — signatures (bytes in, fixed-width features out,
+  * handle opened once per partition) are the contract.
+  */
+object Multimodal {
+
+  /** Attach the binary payload + metadata struct for a text-derived fake
+    * "image": content = UTF-8 bytes of `textCol`. Stands in for reading
+    * real media; the downstream plumbing treats it as opaque bytes.
+    */
+  def attachBinary(df: DataFrame, textCol: String,
+                   modality: String = "image"): DataFrame =
+    df.withColumn("content", encode(col(textCol), "UTF-8"))
+      .withColumn("media_meta", struct(
+        lit(modality).as("modality"),
+        lit(s"$modality/fake").as("mime"),
+        length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes")))
+
+  /** The stubbed codec. `open()` is the expensive once-per-partition init
+    * (a real build would load libjpeg/ffmpeg/a vision model here).
+    */
+  final class DecoderStub private () {
+    /** Deterministic integer features of a byte payload — a stand-in for
+      * real decode+feature-extract. (A real implementation would return
+      * pixels/frames; this returns arithmetic the oracle can reproduce.)
+      */
+    def decode(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+      val n = bytes.length.toLong
+      var checksum = 0L
+      var phash = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val b = (bytes(i) & 0xff).toLong
+        checksum = (checksum + b) % P
+        phash = (phash * 31L + b) % P
+        i += 1
+      }
+      val width = n % 251L
+      val height = (n * 31L) % 251L
+      (n, width, height, checksum, phash)
+    }
+  }
+  object DecoderStub {
+    def open(): DecoderStub = new DecoderStub() // per-partition init point
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Decode features for every row: one [[DecoderStub.open]] per partition,
+    * lazy row iteration (the batch shape a real codec needs). Input must
+    * carry `idCol` and a binary `content` column.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col("content")).rdd
+      .mapPartitions { iter =>
+        val decoder = DecoderStub.open() // once per partition, NOT per row
+        iter.map { r =>
+          val (n, w, h, cs, ph) = decoder.decode(r.getAs[Array[Byte]](1))
+          Row(r.getLong(0), n, w, h, cs, ph)
+        }
+      }
+    spark.createDataFrame(rdd, featSchema)
+  }
+
+  /** Sample every `stride`-th fixed-size frame from the binary payload —
+    * the video-frame-sampling shape (slice, don't copy the whole payload).
+    * Emits one row per sampled frame: (id, frame_idx, f_checksum).
+    */
+  def frameSample(df: DataFrame, idCol: String,
+                  frameBytes: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("f_checksum", LongType, nullable = false)))
+    val rdd = df.select(col(idCol).cast(LongType), col("content")).rdd
+      .mapPartitions { iter =>
+        iter.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nFrames = bytes.length / frameBytes // full frames only
+          (0 until nFrames by stride).iterator.map { f =>
+            var cs = 0L
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) { cs = (cs + (bytes(i) & 0xff)) % P; i += 1 }
+            Row(id, f.toLong, cs)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

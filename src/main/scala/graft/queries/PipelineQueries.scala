@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.streaming.Sessions
+
+/** Oracle-checked queries for the multimodal plumbing and the unified
+  * batch/streaming session operator.
+  *
+  * The multimodal decode is [[Multimodal.DecoderStub]] — deterministic
+  * integer arithmetic over the payload bytes — so DuckDB reproduces it
+  * from the source text (documents are pure ASCII: byte i == ord(char i),
+  * verified against the driver data). What the oracle actually checks is
+  * the real plumbing: binary column construction, per-partition decode
+  * pass, frame slicing.
+  *
+  * q_stream_session_batch runs [[Sessions.sessionAgg]] — the SAME operator
+  * that runs under readStream — on the batch events table; native
+  * session_window semantics (new session when gap ≥ g, window end = last
+  * event + g) are mirrored in the oracle SQL.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = graft.functions.PortableHash.P
+
+  val queries: Map[String, Q] = Map(
+
+    "q_multimodal_decode" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      Multimodal.decodeFeatures(
+          Multimodal.attachBinary(docs, "text"), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    "q_multimodal_frames" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      Multimodal.frameSample(
+          Multimodal.attachBinary(docs, "text"), "doc_id",
+          frameBytes = 16, stride = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    "q_stream_session_batch" -> { (spark, sfDir) =>
+      // events.ts is TIMESTAMP(NANOS) parquet — must go through the
+      // Catalog/ParquetSource path, which rewrites it to µs TimestampType
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+        .select(col("user_id"), col("ts"))
+      Sessions.sessionAgg(ev, "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_multimodal_decode" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  list_transform(generate_series(1, length(text)), i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS bs
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(bs) AS BIGINT) AS n_bytes,
+         |  CAST(len(bs) % 251 AS BIGINT) AS width,
+         |  CAST((len(bs) * 31) % 251 AS BIGINT) AS height,
+         |  CAST(list_sum(bs) AS BIGINT) % $P AS checksum,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a, x) -> (a * 31 + x) % $P) AS phash
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      s"""WITH t AS (SELECT doc_id, text, length(text) // 16 AS nf FROM documents),
+         |f AS (SELECT doc_id, text,
+         |        unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS frame_idx
+         |      FROM t)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(list_sum(list_transform(
+         |    generate_series(CAST(frame_idx * 16 + 1 AS INTEGER), CAST(frame_idx * 16 + 16 AS INTEGER)),
+         |    i -> ord(substr(text, i, 1)))) AS BIGINT) % $P AS f_checksum
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_stream_session_batch" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |s AS (SELECT user_id, event_id, us,
+         |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |g AS (SELECT user_id, us,
+         |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+         |      FROM s)
+         |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+         |       CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+         |       count(*) AS n_events
+         |FROM g GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin
+  )
+}

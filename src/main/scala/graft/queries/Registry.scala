@@ -10,8 +10,10 @@ object Registry {
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] =
-    EtlQueries.queries ++ TrainingDataQueries.queries ++ SqlQueries.queries
+    EtlQueries.queries ++ TrainingDataQueries.queries ++
+      SqlQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql ++ SqlQueries.oracleSql
+    EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql ++
+      SqlQueries.oracleSql ++ PipelineQueries.oracleSql
 }

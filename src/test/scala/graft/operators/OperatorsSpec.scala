@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the training-data extension operators: known-answer
+  * cases small enough to verify by hand (the DuckDB oracle covers the
+  * at-scale behavior; these pin the semantics).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private def docsDf = spark.createDataFrame(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "quick brown fox jumps over the lazy dog"),   // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  )).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id row per text") {
+    val out = Dedup.exact(docsDf, Seq("text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("shingles: distinct word 3-grams, short text yields partial shingle") {
+    val sh = docsDf.where(col("doc_id") === 1)
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(sh.contains("the quick brown") && sh.contains("over the lazy"))
+    assert(sh.length == 7) // 9 tokens -> 7 trigrams, all distinct
+    val short = spark.createDataFrame(Seq(Tuple1("one two"))).toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
+    assert(short == Seq("one two"))
+  }
+
+  test("jaccard pairs find the near-dup and the exact dup, not the unrelated doc") {
+    val pairs = Dedup.jaccardPairs(docsDf, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard at high threshold") {
+    val mh = Dedup.minHashPairs(docsDf, "doc_id", "text",
+        n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 4L)))
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts at hamming 0, near-dups close, unrelated far") {
+    val sigs = docsDf.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    val hammNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    val hammFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(hammNear < hammFar)
+  }
+
+  test("cosine: orthogonal = 0, identical = 1, scaled copy = 1") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    )).toDF("vec_id", "embedding")
+    val a = df.as("a"); val b = df.as("b")
+    val sims = a.crossJoin(b)
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorSimilarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break, excludes self") {
+    val df = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f))
+    )).toDF("vec_id", "embedding")
+    val out = VectorSimilarity.bruteForceTopK(df, df.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(out == Seq(3L, 1L, 2L)) // exact copy first, near second, orthogonal last
+  }
+
+  test("text stats: known counts on a fixed sentence") {
+    val df = spark.createDataFrame(Seq((1L, "the the fox!"))).toDF("doc_id", "text")
+    val r = TextAnalysis.withStats(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_uniq_tokens") == 2L)
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("alpha_ratio") - 9.0 / 12.0) < 1e-12)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "alpha beta"), (2L, "beta alpha"))).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("multimodal decode: features match hand computation; frames slice correctly") {
+    val df = spark.createDataFrame(Seq((7L, "abcd" * 8))).toDF("doc_id", "text") // 32 bytes
+    val feats = Multimodal.decodeFeatures(Multimodal.attachBinary(df, "text"), "doc_id").head()
+    val bytes = ("abcd" * 8).getBytes("UTF-8").map(_ & 0xff)
+    assert(feats.getAs[Long]("n_bytes") == 32L)
+    assert(feats.getAs[Long]("width") == 32L % 251)
+    assert(feats.getAs[Long]("checksum") == bytes.map(_.toLong).sum % graft.functions.PortableHash.P)
+    // frames of 16 bytes, stride 2 -> frame 0 only (frames 0 and 1 exist, stride skips 1)
+    val frames = Multimodal.frameSample(Multimodal.attachBinary(df, "text"), "doc_id", 16, 2)
+      .collect()
+    assert(frames.length == 1 && frames.head.getAs[Long]("frame_idx") == 0L)
+    assert(frames.head.getAs[Long]("f_checksum") ==
+      bytes.take(16).map(_.toLong).sum % graft.functions.PortableHash.P)
+  }
+}

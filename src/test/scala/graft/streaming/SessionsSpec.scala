@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Streaming specs: the session/window operators driven through an actual
+  * Structured Streaming query (MemoryStream source → memory sink), not
+  * just their batch shapes.
+  */
+class SessionsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("sessionAgg on a stream: sessions split at the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+
+    val q = Sessions.sessionAgg(events, "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // user 1: events at :00, :05 (one session), then :30 (new session);
+      // user 2: single event
+      input.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(30)), (2L, ts(7)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2.getTime))
+      assert(rows.length == 3)
+      assert(rows(0) == ((1L, ts(0), Timestamp.valueOf("2024-01-01 10:15:00"), 2L)))
+      assert(rows(1) == ((1L, ts(30), Timestamp.valueOf("2024-01-01 10:40:00"), 1L)))
+      assert(rows(2)._1 == 2L && rows(2)._4 == 1L)
+    } finally q.stop()
+  }
+
+  test("windowedCounts on a stream: tumbling windows with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+
+    val q = Sessions.windowedCounts(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(11), "click"), (ts(3), "buy"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "n").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L), (ts(10), "click", 1L), (ts(0), "buy", 1L)))
+    } finally q.stop()
+  }
+
+  test("statefulSessions: custom per-key state across micro-batches") {
+    implicit val sparkImplicit = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessions.SessionEvent]
+    val q = Sessions.statefulSessions(input.toDS(), gapUs = 600L * 1000000L) // 10 min
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val base = 1704103200000000L // 2024-01-01 10:00:00 UTC in µs
+      input.addData(Sessions.SessionEvent(1L, 1L, base),
+        Sessions.SessionEvent(1L, 2L, base + 300L * 1000000L))
+      q.processAllAvailable()
+      // second micro-batch: beyond the gap → state resets to a new session
+      input.addData(Sessions.SessionEvent(1L, 3L, base + 3600L * 1000000L))
+      q.processAllAvailable()
+      val rows = spark.table("state_out")
+        .select("user_id", "session_start_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // update mode: one row per micro-batch; last row is the fresh session
+      assert(rows.last == ((1L, base + 3600L * 1000000L, 1L)))
+      assert(rows.head == ((1L, base, 2L)))
+    } finally q.stop()
+  }
+}
