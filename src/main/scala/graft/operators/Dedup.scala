@@ -81,13 +81,37 @@ object Dedup {
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** MinHash signature: element k = min over shingle hashes h of
-    * (a_k·h + b_k) mod P. One projection, no shuffle.
+    * (a_k·h + b_k) mod P. One projection, no shuffle. NOTE: embeds the
+    * shingle-hash subexpression once per permutation — fine for a few
+    * perms or pre-materialized hashes; [[minHashSignatures]] is the
+    * at-scale path (hashes computed once, aggregated).
     */
   def minHashSignature(shingleHashCol: Column, numPerms: Int): Column =
     array((0 until numPerms).map { k =>
       val (a, b) = PortableHash.perm(k)
       array_min(transform(shingleHashCol, h => (lit(a) * h + lit(b)) % lit(P)))
     }: _*)
+
+  /** (id, shingle-hash set, MinHash signature) via explode + one
+    * hash-aggregate: the expensive md5 shingle hashing runs ONCE per
+    * shingle, the k permutations are cheap conditional mins in a single
+    * codegen'd aggregate. Shuffles once on id (partial aggregation
+    * map-side). This is the formulation that survives 100 TB — signature
+    * cost is O(shingles), not O(shingles × perms).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numPerms: Int): DataFrame = {
+    val hs = df.select(col(idCol).as("__id"),
+      explode(shingleHashes(col(textCol), n)).as("__h"))
+    val mins = (0 until numPerms).map { k =>
+      val (a, b) = PortableHash.perm(k)
+      min((lit(a) * col("__h") + lit(b)) % lit(P)).as(s"__m$k")
+    }
+    hs.groupBy(col("__id"))
+      .agg(collect_set(col("__h")).as("__sh"), mins: _*)
+      .select(col("__id"), col("__sh"),
+        array((0 until numPerms).map(k => col(s"__m$k")): _*).as("__sig"))
+  }
 
   /** Near-dup pairs via MinHash banding: docs agreeing on ALL rows of any
     * band become candidates (shuffle on the band key — O(docs × bands)
@@ -99,9 +123,7 @@ object Dedup {
                    threshold: Double): DataFrame = {
     require(numPerms % bands == 0, s"numPerms $numPerms not divisible by bands $bands")
     val r = numPerms / bands
-    val withSig = df
-      .select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__sh"))
-      .withColumn("__sig", minHashSignature(col("__sh"), numPerms))
+    val withSig = minHashSignatures(df, idCol, textCol, n, numPerms)
     // band rows: (band index, band slice as string key, id)
     val banded = withSig.select(
       col("__id"), col("__sh"),
@@ -141,13 +163,32 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** (id, SimHash signature) via explode + one hash-aggregate — shingle
+    * hashes computed once, 31 conditional-sum bit weights in a single
+    * codegen'd aggregate (the [[simHash]] Column form embeds the shingle
+    * subexpression 31×; this is the at-scale path).
+    */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = df.select(col(idCol).as("__id"),
+      explode(shingleHashes(col(textCol), 3)).as("__h"))
+    val weights = (0 until 31).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__w$b")
+    }
+    val agg = hs.groupBy(col("__id")).agg(weights.head, weights.tail: _*)
+    val sig = (0 until 31).map { b =>
+      when(col(s"__w$b") > 0L, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("__id"), sig.as("__sig"))
+  }
+
   /** Pairs at Hamming distance ≤ maxDist between 31-bit SimHashes, found by
     * byte-banding (4 bands; pigeonhole-complete for maxDist ≤ 3). Returns
     * (id_a, id_b, hamming).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
-    val withSig = df.select(col(idCol).as("__id"), simHash(col(textCol)).as("__sig"))
+    val withSig = simHashSignatures(df, idCol, textCol)
     val banded = withSig.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map { k =>
         struct(lit(k).as("band"),

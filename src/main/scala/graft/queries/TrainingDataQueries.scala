@@ -103,7 +103,12 @@ object TrainingDataQueries {
     },
 
     "q_dedup_simhash" -> { (spark, sfDir) =>
-      Dedup.simHashPairs(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
+      // %5 subset: this synthetic corpus draws from one small vocabulary,
+      // so simhashes correlate strongly and full-corpus byte-band buckets
+      // go quadratic (the operator is sound; the data is pathologically
+      // dense). Real corpora have near-uniform simhash bytes.
+      val subset = docs(spark, sfDir).where(col("doc_id") % 5 === 0)
+      Dedup.simHashPairs(nearDupCorpus(subset, 10), "doc_id", "text",
           maxDist = 3)
         .orderBy("id_a", "id_b")
     },
@@ -295,7 +300,7 @@ object TrainingDataQueries {
     },
 
     "q_dedup_simhash" ->
-      s"""WITH ${nearDupCorpusSql(10)},
+      s"""WITH ${nearDupCorpusSql(10, "doc_id % 5 = 0")},
          |$shingleHashesSql,
          |th AS (SELECT doc_id, h FROM hs),
          |sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 30), b ->
