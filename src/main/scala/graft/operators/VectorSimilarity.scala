@@ -45,7 +45,11 @@ object VectorSimilarity {
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+    // corpus on the stream side, queries explicitly broadcast: the
+    // nested-loop join must never build the (arbitrarily large) corpus —
+    // without the hint Spark picks the build side from size stats, which
+    // flips wrong when the corpus is the smaller-looking relation.
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
