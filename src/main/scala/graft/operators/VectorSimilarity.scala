@@ -90,6 +90,46 @@ object VectorSimilarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Assign each vector to its nearest centroid by cosine (ties → lowest
+    * centroid id): the IVF partition step. `centroids` is small (a real
+    * build k-means-trains it; here any deterministic selection works) and
+    * broadcasts against the corpus scan — one projection + window per
+    * vector, no corpus shuffle.
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cIdCol: String, cVecCol: String): DataFrame = {
+    val c = centroids.select(col(cIdCol).as("__cid"), col(cVecCol).as("__cv"))
+    val scored = df.join(broadcast(c))
+      .withColumn("__csim", cosine(col(vecCol), col("__cv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("__cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__cv", "__csim")
+      .withColumnRenamed("__cid", "cluster_id")
+  }
+
+  /** IVF top-k: queries search only their own cluster (nprobe=1). The
+    * candidate join shuffles on cluster_id — O(N) rows, the inverted-file
+    * scale path; recall grows with the centroid count / probe count.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, centroids: DataFrame, cIdCol: String,
+              cVecCol: String, k: Int): DataFrame = {
+    val q = ivfAssign(queries, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cluster_id"))
+    val c = ivfAssign(corpus, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv2"), col("cluster_id"))
+    val scored = q.join(c, Seq("cluster_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Embedding near-dup pairs: (id_a < id_b) with cosine ≥ threshold,
     * candidates bucketed by sign-LSH (near-identical vectors share a
     * bucket with high probability). Returns (id_a, id_b, cosine).

@@ -142,6 +142,18 @@ object TrainingDataQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           e9(col("cosine")).as("cosine_e9"))
         .orderBy("query_id", "rank")
+    },
+
+    "q_knn_ivf" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      // deterministic centroid selection (vec_id < 8) stands in for k-means
+      // training; the assignment + inverted-list search plumbing is real
+      val cents = e.where(col("vec_id") < 8)
+      VectorSimilarity.ivfTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", cents, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          e9(col("cosine")).as("cosine_e9"))
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -198,11 +210,15 @@ object TrainingDataQueries {
        |        FROM $src s CROSS JOIN planes) x
        |  GROUP BY vec_id, embedding)""".stripMargin
 
-  private val cosineSql: String =
-    """list_sum(list_transform(generate_series(1, 64), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
-      | / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |    * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+  /** Cosine of two DOUBLE-castable list columns, same association order as
+    * [[VectorSimilarity.cosine]]. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
       .stripMargin.replace("\n", "")
+
+  private val cosineSql: String = cosSql("ea", "eb")
 
   private val stopwordsSql: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -340,6 +356,24 @@ object TrainingDataQueries {
          |      FROM sc)
          |SELECT query_id, rank, neighbor_id, ${e9Sql("cos")} AS cosine_e9
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS csim
+         |       FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, embedding, cid AS cluster_id,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |        FROM sc),
+         |a AS (SELECT vec_id, embedding, cluster_id FROM asg WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS ea, cluster_id FROM a WHERE vec_id < 10),
+         |c2 AS (SELECT vec_id AS neighbor_id, embedding AS eb, cluster_id FROM a),
+         |s2 AS (SELECT query_id, neighbor_id, $cosineSql AS cos
+         |       FROM q JOIN c2 USING (cluster_id) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |      FROM s2)
+         |SELECT query_id, rank, neighbor_id, ${e9Sql("cos")} AS cosine_e9
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_knn_lsh" ->
       s"""WITH ${bucketSql("embeddings", 6, 64)},
