@@ -110,6 +110,16 @@ object Loader {
       case Some(ex) =>
         val withIds = withSurrogateIds(incoming, maxId, order)
         val target = finalSchema(ex, withIds, ensure, safe)
+        // Append fast path: when the schema is unchanged, ONLY the new rows
+        // are written (parquet append of new files into the table dir) —
+        // the existing data is untouched. At 100 TB this is the difference
+        // between an O(batch) append and an O(table) rewrite; the full
+        // aligned rewrite only happens on actual schema evolution.
+        if (sameShape(target, ex.schema)) {
+          unionAligned(Seq(withIds), target)
+            .write.mode(SaveMode.Append).parquet(tgt.dirPath(table))
+          return
+        }
         unionAligned(Seq(ex, withIds), target)
     }
 
@@ -129,6 +139,13 @@ object Loader {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Same column names and types in the same order (nullability ignored —
+    * parquet reads surface everything nullable). */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
+      x.name == y.name && x.dataType == y.dataType
+    }
 
   /** Resolve the post-load schema from existing + incoming under
     * ensure/safe (S3/S4). Incoming's type wins for shared column names.

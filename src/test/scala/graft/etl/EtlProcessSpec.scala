@@ -370,6 +370,22 @@ class EtlProcessSpec extends SparkSpec {
     assert(fs.exists(tablePath) && !fs.exists(aside))
   }
 
+  // Scale: same-schema appends must ADD files, not rewrite the table
+  test("append with unchanged schema keeps existing files (no table rewrite)") {
+    val (src, tgt) = fixture()
+    val p = proc(src, tgt)
+    p.extract("SELECT name FROM mytable"); p.load()
+    def partFiles = new java.io.File(tgt.dirPath("target_table"))
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val before = partFiles
+    p.extract("SELECT name FROM mytable"); p.load()
+    val after = partFiles
+    assert(before.subsetOf(after), "append rewrote existing files")
+    assert(after.size > before.size, "append added no files")
+    assert(p.result().count() == 6)
+    assert(p.result().agg(countDistinct("id")).head().getLong(0) == 6L)
+  }
+
   test("empty extract result skips the write (reference `if rows:`)") {
     val (src, tgt) = fixture()
     val p = proc(src, tgt, "empty")
