@@ -162,7 +162,9 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
           df.join(keyed, df(l.target) === keyed("__lk"), "left")
             .drop("__lk")
         case Some(m) =>
-          AsOfJoin.asOf(df, l.target, dim, l.childField,
+          // auto strategy: broadcast binary-search for normal dims, the
+          // shuffled range-merge for dims too large to broadcast
+          AsOfJoin.asOfAuto(df, l.target, dim, l.childField,
             payloadCols = Seq(Loader.IdCol), direction = m,
             rename = Map(Loader.IdCol -> outName))
       }

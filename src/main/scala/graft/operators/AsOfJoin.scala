@@ -117,4 +117,133 @@ object AsOfJoin {
       .join(broadcast(renamedDim), Seq("__asof_idx"), "left")
       .drop("__asof_idx")
   }
+
+  /** As-of with automatic strategy: broadcast binary-search when the
+    * dimension fits under `maxBroadcastRows`, distributed range-partitioned
+    * merge ([[asOfShuffled]]) when it doesn't. The at-scale entry point.
+    */
+  def asOfAuto(fact: DataFrame, factCol: String,
+               dim: DataFrame, dimCol: String,
+               payloadCols: Seq[String],
+               direction: String = ">=",
+               rename: Map[String, String] = Map.empty,
+               maxBroadcastRows: Int = MaxDimRowsDefault): DataFrame = {
+    val small = dim.limit(maxBroadcastRows + 1).count() <= maxBroadcastRows
+    if (small) asOf(fact, factCol, dim, dimCol, payloadCols, direction, rename, maxBroadcastRows)
+    else asOfShuffled(fact, factCol, dim, dimCol, payloadCols, direction, rename)
+  }
+
+  /** Distributed as-of join for dimensions too large to broadcast: both
+    * sides range-partition on the (direction-normalized) key with ONE
+    * shared partitioner, sort within partitions, and merge-scan; each
+    * partition starts from a carry-in — the best dim row from all earlier
+    * partitions (numPartitions-sized driver state, not the dim itself).
+    * Same semantics as [[asOf]]: smallest dim ≥ fact (">"/">=" strict/
+    * non-strict) or largest dim ≤ fact ("<"/"<="), dedup per dim key by
+    * min payload, no qualifying row ⇒ null payload.
+    *
+    * Cost: one shuffle of each side + an O(partitions) collect. No row
+    * blowup, no broadcast — survives a dimension of any size.
+    */
+  def asOfShuffled(fact: DataFrame, factCol: String,
+                   dim: DataFrame, dimCol: String,
+                   payloadCols: Seq[String],
+                   direction: String = ">=",
+                   rename: Map[String, String] = Map.empty,
+                   numPartitions: Int = 0): DataFrame = {
+    require(Seq(">=", ">", "<=", "<").contains(direction), s"bad direction: $direction")
+    val spark = fact.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+    def isIntegral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def isTemporal(dt: DataType): Boolean = dt match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _ => false
+    }
+    val keyType = dim.schema(dimCol).dataType
+    def toOrd(df: DataFrame, name: String): Column = {
+      val c = df(name)
+      if (isTemporal(keyType)) unix_micros(c.cast(TimestampType))
+      else if (isIntegral(keyType)) c.cast(LongType)
+      else throw new IllegalArgumentException(
+        s"unsupported as-of key type $keyType; map to an integral domain first")
+    }
+
+    // Normalize direction: negate keys for ">"/">=" so the merge is always
+    // "best dim key ≤ fact key", strict or not.
+    val sign = if (direction.startsWith(">")) -1L else 1L
+    val strict = direction == "<" || direction == ">"
+
+    val dimDedup = dim
+      .groupBy(col(dimCol))
+      .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
+      .select(col(dimCol) +: payloadCols.map(p => col(s"__p.$p").as(p)): _*)
+
+    val dimPairs = dimDedup
+      .select(toOrd(dimDedup, dimCol).as("__ord"), struct(payloadCols.map(col): _*).as("__p"))
+      .where(col("__ord").isNotNull)
+      .rdd.map(r => (sign * r.getLong(0), r.getStruct(1)))
+    val factWithOrd = fact.withColumn("__ord", toOrd(fact, factCol))
+    val factNullKey = factWithOrd.where(col("__ord").isNull).drop("__ord")
+    val factPairs = factWithOrd.where(col("__ord").isNotNull)
+      .rdd.map(r => (sign * r.getLong(r.length - 1), r))
+
+    import org.apache.spark.RangePartitioner
+    val partitioner = new RangePartitioner(parts, factPairs)
+    val dimParted = dimPairs.repartitionAndSortWithinPartitions(partitioner)
+    val factParted = factPairs.repartitionAndSortWithinPartitions(partitioner)
+
+    // carry-in: for each partition, the best (largest-key) dim row of all
+    // EARLIER partitions — O(partitions) driver state.
+    val lastPerPart: Array[(Int, (Long, Row))] = dimParted
+      .mapPartitionsWithIndex { (i, it) =>
+        var last: (Long, Row) = null
+        it.foreach(last = _)
+        if (last == null) Iterator.empty else Iterator((i, last))
+      }.collect()
+    val carryIn: Array[Option[(Long, Row)]] = {
+      val byPart = lastPerPart.toMap
+      val arr = new Array[Option[(Long, Row)]](partitioner.numPartitions)
+      var best: Option[(Long, Row)] = None
+      for (p <- 0 until partitioner.numPartitions) {
+        arr(p) = best
+        byPart.get(p).foreach(l => best = Some(l))
+      }
+      arr
+    }
+    val bcCarry = spark.sparkContext.broadcast(carryIn)
+
+    val payloadWidth = payloadCols.length
+    val joined = factParted.zipPartitions(dimParted, preservesPartitioning = false) {
+      (fit, dit) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var current: Option[(Long, Row)] = bcCarry.value(pid)
+        val dims = dit.buffered
+        fit.map { case (fk, frow) =>
+          // advance: consume dim rows usable for this fact key
+          while (dims.hasNext && (if (strict) dims.head._1 < fk else dims.head._1 <= fk)) {
+            current = Some(dims.next())
+          }
+          val payload: Seq[Any] = current match {
+            case Some((_, p)) => (0 until payloadWidth).map(p.get)
+            case None => Seq.fill(payloadWidth)(null)
+          }
+          Row.fromSeq(frow.toSeq.dropRight(1) ++ payload) // drop __ord
+        }
+    }
+
+    val outSchema = StructType(fact.schema.fields ++ payloadCols.map { p =>
+      val f = dimDedup.schema(p)
+      StructField(rename.getOrElse(p, p), f.dataType, nullable = true)
+    })
+    val main = spark.createDataFrame(joined, outSchema)
+    val nullSide = payloadCols.foldLeft(factNullKey) { (d, p) =>
+      d.withColumn(rename.getOrElse(p, p), lit(null).cast(dimDedup.schema(p).dataType))
+    }
+    main.unionByName(nullSide)
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** The shuffled (range-merge) as-of join must agree with the broadcast
+  * binary-search implementation on every direction, including boundary
+  * cases at partition edges (forced small partition counts).
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("fk").collect().toSeq
+      .map(r => (0 until r.length).map(i => r.get(i)))
+      .sortBy(_.mkString("|"))
+
+  test("asOfShuffled matches asOf on seeded random data, all directions") {
+    val rnd = new Random(13)
+    val facts = spark.createDataFrame(
+      Seq.tabulate(200)(i => (i.toLong, rnd.nextLong(1000)))).toDF("fid", "fk")
+    val dims = spark.createDataFrame(
+      Seq.tabulate(40)(i => (rnd.nextLong(1000), i.toLong + 1))).toDF("dk", "id")
+
+    for (dir <- Seq(">=", ">", "<=", "<")) {
+      val a = AsOfJoin.asOf(facts, "fk", dims, "dk",
+        payloadCols = Seq("id"), direction = dir, rename = Map("id" -> "dim_id"))
+      val b = AsOfJoin.asOfShuffled(facts, "fk", dims, "dk",
+        payloadCols = Seq("id"), direction = dir, rename = Map("id" -> "dim_id"),
+        numPartitions = 7) // force partition boundaries through the data
+      assert(canon(a) == canon(b), s"direction $dir diverged")
+    }
+  }
+
+  test("asOfShuffled: null fact keys get null payload; empty dim gives all nulls") {
+    val facts = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, java.lang.Long.valueOf(5L)),
+        org.apache.spark.sql.Row(2L, null.asInstanceOf[java.lang.Long])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fid", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fk", org.apache.spark.sql.types.LongType))))
+    val dims = spark.createDataFrame(Seq((3L, 1L))).toDF("dk", "id")
+    val out = AsOfJoin.asOfShuffled(facts, "fk", dims, "dk",
+      payloadCols = Seq("id"), direction = "<=", numPartitions = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(1L) == Some(1L)) // 3 <= 5
+    assert(out(2L).isEmpty)     // null key
+
+    val emptyDim = dims.where(lit(false))
+    val out2 = AsOfJoin.asOfShuffled(facts, "fk", emptyDim, "dk",
+      payloadCols = Seq("id"), direction = "<=", numPartitions = 3)
+      .collect().map(r => Option(r.get(2)))
+    assert(out2.forall(_.isEmpty))
+  }
+
+  test("asOfAuto picks the shuffled path above the broadcast threshold") {
+    val facts = spark.createDataFrame(Seq.tabulate(50)(i => (i.toLong, i.toLong * 3))).toDF("fid", "fk")
+    val dims = spark.createDataFrame(Seq.tabulate(30)(i => (i.toLong * 5, i.toLong + 1))).toDF("dk", "id")
+    val viaAuto = AsOfJoin.asOfAuto(facts, "fk", dims, "dk",
+      payloadCols = Seq("id"), direction = "<=", maxBroadcastRows = 10) // forces shuffled
+    val viaBroadcast = AsOfJoin.asOf(facts, "fk", dims, "dk",
+      payloadCols = Seq("id"), direction = "<=")
+    assert(canon(viaAuto) == canon(viaBroadcast))
+  }
+}
