@@ -70,9 +70,18 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     val withSh = df.select(col(idCol), shingleHashes(col(textCol), n).as("__sh"))
-    val a = withSh.select(col(idCol).as("id_a"), col("__sh").as("__sha"))
-    val b = withSh.select(col(idCol).as("id_b"), col("__sh").as("__shb"))
-    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__n", size(col("__sh")))
+    val a = withSh.select(col(idCol).as("id_a"), col("__sh").as("__sha"), col("__n").as("__na"))
+    val b = withSh.select(col(idCol).as("id_b"), col("__sh").as("__shb"), col("__n").as("__nb"))
+    // Lossless size prune (PPJoin-style): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so pairs whose size ratio is below the threshold can't qualify. Sizes
+    // are precomputed scalars so the join predicate stays cheap — array
+    // expressions in a nested-loop join condition evaluate interpreted,
+    // per pair.
+    val sizeOk =
+      least(col("__na"), col("__nb")).cast(DoubleType) >=
+        greatest(col("__na"), col("__nb")).cast(DoubleType) * threshold
+    a.join(b, col("id_a") < col("id_b") && sizeOk)
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -370,6 +370,17 @@ class EtlProcessSpec extends SparkSpec {
     assert(fs.exists(tablePath) && !fs.exists(aside))
   }
 
+  // S3: ensure=false — new incoming columns do NOT widen the target
+  // (dataset insert without ensure ignores unknown keys)
+  test("load with ensure=false drops incoming-only columns") {
+    val (src, tgt) = fixture()
+    val p = proc(src, tgt)
+    p.extract("SELECT name FROM mytable"); p.load()
+    p.extract("SELECT name, age FROM mytable"); p.load(ensure = false)
+    assert(p.result().columns.toSet == Set("id", "name"))
+    assert(p.result().count() == 6)
+  }
+
   // Scale: same-schema appends must ADD files, not rewrite the table
   test("append with unchanged schema keeps existing files (no table rewrite)") {
     val (src, tgt) = fixture()
