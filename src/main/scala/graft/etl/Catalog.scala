@@ -38,24 +38,28 @@ class Catalog(val spark: SparkSession, val dir: String) {
 
   /** Resolve a table to the path that exists (file layout wins). If the
     * table is absent but a stranded `.__old-UUID` sibling exists (a crash
-    * between [[Loader]]'s rename-aside and rename-in), recover it by
-    * renaming it back into place.
+    * between [[Loader]]'s rename-aside and rename-in), return the NEWEST
+    * stranded snapshot's path for reading. Reads never mutate the
+    * filesystem — a reader renaming during another writer's swap window
+    * could destroy a completed load; actual recovery (rename back into
+    * place) happens on the write path only ([[Loader.recoverStranded]]).
     */
   def resolve(name: String): Option[String] = {
     val f = fs
     if (f.exists(new org.apache.hadoop.fs.Path(filePath(name)))) Some(filePath(name))
     else if (f.exists(new org.apache.hadoop.fs.Path(dirPath(name)))) Some(dirPath(name))
-    else {
-      val parent = new org.apache.hadoop.fs.Path(dir)
-      val stranded =
-        if (!f.exists(parent)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else f.listStatus(parent).filter(_.getPath.getName.startsWith(name + ".__old-"))
-      stranded.headOption.flatMap { st =>
-        if (f.rename(st.getPath, new org.apache.hadoop.fs.Path(dirPath(name))))
-          Some(dirPath(name))
-        else None
-      }
-    }
+    else strandedNewest(name).map(_.getPath.toString)
+  }
+
+  /** Newest stranded `.__old-UUID` snapshot for `name`, if any. */
+  private[etl] def strandedNewest(name: String): Option[org.apache.hadoop.fs.FileStatus] = {
+    val f = fs
+    val parent = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(parent)) None
+    else f.listStatus(parent)
+      .filter(_.getPath.getName.startsWith(name + ".__old-"))
+      .sortBy(-_.getModificationTime)
+      .headOption
   }
 
   def table(name: String): DataFrame =
@@ -74,7 +78,10 @@ class Catalog(val spark: SparkSession, val dir: String) {
       val n = st.getPath.getName
       if (n.endsWith(".parquet")) n.stripSuffix(".parquet") else n
     }.filterNot(_.startsWith("_")).filterNot(_.startsWith("."))
-      .filterNot(n => n.contains(".__tmp-") || n.contains(".__old-"))
+      .filterNot(_.contains(".__tmp-"))
+      // a stranded snapshot still names a readable table (resolve() serves
+      // it), so surface the base name instead of hiding it
+      .map(n => if (n.contains(".__old-")) n.substring(0, n.indexOf(".__old-")) else n)
       .distinct.sorted
   }
 

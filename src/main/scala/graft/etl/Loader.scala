@@ -48,6 +48,7 @@ object Loader {
     val incoming = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
     if (incoming.isEmpty) return
 
+    recoverStranded(tgt, table)
     val existing = tgt.tableIfExists(table)
     val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
     val maxId: Long = existing match {
@@ -115,6 +116,13 @@ object Loader {
         // the existing data is untouched. At 100 TB this is the difference
         // between an O(batch) append and an O(table) rewrite; the full
         // aligned rewrite only happens on actual schema evolution.
+        // Durability note: this path has Spark's standard job-commit
+        // guarantee (task files stage under _temporary, invisible to
+        // readers; the driver moves them in at job commit). A driver crash
+        // mid-commit can expose a partial batch — weaker than the swap
+        // path's all-or-nothing; acceptable for append-only tables where a
+        // re-run replaces the table anyway, and the price of not rewriting
+        // the world per batch.
         if (sameShape(target, ex.schema)) {
           unionAligned(Seq(withIds), target)
             .write.mode(SaveMode.Append).parquet(tgt.dirPath(table))
@@ -206,6 +214,41 @@ object Loader {
       if (hadOld) fs.rename(oldPath, finalPath)
       throw new java.io.IOException(s"atomic swap failed for $finalPath")
     }
-    if (hadOld) fs.delete(oldPath, true)
+    cleanupStrays(tgt, table) // this load's .__old plus any from crashed loads
+  }
+
+  /** Write-path recovery: if the table dir is absent but stranded `.__old`
+    * snapshots exist (crash inside a previous swap window), rename the
+    * NEWEST back into place and drop older strays. Runs only from [[load]]
+    * — readers ([[Catalog.resolve]]) serve stranded snapshots without
+    * mutating, so a reader can't race a live writer's swap.
+    */
+  def recoverStranded(tgt: Catalog, table: String): Unit = {
+    val conf = tgt.spark.sparkContext.hadoopConfiguration
+    val finalPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
+    val fs = finalPath.getFileSystem(conf)
+    if (!fs.exists(finalPath)) {
+      tgt.strandedNewest(table).foreach { st =>
+        if (!fs.rename(st.getPath, finalPath))
+          throw new java.io.IOException(s"could not recover ${st.getPath} -> $finalPath")
+      }
+    }
+    cleanupStrays(tgt, table)
+  }
+
+  /** Delete leftover `.__old-`/`.__tmp-` artifacts for `table` (the live
+    * table dir, if any, stays). */
+  private def cleanupStrays(tgt: Catalog, table: String): Unit = {
+    val conf = tgt.spark.sparkContext.hadoopConfiguration
+    val parent = new org.apache.hadoop.fs.Path(tgt.dir)
+    val fs = parent.getFileSystem(conf)
+    if (fs.exists(parent)) {
+      fs.listStatus(parent)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith(table + ".__old-") || n.startsWith(table + ".__tmp-")
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+    }
   }
 }

@@ -16,68 +16,116 @@ import org.apache.spark.sql.types._
   *   - Duplicate dim keys ⇒ deterministic min payload per key (the reference
   *     takes whichever row the DB returns first; we pin it down).
   *
-  * Scale design: an as-of dimension is a date/bucket dimension — small by
-  * construction (10 years of days = 3652 rows). We collect its sorted key
-  * array to the driver, broadcast it, and BINARY-SEARCH per fact row to get a
-  * match index; payloads then attach via a broadcast hash equi-join on that
-  * index. Total cost O(|fact|·log|dim|) with zero shuffle of the fact side
-  * and no row blowup — strictly better at 100 TB than the naive non-equi
-  * join (BroadcastNestedLoopJoin, O(|fact|·|dim|)) or a global-order merge
-  * (single-partition window). A guard refuses dims above `maxDimRows` so a
-  * silently huge dimension fails loudly instead of OOMing the driver.
+  * Two physical strategies, selected by [[asOfAuto]] on the DEDUPED key
+  * count:
+  *   - [[asOf]] (broadcast binary-search): collect the sorted distinct dim
+  *     keys, broadcast, binary-search per fact row, attach payloads via a
+  *     broadcast hash join on the match index. O(|fact|·log|dim|), zero
+  *     shuffle of the fact side. For dims that fit on the driver (a date
+  *     dimension: 10 years of days = 3652 rows).
+  *   - [[asOfShuffled]] (range-partitioned merge): for dims too large to
+  *     broadcast — one shuffle of each side, in-partition merge scan,
+  *     O(partitions) carry-in driver state. Survives any dim size.
   */
 object AsOfJoin {
 
   val MaxDimRowsDefault: Int = 10_000_000 // ~80MB of longs — broadcastable
 
-  /** Attach `dim`'s `payloadCols` (renamed via `rename`) to each `fact` row
-    * by as-of match of `fact(factCol)` against `dim(dimCol)`.
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isTemporal(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  /** Map a key column to its Long ordinal domain (µs for temporal keys). */
+  private def toOrd(df: DataFrame, name: String, keyType: DataType): Column = {
+    val c = df(name)
+    if (isTemporal(keyType)) unix_micros(c.cast(TimestampType))
+    else if (isIntegral(keyType)) c.cast(LongType)
+    else throw new IllegalArgumentException(
+      s"unsupported as-of key type $keyType; map to an integral domain first")
+  }
+
+  private def checkKeys(direction: String, factType: DataType, keyType: DataType): Unit = {
+    require(Seq(">=", ">", "<=", "<").contains(direction), s"bad direction: $direction")
+    require(isIntegral(factType) == isIntegral(keyType) &&
+      isTemporal(factType) == isTemporal(keyType),
+      s"fact/dim as-of key types differ: $factType vs $keyType")
+  }
+
+  /** Dedupe the dimension: one row per key, deterministic min payload. */
+  private def dedupDim(dim: DataFrame, dimCol: String, payloadCols: Seq[String]): DataFrame =
+    dim.groupBy(col(dimCol))
+      .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
+      .select(col(dimCol) +: payloadCols.map(p => col(s"__p.$p").as(p)): _*)
+
+  /** Broadcast binary-search as-of. A guard refuses dims above `maxDimRows`
+    * so a silently huge dimension fails loudly instead of OOMing the driver
+    * (use [[asOfAuto]] to degrade to the shuffled strategy instead).
     */
   def asOf(fact: DataFrame, factCol: String,
            dim: DataFrame, dimCol: String,
            payloadCols: Seq[String],
            direction: String = ">=",
            rename: Map[String, String] = Map.empty,
-           maxDimRows: Int = MaxDimRowsDefault): DataFrame = {
-    require(Seq(">=", ">", "<=", "<").contains(direction), s"bad direction: $direction")
+           maxDimRows: Int = MaxDimRowsDefault): DataFrame =
+    asOfBroadcast(fact, factCol, dedupDim(dim, dimCol, payloadCols), dimCol,
+      payloadCols, direction, rename, Some(maxDimRows))
+
+  /** As-of with automatic strategy on the deduped key count: broadcast
+    * binary-search under `maxBroadcastRows` distinct keys, distributed
+    * range-merge above. The at-scale entry point. One dedup + one bounded
+    * count, shared by whichever strategy runs.
+    */
+  def asOfAuto(fact: DataFrame, factCol: String,
+               dim: DataFrame, dimCol: String,
+               payloadCols: Seq[String],
+               direction: String = ">=",
+               rename: Map[String, String] = Map.empty,
+               maxBroadcastRows: Int = MaxDimRowsDefault): DataFrame = {
+    val deduped = dedupDim(dim, dimCol, payloadCols)
+    val small = deduped.limit(maxBroadcastRows + 1).count() <= maxBroadcastRows
+    if (small)
+      asOfBroadcast(fact, factCol, deduped, dimCol, payloadCols, direction, rename, None)
+    else
+      asOfMerge(fact, factCol, deduped, dimCol, payloadCols, direction, rename, 0)
+  }
+
+  /** Distributed range-merge as-of (public form; dedups internally). */
+  def asOfShuffled(fact: DataFrame, factCol: String,
+                   dim: DataFrame, dimCol: String,
+                   payloadCols: Seq[String],
+                   direction: String = ">=",
+                   rename: Map[String, String] = Map.empty,
+                   numPartitions: Int = 0): DataFrame =
+    asOfMerge(fact, factCol, dedupDim(dim, dimCol, payloadCols), dimCol,
+      payloadCols, direction, rename, numPartitions)
+
+  /** Broadcast impl over a pre-deduped dim. `guard` = max rows to collect
+    * (None when the caller already bounded the size). */
+  private def asOfBroadcast(fact: DataFrame, factCol: String,
+                            dimDedup: DataFrame, dimCol: String,
+                            payloadCols: Seq[String], direction: String,
+                            rename: Map[String, String],
+                            guard: Option[Int]): DataFrame = {
+    val keyType = dimDedup.schema(dimCol).dataType
+    checkKeys(direction, fact.schema(factCol).dataType, keyType)
     val spark = fact.sparkSession
 
-    def isIntegral(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    def isTemporal(dt: DataType): Boolean = dt match {
-      case TimestampType | TimestampNTZType | DateType => true
-      case _ => false
-    }
-    val keyType = dim.schema(dimCol).dataType
-    def toOrd(df: DataFrame, name: String): Column = {
-      val c = df(name)
-      if (isTemporal(keyType)) unix_micros(c.cast(TimestampType))
-      else if (isIntegral(keyType)) c.cast(LongType)
-      else throw new IllegalArgumentException(
-        s"unsupported as-of key type $keyType; map to an integral domain first")
-    }
-    val factType = fact.schema(factCol).dataType
-    require(isIntegral(factType) == isIntegral(keyType) && isTemporal(factType) == isTemporal(keyType),
-      s"fact/dim as-of key types differ: $factType vs $keyType")
-
-    // Dedupe + sort the dimension, stamp a dense index (tiny: done as one
-    // narrow plan; row_number over a dim this small is fine and deterministic).
-    val dimDedup = dim
-      .groupBy(col(dimCol))
-      .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
-      .select(col(dimCol) +: payloadCols.map(p => col(s"__p.$p").as(p)): _*)
     val dimSorted = dimDedup.orderBy(col(dimCol))
-    // Guard BEFORE any collect: an oversized dimension must fail loudly, not
-    // OOM the driver mid-collect. limit(max+1).count() scans at most max+1
-    // rows distributed-side.
-    val guardCount = dimSorted.limit(maxDimRows + 1).count()
-    require(guardCount <= maxDimRows,
-      s"as-of dimension has > $maxDimRows rows; pre-aggregate it")
-    // One collect for keys + payload together (the guard bounded its size).
+    guard.foreach { maxDimRows =>
+      // Guard BEFORE any collect: fail loudly, don't OOM mid-collect.
+      val guardCount = dimSorted.limit(maxDimRows + 1).count()
+      require(guardCount <= maxDimRows,
+        s"as-of dimension has > $maxDimRows rows; pre-aggregate it or use asOfAuto")
+    }
+    // One collect for keys + payload together.
     val collected: Array[Row] =
-      dimSorted.select(toOrd(dimSorted, dimCol).as("__ord") +: payloadCols.map(col): _*).collect()
+      dimSorted.select(toOrd(dimSorted, dimCol, keyType).as("__ord") +:
+        payloadCols.map(col): _*).collect()
     val keys: Array[Long] = collected.map(_.getLong(0))
 
     val dimIndexed = {
@@ -113,81 +161,39 @@ object AsOfJoin {
       d.withColumnRenamed(p, rename.getOrElse(p, p))
     }
     fact
-      .withColumn("__asof_idx", idxOf(toOrd(fact, factCol)))
+      .withColumn("__asof_idx", idxOf(toOrd(fact, factCol, keyType)))
       .join(broadcast(renamedDim), Seq("__asof_idx"), "left")
       .drop("__asof_idx")
   }
 
-  /** As-of with automatic strategy: broadcast binary-search when the
-    * dimension fits under `maxBroadcastRows`, distributed range-partitioned
-    * merge ([[asOfShuffled]]) when it doesn't. The at-scale entry point.
+  /** Range-merge impl over a pre-deduped dim: both sides range-partition on
+    * the (direction-normalized) key with ONE shared partitioner, sort within
+    * partitions, and merge-scan; each partition starts from a carry-in — the
+    * best dim row from all earlier partitions (numPartitions-sized driver
+    * state, not the dim itself). One shuffle of each side, no broadcast.
     */
-  def asOfAuto(fact: DataFrame, factCol: String,
-               dim: DataFrame, dimCol: String,
-               payloadCols: Seq[String],
-               direction: String = ">=",
-               rename: Map[String, String] = Map.empty,
-               maxBroadcastRows: Int = MaxDimRowsDefault): DataFrame = {
-    val small = dim.limit(maxBroadcastRows + 1).count() <= maxBroadcastRows
-    if (small) asOf(fact, factCol, dim, dimCol, payloadCols, direction, rename, maxBroadcastRows)
-    else asOfShuffled(fact, factCol, dim, dimCol, payloadCols, direction, rename)
-  }
-
-  /** Distributed as-of join for dimensions too large to broadcast: both
-    * sides range-partition on the (direction-normalized) key with ONE
-    * shared partitioner, sort within partitions, and merge-scan; each
-    * partition starts from a carry-in — the best dim row from all earlier
-    * partitions (numPartitions-sized driver state, not the dim itself).
-    * Same semantics as [[asOf]]: smallest dim ≥ fact (">"/">=" strict/
-    * non-strict) or largest dim ≤ fact ("<"/"<="), dedup per dim key by
-    * min payload, no qualifying row ⇒ null payload.
-    *
-    * Cost: one shuffle of each side + an O(partitions) collect. No row
-    * blowup, no broadcast — survives a dimension of any size.
-    */
-  def asOfShuffled(fact: DataFrame, factCol: String,
-                   dim: DataFrame, dimCol: String,
-                   payloadCols: Seq[String],
-                   direction: String = ">=",
-                   rename: Map[String, String] = Map.empty,
-                   numPartitions: Int = 0): DataFrame = {
-    require(Seq(">=", ">", "<=", "<").contains(direction), s"bad direction: $direction")
+  private def asOfMerge(fact: DataFrame, factCol: String,
+                        dimDedup: DataFrame, dimCol: String,
+                        payloadCols: Seq[String], direction: String,
+                        rename: Map[String, String],
+                        numPartitions: Int): DataFrame = {
+    val keyType = dimDedup.schema(dimCol).dataType
+    checkKeys(direction, fact.schema(factCol).dataType, keyType)
     val spark = fact.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-
-    def isIntegral(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    def isTemporal(dt: DataType): Boolean = dt match {
-      case TimestampType | TimestampNTZType | DateType => true
-      case _ => false
-    }
-    val keyType = dim.schema(dimCol).dataType
-    def toOrd(df: DataFrame, name: String): Column = {
-      val c = df(name)
-      if (isTemporal(keyType)) unix_micros(c.cast(TimestampType))
-      else if (isIntegral(keyType)) c.cast(LongType)
-      else throw new IllegalArgumentException(
-        s"unsupported as-of key type $keyType; map to an integral domain first")
-    }
 
     // Normalize direction: negate keys for ">"/">=" so the merge is always
     // "best dim key ≤ fact key", strict or not.
     val sign = if (direction.startsWith(">")) -1L else 1L
     val strict = direction == "<" || direction == ">"
 
-    val dimDedup = dim
-      .groupBy(col(dimCol))
-      .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
-      .select(col(dimCol) +: payloadCols.map(p => col(s"__p.$p").as(p)): _*)
-
     val dimPairs = dimDedup
-      .select(toOrd(dimDedup, dimCol).as("__ord"), struct(payloadCols.map(col): _*).as("__p"))
+      .select(toOrd(dimDedup, dimCol, keyType).as("__ord"),
+        struct(payloadCols.map(col): _*).as("__p"))
       .where(col("__ord").isNotNull)
       .rdd.map(r => (sign * r.getLong(0), r.getStruct(1)))
-    val factWithOrd = fact.withColumn("__ord", toOrd(fact, factCol))
+    val factWithOrd = fact.withColumn("__ord", toOrd(fact, factCol, keyType))
     val factNullKey = factWithOrd.where(col("__ord").isNull).drop("__ord")
     val factPairs = factWithOrd.where(col("__ord").isNotNull)
       .rdd.map(r => (sign * r.getLong(r.length - 1), r))

@@ -133,22 +133,26 @@ object Dedup {
     require(numPerms % bands == 0, s"numPerms $numPerms not divisible by bands $bands")
     val r = numPerms / bands
     val withSig = minHashSignatures(df, idCol, textCol, n, numPerms)
-    // band rows: (band index, band slice as string key, id)
+    // band rows carry ONLY (band, key, id) — the shingle-hash sets stay out
+    // of the band explode and the candidate join (they'd multiply shuffle
+    // volume by bands × |shingles| on both sides); the sets join back once
+    // per surviving candidate pair.
     val banded = withSig.select(
-      col("__id"), col("__sh"),
+      col("__id"),
       explode(array((0 until bands).map { bIdx =>
         struct(lit(bIdx).as("band"),
           concat_ws(",", slice(col("__sig"), bIdx * r + 1, r)).as("key"))
       }: _*)).as("__b"))
-    val a = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
-      col("__id").as("id_a"), col("__sh").as("__sha"))
-    val b = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
-      col("__id").as("id_b"), col("__sh").as("__shb"))
-    val candidates = a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "__sha", "__shb")
-      .dropDuplicates("id_a", "id_b")
+      .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "key"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    val sets = withSig.select(col("__id"), col("__sh"))
     candidates
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -197,6 +201,10 @@ object Dedup {
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"byte-banding over 4 bands is pigeonhole-complete only for maxDist <= 3 " +
+        s"(got $maxDist); pairs at greater distance could share no band and be " +
+        s"silently dropped — use more bands for a larger radius")
     val withSig = simHashSignatures(df, idCol, textCol)
     val banded = withSig.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map { k =>

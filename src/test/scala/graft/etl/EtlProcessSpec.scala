@@ -355,9 +355,11 @@ class EtlProcessSpec extends SparkSpec {
     assert(p.result().agg(countDistinct("id")).head().getLong(0) == 3L)
   }
 
-  // ADVICE r1: a stranded .__old dir (crash between rename-aside and
-  // rename-in) must be recovered on the next read.
-  test("catalog recovers a stranded .__old table dir") {
+  // ADVICE r1 + review: a stranded .__old dir (crash between rename-aside
+  // and rename-in) is SERVED read-only to readers, and physically recovered
+  // on the next write — readers never mutate (they could race a live
+  // writer's swap window).
+  test("stranded .__old table: readers serve it, the write path recovers it") {
     val (src, tgt) = fixture()
     val p = proc(src, tgt)
     p.extract("SELECT name FROM mytable"); p.load()
@@ -366,8 +368,14 @@ class EtlProcessSpec extends SparkSpec {
     val tablePath = new org.apache.hadoop.fs.Path(tgt.dirPath("target_table"))
     val aside = new org.apache.hadoop.fs.Path(tgt.dirPath("target_table") + ".__old-deadbeef")
     assert(fs.rename(tablePath, aside))
-    assert(tgt.table("target_table").count() == 3) // recovered transparently
+    // read path: serves the stranded snapshot WITHOUT renaming
+    assert(tgt.table("target_table").count() == 3)
+    assert(!fs.exists(tablePath) && fs.exists(aside))
+    assert(tgt.tableNames().contains("target_table")) // still discoverable
+    // write path: next load recovers (rename back) and appends on top
+    p.extract("SELECT name FROM mytable"); p.load()
     assert(fs.exists(tablePath) && !fs.exists(aside))
+    assert(p.result().count() == 6)
   }
 
   // S3: ensure=false — new incoming columns do NOT widen the target
