@@ -71,6 +71,34 @@ class TransformPipeline {
   def zfill(width: Int): this.type =
     add((c, _) => lpad(c.cast(StringType), width, "0"))
 
+  /** Python `str.ljust`/`str.rjust`: pad to width, but NEVER truncate a
+    * longer value (Spark's rpad/lpad truncate — guard on length). */
+  def ljust(width: Int, fill: String = " "): this.type = add { (c, _) =>
+    val s = c.cast(StringType)
+    when(length(s) >= width, s).otherwise(rpad(s, width, fill))
+  }
+  def rjust(width: Int, fill: String = " "): this.type = add { (c, _) =>
+    val s = c.cast(StringType)
+    when(length(s) >= width, s).otherwise(lpad(s, width, fill))
+  }
+
+  /** Python `str.swapcase` via per-char translate of both case ranges. */
+  def swapcase(): this.type = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    add((c, _) => translate(c, lower + upper, upper + lower))
+  }
+
+  /** Python 3.9 `str.removeprefix`/`removesuffix` (literal, at most once). */
+  def removeprefix(p: String): this.type = add((c, _) =>
+    when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c))
+  def removesuffix(s: String): this.type = add((c, _) =>
+    when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c))
+
+  /** Python `str.startswith`/`endswith` — the chain becomes boolean. */
+  def startswith(p: String): this.type = add((c, _) => c.startsWith(p))
+  def endswith(s: String): this.type = add((c, _) => c.endsWith(s))
+
   def substringOf(pos: Int, len: Int): this.type = add((c, _) => substring(c, pos, len))
 
   def cast(dt: DataType): this.type = add((c, _) => c.cast(dt))

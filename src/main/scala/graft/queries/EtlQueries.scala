@@ -127,6 +127,17 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // T1: padding / affix / predicate methods (ljust, removeprefix, endswith)
+    "q_transform_strmethods" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.idOrder = Seq("p_partkey")
+      p.extract("SELECT p_partkey, p_brand, p_type FROM part WHERE p_partkey <= 300")
+      p.transform("p_brand").removeprefix("Brand#").rjust(6, "_")
+      p.transform("p_type").swapcase()
+      p.load()
+      p.result().orderBy("id")
+    },
+
     // T2: falsy default — null, '' and 0 all replaced
     "q_default_falsy" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
@@ -285,6 +296,14 @@ object EtlQueries {
       """SELECT row_number() OVER (ORDER BY lpad(CAST(s_suppkey AS VARCHAR), 12, '0')) AS id,
         |       lpad(CAST(s_suppkey AS VARCHAR), 12, '0') AS s_suppkey, s_name
         |FROM supplier ORDER BY id""".stripMargin,
+
+    "q_transform_strmethods" ->
+      """SELECT row_number() OVER (ORDER BY p_partkey) AS id, p_partkey,
+        |       lpad(CASE WHEN p_brand LIKE 'Brand#%' THEN substr(p_brand, 7) ELSE p_brand END, 6, '_') AS p_brand,
+        |       translate(p_type,
+        |                 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS p_type
+        |FROM part WHERE p_partkey <= 300 ORDER BY id""".stripMargin,
 
     "q_default_falsy" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS id, c_custkey,

@@ -125,6 +125,32 @@ class EtlProcessSpec extends SparkSpec {
     assert(p.result().select("name").head().getString(0) == "a-b_c")
   }
 
+  test("transform str-method surface: ljust/rjust/swapcase/affixes/predicates") {
+    val (src, tgt) = fixture()
+    val p = proc(src, tgt)
+    p.idOrder = Seq("name")
+    p.extractOverride(() => spark.createDataFrame(
+      Seq(("Ab#xy", "pre_valUE", "LONGERTHAN6"))).toDF("name", "v", "w"))
+    p.transform("name").removeprefix("Ab#").rjust(5, "0")
+    p.transform("v").removeprefix("pre_").swapcase()
+    p.transform("w").ljust(6, "*") // longer than width: must NOT truncate
+    p.load()
+    val r = p.result().head()
+    assert(r.getAs[String]("name") == "000xy")
+    assert(r.getAs[String]("v") == "VALue")
+    assert(r.getAs[String]("w") == "LONGERTHAN6")
+
+    val q = proc(src, tgt, "t2")
+    q.idOrder = Seq("name")
+    q.extractOverride(() => spark.createDataFrame(
+      Seq(Tuple1("hello.txt"), Tuple1("other.md"))).toDF("name"))
+    q.transform("name").endswith(".txt")
+    q.load()
+    // idOrder sorts the POST-transform value (a boolean): false < true
+    assert(q.result().orderBy("id").collect().map(_.getAs[Boolean]("name")).toSeq
+      == Seq(false, true))
+  }
+
   // T2: default replaces FALSY values (null, "", 0), not just null
   test("default replaces falsy values per type") {
     val (src, tgt) = fixture()
