@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-joins by key salting — the manual fallback for when
+  * AQE's skew-join splitting can't help (e.g. a single hot key driving one
+  * reducer to spill while the cluster idles).
+  *
+  * Shape: the (large, possibly skewed) left side gets a deterministic salt
+  * in [0, buckets) derived from its OTHER columns, splitting each hot key's
+  * rows across `buckets` reducers; the right side replicates `buckets`
+  * times with every salt value, so (key, salt) still co-locates matching
+  * rows. Join results are IDENTICAL to the unsalted join — salting only
+  * changes the partitioning — at the cost of a `buckets`× replication of
+  * the right side (keep it the smaller relation).
+  *
+  * The salt is `pmod(xxhash64(left row), buckets)` — deterministic for a
+  * given row (no rand(): retried tasks must salt identically or shuffle
+  * retries double-count), uniform across identical-key rows as long as
+  * some non-key column varies.
+  */
+object SkewJoin {
+
+  /** Inner/left equi-join `left.leftKey == right.rightKey` with salting. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val saltSrc: Seq[Column] = left.columns.toSeq.map(col)
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltSrc: _*), lit(buckets.toLong)).cast("int"))
+    val r = right
+      .withColumn("__salt", explode(array((0 until buckets).map(lit): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), joinType)
+      .drop("__salt")
+  }
+}

@@ -109,15 +109,26 @@ object VectorSimilarity {
       .withColumnRenamed("__cid", "cluster_id")
   }
 
-  /** IVF top-k: queries search only their own cluster (nprobe=1). The
-    * candidate join shuffles on cluster_id — O(N) rows, the inverted-file
-    * scale path; recall grows with the centroid count / probe count.
+  /** IVF top-k: queries search their `nprobe` nearest clusters (corpus
+    * vectors live in exactly one, so probes can't duplicate candidates).
+    * The candidate join shuffles on cluster_id — O(N·nprobe/centroids)
+    * candidate rows, the inverted-file scale path; recall grows with the
+    * centroid count and nprobe.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, centroids: DataFrame, cIdCol: String,
-              cVecCol: String, k: Int): DataFrame = {
-    val q = ivfAssign(queries, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cluster_id"))
+              cVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
+    val c0 = centroids.select(col(cIdCol).as("__cid"), col(cVecCol).as("__cv"))
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .join(broadcast(c0))
+      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__csim").desc, col("__cid").asc)
+    val q = qScored.withColumn("__rn", row_number().over(qw))
+      .where(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cid").as("cluster_id"))
     val c = ivfAssign(corpus, idCol, vecCol, centroids, cIdCol, cVecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv2"), col("cluster_id"))
     val scored = q.join(c, Seq("cluster_id"))

@@ -44,6 +44,20 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Salting changes the partitioning, never the result — so the oracle is
+    // the PLAIN join: if the salted join added/lost/duplicated a row, the
+    // hash compare would catch it.
+    "q_skew_join" -> { (spark, sfDir) =>
+      val cat = new graft.etl.Catalog(spark, sfDir)
+      val li = cat.table("lineitem").select("l_orderkey", "l_extendedprice")
+      val ord = cat.table("orders").select("o_orderkey", "o_orderpriority")
+      graft.operators.SkewJoin.saltedJoin(li, ord, "l_orderkey", "o_orderkey", buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count("*").as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     "q_stream_session_batch" -> { (spark, sfDir) =>
       // events.ts is TIMESTAMP(NANOS) parquet — must go through the
       // Catalog/ParquetSource path, which rewrites it to µs TimestampType
@@ -82,6 +96,12 @@ object PipelineQueries {
          |    generate_series(CAST(frame_idx * 16 + 1 AS INTEGER), CAST(frame_idx * 16 + 16 AS INTEGER)),
          |    i -> ord(substr(text, i, 1)))) AS BIGINT) % $P AS f_checksum
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_skew_join" ->
+      s"""SELECT o.o_orderpriority, count(*) AS n,
+         |       CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
 
     "q_stream_session_batch" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

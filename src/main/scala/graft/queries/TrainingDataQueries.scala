@@ -150,7 +150,7 @@ object TrainingDataQueries {
       // training; the assignment + inverted-list search plumbing is real
       val cents = e.where(col("vec_id") < 8)
       VectorSimilarity.ivfTopK(e, e.where(col("vec_id") < 10),
-          "vec_id", "embedding", cents, "vec_id", "embedding", k = 3)
+          "vec_id", "embedding", cents, "vec_id", "embedding", k = 3, nprobe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           e9(col("cosine")).as("cosine_e9"))
         .orderBy("query_id", "rank")
@@ -364,9 +364,10 @@ object TrainingDataQueries {
          |asg AS (SELECT vec_id, embedding, cid AS cluster_id,
          |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
          |        FROM sc),
-         |a AS (SELECT vec_id, embedding, cluster_id FROM asg WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS ea, cluster_id FROM a WHERE vec_id < 10),
-         |c2 AS (SELECT vec_id AS neighbor_id, embedding AS eb, cluster_id FROM a),
+         |q AS (SELECT vec_id AS query_id, embedding AS ea, cluster_id
+         |      FROM asg WHERE vec_id < 10 AND rn <= 2),
+         |c2 AS (SELECT vec_id AS neighbor_id, embedding AS eb, cluster_id
+         |       FROM asg WHERE rn = 1),
          |s2 AS (SELECT query_id, neighbor_id, $cosineSql AS cos
          |       FROM q JOIN c2 USING (cluster_id) WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, cos,

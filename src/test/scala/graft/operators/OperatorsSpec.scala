@@ -99,6 +99,22 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(1L) != fps(2L))
   }
 
+  test("saltedJoin equals the plain join on a hot-key dataset, inner and left") {
+    // one hot key (90% of rows) plus a miss for the left-join case
+    val left = spark.createDataFrame(
+      (1 to 90).map(i => (1L, s"v$i")) ++ Seq((2L, "x"), (3L, "y"), (99L, "miss"))
+    ).toDF("k", "v")
+    val right = spark.createDataFrame(Seq((1L, "one"), (2L, "two"), (3L, "three")))
+      .toDF("rk", "name")
+    for (jt <- Seq("inner", "left")) {
+      val salted = SkewJoin.saltedJoin(left, right, "k", "rk", buckets = 4, joinType = jt)
+        .select("k", "v", "name").collect().map(r => (r.get(0), r.get(1), r.get(2))).sortBy(_.toString)
+      val plain = left.join(right, left("k") === right("rk"), jt)
+        .select("k", "v", "name").collect().map(r => (r.get(0), r.get(1), r.get(2))).sortBy(_.toString)
+      assert(salted.toSeq == plain.toSeq, s"joinType $jt diverged")
+    }
+  }
+
   test("multimodal decode: features match hand computation; frames slice correctly") {
     val df = spark.createDataFrame(Seq((7L, "abcd" * 8))).toDF("doc_id", "text") // 32 bytes
     val feats = Multimodal.decodeFeatures(Multimodal.attachBinary(df, "text"), "doc_id").head()
