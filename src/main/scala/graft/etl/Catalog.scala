@@ -89,9 +89,24 @@ class Catalog(val spark: SparkSession, val dir: String) {
     * (reference E1/E2, easy_etl/__init__.py:17-25) resolve by name.
     * Views are session-scoped; re-registering replaces. Parquet scans behind
     * these views get Catalyst filter pushdown + column pruning for free.
+    *
+    * Registration is cached per (session, dir, prefix): repeated calls —
+    * every query in a suite registers the same source dir — would otherwise
+    * re-read every table's footer each time. Pass `refresh = true` after
+    * adding tables to the directory (source dirs are normally immutable).
     */
-  def registerViews(prefix: String = ""): Unit =
-    tableNames().foreach { n =>
-      tableIfExists(n).foreach(_.createOrReplaceTempView(prefix + n))
+  def registerViews(prefix: String = "", refresh: Boolean = false): Unit = {
+    val key = (spark.sparkContext.applicationId, spark.hashCode(), dir, prefix)
+    if (refresh || !Catalog.registeredViews.contains(key)) {
+      tableNames().foreach { n =>
+        tableIfExists(n).foreach(_.createOrReplaceTempView(prefix + n))
+      }
+      Catalog.registeredViews.add(key)
     }
+  }
+}
+
+object Catalog {
+  private val registeredViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, String, String)]()
 }

@@ -44,6 +44,25 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // Hive-style partitioned layout: write events partitioned by event_type,
+    // read back with a partition predicate. Correctness (vs an unpartitioned
+    // oracle scan) is checked here; the PLAN property — the scan listing
+    // only the one partition directory (PartitionFilters, not a data
+    // filter) — is asserted in PartitionedLayoutSpec. At 100 TB this is the
+    // difference between scanning one event type and scanning the corpus.
+    "q_partitioned_read" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+      ev.write.partitionBy("event_type").parquet(s"$dir/events_by_type")
+      spark.read.parquet(s"$dir/events_by_type")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("event_type").cast("string").as("event_type"))
+        .orderBy("event_id")
+    },
+
     // Salting changes the partitioning, never the result — so the oracle is
     // the PLAIN join: if the salted join added/lost/duplicated a row, the
     // hash compare would catch it.
@@ -96,6 +115,10 @@ object PipelineQueries {
          |    generate_series(CAST(frame_idx * 16 + 1 AS INTEGER), CAST(frame_idx * 16 + 16 AS INTEGER)),
          |    i -> ord(substr(text, i, 1)))) AS BIGINT) % $P AS f_checksum
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_partitioned_read" ->
+      s"""SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+         |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "q_skew_join" ->
       s"""SELECT o.o_orderpriority, count(*) AS n,
