@@ -162,6 +162,56 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ---- dedup as an action: components + drop ------------------------------
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every id starts as its own component; each round, a node
+    * adopts the minimum label among itself and its neighbors; stop at
+    * fixpoint. Rounds needed = graph diameter — for dedup graphs (small
+    * clusters of copies) that's 1–3; `maxIters` bounds pathological chains.
+    * All DataFrame joins/aggregations — no driver-side graph.
+    * Returns (id, component) with component = min id of the cluster.
+    */
+  def connectedComponents(ids: DataFrame, idCol: String,
+                          pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("comp"))
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("ncomp")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("ncomp").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .cache()
+      updated.count() // materialize before comparing against the old labels
+      val changes = updated
+        .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .where(col("comp") =!= col("old")).count()
+      labels = updated
+      done = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Drop near-duplicates: keep only the canonical (minimum-id) document of
+    * every MinHash near-dup cluster. The end-to-end dedup ACTION a corpus
+    * pipeline runs — pairs → components → filter — all distributed.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, numPerms: Int, bands: Int,
+                         threshold: Double): DataFrame = {
+    val pairs = minHashPairs(df, idCol, textCol, n, numPerms, bands, threshold)
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+    df.join(comps.where(col("id") === col("comp")).select(col("id").as(idCol)), Seq(idCol))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 31-bit SimHash over the distinct 3-gram shingle hashes of `text`:

@@ -113,6 +113,15 @@ object TrainingDataQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // the end-to-end dedup ACTION: near-dup clusters via MinHash pairs →
+    // connected components → keep the canonical (min-id) doc per cluster
+    "q_dedup_drop" -> { (spark, sfDir) =>
+      val subset = docs(spark, sfDir).where(col("doc_id") % 5 === 0)
+      Dedup.dropNearDuplicates(nearDupCorpus(subset, 10), "doc_id", "text",
+          n = 3, numPerms = 16, bands = 4, threshold = 0.6)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     "q_dedup_embedding" -> { (spark, sfDir) =>
       val e = embs(spark, sfDir).select("vec_id", "embedding")
       val copies = e.where(col("vec_id") % 20 === 0)
@@ -313,6 +322,41 @@ object TrainingDataQueries {
          |j AS (SELECT id_a, id_b, $jaccardSql AS jac FROM pairs)
          |SELECT id_a, id_b, ${e9Sql("jac")} AS jaccard_e9
          |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_dedup_drop" -> {
+      val sigExprs = (0 until 16).map { k =>
+        val (a, b) = PortableHash.perm(k)
+        s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
+      }.mkString("[\n    ", ",\n    ", "]")
+      // components via a recursive min-label CTE: propagate a label along an
+      // edge only when it's smaller than the target (lossless prune — a
+      // node's component is its minimum reachable label); survivors are the
+      // nodes that ARE their component's minimum.
+      s"""WITH RECURSIVE ${nearDupCorpusSql(10, "doc_id % 5 = 0")},
+         |$shingleHashesSql,
+         |sigs AS (SELECT doc_id, h, $sigExprs AS sig FROM hs),
+         |bands AS (SELECT doc_id, t.b AS band,
+         |                 array_to_string(sig[t.b*4+1 : t.b*4+4], ',') AS key
+         |          FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pj AS (SELECT c.id_a, c.id_b, ha.h AS ha, hb.h AS hb
+         |       FROM cand c
+         |       JOIN hs ha ON ha.doc_id = c.id_a
+         |       JOIN hs hb ON hb.doc_id = c.id_b),
+         |gp AS (SELECT id_a, id_b FROM pj WHERE $jaccardSql >= 0.6),
+         |nodes AS (SELECT doc_id AS id FROM corpus),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM gp
+         |          UNION ALL SELECT id_b, id_a FROM gp),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |  WHERE r.lbl < e.dst),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+         |SELECT id AS doc_id FROM comp WHERE id = comp ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_simhash" ->

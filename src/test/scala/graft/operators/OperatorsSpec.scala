@@ -99,6 +99,25 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(1L) != fps(2L))
   }
 
+  test("connectedComponents converges on a chain (multi-iteration) and isolates singletons") {
+    // chain 9-7-5-3-1 (descending propagation needs several rounds) + isolated 8
+    val ids = spark.createDataFrame(Seq(1L, 3L, 5L, 7L, 9L, 8L).map(Tuple1(_))).toDF("id")
+    val pairs = spark.createDataFrame(
+      Seq((7L, 9L), (5L, 7L), (3L, 5L), (1L, 3L))).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 3L, 5L, 7L, 9L).forall(comps(_) == 1L), s"chain not merged: $comps")
+    assert(comps(8L) == 8L)
+  }
+
+  test("dropNearDuplicates keeps exactly the min-id doc per near-dup cluster") {
+    val out = Dedup.dropNearDuplicates(docsDf, "doc_id", "text",
+        n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // docs 1,2,4 cluster (exact + near dups) -> keep 1; doc 3 unrelated
+    assert(out == Seq(1L, 3L))
+  }
+
   test("saltedJoin equals the plain join on a hot-key dataset, inner and left") {
     // one hot key (90% of rows) plus a miss for the left-join case
     val left = spark.createDataFrame(
