@@ -188,7 +188,8 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .cache()
-      updated.count() // materialize before comparing against the old labels
+      // one action per round: the change-detection count also populates
+      // updated's cache, so later rounds never recompute the chain
       val changes = updated
         .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
         .where(col("comp") =!= col("old")).count()
