@@ -96,17 +96,25 @@ class Catalog(val spark: SparkSession, val dir: String) {
     * adding tables to the directory (source dirs are normally immutable).
     */
   def registerViews(prefix: String = "", refresh: Boolean = false): Unit = {
-    val key = (spark.sparkContext.applicationId, spark.hashCode(), dir, prefix)
-    if (refresh || !Catalog.registeredViews.contains(key)) {
-      tableNames().foreach { n =>
+    val sessionKey = (spark.sparkContext.applicationId, spark.hashCode())
+    val names = tableNames()
+    // temp views are a session-global namespace: the cache tracks which DIR
+    // currently owns each view name, so a second catalog re-pointing an
+    // overlapping name invalidates (and re-registers) rather than letting
+    // the first catalog's cached no-op serve the wrong directory's data
+    val stale = refresh || names.exists { n =>
+      Catalog.viewOwner.get((sessionKey, prefix + n)) != dir
+    }
+    if (stale) {
+      names.foreach { n =>
         tableIfExists(n).foreach(_.createOrReplaceTempView(prefix + n))
+        Catalog.viewOwner.put((sessionKey, prefix + n), dir)
       }
-      Catalog.registeredViews.add(key)
     }
   }
 }
 
 object Catalog {
-  private val registeredViews =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, String, String)]()
+  private val viewOwner =
+    new java.util.concurrent.ConcurrentHashMap[((String, Int), String), String]()
 }

@@ -82,7 +82,9 @@ class TransformPipeline {
     when(length(s) >= width, s).otherwise(lpad(s, width, fill))
   }
 
-  /** Python `str.swapcase` via per-char translate of both case ranges. */
+  /** ASCII `str.swapcase` via per-char translate of a–z/A–Z (non-ASCII
+    * cased letters pass through unchanged, unlike Python's full-Unicode
+    * swapcase). */
   def swapcase(): this.type = {
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"

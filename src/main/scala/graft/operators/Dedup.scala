@@ -193,12 +193,22 @@ object Dedup {
       val changes = updated
         .join(labels.withColumnRenamed("comp", "old"), Seq("id"))
         .where(col("comp") =!= col("old")).count()
+      labels.unpersist() // previous round's cache (no-op on the uncached seed)
       labels = updated
       done = changes == 0
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Non-convergence must fail loudly: returning partial labels would let
+    // dropNearDuplicates silently KEEP duplicates past maxIters-diameter
+    // chains.
+    if (!done) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(cluster diameter exceeds maxIters); raise maxIters")
+    }
+    labels // cached; caller consumes immediately
   }
 
   /** Drop near-duplicates: keep only the canonical (minimum-id) document of

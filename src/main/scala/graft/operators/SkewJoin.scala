@@ -22,12 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner/left equi-join `left.leftKey == right.rightKey` with salting. */
+  /** Left-preserving join types only: with the RIGHT side replicated per
+    * salt, right/full-outer would emit spurious null-padded rows for every
+    * salt value the left never produced. */
+  private val SupportedJoinTypes = Set(
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "left_anti", "leftanti")
+
+  /** Equi-join `left.leftKey == right.rightKey` with salting (inner / left /
+    * semi / anti). */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    val saltSrc: Seq[Column] = left.columns.toSeq.map(col)
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports ${SupportedJoinTypes.mkString("/")} only, got '$joinType' " +
+        "(right/full-outer would duplicate unmatched right rows per salt)")
+    // Salt from every left column PLUS a per-row ordinal: hashing columns
+    // alone degenerates to one bucket when the hot key's rows are exact
+    // duplicates (the classic skew case). monotonically_increasing_id is
+    // stable for a deterministic scan, so task retries salt identically.
+    val saltSrc: Seq[Column] = left.columns.toSeq.map(col) :+ monotonically_increasing_id()
     val l = left.withColumn("__salt",
       pmod(xxhash64(saltSrc: _*), lit(buckets.toLong)).cast("int"))
     val r = right

@@ -97,14 +97,16 @@ object VectorSimilarity {
     * vector, no corpus shuffle.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame, cIdCol: String, cVecCol: String): DataFrame = {
+                centroids: DataFrame, cIdCol: String, cVecCol: String,
+                probes: Int = 1): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1: $probes")
     val c = centroids.select(col(cIdCol).as("__cid"), col(cVecCol).as("__cv"))
     val scored = df.join(broadcast(c))
       .withColumn("__csim", cosine(col(vecCol), col("__cv")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__csim").desc, col("__cid").asc)
     scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+      .where(col("__rn") <= probes)
       .drop("__rn", "__cv", "__csim")
       .withColumnRenamed("__cid", "cluster_id")
   }
@@ -118,17 +120,10 @@ object VectorSimilarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, centroids: DataFrame, cIdCol: String,
               cVecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
-    val c0 = centroids.select(col(cIdCol).as("__cid"), col(cVecCol).as("__cv"))
-    val qScored = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .join(broadcast(c0))
-      .withColumn("__csim", cosine(col("__qv"), col("__cv")))
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("__csim").desc, col("__cid").asc)
-    val q = qScored.withColumn("__rn", row_number().over(qw))
-      .where(col("__rn") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("__cid").as("cluster_id"))
+    // query and corpus assignment share ivfAssign so the centroid tie-break
+    // ordering can never diverge between the two sides
+    val q = ivfAssign(queries, idCol, vecCol, centroids, cIdCol, cVecCol, probes = nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cluster_id"))
     val c = ivfAssign(corpus, idCol, vecCol, centroids, cIdCol, cVecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv2"), col("cluster_id"))
     val scored = q.join(c, Seq("cluster_id"))

@@ -27,6 +27,10 @@ object PipelineQueries {
 
   private val P = graft.functions.PortableHash.P
 
+  /** One partitioned copy of events per (JVM, sfDir); see q_partitioned_read. */
+  private val partitionedEventsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val queries: Map[String, Q] = Map(
 
     "q_multimodal_decode" -> { (spark, sfDir) =>
@@ -51,11 +55,17 @@ object PipelineQueries {
     // filter) — is asserted in PartitionedLayoutSpec. At 100 TB this is the
     // difference between scanning one event type and scanning the corpus.
     "q_partitioned_read" -> { (spark, sfDir) =>
-      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-      val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-      ev.write.partitionBy("event_type").parquet(s"$dir/events_by_type")
+      // partitioned copy written once per (JVM, sfDir) — repeated bench
+      // invocations measure the partition-pruned READ, not the write, and
+      // don't leak a fresh temp dir per call
+      val dir = partitionedEventsDir.computeIfAbsent(sfDir, { _ =>
+        val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val d = java.nio.file.Files.createTempDirectory("graft-part").toString
+        ev.write.partitionBy("event_type").parquet(s"$d/events_by_type")
+        d
+      })
       spark.read.parquet(s"$dir/events_by_type")
         .where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("us"),
