@@ -117,4 +117,16 @@ class Catalog(val spark: SparkSession, val dir: String) {
 object Catalog {
   private val viewOwner =
     new java.util.concurrent.ConcurrentHashMap[((String, Int), String), String]()
+
+  /** Drop the registration cache for every view owned by `dir`. Called from
+    * the write path ([[Loader]]) after a table under `dir` is rewritten or
+    * appended to: a temp view pins the parquet file listing captured at
+    * creation, so after an atomic swap (old files deleted) a cached view
+    * serves stale data or FileNotFoundException. Invalidation forces the
+    * next registerViews over that dir to re-create its views.
+    */
+  private[etl] def invalidateDir(dir: String): Unit = {
+    val it = viewOwner.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue == dir) it.remove()
+  }
 }

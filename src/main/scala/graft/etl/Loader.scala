@@ -123,9 +123,18 @@ object Loader {
         // path's all-or-nothing; acceptable for append-only tables where a
         // re-run replaces the table anyway, and the price of not rewriting
         // the world per batch.
-        if (sameShape(target, ex.schema)) {
+        // Guard: only valid when the table actually LIVES at dirPath —
+        // if it resolved in single-file layout (name.parquet), new part
+        // files dropped into dirPath(name) would be invisible because
+        // Catalog.resolve keeps preferring the file. Fall through to the
+        // full swap rewrite in that case (the rewrite lands at dirPath and
+        // wins future resolution only after the file layout is gone, so
+        // writeAtomic below handles it as a fresh dir write).
+        val dirLayout = tgt.resolve(table).contains(tgt.dirPath(table))
+        if (dirLayout && sameShape(target, ex.schema)) {
           unionAligned(Seq(withIds), target)
             .write.mode(SaveMode.Append).parquet(tgt.dirPath(table))
+          Catalog.invalidateDir(tgt.dir)
           return
         }
         unionAligned(Seq(ex, withIds), target)
@@ -214,7 +223,15 @@ object Loader {
       if (hadOld) fs.rename(oldPath, finalPath)
       throw new java.io.IOException(s"atomic swap failed for $finalPath")
     }
+    // If the table previously resolved in single-file layout (name.parquet),
+    // that file's rows are already folded into the merged result just
+    // written; retire it or Catalog.resolve would keep preferring the stale
+    // file over the new dir. (Crash between swap and this delete leaves the
+    // consistent OLD data visible; a re-run heals.)
+    val fileCopy = new org.apache.hadoop.fs.Path(tgt.filePath(table))
+    if (fs.exists(fileCopy)) fs.delete(fileCopy, true) // may be a dir named name.parquet
     cleanupStrays(tgt, table) // this load's .__old plus any from crashed loads
+    Catalog.invalidateDir(tgt.dir)
   }
 
   /** Write-path recovery: if the table dir is absent but stranded `.__old`

@@ -56,9 +56,16 @@ object AsOfJoin {
       s"fact/dim as-of key types differ: $factType vs $keyType")
   }
 
-  /** Dedupe the dimension: one row per key, deterministic min payload. */
+  /** Dedupe the dimension: one row per key, deterministic min payload.
+    * Null dim keys are dropped HERE so both physical strategies treat them
+    * identically (a null key can never be the "closest" value; the reference
+    * SQL's `WHERE child >= v` also never matches NULL). Without this the
+    * broadcast path would NPE on `getLong` of a null ordinal while the merge
+    * path silently filtered — strategy-dependent behavior.
+    */
   private def dedupDim(dim: DataFrame, dimCol: String, payloadCols: Seq[String]): DataFrame =
-    dim.groupBy(col(dimCol))
+    dim.where(col(dimCol).isNotNull)
+      .groupBy(col(dimCol))
       .agg(min(struct(payloadCols.map(col): _*)).as("__p"))
       .select(col(dimCol) +: payloadCols.map(p => col(s"__p.$p").as(p)): _*)
 

@@ -38,11 +38,15 @@ object SkewJoin {
     require(SupportedJoinTypes.contains(joinType.toLowerCase),
       s"saltedJoin supports ${SupportedJoinTypes.mkString("/")} only, got '$joinType' " +
         "(right/full-outer would duplicate unmatched right rows per salt)")
-    // Salt from every left column PLUS a per-row ordinal: hashing columns
-    // alone degenerates to one bucket when the hot key's rows are exact
-    // duplicates (the classic skew case). monotonically_increasing_id is
-    // stable for a deterministic scan, so task retries salt identically.
-    val saltSrc: Seq[Column] = left.columns.toSeq.map(col) :+ monotonically_increasing_id()
+    // Salt purely from row CONTENT (xxhash64 of every left column): a task
+    // retry re-hashing the same row always lands in the same bucket, even
+    // when the input sits behind a shuffle/AQE boundary that replays rows in
+    // a different order — positional salts (monotonically_increasing_id,
+    // rand with seed) are only retry-stable for deterministic scans and
+    // would lose or duplicate join rows otherwise. Trade-off: EXACT
+    // duplicate rows of the hot key colocate in one bucket; rows that differ
+    // in any non-key column still spread across all `buckets`.
+    val saltSrc: Seq[Column] = left.columns.toSeq.map(col)
     val l = left.withColumn("__salt",
       pmod(xxhash64(saltSrc: _*), lit(buckets.toLong)).cast("int"))
     val r = right

@@ -70,8 +70,12 @@ object Sessions {
           val sorted = batch.toSeq.sortBy(e => (e.us, e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0L))
           sorted.foreach { e =>
+            // >= matches session_window semantics: an event exactly one gap
+            // after the previous one starts a NEW session (a session window
+            // is the half-open [start, last+gap)), keeping this operator and
+            // sessionAgg/the SQL sessionizer split-compatible.
             st =
-              if (st.n == 0L || e.us - st.endUs > gapUs) SessionState(e.us, e.us, 1L)
+              if (st.n == 0L || e.us - st.endUs >= gapUs) SessionState(e.us, e.us, 1L)
               else SessionState(st.startUs, e.us, st.n + 1L)
           }
           state.update(st)
