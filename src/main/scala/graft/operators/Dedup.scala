@@ -78,7 +78,11 @@ object Dedup {
     require(threshold > 0.0, "threshold must be positive (zero would require enumerating all pairs)")
     val withSh = df.select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__sh"))
       .withColumn("__n", size(col("__sh")))
+    // Both join sides branch from `inv`; without a cache the shingle-hash
+    // pipeline (md5 per shingle) runs twice — self-join branches get no
+    // exchange reuse because their projections differ.
     val inv = withSh.select(col("__id"), col("__n"), explode(col("__sh")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = inv.select(col("__h"), col("__id").as("id_a"), col("__n").as("__na"))
     val b = inv.select(col("__h"), col("__id").as("id_b"), col("__n").as("__nb"))
     a.join(b, Seq("__h"))
@@ -136,7 +140,11 @@ object Dedup {
                    threshold: Double): DataFrame = {
     require(numPerms % bands == 0, s"numPerms $numPerms not divisible by bands $bands")
     val r = numPerms / bands
+    // Cached: consumed by the band explode AND the verification join —
+    // without it the whole signature aggregation (shingle md5s + shuffle)
+    // runs twice. O(docs) rows of (set, signature); spills to disk if big.
     val withSig = minHashSignatures(df, idCol, textCol, n, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band rows carry ONLY (band, key, id) — the shingle-hash sets stay out
     // of the band explode and the candidate join (they'd multiply shuffle
     // volume by bands × |shingles| on both sides); the sets join back once
@@ -211,16 +219,92 @@ object Dedup {
     labels // cached; caller consumes immediately
   }
 
+  /** Components with automatic strategy on edge volume. Near-dup edge sets
+    * are orders of magnitude smaller than the corpus (a 100 TB corpus with
+    * 1% duplication yields millions of edges, not billions — each edge is
+    * 16 bytes), so the common case collects the edge list and runs a
+    * driver-side union-find: ONE job for the pairs, zero iterative rounds.
+    * Above `maxDriverEdges` (default 10M ≈ 160 MB heap) it degrades to the
+    * distributed min-label propagation ([[connectedComponents]]), which
+    * survives any edge volume. Long-typed ids only on the fast path.
+    */
+  def connectedComponentsAuto(ids: DataFrame, idCol: String, pairs: DataFrame,
+                              maxDriverEdges: Int = 10_000_000,
+                              maxIters: Int = 20): DataFrame =
+    collectEdges(ids, idCol, pairs, maxDriverEdges) match {
+      case None => connectedComponents(ids, idCol, pairs, maxIters)
+      case Some(edges) =>
+        val comp = unionFindMinLabel(edges)
+        val spark = ids.sparkSession
+        import spark.implicits._
+        val mapping = broadcast(comp.toSeq.toDF("__cc_id", "__cc_comp"))
+        ids.select(col(idCol).as("id"))
+          .join(mapping, col("id") === col("__cc_id"), "left")
+          .select(col("id"), coalesce(col("__cc_comp"), col("id")).as("comp"))
+    }
+
+  /** Collect the (id_a, id_b) edge list if ids are Long-typed and the list
+    * fits under `maxDriverEdges`; None otherwise. */
+  private def collectEdges(ids: DataFrame, idCol: String, pairs: DataFrame,
+                           maxDriverEdges: Int): Option[Array[(Long, Long)]] =
+    if (ids.schema(idCol).dataType != LongType) None
+    else {
+      val rows = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+        .limit(maxDriverEdges + 1).collect()
+      if (rows.length > maxDriverEdges) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+    }
+
+  /** Union-find with path compression over a collected edge list; returns
+    * id → min id of its component, for every node touched by an edge
+    * (untouched nodes are their own component — omitted). */
+  private def unionFindMinLabel(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { val gp = parent.getOrDefault(p, p); parent.put(x, gp); x = p; p = gp }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // second pass: full compression so every touched node maps to its root,
+    // which IS the component minimum (unions always point larger → smaller)
+    val out = Map.newBuilder[Long, Long]
+    edges.foreach { case (a, b) => out += (a -> find(a)); out += (b -> find(b)) }
+    out.result()
+  }
+
   /** Drop near-duplicates: keep only the canonical (minimum-id) document of
     * every MinHash near-dup cluster. The end-to-end dedup ACTION a corpus
-    * pipeline runs — pairs → components → filter — all distributed.
+    * pipeline runs — pairs → components → filter. Components via
+    * [[connectedComponentsAuto]]: driver union-find on the (small) edge
+    * list, distributed label propagation above the size guard.
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          n: Int, numPerms: Int, bands: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         maxDriverEdges: Int = 10_000_000): DataFrame = {
     val pairs = minHashPairs(df, idCol, textCol, n, numPerms, bands, threshold)
-    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
-    df.join(comps.where(col("id") === col("comp")).select(col("id").as(idCol)), Seq(idCol))
+    collectEdges(df, idCol, pairs, maxDriverEdges) match {
+      case Some(edges) =>
+        // Fast path: the drop-set (non-canonical members of clusters) is at
+        // most 2×|edges| ids — broadcast anti-join it against the corpus.
+        // The corpus itself never shuffles: at 100 TB this is a scan +
+        // broadcast filter, not a corpus-sized join.
+        val dropIds = unionFindMinLabel(edges).collect {
+          case (id, c) if id != c => id
+        }.toSeq
+        val spark = df.sparkSession
+        import spark.implicits._
+        df.join(broadcast(dropIds.toDF("__drop_id")),
+          col(idCol) === col("__drop_id"), "left_anti")
+      case None =>
+        val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+        df.join(comps.where(col("id") === col("comp")).select(col("id").as(idCol)), Seq(idCol))
+    }
   }
 
   // ---- SimHash ------------------------------------------------------------
@@ -270,7 +354,10 @@ object Dedup {
       s"byte-banding over 4 bands is pigeonhole-complete only for maxDist <= 3 " +
         s"(got $maxDist); pairs at greater distance could share no band and be " +
         s"silently dropped — use more bands for a larger radius")
+    // cached: the banded self-join's two branches would otherwise each
+    // recompute the signature aggregation
     val withSig = simHashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = withSig.select(col("__id"), col("__sig"),
       explode(array((0 until 4).map { k =>
         struct(lit(k).as("band"),

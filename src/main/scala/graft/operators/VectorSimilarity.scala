@@ -142,8 +142,11 @@ object VectorSimilarity {
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int, dim: Int): DataFrame = {
+    // cached: both self-join branches consume it; the bucket projection
+    // (numPlanes dot products per vector) would otherwise run twice
     val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       lshBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
     val b = withB.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("__bucket"))

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{KmvSketch, PortableHash}
+import graft.operators.Sampling
+import graft.sources.TextSources
+
+/** Oracle-checked queries for the round-3 extension surface: deterministic
+  * sampling, the KMV distinct-count sketch (custom UDAF), flat-file
+  * (CSV/JSON) source round-trips, and a typed flatMap (the UDTF shape).
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One flat-file export per (JVM, sfDir, format) — benches measure the
+    * read-back, not a rewrite per invocation. */
+  private val exportDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def eventsSubset(spark: SparkSession, sfDir: String): DataFrame =
+    new graft.etl.Catalog(spark, sfDir).table("events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("props"), unix_micros(col("ts")).as("us"))
+
+  val queries: Map[String, Q] = Map(
+
+    // deterministic hash sample: scan-side filter, reproducible cross-engine
+    "q_sample_hash" -> { (spark, sfDir) =>
+      val orders = new graft.etl.Catalog(spark, sfDir).table("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      Sampling.hashSample(orders, "o_orderkey", 0.1).orderBy("o_orderkey")
+    },
+
+    // stratified: per-stratum fractions, same key everywhere
+    "q_sample_stratified" -> { (spark, sfDir) =>
+      val orders = new graft.etl.Catalog(spark, sfDir).table("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Sampling.stratifiedHashSample(orders, "o_orderpriority", "o_orderkey",
+          Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.2), defaultFraction = 0.05)
+        .orderBy("o_orderkey")
+    },
+
+    // KMV sketch (custom typed Aggregator/UDAF) vs the exact distinct count
+    "q_sketch_kmv" -> { (spark, sfDir) =>
+      val li = new graft.etl.Catalog(spark, sfDir).table("lineitem")
+        .select(col("l_returnflag"),
+          PortableHash.hmod(col("l_partkey").cast("string")).as("h"),
+          col("l_partkey"))
+      li.groupBy("l_returnflag")
+        .agg(KmvSketch.kmv(col("h"), k = 64).as("__buf"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+        .select(col("l_returnflag"),
+          KmvSketch.estimate("__buf", k = 64).as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy("l_returnflag")
+    },
+
+    // CSV round-trip: export once, read back with explicit schema; props is
+    // JSON-in-string (embedded commas/quotes) — exercises quoting for real
+    "q_source_csv" -> { (spark, sfDir) =>
+      val src = eventsSubset(spark, sfDir)
+      val dir = exportDirs.computeIfAbsent((sfDir, "csv"), { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft-csv").toString
+        TextSources.writeCsv(src, s"$d/events_csv")
+        d
+      })
+      TextSources.readCsv(spark, s"$dir/events_csv", src.schema)
+        .orderBy("event_id")
+    },
+
+    // JSON-lines round-trip, same contract
+    "q_source_json" -> { (spark, sfDir) =>
+      val src = eventsSubset(spark, sfDir)
+      val dir = exportDirs.computeIfAbsent((sfDir, "json"), { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft-json").toString
+        TextSources.writeJson(src, s"$d/events_json")
+        d
+      })
+      TextSources.readJson(spark, s"$dir/events_json", src.schema)
+        .orderBy("event_id")
+    },
+
+    // the UDTF shape: a typed Dataset flatMap generating (doc_id, pos, token)
+    "q_flatmap_tokens" -> { (spark, sfDir) =>
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(col("doc_id") <= 50)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      docs.flatMap { case (id, text) =>
+        text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .zipWithIndex.map { case (tok, i) => (id, i.toLong, tok) }
+      }.toDF("doc_id", "pos", "token")
+        .orderBy("doc_id", "pos")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_sample_hash" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |       CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |FROM orders
+         |WHERE ${Sampling.hashSamplePredicateSql("o_orderkey", 0.1)}
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT o_orderkey, o_orderpriority FROM orders
+         |WHERE ${PortableHash.hmodSql("CAST(o_orderkey AS VARCHAR)")} % ${Sampling.Denom} <
+         |      CAST(floor(${Sampling.Denom} * CASE o_orderpriority
+         |             WHEN '1-URGENT' THEN 0.5 WHEN '2-HIGH' THEN 0.2
+         |             ELSE 0.05 END) AS BIGINT)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sketch_kmv" -> {
+      val h = PortableHash.hmodSql("CAST(l_partkey AS VARCHAR)")
+      s"""SELECT l_returnflag,
+         |       ${KmvSketch.estimateSql("list(h)", 64)} AS est_distinct,
+         |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+         |FROM (SELECT l_returnflag, $h AS h, l_partkey FROM lineitem)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    // round-trips must surface exactly what the parquet holds
+    "q_source_csv" ->
+      """SELECT event_id, event_type, user_id, props,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_source_json" ->
+      """SELECT event_id, event_type, user_id, props,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_flatmap_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id <= 50)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
+        |FROM t, unnest(generate_series(1, len(w))) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

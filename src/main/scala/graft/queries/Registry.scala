@@ -11,9 +11,9 @@ object Registry {
 
   def queries: Map[String, Q] =
     EtlQueries.queries ++ TrainingDataQueries.queries ++
-      SqlQueries.queries ++ PipelineQueries.queries
+      SqlQueries.queries ++ PipelineQueries.queries ++ ExtensionQueries.queries
 
   def oracleSql: Map[String, String] =
     EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql ++
-      SqlQueries.oracleSql ++ PipelineQueries.oracleSql
+      SqlQueries.oracleSql ++ PipelineQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

@@ -118,10 +118,53 @@ object SqlQueries {
        |       CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us
        |FROM g GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin
 
+  private def rollupSql = // hierarchical totals: region → nation → grand total
+    s"""SELECT r.r_name, n.n_name, count(*) AS n_cust,
+       |       SC_OPEN sum(${cents("c.c_acctbal")}) SC_CLOSE AS bal_cents
+       |FROM customer c
+       |JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |JOIN region r ON r.r_regionkey = n.n_regionkey
+       |GROUP BY ROLLUP (r.r_name, n.n_name)
+       |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  private def windowRangeSql = // RANGE frame: value-bounded moving aggregate
+    s"""SELECT o_orderkey, cents,
+       |       SC_OPEN sum(cents) OVER (ORDER BY o_orderkey
+       |                                RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) SC_CLOSE AS near_cents,
+       |       SC_OPEN count(*) OVER (ORDER BY o_orderkey
+       |                              RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) SC_CLOSE AS n_near
+       |FROM (SELECT o_orderkey, ${cents("o_totalprice")} AS cents FROM orders
+       |      WHERE o_orderkey <= 5000)
+       |ORDER BY o_orderkey""".stripMargin
+
+  private def pivotSql = // conditional aggregation — the portable spelling of PIVOT
+    s"""SELECT o_orderpriority,
+       |       SC_OPEN sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) SC_CLOSE AS n_f,
+       |       SC_OPEN sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) SC_CLOSE AS n_o,
+       |       SC_OPEN sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) SC_CLOSE AS n_p,
+       |       SC_OPEN sum(CASE WHEN o_orderstatus = 'F' THEN ${cents("o_totalprice")} ELSE 0 END) SC_CLOSE AS cents_f
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact interpolated percentiles (both engines: sort, pos = p·(n−1),
+    * lower + (upper−lower)·frac in doubles — order-insensitive, so shuffle
+    * nondeterminism can't flip it). MEDFN resolves per dialect. */
+  private def percentileSql =
+    s"""SELECT o_orderpriority,
+       |       CAST(floor(MEDFN(cents, 0.25) * 1e9) AS BIGINT) AS p25_e9,
+       |       CAST(floor(MEDFN(cents, 0.5)  * 1e9) AS BIGINT) AS p50_e9,
+       |       CAST(floor(MEDFN(cents, 0.75) * 1e9) AS BIGINT) AS p75_e9,
+       |       count(*) AS n
+       |FROM (SELECT o_orderpriority, ${cents("o_totalprice")} AS cents FROM orders)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val shared: Map[String, String] = Map(
+    "q_sql_percentile" -> percentileSql,
     "q_sql_join_agg" -> joinAggSql,
     "q_sql_window" -> windowSql,
     "q_sql_grouping_sets" -> groupingSetsSql,
+    "q_sql_rollup" -> rollupSql,
+    "q_sql_window_range" -> windowRangeSql,
+    "q_sql_pivot" -> pivotSql,
     "q_sql_setops" -> setOpsSql,
     "q_sql_topk" -> topkSql,
     "q_sql_semi_anti" -> semiAntiSql,
@@ -136,6 +179,7 @@ object SqlQueries {
     .replace(" SC_CLOSE", "")
     .replace("JSONFN(props)", "get_json_object(props, '$.k')")
     .replace("EPOCHUS(", "unix_micros(")
+    .replace("MEDFN(", "percentile(")
 
   /** DuckDB dialect: BIGINT sums widen to HUGEINT — wrap back; JSON via
     * json_extract_string; µs via epoch_us. */
@@ -144,6 +188,7 @@ object SqlQueries {
     .replace(" SC_CLOSE", " AS BIGINT)")
     .replace("JSONFN(props)", "json_extract_string(props, '$.k')")
     .replace("EPOCHUS(", "epoch_us(")
+    .replace("MEDFN(", "quantile_cont(")
 
   val queries: Map[String, Q] =
     shared.map { case (name, q) =>

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{KmvSketch, PortableHash}
+import graft.sources.TextSources
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 extension surface: deterministic sampling, the
+  * KMV sketch aggregator, and flat-file round-trips.
+  */
+class ExtensionOpsSpec extends SparkSpec {
+
+  test("hashSample: deterministic, monotone in fraction, and consistent across tables") {
+    val df = spark.range(1, 2001).toDF("k")
+    val s10 = Sampling.hashSample(df, "k", 0.1).collect().map(_.getLong(0)).toSet
+    val s10b = Sampling.hashSample(df, "k", 0.1).collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.hashSample(df, "k", 0.3).collect().map(_.getLong(0)).toSet
+    assert(s10 == s10b, "same fraction must select identical rows")
+    assert(s10.subsetOf(s30), "smaller sample must be a subset of the larger")
+    // rough mass check: 10% ± 3pp of 2000
+    assert(s10.size > 140 && s10.size < 260, s"unexpected sample size ${s10.size}")
+    // consistency: another table sampled by the same key keeps the same keys
+    val other = spark.range(1, 2001).toDF("k").withColumn("payload", col("k") * 2)
+    val o10 = Sampling.hashSample(other, "k", 0.1).collect().map(_.getLong(0)).toSet
+    assert(o10 == s10, "same key+fraction must select the same keys in any table")
+  }
+
+  test("stratifiedHashSample: fraction 0 drops the stratum, 1.0 keeps it whole") {
+    val df = spark.range(1, 501).toDF("k")
+      .withColumn("s", when(col("k") % 2 === 0, "even").otherwise("odd"))
+    val out = Sampling.stratifiedHashSample(df, "s", "k",
+        Map("even" -> 1.0, "odd" -> 0.0))
+      .collect().map(_.getLong(0))
+    assert(out.length == 250 && out.forall(_ % 2 == 0))
+  }
+
+  test("KMV sketch: exact below k, close above k, merge-order-insensitive") {
+    val k = 64
+    // 40 distinct values (< k): estimate must be EXACT
+    val small = spark.range(0, 40).toDF("v")
+      .select(PortableHash.hmod(col("v").cast("string")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), k).as("__buf"))
+      .select(KmvSketch.estimate("__buf", k)).head().getLong(0)
+    assert(small == 40L, s"below-k estimate must be exact: $small")
+    // 5000 distinct values (>> k): estimate within 30% (k=64 → σ ≈ 1/8)
+    val big = spark.range(0, 5000).repartition(7).toDF("v")
+      .select(PortableHash.hmod(col("v").cast("string")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), k).as("__buf"))
+      .select(KmvSketch.estimate("__buf", k)).head().getLong(0)
+    assert(math.abs(big - 5000L) < 1500, s"k=64 estimate too far off: $big")
+    // repartitioning (different merge order) must not change the result
+    val big2 = spark.range(0, 5000).repartition(31).toDF("v")
+      .select(PortableHash.hmod(col("v").cast("string")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), k).as("__buf"))
+      .select(KmvSketch.estimate("__buf", k)).head().getLong(0)
+    assert(big == big2, "sketch must be merge-order-insensitive")
+  }
+
+  test("CSV round-trip preserves nulls, empty strings, quotes and commas") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain", "x"),
+      (2L, null.asInstanceOf[String], "y"),
+      (3L, "", "z"),
+      (4L, """has,"quoted",comma""", "w")
+    ).toDF("id", "s", "t")
+    val dir = java.nio.file.Files.createTempDirectory("csv-rt").toString
+    TextSources.writeCsv(df, s"$dir/t")
+    val back = TextSources.readCsv(spark, s"$dir/t", df.schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back(0)._2 == "plain")
+    assert(back(1)._2 == null, "null must stay null")
+    assert(back(2)._2 == "", "empty string must stay empty (not null)")
+    assert(back(3)._2 == """has,"quoted",comma""")
+  }
+
+  test("JSON round-trip preserves values and nulls under an explicit schema") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, null.asInstanceOf[String], -0.25))
+      .toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("json-rt").toString
+    TextSources.writeJson(df, s"$dir/t")
+    val back = TextSources.readJson(spark, s"$dir/t", df.schema)
+      .orderBy("id").collect()
+    assert(back(0).getString(1) == "a" && back(0).getDouble(2) == 1.5)
+    assert(back(1).isNullAt(1) && back(1).getDouble(2) == -0.25)
+  }
+}

@@ -110,6 +110,18 @@ class OperatorsSpec extends SparkSpec {
     assert(comps(8L) == 8L)
   }
 
+  test("connectedComponentsAuto: union-find fast path equals iterative propagation") {
+    val ids = spark.createDataFrame(Seq(1L, 3L, 5L, 7L, 9L, 8L).map(Tuple1(_))).toDF("id")
+    val pairs = spark.createDataFrame(
+      Seq((7L, 9L), (5L, 7L), (3L, 5L), (1L, 3L))).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponentsAuto(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.connectedComponentsAuto(ids, "id", pairs, maxDriverEdges = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(Seq(1L, 3L, 5L, 7L, 9L).forall(fast(_) == 1L) && fast(8L) == 8L)
+  }
+
   test("dropNearDuplicates keeps exactly the min-id doc per near-dup cluster") {
     val out = Dedup.dropNearDuplicates(docsDf, "doc_id", "text",
         n = 3, numPerms = 16, bands = 4, threshold = 0.5)
