@@ -101,6 +101,71 @@ class TransformPipeline {
   def startswith(p: String): this.type = add((c, _) => c.startsWith(p))
   def endswith(s: String): this.type = add((c, _) => c.endsWith(s))
 
+  /** Python `str.strip(chars)` — strip any of the chars in `chars` from
+    * both ends (Spark's trim-with-trimString has the same char-set
+    * semantics). */
+  def strip(chars: String): this.type = add((c, _) => trim(c, chars))
+
+  /** Python `str.center(width, fill)`, including CPython's placement quirk:
+    * with an odd margin the extra fill char goes left iff `width` is odd
+    * (left = margin/2 + (margin & width & 1)). Never truncates. */
+  def center(width: Int, fill: String = " "): this.type = add { (c, _) =>
+    val s = c.cast(StringType)
+    val marg = lit(width) - length(s)
+    val left = floor(marg / 2).cast(IntegerType) +
+      marg.cast(IntegerType).bitwiseAND(lit(width)).bitwiseAND(lit(1))
+    // column-length padding via substr over a width-sized fill literal
+    // (functions.lpad/rpad only take literal widths)
+    val pad = lit(fill * width)
+    when(length(s) >= width, s)
+      .otherwise(concat(pad.substr(lit(1), left), s,
+        pad.substr(lit(1), marg.cast(IntegerType) - left)))
+  }
+
+  /** Python `str.count(sub)`: non-overlapping occurrence count. */
+  def count(sub: String): this.type = {
+    require(sub.nonEmpty, "count of empty substring not supported")
+    add((c, _) => ((length(c) - length(regexp_replace(c,
+      java.util.regex.Pattern.quote(sub), ""))) / sub.length).cast(LongType))
+  }
+
+  /** Python `str.find(sub)` / `str.rfind(sub)`: 0-based index of the
+    * first/last occurrence, −1 when absent. */
+  def find(sub: String): this.type =
+    add((c, _) => (instr(c, sub) - 1).cast(LongType))
+  def rfind(sub: String): this.type = add { (c, _) =>
+    // search the reversed haystack for the reversed needle: 1-based hit at
+    // p ⇒ the last occurrence starts at 0-based (len − p − |sub| + 1)
+    val p = instr(reverse(c), sub.reverse)
+    when(p === 0, lit(-1L))
+      .otherwise((length(c) - p - lit(sub.length) + 1).cast(LongType))
+  }
+
+  /** Python `str.index(sub)`: like find but errors when absent (the
+    * reference would raise ValueError mid-load). */
+  def index(sub: String): this.type = add { (c, _) =>
+    val p = instr(c, sub)
+    when(p === 0, raise_error(concat(lit("substring not found: "), c)))
+      .otherwise((p - 1).cast(LongType))
+  }
+
+  /** Python `str.casefold` — ASCII approximation (= lower; full Unicode
+    * casefolding differs only for locale-special chars like ß). */
+  def casefold(): this.type = add((c, _) => org.apache.spark.sql.functions.lower(c))
+
+  // Python str predicates (ASCII character classes; the chain becomes
+  // boolean). isdigit/isalpha/isalnum/isspace require non-empty + all
+  // chars in class; islower/isupper require ≥1 cased char and all cased
+  // chars in the given case.
+  def isdigit(): this.type = add((c, _) => c.rlike("^[0-9]+$"))
+  def isalpha(): this.type = add((c, _) => c.rlike("^[A-Za-z]+$"))
+  def isalnum(): this.type = add((c, _) => c.rlike("^[A-Za-z0-9]+$"))
+  def isspace(): this.type = add((c, _) => c.rlike("^\\s+$"))
+  def islower(): this.type = add((c, _) =>
+    c.rlike("[a-z]") && !c.rlike("[A-Z]"))
+  def isupper(): this.type = add((c, _) =>
+    c.rlike("[A-Z]") && !c.rlike("[a-z]"))
+
   def substringOf(pos: Int, len: Int): this.type = add((c, _) => substring(c, pos, len))
 
   def cast(dt: DataType): this.type = add((c, _) => c.cast(dt))

@@ -30,21 +30,55 @@ object KmvSketch {
 
   /** Returns the final sorted buffer (≤ k smallest distinct hashes);
     * [[estimate]] turns it into a count. Exposing the buffer keeps the
-    * aggregator reusable (union of sketches, quantile diagnostics). */
-  class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
-    def zero: Seq[Long] = Vector.empty
-    def reduce(buf: Seq[Long], h: Long): Seq[Long] =
-      if (buf.contains(h)) buf
+    * aggregator reusable (union of sketches, quantile diagnostics).
+    *
+    * The buffer is a sorted array maintained incrementally: the hot path
+    * (billions of rows per group, buffer long since full) is a single
+    * compare against the current k-th minimum — O(1), no allocation.
+    * Inserts use binary search + an in-place shift when full; merges are a
+    * linear two-pointer pass. Never sorts, never scans for membership.
+    */
+  class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val len = buf.length
+      if (len == k && h >= buf(len - 1)) buf // common case: not a new minimum
       else {
-        val merged = (buf :+ h).sorted
-        if (merged.length > k) merged.take(k) else merged
+        val pos = java.util.Arrays.binarySearch(buf, h)
+        if (pos >= 0) buf // already present
+        else {
+          val ins = -pos - 1
+          if (len < k) {
+            val out = new Array[Long](len + 1)
+            System.arraycopy(buf, 0, out, 0, ins)
+            out(ins) = h
+            System.arraycopy(buf, ins, out, ins + 1, len - ins)
+            out
+          } else {
+            // full: shift (ins .. k-2) right, dropping the old maximum —
+            // in-place, zero allocation (arraycopy handles the overlap)
+            System.arraycopy(buf, ins, buf, ins + 1, len - 1 - ins)
+            buf(ins) = h
+            buf
+          }
+        }
       }
-    def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
-      val merged = (a ++ b).distinct.sorted
-      if (merged.length > k) merged.take(k) else merged
     }
-    def finish(buf: Seq[Long]): Seq[Long] = buf
-    def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      var last = 0L; var seen = false
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+        val v = if (takeA) { val x = a(i); i += 1; x } else { val x = b(j); j += 1; x }
+        if (!seen || v != last) { out(n) = v; n += 1; last = v; seen = true }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 

@@ -29,7 +29,26 @@ import org.apache.spark.sql.types._
   */
 object AsOfJoin {
 
-  val MaxDimRowsDefault: Int = 10_000_000 // ~80MB of longs — broadcastable
+  /** Hard row cap for the broadcast strategy. The collect materializes full
+    * generic `Row`s (ordinal + payloads), not packed longs — 1M rows of a
+    * few boxed fields is ~100–300 MB on the driver heap, a safe ceiling for
+    * a default driver; [[asOfAuto]] additionally applies a byte budget
+    * estimated from the payload schema and falls back to the merge strategy
+    * well before the heap cliff.
+    */
+  val MaxDimRowsDefault: Int = 1_000_000
+  /** Estimated-bytes budget for the broadcast collect (schema-based). */
+  val MaxBroadcastBytesDefault: Long = 128L << 20
+
+  /** Rows of `schema` that fit in `maxBytes`, bounded by `maxRows`. Uses
+    * Catalyst's per-type `defaultSize` plus generic-Row JVM overhead
+    * (object header + per-field reference + boxing) — an estimate, so the
+    * constant errs conservative.
+    */
+  private def broadcastRowBudget(schema: StructType, maxRows: Int, maxBytes: Long): Int = {
+    val perRow = schema.defaultSize.toLong + 24L + 12L * schema.fields.length
+    math.min(maxRows.toLong, math.max(1L, maxBytes / perRow)).toInt
+  }
 
   private def isIntegral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -92,9 +111,16 @@ object AsOfJoin {
                payloadCols: Seq[String],
                direction: String = ">=",
                rename: Map[String, String] = Map.empty,
-               maxBroadcastRows: Int = MaxDimRowsDefault): DataFrame = {
+               maxBroadcastRows: Int = MaxDimRowsDefault,
+               maxBroadcastBytes: Long = MaxBroadcastBytesDefault): DataFrame = {
     val deduped = dedupDim(dim, dimCol, payloadCols)
-    val small = deduped.limit(maxBroadcastRows + 1).count() <= maxBroadcastRows
+    // row budget = min(row cap, byte budget / estimated row width): wide or
+    // string-heavy payloads flip to the merge strategy at far fewer rows
+    // than a bare row count would allow
+    val budget = broadcastRowBudget(
+      StructType(deduped.schema(dimCol) +: payloadCols.map(deduped.schema(_))),
+      maxBroadcastRows, maxBroadcastBytes)
+    val small = deduped.limit(budget + 1).count() <= budget
     if (small)
       asOfBroadcast(fact, factCol, deduped, dimCol, payloadCols, direction, rename, None)
     else

@@ -30,6 +30,83 @@ import graft.functions.PortableHash.P
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Persist + eagerly materialize `result`, then unpersist the (large)
+    * `intermediates` backing it — the pattern that keeps the big cached
+    * inverted-index / signature relations from outliving the operator in a
+    * long-running application (disk-spilled blocks are not LRU-evicted).
+    * The returned DataFrame stays cached; its blocks are pair-sized (orders
+    * of magnitude smaller than the intermediates) and callers that loop may
+    * `unpersist()` the handle when done.
+    */
+  private def materializeAndRelease(result: DataFrame,
+                                    intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    intermediates.foreach(_.unpersist())
+    out
+  }
+
+  /** Candidate (id_a < id_b) pairs from bucketed rows with a hot-bucket
+    * guard. A bucket holding B rows normally contributes its B·(B−1)/2
+    * within-bucket pairs via a self-equi-join on the bucket key; one key
+    * shared by a large fraction of a dup-heavy corpus (the dedup use case —
+    * e.g. one boilerplate page × 1M copies) would emit 10¹² join rows into
+    * a single reducer. Any bucket larger than `maxBucket` therefore emits
+    * only its B−1 STAR pairs — minimum id linked to every other member —
+    * O(B) rows that preserve the bucket's connectivity for
+    * component-finding ([[connectedComponentsAuto]]). Capped buckets are
+    * logged with their sizes; the non-star pairs of a capped bucket (and
+    * pairwise similarity values between its non-canonical members) are not
+    * enumerated. Buckets at or under the cap are exact.
+    *
+    * Cost: one aggregate over the bucketed rows (the hot-key census — same
+    * O(rows) shuffle class as the join itself) + the guarded self-join.
+    * The census result is bounded by rows/maxBucket keys, so it collects
+    * and broadcasts safely.
+    */
+  private[operators] def guardedBucketPairs(banded: DataFrame,
+                                            bucketCols: Seq[String],
+                                            idCol: String,
+                                            maxBucket: Int,
+                                            dedup: Boolean = true): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket")
+    // dedup=false skips the distinct shuffle — only valid when each id
+    // appears in at most one bucket (single-bucket schemes like sign-LSH)
+    def maybeDistinct(p: DataFrame): DataFrame = if (dedup) p.distinct() else p
+    val spark = banded.sparkSession
+    val keyed = banded.select((bucketCols :+ idCol).map(col): _*)
+    def selfJoin(src: DataFrame): DataFrame = {
+      val a = src.select(bucketCols.map(col) :+ col(idCol).as("id_a"): _*)
+      val b = src.select(bucketCols.map(col) :+ col(idCol).as("id_b"): _*)
+      a.join(b, bucketCols).where(col("id_a") < col("id_b")).select("id_a", "id_b")
+    }
+    val hotRows = keyed.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__bc"), min(col(idCol)).as("__bmin"))
+      .where(col("__bc") > maxBucket)
+      .collect()
+    if (hotRows.isEmpty) maybeDistinct(selfJoin(keyed))
+    else {
+      val sizes = hotRows.map(_.getAs[Long]("__bc"))
+      log.warn(s"guardedBucketPairs: ${hotRows.length} bucket(s) over maxBucket=$maxBucket " +
+        s"capped to star edges (sizes max=${sizes.max} total=${sizes.sum}); " +
+        "within-bucket pair enumeration skipped for these buckets")
+      val hotDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(
+          bucketCols.map(c => keyed.schema(c)) :+
+            org.apache.spark.sql.types.StructField("__bc", LongType) :+
+            keyed.schema(idCol).copy(name = "__bmin")))
+      val flagged = keyed.join(broadcast(hotDf), bucketCols, "left")
+      val cold = selfJoin(
+        flagged.where(col("__bc").isNull).select((bucketCols :+ idCol).map(col): _*))
+      val star = flagged.where(col("__bc").isNotNull && col(idCol) =!= col("__bmin"))
+        .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
+      maybeDistinct(cold.union(star))
+    }
+  }
+
   // ---- exact ------------------------------------------------------------
 
   /** Keep one row per distinct value of `keyCols`: the row with the minimal
@@ -85,14 +162,21 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = inv.select(col("__h"), col("__id").as("id_a"), col("__n").as("__na"))
     val b = inv.select(col("__h"), col("__id").as("id_b"), col("__n").as("__nb"))
-    a.join(b, Seq("__h"))
-      .where(col("id_a") < col("id_b"))
+    // size-ratio prefilter (lossless): J = inter/union ≤ min(|A|,|B|)/max,
+    // so J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|) — evaluated inside the
+    // join, it drops size-mismatched co-occurrence rows before they reach
+    // the per-pair aggregation shuffle.
+    val pairs = a.join(b, Seq("__h"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("__na"), col("__nb")).cast(DoubleType) >=
+          lit(threshold) * greatest(col("__na"), col("__nb")).cast(DoubleType))
       .groupBy("id_a", "id_b", "__na", "__nb")
       .agg(count(lit(1)).as("__inter"))
       .withColumn("jaccard", col("__inter").cast(DoubleType) /
         (col("__na") + col("__nb") - col("__inter")).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(pairs, inv)
   }
 
   // ---- MinHash + LSH ------------------------------------------------------
@@ -134,10 +218,13 @@ object Dedup {
     * band become candidates (shuffle on the band key — O(docs × bands)
     * rows), then candidates verify with exact shingle Jaccard ≥ threshold.
     * Returns (id_a, id_b, jaccard), id_a < id_b, one row per pair.
+    * Band buckets larger than `maxBucket` are capped to star edges
+    * ([[guardedBucketPairs]]) — the guard that keeps a dup-heavy corpus
+    * (1M copies of one page agreeing on every band) from going quadratic.
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, numPerms: Int, bands: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxBucket: Int = 4096): DataFrame = {
     require(numPerms % bands == 0, s"numPerms $numPerms not divisible by bands $bands")
     val r = numPerms / bands
     // Cached: consumed by the band explode AND the verification join —
@@ -156,18 +243,15 @@ object Dedup {
           concat_ws(",", slice(col("__sig"), bIdx * r + 1, r)).as("key"))
       }: _*)).as("__b"))
       .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band", "key"))
-      .where(col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
+    val candidates = guardedBucketPairs(banded, Seq("band", "key"), "__id", maxBucket)
     val sets = withSig.select(col("__id"), col("__sh"))
-    candidates
+    val pairs = candidates
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    materializeAndRelease(pairs, withSig)
   }
 
   // ---- dedup as an action: components + drop ------------------------------
@@ -249,7 +333,10 @@ object Dedup {
                            maxDriverEdges: Int): Option[Array[(Long, Long)]] =
     if (ids.schema(idCol).dataType != LongType) None
     else {
+      // null ids must not reach getLong — null.asInstanceOf[Long] is 0L,
+      // which would fabricate edges to a phantom node 0
       val rows = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+        .where(col("id_a").isNotNull && col("id_b").isNotNull)
         .limit(maxDriverEdges + 1).collect()
       if (rows.length > maxDriverEdges) None
       else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
@@ -287,8 +374,11 @@ object Dedup {
                          n: Int, numPerms: Int, bands: Int,
                          threshold: Double,
                          maxDriverEdges: Int = 10_000_000): DataFrame = {
+    // minHashPairs returns an eagerly-materialized cached handle, so the
+    // collectEdges probe and a distributed fallback read the same blocks —
+    // the pair pipeline runs once either way.
     val pairs = minHashPairs(df, idCol, textCol, n, numPerms, bands, threshold)
-    collectEdges(df, idCol, pairs, maxDriverEdges) match {
+    val out = collectEdges(df, idCol, pairs, maxDriverEdges) match {
       case Some(edges) =>
         // Fast path: the drop-set (non-canonical members of clusters) is at
         // most 2×|edges| ids — broadcast anti-join it against the corpus.
@@ -305,6 +395,10 @@ object Dedup {
         val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
         df.join(comps.where(col("id") === col("comp")).select(col("id").as(idCol)), Seq(idCol))
     }
+    // both paths have consumed pairs into driver state or a materialized
+    // label cache; release its blocks now rather than at application exit
+    pairs.unpersist()
+    out
   }
 
   // ---- SimHash ------------------------------------------------------------
@@ -349,30 +443,38 @@ object Dedup {
     * (id_a, id_b, hamming).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, maxBucket: Int = 4096): DataFrame = {
     require(maxDist <= 3,
       s"byte-banding over 4 bands is pigeonhole-complete only for maxDist <= 3 " +
         s"(got $maxDist); pairs at greater distance could share no band and be " +
         s"silently dropped — use more bands for a larger radius")
     // cached: the banded self-join's two branches would otherwise each
-    // recompute the signature aggregation
+    // recompute the signature aggregation. Only (id, sig) is cached — two
+    // longs per doc.
     val withSig = simHashSignatures(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSig.select(col("__id"), col("__sig"),
+    // band rows carry ONLY (band, key, id); the 31-bit signatures join back
+    // per surviving candidate pair rather than riding the banded self-join
+    // on both sides. A 31-bit simhash has at most 256 distinct keys per
+    // byte band, so buckets grow linearly with the corpus — the maxBucket
+    // star-capping guard is structural here, not just a skew fallback (at
+    // ~1M docs EVERY bucket is hot; for a larger exact radius search, use
+    // more signature bits/bands).
+    val banded = withSig.select(col("__id"),
       explode(array((0 until 4).map { k =>
         struct(lit(k).as("band"),
           shiftright(col("__sig"), k * 8).bitwiseAND(lit(255L)).as("key"))
       }: _*)).as("__b"))
-    val a = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
-      col("__id").as("id_a"), col("__sig").as("__siga"))
-    val b = banded.select(col("__b.band").as("band"), col("__b.key").as("key"),
-      col("__id").as("id_b"), col("__sig").as("__sigb"))
-    a.join(b, Seq("band", "key"))
-      .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
+    val candidates = guardedBucketPairs(banded, Seq("band", "key"), "__id", maxBucket)
+    val sigs = withSig.select(col("__id"), col("__sig"))
+    val pairs = candidates
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__siga")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sigb")), Seq("id_b"))
       .withColumn("hamming",
         bit_count(col("__siga").bitwiseXOR(col("__sigb"))).cast(LongType))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+    materializeAndRelease(pairs, withSig)
   }
 }

@@ -139,20 +139,36 @@ object VectorSimilarity {
   /** Embedding near-dup pairs: (id_a < id_b) with cosine ≥ threshold,
     * candidates bucketed by sign-LSH (near-identical vectors share a
     * bucket with high probability). Returns (id_a, id_b, cosine).
+    * Buckets larger than `maxBucket` are capped to star edges
+    * ([[Dedup.guardedBucketPairs]]) — the guard against a dup-heavy corpus
+    * (1M copies of one embedding share a bucket) going quadratic.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, numPlanes: Int, dim: Int): DataFrame = {
-    // cached: both self-join branches consume it; the bucket projection
-    // (numPlanes dot products per vector) would otherwise run twice
+                         threshold: Double, numPlanes: Int, dim: Int,
+                         maxBucket: Int = 4096): DataFrame = {
+    // cached: the bucket census, candidate join branches, and the
+    // per-candidate vector join-back all consume it; the bucket projection
+    // (numPlanes dot products per vector) would otherwise run repeatedly
     val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       lshBucket(col(vecCol), numPlanes, dim).as("__bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withB.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = withB.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("__bucket"))
-      .where(col("id_a") < col("id_b"))
+    // candidates carry only (bucket, id); vectors join back per surviving
+    // candidate pair instead of riding both sides of the self-join
+    // dedup=false: each vector lives in exactly one sign bucket, so the
+    // candidate pairs are already unique — no distinct shuffle needed
+    val candidates = Dedup.guardedBucketPairs(
+      withB.select(col("__bucket"), col("__id")), Seq("__bucket"), "__id",
+      maxBucket, dedup = false)
+    val vecs = withB.select(col("__id"), col("__v"))
+    val pairs = candidates
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    withB.unpersist()
+    out
   }
 }
