@@ -90,6 +90,42 @@ object VectorSimilarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Train IVF centroids with spark-mllib KMeans (k-means|| init, seeded —
+    * deterministic for a fixed dataset + partitioning). Returns the k
+    * cluster centers sorted lexicographically (canonical order, so centroid
+    * ids are reproducible regardless of mllib's internal init order).
+    * Training cost is the usual KMeans O(iters · N · k) — run it on a
+    * deterministic sample for a 100 TB corpus; the index quality, not
+    * correctness, is what the sample size buys.
+    */
+  def trainIvfCentroids(df: DataFrame, vecCol: String, k: Int,
+                        seed: Long = 7L, maxIter: Int = 20): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.types.{ArrayType, DoubleType => DT}
+    val feats = df.select(
+      array_to_vector(col(vecCol).cast(ArrayType(DT))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(feats)
+    def lexLt(a: Array[Double], b: Array[Double]): Boolean = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        if (a(i) != b(i)) return a(i) < b(i)
+        i += 1
+      }
+      a.length < b.length
+    }
+    model.clusterCenters.map(_.toArray).sortWith(lexLt)
+  }
+
+  /** Centroid array constants → a (cid, cv) DataFrame for [[ivfTopK]]. */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cid", "cv")
+  }
+
   /** Assign each vector to its nearest centroid by cosine (ties → lowest
     * centroid id): the IVF partition step. `centroids` is small (a real
     * build k-means-trains it; here any deterministic selection works) and

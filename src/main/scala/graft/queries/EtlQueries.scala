@@ -138,6 +138,21 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // T1: broadened Python-str surface — count, find, center (odd width →
+    // CPython's extra-fill-left quirk), rfind, casefold + strip(chars)
+    "q_transform_pystr" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.idOrder = Seq("p_partkey")
+      p.extract("SELECT p_partkey, p_name, p_name AS n2, p_brand, p_type, p_type AS t2 FROM part WHERE p_partkey <= 400")
+      p.transform("p_name").count("al")
+      p.transform("n2").find("al")
+      p.transform("p_brand").center(13, "*")
+      p.transform("p_type").rfind("ED")
+      p.transform("t2").casefold().strip("aeiou")
+      p.load()
+      p.result().orderBy("id")
+    },
+
     // T2: falsy default — null, '' and 0 all replaced
     "q_default_falsy" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
@@ -304,6 +319,20 @@ object EtlQueries {
         |                 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
         |                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS p_type
         |FROM part WHERE p_partkey <= 300 ORDER BY id""".stripMargin,
+
+    "q_transform_pystr" ->
+      """SELECT row_number() OVER (ORDER BY p_partkey) AS id, p_partkey,
+        |       CAST((length(p_name) - length(replace(p_name, 'al', ''))) / 2 AS BIGINT) AS p_name,
+        |       CAST(strpos(p_name, 'al') - 1 AS BIGINT) AS n2,
+        |       CASE WHEN length(p_brand) >= 13 THEN p_brand
+        |            ELSE repeat('*', ((13 - length(p_brand)) // 2) + ((13 - length(p_brand)) & 13 & 1))
+        |                 || p_brand ||
+        |                 repeat('*', (13 - length(p_brand)) - (((13 - length(p_brand)) // 2) + ((13 - length(p_brand)) & 13 & 1)))
+        |       END AS p_brand,
+        |       CAST(CASE WHEN strpos(reverse(p_type), 'DE') = 0 THEN -1
+        |                 ELSE length(p_type) - strpos(reverse(p_type), 'DE') - 1 END AS BIGINT) AS p_type,
+        |       trim(lower(p_type), 'aeiou') AS t2
+        |FROM part WHERE p_partkey <= 400 ORDER BY id""".stripMargin,
 
     "q_default_falsy" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS id, c_custkey,

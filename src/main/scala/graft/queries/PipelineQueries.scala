@@ -98,6 +98,33 @@ object PipelineQueries {
           unix_micros(col("session_end")).as("end_us"),
           col("n_events"))
         .orderBy("user_id", "start_us")
+    },
+
+    // the streaming tumbling-count aggregation, batch-replayed: identical
+    // code path as readStream (watermark is a no-op on a batch input);
+    // epoch-aligned 10-minute windows are pure SQL for the oracle
+    "q_stream_windowed_counts" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+        .select(col("ts"), col("event_type"))
+      Sessions.windowedCounts(ev, "10 minutes", "1 hour")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"))
+        .orderBy("window_start_us", "event_type")
+    },
+
+    // the mapGroupsWithState sessionizer, batch-replayed: in batch mode each
+    // user's full history arrives in ONE group invocation, so the emitted
+    // update is the user's LAST session — which the oracle reproduces by
+    // picking the latest session of the gap-split grouping (the same
+    // grouping q_sql_sessionize / q_stream_session_batch verify)
+    "q_stream_stateful_sessions" -> { (spark, sfDir) =>
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .as[Sessions.SessionEvent]
+      Sessions.statefulSessions(ev, 1800000000L).toDF()
+        .orderBy("user_id")
     }
   )
 
@@ -149,6 +176,31 @@ object PipelineQueries {
          |SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
          |       CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
          |       count(*) AS n_events
-         |FROM g GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin
+         |FROM g GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin,
+
+    "q_stream_windowed_counts" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT CAST((us // 600000000) * 600000000 AS BIGINT) AS window_start_us,
+        |       event_type, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_stateful_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         |s AS (SELECT user_id, event_id, us,
+         |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+         |      FROM e),
+         |g AS (SELECT user_id, us,
+         |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+         |      FROM s),
+         |sessions AS (SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+         |                    CAST(max(us) AS BIGINT) AS session_end_us,
+         |                    count(*) AS n_events
+         |             FROM g GROUP BY user_id, sess),
+         |last AS (SELECT user_id, max(session_start_us) AS mx FROM sessions GROUP BY user_id)
+         |SELECT s.user_id, s.session_start_us, s.session_end_us, s.n_events
+         |FROM sessions s JOIN last l ON s.user_id = l.user_id AND s.session_start_us = l.mx
+         |ORDER BY s.user_id""".stripMargin
   )
 }

@@ -155,11 +155,11 @@ object TrainingDataQueries {
 
     "q_knn_ivf" -> { (spark, sfDir) =>
       val e = embs(spark, sfDir).select("vec_id", "embedding")
-      // deterministic centroid selection (vec_id < 8) stands in for k-means
-      // training; the assignment + inverted-list search plumbing is real
-      val cents = e.where(col("vec_id") < 8)
+      // KMeans-trained centroids ([[IvfCentroids]]: seeded spark-mllib
+      // training, frozen as literals shared with the DuckDB oracle)
+      val cents = VectorSimilarity.centroidFrame(spark, IvfCentroids.K8Sf001)
       VectorSimilarity.ivfTopK(e, e.where(col("vec_id") < 10),
-          "vec_id", "embedding", cents, "vec_id", "embedding", k = 3, nprobe = 2)
+          "vec_id", "embedding", cents, "cid", "cv", k = 3, nprobe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           e9(col("cosine")).as("cosine_e9"))
         .orderBy("query_id", "rank")
@@ -402,7 +402,10 @@ object TrainingDataQueries {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_knn_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+      s"""WITH cents(cid, cv) AS (VALUES
+         |  ${IvfCentroids.K8Sf001.zipWithIndex.map { case (v, i) =>
+               s"(CAST($i AS BIGINT), CAST(${v.mkString("[", ", ", "]")} AS DOUBLE[]))"
+             }.mkString(",\n  ")}),
          |sc AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS csim
          |       FROM embeddings e CROSS JOIN cents c),
          |asg AS (SELECT vec_id, embedding, cid AS cluster_id,
