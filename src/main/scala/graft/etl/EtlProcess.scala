@@ -37,6 +37,18 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
     * reference relied on source-DB result order. */
   var idOrder: Seq[String] = Seq.empty
 
+  /** S6: progress reporting — the reference's VERBOSE/tqdm loop
+    * (easy_etl/__init__.py:33-40). A Spark load is one distributed job, so
+    * progress is per-phase row counts rather than a per-row bar. Off by
+    * default (the counts cost one extra action per load); enable with env
+    * `GRAFT_VERBOSE=1` or by setting [[verbose]]. [[progress]] is the sink
+    * (stderr by default — swap in a collector for tests).
+    */
+  var verbose: Boolean =
+    sys.env.get("GRAFT_VERBOSE").exists(v => v == "1" || v.equalsIgnoreCase("true"))
+  var progress: String => Unit = m => Console.err.println(s"[graft] $m")
+  private def report(msg: => String): Unit = if (verbose) progress(msg)
+
   private def spark: SparkSession = src.spark
 
   private case class LinkSpec(field: String, target: String, tableName: String,
@@ -63,23 +75,46 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
     this.writePkField = writePkField
     this.extractThunk = Some(() => {
       src.registerViews()
-      val finalSql = writePkField match {
-        case Some(pk) =>
-          val last: Long = tgt.tableIfExists(writeTableName) match {
-            case Some(t) if t.columns.contains(pk) =>
-              val r = t.agg(max(col(pk)).cast("long")).head()
-              if (r.isNullAt(0)) 0L else r.getLong(0)
-            case _ => 0L
-          }
-          // single-placeholder substitution, NOT full format: literal braces
-          // elsewhere in the SQL (JSON etc.) stay intact (SURVEY §7.5 item 4)
-          val i = sql.indexOf("{}")
-          require(i >= 0, "incremental extract SQL needs a {} placeholder")
-          sql.substring(0, i) + last.toString + sql.substring(i + 2)
-        case None => sql
-      }
-      spark.sql(finalSql)
+      spark.sql(resolveIncremental(sql))
     })
+    this
+  }
+
+  /** The incremental-watermark substitution shared by SQL and JDBC
+    * extracts: with [[writePkField]] staged, the single `{}` placeholder is
+    * replaced by max(pk) of the target table. Single-placeholder
+    * substitution, NOT full format: literal braces elsewhere in the SQL
+    * (JSON etc.) stay intact (SURVEY §7.5 item 4). */
+  private def resolveIncremental(sql: String): String = writePkField match {
+    case Some(pk) =>
+      val last: Long = tgt.tableIfExists(writeTableName) match {
+        // case-insensitive: JDBC sources (Derby, Oracle, ...) uppercase
+        // unquoted identifiers, and Spark's analyzer resolves max(col(pk))
+        // case-insensitively anyway — the existence check must agree with it
+        case Some(t) if t.columns.exists(_.equalsIgnoreCase(pk)) =>
+          val r = t.agg(max(col(pk)).cast("long")).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        case _ => 0L
+      }
+      val i = sql.indexOf("{}")
+      require(i >= 0, "incremental extract SQL needs a {} placeholder")
+      sql.substring(0, i) + last.toString + sql.substring(i + 2)
+    case None => sql
+  }
+
+  /** Stage a JDBC extract — the reference's actual source type (a SQL
+    * database). `sql` executes IN the database ([[graft.sources.JdbcSource]]
+    * pushdown); `writePkField` gives the same incremental `{}` watermark as
+    * the SQL extract.
+    */
+  def extractJdbc(url: String, sql: String,
+                  writePkField: Option[String] = None,
+                  types: Map[String, DataType] = Map.empty,
+                  props: java.util.Properties = new java.util.Properties): this.type = {
+    this.types = types
+    this.writePkField = writePkField
+    this.extractThunk = Some(() =>
+      graft.sources.JdbcSource.query(spark, url, resolveIncremental(sql), props))
     this
   }
 
@@ -135,9 +170,14 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
     * state resets afterwards (easy_etl/__init__.py:44, 64-70). */
   def load(upsertFields: Seq[String] = Nil, ensure: Boolean = true,
            safe: Boolean = false): Unit = {
-    val extracted = extractThunk
+    val extracted0 = extractThunk
       .getOrElse(throw new IllegalStateException("no extract staged"))
       .apply()
+    // verbose counts re-run the lineage; cache the extract across the two
+    // actions (count + write) so the source is read once either way
+    val extracted = if (!verbose) extracted0
+      else extracted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    report(s"extract: ${extracted.count()} rows")
 
     val afterMw = middlewares.foldLeft(extracted)((df, f) => f(df))
 
@@ -175,8 +215,11 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
     val afterIgnore =
       if (ignored.isEmpty) afterLinks else afterLinks.drop(ignored: _*)
 
+    report(s"load: ${afterIgnore.count()} rows -> $writeTableName" +
+      (if (upsertFields.nonEmpty) s" (upsert on ${upsertFields.mkString(",")})" else ""))
     Loader.load(tgt, writeTableName, afterIgnore,
       upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
+    if (verbose) extracted.unpersist()
 
     reset()
   }

@@ -30,23 +30,34 @@ object SkewJoin {
     "left_semi", "leftsemi", "left_anti", "leftanti")
 
   /** Equi-join `left.leftKey == right.rightKey` with salting (inner / left /
-    * semi / anti). */
+    * semi / anti).
+    *
+    * `saltFrom`: columns to hash for the salt; default = every left column.
+    * The content salt is retry-stable but colocates EXACT duplicate rows of
+    * a hot key in one bucket — a corpus with the same hot row duplicated
+    * verbatim regains the single-reducer bottleneck. Callers in that
+    * situation should pass a pre-materialized stable distinguishing column
+    * (a durable row id from storage, a file+offset ordinal) as `saltFrom`,
+    * or dedup the exact copies first ([[Dedup.exact]]).
+    */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
-                 buckets: Int, joinType: String = "inner"): DataFrame = {
+                 buckets: Int, joinType: String = "inner",
+                 saltFrom: Seq[String] = Nil): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(SupportedJoinTypes.contains(joinType.toLowerCase),
       s"saltedJoin supports ${SupportedJoinTypes.mkString("/")} only, got '$joinType' " +
         "(right/full-outer would duplicate unmatched right rows per salt)")
-    // Salt purely from row CONTENT (xxhash64 of every left column): a task
-    // retry re-hashing the same row always lands in the same bucket, even
-    // when the input sits behind a shuffle/AQE boundary that replays rows in
-    // a different order — positional salts (monotonically_increasing_id,
-    // rand with seed) are only retry-stable for deterministic scans and
-    // would lose or duplicate join rows otherwise. Trade-off: EXACT
-    // duplicate rows of the hot key colocate in one bucket; rows that differ
-    // in any non-key column still spread across all `buckets`.
-    val saltSrc: Seq[Column] = left.columns.toSeq.map(col)
+    require(saltFrom.forall(left.columns.contains),
+      s"saltFrom column(s) absent from left: ${saltFrom.filterNot(left.columns.contains).mkString(", ")}")
+    // Salt from row CONTENT (xxhash64): a task retry re-hashing the same
+    // row always lands in the same bucket, even when the input sits behind
+    // a shuffle/AQE boundary that replays rows in a different order —
+    // positional salts (monotonically_increasing_id, rand with seed) are
+    // only retry-stable for deterministic scans and would lose or duplicate
+    // join rows otherwise.
+    val saltSrc: Seq[Column] =
+      (if (saltFrom.nonEmpty) saltFrom else left.columns.toSeq).map(col)
     val l = left.withColumn("__salt",
       pmod(xxhash64(saltSrc: _*), lit(buckets.toLong)).cast("int"))
     val r = right

@@ -72,6 +72,47 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    // JDBC round-trip through embedded Derby: seed the database from the
+    // parquet table, extract back through the pushdown JDBC source (the
+    // reference's actual source type is a SQL database), load, read. The
+    // oracle sees only the original parquet — a faithful JDBC extract is
+    // invisible in the result.
+    "q_source_jdbc" -> { (spark, sfDir) =>
+      val db = "graftq" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val rows = spark.read.parquet(s"$sfDir/nation.parquet")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long")).collect()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.createStatement().execute(
+          "CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR(64), n_regionkey BIGINT)")
+        val ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+          ps.setLong(3, r.getLong(2)); ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally conn.close()
+      val src = new graft.etl.Catalog(spark, sfDir)
+      val tgt = new graft.etl.Catalog(spark,
+        java.nio.file.Files.createTempDirectory("graft-q").toString)
+      val p = new graft.etl.EtlProcess(src, tgt, "t")
+      p.idOrder = Seq("n_nationkey")
+      p.extractJdbc(url,
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey < 3")
+      p.load()
+      // load() is eager, so the in-memory database can drop now; the result
+      // reads the parquet target, not Derby
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () } // success reports as an exception
+      // Derby uppercases unquoted identifiers; re-alias to the parquet
+      // spelling so the result schema matches the oracle's
+      p.result().select(col("id"), col("n_nationkey").as("n_nationkey"),
+          col("n_name").as("n_name"), col("n_regionkey").as("n_regionkey"))
+        .orderBy("id")
+    },
+
     // JSON-lines round-trip, same contract
     "q_source_json" -> { (spark, sfDir) =>
       val src = eventsSubset(spark, sfDir)
@@ -134,6 +175,12 @@ object ExtensionQueries {
       """SELECT event_id, event_type, user_id, props,
         |       epoch_us(CAST(ts AS TIMESTAMP)) AS us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_source_jdbc" ->
+      """SELECT row_number() OVER (ORDER BY n_nationkey) AS id,
+        |       CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey < 3 ORDER BY id""".stripMargin,
 
     "q_flatmap_tokens" ->
       """WITH t AS (SELECT doc_id,

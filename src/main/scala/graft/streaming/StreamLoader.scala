@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.etl.{Catalog, Loader}
+
+/** Streaming → ETL-target integration: a `writeStream` sink that lands each
+  * micro-batch through [[Loader.load]], so streams compose with the batch
+  * ETL API — same parquet table layout, surrogate ids continuing across
+  * batches AND across batch/stream loads, schema evolution, atomic swap.
+  * (The reference is batch-only by design; extension scope.)
+  *
+  * Delivery semantics: the checkpoint gives at-least-once batch redelivery
+  * after a restart — a replayed batch APPENDS again. For effectively-
+  * exactly-once, pass `upsertFields` on a business key: the replayed rows
+  * merge onto their previous load instead of duplicating.
+  *
+  * Scale: each micro-batch is one distributed Loader write (O(batch) on
+  * the append fast path); state lives in the stream's own operators, not
+  * the sink.
+  */
+object StreamLoader {
+
+  def streamInto(stream: DataFrame, tgt: Catalog, table: String,
+                 checkpointDir: String,
+                 idOrder: Seq[String] = Nil,
+                 upsertFields: Seq[String] = Nil): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Loader.load(tgt, table, batch,
+          upsertFields = upsertFields, idOrder = idOrder)
+      }
+      .start()
+}
