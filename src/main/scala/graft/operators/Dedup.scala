@@ -314,9 +314,13 @@ object Dedup {
     */
   def connectedComponentsAuto(ids: DataFrame, idCol: String, pairs: DataFrame,
                               maxDriverEdges: Int = 10_000_000,
-                              maxIters: Int = 20): DataFrame =
-    collectEdges(ids, idCol, pairs, maxDriverEdges) match {
-      case None => connectedComponents(ids, idCol, pairs, maxIters)
+                              maxIters: Int = 20): DataFrame = {
+    // persist across the probe: when the edge count exceeds the guard, the
+    // distributed fallback must not re-run the (expensive) pair pipeline a
+    // second time. No-op if the caller already persisted.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = collectEdges(ids, idCol, p, maxDriverEdges) match {
+      case None => connectedComponents(ids, idCol, p, maxIters)
       case Some(edges) =>
         val comp = unionFindMinLabel(edges)
         val spark = ids.sparkSession
@@ -326,6 +330,12 @@ object Dedup {
           .join(mapping, col("id") === col("__cc_id"), "left")
           .select(col("id"), coalesce(col("__cc_comp"), col("id")).as("comp"))
     }
+    // both branches have consumed pairs (driver edges or materialized label
+    // cache); release. Eviction after this only costs recompute, not wrong
+    // answers.
+    p.unpersist()
+    out
+  }
 
   /** Collect the (id_a, id_b) edge list if ids are Long-typed and the list
     * fits under `maxDriverEdges`; None otherwise. */
