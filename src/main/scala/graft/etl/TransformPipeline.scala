@@ -153,6 +153,15 @@ class TransformPipeline {
     * casefolding differs only for locale-special chars like ß). */
   def casefold(): this.type = add((c, _) => org.apache.spark.sql.functions.lower(c))
 
+  /** Python `int.bit_count` / `int.bit_length` (non-negative ints — the
+    * reference dispatches int builtins too). bit_length goes through the
+    * binary-string length instead of log2 so both engines stay integer-exact
+    * (log2 of a power of two is not reliably exact in doubles). */
+  def bit_count(): this.type =
+    add((c, _) => org.apache.spark.sql.functions.bit_count(c).cast(LongType))
+  def bit_length(): this.type = add((c, _) =>
+    when(c === 0, lit(0L)).otherwise(length(bin(c)).cast(LongType)))
+
   // Python str predicates (ASCII character classes; the chain becomes
   // boolean). isdigit/isalpha/isalnum/isspace require non-empty + all
   // chars in class; islower/isupper require ≥1 cased char and all cased

@@ -143,12 +143,14 @@ object EtlQueries {
     "q_transform_pystr" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
       p.idOrder = Seq("p_partkey")
-      p.extract("SELECT p_partkey, p_name, p_name AS n2, p_brand, p_type, p_type AS t2 FROM part WHERE p_partkey <= 400")
+      p.extract("SELECT p_partkey, p_name, p_name AS n2, p_brand, p_type, p_type AS t2, p_size AS sz1, p_size AS sz2 FROM part WHERE p_partkey <= 400")
       p.transform("p_name").count("al")
       p.transform("n2").find("al")
       p.transform("p_brand").center(13, "*")
       p.transform("p_type").rfind("ED")
       p.transform("t2").casefold().strip("aeiou")
+      p.transform("sz1").bit_count()
+      p.transform("sz2").bit_length()
       p.load()
       p.result().orderBy("id")
     },
@@ -331,7 +333,9 @@ object EtlQueries {
         |       END AS p_brand,
         |       CAST(CASE WHEN strpos(reverse(p_type), 'DE') = 0 THEN -1
         |                 ELSE length(p_type) - strpos(reverse(p_type), 'DE') - 1 END AS BIGINT) AS p_type,
-        |       trim(lower(p_type), 'aeiou') AS t2
+        |       trim(lower(p_type), 'aeiou') AS t2,
+        |       CAST(bit_count(CAST(p_size AS BIGINT)) AS BIGINT) AS sz1,
+        |       CAST(CASE WHEN p_size = 0 THEN 0 ELSE length(bin(CAST(p_size AS BIGINT))) END AS BIGINT) AS sz2
         |FROM part WHERE p_partkey <= 400 ORDER BY id""".stripMargin,
 
     "q_default_falsy" ->
