@@ -174,9 +174,11 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
       .getOrElse(throw new IllegalStateException("no extract staged"))
       .apply()
     // verbose counts re-run the lineage; cache the extract across the two
-    // actions (count + write) so the source is read once either way
+    // actions (count + downstream) so the source is read once either way.
+    // try/finally below: a failing load must not leak the cached blocks.
     val extracted = if (!verbose) extracted0
       else extracted0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     report(s"extract: ${extracted.count()} rows")
 
     val afterMw = middlewares.foldLeft(extracted)((df, f) => f(df))
@@ -215,11 +217,18 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
     val afterIgnore =
       if (ignored.isEmpty) afterLinks else afterLinks.drop(ignored: _*)
 
-    report(s"load: ${afterIgnore.count()} rows -> $writeTableName" +
-      (if (upsertFields.nonEmpty) s" (upsert on ${upsertFields.mkString(",")})" else ""))
-    Loader.load(tgt, writeTableName, afterIgnore,
-      upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
-    if (verbose) extracted.unpersist()
+    // cache the final frame across the verbose count and the write — the
+    // count would otherwise re-run the whole transform/link pipeline (the
+    // as-of joins being the expensive part) a second time
+    val toLoad = if (!verbose) afterIgnore
+      else afterIgnore.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      report(s"load: ${toLoad.count()} rows -> $writeTableName" +
+        (if (upsertFields.nonEmpty) s" (upsert on ${upsertFields.mkString(",")})" else ""))
+      Loader.load(tgt, writeTableName, toLoad,
+        upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
+    } finally if (verbose) toLoad.unpersist()
+    } finally if (verbose) extracted.unpersist()
 
     reset()
   }

@@ -109,7 +109,10 @@ class TransformPipeline {
   /** Python `str.center(width, fill)`, including CPython's placement quirk:
     * with an odd margin the extra fill char goes left iff `width` is odd
     * (left = margin/2 + (margin & width & 1)). Never truncates. */
-  def center(width: Int, fill: String = " "): this.type = add { (c, _) =>
+  def center(width: Int, fill: String = " "): this.type = {
+    // Python raises TypeError for a non-single-char fill; fail at staging
+    require(fill.length == 1, s"center fill must be exactly one char: '$fill'")
+    add { (c, _) =>
     val s = c.cast(StringType)
     val marg = lit(width) - length(s)
     val left = floor(marg / 2).cast(IntegerType) +
@@ -120,6 +123,7 @@ class TransformPipeline {
     when(length(s) >= width, s)
       .otherwise(concat(pad.substr(lit(1), left), s,
         pad.substr(lit(1), marg.cast(IntegerType) - left)))
+    }
   }
 
   /** Python `str.count(sub)`: non-overlapping occurrence count. */

@@ -39,6 +39,7 @@ object KmvSketch {
     * linear two-pointer pass. Never sorts, never scans for membership.
     */
   class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k >= 1, s"KMV sketch size k must be >= 1: $k")
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(buf: Array[Long], h: Long): Array[Long] = {
       val len = buf.length

@@ -40,13 +40,37 @@ object AsOfJoin {
   /** Estimated-bytes budget for the broadcast collect (schema-based). */
   val MaxBroadcastBytesDefault: Long = 128L << 20
 
-  /** Rows of `schema` that fit in `maxBytes`, bounded by `maxRows`. Uses
-    * Catalyst's per-type `defaultSize` plus generic-Row JVM overhead
-    * (object header + per-field reference + boxing) — an estimate, so the
-    * constant errs conservative.
+  /** Rows that fit in `maxBytes`, bounded by `maxRows`. Fixed-width fields
+    * use Catalyst's per-type `defaultSize`; variable-width fields
+    * (string/binary/nested) are MEASURED — average serialized bytes over a
+    * bounded sample of the dim (one tiny job) — because `defaultSize`
+    * assumes 20-byte strings and a 10 KB-payload dim would otherwise sail
+    * straight into a driver-OOM broadcast. Generic-Row JVM overhead
+    * (object header, per-field reference, boxing) is added per row.
     */
-  private def broadcastRowBudget(schema: StructType, maxRows: Int, maxBytes: Long): Int = {
-    val perRow = schema.defaultSize.toLong + 24L + 12L * schema.fields.length
+  private def broadcastRowBudget(dim: DataFrame, cols: Seq[String],
+                                 maxRows: Int, maxBytes: Long): Int = {
+    val fields = cols.map(dim.schema(_))
+    def isVarWidth(dt: DataType): Boolean = dt match {
+      case StringType | BinaryType => true
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    }
+    val (varF, fixedF) = fields.partition(f => isVarWidth(f.dataType))
+    val fixedBytes = fixedF.map(_.dataType.defaultSize.toLong).sum
+    val varBytes: Long = if (varF.isEmpty) 0L
+    else {
+      val sample = dim.select(varF.map { f =>
+        f.dataType match {
+          case StringType => octet_length(col(f.name))
+          case BinaryType => length(col(f.name))
+          case _ => length(to_json(struct(col(f.name))))
+        }
+      }.reduce(_ + _).cast(LongType).as("__b")).limit(65536)
+      val r = sample.agg(avg(col("__b"))).head()
+      if (r.isNullAt(0)) 20L * varF.length else math.ceil(r.getDouble(0)).toLong
+    }
+    val perRow = fixedBytes + varBytes + 24L + 16L * fields.length
     math.min(maxRows.toLong, math.max(1L, maxBytes / perRow)).toInt
   }
 
@@ -114,11 +138,10 @@ object AsOfJoin {
                maxBroadcastRows: Int = MaxDimRowsDefault,
                maxBroadcastBytes: Long = MaxBroadcastBytesDefault): DataFrame = {
     val deduped = dedupDim(dim, dimCol, payloadCols)
-    // row budget = min(row cap, byte budget / estimated row width): wide or
+    // row budget = min(row cap, byte budget / measured row width): wide or
     // string-heavy payloads flip to the merge strategy at far fewer rows
     // than a bare row count would allow
-    val budget = broadcastRowBudget(
-      StructType(deduped.schema(dimCol) +: payloadCols.map(deduped.schema(_))),
+    val budget = broadcastRowBudget(deduped, dimCol +: payloadCols,
       maxBroadcastRows, maxBroadcastBytes)
     val small = deduped.limit(budget + 1).count() <= budget
     if (small)

@@ -40,8 +40,8 @@ object Dedup {
     * of magnitude smaller than the intermediates) and callers that loop may
     * `unpersist()` the handle when done.
     */
-  private def materializeAndRelease(result: DataFrame,
-                                    intermediates: DataFrame*): DataFrame = {
+  private[operators] def materializeAndRelease(result: DataFrame,
+                                               intermediates: DataFrame*): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     intermediates.foreach(_.unpersist())
@@ -55,11 +55,21 @@ object Dedup {
     * e.g. one boilerplate page × 1M copies) would emit 10¹² join rows into
     * a single reducer. Any bucket larger than `maxBucket` therefore emits
     * only its B−1 STAR pairs — minimum id linked to every other member —
-    * O(B) rows that preserve the bucket's connectivity for
-    * component-finding ([[connectedComponentsAuto]]). Capped buckets are
-    * logged with their sizes; the non-star pairs of a capped bucket (and
-    * pairwise similarity values between its non-canonical members) are not
-    * enumerated. Buckets at or under the cap are exact.
+    * O(B) rows instead of O(B²). Capped buckets are logged with their
+    * sizes; the non-star pairs of a capped bucket (and pairwise similarity
+    * values between its non-canonical members) are not enumerated. Buckets
+    * at or under the cap are exact.
+    *
+    * RECALL CAVEAT: candidates still pass the caller's similarity
+    * verification, so a capped bucket's connectivity is preserved only
+    * among members genuinely similar to the bucket MINIMUM. When a hot
+    * bucket is one giant duplicate cluster (the case the guard targets),
+    * the minimum is a cluster member and nothing is lost; when unrelated
+    * docs merely collide on a bucket key, pairs between two non-minimum
+    * members are not enumerated and can be missed. Size `maxBucket` above
+    * the plausible collision size (the 4096 default ≫ any natural bucket
+    * at the oracle scales) so capping only ever engages on true mass
+    * duplication.
     *
     * Cost: one aggregate over the bucketed rows (the hot-key census — same
     * O(rows) shuffle class as the join itself) + the guarded self-join.
@@ -317,8 +327,13 @@ object Dedup {
                               maxIters: Int = 20): DataFrame = {
     // persist across the probe: when the edge count exceeds the guard, the
     // distributed fallback must not re-run the (expensive) pair pipeline a
-    // second time. No-op if the caller already persisted.
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // second time. A cache the CALLER owns (already-persisted input) is
+    // left alone — unpersisting it here would silently evict state the
+    // caller may still be using.
+    val callerOwned =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerOwned) pairs
+      else pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = collectEdges(ids, idCol, p, maxDriverEdges) match {
       case None => connectedComponents(ids, idCol, p, maxIters)
       case Some(edges) =>
@@ -331,9 +346,9 @@ object Dedup {
           .select(col("id"), coalesce(col("__cc_comp"), col("id")).as("comp"))
     }
     // both branches have consumed pairs (driver edges or materialized label
-    // cache); release. Eviction after this only costs recompute, not wrong
-    // answers.
-    p.unpersist()
+    // cache); release our own persist. Eviction after this only costs
+    // recompute, not wrong answers.
+    if (!callerOwned) p.unpersist()
     out
   }
 

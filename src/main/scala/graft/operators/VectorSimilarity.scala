@@ -202,9 +202,6 @@ object VectorSimilarity {
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    withB.unpersist()
-    out
+    Dedup.materializeAndRelease(pairs, withB)
   }
 }
