@@ -64,4 +64,24 @@ class AsOfJoinSpec extends SparkSpec {
       payloadCols = Seq("id"), direction = "<=")
     assert(canon(viaAuto) == canon(viaBroadcast))
   }
+
+  test("asOfAuto byte budget: wide string payloads force the merge path, same result") {
+    // 200 dim rows x ~1KB payload ≈ 200KB measured — over the 64KB budget,
+    // far under the 10k row cap: only the MEASURED byte estimate can flip
+    // this to the merge strategy
+    val payload = "x" * 1024
+    val dims = spark.createDataFrame(
+      Seq.tabulate(200)(i => (i.toLong * 5, s"$payload-$i"))).toDF("dk", "p")
+    val facts = spark.createDataFrame(
+      Seq.tabulate(100)(i => (i.toLong, i.toLong * 7))).toDF("fid", "fk")
+    val viaAuto = AsOfJoin.asOfAuto(facts, "fk", dims, "dk",
+      payloadCols = Seq("p"), direction = ">=",
+      maxBroadcastRows = 10000, maxBroadcastBytes = 64 * 1024)
+    val viaBroadcast = AsOfJoin.asOf(facts, "fk", dims, "dk",
+      payloadCols = Seq("p"), direction = ">=")
+    // the merge strategy materializes through an RDD zip — its plan shape
+    // proves the byte budget (not the row cap) made the choice
+    assert(viaAuto.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    assert(canon(viaAuto) == canon(viaBroadcast))
+  }
 }
