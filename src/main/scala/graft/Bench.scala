@@ -12,10 +12,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Generic warmup (NOT the benchmarked queries): absorb session start,
     // codegen compiler init, and parquet reader init so the first measured
-    // query isn't charged for them.
+    // query isn't charged for them. Touch each input family (TPC-H-ish,
+    // documents, embeddings) with a trivial count so footer reads and
+    // reader init don't land on whichever query happens to run first.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count().collect()
-    catch { case _: Throwable => } // warmup only — a missing table must not kill the bench
+    Seq(s"$sfDir/nation.parquet", s"$sfDir/documents.parquet", s"$sfDir/embeddings.parquet")
+      .foreach { p =>
+        try spark.read.parquet(p).count()
+        catch { case _: Throwable => } // warmup only — a missing table must not kill the bench
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
