@@ -92,23 +92,41 @@ object Dedup {
       val b = src.select(bucketCols.map(col) :+ col(idCol).as("id_b"): _*)
       a.join(b, bucketCols).where(col("id_a") < col("id_b")).select("id_a", "id_b")
     }
-    val hotRows = keyed.groupBy(bucketCols.map(col): _*)
+    val hot = keyed.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__bc"), min(col(idCol)).as("__bmin"))
       .where(col("__bc") > maxBucket)
-      .collect()
+    // the census result is bounded by rows/maxBucket keys — normally a
+    // handful; cap the driver collect so a pathological corpus (millions
+    // of hot buckets) can't flood the driver just to be logged
+    val MaxCollectedHot = 100_000
+    val hotRows = hot.limit(MaxCollectedHot + 1).collect()
     if (hotRows.isEmpty) maybeDistinct(selfJoin(keyed))
     else {
-      val sizes = hotRows.map(_.getAs[Long]("__bc"))
-      log.warn(s"guardedBucketPairs: ${hotRows.length} bucket(s) over maxBucket=$maxBucket " +
-        s"capped to star edges (sizes max=${sizes.max} total=${sizes.sum}); " +
-        "within-bucket pair enumeration skipped for these buckets")
-      val hotDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1),
-        org.apache.spark.sql.types.StructType(
-          bucketCols.map(c => keyed.schema(c)) :+
-            org.apache.spark.sql.types.StructField("__bc", LongType) :+
-            keyed.schema(idCol).copy(name = "__bmin")))
-      val flagged = keyed.join(broadcast(hotDf), bucketCols, "left")
+      val overflow = hotRows.length > MaxCollectedHot
+      if (overflow)
+        log.warn(s"guardedBucketPairs: over $MaxCollectedHot buckets exceed " +
+          s"maxBucket=$maxBucket — star-capping all of them (sizes not enumerated)")
+      else {
+        val sizes = hotRows.map(_.getAs[Long]("__bc"))
+        log.warn(s"guardedBucketPairs: ${hotRows.length} bucket(s) over maxBucket=$maxBucket " +
+          s"capped to star edges (sizes max=${sizes.max} total=${sizes.sum}); " +
+          "within-bucket pair enumeration skipped for these buckets")
+      }
+      // literal broadcast of the collected census when it fits; above the
+      // cap, join against the census computation itself with no broadcast
+      // hint — Catalyst shuffles on the bucket key, the same shuffle the
+      // self-join pays anyway
+      val flagged =
+        if (overflow) keyed.join(hot, bucketCols, "left")
+        else {
+          val hotDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(hotRows.toIndexedSeq, 1),
+            org.apache.spark.sql.types.StructType(
+              bucketCols.map(c => keyed.schema(c)) :+
+                org.apache.spark.sql.types.StructField("__bc", LongType) :+
+                keyed.schema(idCol).copy(name = "__bmin")))
+          keyed.join(broadcast(hotDf), bucketCols, "left")
+        }
       val cold = selfJoin(
         flagged.where(col("__bc").isNull).select((bucketCols :+ idCol).map(col): _*))
       val star = flagged.where(col("__bc").isNotNull && col(idCol) =!= col("__bmin"))
