@@ -193,31 +193,22 @@ object AsOfJoin {
       spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
     }
 
-    val bcKeys = spark.sparkContext.broadcast(keys)
-    val dir = direction
-    val idxOf = udf { (v: java.lang.Long) =>
-      if (v == null) -1
-      else {
-        val ks = bcKeys.value
-        val n = ks.length
-        // boundary = first index i with ks(i) >/≥ v (per direction semantics)
-        val strictUpper = dir == ">" || dir == "<="
-        var lo = 0; var hi = n
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          val above = if (strictUpper) ks(mid) > v else ks(mid) >= v
-          if (above) hi = mid else lo = mid + 1
-        }
-        if (dir == ">=" || dir == ">") { if (lo < n) lo else -1 } // first ≥/> v
-        else { if (lo - 1 >= 0) lo - 1 else -1 }                  // last ≤/< v
-      }
-    }
+    // Native codegen expression, not a UDF: the index probe runs once per
+    // fact row (the hottest path of the whole join) and must stay inside
+    // whole-stage codegen. Boundary = first key >/≥ v; ">="/">" take the
+    // boundary element, "<="/"<" the one below it (AsOfSearch semantics).
+    val strictUpper = direction == ">" || direction == "<="
+    val takeLower = direction == "<=" || direction == "<"
+    val idxCol = graft.functions.ColumnBridge.column(
+      graft.functions.AsOfIndexLookup(
+        graft.functions.ColumnBridge.expression(toOrd(fact, factCol, keyType)),
+        keys, strictUpper, takeLower))
 
     val renamedDim = payloadCols.foldLeft(dimIndexed) { (d, p) =>
       d.withColumnRenamed(p, rename.getOrElse(p, p))
     }
     fact
-      .withColumn("__asof_idx", idxOf(toOrd(fact, factCol, keyType)))
+      .withColumn("__asof_idx", idxCol)
       .join(broadcast(renamedDim), Seq("__asof_idx"), "left")
       .drop("__asof_idx")
   }
