@@ -76,11 +76,13 @@ object Dedup {
     * The census result is bounded by rows/maxBucket keys, so it collects
     * and broadcasts safely.
     */
+  /** Returns (candidate pairs, caches the caller must release once the
+    * pairs are materialized — the persisted census on the overflow path). */
   private[operators] def guardedBucketPairs(banded: DataFrame,
                                             bucketCols: Seq[String],
                                             idCol: String,
                                             maxBucket: Int,
-                                            dedup: Boolean = true): DataFrame = {
+                                            dedup: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     require(maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket")
     // dedup=false skips the distinct shuffle — only valid when each id
     // appears in at most one bucket (single-bucket schemes like sign-LSH)
@@ -92,16 +94,22 @@ object Dedup {
       val b = src.select(bucketCols.map(col) :+ col(idCol).as("id_b"): _*)
       a.join(b, bucketCols).where(col("id_a") < col("id_b")).select("id_a", "id_b")
     }
+    // persisted before the probe: on the overflow path the census feeds
+    // the pair query again — without the cache the groupBy shuffle over
+    // the banded rows would run twice
     val hot = keyed.groupBy(bucketCols.map(col): _*)
       .agg(count(lit(1)).as("__bc"), min(col(idCol)).as("__bmin"))
       .where(col("__bc") > maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the census result is bounded by rows/maxBucket keys — normally a
     // handful; cap the driver collect so a pathological corpus (millions
     // of hot buckets) can't flood the driver just to be logged
     val MaxCollectedHot = 100_000
     val hotRows = hot.limit(MaxCollectedHot + 1).collect()
-    if (hotRows.isEmpty) maybeDistinct(selfJoin(keyed))
-    else {
+    if (hotRows.isEmpty) {
+      hot.unpersist()
+      (maybeDistinct(selfJoin(keyed)), Nil)
+    } else {
       val overflow = hotRows.length > MaxCollectedHot
       if (overflow)
         log.warn(s"guardedBucketPairs: over $MaxCollectedHot buckets exceed " +
@@ -131,7 +139,11 @@ object Dedup {
         flagged.where(col("__bc").isNull).select((bucketCols :+ idCol).map(col): _*))
       val star = flagged.where(col("__bc").isNotNull && col(idCol) =!= col("__bmin"))
         .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
-      maybeDistinct(cold.union(star))
+      // non-overflow: the literal hotDf replaced the census in the plan, so
+      // the cache has no further reader — release now. Overflow: the plan
+      // reads `hot`; hand it back for release after materialization.
+      if (overflow) (maybeDistinct(cold.union(star)), Seq(hot))
+      else { hot.unpersist(); (maybeDistinct(cold.union(star)), Nil) }
     }
   }
 
@@ -271,7 +283,8 @@ object Dedup {
           concat_ws(",", slice(col("__sig"), bIdx * r + 1, r)).as("key"))
       }: _*)).as("__b"))
       .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
-    val candidates = guardedBucketPairs(banded, Seq("band", "key"), "__id", maxBucket)
+    val (candidates, guardCaches) =
+      guardedBucketPairs(banded, Seq("band", "key"), "__id", maxBucket)
     val sets = withSig.select(col("__id"), col("__sh"))
     val pairs = candidates
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
@@ -279,7 +292,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materializeAndRelease(pairs, withSig)
+    materializeAndRelease(pairs, withSig +: guardCaches: _*)
   }
 
   // ---- dedup as an action: components + drop ------------------------------
@@ -509,7 +522,8 @@ object Dedup {
           shiftright(col("__sig"), k * 8).bitwiseAND(lit(255L)).as("key"))
       }: _*)).as("__b"))
       .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
-    val candidates = guardedBucketPairs(banded, Seq("band", "key"), "__id", maxBucket)
+    val (candidates, guardCaches) =
+      guardedBucketPairs(banded, Seq("band", "key"), "__id", maxBucket)
     val sigs = withSig.select(col("__id"), col("__sig"))
     val pairs = candidates
       .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__siga")), Seq("id_a"))
@@ -518,6 +532,6 @@ object Dedup {
         bit_count(col("__siga").bitwiseXOR(col("__sigb"))).cast(LongType))
       .where(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
-    materializeAndRelease(pairs, withSig)
+    materializeAndRelease(pairs, withSig +: guardCaches: _*)
   }
 }

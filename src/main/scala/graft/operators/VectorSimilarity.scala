@@ -192,7 +192,7 @@ object VectorSimilarity {
     // candidate pair instead of riding both sides of the self-join
     // dedup=false: each vector lives in exactly one sign bucket, so the
     // candidate pairs are already unique — no distinct shuffle needed
-    val candidates = Dedup.guardedBucketPairs(
+    val (candidates, guardCaches) = Dedup.guardedBucketPairs(
       withB.select(col("__bucket"), col("__id")), Seq("__bucket"), "__id",
       maxBucket, dedup = false)
     val vecs = withB.select(col("__id"), col("__v"))
@@ -202,6 +202,6 @@ object VectorSimilarity {
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-    Dedup.materializeAndRelease(pairs, withB)
+    Dedup.materializeAndRelease(pairs, withB +: guardCaches: _*)
   }
 }

@@ -79,9 +79,12 @@ class AsOfJoinSpec extends SparkSpec {
       maxBroadcastRows = 10000, maxBroadcastBytes = 64 * 1024)
     val viaBroadcast = AsOfJoin.asOf(facts, "fk", dims, "dk",
       payloadCols = Seq("p"), direction = ">=")
-    // the merge strategy materializes through an RDD zip — its plan shape
-    // proves the byte budget (not the row cap) made the choice
-    assert(viaAuto.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    // the merge strategy has NO join operator (zipPartitions merge-scan);
+    // the broadcast strategy joins payloads on the match index — its
+    // absence proves the byte budget (not the row cap) made the choice
+    val plan = viaAuto.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), "byte budget failed to force the merge path")
+    assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(canon(viaAuto) == canon(viaBroadcast))
   }
 }
