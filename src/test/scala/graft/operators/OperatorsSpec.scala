@@ -146,6 +146,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin saltFrom: exact-duplicate hot rows spread across buckets") {
+    // 64 EXACT copies of the hot row: the default content salt sends them
+    // all to one bucket (documented trade-off); a caller-supplied
+    // distinguishing column restores the spread — and the result is still
+    // identical to the plain join
+    val left = spark.createDataFrame(
+      (1 to 64).map(i => (1L, "same", i.toLong)) ++ Seq((2L, "x", 100L))
+    ).toDF("k", "v", "row_id")
+    val right = spark.createDataFrame(Seq((1L, "one"), (2L, "two"))).toDF("rk", "name")
+    val salted = SkewJoin.saltedJoin(left, right, "k", "rk", buckets = 8,
+      saltFrom = Seq("row_id"))
+    val plain = left.join(right, left("k") === right("rk"), "inner")
+    assert(salted.select("k", "row_id", "name").collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      plain.select("k", "row_id", "name").collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // the spread itself: distinct row_ids hash to >1 bucket under the salt
+    import org.apache.spark.sql.functions._
+    val buckets = left.select(pmod(xxhash64(col("row_id")), lit(8L))).distinct().count()
+    assert(buckets > 1, "row_id salt should spread exact duplicates")
+    // unknown saltFrom column fails at staging
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(left, right, "k", "rk", 8, saltFrom = Seq("nope"))
+    }
+  }
+
   test("multimodal decode: features match hand computation; frames slice correctly") {
     val df = spark.createDataFrame(Seq((7L, "abcd" * 8))).toDF("doc_id", "text") // 32 bytes
     val feats = Multimodal.decodeFeatures(Multimodal.attachBinary(df, "text"), "doc_id").head()
