@@ -219,6 +219,27 @@ object Dedup {
     materializeAndRelease(pairs, inv)
   }
 
+  /** Cross-corpus n-gram contamination — the train-set DECONTAMINATION
+    * check: ids of `df` documents sharing at least one word n-gram with
+    * any document of `probes` (the eval/benchmark suite). Inverted-index
+    * left-semi join on shingle hashes: O(corpus shingles) rows shuffle,
+    * never corpus × probes. The probe side (a benchmark suite — tiny next
+    * to a training corpus) reduces to its distinct shingle hashes, which
+    * Catalyst/AQE broadcasts; at 100 TB this is one scan of the corpus
+    * with a broadcast-semi filter. Returns the distinct contaminated ids.
+    */
+  def contaminatedIds(df: DataFrame, idCol: String, textCol: String,
+                      probes: DataFrame, probeTextCol: String,
+                      n: Int): DataFrame = {
+    val corpusSh = df.select(col(idCol),
+      explode(shingleHashes(col(textCol), n)).as("__h"))
+    val probeSh = probes
+      .select(explode(shingleHashes(col(probeTextCol), n)).as("__h"))
+      .distinct()
+    corpusSh.join(probeSh, Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   /** MinHash signature: element k = min over shingle hashes h of

@@ -118,6 +118,18 @@ object TrainingDataQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // decontamination: the "benchmark" is built from leaked corpus excerpts
+    // (first 12 tokens of every 50th doc — the realistic contamination
+    // scenario); flag every training doc sharing a 6-gram with it
+    "q_decontaminate" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir).select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val probes = d.where(col("doc_id") % 50 === 0)
+        .select(concat_ws(" ", slice(toks, 1, 12)).as("text"))
+      Dedup.contaminatedIds(d, "doc_id", "text", probes, "text", n = 6)
+        .orderBy("doc_id")
+    },
+
     // the end-to-end dedup ACTION: near-dup clusters via MinHash pairs →
     // connected components → keep the canonical (min-id) doc per cluster
     "q_dedup_drop" -> { (spark, sfDir) =>
@@ -354,6 +366,23 @@ object TrainingDataQueries {
          |j AS (SELECT id_a, id_b, $jaccardSql AS jac FROM pairs)
          |SELECT id_a, id_b, ${e9Sql("jac")} AS jaccard_e9
          |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_decontaminate" -> {
+      // same hashed-shingle domain as the Spark side (shingleHashes), so a
+      // (cosmically unlikely) hash collision could never diverge the engines
+      val sh6 =
+        s"""list_distinct(list_transform(list_distinct(
+           |  list_transform(generate_series(1, greatest(len(w) - 5, 1)),
+           |                 i -> array_to_string(w[i:i+5], ' '))),
+           |  s -> ${hmodSql("s")}))""".stripMargin.replace("\n", "")
+      s"""WITH cw AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest($sh6) AS h FROM cw),
+         |pw AS (SELECT w[1:12] AS w FROM cw WHERE doc_id % 50 = 0),
+         |probe AS (SELECT DISTINCT unnest($sh6) AS h FROM pw)
+         |SELECT DISTINCT doc_id FROM sh
+         |WHERE h IN (SELECT h FROM probe)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_drop" -> {
