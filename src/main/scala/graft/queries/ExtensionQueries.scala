@@ -72,6 +72,18 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    // one-pass table profile (ANALYZE equivalent): per-column counts,
+    // min/max, and the deterministic KMV distinct estimate — k=256 so the
+    // high-cardinality key exercises the estimator path and the low-
+    // cardinality ones the exact path; ck injects nulls
+    "q_profile" -> { (spark, sfDir) =>
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("ck"))
+      graft.operators.Profile.profile(o, Seq("o_orderkey", "o_orderstatus", "ck"), k = 256)
+    },
+
     // JDBC round-trip through embedded Derby: seed the database from the
     // parquet table, extract back through the pushdown JDBC source (the
     // reference's actual source type is a SQL database), load, read. The
@@ -175,6 +187,23 @@ object ExtensionQueries {
       """SELECT event_id, event_type, user_id, props,
         |       epoch_us(CAST(ts AS TIMESTAMP)) AS us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_profile" -> {
+      def colSql(c: String): String = {
+        val hs = s"list(${PortableHash.hmodSql(s"coalesce(CAST($c AS VARCHAR), '__null__')")})"
+        s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n,
+           |  CAST(count(*) - count($c) AS BIGINT) AS nulls,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s,
+           |  CAST(${KmvSketch.estimateSql(hs, 256)}
+           |       - CASE WHEN count(*) > count($c) THEN 1 ELSE 0 END AS BIGINT) AS ndv_est
+           |FROM src""".stripMargin
+      }
+      s"""WITH src AS (SELECT o_orderkey, o_orderstatus,
+         |  CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS ck
+         |  FROM orders)
+         |${Seq("ck", "o_orderkey", "o_orderstatus").map(colSql).mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    },
 
     "q_source_jdbc" ->
       """SELECT row_number() OVER (ORDER BY n_nationkey) AS id,
