@@ -40,37 +40,16 @@ object AsOfJoin {
   /** Estimated-bytes budget for the broadcast collect (schema-based). */
   val MaxBroadcastBytesDefault: Long = 128L << 20
 
-  /** Rows that fit in `maxBytes`, bounded by `maxRows`. Fixed-width fields
-    * use Catalyst's per-type `defaultSize`; variable-width fields
-    * (string/binary/nested) are MEASURED — average serialized bytes over a
-    * bounded sample of the dim (one tiny job) — because `defaultSize`
-    * assumes 20-byte strings and a 10 KB-payload dim would otherwise sail
-    * straight into a driver-OOM broadcast. Generic-Row JVM overhead
-    * (object header, per-field reference, boxing) is added per row.
+  /** Rows that fit in `maxBytes`, bounded by `maxRows`. Row width comes
+    * from [[graft.sources.RowWidth.estimate]] (fixed widths from the
+    * schema, variable widths MEASURED over a bounded sample — Catalyst's
+    * 20-byte string default would let a 10 KB-payload dim sail into a
+    * driver-OOM broadcast), plus generic-Row JVM overhead (object header,
+    * per-field reference, boxing) per row.
     */
   private def broadcastRowBudget(dim: DataFrame, cols: Seq[String],
                                  maxRows: Int, maxBytes: Long): Int = {
-    val fields = cols.map(dim.schema(_))
-    def isVarWidth(dt: DataType): Boolean = dt match {
-      case StringType | BinaryType => true
-      case _: ArrayType | _: MapType | _: StructType => true
-      case _ => false
-    }
-    val (varF, fixedF) = fields.partition(f => isVarWidth(f.dataType))
-    val fixedBytes = fixedF.map(_.dataType.defaultSize.toLong).sum
-    val varBytes: Long = if (varF.isEmpty) 0L
-    else {
-      val sample = dim.select(varF.map { f =>
-        f.dataType match {
-          case StringType => octet_length(col(f.name))
-          case BinaryType => length(col(f.name))
-          case _ => length(to_json(struct(col(f.name))))
-        }
-      }.reduce(_ + _).cast(LongType).as("__b")).limit(65536)
-      val r = sample.agg(avg(col("__b"))).head()
-      if (r.isNullAt(0)) 20L * varF.length else math.ceil(r.getDouble(0)).toLong
-    }
-    val perRow = fixedBytes + varBytes + 24L + 16L * fields.length
+    val perRow = graft.sources.RowWidth.estimate(dim, cols) + 24L + 16L * cols.length
     math.min(maxRows.toLong, math.max(1L, maxBytes / perRow)).toInt
   }
 
