@@ -131,6 +131,34 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  // PII patterns (RE2-compatible subset — identical semantics under Java
+  // regex and DuckDB's RE2, so the oracle reproduces counts and redactions
+  // byte-for-byte). Deliberately simple/high-precision; a production pass
+  // layers locale-specific patterns on the same plumbing.
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+  /** PII detection + redaction as a projection: per-pattern match counts
+    * and the redacted text (URL → `<URL>` first — emails inside URLs must
+    * not double-redact — then email → `<EMAIL>`, then phone → `<PHONE>`).
+    * Codegen regexes, no shuffle: the text-cleaning pass runs at scan
+    * speed over 100 TB.
+    */
+  def withPiiStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>")
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast(LongType))
+      .withColumn("n_urls", size(regexp_extract_all(t, lit(UrlPattern), lit(0))).cast(LongType))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast(LongType))
+      .withColumn("redacted", redacted)
+  }
+
   /** Rolling polynomial fingerprint of the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
     * Order-sensitive (unlike a bag-of-words hash) and portable; used for

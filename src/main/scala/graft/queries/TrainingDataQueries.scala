@@ -82,6 +82,20 @@ object TrainingDataQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // PII pass: the synthetic corpus carries no PII, so every 25th doc gets
+    // a deterministic contact blurb appended in-query (same construction in
+    // the oracle); counts + redacted text must match byte-for-byte
+    "q_text_pii" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir).select(col("doc_id"),
+        when(col("doc_id") % 25 === 0,
+          concat(col("text"), lit(" contact bob@example.com or visit " +
+            "https://example.com/a?b=1 or call +1 (555) 123-4567 now")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.withPiiStats(d, "text")
+        .select("doc_id", "n_emails", "n_urls", "n_phones", "redacted")
+        .orderBy("doc_id")
+    },
+
     // ---- dedup -----------------------------------------------------------
 
     "q_dedup_exact" -> { (spark, sfDir) =>
@@ -366,6 +380,24 @@ object TrainingDataQueries {
          |j AS (SELECT id_a, id_b, $jaccardSql AS jac FROM pairs)
          |SELECT id_a, id_b, ${e9Sql("jac")} AS jaccard_e9
          |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_text_pii" -> {
+      val email = TextAnalysis.EmailPattern
+      val url = TextAnalysis.UrlPattern
+      val phone = TextAnalysis.PhonePattern
+      s"""WITH src AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 25 = 0
+         |       THEN text || ' contact bob@example.com or visit https://example.com/a?b=1 or call +1 (555) 123-4567 now'
+         |       ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+         |FROM src ORDER BY doc_id""".stripMargin
     },
 
     "q_decontaminate" -> {
