@@ -157,7 +157,23 @@ object SqlQueries {
        |FROM (SELECT o_orderpriority, ${cents("o_totalprice")} AS cents FROM orders)
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // correlated subqueries: scalar (per-row count) + EXISTS / NOT EXISTS —
+  // the remaining delegated-SQL family user programs lean on
+  private def correlatedSql =
+    s"""SELECT c.c_custkey, c.c_name,
+       |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+       |  (SELECT SC_OPEN coalesce(sum(${cents("o2.o_totalprice")}), 0) SC_CLOSE
+       |   FROM orders o2 WHERE o2.o_custkey = c.c_custkey) AS tot_cents
+       |FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o3
+       |              WHERE o3.o_custkey = c.c_custkey AND o3.o_totalprice > 150000)
+       |  AND NOT EXISTS (SELECT 1 FROM orders o4
+       |                  WHERE o4.o_custkey = c.c_custkey AND o4.o_orderstatus = 'F'
+       |                    AND o4.o_totalprice > 300000)
+       |ORDER BY c.c_custkey""".stripMargin
+
   private val shared: Map[String, String] = Map(
+    "q_sql_correlated" -> correlatedSql,
     "q_sql_percentile" -> percentileSql,
     "q_sql_join_agg" -> joinAggSql,
     "q_sql_window" -> windowSql,
