@@ -103,32 +103,37 @@ object TextAnalysis {
     df.withColumn(out, pred).withColumn(s"${out}_score", best)
   }
 
-  /** Per-document top-k salient terms by a tf·idf-style INTEGER score:
-    * score = tf · 1,000,000 div df (df = documents containing the term).
-    * No floating log: ln() reweights each term monotonically in df, so the
-    * per-document ORDER a top-k consumes is identical under 1/df — and
+  /** Per-document top-k salient terms by the INTEGER score
+    * tf · 1,000,000 div df (df = documents containing the term). This is a
+    * rarity-weighted salience ranking, deliberately NOT tf·ln(N/df): with
+    * differing tf the two weightings can order terms differently, but
     * integer arithmetic is bit-identical across engines where libm log is
-    * not. Ties break on the term itself. Returns
-    * (idCol, rank, term, tf, df, score).
+    * not — determinism is the contract here, classic tf·idf is not. Ties
+    * break on the term itself. Returns (idCol, rank, term, tf, df, score).
     *
     * Scale: explode → one (doc,term) hash-aggregation (map-side partial) →
-    * df as a count window over the term partition (reuses the shuffle a
-    * dedicated df aggregation + join-back would need, without branching
-    * the plan) → per-doc window top-k. O(tokens) rows through three
-    * key shuffles; no driver state, no caching.
+    * df via a groupBy(term) AGGREGATION + join-back, NOT a count window
+    * over the term partition: a window must buffer each partition, and a
+    * stopword's partition is a large fraction of the corpus — the hot-key
+    * buffering this codebase guards against everywhere else. The
+    * aggregation partial-aggregates map-side and the join-back streams
+    * (AQE splits a skewed probe side). tf is cached across its two
+    * consumers and released after the result materializes.
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
-    val scored = withDf.withColumn("score", expr("CAST(tf * 1000000 DIV df AS BIGINT)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", expr("CAST(tf * 1000000 DIV df AS BIGINT)"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
+    val result = scored.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+    Dedup.materializeAndRelease(result, tf)
   }
 
   // PII patterns (RE2-compatible subset — identical semantics under Java
@@ -139,23 +144,25 @@ object TextAnalysis {
   val UrlPattern = "https?://[^\\s]+"
   val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
 
-  /** PII detection + redaction as a projection: per-pattern match counts
-    * and the redacted text (URL → `<URL>` first — emails inside URLs must
-    * not double-redact — then email → `<EMAIL>`, then phone → `<PHONE>`).
+  /** PII detection + redaction as a projection: redaction proceeds
+    * URL → `<URL>`, then email → `<EMAIL>`, then phone → `<PHONE>` (an
+    * email inside a URL disappears with the URL, never double-redacts),
+    * and each COUNT runs on the text the corresponding replace actually
+    * saw — so n_urls/n_emails/n_phones always equal the markers emitted,
+    * the invariant an audit of the redacted output reconciles against.
     * Codegen regexes, no shuffle: the text-cleaning pass runs at scan
     * speed over 100 TB.
     */
   def withPiiStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, UrlPattern, "<URL>"),
-          EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>")
-    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast(LongType))
-      .withColumn("n_urls", size(regexp_extract_all(t, lit(UrlPattern), lit(0))).cast(LongType))
-      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhonePattern), lit(0))).cast(LongType))
+    val afterUrl = regexp_replace(t, UrlPattern, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailPattern, "<EMAIL>")
+    val redacted = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    df.withColumn("n_urls", size(regexp_extract_all(t, lit(UrlPattern), lit(0))).cast(LongType))
+      .withColumn("n_emails",
+        size(regexp_extract_all(afterUrl, lit(EmailPattern), lit(0))).cast(LongType))
+      .withColumn("n_phones",
+        size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0))).cast(LongType))
       .withColumn("redacted", redacted)
   }
 

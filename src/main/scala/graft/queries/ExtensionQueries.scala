@@ -190,12 +190,14 @@ object ExtensionQueries {
 
     "q_profile" -> {
       def colSql(c: String): String = {
-        val hs = s"list(${PortableHash.hmodSql(s"coalesce(CAST($c AS VARCHAR), '__null__')")})"
+        // genuine values only: the Spark side maps nulls to the P sentinel
+        // and strips it before estimating, which is exactly "the sketch of
+        // the non-null hashes"
+        val hs = s"list(${PortableHash.hmodSql(s"CAST($c AS VARCHAR)")}) FILTER (WHERE $c IS NOT NULL)"
         s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS n,
            |  CAST(count(*) - count($c) AS BIGINT) AS nulls,
            |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s,
-           |  CAST(${KmvSketch.estimateSql(hs, 256)}
-           |       - CASE WHEN count(*) > count($c) THEN 1 ELSE 0 END AS BIGINT) AS ndv_est
+           |  CAST(${KmvSketch.estimateSql(hs, 256)} AS BIGINT) AS ndv_est
            |FROM src""".stripMargin
       }
       s"""WITH src AS (SELECT o_orderkey, o_orderstatus,

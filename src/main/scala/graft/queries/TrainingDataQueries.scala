@@ -391,13 +391,17 @@ object TrainingDataQueries {
          |       THEN text || ' contact bob@example.com or visit https://example.com/a?b=1 or call +1 (555) 123-4567 now'
          |       ELSE text END AS text
          |  FROM documents)
+         |, staged AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$url', '<URL>', 'g') AS after_url,
+         |    regexp_replace(regexp_replace(text, '$url', '<URL>', 'g'),
+         |                   '$email', '<EMAIL>', 'g') AS after_email
+         |  FROM src)
          |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
-         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$url', '<URL>', 'g'), '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
-         |FROM src ORDER BY doc_id""".stripMargin
+         |  CAST(len(regexp_extract_all(after_url, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(after_email, '$phone')) AS BIGINT) AS n_phones,
+         |  regexp_replace(after_email, '$phone', '<PHONE>', 'g') AS redacted
+         |FROM staged ORDER BY doc_id""".stripMargin
     },
 
     "q_decontaminate" -> {

@@ -1,14 +1,13 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Estimated in-memory/serialized bytes per row: fixed-width fields from
   * Catalyst's per-type `defaultSize`; variable-width fields (string/binary/
-  * nested) MEASURED as average bytes over a bounded sample — one tiny job,
-  * only when variable-width columns exist. Catalyst alone assumes 20-byte
-  * strings, which under-sizes payload-heavy rows by orders of magnitude.
+  * nested) measured from the data — Catalyst alone assumes 20-byte strings,
+  * which under-sizes payload-heavy rows by orders of magnitude.
   */
 object RowWidth {
 
@@ -18,41 +17,63 @@ object RowWidth {
     case _ => false
   }
 
-  /** Average data bytes per row of `cols` (no JVM object overhead). */
+  /** Per-row data bytes of the variable-width fields among `fields`, nulls
+    * counting as 0 (a null must not void the whole row's sum). */
+  private def varBytesExpr(fields: Seq[StructField]): Option[Column] = {
+    val varF = fields.filter(f => isVarWidth(f.dataType))
+    if (varF.isEmpty) None
+    else Some(varF.map { f =>
+      val len = f.dataType match {
+        case StringType => octet_length(col(f.name))
+        case BinaryType => length(col(f.name))
+        case _ => length(to_json(struct(col(f.name))))
+      }
+      coalesce(len.cast(LongType), lit(0L))
+    }.reduce(_ + _))
+  }
+
+  private def fixedBytes(fields: Seq[StructField]): Long =
+    fields.filterNot(f => isVarWidth(f.dataType))
+      .map(_.dataType.defaultSize.toLong).sum
+
+  /** Average data bytes per row of `cols`, variable widths measured over a
+    * bounded HEAD sample (one tiny job; cheap but order-biased — fine for
+    * a coarse broadcast budget; use [[shardForTargetFileSize]]'s exact
+    * single-pass stats when the answer sizes real output).
+    */
   def estimate(df: DataFrame, cols: Seq[String], sampleRows: Int = 65536): Long = {
     val fields = cols.map(df.schema(_))
-    val (varF, fixedF) = fields.partition(f => isVarWidth(f.dataType))
-    val fixedBytes = fixedF.map(_.dataType.defaultSize.toLong).sum
-    val varBytes: Long = if (varF.isEmpty) 0L
-    else {
-      val sample = df.select(varF.map { f =>
-        f.dataType match {
-          case StringType => octet_length(col(f.name))
-          case BinaryType => length(col(f.name))
-          case _ => length(to_json(struct(col(f.name))))
-        }
-      }.reduce(_ + _).cast(LongType).as("__b")).limit(sampleRows)
-      val r = sample.agg(avg(col("__b"))).head()
-      if (r.isNullAt(0)) 20L * varF.length else math.ceil(r.getDouble(0)).toLong
+    val varBytes: Long = varBytesExpr(fields) match {
+      case None => 0L
+      case Some(e) =>
+        val r = df.select(e.as("__b")).limit(sampleRows).agg(avg(col("__b"))).head()
+        if (r.isNullAt(0)) 0L else math.ceil(r.getDouble(0)).toLong
     }
-    fixedBytes + varBytes
+    fixedBytes(fields) + varBytes
   }
 
   /** Repartition so each output file lands near `targetBytes` of row data
     * (parquet encoding/compression typically shrinks this further — set
-    * the target with the observed ratio of your corpus). One count + one
-    * sample job, then a round-robin repartition: the standard knob against
-    * the two file-layout failure modes at 100 TB — thousands of KB-sized
-    * files (metadata pressure, seek-bound readers) or single multi-GB
-    * files (no read parallelism, task stragglers).
+    * the target with the observed ratio of your corpus). Row count and
+    * total variable-width bytes come from ONE exact aggregation pass (no
+    * sampling bias: a table whose payload width drifts over time — the
+    * common case — would fool any head sample), then a round-robin
+    * repartition. The knob against the two file-layout failure modes at
+    * 100 TB: thousands of KB-sized files (metadata pressure, seek-bound
+    * readers) or single multi-GB files (no read parallelism, stragglers).
     */
   def shardForTargetFileSize(df: DataFrame, targetBytes: Long,
                              maxPartitions: Int = 100000): DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val rowBytes = math.max(1L, estimate(df, df.columns.toSeq))
-    val rows = df.count()
+    val fields = df.columns.toSeq.map(df.schema(_))
+    val aggs = count(lit(1)).as("__rows") +:
+      varBytesExpr(fields).map(e => sum(e).as("__vbytes")).toSeq
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getLong(0)
+    val vbytes = if (r.length > 1 && !r.isNullAt(1)) r.getLong(1) else 0L
+    val totalBytes = rows * fixedBytes(fields) + vbytes
     val parts = math.min(maxPartitions.toLong,
-      math.max(1L, (rows * rowBytes + targetBytes - 1) / targetBytes)).toInt
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)).toInt
     df.repartition(parts)
   }
 }

@@ -160,6 +160,14 @@ class OperatorsSpec extends SparkSpec {
     val plain = left.join(right, left("k") === right("rk"), "inner")
     assert(salted.select("k", "row_id", "name").collect().map(_.toSeq).sortBy(_.toString).toSeq ==
       plain.select("k", "row_id", "name").collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // the implementation must actually salt from row_id ALONE: the plan's
+    // xxhash64 call takes one argument (the content salt would hash k, v,
+    // row_id together — and collapse the 64 identical (k, v) prefixes less)
+    // analyzed (pre-optimization) plan: the optimizer constant-folds this
+    // tiny LocalRelation and would erase the salt expression entirely
+    val plan = salted.queryExecution.analyzed.toString
+    assert(plan.contains("xxhash64(row_id"), s"salt not derived from row_id:\n$plan")
+    assert(!plan.contains("xxhash64(k#"), "salt unexpectedly includes the join key column")
     // the spread itself: distinct row_ids hash to >1 bucket under the salt
     import org.apache.spark.sql.functions._
     val buckets = left.select(pmod(xxhash64(col("row_id")), lit(8L))).distinct().count()
