@@ -87,13 +87,17 @@ object KmvSketch {
     * ([[PortableHash.hmod]] of the key). */
   def kmv(hashCol: Column, k: Int): Column = udaf(new KmvAgg(k)).apply(hashCol)
 
-  /** Distinct-count estimate from a KMV buffer column (by name): exact
-    * when the buffer never filled; (k−1)·P DIV h_k (integer division —
-    * portable) when it did. */
-  def estimate(bufColName: String, k: Int): Column =
-    when(size(col(bufColName)) < k, size(col(bufColName)).cast("long"))
+  /** Distinct-count estimate from a KMV buffer given as a SQL expression
+    * (a column name, or any array-typed fragment like a `filter(...)` over
+    * one): exact when the buffer never filled; (k−1)·P DIV h_k (integer
+    * division — (k−1)·P exceeds 2^53, so this must NEVER go through double
+    * division) when it did. The single estimator implementation — Profile
+    * and the sketch query both route here.
+    */
+  def estimate(bufSql: String, k: Int): Column =
+    when(size(expr(bufSql)) < k, size(expr(bufSql)).cast("long"))
       .otherwise(expr(
-        s"CAST(${(k - 1).toLong * PortableHash.P} DIV element_at($bufColName, $k) AS BIGINT)"))
+        s"CAST(${(k - 1).toLong * PortableHash.P} DIV element_at($bufSql, $k) AS BIGINT)"))
 
   /** DuckDB twin: `hs` = a SQL fragment for the grouped list of hashes
     * (e.g. `list(h)`). 1-indexed lists, `//` integer division. */

@@ -39,6 +39,13 @@ object Dedup {
     * The returned DataFrame stays cached; its blocks are pair-sized (orders
     * of magnitude smaller than the intermediates) and callers that loop may
     * `unpersist()` the handle when done.
+    *
+    * Trade-off, deliberate: operators built on this are dedup ACTIONS —
+    * they compute their complete pair set at call time, so a caller filter
+    * applied afterwards no longer pushes into the candidate joins. For a
+    * narrow lookup (pairs of one document), filter the corpus BEFORE the
+    * operator instead; the all-pairs dedup workload this library targets
+    * consumes the full result anyway.
     */
   private[operators] def materializeAndRelease(result: DataFrame,
                                                intermediates: DataFrame*): DataFrame = {
@@ -450,11 +457,12 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          n: Int, numPerms: Int, bands: Int,
                          threshold: Double,
-                         maxDriverEdges: Int = 10_000_000): DataFrame = {
+                         maxDriverEdges: Int = 10_000_000,
+                         maxBucket: Int = 4096): DataFrame = {
     // minHashPairs returns an eagerly-materialized cached handle, so the
     // collectEdges probe and a distributed fallback read the same blocks —
     // the pair pipeline runs once either way.
-    val pairs = minHashPairs(df, idCol, textCol, n, numPerms, bands, threshold)
+    val pairs = minHashPairs(df, idCol, textCol, n, numPerms, bands, threshold, maxBucket)
     val out = collectEdges(df, idCol, pairs, maxDriverEdges) match {
       case Some(edges) =>
         // Fast path: the drop-set (non-canonical members of clusters) is at

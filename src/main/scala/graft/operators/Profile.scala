@@ -59,10 +59,7 @@ object Profile {
       // strip the null sentinel before estimating: P is the global maximum,
       // so it sits in the buffer iff the genuine hashes didn't fill it —
       // in which case the stripped buffer is the exact genuine set
-      val adj = s"filter(__buf_$c, x -> x < ${P}L)"
-      val ndv = expr(
-        s"CASE WHEN size($adj) < $k THEN CAST(size($adj) AS BIGINT) " +
-          s"ELSE CAST(${(k - 1).toLong * P} DIV element_at($adj, $k) AS BIGINT) END")
+      val ndv = KmvSketch.estimate(s"filter(__buf_$c, x -> x < ${P}L)", k)
       struct(
         lit(c).as("column"),
         col(s"__n_$c").cast(LongType).as("n"),

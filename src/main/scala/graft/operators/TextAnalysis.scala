@@ -138,11 +138,15 @@ object TextAnalysis {
 
   // PII patterns (RE2-compatible subset — identical semantics under Java
   // regex and DuckDB's RE2, so the oracle reproduces counts and redactions
-  // byte-for-byte). Deliberately simple/high-precision; a production pass
-  // layers locale-specific patterns on the same plumbing.
+  // byte-for-byte). Whitespace is spelled out as an explicit class rather
+  // than \s: Java's \s includes \x0B (vertical tab) while RE2's does not,
+  // and that one character would diverge the engines. Deliberately
+  // simple/high-precision; a production pass layers locale-specific
+  // patterns on the same plumbing.
+  private val Ws = "\\t\\n\\x0B\\f\\r "
   val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val UrlPattern = "https?://[^\\s]+"
-  val PhonePattern = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  val UrlPattern = s"https?://[^$Ws]+"
+  val PhonePattern = s"\\+?[0-9][0-9()\\-$Ws]{7,}[0-9]"
 
   /** PII detection + redaction as a projection: redaction proceeds
     * URL → `<URL>`, then email → `<EMAIL>`, then phone → `<PHONE>` (an

@@ -25,8 +25,10 @@ object RowWidth {
     else Some(varF.map { f =>
       val len = f.dataType match {
         case StringType => octet_length(col(f.name))
-        case BinaryType => length(col(f.name))
-        case _ => length(to_json(struct(col(f.name))))
+        case BinaryType => length(col(f.name)) // bytes for binary
+        // octet_length, not length: the JSON rendering counts CHARS under
+        // length, undercounting multi-byte text payloads ~3x
+        case _ => octet_length(to_json(struct(col(f.name))))
       }
       coalesce(len.cast(LongType), lit(0L))
     }.reduce(_ + _))
