@@ -112,6 +112,25 @@ object PipelineQueries {
         .orderBy("window_start_us", "event_type")
     },
 
+    // the stream-stream interval join, batch-replayed: view→click
+    // attribution within 2 hours per user (user subset keeps the pair
+    // volume bounded at bench scale)
+    "q_stream_interval_join" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+        .where(col("user_id") < 200)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      Sessions.intervalJoin(views, clicks, "user_id", "ts", "2 HOURS",
+          leftPayload = Seq("view_id"), rightPayload = Seq("click_id"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          unix_micros(col("l_ts")).as("view_us"),
+          unix_micros(col("r_ts")).as("click_us"))
+        .orderBy("user_id", "view_id", "click_id")
+    },
+
     // the mapGroupsWithState sessionizer, batch-replayed: in batch mode each
     // user's full history arrives in ONE group invocation, so the emitted
     // update is the user's LAST session — which the oracle reproduces by
@@ -177,6 +196,17 @@ object PipelineQueries {
          |       CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
          |       count(*) AS n_events
          |FROM g GROUP BY user_id, sess ORDER BY user_id, start_us""".stripMargin,
+
+    "q_stream_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |           FROM events WHERE user_id < 200),
+        |v AS (SELECT user_id, event_id AS view_id, us AS view_us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click')
+        |SELECT v.user_id AS user_id, view_id, click_id, view_us, click_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        | AND click_us > view_us AND click_us <= view_us + 7200000000
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
     "q_stream_windowed_counts" ->
       """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)

@@ -48,6 +48,30 @@ object Sessions {
   def withEventTimeWatermark(events: DataFrame, lateness: String): DataFrame =
     events.withWatermark("ts", lateness)
 
+  /** Event-time interval join — the stream-stream join shape (attribution:
+    * each left event matches right events of the same key whose timestamp
+    * falls in (leftTs, leftTs + within]). The SAME code runs batch and
+    * streaming; on streams, watermark BOTH inputs first — the time bound
+    * plus the watermarks is what lets Spark evict join state, so state
+    * stays O(events inside the interval window) per key instead of
+    * unbounded. Output columns: key, left ts as `l_ts`, right ts as
+    * `r_ts`, plus the given payload columns.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, tsCol: String, within: String,
+                   leftPayload: Seq[String] = Nil,
+                   rightPayload: Seq[String] = Nil): DataFrame = {
+    val l = left.select((col(keyCol) +: col(tsCol).as("l_ts") +:
+      leftPayload.map(col)): _*)
+    val r = right.select((col(keyCol).as("__rk") +: col(tsCol).as("r_ts") +:
+      rightPayload.map(col)): _*)
+    l.join(r,
+        col(keyCol) === col("__rk") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .drop("__rk")
+  }
+
   // ---- custom-state sessionizer -----------------------------------------
 
   case class SessionEvent(user_id: Long, event_id: Long, us: Long)

@@ -33,6 +33,34 @@ class StreamLoaderSpec extends SparkSpec {
       (1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c"), (4L, 4L, "d"), (5L, 5L, "e")))
   }
 
+  test("intervalJoin on two streams: watermarked state, only in-window matches") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    val views = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Long)]
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Timestamp, Long)]
+    val vdf = Sessions.withEventTimeWatermark(
+      views.toDF().toDF("user_id", "ts", "view_id"), "1 hour")
+    val cdf = Sessions.withEventTimeWatermark(
+      clicks.toDF().toDF("user_id", "ts", "click_id"), "1 hour")
+    val joined = Sessions.intervalJoin(vdf, cdf, "user_id", "ts", "10 MINUTES",
+      leftPayload = Seq("view_id"), rightPayload = Seq("click_id"))
+    val q = joined.select("user_id", "view_id", "click_id")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      views.addData((1L, ts(0), 100L), (2L, ts(0), 200L))
+      clicks.addData((1L, ts(5), 900L),  // in window  -> match
+        (1L, ts(20), 901L),              // outside 10 min -> no match
+        (2L, ts(3), 902L))               // in window, other user
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 100L, 900L), (2L, 200L, 902L)))
+    } finally q.stop()
+  }
+
   test("streamInto with upsertFields merges replayed rows instead of duplicating") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
