@@ -170,6 +170,37 @@ object TextAnalysis {
       .withColumn("redacted", redacted)
   }
 
+  /** Repetition signals — the Gopher-style duplication filters that
+    * complement [[withStats]]' composite quality score: the top token's
+    * frequency share (boilerplate/listicle detector) and the duplicated
+    * 2-gram share (copy-paste detector). Returns
+    * (idCol, n_tokens, max_tf, top_token_ratio, dup_2gram_ratio).
+    *
+    * Scale: the 2-gram ratio is a pure projection; max_tf needs one
+    * (doc,term) hash-aggregation + a per-doc max — both partial-aggregate
+    * map-side — and joins back on the doc id. No windows over shared-term
+    * partitions, no driver state.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // raw (non-distinct) 2-grams; a single-token doc yields its one token
+    val grams = transform(sequence(lit(1), greatest(n - 1, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val total2 = size(grams)
+    val proj = df.select(col(idCol), n.cast(LongType).as("n_tokens"),
+      ((total2 - size(array_distinct(grams))).cast(DoubleType) /
+        total2.cast(DoubleType)).as("dup_2gram_ratio"))
+    val maxTf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol)).agg(max(col("tf")).as("max_tf"))
+    proj.join(maxTf, Seq(idCol))
+      .withColumn("top_token_ratio",
+        col("max_tf").cast(DoubleType) / greatest(col("n_tokens"), lit(1L)).cast(DoubleType))
+      .select(col(idCol), col("n_tokens"), col("max_tf"),
+        col("top_token_ratio"), col("dup_2gram_ratio"))
+  }
+
   /** Rolling polynomial fingerprint of the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
     * Order-sensitive (unlike a bag-of-words hash) and portable; used for

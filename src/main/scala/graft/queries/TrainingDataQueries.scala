@@ -82,6 +82,14 @@ object TrainingDataQueries {
         .orderBy("doc_id", "rank")
     },
 
+    "q_text_repetition" -> { (spark, sfDir) =>
+      TextAnalysis.repetitionStats(docs(spark, sfDir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("max_tf"),
+          e9(col("top_token_ratio")).as("top_token_ratio_e9"),
+          e9(col("dup_2gram_ratio")).as("dup_2gram_ratio_e9"))
+        .orderBy("doc_id")
+    },
+
     // PII pass: the synthetic corpus carries no PII, so every 25th doc gets
     // a deterministic contact blurb appended in-query (same construction in
     // the oracle); counts + redacted text must match byte-for-byte
@@ -381,6 +389,25 @@ object TrainingDataQueries {
          |SELECT id_a, id_b, ${e9Sql("jac")} AS jaccard_e9
          |FROM j WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |g AS (SELECT doc_id, len(w) AS n,
+         |        list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+         |                       i -> array_to_string(w[i:i+1], ' ')) AS grams
+         |      FROM t),
+         |p AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |        CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         |          / CAST(len(grams) AS DOUBLE) AS dup2
+         |      FROM g),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS term FROM t) GROUP BY 1, 2),
+         |mx AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf FROM tf GROUP BY doc_id)
+         |SELECT p.doc_id, n_tokens, max_tf,
+         |  ${e9Sql("CAST(max_tf AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)")} AS top_token_ratio_e9,
+         |  ${e9Sql("dup2")} AS dup_2gram_ratio_e9
+         |FROM p JOIN mx ON p.doc_id = mx.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
 
     "q_text_pii" -> {
       val email = TextAnalysis.EmailPattern
