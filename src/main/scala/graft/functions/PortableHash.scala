@@ -40,6 +40,12 @@ object PortableHash {
   /** Portable hash reduced below [[P]] (safe for modular products). */
   def hmod(c: Column): Column = h60(c) % P
 
+  /** The DuckDB spelling of [[h60]] applied to SQL fragment `s` — the full
+    * 60-bit positive value (bit source for SimHash; NOT safe for modular
+    * products, use [[hmodSql]] for those). */
+  def h60Sql(s: String): String =
+    s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
   /** The DuckDB spelling of [[hmod]] applied to SQL fragment `s`. */
   def hmodSql(s: String): String =
     s"(CAST('0x' || substr(md5($s), 1, 15) AS BIGINT) % $P)"

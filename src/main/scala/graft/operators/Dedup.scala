@@ -21,9 +21,9 @@ import graft.functions.PortableHash.P
   *     candidates pay the exact-Jaccard verification join.
   *   - Pairwise n-gram Jaccard is the exact-but-quadratic baseline; keep it
   *     for small blocks / validation of the LSH recall.
-  *   - SimHash packs a doc into one 31-bit int; near-dups are pairs at
-  *     Hamming distance ≤ τ found by byte-banding (pigeonhole: any pair at
-  *     distance ≤ 3 shares at least one of 4 bytes).
+  *   - SimHash packs a doc into one 60-bit int; near-dups are pairs at
+  *     Hamming distance ≤ τ found by banding (pigeonhole: any pair at
+  *     distance ≤ bands−1 agrees on at least one whole band).
   *
   * All hashes are [[PortableHash]]-based so the DuckDB oracle reproduces
   * results bit-for-bit.
@@ -180,6 +180,12 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), s => PortableHash.hmod(s)))
 
+  /** Full-width (60-bit) portable hashes of the distinct shingles — the bit
+    * source for SimHash, which consumes individual hash BITS and therefore
+    * wants every bit md5 gives us, not the mod-P residue (31 bits). */
+  def shingleHashes60(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => PortableHash.h60(s)))
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) /
@@ -188,42 +194,53 @@ object Dedup {
   // ---- n-gram Jaccard (exact, inverted-index) ----------------------------
 
   /** All pairs (idA < idB) with shingle-Jaccard ≥ `threshold` — EXACT, via
-    * an inverted index: explode (doc, shingle-hash), self-join on the hash
-    * (equi-join, hash-shuffled on the shingle — never a nested loop over
-    * doc pairs), count co-occurrences per pair, then
-    * J = inter / (|A| + |B| − inter). Only pairs sharing at least one
-    * shingle ever materialize; with a positive threshold the rest are
-    * non-results by definition. Cost is Σ_shingle (docs-per-shingle)² —
-    * near-linear on natural corpora, degenerating only when one shingle is
-    * shared by a large fraction of all docs (then use [[minHashPairs]]).
+    * a PREFIX-FILTERED inverted index (the SSJoin/PPJoin family, Chaudhuri
+    * et al. ICDE'06 / Xiao et al. WWW'08): with each doc's shingle-hash set
+    * sorted in a global canonical order (the hash value), J(A,B) ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉, so A and B must collide within their first
+    * |d| − ⌈t·|d|⌉ + 1 elements — only those PREFIX hashes enter the
+    * inverted index. The candidate join therefore costs
+    * Σ_shingle (prefix-df)² instead of Σ df² (≈ (1−t)² of the full-index
+    * cost), and surviving candidate pairs verify with one exact
+    * set-intersection join-back. Lossless: the prefix bound is a theorem,
+    * not a heuristic, and verification is exact — results are identical to
+    * the all-pairs definition. The size-ratio prefilter
+    * (t·max(|A|,|B|) ≤ min) additionally prunes inside the candidate join.
+    * Degenerate case (one shingle in a large fraction of all prefixes) is
+    * [[minHashPairs]]'s territory.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0, "threshold must be positive (zero would require enumerating all pairs)")
-    val withSh = df.select(col(idCol).as("__id"), shingleHashes(col(textCol), n).as("__sh"))
+    val withSh = df.select(col(idCol).as("__id"),
+        array_sort(shingleHashes(col(textCol), n)).as("__sh"))
       .withColumn("__n", size(col("__sh")))
-    // Both join sides branch from `inv`; without a cache the shingle-hash
-    // pipeline (md5 per shingle) runs twice — self-join branches get no
-    // exchange reuse because their projections differ.
-    val inv = withSh.select(col("__id"), col("__n"), explode(col("__sh")).as("__h"))
+      // cached: the prefix explode AND the verification join-back both read
+      // it — without a cache the shingle-hash pipeline (md5 per shingle)
+      // runs twice.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // minimum overlap ⌈t·n⌉, computed with a downward epsilon so binary fp
+    // noise (0.6·5 = 3.0000000000000004) can only LENGTHEN the prefix —
+    // a longer prefix stays lossless, a shorter one would drop pairs
+    val alpha = ceil(lit(threshold) * col("__n") - lit(1e-9)).cast("int")
+    val inv = withSh
+      .select(col("__id"), col("__n"),
+        explode(slice(col("__sh"), lit(1), greatest(col("__n") - alpha + 1, lit(1)))).as("__h"))
     val a = inv.select(col("__h"), col("__id").as("id_a"), col("__n").as("__na"))
     val b = inv.select(col("__h"), col("__id").as("id_b"), col("__n").as("__nb"))
-    // size-ratio prefilter (lossless): J = inter/union ≤ min(|A|,|B|)/max,
-    // so J ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|) — evaluated inside the
-    // join, it drops size-mismatched co-occurrence rows before they reach
-    // the per-pair aggregation shuffle.
-    val pairs = a.join(b, Seq("__h"))
+    val candidates = a.join(b, Seq("__h"))
       .where(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")).cast(DoubleType) >=
           lit(threshold) * greatest(col("__na"), col("__nb")).cast(DoubleType))
-      .groupBy("id_a", "id_b", "__na", "__nb")
-      .agg(count(lit(1)).as("__inter"))
-      .withColumn("jaccard", col("__inter").cast(DoubleType) /
-        (col("__na") + col("__nb") - col("__inter")).cast(DoubleType))
+      .select("id_a", "id_b").distinct()
+    val sets = withSh.select(col("__id"), col("__sh"))
+    val pairs = candidates
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    materializeAndRelease(pairs, inv)
+    materializeAndRelease(pairs, withSh)
   }
 
   /** Cross-corpus n-gram contamination — the train-set DECONTAMINATION
@@ -488,7 +505,15 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------------
 
-  /** 31-bit SimHash over the distinct 3-gram shingle hashes of `text`:
+  /** Signature width in bits. 60 = every bit the portable md5 hash yields
+    * (15 hex chars — [[PortableHash.h60]]); staying under bit 62 also keeps
+    * every `1L << b` term and the signature itself positive, so band
+    * extraction via arithmetic shift + mask is engine-agnostic (no signed
+    * >> divergence risk between Spark and DuckDB on negative values).
+    */
+  val SimHashBits = 60
+
+  /** 60-bit SimHash over the distinct 3-gram shingle hashes of `text`:
     * bit b is set iff Σ_shingles (±1 per bit b of the shingle hash) > 0.
     * One projection. Shingles, not tokens: on a corpus with a small shared
     * vocabulary, distinct-token sets saturate and token-level SimHash
@@ -496,8 +521,8 @@ object Dedup {
     * n-grams keep the signal.
     */
   def simHash(text: Column): Column = {
-    val hs = shingleHashes(text, 3)
-    (0 until 31).map { b =>
+    val hs = shingleHashes60(text, 3)
+    (0 until SimHashBits).map { b =>
       val w = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(w > 0L, lit(1L << b)).otherwise(lit(0L))
@@ -505,50 +530,59 @@ object Dedup {
   }
 
   /** (id, SimHash signature) via explode + one hash-aggregate — shingle
-    * hashes computed once, 31 conditional-sum bit weights in a single
+    * hashes computed once, 60 conditional-sum bit weights in a single
     * codegen'd aggregate (the [[simHash]] Column form embeds the shingle
-    * subexpression 31×; this is the at-scale path).
+    * subexpression 60×; this is the at-scale path).
     */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hs = df.select(col(idCol).as("__id"),
-      explode(shingleHashes(col(textCol), 3)).as("__h"))
-    val weights = (0 until 31).map { b =>
+      explode(shingleHashes60(col(textCol), 3)).as("__h"))
+    val weights = (0 until SimHashBits).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__w$b")
     }
     val agg = hs.groupBy(col("__id")).agg(weights.head, weights.tail: _*)
-    val sig = (0 until 31).map { b =>
+    val sig = (0 until SimHashBits).map { b =>
       when(col(s"__w$b") > 0L, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col("__id"), sig.as("__sig"))
   }
 
-  /** Pairs at Hamming distance ≤ maxDist between 31-bit SimHashes, found by
-    * byte-banding (4 bands; pigeonhole-complete for maxDist ≤ 3). Returns
+  /** Pairs at Hamming distance ≤ maxDist between 60-bit SimHashes, found by
+    * banding (pigeonhole-complete for maxDist ≤ bands − 1). Returns
     * (id_a, id_b, hamming).
+    *
+    * `bands` must divide [[SimHashBits]]; the default 4 gives 15-bit band
+    * keys — 32768 distinct keys per band, so natural bucket sizes stay
+    * ~N/32768 per band and the `maxBucket` star-cap guard only ever engages
+    * on true mass duplication (the 31-bit/byte-band predecessor had 256
+    * keys per band, which saturated structurally at ~1M docs and turned the
+    * guard into a recall tax). For a larger exact radius, raise `bands`
+    * (e.g. 6 bands of 10 bits → maxDist ≤ 5) — band keys shrink, so weigh
+    * radius against bucket density.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int, maxBucket: Int = 4096): DataFrame = {
-    require(maxDist <= 3,
-      s"byte-banding over 4 bands is pigeonhole-complete only for maxDist <= 3 " +
+                   maxDist: Int, bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    require(bands >= 2 && SimHashBits % bands == 0,
+      s"bands must divide $SimHashBits bits evenly: $bands")
+    require(maxDist <= bands - 1,
+      s"banding over $bands bands is pigeonhole-complete only for maxDist <= ${bands - 1} " +
         s"(got $maxDist); pairs at greater distance could share no band and be " +
         s"silently dropped — use more bands for a larger radius")
+    val bandBits = SimHashBits / bands
+    val bandMask = (1L << bandBits) - 1
     // cached: the banded self-join's two branches would otherwise each
     // recompute the signature aggregation. Only (id, sig) is cached — two
     // longs per doc.
     val withSig = simHashSignatures(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band rows carry ONLY (band, key, id); the 31-bit signatures join back
-    // per surviving candidate pair rather than riding the banded self-join
-    // on both sides. A 31-bit simhash has at most 256 distinct keys per
-    // byte band, so buckets grow linearly with the corpus — the maxBucket
-    // star-capping guard is structural here, not just a skew fallback (at
-    // ~1M docs EVERY bucket is hot; for a larger exact radius search, use
-    // more signature bits/bands).
+    // band rows carry ONLY (band, key, id); the signatures join back per
+    // surviving candidate pair rather than riding the banded self-join on
+    // both sides.
     val banded = withSig.select(col("__id"),
-      explode(array((0 until 4).map { k =>
+      explode(array((0 until bands).map { k =>
         struct(lit(k).as("band"),
-          shiftright(col("__sig"), k * 8).bitwiseAND(lit(255L)).as("key"))
+          shiftright(col("__sig"), k * bandBits).bitwiseAND(lit(bandMask)).as("key"))
       }: _*)).as("__b"))
       .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
     val (candidates, guardCaches) =

@@ -115,8 +115,7 @@ object TrainingDataQueries {
     },
 
     "q_dedup_ngram_jaccard" -> { (spark, sfDir) =>
-      val subset = docs(spark, sfDir).where(col("doc_id") % 5 === 0)
-      Dedup.jaccardPairs(nearDupCorpus(subset, 10), "doc_id", "text",
+      Dedup.jaccardPairs(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
           n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), e9(col("jaccard")).as("jaccard_e9"))
         .orderBy("id_a", "id_b")
@@ -130,12 +129,10 @@ object TrainingDataQueries {
     },
 
     "q_dedup_simhash" -> { (spark, sfDir) =>
-      // %5 subset: this synthetic corpus draws from one small vocabulary,
-      // so simhashes correlate strongly and full-corpus byte-band buckets
-      // go quadratic (the operator is sound; the data is pathologically
-      // dense). Real corpora have near-uniform simhash bytes.
-      val subset = docs(spark, sfDir).where(col("doc_id") % 5 === 0)
-      Dedup.simHashPairs(nearDupCorpus(subset, 10), "doc_id", "text",
+      // full corpus: the 60-bit signature's 15-bit band keys (32768 per
+      // band) keep buckets sparse even on this single-vocabulary corpus —
+      // the 31-bit/byte-band predecessor needed a %5 subset here
+      Dedup.simHashPairs(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
           maxDist = 3)
         .orderBy("id_a", "id_b")
     },
@@ -153,7 +150,10 @@ object TrainingDataQueries {
     },
 
     // the end-to-end dedup ACTION: near-dup clusters via MinHash pairs →
-    // connected components → keep the canonical (min-id) doc per cluster
+    // connected components → keep the canonical (min-id) doc per cluster.
+    // %5 subset retained HERE only because the ORACLE's recursive-CTE
+    // reachability is super-linear in DuckDB; the Spark operator itself runs
+    // the full corpus in q_dedup_minhash (same pair pipeline).
     "q_dedup_drop" -> { (spark, sfDir) =>
       val subset = docs(spark, sfDir).where(col("doc_id") % 5 === 0)
       Dedup.dropNearDuplicates(nearDupCorpus(subset, 10), "doc_id", "text",
@@ -358,12 +358,22 @@ object TrainingDataQueries {
          |      FROM corpus)
          |SELECT doc_id, lang FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // inverted-index form (mirrors the Spark operator): co-occurrence count
+    // per pair sharing >= 1 shingle, J = inter/(|A|+|B|-inter) — with a
+    // positive threshold this is the same result set as all-pairs, at
+    // Σ_shingle df² cost instead of the quadratic docs² list comparisons
+    // that forced a %5 corpus subset before
     "q_dedup_ngram_jaccard" ->
-      s"""WITH ${nearDupCorpusSql(10, "doc_id % 5 = 0")},
+      s"""WITH ${nearDupCorpusSql(10)},
          |$shingleHashesSql,
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
-         |          FROM hs a JOIN hs b ON a.doc_id < b.doc_id),
-         |j AS (SELECT id_a, id_b, $jaccardSql AS jac FROM pairs)
+         |inv AS (SELECT doc_id, len(h) AS n, unnest(h) AS x FROM hs),
+         |co AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |              a.n AS na, b.n AS nb, count(*) AS inter
+         |       FROM inv a JOIN inv b ON a.x = b.x AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2, 3, 4),
+         |j AS (SELECT id_a, id_b,
+         |             CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS jac
+         |      FROM co)
          |SELECT id_a, id_b, ${e9Sql("jac")} AS jaccard_e9
          |FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
@@ -483,16 +493,21 @@ object TrainingDataQueries {
          |SELECT id AS doc_id FROM comp WHERE id = comp ORDER BY doc_id""".stripMargin
     },
 
+    // 60-bit signature over FULL-width (h60) shingle hashes, 4 bands of 15
+    // bits — matches [[Dedup.simHashSignatures]]/[[Dedup.simHashPairs]]
     "q_dedup_simhash" ->
-      s"""WITH ${nearDupCorpusSql(10, "doc_id % 5 = 0")},
-         |$shingleHashesSql,
-         |th AS (SELECT doc_id, h FROM hs),
-         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 30), b ->
+      s"""WITH ${nearDupCorpusSql(10)},
+         |cw AS (SELECT doc_id, ${tok("text")} AS w FROM corpus),
+         |hs60 AS (SELECT doc_id, list_distinct(list_transform(
+         |  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+         |                i -> array_to_string(w[i:i+2], ' '))),
+         |  s -> ${PortableHash.h60Sql("s")})) AS h FROM cw),
+         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
          |    CASE WHEN list_sum(list_transform(h, x ->
          |           CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
          |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
-         |  FROM th),
-         |bands AS (SELECT doc_id, s, t.k AS band, (s >> (t.k * 8)) & 255 AS key
+         |  FROM hs60),
+         |bands AS (SELECT doc_id, s, t.k AS band, (s >> (t.k * 15)) & 32767 AS key
          |          FROM sig, unnest([0, 1, 2, 3]) AS t(k)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
          |         FROM bands a JOIN bands b

@@ -40,6 +40,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccard prefix filter is lossless vs brute-force all-pairs (t=0.6)") {
+    // 0.6 has no exact binary representation — exercises the downward
+    // epsilon in the ⌈t·n⌉ prefix-length bound; a varied corpus of
+    // overlapping sentences makes prefixes genuinely shorter than the sets
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = (0L until 30L).map { i =>
+      val words = (0 until 8).map(j => s"w${(i + j * (i % 3 + 1)) % 20}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 2, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = corpus.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size
+      union = sets(a).size + sets(b).size - inter
+      if inter.toDouble / union >= 0.6
+    } yield (a, b)).toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty, "test corpus produced no qualifying pairs — not probative")
+  }
+
   test("minhash LSH finds the same pairs as exact jaccard at high threshold") {
     val mh = Dedup.minHashPairs(docsDf, "doc_id", "text",
         n = 3, numPerms = 16, bands = 4, threshold = 0.5)
