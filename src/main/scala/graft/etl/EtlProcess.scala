@@ -87,19 +87,47 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
     * (JSON etc.) stay intact (SURVEY §7.5 item 4). */
   private def resolveIncremental(sql: String): String = writePkField match {
     case Some(pk) =>
-      val last: Long = tgt.tableIfExists(writeTableName) match {
+      val last: String = tgt.tableIfExists(writeTableName) match {
         // case-insensitive: JDBC sources (Derby, Oracle, ...) uppercase
         // unquoted identifiers, and Spark's analyzer resolves max(col(pk))
         // case-insensitively anyway — the existence check must agree with it
         case Some(t) if t.columns.exists(_.equalsIgnoreCase(pk)) =>
-          val r = t.agg(max(col(pk)).cast("long")).head()
-          if (r.isNullAt(0)) 0L else r.getLong(0)
-        case _ => 0L
+          watermarkLiteral(t, t.columns.find(_.equalsIgnoreCase(pk)).get)
+        case _ => "0"
       }
       val i = sql.indexOf("{}")
       require(i >= 0, "incremental extract SQL needs a {} placeholder")
-      sql.substring(0, i) + last.toString + sql.substring(i + 2)
+      sql.substring(0, i) + last + sql.substring(i + 2)
     case None => sql
+  }
+
+  /** Typed SQL-literal rendering of `max(pk)` — the reference substitutes
+    * whatever value the driver returned, of ANY type, via `str.format`
+    * (easy_etl/__init__.py:80-87), so date/string/timestamp watermarks must
+    * work too (a long-only cast silently nulled them). Timestamps render
+    * through Spark's own `date_format` (micro precision, session timezone)
+    * so the literal round-trips exactly; strings are quote-escaped. A NULL
+    * max (present-but-empty table) renders as 0 — the reference's
+    * `next(rows)['max'] or last_pk` fallback.
+    */
+  private def watermarkLiteral(t: DataFrame, pk: String): String = {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    t.schema(pk).dataType match {
+      case TimestampType =>
+        val r = t.agg(date_format(max(col(pk)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
+        if (r.isNullAt(0)) "0" else s"TIMESTAMP '${r.getString(0)}'"
+      case DateType =>
+        val r = t.agg(max(col(pk)).cast("string")).head()
+        if (r.isNullAt(0)) "0" else s"DATE '${r.getString(0)}'"
+      case StringType =>
+        val r = t.agg(max(col(pk))).head()
+        if (r.isNullAt(0)) "0" else "'" + r.getString(0).replace("'", "''") + "'"
+      case _ =>
+        // numerics/boolean: the collected value's own rendering is a valid
+        // SQL literal in Spark and every JDBC dialect we target
+        val r = t.agg(max(col(pk))).head()
+        if (r.isNullAt(0)) "0" else String.valueOf(r.get(0))
+    }
   }
 
   /** Stage a JDBC extract — the reference's actual source type (a SQL

@@ -71,6 +71,20 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // E4b: incremental extract over a TIMESTAMP watermark — the reference
+    // substitutes whatever MAX(pk) returns (any type); the literal must
+    // round-trip with micro precision
+    "q_incremental_ts" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.idOrder = Seq("event_id")
+      p.extract("SELECT event_id, ts, event_type FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'")
+      p.load()
+      p.extract("SELECT event_id, ts, event_type FROM events WHERE ts > {}",
+        writePkField = Some("ts"))
+      p.load()
+      p.result().orderBy("id")
+    },
+
     // E5: extract override (arbitrary DataFrame producer)
     "q_extract_override" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
@@ -287,6 +301,15 @@ object EtlQueries {
         |            WHERE o_orderkey > (SELECT max(o_orderkey) FROM b1)),
         |     i1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, b1.* FROM b1),
         |     i2 AS (SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY o_orderkey) AS id, b2.* FROM b2)
+        |SELECT * FROM i1 UNION ALL SELECT * FROM i2 ORDER BY id""".stripMargin,
+
+    "q_incremental_ts" ->
+      """WITH b1 AS (SELECT event_id, ts, event_type FROM events
+        |            WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |     b2 AS (SELECT event_id, ts, event_type FROM events
+        |            WHERE ts > (SELECT max(ts) FROM b1)),
+        |     i1 AS (SELECT row_number() OVER (ORDER BY event_id) AS id, b1.* FROM b1),
+        |     i2 AS (SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY event_id) AS id, b2.* FROM b2)
         |SELECT * FROM i1 UNION ALL SELECT * FROM i2 ORDER BY id""".stripMargin,
 
     "q_extract_override" ->
