@@ -2,6 +2,18 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+/** A named-table namespace an [[EtlProcess]] can read dimension/target
+  * tables from — the surface the reference uses its `write_db` connection
+  * for (load target, link lookups, incremental MAX — easy_etl/__init__.py:
+  * 42, 80-82, 130). Implementations: [[Catalog]] (parquet directory) and
+  * [[JdbcCatalog]] (a SQL database via JDBC, the reference's actual target
+  * type). */
+trait TableStore {
+  def spark: SparkSession
+  def table(name: String): DataFrame
+  def tableIfExists(name: String): Option[DataFrame]
+}
+
 /** A "database" backed by a directory of parquet tables.
   *
   * Mirrors the reference's two-connection model (source DB for extract,
@@ -17,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * nothing here assumes a local filesystem except the existence checks, which
   * go through the Hadoop FileSystem API.
   */
-class Catalog(val spark: SparkSession, val dir: String) {
+class Catalog(val spark: SparkSession, val dir: String) extends TableStore {
 
   private def fs = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -22,7 +22,7 @@ import graft.operators.AsOfJoin
   *     (the reference stores it under the literal key `None`).
   *   - upsert honors `ensure` (the reference drops it on the upsert path).
   */
-class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String) {
+class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: String) {
 
   private var extractThunk: Option[() => DataFrame] = None
   private var types: Map[String, DataType] = Map.empty
@@ -253,8 +253,17 @@ class EtlProcess(val src: Catalog, val tgt: Catalog, val writeTableName: String)
     try {
       report(s"load: ${toLoad.count()} rows -> $writeTableName" +
         (if (upsertFields.nonEmpty) s" (upsert on ${upsertFields.mkString(",")})" else ""))
-      Loader.load(tgt, writeTableName, toLoad,
-        upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
+      tgt match {
+        case c: Catalog =>
+          Loader.load(c, writeTableName, toLoad,
+            upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
+        case j: JdbcCatalog =>
+          JdbcLoader.load(j, writeTableName, toLoad,
+            upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"no loader for target store ${other.getClass.getName}")
+      }
     } finally if (verbose) toLoad.unpersist()
     } finally if (verbose) extracted.unpersist()
 

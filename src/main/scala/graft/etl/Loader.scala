@@ -63,50 +63,7 @@ object Loader {
         withSurrogateIds(incoming, maxId, order)
 
       case Some(ex) if upsertFields.nonEmpty =>
-        val keys = upsertFields
-        // The reference's sequential per-row upsert converges to one row per
-        // key: later incoming rows overwrite earlier ones. Collapse incoming
-        // to the LAST row per key under the deterministic insertion order
-        // (ties broken by the remaining columns) before the matched/fresh
-        // split, so duplicate keys can't multiply the join.
-        val one = {
-          val tieBreak = (order ++ incoming.columns.filterNot(order.contains)).distinct
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(keys.map(col): _*)
-            .orderBy(tieBreak.map(c => col(c).desc_nulls_last): _*)
-          incoming.withColumn("__rn", row_number().over(w))
-            .where(col("__rn") === 1).drop("__rn")
-        }
-        // Matched rows: join incoming onto the FULL existing row and pick
-        // per column — incoming's value where the column exists in incoming
-        // (the supplied fields), the existing value otherwise. This mirrors
-        // the reference's UPDATE-of-supplied-fields: columns the incoming
-        // extract doesn't carry keep their previously-loaded values (the
-        // safe=true retention case). Existing duplicates of a key all get
-        // updated in place (SQL UPDATE semantics), each keeping its id.
-        val inCols = one.columns.toSet
-        val renamedIn = one.columns.filterNot(keys.contains).foldLeft(one) {
-          (d, c) => d.withColumnRenamed(c, s"__in_$c")
-        }
-        val joined = ex.join(renamedIn, keys, "inner")
-        val matchedCols = ex.columns.toIndexedSeq.map { c =>
-          if (keys.contains(c) || c == IdCol) col(c)
-          else if (inCols.contains(c)) col(s"__in_$c").as(c)
-          else col(c)
-        } ++ one.columns.filterNot(c => keys.contains(c) || ex.columns.contains(c))
-          .toIndexedSeq.map(c => col(s"__in_$c").as(c))
-        val matched = joined.select(matchedCols: _*)
-        // fresh keys get new ids (deterministic order among themselves)
-        val fresh = withSurrogateIds(
-          one.join(ex.select(keys.map(col): _*), keys, "left_anti"),
-          maxId, order)
-        // untouched existing rows survive as-is
-        val kept = ex.join(one.select(keys.map(col): _*), keys, "left_anti")
-        // schema evolution resolves against INCOMING's column set (fresh =
-        // id + incoming columns), not matched's widened set — otherwise
-        // safe=false could never narrow on the upsert path.
-        val target = finalSchema(ex, fresh, ensure, safe)
-        unionAligned(Seq(kept, matched, fresh), target)
+        upsertMerged(ex, incoming, upsertFields, maxId, order, ensure, safe)
 
       case Some(ex) =>
         val withIds = withSurrogateIds(incoming, maxId, order)
@@ -143,6 +100,58 @@ object Loader {
     writeAtomic(tgt, table, merged)
   }
 
+  /** The join-based MERGE shared by the parquet and JDBC sinks: replace
+    * existing rows matching on `keys` (ids kept), insert fresh keys with new
+    * ids, keep untouched rows, resolve schema under ensure/safe.
+    */
+  private[etl] def upsertMerged(ex: DataFrame, incoming: DataFrame, keys: Seq[String],
+                                maxId: Long, order: Seq[String],
+                                ensure: Boolean, safe: Boolean): DataFrame = {
+    // The reference's sequential per-row upsert converges to one row per
+    // key: later incoming rows overwrite earlier ones. Collapse incoming
+    // to the LAST row per key under the deterministic insertion order
+    // (ties broken by the remaining columns) before the matched/fresh
+    // split, so duplicate keys can't multiply the join.
+    val one = {
+      val tieBreak = (order ++ incoming.columns.filterNot(order.contains)).distinct
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(tieBreak.map(c => col(c).desc_nulls_last): _*)
+      incoming.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+    }
+    // Matched rows: join incoming onto the FULL existing row and pick
+    // per column — incoming's value where the column exists in incoming
+    // (the supplied fields), the existing value otherwise. This mirrors
+    // the reference's UPDATE-of-supplied-fields: columns the incoming
+    // extract doesn't carry keep their previously-loaded values (the
+    // safe=true retention case). Existing duplicates of a key all get
+    // updated in place (SQL UPDATE semantics), each keeping its id.
+    val inCols = one.columns.toSet
+    val renamedIn = one.columns.filterNot(keys.contains).foldLeft(one) {
+      (d, c) => d.withColumnRenamed(c, s"__in_$c")
+    }
+    val joined = ex.join(renamedIn, keys, "inner")
+    val matchedCols = ex.columns.toIndexedSeq.map { c =>
+      if (keys.contains(c) || c == IdCol) col(c)
+      else if (inCols.contains(c)) col(s"__in_$c").as(c)
+      else col(c)
+    } ++ one.columns.filterNot(c => keys.contains(c) || ex.columns.contains(c))
+      .toIndexedSeq.map(c => col(s"__in_$c").as(c))
+    val matched = joined.select(matchedCols: _*)
+    // fresh keys get new ids (deterministic order among themselves)
+    val fresh = withSurrogateIds(
+      one.join(ex.select(keys.map(col): _*), keys, "left_anti"),
+      maxId, order)
+    // untouched existing rows survive as-is
+    val kept = ex.join(one.select(keys.map(col): _*), keys, "left_anti")
+    // schema evolution resolves against INCOMING's column set (fresh =
+    // id + incoming columns), not matched's widened set — otherwise
+    // safe=false could never narrow on the upsert path.
+    val target = finalSchema(ex, fresh, ensure, safe)
+    unionAligned(Seq(kept, matched, fresh), target)
+  }
+
   /** Stamp a surrogate `id` = startId + 1-based rank under `orderCols`.
     * Distributed range sort, then per-partition index offsets — no global
     * single-partition bottleneck (SURVEY.md §7.5 item 2).
@@ -159,7 +168,7 @@ object Loader {
 
   /** Same column names and types in the same order (nullability ignored —
     * parquet reads surface everything nullable). */
-  private def sameShape(a: StructType, b: StructType): Boolean =
+  private[etl] def sameShape(a: StructType, b: StructType): Boolean =
     a.length == b.length && a.fields.zip(b.fields).forall { case (x, y) =>
       x.name == y.name && x.dataType == y.dataType
     }
@@ -167,7 +176,7 @@ object Loader {
   /** Resolve the post-load schema from existing + incoming under
     * ensure/safe (S3/S4). Incoming's type wins for shared column names.
     */
-  private def finalSchema(existing: DataFrame, incomingWithId: DataFrame,
+  private[etl] def finalSchema(existing: DataFrame, incomingWithId: DataFrame,
                           ensure: Boolean, safe: Boolean): StructType = {
     val exFields = existing.schema.fields
     val inFields = incomingWithId.schema.fields
@@ -186,7 +195,7 @@ object Loader {
   }
 
   /** Project each frame onto `target` (missing cols → typed nulls) and union. */
-  private def unionAligned(dfs: Seq[DataFrame], target: StructType): DataFrame = {
+  private[etl] def unionAligned(dfs: Seq[DataFrame], target: StructType): DataFrame = {
     val aligned = dfs.map { df =>
       val have = df.columns.toSet
       df.select(target.fields.toIndexedSeq.map { f =>

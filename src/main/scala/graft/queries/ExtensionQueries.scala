@@ -125,6 +125,34 @@ object ExtensionQueries {
         .orderBy("id")
     },
 
+    // JDBC as a WRITE target (reference write_db parity): full ETL into
+    // embedded Derby — initial load, then an upsert through the
+    // staging-table swap — and read the final table state back. The oracle
+    // reproduces the end state from the parquet source alone, so id
+    // assignment, the insert path, and the merge must all be faithful.
+    "q_sink_jdbc" -> { (spark, sfDir) =>
+      val db = "graftsink" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$db;create=true"
+      val src = new graft.etl.Catalog(spark, sfDir)
+      val tgt = new graft.etl.JdbcCatalog(spark, url)
+      val p = new graft.etl.EtlProcess(src, tgt, "t")
+      p.idOrder = Seq("s_suppkey")
+      p.extract("SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal FROM supplier")
+      p.load()
+      p.idOrder = Seq("s_suppkey")
+      p.extract("SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, lower(s_name) AS s_name, s_acctbal " +
+        "FROM supplier WHERE s_suppkey % 3 = 0")
+      p.load(upsertFields = Seq("s_suppkey"))
+      // materialize the readback eagerly so the in-memory database can drop
+      // before the harness consumes the returned frame
+      val back = p.result().select("id", "s_suppkey", "s_name", "s_acctbal").orderBy("id")
+      val schema = back.schema
+      val rows = back.collect()
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () } // success reports as an exception
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    },
+
     // JSON-lines round-trip, same contract
     "q_source_json" -> { (spark, sfDir) =>
       val src = eventsSubset(spark, sfDir)
@@ -212,6 +240,13 @@ object ExtensionQueries {
         |       CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey < 3 ORDER BY id""".stripMargin,
+
+    "q_sink_jdbc" ->
+      """SELECT row_number() OVER (ORDER BY s_suppkey) AS id,
+        |       CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |       CASE WHEN s_suppkey % 3 = 0 THEN lower(s_name) ELSE s_name END AS s_name,
+        |       s_acctbal
+        |FROM supplier ORDER BY id""".stripMargin,
 
     "q_flatmap_tokens" ->
       """WITH t AS (SELECT doc_id,
