@@ -10,10 +10,13 @@ import graft.functions.PortableHash.P
   * `binary` columns with a typed metadata struct, and decode/feature-extract
   * runs as a per-partition batch pass. Extension scope beyond the reference.
   *
-  * The actual codec is STUBBED — no image/audio libraries ship in this
-  * container — behind [[DecoderStub]], which computes deterministic integer
-  * features from the raw bytes. Everything AROUND the stub is the real
-  * 100 TB design and is what's tested:
+  * IMAGE decode is REAL — [[ImageDecoder]] drives `javax.imageio` (in the
+  * JDK, no external jars): PNG/JPEG/BMP/GIF to width/height/pixel-checksum,
+  * corrupt payloads surfacing as null features. Audio/video codecs are
+  * STUBBED — no media libraries ship in this container — behind
+  * [[DecoderStub]], which computes deterministic integer features from the
+  * raw bytes. Everything AROUND the codecs is the real 100 TB design and is
+  * what's tested:
   *
   *   - storage layout: `content: binary` + `media_meta: struct` columns in
   *     parquet (the parquet-binary/Petastorm shape — media inlined with
@@ -79,6 +82,110 @@ object Multimodal {
     StructField("height", LongType, nullable = false),
     StructField("checksum", LongType, nullable = false),
     StructField("phash", LongType, nullable = false)))
+
+  // ---- real image decode (javax.imageio — ships in the JDK) --------------
+
+  /** Real PNG/JPEG/BMP/GIF decode. `open()` is the once-per-partition init
+    * (disables ImageIO's temp-file cache — executors decode in memory).
+    * Payloads ImageIO does not recognize decode to None; callers surface
+    * null features rather than failing the batch (a 100 TB media corpus
+    * always contains corrupt blobs — one bad file must not kill a stage).
+    */
+  final class ImageDecoder private () {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** (width, height, checksum) where checksum = Σ over pixels of
+      * (R + G + B) — integer-exact, reproducible by an oracle from the
+      * generator parameters of a synthetic image. */
+    def decode(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = im.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (w.toLong, h.toLong, sum)
+      }
+    }
+  }
+  object ImageDecoder {
+    def open(): ImageDecoder = new ImageDecoder() // per-partition init point
+  }
+
+  /** Deterministic grayscale PNG: pixel (x,y) carries value
+    * v = (x·31 + y·17 + seed·13) mod 256 in all three channels. PNG is
+    * lossless, so a decode recovers exactly these values — the oracle can
+    * reproduce width/height/checksum from (w, h, seed) without ever seeing
+    * the bytes. */
+  def makePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 31L + y * 17L + seed * 13L) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a generated PNG payload per row: content = [[makePng]] of the
+    * row's `wCol` × `hCol` dims seeded by `idCol`. Generation runs on the
+    * executors (mapPartitions), never the driver. */
+  def attachGeneratedPng(df: DataFrame, idCol: String,
+                         wCol: String, hCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rdd = df.select(col(idCol).cast(LongType),
+        col(wCol).cast(IntegerType), col(hCol).cast(IntegerType)).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0), makePng(r.getInt(1), r.getInt(2), r.getLong(0)))
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private val imageFeatSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("checksum", LongType, nullable = true)))
+
+  /** REAL image decode features: one [[ImageDecoder.open]] per partition,
+    * lazy iteration. Unrecognized payloads yield null width/height/checksum
+    * (decode failure is data, not an error, at corpus scale). */
+  def decodeImageFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col("content")).rdd
+      .mapPartitions { iter =>
+        val decoder = ImageDecoder.open() // once per partition, NOT per row
+        iter.map { r =>
+          decoder.decode(r.getAs[Array[Byte]](1)) match {
+            case Some((w, h, cs)) => Row(r.getLong(0), w, h, cs)
+            case None => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, imageFeatSchema)
+  }
 
   /** Decode features for every row: one [[DecoderStub.open]] per partition,
     * lazy row iteration (the batch shape a real codec needs). Input must

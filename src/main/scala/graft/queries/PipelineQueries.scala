@@ -40,6 +40,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // REAL image decode (javax.imageio): deterministic PNGs generated on
+    // the executors from (w, h, seed=doc_id), decoded back to
+    // width/height/pixel-checksum. The oracle reproduces all three from
+    // the generator parameters alone — a faithful decode is invisible.
+    "q_multimodal_image" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 16).as("w"),
+          (lit(8) + (col("doc_id") * 3) % 16).as("h"))
+      Multimodal.decodeImageFeatures(
+          Multimodal.attachGeneratedPng(docs, "doc_id", "w", "h"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_frames" -> { (spark, sfDir) =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       Multimodal.frameSample(
@@ -160,6 +174,19 @@ object PipelineQueries {
          |  CAST(list_sum(bs) AS BIGINT) % $P AS checksum,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), bs), (a, x) -> (a * 31 + x) % $P) AS phash
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // width/height/checksum recomputed from the PNG generator's parameters:
+    // pixel (x,y) = (x*31 + y*17 + doc_id*13) % 256 in all three channels
+    "q_multimodal_image" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(8 + doc_id % 16 AS INT) AS w,
+        |             CAST(8 + (doc_id * 3) % 16 AS INT) AS h
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 * list_sum(list_transform(generate_series(0, w - 1), x ->
+        |    list_sum(list_transform(generate_series(0, h - 1), y ->
+        |      (x*31 + y*17 + doc_id*13) % 256)))) AS BIGINT) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       s"""WITH t AS (SELECT doc_id, text, length(text) // 16 AS nf FROM documents),

@@ -217,4 +217,33 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.head.getAs[Long]("f_checksum") ==
       bytes.take(16).map(_.toLong).sum % graft.functions.PortableHash.P)
   }
+
+  test("image decode: real PNG round-trip, JPEG recognized, garbage -> nulls") {
+    // generated PNG decodes back to exactly the generator's pixels
+    val df = spark.createDataFrame(Seq((5L, 4, 3))).toDF("doc_id", "w", "h")
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.attachGeneratedPng(df, "doc_id", "w", "h"), "doc_id").head()
+    val expected = (for { x <- 0 until 4; y <- 0 until 3 }
+      yield 3L * ((x * 31L + y * 17L + 5L * 13L) % 256L)).sum
+    assert(feats.getAs[Long]("width") == 4L)
+    assert(feats.getAs[Long]("height") == 3L)
+    assert(feats.getAs[Long]("checksum") == expected)
+
+    // a JPEG produced by ImageIO itself decodes with the right dimensions
+    // (checksum is codec-lossy, so only the dims are asserted)
+    val img = new java.awt.image.BufferedImage(6, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpegDf = spark.createDataFrame(Seq(Tuple2(9L, bos.toByteArray)))
+      .toDF("doc_id", "content")
+    val jf = Multimodal.decodeImageFeatures(jpegDf, "doc_id").head()
+    assert(jf.getAs[Long]("width") == 6L && jf.getAs[Long]("height") == 2L)
+
+    // unrecognizable bytes surface null features, not a stage failure
+    val bad = spark.createDataFrame(Seq(Tuple2(1L, "not an image".getBytes)))
+      .toDF("doc_id", "content")
+    val bf = Multimodal.decodeImageFeatures(bad, "doc_id").head()
+    assert(bf.isNullAt(bf.fieldIndex("width")) && bf.isNullAt(bf.fieldIndex("checksum")))
+  }
 }
