@@ -75,6 +75,11 @@ object Sessions {
   // ---- custom-state sessionizer -----------------------------------------
 
   case class SessionEvent(user_id: Long, event_id: Long, us: Long)
+  // package-private, not `private`: the Dataset encoder's generated code
+  // needs JVM-level access to the class (Scala private compiles to a
+  // private member; private[streaming] stays public in bytecode)
+  private[streaming] case class SessionEventTs(user_id: Long, event_id: Long,
+                                               us: Long, ts: java.sql.Timestamp)
   case class SessionState(startUs: Long, endUs: Long, n: Long)
   case class SessionUpdate(user_id: Long, session_start_us: Long,
                            session_end_us: Long, n_events: Long)
@@ -84,26 +89,58 @@ object Sessions {
     * open session each trigger (Update mode). Demonstrates the custom
     * per-key-state shape; prefer [[sessionAgg]] when the built-in
     * semantics fit.
+    *
+    * State EVICTS: each update arms `GroupStateTimeout.EventTimeTimeout`
+    * at session end + gap, so once the event-time watermark (event time −
+    * `lateness`) passes that point the key's closed session is emitted one
+    * final time and its state is REMOVED. Without this, every user ever
+    * seen holds state for the lifetime of the stream — the unbounded-state
+    * leak that kills long-running deployments. Batch replays never time
+    * out (no watermark), matching the reference's batch semantics.
     */
-  def statefulSessions(events: Dataset[SessionEvent], gapUs: Long)
+  def statefulSessions(events: Dataset[SessionEvent], gapUs: Long,
+                       lateness: String = "1 hour")
                       (implicit spark: SparkSession): Dataset[SessionUpdate] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
-        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.us, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0L))
-          sorted.foreach { e =>
-            // >= matches session_window semantics: an event exactly one gap
-            // after the previous one starts a NEW session (a session window
-            // is the half-open [start, last+gap)), keeping this operator and
-            // sessionAgg/the SQL sessionizer split-compatible.
-            st =
-              if (st.n == 0L || e.us - st.endUs >= gapUs) SessionState(e.us, e.us, 1L)
-              else SessionState(st.startUs, e.us, st.n + 1L)
+    // EventTimeTimeout needs an event-time watermark in the query: derive
+    // the timestamp column from the event micros and watermark it here so
+    // callers keep the plain SessionEvent contract
+    val withTs = events.toDF()
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", lateness)
+      .as[SessionEventTs]
+    withTs.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[SessionEventTs], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed session end + gap with no new events: emit
+            // the closed session once more and evict the key's state
+            val st = state.get
+            state.remove()
+            SessionUpdate(userId, st.startUs, st.endUs, st.n)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.us, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, Long.MinValue, 0L))
+            sorted.foreach { e =>
+              // >= matches session_window semantics: an event exactly one gap
+              // after the previous one starts a NEW session (a session window
+              // is the half-open [start, last+gap)), keeping this operator and
+              // sessionAgg/the SQL sessionizer split-compatible.
+              st =
+                if (st.n == 0L || e.us - st.endUs >= gapUs) SessionState(e.us, e.us, 1L)
+                else SessionState(st.startUs, e.us, st.n + 1L)
+            }
+            state.update(st)
+            // arm eviction at session close. A late event can arrive with
+            // end + gap already behind the watermark — clamp forward (the
+            // session closes at the next trigger instead of throwing).
+            // Batch execution has no watermark: getCurrentWatermarkMs is
+            // unsupported there and timeouts never fire, so skip arming.
+            scala.util.Try(state.getCurrentWatermarkMs()).toOption.foreach { wm =>
+              state.setTimeoutTimestamp(math.max(st.endUs / 1000L + gapUs / 1000L, wm + 1L))
+            }
+            SessionUpdate(userId, st.startUs, st.endUs, st.n)
           }
-          state.update(st)
-          SessionUpdate(userId, st.startUs, st.endUs, st.n)
       }
   }
 }

@@ -85,4 +85,42 @@ class SessionsSpec extends SparkSpec {
       assert(rows.head == ((1L, base, 2L)))
     } finally q.stop()
   }
+
+  // VERDICT r4 #5: idle keys must EVICT — the watermark passing session
+  // end + gap emits the closed session once more and removes the state
+  test("statefulSessions: event-time timeout evicts idle keys") {
+    implicit val sparkImplicit = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Sessions.SessionEvent]
+    val gapUs = 600L * 1000000L // 10 min
+    val q = Sessions.statefulSessions(input.toDS(), gapUs, lateness = "0 seconds")
+      .writeStream.format("memory").queryName("evict_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val base = 1704103200000000L // 2024-01-01 10:00:00 UTC in µs
+      val min30 = 1800L * 1000000L
+      // b1: the only event user 1 ever sends
+      input.addData(Sessions.SessionEvent(1L, 1L, base))
+      q.processAllAvailable()
+      // b2: user 2 advances the watermark far past user 1's end + gap
+      input.addData(Sessions.SessionEvent(2L, 2L, base + min30))
+      q.processAllAvailable()
+      // b3: keep-alive data so the armed timeout gets a trigger to fire in
+      input.addData(Sessions.SessionEvent(2L, 3L, base + min30 + 1000000L))
+      q.processAllAvailable()
+
+      val u1 = spark.table("evict_out").where(col("user_id") === 1L)
+        .select("session_start_us", "session_end_us", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // two emissions from ONE input event: the live update and the
+      // timeout's closed-session emission — proof the timeout path ran
+      assert(u1.length == 2, s"expected live + timeout emission, got ${u1.toSeq}")
+      assert(u1.toSet == Set((base, base, 1L)))
+      // state store holds only user 2 now (user 1 evicted)
+      val progress = q.lastProgress.stateOperators
+      assert(progress.nonEmpty && progress.head.numRowsTotal == 1L,
+        s"state rows = ${progress.map(_.numRowsTotal).mkString(",")}")
+    } finally q.stop()
+  }
 }
