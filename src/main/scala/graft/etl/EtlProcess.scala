@@ -37,6 +37,10 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     * reference relied on source-DB result order. */
   var idOrder: Seq[String] = Seq.empty
 
+  /** Opt-in parquet output sizing (see [[Loader.load]]): each written file
+    * targets ≈ this many bytes of row data. Ignored by JDBC targets. */
+  var targetFileBytes: Option[Long] = None
+
   /** S6: progress reporting — the reference's VERBOSE/tqdm loop
     * (easy_etl/__init__.py:33-40). A Spark load is one distributed job, so
     * progress is per-phase row counts rather than a per-row bar. Off by
@@ -256,7 +260,8 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
       tgt match {
         case c: Catalog =>
           Loader.load(c, writeTableName, toLoad,
-            upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)
+            upsertFields = upsertFields, ensure = ensure, safe = safe,
+            idOrder = idOrder, targetFileBytes = targetFileBytes)
         case j: JdbcCatalog =>
           JdbcLoader.load(j, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)

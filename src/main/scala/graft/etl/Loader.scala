@@ -41,10 +41,19 @@ object Loader {
     * rows (the reference's "order" is source-DB result order; a distributed
     * engine must pick an explicit total order). Defaults to all incoming
     * columns.
+    *
+    * `targetFileBytes`: opt-in output sizing — the written frame
+    * repartitions so each parquet file carries ≈ that many bytes of row
+    * data ([[graft.sources.RowWidth.shardForTargetFileSize]]'s exact
+    * one-pass stats; costs one extra aggregation over the output). The
+    * knob against both 100 TB file-layout failure modes: thousands of
+    * KB-files (metadata pressure) and multi-GB files (no read
+    * parallelism).
     */
   def load(tgt: Catalog, table: String, incoming0: DataFrame,
            upsertFields: Seq[String] = Nil, ensure: Boolean = true,
-           safe: Boolean = false, idOrder: Seq[String] = Nil): Unit = {
+           safe: Boolean = false, idOrder: Seq[String] = Nil,
+           targetFileBytes: Option[Long] = None): Unit = {
     val incoming = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
     if (incoming.isEmpty) return
 
@@ -89,7 +98,7 @@ object Loader {
         // writeAtomic below handles it as a fresh dir write).
         val dirLayout = tgt.resolve(table).contains(tgt.dirPath(table))
         if (dirLayout && sameShape(target, ex.schema)) {
-          unionAligned(Seq(withIds), target)
+          shard(unionAligned(Seq(withIds), target), targetFileBytes)
             .write.mode(SaveMode.Append).parquet(tgt.dirPath(table))
           Catalog.invalidateDir(tgt.dir)
           return
@@ -97,8 +106,14 @@ object Loader {
         unionAligned(Seq(ex, withIds), target)
     }
 
-    writeAtomic(tgt, table, merged)
+    writeAtomic(tgt, table, shard(merged, targetFileBytes))
   }
+
+  private def shard(df: DataFrame, targetFileBytes: Option[Long]): DataFrame =
+    targetFileBytes match {
+      case Some(b) => graft.sources.RowWidth.shardForTargetFileSize(df, b)
+      case None => df
+    }
 
   /** The join-based MERGE shared by the parquet and JDBC sinks: replace
     * existing rows matching on `keys` (ids kept), insert fresh keys with new

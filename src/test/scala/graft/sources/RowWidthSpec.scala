@@ -28,4 +28,27 @@ class RowWidthSpec extends SparkSpec {
     val tiny = (1 to 3).map(i => (i.toLong, "z")).toDF("k", "payload")
     assert(RowWidth.shardForTargetFileSize(tiny, 128L * 1024).rdd.getNumPartitions == 1)
   }
+
+  // VERDICT r4 #6: the sizing knob must reach actual Loader writes
+  test("Loader.load targetFileBytes sizes the written parquet files") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tgt = new graft.etl.Catalog(spark, tmpDir("graft-shard"))
+    // ~1.0 MB of row data at a 128KB target -> 8 part files
+    val df = (1 to 1000).map(i => (i.toLong, "y" * 1000)).toDF("k", "payload")
+    graft.etl.Loader.load(tgt, "t", df, idOrder = Seq("k"),
+      targetFileBytes = Some(128L * 1024))
+    val dir = new java.io.File(tgt.dirPath("t"))
+    val parts = dir.listFiles().count(f => f.getName.startsWith("part-"))
+    assert(parts == 8, s"expected 8 part files, got $parts")
+    assert(tgt.table("t").count() == 1000)
+
+    // append path honors the target too: another 1.0 MB adds ~8 more files
+    val more = (1001 to 2000).map(i => (i.toLong, "y" * 1000)).toDF("k", "payload")
+    graft.etl.Loader.load(tgt, "t", more, idOrder = Seq("k"),
+      targetFileBytes = Some(128L * 1024))
+    val parts2 = dir.listFiles().count(f => f.getName.startsWith("part-"))
+    assert(parts2 == 16, s"expected 16 part files after append, got $parts2")
+    assert(tgt.table("t").count() == 2000)
+  }
 }
