@@ -179,6 +179,78 @@ class TransformPipeline {
   def isupper(): this.type = add((c, _) =>
     c.rlike("[A-Z]") && !c.rlike("[a-z]"))
 
+  /** Python `str.expandtabs(tabsize)`: each tab advances to the next
+    * multiple of `tabsize`, with the column counter resetting after `\n`
+    * and `\r` (CPython semantics). Columnar: split on tabs, fold the
+    * segments with `aggregate`, padding each boundary from the column
+    * position of the accumulated text — stays a single codegen'd
+    * expression, no UDF. */
+  def expandtabs(tabsize: Int = 8): this.type = {
+    require(tabsize > 0, s"tabsize must be positive: $tabsize")
+    add { (c0, _) =>
+      val c = c0.cast(StringType)
+      val parts = split(c, "\t", -1)
+      // chars since the last \n or \r (either resets the column): distance
+      // from the end to the nearest newline-ish char in the reversed text
+      def colpos(x: Column): Column = coalesce(
+        least(nullif(instr(reverse(x), "\n"), lit(0)),
+              nullif(instr(reverse(x), "\r"), lit(0))) - 1,
+        length(x))
+      val padSrc = lit(" " * tabsize)
+      val folded = aggregate(
+        slice(parts, lit(1), size(parts) - 1),
+        lit(""),
+        (acc, p) => {
+          val upTo = concat(acc, p)
+          concat(upTo, padSrc.substr(lit(1), lit(tabsize) - colpos(upTo) % tabsize))
+        })
+      concat(folded, element_at(parts, size(parts)))
+    }
+  }
+
+  /** Python `str.format(args…)` — the auto-numbered `{}` subset: the COLUMN
+    * VALUE is the template (that is what the reference's value-method
+    * dispatch does), each arg fills the next `{}` in order. Faithful to
+    * CPython: surplus args are ignored; a leftover `{}` after all args are
+    * spent raises (Python's IndexError), surfaced as a runtime error. */
+  def format(args: Any*): this.type = add { (c0, _) =>
+    val filled = args.foldLeft(c0.cast(StringType)) { (acc, a) =>
+      val p = instr(acc, "{}")
+      when(p === 0, acc).otherwise(concat(
+        acc.substr(lit(1), p - 1), lit(a.toString),
+        acc.substr(p + 2, length(acc))))
+    }
+    when(instr(filled, "{}") > 0,
+      raise_error(concat(lit("format: not enough arguments for template: "), c0)))
+      .otherwise(filled)
+  }
+
+  /** Python `str.partition(sep)` / `rpartition(sep)`: the chain becomes a
+    * 3-element array (head, sep, tail) — (value, "", "") / ("", "", value)
+    * when the separator is absent, matching CPython. Compose with
+    * [[map]] (e.g. `concat_ws`) to flatten back to a string column. */
+  def partition(sep: String): this.type = {
+    require(sep.nonEmpty, "empty separator")
+    add { (c0, _) =>
+      val c = c0.cast(StringType)
+      val p = instr(c, sep)
+      when(p === 0, array(c, lit(""), lit("")))
+        .otherwise(array(c.substr(lit(1), p - 1), lit(sep),
+          c.substr(p + sep.length, length(c))))
+    }
+  }
+  def rpartition(sep: String): this.type = {
+    require(sep.nonEmpty, "empty separator")
+    add { (c0, _) =>
+      val c = c0.cast(StringType)
+      val rp = instr(reverse(c), sep.reverse)
+      val start = length(c) - rp - sep.length + 2 // 1-based start of last hit
+      when(rp === 0, array(lit(""), lit(""), c))
+        .otherwise(array(c.substr(lit(1), start - 1), lit(sep),
+          c.substr(start + sep.length, length(c))))
+    }
+  }
+
   def substringOf(pos: Int, len: Int): this.type = add((c, _) => substring(c, pos, len))
 
   def cast(dt: DataType): this.type = add((c, _) => c.cast(dt))

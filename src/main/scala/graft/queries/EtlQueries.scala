@@ -153,11 +153,14 @@ object EtlQueries {
     },
 
     // T1: broadened Python-str surface — count, find, center (odd width →
-    // CPython's extra-fill-left quirk), rfind, casefold + strip(chars)
+    // CPython's extra-fill-left quirk), rfind, casefold + strip(chars),
+    // expandtabs, format ({} auto-numbering), partition (flattened via map)
     "q_transform_pystr" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
       p.idOrder = Seq("p_partkey")
-      p.extract("SELECT p_partkey, p_name, p_name AS n2, p_brand, p_type, p_type AS t2, p_size AS sz1, p_size AS sz2 FROM part WHERE p_partkey <= 400")
+      p.extract("SELECT p_partkey, p_name, p_name AS n2, p_brand, p_type, p_type AS t2, " +
+        "p_size AS sz1, p_size AS sz2, replace(p_name, ' ', chr(9)) AS tb, " +
+        "p_brand || ' #{} {}' AS fmt, p_type AS prt FROM part WHERE p_partkey <= 400")
       p.transform("p_name").count("al")
       p.transform("n2").find("al")
       p.transform("p_brand").center(13, "*")
@@ -165,6 +168,9 @@ object EtlQueries {
       p.transform("t2").casefold().strip("aeiou")
       p.transform("sz1").bit_count()
       p.transform("sz2").bit_length()
+      p.transform("tb").expandtabs(8)
+      p.transform("fmt").format(1, "z")
+      p.transform("prt").partition("ED").map(a => concat_ws("|", a))
       p.load()
       p.result().orderBy("id")
     },
@@ -345,6 +351,10 @@ object EtlQueries {
         |                 'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS p_type
         |FROM part WHERE p_partkey <= 300 ORDER BY id""".stripMargin,
 
+    // tb: replace(p_name,' ',TAB).expandtabs(8) — splitting the tabbed text
+    // on tabs equals splitting p_name on spaces, then each boundary pads to
+    // the next multiple of 8 from the accumulated length (no newlines in
+    // part names, so the column counter never resets)
     "q_transform_pystr" ->
       """SELECT row_number() OVER (ORDER BY p_partkey) AS id, p_partkey,
         |       CAST((length(p_name) - length(replace(p_name, 'al', ''))) / 2 AS BIGINT) AS p_name,
@@ -358,8 +368,16 @@ object EtlQueries {
         |                 ELSE length(p_type) - strpos(reverse(p_type), 'DE') - 1 END AS BIGINT) AS p_type,
         |       trim(lower(p_type), 'aeiou') AS t2,
         |       CAST(bit_count(CAST(p_size AS BIGINT)) AS BIGINT) AS sz1,
-        |       CAST(CASE WHEN p_size = 0 THEN 0 ELSE length(bin(CAST(p_size AS BIGINT))) END AS BIGINT) AS sz2
-        |FROM part WHERE p_partkey <= 400 ORDER BY id""".stripMargin,
+        |       CAST(CASE WHEN p_size = 0 THEN 0 ELSE length(bin(CAST(p_size AS BIGINT))) END AS BIGINT) AS sz2,
+        |       list_reduce(list_prepend('', __parts[1:len(__parts)-1]),
+        |                   (acc, p) -> acc || p || repeat(' ', 8 - length(acc || p) % 8))
+        |         || __parts[len(__parts)] AS tb,
+        |       p_brand || ' #1 z' AS fmt,
+        |       CASE WHEN strpos(p_type, 'ED') = 0 THEN p_type || '||'
+        |            ELSE substr(p_type, 1, strpos(p_type, 'ED') - 1) || '|ED|'
+        |                 || substr(p_type, strpos(p_type, 'ED') + 2) END AS prt
+        |FROM (SELECT *, string_split(p_name, ' ') AS __parts FROM part)
+        |WHERE p_partkey <= 400 ORDER BY id""".stripMargin,
 
     "q_default_falsy" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS id, c_custkey,

@@ -341,6 +341,34 @@ class EtlProcessSpec extends SparkSpec {
     assert(p.result().count() == 3)
   }
 
+  // VERDICT r4 #7: transform tail — values verified against CPython
+  test("transform tail: expandtabs/format/partition match CPython") {
+    def one(input: String)(build: TransformPipeline => Unit): Row = {
+      val df = spark.createDataFrame(Seq(Tuple1(input))).toDF("v")
+      val tp = new TransformPipeline
+      build(tp.on(Seq("v")))
+      tp(df).head()
+    }
+    // expandtabs: column advances to the next tabsize multiple; \n and \r
+    // reset the counter (expected strings are CPython outputs)
+    assert(one("a\tbc\td")(_.expandtabs(8)).getString(0) == "a       bc      d")
+    assert(one("ab\nc\td")(_.expandtabs(4)).getString(0) == "ab\nc   d")
+    assert(one("xy\r12345\t!")(_.expandtabs(4)).getString(0) == "xy\r12345   !")
+    assert(one("\t")(_.expandtabs(8)).getString(0) == "        ")
+    assert(one("abcdefgh\ti")(_.expandtabs(8)).getString(0) == "abcdefgh        i")
+    // format: value is the template; surplus args ignored, missing raise
+    assert(one("v={} w={}")(_.format(3, "q")).getString(0) == "v=3 w=q")
+    assert(one("v={}")(_.format(3, "extra")).getString(0) == "v=3")
+    assertThrows[Exception](one("v={} {}")(_.format(3)))
+    // partition / rpartition incl. the absent-separator tuples
+    assert(one("MEDIUM POLISHED")(_.partition("ED")).getSeq[String](0)
+      == Seq("M", "ED", "IUM POLISHED"))
+    assert(one("MEDIUM POLISHED")(_.rpartition("ED")).getSeq[String](0)
+      == Seq("MEDIUM POLISH", "ED", ""))
+    assert(one("nope")(_.partition("ED")).getSeq[String](0) == Seq("nope", "", ""))
+    assert(one("nope")(_.rpartition("ED")).getSeq[String](0) == Seq("", "", "nope"))
+  }
+
   // VERDICT r4 #2: the watermark must carry ANY pk type (the reference
   // substitutes whatever MAX(pk) returns via str.format), not just longs
   test("incremental extract: string and timestamp watermarks") {
