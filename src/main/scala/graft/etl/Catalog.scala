@@ -107,6 +107,37 @@ class Catalog(val spark: SparkSession, val dir: String) extends TableStore {
     * re-read every table's footer each time. Pass `refresh = true` after
     * adding tables to the directory (source dirs are normally immutable).
     */
+  /** Register `names` as EXTERNAL parquet tables in the session catalog and
+    * ANALYZE them (table-level row counts + per-column min/max/NDV from
+    * `statsColumns`), feeding Catalyst's cost-based optimizer. A temp view
+    * ([[registerViews]]) carries only a file-size estimate — a FILTERED
+    * huge dimension keeps its full-table size, so the planner can never
+    * see that the filtered side fits under
+    * `spark.sql.autoBroadcastJoinThreshold`, and at 100× scale every such
+    * join degrades to a shuffle. With column stats, filter cardinality
+    * estimation shrinks the build side and the join flips to broadcast
+    * (asserted in StatsPlanningSpec). Pair with [[Catalog.enableCbo]].
+    *
+    * Cost: ANALYZE scans each table once at registration — amortized over
+    * every query planned against it.
+    */
+  def registerWithStats(names: Seq[String],
+                        statsColumns: Map[String, Seq[String]] = Map.empty,
+                        prefix: String = ""): Unit = {
+    names.foreach { n =>
+      val tbl = prefix + n
+      val path = resolve(n).getOrElse(
+        throw new IllegalArgumentException(s"table '$n' not found in $dir"))
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      spark.catalog.createTable(tbl, path, "parquet")
+      spark.sql(s"ANALYZE TABLE `$tbl` COMPUTE STATISTICS")
+      statsColumns.get(n).filter(_.nonEmpty).foreach { cols =>
+        spark.sql(s"ANALYZE TABLE `$tbl` COMPUTE STATISTICS FOR COLUMNS " +
+          cols.map(c => s"`$c`").mkString(", "))
+      }
+    }
+  }
+
   def registerViews(prefix: String = "", refresh: Boolean = false): Unit = {
     val sessionKey = (spark.sparkContext.applicationId, spark.hashCode())
     val names = tableNames()
@@ -127,6 +158,18 @@ class Catalog(val spark: SparkSession, val dir: String) extends TableStore {
 }
 
 object Catalog {
+
+  /** Turn on cost-based optimization for the session: plan costs, join
+    * reordering, and star-schema detection all read the statistics that
+    * [[Catalog.registerWithStats]] populates. Off by default in Spark —
+    * without stats CBO is a no-op, and with it graft's analyzed catalogs
+    * get selectivity-aware broadcast/ordering decisions. */
+  def enableCbo(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+  }
+
   private val viewOwner =
     new java.util.concurrent.ConcurrentHashMap[((String, Int), String), String]()
 
