@@ -150,13 +150,11 @@ object TrainingDataQueries {
     },
 
     // the end-to-end dedup ACTION: near-dup clusters via MinHash pairs →
-    // connected components → keep the canonical (min-id) doc per cluster.
-    // %5 subset retained HERE only because the ORACLE's recursive-CTE
-    // reachability is super-linear in DuckDB; the Spark operator itself runs
-    // the full corpus in q_dedup_minhash (same pair pipeline).
+    // connected components → keep the canonical (min-id) doc per cluster,
+    // over the FULL corpus (the near-dup edge set stays tiny, so the
+    // oracle's recursive min-label CTE is cheap even at full scale)
     "q_dedup_drop" -> { (spark, sfDir) =>
-      val subset = docs(spark, sfDir).where(col("doc_id") % 5 === 0)
-      Dedup.dropNearDuplicates(nearDupCorpus(subset, 10), "doc_id", "text",
+      Dedup.dropNearDuplicates(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
           n = 3, numPerms = 16, bands = 4, threshold = 0.6)
         .select("doc_id").orderBy("doc_id")
     },
@@ -467,7 +465,7 @@ object TrainingDataQueries {
       // edge only when it's smaller than the target (lossless prune — a
       // node's component is its minimum reachable label); survivors are the
       // nodes that ARE their component's minimum.
-      s"""WITH RECURSIVE ${nearDupCorpusSql(10, "doc_id % 5 = 0")},
+      s"""WITH RECURSIVE ${nearDupCorpusSql(10)},
          |$shingleHashesSql,
          |sigs AS (SELECT doc_id, h, $sigExprs AS sig FROM hs),
          |bands AS (SELECT doc_id, t.b AS band,
