@@ -41,6 +41,11 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     * targets ≈ this many bytes of row data. Ignored by JDBC targets. */
   var targetFileBytes: Option[Long] = None
 
+  /** Opt-in Hive-partitioned target layout (see [[Loader.load]]): upserts
+    * whose keys include the partition column rewrite only the partitions
+    * the batch touches. Ignored by JDBC targets. */
+  var partitionBy: Seq[String] = Seq.empty
+
   /** S6: progress reporting — the reference's VERBOSE/tqdm loop
     * (easy_etl/__init__.py:33-40). A Spark load is one distributed job, so
     * progress is per-phase row counts rather than a per-row bar. Off by
@@ -261,7 +266,8 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
         case c: Catalog =>
           Loader.load(c, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe,
-            idOrder = idOrder, targetFileBytes = targetFileBytes)
+            idOrder = idOrder, targetFileBytes = targetFileBytes,
+            partitionBy = partitionBy)
         case j: JdbcCatalog =>
           JdbcLoader.load(j, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)

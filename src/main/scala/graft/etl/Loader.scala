@@ -49,17 +49,41 @@ object Loader {
     * knob against both 100 TB file-layout failure modes: thousands of
     * KB-files (metadata pressure) and multi-GB files (no read
     * parallelism).
+    *
+    * `partitionBy`: opt-in Hive-style partitioned layout (single data
+    * column; recorded in a sidecar and enforced on later loads). Appends
+    * stay O(batch); an upsert whose keys INCLUDE the partition column
+    * rewrites ONLY the partitions present in the incoming batch (the
+    * partition-scoped merge — at 100 TB the difference between rewriting
+    * one day and rewriting the table). Schema evolution falls back to the
+    * full atomic rewrite.
     */
   def load(tgt: Catalog, table: String, incoming0: DataFrame,
            upsertFields: Seq[String] = Nil, ensure: Boolean = true,
            safe: Boolean = false, idOrder: Seq[String] = Nil,
-           targetFileBytes: Option[Long] = None): Unit = {
+           targetFileBytes: Option[Long] = None,
+           partitionBy: Seq[String] = Nil): Unit = {
     val incoming = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
     if (incoming.isEmpty) return
 
     recoverStranded(tgt, table)
     val existing = tgt.tableIfExists(table)
     val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
+    // an existing table's recorded partitioning wins; a conflicting request
+    // is an error, not a silent re-layout
+    val recordedSpec =
+      if (existing.isDefined)
+        graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
+      else Nil
+    val partCols: Seq[String] =
+      if (recordedSpec.nonEmpty) {
+        require(partitionBy.isEmpty || partitionBy == recordedSpec,
+          s"table '$table' is partitioned by ${recordedSpec.mkString(",")}; " +
+            s"cannot load with partitionBy=${partitionBy.mkString(",")}")
+        recordedSpec
+      } else partitionBy
+    require(partCols.forall(incoming.columns.contains),
+      s"partitionBy column(s) absent from incoming: ${partCols.filterNot(incoming.columns.contains).mkString(", ")}")
     val maxId: Long = existing match {
       case Some(ex) if ex.columns.contains(IdCol) =>
         val r = ex.agg(max(col(IdCol))).head()
@@ -72,6 +96,16 @@ object Loader {
         withSurrogateIds(incoming, maxId, order)
 
       case Some(ex) if upsertFields.nonEmpty =>
+        // partition-scoped path: single partition column that is part of
+        // the upsert key (so a matched row can never change partitions)
+        // and an unchanged schema (a partial rewrite must not evolve the
+        // table out from under the untouched partitions)
+        val scoped = partCols.size == 1 &&
+          upsertFields.contains(partCols.head) &&
+          sameColumnSet(ex, incoming) &&
+          partitionScopedUpsert(tgt, table, ex, incoming, upsertFields,
+            maxId, order, ensure, safe, partCols.head, targetFileBytes)
+        if (scoped) return
         upsertMerged(ex, incoming, upsertFields, maxId, order, ensure, safe)
 
       case Some(ex) =>
@@ -98,15 +132,81 @@ object Loader {
         // writeAtomic below handles it as a fresh dir write).
         val dirLayout = tgt.resolve(table).contains(tgt.dirPath(table))
         if (dirLayout && sameShape(target, ex.schema)) {
-          shard(unionAligned(Seq(withIds), target), targetFileBytes)
-            .write.mode(SaveMode.Append).parquet(tgt.dirPath(table))
+          val w = shard(unionAligned(Seq(withIds), target), targetFileBytes)
+            .write.mode(SaveMode.Append)
+          (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+            .parquet(tgt.dirPath(table))
           Catalog.invalidateDir(tgt.dir)
           return
         }
         unionAligned(Seq(ex, withIds), target)
     }
 
-    writeAtomic(tgt, table, shard(merged, targetFileBytes))
+    writeAtomic(tgt, table, shard(merged, targetFileBytes), partCols)
+  }
+
+  /** Same column name→type map (order-insensitive — a partitioned read
+    * surfaces partition columns last). */
+  private def sameColumnSet(ex: DataFrame, incoming: DataFrame): Boolean = {
+    val exM = ex.schema.fields.map(f => f.name -> f.dataType).toMap
+    val inM = incoming.schema.fields.map(f => f.name -> f.dataType).toMap + (IdCol -> LongType)
+    exM == inM
+  }
+
+  /** The partition-scoped merge: slice the existing table to the partitions
+    * the incoming batch touches (static isin predicate — partition-pruned
+    * scan), run the join-based merge on that slice only, stage the result
+    * partitioned, and swap JUST those partition subdirectories. Untouched
+    * partitions' files are never read or rewritten. Returns false (caller
+    * falls back to the full rewrite) when the batch spans more than
+    * `MaxScopedPartitions` partitions or carries null partition values.
+    *
+    * Durability: each partition swap is rename-atomic; a crash mid-loop
+    * leaves some partitions updated and the rest old alongside a
+    * `.__part-` aside dir (cleaned by the next load) — per-partition
+    * atomicity, not cross-partition, the standard contract for
+    * partition-scoped merges without a table format.
+    */
+  private def partitionScopedUpsert(tgt: Catalog, table: String,
+                                    ex: DataFrame, incoming: DataFrame,
+                                    keys: Seq[String], maxId: Long, order: Seq[String],
+                                    ensure: Boolean, safe: Boolean,
+                                    partCol: String,
+                                    targetFileBytes: Option[Long]): Boolean = {
+    val MaxScopedPartitions = 1000
+    val vals = incoming.select(col(partCol)).distinct()
+      .limit(MaxScopedPartitions + 1).collect().map(_.get(0))
+    if (vals.length > MaxScopedPartitions || vals.contains(null)) return false
+
+    // keys ⊇ partCol means any existing row matching an incoming key lives
+    // in one of these partitions, so the slice is merge-complete
+    val exSlice = ex.where(col(partCol).isin(vals.toIndexedSeq: _*))
+    val merged = upsertMerged(exSlice, incoming, keys, maxId, order, ensure, safe)
+
+    val conf = tgt.spark.sparkContext.hadoopConfiguration
+    val liveDir = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
+    val aside = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__part-" + uuid)
+    val fs = liveDir.getFileSystem(conf)
+    shard(merged, targetFileBytes).write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol).parquet(tmp.toString)
+    fs.mkdirs(aside)
+    val partDirs = fs.listStatus(tmp)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    partDirs.foreach { st =>
+      val name = st.getPath.getName
+      val live = new org.apache.hadoop.fs.Path(liveDir, name)
+      if (fs.exists(live) && !fs.rename(live, new org.apache.hadoop.fs.Path(aside, name)))
+        throw new java.io.IOException(s"could not move partition aside: $live")
+      if (!fs.rename(st.getPath, live))
+        throw new java.io.IOException(s"could not swap partition in: $live")
+    }
+    fs.delete(aside, true)
+    fs.delete(tmp, true)
+    cleanupStrays(tgt, table)
+    Catalog.invalidateDir(tgt.dir)
+    true
   }
 
   private def shard(df: DataFrame, targetFileBytes: Option[Long]): DataFrame =
@@ -231,14 +331,21 @@ object Loader {
     * `.__old` sibling (picked up by [[Catalog.resolve]]'s stranded-table
     * recovery). Never a window with no data at all.
     */
-  private def writeAtomic(tgt: Catalog, table: String, df: DataFrame): Unit = {
+  private def writeAtomic(tgt: Catalog, table: String, df: DataFrame,
+                          partCols: Seq[String] = Nil): Unit = {
     val conf = tgt.spark.sparkContext.hadoopConfiguration
     val finalPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
     val uuid = java.util.UUID.randomUUID().toString
     val tmpPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
     val oldPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__old-" + uuid)
     val fs = finalPath.getFileSystem(conf)
-    df.write.mode(SaveMode.Overwrite).parquet(tmpPath.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmpPath.toString)
+    // sidecar lands in the tmp dir BEFORE the swap: a table is never
+    // visible without its partitioning record
+    if (partCols.nonEmpty)
+      graft.sources.ParquetSource.writePartSpec(tgt.spark, tmpPath.toString,
+        partCols.map(c => c -> df.schema(c).dataType.catalogString))
     val hadOld = fs.exists(finalPath)
     if (hadOld && !fs.rename(finalPath, oldPath))
       throw new java.io.IOException(s"could not move old table aside: $finalPath")
@@ -287,7 +394,8 @@ object Loader {
       fs.listStatus(parent)
         .filter { st =>
           val n = st.getPath.getName
-          n.startsWith(table + ".__old-") || n.startsWith(table + ".__tmp-")
+          n.startsWith(table + ".__old-") || n.startsWith(table + ".__tmp-") ||
+            n.startsWith(table + ".__part-")
         }
         .foreach(st => fs.delete(st.getPath, true))
     }

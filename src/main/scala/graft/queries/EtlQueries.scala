@@ -71,6 +71,25 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // S2b: partition-scoped upsert — Hive-partitioned target (event_type),
+    // second load's keys include the partition column, so only the touched
+    // partition rewrites (PartitionedUpsertSpec proves the untouched files
+    // survive byte-for-byte; here the oracle proves the STATE is exactly
+    // the full-merge state: matched rows updated in place keeping ids,
+    // fresh keys appended with continuing ids)
+    "q_upsert_partitioned" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.partitionBy = Seq("event_type")
+      p.idOrder = Seq("event_id")
+      p.extract("SELECT event_id, event_type, value FROM events WHERE event_id <= 3000")
+      p.load()
+      p.idOrder = Seq("event_id")
+      p.extract("SELECT event_id, event_type, value * 2 AS value FROM events " +
+        "WHERE event_type = 'click' AND (event_id <= 300 OR (event_id > 3000 AND event_id <= 3100))")
+      p.load(upsertFields = Seq("event_id", "event_type"))
+      p.result().orderBy("id")
+    },
+
     // E4b: incremental extract over a TIMESTAMP watermark — the reference
     // substitutes whatever MAX(pk) returns (any type); the literal must
     // round-trip with micro precision
@@ -308,6 +327,25 @@ object EtlQueries {
         |     i1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, b1.* FROM b1),
         |     i2 AS (SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY o_orderkey) AS id, b2.* FROM b2)
         |SELECT * FROM i1 UNION ALL SELECT * FROM i2 ORDER BY id""".stripMargin,
+
+    "q_upsert_partitioned" ->
+      """WITH b1 AS (SELECT event_id, event_type, value FROM events WHERE event_id <= 3000),
+        |     i1 AS (SELECT row_number() OVER (ORDER BY event_id) AS id, b1.* FROM b1),
+        |     u AS (SELECT event_id, event_type, value * 2 AS value FROM events
+        |           WHERE event_type = 'click'
+        |             AND (event_id <= 300 OR (event_id > 3000 AND event_id <= 3100))),
+        |     upd AS (SELECT i1.id, i1.event_id,
+        |                    CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE i1.value END AS value,
+        |                    i1.event_type
+        |             FROM i1 LEFT JOIN u
+        |               ON i1.event_id = u.event_id AND i1.event_type = u.event_type),
+        |     fresh AS (SELECT event_id, event_type, value FROM u WHERE event_id > 3000),
+        |     i2 AS (SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY event_id) AS id,
+        |                   fresh.event_id, fresh.value, fresh.event_type
+        |            FROM fresh)
+        |SELECT id, event_id, value, event_type FROM upd
+        |UNION ALL SELECT id, event_id, value, event_type FROM i2
+        |ORDER BY id""".stripMargin,
 
     "q_incremental_ts" ->
       """WITH b1 AS (SELECT event_id, ts, event_type FROM events

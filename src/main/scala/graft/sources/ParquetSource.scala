@@ -24,13 +24,55 @@ object ParquetSource {
 
   val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Sidecar recording a Hive-partitioned graft table's partition columns
+    * and their ORIGINAL Spark types (tab-separated `col\tcatalogString`
+    * lines). Partition values live in directory names, so a plain read
+    * re-infers their types (a long key comes back as int); the sidecar
+    * casts them back. Written by the Loader write path. */
+  val PartSpecFile = "_graft_partitioning"
+
   def read(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set(NanosAsLongKey, "true")
     val df = spark.read.parquet(path)
     val nanoCols = nanoTimestampCols(spark, path)
-    nanoCols.foldLeft(df) { (d, c) =>
+    val withNanos = nanoCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
     }
+    readPartSpec(spark, path).foldLeft(withNanos) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+    }
+  }
+
+  /** (col, catalogString) pairs from the partition sidecar, empty if none. */
+  def readPartSpec(spark: SparkSession, path: String): Seq[(String, String)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path, PartSpecFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try {
+        val text = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+          val Array(c, t) = line.split("\t", 2)
+          (c, t)
+        }
+      } finally in.close()
+    }
+  }
+
+  /** Write the partition sidecar into `dir` (overwrites). */
+  def writePartSpec(spark: SparkSession, dir: String,
+                    spec: Seq[(String, String)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, PartSpecFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(spec.map { case (c, t) => s"$c\t$t" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Names of top-level INT64 TIMESTAMP(NANOS) columns, from the footer of

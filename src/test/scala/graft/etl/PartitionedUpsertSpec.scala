@@ -1,0 +1,92 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Partition-scoped upsert: a Hive-partitioned graft table merges an
+  * incoming batch by rewriting ONLY the partitions the batch touches —
+  * untouched partitions' files must survive byte-for-byte — while
+  * producing exactly the same table state as the unpartitioned full
+  * rewrite.
+  */
+class PartitionedUpsertSpec extends SparkSpec {
+
+  private def fileSnapshot(dir: java.io.File): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(dir).filter(_.getName.startsWith("part-"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  test("scoped upsert rewrites only touched partitions; equals full merge") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (1 to 1200).map { i =>
+      (i.toLong, Seq("click", "buy", "view", "scroll")(i % 4), i.toDouble)
+    }
+    val incoming = rows.toDF("k", "typ", "v")
+    val upd = (1 to 100).map(i => (i * 4L, "click", i * 1000.0)) // k%4==0 -> click
+      .toDF("k", "typ", "v")
+      .unionByName(Seq((5000L, "click", 1.0), (5004L, "click", 2.0)).toDF("k", "typ", "v"))
+
+    // partitioned table
+    val pt = new Catalog(spark, tmpDir("graft-part"))
+    Loader.load(pt, "t", incoming, idOrder = Seq("k"), partitionBy = Seq("typ"))
+    val dir = new java.io.File(pt.dirPath("t"))
+    assert(dir.listFiles().count(f => f.getName.startsWith("typ=")) == 4)
+    val before = fileSnapshot(dir)
+
+    Loader.load(pt, "t", upd, upsertFields = Seq("k", "typ"), idOrder = Seq("k"))
+    val after = fileSnapshot(dir)
+
+    // every file outside typ=click is the SAME file (path + mtime)
+    val untouchedBefore = before.filter(!_._1.contains("typ=click"))
+    val untouchedAfter = after.filter(!_._1.contains("typ=click"))
+    assert(untouchedBefore == untouchedAfter,
+      "files in untouched partitions must not be rewritten")
+    // the click partition did change
+    assert(before.keySet.filter(_.contains("typ=click")) !=
+      after.keySet.filter(_.contains("typ=click")))
+
+    // reference: same loads through an UNPARTITIONED table
+    val ref = new Catalog(spark, tmpDir("graft-flat"))
+    Loader.load(ref, "t", incoming, idOrder = Seq("k"))
+    Loader.load(ref, "t", upd, upsertFields = Seq("k", "typ"), idOrder = Seq("k"))
+
+    def snap(c: Catalog) = c.table("t").select("id", "k", "typ", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(snap(pt) == snap(ref), "partition-scoped merge must equal the full merge")
+    // partition column type survives the directory round trip (sidecar cast)
+    assert(pt.table("t").schema("typ").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(pt.table("t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("partitioned append stays O(batch) and conflicting re-layout errors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pt = new Catalog(spark, tmpDir("graft-part2"))
+    val b1 = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("k", "typ", "v")
+    Loader.load(pt, "t", b1, idOrder = Seq("k"), partitionBy = Seq("typ"))
+    val dir = new java.io.File(pt.dirPath("t"))
+    val before = fileSnapshot(dir)
+
+    // plain append: existing files untouched, ids continue
+    val b2 = (101 to 200).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("k", "typ", "v")
+    Loader.load(pt, "t", b2, idOrder = Seq("k"))
+    val after = fileSnapshot(dir)
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "append must not rewrite existing partition files")
+    val ids = pt.table("t").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 200L))
+
+    // a different partitioning for an existing table must fail loudly
+    assertThrows[IllegalArgumentException] {
+      Loader.load(pt, "t", b2, idOrder = Seq("k"), partitionBy = Seq("k"))
+    }
+  }
+}
