@@ -10,10 +10,12 @@ import graft.functions.PortableHash.P
   * `binary` columns with a typed metadata struct, and decode/feature-extract
   * runs as a per-partition batch pass. Extension scope beyond the reference.
   *
-  * IMAGE decode is REAL — [[ImageDecoder]] drives `javax.imageio` (in the
-  * JDK, no external jars): PNG/JPEG/BMP/GIF to width/height/pixel-checksum,
-  * corrupt payloads surfacing as null features. Audio/video codecs are
-  * STUBBED — no media libraries ship in this container — behind
+  * IMAGE and AUDIO decode are REAL, via codecs that ship IN the JDK (no
+  * external jars): [[ImageDecoder]] drives `javax.imageio`
+  * (PNG/JPEG/BMP/GIF → width/height/pixel-checksum) and [[AudioDecoder]]
+  * drives `javax.sound.sampled` (WAV/AIFF/AU → rate/channels/frames/
+  * sample-checksum); corrupt payloads surface as null features. Only VIDEO
+  * remains STUBBED — no video library ships in this container — behind
   * [[DecoderStub]], which computes deterministic integer features from the
   * raw bytes. Everything AROUND the codecs is the real 100 TB design and is
   * what's tested:
@@ -185,6 +187,107 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, imageFeatSchema)
+  }
+
+  // ---- real audio decode (javax.sound.sampled — ships in the JDK) --------
+
+  /** Real WAV/AIFF/AU decode. Features: sample rate, channel count, frame
+    * count, and a sample checksum — for 16-bit signed little-endian PCM
+    * the sum of the signed samples (integer-exact, oracle-reproducible);
+    * other encodings fall back to a raw byte sum. Unrecognized payloads
+    * decode to None. */
+  final class AudioDecoder private () {
+    def decode(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          val raw = ais.readAllBytes()
+          val pcm16le = f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          var cs = 0L
+          var i = 0
+          if (pcm16le)
+            while (i + 1 < raw.length) {
+              cs += (((raw(i + 1) & 0xff) << 8) | (raw(i) & 0xff)).toShort.toLong
+              i += 2
+            }
+          else
+            while (i < raw.length) { cs += (raw(i) & 0xff).toLong; i += 1 }
+          Some((f.getSampleRate.toLong, f.getChannels.toLong, frames, cs))
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+  object AudioDecoder {
+    def open(): AudioDecoder = new AudioDecoder() // per-partition init point
+  }
+
+  /** Deterministic mono 16-bit PCM WAV: frame i carries the signed sample
+    * ((i·31 + seed·13) mod 65536) − 32768. PCM is lossless, so a decode
+    * recovers exactly these samples — the oracle reproduces
+    * frames/rate/checksum from (nFrames, sampleRate, seed) alone. */
+  def makeWav(nFrames: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (((i * 31L + seed * 13L) % 65536L) - 32768L).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach a generated WAV payload per row: content = [[makeWav]] with
+    * the row's `framesCol` frames at `rateCol` Hz, seeded by `idCol`.
+    * Generation runs on the executors. */
+  def attachGeneratedWav(df: DataFrame, idCol: String,
+                         framesCol: String, rateCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rdd = df.select(col(idCol).cast(LongType),
+        col(framesCol).cast(IntegerType), col(rateCol).cast(IntegerType)).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0), makeWav(r.getInt(1), r.getInt(2), r.getLong(0)))
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private val audioFeatSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("checksum", LongType, nullable = true)))
+
+  /** REAL audio decode features: one [[AudioDecoder.open]] per partition,
+    * lazy iteration; unrecognized payloads yield null features. */
+  def decodeAudioFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col("content")).rdd
+      .mapPartitions { iter =>
+        val decoder = AudioDecoder.open() // once per partition, NOT per row
+        iter.map { r =>
+          decoder.decode(r.getAs[Array[Byte]](1)) match {
+            case Some((rate, ch, fr, cs)) => Row(r.getLong(0), rate, ch, fr, cs)
+            case None => Row(r.getLong(0), null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioFeatSchema)
   }
 
   /** Decode features for every row: one [[DecoderStub.open]] per partition,

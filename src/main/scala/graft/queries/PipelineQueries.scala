@@ -54,6 +54,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // REAL audio decode (javax.sound.sampled): deterministic 16-bit PCM
+    // WAVs generated from (n_frames, rate, seed=doc_id), decoded back to
+    // rate/channels/frames/sample-checksum the oracle recomputes from the
+    // generator parameters
+    "q_multimodal_audio" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          (lit(50) + col("doc_id") % 100).as("nf"), lit(8000).as("rate"))
+      Multimodal.decodeAudioFeatures(
+          Multimodal.attachGeneratedWav(docs, "doc_id", "nf", "rate"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     "q_multimodal_frames" -> { (spark, sfDir) =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       Multimodal.frameSample(
@@ -186,6 +199,16 @@ object PipelineQueries {
         |  CAST(3 * list_sum(list_transform(generate_series(0, w - 1), x ->
         |    list_sum(list_transform(generate_series(0, h - 1), y ->
         |      (x*31 + y*17 + doc_id*13) % 256)))) AS BIGINT) AS checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // rate/channels/frames from the WAV generator's parameters; checksum =
+    // Σ over frames of ((i*31 + doc_id*13) % 65536) - 32768
+    "q_multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, CAST(50 + doc_id % 100 AS INT) AS nf FROM documents)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(generate_series(0, nf - 1), i ->
+        |    ((i*31 + doc_id*13) % 65536) - 32768)) AS BIGINT) AS checksum
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -246,4 +246,21 @@ class OperatorsSpec extends SparkSpec {
     val bf = Multimodal.decodeImageFeatures(bad, "doc_id").head()
     assert(bf.isNullAt(bf.fieldIndex("width")) && bf.isNullAt(bf.fieldIndex("checksum")))
   }
+
+  test("audio decode: real WAV round-trip; garbage -> nulls") {
+    val df = spark.createDataFrame(Seq((7L, 40, 16000))).toDF("doc_id", "nf", "rate")
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.attachGeneratedWav(df, "doc_id", "nf", "rate"), "doc_id").head()
+    val expected = (0 until 40).map(i => ((i * 31L + 7L * 13L) % 65536L) - 32768L).sum
+    assert(feats.getAs[Long]("sample_rate") == 16000L)
+    assert(feats.getAs[Long]("channels") == 1L)
+    assert(feats.getAs[Long]("n_frames") == 40L)
+    assert(feats.getAs[Long]("checksum") == expected)
+
+    val bad = spark.createDataFrame(Seq(Tuple2(1L, "definitely not audio".getBytes)))
+      .toDF("doc_id", "content")
+    val bf = Multimodal.decodeAudioFeatures(bad, "doc_id").head()
+    assert(bf.isNullAt(bf.fieldIndex("sample_rate")) &&
+      bf.isNullAt(bf.fieldIndex("checksum")))
+  }
 }
