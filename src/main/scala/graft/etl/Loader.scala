@@ -215,6 +215,39 @@ object Loader {
       case None => df
     }
 
+  /** Compact a table's files toward `targetFileBytes` per file — the
+    * operational companion to the load-time sizing knob: long-lived tables
+    * accumulate small files from incremental appends and partition-scoped
+    * upserts (every batch adds at least one file per touched partition),
+    * and at 100 TB the resulting metadata/seek pressure degrades every
+    * subsequent scan. One pass: read, re-shard, atomic-swap rewrite —
+    * contents (including ids) are untouched, and a partitioned table keeps
+    * its recorded layout (files compact within each partition).
+    */
+  def compact(tgt: Catalog, table: String, targetFileBytes: Long): Unit = {
+    require(tgt.resolve(table).contains(tgt.dirPath(table)),
+      s"table '$table' is not a directory-layout table; nothing to compact")
+    val ex = tgt.table(table)
+    val partCols =
+      graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
+    val n = graft.sources.RowWidth.partitionsForTargetFileSize(ex, targetFileBytes)
+    val compacted =
+      if (partCols.isEmpty) ex.repartition(n)
+      else {
+        // a round-robin repartition would SPREAD each Hive partition's rows
+        // across every writer (one small file per partition per task — the
+        // opposite of compaction). Distribute on the partition columns plus
+        // a bounded spread key, so each partition lands on ~perPart writers
+        // (= 1 file each when partitions fit the target).
+        val nVals = math.max(1L,
+          ex.select(partCols.map(col): _*).distinct().count())
+        val perPart = math.max(1L, math.ceil(n.toDouble / nVals).toLong)
+        ex.repartition(n,
+          partCols.map(col) :+ pmod(xxhash64(ex.columns.toSeq.map(col): _*), lit(perPart)): _*)
+      }
+    writeAtomic(tgt, table, compacted, partCols)
+  }
+
   /** The join-based MERGE shared by the parquet and JDBC sinks: replace
     * existing rows matching on `keys` (ids kept), insert fresh keys with new
     * ids, keep untouched rows, resolve schema under ensure/safe.

@@ -65,7 +65,14 @@ object RowWidth {
     * readers) or single multi-GB files (no read parallelism, stragglers).
     */
   def shardForTargetFileSize(df: DataFrame, targetBytes: Long,
-                             maxPartitions: Int = 100000): DataFrame = {
+                             maxPartitions: Int = 100000): DataFrame =
+    df.repartition(partitionsForTargetFileSize(df, targetBytes, maxPartitions))
+
+  /** The partition count [[shardForTargetFileSize]] would use — exposed for
+    * writers that must partition on specific columns (e.g. compaction of a
+    * Hive-partitioned table) rather than round-robin. */
+  def partitionsForTargetFileSize(df: DataFrame, targetBytes: Long,
+                                  maxPartitions: Int = 100000): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val fields = df.columns.toSeq.map(df.schema(_))
     val aggs = count(lit(1)).as("__rows") +:
@@ -74,8 +81,7 @@ object RowWidth {
     val rows = r.getLong(0)
     val vbytes = if (r.length > 1 && !r.isNullAt(1)) r.getLong(1) else 0L
     val totalBytes = rows * fixedBytes(fields) + vbytes
-    val parts = math.min(maxPartitions.toLong,
+    math.min(maxPartitions.toLong,
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)).toInt
-    df.repartition(parts)
   }
 }

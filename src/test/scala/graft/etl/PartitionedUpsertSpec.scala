@@ -89,4 +89,46 @@ class PartitionedUpsertSpec extends SparkSpec {
       Loader.load(pt, "t", b2, idOrder = Seq("k"), partitionBy = Seq("k"))
     }
   }
+
+  test("compact collapses accumulated small files, flat and partitioned") {
+    val spark0 = spark
+    import spark0.implicits._
+    // flat table: 10 appends -> many files; compact to one
+    val flat = new Catalog(spark, tmpDir("graft-compact"))
+    for (b <- 0 until 10)
+      Loader.load(flat, "t",
+        ((b * 100 + 1) to (b * 100 + 100)).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+        idOrder = Seq("k"))
+    val dir = new java.io.File(flat.dirPath("t"))
+    def parts(d: java.io.File): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).count(_.getName.startsWith("part-"))
+    }
+    assert(parts(dir) >= 10)
+    val before = flat.table("t").collect().map(_.toSeq).toSet
+    Loader.compact(flat, "t", targetFileBytes = 64L * 1024 * 1024)
+    assert(parts(dir) == 1, s"expected 1 file after compaction, got ${parts(dir)}")
+    assert(flat.table("t").collect().map(_.toSeq).toSet == before)
+
+    // partitioned table: files collapse WITHIN partitions, layout survives
+    val pt = new Catalog(spark, tmpDir("graft-compact2"))
+    for (b <- 0 until 5)
+      Loader.load(pt, "t",
+        ((b * 100 + 1) to (b * 100 + 100))
+          .map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble))
+          .toDF("k", "typ", "v"),
+        idOrder = Seq("k"), partitionBy = Seq("typ"))
+    val pdir = new java.io.File(pt.dirPath("t"))
+    assert(parts(pdir) >= 10)
+    val pBefore = pt.table("t").collect().map(_.toSeq).toSet
+    Loader.compact(pt, "t", targetFileBytes = 64L * 1024 * 1024)
+    assert(parts(pdir) == 2, s"expected 1 file per partition, got ${parts(pdir)}")
+    assert(pdir.listFiles().count(_.getName.startsWith("typ=")) == 2)
+    assert(pt.table("t").collect().map(_.toSeq).toSet == pBefore)
+    // still upsertable afterwards (sidecar survived the rewrite)
+    Loader.load(pt, "t", Seq((2L, "a", 999.0)).toDF("k", "typ", "v"),
+      upsertFields = Seq("k", "typ"), idOrder = Seq("k"))
+    assert(pt.table("t").where(col("k") === 2L).head().getAs[Double]("v") == 999.0)
+  }
 }
