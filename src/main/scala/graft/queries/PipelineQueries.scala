@@ -161,6 +161,16 @@ object PipelineQueries {
     // the mapGroupsWithState sessionizer, batch-replayed: in batch mode each
     // user's full history arrives in ONE group invocation, so the emitted
     // update is the user's LAST session — which the oracle reproduces by
+    // ingest-time streaming dedup, batch-replayed: every 3rd event is
+    // injected as a duplicate, the operator must collapse them exactly
+    "q_stream_dedup" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+        .select("event_id", "ts", "event_type")
+      val dupped = ev.unionByName(ev.where(col("event_id") % 3 === 0))
+      Sessions.streamingDedup(dupped, Seq("event_id"), "ts", "1 hour")
+        .select("event_id").orderBy("event_id")
+    },
+
     // picking the latest session of the gap-split grouping (the same
     // grouping q_sql_sessionize / q_stream_session_batch verify)
     "q_stream_stateful_sessions" -> { (spark, sfDir) =>
@@ -263,6 +273,9 @@ object PipelineQueries {
         |SELECT CAST((us // 600000000) * 600000000 AS BIGINT) AS window_start_us,
         |       event_type, count(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id FROM events ORDER BY event_id""",
 
     "q_stream_stateful_sessions" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -72,6 +72,24 @@ object Sessions {
       .drop("__rk")
   }
 
+  /** Ingest-time exact dedup with BOUNDED state — the streaming face of
+    * [[graft.operators.Dedup.exact]]: duplicates of a key arriving within
+    * the watermark delay are dropped, and the key's state evicts once the
+    * event-time watermark passes (`dropDuplicatesWithinWatermark`), so
+    * state holds one entry per DISTINCT key seen in the lateness window
+    * instead of every key ever ingested. The trade is explicit: a
+    * duplicate arriving LATER than `lateness` after the original is
+    * re-emitted — size the watermark to the source's real redelivery
+    * horizon. Batch-replayed, this degenerates to a plain dropDuplicates
+    * (global exact dedup), which is what the oracle checks.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String, lateness: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keyCols)
+    else // Spark rejects the watermarked variant on batch plans outright
+      events.dropDuplicates(keyCols)
+
   // ---- custom-state sessionizer -----------------------------------------
 
   case class SessionEvent(user_id: Long, event_id: Long, us: Long)
