@@ -138,6 +138,29 @@ class Catalog(val spark: SparkSession, val dir: String) extends TableStore {
     }
   }
 
+  /** Materialize `name` as a BUCKETED managed table (hash-bucketed on
+    * `bucketCols` into `numBuckets` files per partition, optionally sorted
+    * within buckets) and return its catalog name. Two tables bucketed on
+    * their join key with the SAME bucket count join WITHOUT a shuffle —
+    * each task zips bucket i with bucket i (plan-asserted in
+    * BucketedJoinSpec). The 100 TB co-location story: pay one shuffle at
+    * layout time, then every fact⋈dim or fact⋈fact repeat join on that
+    * key is exchange-free. Bucket pruning additionally skips files on
+    * equality predicates over the bucket column.
+    */
+  def registerBucketed(name: String, bucketCols: Seq[String], numBuckets: Int,
+                       sortCols: Seq[String] = Nil,
+                       tableName: String = ""): String = {
+    require(bucketCols.nonEmpty && numBuckets > 0)
+    val tbl = if (tableName.nonEmpty) tableName else s"${name}_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val w = table(name).write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(tbl)
+    tbl
+  }
+
   def registerViews(prefix: String = "", refresh: Boolean = false): Unit = {
     val sessionKey = (spark.sparkContext.applicationId, spark.hashCode())
     val names = tableNames()
