@@ -90,6 +90,23 @@ class PartitionedUpsertSpec extends SparkSpec {
     }
   }
 
+  test("the scoped slice's isin predicate prunes partitions at the scan") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pt = new Catalog(spark, tmpDir("graft-prune"))
+    val rows = (1 to 400).map(i =>
+      (i.toLong, Seq("a", "b", "c", "d")(i % 4), i.toDouble)).toDF("k", "typ", "v")
+    Loader.load(pt, "t", rows, idOrder = Seq("k"), partitionBy = Seq("typ"))
+    // the exact slice shape partitionScopedUpsert builds
+    val slice = pt.table("t").where(col("typ").isin("a"))
+    val plan = slice.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("typ"), s"partition filter did not reach the scan:\n$plan")
+    assert(!pf.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"empty partition filters:\n$plan")
+    assert(slice.count() == 100)
+  }
+
   test("compact collapses accumulated small files, flat and partitioned") {
     val spark0 = spark
     import spark0.implicits._
