@@ -18,20 +18,27 @@ import graft.etl.{Catalog, Loader}
   *
   * Scale: each micro-batch is one distributed Loader write (O(batch) on
   * the append fast path); state lives in the stream's own operators, not
-  * the sink.
+  * the sink. An UPSERTING stream sink was the remaining O(table)-per-batch
+  * shape: pass `partitionBy` (with `upsertFields` ⊇ the partition column)
+  * and each micro-batch's merge partition-scopes — only the partitions the
+  * batch touches are read and swapped, so a continuously-upserting stream
+  * stops rewriting the table every trigger.
   */
 object StreamLoader {
 
   def streamInto(stream: DataFrame, tgt: Catalog, table: String,
                  checkpointDir: String,
                  idOrder: Seq[String] = Nil,
-                 upsertFields: Seq[String] = Nil): StreamingQuery =
+                 upsertFields: Seq[String] = Nil,
+                 partitionBy: Seq[String] = Nil,
+                 targetFileBytes: Option[Long] = None): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Loader.load(tgt, table, batch,
-          upsertFields = upsertFields, idOrder = idOrder)
+          upsertFields = upsertFields, idOrder = idOrder,
+          partitionBy = partitionBy, targetFileBytes = targetFileBytes)
       }
       .start()
 }

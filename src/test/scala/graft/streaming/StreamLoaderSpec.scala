@@ -82,4 +82,37 @@ class StreamLoaderSpec extends SparkSpec {
     // same keys keep their ids; values updated; no duplicate rows
     assert(rows.toSeq == Seq((1L, 1L, "a2"), (2L, 2L, "b")))
   }
+
+  test("partitioned upserting sink: micro-batch merges only touch their partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tgt = new Catalog(spark, tmpDir("graft-stream-tgt3"))
+
+    def run(ckpt: String, data: Seq[(Long, String, Double)]): Unit = {
+      val input = MemoryStream[(Long, String, Double)]
+      val q = StreamLoader.streamInto(input.toDF().toDF("k", "typ", "v"), tgt, "t",
+        checkpointDir = ckpt, idOrder = Seq("k"),
+        upsertFields = Seq("k", "typ"), partitionBy = Seq("typ"))
+      try { input.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    // batch 1 seeds both partitions
+    run(tmpDir("graft-sck-a"), (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble)))
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tgt.dirPath("t")))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    // batch 2 upserts ONLY partition a
+    run(tmpDir("graft-sck-b"), Seq((2L, "a", 999.0), (100L, "a", 1.0)))
+    val after = snapshot()
+    assert(before.filter(_._1.contains("typ=b")) == after.filter(_._1.contains("typ=b")),
+      "partition b files must survive an a-only micro-batch upsert")
+    val out = tgt.table("t").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(out(2L) == 999.0 && out(100L) == 1.0 && out.size == 41)
+  }
 }
