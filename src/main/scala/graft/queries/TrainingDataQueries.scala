@@ -137,6 +137,17 @@ object TrainingDataQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // wider Hamming radius via the configurable banding: 6 bands of 10 bits
+    // (pigeonhole-complete for maxDist <= 5); %4 subset — radius 5 on this
+    // correlated synthetic corpus yields ~quadratically more TRUE pairs
+    // (the result itself is dense, not a candidate-generation artifact)
+    "q_dedup_simhash_wide" -> { (spark, sfDir) =>
+      val subset = docs(spark, sfDir).where(col("doc_id") % 4 === 0)
+      Dedup.simHashPairs(nearDupCorpus(subset, 10), "doc_id", "text",
+          maxDist = 5, bands = 6)
+        .orderBy("id_a", "id_b")
+    },
+
     // decontamination: the "benchmark" is built from leaked corpus excerpts
     // (first 12 tokens of every 50th doc — the realistic contamination
     // scenario); flag every training doc sharing a 6-gram with it
@@ -512,6 +523,27 @@ object TrainingDataQueries {
          |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // 6 bands of 10 bits over the same 60-bit signature, Hamming <= 5
+    "q_dedup_simhash_wide" ->
+      s"""WITH ${nearDupCorpusSql(10, "doc_id % 4 = 0")},
+         |cw AS (SELECT doc_id, ${tok("text")} AS w FROM corpus),
+         |hs60 AS (SELECT doc_id, list_distinct(list_transform(
+         |  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+         |                i -> array_to_string(w[i:i+2], ' '))),
+         |  s -> ${PortableHash.h60Sql("s")})) AS h FROM cw),
+         |sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59), b ->
+         |    CASE WHEN list_sum(list_transform(h, x ->
+         |           CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+         |  FROM hs60),
+         |bands AS (SELECT doc_id, s, t.k AS band, (s >> (t.k * 10)) & 1023 AS key
+         |          FROM sig, unnest([0, 1, 2, 3, 4, 5]) AS t(k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 5 ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_embedding" ->
       s"""WITH corpus AS (
