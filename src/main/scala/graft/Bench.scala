@@ -25,10 +25,23 @@ object Bench {
         try spark.read.parquet(p).selectExpr(agg).collect()
         catch { case _: Throwable => } // warmup only — a missing table must not kill the bench
       }
+    // warm the portable-hash codegen path (md5 → conv → explode) on a tiny
+    // slice — every dedup-family query runs it, and whichever sorts first
+    // alphabetically would otherwise absorb its JIT
+    try spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.Dedup.shingleHashes(
+          org.apache.spark.sql.functions.col("text"), 3)))
+      .agg(Map("col" -> "sum")).collect()
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release operator-persisted handles (pair results etc.) OUTSIDE the
+      // timed window so caches can't accumulate across 70+ queries
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -71,6 +71,22 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // S1b: three appends accumulate files; compaction rewrites the layout
+    // without changing content — ids assigned per ascending key-range
+    // batches collapse to one global row_number, which is all the oracle
+    // sees (any content drift in the rewrite would hash-mismatch)
+    "q_load_compacted" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      for ((lo, hi) <- Seq((-1, 33), (33, 66), (66, 1000000))) {
+        p.idOrder = Seq("s_suppkey")
+        p.extract("SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal " +
+          s"FROM supplier WHERE s_suppkey > $lo AND s_suppkey <= $hi")
+        p.load()
+      }
+      graft.etl.Loader.compact(p.tgt.asInstanceOf[Catalog], "t", 64L * 1024 * 1024)
+      p.result().orderBy("id")
+    },
+
     // S2b: partition-scoped upsert — Hive-partitioned target (event_type),
     // second load's keys include the partition column, so only the touched
     // partition rewrites (PartitionedUpsertSpec proves the untouched files
@@ -327,6 +343,11 @@ object EtlQueries {
         |     i1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, b1.* FROM b1),
         |     i2 AS (SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY o_orderkey) AS id, b2.* FROM b2)
         |SELECT * FROM i1 UNION ALL SELECT * FROM i2 ORDER BY id""".stripMargin,
+
+    "q_load_compacted" ->
+      """SELECT row_number() OVER (ORDER BY s_suppkey) AS id,
+        |       CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, s_acctbal
+        |FROM supplier ORDER BY id""".stripMargin,
 
     "q_upsert_partitioned" ->
       """WITH b1 AS (SELECT event_id, event_type, value FROM events WHERE event_id <= 3000),
