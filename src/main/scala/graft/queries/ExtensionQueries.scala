@@ -165,6 +165,28 @@ object ExtensionQueries {
         .orderBy("event_id")
     },
 
+    // data-quality gate: declarative expectations with per-rule violation
+    // counts; violations seeded in-query (nulls every 50th key, negative
+    // prices every 97th, phantom FK every 77th, key collisions mod 1000)
+    "q_quality" -> { (spark, sfDir) =>
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      val t = orders.select(
+        when(col("o_orderkey") % 50 === 0, lit(null))
+          .when(col("o_orderkey") % 77 === 0, col("o_custkey") + 1000000)
+          .otherwise(col("o_custkey")).as("ck"),
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("price"),
+        (col("o_orderkey") % 1000).as("dupkey"),
+        col("o_orderstatus").as("status"))
+      graft.operators.Quality.check(t, Seq(
+        graft.operators.Quality.NotNull("ck"),
+        graft.operators.Quality.InRange("price", 0.0, 600000.0),
+        graft.operators.Quality.Matches("status", "[OFP]"),
+        graft.operators.Quality.Unique(Seq("dupkey")),
+        graft.operators.Quality.ForeignKey("ck", customer, "c_custkey")))
+    },
+
     // the UDTF shape: a typed Dataset flatMap generating (doc_id, pos, token)
     "q_flatmap_tokens" -> { (spark, sfDir) =>
       import spark.implicits._
@@ -247,6 +269,36 @@ object ExtensionQueries {
         |       CASE WHEN s_suppkey % 3 = 0 THEN lower(s_name) ELSE s_name END AS s_name,
         |       s_acctbal
         |FROM supplier ORDER BY id""".stripMargin,
+
+    "q_quality" ->
+      """WITH t AS (SELECT
+        |    CASE WHEN o_orderkey % 50 = 0 THEN NULL
+        |         WHEN o_orderkey % 77 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS ck,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS price,
+        |    o_orderkey % 1000 AS dupkey,
+        |    o_orderstatus AS status
+        |  FROM orders)
+        |SELECT 'foreign_key(ck)' AS rule,
+        |       CAST((SELECT count(*) FROM t WHERE ck IS NOT NULL
+        |             AND ck NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS violations
+        |UNION ALL
+        |SELECT 'in_range(price,0.0,600000.0)',
+        |       CAST((SELECT count(*) FROM t WHERE price IS NOT NULL
+        |             AND (price < 0.0 OR price > 600000.0)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'matches(status)',
+        |       CAST((SELECT count(*) FROM t WHERE status IS NOT NULL
+        |             AND NOT regexp_full_match(status, '(?:[OFP])')) AS BIGINT)
+        |UNION ALL
+        |SELECT 'not_null(ck)',
+        |       CAST((SELECT count(*) FROM t WHERE ck IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'unique(dupkey)',
+        |       CAST((SELECT coalesce(sum(c - 1), 0) FROM
+        |             (SELECT count(*) AS c FROM t GROUP BY dupkey HAVING count(*) > 1)) AS BIGINT)
+        |ORDER BY rule""".stripMargin,
 
     "q_flatmap_tokens" ->
       """WITH t AS (SELECT doc_id,

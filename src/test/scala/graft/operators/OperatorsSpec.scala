@@ -247,6 +247,30 @@ class OperatorsSpec extends SparkSpec {
     assert(bf.isNullAt(bf.fieldIndex("width")) && bf.isNullAt(bf.fieldIndex("checksum")))
   }
 
+  test("quality checks count violations per rule (known answers)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (Option(1L), 10.0, Option("O")),
+      (Option(2L), -5.0, Option("F")),
+      (Option(2L), 20.0, None: Option[String]),
+      (None: Option[Long], 5.0, Option("X"))
+    ).toDF("k", "v", "s")
+    val dim = Seq(1L, 3L).toDF("dk")
+    val out = graft.operators.Quality.check(df, Seq(
+        graft.operators.Quality.NotNull("k"),
+        graft.operators.Quality.InRange("v", 0.0, 15.0),
+        graft.operators.Quality.Matches("s", "[OF]"),
+        graft.operators.Quality.Unique(Seq("k")),
+        graft.operators.Quality.ForeignKey("k", dim, "dk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("not_null(k)") == 1L)      // the None key
+    assert(out("in_range(v,0.0,15.0)") == 2L) // -5 and 20
+    assert(out("matches(s)") == 1L)       // "X"; null doesn't violate
+    assert(out("unique(k)") == 1L)        // two rows with k=2 -> 1 extra
+    assert(out("foreign_key(k)") == 2L)   // both k=2 rows miss the dim
+  }
+
   test("audio decode: real WAV round-trip; garbage -> nulls") {
     val df = spark.createDataFrame(Seq((7L, 40, 16000))).toDF("doc_id", "nf", "rate")
     val feats = Multimodal.decodeAudioFeatures(
