@@ -172,7 +172,19 @@ object SqlQueries {
        |                    AND o4.o_totalprice > 300000)
        |ORDER BY c.c_custkey""".stripMargin
 
+  // LATERAL correlated subquery with per-row ORDER/LIMIT — the "top-k per
+  // group via join" idiom (both engines plan it as a correlated lateral
+  // join; identical text in both dialects)
+  private def lateralSql =
+    s"""SELECT r.r_name, t.n_name, t.n_nationkey
+       |FROM region r,
+       |LATERAL (SELECT n_name, CAST(n_nationkey AS BIGINT) AS n_nationkey
+       |         FROM nation n WHERE n.n_regionkey = r.r_regionkey
+       |         ORDER BY n_name LIMIT 3) t
+       |ORDER BY r.r_name, t.n_name""".stripMargin
+
   private val shared: Map[String, String] = Map(
+    "q_sql_lateral" -> lateralSql,
     "q_sql_correlated" -> correlatedSql,
     "q_sql_percentile" -> percentileSql,
     "q_sql_join_agg" -> joinAggSql,
