@@ -340,6 +340,59 @@ object Dedup {
     materializeAndRelease(pairs, withSig +: guardCaches: _*)
   }
 
+  /** INCREMENTAL near-dup: MinHash pairs between a NEW batch and an
+    * existing corpus — the ingest-time shape: each arriving batch pairs
+    * against the corpus in O(batch × bands) band rows plus the candidate
+    * verification, never re-pairing corpus × corpus (at 100 TB the corpus
+    * side is a pre-computed signature table; the per-batch cost is
+    * independent of corpus pair density). Returns (new_id, corpus_id,
+    * jaccard), threshold-verified exactly.
+    *
+    * Hot corpus buckets (> maxBucket) are capped to their MINIMUM-id
+    * member — a new doc colliding with a mass-duplicate cluster still
+    * links to the cluster's canonical doc (same recall contract as
+    * [[guardedBucketPairs]]).
+    */
+  def minHashPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, numPerms: Int, bands: Int,
+                          threshold: Double, maxBucket: Int = 4096): DataFrame = {
+    require(numPerms % bands == 0, s"numPerms $numPerms not divisible by bands $bands")
+    val r = numPerms / bands
+    def banded(sig: DataFrame): DataFrame = sig.select(
+      col("__id"),
+      explode(array((0 until bands).map { bIdx =>
+        struct(lit(bIdx).as("band"),
+          concat_ws(",", slice(col("__sig"), bIdx * r + 1, r)).as("key"))
+      }: _*)).as("__b"))
+      .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
+    val newSig = minHashSignatures(newDf, idCol, textCol, n, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSig = minHashSignatures(corpus, idCol, textCol, n, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBanded = banded(corpusSig)
+    // hot-bucket cap on the CORPUS side: the census aggregate is bounded by
+    // rows/maxBucket keys, so Catalyst broadcasts it into the filter join
+    val hot = corpusBanded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__bc"), min(col("__id")).as("__bmin"))
+      .where(col("__bc") > maxBucket)
+    val guardedCorpus = corpusBanded.join(hot, Seq("band", "key"), "left")
+      .where(col("__bc").isNull || col("__id") === col("__bmin"))
+      .select("band", "key", "__id")
+    val candidates = banded(newSig).select(col("band"), col("key"), col("__id").as("new_id"))
+      .join(guardedCorpus.select(col("band"), col("key"), col("__id").as("corpus_id")),
+        Seq("band", "key"))
+      .where(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id").distinct()
+    val pairs = candidates
+      .join(newSig.select(col("__id").as("new_id"), col("__sh").as("__sha")), Seq("new_id"))
+      .join(corpusSig.select(col("__id").as("corpus_id"), col("__sh").as("__shb")), Seq("corpus_id"))
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+    materializeAndRelease(pairs, newSig, corpusSig)
+  }
+
   // ---- dedup as an action: components + drop ------------------------------
 
   /** Connected components over near-dup pairs by iterative min-label

@@ -125,6 +125,20 @@ object ExtensionQueries {
         .orderBy("id")
     },
 
+    // ORC round-trip (native Spark datasource; columnar like parquet but a
+    // different encoder/decoder stack) — the oracle reads only the
+    // original parquet, so a faithful round-trip is invisible
+    "q_source_orc" -> { (spark, sfDir) =>
+      val src = eventsSubset(spark, sfDir)
+      val dir = exportDirs.computeIfAbsent((sfDir, "orc"), { _ =>
+        val d = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        src.write.mode(SaveMode.Overwrite).orc(s"$d/events_orc")
+        d
+      })
+      spark.read.schema(src.schema).orc(s"$dir/events_orc")
+        .orderBy("event_id")
+    },
+
     // JDBC as a WRITE target (reference write_db parity): full ETL into
     // embedded Derby — initial load, then an upsert through the
     // staging-table swap — and read the final table state back. The oracle
@@ -262,6 +276,11 @@ object ExtensionQueries {
         |       CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey < 3 ORDER BY id""".stripMargin,
+
+    "q_source_orc" ->
+      """SELECT event_id, event_type, user_id, props,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sink_jdbc" ->
       """SELECT row_number() OVER (ORDER BY s_suppkey) AS id,

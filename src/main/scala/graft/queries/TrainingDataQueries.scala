@@ -148,6 +148,21 @@ object TrainingDataQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // incremental ingest dedup: a NEW batch (every 10th doc, first two
+    // tokens dropped, id+200000) pairs against the full corpus — per-batch
+    // cost O(batch x bands), never corpus x corpus
+    "q_dedup_incremental" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir).select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val fresh = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(3), size(toks))).as("text"))
+      Dedup.minHashPairsAgainst(fresh, d, "doc_id", "text",
+          n = 3, numPerms = 16, bands = 4, threshold = 0.6)
+        .select(col("new_id"), col("corpus_id"), e9(col("jaccard")).as("jaccard_e9"))
+        .orderBy("new_id", "corpus_id")
+    },
+
     // decontamination: the "benchmark" is built from leaked corpus excerpts
     // (first 12 tokens of every 50th doc — the realistic contamination
     // scenario); flag every training doc sharing a 6-gram with it
@@ -523,6 +538,44 @@ object TrainingDataQueries {
          |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_incremental" -> {
+      val sigExprs = (0 until 16).map { k =>
+        val (a, b) = PortableHash.perm(k)
+        s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
+      }.mkString("[\n    ", ",\n    ", "]")
+      def shingleHs(src: String): String =
+        s"""(SELECT doc_id, list_distinct(list_transform(
+           |  list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+           |                i -> array_to_string(w[i:i+2], ' '))),
+           |  s -> ${hmodSql("s")})) AS h
+           |FROM (SELECT doc_id, ${tok("text")} AS w FROM $src))""".stripMargin
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |basew AS (SELECT doc_id, ${tok("text")} AS w FROM corpus),
+         |fresh AS (SELECT doc_id + 200000 AS doc_id,
+         |                 array_to_string(w[3:len(w)], ' ') AS text
+         |          FROM basew WHERE doc_id % 10 = 0),
+         |chs AS ${shingleHs("corpus")},
+         |nhs AS ${shingleHs("fresh")},
+         |csig AS (SELECT doc_id, h, $sigExprs AS sig FROM chs),
+         |nsig AS (SELECT doc_id, h, $sigExprs AS sig FROM nhs),
+         |cbands AS (SELECT doc_id, t.b AS band,
+         |                  array_to_string(sig[t.b*4+1 : t.b*4+4], ',') AS key
+         |           FROM csig, unnest([0, 1, 2, 3]) AS t(b)),
+         |nbands AS (SELECT doc_id, t.b AS band,
+         |                  array_to_string(sig[t.b*4+1 : t.b*4+4], ',') AS key
+         |           FROM nsig, unnest([0, 1, 2, 3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         |         FROM nbands a JOIN cbands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id),
+         |pairs AS (SELECT c.new_id, c.corpus_id, na.h AS ha, cb.h AS hb
+         |          FROM cand c
+         |          JOIN nhs na ON na.doc_id = c.new_id
+         |          JOIN chs cb ON cb.doc_id = c.corpus_id),
+         |j AS (SELECT new_id, corpus_id, $jaccardSql AS jac FROM pairs)
+         |SELECT new_id, corpus_id, ${e9Sql("jac")} AS jaccard_e9
+         |FROM j WHERE jac >= 0.6 ORDER BY new_id, corpus_id""".stripMargin
+    },
 
     // 6 bands of 10 bits over the same 60-bit signature, Hamming <= 5
     "q_dedup_simhash_wide" ->
