@@ -84,7 +84,7 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     this.writePkField = writePkField
     this.extractThunk = Some(() => {
       src.registerViews()
-      spark.sql(resolveIncremental(sql))
+      spark.sql(resolveIncremental(sql, sparkDialect = true))
     })
     this
   }
@@ -94,43 +94,55 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     * replaced by max(pk) of the target table. Single-placeholder
     * substitution, NOT full format: literal braces elsewhere in the SQL
     * (JSON etc.) stay intact (SURVEY §7.5 item 4). */
-  private def resolveIncremental(sql: String): String = writePkField match {
-    case Some(pk) =>
-      val last: String = tgt.tableIfExists(writeTableName) match {
-        // case-insensitive: JDBC sources (Derby, Oracle, ...) uppercase
-        // unquoted identifiers, and Spark's analyzer resolves max(col(pk))
-        // case-insensitively anyway — the existence check must agree with it
-        case Some(t) if t.columns.exists(_.equalsIgnoreCase(pk)) =>
-          watermarkLiteral(t, t.columns.find(_.equalsIgnoreCase(pk)).get)
-        case _ => "0"
-      }
-      val i = sql.indexOf("{}")
-      require(i >= 0, "incremental extract SQL needs a {} placeholder")
-      sql.substring(0, i) + last + sql.substring(i + 2)
-    case None => sql
-  }
+  private def resolveIncremental(sql: String, sparkDialect: Boolean): String =
+    writePkField match {
+      case Some(pk) =>
+        val last: String = tgt.tableIfExists(writeTableName) match {
+          // case-insensitive: JDBC sources (Derby, Oracle, ...) uppercase
+          // unquoted identifiers, and Spark's analyzer resolves max(col(pk))
+          // case-insensitively anyway — the existence check must agree with it
+          case Some(t) if t.columns.exists(_.equalsIgnoreCase(pk)) =>
+            watermarkLiteral(t, t.columns.find(_.equalsIgnoreCase(pk)).get, sparkDialect)
+          case _ => "0"
+        }
+        val i = sql.indexOf("{}")
+        require(i >= 0, "incremental extract SQL needs a {} placeholder")
+        sql.substring(0, i) + last + sql.substring(i + 2)
+      case None => sql
+    }
 
   /** Typed SQL-literal rendering of `max(pk)` — the reference substitutes
     * whatever value the driver returned, of ANY type, via `str.format`
     * (easy_etl/__init__.py:80-87), so date/string/timestamp watermarks must
     * work too (a long-only cast silently nulled them). Timestamps render
     * through Spark's own `date_format` (micro precision, session timezone)
-    * so the literal round-trips exactly; strings are quote-escaped. A NULL
-    * max (present-but-empty table) renders as 0 — the reference's
-    * `next(rows)['max'] or last_pk` fallback.
+    * so the literal round-trips exactly. String literals are quote-escaped;
+    * `sparkDialect` additionally doubles backslashes (Spark SQL string
+    * literals process escape sequences; Derby/Postgres take backslashes
+    * literally — for MySQL pushdown set sql_mode NO_BACKSLASH_ESCAPES or
+    * avoid backslash-bearing string pks). A NULL max (present-but-empty
+    * table) renders as a typed floor — epoch/empty-string — so the extract
+    * sees everything, mirroring the reference's `or last_pk` fallback
+    * without a type-mismatched predicate.
     */
-  private def watermarkLiteral(t: DataFrame, pk: String): String = {
+  private def watermarkLiteral(t: DataFrame, pk: String, sparkDialect: Boolean): String = {
     import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
     t.schema(pk).dataType match {
       case TimestampType =>
         val r = t.agg(date_format(max(col(pk)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
-        if (r.isNullAt(0)) "0" else s"TIMESTAMP '${r.getString(0)}'"
+        if (r.isNullAt(0)) "TIMESTAMP '1970-01-01 00:00:00'"
+        else s"TIMESTAMP '${r.getString(0)}'"
       case DateType =>
         val r = t.agg(max(col(pk)).cast("string")).head()
-        if (r.isNullAt(0)) "0" else s"DATE '${r.getString(0)}'"
+        if (r.isNullAt(0)) "DATE '1970-01-01'" else s"DATE '${r.getString(0)}'"
       case StringType =>
         val r = t.agg(max(col(pk))).head()
-        if (r.isNullAt(0)) "0" else "'" + r.getString(0).replace("'", "''") + "'"
+        if (r.isNullAt(0)) "''"
+        else {
+          val base = if (sparkDialect) r.getString(0).replace("\\", "\\\\")
+                     else r.getString(0)
+          "'" + base.replace("'", "''") + "'"
+        }
       case _ =>
         // numerics/boolean: the collected value's own rendering is a valid
         // SQL literal in Spark and every JDBC dialect we target
@@ -151,7 +163,8 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     this.types = types
     this.writePkField = writePkField
     this.extractThunk = Some(() =>
-      graft.sources.JdbcSource.query(spark, url, resolveIncremental(sql), props))
+      graft.sources.JdbcSource.query(spark, url,
+        resolveIncremental(sql, sparkDialect = false), props))
     this
   }
 

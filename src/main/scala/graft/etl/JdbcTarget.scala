@@ -30,11 +30,18 @@ class JdbcCatalog(val spark: SparkSession, val url: String,
   }
 
   /** Case-insensitive existence check (Derby/Oracle store unquoted
-    * identifiers uppercase; MySQL/Postgres keep or lower them). */
+    * identifiers uppercase; MySQL/Postgres keep or lower them).
+    * getTables takes a PATTERN — `_`/`%` in the name are escaped with the
+    * driver's search escape so `my_table` can't false-match `myxtable`
+    * (a false positive would turn the create-table path into a read of a
+    * missing table). */
   def exists(name: String): Boolean = withConnection { conn =>
     val md = conn.getMetaData
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def pat(s: String) =
+      s.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
     Seq(name, name.toUpperCase, name.toLowerCase).distinct.exists { n =>
-      val rs = md.getTables(null, null, n, null)
+      val rs = md.getTables(null, null, pat(n), null)
       try rs.next() finally rs.close()
     }
   }
@@ -60,10 +67,10 @@ class JdbcCatalog(val spark: SparkSession, val url: String,
 /** The [[Loader]] semantics against a [[JdbcCatalog]]: surrogate ids
   * continuing from the table's max, O(batch) INSERT append when the schema
   * is unchanged, join-based upsert and schema evolution through a staging
-  * table swapped in with transactional DDL (DROP + RENAME in one
-  * transaction — Derby/Postgres DDL is transactional; on engines where it
-  * isn't, the window leaves either the old or the new table, never
-  * neither).
+  * table swapped in with the dialect's atomic protocol
+  * ([[JdbcLoader.swapStatements]]: transactional DROP+RENAME on
+  * Derby/Postgres, a single atomic multi-RENAME on MySQL where DDL
+  * auto-commits).
   */
 object JdbcLoader {
 
@@ -118,9 +125,23 @@ object JdbcLoader {
     w.mode(SaveMode.Append).save() // creates the table when absent
   }
 
+  /** The dialect-correct swap statements replacing `table` with `stage`.
+    * Derby/Postgres have transactional DDL, so DROP + RENAME in one
+    * transaction is atomic. MySQL auto-commits every DDL — there a single
+    * multi-rename statement (itself atomic) does the swap and the old
+    * snapshot drops afterwards. */
+  private def swapStatements(url: String, table: String, stage: String): Seq[String] =
+    if (url.startsWith("jdbc:postgresql"))
+      Seq(s"DROP TABLE $table", s"ALTER TABLE $stage RENAME TO $table")
+    else if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb"))
+      Seq(s"RENAME TABLE $table TO ${table}__swapout, $stage TO $table",
+        s"DROP TABLE ${table}__swapout")
+    else // Derby (this container's driver) and RENAME TABLE dialects
+      Seq(s"DROP TABLE $table", s"RENAME TABLE $stage TO $table")
+
   /** Write `merged` to `<table>__stage` (the plan may lazily READ the live
     * table — staging keeps the read and the write on different tables),
-    * then swap: DROP old + RENAME stage in one transaction.
+    * then swap with the dialect's atomic rename protocol.
     */
   private def swapIn(tgt: JdbcCatalog, table: String, merged: DataFrame,
                      writePartitions: Int): Unit = {
@@ -134,8 +155,7 @@ object JdbcLoader {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
-        st.execute(s"DROP TABLE $table")
-        st.execute(s"RENAME TABLE $stage TO $table")
+        swapStatements(tgt.url, table, stage).foreach(st.execute)
         conn.commit()
       } catch {
         case e: java.sql.SQLException => conn.rollback(); throw e

@@ -96,11 +96,14 @@ object Loader {
         withSurrogateIds(incoming, maxId, order)
 
       case Some(ex) if upsertFields.nonEmpty =>
-        // partition-scoped path: single partition column that is part of
-        // the upsert key (so a matched row can never change partitions)
-        // and an unchanged schema (a partial rewrite must not evolve the
-        // table out from under the untouched partitions)
-        val scoped = partCols.size == 1 &&
+        // partition-scoped path: the table must ALREADY be partitioned
+        // (recordedSpec — a flat→partitioned re-layout goes through the
+        // full rewrite, which writes the sidecar atomically), with a single
+        // partition column that is part of the upsert key (so a matched
+        // row can never change partitions) and an unchanged schema (a
+        // partial rewrite must not evolve the table out from under the
+        // untouched partitions)
+        val scoped = recordedSpec.nonEmpty && partCols.size == 1 &&
           upsertFields.contains(partCols.head) &&
           sameColumnSet(ex, incoming) &&
           partitionScopedUpsert(tgt, table, ex, incoming, upsertFields,
@@ -131,8 +134,13 @@ object Loader {
         // wins future resolution only after the file layout is gone, so
         // writeAtomic below handles it as a fresh dir write).
         val dirLayout = tgt.resolve(table).contains(tgt.dirPath(table))
-        if (dirLayout && sameShape(target, ex.schema)) {
-          val w = shard(unionAligned(Seq(withIds), target), targetFileBytes)
+        // a flat→partitioned re-layout must NOT take the append fast path:
+        // partition subdirs dropped next to flat part-files corrupt the
+        // directory structure — fall through to the full rewrite, which
+        // migrates the layout (and writes the sidecar) atomically
+        val layoutUnchanged = partCols.isEmpty || recordedSpec.nonEmpty
+        if (dirLayout && layoutUnchanged && sameShape(target, ex.schema)) {
+          val w = shard(unionAligned(Seq(withIds), target), targetFileBytes, partCols)
             .write.mode(SaveMode.Append)
           (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
             .parquet(tgt.dirPath(table))
@@ -142,7 +150,7 @@ object Loader {
         unionAligned(Seq(ex, withIds), target)
     }
 
-    writeAtomic(tgt, table, shard(merged, targetFileBytes), partCols)
+    writeAtomic(tgt, table, shard(merged, targetFileBytes, partCols), partCols)
   }
 
   /** Same column name→type map (order-insensitive — a partitioned read
@@ -163,9 +171,12 @@ object Loader {
     *
     * Durability: each partition swap is rename-atomic; a crash mid-loop
     * leaves some partitions updated and the rest old alongside a
-    * `.__part-` aside dir (cleaned by the next load) — per-partition
-    * atomicity, not cross-partition, the standard contract for
-    * partition-scoped merges without a table format.
+    * `.__part-` aside dir — per-partition atomicity, not cross-partition,
+    * the standard contract for partition-scoped merges without a table
+    * format. A crash INSIDE one partition's two renames (live moved aside,
+    * new not yet in) is healed by the next load: [[recoverStranded]]
+    * restores any live-missing partition from the newest aside before the
+    * strays are cleaned, so no window deletes the only remaining copy.
     */
   private def partitionScopedUpsert(tgt: Catalog, table: String,
                                     ex: DataFrame, incoming: DataFrame,
@@ -189,7 +200,7 @@ object Loader {
     val tmp = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
     val aside = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__part-" + uuid)
     val fs = liveDir.getFileSystem(conf)
-    shard(merged, targetFileBytes).write.mode(SaveMode.Overwrite)
+    shard(merged, targetFileBytes, Seq(partCol)).write.mode(SaveMode.Overwrite)
       .partitionBy(partCol).parquet(tmp.toString)
     fs.mkdirs(aside)
     val partDirs = fs.listStatus(tmp)
@@ -209,10 +220,24 @@ object Loader {
     true
   }
 
-  private def shard(df: DataFrame, targetFileBytes: Option[Long]): DataFrame =
+  /** Distribute `df` toward ~targetFileBytes output files. Flat layouts
+    * round-robin; Hive-partitioned writes distribute on the partition
+    * columns plus a bounded spread key — a round-robin repartition feeding
+    * `partitionBy` would scatter EVERY partition's rows across every
+    * writer (one small file per partition per task, shards × partitions
+    * files total: the opposite of the sizing goal). */
+  private def shard(df: DataFrame, targetFileBytes: Option[Long],
+                    partCols: Seq[String] = Nil): DataFrame =
     targetFileBytes match {
-      case Some(b) => graft.sources.RowWidth.shardForTargetFileSize(df, b)
       case None => df
+      case Some(b) if partCols.isEmpty =>
+        graft.sources.RowWidth.shardForTargetFileSize(df, b)
+      case Some(b) =>
+        val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
+        val nVals = math.max(1L, df.select(partCols.map(col): _*).distinct().count())
+        val perPart = math.max(1L, math.ceil(n.toDouble / nVals).toLong)
+        df.repartition(n,
+          partCols.map(col) :+ pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(perPart)): _*)
     }
 
   /** Compact a table's files toward `targetFileBytes` per file — the
@@ -230,22 +255,7 @@ object Loader {
     val ex = tgt.table(table)
     val partCols =
       graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
-    val n = graft.sources.RowWidth.partitionsForTargetFileSize(ex, targetFileBytes)
-    val compacted =
-      if (partCols.isEmpty) ex.repartition(n)
-      else {
-        // a round-robin repartition would SPREAD each Hive partition's rows
-        // across every writer (one small file per partition per task — the
-        // opposite of compaction). Distribute on the partition columns plus
-        // a bounded spread key, so each partition lands on ~perPart writers
-        // (= 1 file each when partitions fit the target).
-        val nVals = math.max(1L,
-          ex.select(partCols.map(col): _*).distinct().count())
-        val perPart = math.max(1L, math.ceil(n.toDouble / nVals).toLong)
-        ex.repartition(n,
-          partCols.map(col) :+ pmod(xxhash64(ex.columns.toSeq.map(col): _*), lit(perPart)): _*)
-      }
-    writeAtomic(tgt, table, compacted, partCols)
+    writeAtomic(tgt, table, shard(ex, Some(targetFileBytes), partCols), partCols)
   }
 
   /** The join-based MERGE shared by the parquet and JDBC sinks: replace
@@ -412,6 +422,28 @@ object Loader {
       tgt.strandedNewest(table).foreach { st =>
         if (!fs.rename(st.getPath, finalPath))
           throw new java.io.IOException(s"could not recover ${st.getPath} -> $finalPath")
+      }
+    }
+    // partition-scoped crash window: a `.__part-` aside may hold the ONLY
+    // copy of a partition (live moved aside, new copy not renamed in).
+    // Restore any live-missing partition from the NEWEST aside before the
+    // strays are deleted below — otherwise cleanup would erase it.
+    if (fs.exists(finalPath)) {
+      val parent = new org.apache.hadoop.fs.Path(tgt.dir)
+      if (fs.exists(parent)) {
+        fs.listStatus(parent)
+          .filter(_.getPath.getName.startsWith(table + ".__part-"))
+          .sortBy(-_.getModificationTime)
+          .foreach { aside =>
+            fs.listStatus(aside.getPath)
+              .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+              .foreach { p =>
+                val live = new org.apache.hadoop.fs.Path(finalPath, p.getPath.getName)
+                if (!fs.exists(live) && !fs.rename(p.getPath, live))
+                  throw new java.io.IOException(
+                    s"could not restore stranded partition ${p.getPath} -> $live")
+              }
+          }
       }
     }
     cleanupStrays(tgt, table)

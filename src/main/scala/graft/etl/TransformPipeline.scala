@@ -211,18 +211,28 @@ class TransformPipeline {
   /** Python `str.format(args…)` — the auto-numbered `{}` subset: the COLUMN
     * VALUE is the template (that is what the reference's value-method
     * dispatch does), each arg fills the next `{}` in order. Faithful to
-    * CPython: surplus args are ignored; a leftover `{}` after all args are
-    * spent raises (Python's IndexError), surfaced as a runtime error. */
+    * CPython: surplus args are ignored; more `{}` than args raises
+    * (Python's IndexError), surfaced as a runtime error. The template is
+    * split on `{}` ONCE and interleaved with the args, so argument VALUES
+    * containing braces are never re-scanned as placeholders (sequential
+    * replace-first would consume them). */
   def format(args: Any*): this.type = add { (c0, _) =>
-    val filled = args.foldLeft(c0.cast(StringType)) { (acc, a) =>
-      val p = instr(acc, "{}")
-      when(p === 0, acc).otherwise(concat(
-        acc.substr(lit(1), p - 1), lit(a.toString),
-        acc.substr(p + 2, length(acc))))
+    val c = c0.cast(StringType)
+    val parts = split(c, java.util.regex.Pattern.quote("{}"), -1)
+    val nPh = size(parts) - 1 // placeholders in this row's template
+    val tooFew =
+      raise_error(concat(lit("format: not enough arguments for template: "), c))
+    if (args.isEmpty)
+      when(nPh > 0, tooFew).otherwise(c)
+    else {
+      val argArr = array(args.map(a => lit(a.toString)): _*)
+      val filled = concat(element_at(parts, 1),
+        aggregate(sequence(lit(2), size(parts)), lit(""),
+          (acc, i) => concat(acc, element_at(argArr, i - 1), element_at(parts, i))))
+      when(nPh > args.length, tooFew)
+        .when(nPh === 0, c)
+        .otherwise(filled)
     }
-    when(instr(filled, "{}") > 0,
-      raise_error(concat(lit("format: not enough arguments for template: "), c0)))
-      .otherwise(filled)
   }
 
   /** Python `str.partition(sep)` / `rpartition(sep)`: the chain becomes a

@@ -100,9 +100,13 @@ object Multimodal {
       * (R + G + B) — integer-exact, reproducible by an oracle from the
       * generator parameters of a synthetic image. */
     def decode(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+      // NonFatal, not just IOException: ImageIO throws RuntimeExceptions
+      // (NegativeArraySize, CMMException, IndexOutOfBounds) on malformed
+      // headers/profiles — a corrupt blob must decode to None, not fail
+      // the task deterministically on every retry
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val w = im.getWidth
         val h = im.getHeight
@@ -219,8 +223,9 @@ object Multimodal {
           Some((f.getSampleRate.toLong, f.getChannels.toLong, frames, cs))
         } finally ais.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // includes UnsupportedAudioFileException/IOException plus the
+        // RuntimeExceptions header parsers throw on truncated payloads
+        case scala.util.control.NonFatal(_) => None
       }
   }
   object AudioDecoder {

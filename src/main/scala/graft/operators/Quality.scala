@@ -43,9 +43,18 @@ object Quality {
     val name = s"foreign_key($col)"
   }
 
-  /** One row per rule: (rule, violations), ordered by rule name. */
+  /** One row per rule: (rule, violations), ordered by rule name. Rule
+    * names must be distinct (two Matches on one column would alias-collide
+    * in the single aggregation pass) — duplicates fail at staging with the
+    * offending names, not mid-job. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
+    val dups = rules.map(_.name).groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n
+    }
+    require(dups.isEmpty,
+      s"duplicate rule name(s): ${dups.mkString(", ")} — rules must be " +
+        "distinguishable (e.g. two regex rules on one column: combine the patterns)")
     val scalar = rules.collect {
       case r: NotNull => r.name -> count_if(col(r.col).isNull)
       case r: InRange =>

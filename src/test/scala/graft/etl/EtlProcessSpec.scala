@@ -360,6 +360,11 @@ class EtlProcessSpec extends SparkSpec {
     assert(one("v={} w={}")(_.format(3, "q")).getString(0) == "v=3 w=q")
     assert(one("v={}")(_.format(3, "extra")).getString(0) == "v=3")
     assertThrows[Exception](one("v={} {}")(_.format(3)))
+    // argument VALUES containing braces must not be re-scanned as
+    // placeholders (CPython: split-once semantics)
+    assert(one("id={}")(_.format("{}")).getString(0) == "id={}")
+    assert(one("a{}b{}")(_.format("{}", "x")).getString(0) == "a{}bx")
+    assert(one("plain")(_.format()).getString(0) == "plain")
     // partition / rpartition incl. the absent-separator tuples
     assert(one("MEDIUM POLISHED")(_.partition("ED")).getSeq[String](0)
       == Seq("M", "ED", "IUM POLISHED"))

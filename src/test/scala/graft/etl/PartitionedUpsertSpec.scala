@@ -107,6 +107,52 @@ class PartitionedUpsertSpec extends SparkSpec {
     assert(slice.count() == 100)
   }
 
+  test("flat -> partitioned re-layout migrates via full rewrite, not append") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pt = new Catalog(spark, tmpDir("graft-migrate"))
+    val b1 = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("k", "typ", "v")
+    Loader.load(pt, "t", b1, idOrder = Seq("k")) // FLAT layout
+    // same schema + partitionBy: must NOT drop typ=... subdirs next to the
+    // flat files (corrupt structure) — the table re-writes partitioned
+    val b2 = (101 to 120).map(i => (i.toLong, "a", i.toDouble)).toDF("k", "typ", "v")
+    Loader.load(pt, "t", b2, idOrder = Seq("k"), partitionBy = Seq("typ"))
+    val dir = new java.io.File(pt.dirPath("t"))
+    assert(dir.listFiles().count(_.getName.startsWith("typ=")) == 2)
+    assert(!dir.listFiles().exists(f => f.isFile && f.getName.startsWith("part-")),
+      "flat files must not coexist with partition subdirs")
+    assert(pt.table("t").count() == 120)
+    // the migrated table now scoped-upserts like any partitioned table
+    Loader.load(pt, "t", Seq((2L, "a", 42.0)).toDF("k", "typ", "v"),
+      upsertFields = Seq("k", "typ"), idOrder = Seq("k"))
+    assert(pt.table("t").where(col("k") === 2L).head().getAs[Double]("v") == 42.0)
+  }
+
+  test("a stranded .__part- aside restores its partition on the next load") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pt = new Catalog(spark, tmpDir("graft-strand"))
+    val rows = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toDouble))
+      .toDF("k", "typ", "v")
+    Loader.load(pt, "t", rows, idOrder = Seq("k"), partitionBy = Seq("typ"))
+    val before = pt.table("t").collect().map(_.toSeq).toSet
+    // simulate the crash window: live partition moved aside, new copy never
+    // renamed in (process died between the two renames)
+    val dir = new java.io.File(pt.dirPath("t"))
+    val aside = new java.io.File(pt.dirPath("t") + ".__part-deadbeef")
+    assert(aside.mkdirs())
+    val live = new java.io.File(dir, "typ=a")
+    assert(live.renameTo(new java.io.File(aside, "typ=a")))
+    // next load must restore typ=a from the aside BEFORE cleaning strays
+    Loader.load(pt, "t", Seq((1000L, "b", 1.0)).toDF("k", "typ", "v"),
+      idOrder = Seq("k"))
+    assert(!aside.exists(), "aside dir should be cleaned after recovery")
+    val after = pt.table("t").collect().map(_.toSeq).toSet
+    assert(before.subsetOf(after), "the stranded partition's rows must survive")
+    assert(after.size == before.size + 1)
+  }
+
   test("compact collapses accumulated small files, flat and partitioned") {
     val spark0 = spark
     import spark0.implicits._
