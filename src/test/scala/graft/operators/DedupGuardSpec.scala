@@ -76,6 +76,50 @@ class DedupGuardSpec extends SparkSpec {
     }
   }
 
+  test("jaccard prefix filter lossless across a threshold sweep (seeded corpus)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(2026)
+    val vocab = (0 until 25).map(i => s"w$i")
+    val corpus = (0L until 40L).map { i =>
+      val len = 6 + rnd.nextInt(8)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = corpus.select(col("doc_id"), Dedup.shingleHashes(col("text"), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for (t <- Seq(0.3, 0.45, 0.62, 0.75, 0.9)) {
+      val fast = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 2, threshold = t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).intersect(sets(b)).size
+        union = sets(a).size + sets(b).size - inter
+        if union > 0 && inter.toDouble / union >= t
+      } yield (a, b)).toSet
+      assert(fast == brute, s"threshold $t: prefix filter diverged " +
+        s"(missing=${(brute -- fast).take(3)}, extra=${(fast -- brute).take(3)})")
+    }
+  }
+
+  test("minHashPairsAgainst plans as equi-joins and matches the self-join subset") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpus = (0L until 30L).map(i => (i, s"document number $i about topic ${i % 4} words"))
+      .toDF("doc_id", "text")
+    val fresh = (100L until 110L).map(i =>
+      (i, s"document number ${i - 100} about topic ${(i - 100) % 4} words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairsAgainst(fresh, corpus, "doc_id", "text",
+      n = 2, numPerms = 16, bands = 4, threshold = 0.8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val got = pairs.select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each fresh doc duplicates corpus doc (id-100) verbatim
+    assert((100L until 110L).forall(i => got.contains((i, i - 100L))))
+    assert(got.forall { case (n, c) => n - 100L == c }, s"unexpected pairs: $got")
+  }
+
   test("jaccardPairs size-ratio prefilter sits inside the join, not after the aggregate") {
     val spark0 = spark
     import spark0.implicits._
