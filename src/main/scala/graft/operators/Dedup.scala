@@ -533,6 +533,20 @@ object Dedup {
     // collectEdges probe and a distributed fallback read the same blocks —
     // the pair pipeline runs once either way.
     val pairs = minHashPairs(df, idCol, textCol, n, numPerms, bands, threshold, maxBucket)
+    dropByPairs(df, idCol, pairs, maxDriverEdges)
+  }
+
+  /** The dedup ACTION for ANY pair source: given (id_a, id_b) near-dup
+    * pairs — from [[minHashPairs]], [[simHashPairs]], [[jaccardPairs]],
+    * [[VectorSimilarity.cosineNearDupPairs]], or an external blocker —
+    * keep only each cluster's canonical (minimum-id) document. Components
+    * via [[connectedComponentsAuto]]; the corpus itself never shuffles on
+    * the driver-edge fast path (scan + broadcast anti-join). CONSUMES
+    * `pairs`: a cached handle (every pair operator returns one) is
+    * released before returning.
+    */
+  def dropByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                  maxDriverEdges: Int = 10_000_000): DataFrame = {
     val out = collectEdges(df, idCol, pairs, maxDriverEdges) match {
       case Some(edges) =>
         // Fast path: the drop-set (non-canonical members of clusters) is at

@@ -196,6 +196,20 @@ object TrainingDataQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // the generic drop ACTION over a NON-text pair source: embedding
+    // near-dup pairs → components → keep the canonical vector per cluster
+    "q_dedup_drop_embedding" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val copies = e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5)).cast(FloatType)).as("embedding"))
+      val corpus = e.unionByName(copies)
+      val pairs = VectorSimilarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 6, dim = 64)
+      Dedup.dropByPairs(corpus, "vec_id", pairs)
+        .select("vec_id").orderBy("vec_id")
+    },
+
     // int8 quantization: compare via scalar projections of the quantized
     // vector (rolling hash + sum) — deterministic integers, no array-typed
     // oracle columns
@@ -611,6 +625,28 @@ object TrainingDataQueries {
          |sc AS (SELECT id_a, id_b, $cosineSql AS cos FROM pairs)
          |SELECT id_a, id_b, ${e9Sql("cos")} AS cosine_e9
          |FROM sc WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_drop_embedding" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |${bucketSql("corpus", 6, 64)},
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |               a.embedding AS ea, b.embedding AS eb
+         |        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |gp AS (SELECT id_a, id_b FROM prs WHERE $cosineSql >= 0.99),
+         |nodes AS (SELECT vec_id AS id FROM corpus),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM gp
+         |          UNION ALL SELECT id_b, id_a FROM gp),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |  WHERE r.lbl < e.dst),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+         |SELECT id AS vec_id FROM comp WHERE id = comp ORDER BY vec_id""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH m AS (SELECT vec_id, embedding,
