@@ -62,4 +62,63 @@ object Sampling {
     * `key` (pre-stringified by the caller if not already VARCHAR). */
   def hashSamplePredicateSql(key: String, fraction: Double): String =
     s"${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} % ${Denom} < ${(fraction * Denom).toLong}"
+
+  /** Deterministic per-group cap: keeps at most `cap` rows per group,
+    * chosen by portable-hash order of the key (hash ties broken by the key
+    * itself, so the draw is total and reproducible). The training-data
+    * "per-domain document cap": no single source may contribute more than
+    * `cap` examples, and the retained subset is an unbiased draw that is
+    * stable across runs, partitionings, and engines.
+    *
+    * Scale: one shuffle on `groupCol`; a hot group sorts on one partition.
+    * When cap ≪ group size, pre-filter with [[hashSample]] at a fraction
+    * safely above cap/|group| first — membership is decided by the same
+    * hash, so the pre-filter never changes the retained set, only the sort
+    * volume. */
+  def groupCap(df: DataFrame, groupCol: String, keyCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(PortableHash.hmod(col(keyCol).cast("string")), col(keyCol).cast("string"))
+    df.withColumn("__gc_rn", row_number().over(w))
+      .where(col("__gc_rn") <= cap)
+      .drop("__gc_rn")
+  }
+
+  /** The DuckDB spelling of [[groupCap]]'s retained-row predicate as a
+    * window filter: callers wrap `SELECT … QUALIFY`-style via a subquery. */
+  def groupCapRankSql(group: String, key: String): String =
+    s"row_number() OVER (PARTITION BY $group ORDER BY " +
+      s"${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")}, CAST($key AS VARCHAR))"
+
+  /** Deterministic train/validation/test split: appends a `split` column
+    * assigning each row to the first bucket whose cumulative fraction
+    * covers hash(key) mod [[Denom]]. Assignment depends only on the key —
+    * re-runs, engine changes, and appends never move a row between splits,
+    * and splitting `orders` and `lineitem` by the same key keeps the join
+    * graph intact within each split. Fractions must sum to ≤ 1; any
+    * remainder falls into `defaultSplit`. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  defaultSplit: String = "rest"): DataFrame = {
+    val total = splits.map(_._2).sum
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) && total <= 1.0 + 1e-9,
+      s"split fractions must be non-negative and sum to <= 1: $splits")
+    val h = PortableHash.hmod(col(keyCol).cast("string")) % Denom
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) => acc + (f * Denom).toLong }.tail
+    val assign = splits.zip(bounds).foldRight(lit(defaultSplit): Column) {
+      case (((name, _), bound), acc) => when(h < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** The DuckDB spelling of [[splitAssign]]'s `split` expression. */
+  def splitAssignSql(key: String, splits: Seq[(String, Double)],
+                     defaultSplit: String = "rest"): String = {
+    val h = s"${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} % ${Denom}"
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) => acc + (f * Denom).toLong }.tail
+    val whens = splits.zip(bounds)
+      .map { case ((name, _), b) => s"WHEN $h < $b THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '$defaultSplit' END"
+  }
 }

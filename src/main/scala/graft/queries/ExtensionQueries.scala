@@ -44,6 +44,25 @@ object ExtensionQueries {
         .orderBy("o_orderkey")
     },
 
+    // per-group contribution cap (the "no domain may dominate the corpus"
+    // rule): at most 100 orders per priority class, drawn by hash order
+    "q_sample_group_cap" -> { (spark, sfDir) =>
+      val orders = new graft.etl.Catalog(spark, sfDir).table("orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Sampling.groupCap(orders, "o_orderpriority", "o_orderkey", cap = 100)
+        .orderBy("o_orderkey")
+    },
+
+    // deterministic train/val/test assignment: membership depends only on
+    // the key hash, so appends and re-runs never move a row across splits
+    "q_sample_split" -> { (spark, sfDir) =>
+      val orders = new graft.etl.Catalog(spark, sfDir).table("orders")
+        .select(col("o_orderkey"))
+      Sampling.splitAssign(orders, "o_orderkey",
+          Seq("train" -> 0.8, "val" -> 0.1), defaultSplit = "test")
+        .orderBy("o_orderkey")
+    },
+
     // KMV sketch (custom typed Aggregator/UDAF) vs the exact distinct count
     "q_sketch_kmv" -> { (spark, sfDir) =>
       val li = new graft.etl.Catalog(spark, sfDir).table("lineitem")
@@ -231,6 +250,18 @@ object ExtensionQueries {
          |             WHEN '1-URGENT' THEN 0.5 WHEN '2-HIGH' THEN 0.2
          |             ELSE 0.05 END) AS BIGINT)
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_group_cap" ->
+      s"""SELECT o_orderkey, o_orderpriority FROM (
+         |  SELECT o_orderkey, o_orderpriority,
+         |         ${Sampling.groupCapRankSql("o_orderpriority", "o_orderkey")} AS rn
+         |  FROM orders)
+         |WHERE rn <= 100 ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample_split" ->
+      s"""SELECT o_orderkey,
+         |  ${Sampling.splitAssignSql("o_orderkey", Seq("train" -> 0.8, "val" -> 0.1), "test")} AS split
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_sketch_kmv" -> {
       val h = PortableHash.hmodSql("CAST(l_partkey AS VARCHAR)")

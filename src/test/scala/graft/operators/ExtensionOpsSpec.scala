@@ -35,6 +35,45 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.length == 250 && out.forall(_ % 2 == 0))
   }
 
+  test("groupCap: at most cap rows per group, deterministic, subset of the group") {
+    val df = spark.range(1, 2001).toDF("k")
+      .withColumn("g", (col("k") % 3).cast("string"))
+    val capped = Sampling.groupCap(df, "g", "k", cap = 50)
+    val byGroup = capped.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup.values.forall(_ == 50L), s"every group must hit the cap: $byGroup")
+    // deterministic: same selection on re-run
+    val a = capped.collect().map(_.getLong(0)).toSet
+    val b = Sampling.groupCap(df, "g", "k", cap = 50).collect().map(_.getLong(0)).toSet
+    assert(a == b, "cap selection must be deterministic")
+    // monotone: the cap-25 selection is a subset of cap-50 (hash order is total)
+    val small = Sampling.groupCap(df, "g", "k", cap = 25).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a), "smaller cap must select a subset")
+    // a group under the cap is kept whole
+    val tiny = spark.range(1, 11).toDF("k").withColumn("g", lit("only"))
+    assert(Sampling.groupCap(tiny, "g", "k", cap = 50).count() == 10)
+  }
+
+  test("splitAssign: total, disjoint, deterministic, append-stable") {
+    val df = spark.range(1, 5001).toDF("k")
+    val out = Sampling.splitAssign(df, "k", Seq("train" -> 0.8, "val" -> 0.1), "test")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"), s"unexpected splits: $counts")
+    assert(counts.values.sum == 5000L, "assignment must be total")
+    // rough mass: 80/10/10 ± 3pp
+    assert(math.abs(counts("train") - 4000L) < 150, s"train mass off: $counts")
+    assert(math.abs(counts("val") - 500L) < 150, s"val mass off: $counts")
+    // append stability: the first half's assignment is unchanged when the
+    // second half arrives (membership depends only on the key)
+    val firstHalf = Sampling.splitAssign(spark.range(1, 2501).toDF("k"), "k",
+        Seq("train" -> 0.8, "val" -> 0.1), "test")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(firstHalf.forall { case (k, s) => full(k) == s },
+      "appending rows must not move existing keys across splits")
+  }
+
   test("KMV sketch: exact below k, close above k, merge-order-insensitive") {
     val k = 64
     // 40 distinct values (< k): estimate must be EXACT
