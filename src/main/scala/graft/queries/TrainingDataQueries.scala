@@ -104,6 +104,16 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    // exact heavy hitters over the token stream (vocabulary hot-list):
+    // Misra-Gries candidates + exact verification — the answer is EXACT,
+    // the shuffle is bounded by the candidate set, never the vocabulary
+    "q_heavy_hitters" -> { (spark, sfDir) =>
+      val toks = docs(spark, sfDir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      graft.operators.FrequentItems.heavyHittersBySupport(toks, "token", support = 0.005)
+        .orderBy("item")
+    },
+
     // ---- dedup -----------------------------------------------------------
 
     "q_dedup_exact" -> { (spark, sfDir) =>
@@ -372,6 +382,17 @@ object TrainingDataQueries {
          |    list_transform(w, t2 -> ${hmodSql("t2")})),
          |    (acc, h) -> (acc * 31 + h) % $P) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // threshold = ceil(support · N) computed from the SAME double product in
+    // both engines (bit-identical), so the HAVING cut lands on the same count
+    "q_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(${tok("text")}) AS item FROM documents),
+         |n AS (SELECT count(*) AS n FROM tk)
+         |SELECT item, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tk GROUP BY item
+         |HAVING count(*) >= (SELECT greatest(CAST(1 AS BIGINT),
+         |                           CAST(ceil(0.005 * n) AS BIGINT)) FROM n)
+         |ORDER BY item""".stripMargin,
 
     "q_text_topterms" ->
       s"""WITH t AS (SELECT doc_id, unnest(${tok("text")}) AS term FROM documents),
