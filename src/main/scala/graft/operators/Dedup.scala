@@ -629,19 +629,34 @@ object Dedup {
     * radius against bucket density.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int, bands: Int = 4, maxBucket: Int = 4096): DataFrame =
+    hammingPairs(simHashSignatures(df, idCol, textCol), "__id", "__sig",
+      SimHashBits, maxDist, bands, maxBucket)
+
+  /** Pairs at Hamming distance ≤ maxDist between arbitrary `bits`-bit
+    * signatures (SimHashes, perceptual image hashes, any bit fingerprint),
+    * by the same banded pipeline as [[simHashPairs]]: band keys shuffle,
+    * hot buckets star-cap, exact `bit_count(xor)` verification on the
+    * candidates only. `sigs` must carry one non-null signature per id;
+    * null signatures (e.g. failed decodes) are dropped before banding.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String, bits: Int,
                    maxDist: Int, bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
-    require(bands >= 2 && SimHashBits % bands == 0,
-      s"bands must divide $SimHashBits bits evenly: $bands")
+    require(bits >= 2 && bits <= 62, s"bits out of range: $bits")
+    require(bands >= 2 && bits % bands == 0,
+      s"bands must divide $bits bits evenly: $bands")
     require(maxDist <= bands - 1,
       s"banding over $bands bands is pigeonhole-complete only for maxDist <= ${bands - 1} " +
         s"(got $maxDist); pairs at greater distance could share no band and be " +
         s"silently dropped — use more bands for a larger radius")
-    val bandBits = SimHashBits / bands
+    val bandBits = bits / bands
     val bandMask = (1L << bandBits) - 1
     // cached: the banded self-join's two branches would otherwise each
-    // recompute the signature aggregation. Only (id, sig) is cached — two
+    // recompute the signature pipeline. Only (id, sig) is cached — two
     // longs per doc.
-    val withSig = simHashSignatures(df, idCol, textCol)
+    val withSig = sigs
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .where(col("__sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band rows carry ONLY (band, key, id); the signatures join back per
     // surviving candidate pair rather than riding the banded self-join on
@@ -654,10 +669,10 @@ object Dedup {
       .select(col("__b.band").as("band"), col("__b.key").as("key"), col("__id"))
     val (candidates, guardCaches) =
       guardedBucketPairs(banded, Seq("band", "key"), "__id", maxBucket)
-    val sigs = withSig.select(col("__id"), col("__sig"))
+    val sigSel = withSig.select(col("__id"), col("__sig"))
     val pairs = candidates
-      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("__siga")), Seq("id_a"))
-      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("__sigb")), Seq("id_b"))
+      .join(sigSel.select(col("__id").as("id_a"), col("__sig").as("__siga")), Seq("id_a"))
+      .join(sigSel.select(col("__id").as("id_b"), col("__sig").as("__sigb")), Seq("id_b"))
       .withColumn("hamming",
         bit_count(col("__siga").bitwiseXOR(col("__sigb"))).cast(LongType))
       .where(col("hamming") <= maxDist)

@@ -96,18 +96,23 @@ object Multimodal {
   final class ImageDecoder private () {
     javax.imageio.ImageIO.setUseCache(false)
 
-    /** (width, height, checksum) where checksum = Σ over pixels of
-      * (R + G + B) — integer-exact, reproducible by an oracle from the
-      * generator parameters of a synthetic image. */
-    def decode(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
-      // NonFatal, not just IOException: ImageIO throws RuntimeExceptions
-      // (NegativeArraySize, CMMException, IndexOutOfBounds) on malformed
-      // headers/profiles — a corrupt blob must decode to None, not fail
-      // the task deterministically on every retry
+    /** The decoded image itself, or None for anything ImageIO rejects.
+      * NonFatal, not just IOException: ImageIO throws RuntimeExceptions
+      * (NegativeArraySize, CMMException, IndexOutOfBounds) on malformed
+      * headers/profiles — a corrupt blob must decode to None, not fail
+      * the task deterministically on every retry. */
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         catch { case scala.util.control.NonFatal(_) => null }
-      Option(img).map { im =>
+      Option(img)
+    }
+
+    /** (width, height, checksum) where checksum = Σ over pixels of
+      * (R + G + B) — integer-exact, reproducible by an oracle from the
+      * generator parameters of a synthetic image. */
+    def decode(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+      decodeImage(bytes).map { im =>
         val w = im.getWidth
         val h = im.getHeight
         var sum = 0L
@@ -123,7 +128,6 @@ object Multimodal {
         }
         (w.toLong, h.toLong, sum)
       }
-    }
   }
   object ImageDecoder {
     def open(): ImageDecoder = new ImageDecoder() // per-partition init point
@@ -150,6 +154,116 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic grayscale PNG with a variant perturbation: pixel (x,y)
+    * carries v = (x·31 + y·17 + seed·13 + bump) mod 256 in all three
+    * channels, where bump = variant·5 on the sparse lattice
+    * (x·7 + y·11) mod 13 = 0 and 0 elsewhere. Images sharing (w, h, seed,
+    * variant) are identical; across variants of one seed only ~8% of
+    * pixels move slightly — a controlled near-duplicate image family whose
+    * pixels the oracle reproduces from the parameters alone. */
+  def makePngVariant(w: Int, h: Int, seed: Long, variant: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bump = if ((x * 7L + y * 11L) % 13L == 0L) variant * 5L else 0L
+        val v = ((x * 31L + y * 17L + seed * 13L + bump) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a generated variant PNG per row ([[makePngVariant]] of the
+    * row's dims/seed/variant columns); generation runs on the executors. */
+  def attachGeneratedPngVariant(df: DataFrame, idCol: String, wCol: String,
+                                hCol: String, seedCol: String,
+                                variantCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rdd = df.select(col(idCol).cast(LongType),
+        col(wCol).cast(IntegerType), col(hCol).cast(IntegerType),
+        col(seedCol).cast(LongType), col(variantCol).cast(LongType)).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0),
+          makePngVariant(r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** 60-bit average-hash (aHash) of a decoded image: per-pixel grayscale
+    * g = R + G + B, a 10×6 grid of blocks with floor boundaries
+    * (bx = ⌊x·10/w⌋, by = ⌊y·6/h⌋), bit by·10+bx set iff the block's mean
+    * is ≥ the global mean — compared integer-exactly by cross-
+    * multiplication (blockSum·nPixels ≥ totalSum·blockPixels), so the hash
+    * is bit-identical across engines and platforms. 60 bits keeps every
+    * value positive in a signed 64-bit int (the [[graft.functions.PortableHash]]
+    * convention — shifts and xor stay sign-safe in both engines).
+    * Uniform brightness shifts move block and global means together, so
+    * the hash is invariant to them — the property that makes it a
+    * NEAR-duplicate detector rather than a checksum. */
+  def aHash60(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val bs = new Array[Long](60)
+    val bc = new Array[Long](60)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 6 / h
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+        val b = by * 10 + x * 10 / w
+        bs(b) += g
+        bc(b) += 1
+        total += g
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var i = 0
+    while (i < 60) {
+      if (bc(i) > 0 && bs(i) * n >= total * bc(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  private val aHashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = true)))
+
+  /** Perceptual hash per image: real decode ([[ImageDecoder]], one init per
+    * partition) → [[aHash60]]. Unrecognized payloads hash to null — feed
+    * the result to [[Dedup.hammingPairs]], which drops nulls before
+    * banding. */
+  def imageAHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col("content")).rdd
+      .mapPartitions { iter =>
+        val decoder = ImageDecoder.open() // once per partition, NOT per row
+        iter.map { r =>
+          decoder.decodeImage(r.getAs[Array[Byte]](1)) match {
+            case Some(im) => Row(r.getLong(0), aHash60(im))
+            case None => Row(r.getLong(0), null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, aHashSchema)
   }
 
   /** Attach a generated PNG payload per row: content = [[makePng]] of the

@@ -54,6 +54,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // IMAGE NEAR-DUP: generated variant PNGs (97 pattern families × 3
+    // brightness-lattice variants) → REAL decode → 60-bit perceptual
+    // average-hash → banded Hamming pairs (the same guarded pipeline as
+    // text SimHash). The oracle recomputes every pixel, block mean, hash
+    // bit, and pair from the generator parameters alone.
+    "q_multimodal_imagedup" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          (col("doc_id") % 97).as("seed"),
+          expr("(doc_id DIV 97) % 3").as("variant"))
+        .select(col("doc_id"), col("seed"), col("variant"),
+          (lit(8) + col("seed") % 16).as("w"),
+          (lit(8) + (col("seed") * 3) % 16).as("h"))
+      val hashes = Multimodal.imageAHash(
+        Multimodal.attachGeneratedPngVariant(docs, "doc_id", "w", "h", "seed", "variant"),
+        "doc_id")
+      graft.operators.Dedup.hammingPairs(hashes, "doc_id", "ahash",
+          bits = 60, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // REAL audio decode (javax.sound.sampled): deterministic 16-bit PCM
     // WAVs generated from (n_frames, rate, seed=doc_id), decoded back to
     // rate/channels/frames/sample-checksum the oracle recomputes from the
@@ -210,6 +231,34 @@ object PipelineQueries {
         |    list_sum(list_transform(generate_series(0, h - 1), y ->
         |      (x*31 + y*17 + doc_id*13) % 256)))) AS BIGINT) AS checksum
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the full aHash pipeline recomputed from generator parameters: pixel
+    // g = 3·((x·31 + y·17 + seed·13 + bump) % 256), 10×6 floor-boundary
+    // blocks, bit = blockSum·n >= totalSum·blockCount, pairs at
+    // bit_count(xor) <= 3 — every stage integer-exact in both engines
+    "q_multimodal_imagedup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 97 AS seed, (doc_id // 97) % 3 AS variant,
+        |             CAST(8 + (doc_id % 97) % 16 AS INT) AS w,
+        |             CAST(8 + ((doc_id % 97) * 3) % 16 AS INT) AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id,
+        |         3 * ((x.i*31 + y.i*17 + seed*13 +
+        |               CASE WHEN (x.i*7 + y.i*11) % 13 = 0 THEN variant*5 ELSE 0 END) % 256) AS g,
+        |         (y.i * 6 // h) * 10 + (x.i * 10 // w) AS b
+        |       FROM d,
+        |            unnest(generate_series(0, CAST(w - 1 AS BIGINT))) AS x(i),
+        |            unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y(i)),
+        |blk AS (SELECT doc_id, b, sum(g) AS bs, count(*) AS bc FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(g) AS ts, count(*) AS n FROM px GROUP BY 1),
+        |hs AS (SELECT blk.doc_id,
+        |         CAST(sum(CASE WHEN bs * n >= ts * bc
+        |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS ahash
+        |       FROM blk JOIN tot ON blk.doc_id = tot.doc_id GROUP BY blk.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // rate/channels/frames from the WAV generator's parameters; checksum =
     // Σ over frames of ((i*31 + doc_id*13) % 65536) - 32768

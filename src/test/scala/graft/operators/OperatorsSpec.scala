@@ -247,6 +247,43 @@ class OperatorsSpec extends SparkSpec {
     assert(bf.isNullAt(bf.fieldIndex("width")) && bf.isNullAt(bf.fieldIndex("checksum")))
   }
 
+  test("image aHash: brightness-invariant, discriminative, pairs via hammingPairs") {
+    def img(w: Int, h: Int)(f: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    val base = img(20, 12)((x, y) => (x * 13 + y * 29) % 180)
+    // +40 everywhere (no clipping): block and global means shift together,
+    // the cross-multiplied comparison is EXACTLY preserved, ties included
+    val brighter = img(20, 12)((x, y) => (x * 13 + y * 29) % 180 + 40)
+    assert(Multimodal.aHash60(base) == Multimodal.aHash60(brighter),
+      "uniform brightness shift must not change the hash")
+    val different = img(20, 12)((x, y) => ((x * 7) % 11) * 20)
+    assert(Multimodal.aHash60(base) != Multimodal.aHash60(different))
+
+    // end-to-end: two identical-image families + one garbage payload
+    val a = Multimodal.makePngVariant(16, 12, seed = 4, variant = 0)
+    val b = Multimodal.makePngVariant(14, 18, seed = 77, variant = 2)
+    val rows = Seq((1L, a), (2L, a), (3L, a), (10L, b), (11L, b),
+      (99L, "not an image".getBytes))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "content")
+    val hashes = Multimodal.imageAHash(df, "doc_id")
+    val h99 = hashes.where(col("doc_id") === 99L).head()
+    assert(h99.isNullAt(h99.fieldIndex("ahash")), "garbage must hash to null")
+    val pairs = Dedup.hammingPairs(hashes, "doc_id", "ahash", bits = 60, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet.intersect(Set((1L, 2L), (1L, 3L), (2L, 3L))).size == 3,
+      s"identical images must pair at distance 0: $pairs")
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)).forall(k => pairs(k) == 0L))
+    assert(!pairs.keySet.exists { case (x, y) => x <= 3L && y >= 10L },
+      s"cross-family pairs must not appear at maxDist=1: $pairs")
+  }
+
   test("quality checks count violations per rule (known answers)") {
     val spark0 = spark
     import spark0.implicits._
