@@ -46,6 +46,11 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     * the batch touches. Ignored by JDBC targets. */
   var partitionBy: Seq[String] = Seq.empty
 
+  /** Opt-in range-clustered file layout (see [[Loader.load]]): written
+    * files cover disjoint ranges of these columns (zone-map layout), so
+    * range scans skip whole files. Ignored by JDBC targets. */
+  var clusterBy: Seq[String] = Seq.empty
+
   /** S6: progress reporting — the reference's VERBOSE/tqdm loop
     * (easy_etl/__init__.py:33-40). A Spark load is one distributed job, so
     * progress is per-phase row counts rather than a per-row bar. Off by
@@ -280,7 +285,7 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
           Loader.load(c, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe,
             idOrder = idOrder, targetFileBytes = targetFileBytes,
-            partitionBy = partitionBy)
+            partitionBy = partitionBy, clusterBy = clusterBy)
         case j: JdbcCatalog =>
           JdbcLoader.load(j, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)

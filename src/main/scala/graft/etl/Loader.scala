@@ -57,12 +57,22 @@ object Loader {
     * partition-scoped merge — at 100 TB the difference between rewriting
     * one day and rewriting the table). Schema evolution falls back to the
     * full atomic rewrite.
+    *
+    * `clusterBy`: opt-in range-clustered file layout. Flat tables
+    * range-repartition + sort on these columns, so each written file
+    * covers a DISJOINT key range; Hive-partitioned tables sort files
+    * within each partition. Parquet then records tight per-file/row-group
+    * min/max stats on the cluster columns — at 100 TB a range predicate
+    * skips whole files instead of scanning the table (the zone-map /
+    * SORTED BY layout). Like `targetFileBytes` it shapes the files this
+    * load writes; appends cluster the new files only.
     */
   def load(tgt: Catalog, table: String, incoming0: DataFrame,
            upsertFields: Seq[String] = Nil, ensure: Boolean = true,
            safe: Boolean = false, idOrder: Seq[String] = Nil,
            targetFileBytes: Option[Long] = None,
-           partitionBy: Seq[String] = Nil): Unit = {
+           partitionBy: Seq[String] = Nil,
+           clusterBy: Seq[String] = Nil): Unit = {
     val incoming = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
     if (incoming.isEmpty) return
 
@@ -84,6 +94,8 @@ object Loader {
       } else partitionBy
     require(partCols.forall(incoming.columns.contains),
       s"partitionBy column(s) absent from incoming: ${partCols.filterNot(incoming.columns.contains).mkString(", ")}")
+    require(clusterBy.forall(incoming.columns.contains),
+      s"clusterBy column(s) absent from incoming: ${clusterBy.filterNot(incoming.columns.contains).mkString(", ")}")
     val maxId: Long = existing match {
       case Some(ex) if ex.columns.contains(IdCol) =>
         val r = ex.agg(max(col(IdCol))).head()
@@ -107,7 +119,7 @@ object Loader {
           upsertFields.contains(partCols.head) &&
           sameColumnSet(ex, incoming) &&
           partitionScopedUpsert(tgt, table, ex, incoming, upsertFields,
-            maxId, order, ensure, safe, partCols.head, targetFileBytes)
+            maxId, order, ensure, safe, partCols.head, targetFileBytes, clusterBy)
         if (scoped) return
         upsertMerged(ex, incoming, upsertFields, maxId, order, ensure, safe)
 
@@ -140,7 +152,7 @@ object Loader {
         // migrates the layout (and writes the sidecar) atomically
         val layoutUnchanged = partCols.isEmpty || recordedSpec.nonEmpty
         if (dirLayout && layoutUnchanged && sameShape(target, ex.schema)) {
-          val w = shard(unionAligned(Seq(withIds), target), targetFileBytes, partCols)
+          val w = shard(unionAligned(Seq(withIds), target), targetFileBytes, partCols, clusterBy)
             .write.mode(SaveMode.Append)
           (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
             .parquet(tgt.dirPath(table))
@@ -150,7 +162,7 @@ object Loader {
         unionAligned(Seq(ex, withIds), target)
     }
 
-    writeAtomic(tgt, table, shard(merged, targetFileBytes, partCols), partCols)
+    writeAtomic(tgt, table, shard(merged, targetFileBytes, partCols, clusterBy), partCols)
   }
 
   /** Same column name→type map (order-insensitive — a partitioned read
@@ -183,7 +195,8 @@ object Loader {
                                     keys: Seq[String], maxId: Long, order: Seq[String],
                                     ensure: Boolean, safe: Boolean,
                                     partCol: String,
-                                    targetFileBytes: Option[Long]): Boolean = {
+                                    targetFileBytes: Option[Long],
+                                    clusterBy: Seq[String] = Nil): Boolean = {
     val MaxScopedPartitions = 1000
     val vals = incoming.select(col(partCol)).distinct()
       .limit(MaxScopedPartitions + 1).collect().map(_.get(0))
@@ -200,7 +213,7 @@ object Loader {
     val tmp = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
     val aside = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__part-" + uuid)
     val fs = liveDir.getFileSystem(conf)
-    shard(merged, targetFileBytes, Seq(partCol)).write.mode(SaveMode.Overwrite)
+    shard(merged, targetFileBytes, Seq(partCol), clusterBy).write.mode(SaveMode.Overwrite)
       .partitionBy(partCol).parquet(tmp.toString)
     fs.mkdirs(aside)
     val partDirs = fs.listStatus(tmp)
@@ -225,19 +238,39 @@ object Loader {
     * columns plus a bounded spread key — a round-robin repartition feeding
     * `partitionBy` would scatter EVERY partition's rows across every
     * writer (one small file per partition per task, shards × partitions
-    * files total: the opposite of the sizing goal). */
+    * files total: the opposite of the sizing goal).
+    *
+    * `clusterBy` switches a flat layout to a RANGE repartition + sort on
+    * the cluster columns (each file covers a disjoint key range — zone-map
+    * layout); a Hive-partitioned layout keeps its distribution and sorts
+    * rows within each writer task instead (files internally sorted, tight
+    * parquet min/max stats per file). */
   private def shard(df: DataFrame, targetFileBytes: Option[Long],
-                    partCols: Seq[String] = Nil): DataFrame =
-    targetFileBytes match {
-      case None => df
-      case Some(b) if partCols.isEmpty =>
+                    partCols: Seq[String] = Nil,
+                    clusterBy: Seq[String] = Nil): DataFrame =
+    (targetFileBytes, clusterBy) match {
+      case (None, Nil) => df
+      case (None, cls) if partCols.isEmpty =>
+        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        df.repartitionByRange(n, cls.map(col): _*)
+          .sortWithinPartitions(cls.map(col): _*)
+      case (None, cls) =>
+        df.repartition(partCols.map(col): _*)
+          .sortWithinPartitions((partCols ++ cls).map(col): _*)
+      case (Some(b), Nil) if partCols.isEmpty =>
         graft.sources.RowWidth.shardForTargetFileSize(df, b)
-      case Some(b) =>
+      case (Some(b), cls) if partCols.isEmpty =>
+        val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
+        df.repartitionByRange(n, cls.map(col): _*)
+          .sortWithinPartitions(cls.map(col): _*)
+      case (Some(b), cls) =>
         val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
         val nVals = math.max(1L, df.select(partCols.map(col): _*).distinct().count())
         val perPart = math.max(1L, math.ceil(n.toDouble / nVals).toLong)
-        df.repartition(n,
+        val spread = df.repartition(n,
           partCols.map(col) :+ pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(perPart)): _*)
+        if (cls.isEmpty) spread
+        else spread.sortWithinPartitions((partCols ++ cls).map(col): _*)
     }
 
   /** Compact a table's files toward `targetFileBytes` per file — the
@@ -249,13 +282,16 @@ object Loader {
     * contents (including ids) are untouched, and a partitioned table keeps
     * its recorded layout (files compact within each partition).
     */
-  def compact(tgt: Catalog, table: String, targetFileBytes: Long): Unit = {
+  def compact(tgt: Catalog, table: String, targetFileBytes: Long,
+              clusterBy: Seq[String] = Nil): Unit = {
     require(tgt.resolve(table).contains(tgt.dirPath(table)),
       s"table '$table' is not a directory-layout table; nothing to compact")
     val ex = tgt.table(table)
     val partCols =
       graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
-    writeAtomic(tgt, table, shard(ex, Some(targetFileBytes), partCols), partCols)
+    // compact + clusterBy = the re-clustering pass: incremental appends land
+    // unsorted, a periodic clustered compaction restores the zone-map layout
+    writeAtomic(tgt, table, shard(ex, Some(targetFileBytes), partCols, clusterBy), partCols)
   }
 
   /** The join-based MERGE shared by the parquet and JDBC sinks: replace

@@ -279,6 +279,21 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // range-clustered layout: the write range-partitions + sorts on the
+    // cluster key (disjoint per-file ranges, spec-asserted in RowWidthSpec);
+    // the oracle proves the re-layout is content-lossless
+    "q_load_clustered" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.idOrder = Seq("o_orderkey")
+      p.clusterBy = Seq("o_custkey")
+      p.targetFileBytes = Some(256L * 1024)
+      p.extract("SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+      p.load()
+      p.clusterBy = Seq.empty
+      p.targetFileBytes = None
+      p.result().orderBy("id")
+    },
+
     // S2: upsert — matched keys update in place (id kept), fresh keys insert
     "q_upsert" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
@@ -474,6 +489,11 @@ object EtlQueries {
         |     i1 AS (SELECT row_number() OVER (ORDER BY s_suppkey) AS id, b.* FROM b),
         |     i2 AS (SELECT (SELECT count(*) FROM b) + row_number() OVER (ORDER BY s_suppkey) AS id, b.* FROM b)
         |SELECT * FROM i1 UNION ALL SELECT * FROM i2 ORDER BY id""".stripMargin,
+
+    "q_load_clustered" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+        |       o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY id""".stripMargin,
 
     "q_upsert" ->
       """WITH g1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000),

@@ -51,4 +51,54 @@ class RowWidthSpec extends SparkSpec {
     assert(parts2 == 16, s"expected 16 part files after append, got $parts2")
     assert(tgt.table("t").count() == 2000)
   }
+
+  test("Loader.load clusterBy range-sorts output into disjoint per-file key ranges") {
+    val spark0 = spark
+    import spark0.implicits._
+    val tgt = new graft.etl.Catalog(spark, tmpDir("graft-cluster"))
+    // shuffled keys: clustering must IMPOSE the order, not inherit it
+    val keys = new scala.util.Random(11).shuffle((1 to 1000).toVector)
+    val df = keys.map(i => (i.toLong, "y" * 1000)).toDF("k", "payload")
+    graft.etl.Loader.load(tgt, "t", df, idOrder = Seq("k"),
+      targetFileBytes = Some(128L * 1024), clusterBy = Seq("k"))
+    val dir = new java.io.File(tgt.dirPath("t"))
+    val parts = dir.listFiles().filter(f => f.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).sorted
+    assert(parts.length > 1, "need multiple files to check range disjointness")
+    // per-file key ranges must not overlap (the zone-map property: a range
+    // predicate can skip every file whose [min,max] misses it)
+    val ranges = parts.map { p =>
+      val ks = spark.read.parquet(p).select("k").collect().map(_.getLong(0))
+      assert(ks.sameElements(ks.sorted), s"rows inside $p must be sorted")
+      (ks.min, ks.max)
+    }
+    val sortedByMin = ranges.sortBy(_._1)
+    sortedByMin.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap: ($hi) vs ($lo2)")
+      case _ =>
+    }
+    // contents identical to an unclustered load
+    assert(tgt.table("t").select("k").collect().map(_.getLong(0)).sorted
+      .sameElements((1 to 1000).map(_.toLong)))
+
+    // appends land unsorted over time — a clustered compaction restores the
+    // disjoint layout across the WHOLE table
+    val more = new scala.util.Random(13).shuffle((1001 to 2000).toVector)
+      .map(i => (i.toLong, "y" * 1000)).toDF("k", "payload")
+    graft.etl.Loader.load(tgt, "t", more, idOrder = Seq("k"))
+    graft.etl.Loader.compact(tgt, "t", 256L * 1024, clusterBy = Seq("k"))
+    val parts3 = dir.listFiles().filter(f => f.getName.startsWith("part-"))
+      .map(_.getAbsolutePath).sorted
+    val ranges3 = parts3.map { p =>
+      val ks = spark.read.parquet(p).select("k").collect().map(_.getLong(0))
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges3.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"post-compaction ranges overlap: ($hi) vs ($lo2)")
+      case _ =>
+    }
+    assert(tgt.table("t").count() == 2000)
+  }
 }
