@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** Oracle-checked queries for the round-5 corpus-construction operators:
+  * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
+  * dedup, weighted sampling, and sequence packing — the remaining
+  * operations a large-scale training-data pipeline runs that earlier query
+  * groups don't cover. Same cross-engine determinism rules as
+  * [[TrainingDataQueries]] (portable hashing, fixed association order,
+  * e9 fixed-point export).
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def customer(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/customer.parquet")
+
+  val queries: Map[String, Q] = Map(
+
+    // entity resolution: every 4th customer name re-enters with its 5th
+    // character deleted (a typo'd duplicate feed); the FastSS-blocked join
+    // recovers each noisy name's source at Levenshtein distance <= 1
+    "q_fuzzy_join" -> { (spark, sfDir) =>
+      val c = customer(spark, sfDir)
+      val noisy = c.where(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + lit(100000L)).as("noisy_id"),
+          concat(substr(col("c_name"), lit(1), lit(4)),
+            substr(col("c_name"), lit(6), length(col("c_name")))).as("name"))
+      FuzzyJoin.editDistanceJoin(
+          c.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
+          noisy, "noisy_id", "name", maxDist = 1)
+        .orderBy("c_custkey", "noisy_id")
+    }
+  )
+
+  // ---- DuckDB oracle twins ----------------------------------------------
+
+  /** 1-deletion neighborhood of SQL fragment `s` (DuckDB spelling of
+    * [[FuzzyJoin.deletionVariants]] at d = 1). */
+  private def variants1Sql(s: String): String =
+    s"""list_distinct(list_prepend($s,
+       |  list_transform(generate_series(1, length($s)),
+       |    i -> substr($s, 1, i - 1) || substr($s, i + 1, length($s)))))"""
+      .stripMargin.replace("\n", "")
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_fuzzy_join" ->
+      s"""WITH l AS (SELECT c_custkey, c_name FROM customer),
+         |r AS (SELECT c_custkey + 100000 AS noisy_id,
+         |             substr(c_name, 1, 4) || substr(c_name, 6, length(c_name)) AS name
+         |      FROM customer WHERE c_custkey % 4 = 0),
+         |ls AS (SELECT DISTINCT c_name AS s FROM l WHERE length(c_name) >= 3),
+         |rs AS (SELECT DISTINCT name AS s FROM r WHERE length(name) >= 3),
+         |lv AS (SELECT s, unnest(${variants1Sql("s")}) AS v FROM ls),
+         |rv AS (SELECT s, unnest(${variants1Sql("s")}) AS v FROM rs),
+         |cand AS (SELECT DISTINCT lv.s AS sl, rv.s AS sr
+         |         FROM lv JOIN rv ON lv.v = rv.v),
+         |ver AS (SELECT sl, sr, CAST(levenshtein(sl, sr) AS BIGINT) AS dist
+         |        FROM cand WHERE levenshtein(sl, sr) <= 1)
+         |SELECT l.c_custkey, r.noisy_id, ver.dist
+         |FROM ver JOIN l ON l.c_name = ver.sl JOIN r ON r.name = ver.sr
+         |ORDER BY c_custkey, noisy_id""".stripMargin
+  )
+}

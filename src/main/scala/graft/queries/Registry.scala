@@ -11,9 +11,11 @@ object Registry {
 
   def queries: Map[String, Q] =
     EtlQueries.queries ++ TrainingDataQueries.queries ++
-      SqlQueries.queries ++ PipelineQueries.queries ++ ExtensionQueries.queries
+      SqlQueries.queries ++ PipelineQueries.queries ++
+      ExtensionQueries.queries ++ CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql ++
-      SqlQueries.oracleSql ++ PipelineQueries.oracleSql ++ ExtensionQueries.oracleSql
+      SqlQueries.oracleSql ++ PipelineQueries.oracleSql ++
+      ExtensionQueries.oracleSql ++ CorpusQueries.oracleSql
 }
