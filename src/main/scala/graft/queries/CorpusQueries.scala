@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.FuzzyJoin
+import graft.operators.{Chunking, FuzzyJoin}
 
 /** Oracle-checked queries for the round-5 corpus-construction operators:
   * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
@@ -37,6 +37,14 @@ object CorpusQueries {
           c.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
           noisy, "noisy_id", "name", maxDist = 1)
         .orderBy("c_custkey", "noisy_id")
+    },
+
+    // RAG/context-window chunking: 32-token windows every 24 tokens
+    // (8-token overlap), full coverage, last window short
+    "q_chunk_tokens" -> { (spark, sfDir) =>
+      Chunking.tokenChunks(docs(spark, sfDir), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
     }
   )
 
@@ -50,7 +58,23 @@ object CorpusQueries {
        |    i -> substr($s, 1, i - 1) || substr($s, i + 1, length($s)))))"""
       .stripMargin.replace("\n", "")
 
+  /** Tokens of lowercased `c`, empties removed (DuckDB spelling of
+    * [[graft.operators.TextAnalysis.tokens]]). */
+  private def tok(c: String): String =
+    s"""list_filter(regexp_split_to_array(lower($c), '\\s+'), x -> x <> '')"""
+
   val oracleSql: Map[String, String] = Map(
+
+    "q_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |p AS (SELECT doc_id, w, len(w) AS n FROM t),
+         |s AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, ((greatest(n - 32, 0) + 23) // 24) * 24, 24)) AS s
+         |      FROM p)
+         |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+         |  CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_fuzzy_join" ->
       s"""WITH l AS (SELECT c_custkey, c_name FROM customer),
