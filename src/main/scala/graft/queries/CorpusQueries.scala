@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunking, FuzzyJoin}
+import graft.functions.PortableHash.{e9, e9Sql}
+import graft.operators.{Chunking, FuzzyJoin, Search}
 
 /** Oracle-checked queries for the round-5 corpus-construction operators:
   * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
@@ -45,8 +46,19 @@ object CorpusQueries {
       Chunking.tokenChunks(docs(spark, sfDir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // keyword search: one rare + two common terms, BM25-shaped scoring
+    // (ln-free idf — see Search.scala), global top-20
+    "q_search_bm25" -> { (spark, sfDir) =>
+      Search.keywordTopK(docs(spark, sfDir), "doc_id", "text",
+          SearchTerms, k = 20)
+        .select(col("doc_id"), col("rank"), e9(col("score")).as("score_e9"))
+        .orderBy("rank")
     }
   )
+
+  private val SearchTerms = Seq("dup", "vector", "merge")
 
   // ---- DuckDB oracle twins ----------------------------------------------
 
@@ -75,6 +87,11 @@ object CorpusQueries {
          |  CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_search_bm25" ->
+      s"""WITH ${Search.keywordTopKSql("documents", "doc_id", tok("text"), SearchTerms, 20)}
+         |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
+         |FROM topk ORDER BY rank""".stripMargin,
 
     "q_fuzzy_join" ->
       s"""WITH l AS (SELECT c_custkey, c_name FROM customer),
