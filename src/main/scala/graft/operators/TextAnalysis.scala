@@ -201,6 +201,48 @@ object TextAnalysis {
         col("top_token_ratio"), col("dup_2gram_ratio"))
   }
 
+  /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate filter):
+    * drop every line that occurs in at least `maxDocFreq` distinct
+    * documents (nav menus, cookie banners, license footers — text that
+    * repeats across a corpus is boilerplate, not content), then reassemble
+    * each document from its surviving lines in original order. Empty lines
+    * are lines: if the empty string is corpus-frequent it is dropped too.
+    * Returns (idCol, clean_text, n_lines, n_dropped) — one row per input
+    * document, even when every line was dropped (clean_text = "").
+    *
+    * Scale: explode to (doc, pos, line) → line document-frequency via one
+    * hash aggregation (partial map-side; a hot boilerplate line partial-
+    * aggregates, never buffers a partition) → flag-join surviving lines
+    * (the frequent-line set is tiny, AQE broadcasts it) → one groupBy(doc)
+    * reassembly. Two shuffles total, both on keys that partial-aggregate.
+    */
+  def dropCommonLines(df: DataFrame, idCol: String, textCol: String,
+                      maxDocFreq: Long, sep: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2: $maxDocFreq")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+    val common = lines.groupBy("line")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .where(col("__df") >= maxDocFreq)
+      .select("line")
+    val kept = lines.join(common, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__ls"),
+        count(lit(1)).as("__kept"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__ls"), s => s.getField("line"))).as("clean_text"),
+        col("__kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast(LongType).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L))).cast(LongType).as("n_dropped"))
+  }
+
   /** Rolling polynomial fingerprint of the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
     * Order-sensitive (unlike a bag-of-words hash) and portable; used for

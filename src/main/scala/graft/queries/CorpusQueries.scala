@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.{e9, e9Sql}
-import graft.operators.{Chunking, FuzzyJoin, Search}
+import graft.operators.{Chunking, FuzzyJoin, Search, TextAnalysis}
 
 /** Oracle-checked queries for the round-5 corpus-construction operators:
   * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
@@ -55,6 +55,21 @@ object CorpusQueries {
           SearchTerms, k = 20)
         .select(col("doc_id"), col("rank"), e9(col("score")).as("score_e9"))
         .orderBy("rank")
+    },
+
+    // boilerplate removal: newsletter/footer lines injected into overlapping
+    // doc subsets become corpus-frequent and are stripped; original
+    // (unique) lines survive; counts reconcile per document
+    "q_line_dedup" -> { (spark, sfDir) =>
+      val base = docs(spark, sfDir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit("\nsubscribe to our newsletter\nall rights reserved")))
+          .when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\nsubscribe to our newsletter")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.dropCommonLines(base, "doc_id", "text", maxDocFreq = 50)
+        .orderBy("doc_id")
     }
   )
 
@@ -92,6 +107,29 @@ object CorpusQueries {
       s"""WITH ${Search.keywordTopKSql("documents", "doc_id", tok("text"), SearchTerms, 20)}
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
+
+    "q_line_dedup" ->
+      s"""WITH src AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN text || chr(10) || 'subscribe to our newsletter' || chr(10) || 'all rights reserved'
+         |       WHEN doc_id % 3 = 0
+         |       THEN text || chr(10) || 'subscribe to our newsletter'
+         |       ELSE text END AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM src),
+         |ln AS (SELECT doc_id, u.pos AS pos, lines[u.pos] AS line
+         |       FROM t, unnest(generate_series(1, len(lines))) AS u(pos)),
+         |cf AS (SELECT line, count(DISTINCT doc_id) AS dfc FROM ln GROUP BY line),
+         |keep AS (SELECT ln.doc_id, ln.pos, ln.line
+         |         FROM ln JOIN cf USING (line) WHERE dfc < 50),
+         |res AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |               count(*) AS kept
+         |        FROM keep GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(res.clean_text, '') AS clean_text,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(lines) - coalesce(kept, 0) AS BIGINT) AS n_dropped
+         |FROM t LEFT JOIN res ON t.doc_id = res.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q_fuzzy_join" ->
       s"""WITH l AS (SELECT c_custkey, c_name FROM customer),

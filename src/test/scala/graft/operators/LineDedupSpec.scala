@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lines in >= maxDocFreq docs are dropped; order and counts preserved") {
+    val footer = "all rights reserved"
+    val df = Seq(
+      (1L, s"unique one\n$footer\nunique two"),
+      (2L, s"$footer\nsecond doc body"),
+      (3L, s"third doc body\n$footer"),
+      (4L, "no footer here")
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropCommonLines(df, "id", "text", maxDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "unique one\nunique two", 3L, 1L),
+      (2L, "second doc body", 2L, 1L),
+      (3L, "third doc body", 2L, 1L),
+      (4L, "no footer here", 1L, 0L)))
+  }
+
+  test("a doc whose every line is boilerplate survives as an empty row") {
+    val df = Seq(
+      (1L, "menu\nbody a"), (2L, "menu\nbody b"), (3L, "menu")
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropCommonLines(df, "id", "text", maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "body a", 2L, 1L), (2L, "body b", 2L, 1L), (3L, "", 1L, 1L)))
+  }
+
+  test("within-doc repetition counts once toward document frequency") {
+    // "x" repeats inside doc 1 but occurs in only 2 DOCS -> below cutoff 3
+    val df = Seq(
+      (1L, "x\nx\nx\nbody"), (2L, "x\nother"), (3L, "clean")
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropCommonLines(df, "id", "text", maxDocFreq = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._4).toSeq === Seq(0L, 0L, 0L), "nothing should be dropped")
+  }
+
+  test("custom separator with regex metacharacters is treated literally") {
+    val df = Seq(
+      (1L, "a|b|common"), (2L, "c|common"), (3L, "d|common")
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropCommonLines(df, "id", "text", maxDocFreq = 3, sep = "|")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a|b", 3L, 1L), (2L, "c", 2L, 1L), (3L, "d", 2L, 1L)))
+  }
+}
