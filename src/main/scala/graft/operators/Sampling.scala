@@ -63,6 +63,24 @@ object Sampling {
   def hashSamplePredicateSql(key: String, fraction: Double): String =
     s"${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} % ${Denom} < ${(fraction * Denom).toLong}"
 
+  /** Weighted deterministic sample: keeps each row with probability equal
+    * to its per-row `weight` (clamped to [0, 1]) — the quality-proportional
+    * corpus draw ("sample documents in proportion to their quality score").
+    * Same hash-membership construction as [[hashSample]], so it inherits
+    * every scale property (scan-side filter, no RNG, reproducible,
+    * referentially consistent by key) and is monotone in the weight: raising
+    * a row's weight can only add it to the sample, never remove it.
+    * Resolution is 1/[[Denom]]; weights at or below 0 never select. */
+  def weightedHashSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.where(PortableHash.hmod(col(keyCol).cast("string")) % Denom <
+      floor(least(greatest(weight, lit(0.0)), lit(1.0)) * Denom).cast("long"))
+
+  /** The DuckDB spelling of [[weightedHashSample]]'s predicate; `weightSql`
+    * must compute the weight bit-identically to the Spark column. */
+  def weightedHashSampleSql(key: String, weightSql: String): String =
+    s"${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} % ${Denom} < " +
+      s"CAST(floor(least(greatest($weightSql, 0.0), 1.0) * ${Denom}) AS BIGINT)"
+
   /** Deterministic per-group cap: keeps at most `cap` rows per group,
     * chosen by portable-hash order of the key (hash ties broken by the key
     * itself, so the draw is total and reproducible). The training-data

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.{e9, e9Sql}
-import graft.operators.{Chunking, FuzzyJoin, Search, TextAnalysis}
+import graft.operators.{Chunking, FuzzyJoin, Sampling, Search, TextAnalysis}
 
 /** Oracle-checked queries for the round-5 corpus-construction operators:
   * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
@@ -70,6 +70,16 @@ object CorpusQueries {
           .otherwise(col("text")).as("text"))
       TextAnalysis.dropCommonLines(base, "doc_id", "text", maxDocFreq = 50)
         .orderBy("doc_id")
+    },
+
+    // quality-proportional corpus draw: each doc kept with probability
+    // equal to its composite quality score (deterministic hash membership,
+    // no RNG — same keys selected on every engine and every run)
+    "q_sample_weighted" -> { (spark, sfDir) =>
+      val scored = TextAnalysis.withStats(docs(spark, sfDir), "text")
+      Sampling.weightedHashSample(scored, "doc_id", col("quality_score"))
+        .select(col("doc_id"), e9(col("quality_score")).as("quality_score_e9"))
+        .orderBy("doc_id")
     }
   )
 
@@ -107,6 +117,24 @@ object CorpusQueries {
       s"""WITH ${Search.keywordTopKSql("documents", "doc_id", tok("text"), SearchTerms, 20)}
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
+
+    "q_sample_weighted" -> {
+      val stopwordsSql =
+        TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH t AS (SELECT doc_id, text, ${tok("text")} AS w FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS uniq_ratio,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_filter(w, x -> x IN $stopwordsSql)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(w) AS DOUBLE) AS n_tok_d
+         |FROM t),
+         |q AS (SELECT doc_id,
+         |  uniq_ratio * 0.3 + alpha_ratio * 0.3 + least(stopword_ratio * 4.0, 1.0) * 0.2 + least(n_tok_d / 100.0, 1.0) * 0.2 AS quality
+         |FROM r)
+         |SELECT doc_id, ${e9Sql("quality")} AS quality_score_e9
+         |FROM q WHERE ${Sampling.weightedHashSampleSql("doc_id", "quality")}
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_line_dedup" ->
       s"""WITH src AS (SELECT doc_id,

@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   */
 class ExtensionOpsSpec extends SparkSpec {
 
+  test("weightedHashSample: weight 0 selects nothing, 1 selects all, monotone in between") {
+    val df = spark.range(1, 2001).toDF("k")
+    assert(Sampling.weightedHashSample(df, "k", lit(0.0)).count() === 0L)
+    assert(Sampling.weightedHashSample(df, "k", lit(1.0)).count() === 2000L)
+    assert(Sampling.weightedHashSample(df, "k", lit(5.0)).count() === 2000L, "clamped above 1")
+    val w03 = Sampling.weightedHashSample(df, "k", lit(0.3)).collect().map(_.getLong(0)).toSet
+    val w06 = Sampling.weightedHashSample(df, "k", lit(0.6)).collect().map(_.getLong(0)).toSet
+    assert(w03.subsetOf(w06), "higher weight must only add rows")
+    assert(w03.size > 450 && w03.size < 750, s"unexpected mass ${w03.size}")
+    // constant weight f must select exactly the hashSample(f) rows
+    val h03 = Sampling.hashSample(df, "k", 0.3).collect().map(_.getLong(0)).toSet
+    assert(w03 === h03, "constant weight reduces to hashSample")
+  }
+
+  test("weightedHashSample: per-row weights select per-row") {
+    val df = spark.range(1, 1001).toDF("k")
+      .withColumn("w", when(col("k") <= 500, lit(1.0)).otherwise(lit(0.0)))
+    val got = Sampling.weightedHashSample(df, "k", col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (1L to 500L).toSet)
+  }
+
   test("hashSample: deterministic, monotone in fraction, and consistent across tables") {
     val df = spark.range(1, 2001).toDF("k")
     val s10 = Sampling.hashSample(df, "k", 0.1).collect().map(_.getLong(0)).toSet
