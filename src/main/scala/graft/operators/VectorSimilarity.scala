@@ -191,6 +191,92 @@ object VectorSimilarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  // ---- product quantization (PQ) ----------------------------------------
+
+  /** Train a PQ codebook: split the `dim`-dimensional space into `m`
+    * contiguous subspaces of dim/m dims and k-means each independently
+    * (seeded, canonical centroid order — [[trainIvfCentroids]] per
+    * subspace). Returns codebooks(m)(cid)(i): m subspaces × ksub centroids
+    * × dim/m components. Like IVF centroids, a codebook is trained once
+    * (on a deterministic sample at 100 TB) and frozen; encode/search
+    * correctness never depends on the training snapshot, only recall does.
+    */
+  def trainPqCodebooks(df: DataFrame, vecCol: String, m: Int, ksub: Int,
+                       seed: Long = 7L): Seq[Seq[Seq[Double]]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val slice_ = df.select(
+        slice(col(vecCol), mi * sub + 1, sub).as("__sv"))
+      trainIvfCentroids(slice_, "__sv", ksub, seed = seed + mi)
+        .map(_.toSeq).toSeq
+    }
+  }
+
+  /** Squared L2 distance between the `mi`-th subvector of `vec` and a
+    * sub-centroid array column — a left fold over zip_with, the same
+    * association the oracle's `list_sum(list_transform(...))` computes
+    * (the pairing every cosine oracle query already proves bit-exact). */
+  private def subDist2(vec: Column, mi: Int, sub: Int, cent: Column): Column =
+    aggregate(
+      zip_with(slice(vec, mi * sub + 1, sub), cent,
+        (x, c) => (x.cast(DoubleType) - c) * (x.cast(DoubleType) - c)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ-encode: per subspace, the id of the nearest sub-centroid by squared
+    * L2 (ties → lowest centroid id). PQ is an L2 construction: squared L2
+    * decomposes across subspaces (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"), cosine does not — callers wanting
+    * cosine semantics L2-normalize vectors first. Emits `<vecCol>_code`
+    * (array<long>, one code per subspace): dim · 8 bytes of float32 become
+    * m · log2(ksub) bits — the 100 TB embedding store compression step.
+    * Pure unrolled projection: codegen, no shuffle, scan-speed.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codes = (0 until m).map { mi =>
+      val dists = array(codebooks(mi).map(c =>
+        subDist2(col(vecCol), mi, sub, typedLit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("long")
+    }
+    df.withColumn(s"${vecCol}_code", array(codes: _*))
+  }
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays exact, each
+    * corpus vector is its code, and the approximate distance is
+    * Σ_m ‖q_m − codebook[m][code_m]‖² — m constant-array lookups + one
+    * unrolled polynomial per candidate instead of a dim-wide dot product
+    * against uncompressed floats. Returns (query_id, rank, neighbor_id,
+    * adist), rank 1 = nearest, ties → lowest neighbor id. This is the ADC
+    * scan over the full corpus (queries broadcast); at 100 TB compose with
+    * [[ivfAssign]] to prune candidates to probed clusters first (IVF-PQ) —
+    * the scoring here is oblivious to how candidates were selected.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cbLit = typedLit(codebooks)
+    val c = pqEncode(corpus, vecCol, codebooks)
+      .select(col(idCol).as("neighbor_id"), col(s"${vecCol}_code").as("__code"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val adist = (0 until m).map { mi =>
+      val cent = element_at(element_at(cbLit, mi + 1),
+        (element_at(col("__code"), mi + 1) + 1).cast("int"))
+      subDist2(col("__qv"), mi, sub, cent)
+    }.reduce(_ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
   /** Embedding near-dup pairs: (id_a < id_b) with cosine ≥ threshold,
     * candidates bucketed by sign-LSH (near-identical vectors share a
     * bucket with high probability). Returns (id_a, id_b, cosine).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.{e9, e9Sql}
-import graft.operators.{Chunking, FuzzyJoin, Sampling, Search, TextAnalysis}
+import graft.operators.{Chunking, FuzzyJoin, Sampling, Search, TextAnalysis, VectorSimilarity}
 
 /** Oracle-checked queries for the round-5 corpus-construction operators:
   * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
@@ -22,6 +22,8 @@ object CorpusQueries {
     spark.read.parquet(s"$sfDir/documents.parquet")
   private def customer(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/customer.parquet")
+  private def embs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
 
   val queries: Map[String, Q] = Map(
 
@@ -80,6 +82,18 @@ object CorpusQueries {
       Sampling.weightedHashSample(scored, "doc_id", col("quality_score"))
         .select(col("doc_id"), e9(col("quality_score")).as("quality_score_e9"))
         .orderBy("doc_id")
+    },
+
+    // product-quantization ANN: corpus compressed to 8 codebook codes per
+    // vector (frozen per-subspace KMeans — PqCodebooks), queries score by
+    // asymmetric distance (exact query vs quantized corpus)
+    "q_knn_pq" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      VectorSimilarity.pqTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", PqCodebooks.M8K16Sf001, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          e9(col("adist")).as("adist_e9"))
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -117,6 +131,50 @@ object CorpusQueries {
       s"""WITH ${Search.keywordTopKSql("documents", "doc_id", tok("text"), SearchTerms, 20)}
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
+
+    // PQ oracle: encode via the VALUES codebook + per-(vec, subspace) argmin
+    // (row_number d ASC, cid ASC = Spark's first-min-index tie-break); ADC
+    // via the nested codebook literal. All double sums are
+    // list_sum(list_transform(...)) paired with Spark aggregate+zip_with —
+    // the association the cosine oracles already prove bit-exact.
+    "q_knn_pq" -> {
+      val cbs = PqCodebooks.M8K16Sf001
+      val m = cbs.length
+      val sub = cbs.head.head.length
+      val valuesRows = (for { mi <- 0 until m; cid <- cbs(mi).indices } yield
+        s"(CAST($mi AS BIGINT), CAST($cid AS BIGINT), " +
+          s"CAST(${cbs(mi)(cid).mkString("[", ", ", "]")} AS DOUBLE[]))"
+      ).mkString(",\n  ")
+      val c3 = cbs.map(sp => sp.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val sTerms = (0 until m).map { mi =>
+        val cv = s"cbl.c3[${mi + 1}][codes.code[${mi + 1}] + 1]"
+        s"list_sum(list_transform(generate_series(1, $sub), " +
+          s"i -> (CAST(q.qe[${mi * sub} + i] AS DOUBLE) - $cv[i])" +
+          s" * (CAST(q.qe[${mi * sub} + i] AS DOUBLE) - $cv[i])))"
+      }.mkString("(", " + ", ")")
+      s"""WITH cb(m, cid, cv) AS (VALUES
+         |  $valuesRows),
+         |sd AS (SELECT e.vec_id, cb.m, cb.cid,
+         |         list_sum(list_transform(generate_series(1, $sub),
+         |           i -> (CAST(e.embedding[cb.m * $sub + i] AS DOUBLE) - cb.cv[i])
+         |              * (CAST(e.embedding[cb.m * $sub + i] AS DOUBLE) - cb.cv[i]))) AS d
+         |       FROM embeddings e CROSS JOIN cb),
+         |asg AS (SELECT vec_id, m, cid,
+         |          row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS rn
+         |        FROM sd),
+         |codes AS (SELECT vec_id, list(cid ORDER BY m) AS code
+         |          FROM asg WHERE rn = 1 GROUP BY vec_id),
+         |cbl AS (SELECT $c3 AS c3),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id, $sTerms AS adist
+         |       FROM codes CROSS JOIN cbl JOIN q ON q.query_id <> codes.vec_id),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${e9Sql("adist")} AS adist_e9
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_sample_weighted" -> {
       val stopwordsSql =

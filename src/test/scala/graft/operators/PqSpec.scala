@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // m = 2 subspaces of 2 dims, ksub = 2 centroids each
+  private val cb: Seq[Seq[Seq[Double]]] = Seq(
+    Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+    Seq(Seq(0.0, 0.0), Seq(2.0, 2.0)))
+
+  test("pqEncode assigns each subspace to its nearest sub-centroid") {
+    val df = Seq(
+      (1L, Seq(0.1f, 0.0f, 1.9f, 2.0f)), // sub1 -> c0, sub2 -> c1
+      (2L, Seq(0.9f, 1.1f, 0.1f, 0.0f)), // sub1 -> c1, sub2 -> c0
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f))  // both -> c0
+    ).toDF("id", "v")
+    val got = VectorSimilarity.pqEncode(df, "v", cb)
+      .select("id", "v_code").as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) === Seq(0L, 1L))
+    assert(got(2L) === Seq(1L, 0L))
+    assert(got(3L) === Seq(0L, 0L))
+  }
+
+  test("equidistant subvectors tie to the lowest centroid id") {
+    val df = Seq((1L, Seq(0.5f, 0.5f, 1.0f, 1.0f))).toDF("id", "v")
+    val got = VectorSimilarity.pqEncode(df, "v", cb)
+      .select("v_code").as[Seq[Long]].head()
+    assert(got === Seq(0L, 0L))
+  }
+
+  test("ADC distance is exact when corpus vectors sit on centroids") {
+    val corpus = Seq(
+      (10L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (12L, Seq(1.0f, 1.0f, 2.0f, 2.0f))
+    ).toDF("id", "v")
+    val queries = Seq((1L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val got = VectorSimilarity.pqTopK(corpus, queries, "id", "v", cb, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    // exact squared L2 from the origin query: 0, 2, 10
+    assert(got.map(r => (r._3, r._4)).toSeq ===
+      Seq((10L, 0.0), (11L, 2.0), (12L, 10.0)))
+  }
+
+  test("trainPqCodebooks is deterministic and shapes correctly") {
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat / 11f))
+    }.toDF("id", "v")
+    val a = VectorSimilarity.trainPqCodebooks(vecs, "v", m = 2, ksub = 4)
+    val b = VectorSimilarity.trainPqCodebooks(vecs, "v", m = 2, ksub = 4)
+    assert(a === b, "seeded training must reproduce")
+    assert(a.length === 2 && a.forall(_.length === 4) &&
+      a.forall(_.forall(_.length === 2)))
+  }
+}
