@@ -94,6 +94,15 @@ object CorpusQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           e9(col("adist")).as("adist_e9"))
         .orderBy("query_id", "rank")
+    },
+
+    // training-batch construction: greedy first-fit-contiguous packing of
+    // documents into 256-token sequences across 8 hash shards
+    "q_pack_sequences" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Chunking.packSequences(d, "doc_id", "n_tokens", budget = 256, numShards = 8)
+        .orderBy("doc_id")
     }
   )
 
@@ -131,6 +140,28 @@ object CorpusQueries {
       s"""WITH ${Search.keywordTopKSql("documents", "doc_id", tok("text"), SearchTerms, 20)}
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
+
+    // the per-shard greedy walk as a linear recursive CTE (same overflow
+    // rule as the Spark fold: open a new pack when the next doc would
+    // overflow a non-empty pack)
+    "q_pack_sequences" -> {
+      val hm = graft.functions.PortableHash.hmodSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE d AS (SELECT doc_id, CAST(len(${tok("text")}) AS BIGINT) AS n,
+         |                            $hm % 8 AS shard
+         |                     FROM documents),
+         |t AS (SELECT doc_id, n, shard,
+         |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+         |walk(shard, rn, doc_id, n, pack, used) AS (
+         |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn, t.doc_id, t.n,
+         |         CASE WHEN w.used + t.n > 256 AND w.used > 0 THEN w.pack + 1 ELSE w.pack END,
+         |         CASE WHEN w.used + t.n > 256 AND w.used > 0 THEN t.n ELSE w.used + t.n END
+         |  FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1)
+         |SELECT doc_id, n AS n_tokens, shard, pack,
+         |  CAST(row_number() OVER (PARTITION BY shard, pack ORDER BY doc_id) AS BIGINT) AS pack_pos
+         |FROM walk ORDER BY doc_id""".stripMargin
+    },
 
     // PQ oracle: encode via the VALUES codebook + per-(vec, subspace) argmin
     // (row_number d ASC, cid ASC = Spark's first-min-index tie-break); ADC
