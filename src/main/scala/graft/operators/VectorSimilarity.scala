@@ -257,19 +257,56 @@ object VectorSimilarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, codebooks: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val cbLit = typedLit(codebooks)
     val c = pqEncode(corpus, vecCol, codebooks)
       .select(col(idCol).as("neighbor_id"), col(s"${vecCol}_code").as("__code"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val adist = (0 until m).map { mi =>
-      val cent = element_at(element_at(cbLit, mi + 1),
-        (element_at(col("__code"), mi + 1) + 1).cast("int"))
-      subDist2(col("__qv"), mi, sub, cent)
-    }.reduce(_ + _)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adist)
+      .withColumn("adist", adcDist(col("__qv"), col("__code"), codebooks))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adist")
+  }
+
+  /** ADC distance of exact query `qv` to the corpus vector represented by
+    * PQ `code`: Σ_m ‖q_m − codebook[m][code_m]‖². */
+  private def adcDist(qv: Column, code: Column,
+                      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cbLit = typedLit(codebooks)
+    (0 until m).map { mi =>
+      val cent = element_at(element_at(cbLit, mi + 1),
+        (element_at(code, mi + 1) + 1).cast("int"))
+      subDist2(qv, mi, sub, cent)
+    }.reduce(_ + _)
+  }
+
+  /** IVF-PQ top-k: the inverted file prunes candidates (queries probe
+    * their `nprobe` nearest clusters by cosine, corpus vectors live in
+    * their single nearest), PQ scores them by ADC squared-L2 against the
+    * compressed codes — the standard billion-scale ANN composition (Jégou
+    * et al. 2011): candidate volume O(N·nprobe/centroids) from IVF, per-
+    * candidate cost m code lookups from PQ, corpus storage m codes per
+    * vector. Returns (query_id, rank, neighbor_id, adist). The cluster
+    * metric (cosine) and scoring metric (L2) are independent knobs;
+    * L2-normalize vectors first when full cosine semantics matter.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, centroids: DataFrame, cIdCol: String,
+                cVecCol: String, codebooks: Seq[Seq[Seq[Double]]], k: Int,
+                nprobe: Int = 1): DataFrame = {
+    val c = ivfAssign(pqEncode(corpus, vecCol, codebooks), idCol, vecCol,
+        centroids, cIdCol, cVecCol)
+      .select(col(idCol).as("neighbor_id"), col(s"${vecCol}_code").as("__code"),
+        col("cluster_id"))
+    val q = ivfAssign(queries, idCol, vecCol, centroids, cIdCol, cVecCol,
+        probes = nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cluster_id"))
+    val scored = q.join(c, Seq("cluster_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcDist(col("__qv"), col("__code"), codebooks))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

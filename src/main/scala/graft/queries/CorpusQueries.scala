@@ -96,6 +96,19 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-PQ composition: inverted-file pruning (cosine clusters, 2 probes)
+    // + ADC scoring over PQ codes — the billion-scale ANN shape
+    "q_knn_ivfpq" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val cents = VectorSimilarity.centroidFrame(spark, IvfCentroids.K8Sf001)
+      VectorSimilarity.ivfPqTopK(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", cents, "cid", "cv",
+          PqCodebooks.M8K16Sf001, k = 3, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          e9(col("adist")).as("adist_e9"))
+        .orderBy("query_id", "rank")
+    },
+
     // training-batch construction: greedy first-fit-contiguous packing of
     // documents into 256-token sequences across 8 hash shards
     "q_pack_sequences" -> { (spark, sfDir) =>
@@ -109,6 +122,53 @@ object CorpusQueries {
   private val SearchTerms = Seq("dup", "vector", "merge")
 
   // ---- DuckDB oracle twins ----------------------------------------------
+
+  /** Shared DuckDB builders for the PQ oracle queries: codebook VALUES,
+    * per-(vec, subspace) argmin encode, nested-literal ADC terms. */
+  private object PqSql {
+    private val cbs = PqCodebooks.M8K16Sf001
+    private val m = cbs.length
+    private val sub = cbs.head.head.length
+
+    private val valuesRows = (for { mi <- 0 until m; cid <- cbs(mi).indices } yield
+      s"(CAST($mi AS BIGINT), CAST($cid AS BIGINT), " +
+        s"CAST(${cbs(mi)(cid).mkString("[", ", ", "]")} AS DOUBLE[]))"
+    ).mkString(",\n  ")
+
+    /** cb + sd + pasg + codes: `codes(vec_id, code)` = the PQ code list per
+      * embedding (argmin sub-centroid per subspace, ties → lowest cid). */
+    val codesCtes: String =
+      s"""cb(m, cid, cv) AS (VALUES
+         |  $valuesRows),
+         |sd AS (SELECT e.vec_id, cb.m, cb.cid,
+         |         list_sum(list_transform(generate_series(1, $sub),
+         |           i -> (CAST(e.embedding[cb.m * $sub + i] AS DOUBLE) - cb.cv[i])
+         |              * (CAST(e.embedding[cb.m * $sub + i] AS DOUBLE) - cb.cv[i]))) AS d
+         |       FROM embeddings e CROSS JOIN cb),
+         |pasg AS (SELECT vec_id, m, cid,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS rn
+         |         FROM sd),
+         |codes AS (SELECT vec_id, list(cid ORDER BY m) AS code
+         |          FROM pasg WHERE rn = 1 GROUP BY vec_id)""".stripMargin
+
+    /** `cbl(c3)`: the nested codebook literal for ADC lookups. */
+    val cblCte: String = {
+      val c3 = cbs.map(sp => sp.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"cbl AS (SELECT $c3 AS c3)"
+    }
+
+    /** ADC distance of query vector `qe` to the code list `codeRef`
+      * (both SQL fragments), association-matched to
+      * [[VectorSimilarity.pqTopK]]'s adcDist. */
+    def adistTerms(qe: String, codeRef: String): String =
+      (0 until m).map { mi =>
+        val cv = s"cbl.c3[${mi + 1}][$codeRef[${mi + 1}] + 1]"
+        s"list_sum(list_transform(generate_series(1, $sub), " +
+          s"i -> (CAST($qe[${mi * sub} + i] AS DOUBLE) - $cv[i])" +
+          s" * (CAST($qe[${mi * sub} + i] AS DOUBLE) - $cv[i])))"
+      }.mkString("(", " + ", ")")
+  }
 
   /** 1-deletion neighborhood of SQL fragment `s` (DuckDB spelling of
     * [[FuzzyJoin.deletionVariants]] at d = 1). */
@@ -168,43 +228,54 @@ object CorpusQueries {
     // via the nested codebook literal. All double sums are
     // list_sum(list_transform(...)) paired with Spark aggregate+zip_with —
     // the association the cosine oracles already prove bit-exact.
-    "q_knn_pq" -> {
-      val cbs = PqCodebooks.M8K16Sf001
-      val m = cbs.length
-      val sub = cbs.head.head.length
-      val valuesRows = (for { mi <- 0 until m; cid <- cbs(mi).indices } yield
-        s"(CAST($mi AS BIGINT), CAST($cid AS BIGINT), " +
-          s"CAST(${cbs(mi)(cid).mkString("[", ", ", "]")} AS DOUBLE[]))"
-      ).mkString(",\n  ")
-      val c3 = cbs.map(sp => sp.map(_.mkString("[", ", ", "]"))
-        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
-      val sTerms = (0 until m).map { mi =>
-        val cv = s"cbl.c3[${mi + 1}][codes.code[${mi + 1}] + 1]"
-        s"list_sum(list_transform(generate_series(1, $sub), " +
-          s"i -> (CAST(q.qe[${mi * sub} + i] AS DOUBLE) - $cv[i])" +
-          s" * (CAST(q.qe[${mi * sub} + i] AS DOUBLE) - $cv[i])))"
-      }.mkString("(", " + ", ")")
-      s"""WITH cb(m, cid, cv) AS (VALUES
-         |  $valuesRows),
-         |sd AS (SELECT e.vec_id, cb.m, cb.cid,
-         |         list_sum(list_transform(generate_series(1, $sub),
-         |           i -> (CAST(e.embedding[cb.m * $sub + i] AS DOUBLE) - cb.cv[i])
-         |              * (CAST(e.embedding[cb.m * $sub + i] AS DOUBLE) - cb.cv[i]))) AS d
-         |       FROM embeddings e CROSS JOIN cb),
-         |asg AS (SELECT vec_id, m, cid,
-         |          row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS rn
-         |        FROM sd),
-         |codes AS (SELECT vec_id, list(cid ORDER BY m) AS code
-         |          FROM asg WHERE rn = 1 GROUP BY vec_id),
-         |cbl AS (SELECT $c3 AS c3),
+    "q_knn_pq" ->
+      s"""WITH ${PqSql.codesCtes},
+         |${PqSql.cblCte},
          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id, $sTerms AS adist
+         |sc AS (SELECT q.query_id, codes.vec_id AS neighbor_id,
+         |         ${PqSql.adistTerms("q.qe", "codes.code")} AS adist
          |       FROM codes CROSS JOIN cbl JOIN q ON q.query_id <> codes.vec_id),
          |r AS (SELECT query_id, neighbor_id, adist,
          |        row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
          |      FROM sc)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${e9Sql("adist")} AS adist_e9
-         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ: IVF prunes (corpus in its nearest cluster by cosine, queries
+    // probe their 2 nearest), PQ scores the survivors by ADC
+    "q_knn_ivfpq" -> {
+      val centsRows = IvfCentroids.K8Sf001.zipWithIndex.map { case (v, i) =>
+        s"(CAST($i AS BIGINT), CAST(${v.mkString("[", ", ", "]")} AS DOUBLE[]))"
+      }.mkString(",\n  ")
+      def cosSql(a: String, b: String): String =
+        s"""list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+          .stripMargin.replace("\n", "")
+      s"""WITH cents(cid, cv) AS (VALUES
+         |  $centsRows),
+         |ia AS (SELECT e.vec_id, e.embedding, c.cid,
+         |         ${cosSql("e.embedding", "c.cv")} AS csim
+         |       FROM embeddings e CROSS JOIN cents c),
+         |iasg AS (SELECT vec_id, embedding, cid AS cluster_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |         FROM ia),
+         |${PqSql.codesCtes},
+         |${PqSql.cblCte},
+         |ccl AS (SELECT i.vec_id, i.cluster_id, codes.code
+         |        FROM iasg i JOIN codes USING (vec_id) WHERE i.rn = 1),
+         |qcl AS (SELECT vec_id AS query_id, embedding AS qe, cluster_id
+         |        FROM iasg WHERE vec_id < 10 AND rn <= 2),
+         |sc AS (SELECT q.query_id, ccl.vec_id AS neighbor_id,
+         |         ${PqSql.adistTerms("q.qe", "ccl.code")} AS adist
+         |       FROM qcl q
+         |       JOIN ccl ON q.cluster_id = ccl.cluster_id AND q.query_id <> ccl.vec_id
+         |       CROSS JOIN cbl),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${e9Sql("adist")} AS adist_e9
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
 
     "q_sample_weighted" -> {

@@ -44,6 +44,38 @@ class PqSpec extends SparkSpec {
       Seq((10L, 0.0), (11L, 2.0), (12L, 10.0)))
   }
 
+  test("ivfPqTopK with a single cluster reduces to the plain ADC scan") {
+    val corpus = (0 until 20).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 5 + j) % 7).toFloat))
+    }.toDF("id", "v")
+    val queries = corpus.where($"id" < 3)
+    val oneCluster = Seq((0L, Seq(1.0, 1.0, 1.0, 1.0))).toDF("cid", "cv")
+    val ivfpq = VectorSimilarity.ivfPqTopK(corpus, queries, "id", "v",
+        oneCluster, "cid", "cv", cb, k = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val pq = VectorSimilarity.pqTopK(corpus, queries, "id", "v", cb, k = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(ivfpq.toSeq === pq.toSeq)
+  }
+
+  test("ivfPqTopK only scores candidates in probed clusters") {
+    // two well-separated clusters; query sits in cluster A with nprobe = 1,
+    // so the cluster-B vector never appears even though k allows it
+    val corpus = Seq(
+      (10L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.9f, 1.1f, 0.0f, 0.0f)),
+      (20L, Seq(-1.0f, -1.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val queries = Seq((1L, Seq(1.0f, 0.9f, 0.0f, 0.0f))).toDF("id", "v")
+    val cents = Seq(
+      (0L, Seq(1.0, 1.0, 0.0, 0.0)), (1L, Seq(-1.0, -1.0, 0.0, 0.0))
+    ).toDF("cid", "cv")
+    val got = VectorSimilarity.ivfPqTopK(corpus, queries, "id", "v",
+        cents, "cid", "cv", cb, k = 3, nprobe = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._3).toSet === Set(10L, 11L))
+  }
+
   test("trainPqCodebooks is deterministic and shapes correctly") {
     val vecs = (0 until 64).map { i =>
       (i.toLong, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat / 11f))
