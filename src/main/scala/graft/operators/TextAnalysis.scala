@@ -148,6 +148,31 @@ object TextAnalysis {
   val UrlPattern = s"https?://[^$Ws]+"
   val PhonePattern = s"\\+?[0-9][0-9()\\-$Ws]{7,}[0-9]"
 
+  /** Host capture group of [[UrlPattern]]-shaped URLs. */
+  val UrlHostPattern = s"https?://([^/$Ws]+)"
+
+  /** All URL hosts mentioned in `text`, lowercased, `www.` prefix
+    * stripped (so `www.example.com` and `example.com` aggregate
+    * together). Pure codegen projection — the domain-attribution pass of
+    * a web-corpus pipeline (per-domain caps, quality rollups, opt-out
+    * filtering) runs at scan speed.
+    */
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)),
+      h => regexp_replace(lower(h), "^www\\.", ""))
+
+  /** Per-domain corpus rollup: one row per distinct host with the number
+    * of documents mentioning it and the total mention count — the inputs
+    * to per-domain caps ([[Sampling.groupCap]]) and domain blocklists.
+    * One explode + one partial-aggregating hash aggregation; a hot domain
+    * (half the web is one CDN) partial-aggregates map-side, never buffers
+    * a partition. */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(urlHosts(col(textCol))).as("host"))
+      .groupBy(col("host"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+
   /** PII detection + redaction as a projection: redaction proceeds
     * URL → `<URL>`, then email → `<EMAIL>`, then phone → `<PHONE>` (an
     * email inside a URL disappears with the URL, never double-redacts),

@@ -59,6 +59,22 @@ object CorpusQueries {
         .orderBy("rank")
     },
 
+    // per-domain rollup: URLs injected over a 4-domain pool (one via a
+    // www. alias that must normalize together, one doc subset carrying a
+    // second mirror link); the rollup attributes docs and mentions per host
+    "q_domain_stats" -> { (spark, sfDir) =>
+      val host = when(col("doc_id") % 3 === 0, lit("example.com"))
+        .when(col("doc_id") % 3 === 1, lit("www.example.com"))
+        .otherwise(lit("data.org"))
+      val base = docs(spark, sfDir).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" see https://"), host, lit("/page"),
+            when(col("doc_id") % 6 === 0, lit(" and http://mirror.net/x"))
+              .otherwise(lit(""))))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.domainStats(base, "doc_id", "text").orderBy("host")
+    },
+
     // boilerplate removal: newsletter/footer lines injected into overlapping
     // doc subsets become corpus-frequent and are stripped; original
     // (unique) lines survive; counts reconcile per document
@@ -277,6 +293,25 @@ object CorpusQueries {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${e9Sql("adist")} AS adist_e9
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_domain_stats" ->
+      s"""WITH src AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN text || ' see https://' ||
+         |            CASE WHEN doc_id % 3 = 0 THEN 'example.com'
+         |                 WHEN doc_id % 3 = 1 THEN 'www.example.com'
+         |                 ELSE 'data.org' END || '/page' ||
+         |            CASE WHEN doc_id % 6 = 0 THEN ' and http://mirror.net/x' ELSE '' END
+         |       ELSE text END AS text
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |        regexp_replace(lower(unnest(
+         |          regexp_extract_all(text, '${TextAnalysis.UrlHostPattern}', 1))),
+         |          '^www\\.', '') AS host
+         |      FROM src)
+         |SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_urls
+         |FROM h GROUP BY host ORDER BY host""".stripMargin,
 
     "q_sample_weighted" -> {
       val stopwordsSql =

@@ -42,6 +42,21 @@ class LineDedupSpec extends SparkSpec {
     assert(got.map(_._4).toSeq === Seq(0L, 0L, 0L), "nothing should be dropped")
   }
 
+  test("urlHosts extracts, lowercases, and strips www; domainStats attributes docs") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a https://WWW.Example.com/x b http://example.com/y"),
+      (2L, "see https://data.org/z and https://example.com"),
+      (3L, "no urls at all")
+    ).toDF("id", "text")
+    val hosts = df.select(TextAnalysis.urlHosts(col("text")).as("h"))
+      .as[Seq[String]].collect()
+    assert(hosts(0) === Seq("example.com", "example.com"))
+    val got = TextAnalysis.domainStats(df, "id", "text")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(("data.org", 1L, 1L), ("example.com", 2L, 3L)))
+  }
+
   test("custom separator with regex metacharacters is treated literally") {
     val df = Seq(
       (1L, "a|b|common"), (2L, "c|common"), (3L, "d|common")
