@@ -105,4 +105,31 @@ object KmvSketch {
     s"""CAST(CASE WHEN len(list_distinct($hs)) < $k THEN len(list_distinct($hs))
        |     ELSE ${(k - 1).toLong * PortableHash.P} // list_sort(list_distinct($hs))[$k]
        |END AS BIGINT)""".stripMargin.replace("\n", "")
+
+  // ---- sketch set operations ---------------------------------------------
+  // KMV sketches are mergeable into SET-OPERATION estimates without
+  // re-scanning the data (Beyer et al. 2007): the k smallest hashes of
+  // A ∪ B are computable from the two buffers alone, and the fraction of
+  // that union sketch present in BOTH buffers estimates Jaccard(A, B).
+  // Everything below is integer arithmetic over the buffers — deterministic
+  // across engines, like the estimator itself. Spark-SQL fragments over
+  // buffer column names, so they compose with [[estimate]].
+
+  /** Spark fragment: the union sketch — k smallest distinct hashes across
+    * two buffers. `estimate(unionBufExpr(a, b, k), k)` estimates |A ∪ B|. */
+  def unionBufExpr(a: String, b: String, k: Int): String =
+    s"slice(array_sort(array_union($a, $b)), 1, $k)"
+
+  /** Spark fragment: how many union-sketch hashes occur in BOTH buffers —
+    * the KMV Jaccard numerator (÷ the union-sketch size for the ratio). */
+  def overlapCountExpr(a: String, b: String, k: Int): String =
+    s"size(filter(${unionBufExpr(a, b, k)}, " +
+      s"h -> array_contains($a, h) AND array_contains($b, h)))"
+
+  /** DuckDB twins over buffer fragments (sorted distinct lists). */
+  def unionBufSql(a: String, b: String, k: Int): String =
+    s"list_sort(list_distinct(list_concat($a, $b)))[1:$k]"
+  def overlapCountSql(a: String, b: String, k: Int): String =
+    s"len(list_filter(${unionBufSql(a, b, k)}, " +
+      s"h -> list_contains($a, h) AND list_contains($b, h)))"
 }

@@ -78,6 +78,33 @@ object ExtensionQueries {
         .orderBy("l_returnflag")
     },
 
+    // sketch SET operations: click-vs-view audiences as KMV sketches —
+    // union/Jaccard/overlap estimated from the two k=64 buffers ALONE (no
+    // re-scan), exact counts alongside for the oracle to pin both paths
+    "q_sketch_setops" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+        .where(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          PortableHash.hmod(col("user_id").cast("string")).as("h"),
+          col("user_id"))
+      val sk = ev.groupBy("event_type").agg(KmvSketch.kmv(col("h"), 64).as("buf"))
+      val a = sk.where(col("event_type") === "click").select(col("buf").as("__ba"))
+      val b = sk.where(col("event_type") === "view").select(col("buf").as("__bb"))
+      val ex = ev.groupBy("user_id")
+        .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("v"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("c") === 1 && col("v") === 1, 1L).otherwise(0L))
+            .as("exact_intersection"))
+      val u = KmvSketch.unionBufExpr("__ba", "__bb", 64)
+      val ov = KmvSketch.overlapCountExpr("__ba", "__bb", 64)
+      a.crossJoin(b).crossJoin(ex)
+        .select(KmvSketch.estimate(u, 64).as("union_est"),
+          expr(ov).cast("long").as("overlap"),
+          expr(s"CAST($ov * 1000000 DIV size($u) AS BIGINT)").as("jaccard_e6"),
+          col("exact_union"), col("exact_intersection"))
+    },
+
     // CSV round-trip: export once, read back with explicit schema; props is
     // JSON-in-string (embedded commas/quotes) — exercises quoting for real
     "q_source_csv" -> { (spark, sfDir) =>
@@ -270,6 +297,28 @@ object ExtensionQueries {
          |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
          |FROM (SELECT l_returnflag, $h AS h, l_partkey FROM lineitem)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q_sketch_setops" -> {
+      val h = PortableHash.hmodSql("CAST(user_id AS VARCHAR)")
+      def buf(t: String): String =
+        s"(SELECT list_sort(list_distinct(list(h)))[1:64] FROM ev WHERE event_type = '$t')"
+      val u = KmvSketch.unionBufSql("ba", "bb", 64)
+      val ov = KmvSketch.overlapCountSql("ba", "bb", 64)
+      s"""WITH ev AS (SELECT event_type, $h AS h, user_id FROM events
+         |            WHERE event_type IN ('click', 'view')),
+         |bufs AS (SELECT ${buf("click")} AS ba, ${buf("view")} AS bb),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         |              CAST(sum(CASE WHEN c = 1 AND v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+         |       FROM (SELECT user_id,
+         |               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+         |               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v
+         |             FROM ev GROUP BY user_id))
+         |SELECT ${KmvSketch.estimateSql(u, 64)} AS union_est,
+         |       CAST($ov AS BIGINT) AS overlap,
+         |       CAST($ov * 1000000 // len($u) AS BIGINT) AS jaccard_e6,
+         |       exact_union, exact_intersection
+         |FROM bufs CROSS JOIN ex""".stripMargin
     },
 
     // round-trips must surface exactly what the parquet holds

@@ -118,6 +118,32 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(big == big2, "sketch must be merge-order-insensitive")
   }
 
+  test("KMV set ops: exact below k; estimates track true union/Jaccard above k") {
+    val k = 64
+    def buf(ids: Range, parts: Int) = spark.range(ids.start, ids.end)
+      .repartition(parts).toDF("v")
+      .select(PortableHash.hmod(col("v").cast("string")).as("h"))
+      .agg(KmvSketch.kmv(col("h"), k).as("b"))
+    // small disjoint+overlapping sets (< k distinct): everything exact
+    val joined = buf(0 until 30, 3).select(col("b").as("__ba"))
+      .crossJoin(buf(20 until 50, 5).select(col("b").as("__bb")))
+    val u = KmvSketch.unionBufExpr("__ba", "__bb", k)
+    val ov = KmvSketch.overlapCountExpr("__ba", "__bb", k)
+    val r = joined.select(
+      KmvSketch.estimate(u, k).as("ue"),
+      expr(ov).cast("long").as("ov")).head()
+    assert(r.getLong(0) === 50L, "union of 0..30 and 20..50 is exactly 50")
+    assert(r.getLong(1) === 10L, "overlap 20..30 is exactly 10")
+    // large sets (>> k): |A|=|B|=4000, |A∩B|=2000, J = 1/3
+    val big = buf(0 until 4000, 7).select(col("b").as("__ba"))
+      .crossJoin(buf(2000 until 6000, 11).select(col("b").as("__bb")))
+    val rb = big.select(
+      KmvSketch.estimate(u, k).as("ue"),
+      expr(s"CAST($ov * 1000000 DIV size($u) AS BIGINT)").as("je6")).head()
+    assert(math.abs(rb.getLong(0) - 6000L) < 2000, s"union est off: ${rb.getLong(0)}")
+    assert(math.abs(rb.getLong(1) - 333333L) < 150000, s"jaccard est off: ${rb.getLong(1)}")
+  }
+
   test("CSV round-trip preserves nulls, empty strings, quotes and commas") {
     import spark.implicits._
     val df = Seq(
