@@ -90,6 +90,34 @@ object VectorSimilarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Multi-probe LSH top-k: each query searches its own sign-bucket PLUS
+    * every bucket at Hamming distance 1 (one hyperplane sign flipped) —
+    * the classic recall fix for vectors that sit near a hyperplane and
+    * land one bit away from their neighbors (Lv et al. 2007, "Multi-Probe
+    * LSH"). Candidate volume grows by ≤ (numPlanes + 1)× on the QUERY side
+    * only; the corpus still lives in one bucket each, so the probe buckets
+    * are distinct and no candidate pair duplicates. Same O(N) bucket-join
+    * scale shape as [[lshTopK]], trading probe fan-out for recall instead
+    * of adding hash tables (which would grow corpus state numPlanes×).
+    */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+    val b0 = lshBucket(col(vecCol), numPlanes, dim)
+    val probes = array(b0 +: (0 until numPlanes).map(j => b0.bitwiseXOR(lit(1L << j))): _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(probes).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Max-abs symmetric int8 quantization of an embedding column — the
     * storage-compression step of a large-scale embedding store (4× smaller
     * than float32; distance computations dequantize per block). Per vector:

@@ -112,6 +112,17 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     },
 
+    // multi-probe LSH: each query also searches the 6 buckets one sign-flip
+    // away — recall recovery for near-hyperplane vectors, query-side cost
+    "q_knn_lsh_multiprobe" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      VectorSimilarity.lshTopKMultiProbe(e, e.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, numPlanes = 6, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          e9(col("cosine")).as("cosine_e9"))
+        .orderBy("query_id", "rank")
+    },
+
     // IVF-PQ composition: inverted-file pruning (cosine clusters, 2 probes)
     // + ADC scoring over PQ codes — the billion-scale ANN shape
     "q_knn_ivfpq" -> { (spark, sfDir) =>
@@ -256,6 +267,23 @@ object CorpusQueries {
          |      FROM sc)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${e9Sql("adist")} AS adist_e9
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_lsh_multiprobe" ->
+      s"""WITH ${TrainingDataQueries.bucketSql("embeddings", 6, 64)},
+         |q AS (SELECT vec_id AS query_id, embedding AS ea,
+         |        unnest(list_prepend(bucket,
+         |          list_transform(generate_series(0, 5),
+         |            j -> xor(bucket, CAST(1 AS BIGINT) << j)))) AS probe
+         |      FROM bk WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS eb, bucket FROM bk),
+         |sc AS (SELECT query_id, neighbor_id, ${TrainingDataQueries.cosSql("ea", "eb")} AS cos
+         |       FROM q JOIN c ON c.bucket = q.probe
+         |       WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${e9Sql("cos")} AS cosine_e9
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // IVF-PQ: IVF prunes (corpus in its nearest cluster by cosine, queries
     // probe their 2 nearest), PQ scores the survivors by ADC

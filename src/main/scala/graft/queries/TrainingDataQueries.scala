@@ -308,7 +308,7 @@ object TrainingDataQueries {
     }.mkString(",\n  ")
 
   /** (vec_id, embedding, bucket) over relation `src(vec_id, embedding)`. */
-  private def bucketSql(src: String, numPlanes: Int, dim: Int): String =
+  private[queries] def bucketSql(src: String, numPlanes: Int, dim: Int): String =
     s"""planes(j, p) AS (VALUES
        |  ${planesSql(numPlanes, dim)}),
        |bk AS (
@@ -322,7 +322,7 @@ object TrainingDataQueries {
 
   /** Cosine of two DOUBLE-castable list columns, same association order as
     * [[VectorSimilarity.cosine]]. */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""

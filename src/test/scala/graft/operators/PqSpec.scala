@@ -76,6 +76,24 @@ class PqSpec extends SparkSpec {
     assert(got.map(_._3).toSet === Set(10L, 11L))
   }
 
+  test("multi-probe LSH recall is at least plain LSH recall vs brute force") {
+    val e = spark.read.parquet(s"$SfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val q = e.where($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(VectorSimilarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3))
+    val plain = pairs(VectorSimilarity.lshTopK(e, q, "vec_id", "embedding",
+      k = 3, numPlanes = 6, dim = 64))
+    val multi = pairs(VectorSimilarity.lshTopKMultiProbe(e, q, "vec_id", "embedding",
+      k = 3, numPlanes = 6, dim = 64))
+    assert((multi intersect truth).size >= (plain intersect truth).size,
+      s"multiprobe recall ${(multi intersect truth).size} < plain ${(plain intersect truth).size}")
+    // a query's plain-bucket candidates are a subset of its probed candidates,
+    // so every plain result at full rank depth survives probing
+    assert((multi intersect plain).nonEmpty)
+  }
+
   test("trainPqCodebooks is deterministic and shapes correctly") {
     val vecs = (0 until 64).map { i =>
       (i.toLong, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat / 11f))
