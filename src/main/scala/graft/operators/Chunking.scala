@@ -31,7 +31,9 @@ object Chunking {
                   chunkSize: Int, stride: Int): DataFrame = {
     require(stride >= 1 && stride <= chunkSize,
       s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // NULL text behaves as empty: tokens(NULL) is NULL and explode would
+    // silently DROP the row, breaking the every-row-represented contract
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val n = size(toks).cast(LongType)
     // last start = ceil(max(n - chunkSize, 0) / stride) * stride, 0-based
     val m = greatest(n - chunkSize, lit(0L))
@@ -56,11 +58,13 @@ object Chunking {
     *
     * Packing is inherently sequential, so the corpus is first split into
     * `numShards` portable-hash shards and each shard packs independently —
-    * the parallelism/packing-quality knob. At 100 TB pick shards of a few
-    * hundred MB of token counts: the per-shard walk is one higher-order
-    * `aggregate` over a collected (id, n) list, so a shard must fit in one
-    * task's memory — millions of shards is the intended shape, and shard
-    * count does not change any shard's own packing.
+    * the parallelism knob. The per-shard walk is a typed `flatMapGroups`
+    * (one of the rare genuinely-imperative per-group computations this
+    * codebase allows itself): O(s log s) for the in-memory id sort, O(s)
+    * for the walk, streaming output. A shard's (id, n) pairs must fit in
+    * one task's memory — 16 bytes/doc, so even 10M-doc shards are ~160 MB;
+    * size numShards accordingly at 100 TB. Shard count never changes any
+    * shard's own packing.
     *
     * Emits (idCol, n_tokens, shard, pack, pack_pos): pack ids count from 0
     * within each shard; pack_pos is the document's position in its pack.
@@ -69,34 +73,24 @@ object Chunking {
                     budget: Long, numShards: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val spark = df.sparkSession
+    import spark.implicits._
     val shard = PortableHash.hmod(col(idCol).cast("string")) % numShards
-    val grouped = df
-      .select(col(idCol).cast(LongType).as("__id"),
-        col(nTokensCol).cast(LongType).as("__n"), shard.as("shard"))
-      .groupBy(col("shard"))
-      .agg(array_sort(collect_list(struct(col("__id").as("id"), col("__n").as("n"))))
-        .as("__items"))
-    val init = struct(lit(0L).as("pack"), lit(0L).as("used"),
-      array().cast("array<struct<id:bigint,n:bigint,pack:bigint>>").as("out"))
-    val walked = aggregate(col("__items"), init,
-      (acc, x) => {
-        val overflow = (acc.getField("used") + x.getField("n") > budget) &&
-          (acc.getField("used") > 0)
-        val pack = when(overflow, acc.getField("pack") + 1)
-          .otherwise(acc.getField("pack"))
-        val used = when(overflow, x.getField("n"))
-          .otherwise(acc.getField("used") + x.getField("n"))
-        struct(pack.as("pack"), used.as("used"),
-          concat(acc.getField("out"),
-            array(struct(x.getField("id").as("id"), x.getField("n").as("n"),
-              pack.as("pack")))).as("out"))
-      },
-      acc => acc.getField("out"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard"), col("pack")).orderBy(col(idCol))
-    grouped.select(col("shard"), explode(walked).as("__e"))
-      .select(col("__e.id").as(idCol), col("__e.n").as("n_tokens"),
-        col("shard"), col("__e.pack").as("pack"))
-      .withColumn("pack_pos", row_number().over(w).cast(LongType))
+    df.select(col(idCol).cast(LongType), col(nTokensCol).cast(LongType),
+        shard.cast(LongType))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shardId: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docs = it.toArray.sortBy(_._1)
+        var pack = 0L
+        var used = 0L
+        var pos = 0L
+        docs.iterator.map { case (id, n, _) =>
+          if (used + n > budget && used > 0) { pack += 1; used = n; pos = 1 }
+          else { used += n; pos += 1 }
+          (id, n, shardId, pack, pos)
+        }
+      }
+      .toDF(idCol, "n_tokens", "shard", "pack", "pack_pos")
   }
 }

@@ -69,10 +69,12 @@ object FuzzyJoin {
     val lv = variants(left, leftStr, "__sl")
     val rv = variants(right, rightStr, "__sr")
     val cand = lv.join(rv, "__v").select("__sl", "__sr").distinct()
+    // materialize dist once, then filter on the column: Catalyst does not
+    // reliably CSE the O(L²) levenshtein across a Filter and a Project
     val verified = cand
-      .where(levenshtein(col("__sl"), col("__sr")) <= maxDist)
       .select(col("__sl"), col("__sr"),
         levenshtein(col("__sl"), col("__sr")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
     left.select(col(leftId), col(leftStr).as("__sl"))
       .join(verified, "__sl")
       .join(right.select(col(rightId), col(rightStr).as("__sr")), "__sr")

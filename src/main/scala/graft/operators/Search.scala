@@ -76,7 +76,8 @@ object Search {
                      terms: Seq[String], k: Int,
                      k1: Double = 1.2, b: Double = 0.75): String = {
     val tfs = terms.zipWithIndex.map { case (t, i) =>
-      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
+      val esc = t.replace("'", "''") // SQL string literal escaping
+      s"CAST(len(list_filter(w, x -> x = '$esc')) AS BIGINT) AS tf$i"
     }.mkString(",\n  ")
     val dfs = terms.indices.map { i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"

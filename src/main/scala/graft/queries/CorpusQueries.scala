@@ -205,15 +205,10 @@ object CorpusQueries {
        |    i -> substr($s, 1, i - 1) || substr($s, i + 1, length($s)))))"""
       .stripMargin.replace("\n", "")
 
-  /** Tokens of lowercased `c`, empties removed (DuckDB spelling of
-    * [[graft.operators.TextAnalysis.tokens]]). */
-  private def tok(c: String): String =
-    s"""list_filter(regexp_split_to_array(lower($c), '\\s+'), x -> x <> '')"""
-
   val oracleSql: Map[String, String] = Map(
 
     "q_chunk_tokens" ->
-      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),
          |p AS (SELECT doc_id, w, len(w) AS n FROM t),
          |s AS (SELECT doc_id, w,
          |        unnest(generate_series(0, ((greatest(n - 32, 0) + 23) // 24) * 24, 24)) AS s
@@ -224,7 +219,7 @@ object CorpusQueries {
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_search_bm25" ->
-      s"""WITH ${Search.keywordTopKSql("documents", "doc_id", tok("text"), SearchTerms, 20)}
+      s"""WITH ${Search.keywordTopKSql("documents", "doc_id", TrainingDataQueries.tok("text"), SearchTerms, 20)}
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
 
@@ -233,7 +228,7 @@ object CorpusQueries {
     // overflow a non-empty pack)
     "q_pack_sequences" -> {
       val hm = graft.functions.PortableHash.hmodSql("CAST(doc_id AS VARCHAR)")
-      s"""WITH RECURSIVE d AS (SELECT doc_id, CAST(len(${tok("text")}) AS BIGINT) AS n,
+      s"""WITH RECURSIVE d AS (SELECT doc_id, CAST(len(${TrainingDataQueries.tok("text")}) AS BIGINT) AS n,
          |                            $hm % 8 AS shard
          |                     FROM documents),
          |t AS (SELECT doc_id, n, shard,
@@ -291,15 +286,10 @@ object CorpusQueries {
       val centsRows = IvfCentroids.K8Sf001.zipWithIndex.map { case (v, i) =>
         s"(CAST($i AS BIGINT), CAST(${v.mkString("[", ", ", "]")} AS DOUBLE[]))"
       }.mkString(",\n  ")
-      def cosSql(a: String, b: String): String =
-        s"""list_sum(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-           | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           |    * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
-          .stripMargin.replace("\n", "")
       s"""WITH cents(cid, cv) AS (VALUES
          |  $centsRows),
          |ia AS (SELECT e.vec_id, e.embedding, c.cid,
-         |         ${cosSql("e.embedding", "c.cv")} AS csim
+         |         ${TrainingDataQueries.cosSql("e.embedding", "c.cv")} AS csim
          |       FROM embeddings e CROSS JOIN cents c),
          |iasg AS (SELECT vec_id, embedding, cid AS cluster_id,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
@@ -344,7 +334,7 @@ object CorpusQueries {
     "q_sample_weighted" -> {
       val stopwordsSql =
         TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-      s"""WITH t AS (SELECT doc_id, text, ${tok("text")} AS w FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, ${TrainingDataQueries.tok("text")} AS w FROM documents),
          |r AS (SELECT doc_id,
          |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS uniq_ratio,
          |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,

@@ -87,9 +87,18 @@ object ExtensionQueries {
         .select(col("event_type"),
           PortableHash.hmod(col("user_id").cast("string")).as("h"),
           col("user_id"))
-      val sk = ev.groupBy("event_type").agg(KmvSketch.kmv(col("h"), 64).as("buf"))
-      val a = sk.where(col("event_type") === "click").select(col("buf").as("__ba"))
-      val b = sk.where(col("event_type") === "view").select(col("buf").as("__bb"))
+      // both buffers from ONE aggregation row (Profile's null-sentinel
+      // pattern: rows of the other type hash to P, above every real hmod,
+      // and are stripped) — an absent event type yields an empty buffer,
+      // never a missing row, so the crossJoin can't zero out the result
+      val sentinel = graft.functions.PortableHash.P
+      def typedBuf(t: String): org.apache.spark.sql.Column =
+        KmvSketch.kmv(when(col("event_type") === t, col("h"))
+          .otherwise(lit(sentinel)), 64)
+      val sk0 = ev.agg(typedBuf("click").as("__raw_a"), typedBuf("view").as("__raw_b"))
+      val ab = sk0.select(
+        expr(s"filter(__raw_a, h -> h != $sentinel)").as("__ba"),
+        expr(s"filter(__raw_b, h -> h != $sentinel)").as("__bb"))
       val ex = ev.groupBy("user_id")
         .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
           max(when(col("event_type") === "view", 1).otherwise(0)).as("v"))
@@ -98,7 +107,7 @@ object ExtensionQueries {
             .as("exact_intersection"))
       val u = KmvSketch.unionBufExpr("__ba", "__bb", 64)
       val ov = KmvSketch.overlapCountExpr("__ba", "__bb", 64)
-      a.crossJoin(b).crossJoin(ex)
+      ab.crossJoin(ex)
         .select(KmvSketch.estimate(u, 64).as("union_est"),
           expr(ov).cast("long").as("overlap"),
           expr(s"CAST($ov * 1000000 DIV size($u) AS BIGINT)").as("jaccard_e6"),

@@ -271,7 +271,7 @@ object TrainingDataQueries {
 
   /** Tokens of lowercased `c`, empties removed (DuckDB spelling of
     * [[TextAnalysis.tokens]]). */
-  private def tok(c: String): String =
+  private[queries] def tok(c: String): String =
     s"""list_filter(regexp_split_to_array(lower($c), '\\s+'), x -> x <> '')"""
 
   /** documents ∪ near-dup copies, as a CTE body (DuckDB twin of

@@ -25,6 +25,13 @@ class ChunkingSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 0L, 3L, "t1 t2 t3"), (2L, 0L, 0L, "")))
   }
 
+  test("NULL text behaves as empty — the row still yields its chunk-0 row") {
+    val df = Seq((1L, Some(doc(2))), (2L, None)).toDF("id", "text")
+    val got = Chunking.tokenChunks(df, "id", "text", chunkSize = 4, stride = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L, 2L, "t1 t2"), (2L, 0L, 0L, "")))
+  }
+
   test("non-overlapping stride == chunkSize partitions the token stream") {
     val df = Seq((1L, doc(12))).toDF("id", "text")
     val got = Chunking.tokenChunks(df, "id", "text", chunkSize = 4, stride = 4)
