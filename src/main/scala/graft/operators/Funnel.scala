@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Funnel analysis over an event stream: how far each user progresses
+  * through an ordered sequence of step types (subsequence semantics — each
+  * step must occur strictly after the previously matched one, other events
+  * freely interleaved). The ClickHouse-`windowFunnel`-shaped operator a
+  * product-analytics workload runs; extension scope beyond the reference.
+  *
+  * Scale: one shuffle on the user key into a per-user sorted event-type
+  * array (bounded by that user's event count), then the subsequence walk is
+  * a fixed chain of `array_position`/`slice` expressions — no joins, no
+  * windows over shared keys, no driver state. A time-bounded variant
+  * composes by pre-filtering the event frame to the window of interest.
+  */
+object Funnel {
+
+  /** Per-user funnel depth: (userCol, depth) where depth ∈ [0, steps.size]
+    * counts how many leading steps the user's (tsCol, tieCol)-ordered event
+    * sequence matches as a subsequence. `tieCol` must make the ordering
+    * total (e.g. a unique event id) — determinism of ties is on the caller.
+    */
+  def funnelDepth(df: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val sorted = df.groupBy(col(userCol))
+      .agg(array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol))))
+        .as("__evs"))
+      .select(col(userCol),
+        transform(col("__evs"), e => e.getField(typeCol)).as("__tps"))
+    // idx_k = 1-based position of the k-th matched step, 0 when the chain
+    // broke; each step searches only the suffix after the previous match
+    val idxs = steps.zipWithIndex.foldLeft(List.empty[Column]) {
+      case (acc, (s, k)) =>
+        val idx =
+          if (k == 0) array_position(col("__tps"), s)
+          else {
+            val prev = acc.head
+            val rel = array_position(
+              slice(col("__tps"), (prev + 1).cast("int"), size(col("__tps"))), s)
+            when(prev > 0 && rel > 0, prev + rel).otherwise(lit(0L))
+          }
+        idx :: acc
+    }.reverse
+    val depth = idxs.map(i => when(i > 0, 1L).otherwise(0L)).reduce(_ + _)
+    sorted.select(col(userCol), depth.cast(LongType).as("depth"))
+  }
+
+  /** The funnel summary: users reaching at least each depth (the classic
+    * conversion table). Depth d row counts users with depth ≥ d, d ≥ 1. */
+  def funnelCounts(df: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, typeCol: String,
+                   steps: Seq[String]): DataFrame = {
+    val d = funnelDepth(df, userCol, tsCol, tieCol, typeCol, steps)
+    val byDepth = d.groupBy(col("depth")).agg(count(lit(1)).as("__n"))
+    // suffix-sum over at most steps.size+1 rows — a broadcastable frame
+    val steps_ = steps.indices.map(i => i + 1)
+    val exploded = byDepth.select(col("depth"), col("__n"),
+      explode(array(steps_.map(lit): _*)).as("at_least"))
+      .where(col("depth") >= col("at_least"))
+      .groupBy(col("at_least")).agg(sum(col("__n")).as("n_users"))
+    exploded.select(col("at_least").cast(LongType).as("step"),
+      col("n_users").cast(LongType))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.{e9, e9Sql}
-import graft.operators.{Chunking, FuzzyJoin, Sampling, Search, TextAnalysis, VectorSimilarity}
+import graft.operators.{Chunking, Funnel, FuzzyJoin, Sampling, Search, TextAnalysis, VectorSimilarity}
 
 /** Oracle-checked queries for the round-5 corpus-construction operators:
   * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
@@ -136,6 +136,15 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     },
 
+    // product-analytics funnel: how far each user's (ts, event_id)-ordered
+    // event sequence progresses through view -> click -> purchase
+    "q_funnel" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+      Funnel.funnelDepth(ev, "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+
     // training-batch construction: greedy first-fit-contiguous packing of
     // documents into 256-token sequences across 8 hash shards
     "q_pack_sequences" -> { (spark, sfDir) =>
@@ -222,6 +231,31 @@ object CorpusQueries {
       s"""WITH ${Search.keywordTopKSql("documents", "doc_id", TrainingDataQueries.tok("text"), SearchTerms, 20)}
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
+
+    // subsequence walk as a CTE chain: i_k = first occurrence of step k
+    // strictly after i_{k-1} (coalesce: DuckDB list_position yields NULL
+    // where Spark array_position yields 0)
+    "q_funnel" -> {
+      val steps = Seq("view", "click", "purchase")
+      val chain = steps.zipWithIndex.map { case (s, k) =>
+        if (k == 0)
+          s"d0 AS (SELECT user_id, tps, coalesce(list_position(tps, '$s'), 0) AS i0 FROM u)"
+        else {
+          val p = k - 1
+          s"""d$k AS (SELECT user_id, tps, ${(0 until k).map(j => s"i$j").mkString(", ")},
+             |  CASE WHEN i$p > 0 AND coalesce(list_position(tps[i$p + 1 : len(tps)], '$s'), 0) > 0
+             |       THEN i$p + list_position(tps[i$p + 1 : len(tps)], '$s')
+             |       ELSE 0 END AS i$k FROM d$p)""".stripMargin
+        }
+      }.mkString(",\n")
+      val depth = steps.indices
+        .map(k => s"(CASE WHEN i$k > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH u AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS tps
+         |           FROM events GROUP BY user_id),
+         |$chain
+         |SELECT user_id, CAST($depth AS BIGINT) AS depth
+         |FROM d${steps.size - 1} ORDER BY user_id""".stripMargin
+    },
 
     // the per-shard greedy walk as a linear recursive CTE (same overflow
     // rule as the Spark fold: open a new pack when the next doc would
