@@ -50,6 +50,28 @@ object Funnel {
     sorted.select(col(userCol), depth.cast(LongType).as("depth"))
   }
 
+  /** Weekly retention cohorts: users grouped by their first active week
+    * (the cohort), counted in every week they return — the classic
+    * retention triangle. A "week" is integer epoch-microseconds div 7
+    * days: pure integer arithmetic with no calendar/timezone/WEEKSTART
+    * semantics to diverge between engines (Monday-aligned calendar weeks
+    * would hang cross-engine equality on each engine's WEEK rules).
+    * Returns (cohort_week, week_offset, n_users), offset 0 = the cohort's
+    * own week. Scale: one distinct over (user, week) — partial-aggregating
+    * — a per-user min, a join back, and one count aggregation.
+    */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val uw = df.select(col(userCol).as("__u"),
+        expr(s"CAST(unix_micros($tsCol) DIV $weekUs AS BIGINT)").as("__w"))
+      .distinct()
+    val cohort = uw.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    uw.join(cohort, Seq("__u"))
+      .groupBy(col("__cw").as("cohort_week"),
+        (col("__w") - col("__cw")).as("week_offset"))
+      .agg(count(lit(1)).cast(LongType).as("n_users"))
+  }
+
   /** The funnel summary: users reaching at least each depth (the classic
     * conversion table). Depth d row counts users with depth ≥ d, d ≥ 1. */
   def funnelCounts(df: DataFrame, userCol: String, tsCol: String,

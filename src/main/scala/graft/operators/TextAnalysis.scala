@@ -226,6 +226,38 @@ object TextAnalysis {
         col("top_token_ratio"), col("dup_2gram_ratio"))
   }
 
+  /** Corpus-typicality score — the deterministic stand-in for CCNet's
+    * LM-perplexity quality signal: the mean corpus frequency (parts per
+    * million, integer) of a document's token instances. Text made of
+    * common corpus vocabulary scores high; rare-vocabulary text (other
+    * languages, code dumps, mojibake) scores low. Integer arithmetic
+    * end-to-end (cnt·1e6 div total, then an integer mean) — an ln-based
+    * perplexity would not be bit-portable across engines
+    * (see [[topTerms]]).
+    *
+    * Returns (idCol, n_tokens, typicality_ppm), one row per input doc
+    * (token-less docs score 0). Scale: explode → one token aggregation
+    * (partial map-side; total falls out of the count table) → join back
+    * (AQE splits hot-token skew) → one per-doc aggregation. No windows,
+    * no driver state.
+    */
+  def corpusTypicality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum(col("__cnt")).as("__total"))
+    val scored = toks.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("__ppm", expr("CAST(__cnt * 1000000 DIV __total AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__ppm")).as("__sum"))
+      .select(col(idCol), col("__n"),
+        expr("CAST(__sum DIV __n AS BIGINT)").as("__typ"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).cast(LongType).as("n_tokens"),
+        coalesce(col("__typ"), lit(0L)).cast(LongType).as("typicality_ppm"))
+  }
+
   /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate filter):
     * drop every line that occurs in at least `maxDocFreq` distinct
     * documents (nav menus, cookie banners, license footers — text that

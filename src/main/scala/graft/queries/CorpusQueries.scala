@@ -136,6 +136,13 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     },
 
+    // LM-frequency quality proxy: mean corpus frequency (ppm) of each
+    // doc's token instances — common vocabulary scores high, outliers low
+    "q_text_typicality" -> { (spark, sfDir) =>
+      TextAnalysis.corpusTypicality(docs(spark, sfDir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // product-analytics funnel: how far each user's (ts, event_id)-ordered
     // event sequence progresses through view -> click -> purchase
     "q_funnel" -> { (spark, sfDir) =>
@@ -143,6 +150,14 @@ object CorpusQueries {
       Funnel.funnelDepth(ev, "user_id", "ts", "event_id", "event_type",
           Seq("view", "click", "purchase"))
         .orderBy("user_id")
+    },
+
+    // weekly retention triangle: cohort = first active epoch-week,
+    // counted in every week each user returns
+    "q_retention" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+      Funnel.retentionCohorts(ev, "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
     },
 
     // training-batch construction: greedy first-fit-contiguous packing of
@@ -232,6 +247,21 @@ object CorpusQueries {
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
 
+    "q_text_typicality" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${TrainingDataQueries.tok("text")}) AS token
+         |            FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+         |t AS (SELECT sum(cnt) AS total FROM c),
+         |s AS (SELECT tk.doc_id, count(*) AS n,
+         |        sum(CAST(cnt * 1000000 // total AS BIGINT)) AS sm
+         |      FROM tk JOIN c USING (token) CROSS JOIN t
+         |      GROUP BY tk.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(sm // n, 0) AS BIGINT) AS typicality_ppm
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // subsequence walk as a CTE chain: i_k = first occurrence of step k
     // strictly after i_{k-1} (coalesce: DuckDB list_position yields NULL
     // where Spark array_position yields 0)
@@ -256,6 +286,17 @@ object CorpusQueries {
          |SELECT user_id, CAST($depth AS BIGINT) AS depth
          |FROM d${steps.size - 1} ORDER BY user_id""".stripMargin
     },
+
+    "q_retention" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id AS u,
+         |              epoch_us(CAST(ts AS TIMESTAMP)) // ${7L * 86400L * 1000000L} AS w
+         |            FROM events),
+         |c AS (SELECT u, min(w) AS cw FROM uw GROUP BY u)
+         |SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+         |       CAST(uw.w - c.cw AS BIGINT) AS week_offset,
+         |       CAST(count(*) AS BIGINT) AS n_users
+         |FROM uw JOIN c USING (u)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the per-shard greedy walk as a linear recursive CTE (same overflow
     // rule as the Spark fold: open a new pack when the next doc would

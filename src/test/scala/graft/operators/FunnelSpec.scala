@@ -39,6 +39,39 @@ class FunnelSpec extends SparkSpec {
     assert(d === Map(1L -> 3L))
   }
 
+  test("retentionCohorts: cohort = first week, offsets count return weeks") {
+    val week = 7L * 86400L
+    // user 1 active weeks 0,1,3; user 2 weeks 1,2; user 3 week 0 only
+    val rows = Seq(
+      (1L, 0L), (1L, 1L), (1L, 3L), (1L, 1L), // duplicate week collapses
+      (2L, 1L), (2L, 2L), (3L, 0L))
+    val df = rows.toDF("user", "wk")
+      .selectExpr("user", "timestamp_seconds(wk * " + week + " + 60) AS ts")
+    val got = Funnel.retentionCohorts(df, "user", "ts")
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, n) => ((c, o), n) }.toMap
+    // weeks here are absolute epoch weeks starting at 0 (1970-01-01)
+    assert(got === Map(
+      (0L, 0L) -> 2L, // users 1 and 3 in their cohort week
+      (0L, 1L) -> 1L, (0L, 3L) -> 1L, // user 1 returns
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L)) // user 2
+  }
+
+  test("corpusTypicality: common vocabulary outscores rare; empty doc scores 0") {
+    val df = Seq(
+      (1L, "the cat and the dog"),  // all common-ish tokens
+      (2L, "zyx qwv"),              // singletons
+      (3L, "")).toDF("id", "text")
+    val got = TextAnalysis.corpusTypicality(df, "id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // total tokens = 7; ppm: the=2/7, others 1/7
+    val p1 = 1000000L / 7
+    val p2 = 2 * 1000000L / 7
+    assert(got(1L) === ((1L, 5L, (p2 * 2 + p1 * 3) / 5)))
+    assert(got(2L) === ((2L, 2L, p1)))
+    assert(got(3L) === ((3L, 0L, 0L)))
+  }
+
   test("funnelCounts is the suffix-sum conversion table") {
     val df = ev(
       (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
