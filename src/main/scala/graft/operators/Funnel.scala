@@ -23,18 +23,21 @@ object Funnel {
     * sequence matches as a subsequence. `tieCol` must make the ordering
     * total (e.g. a unique event id) — determinism of ties is on the caller.
     */
-  def funnelDepth(df: DataFrame, userCol: String, tsCol: String,
-                  tieCol: String, typeCol: String,
-                  steps: Seq[String]): DataFrame = {
-    require(steps.nonEmpty, "steps must be non-empty")
-    val sorted = df.groupBy(col(userCol))
+  /** Per-user (tsCol, tieCol)-ordered type + epoch-us arrays. */
+  private def sortedArrays(df: DataFrame, userCol: String, tsCol: String,
+                           tieCol: String, typeCol: String): DataFrame =
+    df.groupBy(col(userCol))
       .agg(array_sort(collect_list(struct(col(tsCol), col(tieCol), col(typeCol))))
         .as("__evs"))
       .select(col(userCol),
-        transform(col("__evs"), e => e.getField(typeCol)).as("__tps"))
-    // idx_k = 1-based position of the k-th matched step, 0 when the chain
-    // broke; each step searches only the suffix after the previous match
-    val idxs = steps.zipWithIndex.foldLeft(List.empty[Column]) {
+        transform(col("__evs"), e => e.getField(typeCol)).as("__tps"),
+        transform(col("__evs"), e => unix_micros(e.getField(tsCol))).as("__tss"))
+
+  /** idx_k = 1-based position of the k-th matched step in `__tps`, 0 when
+    * the chain broke; each step searches only the suffix after the
+    * previous match. */
+  private def stepIdxs(steps: Seq[String]): Seq[Column] =
+    steps.zipWithIndex.foldLeft(List.empty[Column]) {
       case (acc, (s, k)) =>
         val idx =
           if (k == 0) array_position(col("__tps"), s)
@@ -46,8 +49,44 @@ object Funnel {
           }
         idx :: acc
     }.reverse
-    val depth = idxs.map(i => when(i > 0, 1L).otherwise(0L)).reduce(_ + _)
-    sorted.select(col(userCol), depth.cast(LongType).as("depth"))
+
+  def funnelDepth(df: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, typeCol: String,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val depth = stepIdxs(steps).map(i => when(i > 0, 1L).otherwise(0L)).reduce(_ + _)
+    sortedArrays(df, userCol, tsCol, tieCol, typeCol)
+      .select(col(userCol), depth.cast(LongType).as("depth"))
+  }
+
+  /** Anchored time-windowed funnel: like [[funnelDepth]], but a step only
+    * counts while it lands within `spanSeconds` of the FIRST matched step
+    * (the anchor). This is the "convert within N days" question; event
+    * times are monotone along the sequence, so once the window closes the
+    * chain is over — depth is still a prefix count. (windowFunnel-style
+    * re-anchoring to the best window is deliberately not implemented: the
+    * anchored form is one expression chain; re-anchoring is quadratic.)
+    */
+  def funnelDepthWithin(df: DataFrame, userCol: String, tsCol: String,
+                        tieCol: String, typeCol: String, steps: Seq[String],
+                        spanSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(spanSeconds >= 0, s"spanSeconds must be >= 0: $spanSeconds")
+    val idxs = stepIdxs(steps)
+    val anchor = idxs.head
+    val spanUs = spanSeconds * 1000000L
+    val depth = idxs.zipWithIndex.map { case (i, k) =>
+      if (k == 0) when(i > 0, 1L).otherwise(0L)
+      else {
+        // the element_at lookups live INSIDE the when-branch: ANSI mode
+        // throws on index 0, and i > 0 implies the anchor matched too
+        val delta = element_at(col("__tss"), i.cast("int")) -
+          element_at(col("__tss"), anchor.cast("int"))
+        when(i > 0, when(delta <= spanUs, 1L).otherwise(0L)).otherwise(0L)
+      }
+    }.reduce(_ + _)
+    sortedArrays(df, userCol, tsCol, tieCol, typeCol)
+      .select(col(userCol), depth.cast(LongType).as("depth"))
   }
 
   /** Weekly retention cohorts: users grouped by their first active week

@@ -152,6 +152,15 @@ object CorpusQueries {
         .orderBy("user_id")
     },
 
+    // anchored 2-day window: later steps only count within 48h of the
+    // first matched step
+    "q_funnel_windowed" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+      Funnel.funnelDepthWithin(ev, "user_id", "ts", "event_id", "event_type",
+          Seq("view", "click", "purchase"), spanSeconds = 2L * 86400L)
+        .orderBy("user_id")
+    },
+
     // weekly retention triangle: cohort = first active epoch-week,
     // counted in every week each user returns
     "q_retention" -> { (spark, sfDir) =>
@@ -281,6 +290,35 @@ object CorpusQueries {
       val depth = steps.indices
         .map(k => s"(CASE WHEN i$k > 0 THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH u AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS tps
+         |           FROM events GROUP BY user_id),
+         |$chain
+         |SELECT user_id, CAST($depth AS BIGINT) AS depth
+         |FROM d${steps.size - 1} ORDER BY user_id""".stripMargin
+    },
+
+    // DuckDB list index 0 yields NULL (never errors), so the bare AND in
+    // the window CASE is safe where Spark needed nested whens
+    "q_funnel_windowed" -> {
+      val steps = Seq("view", "click", "purchase")
+      val spanUs = 2L * 86400L * 1000000L
+      val chain = steps.zipWithIndex.map { case (s, k) =>
+        if (k == 0)
+          s"d0 AS (SELECT user_id, tps, tss, coalesce(list_position(tps, '$s'), 0) AS i0 FROM u)"
+        else {
+          val p = k - 1
+          s"""d$k AS (SELECT user_id, tps, tss, ${(0 until k).map(j => s"i$j").mkString(", ")},
+             |  CASE WHEN i$p > 0 AND coalesce(list_position(tps[i$p + 1 : len(tps)], '$s'), 0) > 0
+             |       THEN i$p + list_position(tps[i$p + 1 : len(tps)], '$s')
+             |       ELSE 0 END AS i$k FROM d$p)""".stripMargin
+        }
+      }.mkString(",\n")
+      val depth = steps.indices.map { k =>
+        if (k == 0) "(CASE WHEN i0 > 0 THEN 1 ELSE 0 END)"
+        else s"(CASE WHEN i$k > 0 AND tss[i$k] - tss[i0] <= $spanUs THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH u AS (SELECT user_id,
+         |             list(event_type ORDER BY ts, event_id) AS tps,
+         |             list(epoch_us(CAST(ts AS TIMESTAMP)) ORDER BY ts, event_id) AS tss
          |           FROM events GROUP BY user_id),
          |$chain
          |SELECT user_id, CAST($depth AS BIGINT) AS depth

@@ -39,6 +39,28 @@ class FunnelSpec extends SparkSpec {
     assert(d === Map(1L -> 3L))
   }
 
+  test("windowed funnel: steps beyond the anchored span stop counting") {
+    // eid doubles as seconds; span 10s
+    val df = ev(
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 8L, "buy"),    // all inside
+      (2L, 0L, "view"), (2L, 5L, "click"), (2L, 30L, "buy"),   // buy outside
+      (3L, 0L, "view"), (3L, 20L, "click"), (3L, 25L, "buy"))  // click outside
+    val d = Funnel.funnelDepthWithin(df, "user", "ts", "eid", "tp", steps,
+        spanSeconds = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("windowed funnel anchors at the FIRST step-1 match (no re-anchoring)") {
+    // second view at t=100 would open a valid window, but the anchor is t=0
+    val df = ev(
+      (1L, 0L, "view"), (1L, 100L, "view"), (1L, 101L, "click"), (1L, 102L, "buy"))
+    val d = Funnel.funnelDepthWithin(df, "user", "ts", "eid", "tp", steps,
+        spanSeconds = 10L)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(1L -> 1L))
+  }
+
   test("retentionCohorts: cohort = first week, offsets count return weeks") {
     val week = 7L * 86400L
     // user 1 active weeks 0,1,3; user 2 weeks 1,2; user 3 week 0 only
