@@ -80,4 +80,29 @@ object FuzzyJoin {
       .join(right.select(col(rightId), col(rightStr).as("__sr")), "__sr")
       .select(col(leftId), col(rightId), col("dist"))
   }
+
+  /** Best-match lookup (spell correction / canonicalization): for each left
+    * string, the single right-side string within `maxDist` edits ranked by
+    * (closest distance, highest `weightCol`, lexicographic) — e.g. correct
+    * a typo'd token to the most frequent vocabulary word one edit away.
+    * Returns (leftId, suggestion, dist, weightCol); left rows with no
+    * match within the radius are absent. Same blocking/scale properties as
+    * [[editDistanceJoin]]; the rank window partitions by the left id over
+    * its (few) candidates only.
+    */
+  def bestMatch(left: DataFrame, leftId: String, leftStr: String,
+                right: DataFrame, rightStr: String, weightCol: String,
+                maxDist: Int, minLength: Int = 3): DataFrame = {
+    val r = right.select(col(rightStr).as("__cand"), col(rightStr).as("__rs"),
+      col(weightCol).as("__w"))
+    val pairs = editDistanceJoin(left, leftId, leftStr,
+      r.select("__cand", "__rs"), "__cand", "__rs", maxDist, minLength)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(leftId))
+      .orderBy(col("dist").asc, col("__w").desc, col("__cand").asc)
+    pairs.join(r.select(col("__cand"), col("__w")).distinct(), Seq("__cand"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(leftId), col("__cand").as("suggestion"), col("dist"),
+        col("__w").as(weightCol))
+  }
 }

@@ -42,6 +42,23 @@ object CorpusQueries {
         .orderBy("c_custkey", "noisy_id")
     },
 
+    // spell correction: every 10th doc's 3rd token with its 2nd char
+    // deleted, corrected to the (closest, most frequent) vocabulary word
+    "q_spell_correct" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir)
+      val toks = TextAnalysis.tokens(col("text"))
+      val vocab = d.select(explode(toks).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val bad = d.where(col("doc_id") % 10 === 0)
+        .select(expr("try_element_at(filter(split(lower(text), '\\\\s+'), x -> x != ''), 3)").as("w3"))
+        .where(length(col("w3")) >= 4)
+        .select(concat(substring(col("w3"), 1, 1),
+          expr("substring(w3, 3, length(w3))")).as("bad"))
+        .distinct()
+      FuzzyJoin.bestMatch(bad, "bad", "bad", vocab, "word", "cnt", maxDist = 1)
+        .orderBy("bad")
+    },
+
     // RAG/context-window chunking: 32-token windows every 24 tokens
     // (8-token overlap), full coverage, last window short
     "q_chunk_tokens" -> { (spark, sfDir) =>
@@ -484,6 +501,28 @@ object CorpusQueries {
          |  CAST(len(lines) - coalesce(kept, 0) AS BIGINT) AS n_dropped
          |FROM t LEFT JOIN res ON t.doc_id = res.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    "q_spell_correct" ->
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),
+         |vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |          FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+         |bad AS (SELECT DISTINCT substr(w3, 1, 1) || substr(w3, 3, length(w3)) AS bad
+         |        FROM (SELECT w[3] AS w3 FROM t WHERE doc_id % 10 = 0)
+         |        WHERE length(w3) >= 4),
+         |lv AS (SELECT bad AS s, unnest(${variants1Sql("bad")}) AS v
+         |       FROM bad WHERE length(bad) >= 3),
+         |rv AS (SELECT word AS s, unnest(${variants1Sql("word")}) AS v
+         |       FROM (SELECT DISTINCT word FROM vocab WHERE length(word) >= 3)),
+         |cand AS (SELECT DISTINCT lv.s AS bad, rv.s AS word
+         |         FROM lv JOIN rv ON lv.v = rv.v),
+         |ver AS (SELECT bad, word, CAST(levenshtein(bad, word) AS BIGINT) AS dist
+         |        FROM cand WHERE levenshtein(bad, word) <= 1),
+         |wd AS (SELECT ver.bad, ver.word, ver.dist, vocab.cnt,
+         |         row_number() OVER (PARTITION BY ver.bad
+         |                            ORDER BY ver.dist ASC, vocab.cnt DESC, ver.word ASC) AS rn
+         |       FROM ver JOIN vocab ON ver.word = vocab.word)
+         |SELECT bad, word AS suggestion, dist, cnt
+         |FROM wd WHERE rn = 1 ORDER BY bad""".stripMargin,
 
     "q_fuzzy_join" ->
       s"""WITH l AS (SELECT c_custkey, c_name FROM customer),

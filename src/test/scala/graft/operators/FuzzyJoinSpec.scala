@@ -47,6 +47,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.length === 4 && got.forall(_._3 == 2L))
   }
 
+  test("bestMatch picks closest, then most frequent, then lexicographic") {
+    val bad = Seq((1L, "helo"), (2L, "wrld"), (3L, "zzzzz")).toDF("bid", "bs")
+    val vocab = Seq(
+      ("helo", 1L),    // exact match at dist 0 beats everything
+      ("hello", 99L),
+      ("world", 10L),  // dist 1 from wrld (insert o)
+      ("wrle", 80L),   // dist 1 from wrld (sub d->e), higher weight wins
+      ("wrla", 80L)    // dist 1, same weight: lexicographic -> wrla
+    ).toDF("word", "cnt")
+    val got = FuzzyJoin.bestMatch(bad, "bid", "bs", vocab, "word", "cnt", maxDist = 1)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "helo", 0L, 1L)), "dist 0 beats higher-weight dist 1")
+    assert(got(2L) === ((2L, "wrla", 1L, 80L)),
+      "highest weight among dist-1 candidates, lexicographic on weight ties")
+    assert(!got.contains(3L), "no candidate within the radius")
+  }
+
   test("deletion-neighborhood blocking is lossless vs brute force at d = 1") {
     val words = Seq("paris", "pairs", "parks", "spark", "sparks", "park",
       "lemon", "melon", "money", "monet").zipWithIndex
