@@ -300,6 +300,51 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("__kept"), lit(0L))).cast(LongType).as("n_dropped"))
   }
 
+  /** Collocation (phrase) mining — the word2phrase/PMI step that decides
+    * which adjacent token pairs are phrases ("new york") rather than
+    * chance neighbors: lift(a,b) = P(ab) / (P(a)·P(b)) =
+    * n_ab·N / (n_a·n_b), over adjacent pairs with n_ab ≥ `minCount`,
+    * global top-`k` by (lift desc, pair asc). Lift is computed in doubles
+    * with a fixed association order (products stay ≪ 2^1023; both engines
+    * round identically) — a log-PMI would not be bit-portable.
+    *
+    * Scale: one explode over adjacent positions → a (w1, w2) hash
+    * aggregation (partial map-side), unigram counts likewise, the totals
+    * row broadcasts, and the top-k is a TakeOrdered. No windows over
+    * shared keys; the minCount filter prunes the long tail before the
+    * joins.
+    */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1: $minCount/$k")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // Spark's sequence(1, 0) steps DOWNWARD — guard single-token docs
+    val idxs = when(n >= 2, sequence(lit(1), n - 1))
+      .otherwise(array().cast("array<int>"))
+    val bg = df.select(explode(transform(idxs,
+        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val nb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val uni = df.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val tot = uni.agg(sum(col("__c")).as("__n"))
+    val scored = nb
+      .join(uni.select(col("__w").as("w1"), col("__c").as("__ca")), Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__c").as("__cb")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("n_ab").cast(DoubleType) * col("__n").cast(DoubleType)) /
+          (col("__ca").cast(DoubleType) * col("__cb").cast(DoubleType)))
+    val top = scored.orderBy(col("lift").desc, col("w1").asc, col("w2").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+    top.withColumn("rank", row_number().over(w).cast(LongType))
+      .select(col("rank"), col("w1"), col("w2"), col("n_ab"), col("lift"))
+  }
+
   /** Rolling polynomial fingerprint of the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
     * Order-sensitive (unlike a bag-of-words hash) and portable; used for

@@ -153,6 +153,15 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     },
 
+    // phrase mining: top adjacent-pair collocations by lift
+    // (n_ab·N / (n_a·n_b)), pairs seen >= 5 times
+    "q_collocations" -> { (spark, sfDir) =>
+      TextAnalysis.collocations(docs(spark, sfDir), "text", minCount = 5, k = 20)
+        .select(col("rank"), col("w1"), col("w2"), col("n_ab"),
+          e9(col("lift")).as("lift_e9"))
+        .orderBy("rank")
+    },
+
     // LM-frequency quality proxy: mean corpus frequency (ppm) of each
     // doc's token instances — common vocabulary scores high, outliers low
     "q_text_typicality" -> { (spark, sfDir) =>
@@ -272,6 +281,28 @@ object CorpusQueries {
       s"""WITH ${Search.keywordTopKSql("documents", "doc_id", TrainingDataQueries.tok("text"), SearchTerms, 20)}
          |SELECT id AS doc_id, rank, ${e9Sql("score")} AS score_e9
          |FROM topk ORDER BY rank""".stripMargin,
+
+    "q_collocations" ->
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),
+         |bg AS (SELECT w[u.i] AS w1, w[u.i + 1] AS w2
+         |       FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)),
+         |nb AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2
+         |       HAVING count(*) >= 5),
+         |uc AS (SELECT word, count(*) AS c
+         |       FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+         |tot AS (SELECT sum(c) AS n FROM uc),
+         |sc AS (SELECT w1, w2, n_ab,
+         |         (CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE))
+         |           / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+         |       FROM nb JOIN uc a ON a.word = nb.w1
+         |               JOIN uc b ON b.word = nb.w2
+         |               CROSS JOIN tot),
+         |r AS (SELECT w1, w2, n_ab, lift,
+         |        row_number() OVER (ORDER BY lift DESC, w1 ASC, w2 ASC) AS rank
+         |      FROM sc)
+         |SELECT CAST(rank AS BIGINT) AS rank, w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+         |       ${e9Sql("lift")} AS lift_e9
+         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_text_typicality" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${TrainingDataQueries.tok("text")}) AS token

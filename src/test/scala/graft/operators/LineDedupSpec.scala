@@ -57,6 +57,22 @@ class LineDedupSpec extends SparkSpec {
     assert(got.toSeq === Seq(("data.org", 1L, 1L), ("example.com", 2L, 3L)))
   }
 
+  test("collocations: a glued pair outranks chance neighbors; minCount prunes") {
+    import org.apache.spark.sql.functions.col
+    // "new york" always adjacent (lift high); filler words pair randomly
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"a b new york c d" + (if (i % 2 == 0) " a d" else " b c"))
+    }.toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5, k = 5)
+      .select(col("rank"), col("w1"), col("w2"), col("n_ab"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(got.head._2 === "new" && got.head._3 === "york",
+      s"expected (new, york) first, got ${got.head}")
+    assert(got.head._4 === 30L)
+    // every reported pair met the support threshold
+    assert(got.forall(_._4 >= 5L))
+  }
+
   test("custom separator with regex metacharacters is treated literally") {
     val df = Seq(
       (1L, "a|b|common"), (2L, "c|common"), (3L, "d|common")
