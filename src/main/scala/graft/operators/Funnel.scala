@@ -31,7 +31,11 @@ object Funnel {
         .as("__evs"))
       .select(col(userCol),
         transform(col("__evs"), e => e.getField(typeCol)).as("__tps"),
-        transform(col("__evs"), e => unix_micros(e.getField(tsCol))).as("__tss"))
+        // tolerant of integer epoch columns, like AsOfJoin: cast first so
+        // funnelDepth (which never reads __tss) keeps its wider input domain
+        transform(col("__evs"),
+          e => unix_micros(e.getField(tsCol).cast(org.apache.spark.sql.types.TimestampType)))
+          .as("__tss"))
 
   /** idx_k = 1-based position of the k-th matched step in `__tps`, 0 when
     * the chain broke; each step searches only the suffix after the
@@ -101,8 +105,15 @@ object Funnel {
     */
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
+    // FLOOR division (not DIV's truncate-toward-zero): pre-1970 timestamps
+    // would otherwise merge the two epoch-adjacent weeks. The double detour
+    // is exact: epoch-us magnitudes sit far below 2^53, and an integer
+    // quotient boundary is never within 1 ulp of a non-multiple (the
+    // remainder is >= 1 whole microsecond). Column-based (no SQL-string
+    // splicing), so unusual column names resolve like everywhere else.
+    val us = unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
     val uw = df.select(col(userCol).as("__u"),
-        expr(s"CAST(unix_micros($tsCol) DIV $weekUs AS BIGINT)").as("__w"))
+        floor(us / lit(weekUs.toDouble)).cast(LongType).as("__w"))
       .distinct()
     val cohort = uw.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
     uw.join(cohort, Seq("__u"))

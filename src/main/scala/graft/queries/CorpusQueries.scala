@@ -50,7 +50,7 @@ object CorpusQueries {
       val vocab = d.select(explode(toks).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
       val bad = d.where(col("doc_id") % 10 === 0)
-        .select(expr("try_element_at(filter(split(lower(text), '\\\\s+'), x -> x != ''), 3)").as("w3"))
+        .select(try_element_at(toks, lit(3)).as("w3"))
         .where(length(col("w3")) >= 4)
         .select(concat(substring(col("w3"), 1, 1),
           expr("substring(w3, 3, length(w3))")).as("bad"))
@@ -373,9 +373,11 @@ object CorpusQueries {
          |FROM d${steps.size - 1} ORDER BY user_id""".stripMargin
     },
 
+    // FLOOR-division weeks, matching the operator (exactness argument in
+    // Funnel.retentionCohorts — epoch-us values sit far below 2^53)
     "q_retention" ->
       s"""WITH uw AS (SELECT DISTINCT user_id AS u,
-         |              epoch_us(CAST(ts AS TIMESTAMP)) // ${7L * 86400L * 1000000L} AS w
+         |              CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / ${7L * 86400L * 1000000L}.0) AS BIGINT) AS w
          |            FROM events),
          |c AS (SELECT u, min(w) AS cw FROM uw GROUP BY u)
          |SELECT CAST(c.cw AS BIGINT) AS cohort_week,

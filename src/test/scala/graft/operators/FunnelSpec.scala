@@ -79,21 +79,6 @@ class FunnelSpec extends SparkSpec {
       (1L, 0L) -> 1L, (1L, 1L) -> 1L)) // user 2
   }
 
-  test("corpusTypicality: common vocabulary outscores rare; empty doc scores 0") {
-    val df = Seq(
-      (1L, "the cat and the dog"),  // all common-ish tokens
-      (2L, "zyx qwv"),              // singletons
-      (3L, "")).toDF("id", "text")
-    val got = TextAnalysis.corpusTypicality(df, "id", "text")
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    // total tokens = 7; ppm: the=2/7, others 1/7
-    val p1 = 1000000L / 7
-    val p2 = 2 * 1000000L / 7
-    assert(got(1L) === ((1L, 5L, (p2 * 2 + p1 * 3) / 5)))
-    assert(got(2L) === ((2L, 2L, p1)))
-    assert(got(3L) === ((3L, 0L, 0L)))
-  }
-
   test("funnelCounts is the suffix-sum conversion table") {
     val df = ev(
       (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),

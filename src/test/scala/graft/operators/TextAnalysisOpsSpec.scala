@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.SparkSpec
 
-class LineDedupSpec extends SparkSpec {
+/** Specs for the TextAnalysis corpus operators added in round 5: line
+  * dedup, URL/domain extraction, collocations, and typicality. */
+class TextAnalysisOpsSpec extends SparkSpec {
   import spark.implicits._
 
   test("lines in >= maxDocFreq docs are dropped; order and counts preserved") {
@@ -55,6 +57,22 @@ class LineDedupSpec extends SparkSpec {
     val got = TextAnalysis.domainStats(df, "id", "text")
       .as[(String, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq === Seq(("data.org", 1L, 1L), ("example.com", 2L, 3L)))
+  }
+
+  test("corpusTypicality: common vocabulary outscores rare; empty doc scores 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog"),  // all common-ish tokens
+      (2L, "zyx qwv"),              // singletons
+      (3L, "")).toDF("id", "text")
+    val got = TextAnalysis.corpusTypicality(df, "id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // total tokens = 7; ppm: the=2/7, others 1/7
+    val p1 = 1000000L / 7
+    val p2 = 2 * 1000000L / 7
+    assert(got(1L) === ((1L, 5L, (p2 * 2 + p1 * 3) / 5)))
+    assert(got(2L) === ((2L, 2L, p1)))
+    assert(got(3L) === ((3L, 0L, 0L)))
   }
 
   test("collocations: a glued pair outranks chance neighbors; minCount prunes") {
