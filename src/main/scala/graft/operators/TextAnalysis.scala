@@ -318,13 +318,12 @@ object TextAnalysis {
                    minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1: $minCount/$k")
     val toks = tokens(col(textCol))
-    val n = size(toks)
-    // Spark's sequence(1, 0) steps DOWNWARD — guard single-token docs
-    val idxs = when(n >= 2, sequence(lit(1), n - 1))
-      .otherwise(array().cast("array<int>"))
-    val bg = df.select(explode(transform(idxs,
-        i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
-        .as("__bg"))
+    // adjacent pairs by zipping the array with its own shift — NOT an
+    // element_at-per-index lambda, which re-evaluates the tokenization
+    // subtree once per element (O(tokens²) regex work per row)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bg = df.select(explode(arrays_zip(
+        slice(toks, lit(1), n1).as("w1"), slice(toks, lit(2), n1).as("w2"))).as("__bg"))
       .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
     val nb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
