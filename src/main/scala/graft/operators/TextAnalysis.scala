@@ -207,16 +207,19 @@ object TextAnalysis {
     * partitions, no driver state.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    // tokenize ONCE into a bound column: slice(tokens(text), i, 2) inside
+    // the index lambda would re-run the regex split per 2-gram index
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val n = size(toks)
     // raw (non-distinct) 2-grams; a single-token doc yields its one token
     val grams = transform(sequence(lit(1), greatest(n - 1, lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(2))))
     val total2 = size(grams)
-    val proj = df.select(col(idCol), n.cast(LongType).as("n_tokens"),
+    val proj = base.select(col(idCol), n.cast(LongType).as("n_tokens"),
       ((total2 - size(array_distinct(grams))).cast(DoubleType) /
         total2.cast(DoubleType)).as("dup_2gram_ratio"))
-    val maxTf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val maxTf = base.select(col(idCol), explode(toks).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .groupBy(col(idCol)).agg(max(col("tf")).as("max_tf"))
     proj.join(maxTf, Seq(idCol))
