@@ -68,11 +68,20 @@ object Chunking {
     *
     * Emits (idCol, n_tokens, shard, pack, pack_pos): pack ids count from 0
     * within each shard; pack_pos is the document's position in its pack.
+    *
+    * Contract: `idCol` must be an integral column — the walk order is the
+    * NUMERIC id order (2 before 10, where a string sort would interleave).
+    * Rejected eagerly rather than silently cast: a string id would cast to
+    * NULL and crash the typed encoder mid-job.
     */
   def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
                     budget: Long, numShards: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
     require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(idType.typeName),
+      s"packSequences requires an integral id column; '$idCol' is $idType " +
+        "(map a surrogate long id first, e.g. via Loader's id column)")
     val spark = df.sparkSession
     import spark.implicits._
     val shard = PortableHash.hmod(col(idCol).cast("string")) % numShards

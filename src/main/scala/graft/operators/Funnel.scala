@@ -123,7 +123,9 @@ object Funnel {
   }
 
   /** The funnel summary: users reaching at least each depth (the classic
-    * conversion table). Depth d row counts users with depth ≥ d, d ≥ 1. */
+    * conversion table). One row per step d ∈ [1, steps.size] ALWAYS —
+    * a step nobody reaches reports n_users = 0 rather than vanishing
+    * (the suffix-sum frame left-joins onto the full step range). */
   def funnelCounts(df: DataFrame, userCol: String, tsCol: String,
                    tieCol: String, typeCol: String,
                    steps: Seq[String]): DataFrame = {
@@ -131,11 +133,13 @@ object Funnel {
     val byDepth = d.groupBy(col("depth")).agg(count(lit(1)).as("__n"))
     // suffix-sum over at most steps.size+1 rows — a broadcastable frame
     val steps_ = steps.indices.map(i => i + 1)
-    val exploded = byDepth.select(col("depth"), col("__n"),
+    val reached = byDepth.select(col("depth"), col("__n"),
       explode(array(steps_.map(lit): _*)).as("at_least"))
       .where(col("depth") >= col("at_least"))
-      .groupBy(col("at_least")).agg(sum(col("__n")).as("n_users"))
-    exploded.select(col("at_least").cast(LongType).as("step"),
-      col("n_users").cast(LongType))
+      .groupBy(col("at_least")).agg(sum(col("__n")).as("__users"))
+    val allSteps = d.sparkSession.range(1, steps.size + 1L).toDF("at_least")
+    allSteps.join(reached, Seq("at_least"), "left")
+      .select(col("at_least").cast(LongType).as("step"),
+        coalesce(col("__users"), lit(0L)).cast(LongType).as("n_users"))
   }
 }

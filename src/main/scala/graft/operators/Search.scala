@@ -36,7 +36,10 @@ object Search {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k >= 1, s"k must be >= 1: $k")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // NULL text must score as an empty document, not poison the corpus
+    // stats: size(tokens(NULL)) would contribute a NULL/-1 __dl into
+    // N/sumdl/avgdl and skew EVERY document's score.
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast(LongType).as(s"__tf$i")
     }

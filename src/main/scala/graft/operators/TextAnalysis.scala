@@ -279,8 +279,11 @@ object TextAnalysis {
   def dropCommonLines(df: DataFrame, idCol: String, textCol: String,
                       maxDocFreq: Long, sep: String = "\n"): DataFrame = {
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2: $maxDocFreq")
+    // NULL text = one empty line (split(NULL) would drop the doc from the
+    // explode AND emit n_lines = NULL/-1 in the final projection)
+    val txt = coalesce(col(textCol), lit(""))
     val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        posexplode(split(txt, java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "line")))
     val common = lines.groupBy("line")
       .agg(count_distinct(col(idCol)).as("__df"))
@@ -294,7 +297,7 @@ object TextAnalysis {
         concat_ws(sep, transform(col("__ls"), s => s.getField("line"))).as("clean_text"),
         col("__kept"))
     df.select(col(idCol),
-        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        size(split(txt, java.util.regex.Pattern.quote(sep)))
           .cast(LongType).as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
@@ -320,7 +323,9 @@ object TextAnalysis {
   def collocations(df: DataFrame, textCol: String,
                    minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1, s"minCount/k must be >= 1: $minCount/$k")
-    val toks = tokens(col(textCol))
+    // NULL text tokenizes as empty (slice/arrays_zip over a NULL array
+    // would propagate NULLs instead of contributing zero bigrams)
+    val toks = tokens(coalesce(col(textCol), lit("")))
     // adjacent pairs by zipping the array with its own shift — NOT an
     // element_at-per-index lambda, which re-evaluates the tokenization
     // subtree once per element (O(tokens²) regex work per row)

@@ -110,7 +110,10 @@ object ExtensionQueries {
       ab.crossJoin(ex)
         .select(KmvSketch.estimate(u, 64).as("union_est"),
           expr(ov).cast("long").as("overlap"),
-          expr(s"CAST($ov * 1000000 DIV size($u) AS BIGINT)").as("jaccard_e6"),
+          // guard the empty-union case (neither event type present): DuckDB
+          // raises on /0 where non-ANSI Spark would yield NULL — define 0
+          expr(s"CAST(CASE WHEN size($u) = 0 THEN 0 ELSE $ov * 1000000 DIV size($u) END AS BIGINT)")
+            .as("jaccard_e6"),
           col("exact_union"), col("exact_intersection"))
     },
 
@@ -325,7 +328,7 @@ object ExtensionQueries {
          |             FROM ev GROUP BY user_id))
          |SELECT ${KmvSketch.estimateSql(u, 64)} AS union_est,
          |       CAST($ov AS BIGINT) AS overlap,
-         |       CAST($ov * 1000000 // len($u) AS BIGINT) AS jaccard_e6,
+         |       CAST(CASE WHEN len($u) = 0 THEN 0 ELSE $ov * 1000000 // len($u) END AS BIGINT) AS jaccard_e6,
          |       exact_union, exact_intersection
          |FROM bufs CROSS JOIN ex""".stripMargin
     },

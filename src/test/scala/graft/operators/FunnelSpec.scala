@@ -89,4 +89,14 @@ class FunnelSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("funnelCounts keeps zero-conversion steps (n_users = 0)") {
+    // nobody buys: step 3 must still appear with 0, not vanish
+    val df = ev(
+      (1L, 1L, "view"), (1L, 2L, "click"),
+      (2L, 1L, "view"))
+    val got = Funnel.funnelCounts(df, "user", "ts", "eid", "tp", steps)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 0L))
+  }
 }

@@ -55,4 +55,12 @@ class PackingSpec extends SparkSpec {
     assert(only.map(r => (r._1, r._4, r._5)).sortBy(_._1).toSeq ===
       all.filter(_._3 == someShard).map(r => (r._1, r._4, r._5)).sortBy(_._1).toSeq)
   }
+
+  test("a non-integral id column is rejected eagerly, not cast to NULL") {
+    val df = Seq(("a", 5L), ("b", 7L)).toDF("id", "n")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.packSequences(df, "id", "n", 40, numShards = 2)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
 }

@@ -48,6 +48,17 @@ class SearchSpec extends SparkSpec {
     assert(got.length === 2)
   }
 
+  test("NULL text scores as an empty doc and leaves other scores intact") {
+    val withNull = corpus.union(
+      Seq((6L, null.asInstanceOf[String])).toDF("id", "text"))
+    val got = Search.keywordTopK(withNull, "id", "text", Seq("rare", "common"), k = 10)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(!got.contains(6L)) // empty doc: score 0, excluded
+    // corpus stats now include the empty doc (n=6, sumdl unchanged)
+    val (n, sumdl) = (6L, 17L)
+    assert(got(1L) === bm25(tf = 1, df = 2, dl = 3, n = n, sumdl = sumdl))
+  }
+
   test("tied scores break by id ascending") {
     val tied = Seq((10L, "alpha beta"), (7L, "alpha beta"), (9L, "alpha beta"))
       .toDF("id", "text")

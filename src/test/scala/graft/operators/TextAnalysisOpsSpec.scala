@@ -91,6 +91,26 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got.forall(_._4 >= 5L))
   }
 
+  test("NULL text: dropCommonLines keeps the row as one empty line") {
+    val df = Seq(
+      (1L, "menu\nbody a"), (2L, "menu\nbody b"), (3L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropCommonLines(df, "id", "text", maxDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "body a", 2L, 1L), (2L, "body b", 2L, 1L), (3L, "", 1L, 0L)))
+  }
+
+  test("NULL text contributes zero bigrams to collocations") {
+    val docs = ((0 until 10).map(i => (i.toLong, "new york")) :+
+      (10L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2, k = 3)
+      .select(org.apache.spark.sql.functions.col("w1"),
+        org.apache.spark.sql.functions.col("n_ab"))
+      .as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("new", 10L)))
+  }
+
   test("custom separator with regex metacharacters is treated literally") {
     val df = Seq(
       (1L, "a|b|common"), (2L, "c|common"), (3L, "d|common")
