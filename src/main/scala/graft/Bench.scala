@@ -34,6 +34,8 @@ object Bench {
           org.apache.spark.sql.functions.col("text"), 3)))
       .agg(Map("col" -> "sum")).collect()
     catch { case _: Throwable => }
+    val loadBefore = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -43,10 +45,22 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    val loadAfter = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // load averages adjudicate contention: timings from a loaded box (other
+    // JVMs sharing the 32 cores) are inflated 2-3x and not comparable
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}"""
+    println(json)
+    // stdout tails get truncated by log collectors (r4/r5 both shipped
+    // partial BENCH files) — always persist the full line to a file too
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => } // a read-only target must not fail the bench
     spark.stop()
   }
 }

@@ -129,6 +129,38 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** The per-epoch shuffle key for `key` at `epoch`:
+    * hash(key ‖ '#' ‖ epoch). Distinct epochs derive independent
+    * pseudo-random orders from the same corpus; the same epoch always
+    * derives the same order. Collisions tie-break on the key itself
+    * (see [[epochOrder]]), keeping the permutation total. */
+  def epochKey(key: Column, epoch: Long): Column =
+    PortableHash.hmod(concat(key.cast("string"), lit("#"), lit(epoch.toString)))
+
+  /** Deterministic epoch shuffle: the training-data serving order for
+    * `epoch` as a global sort by [[epochKey]] (ties by key). Properties a
+    * training loop needs and `df.orderBy(rand())` cannot give:
+    *   - reproducible: re-runs, task retries, engine versions, and INPUT
+    *     PARTITIONING all yield the identical order (the key depends only
+    *     on the row's key and the epoch number);
+    *   - epoch-independent: orders for different epochs are unrelated
+    *     (the epoch number is hashed INTO the key, not added to it);
+    *   - reshardable: the order is a value, so any consumer can re-derive
+    *     a row's position — resuming mid-epoch is a WHERE on epoch_key.
+    *
+    * Scale: one distributed range sort (Spark samples split points and
+    * writes sorted runs per partition) — the same cost as any global
+    * orderBy; no window, no single-partition stage, no driver state.
+    * Emits the input columns plus `epoch_key`.
+    */
+  def epochOrder(df: DataFrame, keyCol: String, epoch: Long): DataFrame =
+    df.withColumn("epoch_key", epochKey(col(keyCol), epoch))
+      .orderBy(col("epoch_key"), col(keyCol).cast("string"))
+
+  /** The DuckDB spelling of [[epochKey]] over SQL fragment `key`. */
+  def epochKeySql(key: String, epoch: Long): String =
+    PortableHash.hmodSql(s"CAST($key AS VARCHAR) || '#' || '$epoch'")
+
   /** The DuckDB spelling of [[splitAssign]]'s `split` expression. */
   def splitAssignSql(key: String, splits: Seq[(String, Double)],
                      defaultSplit: String = "rest"): String = {

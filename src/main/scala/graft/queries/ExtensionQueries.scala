@@ -63,6 +63,24 @@ object ExtensionQueries {
         .orderBy("o_orderkey")
     },
 
+    // deterministic epoch shuffle: the first 100 serving positions of two
+    // training epochs — same corpus, unrelated orders, each reproducible
+    // bit-for-bit (the oracle re-derives both permutations independently)
+    "q_epoch_shuffle" -> { (spark, sfDir) =>
+      val docs = new graft.etl.Catalog(spark, sfDir).table("documents")
+        .select(col("doc_id"))
+      def epochTop(e: Long): DataFrame = {
+        // orderBy+limit = TakeOrdered (per-partition heap, k-row driver
+        // merge); the rank window then runs over 100 rows only
+        val head = Sampling.epochOrder(docs, "doc_id", e).limit(100)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("epoch_key"), col("doc_id"))
+        head.withColumn("rank", row_number().over(w).cast("long"))
+          .select(lit(e).as("epoch"), col("rank"), col("doc_id"), col("epoch_key"))
+      }
+      epochTop(0L).unionAll(epochTop(1L))
+    },
+
     // KMV sketch (custom typed Aggregator/UDAF) vs the exact distinct count
     "q_sketch_kmv" -> { (spark, sfDir) =>
       val li = new graft.etl.Catalog(spark, sfDir).table("lineitem")
@@ -301,6 +319,19 @@ object ExtensionQueries {
       s"""SELECT o_orderkey,
          |  ${Sampling.splitAssignSql("o_orderkey", Seq("train" -> 0.8, "val" -> 0.1), "test")} AS split
          |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_epoch_shuffle" -> {
+      def epochTop(e: Long): String =
+        s"""(SELECT CAST($e AS BIGINT) AS epoch,
+           |        CAST(row_number() OVER (ORDER BY epoch_key, doc_id) AS BIGINT) AS rank,
+           |        doc_id, epoch_key
+           | FROM (SELECT doc_id, ${Sampling.epochKeySql("doc_id", e)} AS epoch_key
+           |       FROM documents)
+           | ORDER BY epoch_key, doc_id LIMIT 100)""".stripMargin
+      s"""SELECT * FROM ${epochTop(0L)}
+         |UNION ALL
+         |SELECT * FROM ${epochTop(1L)}""".stripMargin
+    },
 
     "q_sketch_kmv" -> {
       val h = PortableHash.hmodSql("CAST(l_partkey AS VARCHAR)")

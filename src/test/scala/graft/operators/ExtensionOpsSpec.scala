@@ -96,6 +96,29 @@ class ExtensionOpsSpec extends SparkSpec {
       "appending rows must not move existing keys across splits")
   }
 
+  test("epochOrder: order is invariant to input partitioning; epochs differ") {
+    val df = spark.range(1, 2001).toDF("k")
+    def order(d: org.apache.spark.sql.DataFrame, e: Long): Seq[Long] =
+      Sampling.epochOrder(d, "k", e).select("k").collect().map(_.getLong(0)).toSeq
+    val e0 = order(df, 0L)
+    // same epoch, radically different partitionings → identical order
+    assert(order(df.repartition(17), 0L) === e0)
+    assert(order(df.coalesce(1), 0L) === e0)
+    // a permutation of the full key set, not a filter
+    assert(e0.toSet === (1L until 2001L).toSet)
+    // different epochs derive unrelated orders (prefix overlap ~ chance)
+    val e1 = order(df, 1L)
+    assert(e1 !== e0)
+    val prefixAgree = e0.take(200).zip(e1.take(200)).count { case (a, b) => a == b }
+    assert(prefixAgree < 10, s"epochs should be unrelated, $prefixAgree/200 positions agree")
+    // reshardable: position is a value — re-deriving the key reproduces it
+    val rederived = df.select(col("k"),
+        Sampling.epochKey(col("k"), 0L).as("ek"))
+      .orderBy(col("ek"), col("k").cast("string"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rederived === e0)
+  }
+
   test("KMV sketch: exact below k, close above k, merge-order-insensitive") {
     val k = 64
     // 40 distinct values (< k): estimate must be EXACT
