@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, LongType, StringType}
 
@@ -24,34 +25,41 @@ import graft.functions.{KmvSketch, PortableHash}
   * over the sentinel-stripped buffer: exact whenever the genuine hashes
   * fit the sketch, estimator otherwise, deterministic in both engines.
   *
-  * Floating-point columns are rejected: min/max and the ndv hash render
-  * through cast-to-string, and double formatting differs across engines
-  * (Spark "1.0E7" vs DuckDB "10000000.0"). Profile a fixed-point
-  * projection (e.g. cents, or PortableHash.e9) instead.
+  * Floating-point columns are profiled on their e9 FIXED-POINT projection
+  * (floor(x·1e9) as BIGINT, [[PortableHash.e9]]): min/max/ndv render and
+  * hash through cast-to-string, and double formatting differs across
+  * engines (Spark "1.0E7" vs DuckDB "10000000.0") where a long renders
+  * identically. The projection is monotone and injective to 1e-9, so
+  * min/max order and (to that resolution) distinct counts carry over;
+  * min_s/max_s for such columns read as nano-units of the original value.
   */
 object Profile {
 
+  /** Float/double/decimal columns switch to the e9 domain. */
+  private def isFloating(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType match {
+      case DoubleType | FloatType | _: DecimalType => true
+      case _ => false
+    }
+
   /** Profile `cols` of `df` in one aggregation; returns one row per column:
     * (column, n, nulls, min_s, max_s, ndv_est), ordered by column name.
+    * Floating-point columns are profiled on their e9 projection (see
+    * class doc); all other columns on their native values.
     */
   def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
-    val floating = cols.filter(c => df.schema(c).dataType match {
-      case DoubleType | FloatType | _: DecimalType => true
-      case _ => false
-    })
-    require(floating.isEmpty,
-      s"profile of floating-point column(s) ${floating.mkString(", ")}: string rendering " +
-        "is engine-specific; profile a fixed-point projection instead")
     val P = PortableHash.P
     val aggs = cols.flatMap { c =>
-      val h = when(col(c).isNull, lit(P))
-        .otherwise(PortableHash.hmod(col(c).cast(StringType)))
+      val v: Column =
+        if (isFloating(df, c)) PortableHash.e9(col(c).cast(DoubleType)) else col(c)
+      val h = when(v.isNull, lit(P))
+        .otherwise(PortableHash.hmod(v.cast(StringType)))
       Seq(
-        count(col(c)).as(s"__n_$c"),
-        (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
-        min(col(c)).cast(StringType).as(s"__min_$c"),
-        max(col(c)).cast(StringType).as(s"__max_$c"),
+        count(v).as(s"__n_$c"),
+        (count(lit(1)) - count(v)).as(s"__nulls_$c"),
+        min(v).cast(StringType).as(s"__min_$c"),
+        max(v).cast(StringType).as(s"__max_$c"),
         KmvSketch.kmv(h, k).as(s"__buf_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -71,5 +79,89 @@ object Profile {
     one.select(explode(array(perCol: _*)).as("__p"))
       .select("__p.column", "__p.n", "__p.nulls", "__p.min_s", "__p.max_s", "__p.ndv_est")
       .orderBy("column")
+  }
+
+  /** EXACT discrete quantiles of numeric columns on the e9 fixed-point
+    * domain: for each column and each q, the smallest value v with
+    * |{x ≤ v}| ≥ ⌈q·n⌉ — computed over ALL rows (multiplicity counts),
+    * nulls excluded, deterministically in integer arithmetic end-to-end
+    * (the threshold is (q_ppm·n + 999999) div 10⁶, never a libm ceil).
+    * e9 is monotone, so these ARE the e9 images of the raw-value
+    * quantiles. Returns (column, q_ppm, value_e9), one row per
+    * (column, q); a column with no non-null values contributes no rows.
+    *
+    * Scale design — the textbook single-partition cumulative window is
+    * exactly what this avoids: quantiles need a GLOBAL running count over
+    * the value order, and `sum() OVER (ORDER BY v)` with no partition key
+    * buffers the whole value domain (≈ row count for a double column at
+    * 100 TB) on one task. Instead, the classic distributed prefix sum:
+    *   1. one hash aggregation to the (column, v, count) table
+    *      (partial map-side — the shuffle carries distinct values only);
+    *   2. range-repartition by (column, v) — Spark's sampled range
+    *      exchange, the same machinery as any global orderBy;
+    *   3. per-partition cumsums via a window keyed on the PARTITION ID
+    *      (bounded by maxRecordsPerBatch within one range split);
+    *   4. per-partition totals (one tiny aggregation, ≤ numPartitions
+    *      rows per column) cumsum'd into offsets and broadcast back.
+    * The partition-id keyed frame is persisted so steps 3 and 4 read the
+    * SAME physical partitioning (range-exchange split points are sampled;
+    * recomputation could legally resample), then released after the
+    * result materializes. No step holds more than one range split or the
+    * offsets table in memory.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    require(cols.nonEmpty, "quantiles of zero columns")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile fractions must be in (0, 1]: $qs")
+    val qPpms = qs.map(q => math.round(q * 1e6))
+    require(qPpms.distinct.size == qPpms.size, s"duplicate quantiles at ppm resolution: $qs")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          PortableHash.e9(col(c).cast(DoubleType)).as("v"))): _*)).as("__p"))
+      .select(col("__p.column").as("column"), col("__p.v").as("v"))
+      .where(col("v").isNotNull)
+    val counts = pairs.groupBy("column", "v").agg(count(lit(1)).as("c"))
+    val parted = counts.repartitionByRange(col("column"), col("v"))
+      .withColumn("pid", spark_partition_id().cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = parted.withColumn("lcum",
+      sum(col("c")).over(Window.partitionBy("pid", "column").orderBy("v")))
+    val offsets = parted.groupBy("column", "pid").agg(sum(col("c")).as("pc"))
+      .withColumn("off", coalesce(
+        sum(col("pc")).over(Window.partitionBy("column").orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("column"), col("pid"), col("off"))
+    val ns = counts.groupBy("column").agg(sum(col("c")).as("n"))
+    val thresholds = ns.select(col("column"), col("n"),
+        explode(array(qPpms.map(lit): _*)).as("q_ppm"))
+      .select(col("column"), col("q_ppm"),
+        expr("CAST((q_ppm * n + 999999) DIV 1000000 AS BIGINT)").as("t"))
+    val result = local.join(broadcast(offsets), Seq("column", "pid"))
+      .withColumn("cum", col("lcum") + col("off"))
+      .join(broadcast(thresholds), Seq("column"))
+      .where(col("cum") >= col("t"))
+      .groupBy(col("column"), col("q_ppm"))
+      .agg(min(col("v")).as("value_e9"))
+      .orderBy("column", "q_ppm")
+    Dedup.materializeAndRelease(result, parted)
+  }
+
+  /** The DuckDB spelling of [[quantiles]] for one column `c` of table
+    * `src`: a complete SELECT yielding ("column", q_ppm, value_e9) — the
+    * caller UNION ALLs one per column. The cumulative window the Spark
+    * side refuses at scale is fine in the single-node oracle — both
+    * compute the same integer-threshold definition.
+    */
+  def quantilesSql(src: String, c: String, qs: Seq[Double]): String = {
+    val qPpms = qs.map(q => math.round(q * 1e6))
+    s"""SELECT '$c' AS "column", CAST(q_ppm AS BIGINT) AS q_ppm,
+       |  (SELECT min(v) FROM
+       |    (SELECT v, sum(cn) OVER (ORDER BY v) AS cum FROM
+       |      (SELECT ${PortableHash.e9Sql(s"CAST($c AS DOUBLE)")} AS v, count(*) AS cn
+       |       FROM $src WHERE $c IS NOT NULL GROUP BY 1))
+       |   WHERE cum >= (q_ppm * nn.n + 999999) // 1000000) AS value_e9
+       |FROM (SELECT unnest([${qPpms.mkString(", ")}]) AS q_ppm)
+       |CROSS JOIN (SELECT CAST(count($c) AS BIGINT) AS n FROM $src) nn
+       |WHERE nn.n > 0""".stripMargin
   }
 }

@@ -160,6 +160,26 @@ object ExtensionQueries {
       graft.operators.Profile.profile(o, Seq("o_orderkey", "o_orderstatus", "ck"), k = 256)
     },
 
+    // float columns profile on the e9 fixed-point domain (the r5 verdict's
+    // "cannot profile a metric column" gap): min/max/ndv over floor(x·1e9)
+    // longs render identically in both engines; disc injects nulls
+    "q_profile_floats" -> { (spark, sfDir) =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_extendedprice"),
+          when(col("l_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("l_discount")).as("disc"))
+      graft.operators.Profile.profile(li, Seq("disc", "l_extendedprice"), k = 256)
+    },
+
+    // exact distributed quantiles of double columns (distributed prefix
+    // sum over the value-count table — no single-partition window)
+    "q_quantiles" -> { (spark, sfDir) =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_extendedprice"), col("l_discount"))
+      graft.operators.Profile.quantiles(li, Seq("l_discount", "l_extendedprice"),
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0))
+    },
+
     // JDBC round-trip through embedded Derby: seed the database from the
     // parquet table, extract back through the pushdown JDBC source (the
     // reference's actual source type is a SQL database), load, read. The
@@ -392,6 +412,34 @@ object ExtensionQueries {
          |  FROM orders)
          |${Seq("ck", "o_orderkey", "o_orderstatus").map(colSql).mkString("\nUNION ALL\n")}
          |ORDER BY "column"""".stripMargin
+    },
+
+    "q_profile_floats" -> {
+      // float columns profile on v = floor(x·1e9) — the oracle projects the
+      // same domain, so min/max/ndv hash the identical long strings
+      def colSql(c: String): String = {
+        val hs = s"list(${PortableHash.hmodSql(s"CAST(v_$c AS VARCHAR)")}) FILTER (WHERE v_$c IS NOT NULL)"
+        s"""SELECT '$c' AS "column", CAST(count(v_$c) AS BIGINT) AS n,
+           |  CAST(count(*) - count(v_$c) AS BIGINT) AS nulls,
+           |  CAST(min(v_$c) AS VARCHAR) AS min_s, CAST(max(v_$c) AS VARCHAR) AS max_s,
+           |  CAST(${KmvSketch.estimateSql(hs, 256)} AS BIGINT) AS ndv_est
+           |FROM src""".stripMargin
+      }
+      s"""WITH src AS (SELECT
+         |  ${PortableHash.e9Sql("CAST(l_extendedprice AS DOUBLE)")} AS v_l_extendedprice,
+         |  CASE WHEN l_orderkey % 7 = 0 THEN NULL
+         |       ELSE ${PortableHash.e9Sql("CAST(l_discount AS DOUBLE)")} END AS v_disc
+         |  FROM lineitem)
+         |${Seq("disc", "l_extendedprice").map(colSql).mkString("\nUNION ALL\n")}
+         |ORDER BY "column"""".stripMargin
+    },
+
+    "q_quantiles" -> {
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+      s"""${graft.operators.Profile.quantilesSql("lineitem", "l_discount", qs)}
+         |UNION ALL
+         |${graft.operators.Profile.quantilesSql("lineitem", "l_extendedprice", qs)}
+         |ORDER BY "column", q_ppm""".stripMargin
     },
 
     "q_source_jdbc" ->

@@ -119,6 +119,50 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(rederived === e0)
   }
 
+  test("quantiles: exact discrete quantiles, multiplicity-aware, null-free") {
+    import graft.operators.Profile
+    import spark.implicits._
+    // 100 rows of value i/10.0 (i = 1..100) plus nulls: quantile q = the
+    // smallest v with count(<= v) >= ceil(q*100)
+    val df = (1 to 100).map(i => (i.toLong, Some(i / 10.0))).toDF("k", "x")
+      .union(Seq((101L, None: Option[Double]), (102L, None)).toDF("k", "x"))
+    val got = Profile.quantiles(df, Seq("x"), Seq(0.01, 0.5, 0.99, 1.0))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    def e9(d: Double): Long = math.floor(d * 1e9).toLong
+    assert(got === Map(
+      10000L -> e9(0.1),    // ceil(0.01*100)=1st value
+      500000L -> e9(5.0),   // 50th
+      990000L -> e9(9.9),   // 99th
+      1000000L -> e9(10.0)))// max
+    // multiplicity: 99 copies of 1.0 and one 100.0 → median is 1.0
+    val skew = (Seq.fill(99)(1.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("k", "x")
+    val m = Profile.quantiles(skew, Seq("x"), Seq(0.5)).collect()
+    assert(m.head.getLong(2) === e9(1.0))
+  }
+
+  test("quantiles: result is invariant to input partitioning") {
+    import graft.operators.Profile
+    import spark.implicits._
+    val base = (1 to 5000).map(i => (i.toLong, (i % 37).toDouble / 7.0)).toDF("k", "x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.quantiles(d, Seq("x"), Seq(0.25, 0.5, 0.75)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run(base)
+    assert(run(base.repartition(23)) === a)
+    assert(run(base.coalesce(1)) === a)
+  }
+
+  test("profile accepts float columns on the e9 domain") {
+    import graft.operators.Profile
+    import spark.implicits._
+    val df = Seq((1L, 1.25), (2L, 2.5), (3L, 2.5)).toDF("k", "x")
+    val row = Profile.profile(df, Seq("x")).collect().head
+    assert(row.getString(0) === "x" && row.getLong(1) === 3L)
+    assert(row.getString(3) === "1250000000" && row.getString(4) === "2500000000")
+    assert(row.getLong(5) === 2L)
+  }
+
   test("KMV sketch: exact below k, close above k, merge-order-insensitive") {
     val k = 64
     // 40 distinct values (< k): estimate must be EXACT
