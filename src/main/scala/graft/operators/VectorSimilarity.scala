@@ -374,4 +374,59 @@ object VectorSimilarity {
       .select("id_a", "id_b", "cosine")
     Dedup.materializeAndRelease(pairs, withB +: guardCaches: _*)
   }
+
+  /** TWO-FRAME embedding near-dup: cosine ≥ threshold pairs between a NEW
+    * batch (or benchmark) and an existing corpus — the semantic twin of
+    * [[graft.operators.Dedup.minHashPairsAgainst]]. This is the shape of
+    * the two most common embedding-dedup calls at 100 TB: semantic
+    * benchmark decontamination (benchmark embeddings vs the training
+    * corpus) and incremental ingest dedup (arriving batch vs corpus) —
+    * both previously forced through the corpus×corpus self-join of
+    * [[cosineNearDupPairs]] on a unioned frame.
+    *
+    * The corpus NEVER self-joins: candidates are batch-bucket ×
+    * corpus-bucket only, so per-batch cost is O(batch + corpus) bucket
+    * rows + the candidate verification, independent of corpus pair
+    * density. Hot corpus buckets (> maxBucket vectors — the mass-duplicate
+    * cluster case) are capped to their MINIMUM-id member, so a batch
+    * vector colliding with such a cluster still links to the cluster's
+    * canonical vector (the recall contract of
+    * [[graft.operators.Dedup.guardedBucketPairs]]).
+    *
+    * Returns (new_id, corpus_id, cosine), threshold-verified exactly.
+    */
+  def cosineNearDupPairsAgainst(newDf: DataFrame, corpus: DataFrame,
+                                idCol: String, vecCol: String,
+                                threshold: Double, numPlanes: Int, dim: Int,
+                                maxBucket: Int = 4096): DataFrame = {
+    def bucketed(d: DataFrame): DataFrame =
+      d.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        lshBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newB = bucketed(newDf)
+    val corpusB = bucketed(corpus)
+    // hot-bucket census on the CORPUS side only: bounded by rows/maxBucket
+    // keys, so Catalyst broadcasts it into the guard join
+    val hot = corpusB.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bc"), min(col("__id")).as("__bmin"))
+      .where(col("__bc") > maxBucket)
+    val guardedCorpus = corpusB.join(hot, Seq("__bucket"), "left")
+      .where(col("__bc").isNull || col("__id") === col("__bmin"))
+      .select(col("__bucket"), col("__id"))
+    // candidates carry only (bucket, id); vectors join back per surviving
+    // candidate. Each vector lives in exactly ONE sign bucket, so the
+    // candidate set is already distinct — no dedup shuffle.
+    val candidates = newB.select(col("__bucket"), col("__id").as("new_id"))
+      .join(guardedCorpus.select(col("__bucket"), col("__id").as("corpus_id")),
+        Seq("__bucket"))
+      .where(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id")
+    val pairs = candidates
+      .join(newB.select(col("__id").as("new_id"), col("__v").as("__va")), Seq("new_id"))
+      .join(corpusB.select(col("__id").as("corpus_id"), col("__v").as("__vb")), Seq("corpus_id"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select("new_id", "corpus_id", "cosine")
+    Dedup.materializeAndRelease(pairs, newB, corpusB)
+  }
 }

@@ -206,6 +206,21 @@ object TrainingDataQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // SEMANTIC decontamination: "benchmark" embeddings (every 20th vector,
+    // rescaled — same direction, so cosine 1 with its source) pair against
+    // the training corpus WITHOUT a corpus self-join — the two-frame
+    // embedding twin of q_dedup_incremental
+    "q_decontaminate_semantic" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val bench = e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5)).cast(FloatType)).as("embedding"))
+      VectorSimilarity.cosineNearDupPairsAgainst(bench, e, "vec_id", "embedding",
+          threshold = 0.99, numPlanes = 6, dim = 64)
+        .select(col("new_id"), col("corpus_id"), e9(col("cosine")).as("cosine_e9"))
+        .orderBy("new_id", "corpus_id")
+    },
+
     // the generic drop ACTION over a NON-text pair source: embedding
     // near-dup pairs → components → keep the canonical vector per cluster
     "q_dedup_drop_embedding" -> { (spark, sfDir) =>
@@ -307,11 +322,10 @@ object TrainingDataQueries {
       s"(CAST($j AS BIGINT), CAST($vs AS DOUBLE[]))"
     }.mkString(",\n  ")
 
-  /** (vec_id, embedding, bucket) over relation `src(vec_id, embedding)`. */
-  private[queries] def bucketSql(src: String, numPlanes: Int, dim: Int): String =
-    s"""planes(j, p) AS (VALUES
-       |  ${planesSql(numPlanes, dim)}),
-       |bk AS (
+  /** A (vec_id, embedding, bucket) CTE named `out` over relation
+    * `src(vec_id, embedding)`; expects `planes(j, p)` already in scope. */
+  private def bucketBodySql(src: String, out: String, dim: Int): String =
+    s"""$out AS (
        |  SELECT vec_id, embedding,
        |         CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM (SELECT s.vec_id, s.embedding, planes.j,
@@ -319,6 +333,12 @@ object TrainingDataQueries {
        |                        i -> CAST(s.embedding[i] AS DOUBLE) * planes.p[i])) AS d
        |        FROM $src s CROSS JOIN planes) x
        |  GROUP BY vec_id, embedding)""".stripMargin
+
+  /** (vec_id, embedding, bucket) over relation `src(vec_id, embedding)`. */
+  private[queries] def bucketSql(src: String, numPlanes: Int, dim: Int): String =
+    s"""planes(j, p) AS (VALUES
+       |  ${planesSql(numPlanes, dim)}),
+       |${bucketBodySql(src, "bk", dim)}""".stripMargin
 
   /** Cosine of two DOUBLE-castable list columns, same association order as
     * [[VectorSimilarity.cosine]]. */
@@ -646,6 +666,23 @@ object TrainingDataQueries {
          |sc AS (SELECT id_a, id_b, $cosineSql AS cos FROM pairs)
          |SELECT id_a, id_b, ${e9Sql("cos")} AS cosine_e9
          |FROM sc WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decontaminate_semantic" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |bench AS (
+         |  SELECT vec_id + 100000 AS vec_id,
+         |         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |planes(j, p) AS (VALUES
+         |  ${planesSql(6, 64)}),
+         |${bucketBodySql("corpus", "cbk", 64)},
+         |${bucketBodySql("bench", "nbk", 64)},
+         |pairs AS (SELECT n.vec_id AS new_id, c.vec_id AS corpus_id,
+         |                 n.embedding AS ea, c.embedding AS eb
+         |          FROM nbk n JOIN cbk c ON n.bucket = c.bucket AND n.vec_id <> c.vec_id),
+         |sc AS (SELECT new_id, corpus_id, $cosineSql AS cos FROM pairs)
+         |SELECT new_id, corpus_id, ${e9Sql("cos")} AS cosine_e9
+         |FROM sc WHERE cos >= 0.99 ORDER BY new_id, corpus_id""".stripMargin,
 
     "q_dedup_drop_embedding" ->
       s"""WITH RECURSIVE corpus AS (

@@ -120,6 +120,36 @@ class DedupGuardSpec extends SparkSpec {
     assert(got.forall { case (n, c) => n - 100L == c }, s"unexpected pairs: $got")
   }
 
+  test("cosineNearDupPairsAgainst: batch-vs-corpus only, guard caps hot corpus buckets") {
+    val spark0 = spark
+    import spark0.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(i => (math.sin(seed * 31 + i) * 10).toFloat)
+    // corpus: 40 identical copies of one embedding (a mass-dup cluster,
+    // ids 0-39, so the cluster's min id is also its bucket's min) plus 10
+    // distinct vectors (ids 1000-1009)
+    val corpus = ((0 until 40).map(i => (i.toLong, vec(999))) ++
+      (0 until 10).map(i => (1000L + i, vec(i)))).toDF("vec_id", "embedding")
+    // batch: one probe equal to the hot embedding, one equal to vector
+    // vec(3) (corpus id 1003), one matching nothing
+    val batch = Seq((5000L, vec(999)), (5001L, vec(3)), (5002L, vec(777)))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorSimilarity.cosineNearDupPairsAgainst(batch, corpus,
+      "vec_id", "embedding", threshold = 0.999, numPlanes = 6, dim = 8,
+      maxBucket = 5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot cluster (40 > maxBucket=5) capped to its canonical min id:
+    // probe 5000 links ONCE, to id 0 — never 40 edges
+    assert(got.count(_._1 == 5000L) === 1)
+    assert(got.contains((5000L, 0L)))
+    // the distinct match survives; the no-match probe emits nothing;
+    // and NO corpus-corpus pair ever appears (new_id is always batch-side)
+    assert(got.contains((5001L, 1003L)))
+    assert(got.forall(_._1 >= 5000L), s"corpus-corpus pair leaked: $got")
+  }
+
   test("jaccardPairs size-ratio prefilter sits inside the join, not after the aggregate") {
     val spark0 = spark
     import spark0.implicits._
