@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenization with a FROZEN merge table — the learned
+  * subword tokenizer a training pipeline denominates context windows and
+  * packing budgets in (Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units"). Extension scope beyond the reference.
+  *
+  * Design for cross-engine determinism (the same bar as every oracle-checked
+  * operator here):
+  *   - The merge table is TRAINED ONCE ([[train]], plain deterministic
+  *     Scala — count ties break lexicographically) and frozen as literals
+  *     (see graft.queries.BpeMerges), the IvfCentroids/PqCodebooks pattern:
+  *     one source of truth interpolated into both engines' plans.
+  *   - ENCODE is the exact leftmost merge walk ([[applyMerge]]) in BOTH
+  *     engines, with the merge table entering the plan as DATA (one
+  *     literal list), never as nested per-rule expressions: a rule-per-
+  *     nesting-level fold blows Spark's analyzer iteration budget AND
+  *     DuckDB's binder recursion limit at realistic table sizes. Spark
+  *     runs the walk as a nested `aggregate` ([[encodeWord]]); DuckDB as
+  *     a nested `list_reduce` with a string accumulator whose separator
+  *     marks symbol boundaries — merging appends the right symbol WITHOUT
+  *     a separator ([[encodeWordSql]]). A plain string-replace fold was
+  *     rejected outright: replace() is symbol-boundary-blind ("an a"
+  *     matches into the middle of "an an a") and provably cannot
+  *     implement the merge pass in either engine.
+  *
+  * Scale: encode is a projection over the text column — `numMerges` array
+  * rewrites per word, no shuffle, no UDF, no driver state; it runs at scan
+  * speed over 100 TB and the cost knob is the merge-table size.
+  */
+object Bpe {
+
+  /** Train a BPE merge table from (word, count) frequencies: `numMerges`
+    * rounds of "merge the most frequent adjacent symbol pair" (ties break
+    * on the lexicographically smallest pair, so training is deterministic
+    * for a given word-count table regardless of input order).
+    * Driver-side by design — production runs train once on an aggregated
+    * word-count table (tiny next to the corpus:
+    * `df.groupBy(word).count().collect()`) and freeze the result.
+    */
+  def train(wordCounts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    var words: Seq[(Vector[String], Long)] =
+      wordCounts.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var done = false
+    var round = 0
+    while (round < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        words = words.map { case (syms, c) => (applyMerge(syms, best), c) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One leftmost-non-overlapping merge pass over a symbol sequence —
+    * the reference semantics the encode fold reproduces. */
+  private[functions] def applyMerge(syms: Vector[String],
+                                    m: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == m._1 && syms(i + 1) == m._2) {
+        out += (m._1 + m._2); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one WORD (non-empty, no whitespace) as its BPE symbol array.
+    *
+    * The merge table enters the plan as DATA (one array<struct> literal),
+    * not as code: a nested-merge-table fold would nest one lambda level
+    * per rule and blow the analyzer's resolution budget at realistic table
+    * sizes. Instead ONE outer `aggregate` walks the rule literal and ONE
+    * inner `aggregate` applies the current rule sequentially —
+    *   last(acc) = a ∧ cur = b  →  replace last with "ab", else append —
+    * which IS the reference leftmost walk ([[applyMerge]]), self-pairs
+    * included (the fresh "ab" symbol is strictly longer than a, so it can
+    * never re-match as the same rule's left side). Constant lambda depth,
+    * O(|table|) plan size regardless of table size.
+    */
+  def encodeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    val rules = typedLit(merges)
+    val chars = split(word, "")
+    aggregate(rules, chars, (acc, m) => {
+      val a = m.getField("_1")
+      val b = m.getField("_2")
+      aggregate(acc, typedLit(Seq.empty[String]), (out, x) =>
+        when(size(out) > 0,
+          // lazy when-VALUES: element_at(out, -1) only runs on non-empty out
+          when(element_at(out, lit(-1)) === a && x === b,
+            concat(slice(out, lit(1), size(out) - 1), array(concat(a, b))))
+            .otherwise(concat(out, array(x))))
+          .otherwise(array(x)))
+    })
+  }
+
+  /** BPE tokens of full `text`: lowercased whitespace words, each encoded
+    * independently (word boundaries never merge), flattened in order.
+    * NULL-safe: NULL text yields an empty token array. */
+  def tokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(
+      filter(split(lower(coalesce(text, lit(""))), "\\s+"), t => t =!= lit("")),
+      w => encodeWord(w, merges)))
+
+  /** BPE token count of full `text` — the context-window/packing budget. */
+  def nTokens(text: Column, merges: Seq[(String, String)]): Column =
+    size(tokens(text, merges)).cast("long")
+
+  private def sqlLit(s: String): String = s"'${s.replace("'", "''")}'"
+
+  /** The DuckDB spelling of [[encodeWord]] over word fragment `w`: the
+    * identical data-driven double fold via list_reduce. The accumulator is
+    * a chr(31)-separated symbol string (symbols never contain chr(31):
+    * they are concatenations of word characters, and words come from
+    * whitespace tokenization); "last symbol = a" is therefore exactly
+    * "acc = a OR acc ends with chr(31)||a", and merging appends `b` with
+    * NO separator. list_reduce seeds from the first element, so the word's
+    * initial symbol string is prepended to the rule list and each rule
+    * arrives as "a<chr31>b". */
+  def encodeWordSql(w: String, merges: Seq[(String, String)]): String = {
+    val rules = merges.map { case (a, b) =>
+      s"${sqlLit(a)} || chr(31) || ${sqlLit(b)}"
+    }.mkString("[", ", ", "]")
+    val init = s"array_to_string(string_split($w, ''), chr(31))"
+    val inner =
+      "list_reduce(string_split(acc, chr(31)), (s, x) -> " +
+        "CASE WHEN (s = string_split(r, chr(31))[1] " +
+        "OR ends_with(s, chr(31) || string_split(r, chr(31))[1])) " +
+        "AND x = string_split(r, chr(31))[2] THEN s || x " +
+        "ELSE s || chr(31) || x END)"
+    s"string_split(list_reduce(list_prepend($init, $rules), (acc, r) -> $inner), chr(31))"
+  }
+
+  /** The DuckDB spelling of [[tokens]] over a pre-tokenized word-list
+    * fragment `wordsFrag` (the caller supplies the same whitespace
+    * tokenization the Spark side uses): flattened per-word symbol lists. */
+  def tokensSql(wordsFrag: String, merges: Seq[(String, String)]): String =
+    s"flatten(list_transform($wordsFrag, w -> ${encodeWordSql("w", merges)}))"
+}

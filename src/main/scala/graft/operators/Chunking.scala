@@ -28,17 +28,30 @@ object Chunking {
     * whitespace tokens of the lowercased text ([[TextAnalysis.tokens]]).
     */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
-                  chunkSize: Int, stride: Int): DataFrame = {
-    require(stride >= 1 && stride <= chunkSize,
-      s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+                  chunkSize: Int, stride: Int): DataFrame =
     // NULL text behaves as empty: tokens(NULL) is NULL and explode would
     // silently DROP the row, breaking the every-row-represented contract
-    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    tokenChunksOf(df, idCol,
+      TextAnalysis.tokens(coalesce(col(textCol), lit(""))), chunkSize, stride)
+
+  /** [[tokenChunks]] over an arbitrary token-array expression — the unit a
+    * window counts in is the caller's choice: whitespace words, learned
+    * BPE subwords ([[graft.functions.Bpe.tokens]]), sentences. The token
+    * expression must be NULL-safe (evaluate to an array on every row). */
+  def tokenChunksOf(df: DataFrame, idCol: String, toks0: org.apache.spark.sql.Column,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    // bind the token expression ONCE: n appears three times in the window
+    // arithmetic, and a heavy tokenizer (BPE's replace fold) must not
+    // re-evaluate per mention
+    val bound = df.select(col(idCol), toks0.as("__toks"))
+    val toks = col("__toks")
     val n = size(toks).cast(LongType)
     // last start = ceil(max(n - chunkSize, 0) / stride) * stride, 0-based
     val m = greatest(n - chunkSize, lit(0L))
     val lastStart = floor((m + stride - 1) / lit(stride.toLong)).cast(LongType) * stride
-    df.select(col(idCol), toks.as("__toks"),
+    bound.select(col(idCol), toks,
         explode(sequence(lit(0L), lastStart, lit(stride.toLong))).as("__s"))
       .select(col(idCol),
         floor(col("__s") / lit(stride.toLong)).cast(LongType).as("chunk_id"),

@@ -24,12 +24,13 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
 
-  /** A BPE-ish subword segmentation: runs of 1–4 letters, digits, or a
-    * single other non-space char — a deterministic stand-in for a real BPE
-    * vocab (not shipped here), with the right cost shape (≈ chars/3).
-    */
-  def bpeTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0))
+  /** Learned-merge BPE subword tokens of `text` under a frozen merge
+    * table ([[graft.functions.Bpe]]): lowercased whitespace words, each
+    * encoded by the replace fold, flattened in order. The real tokenizer
+    * every context-window and packing budget should be denominated in
+    * (replaces round 5's regex stand-in). */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.Bpe.tokens(text, merges)
 
   /** English stopwords used by quality scoring (tiny, deterministic). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -43,8 +44,11 @@ object TextAnalysis {
   /** Token/char statistics + a composite quality score, as a projection.
     * Emits: n_tokens, n_uniq_tokens, n_bpe_tokens, avg_token_len,
     * alpha_ratio, stopword_ratio, quality_score (all deterministic).
+    * `bpeMerges` is the frozen learned merge table the n_bpe_tokens
+    * budget counts in (e.g. graft.queries.BpeMerges.Merges).
     */
-  def withStats(df: DataFrame, textCol: String): DataFrame = {
+  def withStats(df: DataFrame, textCol: String,
+                bpeMerges: Seq[(String, String)]): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks)
@@ -63,7 +67,7 @@ object TextAnalysis {
         least(nTok.cast(DoubleType) / lit(100.0), lit(1.0)) * 0.2
     df.withColumn("n_tokens", nTok.cast(LongType))
       .withColumn("n_uniq_tokens", nUniq.cast(LongType))
-      .withColumn("n_bpe_tokens", size(bpeTokens(t)).cast(LongType))
+      .withColumn("n_bpe_tokens", size(bpeTokens(t, bpeMerges)).cast(LongType))
       .withColumn("avg_token_len",
         totLen.cast(DoubleType) / greatest(nTok, lit(1)).cast(DoubleType))
       .withColumn("alpha_ratio", alphaRatio)

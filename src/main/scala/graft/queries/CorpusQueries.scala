@@ -67,6 +67,36 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // learned-merge BPE encode under the frozen table: per doc, the subword
+    // token count (the REAL context-window budget) and the full token
+    // sequence — the oracle re-derives both from the same merge literals
+    "q_bpe_encode" -> { (spark, sfDir) =>
+      val bpe = graft.functions.Bpe.tokens(col("text"), BpeMerges.Merges)
+      docs(spark, sfDir).select(col("doc_id"), bpe.as("__bpe"))
+        .select(col("doc_id"),
+          size(col("__bpe")).cast("long").as("n_bpe_tokens"),
+          concat_ws(" ", col("__bpe")).as("bpe_text"))
+        .orderBy("doc_id")
+    },
+
+    // context-window chunking denominated in BPE subword tokens — the
+    // budget a model's context length is actually measured in
+    "q_chunk_bpe" -> { (spark, sfDir) =>
+      Chunking.tokenChunksOf(docs(spark, sfDir), "doc_id",
+          graft.functions.Bpe.tokens(coalesce(col("text"), lit("")), BpeMerges.Merges),
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // training-batch packing under a BPE token budget (the production
+    // denomination — whitespace counts under-fill packs by the merge rate)
+    "q_pack_bpe" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir).select(col("doc_id"),
+        graft.functions.Bpe.nTokens(col("text"), BpeMerges.Merges).as("n_tokens"))
+      Chunking.packSequences(d, "doc_id", "n_tokens", budget = 256, numShards = 8)
+        .orderBy("doc_id")
+    },
+
     // keyword search: one rare + two common terms, BM25-shaped scoring
     // (ln-free idf — see Search.scala), global top-20
     "q_search_bm25" -> { (spark, sfDir) =>
@@ -111,7 +141,7 @@ object CorpusQueries {
     // equal to its composite quality score (deterministic hash membership,
     // no RNG — same keys selected on every engine and every run)
     "q_sample_weighted" -> { (spark, sfDir) =>
-      val scored = TextAnalysis.withStats(docs(spark, sfDir), "text")
+      val scored = TextAnalysis.withStats(docs(spark, sfDir), "text", BpeMerges.Merges)
       Sampling.weightedHashSample(scored, "doc_id", col("quality_score"))
         .select(col("doc_id"), e9(col("quality_score")).as("quality_score_e9"))
         .orderBy("doc_id")
@@ -276,6 +306,46 @@ object CorpusQueries {
          |  CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),
+         |b AS (SELECT doc_id, ${graft.functions.Bpe.tokensSql("w", BpeMerges.Merges)} AS bt FROM t)
+         |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
+         |       array_to_string(bt, ' ') AS bpe_text
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_bpe" ->
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w0 FROM documents),
+         |p AS (SELECT doc_id, w, len(w) AS n FROM
+         |       (SELECT doc_id, ${graft.functions.Bpe.tokensSql("w0", BpeMerges.Merges)} AS w FROM t)),
+         |s AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, ((greatest(n - 32, 0) + 23) // 24) * 24, 24)) AS s
+         |      FROM p)
+         |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+         |  CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_pack_bpe" -> {
+      val hm = graft.functions.PortableHash.hmodSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id,
+         |         CAST(len(${graft.functions.Bpe.tokensSql(TrainingDataQueries.tok("text"), BpeMerges.Merges)}) AS BIGINT) AS n,
+         |         $hm % 8 AS shard
+         |  FROM documents),
+         |t AS (SELECT doc_id, n, shard,
+         |        row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+         |walk(shard, rn, doc_id, n, pack, used) AS (
+         |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn, t.doc_id, t.n,
+         |         CASE WHEN w.used + t.n > 256 AND w.used > 0 THEN w.pack + 1 ELSE w.pack END,
+         |         CASE WHEN w.used + t.n > 256 AND w.used > 0 THEN t.n ELSE w.used + t.n END
+         |  FROM walk w JOIN t ON t.shard = w.shard AND t.rn = w.rn + 1)
+         |SELECT doc_id, n AS n_tokens, shard, pack,
+         |  CAST(row_number() OVER (PARTITION BY shard, pack ORDER BY doc_id) AS BIGINT) AS pack_pos
+         |FROM walk ORDER BY doc_id""".stripMargin
+    },
 
     "q_search_bm25" ->
       s"""WITH ${Search.keywordTopKSql("documents", "doc_id", TrainingDataQueries.tok("text"), SearchTerms, 20)}

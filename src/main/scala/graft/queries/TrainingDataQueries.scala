@@ -54,7 +54,7 @@ object TrainingDataQueries {
     // ---- text analysis ---------------------------------------------------
 
     "q_text_stats" -> { (spark, sfDir) =>
-      TextAnalysis.withStats(docs(spark, sfDir), "text")
+      TextAnalysis.withStats(docs(spark, sfDir), "text", BpeMerges.Merges)
         .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"),
           col("n_bpe_tokens"),
           e9(col("avg_token_len")).as("avg_token_len_e9"),
@@ -360,7 +360,7 @@ object TrainingDataQueries {
          |r AS (SELECT doc_id,
          |  CAST(len(w) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq_tokens,
-         |  CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(${graft.functions.Bpe.tokensSql("w", BpeMerges.Merges)}) AS BIGINT) AS n_bpe_tokens,
          |  CAST(list_sum(list_transform(w, t2 -> length(t2))) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS avg_token_len,
          |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(greatest(len(w), 1) AS DOUBLE) AS uniq_ratio,
          |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,

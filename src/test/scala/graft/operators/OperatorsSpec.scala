@@ -109,7 +109,7 @@ class OperatorsSpec extends SparkSpec {
 
   test("text stats: known counts on a fixed sentence") {
     val df = spark.createDataFrame(Seq((1L, "the the fox!"))).toDF("doc_id", "text")
-    val r = TextAnalysis.withStats(df, "text").head()
+    val r = TextAnalysis.withStats(df, "text", graft.queries.BpeMerges.Merges).head()
     assert(r.getAs[Long]("n_tokens") == 3L)
     assert(r.getAs[Long]("n_uniq_tokens") == 2L)
     assert(math.abs(r.getAs[Double]("stopword_ratio") - 2.0 / 3.0) < 1e-12)
