@@ -111,38 +111,60 @@ object Profile {
     */
   def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
     require(cols.nonEmpty, "quantiles of zero columns")
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          PortableHash.e9(col(c).cast(DoubleType)).as("v"))): _*)).as("__p"))
+      .select(col("__p.column").as("__key"), col("__p.v").as("v"))
+      .where(col("v").isNotNull)
+    quantilesByKey(pairs, qs)
+      .withColumnRenamed("__key", "column")
+      .orderBy("column", "q_ppm")
+  }
+
+  /** Exact PER-GROUP discrete quantiles of one numeric column on the e9
+    * domain — the per-domain / per-language threshold table of a CCNet
+    * bucket-and-sample step. Same definition, machinery, and scale shape
+    * as [[quantiles]], keyed by the group instead of the column name.
+    * Returns (groupCol (string-rendered), q_ppm, value_e9). */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    val pairs = df.select(col(groupCol).cast("string").as("__key"),
+        PortableHash.e9(col(valueCol).cast(DoubleType)).as("v"))
+      .where(col("__key").isNotNull && col("v").isNotNull)
+    quantilesByKey(pairs, qs)
+      .withColumnRenamed("__key", groupCol)
+      .orderBy(groupCol, "q_ppm")
+  }
+
+  /** Shared core over (__key, v) pairs — see [[quantiles]] for the
+    * distributed-prefix-sum design discussion. */
+  private def quantilesByKey(pairs: DataFrame, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1]: $qs")
     val qPpms = qs.map(q => math.round(q * 1e6))
     require(qPpms.distinct.size == qPpms.size, s"duplicate quantiles at ppm resolution: $qs")
-    val pairs = df.select(explode(array(cols.map(c =>
-        struct(lit(c).as("column"),
-          PortableHash.e9(col(c).cast(DoubleType)).as("v"))): _*)).as("__p"))
-      .select(col("__p.column").as("column"), col("__p.v").as("v"))
-      .where(col("v").isNotNull)
-    val counts = pairs.groupBy("column", "v").agg(count(lit(1)).as("c"))
-    val parted = counts.repartitionByRange(col("column"), col("v"))
+    val counts = pairs.groupBy("__key", "v").agg(count(lit(1)).as("c"))
+    val parted = counts.repartitionByRange(col("__key"), col("v"))
       .withColumn("pid", spark_partition_id().cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = parted.withColumn("lcum",
-      sum(col("c")).over(Window.partitionBy("pid", "column").orderBy("v")))
-    val offsets = parted.groupBy("column", "pid").agg(sum(col("c")).as("pc"))
+      sum(col("c")).over(Window.partitionBy("pid", "__key").orderBy("v")))
+    val offsets = parted.groupBy("__key", "pid").agg(sum(col("c")).as("pc"))
       .withColumn("off", coalesce(
-        sum(col("pc")).over(Window.partitionBy("column").orderBy("pid")
+        sum(col("pc")).over(Window.partitionBy("__key").orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("column"), col("pid"), col("off"))
-    val ns = counts.groupBy("column").agg(sum(col("c")).as("n"))
-    val thresholds = ns.select(col("column"), col("n"),
+      .select(col("__key"), col("pid"), col("off"))
+    val ns = counts.groupBy("__key").agg(sum(col("c")).as("n"))
+    val thresholds = ns.select(col("__key"), col("n"),
         explode(array(qPpms.map(lit): _*)).as("q_ppm"))
-      .select(col("column"), col("q_ppm"),
+      .select(col("__key"), col("q_ppm"),
         expr("CAST((q_ppm * n + 999999) DIV 1000000 AS BIGINT)").as("t"))
-    val result = local.join(broadcast(offsets), Seq("column", "pid"))
+    val result = local.join(broadcast(offsets), Seq("__key", "pid"))
       .withColumn("cum", col("lcum") + col("off"))
-      .join(broadcast(thresholds), Seq("column"))
+      .join(broadcast(thresholds), Seq("__key"))
       .where(col("cum") >= col("t"))
-      .groupBy(col("column"), col("q_ppm"))
+      .groupBy(col("__key"), col("q_ppm"))
       .agg(min(col("v")).as("value_e9"))
-      .orderBy("column", "q_ppm")
     Dedup.materializeAndRelease(result, parted)
   }
 

@@ -129,6 +129,49 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Quality-band draw — the CCNet bucket-and-sample step in one call:
+    * score every row (the caller supplies the score column, e.g.
+    * [[TextAnalysis.corpusTypicality]]'s typicality_ppm), cut each GROUP
+    * (domain, language, source) at its own [lowerQ, upperQ] quantiles,
+    * keep the rows inside the band, then draw `fraction` of them by
+    * deterministic hash membership. Per-group cuts are the point: a
+    * global threshold would keep entire high-scoring domains and drop
+    * entire low-scoring ones, while per-group bands keep each domain's
+    * own best slice.
+    *
+    * Quantiles are the EXACT per-group discrete quantiles of
+    * [[Profile.groupQuantiles]] (e9 domain, integer thresholds): the band
+    * is score_e9 ∈ [q(lowerQ), q(upperQ)], boundary ties included;
+    * lowerQ = 0.0 means no lower cut. The final draw inherits every
+    * [[hashSample]] property (deterministic, engine-portable, monotone in
+    * the fraction).
+    *
+    * Scale: one groupQuantiles pass (value-count shuffle + prefix sum)
+    * produces a bounds table of 2 rows per group — broadcast back against
+    * the scan. No window over the corpus, no RNG, no driver state beyond
+    * the bounds.
+    */
+  def qualityBandSample(df: DataFrame, keyCol: String, groupCol: String,
+                        scoreCol: String, lowerQ: Double, upperQ: Double,
+                        fraction: Double = 1.0): DataFrame = {
+    require(lowerQ >= 0.0 && lowerQ <= upperQ && upperQ <= 1.0,
+      s"need 0 <= lowerQ <= upperQ <= 1: $lowerQ, $upperQ")
+    val qs = Seq(lowerQ, upperQ).filter(_ > 0.0).distinct
+    require(qs.nonEmpty, "upperQ must be > 0")
+    val gq = graft.operators.Profile.groupQuantiles(df, groupCol, scoreCol, qs)
+    val loPpm = math.round(lowerQ * 1e6)
+    val hiPpm = math.round(upperQ * 1e6)
+    val bounds = gq.groupBy(col(groupCol).as("__g"))
+      .agg(min(when(col("q_ppm") === loPpm, col("value_e9"))).as("__lo"),
+        min(when(col("q_ppm") === hiPpm, col("value_e9"))).as("__hi"))
+    val v = PortableHash.e9(col(scoreCol).cast("double"))
+    val lo = if (lowerQ > 0.0) v >= col("__lo") else lit(true)
+    df.join(broadcast(bounds), col(groupCol).cast("string") === col("__g"))
+      .where(lo && v <= col("__hi"))
+      .where(hashSamplePredicate(col(keyCol), fraction))
+      .drop("__g", "__lo", "__hi")
+  }
+
   /** The per-epoch shuffle key for `key` at `epoch`:
     * hash(key ‖ '#' ‖ epoch). Distinct epochs derive independent
     * pseudo-random orders from the same corpus; the same epoch always

@@ -199,6 +199,19 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // the CCNet bucket-and-sample step in one call: score docs by corpus
+    // typicality, cut each SOURCE at its own [25%, 75%] typicality
+    // quantiles (the middle band), hash-draw half of the band
+    "q_sample_quality_band" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir)
+      val scored = TextAnalysis.corpusTypicality(d, "doc_id", "text")
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+      Sampling.qualityBandSample(scored, "doc_id", "source", "typicality_ppm",
+          lowerQ = 0.25, upperQ = 0.75, fraction = 0.5)
+        .select("doc_id", "source", "typicality_ppm")
+        .orderBy("doc_id")
+    },
+
     // product-analytics funnel: how far each user's (ts, event_id)-ordered
     // event sequence progresses through view -> click -> purchase
     "q_funnel" -> { (spark, sfDir) =>
@@ -388,6 +401,37 @@ object CorpusQueries {
          |  CAST(coalesce(sm // n, 0) AS BIGINT) AS typicality_ppm
          |FROM documents d LEFT JOIN s USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source quantile cuts on the typicality score, then the shared
+    // hash-membership draw — integer thresholds, same definition as the
+    // Spark prefix-sum path
+    "q_sample_quality_band" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${TrainingDataQueries.tok("text")}) AS token
+         |            FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+         |t AS (SELECT sum(cnt) AS total FROM c),
+         |s AS (SELECT tk.doc_id, count(*) AS n,
+         |        sum(CAST(cnt * 1000000 // total AS BIGINT)) AS sm
+         |      FROM tk JOIN c USING (token) CROSS JOIN t
+         |      GROUP BY tk.doc_id),
+         |ty AS (SELECT d.doc_id, d.source,
+         |         CAST(coalesce(sm // n, 0) AS BIGINT) AS typicality_ppm
+         |       FROM documents d LEFT JOIN s USING (doc_id)),
+         |e AS (SELECT doc_id, source, typicality_ppm,
+         |        CAST(floor(CAST(typicality_ppm AS DOUBLE) * 1e9) AS BIGINT) AS v
+         |      FROM ty),
+         |cnts AS (SELECT source, v, count(*) AS cn FROM e GROUP BY 1, 2),
+         |cum AS (SELECT source, v, sum(cn) OVER (PARTITION BY source ORDER BY v) AS cum,
+         |               sum(cn) OVER (PARTITION BY source) AS n FROM cnts),
+         |lo AS (SELECT source, min(v) AS lo FROM cum
+         |       WHERE cum >= (250000 * n + 999999) // 1000000 GROUP BY source),
+         |hi AS (SELECT source, min(v) AS hi FROM cum
+         |       WHERE cum >= (750000 * n + 999999) // 1000000 GROUP BY source)
+         |SELECT e.doc_id, e.source, e.typicality_ppm
+         |FROM e JOIN lo USING (source) JOIN hi USING (source)
+         |WHERE v >= lo AND v <= hi
+         |  AND ${Sampling.hashSamplePredicateSql("doc_id", 0.5)}
+         |ORDER BY e.doc_id""".stripMargin,
 
     // subsequence walk as a CTE chain: i_k = first occurrence of step k
     // strictly after i_{k-1} (coalesce: DuckDB list_position yields NULL

@@ -163,6 +163,48 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(row.getLong(5) === 2L)
   }
 
+  test("qualityBandSample cuts each group at its OWN quantiles") {
+    import spark.implicits._
+    // group A scores 1..100, group B scores 1001..1100: a global cut would
+    // keep all of B and none of A; per-group [0.5, 1.0] keeps each top half
+    val df = ((1 to 100).map(i => (i.toLong, "A", i.toDouble)) ++
+      (1 to 100).map(i => (100L + i, "B", 1000.0 + i)))
+      .toDF("id", "grp", "score")
+    val got = Sampling.qualityBandSample(df, "id", "grp", "score",
+        lowerQ = 0.5, upperQ = 1.0)
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    val (a, b) = got.partition(_._1 == "A")
+    assert(a.length === 51 && b.length === 51) // score >= 50th value, ties in
+    assert(a.forall(_._2 >= 50.0) && b.forall(_._2 >= 1050.0))
+    // a middle band excludes both tails
+    val mid = Sampling.qualityBandSample(df, "id", "grp", "score",
+        lowerQ = 0.25, upperQ = 0.75)
+      .collect().map(r => (r.getString(1), r.getDouble(2)))
+    assert(mid.forall { case ("A", s) => s >= 25.0 && s <= 75.0
+                        case (_, s) => s >= 1025.0 && s <= 1075.0 })
+    // fraction composes with the band via hash membership (subset property)
+    val half = Sampling.qualityBandSample(df, "id", "grp", "score",
+        lowerQ = 0.5, upperQ = 1.0, fraction = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val full = Sampling.qualityBandSample(df, "id", "grp", "score",
+        lowerQ = 0.5, upperQ = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(full) && half.size < full.size && half.nonEmpty)
+  }
+
+  test("groupQuantiles: per-group exact cuts match per-group computation") {
+    import graft.operators.Profile
+    import spark.implicits._
+    val df = ((1 to 40).map(i => ("x", i.toDouble)) ++
+      (1 to 10).map(i => ("y", i * 100.0))).toDF("g", "v")
+    val got = Profile.groupQuantiles(df, "g", "v", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def e9(d: Double): Long = math.floor(d * 1e9).toLong
+    assert(got === Map(
+      ("x", 500000L) -> e9(20.0), ("x", 1000000L) -> e9(40.0),
+      ("y", 500000L) -> e9(500.0), ("y", 1000000L) -> e9(1000.0)))
+  }
+
   test("KMV sketch: exact below k, close above k, merge-order-insensitive") {
     val k = 64
     // 40 distinct values (< k): estimate must be EXACT
