@@ -96,6 +96,35 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // REAL video decode (pure-JVM Y4M parse — r5's last remaining stub):
+    // deterministic uncompressed C420 videos generated from
+    // (w, h, n_frames, seed=doc_id), decoded back to dims/framerate/frame
+    // count/luma checksum the oracle recomputes from the parameters alone
+    "q_multimodal_video" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          (lit(8) + (col("doc_id") % 8) * 2).as("w"),
+          (lit(8) + ((col("doc_id") * 3) % 8) * 2).as("h"),
+          (lit(3) + col("doc_id") % 5).as("nf"))
+      Multimodal.decodeVideoFeatures(
+          Multimodal.attachGeneratedY4m(docs, "doc_id", "w", "h", "nf"), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // video frame sampling by OFFSET SEEK (fixed frame size -> jump to
+    // every 2nd frame, read one luma plane, skip the rest of the payload)
+    "q_multimodal_video_frames" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          (lit(8) + (col("doc_id") % 8) * 2).as("w"),
+          (lit(8) + ((col("doc_id") * 3) % 8) * 2).as("h"),
+          (lit(3) + col("doc_id") % 5).as("nf"))
+      Multimodal.videoFrameSample(
+          Multimodal.attachGeneratedY4m(docs, "doc_id", "w", "h", "nf"),
+          "doc_id", stride = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // Hive-style partitioned layout: write events partitioned by event_type,
     // read back with a partition predicate. Correctness (vs an unpartitioned
     // oracle scan) is checked here; the PLAN property — the scan listing
@@ -280,6 +309,38 @@ object PipelineQueries {
          |    generate_series(CAST(frame_idx * 16 + 1 AS INTEGER), CAST(frame_idx * 16 + 16 AS INTEGER)),
          |    i -> ord(substr(text, i, 1)))) AS BIGINT) % $P AS f_checksum
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // every feature from the Y4M generator's parameters: luma pixel
+    // (x, y, frame f) = (x*31 + y*17 + f*7 + doc_id*13) % 256
+    "q_multimodal_video" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(8 + (doc_id % 8) * 2 AS INT) AS w,
+        |             CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS h,
+        |             CAST(3 + doc_id % 5 AS INT) AS nf
+        |           FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(25 AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(generate_series(0, nf - 1), f ->
+        |    list_sum(list_transform(generate_series(0, w - 1), x ->
+        |      list_sum(list_transform(generate_series(0, h - 1), y ->
+        |        (x*31 + y*17 + f*7 + doc_id*13) % 256)))))) AS BIGINT) AS luma_checksum
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_video_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(8 + (doc_id % 8) * 2 AS INT) AS w,
+        |             CAST(8 + ((doc_id * 3) % 8) * 2 AS INT) AS h,
+        |             CAST(3 + doc_id % 5 AS INT) AS nf
+        |           FROM documents),
+        |f AS (SELECT doc_id, w, h,
+        |        unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS frame_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(list_sum(list_transform(generate_series(0, w - 1), x ->
+        |    list_sum(list_transform(generate_series(0, h - 1), y ->
+        |      (x*31 + y*17 + frame_idx*7 + doc_id*13) % 256)))) AS BIGINT) AS luma_checksum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_partitioned_read" ->
       s"""SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type

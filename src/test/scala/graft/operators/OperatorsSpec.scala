@@ -324,4 +324,43 @@ class OperatorsSpec extends SparkSpec {
     assert(bf.isNullAt(bf.fieldIndex("sample_rate")) &&
       bf.isNullAt(bf.fieldIndex("checksum")))
   }
+
+  test("video decode: real Y4M round-trip; truncated/garbage -> nulls") {
+    def luma(w: Int, h: Int, nf: Int, seed: Long): Long =
+      (for { f <- 0 until nf; x <- 0 until w; y <- 0 until h }
+        yield (x * 31L + y * 17L + f * 7L + seed * 13L) % 256L).sum
+    val df = spark.createDataFrame(Seq((9L, 10, 6, 4))).toDF("doc_id", "w", "h", "nf")
+    val feats = Multimodal.decodeVideoFeatures(
+      Multimodal.attachGeneratedY4m(df, "doc_id", "w", "h", "nf"), "doc_id").head()
+    assert(feats.getAs[Long]("width") == 10L && feats.getAs[Long]("height") == 6L)
+    assert(feats.getAs[Long]("fps_num") == 25L && feats.getAs[Long]("fps_den") == 1L)
+    assert(feats.getAs[Long]("n_frames") == 4L)
+    assert(feats.getAs[Long]("luma_checksum") == luma(10, 6, 4, 9L))
+
+    // truncated payload (half the last frame missing) and non-video bytes
+    val full = Multimodal.makeY4m(10, 6, 4, 9L)
+    val bad = spark.createDataFrame(Seq(
+        (1L, full.dropRight(40)), (2L, "not a video".getBytes)))
+      .toDF("doc_id", "content")
+    val bf = Multimodal.decodeVideoFeatures(bad, "doc_id").collect()
+    assert(bf.forall(r => r.isNullAt(r.fieldIndex("width")) &&
+      r.isNullAt(r.fieldIndex("luma_checksum"))))
+  }
+
+  test("video frame sampling seeks to every stride-th frame's luma plane") {
+    def frameLuma(w: Int, h: Int, f: Int, seed: Long): Long =
+      (for { x <- 0 until w; y <- 0 until h }
+        yield (x * 31L + y * 17L + f * 7L + seed * 13L) % 256L).sum
+    val df = spark.createDataFrame(Seq((3L, 8, 8, 5))).toDF("doc_id", "w", "h", "nf")
+    val got = Multimodal.videoFrameSample(
+        Multimodal.attachGeneratedY4m(df, "doc_id", "w", "h", "nf"),
+        "doc_id", stride = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(0L, 2L, 4L).map(f => (f, frameLuma(8, 8, f.toInt, 3L))))
+    // undecodable payloads contribute no rows
+    val bad = spark.createDataFrame(Seq(Tuple2(1L, "junk".getBytes)))
+      .toDF("doc_id", "content")
+    assert(Multimodal.videoFrameSample(bad, "doc_id", 2).count() === 0L)
+  }
 }
