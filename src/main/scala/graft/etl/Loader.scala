@@ -50,13 +50,13 @@ object Loader {
     * KB-files (metadata pressure) and multi-GB files (no read
     * parallelism).
     *
-    * `partitionBy`: opt-in Hive-style partitioned layout (single data
-    * column; recorded in a sidecar and enforced on later loads). Appends
-    * stay O(batch); an upsert whose keys INCLUDE the partition column
-    * rewrites ONLY the partitions present in the incoming batch (the
-    * partition-scoped merge — at 100 TB the difference between rewriting
-    * one day and rewriting the table). Schema evolution falls back to the
-    * full atomic rewrite.
+    * `partitionBy`: opt-in Hive-style partitioned layout (one or more
+    * data columns; recorded in a sidecar and enforced on later loads).
+    * Appends stay O(batch); an upsert whose keys INCLUDE every partition
+    * column rewrites ONLY the leaf partitions present in the incoming
+    * batch (the partition-scoped merge — at 100 TB the difference between
+    * rewriting one (region, day) and rewriting the table). Schema
+    * evolution falls back to the full atomic rewrite.
     *
     * `clusterBy`: opt-in range-clustered file layout. Flat tables
     * range-repartition + sort on these columns, so each written file
@@ -110,16 +110,17 @@ object Loader {
       case Some(ex) if upsertFields.nonEmpty =>
         // partition-scoped path: the table must ALREADY be partitioned
         // (recordedSpec — a flat→partitioned re-layout goes through the
-        // full rewrite, which writes the sidecar atomically), with a single
-        // partition column that is part of the upsert key (so a matched
-        // row can never change partitions) and an unchanged schema (a
-        // partial rewrite must not evolve the table out from under the
-        // untouched partitions)
-        val scoped = recordedSpec.nonEmpty && partCols.size == 1 &&
-          upsertFields.contains(partCols.head) &&
+        // full rewrite, which writes the sidecar atomically), with EVERY
+        // partition column part of the upsert key (so a matched row can
+        // never change partitions — one missing column breaks the slice's
+        // merge-completeness) and an unchanged schema (a partial rewrite
+        // must not evolve the table out from under the untouched
+        // partitions)
+        val scoped = recordedSpec.nonEmpty &&
+          partCols.forall(upsertFields.contains) &&
           sameColumnSet(ex, incoming) &&
           partitionScopedUpsert(tgt, table, ex, incoming, upsertFields,
-            maxId, order, ensure, safe, partCols.head, targetFileBytes, clusterBy)
+            maxId, order, ensure, safe, partCols, targetFileBytes, clusterBy)
         if (scoped) return
         upsertMerged(ex, incoming, upsertFields, maxId, order, ensure, safe)
 
@@ -174,37 +175,46 @@ object Loader {
   }
 
   /** The partition-scoped merge: slice the existing table to the partitions
-    * the incoming batch touches (static isin predicate — partition-pruned
+    * the incoming batch touches (static predicate — partition-pruned
     * scan), run the join-based merge on that slice only, stage the result
-    * partitioned, and swap JUST those partition subdirectories. Untouched
+    * partitioned, and swap JUST those LEAF partition subdirectories
+    * (multi-column specs swap at the deepest level: a batch touching
+    * region=eu/day=3 never rewrites region=eu/day=4). Untouched
     * partitions' files are never read or rewritten. Returns false (caller
     * falls back to the full rewrite) when the batch spans more than
-    * `MaxScopedPartitions` partitions or carries null partition values.
+    * `MaxScopedPartitions` leaf partitions or carries null partition
+    * values.
     *
-    * Durability: each partition swap is rename-atomic; a crash mid-loop
-    * leaves some partitions updated and the rest old alongside a
-    * `.__part-` aside dir — per-partition atomicity, not cross-partition,
-    * the standard contract for partition-scoped merges without a table
-    * format. A crash INSIDE one partition's two renames (live moved aside,
-    * new not yet in) is healed by the next load: [[recoverStranded]]
-    * restores any live-missing partition from the newest aside before the
-    * strays are cleaned, so no window deletes the only remaining copy.
+    * Durability: each leaf swap is rename-atomic; a crash mid-loop leaves
+    * some leaves updated and the rest old alongside a `.__part-` aside dir
+    * — per-partition atomicity, not cross-partition, the standard contract
+    * for partition-scoped merges without a table format. A crash INSIDE
+    * one leaf's two renames (live moved aside, new not yet in) is healed
+    * by the next load: [[recoverStranded]] restores any live-missing leaf
+    * from the newest aside before the strays are cleaned, so no window
+    * deletes the only remaining copy.
     */
   private def partitionScopedUpsert(tgt: Catalog, table: String,
                                     ex: DataFrame, incoming: DataFrame,
                                     keys: Seq[String], maxId: Long, order: Seq[String],
                                     ensure: Boolean, safe: Boolean,
-                                    partCol: String,
+                                    partCols: Seq[String],
                                     targetFileBytes: Option[Long],
                                     clusterBy: Seq[String] = Nil): Boolean = {
     val MaxScopedPartitions = 1000
-    val vals = incoming.select(col(partCol)).distinct()
-      .limit(MaxScopedPartitions + 1).collect().map(_.get(0))
-    if (vals.length > MaxScopedPartitions || vals.contains(null)) return false
+    val vals = incoming.select(partCols.map(col): _*).distinct()
+      .limit(MaxScopedPartitions + 1).collect()
+    if (vals.length > MaxScopedPartitions ||
+      vals.exists(r => partCols.indices.exists(r.isNullAt))) return false
 
-    // keys ⊇ partCol means any existing row matching an incoming key lives
-    // in one of these partitions, so the slice is merge-complete
-    val exSlice = ex.where(col(partCol).isin(vals.toIndexedSeq: _*))
+    // keys ⊇ partCols means any existing row matching an incoming key lives
+    // in one of these partitions, so the slice is merge-complete. The
+    // OR-of-ANDs literal predicate partition-prunes the scan statically.
+    val touched = vals.toIndexedSeq.map { r =>
+      partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val exSlice = ex.where(touched)
     val merged = upsertMerged(exSlice, incoming, keys, maxId, order, ensure, safe)
 
     val conf = tgt.spark.sparkContext.hadoopConfiguration
@@ -213,17 +223,18 @@ object Loader {
     val tmp = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
     val aside = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__part-" + uuid)
     val fs = liveDir.getFileSystem(conf)
-    shard(merged, targetFileBytes, Seq(partCol), clusterBy).write.mode(SaveMode.Overwrite)
-      .partitionBy(partCol).parquet(tmp.toString)
+    shard(merged, targetFileBytes, partCols, clusterBy).write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(tmp.toString)
     fs.mkdirs(aside)
-    val partDirs = fs.listStatus(tmp)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-    partDirs.foreach { st =>
-      val name = st.getPath.getName
-      val live = new org.apache.hadoop.fs.Path(liveDir, name)
-      if (fs.exists(live) && !fs.rename(live, new org.apache.hadoop.fs.Path(aside, name)))
+    leafPartDirs(fs, tmp, partCols.size).foreach { leaf =>
+      val rel = relPath(tmp, leaf)
+      val live = new org.apache.hadoop.fs.Path(liveDir, rel)
+      val asideLeaf = new org.apache.hadoop.fs.Path(aside, rel)
+      fs.mkdirs(asideLeaf.getParent)
+      if (fs.exists(live) && !fs.rename(live, asideLeaf))
         throw new java.io.IOException(s"could not move partition aside: $live")
-      if (!fs.rename(st.getPath, live))
+      fs.mkdirs(live.getParent)
+      if (!fs.rename(leaf, live))
         throw new java.io.IOException(s"could not swap partition in: $live")
     }
     fs.delete(aside, true)
@@ -231,6 +242,28 @@ object Loader {
     cleanupStrays(tgt, table)
     Catalog.invalidateDir(tgt.dir)
     true
+  }
+
+  /** The `depth`-level `name=value` subdirectories of `root` — the leaf
+    * partition dirs of a (possibly multi-column) Hive layout. */
+  private def leafPartDirs(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           depth: Int): Seq[org.apache.hadoop.fs.Path] = {
+    def walk(p: org.apache.hadoop.fs.Path, d: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (d == 0) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => walk(st.getPath, d - 1))
+    walk(root, depth)
+  }
+
+  /** `child`'s path relative to `base` (both absolute, child under base). */
+  private def relPath(base: org.apache.hadoop.fs.Path,
+                      child: org.apache.hadoop.fs.Path): String = {
+    val b = base.toUri.getPath.stripSuffix("/")
+    val c = child.toUri.getPath
+    require(c.startsWith(b + "/"), s"$child not under $base")
+    c.substring(b.length + 1)
   }
 
   /** Distribute `df` toward ~targetFileBytes output files. Flat layouts
@@ -467,17 +500,29 @@ object Loader {
     if (fs.exists(finalPath)) {
       val parent = new org.apache.hadoop.fs.Path(tgt.dir)
       if (fs.exists(parent)) {
+        // walk to the LEAF `name=value` dirs (multi-column specs nest) and
+        // restore any whose live counterpart is missing
+        def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+          val subs = fs.listStatus(p).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          if (subs.isEmpty) Seq(p) else subs.flatMap(st => leaves(st.getPath))
+        }
         fs.listStatus(parent)
           .filter(_.getPath.getName.startsWith(table + ".__part-"))
           .sortBy(-_.getModificationTime)
           .foreach { aside =>
             fs.listStatus(aside.getPath)
               .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+              .flatMap(st => leaves(st.getPath))
               .foreach { p =>
-                val live = new org.apache.hadoop.fs.Path(finalPath, p.getPath.getName)
-                if (!fs.exists(live) && !fs.rename(p.getPath, live))
-                  throw new java.io.IOException(
-                    s"could not restore stranded partition ${p.getPath} -> $live")
+                val live = new org.apache.hadoop.fs.Path(finalPath,
+                  relPath(aside.getPath, p))
+                if (!fs.exists(live)) {
+                  fs.mkdirs(live.getParent)
+                  if (!fs.rename(p, live))
+                    throw new java.io.IOException(
+                      s"could not restore stranded partition $p -> $live")
+                }
               }
           }
       }

@@ -106,6 +106,23 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // the MULTI-COLUMN partition spec: upsert keys cover both partition
+    // columns, so the merge rewrites only the touched LEAF partitions
+    // (spec-proven in PartitionedUpsertSpec; end state pinned here)
+    "q_upsert_partitioned_multi" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.partitionBy = Seq("event_type", "b")
+      p.idOrder = Seq("event_id")
+      p.extract("SELECT event_id, event_type, user_id % 4 AS b, value FROM events WHERE event_id <= 3000")
+      p.load()
+      p.idOrder = Seq("event_id")
+      p.extract("SELECT event_id, event_type, user_id % 4 AS b, value * 2 AS value FROM events " +
+        "WHERE event_type = 'click' AND user_id % 4 = 1 " +
+        "AND (event_id <= 300 OR (event_id > 3000 AND event_id <= 3100))")
+      p.load(upsertFields = Seq("event_id", "event_type", "b"))
+      p.result().orderBy("id")
+    },
+
     // E4b: incremental extract over a TIMESTAMP watermark — the reference
     // substitutes whatever MAX(pk) returns (any type); the literal must
     // round-trip with micro precision
@@ -381,6 +398,26 @@ object EtlQueries {
         |            FROM fresh)
         |SELECT id, event_id, value, event_type FROM upd
         |UNION ALL SELECT id, event_id, value, event_type FROM i2
+        |ORDER BY id""".stripMargin,
+
+    "q_upsert_partitioned_multi" ->
+      """WITH b1 AS (SELECT event_id, event_type, user_id % 4 AS b, value FROM events
+        |            WHERE event_id <= 3000),
+        |     i1 AS (SELECT row_number() OVER (ORDER BY event_id) AS id, b1.* FROM b1),
+        |     u AS (SELECT event_id, event_type, user_id % 4 AS b, value * 2 AS value FROM events
+        |           WHERE event_type = 'click' AND user_id % 4 = 1
+        |             AND (event_id <= 300 OR (event_id > 3000 AND event_id <= 3100))),
+        |     upd AS (SELECT i1.id, i1.event_id,
+        |                    CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE i1.value END AS value,
+        |                    i1.event_type, i1.b
+        |             FROM i1 LEFT JOIN u
+        |               ON i1.event_id = u.event_id AND i1.event_type = u.event_type AND i1.b = u.b),
+        |     fresh AS (SELECT event_id, event_type, b, value FROM u WHERE event_id > 3000),
+        |     i2 AS (SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY event_id) AS id,
+        |                   fresh.event_id, fresh.value, fresh.event_type, fresh.b
+        |            FROM fresh)
+        |SELECT id, event_id, value, event_type, b FROM upd
+        |UNION ALL SELECT id, event_id, value, event_type, b FROM i2
         |ORDER BY id""".stripMargin,
 
     "q_incremental_ts" ->

@@ -64,6 +64,78 @@ class PartitionedUpsertSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("multi-column spec: scoped upsert rewrites only touched LEAF partitions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (1 to 800).map { i =>
+      (i.toLong, Seq("eu", "us")(i % 2), Seq("a", "b")((i / 2) % 2), i.toDouble)
+    }
+    val incoming = rows.toDF("k", "region", "typ", "v")
+    // updates + one insert, ALL in the (eu, a) leaf
+    val upd = (1 to 50).map(i => {
+      val k = i * 4 // k%2==0 -> eu, (k/2)%2==0 -> a
+      (k.toLong, "eu", "a", k * 1000.0)
+    }).toDF("k", "region", "typ", "v")
+      .unionByName(Seq((9001L, "eu", "a", 1.0)).toDF("k", "region", "typ", "v"))
+    assert(incoming.where(col("region") === "eu" && col("typ") === "a")
+      .select("k").as[Long].collect().toSet
+      .intersect(upd.select("k").as[Long].collect().toSet).size == 50)
+
+    val pt = new Catalog(spark, tmpDir("graft-mpart"))
+    Loader.load(pt, "t", incoming, idOrder = Seq("k"),
+      partitionBy = Seq("region", "typ"))
+    val dir = new java.io.File(pt.dirPath("t"))
+    // nested layout: region=*/typ=*
+    assert(dir.listFiles().count(_.getName.startsWith("region=")) == 2)
+    assert(new java.io.File(dir, "region=eu").listFiles()
+      .count(_.getName.startsWith("typ=")) == 2)
+    val before = fileSnapshot(dir)
+
+    Loader.load(pt, "t", upd, upsertFields = Seq("k", "region", "typ"),
+      idOrder = Seq("k"))
+    val after = fileSnapshot(dir)
+    val touched = (p: String) => p.contains("region=eu") && p.contains("typ=a")
+    assert(before.filterNot(kv => touched(kv._1)) ==
+      after.filterNot(kv => touched(kv._1)),
+      "files outside the touched leaf must survive byte-for-byte")
+    assert(before.keySet.filter(touched) != after.keySet.filter(touched),
+      "the touched leaf must actually rewrite")
+
+    // same end state as the flat full merge
+    val ref = new Catalog(spark, tmpDir("graft-mflat"))
+    Loader.load(ref, "t", incoming, idOrder = Seq("k"))
+    Loader.load(ref, "t", upd, upsertFields = Seq("k", "region", "typ"),
+      idOrder = Seq("k"))
+    def snap(c: Catalog) = c.table("t").select("id", "k", "region", "typ", "v")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4)))
+      .toSet
+    assert(snap(pt) == snap(ref), "multi-col scoped merge must equal the full merge")
+  }
+
+  test("a stranded NESTED .__part- aside restores its leaf on the next load") {
+    val spark0 = spark
+    import spark0.implicits._
+    val pt = new Catalog(spark, tmpDir("graft-mstrand"))
+    val rows = (1 to 100).map(i =>
+      (i.toLong, Seq("eu", "us")(i % 2), Seq("a", "b")((i / 2) % 2), i.toDouble))
+      .toDF("k", "region", "typ", "v")
+    Loader.load(pt, "t", rows, idOrder = Seq("k"), partitionBy = Seq("region", "typ"))
+    val before = pt.table("t").collect().map(_.toSeq).toSet
+    // crash window: nested leaf moved aside, new copy never renamed in
+    val dir = new java.io.File(pt.dirPath("t"))
+    val aside = new java.io.File(pt.dirPath("t") + ".__part-cafebabe")
+    assert(new java.io.File(aside, "region=eu").mkdirs())
+    val live = new java.io.File(dir, "region=eu/typ=a")
+    assert(live.renameTo(new java.io.File(aside, "region=eu/typ=a")))
+    Loader.load(pt, "t", Seq((1000L, "us", "b", 1.0)).toDF("k", "region", "typ", "v"),
+      idOrder = Seq("k"))
+    assert(!aside.exists(), "aside dir should be cleaned after recovery")
+    val after = pt.table("t").collect().map(_.toSeq).toSet
+    assert(before.subsetOf(after), "the stranded leaf's rows must survive")
+    assert(after.size == before.size + 1)
+  }
+
   test("partitioned append stays O(batch) and conflicting re-layout errors") {
     val spark0 = spark
     import spark0.implicits._
