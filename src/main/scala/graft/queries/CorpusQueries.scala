@@ -71,28 +71,33 @@ object CorpusQueries {
     // token count (the REAL context-window budget) and the full token
     // sequence — the oracle re-derives both from the same merge literals
     "q_bpe_encode" -> { (spark, sfDir) =>
-      val bpe = graft.functions.Bpe.tokens(col("text"), BpeMerges.Merges)
-      docs(spark, sfDir).select(col("doc_id"), bpe.as("__bpe"))
+      graft.functions.Bpe.tokensByDict(
+          docs(spark, sfDir), "doc_id", "text", BpeMerges.Merges)
         .select(col("doc_id"),
-          size(col("__bpe")).cast("long").as("n_bpe_tokens"),
-          concat_ws(" ", col("__bpe")).as("bpe_text"))
+          size(col("bpe_tokens")).cast("long").as("n_bpe_tokens"),
+          concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
         .orderBy("doc_id")
     },
 
     // context-window chunking denominated in BPE subword tokens — the
-    // budget a model's context length is actually measured in
+    // budget a model's context length is actually measured in. Tokenized
+    // via the DICTIONARY path (encode distinct words once, join back):
+    // per-instance encode wastes the corpus' Zipf duplication factor
     "q_chunk_bpe" -> { (spark, sfDir) =>
-      Chunking.tokenChunksOf(docs(spark, sfDir), "doc_id",
-          graft.functions.Bpe.tokens(coalesce(col("text"), lit("")), BpeMerges.Merges),
+      val toks = graft.functions.Bpe.tokensByDict(
+        docs(spark, sfDir), "doc_id", "text", BpeMerges.Merges)
+      Chunking.tokenChunksOf(toks, "doc_id", col("bpe_tokens"),
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")
     },
 
     // training-batch packing under a BPE token budget (the production
-    // denomination — whitespace counts under-fill packs by the merge rate)
+    // denomination — whitespace counts under-fill packs by the merge
+    // rate); counts from the dictionary path
     "q_pack_bpe" -> { (spark, sfDir) =>
-      val d = docs(spark, sfDir).select(col("doc_id"),
-        graft.functions.Bpe.nTokens(col("text"), BpeMerges.Merges).as("n_tokens"))
+      val d = graft.functions.Bpe.nTokensByDict(
+          docs(spark, sfDir), "doc_id", "text", BpeMerges.Merges)
+        .withColumnRenamed("n_bpe_tokens", "n_tokens")
       Chunking.packSequences(d, "doc_id", "n_tokens", budget = 256, numShards = 8)
         .orderBy("doc_id")
     },

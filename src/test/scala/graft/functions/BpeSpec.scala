@@ -97,6 +97,26 @@ class BpeSpec extends SparkSpec {
     assert(got(3).getLong(1) === 0L)
   }
 
+  test("tokensByDict equals the per-instance expression path, row for row") {
+    val spark0 = spark
+    import spark0.implicits._
+    val merges = graft.queries.BpeMerges.Merges
+    val docs = Seq(
+      (1L, "the customer orders a small batch"),
+      (2L, "merge the stream window"),
+      (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "query query query")).toDF("doc_id", "text")
+    val expr = docs.select(col("doc_id"),
+        Bpe.tokens(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val dict = Bpe.tokensByDict(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(dict === expr)
+    val counts = Bpe.nTokensByDict(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === expr.view.mapValues(_.size.toLong).toMap)
+  }
+
   test("SQL literal escaping handles quotes in merge symbols") {
     val sql = Bpe.encodeWordSql("w", Seq(("'", "s")))
     assert(sql.contains("'''' || chr(31) || 's'"), sql)
