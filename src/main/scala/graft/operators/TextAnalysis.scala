@@ -356,6 +356,54 @@ object TextAnalysis {
       .select(col("rank"), col("w1"), col("w2"), col("n_ab"), col("lift"))
   }
 
+  /** EXACT-substring duplication stats — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better") signal:
+    * a document contains a duplicated run of ≥ `windowTokens` tokens iff
+    * one of its `windowTokens`-token windows occurs elsewhere in the
+    * corpus (any duplicated longer substring contains a duplicated
+    * window; any duplicated window IS a duplicated substring — detection
+    * is exact, token-aligned). Emits per input row:
+    * (idCol, n_windows, n_dup_windows, dup_window_ppm), where a window is
+    * duplicated when its token sequence occurs ≥ 2 times corpus-wide
+    * (other docs or repeats within the same doc). Feed high-ppm docs to
+    * the drop/trim stage; production systems build suffix arrays per
+    * shard — this windowed form is the distributed, oracle-checkable
+    * equivalent for the fixed minimum match length.
+    *
+    * Scale: the window stream is one explode of the corpus token stream
+    * (the inherent cost of substring-level dedup), counted by ONE
+    * partial-aggregating hash aggregation on the 60-bit window hash, then
+    * one join-back (AQE splits hot hashes) and a per-doc aggregation. No
+    * windows over shared keys, no driver state. Tokens bind ONCE per row;
+    * each window hashes a slice of the bound array (O(w) per window).
+    */
+  def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
+    val base = df.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+    val toks = col("__toks")
+    val n = size(toks)
+    // guard the empty range: Spark sequence(1, 0) steps DOWNWARD
+    val hs = when(n >= windowTokens,
+      transform(sequence(lit(1), n - windowTokens + 1),
+        i => PortableHash.hmod(concat_ws(" ", slice(toks, i, lit(windowTokens))))))
+      .otherwise(typedLit(Seq.empty[Long]))
+    val windows = base.select(col(idCol), explode(hs).as("__h"))
+    val counts = windows.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    val perDoc = windows.join(counts, Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nw"),
+        sum(when(col("__c") >= 2L, 1L).otherwise(0L)).as("__nd"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nw"), lit(0L)).cast(LongType).as("n_windows"),
+        coalesce(col("__nd"), lit(0L)).cast(LongType).as("n_dup_windows"),
+        expr("CAST(CASE WHEN coalesce(__nw, 0) = 0 THEN 0 " +
+          "ELSE coalesce(__nd, 0) * 1000000 DIV __nw END AS BIGINT)")
+          .as("dup_window_ppm"))
+  }
+
   /** Rolling polynomial fingerprint of the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
     * Order-sensitive (unlike a bag-of-words hash) and portable; used for

@@ -173,6 +173,16 @@ object TrainingDataQueries {
         .orderBy("new_id", "corpus_id")
     },
 
+    // EXACT-substring duplication (Lee et al. 2021): rolling 8-token
+    // windows hashed corpus-wide; a doc holding any duplicated >=8-token
+    // run carries >= 1 duplicated window — the trim/drop signal
+    "q_dedup_substrings" -> { (spark, sfDir) =>
+      TextAnalysis.duplicatedWindowStats(
+          docs(spark, sfDir).select("doc_id", "text"), "doc_id", "text",
+          windowTokens = 8)
+        .orderBy("doc_id")
+    },
+
     // decontamination: the "benchmark" is built from leaked corpus excerpts
     // (first 12 tokens of every 50th doc — the realistic contamination
     // scenario); flag every training doc sharing a 6-gram with it
@@ -666,6 +676,23 @@ object TrainingDataQueries {
          |sc AS (SELECT id_a, id_b, $cosineSql AS cos FROM pairs)
          |SELECT id_a, id_b, ${e9Sql("cos")} AS cosine_e9
          |FROM sc WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_substrings" ->
+      s"""WITH t AS (SELECT doc_id, ${tok("text")} AS w FROM documents),
+         |wins AS (SELECT doc_id,
+         |           ${hmodSql("array_to_string(w[u.i : u.i + 7], ' ')")} AS h
+         |         FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)),
+         |c AS (SELECT h, count(*) AS cnt FROM wins GROUP BY h),
+         |d AS (SELECT doc_id, count(*) AS nw,
+         |             sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS nd
+         |      FROM wins JOIN c USING (h) GROUP BY doc_id)
+         |SELECT doc.doc_id,
+         |  CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(CASE WHEN coalesce(nw, 0) = 0 THEN 0
+         |       ELSE coalesce(nd, 0) * 1000000 // nw END AS BIGINT) AS dup_window_ppm
+         |FROM documents doc LEFT JOIN d USING (doc_id)
+         |ORDER BY doc.doc_id""".stripMargin,
 
     "q_decontaminate_semantic" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),

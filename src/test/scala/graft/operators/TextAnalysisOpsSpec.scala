@@ -111,6 +111,25 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("new", 10L)))
   }
 
+  test("duplicatedWindowStats: cross-doc and within-doc repeats, short docs") {
+    val df = Seq(
+      // docs 1 and 2 share the 3-token run "a b c" (cross-doc duplication)
+      (1L, "a b c x y"),        // windows: [a b c][b c x][c x y] -> 1 dup
+      (2L, "q a b c r"),        // windows: [q a b][a b c][b c r] -> 1 dup
+      // doc 3 repeats its own 3-token run twice (within-doc duplication)
+      (3L, "m n o m n o"),      // windows: [m n o][n o m][o m n][m n o] -> 2 dup
+      (4L, "entirely unique words here"), // 2 windows, 0 dup
+      (5L, "too short")         // < 3 tokens -> 0 windows
+    ).toDF("id", "text")
+    val got = TextAnalysis.duplicatedWindowStats(df, "id", "text", windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 1L, 1000000L / 3)))
+    assert(got(2L) === ((3L, 1L, 1000000L / 3)))
+    assert(got(3L) === ((4L, 2L, 500000L)))
+    assert(got(4L) === ((2L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L)))
+  }
+
   test("custom separator with regex metacharacters is treated literally") {
     val df = Seq(
       (1L, "a|b|common"), (2L, "c|common"), (3L, "d|common")
