@@ -429,4 +429,82 @@ object VectorSimilarity {
       .select("new_id", "corpus_id", "cosine")
     Dedup.materializeAndRelease(pairs, newB, corpusB)
   }
+
+  // ---- SemDeDup (cluster-scoped semantic dedup) --------------------------
+
+  /** SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): every vector is
+    * assigned to its nearest k-means centroid ([[ivfAssign]] — a broadcast
+    * projection, no corpus shuffle) and near-dup pairs are searched ONLY
+    * within a cluster. The self-join shuffles on `cluster_id`, so candidate
+    * volume is Σ|cluster|² — bounded by the k-means granularity (the paper
+    * uses k ≈ N/10⁴; at 100 TB the centroid count, not the corpus, sets the
+    * join size). Clusters above `maxCluster` rows collapse to star edges
+    * around their minimum-id member ([[Dedup.guardedBucketPairs]]), the
+    * same mass-duplicate guard as the sign-LSH path.
+    *
+    * Versus [[cosineNearDupPairs]] (sign-LSH buckets): LSH recall is
+    * probabilistic per-pair; SemDeDup recall follows the cluster structure
+    * — semantically coherent regions are compared exhaustively, which is
+    * why the paper prefers it for web-scale semantic (not just cosmetic)
+    * duplicates. Returns (id_a < id_b, cosine ≥ threshold, cluster_id).
+    */
+  def semDeDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cIdCol: String, cVecCol: String,
+                    threshold: Double, maxCluster: Int = 4096): DataFrame = {
+    val asg = ivfAssign(df, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each vector lives in exactly one cluster → candidates already unique
+    val (candidates, guardCaches) = Dedup.guardedBucketPairs(
+      asg.select(col("cluster_id"), col("__id")), Seq("cluster_id"), "__id",
+      maxCluster, dedup = false)
+    // id_a and id_b share a cluster by construction — take it from the a side
+    val pairs = candidates
+      .join(asg.select(col("__id").as("id_a"), col("__v").as("__va"),
+        col("cluster_id")), Seq("id_a"))
+      .join(asg.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine", "cluster_id")
+    Dedup.materializeAndRelease(pairs, asg +: guardCaches: _*)
+  }
+
+  /** Full SemDeDup action with the paper's keep rule: connected components
+    * over [[semDeDupPairs]], and within every duplicate group keep the
+    * member with the LOWEST cosine to its assigned centroid (the "farthest
+    * from the cluster center" representative — the paper's choice, which
+    * preferentially keeps the least prototypical, most informative example;
+    * ties → lowest id). Singletons always survive.
+    *
+    * Scale shape: pairs as above; components via
+    * [[Dedup.connectedComponentsAuto]] (driver union-find under
+    * `maxDriverEdges`, distributed min-label propagation past it); the
+    * final keep is one window over (component) on the component members
+    * only — the corpus never shuffles on the fast path.
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, cIdCol: String, cVecCol: String,
+               threshold: Double, maxCluster: Int = 4096,
+               maxDriverEdges: Int = 10_000_000): DataFrame = {
+    val pairs = semDeDupPairs(df, idCol, vecCol, centroids, cIdCol, cVecCol,
+      threshold, maxCluster)
+    val comps = Dedup.connectedComponentsAuto(df.select(col(idCol)), idCol,
+      pairs, maxDriverEdges)
+    // centroid similarity of each vector's ASSIGNED centroid — one more
+    // broadcast projection (ivfAssign keeps only the cluster id)
+    val c = centroids.select(col(cIdCol).as("cluster_id"), col(cVecCol).as("__cv"))
+    val withSim = ivfAssign(df, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .join(broadcast(c), Seq("cluster_id"))
+      .withColumn("__ccos", cosine(col(vecCol), col("__cv")))
+    val labeled = withSim.join(
+      comps.select(col("id").as(idCol), col("comp").as("__comp")), Seq(idCol))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col("__ccos").asc, col(idCol).asc)
+    val out = labeled.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__comp", "__cv")
+      .withColumnRenamed("__ccos", "centroid_cosine")
+    Dedup.materializeAndRelease(out, pairs)
+  }
 }

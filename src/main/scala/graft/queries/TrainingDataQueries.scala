@@ -245,6 +245,23 @@ object TrainingDataQueries {
         .select("vec_id").orderBy("vec_id")
     },
 
+    // SemDeDup (Abbas et al. 2023): k-means-cluster-scoped semantic dedup —
+    // pairs searched only within a vector's assigned IVF cluster; per dup
+    // group KEEP the member least similar to its centroid (ties → min id)
+    "q_dedup_semdedup" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val copies = e.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.5)).cast(FloatType)).as("embedding"))
+      val corpus = e.unionByName(copies)
+      val cents = VectorSimilarity.centroidFrame(spark, IvfCentroids.K8Sf001)
+      VectorSimilarity.semDeDup(corpus, "vec_id", "embedding", cents, "cid", "cv",
+          threshold = 0.99)
+        .select(col("vec_id"), col("cluster_id"),
+          e9(col("centroid_cosine")).as("ccos_e9"))
+        .orderBy("vec_id")
+    },
+
     // int8 quantization: compare via scalar projections of the quantized
     // vector (rolling hash + sum) — deterministic integers, no array-typed
     // oracle columns
@@ -732,6 +749,43 @@ object TrainingDataQueries {
          |  WHERE r.lbl < e.dst),
          |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
          |SELECT id AS vec_id FROM comp WHERE id = comp ORDER BY vec_id""".stripMargin,
+
+    "q_dedup_semdedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT))
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |cents(cid, cv) AS (VALUES
+         |  ${IvfCentroids.K8Sf001.zipWithIndex.map { case (v, i) =>
+               s"(CAST($i AS BIGINT), CAST(${v.mkString("[", ", ", "]")} AS DOUBLE[]))"
+             }.mkString(",\n  ")}),
+         |sc AS (SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cv")} AS csim
+         |       FROM corpus e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, embedding, cid AS cluster_id, csim,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |        FROM sc),
+         |a1 AS (SELECT vec_id, embedding, cluster_id, csim FROM asg WHERE rn = 1),
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |               a.embedding AS ea, b.embedding AS eb
+         |        FROM a1 a JOIN a1 b
+         |          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+         |gp AS (SELECT id_a, id_b FROM prs WHERE $cosineSql >= 0.99),
+         |nodes AS (SELECT vec_id AS id FROM corpus),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM gp
+         |          UNION ALL SELECT id_b, id_a FROM gp),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |  WHERE r.lbl < e.dst),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |ranked AS (SELECT a1.vec_id, a1.cluster_id, a1.csim,
+         |             row_number() OVER (PARTITION BY comp.comp
+         |                                ORDER BY a1.csim ASC, a1.vec_id ASC) AS krn
+         |           FROM a1 JOIN comp ON a1.vec_id = comp.id)
+         |SELECT vec_id, cluster_id, ${e9Sql("csim")} AS ccos_e9
+         |FROM ranked WHERE krn = 1 ORDER BY vec_id""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH m AS (SELECT vec_id, embedding,
