@@ -81,6 +81,71 @@ object Sampling {
     s"${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} % ${Denom} < " +
       s"CAST(floor(least(greatest($weightSql, 0.0), 1.0) * ${Denom}) AS BIGINT)"
 
+  /** Deterministic domain-mixture resampling: downsample each domain so
+    * the retained corpus matches target RELATIVE weights (the DoReMi /
+    * Pile-style "data mixture" step — e.g. web 60 : books 30 : code 10).
+    * `weightsPpm` gives each domain an integer relative weight (parts per
+    * million of the target mixture — integers so the constants embed
+    * identically in both engines); domains absent from the map are dropped.
+    *
+    * The mixture is scaled to the LARGEST total the corpus can serve
+    * without upsampling: the binding domain (smallest n_d/w_d) is kept
+    * whole and every other domain downsamples to match, via the same
+    * hash-membership predicate as [[hashSample]] (scan-side filter, no
+    * RNG, reproducible, monotone).
+    *
+    * Scale: one count aggregation over the domain column (tiny result,
+    * broadcast back), then a pure filter — the corpus never shuffles.
+    * Per-domain acceptance uses full hash resolution (denominator = P,
+    * not [[Denom]]), so even ppm-scale fractions at 100 TB stay exact.
+    */
+  def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
+                    weightsPpm: Map[String, Long]): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.values.forall(_ > 0),
+      "weightsPpm must be non-empty with positive weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toSeq.sortBy(_._1).toDF(domainCol, "__wppm")
+    // capacity of domain d = n_d / w_d (in ppm units): the largest mixture
+    // total T each domain could serve. T = min over domains.
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__nd"))
+      .join(w, Seq(domainCol))
+      .withColumn("__cap",
+        (col("__nd") * lit(1000000L)).cast("double") / col("__wppm").cast("double"))
+    val minT = counts.agg(min(col("__cap")).as("__t"))
+    // accept fraction f_d = w_d * T / (n_d * 1e6)  (== 1 for the binding
+    // domain); threshold on the full hash domain [0, P)
+    val thr = counts.crossJoin(broadcast(minT))
+      .withColumn("__thr",
+        floor(col("__wppm").cast("double") * col("__t")
+          / (col("__nd") * lit(1000000L)).cast("double")
+          * lit(PortableHash.P.toDouble)).cast("long"))
+      .select(col(domainCol), col("__thr"))
+    df.join(broadcast(thr), Seq(domainCol))
+      .where(PortableHash.hmod(col(keyCol).cast("string")) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /** The DuckDB spelling of [[mixtureSample]] as a CTE chain + final
+    * SELECT over `src`; column shapes mirror the Spark plan exactly so the
+    * doubles agree bitwise. */
+  def mixtureSampleSql(src: String, domain: String, key: String,
+                       weightsPpm: Map[String, Long]): String = {
+    val values = weightsPpm.toSeq.sortBy(_._1)
+      .map { case (d, w) => s"('$d', CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH w($domain, wppm) AS (VALUES $values),
+       |cnt AS (SELECT s.$domain, count(*) AS nd, any_value(wppm) AS wppm
+       |        FROM $src s JOIN w USING ($domain) GROUP BY s.$domain),
+       |t AS (SELECT min(CAST(nd * 1000000 AS DOUBLE) / CAST(wppm AS DOUBLE)) AS t FROM cnt),
+       |thr AS (SELECT $domain,
+       |          CAST(floor(CAST(wppm AS DOUBLE) * t.t
+       |                     / CAST(nd * 1000000 AS DOUBLE)
+       |                     * ${PortableHash.P}.0) AS BIGINT) AS thr
+       |        FROM cnt CROSS JOIN t)
+       |SELECT s.* FROM $src s JOIN thr USING ($domain)
+       |WHERE ${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} < thr""".stripMargin
+  }
+
   /** Deterministic per-group cap: keeps at most `cap` rows per group,
     * chosen by portable-hash order of the key (hash ties broken by the key
     * itself, so the draw is total and reproducible). The training-data

@@ -430,6 +430,27 @@ object VectorSimilarity {
     Dedup.materializeAndRelease(pairs, newB, corpusB)
   }
 
+  /** Per-cluster corpus profile over an IVF assignment: member count and
+    * centroid-cosine distribution (exported on the exact e9 integer domain
+    * so sums are order-free). The shape of the "how balanced is my
+    * clustering / which semantic regions dominate the corpus" audit that
+    * precedes a SemDeDup or curriculum-sampling run. One broadcast
+    * projection + one partial-aggregating shuffle on cluster_id.
+    */
+  def clusterProfile(df: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, cIdCol: String,
+                     cVecCol: String): DataFrame = {
+    val c = centroids.select(col(cIdCol).as("cluster_id"), col(cVecCol).as("__cv"))
+    val withSim = ivfAssign(df, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .join(broadcast(c), Seq("cluster_id"))
+      .withColumn("__ccos_e9", PortableHash.e9(cosine(col(vecCol), col("__cv"))))
+    withSim.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__ccos_e9")).as("sum_ccos_e9"),
+        min(col("__ccos_e9")).as("min_ccos_e9"),
+        max(col("__ccos_e9")).as("max_ccos_e9"))
+  }
+
   // ---- SemDeDup (cluster-scoped semantic dedup) --------------------------
 
   /** SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-efficient

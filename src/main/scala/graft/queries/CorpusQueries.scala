@@ -25,6 +25,11 @@ object CorpusQueries {
   private def embs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  /** Target mixture for q_sample_mixture: relative ppm weights over four
+    * sources; every other source drops out of the mixture. */
+  private val MixWeights: Map[String, Long] = Map(
+    "src0" -> 600000L, "src1" -> 250000L, "src2" -> 100000L, "src3" -> 50000L)
+
   val queries: Map[String, Q] = Map(
 
     // entity resolution: every 4th customer name re-enters with its 5th
@@ -217,6 +222,23 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // domain-mixture resampling: retain a web60/books25/code10/ref5-style
+    // target mixture over four sources (the rest dropped), scaled to the
+    // largest total the corpus can serve without upsampling
+    "q_sample_mixture" -> { (spark, sfDir) =>
+      Sampling.mixtureSample(docs(spark, sfDir), "source", "doc_id", MixWeights)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // per-IVF-cluster corpus audit: member count + centroid-cosine
+    // distribution on the exact e9 domain
+    "q_cluster_profile" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val cents = VectorSimilarity.centroidFrame(spark, IvfCentroids.K8Sf001)
+      VectorSimilarity.clusterProfile(e, "vec_id", "embedding", cents, "cid", "cv")
+        .orderBy("cluster_id")
+    },
+
     // product-analytics funnel: how far each user's (ts, event_id)-ordered
     // event sequence progresses through view -> click -> purchase
     "q_funnel" -> { (spark, sfDir) =>
@@ -313,6 +335,27 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_sample_mixture" ->
+      s"""SELECT doc_id, source FROM (
+         |${Sampling.mixtureSampleSql("documents", "source", "doc_id", MixWeights)}
+         |) ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_profile" ->
+      s"""WITH cents(cid, cv) AS (VALUES
+         |  ${IvfCentroids.K8Sf001.zipWithIndex.map { case (v, i) =>
+               s"(CAST($i AS BIGINT), CAST(${v.mkString("[", ", ", "]")} AS DOUBLE[]))"
+             }.mkString(",\n  ")}),
+         |sc AS (SELECT e.vec_id, c.cid, ${TrainingDataQueries.cosSql("e.embedding", "c.cv")} AS csim
+         |       FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cid AS cluster_id, csim,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |        FROM sc),
+         |a1 AS (SELECT vec_id, cluster_id, ${e9Sql("csim")} AS ce9 FROM asg WHERE rn = 1)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(ce9) AS BIGINT) AS sum_ccos_e9,
+         |  min(ce9) AS min_ccos_e9, max(ce9) AS max_ccos_e9
+         |FROM a1 GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_chunk_tokens" ->
       s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),

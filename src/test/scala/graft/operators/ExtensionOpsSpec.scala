@@ -57,6 +57,59 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(out.length == 250 && out.forall(_ % 2 == 0))
   }
 
+  test("mixtureSample: binding domain kept whole, ratios ~match, unlisted dropped") {
+    // a: 3000, b: 1000, c: 500 rows; target a:b = 50:50 → b binds (kept
+    // whole), a downsamples to ~1000; c unlisted → dropped
+    val df = spark.range(1, 4501).toDF("k")
+      .withColumn("d", when(col("k") <= 3000, "a")
+        .otherwise(when(col("k") <= 4000, "b").otherwise("c")))
+    val out = Sampling.mixtureSample(df, "d", "k",
+      Map("a" -> 500000L, "b" -> 500000L))
+    val byDomain = out.groupBy("d").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byDomain.contains("c"), "unlisted domain must drop")
+    assert(byDomain("b") == 1000L, "binding domain must be kept whole")
+    assert(byDomain("a") > 900 && byDomain("a") < 1100,
+      s"domain a should downsample to ~1000: $byDomain")
+    // deterministic
+    val again = Sampling.mixtureSample(df, "d", "k",
+        Map("a" -> 500000L, "b" -> 500000L))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("k").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("mixtureSample: equal counts with skewed weights keeps the heavy domain") {
+    val df = spark.range(1, 2001).toDF("k")
+      .withColumn("d", when(col("k") % 2 === 0, "x").otherwise("y"))
+    // x:y = 90:10 with equal counts → x binds; y downsamples to ~1/9
+    val out = Sampling.mixtureSample(df, "d", "k",
+      Map("x" -> 900000L, "y" -> 100000L))
+    val byDomain = out.groupBy("d").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("x") == 1000L)
+    assert(byDomain("y") > 60 && byDomain("y") < 160, s"y should be ~111: $byDomain")
+  }
+
+  test("clusterProfile: counts and e9 bounds per cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(2.0f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "v")
+    val cents = VectorSimilarity.centroidFrame(spark,
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val rows = VectorSimilarity.clusterProfile(df, "vec_id", "v", cents, "cid", "cv")
+      .orderBy("cluster_id").collect()
+    assert(rows.length == 2)
+    val c0 = rows(0); val c1 = rows(1)
+    assert(c0.getLong(0) == 0L && c0.getLong(1) == 2L)
+    assert(c1.getLong(0) == 1L && c1.getLong(1) == 1L)
+    // cluster 1 holds the exact centroid direction: cosine 1 → e9 exactly 1e9
+    assert(c1.getLong(3) == 1000000000L && c1.getLong(4) == 1000000000L)
+    // cluster 0: both members within [0.9, 1.0] cosine of (1,0)
+    assert(c0.getLong(2) > 1900000000L && c0.getLong(2) <= 2000000000L)
+  }
+
   test("groupCap: at most cap rows per group, deterministic, subset of the group") {
     val df = spark.range(1, 2001).toDF("k")
       .withColumn("g", (col("k") % 3).cast("string"))
