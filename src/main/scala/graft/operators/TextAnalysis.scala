@@ -35,6 +35,58 @@ object TextAnalysis {
   /** English stopwords used by quality scoring (tiny, deterministic). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  // ---- text normalization ------------------------------------------------
+  //
+  // The standard pre-tokenization scrub (the ftfy/CCNet cleanup step,
+  // minus ICU): strip control + zero-width characters, map exotic Unicode
+  // spaces to ' ', straighten curly quotes and dashes, collapse whitespace
+  // runs, trim. Patterns use \x{hex} escapes ONLY — the syntax Java regex
+  // and RE2 (DuckDB) share ('\uXXXX' is Java-only; bare '\s' differs
+  // between the engines re \x0B) — and each pattern string below is
+  // interpolated verbatim into BOTH engines' plans. Unicode NFC/NFKC is
+  // deliberately out of scope: it needs an ICU/Normalizer UDF (breaks
+  // whole-stage codegen) and the two engines' normalizers aren't
+  // guaranteed bit-identical.
+
+  /** Control chars (minus \t \n \r), zero-widths, BOM, soft hyphen → drop. */
+  val DropPattern: String =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}\\x{AD}\\x{200B}-\\x{200D}\\x{FEFF}]"
+  /** Exotic Unicode spaces → ASCII space. */
+  val SpacePattern: String =
+    "[\\x{A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]"
+  /** Curly/prime single quotes → '. */
+  val SingleQuotePattern: String = "[\\x{2018}\\x{2019}\\x{201A}\\x{2032}]"
+  /** Curly/low double quotes → ". */
+  val DoubleQuotePattern: String = "[\\x{201C}\\x{201D}\\x{201E}\\x{2033}]"
+  /** Hyphen/dash family (incl. minus sign) → -. */
+  val DashPattern: String = "[\\x{2010}-\\x{2015}\\x{2212}]"
+  /** ASCII whitespace runs (spelled out — Java \s and RE2 \s disagree). */
+  val WsRunPattern: String = "[ \\x{09}\\x{0A}\\x{0D}]+"
+
+  /** Deterministic text normalization as one codegen'd projection — no
+    * UDF, no shuffle; at 100 TB this is a pure scan-side rewrite. */
+  def normalizeText(c: Column): Column = {
+    val dropped = regexp_replace(c, DropPattern, "")
+    val spaces = regexp_replace(dropped, SpacePattern, " ")
+    val sq = regexp_replace(spaces, SingleQuotePattern, "'")
+    val dq = regexp_replace(sq, DoubleQuotePattern, "\"")
+    val dashes = regexp_replace(dq, DashPattern, "-")
+    trim(regexp_replace(dashes, WsRunPattern, " "))
+  }
+
+  /** The DuckDB spelling of [[normalizeText]] over SQL fragment `s` (the
+    * 'g' flag replaces every match, matching Spark's semantics). */
+  def normalizeTextSql(s: String): String = {
+    def rep(src: String, pat: String, to: String): String =
+      s"regexp_replace($src, '$pat', '$to', 'g')"
+    val dropped = rep(s, DropPattern, "")
+    val spaces = rep(dropped, SpacePattern, " ")
+    val sq = rep(spaces, SingleQuotePattern, "''")
+    val dq = rep(sq, DoubleQuotePattern, "\"")
+    val dashes = rep(dq, DashPattern, "-")
+    s"trim(${rep(dashes, WsRunPattern, " ")})"
+  }
+
   private def ratioIn(toks: Column, words: Seq[String]): Column = {
     val inSet = (t: Column) => words.map(w => t === lit(w)).reduce(_ || _)
     size(filter(toks, inSet)).cast(DoubleType) /

@@ -222,6 +222,18 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // pre-tokenization text scrub: control/zero-width strip, Unicode-space
+    // + curly-quote + dash normalization, whitespace collapse — exercised
+    // on deterministically noised text (same construction both engines)
+    "q_text_normalize" -> { (spark, sfDir) =>
+      val noisy = concat(
+        lit("\u00A0 \u201Cquoted\u201D \u2014"), col("text"),
+        lit("\u0007 \u2019s \t end\u200B"))
+      docs(spark, sfDir)
+        .select(col("doc_id"), TextAnalysis.normalizeText(noisy).as("norm_text"))
+        .orderBy("doc_id")
+    },
+
     // domain-mixture resampling: retain a web60/books25/code10/ref5-style
     // target mixture over four sources (the rest dropped), scaled to the
     // largest total the corpus can serve without upsampling
@@ -335,6 +347,16 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_text_normalize" -> {
+      // the same noise as the Spark side, built from chr() codepoints:
+      // NBSP sp LDQUO 'quoted' RDQUO sp EMDASH | text | BEL sp RSQUO 's' sp TAB ' end' ZWSP
+      val noisy = "chr(160) || ' ' || chr(8220) || 'quoted' || chr(8221) || ' ' || " +
+        "chr(8212) || text || chr(7) || ' ' || chr(8217) || 's ' || chr(9) || " +
+        "' end' || chr(8203)"
+      s"""SELECT doc_id, ${TextAnalysis.normalizeTextSql(noisy)} AS norm_text
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_sample_mixture" ->
       s"""SELECT doc_id, source FROM (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Specs for the TextAnalysis corpus operators added in round 5: line
   * dedup, URL/domain extraction, collocations, and typicality. */
@@ -138,5 +139,31 @@ class TextAnalysisOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq === Seq(
       (1L, "a|b", 3L, 1L), (2L, "c", 2L, 1L), (3L, "d", 2L, 1L)))
+  }
+
+  test("normalizeText scrubs controls/zero-widths, maps spaces/quotes/dashes, collapses ws") {
+    val df = Seq(
+      (1L, "  “hello”—world ’s ​x\t\ty  "),
+      (2L, "plain text stays"),
+      (3L, "a–b—c−d"),             // dash family
+      (4L, "tabs\tand\nnewlines\r\ncollapse"),
+      (5L, "")
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "\"hello\"-world 's x y")
+    assert(got(2L) === "plain text stays")
+    assert(got(3L) === "a-b-c-d")
+    assert(got(4L) === "tabs and newlines collapse")
+    assert(got(5L) === "")
+  }
+
+  test("normalizeText handles NULL and exotic unicode spaces") {
+    val df = Seq((1L, Some("a　b c")), (2L, None))
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L) === Some("a b c"))
+    assert(got(2L) === None)
   }
 }
