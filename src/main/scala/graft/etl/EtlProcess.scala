@@ -51,6 +51,12 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     * range scans skip whole files. Ignored by JDBC targets. */
   var clusterBy: Seq[String] = Seq.empty
 
+  /** Opt-in hash-bucketed target layout (see [[Loader.load]]): (key
+    * columns, bucket count). Upserts whose keys cover the bucket keys
+    * rewrite only the touched buckets — the partition-scoped merge for
+    * tables with no natural partition column. Ignored by JDBC targets. */
+  var bucketBy: Option[(Seq[String], Int)] = None
+
   /** S6: progress reporting — the reference's VERBOSE/tqdm loop
     * (easy_etl/__init__.py:33-40). A Spark load is one distributed job, so
     * progress is per-phase row counts rather than a per-row bar. Off by
@@ -285,7 +291,8 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
           Loader.load(c, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe,
             idOrder = idOrder, targetFileBytes = targetFileBytes,
-            partitionBy = partitionBy, clusterBy = clusterBy)
+            partitionBy = partitionBy, clusterBy = clusterBy,
+            bucketBy = bucketBy)
         case j: JdbcCatalog =>
           JdbcLoader.load(j, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe, idOrder = idOrder)

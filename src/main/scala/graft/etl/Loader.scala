@@ -66,27 +66,76 @@ object Loader {
     * skips whole files instead of scanning the table (the zone-map /
     * SORTED BY layout). Like `targetFileBytes` it shapes the files this
     * load writes; appends cluster the new files only.
+    *
+    * `bucketBy`: opt-in hash-bucketed layout (key columns, bucket count) —
+    * the scale answer for upserting tables with NO natural partition
+    * column. The table physically partitions on a derived bucket id (a
+    * portable hash of the key tuple mod N, invisible to readers), so an
+    * upsert whose keys cover the bucket keys rewrites ONLY the buckets the
+    * batch touches: O(batch/N × table) instead of O(table). With N=1024, a
+    * 1000-row batch into a 100 TB table rewrites ≤ 1000 buckets ≈ at most
+    * that fraction of the table; point-lookup reads can likewise prune to
+    * one bucket. Recorded in a sidecar and enforced on later loads;
+    * mutually exclusive with `partitionBy`.
     */
   def load(tgt: Catalog, table: String, incoming0: DataFrame,
            upsertFields: Seq[String] = Nil, ensure: Boolean = true,
            safe: Boolean = false, idOrder: Seq[String] = Nil,
            targetFileBytes: Option[Long] = None,
            partitionBy: Seq[String] = Nil,
-           clusterBy: Seq[String] = Nil): Unit = {
-    val incoming = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
-    if (incoming.isEmpty) return
+           clusterBy: Seq[String] = Nil,
+           bucketBy: Option[(Seq[String], Int)] = None): Unit = {
+    val incoming1 = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
+    if (incoming1.isEmpty) return
 
     recoverStranded(tgt, table)
-    val existing = tgt.tableIfExists(table)
-    val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
+    val existing0 = tgt.tableIfExists(table)
+    // an existing table's recorded bucketing wins; a conflicting request is
+    // an error, not a silent re-layout. A flat table CAN migrate to
+    // bucketed (full atomic rewrite, sidecar written with it).
+    val recordedBuckets =
+      if (existing0.isDefined)
+        graft.sources.ParquetSource.readBucketSpec(tgt.spark, tgt.dirPath(table))
+      else None
+    val bucketSpec: Option[(Seq[String], Int)] = recordedBuckets match {
+      case Some(spec) =>
+        require(bucketBy.isEmpty || bucketBy.contains(spec),
+          s"table '$table' is bucketed by ${spec._1.mkString(",")} x ${spec._2}; " +
+            s"cannot load with bucketBy=$bucketBy")
+        Some(spec)
+      case None => bucketBy
+    }
+    require(bucketSpec.isEmpty || partitionBy.isEmpty,
+      "bucketBy and partitionBy are mutually exclusive layouts")
+    bucketSpec.foreach { case (keys, n) =>
+      require(n >= 1, s"bucket count must be >= 1: $n")
+      require(keys.forall(incoming1.columns.contains),
+        s"bucketBy key(s) absent from incoming: ${keys.filterNot(incoming1.columns.contains).mkString(", ")}")
+    }
+    // the derived bucket id rides through the pipeline as an ordinary
+    // partition column; readers never see it (ParquetSource.read drops it),
+    // so it is recomputed on BOTH sides here
+    val incoming = bucketSpec.fold(incoming1) { case (keys, n) =>
+      incoming1.withColumn(BucketCol, bucketIdExpr(keys, n))
+    }
+    val existing = existing0.map { ex =>
+      bucketSpec.fold(ex) { case (keys, n) =>
+        ex.withColumn(BucketCol, bucketIdExpr(keys, n))
+      }
+    }
+    val order = if (idOrder.nonEmpty) idOrder
+      else incoming1.columns.toSeq.filterNot(_ == BucketCol)
     // an existing table's recorded partitioning wins; a conflicting request
     // is an error, not a silent re-layout
     val recordedSpec =
       if (existing.isDefined)
         graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
       else Nil
+    require(bucketSpec.isEmpty || recordedSpec.isEmpty || recordedSpec == Seq(BucketCol),
+      s"table '$table' is partitioned by ${recordedSpec.mkString(",")}; cannot bucket it")
     val partCols: Seq[String] =
-      if (recordedSpec.nonEmpty) {
+      if (bucketSpec.isDefined) Seq(BucketCol)
+      else if (recordedSpec.nonEmpty) {
         require(partitionBy.isEmpty || partitionBy == recordedSpec,
           s"table '$table' is partitioned by ${recordedSpec.mkString(",")}; " +
             s"cannot load with partitionBy=${partitionBy.mkString(",")}")
@@ -116,8 +165,16 @@ object Loader {
         // merge-completeness) and an unchanged schema (a partial rewrite
         // must not evolve the table out from under the untouched
         // partitions)
-        val scoped = recordedSpec.nonEmpty &&
-          partCols.forall(upsertFields.contains) &&
+        // a bucketed table qualifies when the upsert keys cover the BUCKET
+        // KEYS (the bucket id is a function of them, so a matched row can
+        // never change buckets) — the hash-layout twin of the partition
+        // rule, giving O(touched buckets) upserts on tables with no
+        // natural partition column
+        val keysCover = bucketSpec match {
+          case Some((keys, _)) => keys.forall(upsertFields.contains)
+          case None => partCols.forall(upsertFields.contains)
+        }
+        val scoped = recordedSpec.nonEmpty && keysCover &&
           sameColumnSet(ex, incoming) &&
           partitionScopedUpsert(tgt, table, ex, incoming, upsertFields,
             maxId, order, ensure, safe, partCols, targetFileBytes, clusterBy)
@@ -163,8 +220,20 @@ object Loader {
         unionAligned(Seq(ex, withIds), target)
     }
 
-    writeAtomic(tgt, table, shard(merged, targetFileBytes, partCols, clusterBy), partCols)
+    writeAtomic(tgt, table, shard(merged, targetFileBytes, partCols, clusterBy),
+      partCols, bucketSpec)
   }
+
+  val BucketCol: String = graft.sources.ParquetSource.BucketCol
+
+  /** Bucket id of the key tuple: portable hash mod bucket count. A pure
+    * deterministic projection of the key columns — writers recompute it,
+    * readers never see it. NULL key components fold into the separator
+    * (collisions only coarsen bucketing, never break it: the id is still a
+    * function of the key tuple). */
+  private def bucketIdExpr(keys: Seq[String], n: Int): org.apache.spark.sql.Column =
+    (graft.functions.PortableHash.hmod(
+      concat_ws("\u0001", keys.map(c => col(c).cast("string")): _*)) % n).cast("int")
 
   /** Same column name→type map (order-insensitive — a partitioned read
     * surfaces partition columns last). */
@@ -319,12 +388,20 @@ object Loader {
               clusterBy: Seq[String] = Nil): Unit = {
     require(tgt.resolve(table).contains(tgt.dirPath(table)),
       s"table '$table' is not a directory-layout table; nothing to compact")
-    val ex = tgt.table(table)
+    val ex0 = tgt.table(table)
     val partCols =
       graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
+    // a bucketed table's derived bucket id is dropped on read — recompute
+    // it so the rewrite keeps the bucket layout (and its sidecar)
+    val bucketSpec =
+      graft.sources.ParquetSource.readBucketSpec(tgt.spark, tgt.dirPath(table))
+    val ex = bucketSpec.fold(ex0) { case (keys, n) =>
+      ex0.withColumn(BucketCol, bucketIdExpr(keys, n))
+    }
     // compact + clusterBy = the re-clustering pass: incremental appends land
     // unsorted, a periodic clustered compaction restores the zone-map layout
-    writeAtomic(tgt, table, shard(ex, Some(targetFileBytes), partCols, clusterBy), partCols)
+    writeAtomic(tgt, table, shard(ex, Some(targetFileBytes), partCols, clusterBy),
+      partCols, bucketSpec)
   }
 
   /** The join-based MERGE shared by the parquet and JDBC sinks: replace
@@ -444,7 +521,8 @@ object Loader {
     * recovery). Never a window with no data at all.
     */
   private def writeAtomic(tgt: Catalog, table: String, df: DataFrame,
-                          partCols: Seq[String] = Nil): Unit = {
+                          partCols: Seq[String] = Nil,
+                          bucketSpec: Option[(Seq[String], Int)] = None): Unit = {
     val conf = tgt.spark.sparkContext.hadoopConfiguration
     val finalPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
     val uuid = java.util.UUID.randomUUID().toString
@@ -458,6 +536,9 @@ object Loader {
     if (partCols.nonEmpty)
       graft.sources.ParquetSource.writePartSpec(tgt.spark, tmpPath.toString,
         partCols.map(c => c -> df.schema(c).dataType.catalogString))
+    bucketSpec.foreach { case (keys, n) =>
+      graft.sources.ParquetSource.writeBucketSpec(tgt.spark, tmpPath.toString, keys, n)
+    }
     val hadOld = fs.exists(finalPath)
     if (hadOld && !fs.rename(finalPath, oldPath))
       throw new java.io.IOException(s"could not move old table aside: $finalPath")

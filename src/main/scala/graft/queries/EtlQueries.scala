@@ -324,6 +324,23 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // S2 on the HASH-BUCKETED layout: same logical upsert as q_upsert, but
+    // the table partitions on a derived key-hash bucket id, so the merge
+    // rewrites only touched buckets (spec-proven in BucketedUpsertSpec);
+    // the oracle pins that the physical re-layout changes NO result bit
+    "q_upsert_bucketed" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.bucketBy = Some((Seq("o_orderkey"), 16))
+      p.idOrder = Seq("o_orderkey")
+      p.extract("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000")
+      p.load()
+      p.extract(
+        """SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+          |FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000""".stripMargin)
+      p.load(upsertFields = Seq("o_orderkey"))
+      p.result().orderBy("id")
+    },
+
     // S3+S4: schema evolution — ensure widens, default narrowing drops stale
     "q_schema_evolve" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
@@ -533,6 +550,21 @@ object EtlQueries {
         |FROM orders ORDER BY id""".stripMargin,
 
     "q_upsert" ->
+      """WITH g1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000),
+        |     g2 AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |            FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000),
+        |     i1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, g1.* FROM g1),
+        |     upd AS (SELECT i1.id, i1.o_orderkey,
+        |                    coalesce(g2.o_orderstatus, i1.o_orderstatus) AS o_orderstatus,
+        |                    coalesce(g2.o_totalprice, i1.o_totalprice) AS o_totalprice
+        |             FROM i1 LEFT JOIN g2 USING (o_orderkey)),
+        |     fresh AS (SELECT (SELECT count(*) FROM g1) + row_number() OVER (ORDER BY g2.o_orderkey) AS id,
+        |                      g2.* FROM g2 LEFT JOIN g1 USING (o_orderkey)
+        |               WHERE g1.o_orderkey IS NULL)
+        |SELECT * FROM upd UNION ALL SELECT * FROM fresh ORDER BY id""".stripMargin,
+
+    // identical end state to q_upsert: bucketing is physical layout only
+    "q_upsert_bucketed" ->
       """WITH g1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000),
         |     g2 AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
         |            FROM orders WHERE o_orderkey > 1000 AND o_orderkey <= 3000),

@@ -31,6 +31,17 @@ object ParquetSource {
     * casts them back. Written by the Loader write path. */
   val PartSpecFile = "_graft_partitioning"
 
+  /** Sidecar recording a hash-bucketed graft table's bucket KEY columns and
+    * bucket count (`key1,key2\tN`). The bucket id itself is a derived
+    * Hive-partition column ([[BucketCol]]) — a pure function of the key
+    * columns, so readers drop it and writers recompute it. Written by the
+    * Loader write path. */
+  val BucketSpecFile = "_graft_bucketing"
+
+  /** The derived bucket-id partition column of a bucketed table. Internal:
+    * never surfaces on reads. */
+  val BucketCol = "__gbucket"
+
   def read(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set(NanosAsLongKey, "true")
     val df = spark.read.parquet(path)
@@ -38,9 +49,12 @@ object ParquetSource {
     val withNanos = nanoCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
     }
-    readPartSpec(spark, path).foldLeft(withNanos) { case (d, (c, t)) =>
+    val cast = readPartSpec(spark, path).foldLeft(withNanos) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
     }
+    // the bucket id is physical layout, not data — recomputable from the
+    // bucket-spec sidecar whenever a writer needs it
+    if (cast.columns.contains(BucketCol)) cast.drop(BucketCol) else cast
   }
 
   /** (col, catalogString) pairs from the partition sidecar, empty if none. */
@@ -71,6 +85,37 @@ object ParquetSource {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(spec.map { case (c, t) => s"$c\t$t" }.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** (bucket key columns, bucket count) from the bucketing sidecar, None
+    * if the table isn't bucketed. */
+  def readBucketSpec(spark: SparkSession, path: String): Option[(Seq[String], Int)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path, BucketSpecFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val text = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val Array(keys, n) = text.split("\t", 2)
+        Some((keys.split(",").toSeq, n.toInt))
+      } finally in.close()
+    }
+  }
+
+  /** Write the bucketing sidecar into `dir` (overwrites). */
+  def writeBucketSpec(spark: SparkSession, dir: String,
+                      keys: Seq[String], n: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, BucketSpecFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"${keys.mkString(",")}\t$n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
