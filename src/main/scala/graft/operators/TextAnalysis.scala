@@ -127,6 +127,60 @@ object TextAnalysis {
       .withColumn("quality_score", quality)
   }
 
+  // ---- Gopher quality rules ---------------------------------------------
+
+  /** The Gopher corpus-filter rule set (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", Appendix A1.1) as one codegen'd projection: per
+    * document, a boolean per rule plus the conjunctive `gopher_keep` gate.
+    * All thresholds are evaluated in INTEGER cross-multiplied form
+    * (10·symbols ≤ words, not symbols/words ≤ 0.1) so the flags are exact
+    * and engine-portable — no double division anywhere.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# and …/'...') ≤ 0.1; ≤ 90% of lines
+    * bullet-started; ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain
+    * an alphabetic character; ≥ 2 distinct stopwords present.
+    *
+    * Scale: pure scan-side projection — no shuffle, no UDF; the gate runs
+    * at scan speed over 100 TB and composes with any downstream sampler.
+    */
+  def withGopherFlags(df: DataFrame, textCol: String,
+                      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    // bind the tokenization and line split ONCE per row (expressions that
+    // reference them below would otherwise re-run the regex splits)
+    val bound = df
+      .withColumn("__toks", tokens(t))
+      .withColumn("__lines", filter(split(t, "\n"), l => l =!= lit("")))
+    val toks = col("__toks")
+    val lines = col("__lines")
+    val n = size(toks).cast(LongType)
+    val totLen = aggregate(toks, lit(0L), (a, w) => a + length(w).cast(LongType))
+    val nLines = size(lines).cast(LongType)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("\u2022") || l.startsWith("- ") || l.startsWith("* "))).cast(LongType)
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("\u2026"))).cast(LongType)
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast(LongType)
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast(LongType) +
+      (length(t) - length(regexp_replace(t, "\u2026", ""))).cast(LongType)
+    val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast(LongType)
+    val stopHits = size(array_intersect(array_distinct(toks),
+      typedLit(Stopwords))).cast(LongType)
+    bound.withColumn("f_word_count", n >= minWords && n <= maxWords)
+      .withColumn("f_mean_word_len", totLen >= lit(3L) * n && totLen <= lit(10L) * n)
+      .withColumn("f_symbol_ratio", lit(10L) * (hashes + ellipses) <= n)
+      .withColumn("f_bullet_lines", lit(10L) * bulletLines <= lit(9L) * nLines)
+      .withColumn("f_ellipsis_lines", lit(10L) * ellipsisLines <= lit(3L) * nLines)
+      .withColumn("f_alpha_words", lit(5L) * alphaWords >= lit(4L) * n)
+      .withColumn("f_stopwords", stopHits >= 2L)
+      .withColumn("gopher_keep",
+        col("f_word_count") && col("f_mean_word_len") && col("f_symbol_ratio") &&
+          col("f_bullet_lines") && col("f_ellipsis_lines") &&
+          col("f_alpha_words") && col("f_stopwords"))
+      .drop("__toks", "__lines")
+  }
+
   /** Stopword profiles for the n-gram/stopword language-ID heuristic.
     * Order matters: ties resolve to the FIRST language in this list.
     */

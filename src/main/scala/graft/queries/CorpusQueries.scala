@@ -222,6 +222,24 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // the Gopher rule gate (Rae et al. 2021 A1.1) over deterministically
+    // noised docs: every 7th doc goes symbol-heavy (#/...), every 11th
+    // becomes a bullet list — the flags and conjunctive keep must agree
+    // bit-for-bit with the oracle's integer cross-multiplied thresholds
+    "q_quality_gopher" -> { (spark, sfDir) =>
+      val noised = docs(spark, sfDir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("# ## "), col("text"), lit(" ... and more ...")))
+          .when(col("doc_id") % 11 === 0,
+            lit("\u2022 one\n\u2022 two\n\u2022 three"))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.withGopherFlags(noised, "text", minWords = 30)
+        .select(col("doc_id"), col("f_word_count"), col("f_mean_word_len"),
+          col("f_symbol_ratio"), col("f_bullet_lines"), col("f_ellipsis_lines"),
+          col("f_alpha_words"), col("f_stopwords"), col("gopher_keep"))
+        .orderBy("doc_id")
+    },
+
     // pre-tokenization text scrub: control/zero-width strip, Unicode-space
     // + curly-quote + dash normalization, whitespace collapse — exercised
     // on deterministically noised text (same construction both engines)
@@ -347,6 +365,45 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_quality_gopher" -> {
+      val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH nd AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN '# ## ' || text || ' ... and more ...'
+         |       WHEN doc_id % 11 = 0 THEN chr(8226) || ' one' || chr(10) || chr(8226) || ' two' || chr(10) || chr(8226) || ' three'
+         |       ELSE text END AS text FROM documents),
+         |tw AS (SELECT doc_id, text, ${TrainingDataQueries.tok("text")} AS w FROM nd),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n,
+         |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS totlen,
+         |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+         |    + CAST(length(text) - length(replace(text, chr(8230), '')) AS BIGINT) AS ellipses,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alphaw,
+         |  CAST(len(list_filter(list_distinct(w), x -> x IN $stops)) AS BIGINT) AS stophits
+         | FROM tw),
+         |f AS (SELECT doc_id, n, totlen, hashes, ellipses, alphaw, stophits,
+         |  CAST(len(lines) AS BIGINT) AS nlines,
+         |  CAST(len(list_filter(lines, l -> starts_with(l, chr(8226))
+         |    OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS bullets,
+         |  CAST(len(list_filter(lines, l -> ends_with(l, '...')
+         |    OR ends_with(l, chr(8230)))) AS BIGINT) AS ellines
+         | FROM m)
+         |SELECT doc_id,
+         |  (n >= 30 AND n <= 100000) AS f_word_count,
+         |  (totlen >= 3 * n AND totlen <= 10 * n) AS f_mean_word_len,
+         |  (10 * (hashes + ellipses) <= n) AS f_symbol_ratio,
+         |  (10 * bullets <= 9 * nlines) AS f_bullet_lines,
+         |  (10 * ellines <= 3 * nlines) AS f_ellipsis_lines,
+         |  (5 * alphaw >= 4 * n) AS f_alpha_words,
+         |  (stophits >= 2) AS f_stopwords,
+         |  ((n >= 30 AND n <= 100000) AND (totlen >= 3 * n AND totlen <= 10 * n)
+         |    AND (10 * (hashes + ellipses) <= n) AND (10 * bullets <= 9 * nlines)
+         |    AND (10 * ellines <= 3 * nlines) AND (5 * alphaw >= 4 * n)
+         |    AND (stophits >= 2)) AS gopher_keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_normalize" -> {
       // the same noise as the Spark side, built from chr() codepoints:

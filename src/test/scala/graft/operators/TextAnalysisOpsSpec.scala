@@ -158,6 +158,30 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got(5L) === "")
   }
 
+  test("withGopherFlags: each rule fires on its pathological input") {
+    val good = ("the quick brown fox jumps over a lazy dog and " * 5).trim
+    val df = Seq(
+      (1L, good),                                  // passes everything
+      (2L, "too short"),                           // word count
+      (3L, ("a b c " * 20).trim),                  // mean word len < 3
+      (4L, ("# " * 60 + good)),                    // symbol ratio
+      (5L, "• x\n• y\n• z"),                       // bullets (and word count)
+      (6L, (1 to 60).map(_ => "12345").mkString(" ")) // no alpha, no stopwords
+    ).toDF("id", "text")
+    val got = TextAnalysis.withGopherFlags(df, "text", minWords = 20)
+      .select("id", "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_bullet_lines", "f_alpha_words", "f_stopwords", "gopher_keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(got(1L) === ((true, true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._7)
+    assert(!got(3L)._2)
+    assert(!got(4L)._3)
+    assert(!got(5L)._4)
+    assert(!got(6L)._5 && !got(6L)._6)
+  }
+
   test("normalizeText handles NULL and exotic unicode spaces") {
     val df = Seq((1L, Some("a　b c")), (2L, None))
       .toDF("id", "text")
