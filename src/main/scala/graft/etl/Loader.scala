@@ -235,6 +235,35 @@ object Loader {
     (graft.functions.PortableHash.hmod(
       concat_ws("\u0001", keys.map(c => col(c).cast("string")): _*)) % n).cast("int")
 
+  /** Bucket-pruned point lookup on a hash-bucketed table: hash the key
+    * tuple at PLAN time (the driver-side twin of [[bucketIdExpr]]) and
+    * read ONLY that bucket's directory — at 100 TB with N=1024 buckets,
+    * a key fetch scans 1/1024th of the table instead of all of it, with
+    * zero index structures. Key values must be given for every bucket key
+    * (stringified the way Spark casts them — longs/strings round-trip
+    * exactly). Returns the matching rows (exact filter applied on top of
+    * the bucket scan).
+    */
+  def bucketLookup(tgt: Catalog, table: String,
+                   key: Map[String, Any]): DataFrame = {
+    val spec = graft.sources.ParquetSource.readBucketSpec(tgt.spark, tgt.dirPath(table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$table' is not hash-bucketed"))
+    val (keys, n) = spec
+    require(keys.toSet == key.keySet,
+      s"lookup must bind exactly the bucket keys ${keys.mkString(",")}; got ${key.keys.mkString(",")}")
+    val joined = keys.map(k => String.valueOf(key(k))).mkString("\u0001")
+    val bucket = graft.functions.PortableHash.hmodJvm(joined) % n
+    val bucketDir = new org.apache.hadoop.fs.Path(
+      tgt.dirPath(table), s"$BucketCol=$bucket")
+    val fs = bucketDir.getFileSystem(tgt.spark.sparkContext.hadoopConfiguration)
+    val scan =
+      if (fs.exists(bucketDir))
+        graft.sources.ParquetSource.read(tgt.spark, bucketDir.toString)
+      else tgt.table(table).limit(0) // key hashes to a bucket with no rows
+    keys.foldLeft(scan)((d, k) => d.where(col(k) === lit(key(k))))
+  }
+
   /** Same column name→type map (order-insensitive — a partitioned read
     * surfaces partition columns last). */
   private def sameColumnSet(ex: DataFrame, incoming: DataFrame): Boolean = {

@@ -40,6 +40,20 @@ object PortableHash {
   /** Portable hash reduced below [[P]] (safe for modular products). */
   def hmod(c: Column): Column = h60(c) % P
 
+  /** Driver-side (plain JVM) twin of [[h60]] — bit-identical to the column
+    * form: md5 of the UTF-8 bytes, leading 15 hex chars as a long. Used
+    * where a single key's hash is needed at PLAN time (bucket-pruned point
+    * lookups), not per row. */
+  def h60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Driver-side twin of [[hmod]]. */
+  def hmodJvm(s: String): Long = h60Jvm(s) % P
+
   /** The DuckDB spelling of [[h60]] applied to SQL fragment `s` — the full
     * 60-bit positive value (bit source for SimHash; NOT safe for modular
     * products, use [[hmodSql]] for those). */

@@ -121,6 +121,37 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(!bt.table("t").columns.contains(BC))
   }
 
+  test("bucketLookup scans exactly one bucket dir and finds every key") {
+    val spark0 = spark
+    import spark0.implicits._
+    val bt = new Catalog(spark, tmpDir("graft-blkp"))
+    val rows = (1 to 500).map(i => (i.toLong, s"v$i"))
+    Loader.load(bt, "t", rows.toDF("k", "s"), idOrder = Seq("k"),
+      bucketBy = Some((Seq("k"), 8)))
+    // every key resolves through the bucket-pruned path
+    for (k <- Seq(1L, 137L, 500L)) {
+      val hit = Loader.bucketLookup(bt, "t", Map("k" -> k))
+      assert(hit.count() == 1)
+      assert(hit.select("s").head().getString(0) == s"v$k")
+      // the scan touches files of exactly ONE bucket directory
+      val dirs = hit.inputFiles.map(_.split("/").init.last).toSet
+      assert(dirs.size == 1 && dirs.head.startsWith(s"$BC="),
+        s"lookup must read one bucket dir, read: $dirs")
+    }
+    // a missing key returns empty, not an error
+    assert(Loader.bucketLookup(bt, "t", Map("k" -> 99999L)).count() == 0)
+    // wrong key set errors
+    intercept[IllegalArgumentException] {
+      Loader.bucketLookup(bt, "t", Map("s" -> "v1"))
+    }
+    // non-bucketed table errors
+    val ft = new Catalog(spark, tmpDir("graft-blkp2"))
+    Loader.load(ft, "t", rows.toDF("k", "s"), idOrder = Seq("k"))
+    intercept[IllegalArgumentException] {
+      Loader.bucketLookup(ft, "t", Map("k" -> 1L))
+    }
+  }
+
   test("multi-key bucketing scopes on the combined key hash") {
     val spark0 = spark
     import spark0.implicits._
