@@ -341,6 +341,34 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // bucket-pruned point lookups: three key fetches against the bucketed
+    // table, each scanning exactly ONE bucket dir (spec-asserted in
+    // BucketedUpsertSpec); oracle pins the fetched rows
+    "q_lookup_bucketed" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir); val tgt = tmpCat(spark)
+      val p = new EtlProcess(src, tgt, "t")
+      p.bucketBy = Some((Seq("o_orderkey"), 16))
+      p.idOrder = Seq("o_orderkey")
+      p.extract("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000")
+      p.load()
+      Seq(7L, 500L, 1999L)
+        .map(k => graft.etl.Loader.bucketLookup(tgt, "t", Map("o_orderkey" -> k)))
+        .reduce(_.unionByName(_))
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // per-domain BPE token budget: the "how many training tokens does each
+    // source contribute" audit every mixture decision starts from
+    "q_token_budget" -> { (spark, sfDir) =>
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.functions.Bpe.nTokensByDict(d, "doc_id", "text", BpeMerges.Merges)
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpe_tokens").as("n_tokens"))
+        .orderBy("source")
+    },
+
     // S3+S4: schema evolution — ensure widens, default narrowing drops stale
     "q_schema_evolve" -> { (spark, sfDir) =>
       val p = proc(spark, sfDir, "t")
@@ -562,6 +590,23 @@ object EtlQueries {
         |                      g2.* FROM g2 LEFT JOIN g1 USING (o_orderkey)
         |               WHERE g1.o_orderkey IS NULL)
         |SELECT * FROM upd UNION ALL SELECT * FROM fresh ORDER BY id""".stripMargin,
+
+    "q_lookup_bucketed" ->
+      """WITH g AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000),
+        |     i AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, g.* FROM g)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM i
+        |WHERE o_orderkey IN (7, 500, 1999) ORDER BY o_orderkey""".stripMargin,
+
+    "q_token_budget" -> {
+      val tok = s"""list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"""
+      s"""WITH t AS (SELECT doc_id, source, $tok AS w FROM documents),
+         |b AS (SELECT source,
+         |        CAST(len(${graft.functions.Bpe.tokensSql("w", BpeMerges.Merges)}) AS BIGINT) AS n
+         |      FROM t)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // identical end state to q_upsert: bucketing is physical layout only
     "q_upsert_bucketed" ->
