@@ -36,7 +36,12 @@ object Bench {
     catch { case _: Throwable => }
     val loadBefore = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional trailing args: benchmark only the named queries (local
+    // iteration aid; the driver passes none and measures everything)
+    val only = args.toSet
+    val picked = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => only(kv._1))
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

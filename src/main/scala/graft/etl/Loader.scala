@@ -380,7 +380,13 @@ object Loader {
                     partCols: Seq[String] = Nil,
                     clusterBy: Seq[String] = Nil): DataFrame =
     (targetFileBytes, clusterBy) match {
-      case (None, Nil) => df
+      case (None, Nil) if partCols.isEmpty => df
+      case (None, Nil) =>
+        // a Hive/bucket-partitioned write from an N-task frame would emit
+        // up to N files PER leaf (every task holds rows of every value) —
+        // co-locate each leaf's rows in one task: one file per leaf.
+        // Oversized leaves are what targetFileBytes is for.
+        df.repartition(partCols.map(col): _*)
       case (None, cls) if partCols.isEmpty =>
         val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
         df.repartitionByRange(n, cls.map(col): _*)
