@@ -31,14 +31,16 @@ object StreamLoader {
                  idOrder: Seq[String] = Nil,
                  upsertFields: Seq[String] = Nil,
                  partitionBy: Seq[String] = Nil,
-                 targetFileBytes: Option[Long] = None): StreamingQuery =
+                 targetFileBytes: Option[Long] = None,
+                 bucketBy: Option[(Seq[String], Int)] = None): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Loader.load(tgt, table, batch,
           upsertFields = upsertFields, idOrder = idOrder,
-          partitionBy = partitionBy, targetFileBytes = targetFileBytes)
+          partitionBy = partitionBy, targetFileBytes = targetFileBytes,
+          bucketBy = bucketBy)
       }
       .start()
 }

@@ -115,4 +115,40 @@ class StreamLoaderSpec extends SparkSpec {
       .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
     assert(out(2L) == 999.0 && out(100L) == 1.0 && out.size == 41)
   }
+
+  test("bucketed upserting sink: CDC stream into a hash-bucketed table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tgt = new Catalog(spark, tmpDir("graft-stream-tgt4"))
+
+    def run(ckpt: String, data: Seq[(Long, Double)]): Unit = {
+      val input = MemoryStream[(Long, Double)]
+      val q = StreamLoader.streamInto(input.toDF().toDF("k", "v"), tgt, "t",
+        checkpointDir = ckpt, idOrder = Seq("k"),
+        upsertFields = Seq("k"), bucketBy = Some((Seq("k"), 8)))
+      try { input.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(tmpDir("graft-sck-c"), (1 to 400).map(i => (i.toLong, i.toDouble)))
+    def snapshot(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(tgt.dirPath("t")))
+        .filter(_.getName.startsWith("part-"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = snapshot()
+    // a 2-key CDC batch merges, touching at most 2 buckets
+    run(tmpDir("graft-sck-d"), Seq((7L, 7000.0), (401L, 1.0)))
+    val after = snapshot()
+    val changed = (before.toSet union after.toSet)
+      .diff(before.toSet intersect after.toSet)
+      .map(_._1.split("__gbucket=")(1).split("/")(0))
+    assert(changed.size <= 2, s"2-key batch must touch <= 2 buckets: $changed")
+    val out = tgt.table("t").collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(out(7L) == 7000.0 && out(401L) == 1.0 && out.size == 401)
+    // the stream table remains point-lookup-able through the bucket path
+    val hit = graft.etl.Loader.bucketLookup(tgt, "t", Map("k" -> 7L))
+    assert(hit.select("v").head().getDouble(0) == 7000.0)
+  }
 }
