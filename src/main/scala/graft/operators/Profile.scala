@@ -154,7 +154,9 @@ object Profile {
         sum(col("pc")).over(Window.partitionBy("__key").orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__key"), col("pid"), col("off"))
-    val ns = counts.groupBy("__key").agg(sum(col("c")).as("n"))
+    // derive per-key totals from the PERSISTED frame — `counts` would
+    // re-run the whole base aggregation a second time
+    val ns = parted.groupBy("__key").agg(sum(col("c")).as("n"))
     val thresholds = ns.select(col("__key"), col("n"),
         explode(array(qPpms.map(lit): _*)).as("q_ppm"))
       .select(col("__key"), col("q_ppm"),
