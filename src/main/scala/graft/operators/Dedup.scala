@@ -575,6 +575,28 @@ object Dedup {
     out
   }
 
+  /** Corpus-level dedup audit for ANY pair source: one row of totals —
+    * (n_total, n_dup_groups, n_dup_members, n_dropped, drop_ppm) — the
+    * "how duplicated is this corpus / what would dedup save" report a
+    * pipeline reads BEFORE committing to the drop. Same component
+    * machinery as [[dropByPairs]]; the output is a handful of aggregates,
+    * so the audit costs the pair pipeline + a two-level count, never a
+    * corpus rewrite.
+    */
+  def dedupReport(df: DataFrame, idCol: String, pairs: DataFrame,
+                  maxDriverEdges: Int = 10_000_000): DataFrame = {
+    val comps = connectedComponentsAuto(df.select(col(idCol)), idCol, pairs, maxDriverEdges)
+    val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      sum(col("sz")).as("n_total"),
+      sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+      sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("n_dup_members"),
+      (sum(col("sz")) - count(lit(1))).as("n_dropped"))
+    .select(col("n_total"), col("n_dup_groups"), col("n_dup_members"),
+      col("n_dropped"),
+      expr("CAST(n_dropped * 1000000 DIV n_total AS BIGINT)").as("drop_ppm"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** Signature width in bits. 60 = every bit the portable md5 hash yields

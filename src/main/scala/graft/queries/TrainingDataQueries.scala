@@ -205,6 +205,16 @@ object TrainingDataQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // the pre-drop audit: corpus duplication totals from the same pair
+    // pipeline q_dedup_drop acts on — group count, member count, rows a
+    // drop would remove, and the ppm reduction
+    "q_dedup_report" -> { (spark, sfDir) =>
+      val corpus = nearDupCorpus(docs(spark, sfDir), 10)
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+        n = 3, numPerms = 16, bands = 4, threshold = 0.6)
+      Dedup.dedupReport(corpus, "doc_id", pairs)
+    },
+
     "q_dedup_embedding" -> { (spark, sfDir) =>
       val e = embs(spark, sfDir).select("vec_id", "embedding")
       val copies = e.where(col("vec_id") % 20 === 0)
@@ -597,6 +607,43 @@ object TrainingDataQueries {
          |  WHERE r.lbl < e.dst),
          |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
          |SELECT id AS doc_id FROM comp WHERE id = comp ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_report" -> {
+      val sigExprs = (0 until 16).map { k =>
+        val (a, b) = PortableHash.perm(k)
+        s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH RECURSIVE ${nearDupCorpusSql(10)},
+         |$shingleHashesSql,
+         |sigs AS (SELECT doc_id, h, $sigExprs AS sig FROM hs),
+         |bands AS (SELECT doc_id, t.b AS band,
+         |                 array_to_string(sig[t.b*4+1 : t.b*4+4], ',') AS key
+         |          FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pj AS (SELECT c.id_a, c.id_b, ha.h AS ha, hb.h AS hb
+         |       FROM cand c
+         |       JOIN hs ha ON ha.doc_id = c.id_a
+         |       JOIN hs hb ON hb.doc_id = c.id_b),
+         |gp AS (SELECT id_a, id_b FROM pj WHERE $jaccardSql >= 0.6),
+         |nodes AS (SELECT doc_id AS id FROM corpus),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM gp
+         |          UNION ALL SELECT id_b, id_a FROM gp),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |  WHERE r.lbl < e.dst),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+         |sz AS (SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+         |SELECT CAST(sum(sz) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+         |  CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS n_dup_members,
+         |  CAST(sum(sz) - count(*) AS BIGINT) AS n_dropped,
+         |  CAST((sum(sz) - count(*)) * 1000000 // sum(sz) AS BIGINT) AS drop_ppm
+         |FROM sz""".stripMargin
     },
 
     // 60-bit signature over FULL-width (h60) shingle hashes, 4 bands of 15

@@ -165,4 +165,22 @@ class DedupGuardSpec extends SparkSpec {
     assert(aggIdx >= 0 && predIdx > aggIdx,
       "size-ratio predicate should be below the pair aggregate in the optimized plan")
   }
+
+  test("dedupReport totals: groups, members, dropped, ppm") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 10 ids; pairs link {1,2,3} and {7,8}: 2 groups, 5 members, 3 dropped
+    val ids = (1L to 10L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Dedup.dedupReport(ids, "id", pairs).head()
+    assert(r.getLong(0) == 10L) // n_total
+    assert(r.getLong(1) == 2L)  // n_dup_groups
+    assert(r.getLong(2) == 5L)  // n_dup_members
+    assert(r.getLong(3) == 3L)  // n_dropped
+    assert(r.getLong(4) == 300000L) // drop_ppm
+    // no pairs -> all singletons, zero everywhere
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val r0 = Dedup.dedupReport(ids, "id", empty).head()
+    assert(r0.getLong(0) == 10L && r0.getLong(3) == 0L && r0.getLong(4) == 0L)
+  }
 }
