@@ -371,6 +371,52 @@ object TextAnalysis {
         coalesce(col("__typ"), lit(0L)).cast(LongType).as("typicality_ppm"))
   }
 
+  /** Bigram conditional-probability typicality — the perplexity-filter
+    * proxy one grade up from [[corpusTypicality]]'s unigram frequency: per
+    * document, the mean over its adjacent token pairs (w1, w2) of
+    * P(w2 | w1) in ppm = count(w1 w2) · 10⁶ DIV count(w1 ·). A document of
+    * corpus-typical TRANSITIONS scores high; word salad with common words
+    * in rare orders (which unigram typicality cannot see) scores low —
+    * exactly what a KenLM-perplexity gate measures, in integer arithmetic
+    * an oracle can replay bit-for-bit (ln-perplexity is not bit-portable).
+    * Returns (idCol, n_bigrams, bigram_typicality_ppm); docs with < 2
+    * tokens score 0.
+    *
+    * Scale: one corpus-wide bigram aggregation (partial map-side combine —
+    * hot bigrams never buffer a partition), prefix counts derived FROM the
+    * bigram table (no second corpus pass), join-back on the bigram key
+    * (AQE splits skewed hot keys), one per-doc mean. Three shuffles total,
+    * all on partial-aggregating keys.
+    */
+  def bigramTypicality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // NULL text tokenizes as empty (a NULL array would propagate NULLs)
+    val base = df.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+    val toks = col("__toks")
+    // zip-with-shift adjacent pairs (never element_at-per-index)
+    val pairs2 = base.where(size(toks) >= 2).select(col(idCol),
+      explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("w1"),
+        slice(toks, lit(2), size(toks) - 1).as("w2"))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val bigramCounts = pairs2.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    // count(w1 ·) = how many bigrams start with w1 — derived from the
+    // bigram table, not a second corpus pass
+    val prefixCounts = bigramCounts.groupBy("w1").agg(sum(col("__c12")).as("__c1"))
+    val scored = pairs2
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(prefixCounts, Seq("w1"))
+      .withColumn("__ppm", expr("CAST(__c12 * 1000000 DIV __c1 AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__ppm")).as("__sum"))
+      .select(col(idCol), col("__n"),
+        expr("CAST(__sum DIV __n AS BIGINT)").as("__typ"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).cast(LongType).as("n_bigrams"),
+        coalesce(col("__typ"), lit(0L)).cast(LongType).as("bigram_typicality_ppm"))
+  }
+
   /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate filter):
     * drop every line that occurs in at least `maxDocFreq` distinct
     * documents (nav menus, cookie banners, license footers — text that

@@ -222,6 +222,14 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // bigram conditional-probability typicality: the integer-exact
+    // perplexity-filter proxy (P(w2|w1) transitions, not unigram
+    // frequency) — word salad in rare orders scores low
+    "q_text_typicality_bigram" -> { (spark, sfDir) =>
+      TextAnalysis.bigramTypicality(docs(spark, sfDir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // the Gopher rule gate (Rae et al. 2021 A1.1) over deterministically
     // noised docs: every 7th doc goes symbol-heavy (#/...), every 11th
     // becomes a bullet list — the flags and conjunctive keep must agree
@@ -365,6 +373,24 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_text_typicality_bigram" ->
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),
+         |bg AS (SELECT doc_id, w[u.i] AS w1, w[u.i + 1] AS w2
+         |       FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+         |       WHERE len(w) >= 2),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |sc AS (SELECT bg.doc_id,
+         |         CAST(c12.c12 * 1000000 // c1.c1 AS BIGINT) AS ppm
+         |       FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+         |agg AS (SELECT doc_id, count(*) AS n, CAST(sum(ppm) // count(*) AS BIGINT) AS typ
+         |        FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(agg.typ, 0) AS BIGINT) AS bigram_typicality_ppm
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_quality_gopher" -> {
       val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")

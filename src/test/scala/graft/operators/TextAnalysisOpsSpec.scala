@@ -158,6 +158,24 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got(5L) === "")
   }
 
+  test("bigramTypicality: typical transitions score high, rare ones low, shorts zero") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "b a"),
+      (4L, "one"), (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysis.bigramTypicality(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus bigrams: (a,b)=2, (b,c)=1, (b,d)=1, (b,a)=1; prefix: a.=2, b.=3
+    // doc1: P(b|a)=2/2=1e6, P(c|b)=1/3=333333 -> mean 666666
+    assert(got(1L) === ((2L, 666666L)))
+    assert(got(2L) === ((2L, 666666L)))
+    // doc3: the rare transition only -> 333333
+    assert(got(3L) === ((1L, 333333L)))
+    // short and NULL docs -> zero
+    assert(got(4L) === ((0L, 0L)))
+    assert(got(5L) === ((0L, 0L)))
+  }
+
   test("withGopherFlags: each rule fires on its pathological input") {
     val good = ("the quick brown fox jumps over a lazy dog and " * 5).trim
     val df = Seq(
