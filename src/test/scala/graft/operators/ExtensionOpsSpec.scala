@@ -90,6 +90,16 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(byDomain("y") > 60 && byDomain("y") < 160, s"y should be ~111: $byDomain")
   }
 
+  test("mixtureSample plan: the corpus filter joins the threshold table broadcast") {
+    val df = spark.range(1, 2001).toDF("k")
+      .withColumn("d", when(col("k") % 2 === 0, "x").otherwise("y"))
+    val plan = Sampling.mixtureSample(df, "d", "k",
+      Map("x" -> 500000L, "y" -> 500000L)).queryExecution.executedPlan.toString
+    // the per-domain thresholds broadcast into the corpus scan — the big
+    // side is filtered in place, never shuffled for the join
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast filter:\n$plan")
+  }
+
   test("clusterProfile: counts and e9 bounds per cluster") {
     import spark.implicits._
     val df = Seq(

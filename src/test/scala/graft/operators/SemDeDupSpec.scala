@@ -65,6 +65,22 @@ class SemDeDupSpec extends SparkSpec {
     assert(kept === Set(7L))
   }
 
+  test("semDeDupPairs plan: equi-joins only, centroids broadcast") {
+    val df = (0L until 50L).map(i => (i, Seq((i % 5).toFloat, 1.0f)))
+      .toDF("vec_id", "v")
+    val plan = VectorSimilarity.semDeDupPairs(df, "vec_id", "v",
+      cents, "cid", "cv", threshold = 0.99).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "cluster-scoped pair search must never cartesian the corpus")
+    // the corpus-sized joins (pair self-join on cluster_id, vector
+    // join-backs on id) must be equi joins; nested-loop joins appear only
+    // as the tiny BROADCAST centroid scoring (every BNLJ instance in the
+    // printed tree is the persisted assignment subtree re-inlined)
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight") ||
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-broadcast nested-loop join in the plan:\n$plan")
+  }
+
   test("hot clusters collapse to star edges around the min-id member") {
     val rows = (0L until 20L).map(i => (i, Seq(1.0f, (i * 1e-4).toFloat)))
     val df = rows.toDF("vec_id", "v")
