@@ -556,6 +556,67 @@ object TextAnalysis {
           .as("dup_window_ppm"))
   }
 
+  /** The exact-substring dedup ACTION (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): remove every duplicated
+    * ≥`windowTokens`-token run from the corpus, keeping the GLOBALLY FIRST
+    * occurrence (lowest (doc id, position)). Complements
+    * [[duplicatedWindowStats]] (the audit) with the rewrite: any token
+    * covered by a non-first duplicated window is dropped; each document is
+    * reassembled from its surviving tokens in order. Returns one row per
+    * input document: (idCol, clean_text, n_tokens, n_removed).
+    *
+    * Position encoding: keeper selection min-reduces id·10⁶ + pos, so
+    * documents are limited to < 10⁶ tokens (any corpus doc beyond that
+    * should have been length-filtered long before).
+    *
+    * Scale: rolling hashes are a projection; the dup census is ONE
+    * partial-aggregating shuffle on the window hash (a window duplicated a
+    * million times partial-aggregates, never buffers); removal joins back
+    * on the hash (AQE splits hot hashes); the rebuild is one groupBy(doc)
+    * with an in-group sort — no corpus self-join anywhere.
+    */
+  def dropDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2: $windowTokens")
+    val base = df.select(col(idCol),
+      tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = col("__toks")
+    val n = size(toks)
+    val hs = when(n >= windowTokens,
+      transform(sequence(lit(1), n - windowTokens + 1),
+        i => PortableHash.hmod(concat_ws(" ", slice(toks, i, lit(windowTokens))))))
+      .otherwise(typedLit(Seq.empty[Long]))
+    val windows = base.select(col(idCol), posexplode(hs).as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"), col("__h"))
+      .withColumn("__enc", col(idCol).cast(LongType) * lit(1000000L) + col("__pos"))
+    val dupes = windows.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"), min(col("__enc")).as("__keep"))
+      .where(col("__c") >= 2L)
+      .select(col("__h"), col("__keep"))
+    val removed = windows.join(dupes, Seq("__h"))
+      .where(col("__enc") =!= col("__keep"))
+    val covered = removed.select(col(idCol),
+      explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1).cast(LongType)))
+        .as("__tp"))
+      .distinct()
+    val toksPos = base.select(col(idCol), posexplode(toks).as(Seq("__tp0", "__tok")))
+      .select(col(idCol), (col("__tp0") + 1).cast(LongType).as("__tp"), col("__tok"))
+    val kept = toksPos.join(covered, Seq(idCol, "__tp"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__tp"), col("__tok")))).as("__arr"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__arr"), s => s.getField("__tok"))).as("clean_text"),
+        size(col("__arr")).cast(LongType).as("__nk"))
+    val out = base.select(col(idCol), n.cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+    Dedup.materializeAndRelease(out, base)
+  }
+
   /** Rolling polynomial fingerprint of the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (31*acc + hmod(t)) mod P).
     * Order-sensitive (unlike a bag-of-words hash) and portable; used for

@@ -183,6 +183,19 @@ object TrainingDataQueries {
         .orderBy("doc_id")
     },
 
+    // the exact-substring dedup ACTION: a 10-token footer injected into
+    // every 5th doc; the rewrite strips it everywhere except the globally
+    // FIRST occurrence (lowest doc, position), token counts reconcile
+    "q_dedup_substrings_drop" -> { (spark, sfDir) =>
+      val base = docs(spark, sfDir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" subscribe to our mailing list for daily updates and offers")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.dropDuplicatedWindows(base, "doc_id", "text", windowTokens = 8)
+        .orderBy("doc_id")
+    },
+
     // decontamination: the "benchmark" is built from leaked corpus excerpts
     // (first 12 tokens of every 50th doc — the realistic contamination
     // scenario); flag every training doc sharing a 6-gram with it
@@ -607,6 +620,37 @@ object TrainingDataQueries {
          |  WHERE r.lbl < e.dst),
          |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
          |SELECT id AS doc_id FROM comp WHERE id = comp ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_substrings_drop" -> {
+      val W = 8
+      s"""WITH nd AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 0
+         |       THEN text || ' subscribe to our mailing list for daily updates and offers'
+         |       ELSE text END AS text FROM documents),
+         |t AS (SELECT doc_id, ${tok("text")} AS w FROM nd),
+         |win AS (SELECT doc_id, u.i AS pos,
+         |          ${hmodSql(s"array_to_string(w[u.i : u.i + $W - 1], ' ')")} AS h
+         |        FROM t, unnest(generate_series(1, len(w) - $W + 1)) AS u(i)
+         |        WHERE len(w) >= $W),
+         |dup AS (SELECT h, count(*) AS c, min(doc_id * 1000000 + pos) AS keep
+         |        FROM win GROUP BY h),
+         |rem AS (SELECT win.doc_id, win.pos FROM win JOIN dup USING (h)
+         |        WHERE dup.c >= 2 AND win.doc_id * 1000000 + win.pos <> dup.keep),
+         |cov AS (SELECT DISTINCT doc_id, u.tp
+         |        FROM rem, unnest(generate_series(pos, pos + $W - 1)) AS u(tp)),
+         |tp AS (SELECT doc_id, u.i AS tp, w[u.i] AS tok
+         |       FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+         |kept AS (SELECT tp.doc_id, tp.tp, tp.tok
+         |         FROM tp ANTI JOIN cov USING (doc_id, tp)),
+         |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         |               count(*) AS nk
+         |        FROM kept GROUP BY doc_id),
+         |nn AS (SELECT doc_id, len(w) AS ntok FROM t)
+         |SELECT nn.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+         |  CAST(nn.ntok AS BIGINT) AS n_tokens,
+         |  CAST(nn.ntok - coalesce(reb.nk, 0) AS BIGINT) AS n_removed
+         |FROM nn LEFT JOIN reb USING (doc_id) ORDER BY nn.doc_id""".stripMargin
     },
 
     "q_dedup_report" -> {

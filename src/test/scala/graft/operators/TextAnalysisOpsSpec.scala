@@ -158,6 +158,38 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got(5L) === "")
   }
 
+  test("dropDuplicatedWindows removes non-first duplicated runs, keeps the first") {
+    // w=3: docs 1 and 2 share the run "x y z q" (two overlapping dup
+    // windows); doc 1 (lower id) keeps it, doc 2 loses all 4 covered
+    // tokens; doc 3 is untouched; doc 4 is too short to window
+    val df = Seq(
+      (1L, "a b x y z q c"),
+      (2L, "d x y z q e"),
+      (3L, "p q r s"),
+      (4L, "hi")
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropDuplicatedWindows(df, "id", "text", windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("a b x y z q c", 7L, 0L)))
+    assert(got(2L) === (("d e", 6L, 4L)))
+    assert(got(3L) === (("p q r s", 4L, 0L)))
+    assert(got(4L) === (("hi", 1L, 0L)))
+  }
+
+  test("dropDuplicatedWindows: within-doc repetition collapses to the first run") {
+    // "u v w u v w u v w": windows at pos 1..7; "u v w"-starting windows
+    // at 1,4,7 — hashes at pos 1/4 ("u v w" vs continuation)...
+    // identical windows: pos1="u v w", pos4="u v w", pos7="u v w";
+    // pos2="v w u"=pos5; pos3="w u v"=pos6. First occurrences pos1,2,3
+    // keep; pos4..7 removed -> covered tokens 4..9 -> kept "u v w"
+    val df = Seq((1L, "u v w u v w u v w")).toDF("id", "text")
+    val got = TextAnalysis.dropDuplicatedWindows(df, "id", "text", windowTokens = 3)
+      .head()
+    assert(got.getString(1) == "u v w")
+    assert(got.getLong(2) == 9L && got.getLong(3) == 6L)
+  }
+
   test("bigramTypicality: typical transitions score high, rare ones low, shorts zero") {
     val df = Seq(
       (1L, "a b c"), (2L, "a b d"), (3L, "b a"),
