@@ -439,6 +439,34 @@ object Loader {
       partCols, bucketSpec)
   }
 
+  /** OPTIMIZE ZORDER BY: rewrite a table's files in Morton (z-value) order
+    * over `cols`, so every file is simultaneously local in EVERY listed
+    * dimension and parquet min/max stats prune files for predicates on ANY
+    * of them — where [[compact]]+`clusterBy` gives only the leading column
+    * pruning power. Like the real systems' ZORDER, this is a COMPACTION
+    * (done periodically), not a per-load knob: loads append fast, the
+    * re-layout pass restores multi-dimensional locality. Contents
+    * (including ids) are untouched; partitioned/bucketed tables z-order
+    * within their recorded layout.
+    */
+  def compactZOrder(tgt: Catalog, table: String, targetFileBytes: Long,
+                    cols: Seq[String], bitsPerCol: Int = 10): Unit = {
+    require(tgt.resolve(table).contains(tgt.dirPath(table)),
+      s"table '$table' is not a directory-layout table; nothing to compact")
+    val ex0 = tgt.table(table)
+    val partCols =
+      graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
+    val bucketSpec =
+      graft.sources.ParquetSource.readBucketSpec(tgt.spark, tgt.dirPath(table))
+    val ex = bucketSpec.fold(ex0) { case (keys, n) =>
+      ex0.withColumn(BucketCol, bucketIdExpr(keys, n))
+    }
+    val z = graft.operators.ZOrder.zValue(ex, cols, bitsPerCol)
+    val laid = shard(ex.withColumn("__zc", z), Some(targetFileBytes), partCols,
+      clusterBy = Seq("__zc")).drop("__zc")
+    writeAtomic(tgt, table, laid, partCols, bucketSpec)
+  }
+
   /** The join-based MERGE shared by the parquet and JDBC sinks: replace
     * existing rows matching on `keys` (ids kept), insert fresh keys with new
     * ids, keep untouched rows, resolve schema under ensure/safe.
