@@ -222,6 +222,25 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // tokenizer fertility audit: per language, whitespace-vs-BPE token
+    // ratio and chars-per-subword — the "how well does the frozen vocab
+    // fit each language" health check run before committing a tokenizer
+    "q_tokenizer_fertility" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir)
+      val counts = graft.functions.Bpe.nTokensByDict(d, "doc_id", "text", BpeMerges.Merges)
+      val base = d.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"),
+        length(col("text")).cast("long").as("n_chars"))
+      base.join(counts, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_ws").as("n_ws_tokens"),
+          sum("n_bpe_tokens").as("n_bpe_tokens"), sum("n_chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_ws_tokens"), col("n_bpe_tokens"),
+          expr("CAST(n_bpe_tokens * 1000000 DIV n_ws_tokens AS BIGINT)").as("fertility_ppm"),
+          expr("CAST(n_chars * 1000000 DIV n_bpe_tokens AS BIGINT)").as("chars_per_bpe_ppm"))
+        .orderBy("lang")
+    },
+
     // bigram conditional-probability typicality: the integer-exact
     // perplexity-filter proxy (P(w2|w1) transitions, not unigram
     // frequency) — word salad in rare orders scores low
@@ -373,6 +392,21 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_tokenizer_fertility" ->
+      s"""WITH t AS (SELECT doc_id, lang, length(text) AS nc,
+         |             ${TrainingDataQueries.tok("text")} AS w FROM documents),
+         |b AS (SELECT doc_id, lang, nc, len(w) AS nws,
+         |        len(${graft.functions.Bpe.tokensSql("w", BpeMerges.Merges)}) AS nbpe
+         |      FROM t),
+         |a AS (SELECT lang, count(*) AS n_docs, sum(nws) AS ws,
+         |             sum(nbpe) AS bpe, sum(nc) AS chars
+         |      FROM b GROUP BY lang)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(ws AS BIGINT) AS n_ws_tokens, CAST(bpe AS BIGINT) AS n_bpe_tokens,
+         |  CAST(bpe * 1000000 // ws AS BIGINT) AS fertility_ppm,
+         |  CAST(chars * 1000000 // bpe AS BIGINT) AS chars_per_bpe_ppm
+         |FROM a ORDER BY lang""".stripMargin,
 
     "q_text_typicality_bigram" ->
       s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),

@@ -341,6 +341,20 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // OPTIMIZE ZORDER BY: load flat, re-layout in Morton order over
+    // (o_orderkey, o_custkey) — the multi-dim locality is spec-proven in
+    // ZOrderSpec; the oracle pins that the re-layout changes NO result bit
+    "q_load_zorder" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir); val tgt = tmpCat(spark)
+      val p = new EtlProcess(src, tgt, "t")
+      p.idOrder = Seq("o_orderkey")
+      p.extract("SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 4000")
+      p.load()
+      graft.etl.Loader.compactZOrder(tgt, "t", targetFileBytes = 256L << 10,
+        cols = Seq("o_orderkey", "o_custkey"))
+      tgt.table("t").orderBy("id")
+    },
+
     // bucket-pruned point lookups: three key fetches against the bucketed
     // table, each scanning exactly ONE bucket dir (spec-asserted in
     // BucketedUpsertSpec); oracle pins the fetched rows
@@ -590,6 +604,11 @@ object EtlQueries {
         |                      g2.* FROM g2 LEFT JOIN g1 USING (o_orderkey)
         |               WHERE g1.o_orderkey IS NULL)
         |SELECT * FROM upd UNION ALL SELECT * FROM fresh ORDER BY id""".stripMargin,
+
+    "q_load_zorder" ->
+      """WITH g AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 4000)
+        |SELECT row_number() OVER (ORDER BY o_orderkey) AS id, g.*
+        |FROM g ORDER BY id""".stripMargin,
 
     "q_lookup_bucketed" ->
       """WITH g AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000),
