@@ -113,14 +113,24 @@ object Loader {
         s"bucketBy key(s) absent from incoming: ${keys.filterNot(incoming1.columns.contains).mkString(", ")}")
     }
     // the derived bucket id rides through the pipeline as an ordinary
-    // partition column; readers never see it (ParquetSource.read drops it),
-    // so it is recomputed on BOTH sides here
+    // partition column; readers never see it (ParquetSource.read drops it).
+    // The INCOMING side computes it; the EXISTING side of an already-
+    // bucketed table re-reads with the PHYSICAL partition column kept —
+    // bucket predicates on the physical column partition-prune at the
+    // directory level, which a recomputed hash expression never can (the
+    // whole point of the bucket-scoped upsert). Only a flat→bucketed
+    // migration (no bucket dirs on disk yet) recomputes on the existing
+    // side.
     val incoming = bucketSpec.fold(incoming1) { case (keys, n) =>
       incoming1.withColumn(BucketCol, bucketIdExpr(keys, n))
     }
     val existing = existing0.map { ex =>
-      bucketSpec.fold(ex) { case (keys, n) =>
-        ex.withColumn(BucketCol, bucketIdExpr(keys, n))
+      bucketSpec match {
+        case Some(_) if recordedBuckets.isDefined =>
+          graft.sources.ParquetSource.read(tgt.spark, tgt.dirPath(table),
+            keepBucket = true)
+        case Some((keys, n)) => ex.withColumn(BucketCol, bucketIdExpr(keys, n))
+        case None => ex
       }
     }
     val order = if (idOrder.nonEmpty) idOrder
@@ -252,6 +262,16 @@ object Loader {
     val (keys, n) = spec
     require(keys.toSet == key.keySet,
       s"lookup must bind exactly the bucket keys ${keys.mkString(",")}; got ${key.keys.mkString(",")}")
+    // NULL keys cannot round-trip the write side's concat_ws (which SKIPS
+    // nulls), and only types whose Java toString matches Spark's string
+    // cast hash identically — restrict to the safe set
+    key.foreach { case (k, v) =>
+      require(v != null, s"bucket lookup key '$k' must not be null")
+      require(v.isInstanceOf[String] || v.isInstanceOf[Long] ||
+        v.isInstanceOf[Int] || v.isInstanceOf[Short] || v.isInstanceOf[Boolean],
+        s"bucket lookup key '$k' has unsupported type ${v.getClass.getSimpleName}: " +
+          "use string/integral keys (their driver-side toString matches Spark's cast)")
+    }
     val joined = keys.map(k => String.valueOf(key(k))).mkString("\u0001")
     val bucket = graft.functions.PortableHash.hmodJvm(joined) % n
     val bucketDir = new org.apache.hadoop.fs.Path(
@@ -392,7 +412,14 @@ object Loader {
         df.repartitionByRange(n, cls.map(col): _*)
           .sortWithinPartitions(cls.map(col): _*)
       case (None, cls) =>
-        df.repartition(partCols.map(col): _*)
+        // range on (partition cols, cluster cols): one leaf's rows stay
+        // contiguous (small leaves → one file), and a LARGE leaf's several
+        // files carry DISJOINT cluster ranges — a plain hash repartition
+        // on the partition cols would in-file-sort each file but leave
+        // every file's min/max spanning the leaf's full cluster range
+        // (file-level pruning gains nothing)
+        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        df.repartitionByRange(n, (partCols ++ cls).map(col): _*)
           .sortWithinPartitions((partCols ++ cls).map(col): _*)
       case (Some(b), Nil) if partCols.isEmpty =>
         graft.sources.RowWidth.shardForTargetFileSize(df, b)
@@ -400,14 +427,20 @@ object Loader {
         val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
         df.repartitionByRange(n, cls.map(col): _*)
           .sortWithinPartitions(cls.map(col): _*)
-      case (Some(b), cls) =>
+      case (Some(b), Nil) =>
+        // sized + partitioned, no clustering: spread each leaf across
+        // enough writers to hit the file-size target
         val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
         val nVals = math.max(1L, df.select(partCols.map(col): _*).distinct().count())
         val perPart = math.max(1L, math.ceil(n.toDouble / nVals).toLong)
-        val spread = df.repartition(n,
+        df.repartition(n,
           partCols.map(col) :+ pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(perPart)): _*)
-        if (cls.isEmpty) spread
-        else spread.sortWithinPartitions((partCols ++ cls).map(col): _*)
+      case (Some(b), cls) =>
+        // sized + partitioned + clustered: disjoint cluster ranges per
+        // file WITHIN each leaf (see the unsized branch above)
+        val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
+        df.repartitionByRange(n, (partCols ++ cls).map(col): _*)
+          .sortWithinPartitions((partCols ++ cls).map(col): _*)
     }
 
   /** Compact a table's files toward `targetFileBytes` per file — the
@@ -423,16 +456,17 @@ object Loader {
               clusterBy: Seq[String] = Nil): Unit = {
     require(tgt.resolve(table).contains(tgt.dirPath(table)),
       s"table '$table' is not a directory-layout table; nothing to compact")
-    val ex0 = tgt.table(table)
     val partCols =
       graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
-    // a bucketed table's derived bucket id is dropped on read — recompute
-    // it so the rewrite keeps the bucket layout (and its sidecar)
+    // a bucketed table's bucket id is read as the PHYSICAL partition
+    // column (cheaper than re-hashing every row) so the rewrite keeps the
+    // bucket layout (and its sidecar)
     val bucketSpec =
       graft.sources.ParquetSource.readBucketSpec(tgt.spark, tgt.dirPath(table))
-    val ex = bucketSpec.fold(ex0) { case (keys, n) =>
-      ex0.withColumn(BucketCol, bucketIdExpr(keys, n))
-    }
+    val ex =
+      if (bucketSpec.isDefined)
+        graft.sources.ParquetSource.read(tgt.spark, tgt.dirPath(table), keepBucket = true)
+      else tgt.table(table)
     // compact + clusterBy = the re-clustering pass: incremental appends land
     // unsorted, a periodic clustered compaction restores the zone-map layout
     writeAtomic(tgt, table, shard(ex, Some(targetFileBytes), partCols, clusterBy),
@@ -453,14 +487,14 @@ object Loader {
                     cols: Seq[String], bitsPerCol: Int = 10): Unit = {
     require(tgt.resolve(table).contains(tgt.dirPath(table)),
       s"table '$table' is not a directory-layout table; nothing to compact")
-    val ex0 = tgt.table(table)
     val partCols =
       graft.sources.ParquetSource.readPartSpec(tgt.spark, tgt.dirPath(table)).map(_._1)
     val bucketSpec =
       graft.sources.ParquetSource.readBucketSpec(tgt.spark, tgt.dirPath(table))
-    val ex = bucketSpec.fold(ex0) { case (keys, n) =>
-      ex0.withColumn(BucketCol, bucketIdExpr(keys, n))
-    }
+    val ex =
+      if (bucketSpec.isDefined)
+        graft.sources.ParquetSource.read(tgt.spark, tgt.dirPath(table), keepBucket = true)
+      else tgt.table(table)
     val z = graft.operators.ZOrder.zValue(ex, cols, bitsPerCol)
     val laid = shard(ex.withColumn("__zc", z), Some(targetFileBytes), partCols,
       clusterBy = Seq("__zc")).drop("__zc")

@@ -113,15 +113,28 @@ object Sampling {
       .withColumn("__cap",
         (col("__nd") * lit(1000000L)).cast("double") / col("__wppm").cast("double"))
     val minT = counts.agg(min(col("__cap")).as("__t"))
-    // accept fraction f_d = w_d * T / (n_d * 1e6)  (== 1 for the binding
-    // domain); threshold on the full hash domain [0, P)
+    // accept fraction f_d = w_d * T / (n_d * 1e6); the BINDING domain
+    // (cap == T, an exact double comparison of the identical value) gets
+    // the full threshold P outright — the floating round-trip
+    // w·(n·1e6/w)/(n·1e6) can land 1 ulp under 1.0, and flooring that to
+    // P-1 would drop the binding domain's hash==P-1 keys
     val thr = counts.crossJoin(broadcast(minT))
       .withColumn("__thr",
-        floor(col("__wppm").cast("double") * col("__t")
-          / (col("__nd") * lit(1000000L)).cast("double")
-          * lit(PortableHash.P.toDouble)).cast("long"))
+        when(col("__cap") === col("__t"), lit(PortableHash.P))
+          .otherwise(floor(col("__wppm").cast("double") * col("__t")
+            / (col("__nd") * lit(1000000L)).cast("double")
+            * lit(PortableHash.P.toDouble)).cast("long")))
       .select(col(domainCol), col("__thr"))
-    df.join(broadcast(thr), Seq(domainCol))
+    // a weighted domain with ZERO corpus rows has capacity 0: no mixture
+    // total is servable without upsampling — error rather than silently
+    // rescaling the mixture around the hole. The collected rows also feed
+    // the broadcast side directly, so the corpus count-pass runs ONCE.
+    val thrRows = thr.collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toSeq
+    val missing = weightsPpm.keySet -- thrRows.map(_._1).toSet
+    require(missing.isEmpty,
+      s"mixture domain(s) absent from the corpus: ${missing.toSeq.sorted.mkString(", ")}")
+    df.join(broadcast(thrRows.toDF(domainCol, "__thr")), Seq(domainCol))
       .where(PortableHash.hmod(col(keyCol).cast("string")) < col("__thr"))
       .drop("__thr")
   }
@@ -136,12 +149,16 @@ object Sampling {
     s"""WITH w($domain, wppm) AS (VALUES $values),
        |cnt AS (SELECT s.$domain, count(*) AS nd, any_value(wppm) AS wppm
        |        FROM $src s JOIN w USING ($domain) GROUP BY s.$domain),
-       |t AS (SELECT min(CAST(nd * 1000000 AS DOUBLE) / CAST(wppm AS DOUBLE)) AS t FROM cnt),
+       |cap AS (SELECT $domain, nd, wppm,
+       |          CAST(nd * 1000000 AS DOUBLE) / CAST(wppm AS DOUBLE) AS cap
+       |        FROM cnt),
+       |t AS (SELECT min(cap) AS t FROM cap),
        |thr AS (SELECT $domain,
-       |          CAST(floor(CAST(wppm AS DOUBLE) * t.t
-       |                     / CAST(nd * 1000000 AS DOUBLE)
-       |                     * ${PortableHash.P}.0) AS BIGINT) AS thr
-       |        FROM cnt CROSS JOIN t)
+       |          CASE WHEN cap = t.t THEN ${PortableHash.P}
+       |               ELSE CAST(floor(CAST(wppm AS DOUBLE) * t.t
+       |                          / CAST(nd * 1000000 AS DOUBLE)
+       |                          * ${PortableHash.P}.0) AS BIGINT) END AS thr
+       |        FROM cap CROSS JOIN t)
        |SELECT s.* FROM $src s JOIN thr USING ($domain)
        |WHERE ${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} < thr""".stripMargin
   }

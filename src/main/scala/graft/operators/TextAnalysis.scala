@@ -146,7 +146,9 @@ object TextAnalysis {
     */
   def withGopherFlags(df: DataFrame, textCol: String,
                       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val t = col(textCol)
+    // NULL text gates like empty text (definite false flags, not NULL
+    // tri-state booleans a downstream filter silently loses both ways)
+    val t = coalesce(col(textCol), lit(""))
     // bind the tokenization and line split ONCE per row (expressions that
     // reference them below would otherwise re-run the regex splits)
     val bound = df
@@ -565,6 +567,13 @@ object TextAnalysis {
     * reassembled from its surviving tokens in order. Returns one row per
     * input document: (idCol, clean_text, n_tokens, n_removed).
     *
+    * EXACT: the duplicate census groups on the window TEXT itself, not a
+    * hash — a destructive rewrite must never delete legitimate text on a
+    * hash collision (the audit-only [[duplicatedWindowStats]] tolerates
+    * its 31-bit hashes; this action does not). The census shuffles window
+    * strings instead of longs, but it partial-aggregates map-side, so the
+    * post-combine volume is the distinct-window set either way.
+    *
     * Position encoding: keeper selection min-reduces id·10⁶ + pos, so
     * documents are limited to < 10⁶ tokens (any corpus doc beyond that
     * should have been length-filtered long before).
@@ -585,8 +594,8 @@ object TextAnalysis {
     val n = size(toks)
     val hs = when(n >= windowTokens,
       transform(sequence(lit(1), n - windowTokens + 1),
-        i => PortableHash.hmod(concat_ws(" ", slice(toks, i, lit(windowTokens))))))
-      .otherwise(typedLit(Seq.empty[Long]))
+        i => concat_ws(" ", slice(toks, i, lit(windowTokens)))))
+      .otherwise(typedLit(Seq.empty[String]))
     val windows = base.select(col(idCol), posexplode(hs).as(Seq("__p0", "__h")))
       .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"), col("__h"))
       .withColumn("__enc", col(idCol).cast(LongType) * lit(1000000L) + col("__pos"))

@@ -39,6 +39,10 @@ object ZOrder {
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val levels = (1L << bitsPerCol) - 1L
     val buckets = cols.zipWithIndex.map { case (c, i) =>
+      // an all-NULL column (or empty frame) aggregates NULL bounds — that
+      // dimension contributes a constant 0, like a zero-range column
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else {
       val lo = row.getDouble(2 * i); val hi = row.getDouble(2 * i + 1)
       if (hi <= lo) lit(0L)
       else {
@@ -47,6 +51,7 @@ object ZOrder {
         // nulls bucket to 0 (they cluster together at the low corner)
         coalesce(least(greatest(floor(scaled).cast(LongType), lit(0L)), lit(levels)),
           lit(0L))
+      }
       }
     }
     // interleave: output bit (b*k + j) = bit b of column j's bucket

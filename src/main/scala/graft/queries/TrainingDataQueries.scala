@@ -278,8 +278,11 @@ object TrainingDataQueries {
           transform(col("embedding"), x => (x * lit(1.5)).cast(FloatType)).as("embedding"))
       val corpus = e.unionByName(copies)
       val cents = VectorSimilarity.centroidFrame(spark, IvfCentroids.K8Sf001)
+      // maxCluster lifted above any test SF's cluster sizes: the oracle's
+      // recursive CTE enumerates ALL within-cluster pairs, so the Spark
+      // side must run un-capped or the two diverge past the default guard
       VectorSimilarity.semDeDup(corpus, "vec_id", "embedding", cents, "cid", "cv",
-          threshold = 0.99)
+          threshold = 0.99, maxCluster = 1 << 20)
         .select(col("vec_id"), col("cluster_id"),
           e9(col("centroid_cosine")).as("ccos_e9"))
         .orderBy("vec_id")
@@ -630,7 +633,7 @@ object TrainingDataQueries {
          |       ELSE text END AS text FROM documents),
          |t AS (SELECT doc_id, ${tok("text")} AS w FROM nd),
          |win AS (SELECT doc_id, u.i AS pos,
-         |          ${hmodSql(s"array_to_string(w[u.i : u.i + $W - 1], ' ')")} AS h
+         |          array_to_string(w[u.i : u.i + $W - 1], ' ') AS h
          |        FROM t, unnest(generate_series(1, len(w) - $W + 1)) AS u(i)
          |        WHERE len(w) >= $W),
          |dup AS (SELECT h, count(*) AS c, min(doc_id * 1000000 + pos) AS keep

@@ -42,7 +42,14 @@ object ParquetSource {
     * never surfaces on reads. */
   val BucketCol = "__gbucket"
 
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, keepBucket = false)
+
+  /** `keepBucket = true` preserves the physical [[BucketCol]] partition
+    * column of a bucketed table — the writer-side read: predicates on the
+    * PHYSICAL partition column partition-prune at the directory level,
+    * which a recomputed hash expression never can. */
+  def read(spark: SparkSession, path: String, keepBucket: Boolean): DataFrame = {
     spark.conf.set(NanosAsLongKey, "true")
     val df = spark.read.parquet(path)
     val nanoCols = nanoTimestampCols(spark, path)
@@ -52,9 +59,13 @@ object ParquetSource {
     val cast = readPartSpec(spark, path).foldLeft(withNanos) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
     }
-    // the bucket id is physical layout, not data — recomputable from the
-    // bucket-spec sidecar whenever a writer needs it
-    if (cast.columns.contains(BucketCol)) cast.drop(BucketCol) else cast
+    // the bucket id is physical layout, not data — readers drop it, and
+    // ONLY when the sidecar says the table is bucketed (a genuine data
+    // column that happens to be named __gbucket must survive)
+    if (!keepBucket && cast.columns.contains(BucketCol) &&
+        readBucketSpec(spark, path).isDefined)
+      cast.drop(BucketCol)
+    else cast
   }
 
   /** (col, catalogString) pairs from the partition sidecar, empty if none. */

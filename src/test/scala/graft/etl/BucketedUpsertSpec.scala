@@ -152,6 +152,35 @@ class BucketedUpsertSpec extends SparkSpec {
     }
   }
 
+  test("writer-side bucket read keeps the PHYSICAL column and partition-prunes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val bt = new Catalog(spark, tmpDir("graft-bprune"))
+    Loader.load(bt, "t", (1 to 400).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 8)))
+    val ex = graft.sources.ParquetSource.read(spark, bt.dirPath("t"), keepBucket = true)
+    assert(ex.columns.contains(graft.sources.ParquetSource.BucketCol))
+    val sliced = ex.where(col(graft.sources.ParquetSource.BucketCol) === 3)
+    val plan = sliced.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory-level prune),
+    // not as a post-scan Filter over all buckets
+    // the predicate lands in the scan's PartitionFilters (directory-level
+    // prune; inputFiles is not pruning-aware, so assert on the plan)
+    assert(plan.contains("PartitionFilters: [isnotnull(__gbucket") ||
+      plan.contains("PartitionFilters: [(__gbucket"),
+      s"bucket predicate must partition-prune:\n$plan")
+    assert(sliced.count() ==
+      ex.where(col(graft.sources.ParquetSource.BucketCol) === 3).count())
+    // a plain read drops the column only when the sidecar is present; a
+    // data column named __gbucket on a NON-bucketed table survives
+    val plainDir = tmpDir("graft-bplain")
+    (1 to 10).map(i => (i.toLong, i.toLong)).toDF("k", "__gbucket")
+      .write.parquet(s"$plainDir/t")
+    val plain = graft.sources.ParquetSource.read(spark, s"$plainDir/t")
+    assert(plain.columns.contains("__gbucket"),
+      "a genuine data column named __gbucket must not be dropped")
+  }
+
   test("multi-key bucketing scopes on the combined key hash") {
     val spark0 = spark
     import spark0.implicits._
