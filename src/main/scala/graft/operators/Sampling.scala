@@ -81,6 +81,24 @@ object Sampling {
     s"${PortableHash.hmodSql(s"CAST($key AS VARCHAR)")} % ${Denom} < " +
       s"CAST(floor(least(greatest($weightSql, 0.0), 1.0) * ${Denom}) AS BIGINT)"
 
+  /** EXACT-size deterministic sample: the n rows with the smallest
+    * key-hashes (ties → key order). Where [[hashSample]] delivers a
+    * FRACTION with binomial jitter, this delivers a precise row budget
+    * ("exactly 1M eval docs") — still reproducible, engine-portable, and
+    * nested: the exact-n sample is a prefix of the exact-m sample for
+    * n < m, so budgets can grow without resampling.
+    *
+    * Scale: Catalyst compiles orderBy+limit to TakeOrdered — each
+    * partition keeps its local top-n and the driver merges k·n rows; the
+    * corpus is never globally sorted. Driver memory bounds n (use
+    * [[hashSample]] for billion-row draws).
+    */
+  def exactHashSample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 0, s"sample size must be >= 0: $n")
+    df.orderBy(PortableHash.hmod(col(keyCol).cast("string")).asc, col(keyCol).asc)
+      .limit(n)
+  }
+
   /** Deterministic domain-mixture resampling: downsample each domain so
     * the retained corpus matches target RELATIVE weights (the DoReMi /
     * Pile-style "data mixture" step — e.g. web 60 : books 30 : code 10).

@@ -222,6 +222,34 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // exact-budget deterministic sample: precisely 100 docs by smallest
+    // key hash (TakeOrdered — no global sort), nested under larger budgets
+    "q_sample_exactn" -> { (spark, sfDir) =>
+      Sampling.exactHashSample(docs(spark, sfDir), "doc_id", n = 100)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
+    // per-source lexical diversity: KMV vocabulary estimate vs exact,
+    // plus the type-token ratio — the "is this source repetitive
+    // boilerplate or diverse prose" audit (a KMV buffer per group scales
+    // where an exact count-distinct per group shuffles every token)
+    "q_lexical_diversity" -> { (spark, sfDir) =>
+      import graft.functions.{KmvSketch, PortableHash}
+      val tok = docs(spark, sfDir)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .select(col("source"), col("token"),
+          PortableHash.hmod(col("token")).as("h"))
+      tok.groupBy("source")
+        .agg(KmvSketch.kmv(col("h"), k = 64).as("__buf"),
+          countDistinct(col("token")).as("exact_vocab"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("n_tokens"),
+          KmvSketch.estimate("__buf", k = 64).as("est_vocab"),
+          col("exact_vocab"),
+          expr("CAST(exact_vocab * 1000000 DIV n_tokens AS BIGINT)").as("ttr_ppm"))
+        .orderBy("source")
+    },
+
     // tokenizer fertility audit: per language, whitespace-vs-BPE token
     // ratio and chars-per-subword — the "how well does the frozen vocab
     // fit each language" health check run before committing a tokenizer
@@ -392,6 +420,26 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_sample_exactn" -> {
+      val h = graft.functions.PortableHash.hmodSql("CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source FROM documents
+         |  ORDER BY $h ASC, doc_id ASC LIMIT 100
+         |) ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lexical_diversity" -> {
+      val h = graft.functions.PortableHash.hmodSql("token")
+      s"""WITH tk AS (SELECT source, unnest(${TrainingDataQueries.tok("text")}) AS token
+         |            FROM documents),
+         |hh AS (SELECT source, token, $h AS h FROM tk)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  ${graft.functions.KmvSketch.estimateSql("list(h)", 64)} AS est_vocab,
+         |  CAST(count(DISTINCT token) AS BIGINT) AS exact_vocab,
+         |  CAST(count(DISTINCT token) * 1000000 // count(*) AS BIGINT) AS ttr_ppm
+         |FROM hh GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q_tokenizer_fertility" ->
       s"""WITH t AS (SELECT doc_id, lang, length(text) AS nc,

@@ -90,6 +90,28 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(byDomain("y") > 60 && byDomain("y") < 160, s"y should be ~111: $byDomain")
   }
 
+  test("exactHashSample: exact size, nested budgets, TakeOrdered plan") {
+    val df = spark.range(1, 5001).toDF("k")
+    val s100 = Sampling.exactHashSample(df, "k", 100)
+    assert(s100.count() == 100)
+    val a = s100.collect().map(_.getLong(0)).toSet
+    val b = Sampling.exactHashSample(df, "k", 300).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(b), "smaller budget must nest inside the larger")
+    assert(Sampling.exactHashSample(df, "k", 100).collect().map(_.getLong(0)).toSet == a)
+    // no global sort: the plan is a TakeOrdered, not Sort+Exchange+Limit
+    val plan = s100.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+  }
+
+  test("mixtureSample errors when a weighted domain is absent from the corpus") {
+    val df = spark.range(1, 101).toDF("k").withColumn("d", lit("only"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "d", "k",
+        Map("only" -> 500000L, "ghost" -> 500000L)).count()
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("mixtureSample plan: the corpus filter joins the threshold table broadcast") {
     val df = spark.range(1, 2001).toDF("k")
       .withColumn("d", when(col("k") % 2 === 0, "x").otherwise("y"))
