@@ -419,6 +419,59 @@ object TextAnalysis {
         coalesce(col("__typ"), lit(0L)).cast(LongType).as("bigram_typicality_ppm"))
   }
 
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how much their token TRANSITIONS look like a TARGET
+    * domain — per document, the mean over its bigrams of the likelihood
+    * ratio P_target(bg) / P_raw(bg), both sides as integer ppm
+    * probabilities (ratio in ppm of ppm: 10⁶ ≙ equally likely; rare-in-ppm
+    * bigrams floor to 0 — the documented granularity of the proxy; log-sum
+    * DSIR is not bit-portable across engines). Feed the scores to
+    * [[Sampling.weightedHashSample]] (capped/normalized) or a
+    * [[Sampling.qualityBandSample]] for the actual resampling step.
+    * Returns (idCol, n_bigrams, importance_ppm); docs with < 2 tokens
+    * score 0.
+    *
+    * Scale: two bigram aggregations (raw corpus once, target once — both
+    * partial map-side), broadcast-or-shuffled join-back on the bigram key,
+    * one per-doc mean. The target is typically small (a curated seed set);
+    * its count table broadcasts.
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       target: DataFrame, targetTextCol: String): DataFrame = {
+    def bigrams(d: DataFrame, cols: Seq[Column], text: String): DataFrame = {
+      val base = d.select(cols :+ tokens(coalesce(col(text), lit(""))).as("__toks"): _*)
+      val toks = col("__toks")
+      base.where(size(toks) >= 2).select(cols :+
+        explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1).as("w1"),
+          slice(toks, lit(2), size(toks) - 1).as("w2"))).as("__bg"): _*)
+        .select(cols ++ Seq(col("__bg.w1").as("w1"), col("__bg.w2").as("w2")): _*)
+    }
+    val raw = bigrams(df, Seq(col(idCol)), textCol)
+    val rawCounts = raw.groupBy("w1", "w2").agg(count(lit(1)).as("__cr"))
+    val rawTotal = rawCounts.agg(sum(col("__cr")).as("__tr"))
+    val tgtCounts = bigrams(target, Seq.empty, targetTextCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__ct"))
+    val tgtTotal = tgtCounts.agg(sum(col("__ct")).as("__tt"))
+    val scored = raw
+      .join(rawCounts, Seq("w1", "w2"))
+      .join(tgtCounts, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(rawTotal)).crossJoin(broadcast(tgtTotal))
+      .withColumn("__pt", expr("CAST(coalesce(__ct, 0) * 1000000 DIV __tt AS BIGINT)"))
+      .withColumn("__pr", expr("CAST(__cr * 1000000 DIV __tr AS BIGINT)"))
+      .withColumn("__ratio",
+        expr("CAST(__pt * 1000000 DIV greatest(__pr, 1) AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__ratio")).as("__sum"))
+      .select(col(idCol), col("__n"),
+        expr("CAST(__sum DIV __n AS BIGINT)").as("__imp"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).cast(LongType).as("n_bigrams"),
+        coalesce(col("__imp"), lit(0L)).cast(LongType).as("importance_ppm"))
+  }
+
   /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate filter):
     * drop every line that occurs in at least `maxDocFreq` distinct
     * documents (nav menus, cookie banners, license footers — text that

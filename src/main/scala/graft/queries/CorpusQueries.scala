@@ -222,6 +222,16 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // DSIR-style data selection: score every doc by the target-domain
+    // (English) vs raw-corpus bigram likelihood ratio in integer ppm —
+    // the importance weights a targeted resampling step draws from
+    "q_sample_importance" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir)
+      TextAnalysis.importanceScores(d, "doc_id", "text",
+          d.where(col("lang") === "en"), "text")
+        .orderBy("doc_id")
+    },
+
     // exact-budget deterministic sample: precisely 100 docs by smallest
     // key hash (TakeOrdered — no global sort), nested under larger budgets
     "q_sample_exactn" -> { (spark, sfDir) =>
@@ -420,6 +430,27 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_sample_importance" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${TrainingDataQueries.tok("text")} AS w FROM documents),
+         |bgr AS (SELECT doc_id, lang, w[u.i] AS w1, w[u.i + 1] AS w2
+         |        FROM t, unnest(generate_series(1, len(w) - 1)) AS u(i)
+         |        WHERE len(w) >= 2),
+         |cr AS (SELECT w1, w2, count(*) AS cr FROM bgr GROUP BY 1, 2),
+         |tr AS (SELECT sum(cr) AS tr FROM cr),
+         |ct AS (SELECT w1, w2, count(*) AS ct FROM bgr WHERE lang = 'en' GROUP BY 1, 2),
+         |tt AS (SELECT sum(ct) AS tt FROM ct),
+         |sc AS (SELECT bgr.doc_id,
+         |         CAST(CAST(coalesce(ct.ct, 0) * 1000000 // tt.tt AS BIGINT) * 1000000
+         |              // greatest(CAST(cr.cr * 1000000 // tr.tr AS BIGINT), 1) AS BIGINT) AS ratio
+         |       FROM bgr JOIN cr USING (w1, w2) LEFT JOIN ct USING (w1, w2)
+         |       CROSS JOIN tr CROSS JOIN tt),
+         |agg AS (SELECT doc_id, count(*) AS n,
+         |          CAST(sum(ratio) // count(*) AS BIGINT) AS imp
+         |        FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(agg.imp, 0) AS BIGINT) AS importance_ppm
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_sample_exactn" -> {
       val h = graft.functions.PortableHash.hmodSql("CAST(doc_id AS VARCHAR)")

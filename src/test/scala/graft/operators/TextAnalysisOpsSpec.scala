@@ -190,6 +190,28 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got.getLong(2) == 9L && got.getLong(3) == 6L)
   }
 
+  test("importanceScores: target-like transitions outrank off-target ones") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the rug", "en"),
+      (3L, "the cat sat on the rug", "en"),     // unseen-in-target? no: all en are target
+      (4L, "uno dos tres cuatro cinco seis", "es"),
+      (5L, "x", "en")
+    ).toDF("id", "text", "lang")
+    val got = TextAnalysis.importanceScores(df, "id", "text",
+        df.where(col("lang") === "en"), "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every en bigram is in the target -> high ratio; es bigrams never -> 0
+    assert(got(1L)._2 > got(4L)._2)
+    assert(got(4L)._2 == 0L, s"off-target doc must score 0: ${got(4L)}")
+    assert(got(5L) === ((0L, 0L)), "sub-bigram docs score 0")
+    // deterministic
+    val again = TextAnalysis.importanceScores(df, "id", "text",
+        df.where(col("lang") === "en"), "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.map { case (k, v) => k -> v._2 })
+  }
+
   test("bigramTypicality: typical transitions score high, rare ones low, shorts zero") {
     val df = Seq(
       (1L, "a b c"), (2L, "a b d"), (3L, "b a"),
