@@ -127,6 +127,54 @@ object TextAnalysis {
       .withColumn("quality_score", quality)
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning…", §2.2) as one codegen'd projection — the
+    * LINE-level companion to the doc-level [[withGopherFlags]] gate:
+    * keep only lines that end in terminal punctuation (. ! ? " ')
+    * and carry at least `minLineWords` words and mention none of the
+    * `bannedLineWords` (javascript/cookie boilerplate); then gate the
+    * whole document on ≥ `minSentences` sentences, no curly brace (code
+    * leak-through), and no "lorem ipsum". Returns per doc:
+    * (idCol, c4_text, n_lines, n_kept_lines, n_sentences, c4_keep).
+    *
+    * Scale: pure scan-side projection, no shuffle — the filter runs at
+    * scan speed and composes with any downstream sampler.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 3, minSentences: Int = 5,
+              bannedLineWords: Seq[String] = Seq("javascript", "cookie")):
+      DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val bound = df.withColumn("__lines",
+      filter(split(t, "\n"), l => trim(l) =!= lit("")))
+    val lines = col("__lines")
+    // a kept line: terminal punctuation + word budget + no banned word
+    val keepLine = (l: Column) => {
+      val lt = trim(l)
+      val terminal = lt.endsWith(".") || lt.endsWith("!") || lt.endsWith("?") ||
+        lt.endsWith("\"") || lt.endsWith("'")
+      val enoughWords =
+        size(filter(split(lower(lt), " "), w => w =!= lit(""))) >= minLineWords
+      val banned = bannedLineWords.map(b => lower(lt).contains(b)).reduce(_ || _)
+      terminal && enoughWords && !banned
+    }
+    val kept = filter(lines, keepLine)
+    val cleanText = concat_ws("\n", kept)
+    // sentence count over the KEPT text: terminal-punctuation runs
+    val nSentences = size(filter(
+      split(cleanText, "[.!?]+"), s => trim(s) =!= lit("")))
+    val hasBrace = t.contains("{") || t.contains("}")
+    val hasLorem = lower(t).contains("lorem ipsum")
+    bound.select(col("*"))
+      .withColumn("c4_text", cleanText)
+      .withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("n_kept_lines", size(kept).cast(LongType))
+      .withColumn("n_sentences", nSentences.cast(LongType))
+      .withColumn("c4_keep",
+        nSentences >= minSentences && !hasBrace && !hasLorem)
+      .drop("__lines")
+  }
+
   // ---- Gopher quality rules ---------------------------------------------
 
   /** The Gopher corpus-filter rule set (Rae et al. 2021, "Scaling Language

@@ -287,6 +287,30 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // the C4 cleaning rules (Raffel et al. 2020 §2.2) over deterministically
+    // composed multi-line docs: punctuation-terminated lines survive, short/
+    // unterminated/cookie lines drop, brace or lorem-ipsum docs gate out
+    "q_quality_c4" -> { (spark, sfDir) =>
+      val noisy = concat(
+        lit("the quick brown fox jumps high.\n"),
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\nplease accept our cookie policy now.")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("\ntiny line.")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nlorem ipsum dolor sit amet is here.")).otherwise(lit("")),
+        lit("\nanother good sentence appears right here! and one more " +
+          "follows after that? plus a third one ends now."))
+      TextAnalysis.c4Clean(
+          docs(spark, sfDir).select(col("doc_id"), noisy.as("text")),
+          "doc_id", "text", minSentences = 3)
+        .select("doc_id", "c4_text", "n_lines", "n_kept_lines",
+          "n_sentences", "c4_keep")
+        .orderBy("doc_id")
+    },
+
     // the Gopher rule gate (Rae et al. 2021 A1.1) over deterministically
     // noised docs: every 7th doc goes symbol-heavy (#/...), every 11th
     // becomes a bullet list — the flags and conjunctive keep must agree
@@ -504,6 +528,41 @@ object CorpusQueries {
          |  CAST(coalesce(agg.typ, 0) AS BIGINT) AS bigram_typicality_ppm
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_quality_c4" ->
+      s"""WITH nd AS (SELECT doc_id,
+         |  'the quick brown fox jumps high.' || chr(10) || text
+         |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'please accept our cookie policy now.' ELSE '' END
+         |  || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'tiny line.' ELSE '' END
+         |  || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+         |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet is here.' ELSE '' END
+         |  || chr(10) || 'another good sentence appears right here! and one more follows after that? plus a third one ends now.'
+         |  AS text FROM documents),
+         |ln AS (SELECT doc_id, text,
+         |         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+         |       FROM nd),
+         |kp AS (SELECT doc_id, text, lines,
+         |         list_filter(lines, l ->
+         |           (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+         |             OR ends_with(trim(l), '?') OR ends_with(trim(l), '"')
+         |             OR ends_with(trim(l), chr(39)))
+         |           AND len(list_filter(string_split(lower(trim(l)), ' '), w -> w <> '')) >= 3
+         |           AND NOT contains(lower(trim(l)), 'javascript')
+         |           AND NOT contains(lower(trim(l)), 'cookie')) AS kept
+         |       FROM ln),
+         |cl AS (SELECT doc_id, text, lines, kept,
+         |         array_to_string(kept, chr(10)) AS c4_text FROM kp),
+         |sn AS (SELECT doc_id, text, lines, kept, c4_text,
+         |         len(list_filter(regexp_split_to_array(c4_text, '[.!?]+'),
+         |             s -> trim(s) <> '')) AS nsent
+         |       FROM cl)
+         |SELECT doc_id, c4_text,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+         |  CAST(nsent AS BIGINT) AS n_sentences,
+         |  (nsent >= 3 AND NOT contains(text, '{') AND NOT contains(text, '}')
+         |    AND NOT contains(lower(text), 'lorem ipsum')) AS c4_keep
+         |FROM sn ORDER BY doc_id""".stripMargin,
 
     "q_quality_gopher" -> {
       val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")

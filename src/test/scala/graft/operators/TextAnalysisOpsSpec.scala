@@ -190,6 +190,31 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got.getLong(2) == 9L && got.getLong(3) == 6L)
   }
 
+  test("c4Clean: line rules and doc gates fire individually") {
+    val good = "one full sentence sits right here. a second one follows now! " +
+      "a third one arrives too? then a fourth lands. and a fifth closes it."
+    val df = Seq(
+      (1L, good),                                          // keep
+      (2L, good + "\nno terminal punctuation line"),       // line dropped
+      (3L, good + "\nplease accept the cookie banner."),   // banned word line
+      (4L, good + "\ncode { brace }"),                     // doc gated: brace
+      (5L, good + "\nlorem ipsum dolor sit amet."),        // doc gated: lorem
+      (6L, "too. few. sentences."),                        // < 5 sentences
+      (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysis.c4Clean(df, "id", "text")
+      .select("id", "n_lines", "n_kept_lines", "c4_keep")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) === ((1L, 1L, true)))
+    assert(got(2L) === ((2L, 1L, true)))   // bad line dropped, doc survives
+    assert(got(3L) === ((2L, 1L, true)))   // cookie line dropped
+    assert(got(4L)._3 == false, "brace must gate the doc out")
+    assert(got(5L)._3 == false, "lorem ipsum must gate the doc out")
+    assert(got(6L)._3 == false, "sentence minimum must gate")
+    assert(got(7L) === ((0L, 0L, false)), "NULL text gates definitively")
+  }
+
   test("importanceScores: target-like transitions outrank off-target ones") {
     val df = Seq(
       (1L, "the cat sat on the mat", "en"),
