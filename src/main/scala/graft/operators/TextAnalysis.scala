@@ -321,6 +321,37 @@ object TextAnalysis {
     transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)),
       h => regexp_replace(lower(h), "^www\\.", ""))
 
+  /** Canonical form of a URL COLUMN (one URL per row — a crawl manifest's
+    * `url` field, not free text): lowercase scheme+host, `www.` stripped,
+    * the fragment and tracking query parameters dropped entirely, and the
+    * trailing slash removed — so `HTTP://WWW.Example.com/a/?utm_source=x#f`
+    * and `http://example.com/a` dedup together. A pure codegen projection:
+    * URL-keyed exact dedup ([[graft.operators.Dedup]] on this column) is
+    * the FIRST dedup pass of a web pipeline — it prunes re-crawls for free
+    * before any content hashing runs.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFragment = regexp_replace(url, "#.*$", "")
+    val noQuery = regexp_replace(noFragment, "\\?.*$", "")
+    // lowercase scheme://host only (the path stays case-sensitive);
+    // (?i) is the case-insensitivity syntax Java regex and RE2 share
+    val lowered = concat(
+      lower(regexp_extract(noQuery, "(?i)^(https?://[^/]*)", 1)),
+      regexp_replace(noQuery, "(?i)^https?://[^/]*", ""))
+    val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** The DuckDB spelling of [[canonicalUrl]]. */
+  def canonicalUrlSql(s: String): String = {
+    val noFragment = s"regexp_replace($s, '#.*$$', '')"
+    val noQuery = s"regexp_replace($noFragment, '\\?.*$$', '')"
+    val lowered = s"lower(regexp_extract($noQuery, '(?i)^(https?://[^/]*)', 1)) || " +
+      s"regexp_replace($noQuery, '(?i)^https?://[^/]*', '')"
+    val noWww = s"regexp_replace($lowered, '^(https?://)www\\.', '\\1')"
+    s"regexp_replace($noWww, '/$$', '')"
+  }
+
   /** Per-domain corpus rollup: one row per distinct host with the number
     * of documents mentioning it and the total mention count — the inputs
     * to per-domain caps ([[Sampling.groupCap]]) and domain blocklists.

@@ -124,6 +124,21 @@ object TrainingDataQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // URL-keyed dedup — the FIRST pass of a web pipeline: casing, www,
+    // tracking params, fragments, and trailing slashes canonicalize away,
+    // then exact dedup on the canonical URL keeps the min-id fetch
+    "q_dedup_url" -> { (spark, sfDir) =>
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://WWW.")).otherwise(lit("http://")),
+        lit("example.com/page/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/?utm_source=feed#top"))
+          .otherwise(lit("")))
+      val withUrl = docs(spark, sfDir)
+        .select(col("doc_id"), TextAnalysis.canonicalUrl(url).as("curl"))
+      Dedup.exact(withUrl, Seq("curl"), "doc_id")
+        .select("doc_id", "curl").orderBy("doc_id")
+    },
+
     "q_dedup_ngram_jaccard" -> { (spark, sfDir) =>
       Dedup.jaccardPairs(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
           n = 3, threshold = 0.5)
@@ -479,6 +494,20 @@ object TrainingDataQueries {
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
          |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
          |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_dedup_url" -> {
+      val rawUrl =
+        "CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.' ELSE 'http://' END" +
+          " || 'example.com/page/' || CAST(doc_id % 40 AS VARCHAR)" +
+          " || CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed#top' ELSE '' END"
+      s"""WITH u AS (SELECT doc_id,
+         |  ${TextAnalysis.canonicalUrlSql(s"($rawUrl)")} AS curl
+         |FROM documents),
+         |d AS (SELECT doc_id, curl,
+         |        row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+         |      FROM u)
+         |SELECT doc_id, curl FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
 
     "q_dedup_exact" ->
       s"""WITH corpus AS (

@@ -190,6 +190,27 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got.getLong(2) == 9L && got.getLong(3) == 6L)
   }
 
+  test("canonicalUrl collapses casing, www, params, fragments, slashes") {
+    val urls = Seq(
+      "HTTP://WWW.Example.com/a/?utm_source=x#frag",
+      "http://example.com/a",
+      "https://example.com/A",          // path case preserved -> distinct
+      "http://example.com/a/",
+      "http://www.example.com/a?x=1",
+      "https://Example.COM",            // host-only
+      "not a url at all")
+    val got = urls.toDF("u")
+      .select(col("u"), TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("HTTP://WWW.Example.com/a/?utm_source=x#frag") == "http://example.com/a")
+    assert(got("http://example.com/a") == "http://example.com/a")
+    assert(got("http://example.com/a/") == "http://example.com/a")
+    assert(got("http://www.example.com/a?x=1") == "http://example.com/a")
+    assert(got("https://example.com/A") == "https://example.com/A")
+    assert(got("https://Example.COM") == "https://example.com")
+    assert(got("not a url at all") == "not a url at all")
+  }
+
   test("c4Clean: line rules and doc gates fire individually") {
     val good = "one full sentence sits right here. a second one follows now! " +
       "a third one arrives too? then a fourth lands. and a fifth closes it."
