@@ -158,21 +158,24 @@ object TextAnalysis {
       val banned = bannedLineWords.map(b => lower(lt).contains(b)).reduce(_ || _)
       terminal && enoughWords && !banned
     }
-    val kept = filter(lines, keepLine)
-    val cleanText = concat_ws("\n", kept)
+    // bind the kept-lines filter and the reassembled text ONCE per row —
+    // three output columns reference them, and Spark's subexpression
+    // elimination does not reliably collapse lambda-bearing trees
+    val bound2 = bound
+      .withColumn("__kept", filter(lines, keepLine))
+      .withColumn("c4_text", concat_ws("\n", col("__kept")))
     // sentence count over the KEPT text: terminal-punctuation runs
     val nSentences = size(filter(
-      split(cleanText, "[.!?]+"), s => trim(s) =!= lit("")))
+      split(col("c4_text"), "[.!?]+"), s => trim(s) =!= lit("")))
     val hasBrace = t.contains("{") || t.contains("}")
     val hasLorem = lower(t).contains("lorem ipsum")
-    bound.select(col("*"))
-      .withColumn("c4_text", cleanText)
+    bound2
       .withColumn("n_lines", size(lines).cast(LongType))
-      .withColumn("n_kept_lines", size(kept).cast(LongType))
+      .withColumn("n_kept_lines", size(col("__kept")).cast(LongType))
       .withColumn("n_sentences", nSentences.cast(LongType))
       .withColumn("c4_keep",
         nSentences >= minSentences && !hasBrace && !hasLorem)
-      .drop("__lines")
+      .drop("__lines", "__kept")
   }
 
   // ---- Gopher quality rules ---------------------------------------------
@@ -321,35 +324,53 @@ object TextAnalysis {
     transform(regexp_extract_all(text, lit(UrlHostPattern), lit(1)),
       h => regexp_replace(lower(h), "^www\\.", ""))
 
+  /** Tracking query parameters [[canonicalUrl]] strips (the utm_ family +
+    * the common click ids); CONTENT parameters (?v=, ?id=, …) survive —
+    * two genuinely different pages must never dedup together. */
+  val TrackingParamPattern: String =
+    "(?i)([?&])(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref)=[^&#]*"
+
   /** Canonical form of a URL COLUMN (one URL per row — a crawl manifest's
     * `url` field, not free text): lowercase scheme+host, `www.` stripped,
-    * the fragment and tracking query parameters dropped entirely, and the
-    * trailing slash removed — so `HTTP://WWW.Example.com/a/?utm_source=x#f`
-    * and `http://example.com/a` dedup together. A pure codegen projection:
-    * URL-keyed exact dedup ([[graft.operators.Dedup]] on this column) is
-    * the FIRST dedup pass of a web pipeline — it prunes re-crawls for free
-    * before any content hashing runs.
+    * the fragment dropped, TRACKING query parameters removed (content
+    * parameters kept — see [[TrackingParamPattern]]), and the trailing
+    * slash removed — so `HTTP://WWW.Example.com/a/?utm_source=x#f` and
+    * `http://example.com/a` dedup together while `watch?v=abc` and
+    * `watch?v=xyz` stay distinct. A pure codegen projection: URL-keyed
+    * exact dedup ([[graft.operators.Dedup]] on this column) is the FIRST
+    * dedup pass of a web pipeline — it prunes re-crawls for free before
+    * any content hashing runs.
     */
   def canonicalUrl(url: Column): Column = {
     val noFragment = regexp_replace(url, "#.*$", "")
-    val noQuery = regexp_replace(noFragment, "\\?.*$", "")
+    // strip tracking params keeping the separator, then tidy: "?&"->"?",
+    // "&&"->"&", trailing "?"/"&" dropped
+    val noTracking = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(noFragment, TrackingParamPattern, "$1"),
+          "\\?&+", "?"),
+        "&&+", "&"),
+      "[?&]+$", "")
     // lowercase scheme://host only (the path stays case-sensitive);
     // (?i) is the case-insensitivity syntax Java regex and RE2 share
     val lowered = concat(
-      lower(regexp_extract(noQuery, "(?i)^(https?://[^/]*)", 1)),
-      regexp_replace(noQuery, "(?i)^https?://[^/]*", ""))
+      lower(regexp_extract(noTracking, "(?i)^(https?://[^/]*)", 1)),
+      regexp_replace(noTracking, "(?i)^https?://[^/]*", ""))
     val noWww = regexp_replace(lowered, "^(https?://)www\\.", "$1")
     regexp_replace(noWww, "/$", "")
   }
 
   /** The DuckDB spelling of [[canonicalUrl]]. */
   def canonicalUrlSql(s: String): String = {
-    val noFragment = s"regexp_replace($s, '#.*$$', '')"
-    val noQuery = s"regexp_replace($noFragment, '\\?.*$$', '')"
-    val lowered = s"lower(regexp_extract($noQuery, '(?i)^(https?://[^/]*)', 1)) || " +
-      s"regexp_replace($noQuery, '(?i)^https?://[^/]*', '')"
-    val noWww = s"regexp_replace($lowered, '^(https?://)www\\.', '\\1')"
-    s"regexp_replace($noWww, '/$$', '')"
+    def rep(src: String, pat: String, to: String): String =
+      s"regexp_replace($src, '$pat', '$to', 'g')"
+    val noFragment = rep(s, "#.*$", "")
+    val noTracking = rep(rep(rep(rep(noFragment,
+      TrackingParamPattern, "\\1"), "\\?&+", "?"), "&&+", "&"), "[?&]+$", "")
+    val lowered = s"lower(regexp_extract($noTracking, '(?i)^(https?://[^/]*)', 1)) || " +
+      rep(noTracking, "(?i)^https?://[^/]*", "")
+    val noWww = rep(lowered, "^(https?://)www\\.", "\\1")
+    rep(noWww, "/$", "")
   }
 
   /** Per-domain corpus rollup: one row per distinct host with the number
@@ -527,7 +548,10 @@ object TextAnalysis {
           slice(toks, lit(2), size(toks) - 1).as("w2"))).as("__bg"): _*)
         .select(cols ++ Seq(col("__bg.w1").as("w1"), col("__bg.w2").as("w2")): _*)
     }
+    // both the count census and the join-back consume the exploded raw
+    // bigrams — persist so the corpus tokenizes ONCE
     val raw = bigrams(df, Seq(col(idCol)), textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rawCounts = raw.groupBy("w1", "w2").agg(count(lit(1)).as("__cr"))
     val rawTotal = rawCounts.agg(sum(col("__cr")).as("__tr"))
     val tgtCounts = bigrams(target, Seq.empty, targetTextCol)
@@ -545,10 +569,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__n"), sum(col("__ratio")).as("__sum"))
       .select(col(idCol), col("__n"),
         expr("CAST(__sum DIV __n AS BIGINT)").as("__imp"))
-    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+    val out = df.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).cast(LongType).as("n_bigrams"),
         coalesce(col("__imp"), lit(0L)).cast(LongType).as("importance_ppm"))
+    Dedup.materializeAndRelease(out, raw)
   }
 
   /** Line-level corpus dedup (the CCNet/RefinedWeb boilerplate filter):
@@ -706,9 +731,9 @@ object TextAnalysis {
     * strings instead of longs, but it partial-aggregates map-side, so the
     * post-combine volume is the distinct-window set either way.
     *
-    * Position encoding: keeper selection min-reduces id·10⁶ + pos, so
-    * documents are limited to < 10⁶ tokens (any corpus doc beyond that
-    * should have been length-filtered long before).
+    * Keeper selection min-reduces the (id, pos) STRUCT — exact for any id
+    * type (string ids order lexicographically) and any document length,
+    * with no arithmetic-encoding collision risk.
     *
     * Scale: rolling hashes are a projection; the dup census is ONE
     * partial-aggregating shuffle on the window hash (a window duplicated a
@@ -730,7 +755,7 @@ object TextAnalysis {
       .otherwise(typedLit(Seq.empty[String]))
     val windows = base.select(col(idCol), posexplode(hs).as(Seq("__p0", "__h")))
       .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"), col("__h"))
-      .withColumn("__enc", col(idCol).cast(LongType) * lit(1000000L) + col("__pos"))
+      .withColumn("__enc", struct(col(idCol), col("__pos")))
     val dupes = windows.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"), min(col("__enc")).as("__keep"))
       .where(col("__c") >= 2L)

@@ -33,6 +33,13 @@ object ZOrder {
     require(cols.size >= 2, s"z-order needs >= 2 columns: $cols")
     require(bitsPerCol >= 1 && bitsPerCol * cols.size <= MaxBits,
       s"bitsPerCol * cols must fit $MaxBits bits: $bitsPerCol x ${cols.size}")
+    // a non-numeric column would cast to all-NULL and silently contribute
+    // a constant dimension (no locality, no error) — reject it eagerly
+    cols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column '$c' must be numeric, got ${dt.simpleString}")
+    }
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast(DoubleType)).as(s"__min_$c"),
       max(col(c).cast(DoubleType)).as(s"__max_$c")))

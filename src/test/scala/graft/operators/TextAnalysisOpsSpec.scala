@@ -196,7 +196,9 @@ class TextAnalysisOpsSpec extends SparkSpec {
       "http://example.com/a",
       "https://example.com/A",          // path case preserved -> distinct
       "http://example.com/a/",
-      "http://www.example.com/a?x=1",
+      "http://www.example.com/a?x=1",   // CONTENT param survives
+      "http://example.com/w?utm_source=f&v=abc&fbclid=z", // tracking stripped, v kept
+      "http://example.com/w?v=xyz",
       "https://Example.COM",            // host-only
       "not a url at all")
     val got = urls.toDF("u")
@@ -205,7 +207,11 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got("HTTP://WWW.Example.com/a/?utm_source=x#frag") == "http://example.com/a")
     assert(got("http://example.com/a") == "http://example.com/a")
     assert(got("http://example.com/a/") == "http://example.com/a")
-    assert(got("http://www.example.com/a?x=1") == "http://example.com/a")
+    assert(got("http://www.example.com/a?x=1") == "http://example.com/a?x=1")
+    assert(got("http://example.com/w?utm_source=f&v=abc&fbclid=z") ==
+      "http://example.com/w?v=abc")
+    assert(got("http://example.com/w?v=xyz") == "http://example.com/w?v=xyz",
+      "distinct content params must stay distinct")
     assert(got("https://example.com/A") == "https://example.com/A")
     assert(got("https://Example.COM") == "https://example.com")
     assert(got("not a url at all") == "not a url at all")
