@@ -177,6 +177,18 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got(4L) === (("hi", 1L, 0L)))
   }
 
+  test("dropDuplicatedWindows supports STRING ids (struct keeper, no encoding)") {
+    val df = Seq(
+      ("doc-a", "p q x y z q c"),
+      ("doc-b", "d x y z q e")
+    ).toDF("id", "text")
+    val got = TextAnalysis.dropDuplicatedWindows(df, "id", "text", windowTokens = 3)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // "x y z q" duplicated; doc-a (lexicographically first) keeps it
+    assert(got("doc-a") === (("p q x y z q c", 0L)))
+    assert(got("doc-b") === (("d e", 4L)))
+  }
+
   test("dropDuplicatedWindows: within-doc repetition collapses to the first run") {
     // "u v w u v w u v w": windows at pos 1..7; "u v w"-starting windows
     // at 1,4,7 — hashes at pos 1/4 ("u v w" vs continuation)...
