@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableHash.{e9, e9Sql}
-import graft.operators.{Chunking, Funnel, FuzzyJoin, Sampling, Search, TextAnalysis, VectorSimilarity}
+import graft.operators.{Chunking, Dedup, Funnel, FuzzyJoin, Sampling, Search, TextAnalysis, VectorSimilarity}
 
 /** Oracle-checked queries for the round-5 corpus-construction operators:
   * fuzzy (edit-distance) joins, token chunking, keyword search, line-level
@@ -220,6 +220,29 @@ object CorpusQueries {
           lowerQ = 0.25, upperQ = 0.75, fraction = 0.5)
         .select("doc_id", "source", "typicality_ppm")
         .orderBy("doc_id")
+    },
+
+    // the END-TO-END curation pipeline in one expression: whitespace-
+    // variant re-crawls (doubled spaces, id+100000) normalize back to
+    // their source text -> exact dedup keeps the original -> Gopher gate
+    // -> per-source doc/token budget of the survivors. Every stage is an
+    // operator from this library; the oracle replays the whole chain.
+    "q_pipeline_curate" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir)
+      val variants = d.where(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"), col("source"),
+          regexp_replace(col("text"), " ", "  ").as("text"))
+      val corpus = d.select("doc_id", "source", "text").unionByName(variants)
+      val norm = corpus.select(col("doc_id"), col("source"),
+        TextAnalysis.normalizeText(col("text")).as("text"))
+      val deduped = Dedup.exact(norm, Seq("text"), "doc_id")
+      val gated = TextAnalysis.withGopherFlags(deduped, "text", minWords = 30)
+        .where(col("gopher_keep"))
+      gated.select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+        .orderBy("source")
     },
 
     // DSIR-style data selection: score every doc by the target-domain
@@ -454,6 +477,47 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_pipeline_curate" -> {
+      val stops = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, source, regexp_replace(text, ' ', '  ', 'g')
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |nm AS (SELECT doc_id, source, ${TextAnalysis.normalizeTextSql("text")} AS text
+         |       FROM corpus),
+         |dd AS (SELECT doc_id, source, text,
+         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |       FROM nm),
+         |d1 AS (SELECT doc_id, source, text FROM dd WHERE rn = 1),
+         |tw AS (SELECT doc_id, source, text, ${TrainingDataQueries.tok("text")} AS w FROM d1),
+         |m AS (SELECT doc_id, source, w,
+         |  CAST(len(w) AS BIGINT) AS n,
+         |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS totlen,
+         |  list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+         |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+         |    + CAST(length(text) - length(replace(text, chr(8230), '')) AS BIGINT) AS ellipses,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alphaw,
+         |  CAST(len(list_filter(list_distinct(w), x -> x IN $stops)) AS BIGINT) AS stophits
+         | FROM tw),
+         |f AS (SELECT doc_id, source, w, n, totlen, hashes, ellipses, alphaw, stophits,
+         |  CAST(len(lines) AS BIGINT) AS nlines,
+         |  CAST(len(list_filter(lines, l -> starts_with(l, chr(8226))
+         |    OR starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS bullets,
+         |  CAST(len(list_filter(lines, l -> ends_with(l, '...')
+         |    OR ends_with(l, chr(8230)))) AS BIGINT) AS ellines
+         | FROM m),
+         |keep AS (SELECT source, n FROM f
+         |  WHERE (n >= 30 AND n <= 100000) AND (totlen >= 3 * n AND totlen <= 10 * n)
+         |    AND (10 * (hashes + ellipses) <= n) AND (10 * bullets <= 9 * nlines)
+         |    AND (10 * ellines <= 3 * nlines) AND (5 * alphaw >= 4 * n)
+         |    AND (stophits >= 2))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM keep GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q_sample_importance" ->
       s"""WITH t AS (SELECT doc_id, lang, ${TrainingDataQueries.tok("text")} AS w FROM documents),
