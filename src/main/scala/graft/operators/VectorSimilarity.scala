@@ -173,25 +173,74 @@ object VectorSimilarity {
       .toDF("cid", "cv")
   }
 
+  /** Centroids collected to driver literals, sorted by id — the centroid
+    * table is small by contract (k-means output; broadcast-sized), so the
+    * collect is O(k) and the centroids embed as constants in a codegen
+    * projection instead of riding a join.
+    */
+  private def collectCentroids(centroids: DataFrame, cIdCol: String,
+                               cVecCol: String): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType => DT}
+    val rows = centroids
+      .select(col(cIdCol).cast("long"), col(cVecCol).cast(ArrayType(DT)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+    require(rows.nonEmpty, "centroid table is empty")
+    rows.sortBy(_._1).toSeq
+  }
+
   /** Assign each vector to its nearest centroid by cosine (ties → lowest
-    * centroid id): the IVF partition step. `centroids` is small (a real
-    * build k-means-trains it; here any deterministic selection works) and
-    * broadcasts against the corpus scan — one projection + window per
-    * vector, no corpus shuffle.
+    * centroid id): the IVF partition step. The centroids embed as LITERALS
+    * in one codegen projection — k cosines per row, argmin via
+    * `array_position(array_max)` (the [[pqEncode]] pattern) — so the
+    * assignment is shuffle-free: nearest-centroid is embarrassingly
+    * parallel and at 100 TB runs at scan speed with zero exchanges.
+    * `probes > 1` (query-side multi-probe) sorts the (−cosine, cid) struct
+    * array and explodes the first `probes` entries — still one projection.
+    * Tie order matches the assignment everywhere: cosine desc, cid asc.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cIdCol: String, cVecCol: String,
                 probes: Int = 1): DataFrame = {
     require(probes >= 1, s"probes must be >= 1: $probes")
-    val c = centroids.select(col(cIdCol).as("__cid"), col(cVecCol).as("__cv"))
-    val scored = df.join(broadcast(c))
-      .withColumn("__csim", cosine(col(vecCol), col("__cv")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__csim").desc, col("__cid").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= probes)
-      .drop("__rn", "__cv", "__csim")
-      .withColumnRenamed("__cid", "cluster_id")
+    val cents = collectCentroids(centroids, cIdCol, cVecCol)
+    if (probes == 1) {
+      // array_position returns the FIRST index holding the max, and the
+      // centroids are sorted by id — ties resolve to the lowest centroid id,
+      // the same order the probed path (and the oracle SQL) uses.
+      val sims = array(cents.map { case (_, cv) =>
+        cosine(col(vecCol), typedLit(cv)) }: _*)
+      val cids = typedLit(cents.map(_._1))
+      df.withColumn("cluster_id",
+        element_at(cids, array_position(sims, array_max(sims)).cast("int")))
+    } else {
+      // (−cosine, cid) sorts ascending == (cosine desc, cid asc); the fold
+      // accumulator starts at +0.0 so a zero dot product is +0.0, never
+      // −0.0 — negation cannot invent a sign-of-zero ordering difference.
+      val entries = cents.map { case (cid, cv) =>
+        struct((-cosine(col(vecCol), typedLit(cv))).as("negSim"),
+          lit(cid).as("cid"))
+      }
+      val probed = slice(array_sort(array(entries: _*)), 1, probes)
+      df.withColumn("cluster_id", explode(transform(probed, e => e("cid"))))
+    }
+  }
+
+  /** [[ivfAssign]] (single probe) that also emits `centroid_cosine` — the
+    * cosine to the ASSIGNED centroid — in the same shuffle-free projection,
+    * for callers that would otherwise join the centroid table back just to
+    * recompute it ([[clusterProfile]], [[semDeDup]]).
+    */
+  def ivfAssignWithSim(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, cIdCol: String,
+                       cVecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids, cIdCol, cVecCol)
+    val sims = array(cents.map { case (_, cv) =>
+      cosine(col(vecCol), typedLit(cv)) }: _*)
+    val cids = typedLit(cents.map(_._1))
+    df.withColumn("cluster_id",
+        element_at(cids, array_position(sims, array_max(sims)).cast("int")))
+      .withColumn("centroid_cosine", array_max(sims))
   }
 
   /** IVF top-k: queries search their `nprobe` nearest clusters (corpus
@@ -440,10 +489,9 @@ object VectorSimilarity {
   def clusterProfile(df: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, cIdCol: String,
                      cVecCol: String): DataFrame = {
-    val c = centroids.select(col(cIdCol).as("cluster_id"), col(cVecCol).as("__cv"))
-    val withSim = ivfAssign(df, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .join(broadcast(c), Seq("cluster_id"))
-      .withColumn("__ccos_e9", PortableHash.e9(cosine(col(vecCol), col("__cv"))))
+    // assignment + assigned-centroid cosine in ONE shuffle-free projection
+    val withSim = ivfAssignWithSim(df, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .withColumn("__ccos_e9", PortableHash.e9(col("centroid_cosine")))
     withSim.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n"),
         sum(col("__ccos_e9")).as("sum_ccos_e9"),
@@ -512,19 +560,17 @@ object VectorSimilarity {
       threshold, maxCluster)
     val comps = Dedup.connectedComponentsAuto(df.select(col(idCol)), idCol,
       pairs, maxDriverEdges)
-    // centroid similarity of each vector's ASSIGNED centroid — one more
-    // broadcast projection (ivfAssign keeps only the cluster id)
-    val c = centroids.select(col(cIdCol).as("cluster_id"), col(cVecCol).as("__cv"))
-    val withSim = ivfAssign(df, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .join(broadcast(c), Seq("cluster_id"))
-      .withColumn("__ccos", cosine(col(vecCol), col("__cv")))
+    // centroid similarity of each vector's ASSIGNED centroid — emitted by
+    // the same shuffle-free assignment projection, no centroid re-join
+    val withSim = ivfAssignWithSim(df, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .withColumnRenamed("centroid_cosine", "__ccos")
     val labeled = withSim.join(
       comps.select(col("id").as(idCol), col("comp").as("__comp")), Seq(idCol))
     val w = Window.partitionBy(col("__comp"))
       .orderBy(col("__ccos").asc, col(idCol).asc)
     val out = labeled.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .drop("__rn", "__comp", "__cv")
+      .drop("__rn", "__comp")
       .withColumnRenamed("__ccos", "centroid_cosine")
     Dedup.materializeAndRelease(out, pairs)
   }
