@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.PortableHash
+import graft.functions.{PortableHash, TopK}
 
 /** Vector-similarity operators over an `array<float>` embedding column:
   * brute-force cosine top-k (the exact baseline) and a random-hyperplane
@@ -36,6 +36,23 @@ object VectorSimilarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank a scored candidate frame (query_id, neighbor_id, `scoreName`) to
+    * per-query top-k via the bounded-heap [[TopK]] aggregate: each task
+    * keeps k pairs per query and partials merge MAP-SIDE, so the shuffle
+    * carries O(queries · k) rows — never a per-query window that routes
+    * every candidate through a single reducer (the 100 TB scale-killer on
+    * the unbounded-candidate scans). Tie-break identical to the window
+    * version: score (desc for similarities, asc for distances), then
+    * neighbor id asc. Returns (query_id, rank, neighbor_id, scoreName).
+    */
+  private def rankTopK(scored: DataFrame, scoreName: String, k: Int,
+                       asc: Boolean): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopK.topK(col(scoreName), col("neighbor_id"), k, asc).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e._2").as("neighbor_id"), col("__e._1").as(scoreName))
+
   /** Exact top-k neighbors by cosine for each row of `queries` against all
     * of `corpus` (self-matches on equal ids excluded). Returns
     * (query_id, rank, neighbor_id, cosine). `queries` should be small —
@@ -51,11 +68,7 @@ object VectorSimilarity {
     // flips wrong when the corpus is the smaller-looking relation.
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, "cosine", k, asc = false)
   }
 
   /** Sign-LSH bucket id: bit j set iff v · hyperplane_j > 0. The planes are
@@ -83,11 +96,7 @@ object VectorSimilarity {
     val scored = q.join(c, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, "cosine", k, asc = false)
   }
 
   /** Multi-probe LSH top-k: each query searches its own sign-bucket PLUS
@@ -111,11 +120,7 @@ object VectorSimilarity {
     val scored = q.join(c, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, "cosine", k, asc = false)
   }
 
   /** Max-abs symmetric int8 quantization of an embedding column — the
@@ -261,11 +266,7 @@ object VectorSimilarity {
     val scored = q.join(c, Seq("cluster_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv2")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    rankTopK(scored, "cosine", k, asc = false)
   }
 
   // ---- product quantization (PQ) ----------------------------------------
@@ -339,11 +340,7 @@ object VectorSimilarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcDist(col("__qv"), col("__code"), codebooks))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adist")
+    rankTopK(scored, "adist", k, asc = true)
   }
 
   /** ADC distance of exact query `qv` to the corpus vector represented by
@@ -384,11 +381,7 @@ object VectorSimilarity {
     val scored = q.join(c, Seq("cluster_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adcDist(col("__qv"), col("__code"), codebooks))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adist")
+    rankTopK(scored, "adist", k, asc = true)
   }
 
   /** Embedding near-dup pairs: (id_a < id_b) with cosine ≥ threshold,
