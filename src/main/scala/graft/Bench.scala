@@ -43,22 +43,29 @@ object Bench {
       else SparkEntry.queries.filter(kv => only(kv._1))
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be VISIBLE, never a fast ~0s row that quietly
+      // improves the total: record the error class+message per query
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
       val dt = (System.nanoTime() - t0) / 1e9
       // release operator-persisted handles (pair results etc.) OUTSIDE the
       // timed window so caches can't accumulate across 70+ queries
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, err)
     }
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val errsJson = failed.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // load averages adjudicate contention: timings from a loaded box (other
     // JVMs sharing the 32 cores) are inflated 2-3x and not comparable
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$errsJson,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter}"""
     println(json)
     // stdout tails get truncated by log collectors (r4/r5 both shipped
     // partial BENCH files) — always persist the full line to a file too

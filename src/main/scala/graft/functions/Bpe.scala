@@ -79,7 +79,10 @@ object Bpe {
   }
 
   /** Symbol separator of the string-accumulator fold: the unit separator
-    * control char, which whitespace-tokenized words can never contain. */
+    * control char. U+001F is NOT regex whitespace, so whitespace-tokenized
+    * words CAN contain it (real crawl text does) — both encode paths strip
+    * it from the word first, otherwise a stray separator would silently
+    * mis-segment the symbol accumulator. */
   private val Sep = "\u001F"
 
   /** Encode one WORD (non-empty, no whitespace) as its BPE symbol array.
@@ -104,7 +107,11 @@ object Bpe {
     */
   def encodeWord(word: Column, merges: Seq[(String, String)]): Column = {
     val rules = typedLit(merges)
-    val init = array_join(split(word, ""), Sep)
+    // strip the separator char itself from untrusted words (U+001F is not
+    // \s-whitespace, so tokenization alone cannot exclude it); a word that
+    // was ONLY separators encodes to an empty symbol array in both engines
+    val w = regexp_replace(word, Sep, "")
+    val init = array_join(split(w, ""), Sep)
     val folded = aggregate(rules, init, (acc, m) => {
       val a = m.getField("_1")
       val b = m.getField("_2")
@@ -114,7 +121,7 @@ object Bpe {
             concat(s, b))
           .otherwise(concat(s, lit(Sep), x)))
     })
-    split(folded, Sep)
+    when(w === lit(""), typedLit(Seq.empty[String])).otherwise(split(folded, Sep))
   }
 
   /** BPE tokens of full `text`: lowercased whitespace words, each encoded
@@ -193,14 +200,20 @@ object Bpe {
     val rules = merges.map { case (a, b) =>
       s"${sqlLit(a)} || chr(31) || ${sqlLit(b)}"
     }.mkString("[", ", ", "]")
-    val init = s"array_to_string(string_split($w, ''), chr(31))"
+    // same U+001F strip as [[encodeWord]]: words CAN carry the separator
+    // char (it is not regex whitespace); an all-separator word encodes to
+    // an empty list — spelled explicitly so neither engine's
+    // split-empty-string corner is relied on
+    val cw = s"replace($w, chr(31), '')"
+    val init = s"array_to_string(string_split($cw, ''), chr(31))"
     val inner =
       "list_reduce(string_split(acc, chr(31)), (s, x) -> " +
         "CASE WHEN (s = string_split(r, chr(31))[1] " +
         "OR ends_with(s, chr(31) || string_split(r, chr(31))[1])) " +
         "AND x = string_split(r, chr(31))[2] THEN s || x " +
         "ELSE s || chr(31) || x END)"
-    s"string_split(list_reduce(list_prepend($init, $rules), (acc, r) -> $inner), chr(31))"
+    s"CASE WHEN $cw = '' THEN CAST([] AS VARCHAR[]) ELSE " +
+      s"string_split(list_reduce(list_prepend($init, $rules), (acc, r) -> $inner), chr(31)) END"
   }
 
   /** The DuckDB spelling of [[tokens]] over a pre-tokenized word-list

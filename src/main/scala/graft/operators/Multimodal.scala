@@ -450,11 +450,14 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-    /** (width, height, fps_num, fps_den, n_frames, luma_checksum). */
+    /** (width, height, fps_num, fps_den, n_frames, luma_checksum).
+      * All size arithmetic runs in LONG: header dims are untrusted, and a
+      * corrupt Y4M declaring huge W/H must surface as None — never an Int
+      * overflow that walks out of bounds or stops pos from advancing. */
     def decode(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
-      header(bytes).flatMap { case (w, h, fn, fd, off) =>
+      try header(bytes).flatMap { case (w, h, fn, fd, off) =>
         if (w % 2 != 0 || h % 2 != 0) return None // C420 needs even dims
-        val frameSize = w * h + 2 * ((w / 2) * (h / 2))
+        val frameSizeL = w.toLong * h + 2L * ((w / 2).toLong * (h / 2))
         var pos = off
         var frames = 0L
         var luma = 0L
@@ -463,15 +466,19 @@ object Multimodal {
           if (pos + 5 > bytes.length ||
             new String(bytes, pos, 5, "US-ASCII") != "FRAME") return None
           val nl = bytes.indexOf('\n'.toByte, pos)
-          if (nl < 0 || nl + 1 + frameSize > bytes.length) return None
+          // Long-domain bound: declared frame larger than the payload → None
+          // (also proves frameSizeL fits in Int below)
+          if (nl < 0 || nl + 1L + frameSizeL > bytes.length) return None
           var i = nl + 1
-          val yEnd = i + w * h
+          val yEnd = i + w * h // ≤ bytes.length by the Long check above
           while (i < yEnd) { luma += (bytes(i) & 0xff).toLong; i += 1 }
-          pos = nl + 1 + frameSize
+          val next = nl + 1 + frameSizeL.toInt
+          if (next <= pos) return None // frames are non-empty: must advance
+          pos = next
           frames += 1
         }
         Some((w.toLong, h.toLong, fn, fd, frames, luma))
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Luma checksum of every `stride`-th frame, BY OFFSET SEEK — our
       * generator writes bare "FRAME\n" lines, so frame f sits at
@@ -480,16 +487,19 @@ object Multimodal {
       * None when any header line deviates (a general player would walk;
       * a sampler on fixed-layout corpora seeks). */
     def sampleFrames(bytes: Array[Byte], stride: Int): Option[Seq[(Long, Long)]] =
-      header(bytes).flatMap { case (w, h, _, _, off) =>
-        if (w % 2 != 0 || h % 2 != 0) return None
-        val frameSize = w * h + 2 * ((w / 2) * (h / 2))
-        val step = 6 + frameSize // "FRAME\n" + payload
-        val n = (bytes.length - off) / step
-        if (off + n * step != bytes.length) return None
+      try header(bytes).flatMap { case (w, h, _, _, off) =>
+        if (stride < 1 || w % 2 != 0 || h % 2 != 0) return None
+        // Long-domain sizes: untrusted header dims must not overflow the
+        // step (a zero/negative step would divide by zero or never advance)
+        val frameSizeL = w.toLong * h + 2L * ((w / 2).toLong * (h / 2))
+        val stepL = 6L + frameSizeL // "FRAME\n" + payload
+        val n = ((bytes.length - off) / stepL).toInt
+        if (off + n * stepL != bytes.length) return None
+        if (n > 0 && stepL > bytes.length - off) return None
         val out = Seq.newBuilder[(Long, Long)]
         var f = 0
         while (f < n) {
-          val base = off + f * step
+          val base = off + f * stepL.toInt // stepL ≤ payload: fits in Int
           if (new String(bytes, base, 6, "US-ASCII") != "FRAME\n") return None
           var luma = 0L
           var i = base + 6
@@ -499,7 +509,7 @@ object Multimodal {
           f += stride
         }
         Some(out.result())
-      }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
   object VideoDecoder {
     def open(): VideoDecoder = new VideoDecoder() // per-partition init point

@@ -436,11 +436,20 @@ object VectorSimilarity {
     * [[graft.operators.Dedup.guardedBucketPairs]]).
     *
     * Returns (new_id, corpus_id, cosine), threshold-verified exactly.
+    *
+    * `excludeSameId` (default true) drops candidate pairs whose batch id
+    * EQUALS the corpus id — correct when the two frames share an id space
+    * (incremental ingest re-presenting known rows must not self-pair).
+    * When the id spaces are UNRELATED (benchmark decontamination with its
+    * own numbering), a coincidental collision would silently suppress a
+    * genuine near-dup — pass excludeSameId = false, or renumber one side
+    * disjointly (as q_decontaminate_semantic does with its +100000 offset).
     */
   def cosineNearDupPairsAgainst(newDf: DataFrame, corpus: DataFrame,
                                 idCol: String, vecCol: String,
                                 threshold: Double, numPlanes: Int, dim: Int,
-                                maxBucket: Int = 4096): DataFrame = {
+                                maxBucket: Int = 4096,
+                                excludeSameId: Boolean = true): DataFrame = {
     def bucketed(d: DataFrame): DataFrame =
       d.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         lshBucket(col(vecCol), numPlanes, dim).as("__bucket"))
@@ -461,7 +470,7 @@ object VectorSimilarity {
     val candidates = newB.select(col("__bucket"), col("__id").as("new_id"))
       .join(guardedCorpus.select(col("__bucket"), col("__id").as("corpus_id")),
         Seq("__bucket"))
-      .where(col("new_id") =!= col("corpus_id"))
+      .where(if (excludeSameId) col("new_id") =!= col("corpus_id") else lit(true))
       .select("new_id", "corpus_id")
     val pairs = candidates
       .join(newB.select(col("__id").as("new_id"), col("__v").as("__va")), Seq("new_id"))

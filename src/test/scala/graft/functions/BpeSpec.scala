@@ -121,4 +121,23 @@ class BpeSpec extends SparkSpec {
     val sql = Bpe.encodeWordSql("w", Seq(("'", "s")))
     assert(sql.contains("'''' || chr(31) || 's'"), sql)
   }
+
+  test("U+001F in words is stripped, not treated as a symbol boundary") {
+    import spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    // U+001F is NOT \s-whitespace: it survives whitespace tokenization and
+    // would mis-segment the separator-joined accumulator if kept
+    val docs = Seq(
+      (1L, "abc plain"),   // embedded separator → encodes as "abc"
+      (2L, "abc plain"),
+      (3L, "")        // all-separator word → zero tokens
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), Bpe.tokens(col("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === got(2L), s"got(1)=${got(1L)} got(2)=${got(2L)}")
+    assert(got(1L) === Seq("abc", "p", "l", "a", "i", "n"))
+    assert(got(3L) === Seq.empty)
+    // the DuckDB twin carries the same strip
+    assert(Bpe.encodeWordSql("w", merges).contains("replace(w, chr(31), '')"))
+  }
 }

@@ -363,4 +363,27 @@ class OperatorsSpec extends SparkSpec {
       .toDF("doc_id", "content")
     assert(Multimodal.videoFrameSample(bad, "doc_id", 2).count() === 0L)
   }
+
+  test("corrupt Y4M header dims surface as null features, never a crash") {
+    // headers declaring huge/hostile dims: w*h overflows Int, frame size
+    // exceeds the payload, or odd dims — every one must decode to None
+    // (null features / zero frame rows), not throw or hang
+    def y4m(params: String): Array[Byte] =
+      (s"YUV4MPEG2 $params\nFRAME\n" + "x" * 64).getBytes("US-ASCII")
+    val hostile = Seq(
+      y4m("W65536 H65536 F25:1"),             // w*h = 2^32 → Int overflow
+      y4m("W2147483646 H2 F25:1"),            // frameSize way past payload
+      y4m("W46342 H46342 F25:1"),             // w*h just over Int.MaxValue
+      y4m("W10 H6 F25:1"),                    // honest dims, truncated frame
+      y4m("W0 H0 F25:1"),                     // zero dims
+      y4m("W-4 H-4 F25:1"))                   // negative dims
+    val df = spark.createDataFrame(
+        hostile.zipWithIndex.map { case (b, i) => (i.toLong, b) })
+      .toDF("doc_id", "content")
+    val feats = Multimodal.decodeVideoFeatures(df, "doc_id").collect()
+    assert(feats.length === hostile.length)
+    assert(feats.forall(r => r.isNullAt(r.fieldIndex("width"))),
+      "hostile headers must yield null features")
+    assert(Multimodal.videoFrameSample(df, "doc_id", 1).count() === 0L)
+  }
 }
