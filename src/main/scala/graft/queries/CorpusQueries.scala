@@ -364,6 +364,30 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // HTML → text extraction over a deterministic HTML wrapping of each
+    // document (title + style/script + pure-link nav/footer + headline +
+    // paragraphs): script/style/comment strip, block segmentation,
+    // link-density boilerplate drop, tag strip, entity decode. The nav and
+    // footer blocks (100% anchor text) must vanish; title and paragraphs
+    // survive — same construction and rules in both engines.
+    "q_text_html_extract" -> { (spark, sfDir) =>
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; friends</title><style>p{color:red}</style>"),
+        lit("<script>var x=1; if(x<2){x=3;}</script></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About us</a></div>"),
+        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+        regexp_replace(col("text"), "\n", "</p><p>"),
+        lit("</p><!-- boilerplate note --><div class=\"footer\">" +
+          "<a href=\"/tos\">Terms &amp; conditions</a> | " +
+          "<a href=\"/privacy\">Privacy</a></div></body></html>"))
+      TextAnalysis.extractHtmlText(
+          docs(spark, sfDir).select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .select("doc_id", "title", "html_text", "n_blocks", "n_kept_blocks")
+        .orderBy("doc_id")
+    },
+
     // domain-mixture resampling: retain a web60/books25/code10/ref5-style
     // target mixture over four sources (the rest dropped), scaled to the
     // largest total the corpus can serve without upsampling
@@ -675,6 +699,35 @@ object CorpusQueries {
         "' end' || chr(8203)"
       s"""SELECT doc_id, ${TextAnalysis.normalizeTextSql(noisy)} AS norm_text
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_html_extract" -> {
+      import TextAnalysis.{HtmlScriptPattern, HtmlStylePattern,
+        HtmlCommentPattern, HtmlTitlePattern}
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title><style>p{color:red}</style>'
+         |  || '<script>var x=1; if(x<2){x=3;}</script></head><body>'
+         |  || '<div class="nav"><a href="/">Home</a> <a href="/about">About us</a></div>'
+         |  || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         |  || regexp_replace(text, chr(10), '</p><p>', 'g')
+         |  || '</p><!-- boilerplate note --><div class="footer"><a href="/tos">Terms &amp; conditions</a> | <a href="/privacy">Privacy</a></div></body></html>'
+         |  AS html FROM documents),
+         |ns AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(html,
+         |    '$HtmlScriptPattern', ' ', 'g'), '$HtmlStylePattern', ' ', 'g'),
+         |    '$HtmlCommentPattern', ' ', 'g') AS nos FROM h),
+         |tb AS (SELECT doc_id,
+         |  ${TextAnalysis.htmlFragmentTextSql(s"regexp_extract(nos, '$HtmlTitlePattern', 1)")} AS title,
+         |  regexp_replace(nos, '$HtmlTitlePattern', ' ', 'g') AS body FROM ns),
+         |sc AS (SELECT doc_id, title, ${TextAnalysis.htmlScoredBlocksSql("body")} AS blocks FROM tb),
+         |fl AS (SELECT doc_id, title, list_filter(blocks, s -> s.txt <> '') AS ne FROM sc),
+         |kp AS (SELECT doc_id, title, ne,
+         |  list_filter(ne, s -> 100 * s.alen <= 50 * length(s.txt)) AS kept FROM fl)
+         |SELECT doc_id, title,
+         |  array_to_string(list_transform(kept, s -> s.txt), chr(10)) AS html_text,
+         |  CAST(len(ne) AS BIGINT) AS n_blocks,
+         |  CAST(len(kept) AS BIGINT) AS n_kept_blocks
+         |FROM kp ORDER BY doc_id""".stripMargin
     },
 
     "q_sample_mixture" ->
