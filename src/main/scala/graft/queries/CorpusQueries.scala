@@ -228,21 +228,47 @@ object CorpusQueries {
     // -> per-source doc/token budget of the survivors. Every stage is an
     // operator from this library; the oracle replays the whole chain.
     "q_pipeline_curate" -> { (spark, sfDir) =>
+      import graft.functions.QualityClassifier
       val d = docs(spark, sfDir)
       val variants = d.where(col("doc_id") % 6 === 0)
         .select((col("doc_id") + lit(100000L)).as("doc_id"), col("source"),
           regexp_replace(col("text"), " ", "  ").as("text"))
-      val corpus = d.select("doc_id", "source", "text").unionByName(variants)
+      // spam twins: unique text (dedup passes them), rule-gate-clean
+      // (Gopher passes them) — ONLY the learned classifier catches them
+      val spam = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"), col("source"),
+          concat(lit("free prize winner click here buy now "),
+            concat_ws(" ", reverse(TextAnalysis.tokens(col("text"))))).as("text"))
+      val corpus = d.select("doc_id", "source", "text")
+        .unionByName(variants).unionByName(spam)
       val norm = corpus.select(col("doc_id"), col("source"),
         TextAnalysis.normalizeText(col("text")).as("text"))
       val deduped = Dedup.exact(norm, Seq("text"), "doc_id")
       val gated = TextAnalysis.withGopherFlags(deduped, "text", minWords = 30)
         .where(col("gopher_keep"))
-      gated.select(col("source"),
+      val scored = QualityClassifier.withQualityScore(gated, "text",
+          QualityWeights.WeightsPpm, QualityWeights.BiasPpm)
+        .where(col("quality_keep"))
+      scored.select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
         .orderBy("source")
+    },
+
+    // learned quality gate: frozen hashed-bigram linear scorer (integer-ppm
+    // logit) over real docs plus spam-corrupted twins — the corrupted ones
+    // must score negative, the originals positive, bit-for-bit vs oracle
+    "q_quality_classifier" -> { (spark, sfDir) =>
+      import graft.functions.QualityClassifier
+      val d = docs(spark, sfDir).select(col("doc_id"), col("text"))
+      val corrupted = d.select((col("doc_id") + lit(100000L)).as("doc_id"),
+        concat(lit("free prize winner click here buy now "),
+          concat_ws(" ", reverse(TextAnalysis.tokens(col("text"))))).as("text"))
+      QualityClassifier.withQualityScore(d.unionByName(corrupted), "text",
+          QualityWeights.WeightsPpm, QualityWeights.BiasPpm)
+        .select("doc_id", "quality_logit_ppm", "quality_keep")
+        .orderBy("doc_id")
     },
 
     // DSIR-style data selection: score every doc by the target-domain
@@ -508,7 +534,12 @@ object CorpusQueries {
          |  SELECT doc_id, source, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 100000, source, regexp_replace(text, ' ', '  ', 'g')
-         |  FROM documents WHERE doc_id % 6 = 0),
+         |  FROM documents WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, source,
+         |    'free prize winner click here buy now ' ||
+         |      array_to_string(list_reverse(${TrainingDataQueries.tok("text")}), ' ')
+         |  FROM documents WHERE doc_id % 7 = 0),
          |nm AS (SELECT doc_id, source, ${TextAnalysis.normalizeTextSql("text")} AS text
          |       FROM corpus),
          |dd AS (SELECT doc_id, source, text,
@@ -533,15 +564,33 @@ object CorpusQueries {
          |  CAST(len(list_filter(lines, l -> ends_with(l, '...')
          |    OR ends_with(l, chr(8230)))) AS BIGINT) AS ellines
          | FROM m),
-         |keep AS (SELECT source, n FROM f
+         |keep AS (SELECT source, n, w FROM f
          |  WHERE (n >= 30 AND n <= 100000) AND (totlen >= 3 * n AND totlen <= 10 * n)
          |    AND (10 * (hashes + ellipses) <= n) AND (10 * bullets <= 9 * nlines)
          |    AND (10 * ellines <= 3 * nlines) AND (5 * alphaw >= 4 * n)
-         |    AND (stophits >= 2))
+         |    AND (stophits >= 2)),
+         |qk AS (SELECT source, n FROM keep
+         |  WHERE ${graft.functions.QualityClassifier.logitPpmSql("w",
+                QualityWeights.WeightsPpm, QualityWeights.BiasPpm)} >= 0)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS n_tokens
-         |FROM keep GROUP BY source ORDER BY source""".stripMargin
+         |FROM qk GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q_quality_classifier" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    'free prize winner click here buy now ' ||
+         |      array_to_string(list_reverse(${TrainingDataQueries.tok("text")}), ' ')
+         |  FROM documents),
+         |w AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM t),
+         |s AS (SELECT doc_id, ${graft.functions.QualityClassifier.logitPpmSql("w",
+                QualityWeights.WeightsPpm, QualityWeights.BiasPpm)} AS quality_logit_ppm
+         |      FROM w)
+         |SELECT doc_id, quality_logit_ppm, quality_logit_ppm >= 0 AS quality_keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_sample_importance" ->
       s"""WITH t AS (SELECT doc_id, lang, ${TrainingDataQueries.tok("text")} AS w FROM documents),
