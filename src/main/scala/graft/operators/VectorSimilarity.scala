@@ -71,6 +71,54 @@ object VectorSimilarity {
     rankTopK(scored, "cosine", k, asc = false)
   }
 
+  /** Σ (a_i − b_i)² in double precision (left-to-right, portable) — the
+    * exact-L2 twin of [[cosine]], the ground-truth metric for ADC audits. */
+  def l2Dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact top-k by SQUARED L2 — the ground truth [[pqTopK]]'s asymmetric
+    * distances approximate (PQ is an L2 construction; auditing it against
+    * the cosine baseline would mix metrics). Same shape as
+    * [[bruteForceTopK]]: queries broadcast, bounded-heap ranking. */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", l2Dist2(col("__qv"), col("__cv")))
+    rankTopK(scored, "dist", k, asc = true)
+  }
+
+  /** Recall@k audit: for each (method, approx, exact) triple — both frames
+    * shaped (query_id, rank, neighbor_id, …) — count how many of the exact
+    * top-k pairs the approximate index recovered. Returns one row per
+    * method: (method, n_queries, n_exact, n_hits, recall_ppm), all exact
+    * integers (recall_ppm = hits · 10⁶ DIV exact — no doubles, so the
+    * audit is oracle-checkable bit-for-bit). This is the user-runnable
+    * "is my ANN index good enough" check: at 100 TB it runs on a query
+    * SAMPLE, and every per-method input is the already-bounded top-k
+    * output, so the audit cost is O(queries · k) rows per method.
+    */
+  def recallAudit(entries: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    require(entries.nonEmpty, "no methods to audit")
+    entries.map { case (method, approx, exact) =>
+      val e = exact.select(col("query_id"), col("neighbor_id"))
+      val a = approx.select(col("query_id"), col("neighbor_id"))
+      val totals = e.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"))
+      val hits = a.join(e, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      totals.crossJoin(hits) // 1×1 rows: broadcast, no real cross product
+        .select(lit(method).as("method"), col("n_queries"), col("n_exact"),
+          col("n_hits"),
+          expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sign-LSH bucket id: bit j set iff v · hyperplane_j > 0. The planes are
     * deterministic ([[PortableHash.hyperplane]]); the same literals embed
     * in the oracle SQL.

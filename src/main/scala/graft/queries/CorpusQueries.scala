@@ -193,6 +193,32 @@ object CorpusQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ANN recall audit: recall@5 of every approximate index (LSH,
+    // multi-probe LSH, IVF at 1 and 2 probes, PQ/ADC) against the exact
+    // baseline in its own metric (cosine for the LSH/IVF family, squared
+    // L2 for ADC) — integer counts and ppm ratios only, so the audit is
+    // oracle-checkable bit-for-bit. The user-runnable "is my index good
+    // enough" check the PqSpec assertions graduate into.
+    "q_knn_recall" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val q = e.where(col("vec_id") < 20)
+      val cents = VectorSimilarity.centroidFrame(spark, IvfCentroids.K8Sf001)
+      val exactCos = VectorSimilarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val exactL2 = VectorSimilarity.bruteForceTopKL2(e, q, "vec_id", "embedding", k = 5)
+      VectorSimilarity.recallAudit(Seq(
+        ("ivf_p1", VectorSimilarity.ivfTopK(e, q, "vec_id", "embedding",
+          cents, "cid", "cv", k = 5, nprobe = 1), exactCos),
+        ("ivf_p2", VectorSimilarity.ivfTopK(e, q, "vec_id", "embedding",
+          cents, "cid", "cv", k = 5, nprobe = 2), exactCos),
+        ("lsh", VectorSimilarity.lshTopK(e, q, "vec_id", "embedding",
+          k = 5, numPlanes = 6, dim = 64), exactCos),
+        ("lsh_multiprobe", VectorSimilarity.lshTopKMultiProbe(e, q, "vec_id",
+          "embedding", k = 5, numPlanes = 6, dim = 64), exactCos),
+        ("pq_adc", VectorSimilarity.pqTopK(e, q, "vec_id", "embedding",
+          PqCodebooks.M8K16Sf001, k = 5), exactL2)
+      )).orderBy("method")
+    },
+
     // phrase mining: top adjacent-pair collocations by lift
     // (n_ab·N / (n_a·n_b)), pairs seen >= 5 times
     "q_collocations" -> { (spark, sfDir) =>
@@ -1030,6 +1056,88 @@ object CorpusQueries {
          |      FROM sc)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, ${e9Sql("adist")} AS adist_e9
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_recall" -> {
+      val centsRows = IvfCentroids.K8Sf001.zipWithIndex.map { case (v, i) =>
+        s"(CAST($i AS BIGINT), CAST(${v.mkString("[", ", ", "]")} AS DOUBLE[]))"
+      }.mkString(",\n  ")
+      val cos = TrainingDataQueries.cosSql("ea", "eb")
+      def top5(body: String, order: String): String =
+        s"""SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY $order, neighbor_id ASC) AS rk
+           |  FROM ($body)) WHERE rk <= 5""".stripMargin
+      def audit(method: String, pairs: String, exact: String): String =
+        s"""SELECT '$method' AS method,
+           |  CAST((SELECT count(DISTINCT query_id) FROM $exact) AS BIGINT) AS n_queries,
+           |  CAST((SELECT count(*) FROM $exact) AS BIGINT) AS n_exact,
+           |  CAST((SELECT count(*) FROM $pairs JOIN $exact USING (query_id, neighbor_id)) AS BIGINT) AS n_hits""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS ea FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS eb FROM embeddings),
+         |exc AS (${top5(
+             s"SELECT query_id, neighbor_id, $cos AS cos FROM q JOIN c ON query_id <> neighbor_id",
+             "cos DESC")}),
+         |exl AS (${top5(
+             s"""SELECT query_id, neighbor_id,
+                |  list_sum(list_transform(generate_series(1, 64),
+                |    i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))
+                |       * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS d
+                |FROM q JOIN c ON query_id <> neighbor_id""".stripMargin,
+             "d ASC")}),
+         |${TrainingDataQueries.bucketSql("embeddings", 6, 64)},
+         |lq AS (SELECT vec_id AS query_id, embedding AS ea, bucket FROM bk WHERE vec_id < 20),
+         |lc AS (SELECT vec_id AS neighbor_id, embedding AS eb, bucket FROM bk),
+         |lshp AS (${top5(
+             s"SELECT query_id, neighbor_id, $cos AS cos FROM lq JOIN lc USING (bucket) WHERE query_id <> neighbor_id",
+             "cos DESC")}),
+         |mq AS (SELECT vec_id AS query_id, embedding AS ea,
+         |         unnest(list_prepend(bucket,
+         |           list_transform(generate_series(0, 5),
+         |             j -> xor(bucket, CAST(1 AS BIGINT) << j)))) AS probe
+         |       FROM bk WHERE vec_id < 20),
+         |mpp AS (${top5(
+             s"SELECT query_id, neighbor_id, $cos AS cos FROM mq JOIN lc ON lc.bucket = mq.probe WHERE query_id <> neighbor_id",
+             "cos DESC")}),
+         |cents(cid, cv) AS (VALUES
+         |  $centsRows),
+         |ia AS (SELECT e.vec_id, e.embedding, cents.cid,
+         |         ${TrainingDataQueries.cosSql("e.embedding", "cents.cv")} AS csim
+         |       FROM embeddings e CROSS JOIN cents),
+         |iasg AS (SELECT vec_id, embedding, cid AS cluster_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rn
+         |         FROM ia),
+         |icorp AS (SELECT vec_id AS neighbor_id, embedding AS eb, cluster_id FROM iasg WHERE rn = 1),
+         |iq1 AS (SELECT vec_id AS query_id, embedding AS ea, cluster_id FROM iasg WHERE vec_id < 20 AND rn <= 1),
+         |iq2 AS (SELECT vec_id AS query_id, embedding AS ea, cluster_id FROM iasg WHERE vec_id < 20 AND rn <= 2),
+         |ivf1 AS (${top5(
+             s"SELECT query_id, neighbor_id, $cos AS cos FROM iq1 JOIN icorp USING (cluster_id) WHERE query_id <> neighbor_id",
+             "cos DESC")}),
+         |ivf2 AS (${top5(
+             s"SELECT query_id, neighbor_id, $cos AS cos FROM iq2 JOIN icorp USING (cluster_id) WHERE query_id <> neighbor_id",
+             "cos DESC")}),
+         |${PqSql.codesCtes},
+         |${PqSql.cblCte},
+         |pqsc AS (SELECT pq2.query_id, codes.vec_id AS neighbor_id,
+         |           ${PqSql.adistTerms("pq2.qe", "codes.code")} AS adist
+         |         FROM codes CROSS JOIN cbl
+         |         JOIN (SELECT vec_id AS query_id, embedding AS qe
+         |               FROM embeddings WHERE vec_id < 20) pq2
+         |           ON pq2.query_id <> codes.vec_id),
+         |pqp AS (${top5("SELECT query_id, neighbor_id, adist FROM pqsc", "adist ASC")})
+         |SELECT method, n_queries, n_exact, n_hits,
+         |  CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
+         |FROM (
+         |  ${audit("ivf_p1", "ivf1", "exc")}
+         |  UNION ALL
+         |  ${audit("ivf_p2", "ivf2", "exc")}
+         |  UNION ALL
+         |  ${audit("lsh", "lshp", "exc")}
+         |  UNION ALL
+         |  ${audit("lsh_multiprobe", "mpp", "exc")}
+         |  UNION ALL
+         |  ${audit("pq_adc", "pqp", "exl")}
+         |) ORDER BY method""".stripMargin
+    },
 
     "q_knn_lsh_multiprobe" ->
       s"""WITH ${TrainingDataQueries.bucketSql("embeddings", 6, 64)},

@@ -58,6 +58,20 @@ class IvfAssignSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("recallAudit counts exact-set recovery in integer ppm") {
+    import spark.implicits._
+    // exact top-3 per query; approx recovers 2 of 3 for q1, 3 of 3 for q2
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 99L),
+      (2L, 1L, 22L), (2L, 2L, 20L), (2L, 3L, 21L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val row = VectorSimilarity.recallAudit(Seq(("m", approx, exact)))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(row === (("m", 2L, 6L, 5L, 833333L)))
+  }
+
   test("ivfAssignWithSim emits the cosine to the ASSIGNED centroid, shuffle-free") {
     val rows = VectorSimilarity.ivfAssignWithSim(corpus, "vec_id", "v",
         cents, "cid", "cv")
