@@ -139,6 +139,28 @@ object Bpe {
   private def wordsOf(text: Column): Column =
     filter(split(lower(coalesce(text, lit(""))), "\\s+"), t => t =!= lit(""))
 
+  /** Per-word BPE symbol arrays — [[tokens]] WITHOUT the flatten, so word
+    * boundaries survive and [[decode]] can invert the encoding. */
+  def wordTokens(text: Column, merges: Seq[(String, String)]): Column =
+    transform(wordsOf(text), w => encodeWord(w, merges))
+
+  /** Decode [[wordTokens]] output back to text: concatenate each word's
+    * symbols (BPE merges are concatenations, so the symbol array of a word
+    * always concatenates back to the word), join words with single spaces.
+    * Recovers the CANONICAL text — lowercased, whitespace-collapsed,
+    * U+001F-stripped — i.e. exactly the preimage class [[tokens]] quotients
+    * over; `decode(wordTokens(x)) = canonical(x)` is the round-trip
+    * identity [[graft.queries.Registry]]'s q_bpe_roundtrip checks per
+    * document and BpeSpec property-checks on random words. */
+  def decode(wordToks: Column): Column =
+    array_join(transform(wordToks, s => array_join(s, "")), " ")
+
+  /** DuckDB twin of [[decode]] over a word-list fragment (re-encodes each
+    * word and concatenates its symbols — the same data-driven fold). */
+  def decodeSql(wordsFrag: String, merges: Seq[(String, String)]): String =
+    s"array_to_string(list_transform($wordsFrag, " +
+      s"x -> array_to_string(${encodeWordSql("x", merges)}, '')), ' ')"
+
   /** Corpus-scale BPE: encode the DICTIONARY, not the word stream.
     * Natural corpora are Zipfian — word instances outnumber distinct
     * words by orders of magnitude (876× even on the tiny test corpus) —

@@ -84,6 +84,25 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // BPE round-trip identity: decode(wordTokens(text)) must equal the
+    // canonical text (lowercased, whitespace-collapsed) for EVERY document
+    // — closes the tokenizer loop (encode loses no characters; merges
+    // concatenate back exactly), with both engines running the same
+    // data-driven fold
+    "q_bpe_roundtrip" -> { (spark, sfDir) =>
+      import graft.functions.Bpe
+      val w = filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+        t => t =!= lit(""))
+      docs(spark, sfDir)
+        .select(col("doc_id"), w.as("__w"),
+          Bpe.decode(Bpe.wordTokens(col("text"), BpeMerges.Merges)).as("__rec"))
+        .select(col("doc_id"),
+          size(col("__w")).cast("long").as("n_words"),
+          length(col("__rec")).cast("long").as("decoded_len"),
+          (col("__rec") === array_join(col("__w"), " ")).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    },
+
     // context-window chunking denominated in BPE subword tokens — the
     // budget a model's context length is actually measured in. Tokenized
     // via the DICTIONARY path (encode distinct words once, join back):
@@ -843,6 +862,16 @@ object CorpusQueries {
          |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
          |       array_to_string(bt, ' ') AS bpe_text
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_roundtrip" ->
+      s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),
+         |d AS (SELECT doc_id, w,
+         |        ${graft.functions.Bpe.decodeSql("w", BpeMerges.Merges)} AS rec
+         |      FROM t)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(length(rec) AS BIGINT) AS decoded_len,
+         |  rec = array_to_string(w, ' ') AS roundtrip_ok
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_chunk_bpe" ->
       s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w0 FROM documents),

@@ -122,6 +122,34 @@ class BpeSpec extends SparkSpec {
     assert(sql.contains("'''' || chr(31) || 's'"), sql)
   }
 
+  test("decode inverts encode: property sweep over random words and real text") {
+    import spark.implicits._
+    val merges = Bpe.train(Seq(("hello", 5L), ("help", 3L), ("world", 2L),
+      ("held", 1L)), numMerges = 20)
+    // random lowercase words from the trained alphabet + unseen chars
+    val rnd = new scala.util.Random(7)
+    val alphabet = "helowrdpxyz"
+    val words = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(10))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val texts = words.grouped(6).map(_.mkString(" ")).toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val bad = df.select(col("id"),
+        Bpe.decode(Bpe.wordTokens(col("text"), merges)).as("rec"), col("text"))
+      .where(col("rec") =!= col("text"))
+    assert(bad.count() === 0, bad.collect().mkString("; "))
+    // real corpus text round-trips to its canonical form under the frozen table
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet").limit(50)
+    val canon = array_join(filter(split(lower(col("text")), "\\s+"),
+      t => t =!= lit("")), " ")
+    val badDocs = docs.select(
+        Bpe.decode(Bpe.wordTokens(col("text"),
+          graft.queries.BpeMerges.Merges)).as("rec"), canon.as("canon"))
+      .where(col("rec") =!= col("canon"))
+    assert(badDocs.count() === 0)
+  }
+
   test("U+001F in words is stripped, not treated as a symbol boundary") {
     import spark.implicits._
     val merges = Seq(("a", "b"), ("ab", "c"))
