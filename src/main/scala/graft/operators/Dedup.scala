@@ -158,10 +158,26 @@ object Dedup {
 
   /** Keep one row per distinct value of `keyCols`: the row with the minimal
     * `tieBreak` (deterministic). Single hash-shuffle on the key.
+    *
+    * The shuffle key is HASH-PREFIXED: a 60-bit portable hash of the
+    * concatenated keys leads the window partition spec, and the raw key
+    * columns follow it. Grouping is unchanged (the hash is a function of
+    * the keys, so (h, keys) groups ≡ keys groups — a hash collision still
+    * splits into its true key groups; equality is verified by
+    * construction, never assumed), but every partition/sort comparison now
+    * resolves on the 8-byte hash and touches the raw key bytes only when
+    * hashes tie — i.e. on true duplicates. For document-text keys that
+    * turns O(|doc|) comparisons into O(1) almost everywhere; the rows
+    * still carry the text as payload (downstream stages read it), which
+    * no keying scheme can avoid.
     */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    val h = PortableHash.h60(concat_ws(" ", keyCols.map(col): _*))
+    val w = Window.partitionBy((col("__kh") +: keyCols.map(col)): _*)
+      .orderBy(col(tieBreak).asc)
+    df.withColumn("__kh", h)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__kh")
   }
 
   // ---- shingling ---------------------------------------------------------

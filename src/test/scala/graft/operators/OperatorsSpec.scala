@@ -22,6 +22,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("exact dedup shuffle key leads with the portable hash, not the text") {
+    val plan = Dedup.exact(docsDf, Seq("text"), "doc_id")
+      .queryExecution.executedPlan.toString
+    // the exchange and the window sort must both resolve on __kh FIRST so
+    // full-document comparisons happen only on hash ties (true duplicates)
+    assert(plan.contains("hashpartitioning(__kh"),
+      s"window exchange must partition hash-first:\n$plan")
+    assert(!plan.contains("hashpartitioning(text"),
+      s"raw text must not lead the partition spec:\n$plan")
+  }
+
   test("shingles: distinct word 3-grams, short text yields partial shingle") {
     val sh = docsDf.where(col("doc_id") === 1)
       .select(Dedup.shingles(col("text"), 3)).head().getSeq[String](0)
