@@ -27,34 +27,41 @@ import org.apache.spark.sql.types.LongType
   */
 object QualityClassifier {
 
-  /** Adjacent-token bigrams ("a b") of a bound token-array column.
+  /** Adjacent-token bigrams ("a b") of a BOUND token-array column (a
+    * lambda variable — never a raw expression, see [[logitPpm]]).
     * Guarded: Spark's `sequence(1, 0)` is DESCENDING, not empty. */
   private def bigramsOf(toks: Column): Column =
     when(size(toks) < 2, typedLit(Seq.empty[String]))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
 
-  /** Score `textCol` against frozen ppm weights: emits
-    * `quality_logit_ppm` (long) and `quality_keep` (logit ≥ 0).
-    * Token array binds once per row (`withColumn`), so the lambda-bearing
-    * feature trees are built from a shared column, not re-evaluated. */
-  def withQualityScore(df: DataFrame, textCol: String,
-                       weightsPpm: Seq[Long], biasPpm: Long): DataFrame = {
+  /** The integer-ppm logit of `text` as ONE self-contained expression.
+    * The token array is LET-BOUND via the single-element-transform trick
+    * (the [[graft.operators.Dedup.shingles]] pattern): a lambda variable
+    * is a bound VALUE, so tokenization runs once per row NO MATTER how
+    * Catalyst collapses surrounding projections — a `withColumn` binding
+    * is NOT enough, because CollapseProject inlines it back into every
+    * reference and the per-index bigram lambda would then re-run the
+    * regex split per bigram (the measured O(n²) pipeline blowup). */
+  def logitPpm(text: Column, weightsPpm: Seq[Long], biasPpm: Long): Column = {
     val numBuckets = weightsPpm.length
     val wLit = typedLit(weightsPpm)
     val bucketWeight = (f: Column) =>
       element_at(wLit, (PortableHash.hmod(f) % numBuckets + 1).cast("int"))
-    val toks = filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+    val toks = filter(split(lower(coalesce(text, lit(""))), "\\s+"),
       t => t =!= lit(""))
-    df.withColumn("__qtoks", toks)
-      .withColumn("__qfeats",
-        concat(col("__qtoks"), bigramsOf(col("__qtoks"))))
-      .withColumn("quality_logit_ppm",
-        (lit(biasPpm) + aggregate(col("__qfeats"), lit(0L),
-          (acc, f) => acc + bucketWeight(f))).cast(LongType))
-      .withColumn("quality_keep", col("quality_logit_ppm") >= 0L)
-      .drop("__qtoks", "__qfeats")
+    element_at(transform(array(toks), ws =>
+      (lit(biasPpm) + aggregate(concat(ws, bigramsOf(ws)), lit(0L),
+        (acc, f) => acc + bucketWeight(f))).cast(LongType)), 1)
   }
+
+  /** Score `textCol` against frozen ppm weights: emits
+    * `quality_logit_ppm` (long) and `quality_keep` (logit ≥ 0). */
+  def withQualityScore(df: DataFrame, textCol: String,
+                       weightsPpm: Seq[Long], biasPpm: Long): DataFrame =
+    df.withColumn("quality_logit_ppm",
+        logitPpm(col(textCol), weightsPpm, biasPpm))
+      .withColumn("quality_keep", col("quality_logit_ppm") >= 0L)
 
   /** DuckDB twin of [[withQualityScore]]'s logit over a word-list SQL
     * fragment `w` (the caller supplies the same whitespace tokenization the
