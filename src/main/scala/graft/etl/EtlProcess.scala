@@ -95,7 +95,9 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     this.writePkField = writePkField
     this.extractThunk = Some(() => {
       src.registerViews()
-      spark.sql(resolveIncremental(sql, sparkDialect = true))
+      // MySQL-dialect shim (the reference's source dialect): rewrites the
+      // comma LIMIT form; a query that already parses is never changed
+      spark.sql(MySqlDialect.rewrite(resolveIncremental(sql, sparkDialect = true)))
     })
     this
   }

@@ -37,6 +37,19 @@ object EtlQueries {
       p.result().orderBy("id")
     },
 
+    // E1 dialect parity: reference user SQL is MySQL — backtick quoting
+    // (native Spark) and the comma LIMIT form (rewritten by MySqlDialect)
+    // must both run unchanged
+    "q_extract_mysql" -> { (spark, sfDir) =>
+      val p = proc(spark, sfDir, "t")
+      p.idOrder = Seq("o_orderkey")
+      p.extract("SELECT `o_orderkey`, `o_orderstatus`, o_totalprice " +
+        "FROM orders WHERE o_totalprice > 150000 " +
+        "ORDER BY o_orderkey LIMIT 5, 10")
+      p.load()
+      p.result().orderBy("id")
+    },
+
     // E2: extract from a .sql file
     "q_extract_file" -> { (spark, sfDir) =>
       val f = java.nio.file.Files.createTempFile("graft-extract", ".sql")
@@ -415,6 +428,14 @@ object EtlQueries {
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
         |       o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_totalprice > 150000 ORDER BY id""".stripMargin,
+
+    "q_extract_mysql" ->
+      """WITH x AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |           FROM orders WHERE o_totalprice > 150000
+        |           ORDER BY o_orderkey LIMIT 10 OFFSET 5)
+        |SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+        |       o_orderkey, o_orderstatus, o_totalprice
+        |FROM x ORDER BY id""".stripMargin,
 
     "q_extract_file" ->
       """SELECT row_number() OVER (ORDER BY n_nationkey) AS id, n_nationkey, n_name
