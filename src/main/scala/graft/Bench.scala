@@ -47,8 +47,10 @@ object Bench {
       // improves the total: record the error class+message per query
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
+          // strip quotes, backslashes and ALL control chars — a parser
+          // error echoing hostile input must not break the JSON line
           Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)) }
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)) }
       val dt = (System.nanoTime() - t0) / 1e9
       // release operator-persisted handles (pair results etc.) OUTSIDE the
       // timed window so caches can't accumulate across 70+ queries

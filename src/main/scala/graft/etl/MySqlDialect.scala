@@ -32,7 +32,10 @@ object MySqlDialect {
         case q @ ('\'' | '"' | '`') => // quoted region: copy verbatim
           val end = closeQuote(sql, i + 1, q)
           out.append(sql.substring(i, end)); i = end
-        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => // line comment
+        // MySQL line comments need "--" FOLLOWED BY whitespace (or EOL):
+        // bare "--" is double negation (a - -b), not a comment
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' &&
+            (i + 2 >= n || Character.isWhitespace(sql.charAt(i + 2))) =>
           val end = { val e = sql.indexOf('\n', i); if (e < 0) n else e + 1 }
           out.append(sql.substring(i, end)); i = end
         case '/' if i + 1 < n && sql.charAt(i + 1) == '*' => // block comment

@@ -147,19 +147,25 @@ object Bpe {
   /** Decode [[wordTokens]] output back to text: concatenate each word's
     * symbols (BPE merges are concatenations, so the symbol array of a word
     * always concatenates back to the word), join words with single spaces.
-    * Recovers the CANONICAL text — lowercased, whitespace-collapsed,
-    * U+001F-stripped — i.e. exactly the preimage class [[tokens]] quotients
-    * over; `decode(wordTokens(x)) = canonical(x)` is the round-trip
-    * identity [[graft.queries.Registry]]'s q_bpe_roundtrip checks per
-    * document and BpeSpec property-checks on random words. */
+    * Words that encoded to ZERO symbols (all-U+001F words, whose content
+    * the encoder strips) are skipped — they have no text to contribute,
+    * and joining them would inject phantom double spaces. Recovers the
+    * CANONICAL text — lowercased, whitespace-collapsed, U+001F-stripped,
+    * empty words dropped — i.e. exactly the preimage class [[tokens]]
+    * quotients over; `decode(wordTokens(x)) = canonical(x)` is the
+    * round-trip identity q_bpe_roundtrip checks per document and BpeSpec
+    * property-checks on random words (incl. separator-bearing ones). */
   def decode(wordToks: Column): Column =
-    array_join(transform(wordToks, s => array_join(s, "")), " ")
+    array_join(transform(
+      filter(wordToks, s => size(s) > 0), s => array_join(s, "")), " ")
 
   /** DuckDB twin of [[decode]] over a word-list fragment (re-encodes each
-    * word and concatenates its symbols — the same data-driven fold). */
+    * word and concatenates its symbols — the same data-driven fold,
+    * empty encodes skipped identically). */
   def decodeSql(wordsFrag: String, merges: Seq[(String, String)]): String =
-    s"array_to_string(list_transform($wordsFrag, " +
-      s"x -> array_to_string(${encodeWordSql("x", merges)}, '')), ' ')"
+    s"array_to_string(list_filter(list_transform($wordsFrag, " +
+      s"x -> array_to_string(${encodeWordSql("x", merges)}, '')), " +
+      s"x -> x <> ''), ' ')"
 
   /** Corpus-scale BPE: encode the DICTIONARY, not the word stream.
     * Natural corpora are Zipfian — word instances outnumber distinct

@@ -35,9 +35,15 @@ object TopK {
       extends Aggregator[(Double, Long), Array[(Double, Long)], Seq[(Double, Long)]] {
     require(k >= 1, s"top-k size must be >= 1: $k")
 
-    /** Strict "a ranks before b". */
+    /** Strict "a ranks before b". Zeros are normalized first: the window
+      * sort this aggregate replaces (and the DuckDB oracle) treat -0.0 and
+      * +0.0 as EQUAL and fall through to the id tie-break — Spark's
+      * NormalizeFloatingNumbers rewrites -0.0 to 0.0 in sort keys — while
+      * java.lang.Double.compare ranks -0.0 strictly first. */
     private def before(as: Double, ai: Long, bs: Double, bi: Long): Boolean = {
-      val c = java.lang.Double.compare(as, bs)
+      val an = if (as == 0.0) 0.0 else as
+      val bn = if (bs == 0.0) 0.0 else bs
+      val c = java.lang.Double.compare(an, bn)
       if (c != 0) { if (asc) c < 0 else c > 0 } else ai < bi
     }
 

@@ -62,6 +62,13 @@ object TextAnalysis {
   val DashPattern: String = "[\\x{2010}-\\x{2015}\\x{2212}]"
   /** ASCII whitespace runs (spelled out — Java \s and RE2 \s disagree). */
   val WsRunPattern: String = "[ \\x{09}\\x{0A}\\x{0D}]+"
+  /** The ORACLE spelling of Java's `\s` class for token splitting: RE2's
+    * `\s` lacks \x0B (vertical tab), so a bare '\s+' in the DuckDB twin
+    * would keep "a\x0Bb" as one token where Spark's `split(_, "\\s+")`
+    * yields two. Every oracle tokenizer interpolates THIS class so the two
+    * engines split identically on all inputs, not just corpora that happen
+    * to lack \x0B. (The Spark side keeps "\\s+" — Java \s IS this class.) */
+  val JavaWsSplitSql: String = "[ \\x{09}\\x{0A}\\x{0B}\\x{0C}\\x{0D}]+"
 
   /** Deterministic text normalization as one codegen'd projection — no
     * UDF, no shuffle; at 100 TB this is a pure scan-side rewrite. */

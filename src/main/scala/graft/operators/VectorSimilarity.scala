@@ -115,7 +115,10 @@ object VectorSimilarity {
       totals.crossJoin(hits) // 1×1 rows: broadcast, no real cross product
         .select(lit(method).as("method"), col("n_queries"), col("n_exact"),
           col("n_hits"),
-          expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)").as("recall_ppm"))
+          // greatest guards the degenerate empty-baseline case: ANSI mode
+          // would otherwise throw DIVIDE_BY_ZERO instead of reporting 0
+          expr("CAST(n_hits * 1000000 DIV greatest(n_exact, 1) AS BIGINT)")
+            .as("recall_ppm"))
     }.reduce(_ unionByName _)
   }
 
@@ -260,12 +263,17 @@ object VectorSimilarity {
     if (probes == 1) {
       // array_position returns the FIRST index holding the max, and the
       // centroids are sorted by id — ties resolve to the lowest centroid id,
-      // the same order the probed path (and the oracle SQL) uses.
+      // the same order the probed path (and the oracle SQL) uses. The
+      // k-cosine array is LET-BOUND (single-element transform): it appears
+      // twice in the argmin, and lambda-bearing cosine trees are outside
+      // Spark's subexpression elimination — unbound, every row would
+      // compute the k×dim arithmetic twice.
       val sims = array(cents.map { case (_, cv) =>
         cosine(col(vecCol), typedLit(cv)) }: _*)
       val cids = typedLit(cents.map(_._1))
       df.withColumn("cluster_id",
-        element_at(cids, array_position(sims, array_max(sims)).cast("int")))
+        element_at(transform(array(sims), s =>
+          element_at(cids, array_position(s, array_max(s)).cast("int"))), 1))
     } else {
       // (−cosine, cid) sorts ascending == (cosine desc, cid asc); the fold
       // accumulator starts at +0.0 so a zero dot product is +0.0, never
@@ -291,9 +299,17 @@ object VectorSimilarity {
     val sims = array(cents.map { case (_, cv) =>
       cosine(col(vecCol), typedLit(cv)) }: _*)
     val cids = typedLit(cents.map(_._1))
-    df.withColumn("cluster_id",
-        element_at(cids, array_position(sims, array_max(sims)).cast("int")))
-      .withColumn("centroid_cosine", array_max(sims))
+    // the k-cosine array is let-bound inside each output expression, so a
+    // row pays one sims evaluation PER EMITTED COLUMN (2 total — projection
+    // collapse inlines the struct into each field reference) instead of the
+    // 3 an unbound argmin+max would cost
+    val assigned = element_at(transform(array(sims), s => struct(
+      element_at(cids, array_position(s, array_max(s)).cast("int")).as("cid"),
+      array_max(s).as("ccos"))), 1)
+    df.withColumn("__asg", assigned)
+      .withColumn("cluster_id", col("__asg.cid"))
+      .withColumn("centroid_cosine", col("__asg.ccos"))
+      .drop("__asg")
   }
 
   /** IVF top-k: queries search their `nprobe` nearest clusters (corpus

@@ -638,7 +638,7 @@ object EtlQueries {
         |WHERE o_orderkey IN (7, 500, 1999) ORDER BY o_orderkey""".stripMargin,
 
     "q_token_budget" -> {
-      val tok = s"""list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"""
+      val tok = s"""list_filter(regexp_split_to_array(lower(text), '${graft.operators.TextAnalysis.JavaWsSplitSql}'), x -> x <> '')"""
       s"""WITH t AS (SELECT doc_id, source, $tok AS w FROM documents),
          |b AS (SELECT source,
          |        CAST(len(${graft.functions.Bpe.tokensSql("w", BpeMerges.Merges)}) AS BIGINT) AS n

@@ -491,8 +491,8 @@ object ExtensionQueries {
         |ORDER BY rule""".stripMargin,
 
     "q_flatmap_tokens" ->
-      """WITH t AS (SELECT doc_id,
-        |             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+      s"""WITH t AS (SELECT doc_id,
+        |             list_filter(regexp_split_to_array(lower(text), '${graft.operators.TextAnalysis.JavaWsSplitSql}'), x -> x <> '') AS w
         |           FROM documents WHERE doc_id <= 50)
         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
         |FROM t, unnest(generate_series(1, len(w))) AS u(i)

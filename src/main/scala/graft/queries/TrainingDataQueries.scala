@@ -355,7 +355,7 @@ object TrainingDataQueries {
   /** Tokens of lowercased `c`, empties removed (DuckDB spelling of
     * [[TextAnalysis.tokens]]). */
   private[queries] def tok(c: String): String =
-    s"""list_filter(regexp_split_to_array(lower($c), '\\s+'), x -> x <> '')"""
+    s"""list_filter(regexp_split_to_array(lower($c), '${graft.operators.TextAnalysis.JavaWsSplitSql}'), x -> x <> '')"""
 
   /** documents ∪ near-dup copies, as a CTE body (DuckDB twin of
     * [[nearDupCorpus]]); `pred` restricts the base set. */

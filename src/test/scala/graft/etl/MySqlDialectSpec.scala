@@ -27,6 +27,14 @@ class MySqlDialectSpec extends AnyFunSuite {
       assert(rewrite(sql) === sql, sql)
   }
 
+  test("bare -- is double negation (MySQL), not a comment — rewrite still fires") {
+    assert(rewrite("SELECT price--discount AS net FROM t LIMIT 5, 10") ===
+      "SELECT price--discount AS net FROM t LIMIT 10 OFFSET 5")
+    // with whitespace it IS a comment and protects its tail
+    assert(rewrite("SELECT a FROM t -- LIMIT 5, 10\nLIMIT 1, 2") ===
+      "SELECT a FROM t -- LIMIT 5, 10\nLIMIT 2 OFFSET 1")
+  }
+
   test("quoted regions honor escapes") {
     val s = "SELECT 'it''s limit 1, 2 ok', `we``ird` FROM t LIMIT 1, 2"
     assert(rewrite(s) ===

@@ -158,13 +158,19 @@ class BpeSpec extends SparkSpec {
     val docs = Seq(
       (1L, "abc plain"),   // embedded separator → encodes as "abc"
       (2L, "abc plain"),
-      (3L, "")        // all-separator word → zero tokens
+      (3L, " x")      // all-separator word → zero tokens
     ).toDF("doc_id", "text")
     val got = docs.select(col("doc_id"), Bpe.tokens(col("text"), merges).as("t"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(got(1L) === got(2L), s"got(1)=${got(1L)} got(2)=${got(2L)}")
     assert(got(1L) === Seq("abc", "p", "l", "a", "i", "n"))
-    assert(got(3L) === Seq.empty)
+    assert(got(3L) === Seq("x")) // the separator-only word vanishes
+    // decode skips empty-encoded (all-separator) words: no phantom spaces
+    val rec = docs.select(col("doc_id"),
+        Bpe.decode(Bpe.wordTokens(col("text"), merges)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rec(1L) === "abc plain")
+    assert(rec(3L) === "x")
     // the DuckDB twin carries the same strip
     assert(Bpe.encodeWordSql("w", merges).contains("replace(w, chr(31), '')"))
   }

@@ -33,6 +33,16 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("-0.0 and +0.0 tie (window/oracle semantics): id breaks the tie") {
+    val a = agg(2, asc = false)
+    // id 5 arrives first with -0.0; id 3 with +0.0 must rank BEFORE it
+    val buf = Seq((-0.0, 5L), (0.0, 3L), (-1.0, 9L)).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(buf).map(_._2) === Seq(3L, 5L))
+    val d = agg(2, asc = true)
+    val bufD = Seq((0.0, 7L), (-0.0, 8L), (1.0, 1L)).foldLeft(d.zero)(d.reduce)
+    assert(d.finish(bufD).map(_._2) === Seq(7L, 8L))
+  }
+
   test("buffer shorter than k when fewer candidates") {
     val a = agg(5, asc = true)
     val buf = Seq((2.0, 1L), (1.0, 2L)).foldLeft(a.zero)(a.reduce)
