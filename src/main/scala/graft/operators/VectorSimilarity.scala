@@ -245,6 +245,18 @@ object VectorSimilarity {
     rows.sortBy(_._1).toSeq
   }
 
+  /** The k cosines of `vec` against the centroid set as ONE cosine tree
+    * over a NESTED array literal — `transform(centroids, cv → cos(vec,
+    * cv))` — not k inlined per-centroid trees. Expression size is O(1) in
+    * k: with k inlined trees, plan analysis and first-run compilation grow
+    * linearly in the centroid count (measured ~3× on q_dedup_semdedup at
+    * k = 8; a production k = 1000 would be catastrophic), while the data
+    * volume is identical. Fold order per centroid is unchanged, so the
+    * cosines are bit-identical to the unrolled form. */
+  private def centroidSims(vec: Column,
+                           cents: Seq[(Long, Seq[Double])]): Column =
+    transform(typedLit(cents.map(_._2)), cv => cosine(vec, cv))
+
   /** Assign each vector to its nearest centroid by cosine (ties → lowest
     * centroid id): the IVF partition step. The centroids embed as LITERALS
     * in one codegen projection — k cosines per row, argmin via
@@ -260,6 +272,8 @@ object VectorSimilarity {
                 probes: Int = 1): DataFrame = {
     require(probes >= 1, s"probes must be >= 1: $probes")
     val cents = collectCentroids(centroids, cIdCol, cVecCol)
+    val sims = centroidSims(col(vecCol), cents)
+    val cids = typedLit(cents.map(_._1))
     if (probes == 1) {
       // array_position returns the FIRST index holding the max, and the
       // centroids are sorted by id — ties resolve to the lowest centroid id,
@@ -268,9 +282,6 @@ object VectorSimilarity {
       // twice in the argmin, and lambda-bearing cosine trees are outside
       // Spark's subexpression elimination — unbound, every row would
       // compute the k×dim arithmetic twice.
-      val sims = array(cents.map { case (_, cv) =>
-        cosine(col(vecCol), typedLit(cv)) }: _*)
-      val cids = typedLit(cents.map(_._1))
       df.withColumn("cluster_id",
         element_at(transform(array(sims), s =>
           element_at(cids, array_position(s, array_max(s)).cast("int"))), 1))
@@ -278,11 +289,9 @@ object VectorSimilarity {
       // (−cosine, cid) sorts ascending == (cosine desc, cid asc); the fold
       // accumulator starts at +0.0 so a zero dot product is +0.0, never
       // −0.0 — negation cannot invent a sign-of-zero ordering difference.
-      val entries = cents.map { case (cid, cv) =>
-        struct((-cosine(col(vecCol), typedLit(cv))).as("negSim"),
-          lit(cid).as("cid"))
-      }
-      val probed = slice(array_sort(array(entries: _*)), 1, probes)
+      val entries = zip_with(sims, cids,
+        (s, c) => struct((-s).as("negSim"), c.as("cid")))
+      val probed = slice(array_sort(entries), 1, probes)
       df.withColumn("cluster_id", explode(transform(probed, e => e("cid"))))
     }
   }
@@ -296,8 +305,7 @@ object VectorSimilarity {
                        centroids: DataFrame, cIdCol: String,
                        cVecCol: String): DataFrame = {
     val cents = collectCentroids(centroids, cIdCol, cVecCol)
-    val sims = array(cents.map { case (_, cv) =>
-      cosine(col(vecCol), typedLit(cv)) }: _*)
+    val sims = centroidSims(col(vecCol), cents)
     val cids = typedLit(cents.map(_._1))
     // the k-cosine array is let-bound inside each output expression, so a
     // row pays one sims evaluation PER EMITTED COLUMN (2 total — projection
@@ -460,9 +468,14 @@ object VectorSimilarity {
                          maxBucket: Int = 4096): DataFrame = {
     // cached: the bucket census, candidate join branches, and the
     // per-candidate vector join-back all consume it; the bucket projection
-    // (numPlanes dot products per vector) would otherwise run repeatedly
+    // (numPlanes dot products per vector) would otherwise run repeatedly.
+    // Norms are precomputed PER VECTOR here (N folds), not per candidate
+    // pair (2·|pairs| folds): the pair verify becomes one dot product —
+    // dot/(na·nb) is the identical arithmetic and association cosine()
+    // computes, so the values are bit-unchanged.
     val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      lshBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+      lshBucket(col(vecCol), numPlanes, dim).as("__bucket"),
+      norm(col(vecCol)).as("__nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates carry only (bucket, id); vectors join back per surviving
     // candidate pair instead of riding both sides of the self-join
@@ -471,11 +484,14 @@ object VectorSimilarity {
     val (candidates, guardCaches) = Dedup.guardedBucketPairs(
       withB.select(col("__bucket"), col("__id")), Seq("__bucket"), "__id",
       maxBucket, dedup = false)
-    val vecs = withB.select(col("__id"), col("__v"))
+    val vecs = withB.select(col("__id"), col("__v"), col("__nrm"))
     val pairs = candidates
-      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
-      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va"),
+        col("__nrm").as("__na")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        col("__nrm").as("__nb")), Seq("id_b"))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
     Dedup.materializeAndRelease(pairs, withB +: guardCaches: _*)
@@ -514,9 +530,12 @@ object VectorSimilarity {
                                 threshold: Double, numPlanes: Int, dim: Int,
                                 maxBucket: Int = 4096,
                                 excludeSameId: Boolean = true): DataFrame = {
+    // per-vector norms precomputed in the cached projection (N folds, not
+    // 2·|pairs|): the verify is one dot product, bit-identical to cosine()
     def bucketed(d: DataFrame): DataFrame =
       d.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        lshBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+        lshBucket(col(vecCol), numPlanes, dim).as("__bucket"),
+        norm(col(vecCol)).as("__nrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newB = bucketed(newDf)
     val corpusB = bucketed(corpus)
@@ -537,9 +556,12 @@ object VectorSimilarity {
       .where(if (excludeSameId) col("new_id") =!= col("corpus_id") else lit(true))
       .select("new_id", "corpus_id")
     val pairs = candidates
-      .join(newB.select(col("__id").as("new_id"), col("__v").as("__va")), Seq("new_id"))
-      .join(corpusB.select(col("__id").as("corpus_id"), col("__v").as("__vb")), Seq("corpus_id"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .join(newB.select(col("__id").as("new_id"), col("__v").as("__va"),
+        col("__nrm").as("__na")), Seq("new_id"))
+      .join(corpusB.select(col("__id").as("corpus_id"), col("__v").as("__vb"),
+        col("__nrm").as("__nb")), Seq("corpus_id"))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("cosine") >= threshold)
       .select("new_id", "corpus_id", "cosine")
     Dedup.materializeAndRelease(pairs, newB, corpusB)
@@ -587,8 +609,12 @@ object VectorSimilarity {
   def semDeDupPairs(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, cIdCol: String, cVecCol: String,
                     threshold: Double, maxCluster: Int = 4096): DataFrame = {
+    // norms precomputed per vector in the cached assignment (N folds, not
+    // 2·|pairs|): the per-pair verify is one dot product — dot/(na·nb) is
+    // cosine()'s identical arithmetic, bit-unchanged
     val asg = ivfAssign(df, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cluster_id"))
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("cluster_id"),
+        norm(col(vecCol)).as("__nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // each vector lives in exactly one cluster → candidates already unique
     val (candidates, guardCaches) = Dedup.guardedBucketPairs(
@@ -597,9 +623,11 @@ object VectorSimilarity {
     // id_a and id_b share a cluster by construction — take it from the a side
     val pairs = candidates
       .join(asg.select(col("__id").as("id_a"), col("__v").as("__va"),
-        col("cluster_id")), Seq("id_a"))
-      .join(asg.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+        col("__nrm").as("__na"), col("cluster_id")), Seq("id_a"))
+      .join(asg.select(col("__id").as("id_b"), col("__v").as("__vb"),
+        col("__nrm").as("__nb")), Seq("id_b"))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine", "cluster_id")
     Dedup.materializeAndRelease(pairs, asg +: guardCaches: _*)
