@@ -484,6 +484,47 @@ object TextAnalysis {
     rep(noWww, "/$", "")
   }
 
+  /** URL/domain blocklist gate — the FIRST filter of a web-corpus pipeline
+    * (runs before any content even downloads in a real crawl; here before
+    * any content processing): per row, the canonical host of `urlCol`
+    * (lowercased, `www.`-stripped), the blocklist entry that matched (the
+    * standard REGISTRABLE-DOMAIN suffix rule: host equals the entry or
+    * ends with `"." + entry`, so `ads.evil.example` matches `evil.example`
+    * while `notevil.example` does not), and the keep flag. The blocklist
+    * is a frozen literal (the QualityWeights pattern) and the whole gate
+    * is one let-bound codegen projection — no shuffle, no UDF, scan-speed
+    * at 100 TB. Emits `url_host`, `blocked_by` (null when clean),
+    * `domain_keep`.
+    */
+  def withDomainGate(df: DataFrame, urlCol: String,
+                     blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "empty blocklist: nothing to gate")
+    val blockedLit = typedLit(blockedDomains.map(_.toLowerCase))
+    val host = regexp_replace(
+      lower(regexp_extract(coalesce(col(urlCol), lit("")), UrlHostPattern, 1)),
+      "^www\\.", "")
+    // let-bound: the host regex runs once per row, not once per blocklist
+    // entry inside the match lambda (and not once more per output column)
+    val gated = element_at(transform(array(host), h => struct(
+      h.as("host"),
+      try_element_at(filter(blockedLit,
+        b => h === b || h.endsWith(concat(lit("."), b))), lit(1)).as("rule"))), 1)
+    df.withColumn("__gate", gated)
+      .withColumn("url_host", col("__gate.host"))
+      .withColumn("blocked_by", col("__gate.rule"))
+      .withColumn("domain_keep", col("__gate.rule").isNull)
+      .drop("__gate")
+  }
+
+  /** DuckDB twin of [[withDomainGate]]'s match over a host fragment `h`:
+    * the first matching blocklist entry, NULL when clean (DuckDB list
+    * indexing is NULL on out-of-range — the `try_element_at` twin). */
+  def domainGateRuleSql(h: String, blockedDomains: Seq[String]): String = {
+    val bl = blockedDomains.map(d => s"'${d.toLowerCase}'")
+      .mkString("[", ", ", "]")
+    s"(list_filter($bl, b -> $h = b OR ends_with($h, '.' || b)))[1]"
+  }
+
   /** Per-domain corpus rollup: one row per distinct host with the number
     * of documents mentioning it and the total mention count — the inputs
     * to per-domain caps ([[Sampling.groupCap]]) and domain blocklists.

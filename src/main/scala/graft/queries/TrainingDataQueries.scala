@@ -139,6 +139,24 @@ object TrainingDataQueries {
         .select("doc_id", "curl").orderBy("doc_id")
     },
 
+    // URL/domain blocklist gate: frozen blocklist, registrable-domain
+    // suffix rule — subdomains of a blocked domain match, lookalike hosts
+    // that merely CONTAIN the blocked string do not
+    "q_domain_gate" -> { (spark, sfDir) =>
+      val host = when(col("doc_id") % 5 === 0, lit("spam-ads.example"))
+        .when(col("doc_id") % 5 === 1, lit("tracker.spam-ads.example"))
+        .when(col("doc_id") % 5 === 2, lit("notspam-ads.example"))
+        .when(col("doc_id") % 5 === 3, lit("WWW.News.Example.org"))
+        .otherwise(lit("example.com"))
+      val url = concat(lit("http://"), host, lit("/page/"),
+        (col("doc_id") % 40).cast("string"))
+      TextAnalysis.withDomainGate(
+          docs(spark, sfDir).select(col("doc_id"), url.as("url")),
+          "url", Seq("spam-ads.example", "casino.example"))
+        .select("doc_id", "url_host", "blocked_by", "domain_keep")
+        .orderBy("doc_id")
+    },
+
     "q_dedup_ngram_jaccard" -> { (spark, sfDir) =>
       Dedup.jaccardPairs(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
           n = 3, threshold = 0.5)
@@ -507,6 +525,26 @@ object TrainingDataQueries {
          |        row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
          |      FROM u)
          |SELECT doc_id, curl FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_domain_gate" -> {
+      val urlSql =
+        "'http://' || CASE WHEN doc_id % 5 = 0 THEN 'spam-ads.example' " +
+          "WHEN doc_id % 5 = 1 THEN 'tracker.spam-ads.example' " +
+          "WHEN doc_id % 5 = 2 THEN 'notspam-ads.example' " +
+          "WHEN doc_id % 5 = 3 THEN 'WWW.News.Example.org' " +
+          "ELSE 'example.com' END || '/page/' || CAST(doc_id % 40 AS VARCHAR)"
+      val blocked = Seq("spam-ads.example", "casino.example")
+      s"""WITH u AS (SELECT doc_id, ($urlSql) AS url FROM documents),
+         |hh AS (SELECT doc_id,
+         |  regexp_replace(lower(regexp_extract(url, '${TextAnalysis.UrlHostPattern}', 1)),
+         |                 '^www\\.', '', 'g') AS url_host
+         |  FROM u),
+         |g AS (SELECT doc_id, url_host,
+         |        ${TextAnalysis.domainGateRuleSql("url_host", blocked)} AS blocked_by
+         |      FROM hh)
+         |SELECT doc_id, url_host, blocked_by, blocked_by IS NULL AS domain_keep
+         |FROM g ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_exact" ->

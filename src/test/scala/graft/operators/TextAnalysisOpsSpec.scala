@@ -1,6 +1,38 @@
 package graft.operators
 
 import graft.SparkSpec
+
+class DomainGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blocklist gate: suffix rule, subdomains match, lookalikes do not") {
+    val df = Seq(
+      (1L, "http://spam-ads.example/x"),        // exact blocked host
+      (2L, "https://a.b.spam-ads.example/y"),   // deep subdomain -> blocked
+      (3L, "http://notspam-ads.example/z"),     // lookalike -> clean
+      (4L, "http://WWW.Example.com/ok"),        // www + case -> clean
+      (5L, "not a url at all"),                 // no host -> clean, empty host
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url")
+    val got = TextAnalysis.withDomainGate(df, "url", Seq("spam-ads.example"))
+      .select("doc_id", "url_host", "blocked_by", "domain_keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(got(1L) === (("spam-ads.example", Some("spam-ads.example"), false)))
+    assert(got(2L) === (("a.b.spam-ads.example", Some("spam-ads.example"), false)))
+    assert(got(3L) === (("notspam-ads.example", None, true)))
+    assert(got(4L) === (("example.com", None, true)))
+    assert(got(5L) === (("", None, true)))
+    assert(got(6L) === (("", None, true)))
+  }
+
+  test("gate plan is a pure projection: no Exchange, no Join") {
+    val df = Seq((1L, "http://x.example/")).toDF("doc_id", "url")
+    val plan = TextAnalysis.withDomainGate(df, "url", Seq("bad.example"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+}
 import org.apache.spark.sql.functions.col
 
 /** Specs for the TextAnalysis corpus operators added in round 5: line
