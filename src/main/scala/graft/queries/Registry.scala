@@ -12,10 +12,12 @@ object Registry {
   def queries: Map[String, Q] =
     EtlQueries.queries ++ TrainingDataQueries.queries ++
       SqlQueries.queries ++ PipelineQueries.queries ++
-      ExtensionQueries.queries ++ CorpusQueries.queries
+      ExtensionQueries.queries ++ CorpusQueries.queries ++
+      StorageQueries.queries
 
   def oracleSql: Map[String, String] =
     EtlQueries.oracleSql ++ TrainingDataQueries.oracleSql ++
       SqlQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      ExtensionQueries.oracleSql ++ CorpusQueries.oracleSql
+      ExtensionQueries.oracleSql ++ CorpusQueries.oracleSql ++
+      StorageQueries.oracleSql
 }

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Catalog, MaterializedAgg, VersionedTable}
+
+/** Oracle-checked queries for the versioned-table layer (time travel,
+  * change-data-feed, logical delete) and incremental materialized views —
+  * extension scope: the table-format machinery under a mutable 100 TB lake.
+  *
+  * Oracle strategy: the DuckDB twin REPLAYS each version's logical state
+  * from the base tables (the manifests are physical bookkeeping; the
+  * correctness claim is that every version reads back exactly the state
+  * its load sequence defined, and that the change feed equals the
+  * state diff).
+  */
+object StorageQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def srcCat(spark: SparkSession, sfDir: String) = new Catalog(spark, sfDir)
+  private def tmpCat(spark: SparkSession) =
+    new Catalog(spark, java.nio.file.Files.createTempDirectory("graft-q").toString)
+
+  /** Build the 4-version orders table every versioned query reads:
+    *   v1 load  o_orderkey ≤ 2000
+    *   v2 append (2000, 3000]
+    *   v3 upsert (2500, 3500]  (updates (2500,3000], inserts (3000,3500])
+    *   v4 delete o_orderkey ≤ 500
+    */
+  private def buildVersioned(spark: SparkSession, sfDir: String): Catalog = {
+    val src = srcCat(spark, sfDir)
+    src.registerViews()
+    val tgt = tmpCat(spark)
+    val base = spark.sql(
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+    VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 2000),
+      idOrder = Seq("o_orderkey"))
+    VersionedTable.load(tgt, "t",
+      base.where(col("o_orderkey") > 2000 && col("o_orderkey") <= 3000),
+      idOrder = Seq("o_orderkey"))
+    VersionedTable.load(tgt, "t",
+      base.where(col("o_orderkey") > 2500 && col("o_orderkey") <= 3500)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"))
+    VersionedTable.delete(tgt, "t", col("o_orderkey") <= 500)
+    tgt
+  }
+
+  /** The DuckDB replay of each version's state (CTE names v1..v4). */
+  private val versionedStates: String =
+    """g1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000),
+      |g2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |       WHERE o_orderkey > 2000 AND o_orderkey <= 3000),
+      |g3 AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |       FROM orders WHERE o_orderkey > 2500 AND o_orderkey <= 3500),
+      |v1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, g1.* FROM g1),
+      |v2 AS (SELECT * FROM v1
+      |       UNION ALL
+      |       SELECT (SELECT count(*) FROM g1) + row_number() OVER (ORDER BY o_orderkey) AS id, g2.*
+      |       FROM g2),
+      |upd AS (SELECT v2.id, v2.o_orderkey,
+      |               coalesce(g3.o_orderstatus, v2.o_orderstatus) AS o_orderstatus,
+      |               coalesce(g3.o_totalprice, v2.o_totalprice) AS o_totalprice
+      |        FROM v2 LEFT JOIN g3 USING (o_orderkey)),
+      |fresh AS (SELECT (SELECT max(id) FROM v2) + row_number() OVER (ORDER BY g3.o_orderkey) AS id,
+      |                 g3.* FROM g3 LEFT JOIN v2 USING (o_orderkey)
+      |          WHERE v2.id IS NULL),
+      |v3 AS (SELECT * FROM upd UNION ALL SELECT * FROM fresh),
+      |v4 AS (SELECT * FROM v3 WHERE o_orderkey > 500)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // F16 time travel: all four versions read back via their manifests;
+    // every version's file set is immutable once committed (append reuses
+    // the parent's files — spec-asserted in VersionedTableSpec)
+    "q_time_travel" -> { (spark, sfDir) =>
+      val tgt = buildVersioned(spark, sfDir)
+      (1L to 4L).map { v =>
+        VersionedTable.readVersion(tgt, "t", v)
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select("version", "id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("version", "id")
+    },
+
+    // F17 change-data-feed: the v2→v4 diff carries all three ops —
+    // (2500,3000] updated, (3000,3500] inserted, ≤500 deleted — computed
+    // from two manifest scans, never by replaying load history
+    "q_change_feed" -> { (spark, sfDir) =>
+      val tgt = buildVersioned(spark, sfDir)
+      VersionedTable.changes(tgt, "t", 2L, 4L, Seq("o_orderkey"))
+        .select("op", "o_orderkey", "id", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // F18 incremental materialized view: three O(batch) refreshes must
+    // land exactly where one O(base) recomputation lands (the oracle IS
+    // the full recomputation)
+    "q_matview_incremental" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        """SELECT l_returnflag, l_linestatus, l_orderkey,
+          |       CAST(l_quantity AS BIGINT) AS qty FROM lineitem""".stripMargin)
+      val aggs = Seq(
+        MaterializedAgg.AggCol("count", "", "n_rows"),
+        MaterializedAgg.AggCol("sum", "qty", "sum_qty"),
+        MaterializedAgg.AggCol("min", "l_orderkey", "min_ok"),
+        MaterializedAgg.AggCol("max", "l_orderkey", "max_ok"))
+      val cuts = Seq(
+        col("l_orderkey") <= 2000,
+        col("l_orderkey") > 2000 && col("l_orderkey") <= 4000,
+        col("l_orderkey") > 4000)
+      cuts.foreach { c =>
+        MaterializedAgg.refresh(tgt, "v", base.where(c),
+          Seq("l_returnflag", "l_linestatus"), aggs)
+      }
+      MaterializedAgg.read(tgt, "v")
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_time_travel" ->
+      s"""WITH $versionedStates
+         |SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+         |UNION ALL SELECT CAST(2 AS BIGINT), * FROM v2
+         |UNION ALL SELECT CAST(3 AS BIGINT), * FROM v3
+         |UNION ALL SELECT CAST(4 AS BIGINT), * FROM v4
+         |ORDER BY version, id""".stripMargin,
+
+    "q_change_feed" ->
+      s"""WITH $versionedStates
+         |SELECT CASE WHEN a.id IS NULL THEN 'insert'
+         |            WHEN b.id IS NULL THEN 'delete'
+         |            ELSE 'update' END AS op,
+         |       coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |       coalesce(b.id, a.id) AS id,
+         |       coalesce(b.o_orderstatus, a.o_orderstatus) AS o_orderstatus,
+         |       coalesce(b.o_totalprice, a.o_totalprice) AS o_totalprice
+         |FROM v2 a FULL OUTER JOIN v4 b ON a.o_orderkey = b.o_orderkey
+         |WHERE a.id IS NULL OR b.id IS NULL
+         |   OR a.id IS DISTINCT FROM b.id
+         |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+         |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_matview_incremental" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}
