@@ -114,6 +114,24 @@ object TrainingDataQueries {
         .orderBy("item")
     },
 
+    // count-min sketch: frequency estimates for the hot vocabulary from a
+    // d×w counter matrix built in ONE partial aggregation whose key domain
+    // is ≤ d·w cells — a 100 TB token stream shuffles kilobytes where exact
+    // counting shuffles the vocabulary; estimates are provably ≥ exact
+    // (both columns in the result so the bound is visible)
+    "q_sketch_countmin" -> { (spark, sfDir) =>
+      import graft.operators.CountMin
+      val toks = docs(spark, sfDir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sk = CountMin.sketch(toks, "token", d = 4, w = 2048)
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .where(col("exact_cnt") >= 500)
+      CountMin.estimates(sk, exact.select("token"), "token", d = 4, w = 2048)
+        .join(exact, Seq("token"))
+        .select(col("token"), col("exact_cnt"), col("cms_count"))
+        .orderBy("token")
+    },
+
     // ---- dedup -----------------------------------------------------------
 
     "q_dedup_exact" -> { (spark, sfDir) =>
@@ -499,6 +517,25 @@ object TrainingDataQueries {
          |HAVING count(*) >= (SELECT greatest(CAST(1 AS BIGINT),
          |                           CAST(ceil(0.005 * n) AS BIGINT)) FROM n)
          |ORDER BY item""".stripMargin,
+
+    "q_sketch_countmin" -> {
+      import graft.operators.CountMin
+      val (d, w) = (4, 2048)
+      def cells(src: String): String =
+        (0 until d).map(r =>
+          s"SELECT $r AS r, ${CountMin.bucketSql("token", r, w)} AS bucket, token FROM $src")
+          .mkString("\nUNION ALL ")
+      s"""WITH tk AS (SELECT unnest(${tok("text")}) AS token FROM documents),
+         |sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM (${cells("tk")}) GROUP BY r, bucket),
+         |ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+         |       FROM tk GROUP BY token HAVING count(*) >= 500),
+         |pb AS (${cells("ex")}),
+         |est AS (SELECT pb.token, min(coalesce(sk.cnt, 0)) AS cms_count
+         |        FROM pb LEFT JOIN sk USING (r, bucket) GROUP BY pb.token)
+         |SELECT ex.token, ex.exact_cnt, est.cms_count
+         |FROM ex JOIN est USING (token) ORDER BY token""".stripMargin
+    },
 
     "q_text_topterms" ->
       s"""WITH t AS (SELECT doc_id, unnest(${tok("text")}) AS term FROM documents),
