@@ -516,6 +516,71 @@ object TextAnalysis {
       .drop("__gate")
   }
 
+  // ---- license / copyright gate -----------------------------------------
+  // Patterns shared verbatim by Java regex (Spark codegen) and RE2
+  // (DuckDB): literal words, \b, alternation, bounded repetition only —
+  // no \s (the engines' \s classes differ at \x0B), no lookaround.
+
+  /** Creative-Commons markers (license URL, name, short code). */
+  val CcLicensePattern: String =
+    "creative commons|creativecommons\\.org|\\bcc[- ]by\\b"
+
+  /** Open code-license names (MIT/Apache/GPL/BSD/MPL). */
+  val CodeLicensePattern: String =
+    "mit license|apache license|gnu general public license|" +
+      "\\bgplv?[23]\\b|bsd [23]-clause|mozilla public license"
+
+  /** The classic restrictive notice. */
+  val RightsReservedPattern: String = "all rights reserved"
+
+  /** A dated copyright line: `copyright`/`©`/`(c)` followed by a year. */
+  val CopyrightPattern: String =
+    "(copyright|©|\\(c\\))[ \t]*(19|20)[0-9]{2}"
+
+  /** License/copyright compliance gate: per-document boolean signals for
+    * Creative-Commons marks, open code licenses, "all rights reserved",
+    * and dated copyright lines, folded into `license_class` ∈
+    * open | restricted | none (an explicit open grant wins over a
+    * boilerplate notice — CC-licensed pages routinely carry a publisher
+    * copyright footer) and `license_keep` (= not restricted). The
+    * corpus-compliance companion to the quality gates: what a
+    * permissively-licensed training set filters on first.
+    *
+    * Scale: one codegen projection over a let-bound lowercased text —
+    * four regex passes per row, no shuffle, no UDF; scan-speed at 100 TB.
+    */
+  def withLicenseFlags(df: DataFrame, textCol: String): DataFrame = {
+    val t = lower(coalesce(col(textCol), lit("")))
+    // let-bind the lowered text once; each flag regex runs over the bound
+    // copy (withColumn bindings do not survive projection collapse —
+    // lambda variables do)
+    val flags = element_at(transform(array(t), s => struct(
+      s.rlike(CcLicensePattern).as("cc"),
+      s.rlike(CodeLicensePattern).as("code"),
+      s.rlike(RightsReservedPattern).as("rights"),
+      s.rlike(CopyrightPattern).as("copy"))), 1)
+    val out = df.withColumn("__lic", flags)
+      .withColumn("license_cc", col("__lic.cc"))
+      .withColumn("license_open_code", col("__lic.code"))
+      .withColumn("license_rights_reserved", col("__lic.rights"))
+      .withColumn("license_copyright", col("__lic.copy"))
+    out.withColumn("license_class",
+        when(col("license_cc") || col("license_open_code"), lit("open"))
+          .when(col("license_rights_reserved") || col("license_copyright"),
+            lit("restricted"))
+          .otherwise(lit("none")))
+      .withColumn("license_keep", col("license_class") =!= lit("restricted"))
+      .drop("__lic")
+  }
+
+  /** DuckDB twin of [[withLicenseFlags]] over a lowercased text fragment
+    * `s`: the four flag fragments in declaration order. */
+  def licenseFlagSqls(s: String): Seq[(String, String)] = Seq(
+    "license_cc" -> s"regexp_matches($s, '$CcLicensePattern')",
+    "license_open_code" -> s"regexp_matches($s, '$CodeLicensePattern')",
+    "license_rights_reserved" -> s"regexp_matches($s, '$RightsReservedPattern')",
+    "license_copyright" -> s"regexp_matches($s, '$CopyrightPattern')")
+
   /** DuckDB twin of [[withDomainGate]]'s match over a host fragment `h`:
     * the first matching blocklist entry, NULL when clean (DuckDB list
     * indexing is NULL on out-of-range — the `try_element_at` twin). */

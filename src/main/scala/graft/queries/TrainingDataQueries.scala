@@ -114,6 +114,33 @@ object TrainingDataQueries {
         .orderBy("item")
     },
 
+    // license/copyright compliance gate: CC / code-license / rights-
+    // reserved / dated-copyright signals + the open-wins class fold; the
+    // fixture corpus carries no notices, so deterministic ones are injected
+    // on doc_id residues (the oracle injects the same)
+    "q_license_gate" -> { (spark, sfDir) =>
+      val d = docs(spark, sfDir).select("doc_id", "text")
+      val noised = d.withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" © 2023 example corp. all rights reserved")))
+          .when(col("doc_id") % 11 === 1,
+            concat(col("text"), lit(" released under the mit license")))
+          .when(col("doc_id") % 11 === 2,
+            concat(col("text"),
+              lit(" licensed cc by-sa — see creativecommons.org/licenses")))
+          .when(col("doc_id") % 11 === 3,
+            concat(col("text"), lit(" copyright (c) 1998 the authors")))
+          .when(col("doc_id") % 11 === 4,
+            concat(col("text"),
+              lit(" distributed under the apache license, all rights reserved")))
+          .otherwise(col("text")))
+      TextAnalysis.withLicenseFlags(noised, "text")
+        .select("doc_id", "license_cc", "license_open_code",
+          "license_rights_reserved", "license_copyright",
+          "license_class", "license_keep")
+        .orderBy("doc_id")
+    },
+
     // count-min sketch: frequency estimates for the hot vocabulary from a
     // d×w counter matrix built in ONE partial aggregation whose key domain
     // is ≤ d·w cells — a 100 TB token stream shuffles kilobytes where exact
@@ -517,6 +544,29 @@ object TrainingDataQueries {
          |HAVING count(*) >= (SELECT greatest(CAST(1 AS BIGINT),
          |                           CAST(ceil(0.005 * n) AS BIGINT)) FROM n)
          |ORDER BY item""".stripMargin,
+
+    "q_license_gate" -> {
+      val flags = TextAnalysis.licenseFlagSqls("s")
+        .map { case (name, frag) => s"$frag AS $name" }.mkString(",\n        ")
+      s"""WITH noised AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' © 2023 example corp. all rights reserved'
+         |         WHEN doc_id % 11 = 1 THEN text || ' released under the mit license'
+         |         WHEN doc_id % 11 = 2 THEN text || ' licensed cc by-sa — see creativecommons.org/licenses'
+         |         WHEN doc_id % 11 = 3 THEN text || ' copyright (c) 1998 the authors'
+         |         WHEN doc_id % 11 = 4 THEN text || ' distributed under the apache license, all rights reserved'
+         |         ELSE text END AS text FROM documents),
+         |f AS (SELECT doc_id, $flags
+         |      FROM (SELECT doc_id, lower(coalesce(text, '')) AS s FROM noised)),
+         |c AS (SELECT *,
+         |        CASE WHEN license_cc OR license_open_code THEN 'open'
+         |             WHEN license_rights_reserved OR license_copyright THEN 'restricted'
+         |             ELSE 'none' END AS license_class
+         |      FROM f)
+         |SELECT doc_id, license_cc, license_open_code, license_rights_reserved,
+         |       license_copyright, license_class,
+         |       license_class <> 'restricted' AS license_keep
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "q_sketch_countmin" -> {
       import graft.operators.CountMin

@@ -358,4 +358,30 @@ class TextAnalysisOpsSpec extends SparkSpec {
     assert(got(1L) === Some("a b c"))
     assert(got(2L) === None)
   }
+
+  test("withLicenseFlags classifies hand-pinned notices") {
+    val df = Seq(
+      (1L, "plain prose with no notice at all"),
+      (2L, "Shared under Creative Commons terms."),
+      (3L, "This code ships under the MIT License."),
+      (4L, "\u00a9 2021 Example Corp"),
+      (5L, "All Rights Reserved."),
+      (6L, "CC BY-SA applies. All rights reserved by the publisher."), // open wins
+      (7L, "copyright (c) 1987 someone"),
+      (8L, "we talk about copyright law generally"), // no year => not a notice
+      (9L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysis.withLicenseFlags(df, "text")
+      .select("id", "license_class", "license_keep")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("none", true)))
+    assert(got(2L) === (("open", true)))
+    assert(got(3L) === (("open", true)))
+    assert(got(4L) === (("restricted", false)))
+    assert(got(5L) === (("restricted", false)))
+    assert(got(6L) === (("open", true)))
+    assert(got(7L) === (("restricted", false)))
+    assert(got(8L) === (("none", true)))
+    assert(got(9L) === (("none", true)))
+  }
 }
