@@ -463,18 +463,97 @@ object Dedup {
     labels // cached; caller consumes immediately
   }
 
+  /** Connected components by the alternating large-star / small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014): edge rewriting that converges in O(log n) rounds
+    * where min-label propagation ([[connectedComponents]]) needs
+    * O(diameter) — the difference between 4 rounds and 10,000 on a
+    * pathological chain of re-crawled near-identical pages. Each round:
+    *
+    *   - large-star: every node's strictly-LARGER neighbors re-attach to
+    *     the minimum of its closed neighborhood (breaks up high-degree
+    *     nodes without losing connectivity);
+    *   - small-star: every node and its smaller neighbors attach to its
+    *     minimum neighbor (collapses toward the root).
+    *
+    * The fixpoint is a star forest rooted at each component's MINIMUM id —
+    * the same labeling convention as the propagation variant, so the two
+    * are drop-in interchangeable. All shuffles are edge-set-sized (the
+    * corpus itself never enters the loop), and the edge set only shrinks
+    * toward one edge per non-root node.
+    */
+  def connectedComponentsStar(ids: DataFrame, idCol: String,
+                              pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Every round MUST truncate lineage (eager localCheckpoint): each
+    // iteration's plan references the previous one several times (sym
+    // union, two joins), so an un-truncated loop grows the logical plan
+    // exponentially and OOMs the DRIVER on plan trees long before any
+    // data pressure. (On a fault-tolerant cluster run, a reliable
+    // checkpoint dir is the durable variant of the same truncation.)
+    // canonical directed form (u > v); self/null edges dropped
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    var eCount = e.count()
+    var iter = 0
+    var done = eCount == 0L
+    while (!done && iter < maxIters) {
+      // large-star over the symmetric neighborhood
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("nm"))
+        .select(col("u"), least(col("nm"), col("u")).as("m"))
+      val large = sym.where(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the (big → small) edges large-star emits
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val joined = large.join(minsS, Seq("u"))
+      val small = joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct().localCheckpoint(true)
+      // fixpoint test: same canonical edge set as last round (both sides
+      // are distinct, so count equality + one-way except suffices)
+      val smallCount = small.count()
+      val changed = smallCount != eCount ||
+        small.except(e).limit(1).count() > 0
+      e.unpersist()
+      e = small
+      eCount = smallCount
+      done = !changed
+      iter += 1
+    }
+    if (!done) {
+      e.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    }
+    val labels = ids.select(col(idCol).as("id"))
+      .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .cache()
+    labels.count() // materialize before releasing the edge blocks
+    e.unpersist()
+    labels
+  }
+
   /** Components with automatic strategy on edge volume. Near-dup edge sets
     * are orders of magnitude smaller than the corpus (a 100 TB corpus with
     * 1% duplication yields millions of edges, not billions — each edge is
     * 16 bytes), so the common case collects the edge list and runs a
     * driver-side union-find: ONE job for the pairs, zero iterative rounds.
     * Above `maxDriverEdges` (default 10M ≈ 160 MB heap) it degrades to the
-    * distributed min-label propagation ([[connectedComponents]]), which
-    * survives any edge volume. Long-typed ids only on the fast path.
+    * distributed large-star/small-star algorithm
+    * ([[connectedComponentsStar]]) — log-rounds, no diameter dependence —
+    * which survives any edge volume. Long-typed ids only on the fast path.
     */
   def connectedComponentsAuto(ids: DataFrame, idCol: String, pairs: DataFrame,
                               maxDriverEdges: Int = 10_000_000,
-                              maxIters: Int = 20): DataFrame = {
+                              maxIters: Int = 50): DataFrame = {
     // persist across the probe: when the edge count exceeds the guard, the
     // distributed fallback must not re-run the (expensive) pair pipeline a
     // second time. A cache the CALLER owns (already-persisted input) is
@@ -485,7 +564,7 @@ object Dedup {
     val p = if (callerOwned) pairs
       else pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = collectEdges(ids, idCol, p, maxDriverEdges) match {
-      case None => connectedComponents(ids, idCol, p, maxIters)
+      case None => connectedComponentsStar(ids, idCol, p, maxIters)
       case Some(edges) =>
         val comp = unionFindMinLabel(edges)
         val spark = ids.sparkSession

@@ -296,6 +296,17 @@ object TrainingDataQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // the SAME drop forced down the distributed path (maxDriverEdges = 0
+    // disables the driver union-find): components come from the
+    // large-star/small-star log-rounds algorithm, and the result must be
+    // bit-identical to the driver-path q_dedup_drop (shared oracle)
+    "q_dedup_drop_star" -> { (spark, sfDir) =>
+      Dedup.dropNearDuplicates(nearDupCorpus(docs(spark, sfDir), 10), "doc_id", "text",
+          n = 3, numPerms = 16, bands = 4, threshold = 0.6,
+          maxDriverEdges = 0)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // the pre-drop audit: corpus duplication totals from the same pair
     // pipeline q_dedup_drop acts on — group count, member count, rows a
     // drop would remove, and the ppm reduction
@@ -483,6 +494,44 @@ object TrainingDataQueries {
 
   private val stopwordsSql: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared oracle for q_dedup_drop / q_dedup_drop_star — the component
+    * algorithm (driver union-find vs distributed star rounds) is physical
+    * strategy only; the logical answer is one recursive min-label CTE. */
+  private lazy val dedupDropOracle: String = {
+      val sigExprs = (0 until 16).map { k =>
+        val (a, b) = PortableHash.perm(k)
+        s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
+      }.mkString("[\n    ", ",\n    ", "]")
+      // components via a recursive min-label CTE: propagate a label along an
+      // edge only when it's smaller than the target (lossless prune — a
+      // node's component is its minimum reachable label); survivors are the
+      // nodes that ARE their component's minimum.
+      s"""WITH RECURSIVE ${nearDupCorpusSql(10)},
+         |$shingleHashesSql,
+         |sigs AS (SELECT doc_id, h, $sigExprs AS sig FROM hs),
+         |bands AS (SELECT doc_id, t.b AS band,
+         |                 array_to_string(sig[t.b*4+1 : t.b*4+4], ',') AS key
+         |          FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pj AS (SELECT c.id_a, c.id_b, ha.h AS ha, hb.h AS hb
+         |       FROM cand c
+         |       JOIN hs ha ON ha.doc_id = c.id_a
+         |       JOIN hs hb ON hb.doc_id = c.id_b),
+         |gp AS (SELECT id_a, id_b FROM pj WHERE $jaccardSql >= 0.6),
+         |nodes AS (SELECT doc_id AS id FROM corpus),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM gp
+         |          UNION ALL SELECT id_b, id_a FROM gp),
+         |reach(id, lbl) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+         |  WHERE r.lbl < e.dst),
+         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+         |SELECT id AS doc_id FROM comp WHERE id = comp ORDER BY doc_id""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -744,40 +793,9 @@ object TrainingDataQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "q_dedup_drop" -> {
-      val sigExprs = (0 until 16).map { k =>
-        val (a, b) = PortableHash.perm(k)
-        s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
-      }.mkString("[\n    ", ",\n    ", "]")
-      // components via a recursive min-label CTE: propagate a label along an
-      // edge only when it's smaller than the target (lossless prune — a
-      // node's component is its minimum reachable label); survivors are the
-      // nodes that ARE their component's minimum.
-      s"""WITH RECURSIVE ${nearDupCorpusSql(10)},
-         |$shingleHashesSql,
-         |sigs AS (SELECT doc_id, h, $sigExprs AS sig FROM hs),
-         |bands AS (SELECT doc_id, t.b AS band,
-         |                 array_to_string(sig[t.b*4+1 : t.b*4+4], ',') AS key
-         |          FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bands a JOIN bands b
-         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |pj AS (SELECT c.id_a, c.id_b, ha.h AS ha, hb.h AS hb
-         |       FROM cand c
-         |       JOIN hs ha ON ha.doc_id = c.id_a
-         |       JOIN hs hb ON hb.doc_id = c.id_b),
-         |gp AS (SELECT id_a, id_b FROM pj WHERE $jaccardSql >= 0.6),
-         |nodes AS (SELECT doc_id AS id FROM corpus),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM gp
-         |          UNION ALL SELECT id_b, id_a FROM gp),
-         |reach(id, lbl) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-         |  WHERE r.lbl < e.dst),
-         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
-         |SELECT id AS doc_id FROM comp WHERE id = comp ORDER BY doc_id""".stripMargin
-    },
+    "q_dedup_drop" -> dedupDropOracle,
+    // identical end state: the component algorithm is physical strategy only
+    "q_dedup_drop_star" -> dedupDropOracle,
 
     "q_dedup_substrings_drop" -> {
       val W = 8
