@@ -71,6 +71,30 @@ object VectorSimilarity {
     rankTopK(scored, "cosine", k, asc = false)
   }
 
+  /** Approximate inner-product top-k over int8-QUANTIZED vectors — the
+    * compressed-scoring scan for a pre-quantized embedding store
+    * ([[quantizeInt8]]'s 4× storage/IO cut): the dot product runs on the
+    * integer codes (EXACT integer arithmetic — no float-order hazards),
+    * and the two max-abs scales de-quantize the score
+    * (`int_dot · s_a · s_b / 127²`). At 100 TB this is the scan that reads
+    * a quarter of the bytes per candidate; compose with [[ivfAssign]] to
+    * bound candidates too. Same broadcast-queries / bounded-heap shape as
+    * [[bruteForceTopK]]. Returns (query_id, rank, neighbor_id, score).
+    */
+  def int8TopK(corpusQ: DataFrame, queriesQ: DataFrame, idCol: String,
+               qCol: String, scaleCol: String, k: Int): DataFrame = {
+    val q = queriesQ.select(col(idCol).as("query_id"), col(qCol).as("__qv"),
+      col(scaleCol).as("__qs"))
+    val c = corpusQ.select(col(idCol).as("neighbor_id"), col(qCol).as("__cv"),
+      col(scaleCol).as("__cs"))
+    val intDot = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => x * y),
+      lit(0L), (a, v) => a + v)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        intDot.cast(DoubleType) * ((col("__qs") * col("__cs")) / lit(16129.0)))
+    rankTopK(scored, "score", k, asc = false)
+  }
+
   /** Σ (a_i − b_i)² in double precision (left-to-right, portable) — the
     * exact-L2 twin of [[cosine]], the ground-truth metric for ADC audits. */
   def l2Dist2(a: Column, b: Column): Column =

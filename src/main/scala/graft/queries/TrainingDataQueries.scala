@@ -402,6 +402,20 @@ object TrainingDataQueries {
         .orderBy("query_id", "rank")
     },
 
+    // compressed-scoring ANN: the int8-quantized store scanned with exact
+    // integer dot products + scale de-quantization — a quarter of the scan
+    // bytes per candidate vs float32 (the V1 quantization put to work)
+    "q_knn_int8" -> { (spark, sfDir) =>
+      val e = embs(spark, sfDir).select("vec_id", "embedding")
+      val qz = VectorSimilarity.quantizeInt8(e, "embedding")
+        .select("vec_id", "embedding_q", "embedding_scale")
+      VectorSimilarity.int8TopK(qz, qz.where(col("vec_id") < 10),
+          "vec_id", "embedding_q", "embedding_scale", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          e9(col("score")).as("score_e9"))
+        .orderBy("query_id", "rank")
+    },
+
     "q_knn_lsh" -> { (spark, sfDir) =>
       val e = embs(spark, sfDir).select("vec_id", "embedding")
       VectorSimilarity.lshTopK(e, e.where(col("vec_id") < 10),
@@ -1078,6 +1092,27 @@ object TrainingDataQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
          |      FROM sc)
          |SELECT query_id, rank, neighbor_id, ${e9Sql("cos")} AS cosine_e9
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_int8" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id, ma,
+         |  CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |       ELSE list_transform(embedding,
+         |              x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT))
+         |  END AS qv FROM m),
+         |q AS (SELECT vec_id AS query_id, qv AS qa, ma AS sa FROM qz WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, qv AS qb, ma AS sb FROM qz),
+         |sc AS (SELECT query_id, neighbor_id,
+         |         CAST(list_sum(list_transform(generate_series(1, 64),
+         |                i -> qa[i] * qb[i])) AS DOUBLE) * ((sa * sb) / 16129.0) AS score
+         |       FROM q JOIN c ON query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, score,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+         |      FROM sc)
+         |SELECT query_id, rank, neighbor_id, ${e9Sql("score")} AS score_e9
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_knn_ivf" ->

@@ -104,4 +104,25 @@ class PqSpec extends SparkSpec {
     assert(a.length === 2 && a.forall(_.length === 4) &&
       a.forall(_.forall(_.length === 2)))
   }
+
+  test("int8TopK ranks by de-quantized integer dot products, hand-pinned") {
+    import org.apache.spark.sql.functions._
+    // scale 127 vectors: quantization is lossless on integer components
+    val vecs = Seq(
+      (0L, Seq(127.0f, 0.0f)),   // query
+      (1L, Seq(127.0f, 0.0f)),   // identical -> top (dot 127*127)
+      (2L, Seq(0.0f, 127.0f)),   // orthogonal -> dot 0
+      (3L, Seq(64.0f, 64.0f))    // diagonal -> middle
+    ).toDF("vec_id", "embedding")
+    val qz = VectorSimilarity.quantizeInt8(vecs, "embedding")
+      .select("vec_id", "embedding_q", "embedding_scale")
+    val got = VectorSimilarity.int8TopK(qz, qz.where(col("vec_id") === 0L),
+        "vec_id", "embedding_q", "embedding_scale", k = 3)
+      .select("rank", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    // scale = 127 for every vector, so score = int_dot * (127*127/16129) = int_dot
+    assert(math.abs(got(0)._3 - 127.0 * 127.0) < 1e-9)
+    assert(math.abs(got(2)._3) < 1e-12)
+  }
 }
