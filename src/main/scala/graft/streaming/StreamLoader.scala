@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
-import graft.etl.{Catalog, Loader}
+import graft.etl.{Catalog, Loader, MaterializedAgg}
 
 /** Streaming → ETL-target integration: a `writeStream` sink that lands each
   * micro-batch through [[Loader.load]], so streams compose with the batch
@@ -41,6 +41,34 @@ object StreamLoader {
           upsertFields = upsertFields, idOrder = idOrder,
           partitionBy = partitionBy, targetFileBytes = targetFileBytes,
           bucketBy = bucketBy)
+      }
+      .start()
+
+  /** Stream → incrementally-maintained aggregate view: every micro-batch
+    * folds into a persistent GROUP BY table via [[MaterializedAgg.refresh]]
+    * — O(batch) maintenance per trigger where a recompute-the-dashboard
+    * sink would rescan the whole history every trigger. The streaming twin
+    * of the batch matview: a continuously-updated rollup (events per
+    * (day, type), tokens per source, …) over an unbounded stream with NO
+    * stream-side state — the view table IS the state, swapped atomically
+    * each trigger, readable by any batch consumer mid-stream.
+    *
+    * Delivery: checkpointed at-least-once batch redelivery means a REPLAYED
+    * batch would double-count into sums — run with a deterministic trigger
+    * boundary source (files, kafka offsets) and idempotent restarts at
+    * batch granularity, or route through [[streamInto]] + periodic batch
+    * refresh when exact replay-dedup matters.
+    */
+  def streamIntoView(stream: DataFrame, tgt: Catalog, view: String,
+                     checkpointDir: String,
+                     groupBy: Seq[String],
+                     aggs: Seq[MaterializedAgg.AggCol]): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          MaterializedAgg.refresh(tgt, view, batch, groupBy, aggs)
       }
       .start()
 }

@@ -151,4 +151,29 @@ class StreamLoaderSpec extends SparkSpec {
     val hit = graft.etl.Loader.bucketLookup(tgt, "t", Map("k" -> 7L))
     assert(hit.select("v").head().getDouble(0) == 7000.0)
   }
+
+  test("streamIntoView maintains the aggregate view incrementally per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.etl.MaterializedAgg
+    val tgt = new Catalog(spark, tmpDir("graft-stream-mv"))
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("g", "v")
+    val aggs = Seq(
+      MaterializedAgg.AggCol("count", "", "n"),
+      MaterializedAgg.AggCol("sum", "v", "sv"),
+      MaterializedAgg.AggCol("max", "v", "mx"))
+    val q = StreamLoader.streamIntoView(stream, tgt, "mv",
+      checkpointDir = tmpDir("graft-stream-mv-ckpt"),
+      groupBy = Seq("g"), aggs = aggs)
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      input.addData(("a", 4L), ("c", 7L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = MaterializedAgg.read(tgt, "mv").orderBy("g")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(("a", 3L, 7L, 4L), ("b", 1L, 10L, 10L), ("c", 1L, 7L, 7L)))
+  }
 }
