@@ -122,6 +122,36 @@ object Funnel {
       .agg(count(lit(1)).cast(LongType).as("n_users"))
   }
 
+  /** First-order Markov transition matrix over per-user event streams:
+    * one row per (prev_type, event_type) with the transition count and the
+    * conditional probability P(next | prev) in integer ppm — the "what do
+    * users do after X" matrix behind next-action analytics and anomaly
+    * flags. Each user's events order by (ts, tieCol) — the same explicit
+    * total order the funnel operators use — and only within-user
+    * consecutive pairs count (no cross-user phantom transitions).
+    *
+    * Scale: one shuffle on the user key for the lag window (per-user
+    * streams are small), then a partial-aggregating count on the
+    * (prev, next) pair domain — bounded by #types², broadcast-sized.
+    * Integer ppm (count · 10⁶ DIV row-total) keeps the matrix
+    * bit-portable; no double division.
+    */
+  def transitionMatrix(df: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = df
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        expr("CAST(n * 1000000 DIV __tot AS BIGINT)").as("p_ppm"))
+  }
+
   /** The funnel summary: users reaching at least each depth (the classic
     * conversion table). One row per step d ∈ [1, steps.size] ALWAYS —
     * a step nobody reaches reports n_users = 0 rather than vanishing

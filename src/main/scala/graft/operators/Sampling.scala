@@ -99,6 +99,39 @@ object Sampling {
       .limit(n)
   }
 
+  /** Exactly `n` rows PER GROUP by smallest key hash — the balanced-quota
+    * twin of [[exactHashSample]] (exact-n eval sets per language, per
+    * source, per quality band). Groups smaller than `n` keep every row.
+    *
+    * Scale: per-group smallest-n runs through the bounded-heap
+    * [[graft.functions.TopK]] aggregate — each task keeps ≤ n (hash, id)
+    * pairs per group and partials merge map-side, so the shuffle carries
+    * O(groups · n) rows; no per-group sort window, no global sort. The
+    * winners then semi-join back (broadcast-sized for any practical
+    * quota). Draw order matches [[exactHashSample]] (hash asc, id asc), so
+    * quotas NEST: the n-per-group sample is a subset of the m-per-group
+    * sample for n ≤ m. `idCol` must be unique and integral-typed.
+    */
+  def groupExactSample(df: DataFrame, groupCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"per-group sample size must be >= 1: $n")
+    val idT = df.schema(idCol).dataType
+    require(idT == org.apache.spark.sql.types.LongType ||
+      idT == org.apache.spark.sql.types.IntegerType,
+      s"groupExactSample needs an integral id column; got $idT")
+    // hmod < 2^31 ⇒ exact as a Double score for the heap
+    val picked = df
+      .select(col(groupCol),
+        PortableHash.hmod(col(idCol).cast("string")).cast("double").as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopK.topK(col("__h"), col("__id"), n, asc = true)
+        .as("__top"))
+      .select(explode(col("__top._2")).as("__keep"))
+    df.join(broadcast(picked),
+      col(idCol).cast("long") === col("__keep"), "left_semi")
+  }
+
   /** Deterministic domain-mixture resampling: downsample each domain so
     * the retained corpus matches target RELATIVE weights (the DoReMi /
     * Pile-style "data mixture" step — e.g. web 60 : books 30 : code 10).

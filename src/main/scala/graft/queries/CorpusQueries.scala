@@ -485,6 +485,22 @@ object CorpusQueries {
         .orderBy("user_id")
     },
 
+    // first-order Markov transition matrix: what users do AFTER each event
+    // type, as counts + integer-ppm conditional probabilities
+    "q_event_transitions" -> { (spark, sfDir) =>
+      val ev = new graft.etl.Catalog(spark, sfDir).table("events")
+      Funnel.transitionMatrix(ev, "user_id", "ts", "event_id", "event_type")
+        .orderBy("prev_type", "event_type")
+    },
+
+    // exact per-group sampling quota: n docs per source by smallest key
+    // hash (balanced eval sets) — bounded-heap per group, no sort window
+    "q_sample_group_exactn" -> { (spark, sfDir) =>
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.Sampling.groupExactSample(d, "source", "doc_id", n = 8)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
     // anchored 2-day window: later steps only count within 48h of the
     // first matched step
     "q_funnel_windowed" -> { (spark, sfDir) =>
@@ -978,6 +994,27 @@ object CorpusQueries {
          |WHERE v >= lo AND v <= hi
          |  AND ${Sampling.hashSamplePredicateSql("doc_id", 0.5)}
          |ORDER BY e.doc_id""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+        |     FROM events),
+        |c AS (SELECT prev AS prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS tot FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, c.event_type, c.n,
+        |       CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, event_type""".stripMargin,
+
+    "q_sample_group_exactn" -> {
+      val h = graft.functions.PortableHash.hmodSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH h AS (SELECT doc_id, source, $h AS hv FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC) AS rk
+         |      FROM h)
+         |SELECT doc_id, source FROM r WHERE rk <= 8 ORDER BY doc_id""".stripMargin
+    },
 
     // subsequence walk as a CTE chain: i_k = first occurrence of step k
     // strictly after i_{k-1} (coalesce: DuckDB list_position yields NULL

@@ -367,4 +367,18 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(back(0).getString(1) == "a" && back(0).getDouble(2) == 1.5)
     assert(back(1).isNullAt(1) && back(1).getDouble(2) == -0.25)
   }
+
+  test("groupExactSample: exact quota per group, small groups whole, quotas nest") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => (i.toLong, "big")) ++
+      (41 to 43).map(i => (i.toLong, "small"))).toSeq.toDF("id", "g")
+    val s5 = Sampling.groupExactSample(df, "g", "id", 5)
+    val counts = s5.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 5L, "small" -> 3L))
+    val s3 = Sampling.groupExactSample(df, "g", "id", 3)
+    val ids3 = s3.select("id").as[Long].collect().toSet
+    val ids5 = s5.select("id").as[Long].collect().toSet
+    assert(ids3.subsetOf(ids5), "smaller quotas must nest inside larger ones")
+  }
 }
