@@ -71,6 +71,21 @@ object VectorSimilarity {
     rankTopK(scored, "cosine", k, asc = false)
   }
 
+  /** Exact inner-product (MIPS) top-k — the float ground truth the
+    * quantized scan ([[int8TopK]]) approximates; same broadcast-queries /
+    * bounded-heap shape as [[bruteForceTopK]]. */
+  def bruteForceTopKIp(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val dot = aggregate(zip_with(col("__qv"), col("__cv"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (a, v) => a + v)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot)
+    rankTopK(scored, "score", k, asc = false)
+  }
+
   /** Approximate inner-product top-k over int8-QUANTIZED vectors — the
     * compressed-scoring scan for a pre-quantized embedding store
     * ([[quantizeInt8]]'s 4× storage/IO cut): the dot product runs on the

@@ -234,7 +234,13 @@ object CorpusQueries {
         ("lsh_multiprobe", VectorSimilarity.lshTopKMultiProbe(e, q, "vec_id",
           "embedding", k = 5, numPlanes = 6, dim = 64), exactCos),
         ("pq_adc", VectorSimilarity.pqTopK(e, q, "vec_id", "embedding",
-          PqCodebooks.M8K16Sf001, k = 5), exactL2)
+          PqCodebooks.M8K16Sf001, k = 5), exactL2),
+        ("int8", {
+          val qz = VectorSimilarity.quantizeInt8(e, "embedding")
+            .select("vec_id", "embedding_q", "embedding_scale")
+          VectorSimilarity.int8TopK(qz, qz.where(col("vec_id") < 20),
+            "vec_id", "embedding_q", "embedding_scale", k = 5)
+        }, VectorSimilarity.bruteForceTopKIp(e, q, "vec_id", "embedding", k = 5))
       )).orderBy("method")
     },
 
@@ -1189,7 +1195,28 @@ object CorpusQueries {
          |         JOIN (SELECT vec_id AS query_id, embedding AS qe
          |               FROM embeddings WHERE vec_id < 20) pq2
          |           ON pq2.query_id <> codes.vec_id),
-         |pqp AS (${top5("SELECT query_id, neighbor_id, adist FROM pqsc", "adist ASC")})
+         |pqp AS (${top5("SELECT query_id, neighbor_id, adist FROM pqsc", "adist ASC")}),
+         |exi AS (${top5(
+             s"""SELECT query_id, neighbor_id,
+                |  list_sum(list_transform(generate_series(1, 64),
+                |    i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))) AS ip
+                |FROM q JOIN c ON query_id <> neighbor_id""".stripMargin,
+             "ip DESC")}),
+         |i8m AS (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+         |        FROM embeddings),
+         |i8z AS (SELECT vec_id, ma,
+         |          CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |               ELSE list_transform(embedding,
+         |                      x -> CAST(floor(CAST(x AS DOUBLE) * 127 / ma) AS BIGINT))
+         |          END AS qv FROM i8m),
+         |i8p AS (${top5(
+             s"""SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                |  CAST(list_sum(list_transform(generate_series(1, 64),
+                |         i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                |    * ((a.ma * b.ma) / 16129.0) AS s
+                |FROM i8z a JOIN i8z b ON a.vec_id < 20 AND a.vec_id <> b.vec_id""".stripMargin,
+             "s DESC")})
          |SELECT method, n_queries, n_exact, n_hits,
          |  CAST(n_hits * 1000000 // n_exact AS BIGINT) AS recall_ppm
          |FROM (
@@ -1202,6 +1229,8 @@ object CorpusQueries {
          |  ${audit("lsh_multiprobe", "mpp", "exc")}
          |  UNION ALL
          |  ${audit("pq_adc", "pqp", "exl")}
+         |  UNION ALL
+         |  ${audit("int8", "i8p", "exi")}
          |) ORDER BY method""".stripMargin
     },
 
