@@ -496,9 +496,8 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(true)
-    var eCount = e.count()
     var iter = 0
-    var done = eCount == 0L
+    var done = e.isEmpty
     while (!done && iter < maxIters) {
       // large-star over the symmetric neighborhood
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -516,15 +515,21 @@ object Dedup {
         .union(joined.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct().localCheckpoint(true)
-      // fixpoint test: same canonical edge set as last round (both sides
-      // are distinct, so count equality + one-way except suffices)
-      val smallCount = small.count()
-      val changed = smallCount != eCount ||
-        small.except(e).limit(1).count() > 0
+      // fixpoint = the edge set IS a star forest: every child has exactly
+      // one parent AND no parent is itself a child. Testing the property
+      // directly (two limit-1 probes over the checkpointed set) detects
+      // convergence the round it HAPPENS — an edge-set-equality test
+      // (except vs last round) always costs one extra confirmation round,
+      // which for typical dedup graphs (stars after round 1) doubles the
+      // loop.
+      val multiParent = small.groupBy("u").agg(count(lit(1)).as("__c"))
+        .where(col("__c") > 1).limit(1).count() > 0
+      val chained = !multiParent &&
+        small.select("v").join(small.select(col("u").as("v")), Seq("v"), "left_semi")
+          .limit(1).count() > 0
       e.unpersist()
       e = small
-      eCount = smallCount
-      done = !changed
+      done = !multiParent && !chained
       iter += 1
     }
     if (!done) {
