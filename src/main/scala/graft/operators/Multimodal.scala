@@ -372,6 +372,53 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[makeWav]] with a sparse sample perturbation (the audio twin of the
+    * PNG `variant` knob): every 17th sample adds `variant·3` INSIDE the
+    * 16-bit wrap, so rows sharing a seed but differing in variant decode
+    * to nearly-identical loudness profiles — the deterministic near-dup
+    * fixture for [[audioAHash]]. */
+  def makeWavVariant(nFrames: Int, sampleRate: Int, seed: Long,
+                     variant: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    // step 257 + seed·97 wraps the 16-bit range dozens of times per clip,
+    // so each seed has its own oscillating loudness profile (a non-wrapping
+    // stream would give every clip the same monotone |s| shape and make
+    // all fingerprints collide)
+    var i = 0
+    while (i < nFrames) {
+      val pert = if (i % 17 == 0) variant * 3L else 0L
+      val s = (((i * (257L + seed * 97L) + seed * 13L + pert) % 65536L) - 32768L).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Attach [[makeWavVariant]] payloads: frames/seed/variant per row,
+    * generation on the executors. */
+  def attachGeneratedWavVariant(df: DataFrame, idCol: String, framesCol: String,
+                                rateCol: String, seedCol: String,
+                                variantCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val rdd = df.select(col(idCol).cast(LongType),
+        col(framesCol).cast(IntegerType), col(rateCol).cast(IntegerType),
+        col(seedCol).cast(LongType), col(variantCol).cast(LongType)).rdd
+      .mapPartitions(_.map { r =>
+        Row(r.getLong(0), makeWavVariant(r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      })
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Attach a generated WAV payload per row: content = [[makeWav]] with
     * the row's `framesCol` frames at `rateCol` Hz, seeded by `idCol`.
     * Generation runs on the executors. */
@@ -411,6 +458,79 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, audioFeatSchema)
+  }
+
+  /** 60-bit loudness-profile hash of a mono PCM sample stream: bucket the
+    * samples into 60 equal time windows (sample i → window i·60/n, the
+    * [[aHash60]] binning), sum |s| per window, set bit w when the window's
+    * mean magnitude is ≥ the global mean (cross-multiplied — integer-exact,
+    * oracle-reproducible). The audio twin of the image average-hash: time
+    * stretch/shift flips many bits, but a lightly-perturbed re-encode of
+    * the same audio keeps most windows on the same side of the mean. */
+  def audioAHash60(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val bs = new Array[Long](60)
+    val bc = new Array[Long](60)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val g = math.abs(samples(i).toLong)
+      val b = (i.toLong * 60L / n).toInt
+      bs(b) += g
+      bc(b) += 1
+      total += g
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 60) {
+      if (bc(w) > 0 && bs(w) * n >= total * bc(w)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  private val audioHashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("audio_hash", LongType, nullable = true)))
+
+  /** Perceptual hash per audio payload: real decode (PCM16LE mono via
+    * javax.sound, one init per partition) → [[audioAHash60]]. Non-PCM16 /
+    * unrecognized payloads hash to null — [[graft.operators.Dedup
+    * .hammingPairs]] drops nulls before banding. Near-dup detection for an
+    * audio corpus composes exactly like the image path
+    * ([[imageAHash]] → hammingPairs). */
+  def audioAHash(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col("content")).rdd
+      .mapPartitions { iter =>
+        iter.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val hash: Any =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val f = ais.getFormat
+                if (f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+                  f.getChannels == 1 &&
+                  f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+                  val raw = ais.readAllBytes()
+                  val samples = new Array[Int](raw.length / 2)
+                  var i = 0
+                  while (i < samples.length) {
+                    samples(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort.toInt
+                    i += 1
+                  }
+                  audioAHash60(samples)
+                } else null
+              } finally ais.close()
+            } catch { case scala.util.control.NonFatal(_) => null }
+          Row(r.getLong(0), hash)
+        }
+      }
+    spark.createDataFrame(rdd, audioHashSchema)
   }
 
   // ---- real video decode (Y4M container — pure-JVM parse) ----------------

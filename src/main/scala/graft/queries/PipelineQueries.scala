@@ -75,6 +75,27 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // audio near-duplicate detection: loudness-profile perceptual hash
+    // (audio aHash60) over real PCM decodes, banded Hamming pairs — docs
+    // sharing a seed differ only by a sparse sample perturbation and hash
+    // within the radius; the oracle recomputes every hash from the
+    // generator parameters and brute-forces the ≤3 pairs
+    "q_multimodal_audiodup" -> { (spark, sfDir) =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          (col("doc_id") % 89).as("seed"),
+          expr("(doc_id DIV 89) % 3").as("variant"))
+        .select(col("doc_id"), col("seed"), col("variant"),
+          (lit(100) + col("seed")).as("nf"), lit(8000).as("rate"))
+      val hashes = Multimodal.audioAHash(
+        Multimodal.attachGeneratedWavVariant(docs, "doc_id", "nf", "rate",
+          "seed", "variant"),
+        "doc_id")
+      graft.operators.Dedup.hammingPairs(hashes, "doc_id", "audio_hash",
+          bits = 60, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // REAL audio decode (javax.sound.sampled): deterministic 16-bit PCM
     // WAVs generated from (n_frames, rate, seed=doc_id), decoded back to
     // rate/channels/frames/sample-checksum the oracle recomputes from the
@@ -287,6 +308,30 @@ object PipelineQueries {
         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // every hash from the WAV-variant generator's parameters: sample i =
+    // ((i*31 + seed*13 + [i%17=0]·variant*3) % 65536) − 32768, windows
+    // i*60//nf, bit = window mean |s| ≥ global mean (cross-multiplied)
+    "q_multimodal_audiodup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 89 AS seed, (doc_id // 89) % 3 AS variant,
+        |             CAST(100 + doc_id % 89 AS INT) AS nf
+        |           FROM documents),
+        |sm AS (SELECT doc_id,
+        |         abs(((i.i*(257 + seed*97) + seed*13 +
+        |               CASE WHEN i.i % 17 = 0 THEN variant*3 ELSE 0 END) % 65536) - 32768) AS g,
+        |         i.i * 60 // nf AS b
+        |       FROM d, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i(i)),
+        |blk AS (SELECT doc_id, b, sum(g) AS bs, count(*) AS bc FROM sm GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(g) AS ts, count(*) AS n FROM sm GROUP BY 1),
+        |hs AS (SELECT blk.doc_id,
+        |         CAST(sum(CASE WHEN bs * n >= ts * bc
+        |                       THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS audio_hash
+        |       FROM blk JOIN tot ON blk.doc_id = tot.doc_id GROUP BY blk.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.audio_hash, b.audio_hash)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.audio_hash, b.audio_hash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     // rate/channels/frames from the WAV generator's parameters; checksum =

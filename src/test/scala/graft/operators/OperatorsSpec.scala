@@ -397,4 +397,31 @@ class OperatorsSpec extends SparkSpec {
       "hostile headers must yield null features")
     assert(Multimodal.videoFrameSample(df, "doc_id", 1).count() === 0L)
   }
+
+  test("audioAHash60: perturbed re-encode stays near, different seed lands far") {
+    def wavHash(nf: Int, seed: Long, variant: Long): Long = {
+      val bytes = Multimodal.makeWavVariant(nf, 8000, seed, variant)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val raw = ais.readAllBytes(); ais.close()
+      val samples = Array.tabulate(raw.length / 2)(i =>
+        (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort.toInt)
+      Multimodal.audioAHash60(samples)
+    }
+    val base = wavHash(150, 7L, 0L)
+    val near = wavHash(150, 7L, 2L)   // same clip, sparse perturbation
+    val other = wavHash(150, 55L, 0L) // different content entirely
+    assert(java.lang.Long.bitCount(base ^ near) <= 3,
+      s"perturbed copy too far: ${java.lang.Long.bitCount(base ^ near)}")
+    assert(java.lang.Long.bitCount(base ^ other) > 10,
+      s"unrelated clip too close: ${java.lang.Long.bitCount(base ^ other)}")
+    assert(Multimodal.audioAHash60(Array.empty[Int]) == 0L)
+  }
+
+  test("audioAHash yields null for non-audio payloads (hammingPairs drops them)") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "content")
+    val got = Multimodal.audioAHash(junk, "doc_id").collect()
+    assert(got.length == 1 && got(0).isNullAt(1))
+  }
 }
