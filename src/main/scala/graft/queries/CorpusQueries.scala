@@ -322,6 +322,19 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet perplexity gate: score every doc against the FROZEN English
+    // reference LM (zero-shuffle scan projection) and band the corpus
+    // head/middle/tail — English docs should dominate the head, other
+    // languages the tail, exactly the CCNet language+quality story
+    "q_quality_perplexity" -> { (spark, sfDir) =>
+      import graft.functions.NgramLm
+      NgramLm.withPerplexity(
+          docs(spark, sfDir).select(col("doc_id"), col("lang"), col("text")),
+          "text", LmStats.NllE6, LmStats.HeadMaxE6, LmStats.MiddleMaxE6)
+        .select("doc_id", "lang", "lm_nll_e6", "ppl_band")
+        .orderBy("doc_id")
+    },
+
     // DSIR-style data selection: score every doc by the target-domain
     // (English) vs raw-corpus bigram likelihood ratio in integer ppm —
     // the importance weights a targeted resampling step draws from
@@ -658,6 +671,18 @@ object CorpusQueries {
          |      FROM w)
          |SELECT doc_id, quality_logit_ppm, quality_logit_ppm >= 0 AS quality_keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_quality_perplexity" -> {
+      import graft.functions.NgramLm
+      s"""WITH w AS (SELECT doc_id, lang, ${TrainingDataQueries.tok("text")} AS w
+         |           FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |        ${NgramLm.nllE6Sql("w", LmStats.NllE6)} AS lm_nll_e6
+         |      FROM w)
+         |SELECT doc_id, lang, lm_nll_e6,
+         |  ${NgramLm.bandSql("lm_nll_e6", LmStats.HeadMaxE6, LmStats.MiddleMaxE6)} AS ppl_band
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "q_sample_importance" ->
       s"""WITH t AS (SELECT doc_id, lang, ${TrainingDataQueries.tok("text")} AS w FROM documents),
