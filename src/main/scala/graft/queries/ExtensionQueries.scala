@@ -308,8 +308,54 @@ object ExtensionQueries {
           .zipWithIndex.map { case (tok, i) => (id, i.toLong, tok) }
       }.toDF("doc_id", "pos", "token")
         .orderBy("doc_id", "pos")
+    },
+
+    // link-graph authority: exact integer PageRank over the deterministic
+    // host graph (each doc contributes one src→dst host link) — the crawl
+    // frontier's host-quality prior, bit-stable across engines
+    "q_graph_pagerank" -> { (spark, sfDir) =>
+      graft.operators.Graph.pageRankE9(hostEdges(spark, sfDir),
+          "src", "dst", iters = 5)
+        .orderBy("node")
+    },
+
+    // TrustRank: restart mass pinned to a 5-host trusted seed set — spam
+    // demotion by distance-from-trust instead of raw link mass
+    "q_graph_trustrank" -> { (spark, sfDir) =>
+      val seeds = hostEdges(spark, sfDir)
+        .select(col("src").as("node")).where(col("node").isin(
+          "h0", "h1", "h2", "h3", "h4")).distinct()
+      graft.operators.Graph.trustRankE9(hostEdges(spark, sfDir),
+          "src", "dst", seeds, "node", iters = 5)
+        .orderBy("node")
+    },
+
+    // link census: per-host degree/neighbor profile (hub & spam-farm
+    // signatures, skew sizing before the iterative passes)
+    "q_graph_degrees" -> { (spark, sfDir) =>
+      graft.operators.Graph.degreeProfile(hostEdges(spark, sfDir),
+          "src", "dst")
+        .orderBy("node")
     }
   )
+
+  /** Deterministic host link graph: doc i links host h(i%40) → host
+    * h((7i+3)%40); self-links dropped. The shared fixture for the graph
+    * family (same construction interpolated into the oracle CTE). */
+  private def hostEdges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        concat(lit("h"), (col("doc_id") % 40).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 7 + 3) % 40).cast("string")).as("dst"))
+      .where(col("src") =!= col("dst"))
+
+  private val hostEdgesSql: String =
+    """edges AS (
+      |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+      |         'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR) AS dst
+      |  FROM documents
+      |  WHERE 'h' || CAST(doc_id % 40 AS VARCHAR)
+      |     <> 'h' || CAST((doc_id * 7 + 3) % 40 AS VARCHAR))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -496,6 +542,32 @@ object ExtensionQueries {
         |           FROM documents WHERE doc_id <= 50)
         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
         |FROM t, unnest(generate_series(1, len(w))) AS u(i)
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q_graph_pagerank" ->
+      s"""WITH $hostEdgesSql,
+         |${graft.operators.Graph.pageRankSqlCtes(5)}
+         |SELECT node, rank_e9 FROM r5 ORDER BY node""".stripMargin,
+
+    "q_graph_trustrank" ->
+      s"""WITH $hostEdgesSql,
+         |seeds AS (SELECT DISTINCT src AS node FROM edges
+         |          WHERE src IN ('h0', 'h1', 'h2', 'h3', 'h4')),
+         |${graft.operators.Graph.trustRankSqlCtes(5)}
+         |SELECT node, rank_e9 FROM r5 ORDER BY node""".stripMargin,
+
+    "q_graph_degrees" ->
+      s"""WITH $hostEdgesSql,
+         |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg,
+         |        CAST(count(DISTINCT dst) AS BIGINT) AS out_nbrs
+         |      FROM edges GROUP BY 1),
+         |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg,
+         |        CAST(count(DISTINCT src) AS BIGINT) AS in_nbrs
+         |      FROM edges GROUP BY 1)
+         |SELECT coalesce(o.node, i.node) AS node,
+         |  coalesce(out_deg, 0) AS out_deg, coalesce(out_nbrs, 0) AS out_nbrs,
+         |  coalesce(in_deg, 0) AS in_deg, coalesce(in_nbrs, 0) AS in_nbrs
+         |FROM o FULL JOIN i ON o.node = i.node
+         |ORDER BY node""".stripMargin
   )
 }
