@@ -110,11 +110,11 @@ object Graph {
                   |sd AS (SELECT node, 1 AS seed FROM seeds),
                   |deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
                   |r0 AS (SELECT nodes.node,
-                  |         CAST(coalesce(sd.seed, 0) * (1000000000 // sn.s) AS BIGINT) AS rank_e9
+                  |         CAST(coalesce(sd.seed, 0) * (1000000000 // greatest(sn.s, 1)) AS BIGINT) AS rank_e9
                   |       FROM nodes CROSS JOIN sn LEFT JOIN sd ON sd.node = nodes.node)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (SELECT nodes.node,
-         |  CAST((${100 - dampingPct} * coalesce(sd.seed, 0) * (1000000000 // sn.s)) // 100
+         |  CAST((${100 - dampingPct} * coalesce(sd.seed, 0) * (1000000000 // greatest(sn.s, 1))) // 100
          |    + ($dampingPct * coalesce(s.c, 0)) // 100 AS BIGINT) AS rank_e9
          |  FROM nodes CROSS JOIN sn LEFT JOIN sd ON sd.node = nodes.node LEFT JOIN
          |    (SELECT e.dst AS node, sum(r.rank_e9 // deg.d) AS c
@@ -166,9 +166,11 @@ object Graph {
     var ranks = nodes.join(deg, Seq("node"), "left")
       .join(seedSet.withColumn("__seed", lit(1L)), Seq("node"), "left")
       .crossJoin(broadcast(sRow))
+      // greatest(__s, 1): an EMPTY seed set must yield all-zero ranks
+      // (every __seed is 0), not an ANSI division-by-zero
       .select(col("node"), coalesce(col("__deg"), lit(0L)).as("__deg"),
         coalesce(col("__seed"), lit(0L)).as("__seed"), col("__s"),
-        expr("CAST(coalesce(__seed, 0) * (1000000000 DIV __s) AS BIGINT)")
+        expr("CAST(coalesce(__seed, 0) * (1000000000 DIV greatest(__s, 1)) AS BIGINT)")
           .as("rank_e9"))
       .localCheckpoint()
     var i = 0
@@ -181,7 +183,7 @@ object Graph {
       ranks = ranks.select(col("node"), col("__deg"), col("__seed"), col("__s"))
         .join(contribs, Seq("node"), "left")
         .select(col("node"), col("__deg"), col("__seed"), col("__s"),
-          expr(s"CAST((${100 - dampingPct} * __seed * (1000000000 DIV __s)) DIV 100 " +
+          expr(s"CAST((${100 - dampingPct} * __seed * (1000000000 DIV greatest(__s, 1))) DIV 100 " +
             s"+ ($dampingPct * coalesce(__sum, 0)) DIV 100 AS BIGINT)")
             .as("rank_e9"))
         .localCheckpoint()

@@ -41,6 +41,14 @@ class GraphSpec extends SparkSpec {
     assert(r("x") == 0 && r("y") == 0)
   }
 
+  test("an empty seed set yields all-zero trust, not a division error") {
+    val edges = Seq("a" -> "b", "b" -> "a").toDF("src", "dst")
+    val seeds = Seq.empty[String].toDF("node")
+    val r = Graph.trustRankE9(edges, "src", "dst", seeds, "node", iters = 2)
+      .collect().map(x => x.getLong(1))
+    assert(r.forall(_ == 0L))
+  }
+
   test("degree profile counts parallel edges and distinct neighbors apart") {
     val edges = Seq("a" -> "b", "a" -> "b", "a" -> "c", "b" -> "a")
       .toDF("src", "dst")
