@@ -32,6 +32,28 @@ object TextAnalysis {
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     graft.functions.Bpe.tokens(text, merges)
 
+  /** Sentence segmentation as a pure projection: split after terminal
+    * punctuation ([.!?]) followed by whitespace, trimmed, empties dropped.
+    * RE2 (the oracle's regex engine) has no lookbehind, so the shared
+    * dialect marks boundaries with a sentinel (U+001E, record separator)
+    * and splits on it; pre-existing U+001E is stripped first so hostile
+    * input cannot inject boundaries. NULL-safe (NULL → empty array).
+    * Feed to [[Chunking.tokenChunksOf]] for sentence-window chunking. */
+  def sentencesOf(text: Column): Column = {
+    val clean = regexp_replace(coalesce(text, lit("")), "\u001E", "")
+    val marked = regexp_replace(clean, "([.!?])\\s+", "$1\u001E")
+    filter(transform(split(marked, "\u001E"), s => trim(s)), s => s =!= lit(""))
+  }
+
+  /** The DuckDB spelling of [[sentencesOf]]. */
+  def sentencesOfSql(s: String): String = {
+    val clean = s"regexp_replace(coalesce($s, ''), '\\x{1E}', '', 'g')"
+    val marked = s"regexp_replace($clean, '([.!?])$JavaWsSplitSql', " +
+      "'\\1' || chr(30), 'g')"
+    s"list_filter(list_transform(string_split($marked, chr(30)), x -> trim(x)), " +
+      "x -> x <> '')"
+  }
+
   /** English stopwords used by quality scoring (tiny, deterministic). */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 

@@ -72,6 +72,23 @@ object CorpusQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // sentence-window chunking (RAG indexing units): sentence segmentation
+    // (the corpus has no punctuation, so the fixture inserts it
+    // deterministically) + sliding windows of 4 sentences every 3 — chunk
+    // boundaries never split a sentence, unlike the token windows above
+    "q_chunk_sentences" -> { (spark, sfDir) =>
+      val punct = concat(
+        regexp_replace(col("text"), " the ", ". the "),
+        lit(". done now! ready?"))
+      Chunking.tokenChunksOf(
+          docs(spark, sfDir).select(col("doc_id"), punct.as("text")),
+          "doc_id", TextAnalysis.sentencesOf(col("text")),
+          chunkSize = 4, stride = 3)
+        .select(col("doc_id"), col("chunk_id"),
+          col("n_chunk_tokens").as("n_sentences"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // learned-merge BPE encode under the frozen table: per doc, the subword
     // token count (the REAL context-window budget) and the full token
     // sequence — the oracle re-derives both from the same merge literals
@@ -902,6 +919,21 @@ object CorpusQueries {
          |  CAST(len(w[s + 1 : s + 32]) AS BIGINT) AS n_chunk_tokens,
          |  array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_chunk_sentences" -> {
+      val punct = "regexp_replace(text, ' the ', '. the ', 'g') || '. done now! ready?'"
+      s"""WITH t AS (SELECT doc_id,
+         |  ${graft.operators.TextAnalysis.sentencesOfSql(s"($punct)")} AS w
+         |FROM documents),
+         |p AS (SELECT doc_id, w, len(w) AS n FROM t),
+         |s AS (SELECT doc_id, w,
+         |        unnest(generate_series(0, ((greatest(n - 4, 0) + 2) // 3) * 3, 3)) AS s
+         |      FROM p)
+         |SELECT doc_id, CAST(s // 3 AS BIGINT) AS chunk_id,
+         |  CAST(len(w[s + 1 : s + 4]) AS BIGINT) AS n_sentences,
+         |  array_to_string(w[s + 1 : s + 4], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+    },
 
     "q_bpe_encode" ->
       s"""WITH t AS (SELECT doc_id, ${TrainingDataQueries.tok("text")} AS w FROM documents),

@@ -96,6 +96,25 @@ object StorageQueries {
         .orderBy("o_orderkey")
     },
 
+    // version drift monitor: one-pass column profiles of two versions of
+    // the SAME table side by side (row counts, null counts, min/max, KMV
+    // ndv) — the observability query a lake runs after every load to catch
+    // silent upstream drift; here v2→v4 shows the upsert doubling prices
+    // and the delete dropping low keys
+    "q_version_drift" -> { (spark, sfDir) =>
+      val tgt = buildVersioned(spark, sfDir)
+      Seq(2L, 4L).map { v =>
+        val d = VersionedTable.readVersion(tgt, "t", v)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        graft.operators.Profile.profile(d,
+            Seq("o_orderkey", "o_orderstatus", "cents"), k = 256)
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select("version", "column", "n", "nulls", "min_s", "max_s", "ndv_est")
+        .orderBy("version", "column")
+    },
+
     // F18 incremental materialized view: three O(batch) refreshes must
     // land exactly where one O(base) recomputation lands (the oracle IS
     // the full recomputation)
@@ -149,6 +168,31 @@ object StorageQueries {
          |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
          |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_version_drift" -> {
+      import graft.functions.{KmvSketch, PortableHash}
+      def colSql(v: Long, src: String, c: String): String = {
+        val hs = s"list(${PortableHash.hmodSql(s"CAST($c AS VARCHAR)")}) " +
+          s"FILTER (WHERE $c IS NOT NULL)"
+        s"""SELECT CAST($v AS BIGINT) AS version, '$c' AS "column",
+           |  CAST(count($c) AS BIGINT) AS n,
+           |  CAST(count(*) - count($c) AS BIGINT) AS nulls,
+           |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s,
+           |  CAST(${KmvSketch.estimateSql(hs, 256)} AS BIGINT) AS ndv_est
+           |FROM $src""".stripMargin
+      }
+      val parts = for {
+        (v, st) <- Seq(2L -> "s2", 4L -> "s4")
+        c <- Seq("o_orderkey", "o_orderstatus", "cents")
+      } yield colSql(v, st, c)
+      s"""WITH $versionedStates,
+         |s2 AS (SELECT o_orderkey, o_orderstatus,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM v2),
+         |s4 AS (SELECT o_orderkey, o_orderstatus,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM v4)
+         |${parts.mkString("\nUNION ALL\n")}
+         |ORDER BY version, "column"""".stripMargin
+    },
 
     "q_matview_incremental" ->
       """SELECT l_returnflag, l_linestatus,
