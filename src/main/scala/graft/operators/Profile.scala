@@ -177,6 +177,67 @@ object Profile {
     * compute the same integer-threshold definition.
     */
   def quantilesSql(src: String, c: String, qs: Seq[Double]): String = {
+    quantilesSqlImpl(src, c, qs)
+  }
+
+  /** Tukey-fence outlier summary per numeric column: the 1.5×IQR rule in
+    * exact integer arithmetic on the e9 domain — lo = q1 − (3·IQR) DIV 2,
+    * hi = q3 + (3·IQR) DIV 2, with [[quantiles]]' exact discrete q1/q3
+    * (never an approximate sketch: a fence moved by sketch error flags
+    * different rows on different runs, and an audit gate must not).
+    * Returns one row per column: (column, n, lo_e9, hi_e9, n_below,
+    * n_above) — the post-load audit that catches fat-finger uploads and
+    * unit-mismatch batches (cents vs dollars shifts min/max 100×) without
+    * materializing per-row flags.
+    *
+    * Scale: the quantile pass is the distributed prefix-sum census (see
+    * [[quantiles]]); the count pass is one partial aggregation over the
+    * same exploded pairs with the O(columns) fence frame broadcast —
+    * two corpus scans total, nothing driver-side.
+    */
+  def outlierSummary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "outlier summary of zero columns")
+    val fences = quantiles(df, cols, Seq(0.25, 0.75))
+      .groupBy("column")
+      .agg(
+        max(when(col("q_ppm") === 250000L, col("value_e9"))).as("__q1"),
+        max(when(col("q_ppm") === 750000L, col("value_e9"))).as("__q3"))
+      .select(col("column"),
+        expr("CAST(__q1 - (3 * (__q3 - __q1)) DIV 2 AS BIGINT)").as("lo_e9"),
+        expr("CAST(__q3 + (3 * (__q3 - __q1)) DIV 2 AS BIGINT)").as("hi_e9"))
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"),
+          PortableHash.e9(col(c).cast(DoubleType)).as("v"))): _*)).as("__p"))
+      .select(col("__p.column").as("column"), col("__p.v").as("v"))
+      .where(col("v").isNotNull)
+    pairs.join(broadcast(fences), Seq("column"))
+      .groupBy("column")
+      .agg(count(lit(1)).as("n"),
+        first(col("lo_e9")).as("lo_e9"), first(col("hi_e9")).as("hi_e9"),
+        sum(when(col("v") < col("lo_e9"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("hi_e9"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy("column")
+  }
+
+  /** DuckDB twin of [[outlierSummary]] for one column of `src`. */
+  def outlierSummarySql(src: String, c: String): String = {
+    val q = quantilesSqlImpl(src, c, Seq(0.25, 0.75))
+    s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+       |  any_value(f.lo_e9) AS lo_e9, any_value(f.hi_e9) AS hi_e9,
+       |  CAST(sum(CASE WHEN v.v < f.lo_e9 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       |  CAST(sum(CASE WHEN v.v > f.hi_e9 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+       |FROM (SELECT ${PortableHash.e9Sql(s"CAST($c AS DOUBLE)")} AS v
+       |      FROM $src WHERE $c IS NOT NULL) v
+       |CROSS JOIN (
+       |  SELECT CAST(q1 - (3 * (q3 - q1)) // 2 AS BIGINT) AS lo_e9,
+       |         CAST(q3 + (3 * (q3 - q1)) // 2 AS BIGINT) AS hi_e9
+       |  FROM (SELECT max(CASE WHEN q_ppm = 250000 THEN value_e9 END) AS q1,
+       |               max(CASE WHEN q_ppm = 750000 THEN value_e9 END) AS q3
+       |        FROM ($q))) f
+       |GROUP BY 1""".stripMargin
+  }
+
+  private def quantilesSqlImpl(src: String, c: String, qs: Seq[Double]): String = {
     val qPpms = qs.map(q => math.round(q * 1e6))
     s"""SELECT '$c' AS "column", CAST(q_ppm AS BIGINT) AS q_ppm,
        |  (SELECT min(v) FROM

@@ -180,6 +180,16 @@ object ExtensionQueries {
         Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0))
     },
 
+    // Tukey-fence outlier audit: exact 1.5×IQR fences on the e9 domain
+    // over the same quantile machinery — the post-load check that flags
+    // unit-mismatch batches without materializing per-row flags
+    "q_profile_outliers" -> { (spark, sfDir) =>
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_extendedprice"), col("l_discount"))
+      graft.operators.Profile.outlierSummary(li,
+        Seq("l_discount", "l_extendedprice"))
+    },
+
     // JDBC round-trip through embedded Derby: seed the database from the
     // parquet table, extract back through the pushdown JDBC source (the
     // reference's actual source type is a SQL database), load, read. The
@@ -487,6 +497,12 @@ object ExtensionQueries {
          |${graft.operators.Profile.quantilesSql("lineitem", "l_extendedprice", qs)}
          |ORDER BY "column", q_ppm""".stripMargin
     },
+
+    "q_profile_outliers" ->
+      s"""${graft.operators.Profile.outlierSummarySql("lineitem", "l_discount")}
+         |UNION ALL
+         |${graft.operators.Profile.outlierSummarySql("lineitem", "l_extendedprice")}
+         |ORDER BY "column"""".stripMargin,
 
     "q_source_jdbc" ->
       """SELECT row_number() OVER (ORDER BY n_nationkey) AS id,

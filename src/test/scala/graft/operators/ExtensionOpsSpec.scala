@@ -368,6 +368,27 @@ class ExtensionOpsSpec extends SparkSpec {
     assert(back(1).isNullAt(1) && back(1).getDouble(2) == -0.25)
   }
 
+  test("outlierSummary: Tukey fences flag exactly the points beyond 1.5×IQR") {
+    import spark.implicits._
+    // 1..100 plus two fat-finger rows and one null: n=102, so the exact
+    // discrete quantiles land at the 26th/77th sorted values → q1=25,
+    // q3=76, IQR=51 → fences [25−76.5, 76+76.5] = [−51.5, 152.5] (e9)
+    val vals = (1 to 100).map(_.toDouble) ++ Seq(-1000.0, 5000.0)
+    val df = (vals.map(Option(_)) :+ Option.empty[Double]).toDF("x")
+    val r = Profile.outlierSummary(df, Seq("x")).collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 102L)      // null excluded
+    assert(r.getLong(r.fieldIndex("lo_e9")) == -51500000000L)
+    assert(r.getLong(r.fieldIndex("hi_e9")) == 152500000000L)
+    assert(r.getLong(r.fieldIndex("n_below")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_above")) == 1L)
+  }
+
+  test("outlierSummary: all-null column yields no row, not a null fence") {
+    import spark.implicits._
+    val df = Seq(Option.empty[Double], Option.empty[Double]).toDF("x")
+    assert(Profile.outlierSummary(df, Seq("x")).count() == 0L)
+  }
+
   test("groupExactSample: exact quota per group, small groups whole, quotas nest") {
     import spark.implicits._
     val df = ((1 to 40).map(i => (i.toLong, "big")) ++
