@@ -18,13 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failures are part of the artifact, not just stderr: errors.json lets
+    // the correctness report alone reflect suite health (a failed query
+    // writes no parquet, so without this it silently vanishes from the
+    // driver's compare instead of counting as broken)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // operator-persisted handles (pair results etc.) are consumed by the
       // write above; release them so 70+ queries can't accumulate blocks
@@ -45,6 +52,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

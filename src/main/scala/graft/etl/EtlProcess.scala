@@ -138,10 +138,15 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     * sees everything, mirroring the reference's `or last_pk` fallback
     * without a type-mismatched predicate.
     */
-  private def watermarkLiteral(t: DataFrame, pk: String, sparkDialect: Boolean): String = {
-    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+  private[etl] def watermarkLiteral(t: DataFrame, pk: String, sparkDialect: Boolean): String = {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
     t.schema(pk).dataType match {
-      case TimestampType =>
+      // NTZ reaches here only from stores that bypass ParquetSource's
+      // boundary normalization (e.g. a JDBC catalog surfacing
+      // timestamp-without-tz). Same micro-precision rendering — an
+      // unquoted fallthrough would splice `2024-01-14 23:59:59` bare into
+      // the SQL template (PARSE_SYNTAX_ERROR at the space).
+      case TimestampType | TimestampNTZType =>
         val r = t.agg(date_format(max(col(pk)), "yyyy-MM-dd HH:mm:ss.SSSSSS")).head()
         if (r.isNullAt(0)) "TIMESTAMP '1970-01-01 00:00:00'"
         else s"TIMESTAMP '${r.getString(0)}'"

@@ -51,12 +51,31 @@ object ParquetSource {
     * which a recomputed hash expression never can. */
   def read(spark: SparkSession, path: String, keepBucket: Boolean): DataFrame = {
     spark.conf.set(NanosAsLongKey, "true")
+    // Parquet TIMESTAMP(isAdjustedToUTC=false) — the default of pandas/
+    // pyarrow writers without an explicit tz — surfaces as TIMESTAMP_NTZ in
+    // Spark 4, which every downstream event-time projection (unix_micros,
+    // watermarks, window()) rejects with DATATYPE_MISMATCH. Graft sessions
+    // run UTC (Verify/Bench/specs all pin spark.sql.session.timeZone=UTC),
+    // so NTZ wall-clock ≡ UTC instant and the normalization is lossless and
+    // DuckDB-equivalent. Two layers:
+    //   1. disable NTZ INFERENCE so plain parquet (no Spark schema
+    //      metadata) scans produce TimestampType directly — stays fully
+    //      vectorized, no extra projection;
+    //   2. a defensive cast for files that carry explicit Spark
+    //      TimestampNTZ metadata (inference doesn't apply to those).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(path)
     val nanoCols = nanoTimestampCols(spark, path)
     val withNanos = nanoCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
     }
-    val cast = readPartSpec(spark, path).foldLeft(withNanos) { case (d, (c, t)) =>
+    val ntzCols = withNanos.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.toSeq
+    val withUtc = ntzCols.foldLeft(withNanos) { (d, c) =>
+      d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
+    val cast = readPartSpec(spark, path).foldLeft(withUtc) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
     }
     // the bucket id is physical layout, not data — readers drop it, and
