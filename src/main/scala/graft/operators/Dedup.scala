@@ -497,7 +497,11 @@ object Dedup {
       .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(true)
     var iter = 0
-    var done = e.isEmpty
+    // no isEmpty pre-probe: an empty edge set converges on round 1 (all
+    // probes over empty data), and the probe job it would save is exactly
+    // the job it costs — while the non-empty common case paid it for
+    // nothing every call.
+    var done = false
     while (!done && iter < maxIters) {
       // large-star over the symmetric neighborhood
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -515,21 +519,29 @@ object Dedup {
         .union(joined.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct().localCheckpoint(true)
-      // fixpoint = the edge set IS a star forest: every child has exactly
-      // one parent AND no parent is itself a child. Testing the property
-      // directly (two limit-1 probes over the checkpointed set) detects
-      // convergence the round it HAPPENS — an edge-set-equality test
-      // (except vs last round) always costs one extra confirmation round,
-      // which for typical dedup graphs (stars after round 1) doubles the
-      // loop.
-      val multiParent = small.groupBy("u").agg(count(lit(1)).as("__c"))
-        .where(col("__c") > 1).limit(1).count() > 0
-      val chained = !multiParent &&
-        small.select("v").join(small.select(col("u").as("v")), Seq("v"), "left_semi")
-          .limit(1).count() > 0
+      // fixpoint = the edge set IS a star forest: every child (u) has
+      // exactly one parent AND no parent (v) is itself a child. ONE
+      // aggregation job answers both: explode each edge into per-node
+      // (appears-as-child, appears-as-parent) markers, per-node sums, then
+      // a scalar reduce — versus the previous two driver probes (a
+      // count-per-child job plus a semi-join job) per round. Detecting the
+      // property the round it holds (vs edge-set-equality against last
+      // round) still saves the confirmation round that would double the
+      // loop on typical post-round-1 star graphs.
+      val probe = small.select(explode(array(
+          struct(col("u").as("n"), lit(1).as("c"), lit(0).as("p")),
+          struct(col("v").as("n"), lit(0).as("c"), lit(1).as("p")))).as("x"))
+        .groupBy(col("x.n").as("n"))
+        .agg(sum(col("x.c")).as("childCnt"), max(col("x.p")).as("isParent"))
+        .agg(
+          max(when(col("childCnt") > 1, 1).otherwise(0)).as("multiParent"),
+          max(when(col("childCnt") >= 1 && col("isParent") === 1, 1).otherwise(0))
+            .as("chained"))
+        .head()
       e.unpersist()
       e = small
-      done = !multiParent && !chained
+      done = probe.isNullAt(0) || // empty edge set: trivially a star forest
+        (probe.getInt(0) == 0 && probe.getInt(1) == 0)
       iter += 1
     }
     if (!done) {
