@@ -241,7 +241,7 @@ object Loader {
     * readers never see it. NULL key components fold into the separator
     * (collisions only coarsen bucketing, never break it: the id is still a
     * function of the key tuple). */
-  private def bucketIdExpr(keys: Seq[String], n: Int): org.apache.spark.sql.Column =
+  private[etl] def bucketIdExpr(keys: Seq[String], n: Int): org.apache.spark.sql.Column =
     (graft.functions.PortableHash.hmod(
       concat_ws("\u0001", keys.map(c => col(c).cast("string")): _*)) % n).cast("int")
 

@@ -3,6 +3,8 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{KmvSketch, PortableHash}
+
 /** Incrementally-maintained materialized aggregate views: a persistent
   * GROUP BY table kept in sync with an append-only base table at O(batch)
   * cost per refresh instead of O(base) recomputation.
@@ -13,77 +15,184 @@ import org.apache.spark.sql.functions._
   * recomputing `GROUP BY day, domain` over a 100 TB base per refresh scans
   * 100 TB; merging the day's 100 GB batch into the view scans the batch.
   *
-  * Supported aggregates are the self-mergeable ones — `sum`, `count`,
-  * `min`, `max` — for which merge(agg(A), agg(B)) = agg(A ∪ B) holds
-  * per group, so a refresh is: aggregate the BATCH, full-outer-merge onto
-  * the view by group key, combine column-wise (sum+sum, min of mins, …).
-  * `avg` is derivable as sum/count at read time; distinct counts need a
-  * mergeable sketch state ([[graft.functions.KmvSketch]]) and are out of
-  * scope here.
+  * Aggregates are the self-mergeable ones — `sum`, `count`, `min`, `max` —
+  * plus two PARTIAL-STATE aggregates materialized as hidden columns and
+  * finalized at read time:
   *
-  * The view is stored through [[Loader]] (atomic swap, surrogate-id-free),
-  * so readers never see a half-refreshed view. The merge itself shuffles
-  * O(groups-in-batch + groups-in-view) rows — at 100 TB the view is
-  * typically orders of magnitude smaller than the base; when even the view
-  * is huge, partition the view table by a group column and scope the merge
-  * (the [[Loader]] partition machinery composes).
+  *   - `avg` stores (sum, count) partials and reads back sum/count — the
+  *     classic decomposition; exact whenever the partial sum is (use an
+  *     integral source column for bit-identical cross-engine results);
+  *   - `ndv` stores a KMV distinct-count buffer ([[KmvSketch]], mergeable
+  *     by construction: the k smallest hashes of A ∪ B are computable from
+  *     the two buffers alone) and reads back the estimator. Deterministic
+  *     integer arithmetic — merge order can never change the answer.
+  *
+  * The view is stored through [[Loader]] HASH-BUCKETED on the group key, so
+  * a refresh is bucket-scoped end to end:
+  *
+  *   1. aggregate the batch (O(batch));
+  *   2. read ONLY the buckets the batch's groups hash into (directory-level
+  *      pruning on the physical bucket column) and combine column-wise
+  *      (sum+sum, min of mins, KMV union) over the batch's groups alone;
+  *   3. upsert the combined rows — [[Loader]]'s bucket-scoped merge
+  *      rewrites just the touched bucket directories, each swap
+  *      rename-atomic.
+  *
+  * Refresh I/O is therefore O(batch + touched buckets), not O(view): a
+  * streaming sink refreshing one hot group rewrites 1/N of the view per
+  * trigger. At 100 TB size `numBuckets` so one bucket ≈ one comfortable
+  * task (the same sizing rule as any bucketed table); the view itself is
+  * usually orders of magnitude smaller than the base.
   */
 object MaterializedAgg {
 
-  /** One aggregate column of the view: `func` ∈ sum|count|min|max applied
-    * to base-table column `src` (ignored for count), materialized as view
-    * column `as`. */
+  /** One aggregate column of the view: `func` ∈
+    * sum|count|min|max|avg|ndv applied to base-table column `src` (ignored
+    * for count), materialized as view column `as`. */
   final case class AggCol(func: String, src: String, as: String) {
-    require(Set("sum", "count", "min", "max")(func),
+    require(Set("sum", "count", "min", "max", "avg", "ndv")(func),
       s"unsupported mergeable aggregate: $func")
   }
 
-  /** The per-batch (and first-full) aggregation. */
+  /** Hidden partial-state columns backing one view column (the column
+    * itself for the directly-mergeable funcs). */
+  private def stateCols(a: AggCol): Seq[String] = a.func match {
+    case "avg" => Seq(s"${a.as}__psum", s"${a.as}__pcnt")
+    case "ndv" => Seq(s"${a.as}__pkmv")
+    case _     => Seq(a.as)
+  }
+
+  /** The per-batch (and first-full) aggregation, producing state columns. */
   private def aggregate(df: DataFrame, groupBy: Seq[String],
-                        aggs: Seq[AggCol]): DataFrame = {
-    val exprs = aggs.map {
-      case AggCol("sum", s, a)   => sum(col(s)).as(a)
-      case AggCol("count", _, a) => count(lit(1)).as(a)
-      case AggCol("min", s, a)   => min(col(s)).as(a)
-      case AggCol("max", s, a)   => max(col(s)).as(a)
+                        aggs: Seq[AggCol], kmvK: Int): DataFrame = {
+    val exprs = aggs.flatMap {
+      case AggCol("sum", s, a)   => Seq(sum(col(s)).as(a))
+      case AggCol("count", _, a) => Seq(count(lit(1)).as(a))
+      case AggCol("min", s, a)   => Seq(min(col(s)).as(a))
+      case AggCol("max", s, a)   => Seq(max(col(s)).as(a))
+      case AggCol("avg", s, a)   =>
+        Seq(sum(col(s)).as(s"${a}__psum"), count(col(s)).as(s"${a}__pcnt"))
+      case AggCol("ndv", s, a)   =>
+        // null sentinel = P (the global hash maximum): rides the buffer so
+        // merges stay pure hash-set unions; the estimator strips it (same
+        // convention as [[graft.operators.Profile]])
+        val h = when(col(s).isNull, lit(PortableHash.P))
+          .otherwise(PortableHash.hmod(col(s).cast("string")))
+        Seq(KmvSketch.kmv(h, kmvK).as(s"${a}__pkmv"))
       case other => throw new IllegalArgumentException(other.toString)
     }
     df.groupBy(groupBy.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
 
-  /** Column-wise combine of two partial aggregates of the same group
-    * (either side may be absent → null-safe). */
-  private def combine(a: Column, b: Column, func: String): Column = func match {
-    case "sum" | "count" => coalesce(a, lit(0L)) + coalesce(b, lit(0L))
-    case "min"           => when(a.isNull, b).when(b.isNull, a).otherwise(least(a, b))
-    case "max"           => when(a.isNull, b).when(b.isNull, a).otherwise(greatest(a, b))
+  /** Column-wise combine of two partial states of the same group (either
+    * side may be absent → null-safe). Returns the combined STATE columns. */
+  private def combine(a: AggCol, viewSide: String => Column,
+                      batchSide: String => Column, kmvK: Int): Seq[Column] = {
+    def add(x: Column, y: Column): Column =
+      when(x.isNull, y).when(y.isNull, x).otherwise(x + y)
+    a.func match {
+      case "sum" | "count" =>
+        Seq(add(viewSide(a.as), batchSide(a.as)).as(a.as))
+      case "min" =>
+        val (x, y) = (viewSide(a.as), batchSide(a.as))
+        Seq(when(x.isNull, y).when(y.isNull, x).otherwise(least(x, y)).as(a.as))
+      case "max" =>
+        val (x, y) = (viewSide(a.as), batchSide(a.as))
+        Seq(when(x.isNull, y).when(y.isNull, x).otherwise(greatest(x, y)).as(a.as))
+      case "avg" =>
+        Seq(add(viewSide(s"${a.as}__psum"), batchSide(s"${a.as}__psum")).as(s"${a.as}__psum"),
+          add(viewSide(s"${a.as}__pcnt"), batchSide(s"${a.as}__pcnt")).as(s"${a.as}__pcnt"))
+      case "ndv" =>
+        val (x, y) = (viewSide(s"${a.as}__pkmv"), batchSide(s"${a.as}__pkmv"))
+        // two-sided KMV union; an absent side is the empty sketch
+        val merged = slice(array_sort(array_union(
+          coalesce(x, expr("CAST(array() AS ARRAY<BIGINT>)")),
+          coalesce(y, expr("CAST(array() AS ARRAY<BIGINT>)")))), 1, kmvK)
+        Seq(merged.as(s"${a.as}__pkmv"))
+    }
   }
 
   /** Merge `batch` (new base-table rows ONLY — the caller's append) into
     * the view table `view` in `tgt`. First call (view absent) aggregates
-    * the batch alone. Cost: aggregate the batch + one group-key merge join
-    * against the current view. The result replaces the view atomically.
+    * the batch alone and lays the view out hash-bucketed on the group key.
+    * Subsequent refreshes touch only the buckets the batch's groups hash
+    * into: the view-side read partition-prunes on the physical bucket
+    * column, and the write rewrites just those bucket directories.
     */
   def refresh(tgt: Catalog, view: String, batch: DataFrame,
-              groupBy: Seq[String], aggs: Seq[AggCol]): Unit = {
-    val batchAgg = aggregate(batch, groupBy, aggs)
-    val merged = tgt.tableIfExists(view) match {
-      case None => batchAgg
-      case Some(cur0) =>
-        val cur = if (cur0.columns.contains(Loader.IdCol)) cur0.drop(Loader.IdCol) else cur0
-        val bR = aggs.foldLeft(batchAgg)((d, a) =>
-          d.withColumnRenamed(a.as, s"__b_${a.as}"))
-        cur.join(bR, groupBy, "full_outer")
-          .select(groupBy.map(col) ++ aggs.map(a =>
-            combine(col(a.as), col(s"__b_${a.as}"), a.func).as(a.as)): _*)
-    }
-    // a view is a keyed aggregate, not an append log: replace wholesale via
-    // the loader's atomic-swap path, keyed upsert semantics guaranteed by
-    // construction (one row per group in `merged`)
-    Loader.load(tgt, view, merged, upsertFields = groupBy, idOrder = groupBy)
+              groupBy: Seq[String], aggs: Seq[AggCol],
+              numBuckets: Int = 16, kmvK: Int = 256): Unit = {
+    require(groupBy.nonEmpty, "materialized view needs at least one group column")
+    val spark = batch.sparkSession
+    val batchAgg = aggregate(batch, groupBy, aggs, kmvK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val recorded = tgt.tableIfExists(view).flatMap(_ =>
+        graft.sources.ParquetSource.readBucketSpec(spark, tgt.dirPath(view)))
+      val merged = tgt.tableIfExists(view) match {
+        case None => batchAgg
+        case Some(cur0) =>
+          // view side, pruned to the buckets the batch touches when the
+          // recorded layout allows it (bucket keys == group keys): the
+          // touched-id probe is one small job over the batch aggregate,
+          // bounded by numBuckets values
+          val viewSlice: DataFrame = recorded match {
+            case Some((keys, n)) if keys == groupBy =>
+              val touched = batchAgg
+                .select(Loader.bucketIdExpr(keys, n).as("__b"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              graft.sources.ParquetSource
+                .read(spark, tgt.dirPath(view), keepBucket = true)
+                .where(col(Loader.BucketCol).isin(touched: _*))
+                .drop(Loader.BucketCol)
+            case _ => cur0 // flat legacy view (or foreign layout): full read
+          }
+          val cur = if (viewSlice.columns.contains(Loader.IdCol))
+            viewSlice.drop(Loader.IdCol) else viewSlice
+          val stateNames = aggs.flatMap(stateCols)
+          val vR = stateNames.foldLeft(cur)((d, c) =>
+            d.withColumnRenamed(c, s"__v_$c"))
+          // batch groups only: groups outside the batch — even inside a
+          // touched bucket — are untouched rows the Loader merge keeps
+          batchAgg.join(vR, groupBy, "left")
+            .select(groupBy.map(col) ++ aggs.flatMap(a =>
+              combine(a, c => col(s"__v_$c"), c => col(c), kmvK)): _*)
+      }
+      // keyed upsert through the loader's bucket-scoped merge: only the
+      // touched bucket directories are rewritten, each swap rename-atomic
+      // (a flat legacy view migrates to the bucketed layout in one full
+      // atomic rewrite on its next refresh). The loader triggers `merged`
+      // several times (empty probe, touched-partition probe, write) —
+      // persist the combined rows (O(batch groups)) across those actions.
+      val m = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try Loader.load(tgt, view, m, upsertFields = groupBy, idOrder = groupBy,
+        bucketBy = Some((groupBy, recorded.map(_._2).getOrElse(numBuckets))))
+      finally m.unpersist()
+    } finally batchAgg.unpersist()
   }
 
-  /** Read the view (id column dropped — group key + aggregates only). */
+  /** Read the view raw (id column dropped — group key + state columns). */
   def read(tgt: Catalog, view: String): DataFrame =
     tgt.table(view).drop(Loader.IdCol)
+
+  /** Read the view FINALIZED: partial-state columns are folded into their
+    * declared aggregate columns (avg = sum/count, null on empty; ndv = the
+    * KMV estimate) and hidden, in declaration order after the group key. */
+  def read(tgt: Catalog, view: String, groupBy: Seq[String],
+           aggs: Seq[AggCol], kmvK: Int = 256): DataFrame = {
+    val raw = read(tgt, view)
+    val outCols = aggs.map { a =>
+      a.func match {
+        case "avg" =>
+          val (s, c) = (col(s"${a.as}__psum"), col(s"${a.as}__pcnt"))
+          when(c > 0, s.cast("double") / c).as(a.as)
+        case "ndv" =>
+          KmvSketch.estimate(
+            s"filter(`${a.as}__pkmv`, x -> x < ${PortableHash.P}L)", kmvK)
+            .as(a.as)
+        case _ => col(a.as)
+      }
+    }
+    raw.select(groupBy.map(col) ++ outCols: _*)
+  }
 }

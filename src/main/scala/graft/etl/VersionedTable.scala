@@ -70,19 +70,112 @@ object VersionedTable {
       .map(rel => new Path(dataDir(tgt, table), rel).toString)
   }
 
-  private def writeManifest(tgt: Catalog, table: String, v: Long,
-                            relFiles: Seq[String]): Unit = {
+  /** Attempt to commit version `v`'s manifest — the optimistic-concurrency
+    * CAS. Returns false when ANOTHER writer committed `v` first (the caller
+    * re-reads the head and retries its merge). Two layers:
+    *
+    *   - local filesystems: hard-link the fully-written tmp manifest to the
+    *     final name — link(2) fails EEXIST ATOMICALLY, so two racing
+    *     writers can never both win (a rename would silently overwrite);
+    *   - HDFS-like stores: rename, which there fails on an existing
+    *     destination; a pre-check narrows the window on stores with
+    *     overwriting rename semantics.
+    *
+    * The tmp name carries a uuid so concurrent writers never clobber each
+    * other's staging; strays from crashed commits die in [[vacuum]].
+    */
+  private def tryCommitManifest(tgt: Catalog, table: String, v: Long,
+                                relFiles: Seq[String],
+                                maxId: Option[Long]): Boolean = {
     val f = fs(tgt, metaDir(tgt, table))
     val md = new Path(metaDir(tgt, table))
     f.mkdirs(md)
+    // max_id is COMMIT METADATA (the Delta-stats idea): the next load reads
+    // its id floor from one small JSON instead of scanning the id column of
+    // a 100 TB table. It must precede "files" — the minimal parser below
+    // locates the files array as the manifest's first '['.
+    val head = s"""{"version": $v""" +
+      maxId.map(m => s""", "max_id": $m""").getOrElse("")
     val body = relFiles.sorted.map(r => "\"" + r + "\"").mkString(
-      s"""{"version": $v, "files": [""", ", ", "]}")
-    val tmp = new Path(md, s"v$v.manifest.json.tmp")
+      head + """, "files": [""", ", ", "]}")
+    val fin = new Path(md, s"v$v.manifest.json")
+    if (f.exists(fin)) return false
+    val tmp = new Path(md,
+      s"v$v.manifest.json.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val fin = new Path(md, s"v$v.manifest.json")
-    if (!f.rename(tmp, fin))
-      throw new java.io.IOException(s"manifest commit failed: $fin")
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fin.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(fin) && f.rename(tmp, fin)
+    if (f.getScheme == "file" || !won) f.delete(tmp, false)
+    won
+  }
+
+  /** Test seam: invoked once per commit attempt, after the attempt's merge
+    * is staged and before its manifest CAS — lets a spec interleave a
+    * competing writer deterministically. No-op in production. */
+  private[etl] var preCommitHook: () => Unit = () => ()
+
+  private val MaxCommitRetries = 20
+
+  private val MaxIdRe = """"max_id"\s*:\s*(\d+)""".r
+
+  /** The committed max surrogate id of version `v`, if the manifest
+    * recorded one (manifests written before this field fall back to an
+    * id-column scan at the next load). */
+  private def manifestMaxId(tgt: Catalog, table: String, v: Long): Option[Long] = {
+    val p = new Path(metaDir(tgt, table), s"v$v.manifest.json")
+    val f = fs(tgt, metaDir(tgt, table))
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      MaxIdRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+    }
+  }
+
+  /** Max of the id column across `absFiles`, from parquet FOOTER column
+    * statistics — metadata-only (no row I/O), driver cost O(new files per
+    * commit). None when any file lacks id stats (caller falls back). */
+  private def footerMaxId(tgt: Catalog, absFiles: Seq[String]): Option[Long] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = tgt.spark.sessionState.newHadoopConf()
+    var best: Option[Long] = None
+    absFiles.foreach { file =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+      try {
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          if (b.getRowCount > 0) {
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == Loader.IdCol)
+              .map(_.getStatistics) match {
+              case Some(s) if s != null && s.hasNonNullValue =>
+                val m = s.genericGetMax match {
+                  case n: java.lang.Number => n.longValue
+                  case other => other.toString.toLong
+                }
+                best = Some(best.fold(m)(math.max(_, m)))
+              case _ =>
+                // a populated block with no usable id stats: an
+                // underestimated floor would reissue ids — bail out and
+                // let the caller fall back to the id-column scan
+                return None
+            }
+          }
+        }
+      } finally r.close()
+    }
+    best.orElse(Some(0L)) // an all-empty file set constrains nothing
   }
 
   /** Parquet part-files under `dir`, as paths relative to the data dir. */
@@ -111,13 +204,36 @@ object VersionedTable {
            ensure: Boolean = true, safe: Boolean = false): Long = {
     val incoming = if (incoming0.columns.contains(Loader.IdCol))
       incoming0.drop(Loader.IdCol) else incoming0
+    // optimistic concurrency: merge against the observed head, stage the
+    // batch, CAS the manifest. A lost CAS means another writer committed
+    // first — discard the staged files (their ids and merge inputs are
+    // stale) and re-merge against the NEW head, so both writers' rows
+    // survive as consecutive versions.
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe)
+        .foreach(v => return v)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned load of '$table' lost the commit race $MaxCommitRetries times")
+  }
+
+  /** One optimistic attempt; None = lost the manifest CAS. */
+  private def loadAttempt(tgt: Catalog, table: String, incoming: DataFrame,
+                          upsertFields: Seq[String], idOrder: Seq[String],
+                          ensure: Boolean, safe: Boolean): Option[Long] = {
     val cur = currentVersion(tgt, table)
     val existing = cur.map(v => readVersion(tgt, table, v))
     val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
     val maxId: Long = existing match {
       case Some(ex) if ex.columns.contains(Loader.IdCol) =>
-        val r = ex.agg(max(col(Loader.IdCol))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
+        // manifest-recorded id floor first (O(1) metadata); the id-column
+        // scan only for pre-max_id manifests
+        cur.flatMap(v => manifestMaxId(tgt, table, v)).getOrElse {
+          val r = ex.agg(max(col(Loader.IdCol))).head()
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
       case _ => 0L
     }
     val withIds = Loader.withSurrogateIds(incoming, maxId, order)
@@ -146,8 +262,22 @@ object VersionedTable {
         val p = new Path(abs).toUri.getPath
         p.substring(base.length + 1)
       } else Nil
-    writeManifest(tgt, table, newV, priorRel ++ newRel)
-    newV
+    // the committed version's max id, from the new files' footer stats
+    // (metadata-only): an append combines with the carried-over floor, a
+    // rewrite's file set holds every live id already
+    val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+    val committedMax = footerMaxId(tgt, newAbs)
+      .map(m => if (carryPrior) math.max(m, maxId) else m)
+    preCommitHook()
+    if (tryCommitManifest(tgt, table, newV, priorRel ++ newRel, committedMax))
+      Some(newV)
+    else {
+      // lost the race: the staged batch references a superseded head —
+      // remove it (a crash before this delete leaves unreachable files for
+      // vacuum, same as any crashed commit)
+      fs(tgt, dataDir(tgt, table)).delete(batch, true)
+      None
+    }
   }
 
   /** Logical DELETE: commit a new version containing only the rows NOT
@@ -158,15 +288,25 @@ object VersionedTable {
     * compliance deletes need). Returns the committed version.
     */
   def delete(tgt: Catalog, table: String, cond: org.apache.spark.sql.Column): Long = {
-    val cur = currentVersion(tgt, table).getOrElse(
-      throw new IllegalArgumentException(s"versioned table '$table' not found"))
-    val out = readVersion(tgt, table, cur).where(!coalesce(cond, lit(false)))
-    val uuid = java.util.UUID.randomUUID().toString
-    val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
-    out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
-    val newV = cur + 1L
-    writeManifest(tgt, table, newV, partFiles(tgt, table, batch))
-    newV
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val out = readVersion(tgt, table, cur).where(!coalesce(cond, lit(false)))
+      val uuid = java.util.UUID.randomUUID().toString
+      val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
+      out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
+      val newV = cur + 1L
+      val rel = partFiles(tgt, table, batch)
+      val newAbs = rel.map(r => new Path(dataDir(tgt, table), r).toString)
+      preCommitHook()
+      if (tryCommitManifest(tgt, table, newV, rel, footerMaxId(tgt, newAbs)))
+        return newV
+      fs(tgt, dataDir(tgt, table)).delete(batch, true)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned delete on '$table' lost the commit race $MaxCommitRetries times")
   }
 
   /** Absolute data-file paths version `v` references (audit/spec surface:
@@ -188,17 +328,43 @@ object VersionedTable {
   }
 
   /** Change-data-feed between two versions: one row per inserted, deleted,
-    * or updated key, classified by a full-outer self-join of the two
-    * snapshots on `keys`. `op` ∈ insert|update|delete; value columns carry
-    * the NEW side for insert/update and the OLD side for delete (the row
-    * that disappeared). Unchanged keys are omitted. Comparison is
-    * null-safe per column. Cost: one join of two manifest scans — the audit
-    * never replays load history.
+    * or updated key, classified by a full-outer self-join on `keys`.
+    * `op` ∈ insert|update|delete; value columns carry the NEW side for
+    * insert/update and the OLD side for delete (the row that disappeared).
+    * Unchanged keys are omitted. Comparison is null-safe per column.
+    *
+    * FILE-LEVEL PRUNING — the property that makes this a CDC primitive at
+    * 100 TB rather than an audit query: data files are immutable once
+    * committed, so a file present in BOTH manifests contributes identical
+    * rows to both snapshots and can never produce a feed row. The diff
+    * therefore scans only the files the two manifests DON'T share — for an
+    * append version pair that is exactly the appended batch, O(delta) I/O
+    * against a table of any size (copy-on-write rewrites still diff their
+    * full file sets, as they must — every file changed).
+    *
+    * Soundness requires each snapshot to carry at most one row per key
+    * tuple (the loader upsert invariant): a duplicate key split across a
+    * shared and a non-shared file would make the pruned join see only half
+    * its rows. Cost: one join of two file-pruned scans — the audit never
+    * replays load history.
     */
   def changes(tgt: Catalog, table: String, fromV: Long, toV: Long,
               keys: Seq[String]): DataFrame = {
-    val a = readVersion(tgt, table, fromV)
-    val b = readVersion(tgt, table, toV)
+    val filesA = manifestFiles(tgt, table, fromV)
+    val filesB = manifestFiles(tgt, table, toV)
+    val (setA, setB) = (filesA.toSet, filesB.toSet)
+    val onlyA = filesA.filterNot(setB)
+    val onlyB = filesB.filterNot(setA)
+    // a side with no unshared files contributes no candidate rows; an
+    // empty LOCAL relation with the side's schema (one footer read, zero
+    // data I/O — a limit(0) parquet scan would still mount the file)
+    def side(only: Seq[String], all: Seq[String]): DataFrame =
+      if (only.nonEmpty) tgt.spark.read.parquet(only: _*)
+      else tgt.spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        tgt.spark.read.parquet(all.head).schema)
+    val a = side(onlyA, filesA)
+    val b = side(onlyB, filesB)
     require(a.columns.sorted.sameElements(b.columns.sorted),
       "change feed requires the two versions to share a schema")
     val valCols = b.columns.toSeq.filterNot(keys.contains)
@@ -241,9 +407,10 @@ object VersionedTable {
     drop.foreach { v =>
       f.delete(new Path(metaDir(tgt, table), s"v$v.manifest.json"), false)
     }
-    // stray tmp manifests from crashed commits die here too
+    // stray tmp manifests from crashed commits die here too (uuid-suffixed
+    // staging names from the CAS path included)
     f.listStatus(new Path(metaDir(tgt, table))).toSeq
-      .filter(_.getPath.getName.endsWith(".tmp"))
+      .filter(_.getPath.getName.contains(".manifest.json.tmp"))
       .foreach(st => f.delete(st.getPath, false))
     val dd = new Path(dataDir(tgt, table))
     var removed = 0

@@ -23,6 +23,20 @@ object StorageQueries {
   private def tmpCat(spark: SparkSession) =
     new Catalog(spark, java.nio.file.Files.createTempDirectory("graft-q").toString)
 
+  /** One versioned fixture per (JVM, sfDir): the three versioned queries
+    * (time travel, change feed, drift) read the SAME immutable 4-version
+    * table — benches measure the query, not three rebuilds of its input.
+    * (Same per-JVM memoization pattern as ExtensionQueries.exportDirs.) */
+  private val versionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def versionedFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = versionedDirs.computeIfAbsent(key,
+      _ => buildVersioned(spark, sfDir).dir)
+    new Catalog(spark, dir)
+  }
+
   /** Build the 4-version orders table every versioned query reads:
     *   v1 load  o_orderkey ≤ 2000
     *   v2 append (2000, 3000]
@@ -77,7 +91,7 @@ object StorageQueries {
     // every version's file set is immutable once committed (append reuses
     // the parent's files — spec-asserted in VersionedTableSpec)
     "q_time_travel" -> { (spark, sfDir) =>
-      val tgt = buildVersioned(spark, sfDir)
+      val tgt = versionedFixture(spark, sfDir)
       (1L to 4L).map { v =>
         VersionedTable.readVersion(tgt, "t", v)
           .withColumn("version", lit(v))
@@ -88,9 +102,15 @@ object StorageQueries {
 
     // F17 change-data-feed: the v2→v4 diff carries all three ops —
     // (2500,3000] updated, (3000,3500] inserted, ≤500 deleted — computed
-    // from two manifest scans, never by replaying load history
+    // from the two manifests' UNSHARED files only (VersionedTable.changes
+    // prunes shared files: immutable, so they can't produce a feed row;
+    // plan-asserted in VersionedTableSpec). Bench note: this query is
+    // alphabetically first of the three sharing the versioned fixture, so
+    // its time is ~0.8 s of diff plus the one-time 4-version build
+    // (~5 s of small-data load orchestration at sf0.1 — cost of the
+    // fixture, not of the feed).
     "q_change_feed" -> { (spark, sfDir) =>
-      val tgt = buildVersioned(spark, sfDir)
+      val tgt = versionedFixture(spark, sfDir)
       VersionedTable.changes(tgt, "t", 2L, 4L, Seq("o_orderkey"))
         .select("op", "o_orderkey", "id", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
@@ -102,7 +122,7 @@ object StorageQueries {
     // silent upstream drift; here v2→v4 shows the upsert doubling prices
     // and the delete dropping low keys
     "q_version_drift" -> { (spark, sfDir) =>
-      val tgt = buildVersioned(spark, sfDir)
+      val tgt = versionedFixture(spark, sfDir)
       Seq(2L, 4L).map { v =>
         val d = VersionedTable.readVersion(tgt, "t", v)
           .select(col("o_orderkey"), col("o_orderstatus"),
@@ -139,6 +159,30 @@ object StorageQueries {
           Seq("l_returnflag", "l_linestatus"), aggs)
       }
       MaterializedAgg.read(tgt, "v")
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // F18b: partial-state aggregates in the view — avg stored as (sum,cnt)
+    // partials over an integral source (exact cross-engine), ndv as a
+    // mergeable KMV buffer unioned across refreshes; three O(batch)
+    // refreshes must finalize exactly where one full recomputation lands
+    "q_matview_avg_ndv" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        """SELECT l_returnflag, l_linestatus, l_orderkey,
+          |       CAST(l_quantity AS BIGINT) AS qty FROM lineitem""".stripMargin)
+      val gb = Seq("l_returnflag", "l_linestatus")
+      val aggs = Seq(
+        MaterializedAgg.AggCol("avg", "qty", "avg_qty"),
+        MaterializedAgg.AggCol("ndv", "l_orderkey", "ndv_ok"))
+      val cuts = Seq(
+        col("l_orderkey") <= 2000,
+        col("l_orderkey") > 2000 && col("l_orderkey") <= 4000,
+        col("l_orderkey") > 4000)
+      cuts.foreach { c => MaterializedAgg.refresh(tgt, "v", base.where(c), gb, aggs) }
+      MaterializedAgg.read(tgt, "v", gb, aggs)
         .orderBy("l_returnflag", "l_linestatus")
     }
   )
@@ -201,6 +245,22 @@ object StorageQueries {
         |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_matview_avg_ndv" -> {
+      import graft.functions.{KmvSketch, PortableHash}
+      // avg: exact integer sum ÷ count (same double division both engines);
+      // ndv: the KMV estimator over the same portable hashes the Spark side
+      // sketched — deterministic integer arithmetic, merge-order-free
+      val hs = s"list(${PortableHash.hmodSql("CAST(l_orderkey AS VARCHAR)")}) " +
+        "FILTER (WHERE l_orderkey IS NOT NULL)"
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         |    / count(CAST(l_quantity AS BIGINT)) AS avg_qty,
+         |  CAST(${KmvSketch.estimateSql(hs, 256)} AS BIGINT) AS ndv_ok
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    }
   )
 }

@@ -41,7 +41,77 @@ class MaterializedAggSpec extends SparkSpec {
 
   test("unsupported aggregate is rejected at definition time") {
     intercept[IllegalArgumentException] {
-      MaterializedAgg.AggCol("avg", "v", "a")
+      MaterializedAgg.AggCol("median", "v", "a")
     }
+  }
+
+  test("avg and ndv partials merge across refreshes to the full-recompute answer") {
+    val tgt = new Catalog(spark, tmpDir("mv"))
+    val withPartials = aggs ++ Seq(
+      MaterializedAgg.AggCol("avg", "v", "av"),
+      MaterializedAgg.AggCol("ndv", "v", "nd"))
+    val rows = (1 to 300).map(i => (s"g${i % 7}", (i % 40).toLong))
+    val base = rows.toDF("g", "v")
+    val batches = Seq(base.where($"v" <= 13), base.where($"v" > 13 && $"v" <= 27),
+      base.where($"v" > 27))
+    batches.foreach(b =>
+      MaterializedAgg.refresh(tgt, "mv", b, Seq("g"), withPartials, kmvK = 64))
+    val incr = MaterializedAgg
+      .read(tgt, "mv", Seq("g"), withPartials, kmvK = 64)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long, Double, Long)].collect.toSeq
+    val full = base.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"),
+        max("v").as("mx"),
+        (sum("v").cast("double") / count("v")).as("av"),
+        // < k distinct per group → the KMV estimate is EXACT
+        countDistinct("v").as("nd"))
+      .orderBy("g").as[(String, Long, Long, Long, Long, Double, Long)].collect.toSeq
+    assert(incr == full)
+  }
+
+  test("avg over an all-null group reads back null, not zero") {
+    val tgt = new Catalog(spark, tmpDir("mv"))
+    val a = Seq(MaterializedAgg.AggCol("avg", "v", "av"))
+    val batch = Seq(("a", Some(4L)), ("a", Some(6L)), ("b", None))
+      .toDF("g", "v")
+    MaterializedAgg.refresh(tgt, "mv", batch, Seq("g"), a)
+    val out = MaterializedAgg.read(tgt, "mv", Seq("g"), a).orderBy("g")
+      .collect.map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(out.toSeq == Seq(("a", 5.0), ("b", null)))
+  }
+
+  test("a single-group micro-batch rewrites only the bucket it hashes into") {
+    val tgt = new Catalog(spark, tmpDir("mv"))
+    val n = 8
+    val base = (1 to 200).map(i => (s"g${i % 20}", i.toLong)).toDF("g", "v")
+    MaterializedAgg.refresh(tgt, "mv", base, Seq("g"), aggs, numBuckets = n)
+
+    def bucketState(): Map[String, Set[(String, Long)]] = {
+      val dir = new java.io.File(tgt.dirPath("mv"))
+      dir.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__gbucket="))
+        .map(b => b.getName -> b.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet)
+        .toMap
+    }
+    val before = bucketState()
+    assert(before.size > 1, "test needs the view spread over several buckets")
+
+    MaterializedAgg.refresh(tgt, "mv", Seq(("g3", 999L)).toDF("g", "v"),
+      Seq("g"), aggs, numBuckets = n)
+    val after = bucketState()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1,
+      s"one-group refresh must touch exactly one bucket dir; touched: $changed")
+
+    // and the merge is still correct
+    val out = MaterializedAgg.read(tgt, "mv").where($"g" === "g3")
+      .as[(String, Long, Long, Long, Long)].head()
+    val expect = base.where($"g" === "g3").agg(
+      count(lit(1)) + 1, sum("v") + 999L, min("v"), greatest(max("v"), lit(999L)))
+      .as[(Long, Long, Long, Long)].head()
+    assert((out._2, out._3, out._4, out._5) == expect)
   }
 }

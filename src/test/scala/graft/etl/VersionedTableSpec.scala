@@ -87,6 +87,73 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(tgt, "t").count() == 2L)
   }
 
+  test("changes over an append pair scans only the appended files") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t",
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t",
+      (101L to 110L).map(i => (i, s"v$i")).toDF("k", "s"), idOrder = Seq("k"))
+    val v1Files = VersionedTable.files(tgt, "t", 1L).toSet
+    val v2Only = VersionedTable.files(tgt, "t", 2L).toSet -- v1Files
+    val feed = VersionedTable.changes(tgt, "t", 1L, 2L, Seq("k"))
+    // plan-level pruning: the feed's scans must touch ONLY the delta files
+    // (v1's files are shared between the manifests — immutable, excluded)
+    val scanned = feed.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    val v2OnlyPaths = v2Only.map(f => new java.net.URI(f).getPath)
+    assert(scanned == v2OnlyPaths,
+      s"pruned diff must scan the appended files only;\n scanned=$scanned\n delta=$v2OnlyPaths")
+    val ops = feed.groupBy("op").count().as[(String, Long)].collect.toMap
+    assert(ops == Map("insert" -> 10L))
+  }
+
+  test("two interleaved loaders both commit, as distinct consecutive versions") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t", Seq((1L, "base")).toDF("k", "s"), idOrder = Seq("k"))
+    // writer A stages its merge against v1; writer B commits v2 in A's
+    // commit window (the pre-commit seam); A must lose the CAS, re-merge
+    // against B's head, and land as v3 — no lost update on either side
+    var fired = false
+    VersionedTable.preCommitHook = () => {
+      if (!fired) {
+        fired = true
+        VersionedTable.load(tgt, "t", Seq((2L, "writerB")).toDF("k", "s"),
+          idOrder = Seq("k"))
+      }
+    }
+    try VersionedTable.load(tgt, "t", Seq((3L, "writerA")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    finally VersionedTable.preCommitHook = () => ()
+    assert(fired)
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L, 2L, 3L))
+    val head = VersionedTable.read(tgt, "t").orderBy("id")
+      .as[(Long, Long, String)].collect.toSeq
+    assert(head == Seq((1L, 1L, "base"), (2L, 2L, "writerB"), (3L, 3L, "writerA")))
+    // each intermediate version is exactly the state its writer committed
+    assert(VersionedTable.readVersion(tgt, "t", 2L).count() == 2L)
+  }
+
+  test("concurrent loaders from two threads serialize through the manifest CAS") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t", Seq((0L, "base")).toDF("k", "s"), idOrder = Seq("k"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 4).map { i =>
+      Future {
+        VersionedTable.load(tgt, "t", Seq((i.toLong, s"w$i")).toDF("k", "s"),
+          idOrder = Seq("k"))
+      }
+    }
+    val committed = Await.result(Future.sequence(writers), 120.seconds)
+    // every writer got a DISTINCT version and no update was lost
+    assert(committed.toSet.size == 4)
+    assert(VersionedTable.versions(tgt, "t") == (1L to 5L))
+    val head = VersionedTable.read(tgt, "t")
+    assert(head.count() == 5L)
+    assert(head.select("s").as[String].collect.toSet ==
+      Set("base", "w1", "w2", "w3", "w4"))
+  }
+
   test("schema evolution on append rewrites into the widened schema") {
     val tgt = freshCat()
     VersionedTable.load(tgt, "t", Seq((1L, "a")).toDF("k", "s"), idOrder = Seq("k"))
