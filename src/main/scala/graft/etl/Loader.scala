@@ -398,7 +398,16 @@ object Loader {
     * parquet min/max stats per file). */
   private def shard(df: DataFrame, targetFileBytes: Option[Long],
                     partCols: Seq[String] = Nil,
-                    clusterBy: Seq[String] = Nil): DataFrame =
+                    clusterBy: Seq[String] = Nil,
+                    knownTotalBytes: Option[Long] = None): DataFrame = {
+    // sized paths: the partition count comes from a caller-supplied byte
+    // total when one is already known (compaction reads an existing
+    // parquet table — its footers carry the size), else from the one-pass
+    // aggregation probe over the data
+    def nFor(b: Long): Int = knownTotalBytes match {
+      case Some(t) => graft.sources.RowWidth.partitionsFromTotal(t, b)
+      case None => graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
+    }
     (targetFileBytes, clusterBy) match {
       case (None, Nil) if partCols.isEmpty => df
       case (None, Nil) =>
@@ -422,15 +431,15 @@ object Loader {
         df.repartitionByRange(n, (partCols ++ cls).map(col): _*)
           .sortWithinPartitions((partCols ++ cls).map(col): _*)
       case (Some(b), Nil) if partCols.isEmpty =>
-        graft.sources.RowWidth.shardForTargetFileSize(df, b)
+        df.repartition(nFor(b))
       case (Some(b), cls) if partCols.isEmpty =>
-        val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
+        val n = nFor(b)
         df.repartitionByRange(n, cls.map(col): _*)
           .sortWithinPartitions(cls.map(col): _*)
       case (Some(b), Nil) =>
         // sized + partitioned, no clustering: spread each leaf across
         // enough writers to hit the file-size target
-        val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
+        val n = nFor(b)
         val nVals = math.max(1L, df.select(partCols.map(col): _*).distinct().count())
         val perPart = math.max(1L, math.ceil(n.toDouble / nVals).toLong)
         df.repartition(n,
@@ -438,10 +447,11 @@ object Loader {
       case (Some(b), cls) =>
         // sized + partitioned + clustered: disjoint cluster ranges per
         // file WITHIN each leaf (see the unsized branch above)
-        val n = graft.sources.RowWidth.partitionsForTargetFileSize(df, b)
+        val n = nFor(b)
         df.repartitionByRange(n, (partCols ++ cls).map(col): _*)
           .sortWithinPartitions((partCols ++ cls).map(col): _*)
     }
+  }
 
   /** Compact a table's files toward `targetFileBytes` per file — the
     * operational companion to the load-time sizing knob: long-lived tables
@@ -468,8 +478,15 @@ object Loader {
         graft.sources.ParquetSource.read(tgt.spark, tgt.dirPath(table), keepBucket = true)
       else tgt.table(table)
     // compact + clusterBy = the re-clustering pass: incremental appends land
-    // unsorted, a periodic clustered compaction restores the zone-map layout
-    writeAtomic(tgt, table, shard(ex, Some(targetFileBytes), partCols, clusterBy),
+    // unsorted, a periodic clustered compaction restores the zone-map layout.
+    // Output sizing comes from the existing files' FOOTER byte totals —
+    // metadata-only — so compaction reads the table exactly once (the
+    // aggregation probe would be a second full scan of the same data).
+    val known = graft.sources.ParquetSource
+      .footerTotalByteSize(tgt.spark, tgt.dirPath(table))
+    writeAtomic(tgt, table,
+      shard(ex, Some(targetFileBytes), partCols, clusterBy,
+        knownTotalBytes = Some(known)),
       partCols, bucketSpec)
   }
 
@@ -496,8 +513,11 @@ object Loader {
         graft.sources.ParquetSource.read(tgt.spark, tgt.dirPath(table), keepBucket = true)
       else tgt.table(table)
     val z = graft.operators.ZOrder.zValue(ex, cols, bitsPerCol)
+    // footer-based sizing: one table read total (see compact)
+    val known = graft.sources.ParquetSource
+      .footerTotalByteSize(tgt.spark, tgt.dirPath(table))
     val laid = shard(ex.withColumn("__zc", z), Some(targetFileBytes), partCols,
-      clusterBy = Seq("__zc")).drop("__zc")
+      clusterBy = Seq("__zc"), knownTotalBytes = Some(known)).drop("__zc")
     writeAtomic(tgt, table, laid, partCols, bucketSpec)
   }
 

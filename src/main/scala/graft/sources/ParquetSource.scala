@@ -150,6 +150,34 @@ object ParquetSource {
     finally out.close()
   }
 
+  /** Sum of every row group's total (uncompressed, encoded) byte size
+    * across all parquet files under `path`, recursively — a metadata-only
+    * size estimate. Lets compaction size its output from the table it is
+    * ABOUT to read instead of paying a full extra aggregation scan for the
+    * same number (at 100 TB, footer reads are O(files); the avoided scan
+    * is O(table)).
+    */
+  def footerTotalByteSize(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    var total = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        try r.getFooter.getBlocks.asScala.foreach(b => total += b.getTotalByteSize)
+        finally r.close()
+      }
+    }
+    total
+  }
+
   /** Names of top-level INT64 TIMESTAMP(NANOS) columns, from the footer of
     * the first parquet file at `path` (file or directory).
     */

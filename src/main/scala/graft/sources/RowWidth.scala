@@ -81,6 +81,16 @@ object RowWidth {
     val rows = r.getLong(0)
     val vbytes = if (r.length > 1 && !r.isNullAt(1)) r.getLong(1) else 0L
     val totalBytes = rows * fixedBytes(fields) + vbytes
+    partitionsFromTotal(totalBytes, targetBytes, maxPartitions)
+  }
+
+  /** Partition count for an ALREADY-KNOWN total-byte estimate — the
+    * no-extra-scan variant for writers whose input is an existing parquet
+    * table (compaction: the footers' uncompressed byte totals replace the
+    * aggregation pass over the data). */
+  def partitionsFromTotal(totalBytes: Long, targetBytes: Long,
+                          maxPartitions: Int = 100000): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     math.min(maxPartitions.toLong,
       math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)).toInt
   }
