@@ -157,8 +157,16 @@ object Loader {
       s"clusterBy column(s) absent from incoming: ${clusterBy.filterNot(incoming.columns.contains).mkString(", ")}")
     val maxId: Long = existing match {
       case Some(ex) if ex.columns.contains(IdCol) =>
-        val r = ex.agg(max(col(IdCol))).head()
-        if (r.isNullAt(0)) 0L else r.getLong(0)
+        // footer statistics first: the id floor is metadata, not a column
+        // scan (at 100 TB, the per-load max(id) probe would otherwise read
+        // the entire id column). Falls back to the aggregate when stats
+        // are absent or the file count makes a driver sweep the worse deal.
+        graft.sources.ParquetSource
+          .footerMaxLong(tgt.spark, tgt.resolve(table).get, IdCol)
+          .getOrElse {
+            val r = ex.agg(max(col(IdCol))).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }
       case _ => 0L
     }
 

@@ -65,7 +65,7 @@ object AsOfJoin {
   /** Map a key column to its Long ordinal domain (µs for temporal keys). */
   private def toOrd(df: DataFrame, name: String, keyType: DataType): Column = {
     val c = df(name)
-    if (isTemporal(keyType)) unix_micros(c.cast(TimestampType))
+    if (isTemporal(keyType)) graft.functions.TimeCols.usec(c)
     else if (isIntegral(keyType)) c.cast(LongType)
     else throw new IllegalArgumentException(
       s"unsupported as-of key type $keyType; map to an integral domain first")

@@ -34,7 +34,7 @@ object Funnel {
         // tolerant of integer epoch columns, like AsOfJoin: cast first so
         // funnelDepth (which never reads __tss) keeps its wider input domain
         transform(col("__evs"),
-          e => unix_micros(e.getField(tsCol).cast(org.apache.spark.sql.types.TimestampType)))
+          e => graft.functions.TimeCols.usec(e.getField(tsCol)))
           .as("__tss"))
 
   /** idx_k = 1-based position of the k-th matched step in `__tps`, 0 when
@@ -111,7 +111,7 @@ object Funnel {
     // quotient boundary is never within 1 ulp of a non-multiple (the
     // remainder is >= 1 whole microsecond). Column-based (no SQL-string
     // splicing), so unusual column names resolve like everywhere else.
-    val us = unix_micros(col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+    val us = graft.functions.TimeCols.usec(col(tsCol))
     val uw = df.select(col(userCol).as("__u"),
         floor(us / lit(weekUs.toDouble)).cast(LongType).as("__w"))
       .distinct()

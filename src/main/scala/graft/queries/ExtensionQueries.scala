@@ -23,7 +23,7 @@ object ExtensionQueries {
   private def eventsSubset(spark: SparkSession, sfDir: String): DataFrame =
     new graft.etl.Catalog(spark, sfDir).table("events")
       .select(col("event_id"), col("event_type"), col("user_id"),
-        col("props"), unix_micros(col("ts")).as("us"))
+        col("props"), graft.functions.TimeCols.usec(col("ts")).as("us"))
 
   val queries: Map[String, Q] = Map(
 

@@ -159,7 +159,7 @@ object PipelineQueries {
       val dir = partitionedEventsDir.computeIfAbsent(sfDir, { _ =>
         val ev = new graft.etl.Catalog(spark, sfDir).table("events")
           .select(col("event_id"), col("user_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
+            graft.functions.TimeCols.usec(col("ts")).as("us"))
         val d = java.nio.file.Files.createTempDirectory("graft-part").toString
         ev.write.partitionBy("event_type").parquet(s"$d/events_by_type")
         d
@@ -192,8 +192,8 @@ object PipelineQueries {
         .select(col("user_id"), col("ts"))
       Sessions.sessionAgg(ev, "30 minutes")
         .select(col("user_id"),
-          unix_micros(col("session_start")).as("start_us"),
-          unix_micros(col("session_end")).as("end_us"),
+          graft.functions.TimeCols.usec(col("session_start")).as("start_us"),
+          graft.functions.TimeCols.usec(col("session_end")).as("end_us"),
           col("n_events"))
         .orderBy("user_id", "start_us")
     },
@@ -205,7 +205,7 @@ object PipelineQueries {
       val ev = new graft.etl.Catalog(spark, sfDir).table("events")
         .select(col("ts"), col("event_type"))
       Sessions.windowedCounts(ev, "10 minutes", "1 hour")
-        .select(unix_micros(col("window_start")).as("window_start_us"),
+        .select(graft.functions.TimeCols.usec(col("window_start")).as("window_start_us"),
           col("event_type"), col("n"))
         .orderBy("window_start_us", "event_type")
     },
@@ -224,8 +224,8 @@ object PipelineQueries {
       Sessions.intervalJoin(views, clicks, "user_id", "ts", "2 HOURS",
           leftPayload = Seq("view_id"), rightPayload = Seq("click_id"))
         .select(col("user_id"), col("view_id"), col("click_id"),
-          unix_micros(col("l_ts")).as("view_us"),
-          unix_micros(col("r_ts")).as("click_us"))
+          graft.functions.TimeCols.usec(col("l_ts")).as("view_us"),
+          graft.functions.TimeCols.usec(col("r_ts")).as("click_us"))
         .orderBy("user_id", "view_id", "click_id")
     },
 
@@ -248,7 +248,7 @@ object PipelineQueries {
       import spark.implicits._
       implicit val s: SparkSession = spark
       val ev = new graft.etl.Catalog(spark, sfDir).table("events")
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_id"), graft.functions.TimeCols.usec(col("ts")).as("us"))
         .as[Sessions.SessionEvent]
       Sessions.statefulSessions(ev, 1800000000L).toDF()
         .orderBy("user_id")

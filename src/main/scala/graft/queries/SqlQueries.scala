@@ -206,6 +206,9 @@ object SqlQueries {
     .replace("SC_OPEN ", "")
     .replace(" SC_CLOSE", "")
     .replace("JSONFN(props)", "get_json_object(props, '$.k')")
+    // templates that take EPOCHUS of a timestamp cast explicitly (the
+    // textual twin of TimeCols.usec), so the substitution stays a plain
+    // prefix swap — operands may themselves contain parentheses
     .replace("EPOCHUS(", "unix_micros(")
     .replace("MEDFN(", "percentile(")
 

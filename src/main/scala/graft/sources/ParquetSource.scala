@@ -178,6 +178,67 @@ object ParquetSource {
     total
   }
 
+  /** Max of a LongType column across all parquet files under `path`
+    * (recursive), answered from FOOTER column statistics — metadata-only.
+    * Returns None (caller falls back to a distributed aggregate scan)
+    * when: more than `maxFiles` files (a serial driver-side footer sweep
+    * stops being cheaper than one parallel column scan), any populated
+    * row group lacks statistics for the column (an underestimate would be
+    * silently wrong), or no file carries the column at all.
+    *
+    * The surrogate-id probe every load used to pay as an O(table) column
+    * scan — at 100 TB, the difference between reading a few KB of footers
+    * and scanning a 10^11-row id column per load.
+    */
+  def footerMaxLong(spark: SparkSession, path: String, column: String,
+                    maxFiles: Int = 4096): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
+        files += st.getPath
+        if (files.length > maxFiles) return None
+      }
+    }
+    if (files.isEmpty) return None
+    var best: Option[Long] = None
+    var sawColumn = false
+    files.foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          if (b.getRowCount > 0) {
+            b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case Some(c) =>
+                sawColumn = true
+                val s = c.getStatistics
+                if (s == null || !s.hasNonNullValue) {
+                  if (b.getRowCount > 0) return None // rows without stats
+                } else {
+                  val m = s.genericGetMax match {
+                    case n: java.lang.Number => n.longValue
+                    case other => other.toString.toLong
+                  }
+                  best = Some(best.fold(m)(math.max(_, m)))
+                }
+              case None => // file predates the column (schema evolution)
+            }
+          }
+        }
+      } finally r.close()
+    }
+    if (!sawColumn) None else best.orElse(None)
+  }
+
   /** Names of top-level INT64 TIMESTAMP(NANOS) columns, from the footer of
     * the first parquet file at `path` (file or directory).
     */

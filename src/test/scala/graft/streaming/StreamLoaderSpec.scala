@@ -176,4 +176,30 @@ class StreamLoaderSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(rows == Seq(("a", 3L, 7L, 4L), ("b", 1L, 10L, 10L), ("c", 1L, 7L, 7L)))
   }
+
+  test("streamIntoView composes with partial-state aggregates (avg, ndv)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.etl.MaterializedAgg
+    val tgt = new Catalog(spark, tmpDir("graft-stream-mvp"))
+    val input = MemoryStream[(String, Long)]
+    val stream = input.toDF().toDF("g", "v")
+    val aggs = Seq(
+      MaterializedAgg.AggCol("avg", "v", "av"),
+      MaterializedAgg.AggCol("ndv", "v", "nd"))
+    val q = StreamLoader.streamIntoView(stream, tgt, "mv",
+      checkpointDir = tmpDir("graft-stream-mvp-ckpt"),
+      groupBy = Seq("g"), aggs = aggs)
+    try {
+      input.addData(("a", 2L), ("a", 4L), ("b", 10L))
+      q.processAllAvailable()
+      input.addData(("a", 6L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // avg folds (sum,count) partials across micro-batches; ndv's KMV union
+    // counts each distinct value once regardless of which batch carried it
+    val rows = MaterializedAgg.read(tgt, "mv", Seq("g"), aggs).orderBy("g")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(rows == Seq(("a", 3.5, 3L), ("b", 10.0, 1L)))
+  }
 }
