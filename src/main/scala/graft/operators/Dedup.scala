@@ -484,18 +484,21 @@ object Dedup {
     */
   def connectedComponentsStar(ids: DataFrame, idCol: String,
                               pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // Every round MUST truncate lineage (eager localCheckpoint): each
+    // Every round MUST truncate lineage (localCheckpoint): each
     // iteration's plan references the previous one several times (sym
     // union, two joins), so an un-truncated loop grows the logical plan
     // exponentially and OOMs the DRIVER on plan trees long before any
     // data pressure. (On a fault-tolerant cluster run, a reliable
     // checkpoint dir is the durable variant of the same truncation.)
+    // NON-eager: the round's fixpoint probe is the action that
+    // materializes the checkpoint — one job per round where an eager
+    // checkpoint plus a probe paid two.
     // canonical directed form (u > v); self/null edges dropped
     var e = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var iter = 0
     // no isEmpty pre-probe: an empty edge set converges on round 1 (all
     // probes over empty data), and the probe job it would save is exactly
@@ -518,7 +521,7 @@ object Dedup {
       val small = joined.select(col("v").as("u"), col("m").as("v"))
         .union(joined.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
-        .distinct().localCheckpoint(true)
+        .distinct().localCheckpoint(false) // materialized by the probe below
       // fixpoint = the edge set IS a star forest: every child (u) has
       // exactly one parent AND no parent (v) is itself a child. ONE
       // aggregation job answers both: explode each edge into per-node
