@@ -121,10 +121,20 @@ object MaterializedAgg {
     */
   def refresh(tgt: Catalog, view: String, batch: DataFrame,
               groupBy: Seq[String], aggs: Seq[AggCol],
-              numBuckets: Int = 16, kmvK: Int = 256): Unit = {
+              numBuckets: Int = 16, kmvK: Int = 256): Unit =
+    mergeStates(tgt, view, aggregate(batch, groupBy, aggs, kmvK),
+      groupBy, aggs, numBuckets, kmvK)
+
+  /** Merge a pre-aggregated STATE frame (one row per touched group, state
+    * columns as [[stateCols]] lays them out) into the view — the shared
+    * tail of [[refresh]] (batch aggregates) and [[applyChanges]] (signed
+    * CDC deltas). */
+  private def mergeStates(tgt: Catalog, view: String, stateAgg: DataFrame,
+                          groupBy: Seq[String], aggs: Seq[AggCol],
+                          numBuckets: Int, kmvK: Int): Unit = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
-    val spark = batch.sparkSession
-    val batchAgg = aggregate(batch, groupBy, aggs, kmvK)
+    val spark = stateAgg.sparkSession
+    val batchAgg = stateAgg
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val recorded = tgt.tableIfExists(view).flatMap(_ =>
@@ -169,6 +179,68 @@ object MaterializedAgg {
         bucketBy = Some((groupBy, recorded.map(_._2).getOrElse(numBuckets))))
       finally m.unpersist()
     } finally batchAgg.unpersist()
+  }
+
+  /** Maintain the view from a CHANGE-DATA-FEED instead of an append batch
+    * — the retraction-stream semantics (Flink's retract model) that keep a
+    * view consistent under UPDATES and DELETES, where [[refresh]] assumes
+    * append-only batches. `feed` is [[VersionedTable.changes]] output with
+    * `includeOld = true` (op ∈ insert|update|delete, value columns NEW,
+    * `<col>__old` columns OLD) — or any frame of that shape; project
+    * derived columns (and their `__old` twins) onto it first if the view
+    * aggregates a computed value.
+    *
+    * Each feed row contributes +new for insert, −old for delete, and
+    * −old +new for update; contributions are group-keyed by the side's OWN
+    * group values, so an update that MOVES a row between groups retracts
+    * from the old group and adds to the new one. One aggregation over the
+    * feed yields signed per-group deltas; the merge is the same
+    * bucket-scoped additive combine as a refresh — O(feed + touched
+    * buckets) regardless of base-table size.
+    *
+    * Only the RETRACTABLE aggregates compose: `sum`, `count`, `avg`
+    * (all additive in their state). `min`/`max` need the dropped value's
+    * rank context and `ndv`'s KMV buffer cannot un-see a hash — views
+    * carrying those must rebuild via [[refresh]] over a recomputation.
+    * A group whose count is retracted to zero keeps a zero-valued row
+    * (the keyed upsert has no row-delete path); readers filter on the
+    * count column when "active groups only" is the contract.
+    */
+  def applyChanges(tgt: Catalog, view: String, feed: DataFrame,
+                   groupBy: Seq[String], aggs: Seq[AggCol],
+                   numBuckets: Int = 16): Unit = {
+    require(aggs.nonEmpty, "applyChanges needs at least one aggregate")
+    require(aggs.forall(a => Set("sum", "count", "avg")(a.func)),
+      "applyChanges supports the retractable aggregates (sum, count, avg) " +
+        s"only; got: ${aggs.map(_.func).distinct.mkString(", ")}")
+    require(feed.columns.contains("op"), "feed must carry the op column")
+    require(feed.columns.exists(_.endsWith("__old")),
+      "applyChanges needs a feed built with includeOld = true — updates " +
+        "cannot be retracted without their old-side values")
+    // a column with an __old twin is a VALUE column (use the old side on
+    // the minus contributions); one without is a feed key — immutable
+    // across an update by definition, same on both sides
+    def oldSide(c: String) =
+      if (feed.columns.contains(s"${c}__old")) col(s"${c}__old") else col(c)
+    val srcCols = (groupBy ++ aggs.filter(_.func != "count").map(_.src)).distinct
+    srcCols.foreach(c => require(feed.columns.contains(c),
+      s"feed lacks column '$c' needed by the view definition"))
+    val plus = feed.where(col("op").isin("insert", "update"))
+      .select(lit(1).as("__sign") +: srcCols.map(col): _*)
+    val minus = feed.where(col("op").isin("update", "delete"))
+      .select(lit(-1).as("__sign") +: srcCols.map(c => oldSide(c).as(c)): _*)
+    val contrib = plus.unionByName(minus)
+    val deltaExprs = aggs.flatMap {
+      case AggCol("count", _, a) => Seq(sum(col("__sign")).as(a))
+      case AggCol("sum", s, a)   => Seq(sum(col("__sign") * col(s)).as(a))
+      case AggCol("avg", s, a)   => Seq(
+        sum(col("__sign") * col(s)).as(s"${a}__psum"),
+        sum(when(col(s).isNotNull, col("__sign")).otherwise(0)).as(s"${a}__pcnt"))
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+    val deltas = contrib.groupBy(groupBy.map(col): _*)
+      .agg(deltaExprs.head, deltaExprs.tail: _*)
+    mergeStates(tgt, view, deltas, groupBy, aggs, numBuckets, kmvK = 256)
   }
 
   /** Read the view raw (id column dropped — group key + state columns). */

@@ -349,7 +349,16 @@ object VersionedTable {
     * replays load history.
     */
   def changes(tgt: Catalog, table: String, fromV: Long, toV: Long,
-              keys: Seq[String]): DataFrame = {
+              keys: Seq[String]): DataFrame =
+    changes(tgt, table, fromV, toV, keys, includeOld = false)
+
+  /** As above; `includeOld = true` additionally emits every non-key value
+    * column's OLD-side value as `<col>__old` (null for inserts) — the
+    * retraction information downstream incremental consumers need (e.g.
+    * [[MaterializedAgg.applyChanges]] subtracts the old contribution of an
+    * update before adding the new one). */
+  def changes(tgt: Catalog, table: String, fromV: Long, toV: Long,
+              keys: Seq[String], includeOld: Boolean): DataFrame = {
     val filesA = manifestFiles(tgt, table, fromV)
     val filesB = manifestFiles(tgt, table, toV)
     val (setA, setB) = (filesA.toSet, filesB.toSet)
@@ -386,8 +395,13 @@ object VersionedTable {
       b.columns.toSeq.filterNot(keys.contains).map { c =>
         when(presentB, col(c)).otherwise(col(s"__a_$c")).as(c)
       }
+    val oldCols =
+      if (!includeOld) Nil
+      else b.columns.toSeq.filterNot(keys.contains).map { c =>
+        when(presentA, col(s"__a_$c")).as(s"${c}__old")
+      }
     joined.withColumn("op", op).where(col("op").isNotNull)
-      .select(col("op") +: outCols: _*)
+      .select(col("op") +: (outCols ++ oldCols): _*)
   }
 
   /** Drop manifests older than the newest `keepLast` versions and delete

@@ -184,6 +184,37 @@ object StorageQueries {
       cuts.foreach { c => MaterializedAgg.refresh(tgt, "v", base.where(c), gb, aggs) }
       MaterializedAgg.read(tgt, "v", gb, aggs)
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // F18c: CDC-maintained view — initialize from the v2 snapshot, then
+    // apply the v2→v4 change feed (updates that MOVE rows between groups,
+    // inserts, deletes) with retraction semantics; the result must land
+    // exactly on a fresh aggregation of v4 (the oracle). O(feed) per
+    // maintenance step — the piece that keeps a dashboard consistent under
+    // a mutable 100 TB base, not just an append-only one.
+    "q_matview_cdc" -> { (spark, sfDir) =>
+      val vt = versionedFixture(spark, sfDir)
+      val viewTgt = tmpCat(spark)
+      val gb = Seq("o_orderstatus")
+      val aggs = Seq(
+        MaterializedAgg.AggCol("count", "", "n_rows"),
+        MaterializedAgg.AggCol("sum", "cents", "sum_cents"),
+        MaterializedAgg.AggCol("avg", "cents", "avg_cents"))
+      def withCents(d: DataFrame, c: String, out: String) =
+        d.withColumn(out, floor(col(c) * 100).cast("long"))
+      val base2 = withCents(
+        VersionedTable.readVersion(vt, "t", 2L), "o_totalprice", "cents")
+      MaterializedAgg.refresh(viewTgt, "v", base2, gb, aggs)
+      val feed = withCents(withCents(
+          VersionedTable.changes(vt, "t", 2L, 4L, Seq("o_orderkey"),
+            includeOld = true),
+          "o_totalprice", "cents"), "o_totalprice__old", "cents__old")
+      MaterializedAgg.applyChanges(viewTgt, "v", feed, gb, aggs)
+      // active groups only: a fully-retracted group keeps a zero row (the
+      // keyed upsert cannot delete), which a fresh aggregation never has
+      MaterializedAgg.read(viewTgt, "v", gb, aggs)
+        .where(col("n_rows") > 0)
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -261,6 +292,18 @@ object StorageQueries {
          |FROM lineitem
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin
-    }
+    },
+
+    "q_matview_cdc" ->
+      s"""WITH $versionedStates,
+         |c4 AS (SELECT o_orderstatus,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM v4)
+         |SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents
+         |FROM c4
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -81,6 +81,60 @@ class MaterializedAggSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 5.0), ("b", null)))
   }
 
+  test("applyChanges retracts deletes and group-moving updates exactly") {
+    val tgt = new Catalog(spark, tmpDir("mvcdc"))
+    val a = Seq(
+      MaterializedAgg.AggCol("count", "", "n"),
+      MaterializedAgg.AggCol("sum", "v", "sv"),
+      MaterializedAgg.AggCol("avg", "v", "av"))
+    // base state: g1 = {10, 20}, g2 = {30}
+    val base = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L))
+      .toDF("k", "g", "v")
+    MaterializedAgg.refresh(tgt, "mv", base, Seq("g"), a)
+    // feed: k=1 deleted; k=2 updated AND moved g1→g2 with new value 25;
+    // k=4 inserted into g3
+    val feed = Seq(
+      ("delete", 1L, "g1", 10L, Some("g1"), Some(10L)),
+      ("update", 2L, "g2", 25L, Some("g1"), Some(20L)),
+      ("insert", 4L, "g3", 7L, None: Option[String], None: Option[Long]))
+      .toDF("op", "k", "g", "v", "g__old", "v__old")
+    MaterializedAgg.applyChanges(tgt, "mv", feed, Seq("g"), a)
+    val out = MaterializedAgg.read(tgt, "mv", Seq("g"), a)
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    // g1 emptied → zero row retained (documented: keyed upsert can't
+    // delete); g2 = {30, 25}; g3 = {7}
+    assert(out == Seq(
+      ("g1", 0L, 0L, null),
+      ("g2", 2L, 55L, 27.5),
+      ("g3", 1L, 7L, 7.0)))
+    // the same state a fresh aggregation of the target snapshot yields,
+    // modulo the zero row
+    val target = Seq((2L, "g2", 25L), (3L, "g2", 30L), (4L, "g3", 7L))
+      .toDF("k", "g", "v")
+    val fresh = target.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        (sum("v").cast("double") / count("v")).as("av"))
+      .orderBy("g")
+      .as[(String, Long, Long, Double)].collect.toSeq
+    assert(out.filter(_._2 > 0).map(t => (t._1, t._2, t._3, t._4)) == fresh)
+  }
+
+  test("applyChanges refuses non-retractable aggregates and old-less feeds") {
+    val tgt = new Catalog(spark, tmpDir("mvcdc2"))
+    val feed = Seq(("insert", "g1", 1L, Some(0L))).toDF("op", "g", "v", "v__old")
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.applyChanges(tgt, "mv", feed, Seq("g"),
+        Seq(MaterializedAgg.AggCol("min", "v", "mn")))
+    }
+    val noOld = Seq(("insert", "g1", 1L)).toDF("op", "g", "v")
+    intercept[IllegalArgumentException] {
+      MaterializedAgg.applyChanges(tgt, "mv", noOld, Seq("g"),
+        Seq(MaterializedAgg.AggCol("sum", "v", "sv")))
+    }
+  }
+
   test("a single-group micro-batch rewrites only the bucket it hashes into") {
     val tgt = new Catalog(spark, tmpDir("mv"))
     val n = 8
