@@ -26,8 +26,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // pin the ARTIFACT timestamp encoding: query execution may leave
+        // the session on TIMESTAMP_MICROS (graft table writes use it for
+        // footer-stats probes), but the driver's comparator has read
+        // INT96-naive dumps since round 1 — a tz-annotated dump would
+        // hash-differ on identical values
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         errors(name) = msg

@@ -24,6 +24,15 @@ object Loader {
 
   val IdCol = "id"
 
+  /** Graft-written parquet carries INT64 micro timestamps, not Spark's
+    * INT96 default: INT96 column statistics are Binary (footer-useless and
+    * officially unreliable), which would force every timestamp watermark
+    * and id probe back to a column scan; micros make those metadata reads.
+    * Session-level (applies to the write that follows); readers of either
+    * form are unaffected. */
+  private[etl] def ensureParquetWriteConf(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   /** Append/upsert `incoming` into `tgt.dirPath(table)` with reference load
     * semantics (S1–S5, easy_etl/__init__.py:31-44, 89-117):
     *   - every row gets an auto-increment surrogate `id` continuing from the
@@ -85,6 +94,7 @@ object Loader {
            partitionBy: Seq[String] = Nil,
            clusterBy: Seq[String] = Nil,
            bucketBy: Option[(Seq[String], Int)] = None): Unit = {
+    ensureParquetWriteConf(tgt.spark)
     val incoming1 = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
     if (incoming1.isEmpty) return
 

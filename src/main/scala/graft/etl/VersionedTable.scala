@@ -159,11 +159,9 @@ object VersionedTable {
             b.getColumns.asScala
               .find(_.getPath.toDotString == Loader.IdCol)
               .map(_.getStatistics) match {
-              case Some(s) if s != null && s.hasNonNullValue =>
-                val m = s.genericGetMax match {
-                  case n: java.lang.Number => n.longValue
-                  case other => other.toString.toLong
-                }
+              case Some(s) if s != null && s.hasNonNullValue &&
+                  s.genericGetMax.isInstanceOf[java.lang.Number] =>
+                val m = s.genericGetMax.asInstanceOf[java.lang.Number].longValue
                 best = Some(best.fold(m)(math.max(_, m)))
               case _ =>
                 // a populated block with no usable id stats: an
@@ -223,6 +221,7 @@ object VersionedTable {
   private def loadAttempt(tgt: Catalog, table: String, incoming: DataFrame,
                           upsertFields: Seq[String], idOrder: Seq[String],
                           ensure: Boolean, safe: Boolean): Option[Long] = {
+    Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     val existing = cur.map(v => readVersion(tgt, table, v))
     val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
@@ -288,6 +287,7 @@ object VersionedTable {
     * compliance deletes need). Returns the committed version.
     */
   def delete(tgt: Catalog, table: String, cond: org.apache.spark.sql.Column): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val cur = currentVersion(tgt, table).getOrElse(

@@ -223,12 +223,15 @@ object ParquetSource {
                 val s = c.getStatistics
                 if (s == null || !s.hasNonNullValue) {
                   if (b.getRowCount > 0) return None // rows without stats
-                } else {
-                  val m = s.genericGetMax match {
-                    case n: java.lang.Number => n.longValue
-                    case other => other.toString.toLong
-                  }
-                  best = Some(best.fold(m)(math.max(_, m)))
+                } else s.genericGetMax match {
+                  case n: java.lang.Number =>
+                    val m = n.longValue
+                    best = Some(best.fold(m)(math.max(_, m)))
+                  case _ =>
+                    // non-numeric statistics (e.g. INT96 timestamps carry
+                    // Binary stats, which are also unordered-unreliable):
+                    // no metadata answer — caller scans
+                    return None
                 }
               case None => // file predates the column (schema evolution)
             }
