@@ -309,6 +309,40 @@ object VersionedTable {
       s"versioned delete on '$table' lost the commit race $MaxCommitRetries times")
   }
 
+  /** O(1) metadata ROLLBACK: commit a NEW head version whose file list is
+    * exactly version `v`'s — no data is read, copied, or rewritten, so
+    * undoing a bad load on a 100 TB table costs one small JSON commit.
+    * History is preserved: the rolled-back-over versions stay readable
+    * (and vacuumable) like any others, and the audit trail shows the
+    * rollback as its own version rather than pretending it never
+    * happened. The id floor carries over from `v`'s manifest (or its
+    * files' footer stats), so a later load continues ids from the
+    * restored state. Same optimistic CAS as [[load]]. Returns the new
+    * head version.
+    */
+  def rollback(tgt: Catalog, table: String, v: Long): Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      require(versions(tgt, table).contains(v),
+        s"table '$table' has no version $v to roll back to")
+      if (v == cur) return cur // already there: nothing to commit
+      val abs = manifestFiles(tgt, table, v)
+      val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
+      val rel = abs.map { a =>
+        val p = new Path(a).toUri.getPath
+        p.substring(base.length + 1)
+      }
+      val maxId = manifestMaxId(tgt, table, v).orElse(footerMaxId(tgt, abs))
+      preCommitHook()
+      if (tryCommitManifest(tgt, table, cur + 1, rel, maxId)) return cur + 1
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned rollback on '$table' lost the commit race $MaxCommitRetries times")
+  }
+
   /** Absolute data-file paths version `v` references (audit/spec surface:
     * an append's manifest is a superset of its parent's — files shared, not
     * rewritten). */

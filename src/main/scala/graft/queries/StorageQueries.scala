@@ -215,6 +215,27 @@ object StorageQueries {
       MaterializedAgg.read(viewTgt, "v", gb, aggs)
         .where(col("n_rows") > 0)
         .orderBy("o_orderstatus")
+    },
+
+    // F19 rollback: undo a bad delete with an O(1) metadata commit — the
+    // restored head must read back EXACTLY the pre-mistake state (the
+    // oracle replays it), with the mistake still in history as its own
+    // version. No data is read or rewritten by the rollback itself.
+    "q_rollback" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 1500")
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 1000),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") > 1000),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.delete(tgt, "t", col("o_orderkey") > 500) // the mistake
+      VersionedTable.rollback(tgt, "t", 2L)
+      VersionedTable.read(tgt, "t")
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
     }
   )
 
@@ -304,6 +325,18 @@ object StorageQueries {
          |  CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents
          |FROM c4
          |GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus""".stripMargin
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_rollback" ->
+      """WITH r1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 1000),
+        |     r2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey > 1000 AND o_orderkey <= 1500),
+        |     s1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, r1.* FROM r1),
+        |     s2 AS (SELECT * FROM s1
+        |            UNION ALL
+        |            SELECT (SELECT count(*) FROM r1) + row_number() OVER (ORDER BY o_orderkey) AS id,
+        |                   r2.* FROM r2)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM s2 ORDER BY id""".stripMargin
   )
 }

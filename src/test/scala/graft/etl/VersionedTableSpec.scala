@@ -154,6 +154,32 @@ class VersionedTableSpec extends SparkSpec {
       Set("base", "w1", "w2", "w3", "w4"))
   }
 
+  test("rollback is a metadata commit restoring a prior state; ids continue from it") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t", Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", Seq((3L, "c")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.delete(tgt, "t", lit(true)) // v3: the mistake — all rows gone
+    assert(VersionedTable.read(tgt, "t").count() == 0L)
+    val dataBefore = VersionedTable.files(tgt, "t", 2L).toSet
+
+    val newV = VersionedTable.rollback(tgt, "t", 2L)
+    assert(newV == 4L)
+    // the restored head IS v2's file set — zero data movement
+    assert(VersionedTable.files(tgt, "t", 4L).toSet == dataBefore)
+    assert(VersionedTable.read(tgt, "t").orderBy("id")
+      .as[(Long, Long, String)].collect.toSeq ==
+      Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c")))
+    // the rolled-back-over version remains part of history
+    assert(VersionedTable.readVersion(tgt, "t", 3L).count() == 0L)
+    // a load after rollback continues ids from the restored state
+    VersionedTable.load(tgt, "t", Seq((4L, "d")).toDF("k", "s"), idOrder = Seq("k"))
+    assert(VersionedTable.read(tgt, "t").agg(max(col("id"))).head().getLong(0) == 4L)
+    // rolling back to the current head is a no-op commit
+    assert(VersionedTable.rollback(tgt, "t", 5L) == 5L)
+    assert(VersionedTable.versions(tgt, "t") == (1L to 5L))
+  }
+
   test("schema evolution on append rewrites into the widened schema") {
     val tgt = freshCat()
     VersionedTable.load(tgt, "t", Seq((1L, "a")).toDF("k", "s"), idOrder = Seq("k"))
