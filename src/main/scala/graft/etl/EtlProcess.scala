@@ -161,25 +161,37 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     t.schema(pk).dataType match {
       case LongType | IntegerType | ShortType =>
         statMax.map(String.valueOf)
-      case TimestampType =>
-        // INT64 micros; render micro-precision in the SESSION zone, the
-        // exact string date_format would have produced
-        statMax.map { us =>
-          val zone = java.time.ZoneId.of(spark.conf.get(
-            "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-          val ldt = java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)
-            .atZone(zone).toLocalDateTime
-          "TIMESTAMP '" + ldt.format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")) + "'"
-        }
-      case TimestampNTZType =>
-        // NTZ stats are wall-clock micros — no zone shift on render
-        statMax.map { us =>
-          val ldt = java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC)
-          "TIMESTAMP '" + ldt.format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")) + "'"
+      case TimestampType | TimestampNTZType =>
+        // The stat is a raw long in whatever unit AND frame the FILE's
+        // annotation declares — which the surfaced Spark type no longer
+        // reveals (ParquetSource.read normalizes NTZ to TimestampType), so
+        // read the annotation itself. Adjusted-to-UTC micros are an
+        // instant: render in the session zone, the exact string
+        // date_format produces. NTZ micros are wall-clock: render as-is
+        // (the boundary cast reinterprets the wall-clock in the session
+        // zone, and date_format maps it straight back — zone-free). Any
+        // other unit (millis/nanos writers) or a missing annotation
+        // (INT96): no metadata answer, scan.
+        path.flatMap(p => graft.sources.ParquetSource
+          .timestampAnnotation(spark, p, pk)) match {
+          case Some((adjustedUtc, "MICROS")) =>
+            statMax.map { us =>
+              val ldt =
+                if (adjustedUtc) {
+                  val zone = java.time.ZoneId.of(spark.conf.get(
+                    "spark.sql.session.timeZone",
+                    java.util.TimeZone.getDefault.getID))
+                  java.time.Instant.EPOCH
+                    .plus(us, java.time.temporal.ChronoUnit.MICROS)
+                    .atZone(zone).toLocalDateTime
+                } else java.time.LocalDateTime.ofEpochSecond(
+                  Math.floorDiv(us, 1000000L),
+                  (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                  java.time.ZoneOffset.UTC)
+              "TIMESTAMP '" + ldt.format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")) + "'"
+            }
+          case _ => None
         }
       case DateType =>
         statMax.map(days => "DATE '" + java.time.LocalDate.ofEpochDay(days) + "'")

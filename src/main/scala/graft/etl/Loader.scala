@@ -417,7 +417,8 @@ object Loader {
   private def shard(df: DataFrame, targetFileBytes: Option[Long],
                     partCols: Seq[String] = Nil,
                     clusterBy: Seq[String] = Nil,
-                    knownTotalBytes: Option[Long] = None): DataFrame = {
+                    knownTotalBytes: Option[Long] = None,
+                    knownPartValues: Option[Long] = None): DataFrame = {
     // sized paths: the partition count comes from a caller-supplied byte
     // total when one is already known (compaction reads an existing
     // parquet table — its footers carry the size), else from the one-pass
@@ -456,9 +457,12 @@ object Loader {
           .sortWithinPartitions(cls.map(col): _*)
       case (Some(b), Nil) =>
         // sized + partitioned, no clustering: spread each leaf across
-        // enough writers to hit the file-size target
+        // enough writers to hit the file-size target. Compaction callers
+        // pass the leaf count from the DIRECTORY listing (metadata) —
+        // the distinct scan is only for frames with no layout on disk yet.
+        val nVals = knownPartValues.getOrElse(
+          math.max(1L, df.select(partCols.map(col): _*).distinct().count()))
         val n = nFor(b)
-        val nVals = math.max(1L, df.select(partCols.map(col): _*).distinct().count())
         val perPart = math.max(1L, math.ceil(n.toDouble / nVals).toLong)
         df.repartition(n,
           partCols.map(col) :+ pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(perPart)): _*)
@@ -497,14 +501,25 @@ object Loader {
       else tgt.table(table)
     // compact + clusterBy = the re-clustering pass: incremental appends land
     // unsorted, a periodic clustered compaction restores the zone-map layout.
-    // Output sizing comes from the existing files' FOOTER byte totals —
-    // metadata-only — so compaction reads the table exactly once (the
-    // aggregation probe would be a second full scan of the same data).
+    // Output sizing comes from the existing files' FOOTER byte totals and
+    // the leaf-partition count from the DIRECTORY listing — both metadata
+    // — so compaction reads the table exactly once (either probe would
+    // otherwise be a second full scan of the same data).
     val known = graft.sources.ParquetSource
       .footerTotalByteSize(tgt.spark, tgt.dirPath(table))
+    // a bucketed/partitioned table's leaf count comes from the directory
+    // names — partCols already includes the physical bucket column for
+    // bucketed tables (the recorded partition sidecar)
+    val knownVals =
+      if (partCols.isEmpty) None
+      else {
+        val root = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
+        val fsys = root.getFileSystem(tgt.spark.sparkContext.hadoopConfiguration)
+        Some(math.max(1L, leafPartDirs(fsys, root, partCols.size).size.toLong))
+      }
     writeAtomic(tgt, table,
       shard(ex, Some(targetFileBytes), partCols, clusterBy,
-        knownTotalBytes = Some(known)),
+        knownTotalBytes = Some(known), knownPartValues = knownVals),
       partCols, bucketSpec)
   }
 

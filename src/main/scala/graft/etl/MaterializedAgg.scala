@@ -137,9 +137,13 @@ object MaterializedAgg {
     val batchAgg = stateAgg
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val recorded = tgt.tableIfExists(view).flatMap(_ =>
+      // one table-open for both the layout lookup and the merge match —
+      // ParquetSource.read is a full metadata pass (file listing, footer
+      // probe, sidecars); per-micro-batch sinks shouldn't pay it twice
+      val existing = tgt.tableIfExists(view)
+      val recorded = existing.flatMap(_ =>
         graft.sources.ParquetSource.readBucketSpec(spark, tgt.dirPath(view)))
-      val merged = tgt.tableIfExists(view) match {
+      val merged = existing match {
         case None => batchAgg
         case Some(cur0) =>
           // view side, pruned to the buckets the batch touches when the

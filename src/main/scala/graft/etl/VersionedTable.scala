@@ -144,37 +144,14 @@ object VersionedTable {
 
   /** Max of the id column across `absFiles`, from parquet FOOTER column
     * statistics — metadata-only (no row I/O), driver cost O(new files per
-    * commit). None when any file lacks id stats (caller falls back). */
-  private def footerMaxId(tgt: Catalog, absFiles: Seq[String]): Option[Long] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import scala.jdk.CollectionConverters._
-    val conf = tgt.spark.sessionState.newHadoopConf()
-    var best: Option[Long] = None
-    absFiles.foreach { file =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
-      try {
-        r.getFooter.getBlocks.asScala.foreach { b =>
-          if (b.getRowCount > 0) {
-            b.getColumns.asScala
-              .find(_.getPath.toDotString == Loader.IdCol)
-              .map(_.getStatistics) match {
-              case Some(s) if s != null && s.hasNonNullValue &&
-                  s.genericGetMax.isInstanceOf[java.lang.Number] =>
-                val m = s.genericGetMax.asInstanceOf[java.lang.Number].longValue
-                best = Some(best.fold(m)(math.max(_, m)))
-              case _ =>
-                // a populated block with no usable id stats: an
-                // underestimated floor would reissue ids — bail out and
-                // let the caller fall back to the id-column scan
-                return None
-            }
-          }
-        }
-      } finally r.close()
-    }
-    best.orElse(Some(0L)) // an all-empty file set constrains nothing
-  }
+    * commit). None (manifest omits max_id; the next load scans) when any
+    * populated file lacks usable id stats OR the set holds no rows at all
+    * — a fabricated floor of 0 on a bail would reissue ids. Delegates to
+    * the shared strict core in
+    * [[graft.sources.ParquetSource.footerMaxLongInFiles]]. */
+  private def footerMaxId(tgt: Catalog, absFiles: Seq[String]): Option[Long] =
+    graft.sources.ParquetSource
+      .footerMaxLongInFiles(tgt.spark, absFiles, Loader.IdCol)
 
   /** Parquet part-files under `dir`, as paths relative to the data dir. */
   private def partFiles(tgt: Catalog, table: String, batchDir: Path): Seq[String] = {

@@ -548,9 +548,15 @@ object Dedup {
       iter += 1
     }
     if (!done) {
-      e.unpersist()
-      throw new IllegalStateException(
-        s"connectedComponentsStar did not converge in $maxIters rounds")
+      // before declaring non-convergence, give the degenerate case its
+      // answer: an empty edge set is trivially a star forest (reachable
+      // only when the loop never ran, i.e. maxIters == 0)
+      if (e.isEmpty) done = true
+      else {
+        e.unpersist()
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge in $maxIters rounds")
+      }
     }
     val labels = ids.select(col(idCol).as("id"))
       .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")

@@ -150,6 +150,44 @@ object ParquetSource {
     finally out.close()
   }
 
+  /** True when any path segment of `file` below `root` is hidden by
+    * Spark's convention (starts with `_` or `.`) — uncommitted
+    * `_temporary` staging data, metadata files, hidden dirs. Footer-based
+    * probes MUST honor the same filter the scan path applies: a crashed
+    * job's staged part-files contain uncommitted rows, and a watermark or
+    * size derived from them would be silently wrong in ways the
+    * scan-based fallback can never be. */
+  private def hiddenUnder(root: org.apache.hadoop.fs.Path,
+                          file: org.apache.hadoop.fs.Path): Boolean = {
+    var p = file
+    while (p != null && p != root && p.toUri.getPath != root.toUri.getPath) {
+      val n = p.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      p = p.getParent
+    }
+    false
+  }
+
+  /** Non-hidden `*.parquet` files under `path` (file or directory),
+    * recursive, with the scan path's hidden-segment filter applied. */
+  private def visibleParquetFiles(spark: SparkSession, path: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !hiddenUnder(root, st.getPath))
+        out += st.getPath
+    }
+    out.toSeq
+  }
+
   /** Sum of every row group's total (uncompressed, encoded) byte size
     * across all parquet files under `path`, recursively — a metadata-only
     * size estimate. Lets compaction size its output from the table it is
@@ -158,22 +196,14 @@ object ParquetSource {
     * is O(table)).
     */
   def footerTotalByteSize(spark: SparkSession, path: String): Long = {
-    import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
     var total = 0L
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-        try r.getFooter.getBlocks.asScala.foreach(b => total += b.getTotalByteSize)
-        finally r.close()
-      }
+    visibleParquetFiles(spark, path).foreach { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getFooter.getBlocks.asScala.foreach(b => total += b.getTotalByteSize)
+      finally r.close()
     }
     total
   }
@@ -192,28 +222,25 @@ object ParquetSource {
     */
   def footerMaxLong(spark: SparkSession, path: String, column: String,
                     maxFiles: Int = 4096): Option[Long] = {
+    val files = visibleParquetFiles(spark, path)
+    if (files.isEmpty || files.length > maxFiles) None
+    else footerMaxLongInFiles(spark, files.map(_.toString), column)
+  }
+
+  /** [[footerMaxLong]] over an EXPLICIT file list (e.g. a versioned
+    * table's manifest) — the shared strict core: bails to None when any
+    * populated row group lacks usable numeric statistics for `column`
+    * (an underestimated max would silently reissue ids / skip rows). */
+  def footerMaxLongInFiles(spark: SparkSession, files: Seq[String],
+                           column: String): Option[Long] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return None
-    val files = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
-        files += st.getPath
-        if (files.length > maxFiles) return None
-      }
-    }
-    if (files.isEmpty) return None
     var best: Option[Long] = None
     var sawColumn = false
     files.foreach { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f), conf))
       try {
         r.getFooter.getBlocks.asScala.foreach { b =>
           if (b.getRowCount > 0) {
@@ -222,7 +249,7 @@ object ParquetSource {
                 sawColumn = true
                 val s = c.getStatistics
                 if (s == null || !s.hasNonNullValue) {
-                  if (b.getRowCount > 0) return None // rows without stats
+                  return None // populated rows without stats: no safe answer
                 } else s.genericGetMax match {
                   case n: java.lang.Number =>
                     val m = n.longValue
@@ -239,7 +266,34 @@ object ParquetSource {
         }
       } finally r.close()
     }
-    if (!sawColumn) None else best.orElse(None)
+    if (!sawColumn) None else best
+  }
+
+  /** The parquet timestamp logical annotation of `column` in the first
+    * visible file under `path`: Some((isAdjustedToUTC, unit)) with unit ∈
+    * MILLIS|MICROS|NANOS, or None when the file/column is absent or not
+    * timestamp-annotated (e.g. INT96). Footer statistics are raw longs in
+    * the annotation's unit AND frame (instant vs wall-clock) — consumers
+    * must read this to interpret them. First-file probe: graft writers
+    * produce uniform annotations; mixed-writer tables fall out at the
+    * stats-bail layer. */
+  def timestampAnnotation(spark: SparkSession, path: String,
+                          column: String): Option[(Boolean, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val file = visibleParquetFiles(spark, path).headOption.getOrElse(return None)
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = r.getFooter.getFileMetaData.getSchema
+      schema.getFields.asScala.find(f => f.isPrimitive && f.getName == column)
+        .flatMap(_.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            Some((t.isAdjustedToUTC, t.getUnit.toString))
+          case _ => None
+        })
+    } finally r.close()
   }
 
   /** Names of top-level INT64 TIMESTAMP(NANOS) columns, from the footer of

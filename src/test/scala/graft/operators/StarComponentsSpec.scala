@@ -62,4 +62,12 @@ class StarComponentsSpec extends SparkSpec {
     val got = labelsOf(Seq(1L, 2L, 3L, 4L, 5L), Seq((4L, 2L), (2L, 1L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L, 5L -> 5L))
   }
+
+  test("empty edge set converges even with maxIters = 0") {
+    val got = Dedup.connectedComponentsStar(
+        Seq(5L, 7L).toDF("id"), "id",
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), maxIters = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 7L -> 7L))
+  }
 }
