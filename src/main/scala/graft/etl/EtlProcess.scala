@@ -149,7 +149,7 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
     * silently skip rows. Falls back (None) for non-parquet stores,
     * missing stats, too many files, or empty tables.
     */
-  private def footerWatermarkLiteral(t: DataFrame, pk: String): Option[String] = {
+  private[etl] def footerWatermarkLiteral(t: DataFrame, pk: String): Option[String] = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
       ShortType, TimestampNTZType, TimestampType}
     val path = tgt match {

@@ -38,6 +38,41 @@ class NtzWatermarkSpec extends SparkSpec {
     assert(lit === "TIMESTAMP '1970-01-01 00:00:00'")
   }
 
+  test("footer and scan watermark paths agree in a NON-UTC session, NTZ and UTC targets") {
+    import org.apache.spark.sql.functions.col
+    val oldTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val dir = tmpDir("wmzone")
+      val tgt = new Catalog(spark, dir)
+
+      // target A: externally-written NTZ parquet (the pandas-writer shape)
+      import spark.implicits._
+      Seq("2024-03-05 08:30:45.123456", "2024-03-06 21:00:00.000009")
+        .toDF("s").select(col("s").cast(TimestampNTZType).as("ts"))
+        .coalesce(1).write.parquet(s"$dir/ntz_t")
+      val pA = new EtlProcess(new Catalog(spark, SfDir), tgt, "ntz_t")
+      val tA = tgt.table("ntz_t")
+      val scanA = pA.watermarkLiteral(tA, "ts", sparkDialect = true)
+      val footA = pA.footerWatermarkLiteral(tA, "ts")
+      // NTZ stats are wall-clock: both paths must render the wall-clock max
+      assert(scanA == "TIMESTAMP '2024-03-06 21:00:00.000009'", scanA)
+      assert(footA.contains(scanA), s"footer=$footA scan=$scanA")
+
+      // target B: loader-written (adjusted-UTC micros) — paths must agree
+      // on the zone-shifted rendering too
+      val pB = new EtlProcess(new Catalog(spark, SfDir), tgt, "utc_t")
+      Loader.load(tgt, "utc_t",
+        Seq("2024-03-05 08:30:45.123456").toDF("s")
+          .select(col("s").cast("timestamp").as("ts")),
+        idOrder = Seq("ts"))
+      val tB = tgt.table("utc_t")
+      val scanB = pB.watermarkLiteral(tB, "ts", sparkDialect = true)
+      val footB = pB.footerWatermarkLiteral(tB, "ts")
+      assert(footB.contains(scanB), s"footer=$footB scan=$scanB")
+    } finally spark.conf.set("spark.sql.session.timeZone", oldTz)
+  }
+
   test("incremental timestamp extract round-trips end-to-end on staged events") {
     val p = proc
     p.idOrder = Seq("event_id")
