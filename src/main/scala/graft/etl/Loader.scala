@@ -505,6 +505,8 @@ object Loader {
     // the leaf-partition count from the DIRECTORY listing — both metadata
     // — so compaction reads the table exactly once (either probe would
     // otherwise be a second full scan of the same data).
+    // None above the footer-sweep file cap → shard falls back to its
+    // aggregation probe (one distributed pass beats 100k serial footers)
     val known = graft.sources.ParquetSource
       .footerTotalByteSize(tgt.spark, tgt.dirPath(table))
     // a bucketed/partitioned table's leaf count comes from the directory
@@ -519,7 +521,7 @@ object Loader {
       }
     writeAtomic(tgt, table,
       shard(ex, Some(targetFileBytes), partCols, clusterBy,
-        knownTotalBytes = Some(known), knownPartValues = knownVals),
+        knownTotalBytes = known, knownPartValues = knownVals),
       partCols, bucketSpec)
   }
 
@@ -546,11 +548,12 @@ object Loader {
         graft.sources.ParquetSource.read(tgt.spark, tgt.dirPath(table), keepBucket = true)
       else tgt.table(table)
     val z = graft.operators.ZOrder.zValue(ex, cols, bitsPerCol)
-    // footer-based sizing: one table read total (see compact)
+    // footer-based sizing: one table read total (see compact); None above
+    // the file cap → shard's aggregation probe
     val known = graft.sources.ParquetSource
       .footerTotalByteSize(tgt.spark, tgt.dirPath(table))
     val laid = shard(ex.withColumn("__zc", z), Some(targetFileBytes), partCols,
-      clusterBy = Seq("__zc"), knownTotalBytes = Some(known)).drop("__zc")
+      clusterBy = Seq("__zc"), knownTotalBytes = known).drop("__zc")
     writeAtomic(tgt, table, laid, partCols, bucketSpec)
   }
 

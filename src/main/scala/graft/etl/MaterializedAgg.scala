@@ -137,15 +137,16 @@ object MaterializedAgg {
     val batchAgg = stateAgg
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // one table-open for both the layout lookup and the merge match —
-      // ParquetSource.read is a full metadata pass (file listing, footer
-      // probe, sidecars); per-micro-batch sinks shouldn't pay it twice
-      val existing = tgt.tableIfExists(view)
+      // existence is a path check, not a table-open: ParquetSource.read is
+      // a full metadata pass (file listing, footer probe, sidecars), and
+      // BOTH merge branches below do their own open — per-micro-batch
+      // sinks must pay exactly one
+      val existing = tgt.resolve(view)
       val recorded = existing.flatMap(_ =>
         graft.sources.ParquetSource.readBucketSpec(spark, tgt.dirPath(view)))
       val merged = existing match {
         case None => batchAgg
-        case Some(cur0) =>
+        case Some(_) =>
           // view side, pruned to the buckets the batch touches when the
           // recorded layout allows it (bucket keys == group keys): the
           // touched-id probe is one small job over the batch aggregate,
@@ -159,7 +160,7 @@ object MaterializedAgg {
                 .read(spark, tgt.dirPath(view), keepBucket = true)
                 .where(col(Loader.BucketCol).isin(touched: _*))
                 .drop(Loader.BucketCol)
-            case _ => cur0 // flat legacy view (or foreign layout): full read
+            case _ => tgt.table(view) // flat legacy view: full read
           }
           val cur = if (viewSlice.columns.contains(Loader.IdCol))
             viewSlice.drop(Loader.IdCol) else viewSlice

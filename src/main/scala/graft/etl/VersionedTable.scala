@@ -114,7 +114,18 @@ object VersionedTable {
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => false
         }
-      } else !f.exists(fin) && f.rename(tmp, fin)
+      } else if (f.exists(fin)) false
+      else if (f.rename(tmp, fin)) true
+      else if (f.exists(fin)) false // raced: the winner landed mid-rename
+      else {
+        // a rename failure with NO winning manifest is not contention —
+        // quota, permissions, a vacuumed tmp. Retrying would re-stage the
+        // full batch up to MaxCommitRetries times and then blame a
+        // phantom race; surface the real failure immediately.
+        f.delete(tmp, false)
+        throw new java.io.IOException(
+          s"manifest commit rename failed (not a version conflict): $fin")
+      }
     if (f.getScheme == "file" || !won) f.delete(tmp, false)
     won
   }
@@ -125,6 +136,20 @@ object VersionedTable {
   private[etl] var preCommitHook: () => Unit = () => ()
 
   private val MaxCommitRetries = 20
+
+  /** The shared optimistic-retry shell: run `attempt` (stage + CAS; None =
+    * lost the race) until it commits or the retry budget is spent — ONE
+    * copy of the loop for load, delete, and rollback. */
+  private def commitWithRetry(table: String, what: String)
+                             (attempt: () => Option[Long]): Long = {
+    var i = 0
+    while (i < MaxCommitRetries) {
+      attempt().foreach(v => return v)
+      i += 1
+    }
+    throw new java.io.IOException(
+      s"versioned $what on '$table' lost the commit race $MaxCommitRetries times")
+  }
 
   private val MaxIdRe = """"max_id"\s*:\s*(\d+)""".r
 
@@ -184,14 +209,8 @@ object VersionedTable {
     // first — discard the staged files (their ids and merge inputs are
     // stale) and re-merge against the NEW head, so both writers' rows
     // survive as consecutive versions.
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
-      loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe)
-        .foreach(v => return v)
-      attempt += 1
-    }
-    throw new java.io.IOException(
-      s"versioned load of '$table' lost the commit race $MaxCommitRetries times")
+    commitWithRetry(table, "load")(() =>
+      loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe))
   }
 
   /** One optimistic attempt; None = lost the manifest CAS. */
@@ -265,8 +284,7 @@ object VersionedTable {
     */
   def delete(tgt: Catalog, table: String, cond: org.apache.spark.sql.Column): Long = {
     Loader.ensureParquetWriteConf(tgt.spark)
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
+    commitWithRetry(table, "delete") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val out = readVersion(tgt, table, cur).where(!coalesce(cond, lit(false)))
@@ -278,12 +296,12 @@ object VersionedTable {
       val newAbs = rel.map(r => new Path(dataDir(tgt, table), r).toString)
       preCommitHook()
       if (tryCommitManifest(tgt, table, newV, rel, footerMaxId(tgt, newAbs)))
-        return newV
-      fs(tgt, dataDir(tgt, table)).delete(batch, true)
-      attempt += 1
+        Some(newV)
+      else {
+        fs(tgt, dataDir(tgt, table)).delete(batch, true)
+        None
+      }
     }
-    throw new java.io.IOException(
-      s"versioned delete on '$table' lost the commit race $MaxCommitRetries times")
   }
 
   /** O(1) metadata ROLLBACK: commit a NEW head version whose file list is
@@ -297,28 +315,26 @@ object VersionedTable {
     * restored state. Same optimistic CAS as [[load]]. Returns the new
     * head version.
     */
-  def rollback(tgt: Catalog, table: String, v: Long): Long = {
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
+  def rollback(tgt: Catalog, table: String, v: Long): Long =
+    commitWithRetry(table, "rollback") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       require(versions(tgt, table).contains(v),
         s"table '$table' has no version $v to roll back to")
-      if (v == cur) return cur // already there: nothing to commit
-      val abs = manifestFiles(tgt, table, v)
-      val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
-      val rel = abs.map { a =>
-        val p = new Path(a).toUri.getPath
-        p.substring(base.length + 1)
+      if (v == cur) Some(cur) // already there: nothing to commit
+      else {
+        val abs = manifestFiles(tgt, table, v)
+        val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
+        val rel = abs.map { a =>
+          val p = new Path(a).toUri.getPath
+          p.substring(base.length + 1)
+        }
+        val maxId = manifestMaxId(tgt, table, v).orElse(footerMaxId(tgt, abs))
+        preCommitHook()
+        if (tryCommitManifest(tgt, table, cur + 1, rel, maxId)) Some(cur + 1)
+        else None
       }
-      val maxId = manifestMaxId(tgt, table, v).orElse(footerMaxId(tgt, abs))
-      preCommitHook()
-      if (tryCommitManifest(tgt, table, cur + 1, rel, maxId)) return cur + 1
-      attempt += 1
     }
-    throw new java.io.IOException(
-      s"versioned rollback on '$table' lost the commit race $MaxCommitRetries times")
-  }
 
   /** Absolute data-file paths version `v` references (audit/spec surface:
     * an append's manifest is a superset of its parent's — files shared, not

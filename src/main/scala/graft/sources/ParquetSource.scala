@@ -162,7 +162,10 @@ object ParquetSource {
     var p = file
     while (p != null && p != root && p.toUri.getPath != root.toUri.getPath) {
       val n = p.getName
-      if (n.startsWith("_") || n.startsWith(".")) return true
+      // Spark's own rule (shouldFilterOutPathName): '_' hides EXCEPT when
+      // the name carries a partition '=' — Hive partition dirs like
+      // `__gbucket=3` are data; `_temporary`, `_SUCCESS`, dotfiles are not
+      if ((n.startsWith("_") && !n.contains("=")) || n.startsWith(".")) return true
       p = p.getParent
     }
     false
@@ -193,19 +196,25 @@ object ParquetSource {
     * size estimate. Lets compaction size its output from the table it is
     * ABOUT to read instead of paying a full extra aggregation scan for the
     * same number (at 100 TB, footer reads are O(files); the avoided scan
-    * is O(table)).
+    * is O(table)). None above `maxFiles`: a serial driver-side footer
+    * sweep over a severely small-file-bloated table — compaction's own
+    * motivating case — would cost more than the one distributed
+    * aggregation pass the caller falls back to.
     */
-  def footerTotalByteSize(spark: SparkSession, path: String): Long = {
+  def footerTotalByteSize(spark: SparkSession, path: String,
+                          maxFiles: Int = 4096): Option[Long] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
+    val files = visibleParquetFiles(spark, path)
+    if (files.length > maxFiles) return None
     var total = 0L
-    visibleParquetFiles(spark, path).foreach { f =>
+    files.foreach { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try r.getFooter.getBlocks.asScala.foreach(b => total += b.getTotalByteSize)
       finally r.close()
     }
-    total
+    Some(total)
   }
 
   /** Max of a LongType column across all parquet files under `path`
@@ -269,31 +278,47 @@ object ParquetSource {
     if (!sawColumn) None else best
   }
 
-  /** The parquet timestamp logical annotation of `column` in the first
-    * visible file under `path`: Some((isAdjustedToUTC, unit)) with unit ∈
-    * MILLIS|MICROS|NANOS, or None when the file/column is absent or not
-    * timestamp-annotated (e.g. INT96). Footer statistics are raw longs in
-    * the annotation's unit AND frame (instant vs wall-clock) — consumers
-    * must read this to interpret them. First-file probe: graft writers
-    * produce uniform annotations; mixed-writer tables fall out at the
-    * stats-bail layer. */
-  def timestampAnnotation(spark: SparkSession, path: String,
-                          column: String): Option[(Boolean, String)] = {
+  /** The parquet timestamp logical annotation of `column`, verified
+    * UNIFORM across EVERY visible file under `path`:
+    * Some((isAdjustedToUTC, unit)) with unit ∈ MILLIS|MICROS|NANOS, or
+    * None when the column is absent anywhere, any file is not
+    * timestamp-annotated (e.g. INT96), the files DISAGREE, or there are
+    * more than `maxFiles`. Footer statistics are raw longs in the
+    * annotation's unit AND frame (instant vs wall-clock), so a
+    * first-file-only probe over a mixed-writer table (NANOS bootstrap +
+    * MICROS appends, or NTZ + adjusted) would mis-scale or zone-shift a
+    * max computed across all of them — uniformity is part of the answer,
+    * not an assumption. */
+  def timestampAnnotation(spark: SparkSession, path: String, column: String,
+                          maxFiles: Int = 4096): Option[(Boolean, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sessionState.newHadoopConf()
-    val file = visibleParquetFiles(spark, path).headOption.getOrElse(return None)
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = r.getFooter.getFileMetaData.getSchema
-      schema.getFields.asScala.find(f => f.isPrimitive && f.getName == column)
-        .flatMap(_.getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            Some((t.isAdjustedToUTC, t.getUnit.toString))
-          case _ => None
-        })
-    } finally r.close()
+    val files = visibleParquetFiles(spark, path)
+    if (files.isEmpty || files.length > maxFiles) return None
+    var agreed: Option[(Boolean, String)] = None
+    files.foreach { file =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      val ann = try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        schema.getFields.asScala.find(f => f.isPrimitive && f.getName == column)
+          .flatMap(_.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              Some((t.isAdjustedToUTC, t.getUnit.toString))
+            case _ => None
+          })
+      } finally r.close()
+      ann match {
+        case None => return None
+        case some => agreed match {
+          case None => agreed = some
+          case Some(a) if some.contains(a) => // consistent
+          case _ => return None // mixed units/frames: no safe rendering
+        }
+      }
+    }
+    agreed
   }
 
   /** Names of top-level INT64 TIMESTAMP(NANOS) columns, from the footer of

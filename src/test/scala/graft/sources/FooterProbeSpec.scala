@@ -28,11 +28,25 @@ class FooterProbeSpec extends SparkSpec {
 
     // the byte-total probe honors the same filter
     val committedBytes = ParquetSource.footerTotalByteSize(spark, dir)
-    assert(committedBytes > 0)
+    assert(committedBytes.exists(_ > 0))
     val fresh = tmpDir("fps2")
     (1L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
       .coalesce(1).write.mode("overwrite").parquet(fresh)
     assert(committedBytes == ParquetSource.footerTotalByteSize(spark, fresh))
+  }
+
+  test("probes see files under partition dirs, including the bucket column's") {
+    // Hive partition dirs carry '=' in the name — Spark's hidden-path rule
+    // exempts them even when they start with '_' (the physical bucket
+    // column __gbucket=N); probes must apply the SAME exemption or every
+    // bucketed table silently loses its footer answers
+    val dir = tmpDir("fpsb")
+    Seq((1L, "a")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t/__gbucket=0")
+    Seq((9L, "b")).toDF("id", "s").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t/__gbucket=1")
+    assert(ParquetSource.footerMaxLong(spark, s"$dir/t", "id").contains(9L))
+    assert(ParquetSource.footerTotalByteSize(spark, s"$dir/t").exists(_ > 0))
   }
 
   test("footerMaxLong bails on columns without usable numeric statistics") {
