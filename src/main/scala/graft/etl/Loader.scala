@@ -304,7 +304,7 @@ object Loader {
 
   /** Same column name→type map (order-insensitive — a partitioned read
     * surfaces partition columns last). */
-  private def sameColumnSet(ex: DataFrame, incoming: DataFrame): Boolean = {
+  private[etl] def sameColumnSet(ex: DataFrame, incoming: DataFrame): Boolean = {
     val exM = ex.schema.fields.map(f => f.name -> f.dataType).toMap
     val inM = incoming.schema.fields.map(f => f.name -> f.dataType).toMap + (IdCol -> LongType)
     exM == inM

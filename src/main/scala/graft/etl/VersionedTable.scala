@@ -25,13 +25,27 @@ import org.apache.hadoop.fs.Path
   *   - `vacuum` deletes files unreferenced by any retained manifest —
   *     storage reclamation is decoupled from logical deletion.
   *
+  * LAYOUT COMPOSITION: a versioned table can carry the Loader's
+  * hash-bucket layout ([[load]]'s `bucketBy`) — the layout is COMMIT
+  * METADATA (recorded in every manifest), batch files land under
+  * `batch-<uuid>/__gbucket=K/`, and an upsert whose keys cover the bucket
+  * keys rewrites ONLY the touched buckets' files: the new manifest carries
+  * every untouched bucket's files forward untouched. That merges snapshot
+  * isolation with the O(touched-buckets) write path — a 1000-row upsert
+  * into a 100 TB versioned table stages ≤ 1000 buckets' worth of rewrite
+  * instead of the whole table. (Hash bucketing subsumes the
+  * value-partitioned scoped upsert here: partition-dir layouts encode the
+  * column in the PATH, which an explicit-file-list read cannot recover, so
+  * versioned tables route scoped writes through buckets — any key column
+  * hashes.) The file-level change-feed pruning and the delete's
+  * file-match probe are layout-independent.
+  *
   * Scale notes: the manifest holds file paths only (a 100 TB table at 1 GB
   * files is a 100k-line JSON — driver-trivial); appends never touch old
-  * files; an upsert is a copy-on-write rewrite producing a fully new file
-  * set (the partition/bucket-scoped merge variants live in [[Loader]] — this
-  * layer's job is version history, and composing the two is future work).
-  * Commits are rename-atomic on the manifest file: a crash mid-write leaves
-  * a `.tmp` manifest the next load ignores; the data files it references are
+  * files. Commits go through a pluggable [[ManifestCommit]] protocol
+  * (atomic create-or-fail on filesystems, the store's own conditional put
+  * on object stores whose rename overwrites); a crash mid-write leaves a
+  * `.tmp` manifest the next load ignores; the data files it references are
   * unreachable garbage removed by the next `vacuum`.
   */
 object VersionedTable {
@@ -41,6 +55,72 @@ object VersionedTable {
 
   private def fs(tgt: Catalog, p: String) =
     new Path(p).getFileSystem(tgt.spark.sparkContext.hadoopConfiguration)
+
+  // ---------------------------------------------------------------- manifest
+
+  /** One committed version: the file list (paths relative to the data
+    * dir), the committed id floor, and the table's physical layout. */
+  private[etl] final case class Manifest(version: Long, maxId: Option[Long],
+                                         bucket: Option[(Seq[String], Int)],
+                                         files: Seq[String])
+
+  // a plain databind mapper (tree model — no reflection/module setup);
+  // jackson ships with Spark itself, so this adds no dependency
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Render a manifest as JSON — a REAL serializer, so file names
+    * containing '[', quotes, or field-shaped substrings can never corrupt
+    * the format (the previous hand-rolled writer relied on field order and
+    * bracket-free paths; ManifestFormatSpec pins the round-trip). */
+  private def renderManifest(m: Manifest): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("version", m.version)
+    m.maxId.foreach(x => root.put("max_id", x))
+    m.bucket.foreach { case (keys, n) =>
+      val arr = root.putArray("bucket_keys")
+      keys.foreach(arr.add)
+      root.put("bucket_n", n)
+    }
+    val files = root.putArray("files")
+    m.files.sorted.foreach(files.add)
+    mapper.writeValueAsBytes(root)
+  }
+
+  private def parseManifest(txt: String): Manifest = {
+    val root = mapper.readTree(txt)
+    require(root.hasNonNull("version") && root.has("files"),
+      "manifest lacks required fields (version, files)")
+    val files = {
+      val it = root.get("files").elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
+    val bucket =
+      if (root.hasNonNull("bucket_keys") && root.hasNonNull("bucket_n")) {
+        val it = root.get("bucket_keys").elements()
+        val ks = Seq.newBuilder[String]
+        while (it.hasNext) ks += it.next().asText()
+        Some((ks.result(), root.get("bucket_n").asInt()))
+      } else None
+    Manifest(root.get("version").asLong(),
+      if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
+      bucket, files)
+  }
+
+  private def manifestPath(tgt: Catalog, table: String, v: Long): Path =
+    new Path(metaDir(tgt, table), s"v$v.manifest.json")
+
+  private[etl] def readManifest(tgt: Catalog, table: String, v: Long): Option[Manifest] = {
+    val p = manifestPath(tgt, table, v)
+    val f = fs(tgt, metaDir(tgt, table))
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(parseManifest(txt))
+    }
+  }
 
   /** Versions present, ascending (empty if the table doesn't exist). */
   def versions(tgt: Catalog, table: String): Seq[Long] = {
@@ -57,83 +137,41 @@ object VersionedTable {
     versions(tgt, table).lastOption
 
   /** File list of a version's manifest (absolute paths). */
-  private def manifestFiles(tgt: Catalog, table: String, v: Long): Seq[String] = {
-    val p = new Path(metaDir(tgt, table), s"v$v.manifest.json")
-    val f = fs(tgt, metaDir(tgt, table))
-    require(f.exists(p), s"table '$table' has no version $v")
-    val in = f.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    // minimal parse of the writer's own format: one "files" array of strings
-    val arr = txt.substring(txt.indexOf('[') + 1, txt.lastIndexOf(']'))
-    arr.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty)
-      .map(rel => new Path(dataDir(tgt, table), rel).toString)
-  }
+  private def manifestFiles(tgt: Catalog, table: String, v: Long): Seq[String] =
+    readManifest(tgt, table, v)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$table' has no version $v"))
+      .files.map(rel => new Path(dataDir(tgt, table), rel).toString)
 
-  /** Attempt to commit version `v`'s manifest — the optimistic-concurrency
-    * CAS. Returns false when ANOTHER writer committed `v` first (the caller
-    * re-reads the head and retries its merge). Two layers:
-    *
-    *   - local filesystems: hard-link the fully-written tmp manifest to the
-    *     final name — link(2) fails EEXIST ATOMICALLY, so two racing
-    *     writers can never both win (a rename would silently overwrite);
-    *   - HDFS-like stores: rename, which there fails on an existing
-    *     destination; a pre-check narrows the window on stores with
-    *     overwriting rename semantics.
-    *
-    * The tmp name carries a uuid so concurrent writers never clobber each
-    * other's staging; strays from crashed commits die in [[vacuum]].
-    */
-  private def tryCommitManifest(tgt: Catalog, table: String, v: Long,
-                                relFiles: Seq[String],
-                                maxId: Option[Long]): Boolean = {
+  /** The recorded hash-bucket layout of the table's head version, if any
+    * (spec/audit surface). */
+  def bucketSpec(tgt: Catalog, table: String): Option[(Seq[String], Int)] =
+    currentVersion(tgt, table).flatMap(v =>
+      readManifest(tgt, table, v).flatMap(_.bucket))
+
+  /** Commit protocol in force — swap in a [[ConditionalPutCommit]] for
+    * stores without atomic create-or-fail (see [[ManifestCommit]]).
+    * Dynamically scoped so concurrently-running suites can never observe
+    * each other's protocol. */
+  val commitProtocol = new scala.util.DynamicVariable[ManifestCommit](FsAtomicCommit)
+
+  /** Attempt to commit a manifest — the optimistic-concurrency CAS.
+    * False when ANOTHER writer committed this version first (the caller
+    * re-reads the head and retries its merge). */
+  private def tryCommitManifest(tgt: Catalog, table: String, m: Manifest): Boolean = {
     val f = fs(tgt, metaDir(tgt, table))
-    val md = new Path(metaDir(tgt, table))
-    f.mkdirs(md)
-    // max_id is COMMIT METADATA (the Delta-stats idea): the next load reads
-    // its id floor from one small JSON instead of scanning the id column of
-    // a 100 TB table. It must precede "files" — the minimal parser below
-    // locates the files array as the manifest's first '['.
-    val head = s"""{"version": $v""" +
-      maxId.map(m => s""", "max_id": $m""").getOrElse("")
-    val body = relFiles.sorted.map(r => "\"" + r + "\"").mkString(
-      head + """, "files": [""", ", ", "]}")
-    val fin = new Path(md, s"v$v.manifest.json")
-    if (f.exists(fin)) return false
-    val tmp = new Path(md,
-      s"v$v.manifest.json.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val won =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(fin.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else if (f.exists(fin)) false
-      else if (f.rename(tmp, fin)) true
-      else if (f.exists(fin)) false // raced: the winner landed mid-rename
-      else {
-        // a rename failure with NO winning manifest is not contention —
-        // quota, permissions, a vacuumed tmp. Retrying would re-stage the
-        // full batch up to MaxCommitRetries times and then blame a
-        // phantom race; surface the real failure immediately.
-        f.delete(tmp, false)
-        throw new java.io.IOException(
-          s"manifest commit rename failed (not a version conflict): $fin")
-      }
-    if (f.getScheme == "file" || !won) f.delete(tmp, false)
-    won
+    f.mkdirs(new Path(metaDir(tgt, table)))
+    commitProtocol.value.putIfAbsent(f, manifestPath(tgt, table, m.version),
+      renderManifest(m))
   }
 
   /** Test seam: invoked once per commit attempt, after the attempt's merge
     * is staged and before its manifest CAS — lets a spec interleave a
-    * competing writer deterministically. No-op in production. */
-  private[etl] var preCommitHook: () => Unit = () => ()
+    * competing writer deterministically. Dynamically scoped (thread-local
+    * inheritance), so a spec's hook can never leak into other suites or
+    * survive a failure inside the block. */
+  private[etl] val preCommitHook =
+    new scala.util.DynamicVariable[() => Unit](() => ())
 
   private val MaxCommitRetries = 20
 
@@ -151,22 +189,6 @@ object VersionedTable {
       s"versioned $what on '$table' lost the commit race $MaxCommitRetries times")
   }
 
-  private val MaxIdRe = """"max_id"\s*:\s*(\d+)""".r
-
-  /** The committed max surrogate id of version `v`, if the manifest
-    * recorded one (manifests written before this field fall back to an
-    * id-column scan at the next load). */
-  private def manifestMaxId(tgt: Catalog, table: String, v: Long): Option[Long] = {
-    val p = new Path(metaDir(tgt, table), s"v$v.manifest.json")
-    val f = fs(tgt, metaDir(tgt, table))
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      MaxIdRe.findFirstMatchIn(txt).map(_.group(1).toLong)
-    }
-  }
-
   /** Max of the id column across `absFiles`, from parquet FOOTER column
     * statistics — metadata-only (no row I/O), driver cost O(new files per
     * commit). None (manifest omits max_id; the next load scans) when any
@@ -178,30 +200,83 @@ object VersionedTable {
     graft.sources.ParquetSource
       .footerMaxLongInFiles(tgt.spark, absFiles, Loader.IdCol)
 
-  /** Parquet part-files under `dir`, as paths relative to the data dir. */
+  /** Hidden-path rule for walking batch dirs: Spark's own convention —
+    * `_`/`.`-prefixed names are metadata EXCEPT partition-style `name=val`
+    * dirs (which is exactly what bucket dirs `__gbucket=K` are). */
+  private def hiddenName(n: String): Boolean =
+    (n.startsWith("_") && !n.contains("=")) || n.startsWith(".")
+
+  /** Parquet part-files under `dir` (recursing through bucket subdirs), as
+    * paths relative to the data dir. */
   private def partFiles(tgt: Catalog, table: String, batchDir: Path): Seq[String] = {
     val f = fs(tgt, dataDir(tgt, table))
     val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
-    f.listStatus(batchDir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val p = st.getPath.toUri.getPath
-        require(p.startsWith(base + "/"), s"$p not under $base")
-        p.substring(base.length + 1)
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (hiddenName(n)) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (st.isFile && n.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
       }
+    walk(batchDir).map { fp =>
+      val p = fp.toUri.getPath
+      require(p.startsWith(base + "/"), s"$p not under $base")
+      p.substring(base.length + 1)
+    }
   }
+
+  /** Bucket id a relative file path encodes (`__gbucket=K` segment), None
+    * for a file written before the table was bucketed. */
+  private def bucketOfRel(rel: String): Option[Int] =
+    rel.split('/').collectFirst {
+      case seg if seg.startsWith(Loader.BucketCol + "=") =>
+        seg.stripPrefix(Loader.BucketCol + "=").toInt
+    }
+
+  /** Write `out` as a fresh batch dir (bucketed when the layout says so,
+    * so every file's path names its bucket) and return (batch dir,
+    * relative part paths). An empty result under a bucketed layout writes
+    * a flat empty file instead — a partitioned write of zero rows emits no
+    * files at all, and a version must keep at least one file so its schema
+    * survives. */
+  private def writeBatch(tgt: Catalog, table: String, out: DataFrame,
+                         bucket: Option[(Seq[String], Int)]): (Path, Seq[String]) = {
+    val uuid = java.util.UUID.randomUUID().toString
+    val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
+    bucket match {
+      case Some((keys, n)) =>
+        out.withColumn(Loader.BucketCol, Loader.bucketIdExpr(keys, n))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(Loader.BucketCol).parquet(batch.toString)
+        val rel = partFiles(tgt, table, batch)
+        if (rel.nonEmpty) (batch, rel)
+        else {
+          out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
+          (batch, partFiles(tgt, table, batch))
+        }
+      case None =>
+        out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
+        (batch, partFiles(tgt, table, batch))
+    }
+  }
+
+  // -------------------------------------------------------------------- load
 
   /** Load `incoming` as the next version. Append (no `upsertFields`) writes
     * only the new rows and the new manifest references every prior file —
     * O(batch) I/O, O(1) snapshot. With `upsertFields` the merge is
-    * copy-on-write: the merged table is written as a fresh file set and the
-    * new manifest references only it (prior versions keep reading their own
-    * files untouched). Surrogate ids continue across versions. Returns the
-    * committed version number.
+    * copy-on-write; on a table bucketed by keys the upsert covers, the
+    * rewrite is BUCKET-SCOPED (only touched buckets' files are replaced —
+    * see the class doc). Surrogate ids continue across versions. `bucketBy`
+    * on the first load lays the table out hash-bucketed; on later loads it
+    * must match the recorded layout (a flat table migrates to bucketed via
+    * one full rewrite). Returns the committed version number.
     */
   def load(tgt: Catalog, table: String, incoming0: DataFrame,
            upsertFields: Seq[String] = Nil, idOrder: Seq[String] = Nil,
-           ensure: Boolean = true, safe: Boolean = false): Long = {
+           ensure: Boolean = true, safe: Boolean = false,
+           bucketBy: Option[(Seq[String], Int)] = None): Long = {
     val incoming = if (incoming0.columns.contains(Loader.IdCol))
       incoming0.drop(Loader.IdCol) else incoming0
     // optimistic concurrency: merge against the observed head, stage the
@@ -210,61 +285,114 @@ object VersionedTable {
     // stale) and re-merge against the NEW head, so both writers' rows
     // survive as consecutive versions.
     commitWithRetry(table, "load")(() =>
-      loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe))
+      loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe,
+        bucketBy))
   }
 
   /** One optimistic attempt; None = lost the manifest CAS. */
   private def loadAttempt(tgt: Catalog, table: String, incoming: DataFrame,
                           upsertFields: Seq[String], idOrder: Seq[String],
-                          ensure: Boolean, safe: Boolean): Option[Long] = {
+                          ensure: Boolean, safe: Boolean,
+                          bucketBy: Option[(Seq[String], Int)]): Option[Long] = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
+    val headMan = cur.flatMap(v => readManifest(tgt, table, v))
+    // the recorded layout wins; a conflicting request is an error, not a
+    // silent re-layout. A flat table CAN migrate to bucketed (full
+    // rewrite, layout recorded with the commit).
+    val recorded = headMan.flatMap(_.bucket)
+    val bucket: Option[(Seq[String], Int)] = recorded match {
+      case Some(spec) =>
+        require(bucketBy.isEmpty || bucketBy.contains(spec),
+          s"versioned table '$table' is bucketed by ${spec._1.mkString(",")} " +
+            s"x ${spec._2}; cannot load with bucketBy=$bucketBy")
+        Some(spec)
+      case None => bucketBy
+    }
+    bucket.foreach { case (keys, n) =>
+      require(n >= 1, s"bucket count must be >= 1: $n")
+      require(keys.forall(incoming.columns.contains),
+        s"bucketBy key(s) absent from incoming: " +
+          keys.filterNot(incoming.columns.contains).mkString(", "))
+    }
     val existing = cur.map(v => readVersion(tgt, table, v))
     val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
     val maxId: Long = existing match {
       case Some(ex) if ex.columns.contains(Loader.IdCol) =>
         // manifest-recorded id floor first (O(1) metadata); the id-column
         // scan only for pre-max_id manifests
-        cur.flatMap(v => manifestMaxId(tgt, table, v)).getOrElse {
+        headMan.flatMap(_.maxId).getOrElse {
           val r = ex.agg(max(col(Loader.IdCol))).head()
           if (r.isNullAt(0)) 0L else r.getLong(0)
         }
       case _ => 0L
     }
-    val withIds = Loader.withSurrogateIds(incoming, maxId, order)
-    val (out, carryPrior): (DataFrame, Boolean) = existing match {
-      case None => (withIds, false)
-      case Some(ex) if upsertFields.nonEmpty =>
-        (Loader.upsertMerged(ex, incoming, upsertFields, maxId, order, ensure, safe),
-          false)
-      case Some(ex) =>
-        if (Loader.sameShape(Loader.finalSchema(ex, withIds, ensure, safe), ex.schema)
-          && Loader.sameShape(withIds.schema, ex.schema))
-          (withIds, true) // pure append: prior files stay valid as-is
+
+    // bucket-scoped upsert: recorded bucket layout + keys covered by the
+    // upsert key (a matched row can never change buckets) + unchanged
+    // column set (a partial rewrite must not evolve the table out from
+    // under the untouched buckets' files)
+    val scopedSpec: Option[(Seq[String], Int)] = (existing, recorded) match {
+      case (Some(ex), Some((keys, n)))
+        if upsertFields.nonEmpty && keys.forall(upsertFields.contains) &&
+          Loader.sameColumnSet(ex, incoming) => Some((keys, n))
+      case _ => None
+    }
+
+    val (out, carryRel): (DataFrame, Seq[String]) = (existing, scopedSpec) match {
+      case (None, _) =>
+        (Loader.withSurrogateIds(incoming, maxId, order), Nil)
+
+      case (Some(ex), Some((keys, n))) =>
+        // touched buckets: one small distinct over the batch, ≤ n values
+        val touched = incoming
+          .select(Loader.bucketIdExpr(keys, n).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val headRel = headMan.get.files
+        // a file with no bucket segment (pre-migration) has unknown keys —
+        // conservatively rewrite it
+        val (touchedRel, keepRel) = headRel.partition(r =>
+          bucketOfRel(r).map(touched.contains).getOrElse(true))
+        val slice =
+          if (touchedRel.nonEmpty)
+            tgt.spark.read.parquet(touchedRel.map(r =>
+              new Path(dataDir(tgt, table), r).toString): _*)
+          else tgt.spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), ex.schema)
+        (Loader.upsertMerged(slice, incoming, upsertFields, maxId, order,
+          ensure, safe), keepRel)
+
+      case (Some(ex), None) if upsertFields.nonEmpty =>
+        (Loader.upsertMerged(ex, incoming, upsertFields, maxId, order,
+          ensure, safe), Nil)
+
+      case (Some(ex), None) =>
+        val withIds = Loader.withSurrogateIds(incoming, maxId, order)
+        val sameSchema =
+          Loader.sameShape(Loader.finalSchema(ex, withIds, ensure, safe), ex.schema) &&
+            Loader.sameShape(withIds.schema, ex.schema)
+        // a flat→bucketed migration must rewrite everything (old files
+        // carry no bucket paths); a like-for-like append carries the
+        // parent's files forward untouched
+        val migrating = bucket.isDefined && recorded.isEmpty
+        if (sameSchema && !migrating) (withIds, headMan.get.files)
         else
           // schema evolution: rewrite so every file carries the new schema
           (Loader.unionAligned(Seq(ex, withIds),
-            Loader.finalSchema(ex, withIds, ensure, safe)), false)
+            Loader.finalSchema(ex, withIds, ensure, safe)), Nil)
     }
-    val uuid = java.util.UUID.randomUUID().toString
-    val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
-    out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
-    val newRel = partFiles(tgt, table, batch)
+
+    val (batch, newRel) = writeBatch(tgt, table, out, bucket)
     val newV = cur.getOrElse(0L) + 1L
-    val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
-    val priorRel: Seq[String] =
-      if (carryPrior) manifestFiles(tgt, table, cur.get).map { abs =>
-        val p = new Path(abs).toUri.getPath
-        p.substring(base.length + 1)
-      } else Nil
     // the committed version's max id, from the new files' footer stats
-    // (metadata-only): an append combines with the carried-over floor, a
-    // rewrite's file set holds every live id already
+    // (metadata-only), combined with the prior floor whenever prior files
+    // carry forward (their ids are ≤ the floor by construction)
     val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
     val committedMax = footerMaxId(tgt, newAbs)
-      .map(m => if (carryPrior) math.max(m, maxId) else m)
-    preCommitHook()
-    if (tryCommitManifest(tgt, table, newV, priorRel ++ newRel, committedMax))
+      .map(m => if (carryRel.nonEmpty) math.max(m, maxId) else m)
+    preCommitHook.value()
+    if (tryCommitManifest(tgt, table,
+      Manifest(newV, committedMax, bucket, carryRel ++ newRel)))
       Some(newV)
     else {
       // lost the race: the staged batch references a superseded head —
@@ -275,34 +403,63 @@ object VersionedTable {
     }
   }
 
+  // ------------------------------------------------------------------ delete
+
   /** Logical DELETE: commit a new version containing only the rows NOT
-    * matching `cond`. Copy-on-write — the surviving rows are written as a
-    * fresh file set; every prior version still reads its own files (the
-    * rows are logically gone, physically reclaimed by [[vacuum]] once no
-    * retained manifest references them — the retention/erasure split real
-    * compliance deletes need). Returns the committed version.
+    * matching `cond`. Copy-on-write AND FILE-PRUNED: a probe pass finds
+    * the files that actually CONTAIN matching rows (`input_file_name` over
+    * the pushed-down predicate — parquet row-group stats skip most files
+    * without reading rows), only those files are rewritten without their
+    * matches, and every other file carries into the new manifest untouched
+    * — O(matching files), not O(table). Every prior version still reads
+    * its own files (the rows are logically gone, physically reclaimed by
+    * [[vacuum]] once no retained manifest references them — the
+    * retention/erasure split real compliance deletes need). A delete
+    * matching nothing commits a metadata-only version (the operation stays
+    * in history). Returns the committed version.
     */
   def delete(tgt: Catalog, table: String, cond: org.apache.spark.sql.Column): Long = {
     Loader.ensureParquetWriteConf(tgt.spark)
     commitWithRetry(table, "delete") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
-      val out = readVersion(tgt, table, cur).where(!coalesce(cond, lit(false)))
-      val uuid = java.util.UUID.randomUUID().toString
-      val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
-      out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
+      val man = readManifest(tgt, table, cur).get
+      val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
+      def absOf(rel: String) = new Path(dataDir(tgt, table), rel).toUri.getPath
+      // file-match probe: which files hold at least one matching row
+      val hit: Set[String] = readVersion(tgt, table, cur)
+        .where(cond).select(input_file_name().as("f")).distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      val (hitRel, keepRel) = man.files.partition(r => hit.contains(absOf(r)))
+      preCommitHook.value()
       val newV = cur + 1L
-      val rel = partFiles(tgt, table, batch)
-      val newAbs = rel.map(r => new Path(dataDir(tgt, table), r).toString)
-      preCommitHook()
-      if (tryCommitManifest(tgt, table, newV, rel, footerMaxId(tgt, newAbs)))
-        Some(newV)
-      else {
-        fs(tgt, dataDir(tgt, table)).delete(batch, true)
-        None
+      if (hitRel.isEmpty) {
+        // nothing matches: the delete is recorded without touching a byte
+        if (tryCommitManifest(tgt, table,
+          Manifest(newV, man.maxId, man.bucket, man.files))) Some(newV)
+        else None
+      } else {
+        val survivors = tgt.spark.read
+          .parquet(hitRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
+          .where(!coalesce(cond, lit(false)))
+        val (batch, newRel) = writeBatch(tgt, table, survivors, man.bucket)
+        // the id floor NEVER decreases on delete (deleted rows' ids are
+        // not reissued — they may still be referenced by older versions);
+        // carry the recorded floor, falling back to the survivors' footers
+        val keepAbs = (keepRel ++ newRel).map(r =>
+          new Path(dataDir(tgt, table), r).toString)
+        val maxId = man.maxId.orElse(footerMaxId(tgt, keepAbs))
+        if (tryCommitManifest(tgt, table,
+          Manifest(newV, maxId, man.bucket, keepRel ++ newRel))) Some(newV)
+        else {
+          fs(tgt, dataDir(tgt, table)).delete(batch, true)
+          None
+        }
       }
     }
   }
+
+  // ---------------------------------------------------------------- rollback
 
   /** O(1) metadata ROLLBACK: commit a NEW head version whose file list is
     * exactly version `v`'s — no data is read, copied, or rewritten, so
@@ -310,10 +467,11 @@ object VersionedTable {
     * History is preserved: the rolled-back-over versions stay readable
     * (and vacuumable) like any others, and the audit trail shows the
     * rollback as its own version rather than pretending it never
-    * happened. The id floor carries over from `v`'s manifest (or its
-    * files' footer stats), so a later load continues ids from the
-    * restored state. Same optimistic CAS as [[load]]. Returns the new
-    * head version.
+    * happened. The id floor is HISTORY-GLOBAL — the max over every
+    * retained manifest's recorded floor — so ids issued by the
+    * rolled-back-over versions are never reissued after the rollback
+    * (cross-version audit joins stay unambiguous). Same optimistic CAS as
+    * [[load]]. Returns the new head version.
     */
   def rollback(tgt: Catalog, table: String, v: Long): Long =
     commitWithRetry(table, "rollback") { () =>
@@ -323,18 +481,19 @@ object VersionedTable {
         s"table '$table' has no version $v to roll back to")
       if (v == cur) Some(cur) // already there: nothing to commit
       else {
-        val abs = manifestFiles(tgt, table, v)
-        val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
-        val rel = abs.map { a =>
-          val p = new Path(a).toUri.getPath
-          p.substring(base.length + 1)
-        }
-        val maxId = manifestMaxId(tgt, table, v).orElse(footerMaxId(tgt, abs))
-        preCommitHook()
-        if (tryCommitManifest(tgt, table, cur + 1, rel, maxId)) Some(cur + 1)
+        val man = readManifest(tgt, table, v).get
+        val floors = versions(tgt, table)
+          .flatMap(w => readManifest(tgt, table, w).flatMap(_.maxId))
+        val maxId = floors.maxOption.orElse(
+          footerMaxId(tgt, manifestFiles(tgt, table, v)))
+        preCommitHook.value()
+        if (tryCommitManifest(tgt, table,
+          Manifest(cur + 1, maxId, man.bucket, man.files))) Some(cur + 1)
         else None
       }
     }
+
+  // ------------------------------------------------------------------- reads
 
   /** Absolute data-file paths version `v` references (audit/spec surface:
     * an append's manifest is a superset of its parent's — files shared, not
@@ -347,12 +506,16 @@ object VersionedTable {
     readVersion(tgt, table, currentVersion(tgt, table).getOrElse(
       throw new IllegalArgumentException(s"versioned table '$table' not found")))
 
-  /** Time travel: materialize exactly the files version `v` committed. */
+  /** Time travel: materialize exactly the files version `v` committed.
+    * (Bucket dirs are physical layout — an explicit-file-list read never
+    * surfaces a partition column, so the schema is the data schema.) */
   def readVersion(tgt: Catalog, table: String, v: Long): DataFrame = {
     val files = manifestFiles(tgt, table, v)
     require(files.nonEmpty, s"version $v of '$table' lists no files")
     tgt.spark.read.parquet(files: _*)
   }
+
+  // ------------------------------------------------------------- change feed
 
   /** Change-data-feed between two versions: one row per inserted, deleted,
     * or updated key, classified by a full-outer self-join on `keys`.
@@ -369,6 +532,13 @@ object VersionedTable {
     * against a table of any size (copy-on-write rewrites still diff their
     * full file sets, as they must — every file changed).
     *
+    * SCHEMA EVOLUTION between the versions is aligned, not rejected: a
+    * column the new version ADDED is null-filled on the old side (a row
+    * whose added column is non-null therefore reads as an update); a
+    * column the new version DROPPED contributes to change detection (a row
+    * that HAD a value in it is an update — it lost an attribute) but not
+    * to the output, whose value columns are the NEW version's schema.
+    *
     * Soundness requires each snapshot to carry at most one row per key
     * tuple (the loader upsert invariant): a duplicate key split across a
     * shared and a non-shared file would make the pruned join see only half
@@ -383,7 +553,10 @@ object VersionedTable {
     * column's OLD-side value as `<col>__old` (null for inserts) — the
     * retraction information downstream incremental consumers need (e.g.
     * [[MaterializedAgg.applyChanges]] subtracts the old contribution of an
-    * update before adding the new one). */
+    * update before adding the new one). `__old` twins follow the NEW
+    * schema (a dropped column's old values don't surface — a view
+    * aggregating a dropped column must rebuild, it cannot be retracted
+    * forward across the drop). */
   def changes(tgt: Catalog, table: String, fromV: Long, toV: Long,
               keys: Seq[String], includeOld: Boolean): DataFrame = {
     val filesA = manifestFiles(tgt, table, fromV)
@@ -399,10 +572,18 @@ object VersionedTable {
       else tgt.spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         tgt.spark.read.parquet(all.head).schema)
-    val a = side(onlyA, filesA)
+    val a0 = side(onlyA, filesA)
     val b = side(onlyB, filesB)
-    require(a.columns.sorted.sameElements(b.columns.sorted),
-      "change feed requires the two versions to share a schema")
+    require(keys.forall(k => a0.columns.contains(k) && b.columns.contains(k)),
+      "change-feed keys must exist in both versions' schemas")
+    // schema alignment (see doc): old side gains the added columns as
+    // typed nulls; dropped columns ride along for change detection only
+    val aCols = a0.columns.toSet
+    val bCols = b.columns.toSet
+    val added = b.schema.fields.toSeq.filterNot(f => aCols.contains(f.name))
+    val dropped = a0.columns.toSeq.filterNot(bCols.contains)
+    val a = added.foldLeft(a0)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
     val valCols = b.columns.toSeq.filterNot(keys.contains)
     val aR = a.columns.foldLeft(a)((d, c) =>
       if (keys.contains(c)) d else d.withColumnRenamed(c, s"__a_$c"))
@@ -414,22 +595,24 @@ object VersionedTable {
       "change feed expects loader-stamped tables (id column present)")
     val presentA = col(s"__a_${Loader.IdCol}").isNotNull
     val presentB = col(Loader.IdCol).isNotNull
-    val changed = valCols.map(c => !(col(s"__a_$c") <=> col(c))).reduce(_ || _)
+    val changed = (valCols.map(c => !(col(s"__a_$c") <=> col(c))) ++
+      dropped.map(c => col(s"__a_$c").isNotNull)).reduce(_ || _)
     val op = when(!presentA, lit("insert"))
       .when(!presentB, lit("delete"))
       .when(changed, lit("update"))
-    val outCols = keys.map(col) ++
-      b.columns.toSeq.filterNot(keys.contains).map { c =>
-        when(presentB, col(c)).otherwise(col(s"__a_$c")).as(c)
-      }
+    val outCols = keys.map(col) ++ valCols.map { c =>
+      when(presentB, col(c)).otherwise(col(s"__a_$c")).as(c)
+    }
     val oldCols =
       if (!includeOld) Nil
-      else b.columns.toSeq.filterNot(keys.contains).map { c =>
+      else valCols.map { c =>
         when(presentA, col(s"__a_$c")).as(s"${c}__old")
       }
     joined.withColumn("op", op).where(col("op").isNotNull)
       .select(col("op") +: (outCols ++ oldCols): _*)
   }
+
+  // ------------------------------------------------------------------ vacuum
 
   /** Drop manifests older than the newest `keepLast` versions and delete
     * every data file no retained manifest references. Returns the number of
@@ -446,7 +629,7 @@ object VersionedTable {
       keep.flatMap(v => manifestFiles(tgt, table, v))
         .map(r => new Path(r).toUri.getPath).toSet
     drop.foreach { v =>
-      f.delete(new Path(metaDir(tgt, table), s"v$v.manifest.json"), false)
+      f.delete(manifestPath(tgt, table, v), false)
     }
     // stray tmp manifests from crashed commits die here too (uuid-suffixed
     // staging names from the CAS path included)
@@ -455,18 +638,17 @@ object VersionedTable {
       .foreach(st => f.delete(st.getPath, false))
     val dd = new Path(dataDir(tgt, table))
     var removed = 0
-    if (f.exists(dd)) {
-      f.listStatus(dd).toSeq.filter(_.isDirectory).foreach { batch =>
-        f.listStatus(batch.getPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .foreach { st =>
-            if (!referenced.contains(st.getPath.toUri.getPath)) {
-              f.delete(st.getPath, false); removed += 1
-            }
-          }
-        if (f.listStatus(batch.getPath).isEmpty) f.delete(batch.getPath, true)
+    def sweep(p: Path): Unit = {
+      f.listStatus(p).toSeq.foreach { st =>
+        if (st.isDirectory) sweep(st.getPath)
+        else if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          !referenced.contains(st.getPath.toUri.getPath)) {
+          f.delete(st.getPath, false); removed += 1
+        }
       }
+      if (p != dd && f.listStatus(p).isEmpty) f.delete(p, true)
     }
+    if (f.exists(dd)) sweep(dd)
     removed
   }
 }

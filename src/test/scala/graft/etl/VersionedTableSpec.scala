@@ -113,16 +113,16 @@ class VersionedTableSpec extends SparkSpec {
     // commit window (the pre-commit seam); A must lose the CAS, re-merge
     // against B's head, and land as v3 — no lost update on either side
     var fired = false
-    VersionedTable.preCommitHook = () => {
+    VersionedTable.preCommitHook.withValue(() => {
       if (!fired) {
         fired = true
         VersionedTable.load(tgt, "t", Seq((2L, "writerB")).toDF("k", "s"),
           idOrder = Seq("k"))
       }
+    }) {
+      VersionedTable.load(tgt, "t", Seq((3L, "writerA")).toDF("k", "s"),
+        idOrder = Seq("k"))
     }
-    try VersionedTable.load(tgt, "t", Seq((3L, "writerA")).toDF("k", "s"),
-      idOrder = Seq("k"))
-    finally VersionedTable.preCommitHook = () => ()
     assert(fired)
     assert(VersionedTable.versions(tgt, "t") == Seq(1L, 2L, 3L))
     val head = VersionedTable.read(tgt, "t").orderBy("id")
@@ -178,6 +178,37 @@ class VersionedTableSpec extends SparkSpec {
     // rolling back to the current head is a no-op commit
     assert(VersionedTable.rollback(tgt, "t", 5L) == 5L)
     assert(VersionedTable.versions(tgt, "t") == (1L to 5L))
+  }
+
+  test("change feed aligns evolved schemas: added columns null-fill the old side") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    // v2 widens with `extra` (full rewrite) AND appends a row
+    VersionedTable.load(tgt, "t", Seq((4L, "d", 40L)).toDF("k", "s", "extra"),
+      idOrder = Seq("k"))
+    // v3 updates one row's extra
+    VersionedTable.load(tgt, "t", Seq((2L, "b", 20L)).toDF("k", "s", "extra"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val feed = VersionedTable.changes(tgt, "t", 1L, 3L, Seq("k"), includeOld = true)
+    val rows = feed.select("op", "k", "s", "extra", "s__old", "extra__old")
+      .orderBy("k")
+      .as[(String, Long, String, Option[Long], Option[String], Option[Long])]
+      .collect().toSeq
+    // k=1,3 unchanged (extra null on both sides after alignment — omitted);
+    // k=2 update (extra 20 vs old-side null-fill); k=4 insert
+    assert(rows == Seq(
+      ("update", 2L, "b", Some(20L), Some("b"), None),
+      ("insert", 4L, "d", Some(40L), None, None)))
+    // dropped columns flag rows that lost a value as updates
+    VersionedTable.load(tgt, "t",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s"),
+      upsertFields = Seq("k"), ensure = true, safe = false, idOrder = Seq("k"))
+    assert(VersionedTable.read(tgt, "t").columns.toSet == Set("id", "k", "s"))
+    val drops = VersionedTable.changes(tgt, "t", 3L, 4L, Seq("k"))
+      .select("op", "k").as[(String, Long)].collect().toSet
+    // k=2 and k=4 HAD non-null extra → updates; k=1,3 had null extra → no change
+    assert(drops == Set(("update", 2L), ("update", 4L)))
   }
 
   test("schema evolution on append rewrites into the widened schema") {
