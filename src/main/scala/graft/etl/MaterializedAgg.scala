@@ -128,10 +128,14 @@ object MaterializedAgg {
   /** Merge a pre-aggregated STATE frame (one row per touched group, state
     * columns as [[stateCols]] lays them out) into the view — the shared
     * tail of [[refresh]] (batch aggregates) and [[applyChanges]] (signed
-    * CDC deltas). */
+    * CDC deltas). Aggregates named in `replace` skip the column-wise
+    * combine: the state frame's value OVERWRITES the view's for every
+    * touched group (the splice path for re-aggregated non-retractable
+    * aggs — the frame's value is already the group's full truth). */
   private def mergeStates(tgt: Catalog, view: String, stateAgg: DataFrame,
                           groupBy: Seq[String], aggs: Seq[AggCol],
-                          numBuckets: Int, kmvK: Int): Unit = {
+                          numBuckets: Int, kmvK: Int,
+                          replace: Set[String] = Set.empty): Unit = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
     val spark = stateAgg.sparkSession
     val batchAgg = stateAgg
@@ -171,7 +175,10 @@ object MaterializedAgg {
           // touched bucket — are untouched rows the Loader merge keeps
           batchAgg.join(vR, groupBy, "left")
             .select(groupBy.map(col) ++ aggs.flatMap(a =>
-              combine(a, c => col(s"__v_$c"), c => col(c), kmvK)): _*)
+              if (replace.contains(a.as))
+                stateCols(a).map(c => col(c).as(c))
+              else
+                combine(a, c => col(s"__v_$c"), c => col(c), kmvK)): _*)
       }
       // keyed upsert through the loader's bucket-scoped merge: only the
       // touched bucket directories are rewritten, each swap rename-atomic
@@ -217,9 +224,27 @@ object MaterializedAgg {
     require(aggs.nonEmpty, "applyChanges needs at least one aggregate")
     require(aggs.forall(a => Set("sum", "count", "avg")(a.func)),
       "applyChanges supports the retractable aggregates (sum, count, avg) " +
-        s"only; got: ${aggs.map(_.func).distinct.mkString(", ")}")
+        "only; route min/max/ndv views through the snapshot overload; got: " +
+        aggs.map(_.func).distinct.mkString(", "))
+    val deltas = retractDeltas(feed, groupBy, aggs)
+    mergeStates(tgt, view, deltas, groupBy, aggs, numBuckets, kmvK = 256)
+  }
+
+  /** Signed per-group delta STATE for the retractable aggregates: each
+    * feed row contributes +new for insert, −old for delete, −old +new for
+    * update (group-keyed by each side's OWN group values, so a
+    * group-moving update retracts from the old group and adds to the new
+    * one). Shared by both [[applyChanges]] overloads. */
+  private def retractDeltas(feed: DataFrame, groupBy: Seq[String],
+                            aggs: Seq[AggCol]): DataFrame = {
     require(feed.columns.contains("op"), "feed must carry the op column")
-    require(feed.columns.exists(_.endsWith("__old")),
+    // `__old` twins are needed exactly when an aggregate reads a VALUE
+    // column (func != count): its old-side value is the retraction. A
+    // count-only view over a feed whose every column is a CDC key has no
+    // value columns to retract — a twin-less feed is then legitimate
+    // (group columns without a twin are treated as immutable keys).
+    require(aggs.forall(_.func == "count") ||
+      feed.columns.exists(_.endsWith("__old")),
       "applyChanges needs a feed built with includeOld = true — updates " +
         "cannot be retracted without their old-side values")
     // a column with an __old twin is a VALUE column (use the old side on
@@ -243,10 +268,66 @@ object MaterializedAgg {
         sum(when(col(s).isNotNull, col("__sign")).otherwise(0)).as(s"${a}__pcnt"))
       case other => throw new IllegalArgumentException(other.toString)
     }
-    val deltas = contrib.groupBy(groupBy.map(col): _*)
+    contrib.groupBy(groupBy.map(col): _*)
       .agg(deltaExprs.head, deltaExprs.tail: _*)
-    mergeStates(tgt, view, deltas, groupBy, aggs, numBuckets, kmvK = 256)
   }
+
+  /** CDC maintenance for views that ALSO carry non-retractable aggregates
+    * (`min`/`max`/`ndv` — a dropped value's rank context and a KMV
+    * buffer's seen-hashes cannot be un-seen from deltas alone). The
+    * retractable aggregates fold as signed deltas exactly as above; the
+    * non-retractable ones are RE-AGGREGATED from `snapshot` (the base
+    * table's post-change state) for the TOUCHED GROUPS ONLY and spliced
+    * over the view's values — a group the feed never mentions is never
+    * read, so the cost is O(feed + snapshot-scan-filtered-to-touched
+    * groups + touched buckets), not O(view). The touched-group semi-join
+    * predicate pushes into the snapshot scan; at 100 TB, keep the base
+    * bucketed/partitioned on (a prefix of) the group key so the filter
+    * prunes at the directory level too. A group retracted to emptiness
+    * reads back null min/max/ndv with a zero count (readers filter on the
+    * count column for "active groups only", as with the delta-only path).
+    */
+  def applyChanges(tgt: Catalog, view: String, feed: DataFrame,
+                   snapshot: DataFrame, groupBy: Seq[String],
+                   aggs: Seq[AggCol], numBuckets: Int,
+                   kmvK: Int): Unit = {
+    require(aggs.nonEmpty, "applyChanges needs at least one aggregate")
+    val (retract, reagg) = aggs.partition(a => Set("sum", "count", "avg")(a.func))
+    if (reagg.isEmpty) {
+      applyChanges(tgt, view, feed, groupBy, aggs, numBuckets)
+      return
+    }
+    (groupBy ++ reagg.map(_.src).filter(_.nonEmpty)).distinct.foreach(c =>
+      require(snapshot.columns.contains(c),
+        s"snapshot lacks column '$c' needed by the view definition"))
+    // touched groups — and the retractable deltas over exactly them. A
+    // count over lit(1) rides along even when the caller declared no
+    // retractables, purely to key the touched-group frame.
+    val deltaAggs = if (retract.nonEmpty) retract
+      else Seq(AggCol("count", "", "__touch"))
+    val deltas = retractDeltas(feed, groupBy, deltaAggs)
+    val touched = deltas.select(groupBy.map(col): _*)
+    val snapTouched = snapshot.join(touched, groupBy, "left_semi")
+    val re0 = aggregate(snapTouched, groupBy, reagg, kmvK)
+    // align the spliced KMV buffers to the view's element-NULLABLE array
+    // type (parquet reads everything nullable; the reverse cast is
+    // disallowed, so a non-nullable fresh aggregate would fail the merge)
+    val re = reagg.filter(_.func == "ndv").foldLeft(re0)((d, a) =>
+      d.withColumn(s"${a.as}__pkmv", col(s"${a.as}__pkmv").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true))))
+    val state0 = deltas.join(re, groupBy, "left")
+    val state = if (retract.isEmpty) state0.drop("__touch") else state0
+    mergeStates(tgt, view, state, groupBy, aggs,
+      numBuckets, kmvK, replace = reagg.map(_.as).toSet)
+  }
+
+  /** As above with the default layout sizing. */
+  def applyChanges(tgt: Catalog, view: String, feed: DataFrame,
+                   snapshot: DataFrame, groupBy: Seq[String],
+                   aggs: Seq[AggCol]): Unit =
+    applyChanges(tgt, view, feed, snapshot, groupBy, aggs,
+      numBuckets = 16, kmvK = 256)
 
   /** Read the view raw (id column dropped — group key + state columns). */
   def read(tgt: Catalog, view: String): DataFrame =

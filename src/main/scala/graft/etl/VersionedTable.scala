@@ -459,6 +459,59 @@ object VersionedTable {
     }
   }
 
+  /** Keyed DELETE: remove every row whose `keys` tuple appears in
+    * `keyRows` — the distributed twin of [[delete]] for CDC apply paths,
+    * where the victims arrive as a FRAME (a feed's delete rows), not a
+    * predicate. Same file pruning: a semi-join probe finds the files
+    * holding matches (row-group stats skip the rest), only those rewrite
+    * via an anti-join, everything else carries forward. The key frame
+    * never collects to the driver — both the probe and the rewrite are
+    * joins, so a million-row delete batch costs two shuffles of the
+    * MATCHED FILES' rows, not a driver-side IN-list. Returns the
+    * committed version. */
+  def deleteKeys(tgt: Catalog, table: String, keyRows: DataFrame,
+                 keys: Seq[String]): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    require(keys.nonEmpty, "deleteKeys needs at least one key column")
+    val kr = keyRows.select(keys.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try commitWithRetry(table, "deleteKeys") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      def absOf(rel: String) = new Path(dataDir(tgt, table), rel).toUri.getPath
+      // input_file_name() must bind on the SCAN side — above a join it is
+      // ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+      val hit: Set[String] = readVersion(tgt, table, cur)
+        .withColumn("__f", input_file_name())
+        .join(kr, keys, "left_semi")
+        .select(col("__f")).distinct()
+        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      val (hitRel, keepRel) = man.files.partition(r => hit.contains(absOf(r)))
+      preCommitHook.value()
+      val newV = cur + 1L
+      if (hitRel.isEmpty) {
+        if (tryCommitManifest(tgt, table,
+          Manifest(newV, man.maxId, man.bucket, man.files))) Some(newV)
+        else None
+      } else {
+        val survivors = tgt.spark.read
+          .parquet(hitRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
+          .join(kr, keys, "left_anti")
+        val (batch, newRel) = writeBatch(tgt, table, survivors, man.bucket)
+        val keepAbs = (keepRel ++ newRel).map(r =>
+          new Path(dataDir(tgt, table), r).toString)
+        val maxId = man.maxId.orElse(footerMaxId(tgt, keepAbs))
+        if (tryCommitManifest(tgt, table,
+          Manifest(newV, maxId, man.bucket, keepRel ++ newRel))) Some(newV)
+        else {
+          fs(tgt, dataDir(tgt, table)).delete(batch, true)
+          None
+        }
+      }
+    } finally kr.unpersist()
+  }
+
   // ---------------------------------------------------------------- rollback
 
   /** O(1) metadata ROLLBACK: commit a NEW head version whose file list is

@@ -217,6 +217,106 @@ object StorageQueries {
         .orderBy("o_orderstatus")
     },
 
+    // F21 versioned × bucketed layout composition: a versioned table
+    // carrying the hash-bucket layout takes BUCKET-SCOPED upserts — the
+    // v2 commit rewrites only the buckets the batch hashes into and
+    // carries every other file forward (spec-asserted file-level in
+    // VersionedBucketedSpec); the oracle replays the merged state. The
+    // 100 TB point: snapshot isolation and O(touched-buckets) writes in
+    // one layer, instead of choosing between them.
+    "q_upsert_versioned_bucketed" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 2000),
+        idOrder = Seq("o_orderkey"), bucketBy = Some((Seq("o_orderkey"), 8)))
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") > 1500 && col("o_orderkey") <= 2500)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"))
+      VersionedTable.read(tgt, "t")
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
+    },
+
+    // F17b change feed across SCHEMA EVOLUTION: v2 updates a slice, v3
+    // widens the schema and appends; the v1→v3 feed aligns the schemas
+    // (added column null-filled on the old side) instead of refusing —
+    // updates, inserts, and the widened column all land in one feed.
+    "q_change_feed_evolve" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 2000),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1000)
+          .withColumn("o_orderstatus", lit("U")),
+        upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") > 2000 && col("o_orderkey") <= 2500)
+          .withColumn("o_priok", (col("o_orderkey") % 10).cast("long")),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.changes(tgt, "t", 1L, 3L, Seq("o_orderkey"))
+        .select("op", "o_orderkey", "id", "o_orderstatus", "o_totalprice",
+          "o_priok")
+        .orderBy("o_orderkey")
+    },
+
+    // F18d: CDC-maintained view carrying NON-RETRACTABLE aggregates
+    // (min/max/ndv) — the retractables fold as signed deltas, min/max/ndv
+    // re-aggregate from the post-change snapshot for the TOUCHED GROUPS
+    // ONLY and splice over the view (spec-asserted single-bucket rewrite
+    // in MaterializedAggSpec); the result must land exactly on a fresh
+    // aggregation of v4.
+    "q_matview_cdc_minmax" -> { (spark, sfDir) =>
+      val vt = versionedFixture(spark, sfDir)
+      val viewTgt = tmpCat(spark)
+      val gb = Seq("o_orderstatus")
+      val aggs = Seq(
+        MaterializedAgg.AggCol("count", "", "n_rows"),
+        MaterializedAgg.AggCol("min", "cents", "min_cents"),
+        MaterializedAgg.AggCol("max", "cents", "max_cents"),
+        MaterializedAgg.AggCol("ndv", "o_orderkey", "ndv_ok"))
+      def withCents(d: DataFrame, c: String, out: String) =
+        d.withColumn(out, floor(col(c) * 100).cast("long"))
+      val base2 = withCents(
+        VersionedTable.readVersion(vt, "t", 2L), "o_totalprice", "cents")
+      MaterializedAgg.refresh(viewTgt, "v", base2, gb, aggs)
+      val feed = withCents(withCents(
+          VersionedTable.changes(vt, "t", 2L, 4L, Seq("o_orderkey"),
+            includeOld = true),
+          "o_totalprice", "cents"), "o_totalprice__old", "cents__old")
+      val snapshot = withCents(
+        VersionedTable.readVersion(vt, "t", 4L), "o_totalprice", "cents")
+      MaterializedAgg.applyChanges(viewTgt, "v", feed, snapshot, gb, aggs)
+      MaterializedAgg.read(viewTgt, "v", gb, aggs)
+        .where(col("n_rows") > 0)
+        .orderBy("o_orderstatus")
+    },
+
+    // ST8 streaming CDC source: the versioned table's commit history read
+    // back as version-watermarked incremental batches and drained into a
+    // MIRROR table (bootstrap + one change batch per version, idempotent
+    // keyed apply) — the mirror's head state must hash-match the source's
+    // (the oracle replays v4). The source twin of the streaming matview
+    // sink: together they close the loop table → feed → table.
+    "q_stream_cdc_source" -> { (spark, sfDir) =>
+      val vt = versionedFixture(spark, sfDir)
+      val dst = tmpCat(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+      graft.streaming.CdcSource.mirrorOnce(vt, "t", Seq("o_orderkey"),
+        dst, "m", ckpt)
+      VersionedTable.read(dst, "m")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -326,6 +426,81 @@ object StorageQueries {
          |FROM c4
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_upsert_versioned_bucketed" ->
+      """WITH b1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 2000),
+        |     b2 AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |                   o_totalprice * 2 AS o_totalprice
+        |            FROM orders WHERE o_orderkey > 1500 AND o_orderkey <= 2500),
+        |     s1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, b1.* FROM b1),
+        |     upd AS (SELECT s1.id, s1.o_orderkey,
+        |                    coalesce(b2.o_orderstatus, s1.o_orderstatus) AS o_orderstatus,
+        |                    coalesce(b2.o_totalprice, s1.o_totalprice) AS o_totalprice
+        |             FROM s1 LEFT JOIN b2 USING (o_orderkey)),
+        |     fresh AS (SELECT (SELECT max(id) FROM s1)
+        |                      + row_number() OVER (ORDER BY b2.o_orderkey) AS id,
+        |                      b2.* FROM b2 LEFT JOIN s1 USING (o_orderkey)
+        |               WHERE s1.id IS NULL)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice
+        |FROM (SELECT * FROM upd UNION ALL SELECT * FROM fresh)
+        |ORDER BY id""".stripMargin,
+
+    "q_change_feed_evolve" ->
+      """WITH e1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 2000),
+        |     w1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, e1.* FROM e1),
+        |     u AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM orders
+        |           WHERE o_orderkey > 500 AND o_orderkey <= 1000),
+        |     w2 AS (SELECT w1.id, w1.o_orderkey,
+        |                   coalesce(u.o_orderstatus, w1.o_orderstatus) AS o_orderstatus,
+        |                   coalesce(u.o_totalprice, w1.o_totalprice) AS o_totalprice
+        |            FROM w1 LEFT JOIN u USING (o_orderkey)),
+        |     e3 AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |                   CAST(o_orderkey % 10 AS BIGINT) AS o_priok
+        |            FROM orders WHERE o_orderkey > 2000 AND o_orderkey <= 2500),
+        |     w3 AS (SELECT id, o_orderkey, o_orderstatus, o_totalprice,
+        |                   CAST(NULL AS BIGINT) AS o_priok FROM w2
+        |            UNION ALL
+        |            SELECT (SELECT max(id) FROM w2)
+        |                   + row_number() OVER (ORDER BY o_orderkey) AS id,
+        |                   e3.* FROM e3)
+        |SELECT CASE WHEN a.id IS NULL THEN 'insert'
+        |            WHEN b.id IS NULL THEN 'delete'
+        |            ELSE 'update' END AS op,
+        |       coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       coalesce(b.id, a.id) AS id,
+        |       coalesce(b.o_orderstatus, a.o_orderstatus) AS o_orderstatus,
+        |       coalesce(b.o_totalprice, a.o_totalprice) AS o_totalprice,
+        |       b.o_priok AS o_priok
+        |FROM w1 a FULL OUTER JOIN w3 b ON a.o_orderkey = b.o_orderkey
+        |WHERE a.id IS NULL OR b.id IS NULL
+        |   OR a.id IS DISTINCT FROM b.id
+        |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |   OR b.o_priok IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_matview_cdc_minmax" -> {
+      import graft.functions.{KmvSketch, PortableHash}
+      val hs = s"list(${PortableHash.hmodSql("CAST(o_orderkey AS VARCHAR)")}) " +
+        "FILTER (WHERE o_orderkey IS NOT NULL)"
+      s"""WITH $versionedStates,
+         |c4 AS (SELECT o_orderkey, o_orderstatus,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM v4)
+         |SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(cents) AS min_cents, max(cents) AS max_cents,
+         |  CAST(${KmvSketch.estimateSql(hs, 256)} AS BIGINT) AS ndv_ok
+         |FROM c4
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin
+    },
+
+    "q_stream_cdc_source" ->
+      s"""WITH $versionedStates
+         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM v4
+         |ORDER BY o_orderkey""".stripMargin,
 
     "q_rollback" ->
       """WITH r1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
