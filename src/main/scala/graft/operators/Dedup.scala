@@ -499,27 +499,45 @@ object Dedup {
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(false)
+    // RIGHT-SIZE the loop's parallelism to the edge volume: near-dup edge
+    // sets are tiny relative to the corpus, and each round below runs
+    // several shuffles whose map side inherits e's partitioning — 32
+    // partitions carrying a few thousand edges is pure task-scheduling
+    // overhead, multiplied by O(log n) rounds. One count (which also
+    // materializes the checkpoint blocks the first round would have paid
+    // for anyway) lets us coalesce to ~1M edges per partition; above the
+    // threshold the ambient parallelism stands.
+    val edgeCount = e.count()
+    val targetParts = math.max(1L, edgeCount / 1000000L).toInt
+    if (targetParts < e.rdd.getNumPartitions) e = e.coalesce(targetParts)
     var iter = 0
     // no isEmpty pre-probe: an empty edge set converges on round 1 (all
     // probes over empty data), and the probe job it would save is exactly
     // the job it costs — while the non-empty common case paid it for
     // nothing every call.
     var done = false
+    // each star step needs "every row of group u sees the group's min" —
+    // a WINDOW aggregate: ONE exchange per step where the groupBy+join
+    // formulation paid two (the per-key mins shuffle AND a re-shuffle of
+    // the edges to meet them). Same key distribution, half the exchanges,
+    // no join planning — the dominant cost of a round on any edge volume.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!done && iter < maxIters) {
-      // large-star over the symmetric neighborhood
+      // large-star over the symmetric neighborhood: every strictly-larger
+      // neighbor re-attaches to the min of u's closed neighborhood
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("nm"))
-        .select(col("u"), least(col("nm"), col("u")).as("m"))
-      val large = sym.where(col("v") > col("u"))
-        .join(mins, Seq("u"))
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(w), col("u")))
+        .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
-      // small-star on the (big → small) edges large-star emits
-      val minsS = large.groupBy("u").agg(min("v").as("m"))
-      val joined = large.join(minsS, Seq("u"))
-      val small = joined.select(col("v").as("u"), col("m").as("v"))
-        .union(joined.select(col("u"), col("m").as("v")))
+      // small-star on the (big → small) edges large-star emits; duplicate
+      // pairs from shared parents ride through both steps (bounded by the
+      // edge count — pure projections) and collapse in the round's single
+      // distinct below
+      val l2 = large.withColumn("m", min(col("v")).over(w))
+      val small = l2.select(col("v").as("u"), col("m").as("v"))
+        .union(l2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct().localCheckpoint(false) // materialized by the probe below
       // fixpoint = the edge set IS a star forest: every child (u) has

@@ -35,9 +35,11 @@ import graft.functions.PortableHash.P
   *   - frame sampling slices the binary without copying the full payload
   *     per frame.
   *
-  * To swap in a real decoder, replace [[DecoderStub.decode]] /
-  * [[DecoderStub.open]] — signatures (bytes in, fixed-width features out,
-  * handle opened once per partition) are the contract.
+  * To swap in a real decoder, implement [[FeatureCodec]] +
+  * [[CodecFactory]] and pass the factory to [[decodeFeatures]] — bytes
+  * in, fixed-width features out (None = undecodable → null features),
+  * handle opened once per partition. CodecSeamSpec registers a fake
+  * codec against the seam so the contract can't silently rot.
   */
 object Multimodal {
 
@@ -53,15 +55,32 @@ object Multimodal {
         lit(s"$modality/fake").as("mime"),
         length(encode(col(textCol), "UTF-8")).cast(LongType).as("n_bytes")))
 
+  /** THE CODEC SEAM — the one interface a real compressed-codec build
+    * (H.264, JPEG2000, a vision model) implements to slot into the
+    * feature pipeline: bytes in, fixed-width integer features out, None
+    * for an undecodable payload (surfaced as null features — one corrupt
+    * blob must never fail a 100 TB stage). Implementations need not be
+    * thread-safe: each partition gets its own instance from the factory.
+    */
+  trait FeatureCodec {
+    def decode(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)]
+  }
+
+  /** Ships to executors; `open()` runs ONCE PER PARTITION — the place for
+    * the expensive init (loading libjpeg/ffmpeg, mmapping a model). */
+  trait CodecFactory extends Serializable {
+    def open(): FeatureCodec
+  }
+
   /** The stubbed codec. `open()` is the expensive once-per-partition init
     * (a real build would load libjpeg/ffmpeg/a vision model here).
     */
-  final class DecoderStub private () {
+  final class DecoderStub private () extends FeatureCodec {
     /** Deterministic integer features of a byte payload — a stand-in for
       * real decode+feature-extract. (A real implementation would return
       * pixels/frames; this returns arithmetic the oracle can reproduce.)
       */
-    def decode(bytes: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    def decode(bytes: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
       val n = bytes.length.toLong
       var checksum = 0L
       var phash = 0L
@@ -74,20 +93,20 @@ object Multimodal {
       }
       val width = n % 251L
       val height = (n * 31L) % 251L
-      (n, width, height, checksum, phash)
+      Some((n, width, height, checksum, phash))
     }
   }
-  object DecoderStub {
+  object DecoderStub extends CodecFactory {
     def open(): DecoderStub = new DecoderStub() // per-partition init point
   }
 
   private val featSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("width", LongType, nullable = false),
-    StructField("height", LongType, nullable = false),
-    StructField("checksum", LongType, nullable = false),
-    StructField("phash", LongType, nullable = false)))
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("checksum", LongType, nullable = true),
+    StructField("phash", LongType, nullable = true)))
 
   // ---- real image decode (javax.imageio — ships in the JDK) --------------
 
@@ -741,18 +760,24 @@ object Multimodal {
     spark.createDataFrame(rdd, videoFrameSchema)
   }
 
-  /** Decode features for every row: one [[DecoderStub.open]] per partition,
-    * lazy row iteration (the batch shape a real codec needs). Input must
-    * carry `idCol` and a binary `content` column.
+  /** Decode features for every row through the [[CodecFactory]] seam:
+    * one `open()` per partition, lazy row iteration (the batch shape a
+    * real codec needs), undecodable payloads → null features. Input must
+    * carry `idCol` and a binary `content` column. The default codec is
+    * [[DecoderStub]]; a real compressed-codec build passes its own
+    * factory — CodecSeamSpec pins this swap-in contract.
     */
-  def decodeFeatures(df: DataFrame, idCol: String): DataFrame = {
+  def decodeFeatures(df: DataFrame, idCol: String,
+                     codec: CodecFactory = DecoderStub): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol).cast(LongType), col("content")).rdd
       .mapPartitions { iter =>
-        val decoder = DecoderStub.open() // once per partition, NOT per row
+        val decoder = codec.open() // once per partition, NOT per row
         iter.map { r =>
-          val (n, w, h, cs, ph) = decoder.decode(r.getAs[Array[Byte]](1))
-          Row(r.getLong(0), n, w, h, cs, ph)
+          decoder.decode(r.getAs[Array[Byte]](1)) match {
+            case Some((n, w, h, cs, ph)) => Row(r.getLong(0), n, w, h, cs, ph)
+            case None => Row(r.getLong(0), null, null, null, null, null)
+          }
         }
       }
     spark.createDataFrame(rdd, featSchema)
