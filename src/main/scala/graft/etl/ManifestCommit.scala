@@ -90,8 +90,19 @@ object FsAtomicCommit extends ManifestCommit {
 final class ConditionalPutCommit(reserve: String => Boolean) extends ManifestCommit {
   def putIfAbsent(fs: FileSystem, finalPath: Path, bytes: Array[Byte]): Boolean = {
     if (!reserve(finalPath.toUri.getPath)) return false
-    val out = fs.create(finalPath, true)
+    // a real object-store PUT is all-or-nothing (no reader ever observes a
+    // partial object); model that visibility here by staging the full
+    // content first and publishing with one rename — a concurrent reader
+    // sees either no manifest or the complete one, never a torn write
+    val tmp = new Path(finalPath.getParent,
+      finalPath.getName + s".put-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, finalPath)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"conditional-put publish failed after winning the reservation: $finalPath")
+    }
     true
   }
 }

@@ -40,7 +40,7 @@ object StorageQueries {
   /** Queries that read the shared memoized fixture (bench attribution). */
   val fixtureQueries: Set[String] = Set("q_time_travel", "q_change_feed",
     "q_version_drift", "q_matview_cdc", "q_matview_cdc_minmax",
-    "q_stream_cdc_source")
+    "q_matview_cdc_stream", "q_stream_cdc_source")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -330,6 +330,36 @@ object StorageQueries {
         .orderBy("o_orderkey")
     },
 
+    // ST9 CDC-source-driven view maintenance: the ST8 drain loop with the
+    // F18c/F18d maintainers as the consumer — base table commits stream
+    // into a live dashboard view (bootstrap snapshot, then per-version
+    // retraction feeds; min routes through the snapshot splice); the
+    // drained view must land exactly on a fresh aggregation of v4.
+    "q_matview_cdc_stream" -> { (spark, sfDir) =>
+      val vt = versionedFixture(spark, sfDir)
+      val viewTgt = tmpCat(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcv").toString
+      val gb = Seq("o_orderstatus")
+      val aggs = Seq(
+        MaterializedAgg.AggCol("count", "", "n_rows"),
+        MaterializedAgg.AggCol("sum", "cents", "sum_cents"),
+        MaterializedAgg.AggCol("min", "cents", "min_cents"))
+      def project(d: DataFrame): DataFrame = {
+        val a = if (d.columns.contains("o_totalprice"))
+          d.withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        else d
+        if (a.columns.contains("o_totalprice__old"))
+          a.withColumn("cents__old",
+            floor(col("o_totalprice__old") * 100).cast("long"))
+        else a
+      }
+      graft.streaming.CdcSource.maintainView(vt, "t", Seq("o_orderkey"),
+        viewTgt, "v", gb, aggs, ckpt, project)
+      MaterializedAgg.read(viewTgt, "v", gb, aggs)
+        .where(col("n_rows") > 0)
+        .orderBy("o_orderstatus")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -514,6 +544,18 @@ object StorageQueries {
       s"""WITH $versionedStates
          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM v4
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_matview_cdc_stream" ->
+      s"""WITH $versionedStates,
+         |c4 AS (SELECT o_orderstatus,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM v4)
+         |SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(cents) AS min_cents
+         |FROM c4
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
 
     "q_rollback" ->
       """WITH r1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

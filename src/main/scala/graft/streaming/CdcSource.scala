@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
-import graft.etl.{Catalog, Loader, VersionedTable}
+import graft.etl.{Catalog, Loader, MaterializedAgg, VersionedTable}
 
 /** Version-watermarked CDC SOURCE over a [[VersionedTable]] — the source
   * twin of [[StreamLoader.streamIntoView]]: where that folds a stream INTO
@@ -133,6 +133,62 @@ object CdcSource {
       val feed = VersionedTable.changes(src, table, prev, v, keys)
       applyFeed(dst, mirror, feed, keys, bucketBy)
       advanceWatermark(dst, checkpointDir, v)
+      applied += v
+      v
+    }
+    applied.result()
+  }
+
+  /** Drain the change feed into an incrementally-MAINTAINED AGGREGATE VIEW
+    * — the [[mirrorOnce]] shape with [[MaterializedAgg.applyChanges]] as
+    * the consumer, closing the loop the storage layer opens: versioned
+    * base table → per-commit change batches → a dashboard view kept
+    * consistent under updates and deletes at O(feed + touched buckets)
+    * per version. Bootstrap (watermark 0) aggregates the oldest retained
+    * snapshot; each later version applies its feed with retraction
+    * semantics — views carrying min/max/ndv automatically route through
+    * the snapshot-splice overload against that version's state. `project`
+    * runs on every frame first (snapshot AND feed — derive computed
+    * columns there; remember the feed carries `<col>__old` twins).
+    *
+    * Delivery: the watermark advances AFTER each version lands, so a
+    * crash between them replays one version's deltas — which, unlike the
+    * mirror's keyed apply, DOUBLE-COUNTS into sums. Same at-least-once
+    * caveat [[StreamLoader.streamIntoView]] documents: run drains
+    * single-consumer and restart from a consistent checkpoint, or rebuild
+    * the view via refresh when in doubt.
+    */
+  def maintainView(src: Catalog, table: String, keys: Seq[String],
+                   viewTgt: Catalog, view: String,
+                   groupBy: Seq[String], aggs: Seq[MaterializedAgg.AggCol],
+                   checkpointDir: String,
+                   project: DataFrame => DataFrame = identity): Seq[Long] = {
+    val vs = VersionedTable.versions(src, table)
+    if (vs.isEmpty) return Nil
+    var wm = watermark(viewTgt, checkpointDir)
+    val applied = Seq.newBuilder[Long]
+    val retractableOnly =
+      aggs.forall(a => Set("sum", "count", "avg")(a.func))
+    if (wm == 0L) {
+      val v0 = vs.head
+      MaterializedAgg.refresh(viewTgt, view,
+        project(VersionedTable.readVersion(src, table, v0)), groupBy, aggs)
+      advanceWatermark(viewTgt, checkpointDir, v0)
+      applied += v0
+      wm = v0
+    }
+    require(vs.contains(wm) || vs.forall(_ <= wm),
+      s"view watermark v$wm of '$table' was vacuumed away — retain more " +
+        "versions or rebuild the view from a fresh snapshot")
+    vs.filter(_ > wm).foldLeft(wm) { (prev, v) =>
+      val feed = project(
+        VersionedTable.changes(src, table, prev, v, keys, includeOld = true))
+      if (retractableOnly)
+        MaterializedAgg.applyChanges(viewTgt, view, feed, groupBy, aggs)
+      else
+        MaterializedAgg.applyChanges(viewTgt, view, feed,
+          project(VersionedTable.readVersion(src, table, v)), groupBy, aggs)
+      advanceWatermark(viewTgt, checkpointDir, v)
       applied += v
       v
     }

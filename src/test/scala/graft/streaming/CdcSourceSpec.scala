@@ -66,6 +66,44 @@ class CdcSourceSpec extends SparkSpec {
     assert(snap(dst, "m") == snap(src, "t"))
   }
 
+  test("maintainView keeps an aggregate view consistent across drained versions") {
+    val src = new Catalog(spark, tmpDir("cdcmv"))
+    val viewTgt = new Catalog(spark, tmpDir("cdcmvv"))
+    val ckpt = tmpDir("cdcmvc")
+    import graft.etl.MaterializedAgg
+    val aggs = Seq(
+      MaterializedAgg.AggCol("count", "", "n"),
+      MaterializedAgg.AggCol("sum", "v", "sv"),
+      MaterializedAgg.AggCol("min", "v", "mn"))
+    def freshAgg() = VersionedTable.read(src, "t").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    def viewState() = MaterializedAgg.read(viewTgt, "vw", Seq("g"), aggs)
+      .where(col("n") > 0).orderBy("g")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    VersionedTable.load(src, "t",
+      Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L)).toDF("k", "g", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((4L, "g2", 5L)).toDF("k", "g", "v"),
+      idOrder = Seq("k"))
+    val d1 = CdcSource.maintainView(src, "t", Seq("k"), viewTgt, "vw",
+      Seq("g"), aggs, ckpt)
+    assert(d1 == Seq(1L, 2L))
+    assert(viewState() == freshAgg())
+    // delete g2's minimum AND update a row out of g1 — min must recover
+    // via the snapshot splice, counts/sums via retraction
+    VersionedTable.load(src, "t", Seq((2L, "g2", 25L)).toDF("k", "g", "v"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    VersionedTable.delete(src, "t", col("k") === 4L)
+    val d2 = CdcSource.maintainView(src, "t", Seq("k"), viewTgt, "vw",
+      Seq("g"), aggs, ckpt)
+    assert(d2 == Seq(3L, 4L))
+    assert(viewState() == freshAgg())
+    // caught up: nothing to drain
+    assert(CdcSource.maintainView(src, "t", Seq("k"), viewTgt, "vw",
+      Seq("g"), aggs, ckpt).isEmpty)
+  }
+
   test("mirrorOnce refuses to resume from a vacuumed watermark") {
     val src = new Catalog(spark, tmpDir("cdcsrcv"))
     val dst = new Catalog(spark, tmpDir("cdcdstv"))
