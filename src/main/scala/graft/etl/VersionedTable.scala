@@ -512,6 +512,63 @@ object VersionedTable {
     } finally kr.unpersist()
   }
 
+  /** COMPACTION as a version: coalesce small files into
+    * ~`targetFileBytes` outputs and commit the result as a new manifest —
+    * the answer to the append-only layout's small-file accretion (every
+    * append adds files; a year of micro-batches is a million tiny files
+    * whose per-file open/footer cost dominates scans). Only files smaller
+    * than `targetFileBytes/2` rewrite (size read from the file LISTING —
+    * metadata, no data I/O); right-sized files carry into the new
+    * manifest untouched, so compaction cost is O(small files), not
+    * O(table). On a bucketed table small files coalesce WITHIN their
+    * bucket (the rewrite recomputes bucket dirs from the keys — layout
+    * preserved). Prior versions keep reading their own files; the
+    * replaced small files become vacuumable once unreferenced. Returns
+    * the new version, or the current one when nothing needs compacting.
+    */
+  def compact(tgt: Catalog, table: String, targetFileBytes: Long): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    commitWithRetry(table, "compact") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val f = fs(tgt, dataDir(tgt, table))
+      val sized = man.files.map { r =>
+        r -> f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen
+      }
+      val (small, keep) = sized.partition(_._2 < targetFileBytes / 2)
+      // one small file alone (or none) gains nothing — don't churn a
+      // commit (and a version) for it
+      if (small.size < 2) Some(cur)
+      else {
+        val smallAbs = small.map { case (r, _) =>
+          new Path(dataDir(tgt, table), r).toString
+        }
+        val rows = tgt.spark.read.parquet(smallAbs: _*)
+        val parts = math.max(1L,
+          (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+        val out = man.bucket match {
+          // bucketed: one task per bucket so each bucket dir compacts to
+          // ONE file (a plain coalesce would write a file per (task ×
+          // bucket) pair and defeat the point)
+          case Some((keys, n)) => rows.repartition(n, Loader.bucketIdExpr(keys, n))
+          case None => rows.coalesce(parts)
+        }
+        preCommitHook.value()
+        val (batch, newRel) = writeBatch(tgt, table, out, man.bucket)
+        val newV = cur + 1L
+        if (tryCommitManifest(tgt, table,
+          Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel)))
+          Some(newV)
+        else {
+          fs(tgt, dataDir(tgt, table)).delete(batch, true)
+          None
+        }
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- rollback
 
   /** O(1) metadata ROLLBACK: commit a NEW head version whose file list is
@@ -561,11 +618,54 @@ object VersionedTable {
 
   /** Time travel: materialize exactly the files version `v` committed.
     * (Bucket dirs are physical layout — an explicit-file-list read never
-    * surfaces a partition column, so the schema is the data schema.) */
+    * surfaces a partition column, so the schema is the data schema.)
+    * TIMESTAMP_NTZ columns (foreign parquet loaded into a versioned
+    * table and carried through verbatim) normalize to session-zone
+    * timestamps at this read boundary, the same rule as
+    * [[graft.sources.ParquetSource.read]] — graft sessions run UTC, so
+    * the cast is lossless and every event-time projection downstream
+    * keeps working. */
   def readVersion(tgt: Catalog, table: String, v: Long): DataFrame = {
     val files = manifestFiles(tgt, table, v)
     require(files.nonEmpty, s"version $v of '$table' lists no files")
-    tgt.spark.read.parquet(files: _*)
+    tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val df = tgt.spark.read.parquet(files: _*)
+    df.schema.fields.collect {
+      case fld if fld.dataType == org.apache.spark.sql.types.TimestampNTZType => fld.name
+    }.foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType)))
+  }
+
+  /** BUCKET-PRUNED point lookup at version `v`: on a table bucketed by
+    * `keys`, read ONLY the files of the bucket the key tuple hashes into
+    * — 1/n of the file list chosen on the DRIVER from the manifest (no
+    * scan tasks for the other buckets at all), then the exact key
+    * predicate on that slice. The versioned twin of
+    * [[Loader.bucketLookup]]. Falls back to a full-scan filter on a flat
+    * table (still pushed down to row-group stats). */
+  def lookup(tgt: Catalog, table: String, v: Long,
+             key: Map[String, Any]): DataFrame = {
+    val man = readManifest(tgt, table, v).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $v"))
+    val base = readVersion(tgt, table, v)
+    val pred = key.map { case (c, x) => col(c) === lit(x) }.reduce(_ && _)
+    man.bucket match {
+      // every file must name its bucket (a flat empty-rewrite file or
+      // pre-migration stray has unknown keys — full filter then)
+      case Some((keys, n)) if keys.forall(key.contains) &&
+          man.files.forall(r => bucketOfRel(r).isDefined) =>
+        // the key's bucket id, computed DRIVER-SIDE with the same
+        // expression writers use (one local job over a 1-row frame — no
+        // reimplementation drift possible)
+        val b = tgt.spark.range(1)
+          .select(keys.map(c => lit(key(c)).cast("string").as(c)): _*)
+          .select(Loader.bucketIdExpr(keys, n)).head().getInt(0)
+        val inBucket = man.files.filter(r => bucketOfRel(r).contains(b))
+        if (inBucket.isEmpty) base.limit(0).where(pred)
+        else tgt.spark.read.parquet(inBucket.map(r =>
+          new Path(dataDir(tgt, table), r).toString): _*).where(pred)
+      case _ => base.where(pred)
+    }
   }
 
   // ------------------------------------------------------------- change feed

@@ -131,6 +131,97 @@ class VersionedBucketedSpec extends SparkSpec {
     assert(rows.where(col("g") === 1L && col("s") =!= "G1").count() == 0)
   }
 
+  test("compact coalesces small files as a new version; right-sized files carry") {
+    val tgt = freshCat()
+    // 5 appends → 5+ small files sharing one bucketless flat layout
+    (1 to 5).foreach { i =>
+      VersionedTable.load(tgt, "t",
+        (1L to 10L).map(j => (i * 100L + j, s"v$i-$j")).toDF("k", "s"),
+        idOrder = Seq("k"))
+    }
+    val before = VersionedTable.files(tgt, "t", 5L)
+    assert(before.size >= 5)
+    val v6 = VersionedTable.compact(tgt, "t", targetFileBytes = 64L * 1024 * 1024)
+    assert(v6 == 6L)
+    val after = VersionedTable.files(tgt, "t", 6L)
+    assert(after.size < before.size,
+      s"compaction must shrink the file count: ${before.size} -> ${after.size}")
+    // state identical; prior versions untouched
+    assert(VersionedTable.read(tgt, "t").orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq ==
+      VersionedTable.readVersion(tgt, "t", 5L).orderBy("id")
+        .as[(Long, Long, String)].collect().toSeq)
+    assert(VersionedTable.readVersion(tgt, "t", 1L).count() == 10L)
+    // idempotent: a second compact finds nothing worth rewriting
+    assert(VersionedTable.compact(tgt, "t", 64L * 1024 * 1024) == 6L)
+    // vacuum reclaims the replaced small files
+    assert(VersionedTable.vacuum(tgt, "t", keepLast = 1) >= before.size - 1)
+  }
+
+  test("compact preserves the bucket layout: one file per bucket dir") {
+    val tgt = freshCat()
+    (1 to 4).foreach { i =>
+      VersionedTable.load(tgt, "t",
+        (1L to 12L).map(j => (i * 100L + j, s"v$i-$j")).toDF("k", "s"),
+        idOrder = Seq("k"),
+        bucketBy = if (i == 1) Some((Seq("k"), 3)) else None)
+    }
+    val v5 = VersionedTable.compact(tgt, "t", 64L * 1024 * 1024)
+    assert(v5 == 5L)
+    val after = VersionedTable.files(tgt, "t", 5L)
+    assert(after.forall(f => bucketOf(f).isDefined), "layout must survive compaction")
+    val perBucket = after.groupBy(f => bucketOf(f).get).view.mapValues(_.size)
+    assert(perBucket.values.forall(_ == 1),
+      s"each bucket dir must compact to ONE file, got $perBucket")
+    assert(VersionedTable.read(tgt, "t").count() == 48L)
+    assert(VersionedTable.bucketSpec(tgt, "t").contains((Seq("k"), 3)))
+  }
+
+  test("lookup prunes to the key's bucket files, driver-side from the manifest") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t",
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 4)))
+    val v = VersionedTable.currentVersion(tgt, "t").get
+    val hit = VersionedTable.lookup(tgt, "t", v, Map("k" -> 7L))
+    assert(hit.select("s").as[String].collect().toSeq == Seq("v7"))
+    // plan-level pruning: the lookup scans ONLY one bucket's files
+    val scanned = hit.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    val allFiles = VersionedTable.files(tgt, "t", v)
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+    val buckets = allFiles.filter(scanned.contains)
+      .flatMap(p => p.split('/').find(_.startsWith(Loader.BucketCol + "=")))
+    assert(buckets.toSet.size == 1 && scanned.size < allFiles.size,
+      s"lookup must scan one bucket's files: ${scanned.size}/${allFiles.size}")
+    // a key hashing to a bucket with files but absent → empty, not error
+    assert(VersionedTable.lookup(tgt, "t", v, Map("k" -> 99999L)).isEmpty)
+  }
+
+  test("concurrent upserts to different buckets both commit via re-merge") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t",
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 4)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = Seq(3L, 4L, 5L, 6L).map { k =>
+      Future {
+        VersionedTable.load(tgt, "t", Seq((k, s"W$k")).toDF("k", "s"),
+          upsertFields = Seq("k"), idOrder = Seq("k"))
+      }
+    }
+    val committed = Await.result(Future.sequence(writers), 180.seconds)
+    assert(committed.toSet.size == 4, "each writer must win a distinct version")
+    assert(VersionedTable.versions(tgt, "t") == (1L to 5L))
+    val head = VersionedTable.read(tgt, "t")
+    assert(head.count() == 40L)
+    // no lost update: every writer's row landed
+    assert(head.where(col("s").startsWith("W")).select("k")
+      .as[Long].collect().toSet == Set(3L, 4L, 5L, 6L))
+    assert(VersionedTable.bucketSpec(tgt, "t").contains((Seq("k"), 4)))
+  }
+
   test("flat table migrates to bucketed via one full rewrite; layout then sticks") {
     val tgt = freshCat()
     VersionedTable.load(tgt, "t", (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"),
