@@ -1,0 +1,89 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Property-style equivalence over seeded random op sequences: the
+  * BUCKETED versioned table (scoped upserts, bucket-dir batch layout,
+  * per-bucket compaction, pruned deletes) must be indistinguishable from
+  * the FLAT versioned table in every observable — head state, every
+  * version's time-travel state, ids, and the change feed. The layout is
+  * an optimization, never a semantic.
+  */
+class VersionedPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  for (seed <- Seq(13, 77)) {
+    test(s"bucketed versioned ops equal flat versioned ops over random rounds (seed=$seed)") {
+      val rnd = new Random(seed)
+      val bt = new Catalog(spark, tmpDir("vprops-b"))
+      val ft = new Catalog(spark, tmpDir("vprops-f"))
+
+      def both(f: Catalog => Long): (Long, Long) = (f(bt), f(ft))
+
+      // round 0: identical seed data, bucketed on one side only
+      val seedRows = (1L to 50L).map(k => (k, rnd.nextInt(500).toLong))
+      VersionedTable.load(bt, "t", seedRows.toDF("k", "v"), idOrder = Seq("k"),
+        bucketBy = Some((Seq("k"), 5)))
+      VersionedTable.load(ft, "t", seedRows.toDF("k", "v"), idOrder = Seq("k"))
+
+      def snap(c: Catalog, v: Long) =
+        VersionedTable.readVersion(c, "t", v).select("id", "k", "v")
+          .as[(Long, Long, Long)].collect().toSet
+
+      for (round <- 1 to 5) {
+        rnd.nextInt(4) match {
+          case 0 => // append of FRESH keys (preserves one-row-per-key)
+            val rows = (1L to (3 + rnd.nextInt(5)).toLong)
+              .map(j => (1000L * round + j, rnd.nextInt(500).toLong))
+            val (a, b) = both(c => VersionedTable.load(c, "t",
+              rows.toDF("k", "v"), idOrder = Seq("k")))
+            assert(a == b)
+          case 1 => // keyed upsert (batch deduped by key)
+            val rows = Seq.fill(6)((rnd.nextInt(60).toLong + 1,
+              rnd.nextInt(500).toLong)).distinctBy(_._1)
+            val (a, b) = both(c => VersionedTable.load(c, "t",
+              rows.toDF("k", "v"), upsertFields = Seq("k"), idOrder = Seq("k")))
+            assert(a == b)
+          case 2 => // predicate delete over a random key range
+            val lo = rnd.nextInt(60).toLong
+            val (a, b) = both(c => VersionedTable.delete(c, "t",
+              col("k") >= lo && col("k") < lo + 4))
+            assert(a == b)
+          case 3 => // keyed frame delete
+            val ks = Seq.fill(3)(rnd.nextInt(60).toLong + 1).distinct
+            val (a, b) = both(c =>
+              VersionedTable.deleteKeys(c, "t", ks.toDF("k"), Seq("k")))
+            assert(a == b)
+        }
+        val head = VersionedTable.currentVersion(bt, "t").get
+        assert(snap(bt, head) == snap(ft, head),
+          s"head diverged after round $round (seed=$seed)")
+      }
+
+      // one compaction on the bucketed side only — physical op, must not
+      // change any observable state (version count differs by one, which
+      // is the point: compaction is the LAYOUT's own maintenance)
+      val preCompact = VersionedTable.currentVersion(bt, "t").get
+      VersionedTable.compact(bt, "t", 64L * 1024 * 1024)
+      val btHead = VersionedTable.currentVersion(bt, "t").get
+      assert(snap(bt, btHead) == snap(ft, preCompact))
+
+      // every shared version time-travels to the identical state
+      (1L to preCompact).foreach { v =>
+        assert(snap(bt, v) == snap(ft, v), s"version $v diverged (seed=$seed)")
+      }
+
+      // and the full-history change feed matches across layouts
+      val fb = VersionedTable.changes(bt, "t", 1L, preCompact, Seq("k"))
+        .select("op", "k", "id", "v").as[(String, Long, Long, Long)]
+        .collect().toSet
+      val ff = VersionedTable.changes(ft, "t", 1L, preCompact, Seq("k"))
+        .select("op", "k", "id", "v").as[(String, Long, Long, Long)]
+        .collect().toSet
+      assert(fb == ff, s"change feed diverged across layouts (seed=$seed)")
+    }
+  }
+}
