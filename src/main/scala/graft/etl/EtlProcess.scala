@@ -152,12 +152,23 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
   private[etl] def footerWatermarkLiteral(t: DataFrame, pk: String): Option[String] = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
       ShortType, TimestampNTZType, TimestampType}
-    val path = tgt match {
-      case c: Catalog => c.resolve(writeTableName)
+    // versioned targets have no single directory — their footer probe
+    // walks the HEAD MANIFEST's file list (same strict stats core);
+    // timestamp pks fall to the scan there (the annotation reader is
+    // path-based), integral/date pks stay metadata-only
+    val (path, verFiles): (Option[String], Option[Seq[String]]) = tgt match {
+      case v: VersionedCatalog =>
+        (None, VersionedTable.currentVersion(v, writeTableName)
+          .map(ver => VersionedTable.files(v, writeTableName, ver)))
+      case c: Catalog => (c.resolve(writeTableName), None)
       case _ => return None // JDBC targets: the database's own MAX is indexed
     }
-    def statMax: Option[Long] = path.flatMap(p =>
-      graft.sources.ParquetSource.footerMaxLong(spark, p, pk))
+    def statMax: Option[Long] = verFiles match {
+      case Some(fs) =>
+        graft.sources.ParquetSource.footerMaxLongInFiles(spark, fs, pk)
+      case None => path.flatMap(p =>
+        graft.sources.ParquetSource.footerMaxLong(spark, p, pk))
+    }
     t.schema(pk).dataType match {
       case LongType | IntegerType | ShortType =>
         statMax.map(String.valueOf)
@@ -355,6 +366,17 @@ class EtlProcess(val src: Catalog, val tgt: TableStore, val writeTableName: Stri
       report(s"load: ${toLoad.count()} rows -> $writeTableName" +
         (if (upsertFields.nonEmpty) s" (upsert on ${upsertFields.mkString(",")})" else ""))
       tgt match {
+        case v: VersionedCatalog =>
+          // versioned targets route layout through buckets only (see
+          // VersionedCatalog doc) — reject silently-ignored knobs loudly
+          require(partitionBy.isEmpty && clusterBy.isEmpty &&
+            targetFileBytes.isEmpty,
+            "versioned targets support bucketBy; partitionBy/clusterBy/" +
+              "targetFileBytes are flat-Loader layouts (use VersionedTable" +
+              ".compact for file sizing)")
+          VersionedTable.load(v, writeTableName, toLoad,
+            upsertFields = upsertFields, ensure = ensure, safe = safe,
+            idOrder = idOrder, bucketBy = bucketBy)
         case c: Catalog =>
           Loader.load(c, writeTableName, toLoad,
             upsertFields = upsertFields, ensure = ensure, safe = safe,

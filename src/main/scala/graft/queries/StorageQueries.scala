@@ -360,6 +360,31 @@ object StorageQueries {
         .orderBy("o_orderstatus")
     },
 
+    // F26 the reference pipeline API over a VERSIONED target: the same
+    // extract → load / incremental-{} → upsert flow every reference user
+    // runs, with the target constructed as VersionedCatalog — each load
+    // lands as a version (both proven here by emitting v1 AND v2), the
+    // incremental watermark reads from the head manifest's footers, ids
+    // continue across versions. Zero API change.
+    "q_etl_versioned" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      val tgt = new graft.etl.VersionedCatalog(spark,
+        java.nio.file.Files.createTempDirectory("graft-vq").toString)
+      val p = new graft.etl.EtlProcess(src, tgt, "t")
+      p.idOrder = Seq("o_orderkey")
+      p.extract("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      p.load()
+      p.extract("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > {} AND o_orderkey <= 2000",
+        writePkField = Some("o_orderkey"))
+      p.load()
+      Seq(1L, 2L).map { v =>
+        VersionedTable.readVersion(tgt, "t", v).withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select("version", "id", "o_orderkey", "o_totalprice")
+        .orderBy("version", "id")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -544,6 +569,21 @@ object StorageQueries {
       s"""WITH $versionedStates
          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM v4
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_etl_versioned" ->
+      """WITH e1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 1000),
+        |     e2 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_orderkey > 1000 AND o_orderkey <= 2000),
+        |     s1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, e1.* FROM e1),
+        |     s2 AS (SELECT * FROM s1
+        |            UNION ALL
+        |            SELECT (SELECT count(*) FROM e1)
+        |                   + row_number() OVER (ORDER BY o_orderkey) AS id,
+        |                   e2.* FROM e2)
+        |SELECT CAST(1 AS BIGINT) AS version, * FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), * FROM s2
+        |ORDER BY version, id""".stripMargin,
 
     "q_matview_cdc_stream" ->
       s"""WITH $versionedStates,
