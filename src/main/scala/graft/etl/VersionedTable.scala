@@ -58,11 +58,20 @@ object VersionedTable {
 
   // ---------------------------------------------------------------- manifest
 
+  /** Per-file, per-column `[min, max]` zone map recorded with a commit:
+    * `relPath -> colName -> (tag, lo, hi)` in the comparison domains of
+    * [[graft.sources.ParquetSource.footerColumnRanges]]. A file/column
+    * pair may be absent (no usable footer stats, pre-stats manifest) —
+    * absence only disables skipping, never correctness. */
+  private[etl] type FileStats = Map[String, Map[String, (String, String, String)]]
+
   /** One committed version: the file list (paths relative to the data
-    * dir), the committed id floor, and the table's physical layout. */
+    * dir), the committed id floor, the table's physical layout, and the
+    * files' column zone maps. */
   private[etl] final case class Manifest(version: Long, maxId: Option[Long],
                                          bucket: Option[(Seq[String], Int)],
-                                         files: Seq[String])
+                                         files: Seq[String],
+                                         stats: FileStats = Map.empty)
 
   // a plain databind mapper (tree model — no reflection/module setup);
   // jackson ships with Spark itself, so this adds no dependency
@@ -83,6 +92,16 @@ object VersionedTable {
     }
     val files = root.putArray("files")
     m.files.sorted.foreach(files.add)
+    if (m.stats.nonEmpty) {
+      val st = root.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (rel, cols) =>
+        val fo = st.putObject(rel)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (tag, lo, hi)) =>
+          val co = fo.putObject(c)
+          co.put("t", tag); co.put("lo", lo); co.put("hi", hi)
+        }
+      }
+    }
     mapper.writeValueAsBytes(root)
   }
 
@@ -103,9 +122,29 @@ object VersionedTable {
         while (it.hasNext) ks += it.next().asText()
         Some((ks.result(), root.get("bucket_n").asInt()))
       } else None
+    val stats: FileStats =
+      if (!root.hasNonNull("stats")) Map.empty
+      else {
+        val b = Map.newBuilder[String, Map[String, (String, String, String)]]
+        val fit = root.get("stats").fields()
+        while (fit.hasNext) {
+          val fe = fit.next()
+          val cb = Map.newBuilder[String, (String, String, String)]
+          val cit = fe.getValue.fields()
+          while (cit.hasNext) {
+            val ce = cit.next()
+            val n = ce.getValue
+            if (n.hasNonNull("t") && n.hasNonNull("lo") && n.hasNonNull("hi"))
+              cb += ce.getKey -> ((n.get("t").asText(), n.get("lo").asText(),
+                n.get("hi").asText()))
+          }
+          b += fe.getKey -> cb.result()
+        }
+        b.result()
+      }
     Manifest(root.get("version").asLong(),
       if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
-      bucket, files)
+      bucket, files, stats)
   }
 
   private def manifestPath(tgt: Catalog, table: String, v: Long): Path =
@@ -199,6 +238,220 @@ object VersionedTable {
   private def footerMaxId(tgt: Catalog, absFiles: Seq[String]): Option[Long] =
     graft.sources.ParquetSource
       .footerMaxLongInFiles(tgt.spark, absFiles, Loader.IdCol)
+
+  // --------------------------------------------------------------- zone maps
+
+  /** Manifest zone maps cover at most this many columns (schema order) —
+    * bounds manifest growth to O(files × MaxStatsCols) entries; a 100k-file
+    * table stays a few-MB manifest. */
+  private val MaxStatsCols = 16
+
+  /** Columns whose footer ranges enter the manifest: the types with an
+    * exact, total comparison domain in parquet statistics. */
+  private def statColNames(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.collect {
+      case f if Set[DataType](ByteType, ShortType, IntegerType, LongType,
+        FloatType, DoubleType, StringType, DateType, TimestampType,
+        TimestampNTZType).contains(f.dataType) => f.name
+    }.take(MaxStatsCols)
+  }
+
+  /** Zone maps for freshly written files, keyed by REL path — one footer
+    * read per new file at commit time (metadata-only, O(new files); the
+    * same footers the id-floor probe touches). */
+  private def newFileStats(tgt: Catalog, table: String, newRel: Seq[String],
+                           schema: org.apache.spark.sql.types.StructType): FileStats = {
+    val cols = statColNames(schema)
+    if (cols.isEmpty || newRel.isEmpty) Map.empty
+    else {
+      val absToRel = newRel.map(r =>
+        new Path(dataDir(tgt, table), r).toString -> r).toMap
+      graft.sources.ParquetSource
+        .footerColumnRanges(tgt.spark, absToRel.keys.toSeq, cols)
+        .collect { case (abs, m) if m.nonEmpty =>
+          absToRel(abs) -> clampStringBounds(m) }
+    }
+  }
+
+  /** String bounds longer than this truncate before entering the manifest
+    * — a document table's multi-KB `text` min/max must not multiply into
+    * the manifest's O(files × cols) footprint. */
+  private val MaxStringBound = 64
+
+  /** Truncate long string ranges the way the big table formats do: the
+    * MIN truncates to a prefix (a prefix is ≤ the full string — still a
+    * valid lower bound); the MAX truncates to a prefix with its last
+    * bumpable ASCII char incremented (every string starting with the
+    * original prefix sorts below the bumped one — still a valid upper
+    * bound). A max with no bumpable char in the prefix drops the column's
+    * range (no valid short bound exists). */
+  private def clampStringBounds(m: Map[String, (String, String, String)])
+      : Map[String, (String, String, String)] =
+    m.flatMap {
+      case (c, ("string", lo, hi))
+        if lo.length > MaxStringBound || hi.length > MaxStringBound =>
+        val lo2 = lo.take(MaxStringBound)
+        val p = hi.take(MaxStringBound)
+        val i = if (hi.length <= MaxStringBound) -2
+                else p.lastIndexWhere(ch => ch < 0x7e.toChar)
+        if (i == -2) Some(c -> ("string", lo2, hi))
+        else if (i < 0) None // nothing bumpable: no safe short upper bound
+        else Some(c -> ("string", lo2,
+          p.substring(0, i) + (p(i) + 1).toChar))
+      case kv => Some(kv)
+    }
+
+  /** Zone maps carried forward for files the new manifest reuses. */
+  private def carriedStats(parent: Option[Manifest], carryRel: Seq[String]): FileStats =
+    parent.fold(Map.empty: FileStats) { m =>
+      val keep = carryRel.toSet
+      m.stats.filter(kv => keep(kv._1))
+    }
+
+  // ------------------------------------------------- zone-map file skipping
+
+  /** One prunable conjunct of a predicate — (columnNameLower, op,
+    * literalValues) with op ∈ eq|lt|le|gt|ge|in, extracted from the
+    * Column's node tree by [[org.apache.spark.sql.graft.ColumnExprBridge]].
+    * Literal values are the RAW Java objects the user passed (Long,
+    * String, java.sql.Timestamp, LocalDate, …). */
+  private def supportedConjuncts(pred: org.apache.spark.sql.Column)
+      : Seq[(String, String, Seq[Any])] =
+    org.apache.spark.sql.graft.ColumnExprBridge.conjuncts(pred)
+      .map { case (n, op, vs) => (n.toLowerCase, op, vs) }
+
+  /** Canonicalize a literal into the zone map's comparison domain for
+    * `tag` — None when the combination is not provably comparable (the
+    * conjunct then can't prune THIS column). Numeric/temporal domains
+    * compare as BigDecimal (exact for every long and every double);
+    * strings compare as Java strings, restricted to ASCII where Java
+    * order and parquet's UTF-8 byte order agree. Temporal conversions
+    * assume UTC sessions — the project-wide contract (Verify/Bench/specs
+    * all pin spark.sql.session.timeZone=UTC). */
+  private def canonLiteral(tag: String, v: Any): Option[Any] = {
+    def num: Option[BigDecimal] = v match {
+      case b: Byte => Some(BigDecimal(b.toInt))
+      case s: Short => Some(BigDecimal(s.toInt))
+      case i: Int => Some(BigDecimal(i))
+      case l: Long => Some(BigDecimal(l))
+      case f: Float if !f.isNaN => Some(BigDecimal(new java.math.BigDecimal(f.toDouble)))
+      case d: Double if !d.isNaN => Some(BigDecimal(new java.math.BigDecimal(d)))
+      case d: BigDecimal => Some(d)
+      case d: java.math.BigDecimal => Some(BigDecimal(d))
+      case b: BigInt => Some(BigDecimal(b))
+      case _ => None
+    }
+    def days: Option[Long] = v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case s: String => scala.util.Try(
+        java.time.LocalDate.parse(s.trim).toEpochDay).toOption
+      case _ => None
+    }
+    def micros: Option[BigDecimal] = v match {
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        Some(BigDecimal(i.getEpochSecond) * 1000000L + i.getNano / 1000L)
+      case i: java.time.Instant =>
+        Some(BigDecimal(i.getEpochSecond) * 1000000L + i.getNano / 1000L)
+      case l: java.time.LocalDateTime =>
+        val i = l.toInstant(java.time.ZoneOffset.UTC)
+        Some(BigDecimal(i.getEpochSecond) * 1000000L + i.getNano / 1000L)
+      case s: String =>
+        val t = s.trim
+        scala.util.Try {
+          val ldt =
+            if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+            else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+          val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+          BigDecimal(i.getEpochSecond) * 1000000L + i.getNano / 1000L
+        }.toOption
+      case _ => days.map(d => BigDecimal(d) * 86400000000L) // date → midnight UTC
+    }
+    tag match {
+      case "long" | "double" => num.orElse(v match {
+        case s: String => scala.util.Try(BigDecimal(s.trim)).toOption
+        case _ => None
+      })
+      case "date" => days.map(BigDecimal(_))
+      case "ts" => micros
+      case "string" => v match {
+        case s: String if s.forall(_ < 128.toChar) => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Does a file whose column ranges are `st` possibly satisfy the
+    * conjunct `(colLower, cmp, values)`? True (keep the file) on any
+    * uncertainty. */
+  private def rangeAdmits(st: Map[String, (String, String, String)],
+                          colLower: String, cmp: String,
+                          values: Seq[Any]): Boolean = {
+    // zone maps key by writer-schema name; conjunct names are lowercased
+    val hit = st.collectFirst {
+      case (n, r) if n.toLowerCase == colLower => r
+    }
+    hit match {
+      case None => true // no range recorded: cannot exclude
+      case Some((tag, loS, hiS)) =>
+        val bounds: Option[(Any, Any)] = tag match {
+          case "string" =>
+            if (loS.forall(_ < 128.toChar) && hiS.forall(_ < 128.toChar))
+              Some((loS, hiS))
+            else None // non-ASCII bounds: Java order may disagree with UTF-8
+          case "double" => scala.util.Try(
+            (BigDecimal(new java.math.BigDecimal(loS.toDouble)): Any,
+             BigDecimal(new java.math.BigDecimal(hiS.toDouble)): Any)).toOption
+          case _ => scala.util.Try(
+            (BigDecimal(loS.toLong): Any, BigDecimal(hiS.toLong): Any)).toOption
+        }
+        bounds match {
+          case None => true
+          case Some((lo, hi)) =>
+            // canonicalize each literal; an uncanonicalizable literal
+            // makes the conjunct unprunable for this file
+            val lits = values.map(canonLiteral(tag, _))
+            if (lits.exists(_.isEmpty)) true
+            else {
+              def le(a: Any, b: Any): Boolean = (a, b) match {
+                case (x: BigDecimal, y: BigDecimal) => x <= y
+                case (x: String, y: String) => x.compareTo(y) <= 0
+                case _ => true
+              }
+              def lt(a: Any, b: Any): Boolean = (a, b) match {
+                case (x: BigDecimal, y: BigDecimal) => x < y
+                case (x: String, y: String) => x.compareTo(y) < 0
+                case _ => true
+              }
+              val vs = lits.flatten
+              cmp match {
+                case "eq" | "in" => vs.exists(x => le(lo, x) && le(x, hi))
+                case "lt" => lt(lo, vs.head) // some row < x possible iff min < x
+                case "le" => le(lo, vs.head)
+                case "gt" => lt(vs.head, hi) // some row > x possible iff max > x
+                case "ge" => le(vs.head, hi)
+                case _ => true
+              }
+            }
+        }
+    }
+  }
+
+  /** Partition a manifest's files into (kept, skipped) under `pred` using
+    * the recorded zone maps — pure driver-side metadata, no I/O. */
+  private[etl] def pruneByStats(man: Manifest,
+                                pred: org.apache.spark.sql.Column)
+      : (Seq[String], Seq[String]) = {
+    val cs = supportedConjuncts(pred)
+    if (cs.isEmpty || man.stats.isEmpty) (man.files, Nil)
+    else man.files.partition { rel =>
+      val st = man.stats.getOrElse(rel, Map.empty)
+      st.isEmpty || cs.forall { case (n, op, vs) => rangeAdmits(st, n, op, vs) }
+    }
+  }
 
   /** Hidden-path rule for walking batch dirs: Spark's own convention —
     * `_`/`.`-prefixed names are metadata EXCEPT partition-style `name=val`
@@ -392,7 +645,9 @@ object VersionedTable {
       .map(m => if (carryRel.nonEmpty) math.max(m, maxId) else m)
     preCommitHook.value()
     if (tryCommitManifest(tgt, table,
-      Manifest(newV, committedMax, bucket, carryRel ++ newRel)))
+      Manifest(newV, committedMax, bucket, carryRel ++ newRel,
+        carriedStats(headMan, carryRel) ++
+          newFileStats(tgt, table, newRel, out.schema))))
       Some(newV)
     else {
       // lost the race: the staged batch references a superseded head —
@@ -426,17 +681,23 @@ object VersionedTable {
       val man = readManifest(tgt, table, cur).get
       val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
       def absOf(rel: String) = new Path(dataDir(tgt, table), rel).toUri.getPath
-      // file-match probe: which files hold at least one matching row
-      val hit: Set[String] = readVersion(tgt, table, cur)
-        .where(cond).select(input_file_name().as("f")).distinct()
-        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      // file-match probe: which files hold at least one matching row —
+      // zone-map pruned first (a file whose recorded ranges exclude the
+      // predicate can't be hit; the probe never even mounts it)
+      val (candRel, _) = pruneByStats(man, cond)
+      val hit: Set[String] =
+        if (candRel.isEmpty) Set.empty
+        else readFileList(tgt, candRel.map(r =>
+          new Path(dataDir(tgt, table), r).toString))
+          .where(cond).select(input_file_name().as("f")).distinct()
+          .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
       val (hitRel, keepRel) = man.files.partition(r => hit.contains(absOf(r)))
       preCommitHook.value()
       val newV = cur + 1L
       if (hitRel.isEmpty) {
         // nothing matches: the delete is recorded without touching a byte
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, man.files))) Some(newV)
+          Manifest(newV, man.maxId, man.bucket, man.files, man.stats))) Some(newV)
         else None
       } else {
         val survivors = tgt.spark.read
@@ -450,7 +711,9 @@ object VersionedTable {
           new Path(dataDir(tgt, table), r).toString)
         val maxId = man.maxId.orElse(footerMaxId(tgt, keepAbs))
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, maxId, man.bucket, keepRel ++ newRel))) Some(newV)
+          Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
+            carriedStats(Some(man), keepRel) ++
+              newFileStats(tgt, table, newRel, survivors.schema)))) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -492,7 +755,7 @@ object VersionedTable {
       val newV = cur + 1L
       if (hitRel.isEmpty) {
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, man.files))) Some(newV)
+          Manifest(newV, man.maxId, man.bucket, man.files, man.stats))) Some(newV)
         else None
       } else {
         val survivors = tgt.spark.read
@@ -503,7 +766,9 @@ object VersionedTable {
           new Path(dataDir(tgt, table), r).toString)
         val maxId = man.maxId.orElse(footerMaxId(tgt, keepAbs))
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, maxId, man.bucket, keepRel ++ newRel))) Some(newV)
+          Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
+            carriedStats(Some(man), keepRel) ++
+              newFileStats(tgt, table, newRel, survivors.schema)))) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -559,7 +824,9 @@ object VersionedTable {
         val (batch, newRel) = writeBatch(tgt, table, out, man.bucket)
         val newV = cur + 1L
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel)))
+          Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel,
+            carriedStats(Some(man), keep.map(_._1)) ++
+              newFileStats(tgt, table, newRel, rows.schema))))
           Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -598,7 +865,7 @@ object VersionedTable {
           footerMaxId(tgt, manifestFiles(tgt, table, v)))
         preCommitHook.value()
         if (tryCommitManifest(tgt, table,
-          Manifest(cur + 1, maxId, man.bucket, man.files))) Some(cur + 1)
+          Manifest(cur + 1, maxId, man.bucket, man.files, man.stats))) Some(cur + 1)
         else None
       }
     }
@@ -628,12 +895,65 @@ object VersionedTable {
   def readVersion(tgt: Catalog, table: String, v: Long): DataFrame = {
     val files = manifestFiles(tgt, table, v)
     require(files.nonEmpty, s"version $v of '$table' lists no files")
+    readFileList(tgt, files)
+  }
+
+  /** The shared explicit-file-list read (NTZ normalization included). */
+  private def readFileList(tgt: Catalog, absFiles: Seq[String]): DataFrame = {
     tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = tgt.spark.read.parquet(files: _*)
+    val df = tgt.spark.read.parquet(absFiles: _*)
     df.schema.fields.collect {
       case fld if fld.dataType == org.apache.spark.sql.types.TimestampNTZType => fld.name
     }.foldLeft(df)((d, c) =>
       d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType)))
+  }
+
+  /** ZONE-MAP FILTERED READ of the head version — see the v-taking
+    * overload. */
+  def readWhere(tgt: Catalog, table: String,
+                pred: org.apache.spark.sql.Column): DataFrame =
+    readWhere(tgt, table, currentVersion(tgt, table).getOrElse(
+      throw new IllegalArgumentException(s"versioned table '$table' not found")),
+      pred)
+
+  /** ZONE-MAP FILTERED READ: apply `pred` to version `v`, first skipping
+    * every file whose manifest-recorded `[min, max]` column ranges prove
+    * it can hold no matching row — a DRIVER-SIDE planning step over pure
+    * metadata, so a selective filter on a 100 TB table launches scan
+    * tasks (and, on an object store, even footer reads) only for the
+    * files that can match. Parquet row-group skipping still applies
+    * INSIDE the surviving files; the zone map's job is to avoid touching
+    * the others at all.
+    *
+    * Semantically identical to `readVersion(...).where(pred)` for every
+    * predicate: only conjuncts of the shapes `col (=|<|<=|>|>=) lit` /
+    * `col IN (lits)` prune (in the stats-safe comparison domains —
+    * [[graft.sources.ParquetSource.footerColumnRanges]]); everything
+    * else simply doesn't skip. The full predicate is always re-applied
+    * to the surviving rows. */
+  def readWhere(tgt: Catalog, table: String, v: Long,
+                pred: org.apache.spark.sql.Column): DataFrame = {
+    val man = readManifest(tgt, table, v).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $v"))
+    require(man.files.nonEmpty, s"version $v of '$table' lists no files")
+    val (keepRel, _) = pruneByStats(man, pred)
+    if (keepRel.isEmpty)
+      // every file excluded: an empty frame with the version's schema
+      // (one footer read for the schema — no scan tasks at all)
+      readFileList(tgt, Seq(new Path(dataDir(tgt, table),
+        man.files.head).toString)).where(lit(false)).where(pred)
+    else readFileList(tgt, keepRel.map(r =>
+      new Path(dataDir(tgt, table), r).toString)).where(pred)
+  }
+
+  /** The files of version `v` a [[readWhere]] with `pred` would SKIP
+    * (absolute paths) — the spec/audit surface for zone-map pruning. */
+  def skippedFiles(tgt: Catalog, table: String, v: Long,
+                   pred: org.apache.spark.sql.Column): Seq[String] = {
+    val man = readManifest(tgt, table, v).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $v"))
+    pruneByStats(man, pred)._2.map(r =>
+      new Path(dataDir(tgt, table), r).toString)
   }
 
   /** BUCKET-PRUNED point lookup at version `v`: on a table bucketed by
@@ -660,11 +980,24 @@ object VersionedTable {
         val b = tgt.spark.range(1)
           .select(keys.map(c => lit(key(c)).cast("string").as(c)): _*)
           .select(Loader.bucketIdExpr(keys, n)).head().getInt(0)
+        // within the bucket, zone maps prune further (e.g. a lookup key
+        // outside a file's recorded id/key range)
         val inBucket = man.files.filter(r => bucketOfRel(r).contains(b))
+          .filter { r =>
+            val st = man.stats.getOrElse(r, Map.empty)
+            st.isEmpty || supportedConjuncts(pred)
+              .forall { case (n, op, vs) => rangeAdmits(st, n, op, vs) }
+          }
         if (inBucket.isEmpty) base.limit(0).where(pred)
         else tgt.spark.read.parquet(inBucket.map(r =>
           new Path(dataDir(tgt, table), r).toString): _*).where(pred)
-      case _ => base.where(pred)
+      case _ =>
+        // flat table: zone maps are the only file-level pruning available
+        val (keepRel, skipped) = pruneByStats(man, pred)
+        if (skipped.isEmpty) base.where(pred)
+        else if (keepRel.isEmpty) base.limit(0).where(pred)
+        else readFileList(tgt, keepRel.map(r =>
+          new Path(dataDir(tgt, table), r).toString)).where(pred)
     }
   }
 

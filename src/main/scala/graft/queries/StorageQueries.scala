@@ -76,6 +76,37 @@ object StorageQueries {
     tgt
   }
 
+  /** Separate memoized fixture for the zone-map query: three APPENDS with
+    * disjoint o_orderkey ranges (append-only so each batch's files stay
+    * distinct and the ranges stay disjoint — the shared 4-version fixture
+    * ends in a flat upsert's full rewrite, which collapses every range
+    * into one batch and leaves nothing to skip). */
+  private val skipDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def skippingFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = skipDirs.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+      // ranges sized to the smallest sf (orders keys are dense from 0;
+      // sf0.001 tops out at 1499) so every batch has rows at every sf
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 500),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1000),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") > 1000 && col("o_orderkey") <= 1400),
+        idOrder = Seq("o_orderkey"))
+      tgt.dir
+    })
+    new Catalog(spark, dir)
+  }
+
   /** The DuckDB replay of each version's state (CTE names v1..v4). */
   private val versionedStates: String =
     """g1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 2000),
@@ -228,6 +259,24 @@ object StorageQueries {
       MaterializedAgg.read(viewTgt, "v", gb, aggs)
         .where(col("n_rows") > 0)
         .orderBy("o_orderstatus")
+    },
+
+    // F24 manifest zone maps: per-file [min,max] column ranges recorded
+    // at commit time (parquet footers, metadata-only) let a filtered read
+    // skip whole files on the DRIVER before any scan task launches —
+    // Delta/Iceberg-style data skipping on the versioned layer. The
+    // fixture is three appends with disjoint o_orderkey ranges; the
+    // range predicate must scan only the middle batch's files (enforced
+    // in-query: a regression that stops skipping fails the registry run,
+    // not just a spec). The oracle replays the three appends' state.
+    "q_versioned_skipping" -> { (spark, sfDir) =>
+      val tgt = skippingFixture(spark, sfDir)
+      val pred = col("o_orderkey") > 600L && col("o_orderkey") <= 900L
+      require(VersionedTable.skippedFiles(tgt, "t", 3L, pred).nonEmpty,
+        "zone maps must skip the out-of-range batches' files")
+      VersionedTable.readWhere(tgt, "t", 3L, pred)
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
     },
 
     // F21 versioned × bucketed layout composition: a versioned table
@@ -408,6 +457,25 @@ object StorageQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_versioned_skipping" ->
+      """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 500),
+        |k2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 500 AND o_orderkey <= 1000),
+        |k3 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 1000 AND o_orderkey <= 1400),
+        |state AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id, k1.* FROM k1
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k2.* FROM k2
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1) + (SELECT count(*) FROM k2)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k3.* FROM k3)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
+        |WHERE o_orderkey > 600 AND o_orderkey <= 900
+        |ORDER BY id""".stripMargin,
 
     "q_time_travel" ->
       s"""WITH $versionedStates

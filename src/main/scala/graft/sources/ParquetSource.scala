@@ -278,6 +278,144 @@ object ParquetSource {
     if (!sawColumn) None else best
   }
 
+  /** Per-FILE `[min, max]` ranges for `cols`, from parquet footer column
+    * statistics — the raw material for manifest-level ZONE MAPS (a
+    * versioned table records these at commit time so a filtered read can
+    * skip whole files on the DRIVER, before any scan task launches; at
+    * 100 TB that is the difference between planning against a few MB of
+    * manifest and opening 100k footers per query).
+    *
+    * Returns `absFilePath -> colName -> (tag, lo, hi)` where `tag`
+    * declares the comparison domain and lo/hi are decimal strings (or the
+    * raw string for `"string"`):
+    *   - `"long"`   — signed integer family (INT32/INT64, plain or signed
+    *                  int annotation)
+    *   - `"date"`   — DATE annotation, value = epoch days
+    *   - `"ts"`     — TIMESTAMP annotation (any unit/frame), value =
+    *                  MICROS via floor-division — the same truncation
+    *                  Spark applies reading NANOS, so bounds stay valid
+    *                  for the values Spark actually materializes; graft
+    *                  sessions run UTC, so NTZ wall-clock ≡ instant
+    *   - `"double"` — FLOAT/DOUBLE
+    *   - `"string"` — BINARY with String annotation (consumers must
+    *                  compare byte-wise; pruning restricts itself to
+    *                  ASCII, where Java and UTF-8 byte order agree)
+    *
+    * STRICT per (file, column): a column is OMITTED for a file when any
+    * populated row group lacks usable stats for it, a float/double bound
+    * is NaN (parquet NaN ordering is undefined), the annotation is
+    * unsigned/decimal/INT96 (different comparison domain), or every row
+    * is null (no non-null bounds exist). Omission is always safe — a file
+    * without a recorded range is simply never skipped on that column. */
+  def footerColumnRanges(spark: SparkSession, files: Seq[String],
+                         cols: Seq[String])
+      : Map[String, Map[String, (String, String, String)]] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sessionState.newHadoopConf()
+    val want = cols.toSet
+
+    // comparison-domain tag for a primitive leaf, None = not range-safe
+    def tagOf(f: PrimitiveType): Option[String] = {
+      val ann = f.getLogicalTypeAnnotation
+      (f.getPrimitiveTypeName, ann) match {
+        case (INT96, _) => None
+        case (INT32 | INT64, null) => Some("long")
+        case (INT32 | INT64, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+          if a.isSigned => Some("long")
+        case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+          Some("date")
+        case (INT64, _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+          Some("ts")
+        case (FLOAT | DOUBLE, _) => Some("double")
+        case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          Some("string")
+        case _ => None // unsigned ints, decimals, fixed-len, maps/lists
+      }
+    }
+    // unit factor to micros for TIMESTAMP columns (floor like Spark's
+    // read); None on a pathological millis value that overflows micros
+    def toMicros(f: PrimitiveType, v: Long): Option[Long] =
+      f.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit.toString match {
+            case "MILLIS" =>
+              try Some(Math.multiplyExact(v, 1000L))
+              catch { case _: ArithmeticException => None }
+            case "NANOS" => Some(Math.floorDiv(v, 1000L))
+            case _ => Some(v) // MICROS
+          }
+        case _ => Some(v)
+      }
+
+    files.map { fPath =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(fPath), conf))
+      val ranges = try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val leaves: Map[String, PrimitiveType] = schema.getFields.asScala
+          .collect { case f if f.isPrimitive && want.contains(f.getName) =>
+            f.getName -> f.asPrimitiveType() }.toMap
+        val acc = scala.collection.mutable.Map[String, (String, String, String)]()
+        val dead = scala.collection.mutable.Set[String]()
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          if (b.getRowCount > 0) b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            if (want.contains(name) && !dead.contains(name)) {
+              val prim = leaves.get(name)
+              val tag = prim.flatMap(tagOf)
+              val s = c.getStatistics
+              if (tag.isEmpty || s == null) dead += name
+              else if (!s.hasNonNullValue) {
+                // stats present but no values: fine ONLY when provably
+                // all-null (contributes nothing); otherwise unknown → dead
+                if (!s.isNumNullsSet || s.getNumNulls != b.getRowCount)
+                  dead += name
+              } else {
+                val lohi: Option[(String, String)] = (tag.get,
+                  s.genericGetMin, s.genericGetMax) match {
+                  case ("long" | "date", lo: java.lang.Number, hi: java.lang.Number) =>
+                    Some((lo.longValue.toString, hi.longValue.toString))
+                  case ("ts", lo: java.lang.Number, hi: java.lang.Number) =>
+                    for (l <- toMicros(prim.get, lo.longValue);
+                         h <- toMicros(prim.get, hi.longValue))
+                      yield (l.toString, h.toString)
+                  case ("double", lo: java.lang.Number, hi: java.lang.Number) =>
+                    val (l, h) = (lo.doubleValue, hi.doubleValue)
+                    if (l.isNaN || h.isNaN) None
+                    else Some((l.toString, h.toString))
+                  case ("string", lo: org.apache.parquet.io.api.Binary,
+                        hi: org.apache.parquet.io.api.Binary) =>
+                    Some((lo.toStringUsingUTF8, hi.toStringUsingUTF8))
+                  case _ => None
+                }
+                lohi match {
+                  case None => dead += name
+                  case Some((lo, hi)) => acc.get(name) match {
+                    case None => acc(name) = (tag.get, lo, hi)
+                    case Some((t, plo, phi)) =>
+                      def lt(a: String, b: String): Boolean = t match {
+                        case "string" => a.compareTo(b) < 0
+                        case "double" => a.toDouble < b.toDouble
+                        case _ => a.toLong < b.toLong
+                      }
+                      acc(name) = (t, if (lt(lo, plo)) lo else plo,
+                        if (lt(phi, hi)) hi else phi)
+                  }
+                }
+              }
+            }
+          }
+        }
+        dead.foreach(acc.remove)
+        acc.toMap
+      } finally r.close()
+      fPath -> ranges
+    }.toMap
+  }
+
   /** The parquet timestamp logical annotation of `column`, verified
     * UNIFORM across EVERY visible file under `path`:
     * Some((isAdjustedToUTC, unit)) with unit ∈ MILLIS|MICROS|NANOS, or

@@ -1,0 +1,215 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Manifest ZONE MAPS: per-file [min,max] column ranges recorded at commit
+  * time (parquet footers — metadata-only) and used by [[VersionedTable
+  * .readWhere]] to skip whole files on the driver before any scan task
+  * launches. Contracts pinned here:
+  *
+  *   - a selective range predicate SKIPS the files whose ranges exclude it
+  *     and the result equals the unpruned `readVersion().where()`;
+  *   - the scanned plan's `inputFiles` is exactly the surviving file set
+  *     (the skipping is real, not cosmetic);
+  *   - appends CARRY the parent's zone maps forward (no re-footer-read of
+  *     old files at commit time — and pruning keeps working across
+  *     versions);
+  *   - delete / compact / rollback all preserve zone maps;
+  *   - unsupported predicate shapes, stats-less columns and pre-stats
+  *     manifests degrade to a FULL read — never a wrong one;
+  *   - string domains prune only inside ASCII, where Java and UTF-8 byte
+  *     order agree.
+  */
+class VersionedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat() = new Catalog(spark, tmpDir("vstats"))
+
+  /** Three appends with disjoint k-ranges → one file per batch (tiny
+    * data collapses to one partition), three files with disjoint zone
+    * maps. */
+  private def threeBatches(tgt: Catalog): Unit = {
+    def df(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"s$i", i * 1.5)).toDF("k", "s", "x")
+    VersionedTable.load(tgt, "t", df(1L, 100L), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", df(101L, 200L), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", df(201L, 300L), idOrder = Seq("k"))
+  }
+
+  test("range predicate skips files outside the zone map and matches the full read") {
+    val tgt = freshCat()
+    threeBatches(tgt)
+    val all = VersionedTable.files(tgt, "t", 3L)
+    assert(all.size >= 3)
+    val pred = col("k") >= 150L && col("k") <= 160L
+    val skipped = VersionedTable.skippedFiles(tgt, "t", 3L, pred)
+    assert(skipped.size >= 2,
+      s"batches 1 and 3 must be skipped, got ${skipped.size}: $skipped")
+    val pruned = VersionedTable.readWhere(tgt, "t", 3L, pred)
+    val full = VersionedTable.readVersion(tgt, "t", 3L).where(pred)
+    assert(pruned.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet)
+    // the skipping is physical: no skipped file appears in the scan
+    val scanned = pruned.inputFiles.map(f => new java.net.URI(f).getPath).toSet
+    val skippedPaths = skipped.map(f => new java.net.URI(f).getPath).toSet
+    assert(scanned.intersect(skippedPaths).isEmpty)
+    assert(scanned.size == all.size - skipped.size)
+  }
+
+  test("equality, IN, string and double conjuncts all prune; disjunctions don't") {
+    val tgt = freshCat()
+    threeBatches(tgt)
+    def skippedCount(pred: org.apache.spark.sql.Column): Int =
+      VersionedTable.skippedFiles(tgt, "t", 3L, pred).size
+    assert(skippedCount(col("k") === 250L) >= 2, "equality prunes")
+    assert(skippedCount(col("k").isin(5L, 7L)) >= 2, "IN prunes")
+    assert(skippedCount(col("x") > lit(350.0)) >= 2, "double prunes (x = k*1.5)")
+    assert(skippedCount(col("s") === "s105") >= 1, "ASCII string prunes")
+    // OR at the top level is not a conjunct: nothing skips, result correct
+    val pred = col("k") === 5L || col("k") === 250L
+    assert(skippedCount(pred) == 0)
+    assert(VersionedTable.readWhere(tgt, "t", 3L, pred).count() == 2L)
+  }
+
+  test("appends carry the parent's zone maps; pruning works on old files") {
+    val tgt = freshCat()
+    threeBatches(tgt)
+    val m3 = VersionedTable.readManifest(tgt, "t", 3L).get
+    val m2 = VersionedTable.readManifest(tgt, "t", 2L).get
+    // every v2 file's stats entry is present, verbatim, in v3's manifest
+    m2.files.foreach { f =>
+      assert(m3.stats.get(f) == m2.stats.get(f),
+        s"stats for carried file $f must carry forward unchanged")
+    }
+    assert(m3.stats.keySet == m3.files.toSet,
+      "every committed file carries a zone map")
+  }
+
+  test("delete, compact and rollback preserve zone maps and pruning") {
+    val tgt = freshCat()
+    threeBatches(tgt)
+    VersionedTable.delete(tgt, "t", col("k") === 150L) // v4: rewrites 1 file
+    val m4 = VersionedTable.readManifest(tgt, "t", 4L).get
+    assert(m4.stats.keySet == m4.files.toSet)
+    assert(VersionedTable.skippedFiles(tgt, "t", 4L,
+      col("k") >= 250L).size >= 2)
+    assert(VersionedTable.readWhere(tgt, "t", 4L, col("k") >= 140L &&
+      col("k") <= 160L).count() == 20L) // 150 deleted
+    val v5 = VersionedTable.compact(tgt, "t", 512L * 1024 * 1024) // all small
+    if (v5 > 4L) {
+      val m5 = VersionedTable.readManifest(tgt, "t", v5).get
+      assert(m5.stats.keySet == m5.files.toSet,
+        "compaction output files must carry fresh zone maps")
+    }
+    val v6 = VersionedTable.rollback(tgt, "t", 3L)
+    val m6 = VersionedTable.readManifest(tgt, "t", v6).get
+    assert(m6.stats == VersionedTable.readManifest(tgt, "t", 3L).get.stats,
+      "rollback restores the target version's zone maps")
+  }
+
+  test("an all-null column and a NaN double disable skipping for their files only") {
+    val tgt = freshCat()
+    val withNull = Seq((1L, null: java.lang.Double), (2L, null: java.lang.Double))
+      .toDF("k", "x")
+    val withNaN = Seq((10L, java.lang.Double.valueOf(Double.NaN)),
+      (11L, java.lang.Double.valueOf(2.0))).toDF("k", "x")
+    val normal = Seq((100L, java.lang.Double.valueOf(5.0))).toDF("k", "x")
+    VersionedTable.load(tgt, "t", withNull, idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", withNaN, idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", normal, idOrder = Seq("k"))
+    val man = VersionedTable.readManifest(tgt, "t", 3L).get
+    // x has no recorded range in the null/NaN files → they are never
+    // skipped on x; the normal file's range still prunes
+    val skipped = VersionedTable.skippedFiles(tgt, "t", 3L, col("x") > 100.0)
+    assert(skipped.size == 1, s"only the normal file can skip on x: $skipped")
+    // correctness unharmed either way
+    // Spark orders NaN GREATER than any double, so NaN > 1.0 is TRUE —
+    // and the NaN file carries no x range (parquet omits stats when NaN
+    // is present), so it can never be wrongly skipped
+    assert(VersionedTable.readWhere(tgt, "t", 3L, col("x") > 1.0)
+      .count() == 3L) // NaN, 2.0 and 5.0
+    // k pruning still works everywhere (k stats exist in all files)
+    assert(VersionedTable.skippedFiles(tgt, "t", 3L, col("k") === 100L).size == 2)
+  }
+
+  test("a pre-stats manifest (no 'stats' field) reads fully and never skips") {
+    val tgt = freshCat()
+    threeBatches(tgt)
+    // strip the stats field from v3's manifest, simulating a table
+    // committed by a pre-zone-map writer
+    val md = new java.io.File(s"${tgt.dirPath("t")}.__vmeta")
+    val v3 = new java.io.File(md, "v3.manifest.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(v3).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("stats")
+    java.nio.file.Files.write(v3.toPath, mapper.writeValueAsBytes(root))
+    assert(VersionedTable.readManifest(tgt, "t", 3L).get.stats.isEmpty)
+    assert(VersionedTable.skippedFiles(tgt, "t", 3L, col("k") === 5L).isEmpty)
+    assert(VersionedTable.readWhere(tgt, "t", 3L, col("k") === 5L).count() == 1L)
+  }
+
+  test("non-ASCII string bounds refuse to prune; ASCII bounds prune") {
+    val tgt = freshCat()
+    VersionedTable.load(tgt, "t",
+      Seq((1L, "éclair"), (2L, "zebra")).toDF("k", "s"), // é > 'z' in UTF-8
+      idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t",
+      Seq((3L, "apple"), (4L, "banana")).toDF("k", "s"), idOrder = Seq("k"))
+    // file 1 has a non-ASCII bound: must never be skipped on s
+    val skipped = VersionedTable.skippedFiles(tgt, "t", 2L, col("s") === "zzz")
+    val man = VersionedTable.readManifest(tgt, "t", 2L).get
+    val asciiOnly = man.stats.collect {
+      case (f, st) if st.get("s").exists { case (_, lo, hi) =>
+        lo.forall(_ < 128.toChar) && hi.forall(_ < 128.toChar) } => f
+    }.toSet
+    assert(skipped.nonEmpty, "the ASCII-bounded file must skip on s = 'zzz'")
+    skipped.foreach(f => assert(asciiOnly.exists(f.endsWith),
+      s"only ASCII-bounded files may be skipped, got $f"))
+    assert(VersionedTable.readWhere(tgt, "t", 2L, col("s") >= "a").count() == 4L)
+  }
+
+  test("long string bounds truncate to valid short bounds; pruning stays sound") {
+    val tgt = freshCat()
+    val longA = "a" * 100 + "LOW"   // 103 chars, > MaxStringBound (64)
+    val longY = "y" * 100 + "HIGH"
+    VersionedTable.load(tgt, "t",
+      Seq((1L, longA), (2L, longY)).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t",
+      Seq((3L, "mmm")).toDF("k", "s"), idOrder = Seq("k"))
+    val man = VersionedTable.readManifest(tgt, "t", 2L).get
+    val sBounds = man.stats.values.flatMap(_.get("s")).toSeq
+    assert(sBounds.nonEmpty)
+    sBounds.foreach { case (_, lo, hi) =>
+      assert(lo.length <= 65 && hi.length <= 65,
+        s"bounds must be truncated, got |lo|=${lo.length} |hi|=${hi.length}")
+    }
+    // a probe below every bound skips both files; the real values are
+    // still inside their truncated ranges (readWhere finds them)
+    assert(VersionedTable.skippedFiles(tgt, "t", 2L, col("s") === "0").size == 2)
+    assert(VersionedTable.readWhere(tgt, "t", 2L, col("s") === longY).count() == 1L)
+    assert(VersionedTable.readWhere(tgt, "t", 2L, col("s") >= "a").count() == 3L)
+  }
+
+  test("timestamp and date zone maps prune with typed literals") {
+    val tgt = freshCat()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    VersionedTable.load(tgt, "t",
+      Seq((1L, ts("2024-01-01 00:00:00"), dt("2024-01-01")),
+          (2L, ts("2024-01-31 23:59:59"), dt("2024-01-31"))).toDF("k", "t", "d"),
+      idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t",
+      Seq((3L, ts("2024-06-01 00:00:00"), dt("2024-06-01")),
+          (4L, ts("2024-06-30 12:00:00"), dt("2024-06-30"))).toDF("k", "t", "d"),
+      idOrder = Seq("k"))
+    assert(VersionedTable.skippedFiles(tgt, "t", 2L,
+      col("t") >= lit(ts("2024-05-01 00:00:00"))).size == 1)
+    assert(VersionedTable.skippedFiles(tgt, "t", 2L,
+      col("d") < lit(dt("2024-02-01"))).size == 1)
+    assert(VersionedTable.readWhere(tgt, "t", 2L,
+      col("t") >= lit(ts("2024-05-01 00:00:00"))).count() == 2L)
+    assert(VersionedTable.readWhere(tgt, "t", 2L,
+      col("d") < lit(dt("2024-02-01"))).count() == 2L)
+  }
+}
