@@ -188,11 +188,30 @@ object VersionedTable {
     currentVersion(tgt, table).flatMap(v =>
       readManifest(tgt, table, v).flatMap(_.bucket))
 
+  /** Per-thread dynamic scope WITHOUT inheritance. `scala.util
+    * .DynamicVariable` rides an InheritableThreadLocal: a POOL thread
+    * created while a scope is active (e.g. the global ExecutionContext
+    * lazily growing during a `withValue` block) keeps that scope as its
+    * base value for the thread's whole life and later serves unrelated
+    * work with it — a concurrency-suite race this repo actually hit (a
+    * conditional-put protocol leaking into another suite's writers). A
+    * plain ThreadLocal starts every thread at the default; code that
+    * spawns workers inside a scope re-scopes inside each worker. */
+  private[etl] final class ThreadLocalDynamic[T](default: T) {
+    private val tl = ThreadLocal.withInitial[T](() => default)
+    def value: T = tl.get()
+    def withValue[S](v: T)(body: => S): S = {
+      val old = tl.get(); tl.set(v)
+      try body finally tl.set(old)
+    }
+  }
+
   /** Commit protocol in force — swap in a [[ConditionalPutCommit]] for
     * stores without atomic create-or-fail (see [[ManifestCommit]]).
-    * Dynamically scoped so concurrently-running suites can never observe
-    * each other's protocol. */
-  val commitProtocol = new scala.util.DynamicVariable[ManifestCommit](FsAtomicCommit)
+    * Thread-locally scoped WITHOUT inheritance, so concurrently-running
+    * suites (and pool threads born inside a scope) can never observe each
+    * other's protocol. */
+  val commitProtocol = new ThreadLocalDynamic[ManifestCommit](FsAtomicCommit)
 
   /** Attempt to commit a manifest — the optimistic-concurrency CAS.
     * False when ANOTHER writer committed this version first (the caller
@@ -206,11 +225,12 @@ object VersionedTable {
 
   /** Test seam: invoked once per commit attempt, after the attempt's merge
     * is staged and before its manifest CAS — lets a spec interleave a
-    * competing writer deterministically. Dynamically scoped (thread-local
-    * inheritance), so a spec's hook can never leak into other suites or
-    * survive a failure inside the block. */
+    * competing writer deterministically. Same non-inheriting thread-local
+    * scope as [[commitProtocol]]: a spec's hook can never leak into other
+    * suites, survive a failure inside the block, or ride a pool thread
+    * born inside the scope. */
   private[etl] val preCommitHook =
-    new scala.util.DynamicVariable[() => Unit](() => ())
+    new ThreadLocalDynamic[() => Unit](() => ())
 
   private val MaxCommitRetries = 20
 
@@ -738,18 +758,43 @@ object VersionedTable {
     require(keys.nonEmpty, "deleteKeys needs at least one key column")
     val kr = keyRows.select(keys.map(col): _*).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // key-ENVELOPE pruning: the [min,max] of the delete batch per key
+    // column (one tiny agg over the already-persisted frame, computed once
+    // — the frame doesn't change across commit retries) zone-prunes the
+    // probe's file list. Sound because the envelope is a superset of the
+    // key set: a file whose range misses the whole envelope can't hold any
+    // victim. At scale this turns "semi-join the entire table against the
+    // feed's deletes" into "semi-join the files near the batch's key
+    // range" — the common CDC case where a day's deletes live in a few
+    // recent files.
+    val envelope: Option[org.apache.spark.sql.Column] = {
+      val aggExprs = keys.flatMap(k =>
+        Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+      val r = kr.agg(aggExprs.head, aggExprs.tail: _*).head()
+      scala.util.Try {
+        keys.zipWithIndex.map { case (k, i) =>
+          val (lo, hi) = (r.get(2 * i), r.get(2 * i + 1))
+          require(lo != null && hi != null)
+          col(k) >= lit(lo) && col(k) <= lit(hi)
+        }.reduce(_ && _)
+      }.toOption // empty frame / un-lit-able key type: no pruning
+    }
     try commitWithRetry(table, "deleteKeys") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
       def absOf(rel: String) = new Path(dataDir(tgt, table), rel).toUri.getPath
+      val candRel = envelope.map(p => pruneByStats(man, p)._1).getOrElse(man.files)
       // input_file_name() must bind on the SCAN side — above a join it is
       // ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
-      val hit: Set[String] = readVersion(tgt, table, cur)
-        .withColumn("__f", input_file_name())
-        .join(kr, keys, "left_semi")
-        .select(col("__f")).distinct()
-        .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      val hit: Set[String] =
+        if (candRel.isEmpty) Set.empty
+        else readFileList(tgt, candRel.map(r =>
+          new Path(dataDir(tgt, table), r).toString))
+          .withColumn("__f", input_file_name())
+          .join(kr, keys, "left_semi")
+          .select(col("__f")).distinct()
+          .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
       val (hitRel, keepRel) = man.files.partition(r => hit.contains(absOf(r)))
       preCommitHook.value()
       val newV = cur + 1L
@@ -869,6 +914,46 @@ object VersionedTable {
         else None
       }
     }
+
+  // ------------------------------------------------------------------- clone
+
+  /** ZERO-COPY (shallow) CLONE: create `dstTable` whose v1 manifest
+    * references version `v` of `srcTable`'s data files by ABSOLUTE path —
+    * one small JSON commit, no data read, copied, or rewritten. Cloning a
+    * 100 TB table for a dev/test/audit branch costs the same as cloning a
+    * 100 MB one. After the clone the two tables evolve independently:
+    * every write to the clone (append/upsert/delete/compact) stages files
+    * under the CLONE's own data dir and carries the still-shared source
+    * files forward, so the source is never touched (its files are
+    * immutable by the layer's core invariant, and its manifests never
+    * learn of the clone). Zone maps and the id floor carry over, so
+    * pruning and id continuity work from the first read/write.
+    *
+    * OWNERSHIP CAVEAT (same as the big formats' shallow clones): the
+    * clone's vacuum only sweeps its OWN data dir, so it can never delete
+    * source files — but a vacuum on the SOURCE doesn't know about clones
+    * and may delete files the clone still references. Vacuum the source
+    * only when its clones are dropped or fully compacted (compaction
+    * rewrites shared small files into clone-owned ones).
+    */
+  def cloneTable(src: Catalog, srcTable: String,
+                 dst: Catalog, dstTable: String, v: Long): Long = {
+    val man = readManifest(src, srcTable, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$srcTable' has no version $v to clone"))
+    val relToAbs = man.files.map(r =>
+      r -> new Path(dataDir(src, srcTable), r).toString).toMap
+    commitWithRetry(dstTable, "clone") { () =>
+      require(currentVersion(dst, dstTable).isEmpty,
+        s"clone target '$dstTable' already exists")
+      preCommitHook.value()
+      if (tryCommitManifest(dst, dstTable,
+        Manifest(1L, man.maxId, man.bucket, man.files.map(relToAbs),
+          man.stats.map { case (r, st) => relToAbs(r) -> st })))
+        Some(1L)
+      else None
+    }
+  }
 
   // ------------------------------------------------------------------- reads
 

@@ -37,17 +37,18 @@ object StorageQueries {
     new Catalog(spark, dir)
   }
 
-  /** Queries that read the shared memoized fixture (bench attribution). */
+  /** Queries that read a shared memoized fixture (bench attribution). */
   val fixtureQueries: Set[String] = Set("q_time_travel", "q_change_feed",
     "q_version_drift", "q_matview_cdc", "q_matview_cdc_minmax",
-    "q_matview_cdc_stream", "q_stream_cdc_source")
+    "q_matview_cdc_stream", "q_stream_cdc_source", "q_versioned_skipping")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
     * `fixture_build_s` instead of landing on whichever fixture query runs
     * first alphabetically. */
   def prebuildFixture(spark: SparkSession, sfDir: String): Unit = {
-    versionedFixture(spark, sfDir); ()
+    versionedFixture(spark, sfDir)
+    skippingFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
