@@ -881,6 +881,60 @@ object VersionedTable {
     }
   }
 
+  /** RECLUSTER as a version — the OPTIMIZE ZORDER of the versioned layer,
+    * and the write-side twin of the zone maps: rewrite version-head data
+    * in clustering order so each output file covers a NARROW range of the
+    * clustered columns, making [[readWhere]]'s file skipping selective on
+    * them. One column range-sorts (perfect 1-D locality); two or more
+    * interleave via [[graft.operators.ZOrder.zValue]] (every dimension
+    * keeps ~1/2^(bits/k) per-file selectivity — numeric columns only,
+    * ZOrder's contract). Output sizes to ~`targetFileBytes` from the file
+    * LISTING (no extra scan). This is a FULL rewrite of the head version —
+    * re-layout is inherently O(table); run it on the cadence a lake runs
+    * OPTIMIZE, and let appends between runs rely on their natural
+    * time-correlation. Prior versions keep their own files (snapshot
+    * safety); the replaced files become vacuumable. Flat tables only: a
+    * bucketed table's locality contract is its bucket hash, which a
+    * z-order rewrite would destroy. Logical state is unchanged — only the
+    * file boundaries move. Returns the new version.
+    */
+  def recluster(tgt: Catalog, table: String, clusterBy: Seq[String],
+                targetFileBytes: Long): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    require(clusterBy.nonEmpty, "recluster needs at least one column")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    commitWithRetry(table, "recluster") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      require(man.bucket.isEmpty,
+        s"table '$table' is hash-bucketed; recluster applies to flat tables " +
+          "(bucket locality and z-order locality are competing layouts)")
+      val f = fs(tgt, dataDir(tgt, table))
+      val totalBytes = man.files.map(r =>
+        f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen).sum
+      val parts = math.max(1L,
+        (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val rows = readVersion(tgt, table, cur)
+      val sortKey =
+        if (clusterBy.size == 1) col(clusterBy.head)
+        else graft.operators.ZOrder.zValue(rows, clusterBy)
+      val out = rows.repartitionByRange(parts, sortKey)
+        .sortWithinPartitions(sortKey)
+      preCommitHook.value()
+      val (batch, newRel) = writeBatch(tgt, table, out, None)
+      val newV = cur + 1L
+      if (tryCommitManifest(tgt, table,
+        Manifest(newV, man.maxId, None, newRel,
+          newFileStats(tgt, table, newRel, rows.schema))))
+        Some(newV)
+      else {
+        fs(tgt, dataDir(tgt, table)).delete(batch, true)
+        None
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- rollback
 
   /** O(1) metadata ROLLBACK: commit a NEW head version whose file list is

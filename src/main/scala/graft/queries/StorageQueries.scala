@@ -40,7 +40,8 @@ object StorageQueries {
   /** Queries that read a shared memoized fixture (bench attribution). */
   val fixtureQueries: Set[String] = Set("q_time_travel", "q_change_feed",
     "q_version_drift", "q_matview_cdc", "q_matview_cdc_minmax",
-    "q_matview_cdc_stream", "q_stream_cdc_source", "q_versioned_skipping")
+    "q_matview_cdc_stream", "q_stream_cdc_source", "q_versioned_skipping",
+    "q_versioned_recluster")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -48,7 +49,8 @@ object StorageQueries {
     * first alphabetically. */
   def prebuildFixture(spark: SparkSession, sfDir: String): Unit = {
     versionedFixture(spark, sfDir)
-    skippingFixture(spark, sfDir); ()
+    skippingFixture(spark, sfDir)
+    reclusterFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -103,6 +105,33 @@ object StorageQueries {
       VersionedTable.load(tgt, "t",
         base.where(col("o_orderkey") > 1000 && col("o_orderkey") <= 1400),
         idOrder = Seq("o_orderkey"))
+      tgt.dir
+    })
+    new Catalog(spark, dir)
+  }
+
+  /** Fixture for the recluster query: two appends whose o_orderkey ranges
+    * fully OVERLAP (odd keys, then even keys — every file spans the whole
+    * domain, nothing skippable), then one `recluster` by o_orderkey sized
+    * to land multiple files — after which zone maps skip. Reclustered
+    * ONCE at build time and memoized, so repeated runs are idempotent. */
+  private val reclusterDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def reclusterFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = reclusterDirs.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+        .where(col("o_orderkey") <= 1400) // dense from 0 at every sf
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") % 2 === 1),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") % 2 === 0),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.recluster(tgt, "t", Seq("o_orderkey"), 4L * 1024)
       tgt.dir
     })
     new Catalog(spark, dir)
@@ -276,6 +305,22 @@ object StorageQueries {
       require(VersionedTable.skippedFiles(tgt, "t", 3L, pred).nonEmpty,
         "zone maps must skip the out-of-range batches' files")
       VersionedTable.readWhere(tgt, "t", 3L, pred)
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
+    },
+
+    // F29 recluster (OPTIMIZE ZORDER's 1-D case): two fully-overlapping
+    // appends leave zone maps unable to skip; one range-sort rewrite
+    // gives every file a narrow disjoint key range, after which the same
+    // predicate skips most files (enforced in-query). Logical state is
+    // unchanged — the oracle replays the two appends and filters.
+    "q_versioned_recluster" -> { (spark, sfDir) =>
+      val tgt = reclusterFixture(spark, sfDir)
+      val head = VersionedTable.currentVersion(tgt, "t").get
+      val pred = col("o_orderkey") > 650L && col("o_orderkey") <= 750L
+      require(VersionedTable.skippedFiles(tgt, "t", head, pred).nonEmpty,
+        "reclustered files must be skippable on the clustered key")
+      VersionedTable.readWhere(tgt, "t", head, pred)
         .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("id")
     },
@@ -458,6 +503,20 @@ object StorageQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q_versioned_recluster" ->
+      """WITH b1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 1400 AND o_orderkey % 2 = 1),
+        |b2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey <= 1400 AND o_orderkey % 2 = 0),
+        |state AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id, b1.* FROM b1
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM b1)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, b2.* FROM b2)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
+        |WHERE o_orderkey > 650 AND o_orderkey <= 750
+        |ORDER BY id""".stripMargin,
 
     "q_versioned_skipping" ->
       """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

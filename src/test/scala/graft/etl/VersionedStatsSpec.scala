@@ -191,6 +191,59 @@ class VersionedStatsSpec extends SparkSpec {
     assert(VersionedTable.readWhere(tgt, "t", 2L, col("s") >= "a").count() == 3L)
   }
 
+  test("recluster turns overlapping file ranges into prunable ones (1-D range sort)") {
+    val tgt = freshCat()
+    // four interleaved appends: every file's k-range spans the whole
+    // domain, so zone maps exist but can't skip anything
+    (0 until 4).foreach { i =>
+      val rows = (0 until 1000).map(j => (j * 4L + i, s"pad-$j-${j * 2654435761L}"))
+      VersionedTable.load(tgt, "t", rows.toDF("k", "pad"), idOrder = Seq("k"))
+    }
+    val pred = col("k") >= 1000L && col("k") < 1200L
+    assert(VersionedTable.skippedFiles(tgt, "t", 4L, pred).isEmpty,
+      "interleaved appends leave nothing to skip")
+    val before = VersionedTable.readVersion(tgt, "t", 4L)
+      .collect().map(_.toSeq).toSet
+    val v5 = VersionedTable.recluster(tgt, "t", Seq("k"), 4L * 1024)
+    assert(v5 == 5L)
+    val man5 = VersionedTable.readManifest(tgt, "t", 5L).get
+    assert(man5.files.size >= 3, s"recluster must size multiple output files")
+    val skipped = VersionedTable.skippedFiles(tgt, "t", 5L, pred)
+    assert(skipped.size >= man5.files.size / 2,
+      s"after reclustering, a 5% range must skip most files: " +
+        s"${skipped.size}/${man5.files.size}")
+    // logical state unchanged; pruned read equals it
+    assert(VersionedTable.readVersion(tgt, "t", 5L)
+      .collect().map(_.toSeq).toSet == before)
+    assert(VersionedTable.readWhere(tgt, "t", 5L, pred).count() == 200L)
+    // snapshot safety: the pre-recluster version still reads its own files
+    assert(VersionedTable.readVersion(tgt, "t", 4L).count() == 4000L)
+  }
+
+  test("z-order recluster makes BOTH dimensions prunable") {
+    val tgt = freshCat()
+    // a 64x64 grid appended in row-major order: natural files span the
+    // full b-range and wide a-ranges
+    val grid = (0 until 4096).map(i => (i / 64L, i % 64L, s"p-$i-${i * 2654435761L}"))
+    VersionedTable.load(tgt, "t", grid.toDF("a", "b", "pad"), idOrder = Seq("a", "b"))
+    val v2 = VersionedTable.recluster(tgt, "t", Seq("a", "b"), 4L * 1024)
+    val man = VersionedTable.readManifest(tgt, "t", v2).get
+    assert(man.files.size >= 6)
+    val skipA = VersionedTable.skippedFiles(tgt, "t", v2, col("a") === 3L)
+    val skipB = VersionedTable.skippedFiles(tgt, "t", v2, col("b") === 3L)
+    assert(skipA.nonEmpty && skipB.nonEmpty,
+      s"z-order must give both dimensions skipping: a=${skipA.size} b=${skipB.size}")
+    assert(VersionedTable.readWhere(tgt, "t", v2, col("a") === 3L).count() == 64L)
+    assert(VersionedTable.readWhere(tgt, "t", v2, col("b") === 3L).count() == 64L)
+    // a bucketed table refuses to recluster
+    val tgt2 = freshCat()
+    VersionedTable.load(tgt2, "t", grid.take(10).toDF("a", "b", "pad"),
+      idOrder = Seq("a"), bucketBy = Some((Seq("a"), 2)))
+    intercept[IllegalArgumentException] {
+      VersionedTable.recluster(tgt2, "t", Seq("a", "b"), 1024L)
+    }
+  }
+
   test("timestamp and date zone maps prune with typed literals") {
     val tgt = freshCat()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
