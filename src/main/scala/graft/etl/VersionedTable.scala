@@ -1032,9 +1032,40 @@ object VersionedTable {
     * the cast is lossless and every event-time projection downstream
     * keeps working. */
   def readVersion(tgt: Catalog, table: String, v: Long): DataFrame = {
-    val files = manifestFiles(tgt, table, v)
-    require(files.nonEmpty, s"version $v of '$table' lists no files")
-    readFileList(tgt, files)
+    val man = readManifest(tgt, table, v).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $v"))
+    require(man.files.nonEmpty, s"version $v of '$table' lists no files")
+    val abs = man.files.map(r => new Path(dataDir(tgt, table), r).toString)
+    if (man.stats.isEmpty) readFileList(tgt, abs)
+    else {
+      // PLANNING-TIME zone maps: the scan is built over a custom
+      // FileIndex, so whatever filter Catalyst later pushes down —
+      // `.where`, SQL over a registered view, a join's pushed predicate,
+      // the incremental watermark — skips excluded files at listFiles
+      // time with no graft API involvement ([[readWhere]] remains the
+      // eager twin for probes and explicit predicates). Statuses are one
+      // driver metadata call per file, same order as the footer probes.
+      val fsys = fs(tgt, dataDir(tgt, table))
+      val statuses = abs.map(p => fsys.getFileStatus(new Path(p)))
+      tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      val schema = tgt.spark.read.parquet(abs.head).schema
+      val byAbs = man.stats.map { case (rel, st) =>
+        new Path(dataDir(tgt, table), rel).toUri.getPath -> st
+      }
+      val admits = (absPath: String, cs: Seq[(String, String, Seq[Any])]) =>
+        byAbs.get(absPath) match {
+          case None => true
+          case Some(st) => st.isEmpty || cs.forall { case (n, op, vs) =>
+            rangeAdmits(st, n.toLowerCase, op, vs)
+          }
+        }
+      val df = org.apache.spark.sql.graft.ZoneMapRead
+        .dataFrame(tgt.spark, statuses, schema, admits)
+      df.schema.fields.collect {
+        case fld if fld.dataType == org.apache.spark.sql.types.TimestampNTZType => fld.name
+      }.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType)))
+    }
   }
 
   /** The shared explicit-file-list read (NTZ normalization included). */

@@ -191,6 +191,38 @@ class VersionedStatsSpec extends SparkSpec {
     assert(VersionedTable.readWhere(tgt, "t", 2L, col("s") >= "a").count() == 3L)
   }
 
+  test("planning-time pruning: a plain .where on readVersion skips files at the scan") {
+    val tgt = freshCat()
+    threeBatches(tgt)
+    val man = VersionedTable.readManifest(tgt, "t", 3L).get
+    val df = VersionedTable.readVersion(tgt, "t", 3L)
+      .where(col("k") >= 150L && col("k") <= 160L)
+    assert(df.count() == 11L)
+    def scanOf(d: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.execution.FileSourceScanExec = {
+      val plan = d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan // AQE wraps plans with exchanges; unwrap to the real tree
+        case x => x
+      }
+      plan.collectLeaves().collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    }
+    val numFiles = scanOf(df).metrics("numFiles").value
+    assert(numFiles < man.files.size,
+      s"the scan must mount fewer files than the manifest lists: " +
+        s"$numFiles/${man.files.size}")
+    // SQL over a registered view prunes the same way — no graft API in
+    // the query path at all
+    VersionedTable.readVersion(tgt, "t", 3L).createOrReplaceTempView("zm_t")
+    val sqlDf = spark.sql("SELECT count(*) AS n FROM zm_t WHERE k = 250")
+    assert(sqlDf.head().getLong(0) == 1L)
+    assert(scanOf(sqlDf).metrics("numFiles").value < man.files.size)
+    // and an unfiltered read still sees everything
+    assert(VersionedTable.readVersion(tgt, "t", 3L).count() == 300L)
+  }
+
   test("recluster turns overlapping file ranges into prunable ones (1-D range sort)") {
     val tgt = freshCat()
     // four interleaved appends: every file's k-range spans the whole
