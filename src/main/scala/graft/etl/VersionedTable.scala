@@ -71,7 +71,8 @@ object VersionedTable {
   private[etl] final case class Manifest(version: Long, maxId: Option[Long],
                                          bucket: Option[(Seq[String], Int)],
                                          files: Seq[String],
-                                         stats: FileStats = Map.empty)
+                                         stats: FileStats = Map.empty,
+                                         sizes: Map[String, Long] = Map.empty)
 
   // a plain databind mapper (tree model — no reflection/module setup);
   // jackson ships with Spark itself, so this adds no dependency
@@ -92,6 +93,10 @@ object VersionedTable {
     }
     val files = root.putArray("files")
     m.files.sorted.foreach(files.add)
+    if (m.sizes.nonEmpty) {
+      val sz = root.putObject("sizes")
+      m.sizes.toSeq.sortBy(_._1).foreach { case (rel, len) => sz.put(rel, len) }
+    }
     if (m.stats.nonEmpty) {
       val st = root.putObject("stats")
       m.stats.toSeq.sortBy(_._1).foreach { case (rel, cols) =>
@@ -142,9 +147,20 @@ object VersionedTable {
         }
         b.result()
       }
+    val sizes: Map[String, Long] =
+      if (!root.hasNonNull("sizes")) Map.empty
+      else {
+        val b = Map.newBuilder[String, Long]
+        val it = root.get("sizes").fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asLong()
+        }
+        b.result()
+      }
     Manifest(root.get("version").asLong(),
       if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
-      bucket, files, stats)
+      bucket, files, stats, sizes)
   }
 
   private def manifestPath(tgt: Catalog, table: String, v: Long): Path =
@@ -322,6 +338,14 @@ object VersionedTable {
       case kv => Some(kv)
     }
 
+  /** Byte sizes carried forward for files the new manifest reuses. */
+  private def carriedSizes(parent: Option[Manifest],
+                           carryRel: Seq[String]): Map[String, Long] =
+    parent.fold(Map.empty[String, Long]) { m =>
+      val keep = carryRel.toSet
+      m.sizes.filter(kv => keep(kv._1))
+    }
+
   /** Zone maps carried forward for files the new manifest reuses. */
   private def carriedStats(parent: Option[Manifest], carryRel: Seq[String]): FileStats =
     parent.fold(Map.empty: FileStats) { m =>
@@ -481,21 +505,21 @@ object VersionedTable {
 
   /** Parquet part-files under `dir` (recursing through bucket subdirs), as
     * paths relative to the data dir. */
-  private def partFiles(tgt: Catalog, table: String, batchDir: Path): Seq[String] = {
+  private def partFiles(tgt: Catalog, table: String, batchDir: Path): Seq[(String, Long)] = {
     val f = fs(tgt, dataDir(tgt, table))
     val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
-    def walk(p: Path): Seq[Path] =
+    def walk(p: Path): Seq[(Path, Long)] =
       f.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (hiddenName(n)) Nil
         else if (st.isDirectory) walk(st.getPath)
-        else if (st.isFile && n.endsWith(".parquet")) Seq(st.getPath)
+        else if (st.isFile && n.endsWith(".parquet")) Seq((st.getPath, st.getLen))
         else Nil
       }
-    walk(batchDir).map { fp =>
+    walk(batchDir).map { case (fp, len) =>
       val p = fp.toUri.getPath
       require(p.startsWith(base + "/"), s"$p not under $base")
-      p.substring(base.length + 1)
+      (p.substring(base.length + 1), len)
     }
   }
 
@@ -509,12 +533,14 @@ object VersionedTable {
 
   /** Write `out` as a fresh batch dir (bucketed when the layout says so,
     * so every file's path names its bucket) and return (batch dir,
-    * relative part paths). An empty result under a bucketed layout writes
+    * relative part paths with byte sizes — recorded in the manifest so
+    * readers and compaction never pay a per-file status RPC).
+    * An empty result under a bucketed layout writes
     * a flat empty file instead — a partitioned write of zero rows emits no
     * files at all, and a version must keep at least one file so its schema
     * survives. */
   private def writeBatch(tgt: Catalog, table: String, out: DataFrame,
-                         bucket: Option[(Seq[String], Int)]): (Path, Seq[String]) = {
+                         bucket: Option[(Seq[String], Int)]): (Path, Seq[(String, Long)]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
     bucket match {
@@ -655,7 +681,8 @@ object VersionedTable {
             Loader.finalSchema(ex, withIds, ensure, safe)), Nil)
     }
 
-    val (batch, newRel) = writeBatch(tgt, table, out, bucket)
+    val (batch, newParts) = writeBatch(tgt, table, out, bucket)
+    val newRel = newParts.map(_._1)
     val newV = cur.getOrElse(0L) + 1L
     // the committed version's max id, from the new files' footer stats
     // (metadata-only), combined with the prior floor whenever prior files
@@ -667,7 +694,8 @@ object VersionedTable {
     if (tryCommitManifest(tgt, table,
       Manifest(newV, committedMax, bucket, carryRel ++ newRel,
         carriedStats(headMan, carryRel) ++
-          newFileStats(tgt, table, newRel, out.schema))))
+          newFileStats(tgt, table, newRel, out.schema),
+        carriedSizes(headMan, carryRel) ++ newParts.toMap)))
       Some(newV)
     else {
       // lost the race: the staged batch references a superseded head —
@@ -717,13 +745,15 @@ object VersionedTable {
       if (hitRel.isEmpty) {
         // nothing matches: the delete is recorded without touching a byte
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, man.files, man.stats))) Some(newV)
+          Manifest(newV, man.maxId, man.bucket, man.files, man.stats,
+            man.sizes))) Some(newV)
         else None
       } else {
         val survivors = tgt.spark.read
           .parquet(hitRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
           .where(!coalesce(cond, lit(false)))
-        val (batch, newRel) = writeBatch(tgt, table, survivors, man.bucket)
+        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket)
+        val newRel = newParts.map(_._1)
         // the id floor NEVER decreases on delete (deleted rows' ids are
         // not reissued — they may still be referenced by older versions);
         // carry the recorded floor, falling back to the survivors' footers
@@ -733,7 +763,8 @@ object VersionedTable {
         if (tryCommitManifest(tgt, table,
           Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
             carriedStats(Some(man), keepRel) ++
-              newFileStats(tgt, table, newRel, survivors.schema)))) Some(newV)
+              newFileStats(tgt, table, newRel, survivors.schema),
+            carriedSizes(Some(man), keepRel) ++ newParts.toMap))) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -800,20 +831,23 @@ object VersionedTable {
       val newV = cur + 1L
       if (hitRel.isEmpty) {
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, man.files, man.stats))) Some(newV)
+          Manifest(newV, man.maxId, man.bucket, man.files, man.stats,
+            man.sizes))) Some(newV)
         else None
       } else {
         val survivors = tgt.spark.read
           .parquet(hitRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
           .join(kr, keys, "left_anti")
-        val (batch, newRel) = writeBatch(tgt, table, survivors, man.bucket)
+        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket)
+        val newRel = newParts.map(_._1)
         val keepAbs = (keepRel ++ newRel).map(r =>
           new Path(dataDir(tgt, table), r).toString)
         val maxId = man.maxId.orElse(footerMaxId(tgt, keepAbs))
         if (tryCommitManifest(tgt, table,
           Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
             carriedStats(Some(man), keepRel) ++
-              newFileStats(tgt, table, newRel, survivors.schema)))) Some(newV)
+              newFileStats(tgt, table, newRel, survivors.schema),
+            carriedSizes(Some(man), keepRel) ++ newParts.toMap))) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -844,8 +878,11 @@ object VersionedTable {
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
       val f = fs(tgt, dataDir(tgt, table))
+      // manifest-recorded sizes first (zero RPCs); status call only for
+      // files committed by a pre-sizes writer
       val sized = man.files.map { r =>
-        r -> f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen
+        r -> man.sizes.getOrElse(r,
+          f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen)
       }
       val (small, keep) = sized.partition(_._2 < targetFileBytes / 2)
       // one small file alone (or none) gains nothing — don't churn a
@@ -866,12 +903,14 @@ object VersionedTable {
           case None => rows.coalesce(parts)
         }
         preCommitHook.value()
-        val (batch, newRel) = writeBatch(tgt, table, out, man.bucket)
+        val (batch, newParts) = writeBatch(tgt, table, out, man.bucket)
+        val newRel = newParts.map(_._1)
         val newV = cur + 1L
         if (tryCommitManifest(tgt, table,
           Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel,
             carriedStats(Some(man), keep.map(_._1)) ++
-              newFileStats(tgt, table, newRel, rows.schema))))
+              newFileStats(tgt, table, newRel, rows.schema),
+            carriedSizes(Some(man), keep.map(_._1)) ++ newParts.toMap)))
           Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -912,7 +951,8 @@ object VersionedTable {
           "(bucket locality and z-order locality are competing layouts)")
       val f = fs(tgt, dataDir(tgt, table))
       val totalBytes = man.files.map(r =>
-        f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen).sum
+        man.sizes.getOrElse(r,
+          f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen)).sum
       val parts = math.max(1L,
         (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       val rows = readVersion(tgt, table, cur)
@@ -922,11 +962,12 @@ object VersionedTable {
       val out = rows.repartitionByRange(parts, sortKey)
         .sortWithinPartitions(sortKey)
       preCommitHook.value()
-      val (batch, newRel) = writeBatch(tgt, table, out, None)
+      val (batch, newParts) = writeBatch(tgt, table, out, None)
+      val newRel = newParts.map(_._1)
       val newV = cur + 1L
       if (tryCommitManifest(tgt, table,
         Manifest(newV, man.maxId, None, newRel,
-          newFileStats(tgt, table, newRel, rows.schema))))
+          newFileStats(tgt, table, newRel, rows.schema), newParts.toMap)))
         Some(newV)
       else {
         fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -964,7 +1005,8 @@ object VersionedTable {
           footerMaxId(tgt, manifestFiles(tgt, table, v)))
         preCommitHook.value()
         if (tryCommitManifest(tgt, table,
-          Manifest(cur + 1, maxId, man.bucket, man.files, man.stats))) Some(cur + 1)
+          Manifest(cur + 1, maxId, man.bucket, man.files, man.stats,
+            man.sizes))) Some(cur + 1)
         else None
       }
     }
@@ -1003,7 +1045,8 @@ object VersionedTable {
       preCommitHook.value()
       if (tryCommitManifest(dst, dstTable,
         Manifest(1L, man.maxId, man.bucket, man.files.map(relToAbs),
-          man.stats.map { case (r, st) => relToAbs(r) -> st })))
+          man.stats.map { case (r, st) => relToAbs(r) -> st },
+          man.sizes.map { case (r, len) => relToAbs(r) -> len })))
         Some(1L)
       else None
     }
@@ -1043,10 +1086,19 @@ object VersionedTable {
       // `.where`, SQL over a registered view, a join's pushed predicate,
       // the incremental watermark — skips excluded files at listFiles
       // time with no graft API involvement ([[readWhere]] remains the
-      // eager twin for probes and explicit predicates). Statuses are one
-      // driver metadata call per file, same order as the footer probes.
+      // eager twin for probes and explicit predicates). File statuses
+      // come from the manifest's recorded byte sizes — ZERO per-file
+      // status RPCs for tables committed with sizes (a 100k-file table
+      // on an object store plans from the manifest alone); pre-sizes
+      // manifests fall back to one status call per missing file.
       val fsys = fs(tgt, dataDir(tgt, table))
-      val statuses = abs.map(p => fsys.getFileStatus(new Path(p)))
+      val statuses = man.files.zip(abs).map { case (rel, a) =>
+        man.sizes.get(rel) match {
+          case Some(len) => new org.apache.hadoop.fs.FileStatus(
+            len, false, 1, 128L * 1024 * 1024, 0L, fsys.makeQualified(new Path(a)))
+          case None => fsys.getFileStatus(new Path(a))
+        }
+      }
       tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       val schema = tgt.spark.read.parquet(abs.head).schema
       val byAbs = man.stats.map { case (rel, st) =>

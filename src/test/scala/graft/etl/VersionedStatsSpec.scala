@@ -276,6 +276,37 @@ class VersionedStatsSpec extends SparkSpec {
     }
   }
 
+  test("manifests record exact file sizes; readers use them and survive their absence") {
+    val tgt = freshCat()
+    threeBatches(tgt)
+    val man = VersionedTable.readManifest(tgt, "t", 3L).get
+    assert(man.sizes.keySet == man.files.toSet,
+      "every committed file must carry its byte size")
+    man.files.foreach { r =>
+      val actual = new java.io.File(
+        s"${tgt.dirPath("t")}.__vdata/$r").length()
+      assert(man.sizes(r) == actual,
+        s"recorded size must equal the on-disk size for $r")
+    }
+    // carried on append and rollback
+    val m2 = VersionedTable.readManifest(tgt, "t", 2L).get
+    m2.files.foreach(f => assert(man.sizes.get(f) == m2.sizes.get(f)))
+    val v4 = VersionedTable.rollback(tgt, "t", 2L)
+    assert(VersionedTable.readManifest(tgt, "t", v4).get.sizes == m2.sizes)
+    // a pre-sizes manifest (field stripped) still reads correctly via the
+    // per-file status fallback
+    val v3f = new java.io.File(s"${tgt.dirPath("t")}.__vmeta/v3.manifest.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(v3f).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("sizes")
+    java.nio.file.Files.write(v3f.toPath, mapper.writeValueAsBytes(root))
+    assert(VersionedTable.readManifest(tgt, "t", 3L).get.sizes.isEmpty)
+    assert(VersionedTable.readVersion(tgt, "t", 3L).count() == 300L)
+    assert(VersionedTable.readWhere(tgt, "t", 3L,
+      col("k") === 150L).count() == 1L)
+  }
+
   test("timestamp and date zone maps prune with typed literals") {
     val tgt = freshCat()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
