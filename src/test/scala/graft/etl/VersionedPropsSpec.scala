@@ -61,7 +61,39 @@ class VersionedPropsSpec extends SparkSpec {
         val head = VersionedTable.currentVersion(bt, "t").get
         assert(snap(bt, head) == snap(ft, head),
           s"head diverged after round $round (seed=$seed)")
+        // zone-map invariant every round, both layouts: a pruned filtered
+        // read is indistinguishable from filter-after-full-read
+        val lo = rnd.nextInt(60).toLong
+        val pred = col("k") >= lo && col("k") < lo + 7
+        Seq(bt, ft).foreach { c =>
+          val a = VersionedTable.readWhere(c, "t", head, pred)
+            .select("id", "k", "v").as[(Long, Long, Long)].collect().toSet
+          val b = VersionedTable.readVersion(c, "t", head).where(pred)
+            .select("id", "k", "v").as[(Long, Long, Long)].collect().toSet
+          assert(a == b, s"readWhere diverged in round $round (seed=$seed)")
+        }
       }
+
+      // recluster on the FLAT side only — like compaction for the
+      // bucketed side, a physical re-layout that must not change any
+      // observable (and afterwards the flat side's zone maps actually
+      // prune, which the head-state equality then exercises)
+      val preRecluster = VersionedTable.currentVersion(ft, "t").get
+      VersionedTable.recluster(ft, "t", Seq("k"), 8L * 1024)
+      val ftHead = VersionedTable.currentVersion(ft, "t").get
+      assert(snap(ft, ftHead) == snap(bt, preRecluster),
+        s"recluster changed observable state (seed=$seed)")
+
+      // a zero-copy clone of the flat head equals it and evolves
+      // independently: deleting in the clone never touches the source
+      val ct = new Catalog(spark, tmpDir("vprops-c"))
+      VersionedTable.cloneTable(ft, "t", ct, "c", ftHead)
+      assert(VersionedTable.read(ct, "c").select("id", "k", "v")
+        .as[(Long, Long, Long)].collect().toSet == snap(ft, ftHead))
+      VersionedTable.deleteKeys(ct, "c",
+        Seq(3L, 7L).toDF("k"), Seq("k"))
+      assert(snap(ft, ftHead) == snap(bt, preRecluster),
+        s"a clone delete reached the source (seed=$seed)")
 
       // one compaction on the bucketed side only — physical op, must not
       // change any observable state (version count differs by one, which
