@@ -40,9 +40,15 @@ import org.apache.hadoop.fs.Path
   * hashes.) The file-level change-feed pruning and the delete's
   * file-match probe are layout-independent.
   *
-  * Scale notes: the manifest holds file paths only (a 100 TB table at 1 GB
-  * files is a 100k-line JSON — driver-trivial); appends never touch old
-  * files. Commits go through a pluggable [[ManifestCommit]] protocol
+  * Scale notes: the manifest holds file paths plus two metadata layers —
+  * per-file BYTE SIZES (read planning, compaction and recluster sizing
+  * pay zero per-file status RPCs) and per-file column ZONE MAPS
+  * ([min,max] from parquet footers at commit; [[readWhere]] and the
+  * [[readVersion]] scan's custom FileIndex skip whole files driver-side
+  * before any task launches, [[recluster]] makes the layout skippable on
+  * demand, and [[cloneTable]] branches a table as one manifest commit).
+  * A 100 TB table at 1 GB files is a few-MB JSON — driver-trivial;
+  * appends never touch old files. Commits go through a pluggable [[ManifestCommit]] protocol
   * (atomic create-or-fail on filesystems, the store's own conditional put
   * on object stores whose rename overwrites); a crash mid-write leaves a
   * `.tmp` manifest the next load ignores; the data files it references are
