@@ -361,36 +361,64 @@ object VersionedTable {
 
   // ------------------------------------------------- zone-map file skipping
 
-  /** One prunable conjunct of a predicate — (columnNameLower, op,
+  /** One prunable conjunct of a predicate — (columnName, op,
     * literalValues) with op ∈ eq|lt|le|gt|ge|in, extracted from the
     * Column's node tree by [[org.apache.spark.sql.graft.ColumnExprBridge]].
     * Literal values are the RAW Java objects the user passed (Long,
-    * String, java.sql.Timestamp, LocalDate, …). */
+    * String, java.sql.Timestamp, LocalDate, …). Names are passed through
+    * verbatim — [[rangeAdmits]] owns resolution against the writer
+    * schema (exact first, unique case-insensitive fallback). */
   private def supportedConjuncts(pred: org.apache.spark.sql.Column)
       : Seq[(String, String, Seq[Any])] =
     org.apache.spark.sql.graft.ColumnExprBridge.conjuncts(pred)
-      .map { case (n, op, vs) => (n.toLowerCase, op, vs) }
 
   /** Canonicalize a literal into the zone map's comparison domain for
-    * `tag` — None when the combination is not provably comparable (the
-    * conjunct then can't prune THIS column). Numeric/temporal domains
-    * compare as BigDecimal (exact for every long and every double);
-    * strings compare as Java strings, restricted to ASCII where Java
-    * order and parquet's UTF-8 byte order agree. Temporal conversions
-    * assume UTC sessions — the project-wide contract (Verify/Bench/specs
-    * all pin spark.sql.session.timeZone=UTC). */
+    * `tag` — None when the combination is not provably comparable IN THE
+    * DOMAIN SPARK ITSELF COMPARES IN (the conjunct then can't prune THIS
+    * column). The subtlety is type coercion: Spark widens a LONG column
+    * compared against a Float/Double/numeric-string literal to DOUBLE
+    * (rounding values above 2^53), so an exact integer comparison here
+    * could skip a file whose widened rows actually match — those mixed
+    * shapes are REJECTED for integral tags. For `double` tags every
+    * numeric literal is first rounded THROUGH a double, exactly mirroring
+    * Spark's coercion (double-vs-long, double-vs-decimal, double-vs-string
+    * all compare as doubles), so pruning stays available and agrees with
+    * the scan bit-for-bit. Strings compare as Java strings, restricted to
+    * ASCII where Java order and parquet's UTF-8 byte order agree.
+    * Temporal conversions assume UTC sessions — the project-wide contract
+    * (Verify/Bench/specs all pin spark.sql.session.timeZone=UTC). */
   private def canonLiteral(tag: String, v: Any): Option[Any] = {
+    // exact-integer domain: only literal types Spark compares with a long
+    // column WITHOUT double widening (integral families and decimals —
+    // long-vs-decimal compares in exact decimal)
     def num: Option[BigDecimal] = v match {
       case b: Byte => Some(BigDecimal(b.toInt))
       case s: Short => Some(BigDecimal(s.toInt))
       case i: Int => Some(BigDecimal(i))
       case l: Long => Some(BigDecimal(l))
-      case f: Float if !f.isNaN => Some(BigDecimal(new java.math.BigDecimal(f.toDouble)))
-      case d: Double if !d.isNaN => Some(BigDecimal(new java.math.BigDecimal(d)))
       case d: BigDecimal => Some(d)
       case d: java.math.BigDecimal => Some(BigDecimal(d))
       case b: BigInt => Some(BigDecimal(b))
-      case _ => None
+      case _ => None // Float/Double/String: Spark widens the COLUMN to
+                     // double — exact comparison here would be unsound
+    }
+    // Spark's widened-double domain: round ANY numeric (or numeric-string)
+    // literal through a double first — the exact coercion the scan applies
+    def dbl: Option[BigDecimal] = {
+      val d: Option[Double] = v match {
+        case b: Byte => Some(b.toDouble)
+        case s: Short => Some(s.toDouble)
+        case i: Int => Some(i.toDouble)
+        case l: Long => Some(l.toDouble)
+        case f: Float => Some(f.toDouble)
+        case x: Double => Some(x)
+        case x: BigDecimal => Some(x.toDouble)
+        case x: java.math.BigDecimal => Some(x.doubleValue)
+        case b: BigInt => Some(b.toDouble)
+        case s: String => scala.util.Try(s.trim.toDouble).toOption
+        case _ => None
+      }
+      d.filterNot(_.isNaN).map(x => BigDecimal(new java.math.BigDecimal(x)))
     }
     def days: Option[Long] = v match {
       case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
@@ -420,10 +448,8 @@ object VersionedTable {
       case _ => days.map(d => BigDecimal(d) * 86400000000L) // date → midnight UTC
     }
     tag match {
-      case "long" | "double" => num.orElse(v match {
-        case s: String => scala.util.Try(BigDecimal(s.trim)).toOption
-        case _ => None
-      })
+      case "long" => num
+      case "double" => dbl
       case "date" => days.map(BigDecimal(_))
       case "ts" => micros
       case "string" => v match {
@@ -435,14 +461,21 @@ object VersionedTable {
   }
 
   /** Does a file whose column ranges are `st` possibly satisfy the
-    * conjunct `(colLower, cmp, values)`? True (keep the file) on any
-    * uncertainty. */
+    * conjunct `(colName, cmp, values)`? True (keep the file) on any
+    * uncertainty. Name resolution against the writer-schema keys is
+    * EXACT first; the case-insensitive fallback applies only when it is
+    * unambiguous (exactly one key matches) — under
+    * spark.sql.caseSensitive=true two columns may differ only in case,
+    * and binding the conjunct to the wrong one would skip files
+    * unsoundly. */
   private def rangeAdmits(st: Map[String, (String, String, String)],
-                          colLower: String, cmp: String,
+                          colName: String, cmp: String,
                           values: Seq[Any]): Boolean = {
-    // zone maps key by writer-schema name; conjunct names are lowercased
-    val hit = st.collectFirst {
-      case (n, r) if n.toLowerCase == colLower => r
+    val hit = st.get(colName).orElse {
+      st.collect { case (n, r) if n.equalsIgnoreCase(colName) => r }.toList match {
+        case one :: Nil => Some(one)
+        case _ => None // absent or ambiguous: cannot prune
+      }
     }
     hit match {
       case None => true // no range recorded: cannot exclude
@@ -1114,7 +1147,7 @@ object VersionedTable {
         byAbs.get(absPath) match {
           case None => true
           case Some(st) => st.isEmpty || cs.forall { case (n, op, vs) =>
-            rangeAdmits(st, n.toLowerCase, op, vs)
+            rangeAdmits(st, n, op, vs)
           }
         }
       val df = org.apache.spark.sql.graft.ZoneMapRead

@@ -307,6 +307,64 @@ class VersionedStatsSpec extends SparkSpec {
       col("k") === 150L).count() == 1L)
   }
 
+  test("fractional literals on a long column never prune (Spark widens the column)") {
+    val tgt = freshCat()
+    // 2^60 + 1 is not representable as a double: Spark compares
+    // double(k) = 2^60 against the double literal 2^60 and MATCHES the
+    // row — an exact integer comparison would skip the file and lose it
+    val big = (1L << 60) + 1L
+    VersionedTable.load(tgt, "t", Seq(Tuple1(big)).toDF("k"), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", Seq(Tuple1(5L)).toDF("k"), idOrder = Seq("k"))
+    val pred = col("k") === lit((1L << 60).toDouble)
+    assert(VersionedTable.skippedFiles(tgt, "t", 2L, pred).isEmpty,
+      "a double literal must never prune a long column")
+    assert(VersionedTable.readWhere(tgt, "t", 2L, pred).count() ==
+      VersionedTable.readVersion(tgt, "t", 2L).where(pred).count())
+    // numeric STRING literals also widen to double on a long column
+    assert(VersionedTable.skippedFiles(tgt, "t", 2L, col("k") === "5").isEmpty)
+    // exact long literals still prune
+    assert(VersionedTable.skippedFiles(tgt, "t", 2L, col("k") === 5L).size == 1)
+  }
+
+  test("huge integral literals on a double column compare in Spark's double domain") {
+    val tgt = freshCat()
+    val big = (1L << 60).toDouble // exactly 2^60
+    VersionedTable.load(tgt, "t", Seq(Tuple1(big)).toDF("x"), idOrder = Seq("x"))
+    VersionedTable.load(tgt, "t", Seq(Tuple1(1.0)).toDF("x"), idOrder = Seq("x"))
+    // the literal 2^60+1 rounds to 2^60 when Spark casts it to double —
+    // the zone map must admit the file (and the row matches)
+    val pred = col("x") === lit((1L << 60) + 1L)
+    assert(VersionedTable.readWhere(tgt, "t", 2L, pred).count() == 1L)
+    // and a literal far outside still prunes after the same rounding
+    assert(VersionedTable.skippedFiles(tgt, "t", 2L,
+      col("x") === lit(12345L)).size == 2)
+  }
+
+  test("case-sensitive twin columns bind conjuncts exactly, not to the wrong twin") {
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val tgt = freshCat()
+      val df = spark.range(1).select(lit(5L).as("v"), lit(5000L).as("V"))
+      VersionedTable.load(tgt, "t", df, idOrder = Seq("V"))
+      VersionedTable.load(tgt, "t",
+        spark.range(1).select(lit(7L).as("v"), lit(7000L).as("V")),
+        idOrder = Seq("V"))
+      // exact binding: a predicate on V uses V's range [5000,7000], not
+      // v's [5,7] — 5000 must NOT skip file 1 (old lowercase-collectFirst
+      // binding could resolve V to v's range and skip it unsoundly)
+      assert(VersionedTable.skippedFiles(tgt, "t", 2L,
+        col("V") === lit(5000L)).size == 1) // only file 2 skips
+      assert(VersionedTable.readWhere(tgt, "t", 2L,
+        col("V") === lit(5000L)).count() == 1L)
+      // a name matching both twins only case-insensitively is ambiguous:
+      // never prune on it
+      assert(VersionedTable.skippedFiles(tgt, "t", 2L,
+        upper(lit("dummy")) === "X" && col("v") === lit(99L)).size == 2,
+        "exact lower-v binding still prunes (both files outside 99)")
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
   test("timestamp and date zone maps prune with typed literals") {
     val tgt = freshCat()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
