@@ -43,9 +43,43 @@ trait ManifestCommit {
   * store with OVERWRITING rename semantics this protocol is unsafe under
   * concurrent writers — use [[ConditionalPutCommit]] with the store's own
   * conditional primitive instead; the exists() pre/post checks here only
-  * narrow that window, they cannot close it. */
+  * narrow that window, they cannot close it.
+  *
+  * SCHEME GATE: rather than silently running the weaker rename protocol
+  * on a store whose rename overwrites (a misconfigured object-store
+  * deployment would lose one of two racing commits with no error),
+  * schemes outside the known fail-on-existing-rename allowlist are
+  * REJECTED at commit time with a pointer at the alternatives. A
+  * deployment that has verified its connector's rename semantics opts in
+  * explicitly via [[FsAtomicCommit.trustScheme]]. */
 object FsAtomicCommit extends ManifestCommit {
+
+  /** Schemes whose Hadoop FileSystem rename fails (returns false) when
+    * the destination exists — the property the CAS below arbitrates on.
+    * `file` never reaches the rename path (it uses link(2)). */
+  private val SafeSchemes = Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  private val trusted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Declare `scheme`'s rename verified fail-on-existing by the deployer
+    * — the explicit opt-in for stores outside the built-in allowlist. */
+  def trustScheme(scheme: String): Unit = trusted.add(scheme.toLowerCase)
+
+  /** Test seam / reconfiguration: withdraw an opt-in. */
+  def untrustScheme(scheme: String): Unit = trusted.remove(scheme.toLowerCase)
+
   def putIfAbsent(fs: FileSystem, finalPath: Path, bytes: Array[Byte]): Boolean = {
+    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("")
+    if (!SafeSchemes.contains(scheme) && !trusted.contains(scheme))
+      throw new IllegalStateException(
+        s"FsAtomicCommit cannot guarantee atomic create-or-fail on scheme " +
+          s"'$scheme': if its rename overwrites an existing destination, two " +
+          "racing writers would both believe they committed. Use " +
+          "ConditionalPutCommit with the store's own conditional primitive " +
+          "(S3 If-None-Match, GCS if-generation-match, a lock row), or — " +
+          "after verifying the connector's rename fails on an existing " +
+          s"destination — opt in via FsAtomicCommit.trustScheme(\"$scheme\")")
     if (fs.exists(finalPath)) return false
     // stage under a uuid so concurrent writers never clobber each other's
     // tmp; strays from crashed commits die in VersionedTable.vacuum

@@ -74,6 +74,43 @@ class ManifestCommitSpec extends SparkSpec {
     }
   }
 
+  test("FsAtomicCommit rejects schemes outside the rename-safe allowlist by default") {
+    // a store whose rename OVERWRITES (many object-store connectors) would
+    // let two racing writers both believe they committed — the default
+    // protocol must refuse such schemes instead of silently running the
+    // weaker CAS, and accept them only after an explicit opt-in
+    class MockS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "mocks3"
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new MockS3Fs
+    fs.setConf(conf)
+    fs.initialize(new java.net.URI("file:///"), conf)
+    val dir = tmpDir("scheme-gate")
+    val p = new org.apache.hadoop.fs.Path(dir, "v1.manifest.json")
+    val err = intercept[IllegalStateException] {
+      FsAtomicCommit.putIfAbsent(fs, p, "{}".getBytes("UTF-8"))
+    }
+    assert(err.getMessage.contains("ConditionalPutCommit"),
+      "the rejection must point at the object-store protocol")
+    assert(!new java.io.File(p.toUri.getPath).exists(),
+      "a rejected commit must not publish a manifest")
+    // explicit opt-in: the deployer verified the connector's rename fails
+    // on an existing destination
+    FsAtomicCommit.trustScheme("mocks3")
+    try {
+      assert(FsAtomicCommit.putIfAbsent(fs, p, "{}".getBytes("UTF-8")))
+      assert(!FsAtomicCommit.putIfAbsent(fs, p, "{}".getBytes("UTF-8")),
+        "a second writer must lose the CAS, not overwrite")
+    } finally FsAtomicCommit.untrustScheme("mocks3")
+    // and the default local scheme is unaffected
+    val local = new org.apache.hadoop.fs.Path(dir, "v2.manifest.json")
+      .getFileSystem(conf)
+    assert(FsAtomicCommit.putIfAbsent(local,
+      new org.apache.hadoop.fs.Path(dir, "v2.manifest.json"),
+      "{}".getBytes("UTF-8")))
+  }
+
   test("delete matching nothing commits a metadata-only version") {
     val tgt = freshCat()
     VersionedTable.load(tgt, "t", Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
