@@ -183,15 +183,87 @@ object VersionedTable {
     }
   }
 
-  /** Versions present, ascending (empty if the table doesn't exist). */
-  def versions(tgt: Catalog, table: String): Seq[Long] = {
-    val md = new Path(metaDir(tgt, table))
+  // ---------------------------------------------------- version log pointer
+
+  /** Count of full `__vmeta` directory LISTINGS on the CALLING THREAD
+    * (spec/audit surface): a pointer-present table answers [[versions]]
+    * with a handful of exists() probes, so this counter must stay flat
+    * across reads — at one commit per minute for a year, a
+    * listing-per-read would touch ~500k names on every query plan.
+    * Thread-local so concurrently-running suites can't pollute each
+    * other's observations. */
+  private[etl] object metaListings {
+    private val tl = ThreadLocal.withInitial[Long](() => 0L)
+    def get(): Long = tl.get()
+    def increment(): Unit = tl.set(tl.get() + 1L)
+  }
+
+  private def pointerPath(tgt: Catalog, table: String) =
+    new Path(metaDir(tgt, table), "_vlast")
+
+  /** The Delta-`_last_checkpoint` analog: a tiny advisory file recording
+    * the retained version RANGE `[lo, hi]` (versions are contiguous by
+    * construction — commits increment, vacuum drops a prefix). ADVISORY
+    * means self-healing, never authoritative: readers probe exists()
+    * forward from both ends, so a pointer stale from a crash between a
+    * manifest CAS and the pointer write (or mid-vacuum) costs a few
+    * probes, never a wrong answer — and the pointer write itself may fail
+    * without failing the commit. */
+  private def readPointer(tgt: Catalog, table: String): Option[(Long, Long)] = {
+    val p = pointerPath(tgt, table)
     val f = fs(tgt, metaDir(tgt, table))
-    if (!f.exists(md)) Seq.empty
-    else f.listStatus(md).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".manifest.json"))
-      .map(_.stripPrefix("v").stripSuffix(".manifest.json").toLong)
-      .sorted
+    if (!f.exists(p)) None
+    else scala.util.Try {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val root = mapper.readTree(txt)
+      (root.get("lo").asLong(), root.get("hi").asLong())
+    }.toOption
+  }
+
+  private def writePointer(tgt: Catalog, table: String, lo: Long, hi: Long): Unit =
+    try {
+      val f = fs(tgt, metaDir(tgt, table))
+      val tmp = new Path(metaDir(tgt, table),
+        s"_vlast.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(s"""{"lo":$lo,"hi":$hi}""".getBytes("UTF-8"))
+      finally out.close()
+      f.delete(pointerPath(tgt, table), false)
+      if (!f.rename(tmp, pointerPath(tgt, table))) f.delete(tmp, false)
+    } catch {
+      case _: java.io.IOException => () // advisory: next reader just lists
+    }
+
+  /** Versions present, ascending (empty if the table doesn't exist).
+    * Pointer-first: `[lo, hi]` from `_vlast`, healed by exists() probes
+    * (lo forward past a crashed vacuum's deletions, hi forward past
+    * commits newer than the pointer) — O(1 + lag) FS ops instead of
+    * listing the whole directory. Tables without a pointer (legacy, or an
+    * unreadable pointer) fall back to one full listing. */
+  def versions(tgt: Catalog, table: String): Seq[Long] = {
+    val f = fs(tgt, metaDir(tgt, table))
+    def listAll(): Seq[Long] = {
+      metaListings.increment()
+      val md = new Path(metaDir(tgt, table))
+      if (!f.exists(md)) Seq.empty
+      else f.listStatus(md).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest.json"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest.json").toLong)
+        .sorted
+    }
+    readPointer(tgt, table) match {
+      case None => listAll()
+      case Some((lo0, hi0)) =>
+        var lo = lo0
+        while (lo <= hi0 && !f.exists(manifestPath(tgt, table, lo))) lo += 1
+        var hi = math.max(hi0, lo)
+        while (f.exists(manifestPath(tgt, table, hi + 1))) hi += 1
+        if (lo > hi || !f.exists(manifestPath(tgt, table, hi)))
+          listAll() // pointer nonsense (manual surgery): list authoritatively
+        else lo to hi
+    }
   }
 
   def currentVersion(tgt: Catalog, table: String): Option[Long] =
@@ -241,8 +313,21 @@ object VersionedTable {
   private def tryCommitManifest(tgt: Catalog, table: String, m: Manifest): Boolean = {
     val f = fs(tgt, metaDir(tgt, table))
     f.mkdirs(new Path(metaDir(tgt, table)))
-    commitProtocol.value.putIfAbsent(f, manifestPath(tgt, table, m.version),
-      renderManifest(m))
+    val won = commitProtocol.value.putIfAbsent(f,
+      manifestPath(tgt, table, m.version), renderManifest(m))
+    if (won) {
+      // advance the advisory pointer (see [[versions]]): lo from the
+      // existing pointer when present; a legacy table adopting the
+      // pointer pays ONE listing here, after which its reads are
+      // listing-free. A concurrent writer racing this write is harmless —
+      // whichever value lands, probing heals it.
+      val cur = readPointer(tgt, table)
+      val lo = cur.map(_._1).getOrElse(
+        versions(tgt, table).headOption.getOrElse(m.version))
+      val hi = math.max(cur.map(_._2).getOrElse(m.version), m.version)
+      writePointer(tgt, table, math.min(lo, m.version), hi)
+    }
+    won
   }
 
   /** Test seam: invoked once per commit attempt, after the attempt's merge
@@ -727,8 +812,10 @@ object VersionedTable {
     // (metadata-only), combined with the prior floor whenever prior files
     // carry forward (their ids are ≤ the floor by construction)
     val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
-    val committedMax = footerMaxId(tgt, newAbs)
-      .map(m => if (carryRel.nonEmpty) math.max(m, maxId) else m)
+    // MONOTONE floor: always at least the parent's — a rewrite that drops
+    // the max-id row must not lower the floor (its id may be referenced
+    // by retained older versions; reissuing it would corrupt audit joins)
+    val committedMax = footerMaxId(tgt, newAbs).map(m => math.max(m, maxId))
     preCommitHook.value()
     if (tryCommitManifest(tgt, table,
       Manifest(newV, committedMax, bucket, carryRel ++ newRel,
@@ -1378,10 +1465,15 @@ object VersionedTable {
     drop.foreach { v =>
       f.delete(manifestPath(tgt, table, v), false)
     }
+    // re-point BEFORE sweeping data so a crash mid-sweep leaves readers a
+    // pointer matching the surviving manifests (a crash between the
+    // deletes above and this write lags lo — healed by probing)
+    keep.headOption.foreach(lo => writePointer(tgt, table, lo, keep.last))
     // stray tmp manifests from crashed commits die here too (uuid-suffixed
     // staging names from the CAS path included)
     f.listStatus(new Path(metaDir(tgt, table))).toSeq
-      .filter(_.getPath.getName.contains(".manifest.json.tmp"))
+      .filter(st => st.getPath.getName.contains(".manifest.json.tmp") ||
+        st.getPath.getName.startsWith("_vlast.tmp"))
       .foreach(st => f.delete(st.getPath, false))
     val dd = new Path(dataDir(tgt, table))
     var removed = 0
