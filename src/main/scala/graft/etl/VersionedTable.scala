@@ -73,12 +73,17 @@ object VersionedTable {
 
   /** One committed version: the file list (paths relative to the data
     * dir), the committed id floor, the table's physical layout, and the
-    * files' column zone maps. */
+    * files' column zone maps plus row/null counts (`rows` and `nulls`
+    * power IS NULL / IS NOT NULL skipping and whole-file delete
+    * coverage; both optional per file — absence only disables the
+    * optimization). */
   private[etl] final case class Manifest(version: Long, maxId: Option[Long],
                                          bucket: Option[(Seq[String], Int)],
                                          files: Seq[String],
                                          stats: FileStats = Map.empty,
-                                         sizes: Map[String, Long] = Map.empty)
+                                         sizes: Map[String, Long] = Map.empty,
+                                         nulls: Map[String, Map[String, Long]] = Map.empty,
+                                         rows: Map[String, Long] = Map.empty)
 
   // a plain databind mapper (tree model — no reflection/module setup);
   // jackson ships with Spark itself, so this adds no dependency
@@ -111,6 +116,17 @@ object VersionedTable {
           val co = fo.putObject(c)
           co.put("t", tag); co.put("lo", lo); co.put("hi", hi)
         }
+      }
+    }
+    if (m.rows.nonEmpty) {
+      val ro = root.putObject("rows")
+      m.rows.toSeq.sortBy(_._1).foreach { case (rel, n) => ro.put(rel, n) }
+    }
+    if (m.nulls.nonEmpty) {
+      val no = root.putObject("nulls")
+      m.nulls.toSeq.sortBy(_._1).foreach { case (rel, cols) =>
+        val fo = no.putObject(rel)
+        cols.toSeq.sortBy(_._1).foreach { case (c, n) => fo.put(c, n) }
       }
     }
     mapper.writeValueAsBytes(root)
@@ -153,20 +169,37 @@ object VersionedTable {
         }
         b.result()
       }
-    val sizes: Map[String, Long] =
-      if (!root.hasNonNull("sizes")) Map.empty
+    def longMap(field: String): Map[String, Long] =
+      if (!root.hasNonNull(field)) Map.empty
       else {
         val b = Map.newBuilder[String, Long]
-        val it = root.get("sizes").fields()
+        val it = root.get(field).fields()
         while (it.hasNext) {
           val e = it.next()
           if (e.getValue.isNumber) b += e.getKey -> e.getValue.asLong()
         }
         b.result()
       }
+    val nulls: Map[String, Map[String, Long]] =
+      if (!root.hasNonNull("nulls")) Map.empty
+      else {
+        val b = Map.newBuilder[String, Map[String, Long]]
+        val fit = root.get("nulls").fields()
+        while (fit.hasNext) {
+          val fe = fit.next()
+          val cb = Map.newBuilder[String, Long]
+          val cit = fe.getValue.fields()
+          while (cit.hasNext) {
+            val ce = cit.next()
+            if (ce.getValue.isNumber) cb += ce.getKey -> ce.getValue.asLong()
+          }
+          b += fe.getKey -> cb.result()
+        }
+        b.result()
+      }
     Manifest(root.get("version").asLong(),
       if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
-      bucket, files, stats, sizes)
+      bucket, files, stats, longMap("sizes"), nulls, longMap("rows"))
   }
 
   private def manifestPath(tgt: Catalog, table: String, v: Long): Path =
@@ -384,20 +417,42 @@ object VersionedTable {
     }.take(MaxStatsCols)
   }
 
-  /** Zone maps for freshly written files, keyed by REL path — one footer
-    * read per new file at commit time (metadata-only, O(new files); the
-    * same footers the id-floor probe touches). */
-  private def newFileStats(tgt: Catalog, table: String, newRel: Seq[String],
-                           schema: org.apache.spark.sql.types.StructType): FileStats = {
+  /** Per-file metadata (zone maps, byte sizes, null counts, row counts)
+    * for a new manifest: parent-carried entries for `carryRel` plus
+    * freshly-footer-read entries for the new files — ONE footer pass per
+    * new file at commit time (metadata-only, O(new files); the same
+    * footers the id-floor probe touches). */
+  private[etl] final case class FileMeta(stats: FileStats,
+                                         sizes: Map[String, Long],
+                                         nulls: Map[String, Map[String, Long]],
+                                         rows: Map[String, Long])
+
+  private def manifestMeta(tgt: Catalog, table: String,
+                           parent: Option[Manifest], carryRel: Seq[String],
+                           newParts: Seq[(String, Long)],
+                           schema: org.apache.spark.sql.types.StructType): FileMeta = {
+    val keep = carryRel.toSet
+    val cStats = parent.fold(Map.empty: FileStats)(_.stats.filter(kv => keep(kv._1)))
+    val cSizes = parent.fold(Map.empty[String, Long])(_.sizes.filter(kv => keep(kv._1)))
+    val cNulls = parent.fold(Map.empty[String, Map[String, Long]])(
+      _.nulls.filter(kv => keep(kv._1)))
+    val cRows = parent.fold(Map.empty[String, Long])(_.rows.filter(kv => keep(kv._1)))
     val cols = statColNames(schema)
-    if (cols.isEmpty || newRel.isEmpty) Map.empty
+    val newRel = newParts.map(_._1)
+    if (cols.isEmpty || newRel.isEmpty)
+      FileMeta(cStats, cSizes ++ newParts.toMap, cNulls, cRows)
     else {
       val absToRel = newRel.map(r =>
         new Path(dataDir(tgt, table), r).toString -> r).toMap
-      graft.sources.ParquetSource
-        .footerColumnRanges(tgt.spark, absToRel.keys.toSeq, cols)
-        .collect { case (abs, m) if m.nonEmpty =>
-          absToRel(abs) -> clampStringBounds(m) }
+      val meta = graft.sources.ParquetSource
+        .footerFileMeta(tgt.spark, absToRel.keys.toSeq, cols)
+      val fStats = meta.collect { case (abs, (_, m, _)) if m.nonEmpty =>
+        absToRel(abs) -> clampStringBounds(m) }
+      val fNulls = meta.collect { case (abs, (_, _, n)) if n.nonEmpty =>
+        absToRel(abs) -> n }
+      val fRows = meta.map { case (abs, (r, _, _)) => absToRel(abs) -> r }
+      FileMeta(cStats ++ fStats, cSizes ++ newParts.toMap,
+        cNulls ++ fNulls, cRows ++ fRows)
     }
   }
 
@@ -429,33 +484,20 @@ object VersionedTable {
       case kv => Some(kv)
     }
 
-  /** Byte sizes carried forward for files the new manifest reuses. */
-  private def carriedSizes(parent: Option[Manifest],
-                           carryRel: Seq[String]): Map[String, Long] =
-    parent.fold(Map.empty[String, Long]) { m =>
-      val keep = carryRel.toSet
-      m.sizes.filter(kv => keep(kv._1))
-    }
-
-  /** Zone maps carried forward for files the new manifest reuses. */
-  private def carriedStats(parent: Option[Manifest], carryRel: Seq[String]): FileStats =
-    parent.fold(Map.empty: FileStats) { m =>
-      val keep = carryRel.toSet
-      m.stats.filter(kv => keep(kv._1))
-    }
-
   // ------------------------------------------------- zone-map file skipping
 
-  /** One prunable conjunct of a predicate — (columnName, op,
-    * literalValues) with op ∈ eq|lt|le|gt|ge|in, extracted from the
-    * Column's node tree by [[org.apache.spark.sql.graft.ColumnExprBridge]].
-    * Literal values are the RAW Java objects the user passed (Long,
-    * String, java.sql.Timestamp, LocalDate, …). Names are passed through
-    * verbatim — [[rangeAdmits]] owns resolution against the writer
-    * schema (exact first, unique case-insensitive fallback). */
-  private def supportedConjuncts(pred: org.apache.spark.sql.Column)
-      : Seq[(String, String, Seq[Any])] =
-    org.apache.spark.sql.graft.ColumnExprBridge.conjuncts(pred)
+  /** Resolve a predicate's column name against a metadata map's
+    * writer-schema keys: EXACT first; case-insensitive fallback only when
+    * unambiguous (exactly one key matches) — under
+    * spark.sql.caseSensitive=true two columns may differ only in case,
+    * and binding to the wrong one would skip files unsoundly. */
+  private def resolveKey[V](m: Map[String, V], colName: String): Option[V] =
+    m.get(colName).orElse {
+      m.collect { case (n, v) if n.equalsIgnoreCase(colName) => v }.toList match {
+        case one :: Nil => Some(one)
+        case _ => None // absent or ambiguous: cannot reason
+      }
+    }
 
   /** Canonicalize a literal into the zone map's comparison domain for
     * `tag` — None when the combination is not provably comparable IN THE
@@ -545,38 +587,43 @@ object VersionedTable {
     }
   }
 
+  /** Parse a recorded `[lo, hi]` bound pair into its comparison domain —
+    * None when not safely comparable (non-ASCII string bounds: Java order
+    * may disagree with UTF-8). */
+  private def parseBounds(tag: String, loS: String, hiS: String): Option[(Any, Any)] =
+    tag match {
+      case "string" =>
+        if (loS.forall(_ < 128.toChar) && hiS.forall(_ < 128.toChar))
+          Some((loS, hiS))
+        else None
+      case "double" => scala.util.Try(
+        (BigDecimal(new java.math.BigDecimal(loS.toDouble)): Any,
+         BigDecimal(new java.math.BigDecimal(hiS.toDouble)): Any)).toOption
+      case _ => scala.util.Try(
+        (BigDecimal(loS.toLong): Any, BigDecimal(hiS.toLong): Any)).toOption
+    }
+
+  private def leOrd(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x <= y
+    case (x: String, y: String) => x.compareTo(y) <= 0
+    case _ => true
+  }
+  private def ltOrd(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x < y
+    case (x: String, y: String) => x.compareTo(y) < 0
+    case _ => true
+  }
+
   /** Does a file whose column ranges are `st` possibly satisfy the
-    * conjunct `(colName, cmp, values)`? True (keep the file) on any
-    * uncertainty. Name resolution against the writer-schema keys is
-    * EXACT first; the case-insensitive fallback applies only when it is
-    * unambiguous (exactly one key matches) — under
-    * spark.sql.caseSensitive=true two columns may differ only in case,
-    * and binding the conjunct to the wrong one would skip files
-    * unsoundly. */
+    * comparison `(colName, cmp, values)`? True (keep the file) on any
+    * uncertainty. */
   private def rangeAdmits(st: Map[String, (String, String, String)],
                           colName: String, cmp: String,
-                          values: Seq[Any]): Boolean = {
-    val hit = st.get(colName).orElse {
-      st.collect { case (n, r) if n.equalsIgnoreCase(colName) => r }.toList match {
-        case one :: Nil => Some(one)
-        case _ => None // absent or ambiguous: cannot prune
-      }
-    }
-    hit match {
+                          values: Seq[Any]): Boolean =
+    resolveKey(st, colName) match {
       case None => true // no range recorded: cannot exclude
       case Some((tag, loS, hiS)) =>
-        val bounds: Option[(Any, Any)] = tag match {
-          case "string" =>
-            if (loS.forall(_ < 128.toChar) && hiS.forall(_ < 128.toChar))
-              Some((loS, hiS))
-            else None // non-ASCII bounds: Java order may disagree with UTF-8
-          case "double" => scala.util.Try(
-            (BigDecimal(new java.math.BigDecimal(loS.toDouble)): Any,
-             BigDecimal(new java.math.BigDecimal(hiS.toDouble)): Any)).toOption
-          case _ => scala.util.Try(
-            (BigDecimal(loS.toLong): Any, BigDecimal(hiS.toLong): Any)).toOption
-        }
-        bounds match {
+        parseBounds(tag, loS, hiS) match {
           case None => true
           case Some((lo, hi)) =>
             // canonicalize each literal; an uncanonicalizable literal
@@ -584,28 +631,103 @@ object VersionedTable {
             val lits = values.map(canonLiteral(tag, _))
             if (lits.exists(_.isEmpty)) true
             else {
-              def le(a: Any, b: Any): Boolean = (a, b) match {
-                case (x: BigDecimal, y: BigDecimal) => x <= y
-                case (x: String, y: String) => x.compareTo(y) <= 0
-                case _ => true
-              }
-              def lt(a: Any, b: Any): Boolean = (a, b) match {
-                case (x: BigDecimal, y: BigDecimal) => x < y
-                case (x: String, y: String) => x.compareTo(y) < 0
-                case _ => true
-              }
               val vs = lits.flatten
               cmp match {
-                case "eq" | "in" => vs.exists(x => le(lo, x) && le(x, hi))
-                case "lt" => lt(lo, vs.head) // some row < x possible iff min < x
-                case "le" => le(lo, vs.head)
-                case "gt" => lt(vs.head, hi) // some row > x possible iff max > x
-                case "ge" => le(vs.head, hi)
+                case "eq" | "in" => vs.exists(x => leOrd(lo, x) && leOrd(x, hi))
+                case "lt" => ltOrd(lo, vs.head) // some row < x possible iff min < x
+                case "le" => leOrd(lo, vs.head)
+                case "gt" => ltOrd(vs.head, hi) // some row > x possible iff max > x
+                case "ge" => leOrd(vs.head, hi)
                 case _ => true
               }
             }
         }
     }
+
+  import org.apache.spark.sql.graft.ZonePred
+
+  /** Null count of `colName` in one file's recorded counts (same
+    * exact-then-unique-ci name resolution as ranges). */
+  private def nullCountOf(nulls: Map[String, Long], colName: String): Option[Long] =
+    resolveKey(nulls, colName)
+
+  /** MAY file `rel` hold a row satisfying `p`? One-sided: true on any
+    * uncertainty. AND = all branches possible; OR = some branch possible;
+    * comparisons consult ranges, null checks consult the recorded
+    * null/row counts. */
+  private[etl] def fileAdmits(man: Manifest, rel: String, p: ZonePred.P): Boolean = {
+    val st = man.stats.getOrElse(rel, Map.empty)
+    val nulls = man.nulls.getOrElse(rel, Map.empty)
+    val rows = man.rows.get(rel)
+    def go(q: ZonePred.P): Boolean = q match {
+      case ZonePred.And(ps) => ps.forall(go)
+      case ZonePred.Or(ps) => ps.isEmpty || ps.exists(go)
+      case ZonePred.Unknown => true
+      case ZonePred.Leaf(c, op, vs) => rangeAdmits(st, c, op, vs)
+      case ZonePred.NullCheck(c, isNot) => nullCountOf(nulls, c) match {
+        case None => true // no count recorded: cannot exclude
+        case Some(n) =>
+          if (!isNot) n > 0 // a null exists iff the count is positive
+          else rows.forall(r => n < r) // a non-null exists iff n < rowCount
+      }
+    }
+    go(p)
+  }
+
+  /** Does the metadata PROVE every row of file `rel` satisfies `p`?
+    * One-sided the OTHER way: false on any uncertainty — the whole-file
+    * drop test behind [[delete]]'s metadata-only path. A comparison
+    * covers only when the column additionally has a recorded null count
+    * of ZERO (null rows satisfy no comparison). Truncated string bounds
+    * stay sound: they only WIDEN `[lo, hi]`, and coverage asks that the
+    * whole widened interval satisfies the comparison. */
+  private[etl] def fileCovered(man: Manifest, rel: String, p: ZonePred.P): Boolean = {
+    val st = man.stats.getOrElse(rel, Map.empty)
+    val nulls = man.nulls.getOrElse(rel, Map.empty)
+    val rows = man.rows.get(rel)
+    def eqOrd(a: Any, b: Any): Boolean = leOrd(a, b) && leOrd(b, a)
+    def go(q: ZonePred.P): Boolean = q match {
+      case ZonePred.And(ps) => ps.nonEmpty && ps.forall(go)
+      case ZonePred.Or(ps) => ps.exists(go)
+      case ZonePred.Unknown => false
+      case ZonePred.NullCheck(c, isNot) => nullCountOf(nulls, c) match {
+        case None => false
+        case Some(n) =>
+          if (!isNot) rows.contains(n) // ALL rows null
+          else n == 0L                 // NO row null
+      }
+      case ZonePred.Leaf(c, cmp, values) =>
+        if (!nullCountOf(nulls, c).contains(0L)) false
+        else resolveKey(st, c) match {
+          case None => false
+          case Some((tag, loS, hiS)) => parseBounds(tag, loS, hiS) match {
+            case None => false
+            case Some((lo, hi)) =>
+              val lits = values.map(canonLiteral(tag, _))
+              if (lits.exists(_.isEmpty)) false
+              else {
+                val vs = lits.flatten
+                // ordering helpers default TRUE on foreign types — for
+                // coverage both sides must be same-domain, re-check
+                val sameDomain = (lo, vs.head) match {
+                  case (_: BigDecimal, _: BigDecimal) => true
+                  case (_: String, _: String) => true
+                  case _ => false
+                }
+                sameDomain && (cmp match {
+                  case "eq" => eqOrd(lo, hi) && eqOrd(lo, vs.head)
+                  case "in" => eqOrd(lo, hi) && vs.exists(eqOrd(_, lo))
+                  case "lt" => ltOrd(hi, vs.head) // max < x ⇒ all rows < x
+                  case "le" => leOrd(hi, vs.head)
+                  case "gt" => ltOrd(vs.head, lo)
+                  case "ge" => leOrd(vs.head, lo)
+                  case _ => false
+                })
+              }
+          }
+        }
+    }
+    go(p)
   }
 
   /** Partition a manifest's files into (kept, skipped) under `pred` using
@@ -613,12 +735,10 @@ object VersionedTable {
   private[etl] def pruneByStats(man: Manifest,
                                 pred: org.apache.spark.sql.Column)
       : (Seq[String], Seq[String]) = {
-    val cs = supportedConjuncts(pred)
-    if (cs.isEmpty || man.stats.isEmpty) (man.files, Nil)
-    else man.files.partition { rel =>
-      val st = man.stats.getOrElse(rel, Map.empty)
-      st.isEmpty || cs.forall { case (n, op, vs) => rangeAdmits(st, n, op, vs) }
-    }
+    val p = org.apache.spark.sql.graft.ColumnExprBridge.predTree(pred)
+    if (p == ZonePred.Unknown || (man.stats.isEmpty && man.nulls.isEmpty))
+      (man.files, Nil)
+    else man.files.partition(rel => fileAdmits(man, rel, p))
   }
 
   /** Hidden-path rule for walking batch dirs: Spark's own convention —
@@ -818,10 +938,9 @@ object VersionedTable {
     val committedMax = footerMaxId(tgt, newAbs).map(m => math.max(m, maxId))
     preCommitHook.value()
     if (tryCommitManifest(tgt, table,
-      Manifest(newV, committedMax, bucket, carryRel ++ newRel,
-        carriedStats(headMan, carryRel) ++
-          newFileStats(tgt, table, newRel, out.schema),
-        carriedSizes(headMan, carryRel) ++ newParts.toMap)))
+      { val fm = manifestMeta(tgt, table, headMan, carryRel, newParts, out.schema)
+        Manifest(newV, committedMax, bucket, carryRel ++ newRel,
+          fm.stats, fm.sizes, fm.nulls, fm.rows) }))
       Some(newV)
     else {
       // lost the race: the staged batch references a superseded head —
@@ -846,38 +965,62 @@ object VersionedTable {
     * retention/erasure split real compliance deletes need). A delete
     * matching nothing commits a metadata-only version (the operation stays
     * in history). Returns the committed version.
-    */
+    *
+    * WHOLE-FILE DROPS: a file whose zone maps + null counts PROVE every
+    * row matches `cond` ([[fileCovered]]) is dropped from the manifest
+    * with ZERO data I/O — not probed, not rewritten. On a range-clustered
+    * table this makes retention deletes (`ts < cutoff`) metadata-only for
+    * every fully-expired file, the partition-drop story without partition
+    * dirs; only the boundary file pays a rewrite. */
   def delete(tgt: Catalog, table: String, cond: org.apache.spark.sql.Column): Long = {
     Loader.ensureParquetWriteConf(tgt.spark)
     commitWithRetry(table, "delete") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
-      val base = new Path(dataDir(tgt, table)).toUri.getPath.stripSuffix("/")
       def absOf(rel: String) = new Path(dataDir(tgt, table), rel).toUri.getPath
-      // file-match probe: which files hold at least one matching row —
-      // zone-map pruned first (a file whose recorded ranges exclude the
-      // predicate can't be hit; the probe never even mounts it)
-      val (candRel, _) = pruneByStats(man, cond)
+      val tree = org.apache.spark.sql.graft.ColumnExprBridge.predTree(cond)
+      // three-way split, all driver-side metadata: files provably ALL
+      // matching drop outright; files provably NOT matching carry; only
+      // the undecided middle is probed
+      val (candRel0, _) = pruneByStats(man, cond)
+      val dropped = candRel0.filter(r => fileCovered(man, r, tree)).toSet
+      val candRel = candRel0.filterNot(dropped)
+      // file-match probe: which undecided files hold at least one matching
+      // row (parquet row-group stats skip most without reading rows)
       val hit: Set[String] =
         if (candRel.isEmpty) Set.empty
         else readFileList(tgt, candRel.map(r =>
           new Path(dataDir(tgt, table), r).toString))
           .where(cond).select(input_file_name().as("f")).distinct()
           .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-      val (hitRel, keepRel) = man.files.partition(r => hit.contains(absOf(r)))
+      val (hitRel, keepRel) = man.files.filterNot(dropped)
+        .partition(r => hit.contains(absOf(r)))
       preCommitHook.value()
       val newV = cur + 1L
-      if (hitRel.isEmpty) {
+      if (hitRel.isEmpty && dropped.isEmpty) {
         // nothing matches: the delete is recorded without touching a byte
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, man.files, man.stats,
-            man.sizes))) Some(newV)
+          man.copy(version = newV))) Some(newV)
+        else None
+      } else if (hitRel.isEmpty && keepRel.nonEmpty) {
+        // METADATA-ONLY delete: every matching file was fully covered —
+        // commit the survivors' manifest without reading a byte
+        if (tryCommitManifest(tgt, table,
+          { val fm = manifestMeta(tgt, table, Some(man), keepRel, Nil,
+              org.apache.spark.sql.types.StructType(Nil))
+            Manifest(newV, man.maxId, man.bucket, keepRel,
+              fm.stats, fm.sizes, fm.nulls, fm.rows) })) Some(newV)
         else None
       } else {
-        val survivors = tgt.spark.read
-          .parquet(hitRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
-          .where(!coalesce(cond, lit(false)))
+        // partial rewrite; when EVERYTHING matched (hitRel empty AND
+        // keepRel empty) the empty-survivors write keeps the schema alive
+        val srcRel = if (hitRel.nonEmpty) hitRel else Seq(man.files.head)
+        val srcDf = tgt.spark.read
+          .parquet(srcRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
+        val survivors =
+          if (hitRel.nonEmpty) srcDf.where(!coalesce(cond, lit(false)))
+          else srcDf.where(lit(false))
         val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket)
         val newRel = newParts.map(_._1)
         // the id floor NEVER decreases on delete (deleted rows' ids are
@@ -887,10 +1030,10 @@ object VersionedTable {
           new Path(dataDir(tgt, table), r).toString)
         val maxId = man.maxId.orElse(footerMaxId(tgt, keepAbs))
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-            carriedStats(Some(man), keepRel) ++
-              newFileStats(tgt, table, newRel, survivors.schema),
-            carriedSizes(Some(man), keepRel) ++ newParts.toMap))) Some(newV)
+          { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
+              survivors.schema)
+            Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
+              fm.stats, fm.sizes, fm.nulls, fm.rows) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -957,8 +1100,7 @@ object VersionedTable {
       val newV = cur + 1L
       if (hitRel.isEmpty) {
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, man.files, man.stats,
-            man.sizes))) Some(newV)
+          man.copy(version = newV))) Some(newV)
         else None
       } else {
         val survivors = tgt.spark.read
@@ -970,10 +1112,10 @@ object VersionedTable {
           new Path(dataDir(tgt, table), r).toString)
         val maxId = man.maxId.orElse(footerMaxId(tgt, keepAbs))
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-            carriedStats(Some(man), keepRel) ++
-              newFileStats(tgt, table, newRel, survivors.schema),
-            carriedSizes(Some(man), keepRel) ++ newParts.toMap))) Some(newV)
+          { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
+              survivors.schema)
+            Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
+              fm.stats, fm.sizes, fm.nulls, fm.rows) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -1033,10 +1175,10 @@ object VersionedTable {
         val newRel = newParts.map(_._1)
         val newV = cur + 1L
         if (tryCommitManifest(tgt, table,
-          Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel,
-            carriedStats(Some(man), keep.map(_._1)) ++
-              newFileStats(tgt, table, newRel, rows.schema),
-            carriedSizes(Some(man), keep.map(_._1)) ++ newParts.toMap)))
+          { val fm = manifestMeta(tgt, table, Some(man), keep.map(_._1),
+              newParts, rows.schema)
+            Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel,
+              fm.stats, fm.sizes, fm.nulls, fm.rows) }))
           Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -1092,8 +1234,9 @@ object VersionedTable {
       val newRel = newParts.map(_._1)
       val newV = cur + 1L
       if (tryCommitManifest(tgt, table,
-        Manifest(newV, man.maxId, None, newRel,
-          newFileStats(tgt, table, newRel, rows.schema), newParts.toMap)))
+        { val fm = manifestMeta(tgt, table, None, Nil, newParts, rows.schema)
+          Manifest(newV, man.maxId, None, newRel,
+            fm.stats, fm.sizes, fm.nulls, fm.rows) }))
         Some(newV)
       else {
         fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -1131,8 +1274,7 @@ object VersionedTable {
           footerMaxId(tgt, manifestFiles(tgt, table, v)))
         preCommitHook.value()
         if (tryCommitManifest(tgt, table,
-          Manifest(cur + 1, maxId, man.bucket, man.files, man.stats,
-            man.sizes))) Some(cur + 1)
+          man.copy(version = cur + 1, maxId = maxId))) Some(cur + 1)
         else None
       }
     }
@@ -1172,7 +1314,9 @@ object VersionedTable {
       if (tryCommitManifest(dst, dstTable,
         Manifest(1L, man.maxId, man.bucket, man.files.map(relToAbs),
           man.stats.map { case (r, st) => relToAbs(r) -> st },
-          man.sizes.map { case (r, len) => relToAbs(r) -> len })))
+          man.sizes.map { case (r, len) => relToAbs(r) -> len },
+          man.nulls.map { case (r, n) => relToAbs(r) -> n },
+          man.rows.map { case (r, n) => relToAbs(r) -> n })))
         Some(1L)
       else None
     }
@@ -1227,15 +1371,13 @@ object VersionedTable {
       }
       tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       val schema = tgt.spark.read.parquet(abs.head).schema
-      val byAbs = man.stats.map { case (rel, st) =>
-        new Path(dataDir(tgt, table), rel).toUri.getPath -> st
-      }
-      val admits = (absPath: String, cs: Seq[(String, String, Seq[Any])]) =>
-        byAbs.get(absPath) match {
+      val relByAbs = man.files.map { rel =>
+        new Path(dataDir(tgt, table), rel).toUri.getPath -> rel
+      }.toMap
+      val admits = (absPath: String, p: ZonePred.P) =>
+        relByAbs.get(absPath) match {
           case None => true
-          case Some(st) => st.isEmpty || cs.forall { case (n, op, vs) =>
-            rangeAdmits(st, n, op, vs)
-          }
+          case Some(rel) => fileAdmits(man, rel, p)
         }
       val df = org.apache.spark.sql.graft.ZoneMapRead
         .dataFrame(tgt.spark, statuses, schema, admits)
@@ -1330,12 +1472,9 @@ object VersionedTable {
           .select(Loader.bucketIdExpr(keys, n)).head().getInt(0)
         // within the bucket, zone maps prune further (e.g. a lookup key
         // outside a file's recorded id/key range)
+        val tree = org.apache.spark.sql.graft.ColumnExprBridge.predTree(pred)
         val inBucket = man.files.filter(r => bucketOfRel(r).contains(b))
-          .filter { r =>
-            val st = man.stats.getOrElse(r, Map.empty)
-            st.isEmpty || supportedConjuncts(pred)
-              .forall { case (n, op, vs) => rangeAdmits(st, n, op, vs) }
-          }
+          .filter(r => fileAdmits(man, r, tree))
         if (inBucket.isEmpty) base.limit(0).where(pred)
         else tgt.spark.read.parquet(inBucket.map(r =>
           new Path(dataDir(tgt, table), r).toString): _*).where(pred)

@@ -309,7 +309,30 @@ object ParquetSource {
     * without a recorded range is simply never skipped on that column. */
   def footerColumnRanges(spark: SparkSession, files: Seq[String],
                          cols: Seq[String])
-      : Map[String, Map[String, (String, String, String)]] = {
+      : Map[String, Map[String, (String, String, String)]] =
+    footerFileMeta(spark, files, cols)
+      .map { case (f, (_, ranges, _)) => f -> ranges }
+
+  /** Everything the manifest records per file, from ONE footer pass:
+    * `absFilePath -> (rowCount, ranges, nullCounts)`.
+    *
+    *   - rowCount: total rows (always available — block metadata);
+    *   - ranges: as [[footerColumnRanges]] documents;
+    *   - nullCounts: per requested column, the EXACT number of null rows
+    *     — recorded only when every populated row group sets num_nulls
+    *     for the column (strictness mirrors the range rule: omission
+    *     only disables null-check skipping, never correctness). A
+    *     requested column entirely ABSENT from the file's schema (an
+    *     older file before a widening) counts as all-null — Spark reads
+    *     missing columns as null.
+    *
+    * Null counts are tracked independently of range validity: a
+    * NaN-bounded double column has no usable range but often a perfectly
+    * exact null count (and vice versa for stats with counts but
+    * unordered bounds). */
+  def footerFileMeta(spark: SparkSession, files: Seq[String],
+                     cols: Seq[String])
+      : Map[String, (Long, Map[String, (String, String, String)], Map[String, Long])] = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -353,16 +376,29 @@ object ParquetSource {
 
     files.map { fPath =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(fPath), conf))
-      val ranges = try {
+      val meta = try {
         val schema = r.getFooter.getFileMetaData.getSchema
         val leaves: Map[String, PrimitiveType] = schema.getFields.asScala
           .collect { case f if f.isPrimitive && want.contains(f.getName) =>
             f.getName -> f.asPrimitiveType() }.toMap
+        val presentNames: Set[String] = schema.getFields.asScala
+          .map(_.getName).toSet
         val acc = scala.collection.mutable.Map[String, (String, String, String)]()
         val dead = scala.collection.mutable.Set[String]()
+        // null counts ride the SAME pass but live or die independently of
+        // the range domain (a NaN range can still have an exact count)
+        val nullAcc = scala.collection.mutable.Map[String, Long]()
+        val nullDead = scala.collection.mutable.Set[String]()
+        var totalRows = 0L
         r.getFooter.getBlocks.asScala.foreach { b =>
+          totalRows += b.getRowCount
           if (b.getRowCount > 0) b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
+            if (want.contains(name)) {
+              val s0 = c.getStatistics
+              if (s0 == null || !s0.isNumNullsSet) nullDead += name
+              else nullAcc(name) = nullAcc.getOrElse(name, 0L) + s0.getNumNulls
+            }
             if (want.contains(name) && !dead.contains(name)) {
               val prim = leaves.get(name)
               val tag = prim.flatMap(tagOf)
@@ -410,9 +446,16 @@ object ParquetSource {
           }
         }
         dead.foreach(acc.remove)
-        acc.toMap
+        nullDead.foreach(nullAcc.remove)
+        // a requested column the file's schema never had reads as null on
+        // every row (only when NO field of that name exists — a non-leaf
+        // twin, e.g. a struct, is just untrackable)
+        cols.foreach { c =>
+          if (!presentNames.contains(c)) nullAcc(c) = totalRows
+        }
+        (totalRows, acc.toMap, nullAcc.toMap)
       } finally r.close()
-      fPath -> ranges
+      fPath -> meta
     }.toMap
   }
 

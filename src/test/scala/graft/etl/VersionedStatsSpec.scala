@@ -65,10 +65,98 @@ class VersionedStatsSpec extends SparkSpec {
     assert(skippedCount(col("k").isin(5L, 7L)) >= 2, "IN prunes")
     assert(skippedCount(col("x") > lit(350.0)) >= 2, "double prunes (x = k*1.5)")
     assert(skippedCount(col("s") === "s105") >= 1, "ASCII string prunes")
-    // OR at the top level is not a conjunct: nothing skips, result correct
+    // OR prunes by interval union: batch 2 (101..200) excludes BOTH
+    // branches; batches 1 and 3 each admit one
     val pred = col("k") === 5L || col("k") === 250L
-    assert(skippedCount(pred) == 0)
+    assert(skippedCount(pred) == 1, "the middle batch excludes both branches")
     assert(VersionedTable.readWhere(tgt, "t", 3L, pred).count() == 2L)
+    // an OR with an unsupported branch can never skip (it may match rows
+    // the supported branch excludes)
+    assert(skippedCount(col("k") === 5L || length(col("s")) > 100) == 0)
+    // AND nested under OR still skips where both disjuncts exclude
+    assert(skippedCount((col("k") >= 1L && col("k") <= 50L) ||
+      (col("k") >= 250L && col("k") <= 260L)) == 1)
+  }
+
+  test("IS NULL and IS NOT NULL prune on recorded null counts; unknown counts never skip") {
+    val tgt = freshCat()
+    val noNulls = (1L to 50L).map(i => (i, java.lang.Long.valueOf(i * 10)))
+      .toDF("k", "v")
+    val allNull = (51L to 60L).map(i => (i, null: java.lang.Long)).toDF("k", "v")
+    val mixed = Seq((61L, java.lang.Long.valueOf(7L)), (62L, null: java.lang.Long))
+      .toDF("k", "v")
+    VersionedTable.load(tgt, "t", noNulls, idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", allNull, idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", mixed, idOrder = Seq("k"))
+    // IS NULL skips the no-null file only
+    assert(VersionedTable.skippedFiles(tgt, "t", 3L, col("v").isNull).size == 1)
+    assert(VersionedTable.readWhere(tgt, "t", 3L, col("v").isNull).count() == 11L)
+    // IS NOT NULL skips the all-null file only
+    assert(VersionedTable.skippedFiles(tgt, "t", 3L, col("v").isNotNull).size == 1)
+    assert(VersionedTable.readWhere(tgt, "t", 3L, col("v").isNotNull).count() == 51L)
+    // composition: a range AND a null check
+    assert(VersionedTable.readWhere(tgt, "t", 3L,
+      col("k") <= 55L && col("v").isNull).count() == 5L)
+    // planning-time twin: a plain .where over readVersion prunes the same
+    val scan = VersionedTable.readVersion(tgt, "t", 3L).where(col("v").isNull)
+    assert(scan.count() == 11L)
+    val plan = scan.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    val numFiles = plan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+    assert(numFiles < VersionedTable.files(tgt, "t", 3L).size,
+      "the Catalyst scan must mount fewer files on IS NULL")
+    // a manifest stripped of null counts degrades to a full read
+    val v3f = new java.io.File(s"${tgt.dirPath("t")}.__vmeta/v3.manifest.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(v3f).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("nulls"); root.remove("rows")
+    java.nio.file.Files.write(v3f.toPath, mapper.writeValueAsBytes(root))
+    assert(VersionedTable.skippedFiles(tgt, "t", 3L, col("v").isNull).isEmpty)
+    assert(VersionedTable.readWhere(tgt, "t", 3L, col("v").isNull).count() == 11L)
+  }
+
+  test("a delete fully covered by zone maps commits with zero data I/O") {
+    val tgt = freshCat()
+    threeBatches(tgt) // k ranges 1-100, 101-200, 201-300
+    val m3 = VersionedTable.readManifest(tgt, "t", 3L).get
+    val dataDir = new java.io.File(s"${tgt.dirPath("t")}.__vdata")
+    def allDataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dataDir).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    }
+    val before = allDataFiles()
+    // k <= 100 covers batch 1 entirely: metadata-only drop
+    val v4 = VersionedTable.delete(tgt, "t", col("k") <= 100L)
+    assert(allDataFiles() == before,
+      "a fully-covered delete must not write (or delete) any data file")
+    val m4 = VersionedTable.readManifest(tgt, "t", v4).get
+    assert(m4.files.toSet.subsetOf(m3.files.toSet) &&
+      m4.files.size < m3.files.size, "covered files drop from the manifest")
+    assert(VersionedTable.read(tgt, "t").count() == 200L)
+    assert(VersionedTable.read(tgt, "t").agg(min("k")).head().getLong(0) == 101L)
+    // boundary delete: covers batch 2 fully, cuts batch 3 partially —
+    // exactly one file rewrites
+    val v5 = VersionedTable.delete(tgt, "t", col("k") <= 250L)
+    val m5 = VersionedTable.readManifest(tgt, "t", v5).get
+    assert((m5.files.toSet -- m4.files.toSet).nonEmpty,
+      "the boundary file must be rewritten")
+    assert(VersionedTable.read(tgt, "t").count() == 50L)
+    // prior versions untouched (snapshot safety)
+    assert(VersionedTable.readVersion(tgt, "t", 3L).count() == 300L)
+    // covering EVERYTHING still leaves a readable (empty) head with schema
+    val v6 = VersionedTable.delete(tgt, "t", col("k") >= 1L)
+    assert(VersionedTable.read(tgt, "t").count() == 0L)
+    assert(VersionedTable.read(tgt, "t").columns.contains("s"))
+    assert(v6 == 6L)
   }
 
   test("appends carry the parent's zone maps; pruning works on old files") {
