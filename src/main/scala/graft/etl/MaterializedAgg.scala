@@ -62,6 +62,15 @@ object MaterializedAgg {
     case _     => Seq(a.as)
   }
 
+  /** Hidden per-GROUP stamp of the last source version whose deltas were
+    * folded into the row — the EXACTLY-ONCE guard for CDC maintenance: a
+    * replayed version (crash between apply and watermark-advance, or a
+    * partial multi-bucket apply) finds its version already stamped on the
+    * groups it reached and SKIPS their deltas instead of double-counting
+    * them into sums. Written only by the stamped maintenance paths
+    * ([[CdcSource.maintainView]]); plain refreshes leave it untouched. */
+  private[etl] val StampCol = "__applied_v"
+
   /** The per-batch (and first-full) aggregation, producing state columns. */
   private def aggregate(df: DataFrame, groupBy: Seq[String],
                         aggs: Seq[AggCol], kmvK: Int): DataFrame = {
@@ -121,9 +130,10 @@ object MaterializedAgg {
     */
   def refresh(tgt: Catalog, view: String, batch: DataFrame,
               groupBy: Seq[String], aggs: Seq[AggCol],
-              numBuckets: Int = 16, kmvK: Int = 256): Unit =
+              numBuckets: Int = 16, kmvK: Int = 256,
+              sourceVersion: Option[Long] = None): Unit =
     mergeStates(tgt, view, aggregate(batch, groupBy, aggs, kmvK),
-      groupBy, aggs, numBuckets, kmvK)
+      groupBy, aggs, numBuckets, kmvK, stamp = sourceVersion)
 
   /** Merge a pre-aggregated STATE frame (one row per touched group, state
     * columns as [[stateCols]] lays them out) into the view — the shared
@@ -132,12 +142,16 @@ object MaterializedAgg {
     * combine: the state frame's value OVERWRITES the view's for every
     * touched group (the splice path for re-aggregated non-retractable
     * aggs — the frame's value is already the group's full truth). */
-  private def mergeStates(tgt: Catalog, view: String, stateAgg: DataFrame,
+  private def mergeStates(tgt: Catalog, view: String, stateAgg0: DataFrame,
                           groupBy: Seq[String], aggs: Seq[AggCol],
                           numBuckets: Int, kmvK: Int,
-                          replace: Set[String] = Set.empty): Unit = {
+                          replace: Set[String] = Set.empty,
+                          stamp: Option[Long] = None): Unit = {
     require(groupBy.nonEmpty, "materialized view needs at least one group column")
-    val spark = stateAgg.sparkSession
+    val spark = stateAgg0.sparkSession
+    // stamped merges carry the source version as one more state column
+    val stateAgg = stamp.fold(stateAgg0)(v =>
+      stateAgg0.withColumn(StampCol, lit(v)))
     val batchAgg = stateAgg
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -166,19 +180,44 @@ object MaterializedAgg {
                 .drop(Loader.BucketCol)
             case _ => tgt.table(view) // flat legacy view: full read
           }
-          val cur = if (viewSlice.columns.contains(Loader.IdCol))
+          val cur0 = if (viewSlice.columns.contains(Loader.IdCol))
             viewSlice.drop(Loader.IdCol) else viewSlice
-          val stateNames = aggs.flatMap(stateCols)
+          // a stamped merge into a pre-stamp (legacy) view reads a null
+          // stamp everywhere — every group then applies, exactly the
+          // at-least-once behavior the legacy view already had
+          val cur = if (stamp.isDefined && !cur0.columns.contains(StampCol))
+            cur0.withColumn(StampCol, lit(null).cast("long"))
+          else cur0
+          val stateNames = aggs.flatMap(stateCols) ++
+            (if (stamp.isDefined) Seq(StampCol) else Nil)
           val vR = stateNames.foldLeft(cur)((d, c) =>
             d.withColumnRenamed(c, s"__v_$c"))
           // batch groups only: groups outside the batch — even inside a
           // touched bucket — are untouched rows the Loader merge keeps
-          batchAgg.join(vR, groupBy, "left")
-            .select(groupBy.map(col) ++ aggs.flatMap(a =>
-              if (replace.contains(a.as))
-                stateCols(a).map(c => col(c).as(c))
-              else
-                combine(a, c => col(s"__v_$c"), c => col(c), kmvK)): _*)
+          val combined = aggs.flatMap(a =>
+            if (replace.contains(a.as))
+              stateCols(a).map(c => col(c).as(c))
+            else
+              combine(a, c => col(s"__v_$c"), c => col(c), kmvK))
+          val joined = batchAgg.join(vR, groupBy, "left")
+          stamp match {
+            case None => joined.select(groupBy.map(col) ++ combined: _*)
+            case Some(v) =>
+              // EXACTLY-ONCE guard: a group whose stamp already covers
+              // version v saw these deltas land before the crash — keep
+              // its view state verbatim instead of folding them twice.
+              // Two projections: first materializes the combined values
+              // next to the view-side state, then the guard chooses.
+              val aggStateNames = aggs.flatMap(stateCols)
+              val both = joined.select(groupBy.map(col) ++ combined ++
+                stateNames.map(c => col(s"__v_$c")): _*)
+              val applied = col(s"__v_$StampCol").isNotNull &&
+                col(s"__v_$StampCol") >= lit(v)
+              both.select(groupBy.map(col) ++ aggStateNames.map(c =>
+                when(applied, col(s"__v_$c")).otherwise(col(c)).as(c)) :+
+                greatest(coalesce(col(s"__v_$StampCol"), lit(Long.MinValue)),
+                  lit(v)).as(StampCol): _*)
+          }
       }
       // keyed upsert through the loader's bucket-scoped merge: only the
       // touched bucket directories are rewritten, each swap rename-atomic
@@ -220,14 +259,16 @@ object MaterializedAgg {
     */
   def applyChanges(tgt: Catalog, view: String, feed: DataFrame,
                    groupBy: Seq[String], aggs: Seq[AggCol],
-                   numBuckets: Int = 16): Unit = {
+                   numBuckets: Int = 16,
+                   sourceVersion: Option[Long] = None): Unit = {
     require(aggs.nonEmpty, "applyChanges needs at least one aggregate")
     require(aggs.forall(a => Set("sum", "count", "avg")(a.func)),
       "applyChanges supports the retractable aggregates (sum, count, avg) " +
         "only; route min/max/ndv views through the snapshot overload; got: " +
         aggs.map(_.func).distinct.mkString(", "))
     val deltas = retractDeltas(feed, groupBy, aggs)
-    mergeStates(tgt, view, deltas, groupBy, aggs, numBuckets, kmvK = 256)
+    mergeStates(tgt, view, deltas, groupBy, aggs, numBuckets, kmvK = 256,
+      stamp = sourceVersion)
   }
 
   /** Signed per-group delta STATE for the retractable aggregates: each
@@ -290,11 +331,12 @@ object MaterializedAgg {
   def applyChanges(tgt: Catalog, view: String, feed: DataFrame,
                    snapshot: DataFrame, groupBy: Seq[String],
                    aggs: Seq[AggCol], numBuckets: Int,
-                   kmvK: Int): Unit = {
+                   kmvK: Int,
+                   sourceVersion: Option[Long]): Unit = {
     require(aggs.nonEmpty, "applyChanges needs at least one aggregate")
     val (retract, reagg) = aggs.partition(a => Set("sum", "count", "avg")(a.func))
     if (reagg.isEmpty) {
-      applyChanges(tgt, view, feed, groupBy, aggs, numBuckets)
+      applyChanges(tgt, view, feed, groupBy, aggs, numBuckets, sourceVersion)
       return
     }
     (groupBy ++ reagg.map(_.src).filter(_.nonEmpty)).distinct.foreach(c =>
@@ -319,7 +361,8 @@ object MaterializedAgg {
     val state0 = deltas.join(re, groupBy, "left")
     val state = if (retract.isEmpty) state0.drop("__touch") else state0
     mergeStates(tgt, view, state, groupBy, aggs,
-      numBuckets, kmvK, replace = reagg.map(_.as).toSet)
+      numBuckets, kmvK, replace = reagg.map(_.as).toSet,
+      stamp = sourceVersion)
   }
 
   /** As above with the default layout sizing. */
@@ -327,11 +370,26 @@ object MaterializedAgg {
                    snapshot: DataFrame, groupBy: Seq[String],
                    aggs: Seq[AggCol]): Unit =
     applyChanges(tgt, view, feed, snapshot, groupBy, aggs,
-      numBuckets = 16, kmvK = 256)
+      numBuckets = 16, kmvK = 256, sourceVersion = None)
 
-  /** Read the view raw (id column dropped — group key + state columns). */
+  /** As above, unstamped (at-least-once) with explicit sizing. */
+  def applyChanges(tgt: Catalog, view: String, feed: DataFrame,
+                   snapshot: DataFrame, groupBy: Seq[String],
+                   aggs: Seq[AggCol], numBuckets: Int, kmvK: Int): Unit =
+    applyChanges(tgt, view, feed, snapshot, groupBy, aggs,
+      numBuckets, kmvK, sourceVersion = None)
+
+  /** As above, stamped for exactly-once CDC maintenance. */
+  def applyChanges(tgt: Catalog, view: String, feed: DataFrame,
+                   snapshot: DataFrame, groupBy: Seq[String],
+                   aggs: Seq[AggCol], sourceVersion: Option[Long]): Unit =
+    applyChanges(tgt, view, feed, snapshot, groupBy, aggs,
+      numBuckets = 16, kmvK = 256, sourceVersion = sourceVersion)
+
+  /** Read the view raw (id and maintenance-stamp columns dropped — group
+    * key + state columns). */
   def read(tgt: Catalog, view: String): DataFrame =
-    tgt.table(view).drop(Loader.IdCol)
+    tgt.table(view).drop(Loader.IdCol).drop(StampCol)
 
   /** Read the view FINALIZED: partial-state columns are folded into their
     * declared aggregate columns (avg = sum/count, null on empty; ndv = the

@@ -151,12 +151,14 @@ object CdcSource {
     * runs on every frame first (snapshot AND feed — derive computed
     * columns there; remember the feed carries `<col>__old` twins).
     *
-    * Delivery: the watermark advances AFTER each version lands, so a
-    * crash between them replays one version's deltas — which, unlike the
-    * mirror's keyed apply, DOUBLE-COUNTS into sums. Same at-least-once
-    * caveat [[StreamLoader.streamIntoView]] documents: run drains
-    * single-consumer and restart from a consistent checkpoint, or rebuild
-    * the view via refresh when in doubt.
+    * Delivery is EXACTLY-ONCE: every apply is STAMPED with its source
+    * version per group ([[MaterializedAgg.StampCol]]), so the crash
+    * shapes that used to double-count — watermark write lost after a
+    * successful apply, or a partial multi-bucket apply — replay the
+    * version and find each already-stamped group's deltas SKIPPED while
+    * the unreached groups catch up. The watermark file is then purely a
+    * fast-forward hint, not a correctness boundary (pinned by
+    * MatviewExactlyOnceSpec's crash-injection cases).
     */
   def maintainView(src: Catalog, table: String, keys: Seq[String],
                    viewTgt: Catalog, view: String,
@@ -172,7 +174,8 @@ object CdcSource {
     if (wm == 0L) {
       val v0 = vs.head
       MaterializedAgg.refresh(viewTgt, view,
-        project(VersionedTable.readVersion(src, table, v0)), groupBy, aggs)
+        project(VersionedTable.readVersion(src, table, v0)), groupBy, aggs,
+        sourceVersion = Some(v0))
       advanceWatermark(viewTgt, checkpointDir, v0)
       applied += v0
       wm = v0
@@ -184,10 +187,12 @@ object CdcSource {
       val feed = project(
         VersionedTable.changes(src, table, prev, v, keys, includeOld = true))
       if (retractableOnly)
-        MaterializedAgg.applyChanges(viewTgt, view, feed, groupBy, aggs)
+        MaterializedAgg.applyChanges(viewTgt, view, feed, groupBy, aggs,
+          sourceVersion = Some(v))
       else
         MaterializedAgg.applyChanges(viewTgt, view, feed,
-          project(VersionedTable.readVersion(src, table, v)), groupBy, aggs)
+          project(VersionedTable.readVersion(src, table, v)), groupBy, aggs,
+          sourceVersion = Some(v))
       advanceWatermark(viewTgt, checkpointDir, v)
       applied += v
       v
