@@ -1,0 +1,165 @@
+package graft.streaming
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.{Catalog, VersionedTable}
+
+/** `graft-cdc` — the versioned table's change feed as a REAL Structured
+  * Streaming source (DataSource V2 `MicroBatchStream`):
+  *
+  * {{{
+  *   spark.readStream.format("graft-cdc")
+  *     .option("dir", catalogDir)   // the graft Catalog directory
+  *     .option("table", "orders")   // versioned table name
+  *     .option("keys", "o_orderkey")// CDC key columns, comma-separated
+  *     .load()                      // op STRING + the table's columns
+  * }}}
+  *
+  * The manifest log IS the offset log: offset = table version, batch
+  * (start, end] = the exact state diff between the two retained
+  * manifests, start 0 = bootstrap (the end version's full snapshot as
+  * inserts). Batches are planned from manifests alone (no file listing,
+  * no status RPCs for sized manifests) and read ONLY the versions'
+  * unshared files — an append's batch costs O(appended files) against a
+  * table of any size. Engine-managed checkpoints give exactly-once:
+  * offsets are committed to the checkpoint's WAL, a restart replans the
+  * SAME (start, end] range, and manifests are immutable, so the replayed
+  * batch is bit-identical — with an idempotent or transactional sink
+  * that is end-to-end exactly-once ([[CdcSource.applyFeed]] is the keyed
+  * idempotent apply; `foreachBatch` + it mirrors a table).
+  *
+  * vs [[CdcSource.mirrorOnce]]: that drain-loop stays for schedulers
+  * that want a library call; this source gets engine triggers
+  * (`AvailableNow`, processing-time), rate control by versions, progress
+  * reporting, and checkpoint interop for free.
+  *
+  * Contracts: the schema is FIXED at stream start (the head version's —
+  * columns added later need a stream restart to surface; older files
+  * read missing columns as null, the same alignment
+  * [[VersionedTable.changes]] applies). The checkpointed start version
+  * must outlive vacuum retention, or the stream fails with a
+  * reset-the-checkpoint message instead of resurrecting ghost rows.
+  * Flat-table rewrites diff in one partition; bucket the table to
+  * stream updates at scale (class doc of
+  * [[org.apache.spark.sql.graft.CdcMicroBatch]]).
+  *
+  * (Reference anchor: the polling incremental extract,
+  * /root/reference/easy_etl/__init__.py:77-87, is the batch ancestor of
+  * exactly this source.)
+  */
+final class CdcStreamProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-cdc"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def required(options: CaseInsensitiveStringMap, key: String): String = {
+    val v = options.get(key)
+    require(v != null && v.nonEmpty, s"graft-cdc requires option '$key'")
+    v
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val cat = new Catalog(spark, required(options, "dir"))
+    val table = required(options, "table")
+    require(VersionedTable.currentVersion(cat, table).isDefined,
+      s"versioned table '$table' not found under ${cat.dir}")
+    val data = VersionedTable.read(cat, table).schema
+    StructType(StructField("op", StringType, nullable = false) +: data.fields)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new CdcStreamTable(schema, properties.asScala.toMap)
+}
+
+private[streaming] final class CdcStreamTable(
+    fullSchema: StructType, options: Map[String, String])
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-cdc:${options.getOrElse("dir", "?")}/${options.getOrElse("table", "?")}"
+
+  override def schema(): StructType = fullSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new CdcScan(fullSchema, options)
+    }
+}
+
+private[streaming] final class CdcScan(
+    fullSchema: StructType, options: Map[String, String]) extends Scan {
+
+  override def readSchema(): StructType = fullSchema
+
+  override def description(): String = "graft-cdc change feed"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"graft-cdc requires option '$k'"))
+    new CdcMicroBatchStream(
+      SparkSession.active,
+      dir = opt("dir"),
+      table = opt("table"),
+      keys = opt("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      dataSchema = StructType(fullSchema.fields.drop(1))) // minus op
+  }
+}
+
+/** Offset = the table version (monotone, atomic per commit). */
+private[streaming] final case class CdcOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[streaming] final class CdcMicroBatchStream(
+    spark: SparkSession, dir: String, table: String,
+    keys: Seq[String], dataSchema: StructType) extends MicroBatchStream {
+
+  private val cat = new Catalog(spark, dir)
+
+  override def initialOffset(): Offset = CdcOffset(0L)
+
+  override def latestOffset(): Offset =
+    CdcOffset(VersionedTable.currentVersion(cat, table).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = java.util.regex.Pattern.compile("\\d+").matcher(json)
+    require(m.find(), s"malformed graft-cdc offset: $json")
+    CdcOffset(m.group().toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (sv, ev) = (start.asInstanceOf[CdcOffset].version,
+      end.asInstanceOf[CdcOffset].version)
+    if (sv >= ev) return Array.empty
+    VersionedTable.cdcSlices(cat, table, sv, ev).map { case (old, fresh) =>
+      org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
+        old.map { case (p, l) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) },
+        fresh.map { case (p, l) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) })
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.graft.CdcMicroBatch.readerFactory(spark, dataSchema, keys)
+
+  override def commit(end: Offset): Unit = () // checkpoint WAL owns progress
+
+  override def stop(): Unit = ()
+}

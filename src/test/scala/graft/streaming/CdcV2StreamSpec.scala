@@ -1,0 +1,161 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The `graft-cdc` DataSource-V2 streaming source: a real
+  * `spark.readStream` over a versioned table with ENGINE-managed
+  * checkpoints and triggers. Contracts pinned here:
+  *
+  *   - a readStream → foreachBatch(applyFeed) query mirrors the table
+  *     exactly-once ACROSS RESTARTS (each run drains only unseen
+  *     versions; a caught-up run emits nothing);
+  *   - batch content is the exact state diff (bootstrap = snapshot as
+  *     inserts; updates/deletes classified like [[VersionedTable
+  *     .changes]]);
+  *   - partition planning: bootstrap/appends get one partition per new
+  *     file (no old side); a bucketed upsert's batch gets one partition
+  *     per touched bucket;
+  *   - a vacuumed-away checkpoint version fails loudly instead of
+  *     resurrecting ghost rows.
+  */
+class CdcV2StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(tgt: Catalog, t: String): Seq[(Long, String)] =
+    VersionedTable.read(tgt, t).select("k", "s").orderBy("k")
+      .as[(Long, String)].collect().toSeq
+
+  private def reader(src: Catalog) = spark.readStream.format("graft-cdc")
+    .option("dir", src.dir).option("table", "t").option("keys", "k").load()
+
+  /** Run one AvailableNow drain applying every batch to the mirror,
+    * recording (rowCount, numPartitions, ops) per non-empty batch. */
+  private def drain(src: Catalog, dst: Catalog, ckpt: String,
+                    log: ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]): Unit = {
+    val q = reader(src).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          if (n > 0) {
+            val ops = cached.groupBy("op").count().as[(String, Long)]
+              .collect().toMap
+            log.add((n, cached.rdd.getNumPartitions, ops))
+            CdcSource.applyFeed(dst, "m", cached, Seq("k"))
+          }
+        } finally cached.unpersist()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  test("readStream mirrors a versioned table exactly-once across restarts") {
+    val src = new Catalog(spark, tmpDir("v2src"))
+    val dst = new Catalog(spark, tmpDir("v2dst"))
+    val ckpt = tmpDir("v2ck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t", (1L to 40L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", (41L to 50L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    drain(src, dst, ckpt, log)
+    assert(snap(dst, "m") == snap(src, "t"), "mirror equals source after drain 1")
+    val firstRunRows = log.asScala.map(_._1).sum
+    assert(firstRunRows == 50L, s"bootstrap+append = 50 feed rows, got $firstRunRows")
+
+    // restart with NO new commits: nothing re-emitted
+    log.clear()
+    drain(src, dst, ckpt, log)
+    assert(log.isEmpty, "a caught-up restart must process zero rows")
+
+    // upsert (update+insert) and delete, then restart: only the delta
+    VersionedTable.load(src, "t", Seq((7L, "UP"), (51L, "NEW")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    VersionedTable.delete(src, "t", col("k") <= 3L)
+    log.clear()
+    drain(src, dst, ckpt, log)
+    assert(snap(dst, "m") == snap(src, "t"), "mirror equals source after drain 2")
+    val ops = log.asScala.flatMap(_._3).groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    assert(ops.getOrElse("insert", 0L) == 1L, s"one insert (k=51): $ops")
+    assert(ops.getOrElse("update", 0L) == 1L, s"one update (k=7): $ops")
+    assert(ops.getOrElse("delete", 0L) == 3L, s"three deletes (k<=3): $ops")
+  }
+
+  test("bootstrap plans one partition per file; bucketed updates one per touched bucket") {
+    val src = new Catalog(spark, tmpDir("v2bsrc"))
+    val dst = new Catalog(spark, tmpDir("v2bdst"))
+    val ckpt = tmpDir("v2bck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t", (1L to 64L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 8)))
+    drain(src, dst, ckpt, log)
+    val bootstrapParts = log.asScala.head._2
+    val v1Files = VersionedTable.files(src, "t", 1L).size
+    assert(bootstrapParts == v1Files,
+      s"bootstrap must plan one partition per file: $bootstrapParts/$v1Files")
+    // a 1-key upsert touches one bucket → the batch has ONE partition
+    VersionedTable.load(src, "t", Seq((7L, "UP")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    log.clear()
+    drain(src, dst, ckpt, log)
+    assert(log.asScala.toSeq.map(_._2) == Seq(1),
+      s"single-bucket upsert must plan one partition, got ${log.asScala.toSeq}")
+    assert(snap(dst, "m") == snap(src, "t"))
+  }
+
+  test("batch content equals the manifest diff; memory sink sees the raw feed") {
+    val src = new Catalog(spark, tmpDir("v2msrc"))
+    val ckpt = tmpDir("v2mck")
+    VersionedTable.load(src, "t", (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((5L, "UP")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val q = reader(src).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("cdcv2_feed")
+      .start()
+    q.awaitTermination()
+    // one batch (0, head]: the head snapshot as pure inserts
+    val got = spark.sql("SELECT op, k, s FROM cdcv2_feed")
+      .as[(String, Long, String)].collect().toSet
+    val want = VersionedTable.read(src, "t").select("k", "s")
+      .as[(Long, String)].collect().toSet.map((t: (Long, String)) =>
+        ("insert", t._1, t._2))
+    assert(got == want, "bootstrap batch = head snapshot as inserts")
+    assert(got.exists { case (_, k, s) => k == 5L && s == "UP" })
+  }
+
+  test("a vacuumed-away checkpoint version fails loudly") {
+    val src = new Catalog(spark, tmpDir("v2vsrc"))
+    val dst = new Catalog(spark, tmpDir("v2vdst"))
+    val ckpt = tmpDir("v2vck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t", (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    drain(src, dst, ckpt, log) // checkpoint now at v1
+    (2 to 4).foreach { i =>
+      VersionedTable.load(src, "t", Seq((100L + i, s"x$i")).toDF("k", "s"),
+        idOrder = Seq("k"))
+    }
+    VersionedTable.vacuum(src, "t", keepLast = 2) // v1 (the checkpoint) gone
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(src, dst, ckpt, log)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("vacuumed away")),
+      s"expected the vacuumed-watermark refusal, got: ${messages(err)}")
+  }
+}
