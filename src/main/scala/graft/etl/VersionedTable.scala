@@ -83,7 +83,8 @@ object VersionedTable {
                                          stats: FileStats = Map.empty,
                                          sizes: Map[String, Long] = Map.empty,
                                          nulls: Map[String, Map[String, Long]] = Map.empty,
-                                         rows: Map[String, Long] = Map.empty)
+                                         rows: Map[String, Long] = Map.empty,
+                                         props: Map[String, String] = Map.empty)
 
   // a plain databind mapper (tree model — no reflection/module setup);
   // jackson ships with Spark itself, so this adds no dependency
@@ -128,6 +129,10 @@ object VersionedTable {
         val fo = no.putObject(rel)
         cols.toSeq.sortBy(_._1).foreach { case (c, n) => fo.put(c, n) }
       }
+    }
+    if (m.props.nonEmpty) {
+      val po = root.putObject("props")
+      m.props.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
     }
     mapper.writeValueAsBytes(root)
   }
@@ -197,9 +202,20 @@ object VersionedTable {
         }
         b.result()
       }
+    val props: Map[String, String] =
+      if (!root.hasNonNull("props")) Map.empty
+      else {
+        val b = Map.newBuilder[String, String]
+        val it = root.get("props").fields()
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> e.getValue.asText()
+        }
+        b.result()
+      }
     Manifest(root.get("version").asLong(),
       if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
-      bucket, files, stats, longMap("sizes"), nulls, longMap("rows"))
+      bucket, files, stats, longMap("sizes"), nulls, longMap("rows"), props)
   }
 
   private def manifestPath(tgt: Catalog, table: String, v: Long): Path =
@@ -940,7 +956,8 @@ object VersionedTable {
     if (tryCommitManifest(tgt, table,
       { val fm = manifestMeta(tgt, table, headMan, carryRel, newParts, out.schema)
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
-          fm.stats, fm.sizes, fm.nulls, fm.rows) }))
+          fm.stats, fm.sizes, fm.nulls, fm.rows,
+          headMan.fold(Map.empty[String, String])(_.props)) }))
       Some(newV)
     else {
       // lost the race: the staged batch references a superseded head —
@@ -1010,7 +1027,7 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, Nil,
               org.apache.spark.sql.types.StructType(Nil))
             Manifest(newV, man.maxId, man.bucket, keepRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows) })) Some(newV)
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) })) Some(newV)
         else None
       } else {
         // partial rewrite; when EVERYTHING matched (hitRel empty AND
@@ -1033,7 +1050,7 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
               survivors.schema)
             Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows) })) Some(newV)
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -1115,7 +1132,7 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
               survivors.schema)
             Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows) })) Some(newV)
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -1178,7 +1195,7 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keep.map(_._1),
               newParts, rows.schema)
             Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows) }))
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) }))
           Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -1236,7 +1253,7 @@ object VersionedTable {
       if (tryCommitManifest(tgt, table,
         { val fm = manifestMeta(tgt, table, None, Nil, newParts, rows.schema)
           Manifest(newV, man.maxId, None, newRel,
-            fm.stats, fm.sizes, fm.nulls, fm.rows) }))
+            fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) }))
         Some(newV)
       else {
         fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -1293,12 +1310,17 @@ object VersionedTable {
     * learn of the clone). Zone maps and the id floor carry over, so
     * pruning and id continuity work from the first read/write.
     *
-    * OWNERSHIP CAVEAT (same as the big formats' shallow clones): the
-    * clone's vacuum only sweeps its OWN data dir, so it can never delete
-    * source files — but a vacuum on the SOURCE doesn't know about clones
-    * and may delete files the clone still references. Vacuum the source
-    * only when its clones are dropped or fully compacted (compaction
-    * rewrites shared small files into clone-owned ones).
+    * OWNERSHIP: the clone's vacuum only sweeps its OWN data dir, so it
+    * can never delete source files. The reverse direction is now GUARDED
+    * rather than convention-documented: the clone registers itself in
+    * the source's meta dir (`clone-<uuid>.json`) and records its
+    * provenance in its own v1 manifest props, and the SOURCE's [[vacuum]]
+    * treats every live clone's referenced files as referenced — shared
+    * files survive a source vacuum until the clone is dropped (its meta
+    * dir deleted) or has rewritten them away (compact/recluster), at
+    * which point the next source vacuum reclaims them and clears the
+    * marker. `vacuum(ignoreClones = true)` restores the old unguarded
+    * sweep for deployments that manage ownership externally.
     */
   def cloneTable(src: Catalog, srcTable: String,
                  dst: Catalog, dstTable: String, v: Long): Long = {
@@ -1307,7 +1329,7 @@ object VersionedTable {
         s"table '$srcTable' has no version $v to clone"))
     val relToAbs = man.files.map(r =>
       r -> new Path(dataDir(src, srcTable), r).toString).toMap
-    commitWithRetry(dstTable, "clone") { () =>
+    val committed = commitWithRetry(dstTable, "clone") { () =>
       require(currentVersion(dst, dstTable).isEmpty,
         s"clone target '$dstTable' already exists")
       preCommitHook.value()
@@ -1316,10 +1338,25 @@ object VersionedTable {
           man.stats.map { case (r, st) => relToAbs(r) -> st },
           man.sizes.map { case (r, len) => relToAbs(r) -> len },
           man.nulls.map { case (r, n) => relToAbs(r) -> n },
-          man.rows.map { case (r, n) => relToAbs(r) -> n })))
+          man.rows.map { case (r, n) => relToAbs(r) -> n },
+          Map("clone_src_dir" -> src.dir, "clone_src_table" -> srcTable,
+            "clone_src_version" -> v.toString))))
         Some(1L)
       else None
     }
+    // register with the source so ITS vacuum protects the shared files;
+    // written after the clone commit (a crashed clone leaves no marker —
+    // nothing to protect; a crash between commit and marker loses
+    // protection for this clone only, same as the pre-guard behavior)
+    val f = fs(src, metaDir(src, srcTable))
+    val marker = new Path(metaDir(src, srcTable),
+      s"clone-${java.util.UUID.randomUUID()}.json")
+    val out = f.create(marker, false)
+    try out.write(mapper.writeValueAsBytes {
+      val o = mapper.createObjectNode()
+      o.put("dir", dst.dir); o.put("table", dstTable); o
+    }) finally out.close()
+    committed
   }
 
   // ------------------------------------------------------------------- reads
@@ -1488,6 +1525,72 @@ object VersionedTable {
     }
   }
 
+  // ------------------------------------------- streaming CDC partition plan
+
+  /** (absolute path, byte length) of version `v`'s files — lengths from
+    * the manifest (status-RPC fallback for pre-sizes manifests). */
+  private def fileSlices(tgt: Catalog, table: String,
+                         man: Manifest): Seq[(String, Long)] = {
+    lazy val f = fs(tgt, dataDir(tgt, table))
+    man.files.map { rel =>
+      val abs = new Path(dataDir(tgt, table), rel).toString
+      abs -> man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen)
+    }
+  }
+
+  /** Partition plan for a streaming CDC batch `(fromV, toV]`: pairs of
+    * (old files, new files) from the two manifests' UNSHARED file sets,
+    * each pair diffable PARTITION-LOCALLY:
+    *
+    *   - `fromV == 0` (bootstrap) or an append pair (no replaced files):
+    *     one partition PER NEW FILE, no old side — full parallelism,
+    *     O(1) memory, every row an insert;
+    *   - both sides bucketed: one partition PER TOUCHED BUCKET (a
+    *     matched key can never change buckets, so the diff is exact
+    *     within one bucket) — the same scale unit as every scoped write;
+    *   - otherwise (flat rewrite, or stray pre-migration files): ONE
+    *     partition holding both sides — correct anywhere, scalable only
+    *     when the replaced file set is; bucket the table to stream
+    *     updates at scale.
+    *
+    * The watermark version must still be retained: diffing across a
+    * vacuumed gap is exact for retained endpoints ([[changes]] doc), but
+    * a vacuumed-away `fromV` has no manifest to diff FROM. */
+  private[graft] def cdcSlices(tgt: Catalog, table: String, fromV: Long,
+                               toV: Long)
+      : Seq[(Seq[(String, Long)], Seq[(String, Long)])] = {
+    val manB = readManifest(tgt, table, toV).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $toV"))
+    if (fromV <= 0L)
+      return fileSlices(tgt, table, manB).map(s => (Nil, Seq(s)))
+    val manA = readManifest(tgt, table, fromV).getOrElse(throw new IllegalStateException(
+      s"CDC start version v$fromV of '$table' was vacuumed away — a diff " +
+        "from an older version could resurrect keys deleted inside the gap; " +
+        "retain more versions or reset the stream checkpoint to re-bootstrap"))
+    val (setA, setB) = (manA.files.toSet, manB.files.toSet)
+    val onlyA = manA.files.filterNot(setB)
+    val onlyB = manB.files.filterNot(setA)
+    def slices(man: Manifest, rels: Seq[String]): Seq[(String, String, Long)] = {
+      lazy val f = fs(tgt, dataDir(tgt, table))
+      rels.map { rel =>
+        val abs = new Path(dataDir(tgt, table), rel).toString
+        (rel, abs, man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen))
+      }
+    }
+    val a = slices(manA, onlyA)
+    val b = slices(manB, onlyB)
+    if (a.isEmpty) b.map { case (_, abs, len) => (Nil, Seq((abs, len))) }
+    else if ((onlyA ++ onlyB).forall(r => bucketOfRel(r).isDefined)) {
+      val byBucket = (a.map((_, true)) ++ b.map((_, false)))
+        .groupBy { case ((rel, _, _), _) => bucketOfRel(rel).get }
+      byBucket.toSeq.sortBy(_._1).map { case (_, members) =>
+        (members.collect { case ((_, abs, len), true) => (abs, len) },
+         members.collect { case ((_, abs, len), false) => (abs, len) })
+      }
+    } else
+      Seq((a.map(t => (t._2, t._3)), b.map(t => (t._2, t._3))))
+  }
+
   // ------------------------------------------------------------- change feed
 
   /** Change-data-feed between two versions: one row per inserted, deleted,
@@ -1588,19 +1691,49 @@ object VersionedTable {
   // ------------------------------------------------------------------ vacuum
 
   /** Drop manifests older than the newest `keepLast` versions and delete
-    * every data file no retained manifest references. Returns the number of
-    * files deleted. Storage reclamation for the append-only file store —
-    * after this, time travel reaches only the retained versions.
+    * every data file no retained manifest references — where "retained"
+    * includes every LIVE CLONE's manifests (see [[cloneTable]]): a source
+    * vacuum keeps shared files alive until the clone is dropped, instead
+    * of silently stranding it. Dead clones' markers are cleaned up here.
+    * `ignoreClones = true` restores the unguarded sweep. Returns the
+    * number of files deleted. Storage reclamation for the append-only
+    * file store — after this, time travel reaches only the retained
+    * versions.
     */
-  def vacuum(tgt: Catalog, table: String, keepLast: Int): Int = {
+  def vacuum(tgt: Catalog, table: String, keepLast: Int,
+             ignoreClones: Boolean = false): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     val vs = versions(tgt, table)
     val keep = vs.takeRight(keepLast)
     val drop = vs.dropRight(keepLast)
     val f = fs(tgt, metaDir(tgt, table))
+    // live clones' referenced paths: each marker names a clone table
+    // whose manifests reference THIS table's files by absolute path —
+    // O(markers × clone manifests), all driver-side JSON
+    val cloneReferenced: Set[String] =
+      if (ignoreClones) Set.empty
+      else f.listStatus(new Path(metaDir(tgt, table))).toSeq
+        .filter(st => st.getPath.getName.startsWith("clone-") &&
+          st.getPath.getName.endsWith(".json"))
+        .flatMap { st =>
+          val (cDir, cTable) = {
+            val in = f.open(st.getPath)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            val o = mapper.readTree(txt)
+            (o.get("dir").asText(), o.get("table").asText())
+          }
+          val cCat = new Catalog(tgt.spark, cDir)
+          val live = versions(cCat, cTable)
+          if (live.isEmpty) {
+            f.delete(st.getPath, false) // clone dropped: marker expires
+            Nil
+          } else live.flatMap(v => manifestFiles(cCat, cTable, v))
+            .map(p => new Path(p).toUri.getPath)
+        }.toSet
     val referenced: Set[String] =
       keep.flatMap(v => manifestFiles(tgt, table, v))
-        .map(r => new Path(r).toUri.getPath).toSet
+        .map(r => new Path(r).toUri.getPath).toSet ++ cloneReferenced
     drop.foreach { v =>
       f.delete(manifestPath(tgt, table, v), false)
     }

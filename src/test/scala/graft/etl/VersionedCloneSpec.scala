@@ -76,6 +76,50 @@ class VersionedCloneSpec extends SparkSpec {
     assert(removed >= 0)
   }
 
+  test("a source vacuum protects live clones' shared files; dropped clones release them") {
+    val src = freshCat()
+    val dst = freshCat()
+    VersionedTable.load(src, "t", (1L to 40L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.cloneTable(src, "t", dst, "c", 1L)
+    // provenance is in the clone's own v1 manifest
+    val cm = VersionedTable.readManifest(dst, "c", 1L).get
+    assert(cm.props.get("clone_src_table").contains("t") &&
+      cm.props.get("clone_src_version").contains("1"))
+    // source rewrites everything (delete-all + reload), then vacuums down
+    // to versions that no longer reference v1's files
+    VersionedTable.delete(src, "t", col("k") >= 1L)
+    VersionedTable.load(src, "t", (100L to 110L).map(i => (i, s"n$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    val removedGuarded = VersionedTable.vacuum(src, "t", keepLast = 1)
+    // the clone still reads all 40 rows: its shared files survived
+    assert(VersionedTable.readVersion(dst, "c", 1L).count() == 40L,
+      "a guarded source vacuum must not strand a live clone")
+    // drop the clone (delete its meta dir) → the next vacuum reclaims
+    val cloneMeta = new java.io.File(s"${dst.dirPath("c")}.__vmeta")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(cloneMeta)
+    val removedAfterDrop = VersionedTable.vacuum(src, "t", keepLast = 1)
+    assert(removedAfterDrop > 0,
+      s"dropping the clone must release its shared files " +
+        s"(guarded=$removedGuarded, afterDrop=$removedAfterDrop)")
+    // the marker expired with the clone
+    val markers = new java.io.File(s"${src.dirPath("t")}.__vmeta").listFiles()
+      .map(_.getName).filter(_.startsWith("clone-"))
+    assert(markers.isEmpty, s"dead clone markers must be cleaned: ${markers.toSeq}")
+    // and ignoreClones=true skips the guard entirely
+    val src2 = freshCat(); val dst2 = freshCat()
+    VersionedTable.load(src2, "t", (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.cloneTable(src2, "t", dst2, "c", 1L)
+    VersionedTable.delete(src2, "t", col("k") >= 1L)
+    VersionedTable.load(src2, "t", Seq((99L, "x")).toDF("k", "s"), idOrder = Seq("k"))
+    assert(VersionedTable.vacuum(src2, "t", keepLast = 1, ignoreClones = true) > 0,
+      "ignoreClones must restore the unguarded sweep")
+  }
+
   test("cloning a clone keeps absolute references resolvable") {
     val src = freshCat()
     VersionedTable.load(src, "t", (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"),
