@@ -522,23 +522,32 @@ object Dedup {
     // the edges to meet them). Same key distribution, half the exchanges,
     // no join planning — the dominant cost of a round on any edge volume.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
-    while (!done && iter < maxIters) {
+    // one large-star + small-star sweep, as PURE projections/windows (no
+    // action): duplicate pairs from shared parents ride through (bounded
+    // by the edge count) and collapse in the round's single distinct
+    def starSweep(edges: DataFrame): DataFrame = {
       // large-star over the symmetric neighborhood: every strictly-larger
       // neighbor re-attaches to the min of u's closed neighborhood
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val large = sym
         .withColumn("m", least(min(col("v")).over(w), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-      // small-star on the (big → small) edges large-star emits; duplicate
-      // pairs from shared parents ride through both steps (bounded by the
-      // edge count — pure projections) and collapse in the round's single
-      // distinct below
+      // small-star on the (big → small) edges large-star emits
       val l2 = large.withColumn("m", min(col("v")).over(w))
-      val small = l2.select(col("v").as("u"), col("m").as("v"))
+      l2.select(col("v").as("u"), col("m").as("v"))
         .union(l2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
+    }
+    while (!done && iter < maxIters) {
+      // TWO sweeps per job: near-dup edge sets converge in a handful of
+      // sweeps whose cost is dominated by fixed job/commit overhead, not
+      // data — batching halves the job count (log₂ rounds still, half
+      // the scheduling) while the per-job shuffle volume stays edge-sized
+      // (each sweep's intermediates are ≤4× the edge count before the
+      // round's single distinct)
+      val small = starSweep(starSweep(e))
         .distinct().localCheckpoint(false) // materialized by the probe below
       // fixpoint = the edge set IS a star forest: every child (u) has
       // exactly one parent AND no parent (v) is itself a child. ONE
