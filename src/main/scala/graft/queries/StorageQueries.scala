@@ -41,7 +41,9 @@ object StorageQueries {
   val fixtureQueries: Set[String] = Set("q_time_travel", "q_change_feed",
     "q_version_drift", "q_matview_cdc", "q_matview_cdc_minmax",
     "q_matview_cdc_stream", "q_stream_cdc_source", "q_versioned_skipping",
-    "q_versioned_recluster")
+    "q_versioned_recluster", "q_stream_cdc_v2", "q_matview_exactly_once",
+    "q_versioned_delete_where", "q_versioned_or_skip",
+    "q_versioned_log_checkpoint")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -50,7 +52,9 @@ object StorageQueries {
   def prebuildFixture(spark: SparkSession, sfDir: String): Unit = {
     versionedFixture(spark, sfDir)
     skippingFixture(spark, sfDir)
-    reclusterFixture(spark, sfDir); ()
+    reclusterFixture(spark, sfDir)
+    deleteWhereFixture(spark, sfDir)
+    checkpointFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -132,6 +136,61 @@ object StorageQueries {
       VersionedTable.load(tgt, "t", base.where(col("o_orderkey") % 2 === 0),
         idOrder = Seq("o_orderkey"))
       VersionedTable.recluster(tgt, "t", Seq("o_orderkey"), 4L * 1024)
+      tgt.dir
+    })
+    new Catalog(spark, dir)
+  }
+
+  /** Fixture for the metadata-only delete query: the three disjoint
+    * appends of the skipping fixture, then `delete(o_orderkey <= 600)` —
+    * batch 1 is FULLY covered by its zone map (dropped from the manifest
+    * with zero data I/O), batch 2 is the boundary (one rewrite), batch 3
+    * carries untouched. Deleted once at build time and memoized. */
+  private val delWhereDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def deleteWhereFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = delWhereDirs.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 500),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1000),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") > 1000 && col("o_orderkey") <= 1400),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.delete(tgt, "t", col("o_orderkey") <= 600)
+      tgt.dir
+    })
+    new Catalog(spark, dir)
+  }
+
+  /** Fixture for the manifest-log pointer query: 14 single-slice appends
+    * — enough commit history that a listing-per-read would visibly
+    * multiply FS ops; `versions()` must answer from the `_vlast` pointer
+    * alone. */
+  private val ckptDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def checkpointFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = ckptDirs.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql("SELECT o_orderkey, o_totalprice FROM orders")
+      (1 to 14).foreach { i =>
+        VersionedTable.load(tgt, "t",
+          base.where(col("o_orderkey") > (i - 1) * 100L &&
+            col("o_orderkey") <= i * 100L),
+          idOrder = Seq("o_orderkey"))
+      }
       tgt.dir
     })
     new Catalog(spark, dir)
@@ -480,6 +539,125 @@ object StorageQueries {
         .orderBy("version", "id")
     },
 
+    // ST10 the REAL DataSource-V2 streaming CDC source: the same
+    // versioned history as ST8, drained through an actual
+    // spark.readStream query (format "graft-cdc") with engine-managed
+    // checkpoints and Trigger.AvailableNow, foreachBatch-applied into a
+    // mirror with the idempotent keyed apply — end-to-end exactly-once
+    // through Structured Streaming's own offset log. Oracle: v4 replay.
+    "q_stream_cdc_v2" -> { (spark, sfDir) =>
+      val vt = versionedFixture(spark, sfDir)
+      val dst = tmpCat(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcv2").toString
+      val q = spark.readStream.format("graft-cdc")
+        .option("dir", vt.dir).option("table", "t")
+        .option("keys", "o_orderkey").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          graft.streaming.CdcSource.applyFeed(dst, "m", df, Seq("o_orderkey"))
+        }
+        .start()
+      q.awaitTermination()
+      VersionedTable.read(dst, "m")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // F30 metadata-only range delete: zone maps PROVE batch 1 lies
+    // entirely under the predicate, so it drops from the manifest with
+    // zero data I/O; only the boundary batch rewrites (both enforced
+    // in-query from the manifests). Oracle replays the appends and
+    // filters.
+    "q_versioned_delete_where" -> { (spark, sfDir) =>
+      val tgt = deleteWhereFixture(spark, sfDir)
+      val f3 = VersionedTable.files(tgt, "t", 3L).toSet
+      val f4 = VersionedTable.files(tgt, "t", 4L).toSet
+      val dropped = f3 -- f4
+      val added = f4 -- f3
+      require(dropped.size > added.size,
+        "the covered batch must drop WITHOUT a replacement rewrite " +
+          s"(dropped=${dropped.size} added=${added.size})")
+      VersionedTable.readVersion(tgt, "t", 4L)
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
+    },
+
+    // F31 OR + IS NULL file skipping: the disjunction's interval union
+    // and the recorded null counts both exclude the middle batch — the
+    // read must skip it (enforced in-query) and still answer exactly.
+    "q_versioned_or_skip" -> { (spark, sfDir) =>
+      val tgt = skippingFixture(spark, sfDir)
+      val pred = (col("o_orderkey") > 100L && col("o_orderkey") <= 200L) ||
+        (col("o_orderkey") > 1100L && col("o_orderkey") <= 1200L) ||
+        col("o_orderstatus").isNull
+      require(VersionedTable.skippedFiles(tgt, "t", 3L, pred).nonEmpty,
+        "the OR's interval union must skip the middle batch")
+      VersionedTable.readWhere(tgt, "t", 3L, pred)
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
+    },
+
+    // ST11 exactly-once view maintenance under a crash-replay: after a
+    // full drain, version 4's deltas are re-applied (stamped) and the
+    // watermark rewound — the re-drain must SKIP the already-stamped
+    // groups, landing exactly on a fresh aggregation of v4 (the oracle).
+    // Before the per-group version stamps this double-counted the sums.
+    "q_matview_exactly_once" -> { (spark, sfDir) =>
+      val vt = versionedFixture(spark, sfDir)
+      val viewTgt = tmpCat(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-x1").toString
+      val gb = Seq("o_orderstatus")
+      val aggs = Seq(
+        MaterializedAgg.AggCol("count", "", "n_rows"),
+        MaterializedAgg.AggCol("sum", "cents", "sum_cents"),
+        MaterializedAgg.AggCol("min", "cents", "min_cents"))
+      def project(d: DataFrame): DataFrame = {
+        val a = if (d.columns.contains("o_totalprice"))
+          d.withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+        else d
+        if (a.columns.contains("o_totalprice__old"))
+          a.withColumn("cents__old",
+            floor(col("o_totalprice__old") * 100).cast("long"))
+        else a
+      }
+      graft.streaming.CdcSource.maintainView(vt, "t", Seq("o_orderkey"),
+        viewTgt, "v", gb, aggs, ckpt, project)
+      // CRASH SHAPE: v4 re-applied (stamped), watermark write lost
+      val feed4 = project(VersionedTable.changes(vt, "t", 3L, 4L,
+        Seq("o_orderkey"), includeOld = true))
+      MaterializedAgg.applyChanges(viewTgt, "v", feed4,
+        project(VersionedTable.readVersion(vt, "t", 4L)), gb, aggs,
+        sourceVersion = Some(4L))
+      val wm = new org.apache.hadoop.fs.Path(ckpt, "version-watermark")
+      val hfs = wm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = hfs.create(wm, true)
+      try out.write("3".getBytes("UTF-8")) finally out.close()
+      require(graft.streaming.CdcSource.maintainView(vt, "t",
+        Seq("o_orderkey"), viewTgt, "v", gb, aggs, ckpt, project) == Seq(4L),
+        "the rewound drain must replay exactly version 4")
+      MaterializedAgg.read(viewTgt, "v", gb, aggs)
+        .where(col("n_rows") > 0)
+        .orderBy("o_orderstatus")
+    },
+
+    // F32 manifest-log pointer: a 14-commit table answers versions() from
+    // the _vlast pointer (no O(commits) directory listing per read —
+    // enforced in-query via the pointer's presence and answer); the head
+    // read is the ordinary explicit-file-list scan. Oracle replays the
+    // 14 appends, whose ascending key slices make global ids one
+    // row_number.
+    "q_versioned_log_checkpoint" -> { (spark, sfDir) =>
+      val tgt = checkpointFixture(spark, sfDir)
+      require(new java.io.File(s"${tgt.dirPath("t")}.__vmeta/_vlast").exists(),
+        "commits must maintain the version-log pointer")
+      require(VersionedTable.versions(tgt, "t") == (1L to 14L),
+        "pointer-based versions() must see all 14 commits")
+      VersionedTable.read(tgt, "t")
+        .select("id", "o_orderkey", "o_totalprice")
+        .orderBy("id")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -697,6 +875,69 @@ object StorageQueries {
       s"""WITH $versionedStates
          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM v4
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_stream_cdc_v2" ->
+      s"""WITH $versionedStates
+         |SELECT o_orderkey, o_orderstatus, o_totalprice FROM v4
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_matview_exactly_once" ->
+      s"""WITH $versionedStates,
+         |c4 AS (SELECT o_orderstatus,
+         |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM v4)
+         |SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(cents) AS min_cents
+         |FROM c4
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_versioned_delete_where" ->
+      """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 500),
+        |k2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 500 AND o_orderkey <= 1000),
+        |k3 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 1000 AND o_orderkey <= 1400),
+        |state AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id, k1.* FROM k1
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k2.* FROM k2
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1) + (SELECT count(*) FROM k2)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k3.* FROM k3)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
+        |WHERE o_orderkey > 600
+        |ORDER BY id""".stripMargin,
+
+    "q_versioned_or_skip" ->
+      """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 500),
+        |k2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 500 AND o_orderkey <= 1000),
+        |k3 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 1000 AND o_orderkey <= 1400),
+        |state AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id, k1.* FROM k1
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k2.* FROM k2
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1) + (SELECT count(*) FROM k2)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k3.* FROM k3)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
+        |WHERE (o_orderkey > 100 AND o_orderkey <= 200)
+        |   OR (o_orderkey > 1100 AND o_orderkey <= 1200)
+        |   OR o_orderstatus IS NULL
+        |ORDER BY id""".stripMargin,
+
+    "q_versioned_log_checkpoint" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+        |       o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey > 0 AND o_orderkey <= 1400
+        |ORDER BY id""".stripMargin,
 
     "q_etl_versioned" ->
       """WITH e1 AS (SELECT o_orderkey, o_totalprice FROM orders
