@@ -608,10 +608,12 @@ object StorageQueries {
       val viewTgt = tmpCat(spark)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-x1").toString
       val gb = Seq("o_orderstatus")
+      // retractable-only aggs: the drains are feed-only (no snapshot
+      // scans), and SUM is precisely the state a replay double-counts —
+      // the splice path has its own query (q_matview_cdc_minmax)
       val aggs = Seq(
         MaterializedAgg.AggCol("count", "", "n_rows"),
-        MaterializedAgg.AggCol("sum", "cents", "sum_cents"),
-        MaterializedAgg.AggCol("min", "cents", "min_cents"))
+        MaterializedAgg.AggCol("sum", "cents", "sum_cents"))
       def project(d: DataFrame): DataFrame = {
         val a = if (d.columns.contains("o_totalprice"))
           d.withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
@@ -626,8 +628,7 @@ object StorageQueries {
       // CRASH SHAPE: v4 re-applied (stamped), watermark write lost
       val feed4 = project(VersionedTable.changes(vt, "t", 3L, 4L,
         Seq("o_orderkey"), includeOld = true))
-      MaterializedAgg.applyChanges(viewTgt, "v", feed4,
-        project(VersionedTable.readVersion(vt, "t", 4L)), gb, aggs,
+      MaterializedAgg.applyChanges(viewTgt, "v", feed4, gb, aggs,
         sourceVersion = Some(4L))
       val wm = new org.apache.hadoop.fs.Path(ckpt, "version-watermark")
       val hfs = wm.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -887,8 +888,7 @@ object StorageQueries {
          |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM v4)
          |SELECT o_orderstatus,
          |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-         |  min(cents) AS min_cents
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
          |FROM c4
          |GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -118,7 +118,10 @@ private[streaming] final class CdcScan(
       dir = opt("dir"),
       table = opt("table"),
       keys = opt("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-      dataSchema = StructType(fullSchema.fields.drop(1))) // minus op
+      dataSchema = StructType(fullSchema.fields.drop(1)), // minus op
+      maxVersionsPerTrigger = options
+        .find(_._1.equalsIgnoreCase("maxVersionsPerTrigger"))
+        .map(_._2.toLong))
   }
 }
 
@@ -129,14 +132,50 @@ private[streaming] final case class CdcOffset(version: Long) extends Offset {
 
 private[streaming] final class CdcMicroBatchStream(
     spark: SparkSession, dir: String, table: String,
-    keys: Seq[String], dataSchema: StructType) extends MicroBatchStream {
+    keys: Seq[String], dataSchema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
 
   private val cat = new Catalog(spark, dir)
 
+  // Trigger.AvailableNow contract: pin the drain target ONCE at query
+  // start, so commits racing the drain don't extend it — without this
+  // native support Spark falls back to a single Trigger.Once-style batch
+  // and version pacing can't run to completion (SPARK-45178)
+  @volatile private var availableTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(VersionedTable.currentVersion(cat, table).getOrElse(0L))
+
+  private def head(): Long = {
+    val h = VersionedTable.currentVersion(cat, table).getOrElse(0L)
+    availableTarget.fold(h)(math.min(h, _))
+  }
+
   override def initialOffset(): Offset = CdcOffset(0L)
 
-  override def latestOffset(): Offset =
-    CdcOffset(VersionedTable.currentVersion(cat, table).getOrElse(0L))
+  override def latestOffset(): Offset = CdcOffset(head())
+
+  // RATE CONTROL by versions: `maxVersionsPerTrigger` caps how many
+  // commits one micro-batch spans (the bootstrap batch counts its end
+  // version's snapshot; subsequent batches are per-gap diffs). Without
+  // it a trigger drains to the head in one exact state diff — cheaper
+  // in total I/O (intermediate versions of a key collapse), but one big
+  // transaction; with it, progress lands in version-sized commits, the
+  // mirrorOnce cadence.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val h = head()
+    val sv = start.asInstanceOf[CdcOffset].version
+    maxVersionsPerTrigger match {
+      case Some(n) if h > sv => CdcOffset(math.min(h, sv + n))
+      case _ => CdcOffset(h)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = CdcOffset(head())
 
   override def deserializeOffset(json: String): Offset = {
     val m = java.util.regex.Pattern.compile("\\d+").matcher(json)

@@ -137,6 +137,41 @@ class CdcV2StreamSpec extends SparkSpec {
     assert(got.exists { case (_, k, s) => k == 5L && s == "UP" })
   }
 
+  test("maxVersionsPerTrigger paces the drain one version per batch") {
+    val src = new Catalog(spark, tmpDir("v2rsrc"))
+    val dst = new Catalog(spark, tmpDir("v2rdst"))
+    val ckpt = tmpDir("v2rck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t", (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((5L, "UP")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    VersionedTable.delete(src, "t", col("k") > 18L)
+    val q = spark.readStream.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t").option("keys", "k")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          if (n > 0) {
+            log.add((n, cached.rdd.getNumPartitions,
+              cached.groupBy("op").count().as[(String, Long)].collect().toMap))
+            CdcSource.applyFeed(dst, "m", cached, Seq("k"))
+          }
+        } finally cached.unpersist()
+      }.start()
+    q.awaitTermination()
+    // one batch per version: bootstrap (20 inserts), the upsert's diff
+    // (1 update), the delete's diff (2 deletes)
+    val batches = log.asScala.toSeq
+    assert(batches.map(_._1) == Seq(20L, 1L, 2L),
+      s"paced drain must land version-sized batches, got $batches")
+    assert(snap(dst, "m") == snap(src, "t"))
+  }
+
   test("a vacuumed-away checkpoint version fails loudly") {
     val src = new Catalog(spark, tmpDir("v2vsrc"))
     val dst = new Catalog(spark, tmpDir("v2vdst"))
