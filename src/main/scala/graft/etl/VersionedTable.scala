@@ -1591,6 +1591,24 @@ object VersionedTable {
       Seq((a.map(t => (t._2, t._3)), b.map(t => (t._2, t._3))))
   }
 
+  /** Batch-read plan for the DataSource-V2 `graft` format: version `v`'s
+    * (or the head's) files zone-map-pruned against `pred`, as (absolute
+    * path, byte length) — manifest-only, zero listings or status RPCs
+    * for sized manifests. */
+  private[graft] def batchSlices(tgt: Catalog, table: String, v: Option[Long],
+                                 pred: org.apache.spark.sql.graft.ZonePred.P)
+      : Seq[(String, Long)] = {
+    val ver = v.orElse(currentVersion(tgt, table)).getOrElse(
+      throw new IllegalArgumentException(s"versioned table '$table' not found"))
+    val man = readManifest(tgt, table, ver).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $ver"))
+    lazy val f = fs(tgt, dataDir(tgt, table))
+    man.files.filter(rel => fileAdmits(man, rel, pred)).map { rel =>
+      val abs = new Path(dataDir(tgt, table), rel).toString
+      abs -> man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen)
+    }
+  }
+
   // ------------------------------------------------------------- change feed
 
   /** Change-data-feed between two versions: one row per inserted, deleted,

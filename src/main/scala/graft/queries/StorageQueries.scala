@@ -43,7 +43,7 @@ object StorageQueries {
     "q_matview_cdc_stream", "q_stream_cdc_source", "q_versioned_skipping",
     "q_versioned_recluster", "q_stream_cdc_v2", "q_matview_exactly_once",
     "q_versioned_delete_where", "q_versioned_or_skip",
-    "q_versioned_log_checkpoint")
+    "q_versioned_log_checkpoint", "q_versioned_v2_read")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -659,6 +659,25 @@ object StorageQueries {
         .orderBy("id")
     },
 
+    // F33 the `graft` DataSource-V2 BATCH format: versioned tables via
+    // spark.read.format("graft") with time travel as an option — pushed
+    // filters prune whole files through the zone maps (partition-count
+    // tripwire in-query, over the THIRD predicate walker: the public
+    // sources.Filter algebra) and continue into parquet row-group
+    // skipping. Oracle: the skipping fixture's replay, filtered.
+    "q_versioned_v2_read" -> { (spark, sfDir) =>
+      val tgt = skippingFixture(spark, sfDir)
+      val nFiles = VersionedTable.files(tgt, "t", 3L).size
+      val df = spark.read.format("graft")
+        .option("dir", tgt.dir).option("table", "t")
+        .option("versionAsOf", "3").load()
+        .where(col("o_orderkey") > 600L && col("o_orderkey") <= 900L)
+      require(df.rdd.getNumPartitions < nFiles,
+        "pushed filters must drop whole files from the batch plan")
+      df.select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -931,6 +950,25 @@ object StorageQueries {
         |WHERE (o_orderkey > 100 AND o_orderkey <= 200)
         |   OR (o_orderkey > 1100 AND o_orderkey <= 1200)
         |   OR o_orderstatus IS NULL
+        |ORDER BY id""".stripMargin,
+
+    "q_versioned_v2_read" ->
+      """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 500),
+        |k2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 500 AND o_orderkey <= 1000),
+        |k3 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 1000 AND o_orderkey <= 1400),
+        |state AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id, k1.* FROM k1
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k2.* FROM k2
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1) + (SELECT count(*) FROM k2)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k3.* FROM k3)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
+        |WHERE o_orderkey > 600 AND o_orderkey <= 900
         |ORDER BY id""".stripMargin,
 
     "q_versioned_log_checkpoint" ->

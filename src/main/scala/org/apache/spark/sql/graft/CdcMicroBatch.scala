@@ -70,6 +70,63 @@ object CdcMicroBatch {
   }
 }
 
+/** Plain batch-read machinery for the `graft` DataSource-V2 format: one
+  * partition per file, rows decoded through the same Spark-built parquet
+  * reader closure as the CDC side — with COLUMN PRUNING (requiredSchema)
+  * and PARQUET FILTER PUSHDOWN (the pushed `sources.Filter`s reach
+  * row-group/page skipping inside each file; the zone maps already
+  * skipped whole files at plan time on the driver). */
+object PlainBatchRead {
+
+  final case class FileInputPartition(file: CdcMicroBatch.FileSlice)
+    extends InputPartition
+
+  def readerFactory(spark: SparkSession,
+                    dataSchema: StructType, requiredSchema: StructType,
+                    filters: Seq[org.apache.spark.sql.sources.Filter])
+      : PartitionReaderFactory = {
+    val fmt = new ParquetFileFormat
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = requiredSchema,
+      filters = filters,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    new PlainReaderFactory(readFunc)
+  }
+}
+
+final class PlainReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case PlainBatchRead.FileInputPartition(f) =>
+        new PartitionReader[InternalRow] {
+          private val it = {
+            val pf = PartitionedFile(InternalRow.empty,
+              SparkPath.fromPathString(f.path), 0L, f.length,
+              Array.empty[String], 0L, f.length, Map.empty)
+            readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+              case b: ColumnarBatch => b.rowIterator().asScala
+              case r: InternalRow => Iterator.single(r)
+            }
+          }
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (it.hasNext) { cur = it.next(); true } else false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      case other => throw new IllegalArgumentException(
+        s"unexpected partition type: ${other.getClass}")
+    }
+}
+
 final class CdcReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     dataSchema: StructType,

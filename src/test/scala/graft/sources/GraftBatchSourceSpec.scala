@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+import org.apache.spark.sql.functions._
+
+/** The `graft` DataSource-V2 BATCH format: versioned tables through
+  * `spark.read.format("graft")` with time travel as an option. Contracts:
+  *
+  *   - every version reads back identical to `readVersion` (head when
+  *     `versionAsOf` is absent);
+  *   - pushed filters prune WHOLE FILES driver-side through the zone
+  *     maps (partition count < file count on a selective range) and
+  *     results still match the unpruned read;
+  *   - column pruning works (narrow select, narrow schema);
+  *   - OR and IS NULL shapes prune through the `sources.Filter` walker.
+  */
+class GraftBatchSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def read(cat: Catalog, table: String, v: Option[Long] = None) = {
+    val r = spark.read.format("graft")
+      .option("dir", cat.dir).option("table", table)
+    v.fold(r)(x => r.option("versionAsOf", x.toString)).load()
+  }
+
+  test("versionAsOf reads every version exactly; head is the default") {
+    val tgt = new Catalog(spark, tmpDir("gbs"))
+    VersionedTable.load(tgt, "t", (1L to 50L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", Seq((7L, "UP"), (51L, "NEW")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    VersionedTable.delete(tgt, "t", col("k") <= 3L)
+    (1L to 3L).foreach { v =>
+      val got = read(tgt, "t", Some(v)).collect().map(_.toSeq).toSet
+      val want = VersionedTable.readVersion(tgt, "t", v)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"version $v must match readVersion")
+    }
+    assert(read(tgt, "t").collect().map(_.toSeq).toSet ==
+      VersionedTable.read(tgt, "t").collect().map(_.toSeq).toSet)
+  }
+
+  test("pushed filters skip whole files; parquet pushdown applies inside survivors") {
+    val tgt = new Catalog(spark, tmpDir("gbsf"))
+    def df(lo: Long, hi: Long) = (lo to hi).map(i => (i, s"s$i")).toDF("k", "s")
+    VersionedTable.load(tgt, "t", df(1L, 100L), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", df(101L, 200L), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", df(201L, 300L), idOrder = Seq("k"))
+    val nFiles = VersionedTable.files(tgt, "t", 3L).size
+    assert(nFiles >= 3)
+    val filtered = read(tgt, "t").where(col("k") >= 150L && col("k") <= 160L)
+    assert(filtered.count() == 11L)
+    assert(filtered.rdd.getNumPartitions < nFiles,
+      "the zone maps must drop whole files from the batch plan")
+    // OR shape through the sources.Filter walker
+    val orF = read(tgt, "t").where(col("k") === 5L || col("k") === 250L)
+    assert(orF.count() == 2L)
+    assert(orF.rdd.getNumPartitions < nFiles, "OR must prune by interval union")
+    // row-level correctness against the library read
+    assert(filtered.select("k", "s").collect().map(_.toSeq).toSet ==
+      VersionedTable.readVersion(tgt, "t", 3L)
+        .where(col("k") >= 150L && col("k") <= 160L)
+        .select("k", "s").collect().map(_.toSeq).toSet)
+  }
+
+  test("IS NULL prunes via recorded null counts; column pruning narrows the schema") {
+    val tgt = new Catalog(spark, tmpDir("gbsn"))
+    VersionedTable.load(tgt, "t",
+      (1L to 40L).map(i => (i, java.lang.Long.valueOf(i))).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t",
+      (41L to 50L).map(i => (i, null: java.lang.Long)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    val nFiles = VersionedTable.files(tgt, "t", 2L).size
+    val nulls = read(tgt, "t").where(col("v").isNull)
+    assert(nulls.count() == 10L)
+    assert(nulls.rdd.getNumPartitions < nFiles,
+      "IS NULL must skip the no-null file")
+    // column pruning: a narrow select plans a narrow schema
+    val narrow = read(tgt, "t").select("k")
+    assert(narrow.columns.toSeq == Seq("k"))
+    assert(narrow.as[Long].collect().toSet == (1L to 50L).toSet)
+  }
+}
