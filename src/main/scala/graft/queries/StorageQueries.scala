@@ -43,7 +43,7 @@ object StorageQueries {
     "q_matview_cdc_stream", "q_stream_cdc_source", "q_versioned_skipping",
     "q_versioned_recluster", "q_stream_cdc_v2", "q_matview_exactly_once",
     "q_versioned_delete_where", "q_versioned_or_skip",
-    "q_versioned_log_checkpoint", "q_versioned_v2_read")
+    "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -659,6 +659,22 @@ object StorageQueries {
         .orderBy("id")
     },
 
+    // ST12 bounded BATCH change feed through the same V2 source — the
+    // `table_changes(a, b)` shape: spark.read.format("graft-cdc") with
+    // startingVersion/endingVersion returns the exact (a, b] state diff
+    // through the same manifest planner and partition-local diff readers
+    // as the stream. Oracle: the v2↔v4 full-outer diff (same as
+    // q_change_feed, which pins the library API twin).
+    "q_cdc_batch_read" -> { (spark, sfDir) =>
+      val tgt = versionedFixture(spark, sfDir)
+      spark.read.format("graft-cdc")
+        .option("dir", tgt.dir).option("table", "t")
+        .option("keys", "o_orderkey")
+        .option("startingVersion", "2").option("endingVersion", "4").load()
+        .select("op", "o_orderkey", "id", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
     // F33 the `graft` DataSource-V2 BATCH format: versioned tables via
     // spark.read.format("graft") with time travel as an option — pushed
     // filters prune whole files through the zone maps (partition-count
@@ -951,6 +967,22 @@ object StorageQueries {
         |   OR (o_orderkey > 1100 AND o_orderkey <= 1200)
         |   OR o_orderstatus IS NULL
         |ORDER BY id""".stripMargin,
+
+    "q_cdc_batch_read" ->
+      s"""WITH $versionedStates
+         |SELECT CASE WHEN a.id IS NULL THEN 'insert'
+         |            WHEN b.id IS NULL THEN 'delete'
+         |            ELSE 'update' END AS op,
+         |       coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |       coalesce(b.id, a.id) AS id,
+         |       coalesce(b.o_orderstatus, a.o_orderstatus) AS o_orderstatus,
+         |       coalesce(b.o_totalprice, a.o_totalprice) AS o_totalprice
+         |FROM v2 a FULL OUTER JOIN v4 b ON a.o_orderkey = b.o_orderkey
+         |WHERE a.id IS NULL OR b.id IS NULL
+         |   OR a.id IS DISTINCT FROM b.id
+         |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+         |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+         |ORDER BY o_orderkey""".stripMargin,
 
     "q_versioned_v2_read" ->
       """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -41,8 +41,16 @@ import graft.etl.{Catalog, VersionedTable}
   *
   * vs [[CdcSource.mirrorOnce]]: that drain-loop stays for schedulers
   * that want a library call; this source gets engine triggers
-  * (`AvailableNow`, processing-time), rate control by versions, progress
-  * reporting, and checkpoint interop for free.
+  * (`AvailableNow`, processing-time), rate control by versions
+  * (`maxVersionsPerTrigger`), progress reporting, and checkpoint interop
+  * for free.
+  *
+  * BATCH reads work too (the `table_changes(...)` shape):
+  * `spark.read.format("graft-cdc").option("startingVersion", a)
+  * .option("endingVersion", b)` returns the bounded feed (a, b] through
+  * the same partition planner and readers — `startingVersion` 0 yields
+  * the ending version's snapshot as inserts; `endingVersion` defaults to
+  * the head.
   *
   * Contracts: the schema is FIXED at stream start (the head version's —
   * columns added later need a stream restart to surface; older files
@@ -95,7 +103,8 @@ private[streaming] final class CdcStreamTable(
   override def schema(): StructType = fullSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -110,9 +119,41 @@ private[streaming] final class CdcScan(
 
   override def description(): String = "graft-cdc change feed"
 
+  private def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    .getOrElse(throw new IllegalArgumentException(s"graft-cdc requires option '$k'"))
+
+  private def optNum(k: String): Option[Long] =
+    options.find(_._1.equalsIgnoreCase(k)).map(_._2.toLong)
+
+  /** Bounded batch feed (startingVersion, endingVersion] — the
+    * `table_changes` shape over the same planner/readers as the stream. */
+  override def toBatch: Batch = new Batch {
+    private val spark = SparkSession.active
+    private val cat = new Catalog(spark, opt("dir"))
+    private val table = opt("table")
+    private val sv = optNum("startingVersion").getOrElse(0L)
+    private val ev = optNum("endingVersion").getOrElse(
+      VersionedTable.currentVersion(cat, table).getOrElse(0L))
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      if (sv >= ev) return Array.empty
+      VersionedTable.cdcSlices(cat, table, sv, ev).map { case (old, fresh) =>
+        org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
+          old.map { case (p, l) =>
+            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) },
+          fresh.map { case (p, l) =>
+            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) })
+          : InputPartition
+      }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      org.apache.spark.sql.graft.CdcMicroBatch.readerFactory(spark,
+        StructType(fullSchema.fields.drop(1)),
+        opt("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
-      .getOrElse(throw new IllegalArgumentException(s"graft-cdc requires option '$k'"))
     new CdcMicroBatchStream(
       SparkSession.active,
       dir = opt("dir"),

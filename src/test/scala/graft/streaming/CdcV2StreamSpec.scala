@@ -172,6 +172,29 @@ class CdcV2StreamSpec extends SparkSpec {
     assert(snap(dst, "m") == snap(src, "t"))
   }
 
+  test("batch reads return the bounded feed — the table_changes shape") {
+    val src = new Catalog(spark, tmpDir("v2batch"))
+    VersionedTable.load(src, "t", (1L to 30L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((7L, "UP"), (31L, "NEW")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    VersionedTable.delete(src, "t", col("k") <= 2L)
+    val got = spark.read.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t").option("keys", "k")
+      .option("startingVersion", "1").option("endingVersion", "3").load()
+      .select("op", "k", "s").as[(String, Long, String)].collect().toSet
+    val want = VersionedTable.changes(src, "t", 1L, 3L, Seq("k"))
+      .select("op", "k", "s").as[(String, Long, String)].collect().toSet
+    assert(got == want, "batch feed must equal the library change feed")
+    assert(got.exists(_._1 == "update") && got.exists(_._1 == "delete") &&
+      got.exists(_._1 == "insert"))
+    // startingVersion 0 = snapshot-as-inserts; endingVersion defaults head
+    val snap = spark.read.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t").option("keys", "k").load()
+      .select("op", "k").as[(String, Long)].collect()
+    assert(snap.length == 29 && snap.forall(_._1 == "insert"))
+  }
+
   test("a vacuumed-away checkpoint version fails loudly") {
     val src = new Catalog(spark, tmpDir("v2vsrc"))
     val dst = new Catalog(spark, tmpDir("v2vdst"))
