@@ -43,7 +43,8 @@ object StorageQueries {
     "q_matview_cdc_stream", "q_stream_cdc_source", "q_versioned_skipping",
     "q_versioned_recluster", "q_stream_cdc_v2", "q_matview_exactly_once",
     "q_versioned_delete_where", "q_versioned_or_skip",
-    "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read")
+    "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
+    "q_versioned_v2_write")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -54,7 +55,8 @@ object StorageQueries {
     skippingFixture(spark, sfDir)
     reclusterFixture(spark, sfDir)
     deleteWhereFixture(spark, sfDir)
-    checkpointFixture(spark, sfDir); ()
+    checkpointFixture(spark, sfDir)
+    v2WriteFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -191,6 +193,34 @@ object StorageQueries {
             col("o_orderkey") <= i * 100L),
           idOrder = Seq("o_orderkey"))
       }
+      tgt.dir
+    })
+    new Catalog(spark, dir)
+  }
+
+  /** Fixture for the V2 write query: two df.write.format("graft") saves
+    * (bucketed create, then a keyed upsert), memoized per (JVM, sfDir). */
+  private val v2WriteDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def v2WriteFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = v2WriteDirs.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+      base.where(col("o_orderkey") <= 1000)
+        .write.format("graft").mode("append")
+        .option("dir", tgt.dir).option("table", "t")
+        .option("idOrder", "o_orderkey").option("upsertKeys", "o_orderkey")
+        .option("bucketBy", "o_orderkey").option("numBuckets", "8").save()
+      base.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1500)
+        .withColumn("o_orderstatus", lit("U"))
+        .write.format("graft").mode("append")
+        .option("dir", tgt.dir).option("table", "t")
+        .option("idOrder", "o_orderkey").option("upsertKeys", "o_orderkey").save()
       tgt.dir
     })
     new Catalog(spark, dir)
@@ -694,6 +724,24 @@ object StorageQueries {
         .orderBy("id")
     },
 
+    // F34 the V2 WRITE path: df.write.format("graft") creates and then
+    // keyed-upserts a bucketed versioned table — two saves, two
+    // manifest commits, ids continuing, layout recorded — then the head
+    // reads back through the same format. Oracle replays the two-save
+    // merge. SQL-first tooling gets the full loader semantics without a
+    // graft import on either side.
+    "q_versioned_v2_write" -> { (spark, sfDir) =>
+      val tgt = v2WriteFixture(spark, sfDir)
+      require(VersionedTable.versions(tgt, "t") == Seq(1L, 2L),
+        "each save must land as one versioned commit")
+      require(VersionedTable.bucketSpec(tgt, "t").contains((Seq("o_orderkey"), 8)),
+        "the option-declared bucket layout must be recorded")
+      spark.read.format("graft")
+        .option("dir", tgt.dir).option("table", "t").load()
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -983,6 +1031,24 @@ object StorageQueries {
          |   OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
          |   OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
          |ORDER BY o_orderkey""".stripMargin,
+
+    "q_versioned_v2_write" ->
+      """WITH w1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 1000),
+        |     w2 AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500),
+        |     s1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, w1.* FROM w1),
+        |     upd AS (SELECT s1.id, s1.o_orderkey,
+        |                    coalesce(w2.o_orderstatus, s1.o_orderstatus) AS o_orderstatus,
+        |                    coalesce(w2.o_totalprice, s1.o_totalprice) AS o_totalprice
+        |             FROM s1 LEFT JOIN w2 USING (o_orderkey)),
+        |     fresh AS (SELECT (SELECT max(id) FROM s1)
+        |                      + row_number() OVER (ORDER BY w2.o_orderkey) AS id,
+        |                      w2.* FROM w2 LEFT JOIN s1 USING (o_orderkey)
+        |               WHERE s1.id IS NULL)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice
+        |FROM (SELECT * FROM upd UNION ALL SELECT * FROM fresh)
+        |ORDER BY id""".stripMargin,
 
     "q_versioned_v2_read" ->
       """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

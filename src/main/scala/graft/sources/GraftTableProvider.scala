@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -38,6 +39,26 @@ import graft.etl.{Catalog, VersionedTable}
   * filter on top (all filters are reported unhandled), so pruning can
   * only skip, never change results.
   *
+  * WRITES work through the same format (the V1Write fallback — the
+  * driver-side insert path JDBC-V2 uses, correct here because a
+  * versioned commit IS a driver-coordinated manifest CAS):
+  *
+  * {{{
+  *   df.write.format("graft").mode("append")
+  *     .option("dir", catalogDir).option("table", "orders")
+  *     .option("idOrder", "o_orderkey")        // optional
+  *     .option("upsertKeys", "o_orderkey")     // optional → keyed upsert
+  *     .option("bucketBy", "o_orderkey").option("numBuckets", "8") // opt.
+  *     .save()
+  * }}}
+  *
+  * Each save() is ONE versioned commit with all the layer's semantics —
+  * surrogate ids continue, upserts are bucket-scoped on a bucketed
+  * layout, concurrent writers serialize through the manifest CAS.
+  * `mode("overwrite")` is intentionally unsupported (no capability):
+  * replacement is a modeled operation in this layer — use delete +
+  * append, or rollback — not a silent table drop.
+  *
   * The library-API equivalents remain [[VersionedTable.readVersion]] /
   * `readWhere` (whose Catalyst `ZoneMapFileIndex` already prunes native
   * scans); this format exists so SQL-first tooling reaches versioned
@@ -47,7 +68,10 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes to a NOT-YET-EXISTING table must work (the first save creates
+  // version 1), so the provider accepts the incoming frame's schema from
+  // Spark instead of requiring an inferable table
+  override def supportsExternalMetadata(): Boolean = true
 
   private def required(options: CaseInsensitiveStringMap, key: String): String = {
     val v = options.get(key)
@@ -60,7 +84,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     val cat = new Catalog(spark, required(options, "dir"))
     val table = required(options, "table")
     val v = Option(options.get("versionAsOf")).map(_.toLong)
-    v.fold(VersionedTable.read(cat, table))(
+    if (v.isEmpty && VersionedTable.currentVersion(cat, table).isEmpty)
+      // a first WRITE creates the table — there is nothing to infer yet;
+      // the write takes the incoming frame's schema (ACCEPT_ANY_SCHEMA)
+      // and a READ of a missing table fails with a clear error at plan
+      // time instead
+      StructType(Nil)
+    else v.fold(VersionedTable.read(cat, table))(
       VersionedTable.readVersion(cat, table, _)).schema
   }
 
@@ -71,7 +101,7 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
 private[sources] final class GraftBatchTable(
     dataSchema: StructType, options: Map[String, String])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graft:${options.getOrElse("dir", "?")}/${options.getOrElse("table", "?")}" +
@@ -80,10 +110,43 @@ private[sources] final class GraftBatchTable(
   override def schema(): StructType = dataSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dataSchema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              "graft writes are versioned commits; use delete + append or " +
+                "rollback instead of overwrite")
+            def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+            val cat = new Catalog(data.sparkSession, opt("dir").getOrElse(
+              throw new IllegalArgumentException("graft format requires option 'dir'")))
+            val table = opt("table").getOrElse(
+              throw new IllegalArgumentException("graft format requires option 'table'"))
+            require(opt("versionAsOf").isEmpty,
+              "cannot write AT a version — writes always commit a new head")
+            val csv = (k: String) => opt(k).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            VersionedTable.load(cat, table, data,
+              upsertFields = csv("upsertKeys"),
+              idOrder = csv("idOrder"),
+              bucketBy = csv("bucketBy") match {
+                case Nil => None
+                case cols => Some((cols, opt("numBuckets").map(_.toInt).getOrElse(
+                  throw new IllegalArgumentException(
+                    "bucketBy requires option 'numBuckets'"))))
+              })
+            ()
+          }
+      }
+    }
 }
 
 private[sources] final class GraftScanBuilder(

@@ -64,6 +64,40 @@ class GraftBatchSourceSpec extends SparkSpec {
         .select("k", "s").collect().map(_.toSeq).toSet)
   }
 
+  test("df.write.format(graft) commits versions: create, append, keyed upsert") {
+    val tgt = new Catalog(spark, tmpDir("gbw"))
+    def write(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
+      .mode("append").option("dir", tgt.dir).option("table", "t")
+      .option("idOrder", "k").option("upsertKeys", "k")
+    // first save CREATES the table as v1 (schema from the frame)
+    write((1L to 20L).map(i => (i, s"v$i")).toDF("k", "s")).save()
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L))
+    // second save upserts (update + insert) as v2; ids continue
+    write(Seq((7L, "UP"), (21L, "NEW")).toDF("k", "s")).save()
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L, 2L))
+    val head = VersionedTable.read(tgt, "t")
+    assert(head.count() == 21L)
+    assert(head.where(col("k") === 7L).select("s").as[String].head() == "UP")
+    assert(head.agg(max("id")).head().getLong(0) == 21L, "ids continue")
+    // round trip: format read sees the format write
+    val rt = read(tgt, "t").select("k", "s").collect().map(_.toSeq).toSet
+    assert(rt == head.select("k", "s").collect().map(_.toSeq).toSet)
+    // overwrite mode is refused (replacement is a modeled operation)
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("k", "s").write.format("graft").mode("overwrite")
+        .option("dir", tgt.dir).option("table", "t").save()
+    }
+    assert(VersionedTable.read(tgt, "t").count() == 21L,
+      s"a refused overwrite must not touch the table ($e)")
+    // bucketed create through options: layout recorded, scoped upserts on
+    val tgt2 = new Catalog(spark, tmpDir("gbw2"))
+    (1L to 32L).map(i => (i, s"v$i")).toDF("k", "s").write.format("graft")
+      .mode("append").option("dir", tgt2.dir).option("table", "b")
+      .option("idOrder", "k").option("upsertKeys", "k")
+      .option("bucketBy", "k").option("numBuckets", "4").save()
+    assert(VersionedTable.bucketSpec(tgt2, "b").contains((Seq("k"), 4)))
+  }
+
   test("IS NULL prunes via recorded null counts; column pruning narrows the schema") {
     val tgt = new Catalog(spark, tmpDir("gbsn"))
     VersionedTable.load(tgt, "t",
