@@ -14,8 +14,12 @@ import graft.etl.{Catalog, Loader, MaterializedAgg, VersionedTable}
   * once and resumes where it left off after a restart.
   *
   * The design maps Structured Streaming's source contract onto the
-  * manifest log without a custom DataSource V2 (none is needed — the
-  * version log IS the offset log):
+  * manifest log (the version log IS the offset log). Since round 10 the
+  * REAL engine-managed variant exists too — `spark.readStream
+  * .format("graft-cdc")` ([[CdcStreamProvider]]) with checkpoints,
+  * triggers and version-paced rate control; this object remains the
+  * library-call surface for schedulers that drain without a streaming
+  * query, and supplies the shared applyFeed/watermark machinery:
   *
   *   - OFFSET   = the table version (monotone, atomic per commit);
   *   - BATCH    = [[VersionedTable.changes]] between two consecutive

@@ -116,6 +116,31 @@ class VersionedPropsSpec extends SparkSpec {
         .select("op", "k", "id", "v").as[(String, Long, Long, Long)]
         .collect().toSet
       assert(fb == ff, s"change feed diverged across layouts (seed=$seed)")
+
+      // the DataSource-V2 surfaces are just views over the same state:
+      // the `graft` format equals readVersion at head AND at a time
+      // travel point, and the `graft-cdc` bounded batch feed equals the
+      // library change feed — on BOTH layouts
+      Seq(bt, ft).foreach { c =>
+        val h = VersionedTable.currentVersion(c, "t").get
+        def fmt(v: Option[Long]) = {
+          val r = spark.read.format("graft")
+            .option("dir", c.dir).option("table", "t")
+          v.fold(r)(x => r.option("versionAsOf", x.toString)).load()
+            .select("id", "k", "v").as[(Long, Long, Long)].collect().toSet
+        }
+        assert(fmt(None) == snap(c, h), s"graft format head diverged (seed=$seed)")
+        assert(fmt(Some(2L)) == snap(c, 2L),
+          s"graft format versionAsOf diverged (seed=$seed)")
+        val batchFeed = spark.read.format("graft-cdc")
+          .option("dir", c.dir).option("table", "t").option("keys", "k")
+          .option("startingVersion", "1")
+          .option("endingVersion", preCompact.toString).load()
+          .select("op", "k", "id", "v").as[(String, Long, Long, Long)]
+          .collect().toSet
+        assert(batchFeed == fb,
+          s"graft-cdc batch feed diverged from changes() (seed=$seed)")
+      }
     }
   }
 }
