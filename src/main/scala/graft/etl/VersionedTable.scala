@@ -318,6 +318,24 @@ object VersionedTable {
   def currentVersion(tgt: Catalog, table: String): Option[Long] =
     versions(tgt, table).lastOption
 
+  /** TIMESTAMP time travel: the newest version whose manifest was
+    * committed at or before `tsMillis` (manifest file modification time
+    * — the same resolution rule Delta applies). One status RPC per
+    * RETAINED version (vacuum-bounded); versions probe newest-first so
+    * the common "recent timestamp" case stops after a few. Throws when
+    * every retained commit is newer than the asked instant (the state at
+    * that time was either empty or vacuumed away — both unanswerable). */
+  def versionAt(tgt: Catalog, table: String, tsMillis: Long): Long = {
+    val vs = versions(tgt, table)
+    require(vs.nonEmpty, s"versioned table '$table' not found")
+    val f = fs(tgt, metaDir(tgt, table))
+    vs.reverse.find(v =>
+      f.getFileStatus(manifestPath(tgt, table, v)).getModificationTime <= tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table '$table' has no version committed at or before $tsMillis " +
+          "(state was empty, or vacuumed away)"))
+  }
+
   /** File list of a version's manifest (absolute paths). */
   private def manifestFiles(tgt: Catalog, table: String, v: Long): Seq[String] =
     readManifest(tgt, table, v)

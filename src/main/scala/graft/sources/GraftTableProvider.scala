@@ -28,7 +28,9 @@ import graft.etl.{Catalog, VersionedTable}
   *     .load()
   * }}}
   *
-  * Time travel is an OPTION, not an API call; column pruning and filter
+  * Time travel is an OPTION, not an API call (`versionAsOf` by number,
+  * or `timestampAsOf` as epoch millis / ISO-8601 UTC — resolved by
+  * manifest commit time, the Delta rule); column pruning and filter
   * pushdown are first-class: pushed filters prune WHOLE FILES on the
   * driver through the manifest zone maps / null counts (the same
   * `fileAdmits` one-sided logic as every other read path — this is the
@@ -83,7 +85,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val cat = new Catalog(spark, required(options, "dir"))
     val table = required(options, "table")
-    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val v = GraftTableProvider.resolveVersion(cat, table,
+      Option(options.get("versionAsOf")), Option(options.get("timestampAsOf")))
     if (v.isEmpty && VersionedTable.currentVersion(cat, table).isEmpty)
       // a first WRITE creates the table — there is nothing to infer yet;
       // the write takes the incoming frame's schema (ACCEPT_ANY_SCHEMA)
@@ -186,7 +189,9 @@ private[sources] final class GraftBatch(
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val cat = new Catalog(spark, opt("dir"))
-    val v = options.find(_._1.equalsIgnoreCase("versionAsOf")).map(_._2.toLong)
+    def o(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    val v = GraftTableProvider.resolveVersion(cat, opt("table"),
+      o("versionAsOf"), o("timestampAsOf"))
     val pred = ZonePred.And(pushed.toSeq.map(GraftTableProvider.filterPred))
     VersionedTable.batchSlices(cat, opt("table"), v, pred).map { case (p, l) =>
       PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
@@ -200,6 +205,27 @@ private[sources] final class GraftBatch(
 }
 
 object GraftTableProvider {
+
+  /** Resolve the time-travel options to a concrete version: `versionAsOf`
+    * wins alone, `timestampAsOf` (epoch millis, or ISO-8601 parsed as
+    * UTC — the project-wide session contract) resolves by manifest
+    * commit time; both together are rejected. */
+  private[sources] def resolveVersion(cat: Catalog, table: String,
+                                      versionAsOf: Option[String],
+                                      timestampAsOf: Option[String]): Option[Long] = {
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    versionAsOf.map(_.toLong).orElse(timestampAsOf.map { t =>
+      val millis = scala.util.Try(t.trim.toLong).getOrElse {
+        val txt = t.trim.replace(' ', 'T')
+        val ldt =
+          if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
+          else java.time.LocalDateTime.parse(txt)
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      VersionedTable.versionAt(cat, table, millis)
+    })
+  }
 
   /** The third predicate walker: Spark's public `sources.Filter` algebra
     * (what DSv2 pushes to scans) into the neutral [[ZonePred]] tree —

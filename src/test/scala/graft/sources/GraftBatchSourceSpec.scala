@@ -64,6 +64,38 @@ class GraftBatchSourceSpec extends SparkSpec {
         .select("k", "s").collect().map(_.toSeq).toSet)
   }
 
+  test("timestampAsOf resolves versions by manifest commit time") {
+    val tgt = new Catalog(spark, tmpDir("gbts"))
+    VersionedTable.load(tgt, "t", Seq((1L, "a")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", Seq((2L, "b")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.load(tgt, "t", Seq((3L, "c")).toDF("k", "s"), idOrder = Seq("k"))
+    // pin deterministic commit times: v1@t=100000, v2@t=200000, v3@t=300000
+    val md = new java.io.File(s"${tgt.dirPath("t")}.__vmeta")
+    (1 to 3).foreach { v =>
+      assert(new java.io.File(md, s"v$v.manifest.json")
+        .setLastModified(v * 100000L))
+    }
+    def at(ts: String) = spark.read.format("graft")
+      .option("dir", tgt.dir).option("table", "t")
+      .option("timestampAsOf", ts).load().count()
+    assert(at("250000") == 2L, "midpoint resolves to the older commit")
+    assert(at("300000") == 3L, "exact commit time is inclusive")
+    assert(at("999999") == 3L, "future timestamps read the head")
+    // ISO form (UTC): far future → head
+    assert(at("2099-01-01") == 3L)
+    // before every retained commit: unanswerable, loud
+    val e = intercept[Exception] { at("50000") }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no version committed")), msgs(e))
+    // mutually exclusive with versionAsOf
+    intercept[Exception] {
+      spark.read.format("graft").option("dir", tgt.dir).option("table", "t")
+        .option("versionAsOf", "1").option("timestampAsOf", "250000").load()
+        .count()
+    }
+  }
+
   test("df.write.format(graft) commits versions: create, append, keyed upsert") {
     val tgt = new Catalog(spark, tmpDir("gbw"))
     def write(df: org.apache.spark.sql.DataFrame) = df.write.format("graft")
