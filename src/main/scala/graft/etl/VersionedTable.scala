@@ -1443,6 +1443,32 @@ object VersionedTable {
     }
   }
 
+  /** DESCRIBE HISTORY: one row per retained version, from PURE METADATA
+    * (manifests + their commit mtimes — no data I/O): version,
+    * committed_at, n_files, total_bytes, total_rows, max_id, bucketed.
+    * total_bytes/total_rows are null when any of the version's files
+    * predates size/row recording (older writers) — absent, not wrong.
+    * Driver-side tiny frame, vacuum-bounded. The audit surface a lake
+    * operator reads before rollback/vacuum decisions. */
+  def history(tgt: Catalog, table: String): DataFrame = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val rows = versions(tgt, table).map { v =>
+      val man = readManifest(tgt, table, v).get
+      val ts = new java.sql.Timestamp(
+        f.getFileStatus(manifestPath(tgt, table, v)).getModificationTime)
+      def total(m: Map[String, Long]): Option[Long] =
+        if (man.files.forall(m.contains)) Some(man.files.map(m).sum) else None
+      (v, ts, man.files.size,
+        total(man.sizes).map(java.lang.Long.valueOf).orNull,
+        total(man.rows).map(java.lang.Long.valueOf).orNull,
+        man.maxId.map(java.lang.Long.valueOf).orNull,
+        man.bucket.isDefined)
+    }
+    import tgt.spark.implicits._
+    rows.toDF("version", "committed_at", "n_files", "total_bytes",
+      "total_rows", "max_id", "bucketed")
+  }
+
   /** The shared explicit-file-list read (NTZ normalization included). */
   private def readFileList(tgt: Catalog, absFiles: Seq[String]): DataFrame = {
     tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -44,7 +44,7 @@ object StorageQueries {
     "q_versioned_recluster", "q_stream_cdc_v2", "q_matview_exactly_once",
     "q_versioned_delete_where", "q_versioned_or_skip",
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
-    "q_versioned_v2_write")
+    "q_versioned_v2_write", "q_versioned_history")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -742,6 +742,20 @@ object StorageQueries {
         .orderBy("id")
     },
 
+    // F35 DESCRIBE HISTORY from pure metadata: one row per retained
+    // version of the 14-commit fixture, with EXACT row counts summed
+    // from the manifests' per-file counts (zero data I/O — the same
+    // counts the null-check pruner uses). The oracle recomputes each
+    // version's cumulative row count from the slices.
+    "q_versioned_history" -> { (spark, sfDir) =>
+      val tgt = checkpointFixture(spark, sfDir)
+      val h = VersionedTable.history(tgt, "t")
+      require(h.where(col("total_rows").isNull).isEmpty,
+        "every commit must carry metadata row counts")
+      h.select(col("version"), col("total_rows"))
+        .orderBy("version")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1068,6 +1082,13 @@ object StorageQueries {
         |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
         |WHERE o_orderkey > 600 AND o_orderkey <= 900
         |ORDER BY id""".stripMargin,
+
+    "q_versioned_history" ->
+      """SELECT CAST(i AS BIGINT) AS version,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderkey > 0 AND o_orderkey <= i * 100) AS total_rows
+        |FROM generate_series(1, 14) t(i)
+        |ORDER BY version""".stripMargin,
 
     "q_versioned_log_checkpoint" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
