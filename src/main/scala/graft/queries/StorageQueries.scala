@@ -44,7 +44,7 @@ object StorageQueries {
     "q_versioned_recluster", "q_stream_cdc_v2", "q_matview_exactly_once",
     "q_versioned_delete_where", "q_versioned_or_skip",
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
-    "q_versioned_v2_write", "q_versioned_history")
+    "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -224,6 +224,32 @@ object StorageQueries {
       tgt.dir
     })
     new Catalog(spark, dir)
+  }
+
+  /** Fixture for the SQL-catalog query: a pure-SQL pipeline (CTAS +
+    * INSERT) against a GraftCatalog registered per (JVM, sfDir) — the
+    * catalog name encodes the sfDir because Spark caches catalog
+    * instances by name. */
+  private val sqlCatNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlCatalogFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlCatNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gfix${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlcat").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.t AS " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800")
+      spark.sql(s"INSERT INTO $name.default.t " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
+      name
+    })
   }
 
   /** The DuckDB replay of each version's state (CTE names v1..v4). */
@@ -756,6 +782,21 @@ object StorageQueries {
         .orderBy("version")
     },
 
+    // F36 the SQL CATALOG surface: versioned tables managed in pure SQL
+    // via a registered GraftCatalog — CTAS (create v1 + append v2),
+    // INSERT (v3), head SELECT and VERSION AS OF time travel, no graft
+    // API anywhere in the pipeline. Oracle replays both states.
+    "q_versioned_sql_catalog" -> { (spark, sfDir) =>
+      val name = sqlCatalogFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT 'head' AS state, o_orderkey, o_totalprice
+        FROM $name.default.t
+        UNION ALL
+        SELECT 'v2' AS state, o_orderkey, o_totalprice
+        FROM $name.default.t VERSION AS OF 2
+        ORDER BY state, o_orderkey""")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1063,6 +1104,14 @@ object StorageQueries {
         |SELECT id, o_orderkey, o_orderstatus, o_totalprice
         |FROM (SELECT * FROM upd UNION ALL SELECT * FROM fresh)
         |ORDER BY id""".stripMargin,
+
+    "q_versioned_sql_catalog" ->
+      """SELECT 'head' AS state, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1200
+        |UNION ALL
+        |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 800
+        |ORDER BY state, o_orderkey""".stripMargin,
 
     "q_versioned_v2_read" ->
       """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.{Catalog, VersionedTable}
+
+/** Versioned tables as a Spark CATALOG — the pure-SQL management surface
+  * (how the big table formats register):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.g.dir", "/data/warehouse")
+  *
+  *   CREATE TABLE g.default.events (k BIGINT, s STRING)
+  *   INSERT INTO g.default.events VALUES (1, 'a')          -- one version
+  *   SELECT * FROM g.default.events                        -- head
+  *   SELECT * FROM g.default.events VERSION AS OF 3        -- time travel
+  *   SELECT * FROM g.default.events TIMESTAMP AS OF '...'  -- by commit time
+  *   CREATE TABLE g.default.copy AS SELECT ...             -- CTAS
+  *   SHOW TABLES IN g.default / DROP TABLE g.default.events
+  * }}}
+  *
+  * One flat namespace (`default`) over one graft [[Catalog]] directory;
+  * every identifier maps to a versioned table under it. Reads route
+  * through [[GraftBatchTable]] (zone-map file pruning, column pruning,
+  * parquet pushdown); writes route through the same V1Write commit path
+  * (`INSERT INTO` = one versioned commit; concurrent inserts serialize
+  * through the manifest CAS). `CREATE TABLE` commits version 1 as one
+  * empty schema-bearing file, so the table's schema exists from birth.
+  * Rename and ALTER are refused: schema evolution in this layer happens
+  * through loads (`ensure` widening), which keeps every version
+  * self-describing.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var dir: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    dir = options.get("dir")
+    require(dir != null && dir.nonEmpty,
+      s"catalog '$name' requires spark.sql.catalog.$name.dir")
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def cat: Catalog = new Catalog(SparkSession.active, dir)
+
+  private def tableName(ident: Identifier): String = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("default")),
+      s"graft catalogs are single-namespace; got ${ident.namespace.mkString(".")}")
+    ident.name
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val c = cat
+    val p = new Path(dir)
+    val fs = p.getFileSystem(c.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".__vmeta"))
+      .map(_.stripSuffix(".__vmeta"))
+      .sorted
+      .map(n => Identifier.of(Array("default"), n))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    VersionedTable.currentVersion(cat, tableName(ident)).isDefined
+
+  private def graftTable(ident: Identifier, extra: Map[String, String]): Table = {
+    val t = tableName(ident)
+    val c = cat
+    if (VersionedTable.currentVersion(c, t).isEmpty)
+      throw new NoSuchTableException(ident.asInstanceOf[Identifier])
+    val opts = Map("dir" -> dir, "table" -> t) ++ extra
+    // the SQL surface hides the loader's surrogate id column: SELECT *
+    // shows the user's columns, and INSERT arity/names align against
+    // them (ids keep being stamped by the loader underneath). The
+    // path-based format (spark.read.format("graft")) still exposes id.
+    val schema = StructType(extra.get("versionAsOf").map(_.toLong)
+      .fold(VersionedTable.read(c, t))(VersionedTable.readVersion(c, t, _))
+      .schema.fields.filterNot(_.name == "id"))
+    new GraftBatchTable(schema, opts, acceptAnySchema = false)
+  }
+
+  override def loadTable(ident: Identifier): Table = graftTable(ident, Map.empty)
+
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    graftTable(ident, Map("versionAsOf" -> version.toLong.toString))
+
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val v = VersionedTable.versionAt(cat, tableName(ident),
+      Math.floorDiv(timestampMicros, 1000L))
+    graftTable(ident, Map("versionAsOf" -> v.toString))
+  }
+
+  override def createTable(ident: Identifier, columns: Array[V2Column],
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables take no PARTITIONED BY — use the bucketBy write option " +
+        "(hash layout) or recluster (sort layout) instead")
+    val t = tableName(ident)
+    val c = cat
+    if (VersionedTable.currentVersion(c, t).isDefined)
+      throw new TableAlreadyExistsException(ident.asInstanceOf[Identifier])
+    val schema = StructType(columns.map(col =>
+      StructField(col.name, col.dataType, col.nullable)))
+    // version 1 = one empty schema-bearing file: the table exists, reads
+    // are empty, the first INSERT is version 2
+    val empty = c.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    VersionedTable.load(c, t, empty)
+    new GraftBatchTable(schema, Map("dir" -> dir, "table" -> t),
+      acceptAnySchema = false)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft schema evolution happens through loads (ensure widening), " +
+        "so every version stays self-describing — ALTER TABLE is not modeled")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val t = tableName(ident)
+    val c = cat
+    if (VersionedTable.currentVersion(c, t).isEmpty) false
+    else {
+      val fs = new Path(dir)
+        .getFileSystem(c.spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(s"${c.dirPath(t)}.__vdata"), true)
+      fs.delete(new Path(s"${c.dirPath(t)}.__vmeta"), true)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "renaming would invalidate clones' absolute file references; " +
+        "clone to the new name and drop the old table instead")
+}

@@ -99,11 +99,16 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new GraftBatchTable(schema, properties.asScala.toMap)
+    // the PATH-based format keeps ACCEPT_ANY_SCHEMA: a first save() has
+    // no table to validate against (the catalog surface, which always
+    // knows its schema, turns validation ON — GraftCatalog)
+    new GraftBatchTable(schema, properties.asScala.toMap,
+      acceptAnySchema = true)
 }
 
 private[sources] final class GraftBatchTable(
-    dataSchema: StructType, options: Map[String, String])
+    dataSchema: StructType, options: Map[String, String],
+    acceptAnySchema: Boolean = true)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
@@ -112,10 +117,12 @@ private[sources] final class GraftBatchTable(
 
   override def schema(): StructType = dataSchema
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dataSchema, options)

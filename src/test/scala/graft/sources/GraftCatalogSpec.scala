@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+import org.apache.spark.sql.functions._
+
+/** The graft TableCatalog: versioned tables managed in PURE SQL —
+  * CREATE / INSERT / SELECT (head, VERSION AS OF, TIMESTAMP AS OF) /
+  * CTAS / SHOW TABLES / DROP, every INSERT one versioned commit. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("gcat")
+  spark.conf.set("spark.sql.catalog.gq", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gq.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  test("CREATE TABLE + INSERT INTO commit versions; SELECT reads the head") {
+    spark.sql("CREATE TABLE gq.default.ev (k BIGINT, s STRING)")
+    assert(VersionedTable.versions(lib, "ev") == Seq(1L), "create = v1 (empty)")
+    assert(spark.sql("SELECT * FROM gq.default.ev").count() == 0L)
+    spark.sql("INSERT INTO gq.default.ev VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gq.default.ev VALUES (3, 'c')")
+    assert(VersionedTable.versions(lib, "ev") == Seq(1L, 2L, 3L),
+      "each INSERT is one versioned commit")
+    assert(spark.sql("SELECT k, s FROM gq.default.ev ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // duplicate CREATE fails; IF NOT EXISTS doesn't
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gq.default.ev (k BIGINT)")
+    }
+    spark.sql("CREATE TABLE IF NOT EXISTS gq.default.ev (k BIGINT)")
+  }
+
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    spark.sql("CREATE TABLE gq.default.tt (k BIGINT)")
+    spark.sql("INSERT INTO gq.default.tt VALUES (1)")
+    spark.sql("INSERT INTO gq.default.tt VALUES (2)")
+    assert(spark.sql("SELECT k FROM gq.default.tt VERSION AS OF 2")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(spark.sql("SELECT count(*) FROM gq.default.tt VERSION AS OF 1")
+      .head().getLong(0) == 0L)
+    // pin manifest commit times, then resolve by timestamp
+    val md = new java.io.File(s"$warehouse/tt.__vmeta")
+    (1 to 3).foreach { v =>
+      assert(new java.io.File(md, s"v$v.manifest.json")
+        .setLastModified(v * 1000000L))
+    }
+    val t2 = "1970-01-01 00:41:40" // 2500 s = between v2 (2000s) and v3 (3000s)
+    assert(spark.sql(
+      s"SELECT k FROM gq.default.tt TIMESTAMP AS OF '$t2'")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("CTAS, SHOW TABLES and DROP TABLE") {
+    spark.range(5).select(col("id").as("n"))
+      .createOrReplaceTempView("gcat_src")
+    spark.sql("CREATE TABLE gq.default.ctas AS SELECT n FROM gcat_src")
+    assert(spark.sql("SELECT sum(n) FROM gq.default.ctas").head().getLong(0) == 10L)
+    assert(VersionedTable.currentVersion(lib, "ctas").exists(_ >= 1L))
+    val shown = spark.sql("SHOW TABLES IN gq.default")
+      .select("tableName").as[String].collect().toSet
+    assert(shown.contains("ctas"), s"SHOW TABLES must list it: $shown")
+    spark.sql("DROP TABLE gq.default.ctas")
+    assert(VersionedTable.currentVersion(lib, "ctas").isEmpty)
+    intercept[Exception] { spark.sql("SELECT * FROM gq.default.ctas").collect() }
+    // ALTER and RENAME are refused by design
+    spark.sql("CREATE TABLE gq.default.fixed (k BIGINT)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gq.default.fixed ADD COLUMN z BIGINT")
+    }
+  }
+}
