@@ -70,7 +70,12 @@ object FsAtomicCommit extends ManifestCommit {
   def untrustScheme(scheme: String): Unit = trusted.remove(scheme.toLowerCase)
 
   def putIfAbsent(fs: FileSystem, finalPath: Path, bytes: Array[Byte]): Boolean = {
-    val scheme = Option(fs.getScheme).map(_.toLowerCase).getOrElse("")
+    // Try, not Option: the base FileSystem.getScheme THROWS
+    // UnsupportedOperationException for connectors that never override it —
+    // such a store must fall into the gate's explanatory rejection below,
+    // not die with an opaque "Not implemented"
+    val scheme = scala.util.Try(fs.getScheme).toOption
+      .map(_.toLowerCase).getOrElse("")
     if (!SafeSchemes.contains(scheme) && !trusted.contains(scheme))
       throw new IllegalStateException(
         s"FsAtomicCommit cannot guarantee atomic create-or-fail on scheme " +
@@ -88,7 +93,7 @@ object FsAtomicCommit extends ManifestCommit {
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val won =
-      if (fs.getScheme == "file") {
+      if (scheme == "file") {
         try {
           java.nio.file.Files.createLink(
             java.nio.file.Paths.get(finalPath.toUri.getPath),
@@ -108,7 +113,7 @@ object FsAtomicCommit extends ManifestCommit {
         throw new java.io.IOException(
           s"manifest commit rename failed (not a version conflict): $finalPath")
       }
-    if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
+    if (scheme == "file" || !won) fs.delete(tmp, false)
     won
   }
 }

@@ -69,7 +69,7 @@ object MaterializedAgg {
     * groups it reached and SKIPS their deltas instead of double-counting
     * them into sums. Written only by the stamped maintenance paths
     * ([[CdcSource.maintainView]]); plain refreshes leave it untouched. */
-  private[etl] val StampCol = "__applied_v"
+  private[graft] val StampCol = "__applied_v"
 
   /** The per-batch (and first-full) aggregation, producing state columns. */
   private def aggregate(df: DataFrame, groupBy: Seq[String],

@@ -1365,15 +1365,28 @@ object VersionedTable {
     // register with the source so ITS vacuum protects the shared files;
     // written after the clone commit (a crashed clone leaves no marker —
     // nothing to protect; a crash between commit and marker loses
-    // protection for this clone only, same as the pre-guard behavior)
-    val f = fs(src, metaDir(src, srcTable))
-    val marker = new Path(metaDir(src, srcTable),
-      s"clone-${java.util.UUID.randomUUID()}.json")
-    val out = f.create(marker, false)
-    try out.write(mapper.writeValueAsBytes {
-      val o = mapper.createObjectNode()
-      o.put("dir", dst.dir); o.put("table", dstTable); o
-    }) finally out.close()
+    // protection for this clone only, same as the pre-guard behavior).
+    // BEST-EFFORT like writePointer: the clone is already durably
+    // committed above, so an IOException here must not fail the call —
+    // a retry would hit "clone target already exists" while the clone
+    // stayed unprotected. Warn and return the committed version instead.
+    try {
+      val f = fs(src, metaDir(src, srcTable))
+      val marker = new Path(metaDir(src, srcTable),
+        s"clone-${java.util.UUID.randomUUID()}.json")
+      val out = f.create(marker, false)
+      try out.write(mapper.writeValueAsBytes {
+        val o = mapper.createObjectNode()
+        o.put("dir", dst.dir); o.put("table", dstTable); o
+      }) finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(
+          s"[graft] WARNING: clone '$dstTable' committed but its protection " +
+            s"marker write on source '$srcTable' failed (${e.getMessage}); " +
+            "the source's vacuum will NOT protect the shared files — " +
+            "re-register by re-creating the marker or vacuum with care")
+    }
     committed
   }
 
@@ -1762,6 +1775,35 @@ object VersionedTable {
     * file store — after this, time travel reaches only the retained
     * versions.
     */
+  /** LIVE clones registered against this table (see [[cloneTable]]): each
+    * `clone-*.json` marker in the meta dir names a clone table; a marker
+    * whose clone no longer exists (dropped) is EXPIRED here as a side
+    * effect. Returns (catalog dir, table name) pairs — the liveness
+    * check every destructive operation on the source (vacuum, SQL DROP)
+    * consults before touching files a clone may still reference.
+    * O(markers), driver-side JSON only. */
+  def liveClones(tgt: Catalog, table: String): Seq[(String, String)] = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val md = new Path(metaDir(tgt, table))
+    if (!f.exists(md)) Nil
+    else f.listStatus(md).toSeq
+      .filter(st => st.getPath.getName.startsWith("clone-") &&
+        st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        val (cDir, cTable) = {
+          val in = f.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val o = mapper.readTree(txt)
+          (o.get("dir").asText(), o.get("table").asText())
+        }
+        if (versions(new Catalog(tgt.spark, cDir), cTable).isEmpty) {
+          f.delete(st.getPath, false) // clone dropped: marker expires
+          Nil
+        } else Seq((cDir, cTable))
+      }
+  }
+
   def vacuum(tgt: Catalog, table: String, keepLast: Int,
              ignoreClones: Boolean = false): Int = {
     require(keepLast >= 1, "must keep at least the current version")
@@ -1774,25 +1816,12 @@ object VersionedTable {
     // O(markers × clone manifests), all driver-side JSON
     val cloneReferenced: Set[String] =
       if (ignoreClones) Set.empty
-      else f.listStatus(new Path(metaDir(tgt, table))).toSeq
-        .filter(st => st.getPath.getName.startsWith("clone-") &&
-          st.getPath.getName.endsWith(".json"))
-        .flatMap { st =>
-          val (cDir, cTable) = {
-            val in = f.open(st.getPath)
-            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            val o = mapper.readTree(txt)
-            (o.get("dir").asText(), o.get("table").asText())
-          }
-          val cCat = new Catalog(tgt.spark, cDir)
-          val live = versions(cCat, cTable)
-          if (live.isEmpty) {
-            f.delete(st.getPath, false) // clone dropped: marker expires
-            Nil
-          } else live.flatMap(v => manifestFiles(cCat, cTable, v))
-            .map(p => new Path(p).toUri.getPath)
-        }.toSet
+      else liveClones(tgt, table).flatMap { case (cDir, cTable) =>
+        val cCat = new Catalog(tgt.spark, cDir)
+        versions(cCat, cTable)
+          .flatMap(v => manifestFiles(cCat, cTable, v))
+          .map(p => new Path(p).toUri.getPath)
+      }.toSet
     val referenced: Set[String] =
       keep.flatMap(v => manifestFiles(tgt, table, v))
         .map(r => new Path(r).toUri.getPath).toSet ++ cloneReferenced

@@ -116,6 +116,16 @@ class GraftCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "graft tables take no PARTITIONED BY — use the bucketBy write option " +
         "(hash layout) or recluster (sort layout) instead")
+    // `id` is the loader's RESERVED surrogate-key column: the load path
+    // restamps it and the SQL surface hides it, so a user column of that
+    // name would have its data silently destroyed — refuse at CREATE time
+    // with the rename guidance instead
+    columns.find(_.name.equalsIgnoreCase(graft.etl.Loader.IdCol)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '${c.name}' is reserved: graft tables stamp their own " +
+          "surrogate 'id' column (hidden from the SQL surface) and a load " +
+          "would silently overwrite yours — rename the column (e.g. " +
+          s"'${tableName(ident)}_id')"))
     val t = tableName(ident)
     val c = cat
     if (VersionedTable.currentVersion(c, t).isDefined)
@@ -136,17 +146,42 @@ class GraftCatalog extends TableCatalog {
       "graft schema evolution happens through loads (ensure widening), " +
         "so every version stays self-describing — ALTER TABLE is not modeled")
 
+  /** CLONE-SAFE drop: a zero-copy clone references this table's data
+    * files by absolute path, so deleting them would strand every live
+    * clone (the same liveness check [[VersionedTable.vacuum]] runs;
+    * dead clones' markers expire inside it). `DROP TABLE ... PURGE`
+    * ([[purgeTable]]) is the force escape. */
   override def dropTable(ident: Identifier): Boolean = {
     val t = tableName(ident)
     val c = cat
     if (VersionedTable.currentVersion(c, t).isEmpty) false
     else {
-      val fs = new Path(dir)
-        .getFileSystem(c.spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(s"${c.dirPath(t)}.__vdata"), true)
-      fs.delete(new Path(s"${c.dirPath(t)}.__vmeta"), true)
-      true
+      val clones = VersionedTable.liveClones(c, t)
+      if (clones.nonEmpty)
+        throw new IllegalStateException(
+          s"cannot drop '$t': live clone(s) still reference its data files — " +
+            clones.map { case (d, n) => s"$n (in $d)" }.mkString(", ") +
+            ". Drop the clone(s) first, or force with DROP TABLE ... PURGE")
+      reallyDrop(c, t)
     }
+  }
+
+  /** `DROP TABLE ... PURGE` — the force escape past the live-clone guard
+    * (the clones' reads will fail afterwards; that is what PURGE asks
+    * for). */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val t = tableName(ident)
+    val c = cat
+    if (VersionedTable.currentVersion(c, t).isEmpty) false
+    else reallyDrop(c, t)
+  }
+
+  private def reallyDrop(c: Catalog, t: String): Boolean = {
+    val fs = new Path(dir)
+      .getFileSystem(c.spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"${c.dirPath(t)}.__vdata"), true)
+    fs.delete(new Path(s"${c.dirPath(t)}.__vmeta"), true)
+    true
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

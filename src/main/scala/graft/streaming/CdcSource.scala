@@ -162,7 +162,13 @@ object CdcSource {
     * version and find each already-stamped group's deltas SKIPPED while
     * the unreached groups catch up. The watermark file is then purely a
     * fast-forward hint, not a correctness boundary (pinned by
-    * MatviewExactlyOnceSpec's crash-injection cases).
+    * MatviewExactlyOnceSpec's crash-injection cases). The one shape the
+    * stamps alone cannot disambiguate — watermark LOST while the versions
+    * the view's stamps point into were VACUUMED away (bootstrap would
+    * fold the earliest retained snapshot onto pre-snapshot state) — is
+    * detected at bootstrap (any stamp < the earliest retained version)
+    * and answered by REBUILDING the view from that snapshot, which
+    * reconverges exactly rather than double-counting.
     */
   def maintainView(src: Catalog, table: String, keys: Seq[String],
                    viewTgt: Catalog, view: String,
@@ -177,6 +183,32 @@ object CdcSource {
       aggs.forall(a => Set("sum", "count", "avg")(a.func))
     if (wm == 0L) {
       val v0 = vs.head
+      // RE-BASE GUARD: watermark 0 with an already-populated view means
+      // the watermark file was lost (or the checkpoint moved). The
+      // per-group stamps make a replay of versions >= v0 a no-op, but a
+      // group stamped BEFORE v0 (its later versions vacuumed away) would
+      // have the v0 snapshot additively folded ON TOP of state that
+      // already counts part of it — double-counting sums. Detect that
+      // shape (any stamp < v0, or an unstamped legacy view) and REBUILD
+      // from the snapshot instead: the snapshot at the earliest retained
+      // version is the table's full state, so view := agg(snapshot) then
+      // replaying the retained feeds reconverges exactly.
+      val needsRebase = viewTgt.resolve(view).isDefined && {
+        val cur = viewTgt.table(view)
+        !cur.columns.contains(MaterializedAgg.StampCol) || {
+          val r = cur.agg(min(col(MaterializedAgg.StampCol))).head()
+          r.isNullAt(0) || r.getLong(0) < v0
+        }
+      }
+      if (needsRebase) {
+        System.err.println(
+          s"[graft] view '$view': watermark lost with pre-v$v0 state in the " +
+            "view — rebuilding from the earliest retained snapshot to avoid " +
+            "double-counting")
+        val vp = new Path(viewTgt.dirPath(view))
+        vp.getFileSystem(viewTgt.spark.sparkContext.hadoopConfiguration)
+          .delete(vp, true)
+      }
       MaterializedAgg.refresh(viewTgt, view,
         project(VersionedTable.readVersion(src, table, v0)), groupBy, aggs,
         sourceVersion = Some(v0))

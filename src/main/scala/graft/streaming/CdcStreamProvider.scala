@@ -211,7 +211,20 @@ private[streaming] final class CdcMicroBatchStream(
     val h = head()
     val sv = start.asInstanceOf[CdcOffset].version
     maxVersionsPerTrigger match {
-      case Some(n) if h > sv => CdcOffset(math.min(h, sv + n))
+      case Some(n) if h > sv =>
+        val capped = math.min(h, sv + n)
+        // BOOTSTRAP CLAMP: a fresh stream's first batch (sv = 0) reads the
+        // END version's snapshot, so its end must be a RETAINED version —
+        // min(head, n) may have been vacuumed away on a long-lived table,
+        // and planInputPartitions would then fail the stream before it
+        // ever bootstraps (without rate control the bootstrap reads the
+        // head snapshot and never hits this). Clamping to the earliest
+        // retained version is exact: the snapshot at that version IS the
+        // table's full state, nothing inside the vacuumed prefix is lost.
+        if (sv == 0L)
+          CdcOffset(math.max(capped,
+            VersionedTable.versions(cat, table).headOption.getOrElse(capped)))
+        else CdcOffset(capped)
       case _ => CdcOffset(h)
     }
   }

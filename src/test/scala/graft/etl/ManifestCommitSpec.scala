@@ -111,6 +111,27 @@ class ManifestCommitSpec extends SparkSpec {
       "{}".getBytes("UTF-8")))
   }
 
+  test("a connector without getScheme falls into the gate's curated rejection") {
+    // Hadoop's base FileSystem.getScheme THROWS UnsupportedOperationException
+    // for connectors that never override it — such a store must get the
+    // gate's explanatory message (unknown rename semantics), not an opaque
+    // "Not implemented"
+    class NoSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String =
+        throw new UnsupportedOperationException("Not implemented by NoSchemeFs")
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new NoSchemeFs
+    fs.setConf(conf)
+    fs.initialize(new java.net.URI("file:///"), conf)
+    val p = new org.apache.hadoop.fs.Path(tmpDir("no-scheme"), "v1.manifest.json")
+    val err = intercept[IllegalStateException] {
+      FsAtomicCommit.putIfAbsent(fs, p, "{}".getBytes("UTF-8"))
+    }
+    assert(err.getMessage.contains("ConditionalPutCommit"),
+      "the rejection must still point at the object-store protocol")
+  }
+
   test("delete matching nothing commits a metadata-only version") {
     val tgt = freshCat()
     VersionedTable.load(tgt, "t", Seq((1L, "a"), (2L, "b")).toDF("k", "s"),

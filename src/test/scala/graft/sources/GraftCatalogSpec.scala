@@ -71,4 +71,42 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE gq.default.fixed ADD COLUMN z BIGINT")
     }
   }
+
+  test("CREATE TABLE rejects the reserved surrogate-id column name") {
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE gq.default.badid (id BIGINT, s STRING)")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("reserved")),
+      s"expected the reserved-column refusal, got: ${messages(err)}")
+    assert(VersionedTable.currentVersion(lib, "badid").isEmpty,
+      "a rejected CREATE must leave nothing behind")
+  }
+
+  test("DROP TABLE refuses while a live clone references the table; PURGE forces") {
+    spark.sql("CREATE TABLE gq.default.clsrc (k BIGINT)")
+    spark.sql("INSERT INTO gq.default.clsrc VALUES (1), (2)")
+    VersionedTable.cloneTable(lib, "clsrc", lib, "clcopy", 2L)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // guarded: the drop names the clone and leaves both tables intact
+    val err = intercept[Exception] { spark.sql("DROP TABLE gq.default.clsrc") }
+    assert(messages(err).exists(m => m.contains("clcopy") && m.contains("PURGE")),
+      s"expected the clone guard naming the clone, got: ${messages(err)}")
+    assert(VersionedTable.read(lib, "clcopy").count() == 2L,
+      "the clone must still read after the refused drop")
+    // after dropping the clone, the source drop succeeds (marker expired)
+    spark.sql("DROP TABLE gq.default.clcopy")
+    spark.sql("DROP TABLE gq.default.clsrc")
+    assert(VersionedTable.currentVersion(lib, "clsrc").isEmpty)
+    // PURGE is the force escape: drops even with a live clone
+    spark.sql("CREATE TABLE gq.default.psrc (k BIGINT)")
+    spark.sql("INSERT INTO gq.default.psrc VALUES (7)")
+    VersionedTable.cloneTable(lib, "psrc", lib, "pcopy", 2L)
+    spark.sql("DROP TABLE gq.default.psrc PURGE")
+    assert(VersionedTable.currentVersion(lib, "psrc").isEmpty,
+      "PURGE must bypass the clone guard")
+    spark.sql("DROP TABLE gq.default.pcopy PURGE")
+  }
 }

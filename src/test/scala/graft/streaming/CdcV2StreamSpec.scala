@@ -216,4 +216,43 @@ class CdcV2StreamSpec extends SparkSpec {
     assert(messages(err).exists(_.contains("vacuumed away")),
       s"expected the vacuumed-watermark refusal, got: ${messages(err)}")
   }
+
+  test("rate-limited bootstrap clamps to the earliest retained version") {
+    // a FRESH stream with maxVersionsPerTrigger=1 on a table whose early
+    // versions were vacuumed: the uncapped first batch would target v1
+    // (gone) and the stream could never bootstrap — the clamp raises the
+    // bootstrap end to the earliest retained version, whose snapshot is
+    // the table's exact full state at that point
+    val src = new Catalog(spark, tmpDir("v2csrc"))
+    val dst = new Catalog(spark, tmpDir("v2cdst"))
+    val ckpt = tmpDir("v2cck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    (1 to 4).foreach { i =>
+      VersionedTable.load(src, "t", Seq((i.toLong, s"v$i")).toDF("k", "s"),
+        idOrder = Seq("k"))
+    }
+    VersionedTable.vacuum(src, "t", keepLast = 2) // retained = [v3, v4]
+    val q = spark.readStream.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t").option("keys", "k")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          if (n > 0) {
+            log.add((n, cached.rdd.getNumPartitions,
+              cached.groupBy("op").count().as[(String, Long)].collect().toMap))
+            CdcSource.applyFeed(dst, "m", cached, Seq("k"))
+          }
+        } finally cached.unpersist()
+      }.start()
+    q.awaitTermination()
+    // bootstrap = the v3 snapshot (3 inserts), then v4's diff (1 insert)
+    val batches = log.asScala.toSeq
+    assert(batches.map(_._1) == Seq(3L, 1L),
+      s"clamped bootstrap then per-version pacing, got $batches")
+    assert(snap(dst, "m") == snap(src, "t"))
+  }
 }

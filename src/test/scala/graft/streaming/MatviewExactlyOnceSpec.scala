@@ -119,4 +119,32 @@ class MatviewExactlyOnceSpec extends SparkSpec {
     assert(viewRows(tgt) == want,
       "a replayed bootstrap must not double the sums")
   }
+
+  test("watermark loss plus vacuum re-bases the bootstrap instead of double-counting") {
+    // CRASH SHAPE 4: the view's stamps point into versions that were
+    // VACUUMED away and the watermark file is gone — the bootstrap's
+    // snapshot refresh would additively fold the earliest retained
+    // snapshot onto state that already counts part of it. The re-base
+    // guard detects stamps < the earliest retained version and rebuilds
+    // the view from the snapshot, which reconverges exactly.
+    val src = new Catalog(spark, tmpDir("xd"))
+    VersionedTable.load(src, "t", baseRows(30L), idOrder = Seq("k"))
+    VersionedTable.load(src, "t",
+      baseRows(30L).where(col("k") <= 10L).withColumn("v", col("v") * 100L),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val tgt = new Catalog(spark, tmpDir("xdt"))
+    val ckpt = tmpDir("xdck")
+    CdcSource.maintainView(src, "t", Seq("k"), tgt, "v", gb, aggs, ckpt)
+    VersionedTable.delete(src, "t", col("k") > 25L)   // v3
+    VersionedTable.vacuum(src, "t", keepLast = 1)     // only v3 retained
+    val wm = new org.apache.hadoop.fs.Path(ckpt, "version-watermark")
+    wm.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wm, false)
+    CdcSource.maintainView(src, "t", Seq("k"), tgt, "v", gb, aggs, ckpt)
+    val want = VersionedTable.read(src, "t").groupBy("grp")
+      .agg(count(lit(1)).cast("long"), sum("v").cast("long"),
+        min("v").cast("long"))
+      .orderBy("grp").as[(String, Long, Long, Long)].collect().toSeq
+    assert(viewRows(tgt) == want,
+      "re-based bootstrap must equal a fresh recompute of the snapshot")
+  }
 }
