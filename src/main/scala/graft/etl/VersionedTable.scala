@@ -218,6 +218,25 @@ object VersionedTable {
       bucket, files, stats, longMap("sizes"), nulls, longMap("rows"), props)
   }
 
+  /** Manifest prop carrying the commit wall-clock (epoch millis), stamped
+    * at CAS time — `TIMESTAMP AS OF` resolves against THIS, not file
+    * mtime, so a backup/restore or directory copy (which scrambles
+    * mtimes) cannot silently re-time history. Mtime remains the fallback
+    * for manifests committed by older writers. */
+  private[graft] val CommitTsProp = "commit_ts_ms"
+
+  /** Manifest prop recording the table's upsert/CDC key columns
+    * (comma-separated) — written by every keyed load, so CDC consumers
+    * (`graft-cdc`) can default their `keys` from the table itself
+    * instead of every caller re-declaring (and possibly typo-ing) them. */
+  private[graft] val UpsertKeysProp = "upsert_keys"
+
+  /** Test seam: the wall clock commits stamp into [[CommitTsProp]] —
+    * thread-locally scoped without inheritance (same discipline as
+    * [[commitProtocol]]) so specs can pin deterministic commit times. */
+  private[graft] val commitClock =
+    new ThreadLocalDynamic[() => Long](() => System.currentTimeMillis())
+
   private def manifestPath(tgt: Catalog, table: String, v: Long): Path =
     new Path(metaDir(tgt, table), s"v$v.manifest.json")
 
@@ -318,23 +337,44 @@ object VersionedTable {
   def currentVersion(tgt: Catalog, table: String): Option[Long] =
     versions(tgt, table).lastOption
 
-  /** TIMESTAMP time travel: the newest version whose manifest was
-    * committed at or before `tsMillis` (manifest file modification time
-    * — the same resolution rule Delta applies). One status RPC per
-    * RETAINED version (vacuum-bounded); versions probe newest-first so
-    * the common "recent timestamp" case stops after a few. Throws when
-    * every retained commit is newer than the asked instant (the state at
-    * that time was either empty or vacuumed away — both unanswerable). */
+  /** When version `v`'s manifest was committed: the manifest-recorded
+    * wall clock ([[CommitTsProp]] — survives backup/restore and dir
+    * copies), falling back to file mtime for manifests from older
+    * writers. */
+  private def committedAtMillis(tgt: Catalog, table: String, v: Long): Long =
+    readManifest(tgt, table, v)
+      .flatMap(_.props.get(CommitTsProp))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(fs(tgt, metaDir(tgt, table))
+        .getFileStatus(manifestPath(tgt, table, v)).getModificationTime)
+
+  /** TIMESTAMP time travel: the newest version committed at or before
+    * `tsMillis` — resolved by the manifest-RECORDED commit time
+    * ([[CommitTsProp]]; Delta keeps the analogous timestamp in the
+    * commit itself), with file mtime as the legacy fallback. One
+    * manifest read per probed version (vacuum-bounded); versions probe
+    * newest-first so the common "recent timestamp" case stops after a
+    * few. Throws when every retained commit is newer than the asked
+    * instant (the state at that time was either empty or vacuumed away —
+    * both unanswerable). */
   def versionAt(tgt: Catalog, table: String, tsMillis: Long): Long = {
     val vs = versions(tgt, table)
     require(vs.nonEmpty, s"versioned table '$table' not found")
-    val f = fs(tgt, metaDir(tgt, table))
-    vs.reverse.find(v =>
-      f.getFileStatus(manifestPath(tgt, table, v)).getModificationTime <= tsMillis)
+    vs.reverse.find(v => committedAtMillis(tgt, table, v) <= tsMillis)
       .getOrElse(throw new IllegalArgumentException(
         s"table '$table' has no version committed at or before $tsMillis " +
           "(state was empty, or vacuumed away)"))
   }
+
+  /** The upsert/CDC key columns the table's head manifest records
+    * ([[UpsertKeysProp]] — written by every keyed load and carried
+    * forward by appends). None for a table never keyed-loaded. */
+  def recordedUpsertKeys(tgt: Catalog, table: String): Option[Seq[String]] =
+    currentVersion(tgt, table)
+      .flatMap(v => readManifest(tgt, table, v))
+      .flatMap(_.props.get(UpsertKeysProp))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
 
   /** File list of a version's manifest (absolute paths). */
   private def manifestFiles(tgt: Catalog, table: String, v: Long): Seq[String] =
@@ -377,7 +417,13 @@ object VersionedTable {
   /** Attempt to commit a manifest — the optimistic-concurrency CAS.
     * False when ANOTHER writer committed this version first (the caller
     * re-reads the head and retries its merge). */
-  private def tryCommitManifest(tgt: Catalog, table: String, m: Manifest): Boolean = {
+  private def tryCommitManifest(tgt: Catalog, table: String, m0: Manifest): Boolean = {
+    // stamp the commit wall-clock INTO the manifest (see [[CommitTsProp]]):
+    // one place, so every commit path — load, delete, rollback, compact,
+    // recluster, clone — carries its own time and TIMESTAMP AS OF
+    // survives mtime-scrambling copies
+    val m = m0.copy(props =
+      m0.props + (CommitTsProp -> commitClock.value().toString))
     val f = fs(tgt, metaDir(tgt, table))
     f.mkdirs(new Path(metaDir(tgt, table)))
     val won = commitProtocol.value.putIfAbsent(f,
@@ -973,9 +1019,15 @@ object VersionedTable {
     preCommitHook.value()
     if (tryCommitManifest(tgt, table,
       { val fm = manifestMeta(tgt, table, headMan, carryRel, newParts, out.schema)
+        // a keyed load RECORDS its keys ([[UpsertKeysProp]]); appends
+        // carry the recorded keys forward untouched, a keyed load with
+        // different keys overwrites (latest declaration wins)
+        val props0 = headMan.fold(Map.empty[String, String])(_.props)
+        val props = if (upsertFields.nonEmpty)
+          props0 + (UpsertKeysProp -> upsertFields.mkString(","))
+        else props0
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
-          fm.stats, fm.sizes, fm.nulls, fm.rows,
-          headMan.fold(Map.empty[String, String])(_.props)) }))
+          fm.stats, fm.sizes, fm.nulls, fm.rows, props) }))
       Some(newV)
     else {
       // lost the race: the staged batch references a superseded head —
@@ -1467,8 +1519,12 @@ object VersionedTable {
     val f = fs(tgt, metaDir(tgt, table))
     val rows = versions(tgt, table).map { v =>
       val man = readManifest(tgt, table, v).get
-      val ts = new java.sql.Timestamp(
-        f.getFileStatus(manifestPath(tgt, table, v)).getModificationTime)
+      // manifest-recorded commit time first (survives mtime-scrambling
+      // copies), mtime for legacy manifests — same rule as versionAt
+      val ts = new java.sql.Timestamp(man.props.get(CommitTsProp)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(
+          f.getFileStatus(manifestPath(tgt, table, v)).getModificationTime))
       def total(m: Map[String, Long]): Option[Long] =
         if (man.files.forall(m.contains)) Some(man.files.map(m).sum) else None
       (v, ts, man.files.size,

@@ -605,9 +605,10 @@ object StorageQueries {
       val vt = versionedFixture(spark, sfDir)
       val dst = tmpCat(spark)
       val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcv2").toString
+      // NO `keys` option: the fixture's v3 keyed upsert recorded
+      // o_orderkey in the manifest, and the source defaults from it
       val q = spark.readStream.format("graft-cdc")
-        .option("dir", vt.dir).option("table", "t")
-        .option("keys", "o_orderkey").load()
+        .option("dir", vt.dir).option("table", "t").load()
         .writeStream.option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (df: DataFrame, _: Long) =>
@@ -723,9 +724,9 @@ object StorageQueries {
     // q_change_feed, which pins the library API twin).
     "q_cdc_batch_read" -> { (spark, sfDir) =>
       val tgt = versionedFixture(spark, sfDir)
+      // `keys` omitted — defaulted from the manifest-recorded upsert keys
       spark.read.format("graft-cdc")
         .option("dir", tgt.dir).option("table", "t")
-        .option("keys", "o_orderkey")
         .option("startingVersion", "2").option("endingVersion", "4").load()
         .select("op", "o_orderkey", "id", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")

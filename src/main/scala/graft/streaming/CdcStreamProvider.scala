@@ -22,8 +22,9 @@ import graft.etl.{Catalog, VersionedTable}
   *   spark.readStream.format("graft-cdc")
   *     .option("dir", catalogDir)   // the graft Catalog directory
   *     .option("table", "orders")   // versioned table name
-  *     .option("keys", "o_orderkey")// CDC key columns, comma-separated
-  *     .load()                      // op STRING + the table's columns
+  *     .option("keys", "o_orderkey")// optional — defaults to the table's
+  *     .load()                      //   manifest-recorded upsert keys;
+  *                                  // op STRING + the table's columns
   * }}}
   *
   * The manifest log IS the offset log: offset = table version, batch
@@ -125,6 +126,34 @@ private[streaming] final class CdcScan(
   private def optNum(k: String): Option[Long] =
     options.find(_._1.equalsIgnoreCase(k)).map(_._2.toLong)
 
+  /** CDC key columns: the explicit `keys` option when given, else the
+    * table's manifest-RECORDED upsert keys (written by every keyed load)
+    * — so feed consumers don't re-declare (and possibly typo) what the
+    * table already knows. An explicit option that DISAGREES with the
+    * recorded keys wins but warns: classifying on a non-key column turns
+    * every update into an insert+delete pair. */
+  private def resolveKeys(cat: graft.etl.Catalog, table: String): Seq[String] = {
+    val explicit = options.find(_._1.equalsIgnoreCase("keys"))
+      .map(_._2.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val recorded = VersionedTable.recordedUpsertKeys(cat, table)
+    (explicit, recorded) match {
+      case (Some(e), Some(r)) =>
+        if (e.map(_.toLowerCase).toSet != r.map(_.toLowerCase).toSet)
+          System.err.println(
+            s"[graft] WARNING: graft-cdc 'keys' option (${e.mkString(",")}) " +
+              s"differs from table '$table''s recorded upsert keys " +
+              s"(${r.mkString(",")}) — using the explicit option; a non-key " +
+              "column here makes every update read as an insert+delete pair")
+        e
+      case (Some(e), None) => e
+      case (None, Some(r)) => r
+      case (None, None) => throw new IllegalArgumentException(
+        s"graft-cdc requires option 'keys': table '$table' records no " +
+          "upsert keys to default from (it was never keyed-loaded)")
+    }
+  }
+
   /** Bounded batch feed (startingVersion, endingVersion] — the
     * `table_changes` shape over the same planner/readers as the stream. */
   override def toBatch: Batch = new Batch {
@@ -150,7 +179,7 @@ private[streaming] final class CdcScan(
     override def createReaderFactory(): PartitionReaderFactory =
       org.apache.spark.sql.graft.CdcMicroBatch.readerFactory(spark,
         StructType(fullSchema.fields.drop(1)),
-        opt("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        resolveKeys(cat, table))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -158,7 +187,8 @@ private[streaming] final class CdcScan(
       SparkSession.active,
       dir = opt("dir"),
       table = opt("table"),
-      keys = opt("keys").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      keys = resolveKeys(
+        new Catalog(SparkSession.active, opt("dir")), opt("table")),
       dataSchema = StructType(fullSchema.fields.drop(1)), // minus op
       maxVersionsPerTrigger = options
         .find(_._1.equalsIgnoreCase("maxVersionsPerTrigger"))

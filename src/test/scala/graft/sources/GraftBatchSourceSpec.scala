@@ -66,14 +66,21 @@ class GraftBatchSourceSpec extends SparkSpec {
 
   test("timestampAsOf resolves versions by manifest commit time") {
     val tgt = new Catalog(spark, tmpDir("gbts"))
-    VersionedTable.load(tgt, "t", Seq((1L, "a")).toDF("k", "s"), idOrder = Seq("k"))
-    VersionedTable.load(tgt, "t", Seq((2L, "b")).toDF("k", "s"), idOrder = Seq("k"))
-    VersionedTable.load(tgt, "t", Seq((3L, "c")).toDF("k", "s"), idOrder = Seq("k"))
-    // pin deterministic commit times: v1@t=100000, v2@t=200000, v3@t=300000
+    // pin deterministic commit times THROUGH the recorded clock:
+    // v1@t=100000, v2@t=200000, v3@t=300000 — and then SCRAMBLE the file
+    // mtimes, proving resolution reads the manifest-recorded time (a
+    // backup/restore or dir copy must not silently re-time history)
+    (1 to 3).foreach { v =>
+      VersionedTable.commitClock.withValue(() => v * 100000L) {
+        VersionedTable.load(tgt, "t",
+          Seq((v.toLong, ('a' + v - 1).toChar.toString)).toDF("k", "s"),
+          idOrder = Seq("k"))
+      }
+    }
     val md = new java.io.File(s"${tgt.dirPath("t")}.__vmeta")
     (1 to 3).foreach { v =>
       assert(new java.io.File(md, s"v$v.manifest.json")
-        .setLastModified(v * 100000L))
+        .setLastModified((4 - v) * 77777L)) // mtimes reversed + wrong
     }
     def at(ts: String) = spark.read.format("graft")
       .option("dir", tgt.dir).option("table", "t")

@@ -34,18 +34,27 @@ class GraftCatalogSpec extends SparkSpec {
   }
 
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
-    spark.sql("CREATE TABLE gq.default.tt (k BIGINT)")
-    spark.sql("INSERT INTO gq.default.tt VALUES (1)")
-    spark.sql("INSERT INTO gq.default.tt VALUES (2)")
+    // pin manifest-recorded commit times through the clock seam:
+    // v1@1000s, v2@2000s, v3@3000s (SQL commands commit on this thread)
+    VersionedTable.commitClock.withValue(() => 1000000L) {
+      spark.sql("CREATE TABLE gq.default.tt (k BIGINT)")
+    }
+    VersionedTable.commitClock.withValue(() => 2000000L) {
+      spark.sql("INSERT INTO gq.default.tt VALUES (1)")
+    }
+    VersionedTable.commitClock.withValue(() => 3000000L) {
+      spark.sql("INSERT INTO gq.default.tt VALUES (2)")
+    }
     assert(spark.sql("SELECT k FROM gq.default.tt VERSION AS OF 2")
       .as[Long].collect().toSeq == Seq(1L))
     assert(spark.sql("SELECT count(*) FROM gq.default.tt VERSION AS OF 1")
       .head().getLong(0) == 0L)
-    // pin manifest commit times, then resolve by timestamp
+    // scramble the file mtimes: TIMESTAMP AS OF must read the RECORDED
+    // commit times, not what a copy/restore happened to leave on disk
     val md = new java.io.File(s"$warehouse/tt.__vmeta")
     (1 to 3).foreach { v =>
       assert(new java.io.File(md, s"v$v.manifest.json")
-        .setLastModified(v * 1000000L))
+        .setLastModified((4 - v) * 999L))
     }
     val t2 = "1970-01-01 00:41:40" // 2500 s = between v2 (2000s) and v3 (3000s)
     assert(spark.sql(

@@ -217,6 +217,32 @@ class CdcV2StreamSpec extends SparkSpec {
       s"expected the vacuumed-watermark refusal, got: ${messages(err)}")
   }
 
+  test("keys defaults from the manifest-recorded upsert keys") {
+    val src = new Catalog(spark, tmpDir("v2ksrc"))
+    VersionedTable.load(src, "t", (1L to 5L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    // never keyed-loaded → no recorded keys → omitting the option is loud
+    def feed() = spark.read.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t").load()
+    val err = intercept[Exception] { feed().collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("records no upsert keys")),
+      s"expected the no-recorded-keys refusal, got: ${messages(err)}")
+    // a keyed load records its keys; the option can now be omitted
+    VersionedTable.load(src, "t", Seq((3L, "UP")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    assert(VersionedTable.recordedUpsertKeys(src, "t").contains(Seq("k")))
+    val got = feed().select("op", "k").as[(String, Long)].collect().toSet
+    assert(got == (1L to 5L).map(i => ("insert", i)).toSet,
+      "snapshot feed classified with the defaulted keys")
+    // an append CARRIES the recorded keys forward
+    VersionedTable.load(src, "t", Seq((6L, "v6")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    assert(VersionedTable.recordedUpsertKeys(src, "t").contains(Seq("k")),
+      "appends must not lose the recorded keys")
+  }
+
   test("rate-limited bootstrap clamps to the earliest retained version") {
     // a FRESH stream with maxVersionsPerTrigger=1 on a table whose early
     // versions were vacuumed: the uncapped first batch would target v1
