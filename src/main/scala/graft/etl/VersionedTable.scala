@@ -369,6 +369,14 @@ object VersionedTable {
   /** The upsert/CDC key columns the table's head manifest records
     * ([[UpsertKeysProp]] — written by every keyed load and carried
     * forward by appends). None for a table never keyed-loaded. */
+  /** The head manifest's props map (empty for a missing table) — the
+    * commit-carried metadata surface: recorded upsert keys, commit
+    * times, streaming-sink epoch stamps, clone provenance. */
+  def tableProps(tgt: Catalog, table: String): Map[String, String] =
+    currentVersion(tgt, table)
+      .flatMap(v => readManifest(tgt, table, v))
+      .map(_.props).getOrElse(Map.empty)
+
   def recordedUpsertKeys(tgt: Catalog, table: String): Option[Seq[String]] =
     currentVersion(tgt, table)
       .flatMap(v => readManifest(tgt, table, v))
@@ -899,7 +907,8 @@ object VersionedTable {
   def load(tgt: Catalog, table: String, incoming0: DataFrame,
            upsertFields: Seq[String] = Nil, idOrder: Seq[String] = Nil,
            ensure: Boolean = true, safe: Boolean = false,
-           bucketBy: Option[(Seq[String], Int)] = None): Long = {
+           bucketBy: Option[(Seq[String], Int)] = None,
+           extraProps: Map[String, String] = Map.empty): Long = {
     val incoming = if (incoming0.columns.contains(Loader.IdCol))
       incoming0.drop(Loader.IdCol) else incoming0
     // optimistic concurrency: merge against the observed head, stage the
@@ -909,14 +918,18 @@ object VersionedTable {
     // survive as consecutive versions.
     commitWithRetry(table, "load")(() =>
       loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe,
-        bucketBy))
+        bucketBy, extraProps))
   }
 
-  /** One optimistic attempt; None = lost the manifest CAS. */
+  /** One optimistic attempt; None = lost the manifest CAS. `extraProps`
+    * ride the committed manifest's props map ATOMICALLY with the data —
+    * the hook idempotent writers (the streaming sink's epoch stamp) hang
+    * their dedup state on. */
   private def loadAttempt(tgt: Catalog, table: String, incoming: DataFrame,
                           upsertFields: Seq[String], idOrder: Seq[String],
                           ensure: Boolean, safe: Boolean,
-                          bucketBy: Option[(Seq[String], Int)]): Option[Long] = {
+                          bucketBy: Option[(Seq[String], Int)],
+                          extraProps: Map[String, String]): Option[Long] = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     val headMan = cur.flatMap(v => readManifest(tgt, table, v))
@@ -1023,9 +1036,9 @@ object VersionedTable {
         // carry the recorded keys forward untouched, a keyed load with
         // different keys overwrites (latest declaration wins)
         val props0 = headMan.fold(Map.empty[String, String])(_.props)
-        val props = if (upsertFields.nonEmpty)
+        val props = (if (upsertFields.nonEmpty)
           props0 + (UpsertKeysProp -> upsertFields.mkString(","))
-        else props0
+        else props0) ++ extraProps
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
           fm.stats, fm.sizes, fm.nulls, fm.rows, props) }))
       Some(newV)

@@ -44,7 +44,8 @@ object StorageQueries {
     "q_versioned_recluster", "q_stream_cdc_v2", "q_matview_exactly_once",
     "q_versioned_delete_where", "q_versioned_or_skip",
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
-    "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog")
+    "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
+    "q_stream_sink_v2")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -56,7 +57,8 @@ object StorageQueries {
     reclusterFixture(spark, sfDir)
     deleteWhereFixture(spark, sfDir)
     checkpointFixture(spark, sfDir)
-    v2WriteFixture(spark, sfDir); ()
+    v2WriteFixture(spark, sfDir)
+    streamSinkFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -221,6 +223,57 @@ object StorageQueries {
         .write.format("graft").mode("append")
         .option("dir", tgt.dir).option("table", "t")
         .option("idOrder", "o_orderkey").option("upsertKeys", "o_orderkey").save()
+      tgt.dir
+    })
+    new Catalog(spark, dir)
+  }
+
+  /** Fixture for the NATIVE STREAMING SINK query (ST13): the same
+    * two-batch upsert shape as [[v2WriteFixture]], delivered through
+    * `writeStream.format("graft")` as two MemoryStream epochs — then a
+    * CRASH REPLAY is injected (the engine's commit record for the last
+    * epoch deleted, stream restarted) to prove the epoch-stamped sink
+    * skips re-delivery instead of committing a duplicate version. */
+  private val streamSinkDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def streamSinkFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = streamSinkDirs.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString
+      def start() = input.toDF()
+        .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .writeStream.format("graft")
+        .option("dir", tgt.dir).option("table", "t")
+        .option("idOrder", "o_orderkey").option("upsertKeys", "o_orderkey")
+        .option("bucketBy", "o_orderkey").option("numBuckets", "8")
+        .option("checkpointLocation", ckpt).start()
+      def rows(df: DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val q = start()
+      try {
+        input.addData(rows(base.where(col("o_orderkey") <= 1000)): _*)
+        q.processAllAvailable()
+        input.addData(rows(
+          base.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1500)
+            .withColumn("o_orderstatus", lit("U"))): _*)
+        q.processAllAvailable()
+      } finally { q.stop(); q.awaitTermination() }
+      // crash replay of the last epoch: engine commit record lost (plus
+      // its checksum twin), restart re-delivers epoch 1
+      new java.io.File(s"$ckpt/commits/1").delete()
+      new java.io.File(s"$ckpt/commits/.1.crc").delete()
+      val q2 = start()
+      try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
       tgt.dir
     })
     new Catalog(spark, dir)
@@ -619,6 +672,22 @@ object StorageQueries {
       VersionedTable.read(dst, "m")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
+    },
+
+    // ST13 the NATIVE streaming sink: writeStream.format("graft") lands
+    // each epoch as ONE versioned commit with full loader semantics
+    // (bucketed keyed upsert, continuing ids), stamped with its epoch id
+    // — the injected crash replay (fixture) must be skipped, so exactly
+    // two versions exist. Oracle: the two-batch merge replay (same as
+    // q_versioned_v2_write).
+    "q_stream_sink_v2" -> { (spark, sfDir) =>
+      val tgt = streamSinkFixture(spark, sfDir)
+      require(VersionedTable.versions(tgt, "t") == Seq(1L, 2L),
+        "one versioned commit per epoch; the replayed epoch must be " +
+          s"skipped — got versions ${VersionedTable.versions(tgt, "t")}")
+      VersionedTable.read(tgt, "t")
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
     },
 
     // F30 metadata-only range delete: zone maps PROVE batch 1 lies
@@ -1089,6 +1158,24 @@ object StorageQueries {
          |ORDER BY o_orderkey""".stripMargin,
 
     "q_versioned_v2_write" ->
+      """WITH w1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 1000),
+        |     w2 AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500),
+        |     s1 AS (SELECT row_number() OVER (ORDER BY o_orderkey) AS id, w1.* FROM w1),
+        |     upd AS (SELECT s1.id, s1.o_orderkey,
+        |                    coalesce(w2.o_orderstatus, s1.o_orderstatus) AS o_orderstatus,
+        |                    coalesce(w2.o_totalprice, s1.o_totalprice) AS o_totalprice
+        |             FROM s1 LEFT JOIN w2 USING (o_orderkey)),
+        |     fresh AS (SELECT (SELECT max(id) FROM s1)
+        |                      + row_number() OVER (ORDER BY w2.o_orderkey) AS id,
+        |                      w2.* FROM w2 LEFT JOIN s1 USING (o_orderkey)
+        |               WHERE s1.id IS NULL)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice
+        |FROM (SELECT * FROM upd UNION ALL SELECT * FROM fresh)
+        |ORDER BY id""".stripMargin,
+
+    "q_stream_sink_v2" ->
       """WITH w1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |            WHERE o_orderkey <= 1000),
         |     w2 AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice

@@ -119,7 +119,8 @@ private[sources] final class GraftBatchTable(
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -127,9 +128,20 @@ private[sources] final class GraftBatchTable(
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dataSchema, options)
 
+  /** Batch writes via the V1 fallback (a versioned commit IS a
+    * driver-coordinated CAS); STREAMING writes via the native epoch-keyed
+    * sink ([[org.apache.spark.sql.graft.GraftStreamWrite]]). The builder
+    * opts into update-as-append so `outputMode(Update)` streams compose
+    * with `upsertKeys` (each re-emitted aggregate row merges onto its
+    * key). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+      with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): V1Write = new V1Write {
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          org.apache.spark.sql.graft.GraftStreamWrite(
+            SparkSession.active, info.queryId(), info.schema(), options)
         override def toInsertableRelation: sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
             require(!overwrite,

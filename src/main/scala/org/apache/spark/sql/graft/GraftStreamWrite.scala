@@ -1,0 +1,197 @@
+package org.apache.spark.sql.graft
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.etl.{Catalog, VersionedTable}
+
+/** The NATIVE streaming sink for versioned tables —
+  * `df.writeStream.format("graft")` — closing the loop the `graft-cdc`
+  * source opened: versioned tables now both emit and absorb streams
+  * through engine-managed checkpoints, no `foreachBatch` library call
+  * required ([[graft.streaming.StreamLoader.streamInto]] remains the
+  * library-call twin).
+  *
+  * EXACTLY-ONCE by epoch-keyed idempotent commits: each epoch's staged
+  * rows land as ONE versioned commit whose manifest also records
+  * `stream_epoch_<queryId> = epochId` — atomically, since the prop rides
+  * the same manifest CAS as the data. A replayed epoch (restart from the
+  * checkpoint WAL after a crash between our commit and the engine's) finds
+  * its id already recorded and SKIPS, so re-delivery commits no duplicate
+  * version. Composed with the loader's keyed upsert (`upsertKeys` option)
+  * even at-least-once REPROCESSING of source data converges.
+  *
+  * Mechanics per micro-batch:
+  *
+  *   1. executors write their partitions as parquet into a staging dir
+  *      beside the table (`<table>.__vstage/<queryId>/epoch-<n>/`), via
+  *      Spark's own [[ParquetFileFormat.prepareWrite]] writer — no
+  *      hand-rolled encoder; commit messages carry exactly the files the
+  *      COMMITTED task attempts wrote (speculative/failed attempts'
+  *      strays are never read — the commit coordinator guarantees one
+  *      winner per partition, and the epoch dir dies after the commit);
+  *   2. the driver reads the staged files back as one DataFrame and runs
+  *      the FULL versioned loader (surrogate ids continuing, schema
+  *      `ensure` widening, bucket-scoped keyed upserts, manifest CAS) —
+  *      semantics identical to a batch load of the same rows;
+  *   3. staging for every epoch ≤ the committed one is deleted (crashed
+  *      predecessors' strays self-clean on the next successful commit).
+  *
+  * Scale: stage + re-read costs one extra write/read of the BATCH (never
+  * the table) — the price of engine checkpoint interop with full loader
+  * semantics; the loader's own write is O(batch + touched buckets), same
+  * as the batch path. Output modes: Append, and Update-as-append when
+  * `upsertKeys` makes re-emitted aggregate rows merge onto their keys
+  * (the sink builder opts into the engine's update-as-append contract).
+  *
+  * (Reference anchor: the target-DB load, easy_etl/__init__.py:89-99,
+  * is the batch ancestor; this is its always-on form.)
+  */
+object GraftStreamWrite {
+
+  /** One committed task attempt's staged file. */
+  final case class StagedFile(path: String, rows: Long) extends WriterCommitMessage
+
+  def apply(spark: SparkSession, queryId: String, schema: StructType,
+            options: Map[String, String]): StreamingWrite = {
+    def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    val dir = opt("dir").getOrElse(
+      throw new IllegalArgumentException("graft format requires option 'dir'"))
+    val table = opt("table").getOrElse(
+      throw new IllegalArgumentException("graft format requires option 'table'"))
+    val csv = (k: String) => opt(k).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new GraftStreamingWrite(spark, dir, table, queryId, schema,
+      upsertKeys = csv("upsertKeys"), idOrder = csv("idOrder"),
+      bucketBy = csv("bucketBy") match {
+        case Nil => None
+        case cols => Some((cols, opt("numBuckets").map(_.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            "bucketBy requires option 'numBuckets'"))))
+      })
+  }
+}
+
+final class GraftStreamingWrite(
+    spark: SparkSession, dir: String, table: String, queryId: String,
+    schema: StructType, upsertKeys: Seq[String], idOrder: Seq[String],
+    bucketBy: Option[(Seq[String], Int)]) extends StreamingWrite {
+
+  private def cat = new Catalog(spark, dir)
+  private def stagingRoot = s"${cat.dirPath(table)}.__vstage/$queryId"
+  private def epochProp = s"stream_epoch_$queryId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // prepareWrite CONFIGURES the job conf (committer, compression,
+    // schema) — that prepared conf must be the one the executors' task
+    // attempt contexts carry, so serialize it after preparation
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    new GraftStreamWriterFactory(owf,
+      new SerializableConfiguration(job.getConfiguration), schema, stagingRoot)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val c = cat
+    val files = messages.collect {
+      case GraftStreamWrite.StagedFile(p, n) if n > 0 => p
+    }
+    val replayed = VersionedTable.tableProps(c, table).get(epochProp)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .exists(_ >= epochId)
+    if (replayed) {
+      // the crash landed BETWEEN our manifest commit and the engine's
+      // checkpoint commit: the data is already a version — re-delivery
+      // must be a no-op, not a duplicate
+      cleanupThrough(epochId)
+      return
+    }
+    if (files.nonEmpty) {
+      val batch = spark.read.schema(schema).parquet(files: _*)
+      VersionedTable.load(c, table, batch,
+        upsertFields = upsertKeys, idOrder = idOrder, bucketBy = bucketBy,
+        extraProps = Map(epochProp -> epochId.toString))
+    }
+    cleanupThrough(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanupThrough(epochId)
+
+  /** Delete staging for every epoch ≤ `epochId` — the committed epoch's
+    * own dir plus any crashed predecessor's strays. Best-effort: a
+    * failure here leaves garbage for the next commit's sweep, never a
+    * wrong table. */
+  private def cleanupThrough(epochId: Long): Unit =
+    try {
+      val root = new Path(stagingRoot)
+      val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(root)) {
+        f.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("epoch-") &&
+            scala.util.Try(n.stripPrefix("epoch-").toLong).toOption
+              .exists(_ <= epochId))
+            f.delete(st.getPath, true)
+        }
+        if (f.listStatus(root).isEmpty) f.delete(root, true)
+      }
+    } catch { case _: java.io.IOException => () }
+}
+
+private[graft] final class GraftStreamWriterFactory(
+    owf: OutputWriterFactory, conf: SerializableConfiguration,
+    schema: StructType, stagingRoot: String) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val path = s"$stagingRoot/epoch-$epochId/" +
+      s"part-$partitionId-$taskId-${UUID.randomUUID()}.parquet"
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID(queryJobId(epochId), 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val tac = new TaskAttemptContextImpl(conf.value, attempt)
+
+    new DataWriter[InternalRow] {
+      // lazy: an empty partition never creates a file
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var n = 0L
+
+      override def write(record: InternalRow): Unit = {
+        if (writer == null) writer = owf.newInstance(path, schema, tac)
+        writer.write(record)
+        n += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        GraftStreamWrite.StagedFile(path, n)
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) writer.close()
+        val p = new Path(path)
+        p.getFileSystem(conf.value).delete(p, false)
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+
+  private def queryJobId(epochId: Long): String =
+    s"graft-stream-$epochId"
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The NATIVE streaming sink `writeStream.format("graft")`: each epoch is
+  * ONE versioned commit stamped with its epoch id, so checkpoint-replayed
+  * epochs are skipped (no duplicate versions), and `upsertKeys` gives
+  * keyed merge semantics per micro-batch — the engine-managed twin of
+  * [[StreamLoader.streamInto]].
+  */
+class GraftStreamSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sink(df: org.apache.spark.sql.DataFrame, tgt: Catalog,
+                   table: String, ckpt: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("graft")
+      .option("dir", tgt.dir).option("table", table)
+      .option("idOrder", "k")
+      .option("checkpointLocation", ckpt)
+
+  test("each micro-batch commits one version; ids continue across epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = new Catalog(spark, tmpDir("gsink"))
+    val input = MemoryStream[(Long, String)]
+    val q = sink(input.toDF().toDF("k", "v"), tgt, "t", tmpDir("gsinkck")).start()
+    try {
+      input.addData((3L, "c"), (1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((5L, "e"), (4L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L, 2L),
+      "one versioned commit per non-empty epoch")
+    val rows = VersionedTable.read(tgt, "t").select("id", "k", "v")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c"),
+      (4L, 4L, "d"), (5L, 5L, "e")),
+      "surrogate ids continue across epochs, same as batch loads")
+  }
+
+  test("a replayed epoch commits NO duplicate version (crash between sink and engine commit)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = new Catalog(spark, tmpDir("gsinkr"))
+    val ckpt = tmpDir("gsinkrck")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("k", "v")
+    val q1 = sink(stream, tgt, "t", ckpt).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L))
+    // CRASH INJECTION: drop the engine's commit record for batch 0 — on
+    // restart the offset WAL says batch 0 ran but the commit log doesn't,
+    // so the engine REPLAYS it with the same epoch id. The sink must find
+    // its epoch stamp in the manifest and skip.
+    val committed = new java.io.File(s"$ckpt/commits/0")
+    assert(committed.exists() && committed.delete(),
+      "test setup: engine commit record removed")
+    new java.io.File(s"$ckpt/commits/.0.crc").delete() // its checksum twin too
+    val q2 = sink(stream, tgt, "t", ckpt).start()
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L),
+      "the replayed epoch must not commit a duplicate version")
+    assert(VersionedTable.read(tgt, "t").select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L),
+      "no duplicate rows after the replay")
+    // and the stream keeps going: a NEW batch commits normally
+    val q3 = sink(stream, tgt, "t", ckpt).start()
+    try {
+      input.addData((3L, "c"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L, 2L))
+    assert(VersionedTable.read(tgt, "t").count() == 3L)
+  }
+
+  test("upsertKeys merges re-emitted keys; staging self-cleans") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = new Catalog(spark, tmpDir("gsinku"))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v").writeStream.format("graft")
+      .option("dir", tgt.dir).option("table", "t")
+      .option("idOrder", "k").option("upsertKeys", "k")
+      .option("bucketBy", "k").option("numBuckets", "4")
+      .option("checkpointLocation", tmpDir("gsinkuck"))
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((2L, "B2"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = VersionedTable.read(tgt, "t").select("k", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c")),
+      "re-emitted key must merge, not duplicate")
+    assert(VersionedTable.bucketSpec(tgt, "t").contains((Seq("k"), 4)),
+      "the declared bucket layout is recorded from the first epoch")
+    // recorded upsert keys feed the CDC default too
+    assert(VersionedTable.recordedUpsertKeys(tgt, "t").contains(Seq("k")))
+    // committed epochs' staging is swept
+    val stage = new java.io.File(s"${tgt.dirPath("t")}.__vstage")
+    def parquets(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) parquets(f) else Seq(f).filter(_.getName.endsWith(".parquet")))
+    assert(!stage.exists() || parquets(stage).isEmpty,
+      "committed epochs must leave no staged files behind")
+  }
+
+  test("outputMode Update streams through upsertKeys (update-as-append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = new Catalog(spark, tmpDir("gsinkagg"))
+    val input = MemoryStream[Long]
+    // a running aggregate re-emits updated rows each trigger — with
+    // upsertKeys on the group key they merge onto their row
+    val agg = input.toDF().toDF("k")
+      .withColumn("grp", col("k") % 2)
+      .groupBy("grp").agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft")
+      .outputMode("update")
+      .option("dir", tgt.dir).option("table", "t")
+      .option("idOrder", "grp").option("upsertKeys", "grp")
+      .option("checkpointLocation", tmpDir("gsinkaggck"))
+      .start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = VersionedTable.read(tgt, "t").select("grp", "n")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 3L),
+      s"updated aggregate rows must merge onto their group key, got $got")
+  }
+}
