@@ -45,7 +45,7 @@ object StorageQueries {
     "q_versioned_delete_where", "q_versioned_or_skip",
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
-    "q_stream_sink_v2")
+    "q_stream_sink_v2", "q_versioned_sql_ops")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -301,6 +301,33 @@ object StorageQueries {
       spark.sql(s"INSERT INTO $name.default.t " +
         "SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
+      name
+    })
+  }
+
+  /** Fixture for the SQL-PROCEDURES query (F37): its own catalog (the
+    * rollback mutates state, so it cannot share [[sqlCatalogFixture]]) —
+    * CTAS (v1+v2 = k ≤ 800), INSERT (v3 adds 800 < k ≤ 1200), then
+    * `CALL rollback` back to v2 in pure SQL (v4). */
+  private val sqlOpsNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlOpsFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlOpsNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gops${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlops").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.t AS " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800")
+      spark.sql(s"INSERT INTO $name.default.t " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
+      spark.sql(s"CALL $name.system.rollback('t', 2)")
       name
     })
   }
@@ -688,6 +715,23 @@ object StorageQueries {
       VersionedTable.read(tgt, "t")
         .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("id")
+    },
+
+    // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
+    // fixture rolls the table back via `CALL rollback`, the query reads
+    // the post-rollback head and `CALL history`'s metadata row counts
+    // (v1 create-empty, v2 CTAS data, v3 insert, v4 rollback). The
+    // oracle replays all four states' counts.
+    "q_versioned_sql_ops" -> { (spark, sfDir) =>
+      val name = sqlOpsFixture(spark, sfDir)
+      val head = spark.sql(
+        s"""SELECT 'head' AS part, o_orderkey AS k,
+           |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           |FROM $name.default.t""".stripMargin)
+      val hist = spark.sql(s"CALL $name.system.history('t')")
+        .select(lit("hist").as("part"), col("version").as("k"),
+          col("total_rows").as("v"))
+      head.unionByName(hist).orderBy("part", "k")
     },
 
     // F30 metadata-only range delete: zone maps PROVE batch 1 lies
@@ -1174,6 +1218,19 @@ object StorageQueries {
         |SELECT id, o_orderkey, o_orderstatus, o_totalprice
         |FROM (SELECT * FROM upd UNION ALL SELECT * FROM fresh)
         |ORDER BY id""".stripMargin,
+
+    "q_versioned_sql_ops" ->
+      """WITH c1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800),
+        |     c2 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_orderkey > 800 AND o_orderkey <= 1200)
+        |SELECT 'head' AS part, o_orderkey AS k,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM c1
+        |UNION ALL SELECT 'hist', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'hist', CAST(2 AS BIGINT), (SELECT count(*) FROM c1)
+        |UNION ALL SELECT 'hist', CAST(3 AS BIGINT),
+        |          (SELECT count(*) FROM c1) + (SELECT count(*) FROM c2)
+        |UNION ALL SELECT 'hist', CAST(4 AS BIGINT), (SELECT count(*) FROM c1)
+        |ORDER BY part, k""".stripMargin,
 
     "q_stream_sink_v2" ->
       """WITH w1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

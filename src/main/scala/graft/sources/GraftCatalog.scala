@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,7 +42,7 @@ import graft.etl.{Catalog, VersionedTable}
   * through loads (`ensure` widening), which keeps every version
   * self-describing.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var dir: String = _
@@ -188,4 +189,29 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "renaming would invalidate clones' absolute file references; " +
         "clone to the new name and drop the old table instead")
+
+  // ------------------------------------------------- SQL ops procedures
+  // CALL g.system.history('t') / rollback('t', v) / vacuum('t', n) —
+  // see [[GraftProcedures]]. Procedures live under any of the accepted
+  // namespaces (`system` by convention, like the big formats).
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("default")) ||
+      ident.namespace.sameElements(Array("system")),
+      s"graft procedures live in the system namespace; got " +
+        ident.namespace.mkString("."))
+    ident.name.toLowerCase match {
+      case "history" => GraftProcedures.history(() => cat)
+      case "rollback" => GraftProcedures.rollback(() => cat)
+      case "vacuum" => GraftProcedures.vacuum(() => cat)
+      case other => throw new UnsupportedOperationException(
+        s"unknown graft procedure '$other' — available: history(table), " +
+          "rollback(table, version), vacuum(table, keep_last)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array("history", "rollback", "vacuum")
+      .map(n => Identifier.of(Array("system"), n))
 }

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+import graft.etl.{Catalog, VersionedTable}
+
+/** The OPS surface of versioned tables in PURE SQL — stored procedures on
+  * the [[GraftCatalog]] (the `ProcedureCatalog` contract, the same shape
+  * the big table formats expose their maintenance through):
+  *
+  * {{{
+  *   CALL g.system.history('events')        -- one row per retained version
+  *   CALL g.system.rollback('events', 3)    -- undo to v3 (a NEW commit)
+  *   CALL g.system.vacuum('events', 10)     -- keep last 10, reclaim files
+  * }}}
+  *
+  * Each returns its result as rows (a driver-local scan — these are
+  * metadata operations over manifests, vacuum-bounded, never data-sized),
+  * so `CALL` composes with SQL tooling: the history result is the same
+  * frame [[VersionedTable.history]] returns, and rollback/vacuum report
+  * what they did instead of succeeding silently. Completes the SQL-first
+  * story F35/F36 opened: tables a SQL user can create, load, query,
+  * time-travel, audit, roll back, and garbage-collect without one graft
+  * import.
+  */
+private[sources] object GraftProcedures {
+
+  /** Wrap a one-off metadata result as the procedure-call scan. */
+  private final class ResultScan(schema: StructType,
+                                 result: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = result
+    override def readSchema(): StructType = schema
+    override def description(): String = "graft procedure result"
+  }
+
+  private def one(schema: StructType, values: Any*): JIterator[Scan] =
+    Collections.singletonList[Scan](new ResultScan(schema,
+      Array(new GenericInternalRow(values.toArray)))).iterator()
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private abstract class GraftProc(procName: String, procDesc: String,
+                                   params: Array[ProcedureParameter])
+    extends UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDesc
+    def run(input: InternalRow): JIterator[Scan]
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = procDesc
+      override def parameters(): Array[ProcedureParameter] = params
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): JIterator[Scan] = run(input)
+    }
+  }
+
+  /** `CALL g.system.history('t')` — the [[VersionedTable.history]] frame
+    * (version, committed_at, n_files, total_bytes, total_rows, max_id,
+    * bucketed) as a procedure result set. */
+  def history(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("history",
+      "one row per retained version of a versioned table (pure metadata)",
+      Array(param("table", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val df = VersionedTable.history(cat(), input.getUTF8String(0).toString)
+        // executeCollect hands back InternalRows directly — a tiny
+        // driver-side frame (vacuum-bounded versions), same as the API
+        Collections.singletonList[Scan](new ResultScan(df.schema,
+          df.queryExecution.executedPlan.executeCollect())).iterator()
+      }
+    }
+
+  /** `CALL g.system.rollback('t', v)` — commit a new head equal to
+    * version v; returns the committed version number. */
+  def rollback(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("rollback",
+      "roll a versioned table back to an older version (a new O(1) commit)",
+      Array(param("table", StringType), param("version", LongType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val committed = VersionedTable.rollback(cat(),
+          input.getUTF8String(0).toString, input.getLong(1))
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
+
+  /** `CALL g.system.vacuum('t', keepLast)` — drop manifests older than
+    * the newest keepLast versions and reclaim unreferenced files (live
+    * clones' shared files stay protected); returns the delete count. */
+  def vacuum(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("vacuum",
+      "reclaim files unreferenced by the newest keep_last versions",
+      Array(param("table", StringType), param("keep_last", IntegerType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val removed = VersionedTable.vacuum(cat(),
+          input.getUTF8String(0).toString, input.getInt(1))
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("files_deleted", IntegerType,
+            nullable = false))), removed)
+      }
+    }
+}

@@ -93,6 +93,39 @@ class GraftCatalogSpec extends SparkSpec {
       "a rejected CREATE must leave nothing behind")
   }
 
+  test("CALL procedures: history, rollback, vacuum in pure SQL") {
+    spark.sql("CREATE TABLE gq.default.proc (k BIGINT)")
+    spark.sql("INSERT INTO gq.default.proc VALUES (1), (2)")
+    spark.sql("INSERT INTO gq.default.proc VALUES (3)")
+    // history: one row per retained version, matching the library frame
+    val h = spark.sql("CALL gq.system.history('proc')")
+      .select("version", "n_files").as[(Long, Int)].collect().toSeq.sortBy(_._1)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L), s"three retained versions: $h")
+    assert(h == VersionedTable.history(lib, "proc")
+      .select("version", "n_files").as[(Long, Int)].collect().toSeq.sortBy(_._1),
+      "CALL history must equal the library history frame")
+    // rollback: undo the second INSERT — a NEW commit (v4 = state of v2)
+    val rb = spark.sql("CALL gq.system.rollback('proc', 2)")
+      .as[Long].head()
+    assert(rb == 4L, "rollback commits a new head")
+    assert(spark.sql("SELECT k FROM gq.default.proc").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    // vacuum: keep only the head (v4 = rollback to v2's state) — the
+    // rolled-over v3 append's file is then unreferenced and reclaims
+    val removed = spark.sql("CALL gq.system.vacuum('proc', 1)").as[Int].head()
+    assert(removed >= 1, s"vacuum must reclaim the rolled-over files: $removed")
+    assert(VersionedTable.versions(lib, "proc") == Seq(4L))
+    assert(spark.sql("SELECT k FROM gq.default.proc").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L),
+      "the head still reads after the vacuum")
+    // unknown procedure is a curated refusal
+    val err = intercept[Exception] { spark.sql("CALL gq.system.nope('x')") }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("available")),
+      s"expected the procedure listing, got: ${messages(err)}")
+  }
+
   test("DROP TABLE refuses while a live clone references the table; PURGE forces") {
     spark.sql("CREATE TABLE gq.default.clsrc (k BIGINT)")
     spark.sql("INSERT INTO gq.default.clsrc VALUES (1), (2)")
