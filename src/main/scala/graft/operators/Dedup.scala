@@ -546,7 +546,10 @@ object Dedup {
       // data — batching halves the job count (log₂ rounds still, half
       // the scheduling) while the per-job shuffle volume stays edge-sized
       // (each sweep's intermediates are ≤4× the edge count before the
-      // round's single distinct)
+      // round's single distinct). A third sweep per job was measured
+      // SLOWER at fixture scale: the typical graph converges within the
+      // first job either way, so the extra sweep's four window exchanges
+      // are pure overhead.
       val small = starSweep(starSweep(e))
         .distinct().localCheckpoint(false) // materialized by the probe below
       // fixpoint = the edge set IS a star forest: every child (u) has
@@ -585,8 +588,15 @@ object Dedup {
           s"connectedComponentsStar did not converge in $maxIters rounds")
       }
     }
+    // label join: the converged star forest has ≤ one edge per non-root
+    // node, and `edgeCount` bounds it from above — under the broadcast
+    // comfort zone the corpus-side ids NEVER shuffle (scan + broadcast
+    // hash join, the same discipline as the driver-edge drop path);
+    // bigger edge sets keep the shuffle join
+    val eOut = e.select(col("u").as("id"), col("v").as("comp"))
     val labels = ids.select(col(idCol).as("id"))
-      .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
+      .join(if (edgeCount <= 5000000L) broadcast(eOut) else eOut,
+        Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .cache()
     labels.count() // materialize before releasing the edge blocks

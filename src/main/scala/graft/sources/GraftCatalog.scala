@@ -205,13 +205,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "history" => GraftProcedures.history(() => cat)
       case "rollback" => GraftProcedures.rollback(() => cat)
       case "vacuum" => GraftProcedures.vacuum(() => cat)
+      case "compact" => GraftProcedures.compact(() => cat)
+      case "clone" => GraftProcedures.clone(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
-          "rollback(table, version), vacuum(table, keep_last)")
+          "rollback(table, version), vacuum(table, keep_last), " +
+          "compact(table, target_bytes), clone(source, target, version)")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("history", "rollback", "vacuum")
+    Array("clone", "compact", "history", "rollback", "vacuum")
       .map(n => Identifier.of(Array("system"), n))
 }

@@ -92,6 +92,42 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.compact('t', targetBytes)` — bin-pack the head
+    * version's small files toward the target size (one new commit);
+    * returns the committed version. */
+  def compact(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("compact",
+      "bin-pack a versioned table's small files toward a target size",
+      Array(param("table", StringType), param("target_bytes", LongType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val committed = VersionedTable.compact(cat(),
+          input.getUTF8String(0).toString, input.getLong(1))
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
+
+  /** `CALL g.system.clone('src', 'dst', v)` — zero-copy clone of version
+    * v into a new table in the same catalog (one metadata commit, no
+    * data I/O; the source's vacuum protects the shared files until the
+    * clone is dropped); returns the clone's committed version (1). */
+  def clone(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("clone",
+      "zero-copy clone of a version into a new table (metadata-only)",
+      Array(param("source", StringType), param("target", StringType),
+        param("version", LongType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val c = cat()
+        val committed = VersionedTable.cloneTable(c,
+          input.getUTF8String(0).toString, c,
+          input.getUTF8String(1).toString, input.getLong(2))
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
+
   /** `CALL g.system.vacuum('t', keepLast)` — drop manifests older than
     * the newest keepLast versions and reclaim unreferenced files (live
     * clones' shared files stay protected); returns the delete count. */

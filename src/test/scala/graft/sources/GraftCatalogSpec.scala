@@ -118,6 +118,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gq.default.proc").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L),
       "the head still reads after the vacuum")
+    // clone: zero-copy via SQL, then compact the clone toward one file
+    assert(spark.sql("CALL gq.system.clone('proc', 'proc2', 4)")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT k FROM gq.default.proc2").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    val cv = spark.sql("CALL gq.system.compact('proc2', 134217728)")
+      .as[Long].head()
+    assert(cv == 2L, "compact commits a new clone version")
+    assert(spark.sql("SELECT k FROM gq.default.proc2").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql("DROP TABLE gq.default.proc2 PURGE")
     // unknown procedure is a curated refusal
     val err = intercept[Exception] { spark.sql("CALL gq.system.nope('x')") }
     def messages(t: Throwable): Seq[String] =
