@@ -1717,6 +1717,45 @@ object VersionedTable {
       Seq((a.map(t => (t._2, t._3)), b.map(t => (t._2, t._3))))
   }
 
+  /** Append-tail plan for the `graft` STREAMING read `(fromV, toV]`:
+    * the data files ADDED across the range, as (absolute path, byte
+    * length) — manifest-only. `fromV <= 0` is the bootstrap (the end
+    * version's full snapshot). The walk is per consecutive version pair
+    * so a commit that REMOVES files (upsert rewrite, delete, compact)
+    * is detected exactly: refused with a pointer at `graft-cdc` (whose
+    * op-typed feed is the correct tool for update/delete semantics), or
+    * — with `skipChanges` (the `skipChangeCommits` option, Delta's
+    * semantics) — that COMMIT's files are skipped wholesale and the
+    * tail continues. */
+  private[graft] def appendSlices(tgt: Catalog, table: String,
+                                  fromV: Long, toV: Long,
+                                  skipChanges: Boolean): Seq[(String, Long)] = {
+    if (fromV <= 0L) {
+      val man = readManifest(tgt, table, toV).getOrElse(
+        throw new IllegalArgumentException(s"table '$table' has no version $toV"))
+      return fileSlices(tgt, table, man)
+    }
+    def man(v: Long): Manifest = readManifest(tgt, table, v).getOrElse(
+      throw new IllegalStateException(
+        s"stream position v$v of '$table' was vacuumed away — retain more " +
+          "versions or reset the stream checkpoint to re-bootstrap"))
+    (fromV until toV).flatMap { v =>
+      val a = man(v)
+      val b = man(v + 1)
+      val setA = a.files.toSet
+      val removed = setA -- b.files.toSet
+      if (removed.nonEmpty) {
+        if (!skipChanges) throw new IllegalStateException(
+          s"version ${v + 1} of '$table' rewrites or deletes data files " +
+            s"(${removed.size} removed) — the 'graft' stream tails APPENDS " +
+            "only. Use format 'graft-cdc' for update/delete semantics, or " +
+            "option skipChangeCommits=true to skip change commits")
+        Nil
+      } else fileSlices(tgt, table,
+        b.copy(files = b.files.filterNot(setA)))
+    }
+  }
+
   /** Batch-read plan for the DataSource-V2 `graft` format: version `v`'s
     * (or the head's) files zone-map-pruned against `pred`, as (absolute
     * path, byte length) — manifest-only, zero listings or status RPCs

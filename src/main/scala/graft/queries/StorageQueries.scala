@@ -45,7 +45,7 @@ object StorageQueries {
     "q_versioned_delete_where", "q_versioned_or_skip",
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
-    "q_stream_sink_v2", "q_versioned_sql_ops")
+    "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -717,6 +717,35 @@ object StorageQueries {
         .orderBy("id")
     },
 
+    // ST14 the APPEND-TAIL streaming read: readStream.format("graft")
+    // over the 3-append fixture — bootstrap snapshot (v1), then one
+    // batch per appended version (paced), plain rows with no op column;
+    // the drained tail must reconstruct the table exactly (oracle: the
+    // three-slice state replay). Batch count enforced in-query.
+    "q_stream_append_tail" -> { (spark, sfDir) =>
+      val tgt = skippingFixture(spark, sfDir)
+      val out = java.nio.file.Files.createTempDirectory("graft-tail").toString + "/rows"
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = spark.readStream.format("graft")
+        .option("dir", tgt.dir).option("table", "t")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-tail-ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) { batches.incrementAndGet()
+            b.write.mode("append").parquet(out) }
+        }
+        .start()
+      q.awaitTermination()
+      require(batches.get() == 3,
+        s"bootstrap + two paced append batches expected, got ${batches.get()}")
+      spark.read.parquet(out)
+        .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("id")
+    },
+
     // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
     // fixture rolls the table back via `CALL rollback`, the query reads
     // the post-rollback head and `CALL history`'s metadata row counts
@@ -1217,6 +1246,24 @@ object StorageQueries {
         |               WHERE s1.id IS NULL)
         |SELECT id, o_orderkey, o_orderstatus, o_totalprice
         |FROM (SELECT * FROM upd UNION ALL SELECT * FROM fresh)
+        |ORDER BY id""".stripMargin,
+
+    "q_stream_append_tail" ->
+      """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 500),
+        |k2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 500 AND o_orderkey <= 1000),
+        |k3 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey > 1000 AND o_orderkey <= 1400),
+        |state AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) AS id, k1.* FROM k1
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k2.* FROM k2
+        |  UNION ALL
+        |  SELECT (SELECT count(*) FROM k1) + (SELECT count(*) FROM k2)
+        |         + row_number() OVER (ORDER BY o_orderkey) AS id, k3.* FROM k3)
+        |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
         |ORDER BY id""".stripMargin,
 
     "q_versioned_sql_ops" ->

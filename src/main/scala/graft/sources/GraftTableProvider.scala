@@ -120,7 +120,7 @@ private[sources] final class GraftBatchTable(
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -194,6 +194,26 @@ private[sources] final class GraftScanBuilder(
     override def description(): String = "graft versioned-table batch scan"
     override def toBatch: Batch = new GraftBatch(
       dataSchema, required, options, pushed)
+    /** APPEND-TAIL stream (`spark.readStream.format("graft")`) — see
+      * [[graft.streaming.GraftAppendStream]]; column pruning and pushed
+      * filters carry into the streaming readers. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      def o(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+      require(o("versionAsOf").isEmpty && o("timestampAsOf").isEmpty,
+        "time travel options do not compose with a stream — use " +
+          "startingVersion to begin the tail at a version's appends")
+      new graft.streaming.GraftAppendStream(SparkSession.active,
+        dir = o("dir").getOrElse(throw new IllegalArgumentException(
+          "graft format requires option 'dir'")),
+        table = o("table").getOrElse(throw new IllegalArgumentException(
+          "graft format requires option 'table'")),
+        dataSchema = dataSchema, requiredSchema = required,
+        filters = pushed.toSeq,
+        maxVersionsPerTrigger = o("maxVersionsPerTrigger").map(_.toLong),
+        skipChangeCommits = o("skipChangeCommits").exists(_.toBoolean),
+        startingVersion = o("startingVersion").map(_.toLong))
+    }
   }
 }
 

@@ -286,3 +286,97 @@ private[streaming] final class CdcMicroBatchStream(
 
   override def stop(): Unit = ()
 }
+
+/** APPEND-TAIL streaming read for the plain `graft` format — the
+  * `spark.readStream.format("graft")` source (the most common streaming
+  * shape over a table format: Delta's default stream):
+  *
+  *   - offset = table version; batch (start, end] = the files ADDED
+  *     across the range as plain table rows (NO `op` column — inserts by
+  *     construction); start 0 = the end version's full snapshot;
+  *   - a commit that rewrites/deletes files REFUSES loudly (use
+  *     `graft-cdc` for update/delete semantics) unless
+  *     `skipChangeCommits=true` skips those commits wholesale;
+  *   - `startingVersion` starts the tail at that version's appends with
+  *     NO snapshot (the backfill-already-done shape);
+  *   - `maxVersionsPerTrigger` paces by commits, with the same
+  *     earliest-retained bootstrap clamp as the CDC source;
+  *   - column pruning and pushed filters reach the (columnar-capable)
+  *     parquet readers — the scan machinery is [[PlainBatchRead]], same
+  *     as the batch format.
+  *
+  * Planning is manifest-only: an append's batch costs O(appended files)
+  * against a table of any size, each new file one partition — full
+  * parallelism, O(1) memory, no state. */
+private[graft] final class GraftAppendStream(
+    spark: SparkSession, dir: String, table: String,
+    dataSchema: StructType, requiredSchema: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter],
+    maxVersionsPerTrigger: Option[Long],
+    skipChangeCommits: Boolean,
+    startingVersion: Option[Long])
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private val cat = new Catalog(spark, dir)
+
+  @volatile private var availableTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(VersionedTable.currentVersion(cat, table).getOrElse(0L))
+
+  private def head(): Long = {
+    val h = VersionedTable.currentVersion(cat, table).getOrElse(0L)
+    availableTarget.fold(h)(math.min(h, _))
+  }
+
+  override def initialOffset(): Offset =
+    CdcOffset(startingVersion.map(_ - 1L).getOrElse(0L))
+
+  override def latestOffset(): Offset = CdcOffset(head())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val h = head()
+    val sv = start.asInstanceOf[CdcOffset].version
+    maxVersionsPerTrigger match {
+      case Some(n) if h > sv =>
+        val capped = math.min(h, sv + n)
+        // bootstrap clamp — same rationale as the CDC source's
+        if (sv == 0L)
+          CdcOffset(math.max(capped,
+            VersionedTable.versions(cat, table).headOption.getOrElse(capped)))
+        else CdcOffset(capped)
+      case _ => CdcOffset(h)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = CdcOffset(head())
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = java.util.regex.Pattern.compile("\\d+").matcher(json)
+    require(m.find(), s"malformed graft stream offset: $json")
+    CdcOffset(m.group().toLong)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (sv, ev) = (start.asInstanceOf[CdcOffset].version,
+      end.asInstanceOf[CdcOffset].version)
+    if (sv >= ev) return Array.empty
+    VersionedTable.appendSlices(cat, table, sv, ev, skipChangeCommits)
+      .map { case (p, l) =>
+        org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(
+          org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l))
+          : InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.graft.PlainBatchRead.readerFactory(spark,
+      dataSchema, requiredSchema, filters)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The APPEND-TAIL streaming read `spark.readStream.format("graft")`:
+  * plain table rows (no op column), bootstrap snapshot then per-append
+  * batches, refusal (or skip) on change commits, startingVersion tails
+  * without a snapshot — the Delta-default stream shape over versioned
+  * tables.
+  */
+class AppendTailStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reader(src: Catalog, extra: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format("graft")
+      .option("dir", src.dir).option("table", "t")
+    extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  private def drain(df: DataFrame, ckpt: String,
+                    log: ConcurrentLinkedQueue[Long], out: String): Unit = {
+    val q = df.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) { log.add(n); b.write.mode("append").parquet(out) }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  test("bootstrap snapshot, then per-append batches; restart continues the tail") {
+    val src = new Catalog(spark, tmpDir("atsrc"))
+    val out = tmpDir("atout") + "/rows"
+    val ckpt = tmpDir("atck")
+    val log = new ConcurrentLinkedQueue[Long]()
+    VersionedTable.load(src, "t", (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((11L, "v11"), (12L, "v12")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    drain(reader(src, Map("maxVersionsPerTrigger" -> "1")), ckpt, log, out)
+    assert(log.asScala.toSeq == Seq(10L, 2L),
+      s"bootstrap snapshot then the append batch, got ${log.asScala.toSeq}")
+    // restart: only NEW appends flow
+    VersionedTable.load(src, "t", Seq((13L, "v13")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    drain(reader(src), ckpt, log, out)
+    assert(log.asScala.toSeq == Seq(10L, 2L, 1L))
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 13L), "tail must reconstruct the table exactly")
+  }
+
+  test("a change commit refuses loudly; skipChangeCommits skips it and continues") {
+    val src = new Catalog(spark, tmpDir("atc"))
+    VersionedTable.load(src, "t", (1L to 5L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    val ckpt1 = tmpDir("atcck1")
+    val log = new ConcurrentLinkedQueue[Long]()
+    drain(reader(src), ckpt1, log, tmpDir("atcout1") + "/rows") // at v1
+    // v2 = upsert rewrite (flat table → full rewrite: files removed)
+    VersionedTable.load(src, "t", Seq((3L, "UP")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(reader(src), ckpt1, log, tmpDir("atcout2") + "/rows")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(m =>
+      m.contains("tails APPENDS") && m.contains("graft-cdc")),
+      s"expected the append-only refusal pointing at graft-cdc: ${messages(err)}")
+    // with skipChangeCommits the rewrite commit is skipped wholesale and
+    // later appends still flow
+    VersionedTable.load(src, "t", Seq((6L, "v6")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    val out3 = tmpDir("atcout3") + "/rows"
+    val log3 = new ConcurrentLinkedQueue[Long]()
+    drain(reader(src, Map("skipChangeCommits" -> "true")), ckpt1, log3, out3)
+    assert(log3.asScala.toSeq == Seq(1L),
+      s"the rewrite commit skips; only the append lands: ${log3.asScala.toSeq}")
+    assert(spark.read.parquet(out3).select("k").as[Long].collect().toSeq == Seq(6L))
+  }
+
+  test("startingVersion tails without a snapshot; pruning reaches the stream scan") {
+    val src = new Catalog(spark, tmpDir("atsv"))
+    (1 to 3).foreach { i =>
+      VersionedTable.load(src, "t",
+        Seq((i.toLong * 10, s"v$i", i.toLong * 100)).toDF("k", "s", "x"),
+        idOrder = Seq("k"))
+    }
+    val got = new ConcurrentLinkedQueue[(Long, Long)]()
+    val q = reader(src, Map("startingVersion" -> "2"))
+      .select("k", "x") // column pruning into the stream scan
+      .writeStream
+      .option("checkpointLocation", tmpDir("atsvck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.as[(Long, Long)].collect().foreach(got.add)
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.asScala.toSet == Set((20L, 200L), (30L, 300L)),
+      s"startingVersion=2 tails v2+v3 appends only, no snapshot: ${got.asScala}")
+  }
+}
