@@ -1756,6 +1756,19 @@ object VersionedTable {
     }
   }
 
+  /** Bytes the commit at version `v` APPENDED (manifest-recorded sizes of
+    * its new files) — the admission-control unit for byte-paced stream
+    * triggers. Manifest-only; 0 for a missing/change commit (the planner
+    * handles those separately). */
+  private[graft] def appendedBytes(tgt: Catalog, table: String, v: Long): Long = {
+    val bOpt = readManifest(tgt, table, v)
+    if (bOpt.isEmpty) return 0L
+    val b = bOpt.get
+    val prior = readManifest(tgt, table, v - 1).map(_.files.toSet)
+      .getOrElse(Set.empty[String])
+    b.files.filterNot(prior).map(r => b.sizes.getOrElse(r, 0L)).sum
+  }
+
   /** Batch-read plan for the DataSource-V2 `graft` format: version `v`'s
     * (or the head's) files zone-map-pruned against `pred`, as (absolute
     * path, byte length) — manifest-only, zero listings or status RPCs

@@ -195,8 +195,10 @@ private[sources] final class GraftScanBuilder(
     override def toBatch: Batch = new GraftBatch(
       dataSchema, required, options, pushed)
     /** APPEND-TAIL stream (`spark.readStream.format("graft")`) — see
-      * [[graft.streaming.GraftAppendStream]]; column pruning and pushed
-      * filters carry into the streaming readers. */
+      * [[graft.streaming.GraftAppendStream]]. (Spark applies no
+      * pushdown to streaming scans, so `required`/`pushed` here are the
+      * full schema / empty in practice — passed through for the day the
+      * engine grows streaming pushdown.) */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
       def o(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
@@ -211,6 +213,7 @@ private[sources] final class GraftScanBuilder(
         dataSchema = dataSchema, requiredSchema = required,
         filters = pushed.toSeq,
         maxVersionsPerTrigger = o("maxVersionsPerTrigger").map(_.toLong),
+        maxBytesPerTrigger = o("maxBytesPerTrigger").map(_.toLong),
         skipChangeCommits = o("skipChangeCommits").exists(_.toBoolean),
         startingVersion = o("startingVersion").map(_.toLong))
     }

@@ -299,11 +299,16 @@ private[streaming] final class CdcMicroBatchStream(
   *     `skipChangeCommits=true` skips those commits wholesale;
   *   - `startingVersion` starts the tail at that version's appends with
   *     NO snapshot (the backfill-already-done shape);
-  *   - `maxVersionsPerTrigger` paces by commits, with the same
-  *     earliest-retained bootstrap clamp as the CDC source;
-  *   - column pruning and pushed filters reach the (columnar-capable)
-  *     parquet readers — the scan machinery is [[PlainBatchRead]], same
-  *     as the batch format.
+  *   - `maxVersionsPerTrigger` paces by commits and `maxBytesPerTrigger`
+  *     by manifest-recorded appended bytes (zero data I/O to plan; at
+  *     least one version always admits, the bootstrap snapshot whole),
+  *     both with the earliest-retained bootstrap clamp of the CDC source.
+  *
+  * The scan machinery is [[PlainBatchRead]] (columnar-capable), but note
+  * Spark applies NO filter/column pushdown to DSv2 streaming scans —
+  * filters run post-scan; for a selective historical backfill prefer the
+  * BATCH format (`spark.read.format("graft")`), whose zone maps prune
+  * whole files at plan time.
   *
   * Planning is manifest-only: an append's batch costs O(appended files)
   * against a table of any size, each new file one partition — full
@@ -313,6 +318,7 @@ private[graft] final class GraftAppendStream(
     dataSchema: StructType, requiredSchema: StructType,
     filters: Seq[org.apache.spark.sql.sources.Filter],
     maxVersionsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long],
     skipChangeCommits: Boolean,
     startingVersion: Option[Long])
   extends MicroBatchStream with SupportsAdmissionControl
@@ -337,19 +343,38 @@ private[graft] final class GraftAppendStream(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Admission control by COMMITS (`maxVersionsPerTrigger`) and/or BYTES
+    * (`maxBytesPerTrigger`, summed from the manifests' recorded appended
+    * sizes — zero data I/O, zero status RPCs). The batch always admits
+    * at least one version (a single commit bigger than the byte budget
+    * must still flow — same rule as every file-source maxBytes option),
+    * and the bootstrap snapshot is admitted whole (it is one atomic
+    * state, clamped to the earliest retained version). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val h = head()
     val sv = start.asInstanceOf[CdcOffset].version
-    maxVersionsPerTrigger match {
-      case Some(n) if h > sv =>
-        val capped = math.min(h, sv + n)
-        // bootstrap clamp — same rationale as the CDC source's
-        if (sv == 0L)
-          CdcOffset(math.max(capped,
-            VersionedTable.versions(cat, table).headOption.getOrElse(capped)))
-        else CdcOffset(capped)
-      case _ => CdcOffset(h)
-    }
+    if (h <= sv || (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty))
+      return CdcOffset(h)
+    // first admitted version: bootstrap clamps to the earliest retained
+    val first =
+      if (sv == 0L) math.max(sv + 1,
+        VersionedTable.versions(cat, table).headOption.getOrElse(sv + 1))
+      else sv + 1
+    var end = math.min(first, h)
+    var bytes =
+      if (sv == 0L) 0L // snapshot admitted whole, outside the byte budget
+      else VersionedTable.appendedBytes(cat, table, end)
+    var next = end + 1
+    while (next <= h &&
+      maxVersionsPerTrigger.forall(n => next - sv <= n) && {
+        maxBytesPerTrigger match {
+          case None => true
+          case Some(cap) =>
+            val b = VersionedTable.appendedBytes(cat, table, next)
+            if (bytes + b <= cap) { bytes += b; true } else false
+        }
+      }) { end = next; next += 1 }
+    CdcOffset(end)
   }
 
   override def reportLatestOffset(): Offset = CdcOffset(head())

@@ -89,7 +89,24 @@ class AppendTailStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out3).select("k").as[Long].collect().toSeq == Seq(6L))
   }
 
-  test("startingVersion tails without a snapshot; pruning reaches the stream scan") {
+  test("maxBytesPerTrigger paces by manifest-recorded appended bytes") {
+    val src = new Catalog(spark, tmpDir("atby"))
+    (1 to 4).foreach { i =>
+      VersionedTable.load(src, "t",
+        (1L to 50L).map(j => (i * 1000L + j, s"v$i-$j")).toDF("k", "s"),
+        idOrder = Seq("k"))
+    }
+    val log = new ConcurrentLinkedQueue[Long]()
+    // budget of 1 byte: every batch still admits at least one version —
+    // so the drain lands one version per trigger after the bootstrap
+    drain(reader(src, Map("maxBytesPerTrigger" -> "1",
+      "startingVersion" -> "2")), tmpDir("atbyck"), log,
+      tmpDir("atbyout") + "/rows")
+    assert(log.asScala.toSeq == Seq(50L, 50L, 50L),
+      s"byte pacing must admit one oversized commit per trigger: ${log.asScala.toSeq}")
+  }
+
+  test("startingVersion tails without a snapshot; projections apply post-scan") {
     val src = new Catalog(spark, tmpDir("atsv"))
     (1 to 3).foreach { i =>
       VersionedTable.load(src, "t",
@@ -98,7 +115,7 @@ class AppendTailStreamSpec extends SparkSpec {
     }
     val got = new ConcurrentLinkedQueue[(Long, Long)]()
     val q = reader(src, Map("startingVersion" -> "2"))
-      .select("k", "x") // column pruning into the stream scan
+      .select("k", "x")
       .writeStream
       .option("checkpointLocation", tmpDir("atsvck"))
       .trigger(Trigger.AvailableNow())
