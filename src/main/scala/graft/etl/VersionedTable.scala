@@ -366,9 +366,6 @@ object VersionedTable {
           "(state was empty, or vacuumed away)"))
   }
 
-  /** The upsert/CDC key columns the table's head manifest records
-    * ([[UpsertKeysProp]] — written by every keyed load and carried
-    * forward by appends). None for a table never keyed-loaded. */
   /** The head manifest's props map (empty for a missing table) — the
     * commit-carried metadata surface: recorded upsert keys, commit
     * times, streaming-sink epoch stamps, clone provenance. */
@@ -377,10 +374,11 @@ object VersionedTable {
       .flatMap(v => readManifest(tgt, table, v))
       .map(_.props).getOrElse(Map.empty)
 
+  /** The upsert/CDC key columns the table's head manifest records
+    * ([[UpsertKeysProp]] — written by every keyed load, carried forward
+    * by appends and clones). None for a table never keyed-loaded. */
   def recordedUpsertKeys(tgt: Catalog, table: String): Option[Seq[String]] =
-    currentVersion(tgt, table)
-      .flatMap(v => readManifest(tgt, table, v))
-      .flatMap(_.props.get(UpsertKeysProp))
+    tableProps(tgt, table).get(UpsertKeysProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
 
@@ -429,9 +427,17 @@ object VersionedTable {
     // stamp the commit wall-clock INTO the manifest (see [[CommitTsProp]]):
     // one place, so every commit path — load, delete, rollback, compact,
     // recluster, clone — carries its own time and TIMESTAMP AS OF
-    // survives mtime-scrambling copies
-    val m = m0.copy(props =
-      m0.props + (CommitTsProp -> commitClock.value().toString))
+    // survives mtime-scrambling copies. MONOTONE like Delta's in-commit
+    // timestamps: clamped to parent's + 1, so two writers with skewed
+    // clocks can never record history out of order (an inversion would
+    // make TIMESTAMP AS OF resolve to a state containing later-recorded
+    // data and strand the skewed version unreachable). One parent
+    // manifest read per commit — the commit paths read the head anyway.
+    val parentTs = readManifest(tgt, table, m0.version - 1)
+      .flatMap(_.props.get(CommitTsProp))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    val ts = math.max(commitClock.value(), parentTs.fold(Long.MinValue)(_ + 1L))
+    val m = m0.copy(props = m0.props + (CommitTsProp -> ts.toString))
     val f = fs(tgt, metaDir(tgt, table))
     f.mkdirs(new Path(metaDir(tgt, table)))
     val won = commitProtocol.value.putIfAbsent(f,
@@ -1422,8 +1428,13 @@ object VersionedTable {
           man.sizes.map { case (r, len) => relToAbs(r) -> len },
           man.nulls.map { case (r, n) => relToAbs(r) -> n },
           man.rows.map { case (r, n) => relToAbs(r) -> n },
-          Map("clone_src_dir" -> src.dir, "clone_src_table" -> srcTable,
-            "clone_src_version" -> v.toString))))
+          // the source's commit-carried metadata (recorded upsert keys
+          // above all — the clone is byte-identical to a keyed table, so
+          // CDC key-defaulting must keep working) PLUS clone provenance;
+          // commit_ts re-stamps at the clone's own commit
+          man.props ++
+            Map("clone_src_dir" -> src.dir, "clone_src_table" -> srcTable,
+              "clone_src_version" -> v.toString))))
         Some(1L)
       else None
     }
@@ -1729,16 +1740,27 @@ object VersionedTable {
     * tail continues. */
   private[graft] def appendSlices(tgt: Catalog, table: String,
                                   fromV: Long, toV: Long,
-                                  skipChanges: Boolean): Seq[(String, Long)] = {
-    if (fromV <= 0L) {
+                                  skipChanges: Boolean,
+                                  snapshotBootstrap: Boolean = true)
+      : Seq[(String, Long)] = {
+    if (fromV <= 0L && snapshotBootstrap) {
+      // fresh stream, no startingVersion: the first batch IS the end
+      // version's snapshot (one atomic state; per-version walking it
+      // would replay intermediate rewrites the snapshot already folded)
       val man = readManifest(tgt, table, toV).getOrElse(
         throw new IllegalArgumentException(s"table '$table' has no version $toV"))
       return fileSlices(tgt, table, man)
     }
-    def man(v: Long): Manifest = readManifest(tgt, table, v).getOrElse(
-      throw new IllegalStateException(
-        s"stream position v$v of '$table' was vacuumed away — retain more " +
-          "versions or reset the stream checkpoint to re-bootstrap"))
+    // per-version WALK — also for `startingVersion=1` (fromV 0 with the
+    // snapshot disabled): v1's prior state is empty, so its "appends" are
+    // its full file list, and change-commit detection applies to EVERY
+    // version step instead of being silently bypassed by a snapshot
+    def man(v: Long): Manifest =
+      if (v == 0L) Manifest(0L, None, None, Nil)
+      else readManifest(tgt, table, v).getOrElse(
+        throw new IllegalStateException(
+          s"stream position v$v of '$table' was vacuumed away — retain more " +
+            "versions or reset the stream checkpoint to re-bootstrap"))
     (fromV until toV).flatMap { v =>
       val a = man(v)
       val b = man(v + 1)

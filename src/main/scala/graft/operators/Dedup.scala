@@ -590,12 +590,13 @@ object Dedup {
     }
     // label join: the converged star forest has ≤ one edge per non-root
     // node, and `edgeCount` bounds it from above — under the broadcast
-    // comfort zone the corpus-side ids NEVER shuffle (scan + broadcast
-    // hash join, the same discipline as the driver-edge drop path);
-    // bigger edge sets keep the shuffle join
+    // comfort zone (1M edges ≈ 16 MB raw; the built hash relation stays
+    // well inside default driver/executor memory) the corpus-side ids
+    // NEVER shuffle (scan + broadcast hash join, the same discipline as
+    // the driver-edge drop path); bigger edge sets keep the shuffle join
     val eOut = e.select(col("u").as("id"), col("v").as("comp"))
     val labels = ids.select(col(idCol).as("id"))
-      .join(if (edgeCount <= 5000000L) broadcast(eOut) else eOut,
+      .join(if (edgeCount <= 1000000L) broadcast(eOut) else eOut,
         Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .cache()

@@ -58,7 +58,8 @@ object StorageQueries {
     deleteWhereFixture(spark, sfDir)
     checkpointFixture(spark, sfDir)
     v2WriteFixture(spark, sfDir)
-    streamSinkFixture(spark, sfDir); ()
+    streamSinkFixture(spark, sfDir)
+    sqlOpsFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:

@@ -182,6 +182,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .getFileSystem(c.spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"${c.dirPath(t)}.__vdata"), true)
     fs.delete(new Path(s"${c.dirPath(t)}.__vmeta"), true)
+    // streaming-sink staging (in-flight epochs of a query writing here)
+    // dies with the table — otherwise a dropped table strands its stage
+    fs.delete(new Path(s"${c.dirPath(t)}.__vstage"), true)
     true
   }
 
@@ -215,6 +218,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("clone", "compact", "history", "rollback", "vacuum")
-      .map(n => Identifier.of(Array("system"), n))
+    // procedures live under `system` (accepted aliases: root, default —
+    // the same set loadProcedure's gate admits); any other namespace
+    // lists empty rather than duplicating the set under every name
+    if (namespace.isEmpty || namespace.sameElements(Array("system")) ||
+      namespace.sameElements(Array("default")))
+      Array("clone", "compact", "history", "rollback", "vacuum")
+        .map(n => Identifier.of(Array("system"), n))
+    else Array.empty
 }

@@ -131,12 +131,24 @@ private[sources] final class GraftBatchTable(
   /** Batch writes via the V1 fallback (a versioned commit IS a
     * driver-coordinated CAS); STREAMING writes via the native epoch-keyed
     * sink ([[org.apache.spark.sql.graft.GraftStreamWrite]]). The builder
-    * opts into update-as-append so `outputMode(Update)` streams compose
-    * with `upsertKeys` (each re-emitted aggregate row merges onto its
-    * key). */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder
-      with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+    * opts into update-as-append ONLY when `upsertKeys` is declared:
+    * update mode means "re-emitted rows replace their key's row", which
+    * is exactly the keyed upsert — without keys each trigger's re-emits
+    * would land as silent duplicate appends, so keyless Update is
+    * refused by the engine's own mode check instead. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val hasUpsertKeys = options.exists { case (k, v) =>
+      k.equalsIgnoreCase("upsertKeys") && v.trim.nonEmpty
+    }
+    if (hasUpsertKeys)
+      new GraftWriteBuilder(info, options)
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+    else new GraftWriteBuilder(info, options)
+  }
+}
+
+private[sources] class GraftWriteBuilder(
+    info: LogicalWriteInfo, options: Map[String, String]) extends WriteBuilder {
       override def build(): V1Write = new V1Write {
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -168,7 +180,6 @@ private[sources] final class GraftBatchTable(
             ()
           }
       }
-    }
 }
 
 private[sources] final class GraftScanBuilder(

@@ -355,9 +355,12 @@ private[graft] final class GraftAppendStream(
     val sv = start.asInstanceOf[CdcOffset].version
     if (h <= sv || (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty))
       return CdcOffset(h)
-    // first admitted version: bootstrap clamps to the earliest retained
+    // first admitted version: the snapshot bootstrap clamps to the
+    // earliest retained (vacuum must not strand a fresh stream) — but an
+    // EXPLICIT startingVersion is the user's position: if it was
+    // vacuumed, the planner fails loudly rather than silently jumping
     val first =
-      if (sv == 0L) math.max(sv + 1,
+      if (sv == 0L && startingVersion.isEmpty) math.max(sv + 1,
         VersionedTable.versions(cat, table).headOption.getOrElse(sv + 1))
       else sv + 1
     var end = math.min(first, h)
@@ -389,7 +392,11 @@ private[graft] final class GraftAppendStream(
     val (sv, ev) = (start.asInstanceOf[CdcOffset].version,
       end.asInstanceOf[CdcOffset].version)
     if (sv >= ev) return Array.empty
-    VersionedTable.appendSlices(cat, table, sv, ev, skipChangeCommits)
+    // with startingVersion the walk is per-version from the very first
+    // batch (startingVersion=1 means v1's APPENDS, not a head snapshot —
+    // and change commits inside the range are detected, not folded away)
+    VersionedTable.appendSlices(cat, table, sv, ev, skipChangeCommits,
+      snapshotBootstrap = startingVersion.isEmpty)
       .map { case (p, l) =>
         org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(
           org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l))

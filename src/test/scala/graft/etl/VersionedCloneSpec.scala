@@ -135,4 +135,18 @@ class VersionedCloneSpec extends SparkSpec {
       VersionedTable.cloneTable(src, "t", dst, "c2", 1L)
     }
   }
+
+  test("a clone carries the source's recorded upsert keys") {
+    val src = freshCat()
+    VersionedTable.load(src, "t", Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val dst = freshCat()
+    VersionedTable.cloneTable(src, "t", dst, "c", 1L)
+    // the clone is byte-identical to a keyed table — CDC key-defaulting
+    // (graft-cdc without a keys option) must keep working on it
+    assert(VersionedTable.recordedUpsertKeys(dst, "c").contains(Seq("k")),
+      "clone manifests must carry the source's commit-carried metadata")
+    assert(VersionedTable.tableProps(dst, "c").contains("clone_src_table"),
+      "provenance props ride alongside")
+  }
 }

@@ -156,6 +156,33 @@ class GraftBatchSourceSpec extends SparkSpec {
     assert(narrow.as[Long].collect().toSet == (1L to 50L).toSet)
   }
 
+  test("recorded commit times are MONOTONE under writer clock skew") {
+    val tgt = new Catalog(spark, tmpDir("gbmono"))
+    // writer A's clock runs 2 minutes ahead; writer B commits later with
+    // an EARLIER wall clock — the recorded times must not invert, or
+    // TIMESTAMP AS OF would resolve to a state containing data recorded
+    // as committed after the asked instant
+    VersionedTable.commitClock.withValue(() => 500000L) {
+      VersionedTable.load(tgt, "t", Seq((1L, "a")).toDF("k", "s"),
+        idOrder = Seq("k"))
+    }
+    VersionedTable.commitClock.withValue(() => 200000L) { // skewed back
+      VersionedTable.load(tgt, "t", Seq((2L, "b")).toDF("k", "s"),
+        idOrder = Seq("k"))
+    }
+    import org.apache.spark.sql.Row
+    val times = VersionedTable.history(tgt, "t")
+      .select("version", "committed_at").collect()
+      .map { case Row(v: Long, ts: java.sql.Timestamp) => v -> ts.getTime }
+      .toMap
+    assert(times(1L) == 500000L)
+    assert(times(2L) == 500001L,
+      s"the skewed commit must clamp to parent + 1, got ${times(2L)}")
+    // every version stays reachable by timestamp
+    assert(VersionedTable.versionAt(tgt, "t", 500000L) == 1L)
+    assert(VersionedTable.versionAt(tgt, "t", 500001L) == 2L)
+  }
+
   test("the format scan is COLUMNAR: vectorized batches, not row-at-a-time") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val tgt = new Catalog(spark, tmpDir("gbcol"))

@@ -106,6 +106,38 @@ class AppendTailStreamSpec extends SparkSpec {
       s"byte pacing must admit one oversized commit per trigger: ${log.asScala.toSeq}")
   }
 
+  test("startingVersion=1 walks from v1's appends — never a head snapshot") {
+    val src = new Catalog(spark, tmpDir("atsv1"))
+    VersionedTable.load(src, "t", (1L to 5L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((3L, "UP")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))    // v2: full rewrite
+    VersionedTable.load(src, "t", Seq((6L, "v6")).toDF("k", "s"),
+      idOrder = Seq("k"))                              // v3: append
+    // WITHOUT skipChangeCommits the v2 change commit must fail the
+    // stream (a head snapshot would silently fold it away)
+    val log0 = new ConcurrentLinkedQueue[Long]()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(reader(src, Map("startingVersion" -> "1")), tmpDir("atsv1ck0"),
+        log0, tmpDir("atsv1out0") + "/rows")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("tails APPENDS")),
+      s"change detection must apply from v1, got: ${messages(err)}")
+    // WITH skipChangeCommits: v1's ORIGINAL appends + v3's append — the
+    // rewritten k=3 value must NOT appear (that would be the snapshot)
+    val out = tmpDir("atsv1out") + "/rows"
+    val log = new ConcurrentLinkedQueue[Long]()
+    drain(reader(src, Map("startingVersion" -> "1",
+      "skipChangeCommits" -> "true")), tmpDir("atsv1ck"), log, out)
+    val got = spark.read.parquet(out).select("k", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "v1", 2L -> "v2", 3L -> "v3", 4L -> "v4",
+      5L -> "v5", 6L -> "v6"),
+      s"walk semantics: original v1 rows + v3 append, no rewrite fold: $got")
+  }
+
   test("startingVersion tails without a snapshot; projections apply post-scan") {
     val src = new Catalog(spark, tmpDir("atsv"))
     (1 to 3).foreach { i =>

@@ -112,6 +112,28 @@ class GraftStreamSinkSpec extends SparkSpec {
       "committed epochs must leave no staged files behind")
   }
 
+  test("outputMode Update WITHOUT upsertKeys is refused, not silently duplicated") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = new Catalog(spark, tmpDir("gsinknokeys"))
+    val input = MemoryStream[Long]
+    val agg = input.toDF().toDF("k").groupBy("k").agg(count(lit(1)).as("n"))
+    // keyless Update would append every trigger's re-emitted rows as
+    // duplicates — the builder only opts into update-as-append when
+    // upsertKeys is declared, so the engine's own mode check refuses
+    val err = intercept[Exception] {
+      val q = agg.writeStream.format("graft")
+        .outputMode("update")
+        .option("dir", tgt.dir).option("table", "t")
+        .option("checkpointLocation", tmpDir("gsinknokeysck"))
+        .start()
+      try { input.addData(1L); q.processAllAvailable() } finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.toLowerCase.contains("update")),
+      s"expected the engine's update-mode refusal, got: ${messages(err)}")
+  }
+
   test("outputMode Update streams through upsertKeys (update-as-append)") {
     implicit val sqlCtx = spark.sqlContext
     val tgt = new Catalog(spark, tmpDir("gsinkagg"))
