@@ -79,6 +79,34 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(VersionedTable.read(tgt, "t").count() == 3L)
   }
 
+  test("epoch idempotence survives an interleaved batch load") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = new Catalog(spark, tmpDir("gsinkmix"))
+    val ckpt = tmpDir("gsinkmixck")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("k", "v")
+    val q1 = sink(stream, tgt, "t", ckpt).start()
+    try {
+      input.addData((1L, "a"))
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+    // a BATCH writer commits between the sink's commit and the replay —
+    // its manifest must CARRY the sink's epoch stamp forward, or the
+    // replay below would re-commit epoch 0 as a duplicate
+    VersionedTable.load(tgt, "t", Seq((2L, "batch")).toDF("k", "v"),
+      idOrder = Seq("k"))
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L, 2L))
+    val committed = new java.io.File(s"$ckpt/commits/0")
+    assert(committed.delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    val q2 = sink(stream, tgt, "t", ckpt).start()
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    assert(VersionedTable.versions(tgt, "t") == Seq(1L, 2L),
+      "the replayed epoch must skip even after an interleaved batch commit")
+    assert(VersionedTable.read(tgt, "t").select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("upsertKeys merges re-emitted keys; staging self-cleans") {
     implicit val sqlCtx = spark.sqlContext
     val tgt = new Catalog(spark, tmpDir("gsinku"))
