@@ -329,6 +329,10 @@ object StorageQueries {
         "SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
       spark.sql(s"CALL $name.system.rollback('t', 2)")
+      // zero-copy clone of the post-rollback state, then compact it —
+      // both through CALL; the clone must still read v2's exact rows
+      spark.sql(s"CALL $name.system.clone('t', 't2', 4)")
+      spark.sql(s"CALL $name.system.compact('t2', ${128L * 1024 * 1024})")
       name
     })
   }
@@ -758,10 +762,14 @@ object StorageQueries {
         s"""SELECT 'head' AS part, o_orderkey AS k,
            |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
            |FROM $name.default.t""".stripMargin)
+      val cloned = spark.sql(
+        s"""SELECT 'clone' AS part, o_orderkey AS k,
+           |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           |FROM $name.default.t2""".stripMargin)
       val hist = spark.sql(s"CALL $name.system.history('t')")
         .select(lit("hist").as("part"), col("version").as("k"),
           col("total_rows").as("v"))
-      head.unionByName(hist).orderBy("part", "k")
+      head.unionByName(cloned).unionByName(hist).orderBy("part", "k")
     },
 
     // F30 metadata-only range delete: zone maps PROVE batch 1 lies
@@ -1273,6 +1281,9 @@ object StorageQueries {
         |            WHERE o_orderkey > 800 AND o_orderkey <= 1200)
         |SELECT 'head' AS part, o_orderkey AS k,
         |       CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM c1
+        |UNION ALL
+        |SELECT 'clone', o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |FROM c1
         |UNION ALL SELECT 'hist', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
         |UNION ALL SELECT 'hist', CAST(2 AS BIGINT), (SELECT count(*) FROM c1)
         |UNION ALL SELECT 'hist', CAST(3 AS BIGINT),
