@@ -1791,6 +1791,33 @@ object VersionedTable {
     b.files.filterNot(prior).map(r => b.sizes.getOrElse(r, 0L)).sum
   }
 
+  /** Bytes a CDC step `(v-1, v]` reads: the two manifests' UNSHARED files
+    * on both sides (exactly what [[cdcSlices]] plans) — the byte-pacing
+    * unit for the `graft-cdc` stream. Manifest-only. */
+  private[graft] def cdcStepBytes(tgt: Catalog, table: String, v: Long): Long = {
+    val bOpt = readManifest(tgt, table, v)
+    if (bOpt.isEmpty) return 0L
+    val b = bOpt.get
+    readManifest(tgt, table, v - 1) match {
+      case None => b.files.map(r => b.sizes.getOrElse(r, 0L)).sum
+      case Some(a) =>
+        val (sa, sb) = (a.files.toSet, b.files.toSet)
+        a.files.filterNot(sb).map(r => a.sizes.getOrElse(r, 0L)).sum +
+          b.files.filterNot(sa).map(r => b.sizes.getOrElse(r, 0L)).sum
+    }
+  }
+
+  /** The EARLIEST retained version committed at or after `tsMillis` —
+    * `startingTimestamp` resolution for the streaming sources (the Delta
+    * rule: the tail begins at the first commit the instant covers). None
+    * when every retained commit predates the instant (an empty tail that
+    * starts at the next future commit). */
+  def versionAtOrAfter(tgt: Catalog, table: String, tsMillis: Long): Option[Long] = {
+    val vs = versions(tgt, table)
+    require(vs.nonEmpty, s"versioned table '$table' not found")
+    vs.find(v => committedAtMillis(tgt, table, v) >= tsMillis)
+  }
+
   /** Batch-read plan for the DataSource-V2 `graft` format: version `v`'s
     * (or the head's) files zone-map-pruned against `pred`, as (absolute
     * path, byte length) — manifest-only, zero listings or status RPCs

@@ -215,18 +215,23 @@ private[sources] final class GraftScanBuilder(
       def o(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
       require(o("versionAsOf").isEmpty && o("timestampAsOf").isEmpty,
         "time travel options do not compose with a stream — use " +
-          "startingVersion to begin the tail at a version's appends")
-      new graft.streaming.GraftAppendStream(SparkSession.active,
-        dir = o("dir").getOrElse(throw new IllegalArgumentException(
-          "graft format requires option 'dir'")),
-        table = o("table").getOrElse(throw new IllegalArgumentException(
-          "graft format requires option 'table'")),
+          "startingVersion/startingTimestamp to begin the tail at a " +
+          "version's appends")
+      val spark = SparkSession.active
+      val dir = o("dir").getOrElse(throw new IllegalArgumentException(
+        "graft format requires option 'dir'"))
+      val table = o("table").getOrElse(throw new IllegalArgumentException(
+        "graft format requires option 'table'"))
+      new graft.streaming.GraftAppendStream(spark,
+        dir = dir, table = table,
         dataSchema = dataSchema, requiredSchema = required,
         filters = pushed.toSeq,
         maxVersionsPerTrigger = o("maxVersionsPerTrigger").map(_.toLong),
         maxBytesPerTrigger = o("maxBytesPerTrigger").map(_.toLong),
         skipChangeCommits = o("skipChangeCommits").exists(_.toBoolean),
-        startingVersion = o("startingVersion").map(_.toLong))
+        startingVersion = graft.streaming.CdcStreamProvider
+          .resolveStartingVersion(new Catalog(spark, dir), table,
+            o("startingVersion").map(_.toLong), o("startingTimestamp")))
     }
   }
 }

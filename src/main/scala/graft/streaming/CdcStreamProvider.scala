@@ -183,16 +183,46 @@ private[streaming] final class CdcScan(
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val spark = SparkSession.active
+    val cat = new Catalog(spark, opt("dir"))
     new CdcMicroBatchStream(
-      SparkSession.active,
+      spark,
       dir = opt("dir"),
       table = opt("table"),
-      keys = resolveKeys(
-        new Catalog(SparkSession.active, opt("dir")), opt("table")),
+      keys = resolveKeys(cat, opt("table")),
       dataSchema = StructType(fullSchema.fields.drop(1)), // minus op
-      maxVersionsPerTrigger = options
-        .find(_._1.equalsIgnoreCase("maxVersionsPerTrigger"))
-        .map(_._2.toLong))
+      maxVersionsPerTrigger = optNum("maxVersionsPerTrigger"),
+      maxBytesPerTrigger = optNum("maxBytesPerTrigger"),
+      startingVersion = CdcStreamProvider.resolveStartingVersion(
+        cat, opt("table"), optNum("startingVersion"),
+        options.find(_._1.equalsIgnoreCase("startingTimestamp")).map(_._2)))
+  }
+}
+
+private[graft] object CdcStreamProvider {
+  /** Streaming start position: `startingVersion` (that version's changes
+    * form the first batch — no snapshot), or `startingTimestamp`
+    * (ISO-8601 UTC / epoch millis, resolved to the EARLIEST commit at or
+    * after the instant by the manifest-recorded commit times); both
+    * together are rejected; neither = snapshot bootstrap. A timestamp
+    * past every retained commit starts an empty tail at the head. */
+  private[graft] def resolveStartingVersion(
+      cat: graft.etl.Catalog, table: String,
+      startingVersion: Option[Long],
+      startingTimestamp: Option[String]): Option[Long] = {
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    startingVersion.orElse(startingTimestamp.map { t =>
+      val millis = scala.util.Try(t.trim.toLong).getOrElse {
+        val txt = t.trim.replace(' ', 'T')
+        val ldt =
+          if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
+          else java.time.LocalDateTime.parse(txt)
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      VersionedTable.versionAtOrAfter(cat, table, millis).getOrElse(
+        VersionedTable.currentVersion(cat, table).getOrElse(0L) + 1L)
+    })
   }
 }
 
@@ -204,7 +234,9 @@ private[streaming] final case class CdcOffset(version: Long) extends Offset {
 private[streaming] final class CdcMicroBatchStream(
     spark: SparkSession, dir: String, table: String,
     keys: Seq[String], dataSchema: StructType,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -224,39 +256,53 @@ private[streaming] final class CdcMicroBatchStream(
     availableTarget.fold(h)(math.min(h, _))
   }
 
-  override def initialOffset(): Offset = CdcOffset(0L)
+  override def initialOffset(): Offset =
+    CdcOffset(startingVersion.map(_ - 1L).getOrElse(0L))
 
   override def latestOffset(): Offset = CdcOffset(head())
 
-  // RATE CONTROL by versions: `maxVersionsPerTrigger` caps how many
-  // commits one micro-batch spans (the bootstrap batch counts its end
-  // version's snapshot; subsequent batches are per-gap diffs). Without
-  // it a trigger drains to the head in one exact state diff — cheaper
-  // in total I/O (intermediate versions of a key collapse), but one big
-  // transaction; with it, progress lands in version-sized commits, the
+  // RATE CONTROL by versions (`maxVersionsPerTrigger` caps how many
+  // commits one micro-batch spans) and/or bytes (`maxBytesPerTrigger`
+  // over the manifests' unshared-file sizes — what the diff actually
+  // reads). The bootstrap batch counts its end version's snapshot and
+  // admits whole; at least one version always admits. Without caps a
+  // trigger drains to the head in one exact state diff — cheaper in
+  // total I/O (intermediate versions of a key collapse), but one big
+  // transaction; with them, progress lands in paced commits, the
   // mirrorOnce cadence.
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val h = head()
     val sv = start.asInstanceOf[CdcOffset].version
-    maxVersionsPerTrigger match {
-      case Some(n) if h > sv =>
-        val capped = math.min(h, sv + n)
-        // BOOTSTRAP CLAMP: a fresh stream's first batch (sv = 0) reads the
-        // END version's snapshot, so its end must be a RETAINED version —
-        // min(head, n) may have been vacuumed away on a long-lived table,
-        // and planInputPartitions would then fail the stream before it
-        // ever bootstraps (without rate control the bootstrap reads the
-        // head snapshot and never hits this). Clamping to the earliest
-        // retained version is exact: the snapshot at that version IS the
-        // table's full state, nothing inside the vacuumed prefix is lost.
-        if (sv == 0L)
-          CdcOffset(math.max(capped,
-            VersionedTable.versions(cat, table).headOption.getOrElse(capped)))
-        else CdcOffset(capped)
-      case _ => CdcOffset(h)
-    }
+    if (h <= sv || (maxVersionsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty))
+      return CdcOffset(h)
+    // BOOTSTRAP CLAMP: a fresh snapshot stream's first batch (sv = 0)
+    // reads the END version's snapshot, so its end must be a RETAINED
+    // version — min(head, n) may have been vacuumed away on a long-lived
+    // table. Clamping to the earliest retained version is exact (that
+    // snapshot IS the table's full state). An EXPLICIT startingVersion
+    // is the user's position: if vacuumed, the planner fails loudly
+    // rather than silently jumping forward.
+    val first =
+      if (sv == 0L && startingVersion.isEmpty) math.max(sv + 1,
+        VersionedTable.versions(cat, table).headOption.getOrElse(sv + 1))
+      else sv + 1
+    var end = math.min(first, h)
+    var bytes =
+      if (sv == 0L && startingVersion.isEmpty) 0L // snapshot admits whole
+      else VersionedTable.cdcStepBytes(cat, table, end)
+    var next = end + 1
+    while (next <= h &&
+      maxVersionsPerTrigger.forall(n => next - sv <= n) && {
+        maxBytesPerTrigger match {
+          case None => true
+          case Some(cap) =>
+            val b = VersionedTable.cdcStepBytes(cat, table, next)
+            if (bytes + b <= cap) { bytes += b; true } else false
+        }
+      }) { end = next; next += 1 }
+    CdcOffset(end)
   }
 
   override def reportLatestOffset(): Offset = CdcOffset(head())

@@ -138,6 +138,30 @@ class AppendTailStreamSpec extends SparkSpec {
       s"walk semantics: original v1 rows + v3 append, no rewrite fold: $got")
   }
 
+  test("startingTimestamp resolves to the first commit the instant covers") {
+    val src = new Catalog(spark, tmpDir("atst"))
+    (1 to 3).foreach { i =>
+      VersionedTable.commitClock.withValue(() => i * 100000L) {
+        VersionedTable.load(src, "t", Seq((i.toLong, s"v$i")).toDF("k", "s"),
+          idOrder = Seq("k"))
+      }
+    }
+    val out = tmpDir("atstout") + "/rows"
+    val log = new ConcurrentLinkedQueue[Long]()
+    // 150000 falls between v1 (100000) and v2 (200000): the tail begins
+    // at v2's appends — no snapshot, v1's row never flows
+    drain(reader(src, Map("startingTimestamp" -> "150000")),
+      tmpDir("atstck"), log, out)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L),
+      "the tail must begin at the earliest commit at-or-after the instant")
+    // a timestamp past every retained commit starts an empty tail
+    val log2 = new ConcurrentLinkedQueue[Long]()
+    drain(reader(src, Map("startingTimestamp" -> "999999999")),
+      tmpDir("atstck2"), log2, tmpDir("atstout2") + "/rows")
+    assert(log2.isEmpty, "future timestamp = empty tail until new commits")
+  }
+
   test("startingVersion tails without a snapshot; projections apply post-scan") {
     val src = new Catalog(spark, tmpDir("atsv"))
     (1 to 3).foreach { i =>

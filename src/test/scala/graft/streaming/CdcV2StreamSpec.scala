@@ -243,6 +243,45 @@ class CdcV2StreamSpec extends SparkSpec {
       "appends must not lose the recorded keys")
   }
 
+  test("CDC startingVersion/byte pacing: tail from a version, paced by diff bytes") {
+    val src = new Catalog(spark, tmpDir("v2stv"))
+    val dst = new Catalog(spark, tmpDir("v2stvd"))
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t", (1L to 10L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((5L, "UP")).toDF("k", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((11L, "v11")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    // startingVersion=2: the first batch is v2's state diff (the upsert),
+    // NOT a snapshot — v1-only rows never flow; 1-byte budget paces one
+    // version per trigger
+    val q = spark.readStream.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t")
+      .option("startingVersion", "2").option("maxBytesPerTrigger", "1").load()
+      .writeStream.option("checkpointLocation", tmpDir("v2stvck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val cached = df.persist()
+        try {
+          val n = cached.count()
+          if (n > 0) {
+            log.add((n, cached.rdd.getNumPartitions,
+              cached.groupBy("op").count().as[(String, Long)].collect().toMap))
+            CdcSource.applyFeed(dst, "m", cached, Seq("k"))
+          }
+        } finally cached.unpersist()
+      }.start()
+    q.awaitTermination()
+    val batches = log.asScala.toSeq
+    // v2's diff = 10 rows rewritten (flat upsert rewrite: 1 update, 9
+    // unchanged skipped → 1 feed row), v3's diff = 1 insert
+    assert(batches.map(_._1) == Seq(1L, 1L),
+      s"per-version byte pacing from startingVersion, got $batches")
+    assert(batches.head._3 == Map("update" -> 1L),
+      s"the first batch is v2's DIFF, not a snapshot: ${batches.head._3}")
+  }
+
   test("rate-limited bootstrap clamps to the earliest retained version") {
     // a FRESH stream with maxVersionsPerTrigger=1 on a table whose early
     // versions were vacuumed: the uncapped first batch would target v1
