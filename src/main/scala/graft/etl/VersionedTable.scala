@@ -1975,12 +1975,38 @@ object VersionedTable {
   }
 
   def vacuum(tgt: Catalog, table: String, keepLast: Int,
-             ignoreClones: Boolean = false): Int = {
+             ignoreClones: Boolean = false,
+             dryRun: Boolean = false): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     val vs = versions(tgt, table)
     val keep = vs.takeRight(keepLast)
     val drop = vs.dropRight(keepLast)
     val f = fs(tgt, metaDir(tgt, table))
+    if (dryRun) {
+      // report what WOULD be reclaimed without deleting any manifest or
+      // data file — the operator's pre-flight. (Dead clones' markers may
+      // still expire inside liveClones: benign bookkeeping, never data.)
+      val cloneRef: Set[String] =
+        if (ignoreClones) Set.empty
+        else liveClones(tgt, table).flatMap { case (cDir, cTable) =>
+          val cCat = new Catalog(tgt.spark, cDir)
+          versions(cCat, cTable)
+            .flatMap(v => manifestFiles(cCat, cTable, v))
+            .map(p => new Path(p).toUri.getPath)
+        }.toSet
+      val ref = keep.flatMap(v => manifestFiles(tgt, table, v))
+        .map(r => new Path(r).toUri.getPath).toSet ++ cloneRef
+      val dd = new Path(dataDir(tgt, table))
+      var would = 0
+      def scan(p: Path): Unit =
+        f.listStatus(p).foreach { st =>
+          if (st.isDirectory) scan(st.getPath)
+          else if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !ref.contains(st.getPath.toUri.getPath)) would += 1
+        }
+      if (f.exists(dd)) scan(dd)
+      return would
+    }
     // live clones' referenced paths: each marker names a clone table
     // whose manifests reference THIS table's files by absolute path —
     // O(markers × clone manifests), all driver-side JSON

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.etl.{Catalog, VersionedTable}
 
@@ -128,16 +128,21 @@ private[sources] object GraftProcedures {
       }
     }
 
-  /** `CALL g.system.vacuum('t', keepLast)` — drop manifests older than
-    * the newest keepLast versions and reclaim unreferenced files (live
-    * clones' shared files stay protected); returns the delete count. */
+  /** `CALL g.system.vacuum('t', keepLast[, dryRun])` — drop manifests
+    * older than the newest keepLast versions and reclaim unreferenced
+    * files (live clones' shared files stay protected); returns the
+    * delete count. `dry_run => true` only REPORTS what would go —
+    * the operator's pre-flight before an irreversible reclaim. */
   def vacuum(cat: () => Catalog): UnboundProcedure =
     new GraftProc("vacuum",
       "reclaim files unreferenced by the newest keep_last versions",
-      Array(param("table", StringType), param("keep_last", IntegerType))) {
+      Array(param("table", StringType), param("keep_last", IntegerType),
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false").build())) {
       override def run(input: InternalRow): JIterator[Scan] = {
+        val dry = !input.isNullAt(2) && input.getBoolean(2)
         val removed = VersionedTable.vacuum(cat(),
-          input.getUTF8String(0).toString, input.getInt(1))
+          input.getUTF8String(0).toString, input.getInt(1), dryRun = dry)
         one(StructType(Seq(
           org.apache.spark.sql.types.StructField("files_deleted", IntegerType,
             nullable = false))), removed)

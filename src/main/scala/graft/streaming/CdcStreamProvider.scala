@@ -155,14 +155,43 @@ private[streaming] final class CdcScan(
   }
 
   /** Bounded batch feed (startingVersion, endingVersion] — the
-    * `table_changes` shape over the same planner/readers as the stream. */
+    * `table_changes` shape over the same planner/readers as the stream.
+    * Bounds also take TIMESTAMPS (`startingTimestamp` = earliest commit
+    * at-or-after, `endingTimestamp` = newest commit at-or-before, both
+    * by recorded commit times — the Delta rules), mutually exclusive
+    * with their version twins. */
   override def toBatch: Batch = new Batch {
     private val spark = SparkSession.active
     private val cat = new Catalog(spark, opt("dir"))
     private val table = opt("table")
-    private val sv = optNum("startingVersion").getOrElse(0L)
-    private val ev = optNum("endingVersion").getOrElse(
-      VersionedTable.currentVersion(cat, table).getOrElse(0L))
+    private def optStr(k: String) =
+      options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    // NOTE the batch bound convention: `startingVersion` is the EXCLUSIVE
+    // diff base (feed = (sv, ev]; 0 = snapshot-as-inserts), while
+    // `startingTimestamp` means "include commits at-or-after the instant"
+    // — so it resolves to that commit's PREDECESSOR as the base
+    private val sv = {
+      require(optNum("startingVersion").isEmpty ||
+        optStr("startingTimestamp").isEmpty,
+        "startingVersion and startingTimestamp are mutually exclusive")
+      optNum("startingVersion")
+        .orElse(optStr("startingTimestamp").map(t =>
+          VersionedTable.versionAtOrAfter(cat, table,
+            CdcStreamProvider.parseUtcMillis(t))
+            .map(_ - 1L)
+            .getOrElse(VersionedTable.currentVersion(cat, table).getOrElse(0L))))
+        .getOrElse(0L)
+    }
+    private val ev = {
+      require(optNum("endingVersion").isEmpty ||
+        optStr("endingTimestamp").isEmpty,
+        "endingVersion and endingTimestamp are mutually exclusive")
+      optNum("endingVersion")
+        .orElse(optStr("endingTimestamp").map(t =>
+          VersionedTable.versionAt(cat, table,
+            CdcStreamProvider.parseUtcMillis(t))))
+        .getOrElse(VersionedTable.currentVersion(cat, table).getOrElse(0L))
+    }
 
     override def planInputPartitions(): Array[InputPartition] = {
       if (sv >= ev) return Array.empty
@@ -200,6 +229,18 @@ private[streaming] final class CdcScan(
 }
 
 private[graft] object CdcStreamProvider {
+
+  /** Epoch millis, or ISO-8601 parsed as UTC — the project-wide session
+    * contract (same parsing as the batch format's timestampAsOf). */
+  private[graft] def parseUtcMillis(t: String): Long =
+    scala.util.Try(t.trim.toLong).getOrElse {
+      val txt = t.trim.replace(' ', 'T')
+      val ldt =
+        if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
+        else java.time.LocalDateTime.parse(txt)
+      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   /** Streaming start position: `startingVersion` (that version's changes
     * form the first batch — no snapshot), or `startingTimestamp`
     * (ISO-8601 UTC / epoch millis, resolved to the EARLIEST commit at or
@@ -213,14 +254,7 @@ private[graft] object CdcStreamProvider {
     require(startingVersion.isEmpty || startingTimestamp.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
     startingVersion.orElse(startingTimestamp.map { t =>
-      val millis = scala.util.Try(t.trim.toLong).getOrElse {
-        val txt = t.trim.replace(' ', 'T')
-        val ldt =
-          if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
-          else java.time.LocalDateTime.parse(txt)
-        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      }
-      VersionedTable.versionAtOrAfter(cat, table, millis).getOrElse(
+      VersionedTable.versionAtOrAfter(cat, table, parseUtcMillis(t)).getOrElse(
         VersionedTable.currentVersion(cat, table).getOrElse(0L) + 1L)
     })
   }

@@ -111,9 +111,16 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gq.default.proc").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L))
     // vacuum: keep only the head (v4 = rollback to v2's state) — the
-    // rolled-over v3 append's file is then unreferenced and reclaims
+    // rolled-over v3 append's file is then unreferenced and reclaims.
+    // DRY RUN first: same count, nothing deleted
+    val would = spark.sql(
+      "CALL gq.system.vacuum('proc', 1, dry_run => true)").as[Int].head()
+    assert(would >= 1, s"dry run must report the reclaimable files: $would")
+    assert(VersionedTable.versions(lib, "proc") == Seq(1L, 2L, 3L, 4L),
+      "dry run must not drop manifests")
     val removed = spark.sql("CALL gq.system.vacuum('proc', 1)").as[Int].head()
-    assert(removed >= 1, s"vacuum must reclaim the rolled-over files: $removed")
+    assert(removed == would, s"dry-run count must match the real reclaim: " +
+      s"$would vs $removed")
     assert(VersionedTable.versions(lib, "proc") == Seq(4L))
     assert(spark.sql("SELECT k FROM gq.default.proc").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L),

@@ -243,6 +243,30 @@ class CdcV2StreamSpec extends SparkSpec {
       "appends must not lose the recorded keys")
   }
 
+  test("batch feed bounds take timestamps: the table_changes time window") {
+    val src = new Catalog(spark, tmpDir("v2bts"))
+    (1 to 3).foreach { i =>
+      VersionedTable.commitClock.withValue(() => i * 100000L) {
+        VersionedTable.load(src, "t", Seq((i.toLong, s"v$i")).toDF("k", "s"),
+          idOrder = Seq("k"))
+      }
+    }
+    // window (150000, 250000]: includes v2's commit only — its diff is
+    // one insert; endingTimestamp resolves to v2, startingTimestamp's
+    // first covered commit (v2) contributes its changes
+    val got = spark.read.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t").option("keys", "k")
+      .option("startingTimestamp", "150000")
+      .option("endingTimestamp", "250000").load()
+      .select("op", "k").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("insert", 2L)),
+      s"the time window must cover exactly v2's changes: $got")
+    // a future start window yields an empty feed
+    assert(spark.read.format("graft-cdc")
+      .option("dir", src.dir).option("table", "t").option("keys", "k")
+      .option("startingTimestamp", "999999999").load().isEmpty)
+  }
+
   test("CDC startingVersion/byte pacing: tail from a version, paced by diff bytes") {
     val src = new Catalog(spark, tmpDir("v2stv"))
     val dst = new Catalog(spark, tmpDir("v2stvd"))
