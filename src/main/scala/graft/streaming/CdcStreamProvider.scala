@@ -325,14 +325,14 @@ private[streaming] final class CdcMicroBatchStream(
     var end = math.min(first, h)
     var bytes =
       if (sv == 0L && startingVersion.isEmpty) 0L // snapshot admits whole
-      else VersionedTable.cdcStepBytes(cat, table, end)
+      else stepBytes(end)
     var next = end + 1
     while (next <= h &&
       maxVersionsPerTrigger.forall(n => next - sv <= n) && {
         maxBytesPerTrigger match {
           case None => true
           case Some(cap) =>
-            val b = VersionedTable.cdcStepBytes(cat, table, next)
+            val b = stepBytes(next)
             if (bytes + b <= cap) { bytes += b; true } else false
         }
       }) { end = next; next += 1 }
@@ -340,6 +340,15 @@ private[streaming] final class CdcMicroBatchStream(
   }
 
   override def reportLatestOffset(): Offset = CdcOffset(head())
+
+  // manifests are immutable once committed, so a version's step cost
+  // never changes — memoized per stream so byte pacing parses each
+  // manifest pair ONCE per query lifetime, not once per trigger probe
+  private val stepBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  private def stepBytes(v: Long): Long =
+    stepBytesMemo.computeIfAbsent(v, _ =>
+      VersionedTable.cdcStepBytes(cat, table, v))
 
   override def deserializeOffset(json: String): Offset = {
     val m = java.util.regex.Pattern.compile("\\d+").matcher(json)
@@ -445,15 +454,15 @@ private[graft] final class GraftAppendStream(
       else sv + 1
     var end = math.min(first, h)
     var bytes =
-      if (sv == 0L) 0L // snapshot admitted whole, outside the byte budget
-      else VersionedTable.appendedBytes(cat, table, end)
+      if (sv == 0L && startingVersion.isEmpty) 0L // snapshot admits whole
+      else appendBytes(end)
     var next = end + 1
     while (next <= h &&
       maxVersionsPerTrigger.forall(n => next - sv <= n) && {
         maxBytesPerTrigger match {
           case None => true
           case Some(cap) =>
-            val b = VersionedTable.appendedBytes(cat, table, next)
+            val b = appendBytes(next)
             if (bytes + b <= cap) { bytes += b; true } else false
         }
       }) { end = next; next += 1 }
@@ -461,6 +470,15 @@ private[graft] final class GraftAppendStream(
   }
 
   override def reportLatestOffset(): Offset = CdcOffset(head())
+
+  // per-version appended bytes memoized for the query lifetime —
+  // manifests are immutable, so pacing parses each pair once, not once
+  // per trigger probe
+  private val appendBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  private def appendBytes(v: Long): Long =
+    appendBytesMemo.computeIfAbsent(v, _ =>
+      VersionedTable.appendedBytes(cat, table, v))
 
   override def deserializeOffset(json: String): Offset = {
     val m = java.util.regex.Pattern.compile("\\d+").matcher(json)
