@@ -329,10 +329,12 @@ object StorageQueries {
         "SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
       spark.sql(s"CALL $name.system.rollback('t', 2)")
-      // zero-copy clone of the post-rollback state, then compact it —
-      // both through CALL; the clone must still read v2's exact rows
+      // zero-copy clone of the post-rollback state, then compact it and
+      // DELETE a slice — all pure SQL; the clone must read v2's rows
+      // minus the deleted range
       spark.sql(s"CALL $name.system.clone('t', 't2', 4)")
       spark.sql(s"CALL $name.system.compact('t2', ${128L * 1024 * 1024})")
+      spark.sql(s"DELETE FROM $name.default.t2 WHERE o_orderkey <= 400")
       name
     })
   }
@@ -1283,7 +1285,7 @@ object StorageQueries {
         |       CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM c1
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
-        |FROM c1
+        |FROM c1 WHERE o_orderkey > 400
         |UNION ALL SELECT 'hist', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
         |UNION ALL SELECT 'hist', CAST(2 AS BIGINT), (SELECT count(*) FROM c1)
         |UNION ALL SELECT 'hist', CAST(3 AS BIGINT),

@@ -109,7 +109,38 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 private[sources] final class GraftBatchTable(
     dataSchema: StructType, options: Map[String, String],
     acceptAnySchema: Boolean = true)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM g.default.t WHERE ...` — routed to the versioned
+    * logical delete: files whose zone maps PROVE full coverage drop with
+    * zero I/O, boundary files rewrite without their matches, every prior
+    * version still time-travels (physical reclaim stays vacuum's job).
+    * `canDeleteWhere` admits exactly the conditions expressible in the
+    * pushed filter algebra; anything else is refused at analysis rather
+    * than half-applied. An empty condition (or TRUNCATE) deletes all
+    * rows — the head keeps one empty schema-bearing file. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftTableProvider.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    val spark = SparkSession.active
+    val cat = new Catalog(spark, opt("dir").getOrElse(
+      throw new IllegalArgumentException("graft format requires option 'dir'")))
+    val table = opt("table").getOrElse(
+      throw new IllegalArgumentException("graft format requires option 'table'"))
+    require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+      "cannot DELETE at a time-travel version — deletes always commit a new head")
+    val cond = filters.toSeq
+      .map(f => GraftTableProvider.filterColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE condition not expressible as a pushed filter: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    VersionedTable.delete(cat, table, cond)
+    ()
+  }
 
   override def name(): String =
     s"graft:${options.getOrElse("dir", "?")}/${options.getOrElse("table", "?")}" +
@@ -283,6 +314,38 @@ object GraftTableProvider {
       }
       VersionedTable.versionAt(cat, table, millis)
     })
+  }
+
+  /** EXACT translation of a pushed `sources.Filter` back into a Column —
+    * for `DELETE FROM`'s condition, where (unlike pruning) the semantics
+    * must be total: None = not expressible, the delete refuses. Distinct
+    * from [[filterPred]], whose one-sided Unknown is fine for skipping
+    * but would make a delete destroy the wrong rows. */
+  private[sources] def filterColumn(f: sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case sources.IsNull(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for { cl <- filterColumn(l); cr <- filterColumn(r) } yield cl && cr
+      case sources.Or(l, r) =>
+        for { cl <- filterColumn(l); cr <- filterColumn(r) } yield cl || cr
+      case sources.Not(inner) => filterColumn(inner).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
   }
 
   /** The third predicate walker: Spark's public `sources.Filter` algebra

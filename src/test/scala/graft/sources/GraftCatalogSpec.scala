@@ -93,6 +93,23 @@ class GraftCatalogSpec extends SparkSpec {
       "a rejected CREATE must leave nothing behind")
   }
 
+  test("DELETE FROM commits a versioned logical delete; TRUNCATE-shape empties") {
+    spark.sql("CREATE TABLE gq.default.del (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO gq.default.del VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("DELETE FROM gq.default.del WHERE k <= 1 OR s = 'c'")
+    assert(spark.sql("SELECT k FROM gq.default.del").as[Long]
+      .collect().toSeq == Seq(2L), "the matched rows are logically gone")
+    assert(VersionedTable.versions(lib, "del") == Seq(1L, 2L, 3L),
+      "the delete is one versioned commit — prior states still time-travel")
+    assert(spark.sql("SELECT count(*) FROM gq.default.del VERSION AS OF 2")
+      .head().getLong(0) == 3L)
+    // unconditioned DELETE empties the table, head stays readable
+    spark.sql("DELETE FROM gq.default.del")
+    assert(spark.sql("SELECT count(*) FROM gq.default.del").head().getLong(0) == 0L)
+    assert(VersionedTable.versions(lib, "del") == Seq(1L, 2L, 3L, 4L))
+    spark.sql("DROP TABLE gq.default.del")
+  }
+
   test("CALL procedures: history, rollback, vacuum in pure SQL") {
     spark.sql("CREATE TABLE gq.default.proc (k BIGINT)")
     spark.sql("INSERT INTO gq.default.proc VALUES (1), (2)")
