@@ -1057,6 +1057,65 @@ object VersionedTable {
     }
   }
 
+  /** COPY-ON-WRITE GROUP REPLACE — the commit primitive under SQL
+    * UPDATE/MERGE (Spark's group-based row-level operations): the rows
+    * of `removedAbs` (the files the operation's scan planned, whose full
+    * updated contents Spark re-derived) are replaced by `replacement` in
+    * ONE commit against `expectedVersion`. Surrogate ids RE-STAMP for
+    * the rewritten rows (SQL row-ops rewrite whole files; stable ids
+    * per business key remain the keyed-upsert path's contract — the SQL
+    * surface hides ids anyway), continuing above the committed floor so
+    * no id is ever reissued. The recorded bucket layout is preserved
+    * (replacement rows re-bucket through the same writer).
+    *
+    * CONFLICTS are refused, not merged: the replacement was derived from
+    * `expectedVersion`'s state, so if another writer committed first the
+    * CAS fails and the caller gets a ConcurrentModificationException —
+    * retry the STATEMENT (Delta/Iceberg semantics), because re-merging
+    * rows Spark already materialized would apply a stale condition. */
+  private[graft] def replaceScanned(tgt: Catalog, table: String,
+                                    expectedVersion: Long,
+                                    removedAbs: Set[String],
+                                    replacement0: DataFrame,
+                                    idOrder: Seq[String]): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    val headMan = readManifest(tgt, table, expectedVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$table' has no version $expectedVersion"))
+    val removedNorm = removedAbs.map(p => new Path(p).toUri.getPath)
+    val (removeRel, keepRel) = headMan.files.partition(r =>
+      removedNorm.contains(new Path(dataDir(tgt, table), r).toUri.getPath))
+    require(removeRel.size == removedAbs.size,
+      s"row-level replace lost track of scanned files: planned " +
+        s"${removedAbs.size}, matched ${removeRel.size} in v$expectedVersion")
+    val replacement = if (replacement0.columns.contains(Loader.IdCol))
+      replacement0.drop(Loader.IdCol) else replacement0
+    val floor = headMan.maxId.getOrElse(
+      footerMaxId(tgt, headMan.files.map(r =>
+        new Path(dataDir(tgt, table), r).toString)).getOrElse(0L))
+    val order = if (idOrder.nonEmpty) idOrder else replacement.columns.toSeq
+    val out = Loader.withSurrogateIds(replacement, floor, order)
+    val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket)
+    val newRel = newParts.map(_._1)
+    val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+    val committedMax = footerMaxId(tgt, newAbs).map(math.max(_, floor))
+      .orElse(Some(floor))
+    preCommitHook.value()
+    val fm = manifestMeta(tgt, table, Some(headMan), keepRel, newParts, out.schema)
+    if (tryCommitManifest(tgt, table,
+      Manifest(expectedVersion + 1, committedMax, headMan.bucket,
+        keepRel ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
+        headMan.props)))
+      expectedVersion + 1
+    else {
+      fs(tgt, dataDir(tgt, table)).delete(batch, true)
+      throw new java.util.ConcurrentModificationException(
+        s"row-level operation on '$table' was derived from version " +
+          s"$expectedVersion but another writer committed first — " +
+          "retry the statement against the new head")
+    }
+  }
+
   // ------------------------------------------------------------------ delete
 
   /** Logical DELETE: commit a new version containing only the rows NOT

@@ -45,7 +45,8 @@ object StorageQueries {
     "q_versioned_delete_where", "q_versioned_or_skip",
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
-    "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail")
+    "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
+    "q_versioned_sql_merge")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -335,6 +336,40 @@ object StorageQueries {
       spark.sql(s"CALL $name.system.clone('t', 't2', 4)")
       spark.sql(s"CALL $name.system.compact('t2', ${128L * 1024 * 1024})")
       spark.sql(s"DELETE FROM $name.default.t2 WHERE o_orderkey <= 400")
+      name
+    })
+  }
+
+  /** Fixture for the SQL row-level-DML query (F39): CTAS seed (v1+v2),
+    * then MERGE INTO (matched update + not-matched insert, v3) and a
+    * ranged UPDATE (v4) — pure SQL, group-based copy-on-write. */
+  private val sqlMergeNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergeFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlMergeNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gmrg${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlmerge").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.t AS " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 500 AND o_orderkey <= 1500""".stripMargin)
+        .createOrReplaceTempView("graft_merge_src")
+      spark.sql(s"""
+        MERGE INTO $name.default.t t USING graft_merge_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+          VALUES (s.o_orderkey, s.o_totalprice)""")
+      spark.sql(
+        s"UPDATE $name.default.t SET o_totalprice = 0 WHERE o_orderkey <= 100")
       name
     })
   }
@@ -751,6 +786,25 @@ object StorageQueries {
       spark.read.parquet(out)
         .select("id", "o_orderkey", "o_orderstatus", "o_totalprice")
         .orderBy("id")
+    },
+
+    // F39 SQL row-level DML: MERGE INTO (matched update + not-matched
+    // insert) and a ranged UPDATE on a versioned catalog table —
+    // group-based copy-on-write through the zone-pruned scan, one
+    // versioned commit per statement (4 versions total, enforced); the
+    // pre-merge state still time-travels. Oracle replays the merge and
+    // update relationally.
+    "q_versioned_sql_merge" -> { (spark, sfDir) =>
+      val name = sqlMergeFixture(spark, sfDir)
+      val head = spark.sql(
+        s"""SELECT 'head' AS part, o_orderkey AS k,
+           |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           |FROM $name.default.t""".stripMargin)
+      val pre = spark.sql(
+        s"""SELECT 'pre' AS part, o_orderkey AS k,
+           |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           |FROM $name.default.t VERSION AS OF 2""".stripMargin)
+      head.unionByName(pre).orderBy("part", "k")
     },
 
     // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
@@ -1276,6 +1330,28 @@ object StorageQueries {
         |         + row_number() OVER (ORDER BY o_orderkey) AS id, k3.* FROM k3)
         |SELECT id, o_orderkey, o_orderstatus, o_totalprice FROM state
         |ORDER BY id""".stripMargin,
+
+    "q_versioned_sql_merge" ->
+      """WITH c1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 1000),
+        |     src AS (SELECT o_orderkey, o_totalprice * 2 AS p FROM orders
+        |             WHERE o_orderkey > 500 AND o_orderkey <= 1500),
+        |     merged AS (
+        |       SELECT c1.o_orderkey, coalesce(src.p, c1.o_totalprice) AS p
+        |       FROM c1 LEFT JOIN src USING (o_orderkey)
+        |       UNION ALL
+        |       SELECT src.o_orderkey, src.p
+        |       FROM src LEFT JOIN c1 USING (o_orderkey)
+        |       WHERE c1.o_orderkey IS NULL),
+        |     fin AS (SELECT o_orderkey,
+        |               CASE WHEN o_orderkey <= 100 THEN 0 ELSE p END AS p
+        |             FROM merged)
+        |SELECT 'head' AS part, o_orderkey AS k,
+        |       CAST(floor(p * 100) AS BIGINT) AS v FROM fin
+        |UNION ALL
+        |SELECT 'pre', o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+        |FROM c1
+        |ORDER BY part, k""".stripMargin,
 
     "q_versioned_sql_ops" ->
       """WITH c1 AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800),

@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.graft.{CdcMicroBatch, GraftStreamWrite, PlainBatchRead, ZonePred}
+
+import graft.etl.{Catalog, VersionedTable}
+
+/** SQL UPDATE / MERGE (and non-pushable DELETE) on versioned tables —
+  * Spark's GROUP-BASED (copy-on-write) row-level operation contract:
+  *
+  * {{{
+  *   UPDATE g.default.t SET status = 'X' WHERE k < 100
+  *   MERGE INTO g.default.t USING src ON t.k = src.k
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Mechanics — the three pieces the engine asks for:
+  *
+  *   1. the SCAN identifies the affected groups: the command's condition
+  *      is pushed by `GroupBasedRowLevelOperationScanPlanning` for GROUP
+  *      elimination only, so the zone maps prune whole files driver-side
+  *      (one-sided: scanned ⊇ files-containing-matches), and the readers
+  *      are built with NO filters — copy-on-write must see EVERY row of
+  *      a scanned file, matching or not (a reader-dropped row would be
+  *      silently deleted by the rewrite);
+  *   2. Spark re-derives the scanned groups' FULL new contents (updated
+  *      + retained + merge-inserted rows) and hands them to the WRITE,
+  *      which stages them as executor-written parquet (the streaming
+  *      sink's machinery);
+  *   3. the driver commits ONE version replacing exactly the scanned
+  *      files with the staged batch ([[VersionedTable.replaceScanned]]):
+  *      bucket layout preserved, ids re-stamped above the monotone floor
+  *      (stable per-key ids remain the keyed-upsert path's contract),
+  *      prior versions still time-travel. A concurrent commit between
+  *      scan and write fails the statement with a
+  *      ConcurrentModificationException instead of merging stale state.
+  *
+  * At 100 TB the cost profile is the right one: a selective UPDATE
+  * touches O(files containing matches) — zone-pruned, not O(table);
+  * MERGE reads the scanned groups once and writes them once.
+  */
+private[sources] final class GraftRowLevelOperation(
+    cmd: RowLevelOperation.Command, dataSchema: StructType,
+    options: Map[String, String]) extends RowLevelOperation {
+
+  // the scan → write handshake: which files (at which version) the
+  // operation's scan planned — the exact set the commit replaces
+  @volatile private[sources] var scannedVersion: Long = -1L
+  @volatile private[sources] var scannedFiles: Set[String] = Set.empty
+
+  private def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft copy-on-write $cmd"
+
+  /** `_file` rides the operation so Spark routes the replace write
+    * through the projecting task (rows reach the writer in the TABLE
+    * schema, the operation marker stripped) — the same reason Iceberg's
+    * copy-on-write scans carry it. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      PlainBatchRead.FileCol))
+
+  override def newScanBuilder(
+      caseInsensitive: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownRequiredColumns {
+      private var pushed: Array[sources.Filter] = Array.empty
+      private var required: StructType = dataSchema
+
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        pushed = filters
+        filters // group pruning only; Spark keeps the condition in the plan
+      }
+      override def pushedFilters(): Array[sources.Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def description(): String = "graft row-level-op scan"
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val spark = SparkSession.active
+            val cat = new Catalog(spark, opt("dir").getOrElse(
+              throw new IllegalArgumentException("graft format requires option 'dir'")))
+            val table = opt("table").getOrElse(
+              throw new IllegalArgumentException("graft format requires option 'table'"))
+            val v = VersionedTable.currentVersion(cat, table).getOrElse(
+              throw new IllegalArgumentException(
+                s"versioned table '$table' not found"))
+            val pred = ZonePred.And(
+              pushed.toSeq.map(GraftTableProvider.filterPred))
+            val slices = VersionedTable.batchSlices(cat, table, Some(v), pred)
+            scannedVersion = v
+            scannedFiles = slices.map(_._1).toSet
+            slices.map { case (p, l) =>
+              PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
+                : InputPartition
+            }.toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            // filters = Nil: every row of a scanned file must surface
+            PlainBatchRead.readerFactory(SparkSession.active,
+              dataSchema, required, Nil)
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceWrite(info.schema(), options, () =>
+          (scannedVersion, scannedFiles))
+    }
+}
+
+/** The replace write: staged executor parquet → ONE versioned commit
+  * swapping the scanned files for the staged batch (full loader id/bucket
+  * semantics on the driver). */
+private[sources] final class GraftReplaceWrite(
+    schema: StructType, options: Map[String, String],
+    scanned: () => (Long, Set[String])) extends Write with BatchWrite {
+
+  private def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+  private def dir = opt("dir").getOrElse(
+    throw new IllegalArgumentException("graft format requires option 'dir'"))
+  private def table = opt("table").getOrElse(
+    throw new IllegalArgumentException("graft format requires option 'table'"))
+  private val stagingId = UUID.randomUUID().toString
+
+  override def toBatch: BatchWrite = this
+
+  override def description(): String = "graft copy-on-write replace"
+
+  private def stagingRoot(spark: SparkSession): String =
+    s"${new Catalog(spark, dir).dirPath(table)}.__vstage/replace-$stagingId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftStreamWrite.stageFactory(SparkSession.active, schema,
+      stagingRoot(SparkSession.active))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val cat = new Catalog(spark, dir)
+    val files = messages.collect {
+      case GraftStreamWrite.StagedFile(p, n) if n > 0 => p
+    }
+    val (version, removed) = scanned()
+    require(version >= 0,
+      "row-level write committed before its scan planned — engine contract violation")
+    val replacement =
+      if (files.nonEmpty) spark.read.schema(schema).parquet(files.toSeq: _*)
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val csv = opt("idOrder").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    try VersionedTable.replaceScanned(cat, table, version, removed,
+      replacement, csv)
+    finally cleanup(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(SparkSession.active)
+
+  private def cleanup(spark: SparkSession): Unit =
+    try {
+      val p = new Path(stagingRoot(spark))
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+    } catch { case _: java.io.IOException => () }
+}
+
+private[sources] object GraftRowLevelOps {
+  def builder(dataSchema: StructType,
+              options: Map[String, String]): RowLevelOperationInfo => RowLevelOperationBuilder =
+    info => () => new GraftRowLevelOperation(info.command(), dataSchema, options)
+}

@@ -110,7 +110,37 @@ private[sources] final class GraftBatchTable(
     dataSchema: StructType, options: Map[String, String],
     acceptAnySchema: Boolean = true)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** One metadata column: `_file`, the absolute data-file path a row
+    * lives in — queryable (`SELECT _file, * FROM g.default.t`) and the
+    * attribute Spark's group-based row-level operations carry so their
+    * writes take the projecting task ([[GraftRowLevelOperation]]). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = org.apache.spark.sql.graft.PlainBatchRead.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file the row lives in"
+    })
+
+  /** SQL UPDATE / MERGE (group-based copy-on-write) — see
+    * [[GraftRowLevelOperation]]. Time-travel handles refuse: a row-level
+    * write always derives from and commits against the head. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!options.keys.exists(k => k.equalsIgnoreCase("versionAsOf") ||
+      k.equalsIgnoreCase("timestampAsOf")),
+      "cannot UPDATE/MERGE at a time-travel version — row-level " +
+        "operations always commit a new head")
+    GraftRowLevelOps.builder(dataSchema, options)(info)
+  }
 
   /** SQL `DELETE FROM g.default.t WHERE ...` — routed to the versioned
     * logical delete: files whose zone maps PROVE full coverage drop with

@@ -87,6 +87,13 @@ object CdcMicroBatch {
   * results, Spark picks per [[PartitionReaderFactory.supportColumnarReads]]). */
 object PlainBatchRead {
 
+  /** The table's one METADATA column: the absolute data-file path a row
+    * lives in — `SELECT _file FROM g.default.t` works, and Spark's
+    * group-based row-level operations require at least one declared
+    * metadata attribute to route their writes through the projecting
+    * task (the Iceberg `_file` pattern). */
+  val FileCol = "_file"
+
   final case class FileInputPartition(file: CdcMicroBatch.FileSlice)
     extends InputPartition
 
@@ -94,17 +101,25 @@ object PlainBatchRead {
                     dataSchema: StructType, requiredSchema: StructType,
                     filters: Seq[org.apache.spark.sql.sources.Filter])
       : PartitionReaderFactory = {
+    // `_file` requested: read the data columns, inject the partition's
+    // path at the right ordinal (row mode — metadata queries are the
+    // rare case; the common scan below stays columnar)
+    val fileOrdinal = requiredSchema.fieldNames.indexOf(FileCol)
+    val dataRequired =
+      if (fileOrdinal < 0) requiredSchema
+      else StructType(requiredSchema.fields.filterNot(_.name == FileCol))
     val fmt = new ParquetFileFormat
-    val columnar = fmt.supportBatch(spark, requiredSchema)
+    val columnar = fileOrdinal < 0 && fmt.supportBatch(spark, dataRequired)
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark,
       dataSchema = dataSchema,
       partitionSchema = StructType(Nil),
-      requiredSchema = requiredSchema,
+      requiredSchema = dataRequired,
       filters = filters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
-    new PlainReaderFactory(readFunc, columnar)
+    new PlainReaderFactory(readFunc, columnar, fileOrdinal,
+      dataRequired.fields.map(_.dataType))
   }
 
   private[graft] def partitionedFile(f: CdcMicroBatch.FileSlice): PartitionedFile =
@@ -115,8 +130,12 @@ object PlainBatchRead {
 
 final class PlainReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    columnar: Boolean)
+    columnar: Boolean,
+    fileOrdinal: Int = -1,
+    dataTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty)
   extends PartitionReaderFactory {
+
+  private val nDataFields = dataTypes.length
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
@@ -124,15 +143,33 @@ final class PlainReaderFactory(
     partition match {
       case PlainBatchRead.FileInputPartition(f) =>
         new PartitionReader[InternalRow] {
+          // constant per partition: the file path `_file` surfaces
+          private val pathValue = UTF8String.fromString(f.path)
           private val it =
             readFunc(PlainBatchRead.partitionedFile(f))
               .asInstanceOf[Iterator[Any]].flatMap {
                 case b: ColumnarBatch => b.rowIterator().asScala
                 case r: InternalRow => Iterator.single(r)
               }
+          private def withFile(r: InternalRow): InternalRow =
+            if (fileOrdinal < 0) r
+            else {
+              val g = new GenericInternalRow(nDataFields + 1)
+              var i = 0; var j = 0
+              while (j < nDataFields + 1) {
+                if (j == fileOrdinal) g.update(j, pathValue)
+                else {
+                  g.update(j,
+                    if (r.isNullAt(i)) null else r.get(i, dataTypes(i)))
+                  i += 1
+                }
+                j += 1
+              }
+              g
+            }
           private var cur: InternalRow = _
           override def next(): Boolean = {
-            if (it.hasNext) { cur = it.next(); true } else false
+            if (it.hasNext) { cur = withFile(it.next()); true } else false
           }
           override def get(): InternalRow = cur
           override def close(): Unit = ()

@@ -64,6 +64,18 @@ object GraftStreamWrite {
   /** One committed task attempt's staged file. */
   final case class StagedFile(path: String, rows: Long) extends WriterCommitMessage
 
+  /** Build a staging writer factory (executor-side parquet via Spark's
+    * own [[ParquetFileFormat.prepareWrite]] writer) for any consumer —
+    * the streaming sink's epochs and the row-level replace write share
+    * this machinery. */
+  def stageFactory(spark: SparkSession, schema: StructType,
+                                  stagingRoot: String): GraftStreamWriterFactory = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    new GraftStreamWriterFactory(owf,
+      new SerializableConfiguration(job.getConfiguration), schema, stagingRoot)
+  }
+
   def apply(spark: SparkSession, queryId: String, schema: StructType,
             options: Map[String, String]): StreamingWrite = {
     def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
@@ -94,16 +106,11 @@ final class GraftStreamingWrite(
   private def epochProp = s"stream_epoch_$queryId"
 
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
     // prepareWrite CONFIGURES the job conf (committer, compression,
-    // schema) — that prepared conf must be the one the executors' task
-    // attempt contexts carry, so serialize it after preparation
-    val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val owf = new ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, schema)
-    new GraftStreamWriterFactory(owf,
-      new SerializableConfiguration(job.getConfiguration), schema, stagingRoot)
-  }
+    // schema) — stageFactory serializes it after preparation so the
+    // executors' task attempt contexts carry the prepared conf
+    GraftStreamWrite.stageFactory(spark, schema, stagingRoot)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val c = cat
@@ -153,9 +160,14 @@ final class GraftStreamingWrite(
     } catch { case _: java.io.IOException => () }
 }
 
-private[graft] final class GraftStreamWriterFactory(
+final class GraftStreamWriterFactory(
     owf: OutputWriterFactory, conf: SerializableConfiguration,
-    schema: StructType, stagingRoot: String) extends StreamingDataWriterFactory {
+    schema: StructType, stagingRoot: String) extends StreamingDataWriterFactory
+  with org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  /** Batch flavor (row-level replace writes): same staging, epoch 0. */
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId, 0L)
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
@@ -176,6 +188,13 @@ private[graft] final class GraftStreamWriterFactory(
         writer.write(record)
         n += 1
       }
+
+      /** Metadata-bearing writes (group-based row-level operations hand
+        * (metadataRow, dataRow) pairs): the replace commit works from
+        * the scanned-file SET, so the per-row metadata is not needed —
+        * write the data row. */
+      override def write(metadata: InternalRow, record: InternalRow): Unit =
+        write(record)
 
       override def commit(): WriterCommitMessage = {
         if (writer != null) writer.close()
