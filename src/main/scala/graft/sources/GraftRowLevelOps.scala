@@ -86,7 +86,38 @@ private[sources] final class GraftRowLevelOperation(
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+        with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+        // RUNTIME group filtering — the piece that makes MERGE scale:
+        // its ON condition references the source, so nothing pushes
+        // statically; Spark instead computes the matching rows' `_file`
+        // values from the source join and hands them here as an IN
+        // predicate, narrowing the rewrite to the files that actually
+        // contain matches (Iceberg's copy-on-write pattern). Narrowing
+        // only — an unrecognized predicate shape leaves the set as-is.
+        @volatile private var runtimeKeep: Option[Set[String]] = None
+
+        override def filterAttributes()
+            : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .column(PlainBatchRead.FileCol))
+
+        override def filter(
+            predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+          import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+          predicates.foreach { p =>
+            val values = p.name() match {
+              case "IN" | "=" => Some(p.children().toSeq.collect {
+                case l: V2Literal[_] => String.valueOf(l.value())
+              }.toSet)
+              case _ => None
+            }
+            values.filter(_.nonEmpty).foreach { vs =>
+              runtimeKeep = Some(runtimeKeep.fold(vs)(_ intersect vs))
+            }
+          }
+        }
+
         override def readSchema(): StructType = required
         override def description(): String = "graft row-level-op scan"
         override def toBatch: Batch = new Batch {
@@ -101,7 +132,9 @@ private[sources] final class GraftRowLevelOperation(
                 s"versioned table '$table' not found"))
             val pred = ZonePred.And(
               pushed.toSeq.map(GraftTableProvider.filterPred))
-            val slices = VersionedTable.batchSlices(cat, table, Some(v), pred)
+            val slices0 = VersionedTable.batchSlices(cat, table, Some(v), pred)
+            val slices = runtimeKeep.fold(slices0)(keep =>
+              slices0.filter { case (p, _) => keep.contains(p) })
             scannedVersion = v
             scannedFiles = slices.map(_._1).toSet
             slices.map { case (p, l) =>

@@ -70,6 +70,34 @@ class GraftRowLevelOpsSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length, "ids must stay unique")
   }
 
+  test("MERGE runtime-filters to the groups that contain matches") {
+    spark.sql("CREATE TABLE gr.default.rf (k BIGINT, v BIGINT)")
+    // three appends with disjoint key ranges → three file groups; the
+    // merge source touches ONLY the middle range, and its ON condition
+    // pushes nothing statically — runtime group filtering must keep the
+    // other groups' files out of the rewrite
+    (0 to 2).foreach { i =>
+      VersionedTable.load(lib, "rf",
+        (1L to 50L).map(j => (i * 1000L + j, j)).toDF("k", "v"),
+        idOrder = Seq("k"))
+    }
+    val before = VersionedTable.files(lib, "rf", 4L).toSet
+    spark.range(1010, 1021).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("rf_src")
+    spark.sql("""
+      MERGE INTO gr.default.rf t USING rf_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = -1""")
+    val after = VersionedTable.files(lib, "rf", 5L).toSet
+    assert((before & after).nonEmpty,
+      "groups without matches must survive the merge untouched " +
+        s"(runtime _file filtering): kept ${(before & after).size} of ${before.size}")
+    val got = spark.sql("SELECT k, v FROM gr.default.rf ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.count(_._2 == -1L) == 11, "exactly the matched rows update")
+    assert(got.size == 150, "no rows lost from unmatched groups")
+    spark.sql("DROP TABLE gr.default.rf")
+  }
+
   test("_file metadata column: queryable, and absent unless asked for") {
     spark.sql("CREATE TABLE gr.default.mf (k BIGINT)")
     spark.sql("INSERT INTO gr.default.mf VALUES (1), (2)")
