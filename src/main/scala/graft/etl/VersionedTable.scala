@@ -1098,8 +1098,10 @@ object VersionedTable {
     val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket)
     val newRel = newParts.map(_._1)
     val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+    // same strictness as loadAttempt: when the footer probe bails on a
+    // populated file, record NO floor (the next load scans) — fabricating
+    // `floor` here would reissue the ids just stamped above it
     val committedMax = footerMaxId(tgt, newAbs).map(math.max(_, floor))
-      .orElse(Some(floor))
     preCommitHook.value()
     val fm = manifestMeta(tgt, table, Some(headMan), keepRel, newParts, out.schema)
     if (tryCommitManifest(tgt, table,

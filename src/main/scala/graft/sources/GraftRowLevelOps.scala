@@ -56,7 +56,29 @@ private[sources] final class GraftRowLevelOperation(
   @volatile private[sources] var scannedVersion: Long = -1L
   @volatile private[sources] var scannedFiles: Set[String] = Set.empty
 
-  private def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+  private def opt(k: String) = GraftTableProvider.opt(options, k)
+
+  /** The operation's SNAPSHOT version, pinned on first resolution: the
+    * runtime-group-filter subquery and the main scan are SEPARATE Scan
+    * instances, and resolving the head independently in each would let a
+    * concurrent commit land between them — the subquery's `_file` values
+    * would then name files the newer version rewrote, and the narrowed
+    * main scan would silently skip matching rows with the CAS none the
+    * wiser. One pinned version means every scan sees one state and any
+    * concurrent commit is CAUGHT by the commit CAS (the advertised
+    * ConcurrentModificationException), never silently lost. */
+  private val pinned = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  private[sources] def pinnedVersion(cat: Catalog, table: String): Long = {
+    val v = pinned.get()
+    if (v >= 0L) v
+    else {
+      val head = VersionedTable.currentVersion(cat, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"versioned table '$table' not found"))
+      if (pinned.compareAndSet(-1L, head)) head else pinned.get()
+    }
+  }
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -107,12 +129,16 @@ private[sources] final class GraftRowLevelOperation(
           import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
           predicates.foreach { p =>
             val values = p.name() match {
+              // an EMPTY IN is an exact answer — "no file contains
+              // matches" — and must narrow to the empty set (an
+              // insert-only MERGE then appends instead of rewriting the
+              // whole table); only unrecognized SHAPES are ignored
               case "IN" | "=" => Some(p.children().toSeq.collect {
                 case l: V2Literal[_] => String.valueOf(l.value())
               }.toSet)
               case _ => None
             }
-            values.filter(_.nonEmpty).foreach { vs =>
+            values.foreach { vs =>
               runtimeKeep = Some(runtimeKeep.fold(vs)(_ intersect vs))
             }
           }
@@ -123,13 +149,13 @@ private[sources] final class GraftRowLevelOperation(
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
             val spark = SparkSession.active
-            val cat = new Catalog(spark, opt("dir").getOrElse(
-              throw new IllegalArgumentException("graft format requires option 'dir'")))
-            val table = opt("table").getOrElse(
-              throw new IllegalArgumentException("graft format requires option 'table'"))
-            val v = VersionedTable.currentVersion(cat, table).getOrElse(
-              throw new IllegalArgumentException(
-                s"versioned table '$table' not found"))
+            val cat = new Catalog(spark,
+              GraftTableProvider.requiredOpt(options, "dir"))
+            val table = GraftTableProvider.requiredOpt(options, "table")
+            // every scan of this operation plans at ONE pinned version
+            // (see pinnedVersion): concurrent commits surface as a CAS
+            // conflict at write time, never as silently skipped rows
+            val v = pinnedVersion(cat, table)
             val pred = ZonePred.And(
               pushed.toSeq.map(GraftTableProvider.filterPred))
             val slices0 = VersionedTable.batchSlices(cat, table, Some(v), pred)
@@ -165,11 +191,8 @@ private[sources] final class GraftReplaceWrite(
     schema: StructType, options: Map[String, String],
     scanned: () => (Long, Set[String])) extends Write with BatchWrite {
 
-  private def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
-  private def dir = opt("dir").getOrElse(
-    throw new IllegalArgumentException("graft format requires option 'dir'"))
-  private def table = opt("table").getOrElse(
-    throw new IllegalArgumentException("graft format requires option 'table'"))
+  private def dir = GraftTableProvider.requiredOpt(options, "dir")
+  private def table = GraftTableProvider.requiredOpt(options, "table")
   private val stagingId = UUID.randomUUID().toString
 
   override def toBatch: BatchWrite = this
@@ -192,14 +215,19 @@ private[sources] final class GraftReplaceWrite(
     val (version, removed) = scanned()
     require(version >= 0,
       "row-level write committed before its scan planned — engine contract violation")
+    if (removed.isEmpty && files.isEmpty) {
+      // nothing scanned, nothing produced — a DML that matched nothing
+      // commits NO version (Delta/Iceberg semantics): repeated no-op
+      // statements must not inflate history or feed empty stream batches
+      cleanup(spark)
+      return
+    }
     val replacement =
       if (files.nonEmpty) spark.read.schema(schema).parquet(files.toSeq: _*)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val csv = opt("idOrder").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     try VersionedTable.replaceScanned(cat, table, version, removed,
-      replacement, csv)
+      replacement, GraftTableProvider.csvOpt(options, "idOrder"))
     finally cleanup(spark)
   }
 

@@ -117,10 +117,15 @@ private[sources] final class GraftBatchTable(
   /** One metadata column: `_file`, the absolute data-file path a row
     * lives in — queryable (`SELECT _file, * FROM g.default.t`) and the
     * attribute Spark's group-based row-level operations carry so their
-    * writes take the projecting task ([[GraftRowLevelOperation]]). */
+    * writes take the projecting task ([[GraftRowLevelOperation]]).
+    * A table whose DATA schema already has `_file` (foreign parquet)
+    * declares none — the data column wins, unshadowed. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+    if (dataSchema.fieldNames.contains(
+      org.apache.spark.sql.graft.PlainBatchRead.FileCol))
+      Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
       override def name(): String = org.apache.spark.sql.graft.PlainBatchRead.FileCol
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.StringType
@@ -139,6 +144,10 @@ private[sources] final class GraftBatchTable(
       k.equalsIgnoreCase("timestampAsOf")),
       "cannot UPDATE/MERGE at a time-travel version — row-level " +
         "operations always commit a new head")
+    require(!dataSchema.fieldNames.contains(
+      org.apache.spark.sql.graft.PlainBatchRead.FileCol),
+      "row-level operations need the _file metadata column, which this " +
+        "table's own _file data column shadows — rename the column")
     GraftRowLevelOps.builder(dataSchema, options)(info)
   }
 
@@ -154,13 +163,12 @@ private[sources] final class GraftBatchTable(
     filters.forall(f => GraftTableProvider.filterColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
-    def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    import GraftTableProvider.{opt, requiredOpt}
     val spark = SparkSession.active
-    val cat = new Catalog(spark, opt("dir").getOrElse(
-      throw new IllegalArgumentException("graft format requires option 'dir'")))
-    val table = opt("table").getOrElse(
-      throw new IllegalArgumentException("graft format requires option 'table'"))
-    require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+    val cat = new Catalog(spark, requiredOpt(options, "dir"))
+    val table = requiredOpt(options, "table")
+    require(opt(options, "versionAsOf").isEmpty &&
+      opt(options, "timestampAsOf").isEmpty,
       "cannot DELETE at a time-travel version — deletes always commit a new head")
     val cond = filters.toSeq
       .map(f => GraftTableProvider.filterColumn(f).getOrElse(
@@ -220,23 +228,20 @@ private[sources] class GraftWriteBuilder(
             require(!overwrite,
               "graft writes are versioned commits; use delete + append or " +
                 "rollback instead of overwrite")
-            def opt(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
-            val cat = new Catalog(data.sparkSession, opt("dir").getOrElse(
-              throw new IllegalArgumentException("graft format requires option 'dir'")))
-            val table = opt("table").getOrElse(
-              throw new IllegalArgumentException("graft format requires option 'table'"))
-            require(opt("versionAsOf").isEmpty,
+            import GraftTableProvider.{csvOpt, opt, requiredOpt}
+            val cat = new Catalog(data.sparkSession, requiredOpt(options, "dir"))
+            val table = requiredOpt(options, "table")
+            require(opt(options, "versionAsOf").isEmpty,
               "cannot write AT a version — writes always commit a new head")
-            val csv = (k: String) => opt(k).toSeq
-              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
             VersionedTable.load(cat, table, data,
-              upsertFields = csv("upsertKeys"),
-              idOrder = csv("idOrder"),
-              bucketBy = csv("bucketBy") match {
+              upsertFields = csvOpt(options, "upsertKeys"),
+              idOrder = csvOpt(options, "idOrder"),
+              bucketBy = csvOpt(options, "bucketBy") match {
                 case Nil => None
-                case cols => Some((cols, opt("numBuckets").map(_.toInt).getOrElse(
-                  throw new IllegalArgumentException(
-                    "bucketBy requires option 'numBuckets'"))))
+                case cols => Some((cols,
+                  opt(options, "numBuckets").map(_.toInt).getOrElse(
+                    throw new IllegalArgumentException(
+                      "bucketBy requires option 'numBuckets'"))))
               })
             ()
           }
@@ -301,18 +306,15 @@ private[sources] final class GraftBatch(
     dataSchema: StructType, requiredSchema: StructType,
     options: Map[String, String], pushed: Array[sources.Filter]) extends Batch {
 
-  private def opt(k: String): String =
-    options.find(_._1.equalsIgnoreCase(k)).map(_._2).getOrElse(
-      throw new IllegalArgumentException(s"graft format requires option '$k'"))
-
   override def planInputPartitions(): Array[InputPartition] = {
+    import GraftTableProvider.{opt, requiredOpt}
     val spark = SparkSession.active
-    val cat = new Catalog(spark, opt("dir"))
-    def o(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
-    val v = GraftTableProvider.resolveVersion(cat, opt("table"),
-      o("versionAsOf"), o("timestampAsOf"))
+    val cat = new Catalog(spark, requiredOpt(options, "dir"))
+    val table = requiredOpt(options, "table")
+    val v = GraftTableProvider.resolveVersion(cat, table,
+      opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
     val pred = ZonePred.And(pushed.toSeq.map(GraftTableProvider.filterPred))
-    VersionedTable.batchSlices(cat, opt("table"), v, pred).map { case (p, l) =>
+    VersionedTable.batchSlices(cat, table, v, pred).map { case (p, l) =>
       PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
         : InputPartition
     }.toArray
@@ -324,6 +326,19 @@ private[sources] final class GraftBatch(
 }
 
 object GraftTableProvider {
+
+  /** THE option accessors — one copy of the case-insensitive lookup,
+    * the required-option error, and the csv splitting, shared by every
+    * read/write/stream/DML surface of the format. */
+  private[graft] def opt(options: Map[String, String], k: String): Option[String] =
+    options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+
+  private[graft] def requiredOpt(options: Map[String, String], k: String): String =
+    opt(options, k).getOrElse(throw new IllegalArgumentException(
+      s"graft format requires option '$k'"))
+
+  private[graft] def csvOpt(options: Map[String, String], k: String): Seq[String] =
+    opt(options, k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** Resolve the time-travel options to a concrete version: `versionAsOf`
     * wins alone, `timestampAsOf` (epoch millis, or ISO-8601 parsed as

@@ -103,8 +103,13 @@ object PlainBatchRead {
       : PartitionReaderFactory = {
     // `_file` requested: read the data columns, inject the partition's
     // path at the right ordinal (row mode — metadata queries are the
-    // rare case; the common scan below stays columnar)
-    val fileOrdinal = requiredSchema.fieldNames.indexOf(FileCol)
+    // rare case; the common scan below stays columnar; a constant
+    // ColumnVector alongside the batch would keep DML scans vectorized
+    // — the known perf seam). A DATA column named `_file` (foreign
+    // parquet) wins over the metadata column: never inject over it.
+    val fileOrdinal =
+      if (dataSchema.fieldNames.contains(FileCol)) -1
+      else requiredSchema.fieldNames.indexOf(FileCol)
     val dataRequired =
       if (fileOrdinal < 0) requiredSchema
       else StructType(requiredSchema.fields.filterNot(_.name == FileCol))

@@ -98,6 +98,35 @@ class GraftRowLevelOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE gr.default.rf")
   }
 
+  test("no-op DML commits nothing; insert-only MERGE appends instead of rewriting") {
+    spark.sql("CREATE TABLE gr.default.nop (k BIGINT, v BIGINT)")
+    (0 to 1).foreach { i =>
+      VersionedTable.load(lib, "nop",
+        (1L to 20L).map(j => (i * 1000L + j, j)).toDF("k", "v"),
+        idOrder = Seq("k"))
+    }
+    assert(VersionedTable.versions(lib, "nop") == (1L to 3L))
+    // UPDATE matching nothing (outside every zone range): NO new version
+    spark.sql("UPDATE gr.default.nop SET v = -1 WHERE k = 999999")
+    assert(VersionedTable.versions(lib, "nop") == (1L to 3L),
+      "a DML that matches nothing must not inflate the version history")
+    // MERGE whose source matches NO target key: the empty runtime filter
+    // narrows the rewrite to zero groups — every prior file survives and
+    // the new rows land as a plain append-shaped commit
+    val before = VersionedTable.files(lib, "nop", 3L).toSet
+    spark.range(5000, 5003).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("nop_src")
+    spark.sql("""MERGE INTO gr.default.nop t USING nop_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val after = VersionedTable.files(lib, "nop", 4L).toSet
+    assert(before.subsetOf(after),
+      s"insert-only MERGE must keep every existing file: kept " +
+        s"${(before & after).size} of ${before.size}")
+    assert(spark.sql("SELECT count(*) FROM gr.default.nop").head().getLong(0) == 43L)
+    spark.sql("DROP TABLE gr.default.nop")
+  }
+
   test("_file metadata column: queryable, and absent unless asked for") {
     spark.sql("CREATE TABLE gr.default.mf (k BIGINT)")
     spark.sql("INSERT INTO gr.default.mf VALUES (1), (2)")
