@@ -1891,11 +1891,45 @@ object VersionedTable {
     val man = readManifest(tgt, table, ver).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $ver"))
     lazy val f = fs(tgt, dataDir(tgt, table))
-    man.files.filter(rel => fileAdmits(man, rel, pred)).map { rel =>
+    // a file with a RECORDED row count of zero admits nothing — exact,
+    // not heuristic; skips the empty schema-bearing file every
+    // CREATE TABLE commits (schema here comes from the catalog, so an
+    // empty table legitimately plans zero partitions)
+    man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+        fileAdmits(man, rel, pred)).map { rel =>
       val abs = new Path(dataDir(tgt, table), rel).toString
       abs -> man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen)
     }
   }
+
+  /** Planning statistics for the files of version `v` that survive
+    * zone-map pruning under `pred`: (total bytes, total rows when every
+    * surviving file recorded a row count). Manifest-only — this is what
+    * lets the V2 scan report REAL post-pruning sizes to the join planner
+    * (a small versioned dim broadcasts instead of defaulting to
+    * sort-merge behind `defaultSizeInBytes = Long.Max`). */
+  private[graft] def batchStats(tgt: Catalog, table: String, v: Option[Long],
+                                pred: org.apache.spark.sql.graft.ZonePred.P)
+      : (Long, Option[Long]) = {
+    val ver = v.orElse(currentVersion(tgt, table)).getOrElse(
+      throw new IllegalArgumentException(s"versioned table '$table' not found"))
+    val man = readManifest(tgt, table, ver).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $ver"))
+    lazy val f = fs(tgt, dataDir(tgt, table))
+    val surv = man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+      fileAdmits(man, rel, pred))
+    val bytes = surv.map(rel => man.sizes.getOrElse(rel,
+      f.getFileStatus(new Path(dataDir(tgt, table), rel)).getLen)).sum
+    val rows = surv.map(man.rows.get)
+    (bytes, if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None)
+  }
+
+  /** The columns whose per-file ranges the manifest records (= the
+    * columns zone-map pruning can act on) — the scan's runtime-filter
+    * attribute surface. Schema-derived, same rule commits use. */
+  private[graft] def statEligibleColumns(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    statColNames(schema)
 
   // ------------------------------------------------------------- change feed
 

@@ -128,6 +128,27 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.recluster('t', 'col1,col2', target_bytes)` — rewrite
+    * the head version sorted/z-ordered on the given columns so zone maps
+    * turn selective on them (the OPTIMIZE ZORDER shape); returns the
+    * committed version. Flat tables only — a bucketed table's locality
+    * IS its bucket hash ([[VersionedTable.recluster]]). */
+  def recluster(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("recluster",
+      "re-sort a versioned table on cluster columns for zone-map locality",
+      Array(param("table", StringType), param("cluster_by", StringType),
+        param("target_bytes", LongType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val cols = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val committed = VersionedTable.recluster(cat(),
+          input.getUTF8String(0).toString, cols, input.getLong(2))
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
+
   /** `CALL g.system.vacuum('t', keepLast[, dryRun])` — drop manifests
     * older than the newest keepLast versions and reclaim unreferenced
     * files (live clones' shared files stay protected); returns the

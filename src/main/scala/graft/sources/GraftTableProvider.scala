@@ -266,45 +266,127 @@ private[sources] final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan {
-    override def readSchema(): StructType = required
-    override def description(): String = "graft versioned-table batch scan"
-    override def toBatch: Batch = new GraftBatch(
-      dataSchema, required, options, pushed)
-    /** APPEND-TAIL stream (`spark.readStream.format("graft")`) — see
-      * [[graft.streaming.GraftAppendStream]]. (Spark applies no
-      * pushdown to streaming scans, so `required`/`pushed` here are the
-      * full schema / empty in practice — passed through for the day the
-      * engine grows streaming pushdown.) */
-    override def toMicroBatchStream(checkpointLocation: String)
-        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-      def o(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
-      require(o("versionAsOf").isEmpty && o("timestampAsOf").isEmpty,
-        "time travel options do not compose with a stream — use " +
-          "startingVersion/startingTimestamp to begin the tail at a " +
-          "version's appends")
-      val spark = SparkSession.active
-      val dir = o("dir").getOrElse(throw new IllegalArgumentException(
-        "graft format requires option 'dir'"))
-      val table = o("table").getOrElse(throw new IllegalArgumentException(
-        "graft format requires option 'table'"))
-      new graft.streaming.GraftAppendStream(spark,
-        dir = dir, table = table,
-        dataSchema = dataSchema, requiredSchema = required,
-        filters = pushed.toSeq,
-        maxVersionsPerTrigger = o("maxVersionsPerTrigger").map(_.toLong),
-        maxBytesPerTrigger = o("maxBytesPerTrigger").map(_.toLong),
-        skipChangeCommits = o("skipChangeCommits").exists(_.toBoolean),
-        startingVersion = graft.streaming.CdcStreamProvider
-          .resolveStartingVersion(new Catalog(spark, dir), table,
-            o("startingVersion").map(_.toLong), o("startingTimestamp")))
+  override def build(): Scan = new GraftScan(dataSchema, required, options, pushed)
+}
+
+/** The format's batch scan — besides the partition planning it reports
+  * STATISTICS and accepts RUNTIME filters, the two planner contracts
+  * that matter most in a 100 TB join:
+  *
+  *  - [[SupportsReportStatistics]]: post-pruning size/row counts straight
+  *    from the manifest (zero I/O). Without this a DSv2 relation planner
+  *    falls back to `spark.sql.defaultSizeInBytes` (= Long.Max), so a
+  *    10 MB versioned dim table would NEVER auto-broadcast and every
+  *    catalog-SQL join would sort-merge-shuffle the fact side. Rows are
+  *    exact (manifest row counts over surviving files); size estimates
+  *    in-memory width (rows × pruned-schema default size — the Iceberg
+  *    rule) so column pruning shrinks the estimate and compressed parquet
+  *    bytes don't understate a broadcast candidate.
+  *  - [[SupportsRuntimeV2Filtering]]: dynamic FILE pruning. When this
+  *    scan joins a filtered dim, Spark computes the dim's join-key
+  *    values at runtime and hands them here as an IN predicate BEFORE
+  *    partitions launch; the values re-prune the file list through the
+  *    same zone maps as static pushdown. On a time/key-clustered fact
+  *    table that turns "scan everything, filter in the join" into "read
+  *    only the files whose ranges cover the dim's keys" — Iceberg's
+  *    dynamic-filtering pattern, zone maps instead of partition dirs.
+  *    One-sided as always: unrecognized shapes or oversized IN lists
+  *    prune nothing (never wrongly skip).
+  */
+private[sources] final class GraftScan(
+    dataSchema: StructType, required: StructType,
+    options: Map[String, String], pushed: Array[sources.Filter])
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Runtime predicates arrive after toBatch is materialized
+    * (BatchScanExec builds the Batch at planning, filters at execution),
+    * so the state lives on the scan and the Batch re-reads it when it
+    * (re-)plans partitions. */
+  @volatile private var runtimePred: ZonePred.P = ZonePred.And(Nil)
+
+  override def readSchema(): StructType = required
+  override def description(): String = "graft versioned-table batch scan"
+
+  /** Runtime-filterable columns: the stat-eligible set RESTRICTED to the
+    * pruned output schema — Spark resolves these against the scan's
+    * OUTPUT, so reporting a pruned-away column is an analysis crash on
+    * every join over a projected scan. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = required.fieldNames.toSet
+    VersionedTable.statEligibleColumns(dataSchema).filter(out).map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val ps = predicates.toSeq.map(GraftTableProvider.runtimeFilterPred)
+    runtimePred = ZonePred.And(ps :+ runtimePred)
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import GraftTableProvider.{opt, requiredOpt}
+    val cat = new Catalog(SparkSession.active, requiredOpt(options, "dir"))
+    val table = requiredOpt(options, "table")
+    val v = GraftTableProvider.resolveVersion(cat, table,
+      opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
+    val pred = ZonePred.And(
+      pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtimePred)
+    val (bytes, rows) = VersionedTable.batchStats(cat, table, v, pred)
+    // rows known → in-memory width estimate on the PRUNED schema (pruning
+    // a 100-col table to 2 cols must shrink the broadcast estimate);
+    // legacy row-less manifests fall back to on-disk bytes
+    val size = rows.fold(bytes)(r =>
+      r * math.max(1L, required.defaultSize.toLong))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
+  }
+
+  override def toBatch: Batch = new GraftBatch(
+    dataSchema, required, options, pushed, () => runtimePred)
+
+  /** APPEND-TAIL stream (`spark.readStream.format("graft")`) — see
+    * [[graft.streaming.GraftAppendStream]]. (Spark applies no
+    * pushdown to streaming scans, so `required`/`pushed` here are the
+    * full schema / empty in practice — passed through for the day the
+    * engine grows streaming pushdown.) */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    def o(k: String) = options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+    require(o("versionAsOf").isEmpty && o("timestampAsOf").isEmpty,
+      "time travel options do not compose with a stream — use " +
+        "startingVersion/startingTimestamp to begin the tail at a " +
+        "version's appends")
+    val spark = SparkSession.active
+    val dir = o("dir").getOrElse(throw new IllegalArgumentException(
+      "graft format requires option 'dir'"))
+    val table = o("table").getOrElse(throw new IllegalArgumentException(
+      "graft format requires option 'table'"))
+    new graft.streaming.GraftAppendStream(spark,
+      dir = dir, table = table,
+      dataSchema = dataSchema, requiredSchema = required,
+      filters = pushed.toSeq,
+      maxVersionsPerTrigger = o("maxVersionsPerTrigger").map(_.toLong),
+      maxBytesPerTrigger = o("maxBytesPerTrigger").map(_.toLong),
+      skipChangeCommits = o("skipChangeCommits").exists(_.toBoolean),
+      startingVersion = graft.streaming.CdcStreamProvider
+        .resolveStartingVersion(new Catalog(spark, dir), table,
+          o("startingVersion").map(_.toLong), o("startingTimestamp")))
   }
 }
 
 private[sources] final class GraftBatch(
     dataSchema: StructType, requiredSchema: StructType,
-    options: Map[String, String], pushed: Array[sources.Filter]) extends Batch {
+    options: Map[String, String], pushed: Array[sources.Filter],
+    runtime: () => ZonePred.P = () => ZonePred.And(Nil)) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -313,7 +395,11 @@ private[sources] final class GraftBatch(
     val table = requiredOpt(options, "table")
     val v = GraftTableProvider.resolveVersion(cat, table,
       opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
-    val pred = ZonePred.And(pushed.toSeq.map(GraftTableProvider.filterPred))
+    // runtime() re-reads the scan's dynamic-filter state: BatchScanExec
+    // re-plans partitions AFTER scan.filter(...) lands, so join-time IN
+    // sets prune files here exactly like static pushdown
+    val pred = ZonePred.And(
+      pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtime())
     VersionedTable.batchSlices(cat, table, v, pred).map { case (p, l) =>
       PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
         : InputPartition
@@ -390,6 +476,52 @@ object GraftTableProvider {
       case sources.AlwaysTrue() => Some(lit(true))
       case sources.AlwaysFalse() => Some(lit(false))
       case _ => None
+    }
+  }
+
+  /** Dynamic-filter IN lists above this stay unpruned: zone-map
+    * evaluation is O(files × values) on the driver, and a join key with
+    * thousands of distinct survivors prunes few files anyway. */
+  private val MaxRuntimeInValues = 4096
+
+  /** Runtime V2 predicate (what Spark's dynamic file pruning hands
+    * [[GraftScan.filter]] — an IN/= over a join key, values from the
+    * executed dim side) into the neutral [[ZonePred]] tree. V2 literals
+    * carry Catalyst-INTERNAL values (UTF8String, days, micros), so each
+    * converts through its declared type back to the external JVM value
+    * the zone-map domain logic canonicalizes. An EMPTY IN is exact
+    * ("no key survived the dim filter" — every file skips); only
+    * unrecognized shapes, nulls, and oversized lists become Unknown. */
+  private[sources] def runtimeFilterPred(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): ZonePred.P = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    p.name() match {
+      case "IN" | "=" =>
+        val kids = p.children().toSeq
+        (kids.headOption.flatMap(colName), kids.drop(1)) match {
+          case (Some(c), lits) if lits.size <= MaxRuntimeInValues &&
+              lits.forall(_.isInstanceOf[V2Literal[_]]) =>
+            val vs = lits.map { l =>
+              val lit = l.asInstanceOf[V2Literal[_]]
+              org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .createToScalaConverter(lit.dataType())(lit.value())
+            }
+            if (vs.contains(null) || (p.name() == "=" && vs.size != 1))
+              ZonePred.Unknown
+            else ZonePred.Leaf(c, if (p.name() == "=") "eq" else "in", vs)
+          case _ => ZonePred.Unknown
+        }
+      case "AND" => ZonePred.And(p.children().toSeq.collect {
+        case q: org.apache.spark.sql.connector.expressions.filter.Predicate =>
+          runtimeFilterPred(q)
+      })
+      case _ => ZonePred.Unknown
     }
   }
 

@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, DataSourceV2ScanRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The graft scan's PLANNER contracts — the two DSv2 interfaces that
+  * decide whether a 100 TB catalog-SQL join plans sanely:
+  *
+  *  - [[SupportsReportStatistics]]: manifest-derived post-pruning
+  *    size/rows. Without it a V2 relation reports
+  *    `spark.sql.defaultSizeInBytes` (Long.Max) and a 1 KB dim table
+  *    still sort-merge-shuffles the fact side.
+  *  - `SupportsRuntimeV2Filtering`: join-time IN sets re-prune the FILE
+  *    list through the same zone maps as static pushdown (dynamic file
+  *    pruning, Iceberg's shape).
+  */
+class GraftScanPlanningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("gplan")
+  spark.conf.set("spark.sql.catalog.gp", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gp.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  // a fact table committed as THREE appends = three files with disjoint
+  // k ranges (zone maps make each append's file prunable by k)
+  private def mkFact(): Unit = {
+    spark.sql("CREATE TABLE gp.default.fact (k BIGINT, grp BIGINT, v BIGINT)")
+    Seq(0L, 1L, 2L).foreach { g =>
+      spark.sql(s"INSERT INTO gp.default.fact " +
+        s"SELECT /*+ REPARTITION(1) */ id + ${g * 100}, $g, id FROM range(100)")
+    }
+  }
+
+  // LiteralValue is private[sql] in Spark 4 — the public Literal
+  // interface is the supported way to hand a value to scan.filter
+  private def v2lit(v: Long): V2Literal[Long] = new V2Literal[Long] {
+    override def value(): Long = v
+    override def dataType(): org.apache.spark.sql.types.DataType = LongType
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): GraftScan =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case s: GraftScan => s }
+      .getOrElse(fail("no GraftScan in the plan"))
+
+  test("estimateStatistics: exact manifest rows; pushdown shrinks the estimate") {
+    mkFact()
+    val full = spark.sql("SELECT * FROM gp.default.fact")
+    val fullStats = scanOf(full).estimateStatistics()
+    assert(fullStats.numRows.getAsLong == 300L,
+      "row count must be the manifest's exact sum")
+    val fullSize = fullStats.sizeInBytes.getAsLong
+    assert(fullSize > 0L && fullSize < Long.MaxValue / 4,
+      s"size must be a real estimate, not a default: $fullSize")
+
+    // k < 100 admits only the first append's file → stats shrink with it
+    val pruned = spark.sql("SELECT * FROM gp.default.fact WHERE k < 100")
+    val prunedStats = scanOf(pruned).estimateStatistics()
+    assert(prunedStats.numRows.getAsLong == 100L,
+      "pruned stats must count only surviving files' rows")
+    assert(prunedStats.sizeInBytes.getAsLong < fullSize,
+      "pruned size must shrink with the file list")
+
+    // column pruning shrinks the width estimate too
+    val narrow = spark.sql("SELECT k FROM gp.default.fact")
+    assert(scanOf(narrow).estimateStatistics().sizeInBytes.getAsLong < fullSize,
+      "a 1-of-3-column projection must estimate smaller than the full scan")
+
+    // the optimizer actually SEES these numbers (not defaultSizeInBytes)
+    val rel = full.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r
+    }.head
+    assert(rel.stats.rowCount.contains(BigInt(300)),
+      s"logical stats must carry the exact row count: ${rel.stats}")
+  }
+
+  test("a small versioned dim AUTO-broadcasts in a catalog SQL join") {
+    spark.sql("CREATE TABLE gp.default.dim (grp BIGINT, name STRING)")
+    spark.sql("INSERT INTO gp.default.dim VALUES (0,'a'), (1,'b'), (2,'c')")
+    val joined = spark.sql(
+      """SELECT d.name, sum(f.v) AS s
+        |FROM gp.default.fact f JOIN gp.default.dim d ON f.grp = d.grp
+        |GROUP BY d.name""".stripMargin)
+    // assert on the INITIAL physical plan (pre-AQE): only reported
+    // statistics can have made this a broadcast join at plan time
+    val planned = joined.queryExecution.sparkPlan
+    val broadcasts = planned.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(broadcasts.nonEmpty,
+      s"the 3-row dim must broadcast WITHOUT a hint — stats-driven:\n$planned")
+    assert(joined.orderBy("name").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 4950L), ("b", 4950L), ("c", 4950L)))
+  }
+
+  test("runtime IN filter prunes files through the zone maps") {
+    val df = spark.sql("SELECT * FROM gp.default.fact")
+    val scan = scanOf(df)
+    val batch = scan.toBatch
+    // three appended data files; CREATE TABLE's empty schema-bearing
+    // file is skipped by its RECORDED zero row count (exact, not zone-map)
+    assert(batch.planInputPartitions().length == 3,
+      "three appended files, the 0-row create file skipped")
+
+    assert(scan.filterAttributes().map(_.fieldNames().head).toSet ==
+      Set("k", "grp", "v"), "every stat-eligible column is filterable")
+
+    // join-time IN on k: values 5 and 7 live in the first file only
+    scan.filter(Array(new Predicate("IN", Array(
+      Expressions.column("k"),
+      v2lit(5L), v2lit(7L)))))
+    assert(batch.planInputPartitions().length == 1,
+      "the IN set's range admits exactly one file")
+
+    // rows still come back right (Spark re-applies the join anyway;
+    // pruning only narrowed the file list)
+    val scan2 = scanOf(spark.sql("SELECT * FROM gp.default.fact"))
+    scan2.filter(Array(new Predicate("IN", Array(
+      Expressions.column("k"), v2lit(250L)))))
+    val kept = scan2.toBatch.planInputPartitions()
+    assert(kept.length == 1, "k=250 lives in the third file")
+
+    // an EMPTY IN is exact — no key survived, zero partitions launch
+    val scan3 = scanOf(spark.sql("SELECT * FROM gp.default.fact"))
+    scan3.filter(Array(new Predicate("IN", Array(Expressions.column("k")))))
+    assert(scan3.toBatch.planInputPartitions().isEmpty,
+      "empty IN = provably no matches = scan nothing")
+
+    // an unrecognized shape prunes NOTHING (one-sided, never wrong-skips)
+    val scan4 = scanOf(spark.sql("SELECT * FROM gp.default.fact"))
+    scan4.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty)))
+    assert(scan4.toBatch.planInputPartitions().length == 3)
+  }
+
+  test("CALL recluster: z-order rewrite from pure SQL") {
+    spark.sql("CREATE TABLE gp.default.rc (x BIGINT, y BIGINT)")
+    spark.sql("INSERT INTO gp.default.rc SELECT id % 97, id % 89 FROM range(2000)")
+    val out = spark.sql(
+      "CALL gp.system.recluster('rc', 'x,y', 65536)").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L),
+      "recluster commits one new version and reports it")
+    assert(spark.sql("SELECT sum(x + y) FROM gp.default.rc").head().getLong(0) ==
+      VersionedTable.read(lib, "rc").agg(sum(col("x") + col("y")))
+        .head().getLong(0), "logical state unchanged by re-layout")
+  }
+}
