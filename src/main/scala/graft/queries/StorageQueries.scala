@@ -46,7 +46,7 @@ object StorageQueries {
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
-    "q_versioned_sql_merge")
+    "q_versioned_sql_merge", "q_versioned_sql_join")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -60,7 +60,8 @@ object StorageQueries {
     checkpointFixture(spark, sfDir)
     v2WriteFixture(spark, sfDir)
     streamSinkFixture(spark, sfDir)
-    sqlOpsFixture(spark, sfDir); ()
+    sqlOpsFixture(spark, sfDir)
+    sqlJoinFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -370,6 +371,36 @@ object StorageQueries {
           VALUES (s.o_orderkey, s.o_totalprice)""")
       spark.sql(
         s"UPDATE $name.default.t SET o_totalprice = 0 WHERE o_orderkey <= 100")
+      name
+    })
+  }
+
+  /** Fixture for the SQL-JOIN query (F40): a lineitem-derived fact table
+    * (two commits) and a supplier dim, BOTH versioned catalog tables —
+    * the join the scan's reported statistics exist for (the dim
+    * auto-broadcasts at plan time; GraftScanPlanningSpec pins the plan
+    * shape, this query pins the results through the oracle). */
+  private val sqlJoinNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlJoinFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlJoinNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gjn${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqljoin").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.fact AS " +
+        "SELECT l_orderkey, l_suppkey, l_quantity, l_extendedprice " +
+        "FROM lineitem WHERE l_orderkey <= 1000")
+      spark.sql(s"INSERT INTO $name.default.fact " +
+        "SELECT l_orderkey, l_suppkey, l_quantity, l_extendedprice " +
+        "FROM lineitem WHERE l_orderkey > 1000 AND l_orderkey <= 2000")
+      spark.sql(s"CREATE TABLE $name.default.dim AS " +
+        "SELECT s_suppkey, s_nationkey FROM supplier")
       name
     })
   }
@@ -1005,6 +1036,25 @@ object StorageQueries {
         ORDER BY state, o_orderkey""")
     },
 
+    // F40 catalog-SQL JOIN over two versioned tables: the fact (two
+    // commits) joins the supplier dim entirely through the SQL catalog.
+    // The scan's reported manifest statistics make the dim broadcast at
+    // PLAN time with no hint (plan shape pinned in GraftScanPlanningSpec;
+    // DPP injects a runtime filter on eligible shapes) — this query pins
+    // the RESULTS of that planner path against the oracle's replay.
+    "q_versioned_sql_join" -> { (spark, sfDir) =>
+      val name = sqlJoinFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT d.s_nationkey, count(*) AS n_items,
+               sum(f.l_quantity) AS sum_qty,
+               sum(f.l_extendedprice) AS sum_price
+        FROM $name.default.fact f JOIN $name.default.dim d
+          ON f.l_suppkey = d.s_suppkey
+        WHERE f.l_orderkey % 3 = 0
+        GROUP BY d.s_nationkey
+        ORDER BY d.s_nationkey""")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1394,6 +1444,15 @@ object StorageQueries {
         |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
+
+    "q_versioned_sql_join" ->
+      """SELECT s.s_nationkey, count(*) AS n_items,
+        |       sum(l.l_quantity) AS sum_qty,
+        |       sum(l.l_extendedprice) AS sum_price
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE l.l_orderkey <= 2000 AND l.l_orderkey % 3 = 0
+        |GROUP BY s.s_nationkey
+        |ORDER BY s.s_nationkey""".stripMargin,
 
     "q_versioned_v2_read" ->
       """WITH k1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders

@@ -140,6 +140,18 @@ class GraftScanPlanningSpec extends SparkSpec {
     assert(scan4.toBatch.planInputPartitions().length == 3)
   }
 
+  test("Spark plans a dynamic-pruning subquery against the scan end-to-end") {
+    spark.sql("CREATE TABLE gp.default.dimf (grp BIGINT, cat STRING)")
+    spark.sql("INSERT INTO gp.default.dimf SELECT id, concat('c', id % 3) FROM range(3)")
+    val q = spark.sql(
+      """SELECT sum(f.v) AS s FROM gp.default.fact f
+        |JOIN gp.default.dimf d ON f.grp = d.grp WHERE d.cat = 'c1'""".stripMargin)
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning") || planStr.contains("DynamicPruning"),
+      s"the optimizer must inject a runtime filter for the graft scan:\n$planStr")
+    assert(q.head().getLong(0) == 4950L, "grp=1 alone survives d.cat='c1'")
+  }
+
   test("CALL recluster: z-order rewrite from pure SQL") {
     spark.sql("CREATE TABLE gp.default.rc (x BIGINT, y BIGINT)")
     spark.sql("INSERT INTO gp.default.rc SELECT id % 97, id % 89 FROM range(2000)")
