@@ -337,11 +337,18 @@ private[sources] final class GraftScan(
     val pred = ZonePred.And(
       pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtimePred)
     val (bytes, rows) = VersionedTable.batchStats(cat, table, v, pred)
-    // rows known → in-memory width estimate on the PRUNED schema (pruning
-    // a 100-col table to 2 cols must shrink the broadcast estimate);
-    // legacy row-less manifests fall back to on-disk bytes
+    // two lower bounds, take the max: rows × pruned-schema default width
+    // (catches narrow tables whose parquet compresses to nothing), and
+    // on-disk bytes scaled by the pruned/full width ratio (catches wide
+    // VARIABLE data — a documents table's multi-KB text rows would look
+    // like 20 bytes each under defaultSize and a gigabyte table would
+    // wrongly broadcast). Legacy row-less manifests use bytes alone.
+    val widthRatio =
+      if (dataSchema.defaultSize <= 0) 1.0
+      else required.defaultSize.toDouble / dataSchema.defaultSize
+    val scaledBytes = math.max(1L, (bytes * math.min(1.0, widthRatio)).toLong)
     val size = rows.fold(bytes)(r =>
-      r * math.max(1L, required.defaultSize.toLong))
+      math.max(r * math.max(1L, required.defaultSize.toLong), scaledBytes))
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)

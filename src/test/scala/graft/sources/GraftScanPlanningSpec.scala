@@ -74,6 +74,21 @@ class GraftScanPlanningSpec extends SparkSpec {
     assert(scanOf(narrow).estimateStatistics().sizeInBytes.getAsLong < fullSize,
       "a 1-of-3-column projection must estimate smaller than the full scan")
 
+    // wide VARIABLE data must not under-estimate: a table of 4 KB text
+    // rows estimates at least its on-disk bytes, never rows × the
+    // 20-byte string defaultSize (which would wrongly broadcast GBs)
+    spark.sql("CREATE TABLE gp.default.wide (k BIGINT, txt STRING)")
+    spark.sql("INSERT INTO gp.default.wide " +
+      "SELECT id, repeat(uuid(), 120) FROM range(500)")
+    val wideBytes = new java.io.File(s"$warehouse/wide.__vdata")
+      .listFiles().flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .map(_.length).sum
+    val wideEst = scanOf(spark.sql("SELECT * FROM gp.default.wide"))
+      .estimateStatistics().sizeInBytes.getAsLong
+    assert(wideEst >= wideBytes / 2,
+      s"wide-text estimate $wideEst must track file bytes $wideBytes, " +
+        "not 20-byte default widths")
+
     // the optimizer actually SEES these numbers (not defaultSizeInBytes)
     val rel = full.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2ScanRelation => r
