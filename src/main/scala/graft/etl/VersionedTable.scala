@@ -830,10 +830,63 @@ object VersionedTable {
                                 pred: org.apache.spark.sql.Column)
       : (Seq[String], Seq[String]) = {
     val p = org.apache.spark.sql.graft.ColumnExprBridge.predTree(pred)
-    if (p == ZonePred.Unknown || (man.stats.isEmpty && man.nulls.isEmpty))
+    val keepB = bucketsFor(man, p)
+    if ((p == ZonePred.Unknown || (man.stats.isEmpty && man.nulls.isEmpty))
+        && keepB.isEmpty)
       (man.files, Nil)
-    else man.files.partition(rel => fileAdmits(man, rel, p))
+    else man.files.partition(rel =>
+      keepB.forall(ks => bucketOfRel(rel).forall(ks.contains)) &&
+        fileAdmits(man, rel, p))
   }
+
+  /** Bucket ids that provably contain EVERY row matching `pred` on a
+    * hash-bucketed layout — the file-level point-lookup index the bucket
+    * layout already is, applied to arbitrary predicate trees: an eq
+    * constraint on every bucket key (or a small IN on a single-key
+    * layout) hashes driver-side to its bucket set, and all other
+    * buckets' files skip with zero I/O. None = the predicate doesn't
+    * pin the keys (or a value's string form may drift from Spark's
+    * cast) — no restriction, never a wrong skip. The hash is
+    * [[graft.functions.PortableHash.hmodJvm]], the bit-identical JVM
+    * twin of the writer's [[Loader.bucketIdExpr]]; values are limited to
+    * the types whose JVM toString equals Spark's cast-to-string exactly
+    * (integrals, strings, booleans). */
+  private[etl] def bucketsFor(man: Manifest,
+                              p: ZonePred.P): Option[Set[Int]] =
+    man.bucket.flatMap { case (keys, n) =>
+      def conj(q: ZonePred.P): Seq[ZonePred.P] = q match {
+        case ZonePred.And(ps) => ps.flatMap(conj)
+        case leaf => Seq(leaf)
+      }
+      def str(v: Any): Option[String] = v match {
+        case s: String => Some(s)
+        case _: Long | _: Int | _: Short | _: Byte | _: Boolean =>
+          Some(v.toString)
+        case _ => None // double/date/ts: cast-to-string may drift
+      }
+      val leaves = conj(p)
+      def eqOf(c: String): Option[String] = leaves.collectFirst {
+        case ZonePred.Leaf(lc, "eq", Seq(v)) if lc == c => str(v)
+      }.flatten
+      def bucketOf(parts: Seq[String]): Int =
+        (graft.functions.PortableHash.hmodJvm(parts.mkString("\u0001")) % n)
+          .toInt
+      if (keys.sizeIs == 1) {
+        val k = keys.head
+        eqOf(k).map(s => Set(bucketOf(Seq(s)))).orElse(
+          leaves.collectFirst {
+            case ZonePred.Leaf(lc, "in", vs) if lc == k && vs.sizeIs <= 256 =>
+              val ss = vs.map(str)
+              if (ss.forall(_.isDefined))
+                Some(ss.flatten.map(s => bucketOf(Seq(s))).toSet)
+              else None
+          }.flatten)
+      } else {
+        val parts = keys.map(eqOf)
+        if (parts.forall(_.isDefined)) Some(Set(bucketOf(parts.flatten)))
+        else None
+      }
+    }
 
   /** Hidden-path rule for walking batch dirs: Spark's own convention —
     * `_`/`.`-prefixed names are metadata EXCEPT partition-style `name=val`
@@ -1582,7 +1635,10 @@ object VersionedTable {
       val admits = (absPath: String, p: ZonePred.P) =>
         relByAbs.get(absPath) match {
           case None => true
-          case Some(rel) => fileAdmits(man, rel, p)
+          case Some(rel) =>
+            bucketsFor(man, p).forall(ks =>
+              bucketOfRel(rel).forall(ks.contains)) &&
+              fileAdmits(man, rel, p)
         }
       val df = org.apache.spark.sql.graft.ZoneMapRead
         .dataFrame(tgt.spark, statuses, schema, admits)
@@ -1894,8 +1950,12 @@ object VersionedTable {
     // a file with a RECORDED row count of zero admits nothing — exact,
     // not heuristic; skips the empty schema-bearing file every
     // CREATE TABLE commits (schema here comes from the catalog, so an
-    // empty table legitimately plans zero partitions)
+    // empty table legitimately plans zero partitions). On a bucketed
+    // layout an eq-pinned key additionally restricts to its bucket's
+    // files ([[bucketsFor]]) — the SQL point-lookup twin of [[lookup]].
+    val keepB = bucketsFor(man, pred)
     man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+        keepB.forall(ks => bucketOfRel(rel).forall(ks.contains)) &&
         fileAdmits(man, rel, pred)).map { rel =>
       val abs = new Path(dataDir(tgt, table), rel).toString
       abs -> man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen)
@@ -1916,7 +1976,9 @@ object VersionedTable {
     val man = readManifest(tgt, table, ver).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $ver"))
     lazy val f = fs(tgt, dataDir(tgt, table))
+    val keepB = bucketsFor(man, pred)
     val surv = man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+      keepB.forall(ks => bucketOfRel(rel).forall(ks.contains)) &&
       fileAdmits(man, rel, pred))
     val bytes = surv.map(rel => man.sizes.getOrElse(rel,
       f.getFileStatus(new Path(dataDir(tgt, table), rel)).getLen)).sum

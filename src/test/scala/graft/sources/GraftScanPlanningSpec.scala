@@ -167,6 +167,46 @@ class GraftScanPlanningSpec extends SparkSpec {
     assert(q.head().getLong(0) == 4950L, "grp=1 alone survives d.cat='c1'")
   }
 
+  test("an eq on the bucket keys prunes the scan to ONE bucket's files") {
+    import org.apache.spark.sql.graft.PlainBatchRead
+    val dir = tmpDir("gbkt")
+    // 3 keyed loads over a 4-bucket layout: every bucket's files span
+    // wide overlapping grp ranges, so zone maps CANNOT do this prune —
+    // only the bucket hash can
+    (0 until 3).foreach { r =>
+      spark.range(200).selectExpr(s"id + ${r * 1000} AS k", "id % 16 AS grp",
+        "id AS v")
+        .write.format("graft").mode("append")
+        .option("dir", dir).option("table", "bt")
+        .option("upsertKeys", "k")
+        .option("bucketBy", "grp").option("numBuckets", "4").save()
+    }
+    def parts(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      scanOf(df).toBatch.planInputPartitions().toSeq.map {
+        case PlainBatchRead.FileInputPartition(s) => s.path
+      }
+    val read = spark.read.format("graft")
+      .option("dir", dir).option("table", "bt")
+    val all = parts(read.load())
+    val expectBucket =
+      (graft.functions.PortableHash.hmodJvm("5") % 4).toInt
+    val pruned = parts(read.load().where("grp = 5"))
+    assert(pruned.nonEmpty && pruned.size < all.size,
+      s"bucket prune must shrink the file list: ${pruned.size} of ${all.size}")
+    assert(pruned.forall(_.contains(s"__gbucket=$expectBucket")),
+      s"every survivor must live in bucket $expectBucket: $pruned")
+    assert(read.load().where("grp = 5").count() == 3 * 13,
+      "results exact on top of the prune (13 ids per load hash to grp 5)")
+    // IN on the single bucket key prunes to the union of its buckets
+    val inPruned = parts(read.load().where("grp IN (5, 6)"))
+    val b6 = (graft.functions.PortableHash.hmodJvm("6") % 4).toInt
+    assert(inPruned.forall(p => p.contains(s"__gbucket=$expectBucket") ||
+      p.contains(s"__gbucket=$b6")), s"IN survivors outside both buckets: $inPruned")
+    // an eq on a NON-key column must not bucket-prune (one-sided safety)
+    assert(parts(read.load().where("v = 7")).size == all.size,
+      "a non-key eq has no bucket to pin")
+  }
+
   test("CALL recluster: z-order rewrite from pure SQL") {
     spark.sql("CREATE TABLE gp.default.rc (x BIGINT, y BIGINT)")
     spark.sql("INSERT INTO gp.default.rc SELECT id % 97, id % 89 FROM range(2000)")
