@@ -231,6 +231,18 @@ object VersionedTable {
     * instead of every caller re-declaring (and possibly typo-ing) them. */
   private[graft] val UpsertKeysProp = "upsert_keys"
 
+  /** Manifest prop recording the columns every write stamps parquet
+    * BLOOM FILTERS for (comma-separated) — declared once via `load`'s
+    * `bloomBy` (latest declaration wins, like [[UpsertKeysProp]]) and
+    * carried forward so appends, upserts, compactions, reclusters and
+    * DML rewrites all keep stamping without re-declaring. */
+  private[graft] val BloomColsProp = "bloom_cols"
+
+  /** The recorded bloom columns of a manifest (empty when never declared). */
+  private def bloomColsOf(man: Manifest): Seq[String] =
+    man.props.get(BloomColsProp).toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+
   /** Test seam: the wall clock commits stamp into [[CommitTsProp]] —
     * thread-locally scoped without inheritance (same discipline as
     * [[commitProtocol]]) so specs can pin deterministic commit times. */
@@ -930,23 +942,44 @@ object VersionedTable {
     * a flat empty file instead — a partitioned write of zero rows emits no
     * files at all, and a version must keep at least one file so its schema
     * survives. */
+  /** Parquet BLOOM FILTER write options for the table's recorded bloom
+    * columns (restricted to columns present in this batch): row-group
+    * point-lookup skipping on columns whose VALUE DISTRIBUTION defeats
+    * min/max zone maps — a URL or document-id column is uniformly hashed
+    * across every file, so its recorded [lo, hi] spans everything and
+    * range pruning admits all; a bloom answers "definitely absent" per
+    * row group instead. The filters live IN the parquet footers (parquet
+    * 1.16 native), so Spark's own reader consults them for pushed eq/IN
+    * with zero graft code on the read path and zero manifest bloat —
+    * the deliberate contrast with manifest-inline blooms, whose ~100 KB
+    * per file × col would multiply a 100 TB table's manifest into GBs. */
+  private def bloomOptions(out: DataFrame, bloomCols: Seq[String]): Map[String, String] =
+    bloomCols.filter(out.columns.contains).flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      // NDV sizes the filter (~120 KB per row group per column at the
+      // parquet default 1% fpp); a row group holding more distinct keys
+      // degrades fpp, never correctness
+      s"parquet.bloom.filter.expected.ndv#$c" -> "100000")).toMap
+
   private def writeBatch(tgt: Catalog, table: String, out: DataFrame,
-                         bucket: Option[(Seq[String], Int)]): (Path, Seq[(String, Long)]) = {
+                         bucket: Option[(Seq[String], Int)],
+                         bloomCols: Seq[String] = Nil): (Path, Seq[(String, Long)]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
+    val opts = bloomOptions(out, bloomCols)
     bucket match {
       case Some((keys, n)) =>
         out.withColumn(Loader.BucketCol, Loader.bucketIdExpr(keys, n))
-          .write.mode(SaveMode.Overwrite)
+          .write.mode(SaveMode.Overwrite).options(opts)
           .partitionBy(Loader.BucketCol).parquet(batch.toString)
         val rel = partFiles(tgt, table, batch)
         if (rel.nonEmpty) (batch, rel)
         else {
-          out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
+          out.write.mode(SaveMode.Overwrite).options(opts).parquet(batch.toString)
           (batch, partFiles(tgt, table, batch))
         }
       case None =>
-        out.write.mode(SaveMode.Overwrite).parquet(batch.toString)
+        out.write.mode(SaveMode.Overwrite).options(opts).parquet(batch.toString)
         (batch, partFiles(tgt, table, batch))
     }
   }
@@ -967,7 +1000,8 @@ object VersionedTable {
            upsertFields: Seq[String] = Nil, idOrder: Seq[String] = Nil,
            ensure: Boolean = true, safe: Boolean = false,
            bucketBy: Option[(Seq[String], Int)] = None,
-           extraProps: Map[String, String] = Map.empty): Long = {
+           extraProps: Map[String, String] = Map.empty,
+           bloomBy: Seq[String] = Nil): Long = {
     val incoming = if (incoming0.columns.contains(Loader.IdCol))
       incoming0.drop(Loader.IdCol) else incoming0
     // optimistic concurrency: merge against the observed head, stage the
@@ -977,7 +1011,7 @@ object VersionedTable {
     // survive as consecutive versions.
     commitWithRetry(table, "load")(() =>
       loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe,
-        bucketBy, extraProps))
+        bucketBy, extraProps, bloomBy))
   }
 
   /** One optimistic attempt; None = lost the manifest CAS. `extraProps`
@@ -988,7 +1022,8 @@ object VersionedTable {
                           upsertFields: Seq[String], idOrder: Seq[String],
                           ensure: Boolean, safe: Boolean,
                           bucketBy: Option[(Seq[String], Int)],
-                          extraProps: Map[String, String]): Option[Long] = {
+                          extraProps: Map[String, String],
+                          bloomBy: Seq[String]): Option[Long] = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     val headMan = cur.flatMap(v => readManifest(tgt, table, v))
@@ -1077,7 +1112,8 @@ object VersionedTable {
             Loader.finalSchema(ex, withIds, ensure, safe)), Nil)
     }
 
-    val (batch, newParts) = writeBatch(tgt, table, out, bucket)
+    val (batch, newParts) = writeBatch(tgt, table, out, bucket,
+      (headMan.toSeq.flatMap(bloomColsOf) ++ bloomBy).distinct)
     val newRel = newParts.map(_._1)
     val newV = cur.getOrElse(0L) + 1L
     // the committed version's max id, from the new files' footer stats
@@ -1095,9 +1131,12 @@ object VersionedTable {
         // carry the recorded keys forward untouched, a keyed load with
         // different keys overwrites (latest declaration wins)
         val props0 = headMan.fold(Map.empty[String, String])(_.props)
-        val props = (if (upsertFields.nonEmpty)
+        val props1 = if (upsertFields.nonEmpty)
           props0 + (UpsertKeysProp -> upsertFields.mkString(","))
-        else props0) ++ extraProps
+        else props0
+        val props = (if (bloomBy.nonEmpty)
+          props1 + (BloomColsProp -> bloomBy.mkString(","))
+        else props1) ++ extraProps
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
           fm.stats, fm.sizes, fm.nulls, fm.rows, props) }))
       Some(newV)
@@ -1148,7 +1187,7 @@ object VersionedTable {
         new Path(dataDir(tgt, table), r).toString)).getOrElse(0L))
     val order = if (idOrder.nonEmpty) idOrder else replacement.columns.toSeq
     val out = Loader.withSurrogateIds(replacement, floor, order)
-    val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket)
+    val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan))
     val newRel = newParts.map(_._1)
     val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
     // same strictness as loadAttempt: when the footer probe bails on a
@@ -1241,7 +1280,7 @@ object VersionedTable {
         val survivors =
           if (hitRel.nonEmpty) srcDf.where(!coalesce(cond, lit(false)))
           else srcDf.where(lit(false))
-        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket)
+        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket, bloomColsOf(man))
         val newRel = newParts.map(_._1)
         // the id floor NEVER decreases on delete (deleted rows' ids are
         // not reissued — they may still be referenced by older versions);
@@ -1326,7 +1365,7 @@ object VersionedTable {
         val survivors = tgt.spark.read
           .parquet(hitRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
           .join(kr, keys, "left_anti")
-        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket)
+        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket, bloomColsOf(man))
         val newRel = newParts.map(_._1)
         val keepAbs = (keepRel ++ newRel).map(r =>
           new Path(dataDir(tgt, table), r).toString)
@@ -1391,7 +1430,7 @@ object VersionedTable {
           case None => rows.coalesce(parts)
         }
         preCommitHook.value()
-        val (batch, newParts) = writeBatch(tgt, table, out, man.bucket)
+        val (batch, newParts) = writeBatch(tgt, table, out, man.bucket, bloomColsOf(man))
         val newRel = newParts.map(_._1)
         val newV = cur + 1L
         if (tryCommitManifest(tgt, table,
@@ -1450,7 +1489,7 @@ object VersionedTable {
       val out = rows.repartitionByRange(parts, sortKey)
         .sortWithinPartitions(sortKey)
       preCommitHook.value()
-      val (batch, newParts) = writeBatch(tgt, table, out, None)
+      val (batch, newParts) = writeBatch(tgt, table, out, None, bloomColsOf(man))
       val newRel = newParts.map(_._1)
       val newV = cur + 1L
       if (tryCommitManifest(tgt, table,

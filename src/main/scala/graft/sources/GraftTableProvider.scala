@@ -242,7 +242,8 @@ private[sources] class GraftWriteBuilder(
                   opt(options, "numBuckets").map(_.toInt).getOrElse(
                     throw new IllegalArgumentException(
                       "bucketBy requires option 'numBuckets'"))))
-              })
+              },
+              bloomBy = csvOpt(options, "bloomBy"))
             ()
           }
       }
