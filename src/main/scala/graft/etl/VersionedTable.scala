@@ -2032,6 +2032,54 @@ object VersionedTable {
       schema: org.apache.spark.sql.types.StructType): Seq[String] =
     statColNames(schema)
 
+  /** TABLE-level column statistics for the surviving files: per column,
+    * (min, max) in Catalyst-internal form (long/double/date-days/
+    * ts-micros — what `ColumnStat` estimation consumes) when EVERY
+    * surviving file recorded bounds, and the summed null count when
+    * every file recorded one. Folded driver-side from the manifest —
+    * zero I/O — and handed to Spark through the V2 `columnStats()`
+    * contract, so CBO's range-filter and join estimation see
+    * manifest-exact domains instead of guessing. Strings are omitted
+    * (estimation is numeric-domain; truncated bounds would mislead). */
+  private[graft] def batchColStats(tgt: Catalog, table: String, v: Option[Long],
+                                   pred: org.apache.spark.sql.graft.ZonePred.P)
+      : Map[String, (Option[(Any, Any)], Option[Long])] = {
+    val ver = v.orElse(currentVersion(tgt, table)).getOrElse(return Map.empty)
+    val man = readManifest(tgt, table, ver).getOrElse(return Map.empty)
+    val surv = man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+      fileAdmits(man, rel, pred))
+    if (surv.isEmpty) return Map.empty
+    def internal(tag: String, s: String): Option[Any] = tag match {
+      case "long" => scala.util.Try(s.toLong: Any).toOption
+      case "double" => scala.util.Try(s.toDouble: Any).toOption
+      case "date" => scala.util.Try(s.toLong.toInt: Any).toOption
+      case "ts" => scala.util.Try(s.toLong: Any).toOption
+      case _ => None // strings: skip (see doc)
+    }
+    val cols = surv.headOption.map(r => man.stats.getOrElse(r, Map.empty).keySet)
+      .getOrElse(Set.empty) ++ man.nulls.values.flatMap(_.keySet)
+    cols.toSeq.map { c =>
+      val bounds = surv.map(r => man.stats.getOrElse(r, Map.empty).get(c))
+      val range: Option[(Any, Any)] =
+        if (bounds.forall(_.isDefined)) {
+          val parsed = bounds.flatten.map { case (tag, lo, hi) =>
+            for { l <- internal(tag, lo); h <- internal(tag, hi) } yield (l, h)
+          }
+          if (parsed.forall(_.isDefined)) {
+            val ps = parsed.flatten
+            def num(a: Any): Double = a match {
+              case l: Long => l.toDouble; case d: Double => d
+              case i: Int => i.toDouble; case _ => 0.0
+            }
+            Some((ps.map(_._1).minBy(num), ps.map(_._2).maxBy(num)))
+          } else None
+        } else None
+      val nulls = surv.map(r => man.nulls.getOrElse(r, Map.empty).get(c))
+      val nullSum = if (nulls.forall(_.isDefined)) Some(nulls.flatten.sum) else None
+      c -> (range, nullSum)
+    }.filter { case (_, (r, n1)) => r.isDefined || n1.isDefined }.toMap
+  }
+
   // ------------------------------------------------------------- change feed
 
   /** Change-data-feed between two versions: one row per inserted, deleted,

@@ -350,11 +350,37 @@ private[sources] final class GraftScan(
     val scaledBytes = math.max(1L, (bytes * math.min(1.0, widthRatio)).toLong)
     val size = rows.fold(bytes)(r =>
       math.max(r * math.max(1L, required.defaultSize.toLong), scaledBytes))
+    // column-level stats (manifest-exact min/max domains + null counts)
+    // for CBO's filter/join estimation — folded driver-side, zero I/O
+    val colStats = VersionedTable.batchColStats(cat, table, v, pred)
+      .filter { case (c, _) => dataSchema.fieldNames.contains(c) }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats()
+          : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        colStats.foreach { case (c, (range, nulls)) =>
+          m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                range.fold(java.util.Optional.empty[Object]())(r =>
+                  java.util.Optional.of(r._1.asInstanceOf[Object]))
+              override def max(): java.util.Optional[Object] =
+                range.fold(java.util.Optional.empty[Object]())(r =>
+                  java.util.Optional.of(r._2.asInstanceOf[Object]))
+              override def nullCount(): java.util.OptionalLong =
+                nulls.fold(java.util.OptionalLong.empty())(
+                  java.util.OptionalLong.of)
+            })
+        }
+        m
+      }
     }
   }
 

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import graft.etl.{Catalog, VersionedTable}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal}
@@ -95,6 +97,15 @@ class GraftScanPlanningSpec extends SparkSpec {
     }.head
     assert(rel.stats.rowCount.contains(BigInt(300)),
       s"logical stats must carry the exact row count: ${rel.stats}")
+
+    // column stats: manifest-exact min/max + null counts for CBO
+    val cs = scanOf(full).estimateStatistics().columnStats()
+    val kStat = cs.asScala.collectFirst {
+      case (r, s) if r.fieldNames().sameElements(Array("k")) => s
+    }.getOrElse(fail(s"no column stats for k: ${cs.keySet()}"))
+    assert(kStat.min.get == 0L && kStat.max.get == 299L,
+      s"k domain must be manifest-exact: ${kStat.min} .. ${kStat.max}")
+    assert(kStat.nullCount.getAsLong == 0L)
   }
 
   test("a small versioned dim AUTO-broadcasts in a catalog SQL join") {
