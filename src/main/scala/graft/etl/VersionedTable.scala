@@ -1453,8 +1453,9 @@ object VersionedTable {
     * clustered columns, making [[readWhere]]'s file skipping selective on
     * them. One column range-sorts (perfect 1-D locality); two or more
     * interleave via [[graft.operators.ZOrder.zValue]] (every dimension
-    * keeps ~1/2^(bits/k) per-file selectivity — numeric columns only,
-    * ZOrder's contract). Output sizes to ~`targetFileBytes` from the file
+    * keeps ~1/2^(bits/k) per-file selectivity — numeric or string
+    * columns, strings clustering by 7-byte UTF-8 prefix: ZOrder's
+    * contract). Output sizes to ~`targetFileBytes` from the file
     * LISTING (no extra scan). This is a FULL rewrite of the head version —
     * re-layout is inherently O(table); run it on the cadence a lake runs
     * OPTIMIZE, and let appends between runs rely on their natural
@@ -2216,6 +2217,21 @@ object VersionedTable {
           Nil
         } else Seq((cDir, cTable))
       }
+  }
+
+  /** TIME-based retention (the Delta `VACUUM ... RETAIN` shape): reclaim
+    * versions whose RECORDED commit time is strictly older than
+    * `olderThanMs`, always keeping the head. Resolution is by the
+    * manifest-recorded wall clock ([[CommitTsProp]], mtime fallback) —
+    * commit times are parent-monotone, so the kept set is exactly the
+    * newest suffix and the count feeds the positional [[vacuum]]. */
+  def vacuumOlderThan(tgt: Catalog, table: String, olderThanMs: Long,
+                      ignoreClones: Boolean = false,
+                      dryRun: Boolean = false): Int = {
+    val vs = versions(tgt, table)
+    val keepN = math.max(1,
+      vs.count(v => committedAtMillis(tgt, table, v) >= olderThanMs))
+    vacuum(tgt, table, keepN, ignoreClones, dryRun)
   }
 
   def vacuum(tgt: Catalog, table: String, keepLast: Int,

@@ -46,7 +46,8 @@ object StorageQueries {
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
-    "q_versioned_sql_merge", "q_versioned_sql_join")
+    "q_versioned_sql_merge", "q_versioned_sql_join",
+    "q_versioned_point_lookup")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -61,7 +62,8 @@ object StorageQueries {
     v2WriteFixture(spark, sfDir)
     streamSinkFixture(spark, sfDir)
     sqlOpsFixture(spark, sfDir)
-    sqlJoinFixture(spark, sfDir); ()
+    sqlJoinFixture(spark, sfDir)
+    sqlPointFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -401,6 +403,40 @@ object StorageQueries {
         "FROM lineitem WHERE l_orderkey > 1000 AND l_orderkey <= 2000")
       spark.sql(s"CREATE TABLE $name.default.dim AS " +
         "SELECT s_suppkey, s_nationkey FROM supplier")
+      name
+    })
+  }
+
+  /** Fixture for the SQL POINT-LOOKUP query (F42): a hash-bucketed keyed
+    * table inside a SQL catalog dir — loaded through the library (the
+    * catalog's CREATE has no bucket clause by design) and then read in
+    * PURE SQL, where an eq/IN on the bucket key plans only the pinned
+    * buckets' files (GraftScanPlanningSpec pins the plan; this query
+    * pins the results, including an upsert's overwrite). */
+  private val sqlPointNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlPointFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlPointNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gplk${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlpoint").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      val cat = new Catalog(spark, dir)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders " +
+          "WHERE o_orderkey <= 1500")
+      VersionedTable.load(cat, "pt", base,
+        upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"),
+        bucketBy = Some((Seq("o_orderkey"), 8)))
+      VersionedTable.load(cat, "pt",
+        base.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1000)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"))
       name
     })
   }
@@ -1055,6 +1091,20 @@ object StorageQueries {
         ORDER BY d.s_nationkey""")
     },
 
+    // F42 SQL point lookups on a bucketed keyed table: the IN on the
+    // bucket key plans only the pinned buckets' files (plan pinned in
+    // GraftScanPlanningSpec; 1/N of the table at scale) — this query
+    // pins the RESULTS, with one key upsert-overwritten between loads
+    // and one key absent (no silent wrong-bucket skip either way).
+    "q_versioned_point_lookup" -> { (spark, sfDir) =>
+      val name = sqlPointFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM $name.default.pt
+        WHERE o_orderkey IN (250, 750, 1250, 999999)
+        ORDER BY o_orderkey""")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1444,6 +1494,14 @@ object StorageQueries {
         |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
+
+    "q_versioned_point_lookup" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderkey > 500 AND o_orderkey <= 1000
+        |            THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey IN (250, 750, 1250, 999999) AND o_orderkey <= 1500
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_versioned_sql_join" ->
       """SELECT s.s_nationkey, count(*) AS n_items,

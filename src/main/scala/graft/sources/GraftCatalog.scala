@@ -211,11 +211,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case "compact" => GraftProcedures.compact(() => cat)
       case "clone" => GraftProcedures.clone(() => cat)
       case "recluster" => GraftProcedures.recluster(() => cat)
+      case "expire_snapshots" => GraftProcedures.expireSnapshots(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
           "rollback(table, version), vacuum(table, keep_last), " +
           "compact(table, target_bytes), clone(source, target, version), " +
-          "recluster(table, cluster_by, target_bytes)")
+          "recluster(table, cluster_by, target_bytes), " +
+          "expire_snapshots(table, older_than)")
     }
   }
 
@@ -225,7 +227,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // lists empty rather than duplicating the set under every name
     if (namespace.isEmpty || namespace.sameElements(Array("system")) ||
       namespace.sameElements(Array("default")))
-      Array("clone", "compact", "history", "recluster", "rollback", "vacuum")
+      Array("clone", "compact", "expire_snapshots", "history", "recluster",
+        "rollback", "vacuum")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 }

@@ -149,6 +149,37 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.expire_snapshots('t', older_than[, dry_run])` —
+    * TIME-based retention (the Iceberg procedure shape, Delta's
+    * `VACUUM ... RETAIN` semantics): reclaim versions recorded older
+    * than the given instant (epoch millis or ISO-8601 UTC), head always
+    * kept; returns the reclaimed file count. Resolution is by
+    * manifest-RECORDED commit times, so a restored backup ages
+    * correctly. */
+  def expireSnapshots(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("expire_snapshots",
+      "reclaim versions committed before an instant (head always kept)",
+      Array(param("table", StringType), param("older_than", StringType),
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false").build())) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val raw = input.getUTF8String(1).toString.trim
+        val millis = scala.util.Try(raw.toLong).getOrElse {
+          val txt = raw.replace(' ', 'T')
+          val ldt =
+            if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
+            else java.time.LocalDateTime.parse(txt)
+          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+        val dry = !input.isNullAt(2) && input.getBoolean(2)
+        val removed = VersionedTable.vacuumOlderThan(cat(),
+          input.getUTF8String(0).toString, millis, dryRun = dry)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("files_deleted", IntegerType,
+            nullable = false))), removed)
+      }
+    }
+
   /** `CALL g.system.vacuum('t', keepLast[, dryRun])` — drop manifests
     * older than the newest keepLast versions and reclaim unreferenced
     * files (live clones' shared files stay protected); returns the

@@ -184,6 +184,28 @@ private[sources] final class GraftBatchTable(
     s"graft:${options.getOrElse("dir", "?")}/${options.getOrElse("table", "?")}" +
       options.get("versionAsOf").fold("")(v => s"@v$v")
 
+  /** Table metadata for `DESCRIBE TABLE EXTENDED`: the manifest's
+    * recorded props (upsert keys, bloom columns, commit time) plus the
+    * layout and head version — the operator-visible summary of what the
+    * storage layer knows, read from ONE manifest (no data I/O). Missing
+    * tables (a first write's handle) describe empty. */
+  override def properties(): java.util.Map[String, String] = {
+    import GraftTableProvider.opt
+    val m = new java.util.HashMap[String, String]()
+    (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
+      val cat = new Catalog(SparkSession.active, d)
+      VersionedTable.currentVersion(cat, t).foreach { v =>
+        m.put("current_version", v.toString)
+        VersionedTable.tableProps(cat, t).foreach { case (k, x) => m.put(k, x) }
+        VersionedTable.bucketSpec(cat, t).foreach { case (keys, n) =>
+          m.put("bucket_keys", keys.mkString(","))
+          m.put("num_buckets", n.toString)
+        }
+      }
+    }).getOrElse(())
+    m
+  }
+
   override def schema(): StructType = dataSchema
 
   override def capabilities(): java.util.Set[TableCapability] = {

@@ -36,6 +36,33 @@ class ZOrderSpec extends SparkSpec {
     assert(got((3L, 3L)) == 15L)
   }
 
+  test("string dimensions rank by UTF-8 prefix, pad-corrected") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the pad-correction case: "a" < "ab" < "b" lexicographically — the
+    // unpadded hex would rank "ab" ABOVE "b" ("6162" = 24930 > "62" = 98)
+    val df = Seq(("a", 0L), ("ab", 0L), ("b", 0L), ("zz", 0L))
+      .toDF("s", "y")
+    val z = df.withColumn("z", ZOrder.zValue(df, Seq("s", "y"), bitsPerCol = 8))
+      .orderBy("z").select("s").collect().map(_.getString(0)).toSeq
+    assert(z == Seq("a", "ab", "b", "zz"),
+      s"z-order along a string dim must follow lexicographic order: $z")
+    // a url-shaped column clusters by host prefix: same-host rows land in
+    // adjacent z-ranges even with a second dimension varying
+    val urls = for (h <- Seq("aaa.com", "mmm.net", "zzz.org"); i <- 0L until 50L)
+      yield (s"http://$h/p$i", i)
+    val u = urls.toDF("url", "n")
+    val zs = u.withColumn("z", ZOrder.zValue(u, Seq("url", "n")))
+      .orderBy("z").select("url").collect().map(_.getString(0))
+    // after z-sort, each host's rows occupy ONE contiguous run per
+    // z-region — count host CHANGES along the order; pure interleaving
+    // would flip hosts constantly (>100 changes for 150 rows)
+    val changes = zs.sliding(2).count { case Array(a, b) =>
+      a.substring(7, 10) != b.substring(7, 10) }
+    assert(changes <= 20,
+      s"same-host urls must cluster along the z-order, got $changes host changes")
+  }
+
   test("z-order compaction: files local in BOTH dims; lexicographic is not") {
     val spark0 = spark
     import spark0.implicits._

@@ -153,6 +153,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gq.default.proc2").as[Long]
       .collect().sorted.toSeq == Seq(1L, 2L))
     spark.sql("DROP TABLE gq.default.proc2 PURGE")
+    // time-based retention: expire_snapshots reclaims by RECORDED commit
+    // time (head always kept), dry run touches nothing
+    VersionedTable.commitClock.withValue(() => 1000000L) {
+      spark.sql("CREATE TABLE gq.default.exp (k BIGINT)")
+    }
+    VersionedTable.commitClock.withValue(() => 2000000L) {
+      spark.sql("INSERT INTO gq.default.exp VALUES (1)")
+    }
+    VersionedTable.commitClock.withValue(() => 3000000L) {
+      spark.sql("INSERT INTO gq.default.exp VALUES (2)")
+    }
+    spark.sql(
+      "CALL gq.system.expire_snapshots('exp', '2500000', dry_run => true)")
+      .collect()
+    assert(VersionedTable.versions(lib, "exp") == Seq(1L, 2L, 3L),
+      "dry run must not drop versions")
+    spark.sql("CALL gq.system.expire_snapshots('exp', '2500000')").collect()
+    assert(VersionedTable.versions(lib, "exp") == Seq(3L),
+      "only the commit at-or-after the instant survives")
+    assert(spark.sql("SELECT sum(k) FROM gq.default.exp").head().getLong(0) == 3L,
+      "head state intact after the expiry")
     // unknown procedure is a curated refusal
     val err = intercept[Exception] { spark.sql("CALL gq.system.nope('x')") }
     def messages(t: Throwable): Seq[String] =
