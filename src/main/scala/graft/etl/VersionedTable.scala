@@ -238,6 +238,29 @@ object VersionedTable {
     * DML rewrites all keep stamping without re-declaring. */
   private[graft] val BloomColsProp = "bloom_cols"
 
+  /** Manifest prop holding the table's CHECK constraint (a SQL boolean
+    * expression over the table's columns — Delta's constraint shape).
+    * Declared at CREATE (`TBLPROPERTIES('check' = ...)`) or on any load
+    * via `extraProps`; EVERY subsequent write validates its incoming
+    * rows before committing (SQL semantics: NULL satisfies — only a row
+    * where the expression is FALSE violates). Enforcement is O(batch),
+    * one codegen'd filter + limit-1 probe, never O(table): existing
+    * rows satisfied the constraint when they were written (induction). */
+  private[graft] val CheckConstraintProp = "check_constraint"
+
+  /** Refuse `rows` if any violates `checkSql` — the commit-time gate.
+    * Reports one offending row (truncated) so the failure is actionable. */
+  private def enforceCheck(rows: DataFrame, checkSql: String,
+                           table: String): Unit = {
+    val bad = rows.where(!coalesce(expr(checkSql), lit(true))).limit(1)
+      .collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violated on table '$table': ($checkSql) is false " +
+          s"for incoming row ${bad.head.toString.take(200)} — no version " +
+          "was committed")
+  }
+
   /** The recorded bloom columns of a manifest (empty when never declared). */
   private def bloomColsOf(man: Manifest): Seq[String] =
     man.props.get(BloomColsProp).toSeq.flatMap(_.split(","))
@@ -1027,6 +1050,12 @@ object VersionedTable {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     val headMan = cur.flatMap(v => readManifest(tgt, table, v))
+    // CHECK constraint: the recorded one (or this load's own declaration)
+    // gates the INCOMING rows before any write — existing rows satisfied
+    // it when written, so per-commit O(batch) enforcement is inductive
+    extraProps.get(CheckConstraintProp)
+      .orElse(headMan.flatMap(_.props.get(CheckConstraintProp)))
+      .foreach(c => enforceCheck(incoming, c, table))
     // the recorded layout wins; a conflicting request is an error, not a
     // silent re-layout. A flat table CAN migrate to bucketed (full
     // rewrite, layout recorded with the commit).
@@ -1182,6 +1211,9 @@ object VersionedTable {
         s"${removedAbs.size}, matched ${removeRel.size} in v$expectedVersion")
     val replacement = if (replacement0.columns.contains(Loader.IdCol))
       replacement0.drop(Loader.IdCol) else replacement0
+    // SQL UPDATE/MERGE must not write rows the table's CHECK refuses
+    headMan.props.get(CheckConstraintProp)
+      .foreach(c => enforceCheck(replacement, c, table))
     val floor = headMan.maxId.getOrElse(
       footerMaxId(tgt, headMan.files.map(r =>
         new Path(dataDir(tgt, table), r).toString)).getOrElse(0L))

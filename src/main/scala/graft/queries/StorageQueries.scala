@@ -47,7 +47,7 @@ object StorageQueries {
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
     "q_versioned_sql_merge", "q_versioned_sql_join",
-    "q_versioned_point_lookup")
+    "q_versioned_point_lookup", "q_versioned_check")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -63,7 +63,8 @@ object StorageQueries {
     streamSinkFixture(spark, sfDir)
     sqlOpsFixture(spark, sfDir)
     sqlJoinFixture(spark, sfDir)
-    sqlPointFixture(spark, sfDir); ()
+    sqlPointFixture(spark, sfDir)
+    sqlCheckFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -437,6 +438,40 @@ object StorageQueries {
         base.where(col("o_orderkey") > 500 && col("o_orderkey") <= 1000)
           .withColumn("o_totalprice", col("o_totalprice") * 2),
         upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"))
+      name
+    })
+  }
+
+  /** Fixture for the CHECK-constraint query (F44): a table whose
+    * constraint (`o_totalprice >= 0 AND o_orderkey <= 1000`) refuses one
+    * of three INSERT batches atomically — the violating batch commits NO
+    * version and NO rows (the caught exception IS the fixture's point);
+    * the surviving state is exactly the two valid batches. */
+  private val sqlCheckNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlCheckFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlCheckNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gchk${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlcheck").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.ck " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('check' = 'o_totalprice >= 0 AND o_orderkey <= 1000')")
+      spark.sql(s"INSERT INTO $name.default.ck " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 500")
+      val refused = scala.util.Try(spark.sql(s"INSERT INTO $name.default.ck " +
+        "SELECT o_orderkey, -o_totalprice FROM orders " +
+        "WHERE o_orderkey > 500 AND o_orderkey <= 700")).isFailure
+      require(refused, "the violating batch must refuse")
+      spark.sql(s"INSERT INTO $name.default.ck " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > 700 AND o_orderkey <= 1000")
       name
     })
   }
@@ -1105,6 +1140,17 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // F44 CHECK constraints: the commit-time row gate in pure SQL —
+    // a violating INSERT refuses atomically (no version, no partial
+    // rows), valid ones land; the oracle replays the valid batches
+    // only. NULL satisfies (SQL CHECK semantics).
+    "q_versioned_check" -> { (spark, sfDir) =>
+      val name = sqlCheckFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, o_totalprice FROM $name.default.ck
+        ORDER BY o_orderkey""")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1494,6 +1540,11 @@ object StorageQueries {
         |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
+
+    "q_versioned_check" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 500 OR (o_orderkey > 700 AND o_orderkey <= 1000)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_versioned_point_lookup" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -137,7 +137,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // are empty, the first INSERT is version 2
     val empty = c.spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    VersionedTable.load(c, t, empty)
+    // CHECK constraint: TBLPROPERTIES('check' = '<boolean sql>') records
+    // the commit-time row gate (Delta's constraint shape) in the v1
+    // manifest; every later INSERT/UPDATE/MERGE validates its incoming
+    // rows against it. The expression must RESOLVE against the schema
+    // now — a typo'd column name fails the CREATE, not the first insert.
+    val check = Option(properties.get("check")).map(_.trim).filter(_.nonEmpty)
+    check.foreach { sql =>
+      empty.where(org.apache.spark.sql.functions.expr(sql))
+        .queryExecution.analyzed
+    }
+    VersionedTable.load(c, t, empty,
+      extraProps = check.map(VersionedTable.CheckConstraintProp -> _).toMap)
     new GraftBatchTable(schema, Map("dir" -> dir, "table" -> t),
       acceptAnySchema = false)
   }

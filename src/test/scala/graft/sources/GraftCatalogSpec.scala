@@ -182,6 +182,38 @@ class GraftCatalogSpec extends SparkSpec {
       s"expected the procedure listing, got: ${messages(err)}")
   }
 
+  test("CHECK constraints gate every write at commit time") {
+    spark.sql("CREATE TABLE gq.default.chk (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('check' = 'v >= 0 AND k < 1000')")
+    spark.sql("INSERT INTO gq.default.chk VALUES (1, 10), (2, 0)")
+    assert(spark.sql("SELECT count(*) FROM gq.default.chk").head().getLong(0) == 2L)
+    // a violating INSERT refuses and commits NOTHING
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gq.default.chk VALUES (3, 5), (4, -1)")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("CHECK constraint"), s"got: ${msgs(e)}")
+    assert(spark.sql("SELECT count(*) FROM gq.default.chk").head().getLong(0) == 2L,
+      "the violating batch must not half-commit")
+    assert(VersionedTable.versions(lib, "chk").size == 2,
+      "no version for the refused insert")
+    // UPDATE cannot write rows the constraint refuses
+    val u = intercept[Exception] {
+      spark.sql("UPDATE gq.default.chk SET v = -5 WHERE k = 1")
+    }
+    assert(msgs(u).contains("CHECK constraint"), s"got: ${msgs(u)}")
+    // NULL satisfies (SQL CHECK semantics)
+    spark.sql("INSERT INTO gq.default.chk VALUES (5, NULL)")
+    assert(spark.sql("SELECT count(*) FROM gq.default.chk").head().getLong(0) == 3L)
+    // a constraint referencing a missing column fails the CREATE, not
+    // the first insert
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gq.default.chk2 (k BIGINT) " +
+        "TBLPROPERTIES ('check' = 'nope > 0')")
+    }
+  }
+
   test("DROP TABLE refuses while a live clone references the table; PURGE forces") {
     spark.sql("CREATE TABLE gq.default.clsrc (k BIGINT)")
     spark.sql("INSERT INTO gq.default.clsrc VALUES (1), (2)")
