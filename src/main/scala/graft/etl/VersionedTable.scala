@@ -404,6 +404,14 @@ object VersionedTable {
   /** The head manifest's props map (empty for a missing table) — the
     * commit-carried metadata surface: recorded upsert keys, commit
     * times, streaming-sink epoch stamps, clone provenance. */
+  /** (version, props, bucket spec) of the head manifest in ONE pointer
+    * resolution + ONE manifest read — for callers (DESCRIBE's
+    * `Table.properties()`) that would otherwise stack three. */
+  private[graft] def headSummary(tgt: Catalog, table: String)
+      : Option[(Long, Map[String, String], Option[(Seq[String], Int)])] =
+    currentVersion(tgt, table).flatMap(v => readManifest(tgt, table, v))
+      .map(m => (m.version, m.props, m.bucket))
+
   def tableProps(tgt: Catalog, table: String): Map[String, String] =
     currentVersion(tgt, table)
       .flatMap(v => readManifest(tgt, table, v))
@@ -1050,12 +1058,19 @@ object VersionedTable {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     val headMan = cur.flatMap(v => readManifest(tgt, table, v))
-    // CHECK constraint: the recorded one (or this load's own declaration)
-    // gates the INCOMING rows before any write — existing rows satisfied
-    // it when written, so per-commit O(batch) enforcement is inductive
-    extraProps.get(CheckConstraintProp)
+    // CHECK constraint to enforce on this commit: this load's own
+    // declaration wins over the recorded one. A NEWLY-declared (or
+    // changed) constraint on a non-empty table additionally validates
+    // the EXISTING rows — Delta's ADD CONSTRAINT scan — because the
+    // manifest must never advertise a CHECK its committed data violates
+    // (the per-commit induction starts from a verified base).
+    val checkSql = extraProps.get(CheckConstraintProp)
       .orElse(headMan.flatMap(_.props.get(CheckConstraintProp)))
-      .foreach(c => enforceCheck(incoming, c, table))
+    for {
+      c <- extraProps.get(CheckConstraintProp)
+      man <- headMan
+      if !man.props.get(CheckConstraintProp).contains(c)
+    } enforceCheck(readVersion(tgt, table, man.version), c, table)
     // the recorded layout wins; a conflicting request is an error, not a
     // silent re-layout. A flat table CAN migrate to bucketed (full
     // rewrite, layout recorded with the commit).
@@ -1143,6 +1158,21 @@ object VersionedTable {
 
     val (batch, newParts) = writeBatch(tgt, table, out, bucket,
       (headMan.toSeq.flatMap(bloomColsOf) ++ bloomBy).distinct)
+    // CHECK constraint gates the STAGED files — the bytes that would
+    // commit — not the incoming plan: a non-deterministic source
+    // (rand(), current_timestamp()) re-executes between a plan-side
+    // probe and the write, so only the staged batch is atomic with the
+    // manifest. Also NULL-satisfies narrow appends for free (the staged
+    // schema is the final one, absent columns already null-filled).
+    // On violation the staged batch is removed and nothing committed.
+    checkSql.filter(_ => newParts.nonEmpty).foreach { c =>
+      try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
+        new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+      catch { case e: Throwable =>
+        fs(tgt, dataDir(tgt, table)).delete(batch, true)
+        throw e
+      }
+    }
     val newRel = newParts.map(_._1)
     val newV = cur.getOrElse(0L) + 1L
     // the committed version's max id, from the new files' footer stats
@@ -1211,15 +1241,24 @@ object VersionedTable {
         s"${removedAbs.size}, matched ${removeRel.size} in v$expectedVersion")
     val replacement = if (replacement0.columns.contains(Loader.IdCol))
       replacement0.drop(Loader.IdCol) else replacement0
-    // SQL UPDATE/MERGE must not write rows the table's CHECK refuses
-    headMan.props.get(CheckConstraintProp)
-      .foreach(c => enforceCheck(replacement, c, table))
     val floor = headMan.maxId.getOrElse(
       footerMaxId(tgt, headMan.files.map(r =>
         new Path(dataDir(tgt, table), r).toString)).getOrElse(0L))
     val order = if (idOrder.nonEmpty) idOrder else replacement.columns.toSeq
     val out = Loader.withSurrogateIds(replacement, floor, order)
     val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan))
+    // SQL UPDATE/MERGE must not write rows the table's CHECK refuses —
+    // validated on the STAGED files (atomic with what would commit; see
+    // loadAttempt), cleaned up on violation
+    headMan.props.get(CheckConstraintProp)
+      .filter(_ => newParts.nonEmpty).foreach { c =>
+        try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
+          new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+        catch { case e: Throwable =>
+          fs(tgt, dataDir(tgt, table)).delete(batch, true)
+          throw e
+        }
+      }
     val newRel = newParts.map(_._1)
     val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
     // same strictness as loadAttempt: when the footer probe bails on a
@@ -1704,11 +1743,16 @@ object VersionedTable {
       val relByAbs = man.files.map { rel =>
         new Path(dataDir(tgt, table), rel).toUri.getPath -> rel
       }.toMap
+      // bucketsFor is constant per predicate but the closure runs per
+      // FILE — memoize by tree (value equality) so a 100k-file listing
+      // hashes the key once, not 100k times
+      val bucketCache =
+        new java.util.concurrent.ConcurrentHashMap[ZonePred.P, Option[Set[Int]]]()
       val admits = (absPath: String, p: ZonePred.P) =>
         relByAbs.get(absPath) match {
           case None => true
           case Some(rel) =>
-            bucketsFor(man, p).forall(ks =>
+            bucketCache.computeIfAbsent(p, bucketsFor(man, _)).forall(ks =>
               bucketOfRel(rel).forall(ks.contains)) &&
               fileAdmits(man, rel, p)
         }
@@ -2040,9 +2084,15 @@ object VersionedTable {
     * lets the V2 scan report REAL post-pruning sizes to the join planner
     * (a small versioned dim broadcasts instead of defaulting to
     * sort-merge behind `defaultSizeInBytes = Long.Max`). */
-  private[graft] def batchStats(tgt: Catalog, table: String, v: Option[Long],
-                                pred: org.apache.spark.sql.graft.ZonePred.P)
-      : (Long, Option[Long]) = {
+  /** Everything `estimateStatistics` needs in ONE manifest read and ONE
+    * survivor computation (version resolution, pruning with the SAME
+    * bucket restriction as [[batchSlices]], byte/row sums, and the
+    * column stats of [[batchColStats]]) — the three consumers must see
+    * one consistent file set, or a bucketed point query's column null
+    * counts could exceed its reported row count. */
+  private[graft] def batchPlanStats(tgt: Catalog, table: String, v: Option[Long],
+                                    pred: org.apache.spark.sql.graft.ZonePred.P)
+      : (Long, Option[Long], Map[String, (Option[(Any, Any)], Option[Long])]) = {
     val ver = v.orElse(currentVersion(tgt, table)).getOrElse(
       throw new IllegalArgumentException(s"versioned table '$table' not found"))
     val man = readManifest(tgt, table, ver).getOrElse(
@@ -2055,7 +2105,9 @@ object VersionedTable {
     val bytes = surv.map(rel => man.sizes.getOrElse(rel,
       f.getFileStatus(new Path(dataDir(tgt, table), rel)).getLen)).sum
     val rows = surv.map(man.rows.get)
-    (bytes, if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None)
+    (bytes,
+      if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None,
+      colStatsOf(man, surv))
   }
 
   /** The columns whose per-file ranges the manifest records (= the
@@ -2073,14 +2125,11 @@ object VersionedTable {
     * zero I/O — and handed to Spark through the V2 `columnStats()`
     * contract, so CBO's range-filter and join estimation see
     * manifest-exact domains instead of guessing. Strings are omitted
-    * (estimation is numeric-domain; truncated bounds would mislead). */
-  private[graft] def batchColStats(tgt: Catalog, table: String, v: Option[Long],
-                                   pred: org.apache.spark.sql.graft.ZonePred.P)
+    * (estimation is numeric-domain; truncated bounds would mislead).
+    * Takes the [[batchPlanStats]] survivor set so column stats cover
+    * exactly the files behind the reported row count. */
+  private def colStatsOf(man: Manifest, surv: Seq[String])
       : Map[String, (Option[(Any, Any)], Option[Long])] = {
-    val ver = v.orElse(currentVersion(tgt, table)).getOrElse(return Map.empty)
-    val man = readManifest(tgt, table, ver).getOrElse(return Map.empty)
-    val surv = man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
-      fileAdmits(man, rel, pred))
     if (surv.isEmpty) return Map.empty
     def internal(tag: String, s: String): Option[Any] = tag match {
       case "long" => scala.util.Try(s.toLong: Any).toOption

@@ -163,14 +163,8 @@ private[sources] object GraftProcedures {
         ProcedureParameter.in("dry_run", BooleanType)
           .defaultValue("false").build())) {
       override def run(input: InternalRow): JIterator[Scan] = {
-        val raw = input.getUTF8String(1).toString.trim
-        val millis = scala.util.Try(raw.toLong).getOrElse {
-          val txt = raw.replace(' ', 'T')
-          val ldt =
-            if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
-            else java.time.LocalDateTime.parse(txt)
-          ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        }
+        val millis = graft.streaming.CdcStreamProvider.parseUtcMillis(
+          input.getUTF8String(1).toString)
         val dry = !input.isNullAt(2) && input.getBoolean(2)
         val removed = VersionedTable.vacuumOlderThan(cat(),
           input.getUTF8String(0).toString, millis, dryRun = dry)

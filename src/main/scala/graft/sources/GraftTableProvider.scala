@@ -194,10 +194,10 @@ private[sources] final class GraftBatchTable(
     val m = new java.util.HashMap[String, String]()
     (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
       val cat = new Catalog(SparkSession.active, d)
-      VersionedTable.currentVersion(cat, t).foreach { v =>
+      VersionedTable.headSummary(cat, t).foreach { case (v, props, bucket) =>
         m.put("current_version", v.toString)
-        VersionedTable.tableProps(cat, t).foreach { case (k, x) => m.put(k, x) }
-        VersionedTable.bucketSpec(cat, t).foreach { case (keys, n) =>
+        props.foreach { case (k, x) => m.put(k, x) }
+        bucket.foreach { case (keys, n) =>
           m.put("bucket_keys", keys.mkString(","))
           m.put("num_buckets", n.toString)
         }
@@ -359,7 +359,8 @@ private[sources] final class GraftScan(
       opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
     val pred = ZonePred.And(
       pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtimePred)
-    val (bytes, rows) = VersionedTable.batchStats(cat, table, v, pred)
+    val (bytes, rows, colStats0) =
+      VersionedTable.batchPlanStats(cat, table, v, pred)
     // two lower bounds, take the max: rows × pruned-schema default width
     // (catches narrow tables whose parquet compresses to nothing), and
     // on-disk bytes scaled by the pruned/full width ratio (catches wide
@@ -373,8 +374,9 @@ private[sources] final class GraftScan(
     val size = rows.fold(bytes)(r =>
       math.max(r * math.max(1L, required.defaultSize.toLong), scaledBytes))
     // column-level stats (manifest-exact min/max domains + null counts)
-    // for CBO's filter/join estimation — folded driver-side, zero I/O
-    val colStats = VersionedTable.batchColStats(cat, table, v, pred)
+    // for CBO's filter/join estimation — same survivor set as the
+    // row/byte sums above (one manifest pass for all three)
+    val colStats = colStats0
       .filter { case (c, _) => dataSchema.fieldNames.contains(c) }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -492,14 +494,8 @@ object GraftTableProvider {
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     versionAsOf.map(_.toLong).orElse(timestampAsOf.map { t =>
-      val millis = scala.util.Try(t.trim.toLong).getOrElse {
-        val txt = t.trim.replace(' ', 'T')
-        val ldt =
-          if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
-          else java.time.LocalDateTime.parse(txt)
-        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      }
-      VersionedTable.versionAt(cat, table, millis)
+      VersionedTable.versionAt(cat, table,
+        graft.streaming.CdcStreamProvider.parseUtcMillis(t))
     })
   }
 

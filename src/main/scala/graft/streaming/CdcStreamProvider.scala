@@ -230,15 +230,24 @@ private[streaming] final class CdcScan(
 
 private[graft] object CdcStreamProvider {
 
-  /** Epoch millis, or ISO-8601 parsed as UTC — the project-wide session
-    * contract (same parsing as the batch format's timestampAsOf). */
+  /** Epoch millis, or an ISO-8601 instant — THE one timestamp parser
+    * behind `timestampAsOf`, `startingTimestamp`, and the
+    * `expire_snapshots` procedure. Accepts the standard suffixed forms
+    * first (`...Z`, `...+02:00` — `LocalDateTime.parse` throws on a
+    * zone designator, so without these branches the most common UTC
+    * spelling would crash); zone-LESS date-times and bare dates read as
+    * UTC, the project-wide session contract. */
   private[graft] def parseUtcMillis(t: String): Long =
     scala.util.Try(t.trim.toLong).getOrElse {
       val txt = t.trim.replace(' ', 'T')
-      val ldt =
-        if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
-        else java.time.LocalDateTime.parse(txt)
-      ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      scala.util.Try(java.time.Instant.parse(txt).toEpochMilli).getOrElse(
+        scala.util.Try(java.time.OffsetDateTime.parse(txt).toInstant.toEpochMilli)
+          .getOrElse {
+            val ldt =
+              if (txt.length <= 10) java.time.LocalDate.parse(txt).atStartOfDay()
+              else java.time.LocalDateTime.parse(txt)
+            ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          })
     }
 
   /** Streaming start position: `startingVersion` (that version's changes

@@ -169,6 +169,10 @@ class GraftCatalogSpec extends SparkSpec {
       .collect()
     assert(VersionedTable.versions(lib, "exp") == Seq(1L, 2L, 3L),
       "dry run must not drop versions")
+    // the standard 'Z'-suffixed ISO instant must parse (LocalDateTime
+    // alone throws on a zone designator — regression pin)
+    spark.sql("CALL gq.system.expire_snapshots('exp', " +
+      "'1970-01-01T00:41:40Z', dry_run => true)").collect()
     spark.sql("CALL gq.system.expire_snapshots('exp', '2500000')").collect()
     assert(VersionedTable.versions(lib, "exp") == Seq(3L),
       "only the commit at-or-after the instant survives")

@@ -216,6 +216,14 @@ class GraftScanPlanningSpec extends SparkSpec {
     // an eq on a NON-key column must not bucket-prune (one-sided safety)
     assert(parts(read.load().where("v = 7")).size == all.size,
       "a non-key eq has no bucket to pin")
+    // stats consistency on the SAME bucket-pruned survivor set: no
+    // column may report more nulls than the relation reports rows
+    val st = scanOf(read.load().where("grp = 5")).estimateStatistics()
+    val nRows = st.numRows.getAsLong
+    st.columnStats().forEach { (_, cs) =>
+      assert(!cs.nullCount.isPresent || cs.nullCount.getAsLong <= nRows,
+        s"column nullCount must not exceed numRows ($nRows)")
+    }
   }
 
   test("CALL recluster: z-order rewrite from pure SQL") {
