@@ -2084,6 +2084,60 @@ object VersionedTable {
     * lets the V2 scan report REAL post-pruning sizes to the join planner
     * (a small versioned dim broadcasts instead of defaulting to
     * sort-merge behind `defaultSizeInBytes = Long.Max`). */
+  /** A metadata-answerable aggregate ask ([[aggFromManifest]]). */
+  private[graft] sealed trait AggWant
+  private[graft] case object WantCountStar extends AggWant
+  private[graft] final case class WantCountCol(col: String) extends AggWant
+  private[graft] final case class WantMin(col: String, tag: String) extends AggWant
+  private[graft] final case class WantMax(col: String, tag: String) extends AggWant
+
+  /** Answer global aggregates from the MANIFEST alone — zero data I/O:
+    * `count(*)` = the recorded per-file row sum; `count(col)` = rows −
+    * recorded null counts; `min/max(col)` = the fold of per-file footer
+    * bounds (exact parquet statistics; the caller restricts types to the
+    * ones whose bounds ARE the true extrema — integrals/date/timestamp,
+    * never float/double whose NaN parquet statistics elide, never
+    * strings whose recorded bounds truncate). Returns None unless EVERY
+    * surviving file records what the ask needs — one missing entry means
+    * "scan instead", never a guess. Values come back as (tag, loOrNull)
+    * longs for min/max, Long counts otherwise; an all-empty table yields
+    * null extrema and zero counts, the SQL answers. */
+  private[graft] def aggFromManifest(tgt: Catalog, table: String, v: Option[Long],
+                                     wants: Seq[AggWant]): Option[Seq[Any]] = {
+    val ver = v.orElse(currentVersion(tgt, table)).getOrElse(return None)
+    val man = readManifest(tgt, table, ver).getOrElse(return None)
+    // files that can hold rows; a recorded 0-row file contributes nothing
+    // (and legitimately has no column stats)
+    val files = man.files.filterNot(r => man.rows.get(r).contains(0L))
+    def rowsOf: Option[Long] = {
+      val rs = files.map(man.rows.get)
+      if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None
+    }
+    def nullsOf(c: String): Option[Long] = {
+      val ns = files.map(r => man.nulls.getOrElse(r, Map.empty).get(c))
+      if (ns.forall(_.isDefined)) Some(ns.flatten.sum) else None
+    }
+    def extremum(c: String, tag: String, wantMin: Boolean): Option[Any] = {
+      if (files.isEmpty) return Some(null) // empty table: SQL min/max = NULL
+      val bounds = files.map(r => man.stats.getOrElse(r, Map.empty).get(c))
+      if (!bounds.forall(_.isDefined)) return None
+      val parsed = bounds.flatten.map { case (t, lo, hi) =>
+        if (t != tag) None
+        else scala.util.Try((if (wantMin) lo else hi).toLong).toOption
+      }
+      if (!parsed.forall(_.isDefined)) None
+      else Some(if (wantMin) parsed.flatten.min else parsed.flatten.max)
+    }
+    val answers = wants.map {
+      case WantCountStar => rowsOf
+      case WantCountCol(c) =>
+        for { r <- rowsOf; n <- nullsOf(c) } yield r - n
+      case WantMin(c, tag) => extremum(c, tag, wantMin = true)
+      case WantMax(c, tag) => extremum(c, tag, wantMin = false)
+    }
+    if (answers.forall(_.isDefined)) Some(answers.map(_.get)) else None
+  }
+
   /** Everything `estimateStatistics` needs in ONE manifest read and ONE
     * survivor computation (version resolution, pruning with the SAME
     * bucket restriction as [[batchSlices]], byte/row sums, and the

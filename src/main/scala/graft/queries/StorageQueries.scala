@@ -47,7 +47,8 @@ object StorageQueries {
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
     "q_versioned_sql_merge", "q_versioned_sql_join",
-    "q_versioned_point_lookup", "q_versioned_check")
+    "q_versioned_point_lookup", "q_versioned_check",
+    "q_versioned_agg_pushdown")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -1151,6 +1152,19 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // F45 manifest-answered aggregates: global count(*)/min/max through
+    // the SQL catalog plan as a driver LocalScan — ZERO data tasks (the
+    // plan shape is pinned in GraftScanPlanningSpec; at 100 TB this is
+    // one JSON read instead of a full-table scan). The oracle replays
+    // the same aggregates relationally.
+    "q_versioned_agg_pushdown" -> { (spark, sfDir) =>
+      val name = sqlCatalogFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT count(*) AS n_rows,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM $name.default.t""")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1540,6 +1554,11 @@ object StorageQueries {
         |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
+
+    "q_versioned_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (SELECT * FROM orders WHERE o_orderkey <= 1200)""".stripMargin,
 
     "q_versioned_check" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -274,7 +274,8 @@ private[sources] class GraftWriteBuilder(
 private[sources] final class GraftScanBuilder(
     dataSchema: StructType, options: Map[String, String])
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = dataSchema
@@ -289,7 +290,109 @@ private[sources] final class GraftScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(dataSchema, required, options, pushed)
+  // ------------------------------------------------- aggregate pushdown
+  //
+  // Global count(*)/count(col)/min/max answered from the MANIFEST — zero
+  // data I/O, zero tasks (a driver-LocalScan): at 100 TB, `SELECT
+  // count(*) FROM t` is one JSON read instead of a full-table scan (the
+  // instant-count property the big table formats advertise). Soundness:
+  // Spark only attempts aggregate pushdown when ZERO filters remain in
+  // the plan, and we additionally refuse when any filter was pushed (ours
+  // prune only — they could not make a filtered count exact); min/max
+  // restrict to integral/date/timestamp columns whose parquet footer
+  // statistics ARE the true extrema (float/double excluded: NaN elides
+  // from parquet stats and Spark orders NaN largest; strings excluded:
+  // recorded bounds truncate); every surviving file must record what the
+  // ask needs, or we fall back to the scan — never a guess.
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  @volatile private var aggMemo: Option[(Aggregation, Option[(StructType, Array[Any])])] = None
+
+  private def computeAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    aggMemo match {
+      case Some((a, r)) if a == agg => return r
+      case _ => ()
+    }
+    val r = computeAggUncached(agg)
+    aggMemo = Some((agg, r))
+    r
+  }
+
+  private def computeAggUncached(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    import graft.etl.VersionedTable._
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case n: org.apache.spark.sql.connector.expressions.NamedReference
+          if n.fieldNames().length == 1 =>
+          dataSchema.fields.find(_.name == n.fieldNames()(0))
+        case _ => None
+      }
+    def tagOf(dt: DataType): Option[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case DateType => Some("date")
+      case TimestampType | TimestampNTZType => Some("ts")
+      case _ => None // float/double (NaN), strings (truncation): scan
+    }
+    val asks: Seq[Option[(StructField, AggWant)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false), WantCountStar))
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).map(f =>
+          (StructField(s"count_${f.name}", LongType, nullable = false),
+            WantCountCol(f.name)))
+      case m: Min => for { f <- colOf(m.column); t <- tagOf(f.dataType) }
+        yield (StructField(s"min_${f.name}", f.dataType), WantMin(f.name, t))
+      case m: Max => for { f <- colOf(m.column); t <- tagOf(f.dataType) }
+        yield (StructField(s"max_${f.name}", f.dataType), WantMax(f.name, t))
+      case _ => None
+    }
+    if (asks.exists(_.isEmpty)) return None
+    val (fields, wants) = asks.flatten.unzip
+    val cat = new Catalog(SparkSession.active,
+      GraftTableProvider.requiredOpt(options, "dir"))
+    val table = GraftTableProvider.requiredOpt(options, "table")
+    val v = GraftTableProvider.resolveVersion(cat, table,
+      GraftTableProvider.opt(options, "versionAsOf"),
+      GraftTableProvider.opt(options, "timestampAsOf"))
+    aggFromManifest(cat, table, v, wants).map { vals =>
+      val internal = fields.zip(vals).map {
+        case (_, null) => null
+        case (f, x: Long) => f.dataType match {
+          case ByteType => x.toByte
+          case ShortType => x.toShort
+          case IntegerType | DateType => x.toInt
+          case _ => x // Long counts, LongType, Timestamp/NTZ micros
+        }
+        case (_, other) => other
+      }
+      (StructType(fields), internal.toArray[Any])
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    computeAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    computeAgg(agg) match {
+      case Some(r) => pushedAgg = Some(r); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(row))
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          "graft manifest-answered aggregate (zero data I/O)"
+      }
+    case None => new GraftScan(dataSchema, required, options, pushed)
+  }
 }
 
 /** The format's batch scan — besides the partition planning it reports

@@ -226,6 +226,51 @@ class GraftScanPlanningSpec extends SparkSpec {
     }
   }
 
+  test("global count/min/max answer from the manifest with ZERO data tasks") {
+    spark.sql("CREATE TABLE gp.default.agg (k BIGINT, txt STRING, d DOUBLE)")
+    spark.sql("INSERT INTO gp.default.agg " +
+      "SELECT id, IF(id % 3 = 0, NULL, concat('t', id)), id * 1.5 FROM range(500)")
+    spark.sql("INSERT INTO gp.default.agg " +
+      "SELECT id + 1000, concat('t', id), id * 1.5 FROM range(100)")
+
+    def planOf(sql: String) = spark.sql(sql).queryExecution.executedPlan
+    def isLocal(sql: String): Boolean = {
+      val p = planOf(sql)
+      p.collectFirst { case b: BatchScanExec => b }.isEmpty &&
+        p.toString.contains("LocalTableScan")
+    }
+
+    // the metadata-answerable shapes: LocalTableScan, no BatchScan
+    val q1 = "SELECT count(*) FROM gp.default.agg"
+    assert(isLocal(q1), s"count(*) must answer from the manifest:\n${planOf(q1)}")
+    assert(spark.sql(q1).head().getLong(0) == 600L)
+
+    val q2 = "SELECT min(k), max(k), count(txt) FROM gp.default.agg"
+    assert(isLocal(q2), s"min/max/count(col) must answer from the manifest:\n${planOf(q2)}")
+    val r2 = spark.sql(q2).head()
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 1099L)
+    assert(r2.getLong(2) == 600L - 167L, "count(txt) = rows minus recorded nulls")
+
+    // time travel composes: the v2 manifest answers
+    val q3 = "SELECT count(*) FROM gp.default.agg VERSION AS OF 2"
+    assert(isLocal(q3) && spark.sql(q3).head().getLong(0) == 500L)
+
+    // NOT metadata-answerable: filtered, averaged, float/double or
+    // string extrema — all fall back to the real scan, results exact
+    for ((sql, expect) <- Seq(
+      ("SELECT count(*) FROM gp.default.agg WHERE k < 100", 100L),
+      ("SELECT count(DISTINCT k) FROM gp.default.agg", 600L))) {
+      assert(!isLocal(sql), s"must scan: $sql")
+      assert(spark.sql(sql).head().getLong(0) == expect)
+    }
+    assert(!isLocal("SELECT min(d) FROM gp.default.agg"),
+      "double extrema must scan (NaN elides from parquet stats)")
+    assert(spark.sql("SELECT min(d) FROM gp.default.agg").head().getDouble(0) == 0.0)
+    assert(!isLocal("SELECT max(txt) FROM gp.default.agg"),
+      "string extrema must scan (recorded bounds truncate)")
+    assert(spark.sql("SELECT avg(k) FROM gp.default.agg").head().getDouble(0) > 0)
+  }
+
   test("CALL recluster: z-order rewrite from pure SQL") {
     spark.sql("CREATE TABLE gp.default.rc (x BIGINT, y BIGINT)")
     spark.sql("INSERT INTO gp.default.rc SELECT id % 97, id % 89 FROM range(2000)")
