@@ -2056,7 +2056,8 @@ object VersionedTable {
     * path, byte length) — manifest-only, zero listings or status RPCs
     * for sized manifests. */
   private[graft] def batchSlices(tgt: Catalog, table: String, v: Option[Long],
-                                 pred: org.apache.spark.sql.graft.ZonePred.P)
+                                 pred: org.apache.spark.sql.graft.ZonePred.P,
+                                 limitRows: Option[Long] = None)
       : Seq[(String, Long)] = {
     val ver = v.orElse(currentVersion(tgt, table)).getOrElse(
       throw new IllegalArgumentException(s"versioned table '$table' not found"))
@@ -2070,9 +2071,25 @@ object VersionedTable {
     // layout an eq-pinned key additionally restricts to its bucket's
     // files ([[bucketsFor]]) — the SQL point-lookup twin of [[lookup]].
     val keepB = bucketsFor(man, pred)
-    man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
-        keepB.forall(ks => bucketOfRel(rel).forall(ks.contains)) &&
-        fileAdmits(man, rel, pred)).map { rel =>
+    val surv = man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+      keepB.forall(ks => bucketOfRel(rel).forall(ks.contains)) &&
+      fileAdmits(man, rel, pred))
+    // a pushed LIMIT keeps files only until their RECORDED row counts
+    // cover it — LIMIT 10 on a 100k-file table reads one file. Exact
+    // only when the caller guarantees no post-scan row filtering (the
+    // scan builder does: Spark pushes limits only adjacent to the scan)
+    // and every kept file has a recorded count (one unknown voids it).
+    val kept = limitRows match {
+      case Some(n) if surv.forall(man.rows.contains) =>
+        var acc = 0L
+        surv.takeWhile { rel =>
+          val take = acc < n
+          acc += man.rows(rel)
+          take
+        }
+      case _ => surv
+    }
+    kept.map { rel =>
       val abs = new Path(dataDir(tgt, table), rel).toString
       abs -> man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen)
     }

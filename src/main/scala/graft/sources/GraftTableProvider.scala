@@ -275,7 +275,8 @@ private[sources] final class GraftScanBuilder(
     dataSchema: StructType, options: Map[String, String])
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = dataSchema
@@ -289,6 +290,23 @@ private[sources] final class GraftScanBuilder(
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // ---------------------------------------------------- limit pushdown
+  //
+  // `SELECT * FROM t LIMIT 10` needs ONE file of a 100k-file table, not
+  // all of them: with a limit pushed (Spark only pushes one adjacent to
+  // the scan — our unhandled filters block it automatically, so the
+  // truncation is never applied to pre-filter row counts) the batch
+  // keeps files only until their RECORDED row counts cover the limit.
+  // isPartiallyPushed stays true: Spark applies the exact limit on top;
+  // the push only shrinks what gets read. A file without a recorded
+  // row count voids the truncation (never a wrong short read).
+  private var limit: Option[Int] = None
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true // partially pushed (default isPartiallyPushed = true)
+  }
 
   // ------------------------------------------------- aggregate pushdown
   //
@@ -391,7 +409,11 @@ private[sources] final class GraftScanBuilder(
         override def description(): String =
           "graft manifest-answered aggregate (zero data I/O)"
       }
-    case None => new GraftScan(dataSchema, required, options, pushed)
+    case None => new GraftScan(dataSchema, required, options, pushed,
+      // belt-and-braces: Spark never pushes a limit past a remaining
+      // filter (ours all remain), but make it locally provable — a
+      // pushed filter voids the file truncation
+      limit.filter(_ => pushed.isEmpty))
   }
 }
 
@@ -421,7 +443,8 @@ private[sources] final class GraftScanBuilder(
   */
 private[sources] final class GraftScan(
     dataSchema: StructType, required: StructType,
-    options: Map[String, String], pushed: Array[sources.Filter])
+    options: Map[String, String], pushed: Array[sources.Filter],
+    limit: Option[Int] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -512,7 +535,7 @@ private[sources] final class GraftScan(
   }
 
   override def toBatch: Batch = new GraftBatch(
-    dataSchema, required, options, pushed, () => runtimePred)
+    dataSchema, required, options, pushed, () => runtimePred, limit)
 
   /** APPEND-TAIL stream (`spark.readStream.format("graft")`) — see
     * [[graft.streaming.GraftAppendStream]]. (Spark applies no
@@ -547,7 +570,8 @@ private[sources] final class GraftScan(
 private[sources] final class GraftBatch(
     dataSchema: StructType, requiredSchema: StructType,
     options: Map[String, String], pushed: Array[sources.Filter],
-    runtime: () => ZonePred.P = () => ZonePred.And(Nil)) extends Batch {
+    runtime: () => ZonePred.P = () => ZonePred.And(Nil),
+    limit: Option[Int] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -561,7 +585,8 @@ private[sources] final class GraftBatch(
     // sets prune files here exactly like static pushdown
     val pred = ZonePred.And(
       pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtime())
-    VersionedTable.batchSlices(cat, table, v, pred).map { case (p, l) =>
+    VersionedTable.batchSlices(cat, table, v, pred,
+      limitRows = limit.map(_.toLong)).map { case (p, l) =>
       PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
         : InputPartition
     }.toArray

@@ -271,6 +271,21 @@ class GraftScanPlanningSpec extends SparkSpec {
     assert(spark.sql("SELECT avg(k) FROM gp.default.agg").head().getDouble(0) > 0)
   }
 
+  test("a pushed LIMIT truncates the file list by recorded row counts") {
+    // fact has three 100-row files (mkFact): LIMIT 10 needs one of them
+    val lim = spark.sql("SELECT * FROM gp.default.fact LIMIT 10")
+    val parts = lim.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputRDD.getNumPartitions
+    }
+    assert(parts == Seq(1), s"LIMIT 10 must plan one 100-row file: $parts")
+    assert(lim.collect().length == 10, "Spark's exact limit still applies on top")
+    // a limit UNDER a filter must not truncate (the filter drops rows,
+    // recorded counts are pre-filter) — Spark keeps them separate, and
+    // results stay exact
+    val fl = spark.sql("SELECT * FROM gp.default.fact WHERE grp = 2 LIMIT 150")
+    assert(fl.collect().length == 100, "only grp=2's 100 rows exist")
+  }
+
   test("CALL recluster: z-order rewrite from pure SQL") {
     spark.sql("CREATE TABLE gp.default.rc (x BIGINT, y BIGINT)")
     spark.sql("INSERT INTO gp.default.rc SELECT id % 97, id % 89 FROM range(2000)")
