@@ -2140,7 +2140,10 @@ object VersionedTable {
       if (!bounds.forall(_.isDefined)) return None
       val parsed = bounds.flatten.map { case (t, lo, hi) =>
         if (t != tag) None
-        else scala.util.Try((if (wantMin) lo else hi).toLong).toOption
+        else tagInternal(t, if (wantMin) lo else hi).collect {
+          case l: Long => l
+          case i: Int => i.toLong // date days fold as longs, emitted as Int
+        }
       }
       if (!parsed.forall(_.isDefined)) None
       else Some(if (wantMin) parsed.flatten.min else parsed.flatten.max)
@@ -2199,16 +2202,23 @@ object VersionedTable {
     * (estimation is numeric-domain; truncated bounds would mislead).
     * Takes the [[batchPlanStats]] survivor set so column stats cover
     * exactly the files behind the reported row count. */
+  /** ONE parser for a manifest stats bound into its Catalyst-internal
+    * value ("long" → Long, "double" → Double, "date" → Int days,
+    * "ts" → Long micros; strings skip) — shared by the CBO column stats
+    * and the manifest-answered aggregates so the tag encoding has a
+    * single read-side source of truth. */
+  private def tagInternal(tag: String, s: String): Option[Any] = tag match {
+    case "long" => scala.util.Try(s.toLong: Any).toOption
+    case "double" => scala.util.Try(s.toDouble: Any).toOption
+    case "date" => scala.util.Try(s.toLong.toInt: Any).toOption
+    case "ts" => scala.util.Try(s.toLong: Any).toOption
+    case _ => None // strings: skip (truncated bounds would mislead)
+  }
+
   private def colStatsOf(man: Manifest, surv: Seq[String])
       : Map[String, (Option[(Any, Any)], Option[Long])] = {
     if (surv.isEmpty) return Map.empty
-    def internal(tag: String, s: String): Option[Any] = tag match {
-      case "long" => scala.util.Try(s.toLong: Any).toOption
-      case "double" => scala.util.Try(s.toDouble: Any).toOption
-      case "date" => scala.util.Try(s.toLong.toInt: Any).toOption
-      case "ts" => scala.util.Try(s.toLong: Any).toOption
-      case _ => None // strings: skip (see doc)
-    }
+    def internal(tag: String, s: String): Option[Any] = tagInternal(tag, s)
     val cols = surv.headOption.map(r => man.stats.getOrElse(r, Map.empty).keySet)
       .getOrElse(Set.empty) ++ man.nulls.values.flatMap(_.keySet)
     cols.toSeq.map { c =>

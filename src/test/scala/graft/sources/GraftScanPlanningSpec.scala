@@ -268,6 +268,8 @@ class GraftScanPlanningSpec extends SparkSpec {
     assert(spark.sql("SELECT min(d) FROM gp.default.agg").head().getDouble(0) == 0.0)
     assert(!isLocal("SELECT max(txt) FROM gp.default.agg"),
       "string extrema must scan (recorded bounds truncate)")
+    assert(!isLocal("SELECT avg(k) FROM gp.default.agg"),
+      "avg is not metadata-answerable and must scan")
     assert(spark.sql("SELECT avg(k) FROM gp.default.agg").head().getDouble(0) > 0)
   }
 
