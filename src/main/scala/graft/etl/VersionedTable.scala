@@ -2057,7 +2057,8 @@ object VersionedTable {
     * for sized manifests. */
   private[graft] def batchSlices(tgt: Catalog, table: String, v: Option[Long],
                                  pred: org.apache.spark.sql.graft.ZonePred.P,
-                                 limitRows: Option[Long] = None)
+                                 limitRows: Option[Long] = None,
+                                 topN: Option[(String, Boolean, Long)] = None)
       : Seq[(String, Long)] = {
     val ver = v.orElse(currentVersion(tgt, table)).getOrElse(
       throw new IllegalArgumentException(s"versioned table '$table' not found"))
@@ -2079,7 +2080,7 @@ object VersionedTable {
     // only when the caller guarantees no post-scan row filtering (the
     // scan builder does: Spark pushes limits only adjacent to the scan)
     // and every kept file has a recorded count (one unknown voids it).
-    val kept = limitRows match {
+    val limited = limitRows match {
       case Some(n) if surv.forall(man.rows.contains) =>
         var acc = 0L
         surv.takeWhile { rel =>
@@ -2088,6 +2089,51 @@ object VersionedTable {
           take
         }
       case _ => surv
+    }
+    // a pushed TOP-N (`ORDER BY c LIMIT n`) keeps only the files whose
+    // recorded range can reach the top: sort files by their FAR bound in
+    // the asked direction, walk until recorded rows cover n — that bound
+    // is a threshold T provably containing the whole top-n — and keep
+    // every file whose NEAR bound reaches T. On a range/z-clustered
+    // table, "latest 100" reads the tail files. Sound only with ZERO
+    // recorded nulls on the column in every file (null rows rank outside
+    // the range algebra) and parseable long-domain bounds everywhere —
+    // anything unknown keeps everything; Spark re-sorts and re-limits on
+    // top regardless (partial push).
+    val kept = topN match {
+      case Some((c, asc, n))
+        if limited.forall(r => man.rows.contains(r) &&
+          man.nulls.getOrElse(r, Map.empty).get(c).contains(0L)) =>
+        val parsed = limited.map { rel =>
+          man.stats.getOrElse(rel, Map.empty).get(c).flatMap {
+            case (tag, lo, hi) if tag == "long" || tag == "date" || tag == "ts" =>
+              for {
+                l <- scala.util.Try(lo.toLong).toOption
+                h <- scala.util.Try(hi.toLong).toOption
+              } yield (rel, l, h)
+            case _ => None
+          }
+        }
+        if (!parsed.forall(_.isDefined)) limited
+        else {
+          val files = parsed.flatten
+          // far/near bounds in the asked direction
+          val byFar = if (asc) files.sortBy(_._3) else files.sortBy(-_._2)
+          var acc = 0L
+          val prefix = byFar.takeWhile { case (rel, _, _) =>
+            val take = acc < n
+            acc += man.rows(rel)
+            take
+          }
+          if (acc < n) limited // fewer rows than n: everything is top-n
+          else {
+            val t = if (asc) prefix.map(_._3).max else prefix.map(_._2).min
+            files.collect {
+              case (rel, lo, hi) if (asc && lo <= t) || (!asc && hi >= t) => rel
+            }
+          }
+        }
+      case _ => limited
     }
     kept.map { rel =>
       val abs = new Path(dataDir(tgt, table), rel).toString

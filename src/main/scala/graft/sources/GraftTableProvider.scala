@@ -276,7 +276,8 @@ private[sources] final class GraftScanBuilder(
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = dataSchema
@@ -307,6 +308,30 @@ private[sources] final class GraftScanBuilder(
     limit = Some(l)
     true // partially pushed (default isPartiallyPushed = true)
   }
+
+  // `ORDER BY c LIMIT n` (top-N): keep only files whose recorded range
+  // can reach the top — on a range/z-clustered table "latest 100" reads
+  // the tail files. Partial push: Spark re-sorts and re-limits on top,
+  // so an un-truncatable shape (multi-column sort, expression sort,
+  // nulls present, missing stats) just reads more, never answers wrong.
+  private var topN: Option[(String, Boolean, Long)] = None
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = orders match {
+    case Array(o) => o.expression() match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference
+        if n.fieldNames().length == 1 =>
+        val asc = o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+        topN = Some((n.fieldNames()(0), asc, l.toLong))
+        true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   // ------------------------------------------------- aggregate pushdown
   //
@@ -410,10 +435,11 @@ private[sources] final class GraftScanBuilder(
           "graft manifest-answered aggregate (zero data I/O)"
       }
     case None => new GraftScan(dataSchema, required, options, pushed,
-      // belt-and-braces: Spark never pushes a limit past a remaining
-      // filter (ours all remain), but make it locally provable — a
-      // pushed filter voids the file truncation
-      limit.filter(_ => pushed.isEmpty))
+      // belt-and-braces: Spark never pushes a limit or top-N past a
+      // remaining filter (ours all remain), but make it locally
+      // provable — a pushed filter voids any file truncation
+      limit.filter(_ => pushed.isEmpty),
+      topN.filter(_ => pushed.isEmpty))
   }
 }
 
@@ -444,7 +470,8 @@ private[sources] final class GraftScanBuilder(
 private[sources] final class GraftScan(
     dataSchema: StructType, required: StructType,
     options: Map[String, String], pushed: Array[sources.Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Long)] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -535,7 +562,7 @@ private[sources] final class GraftScan(
   }
 
   override def toBatch: Batch = new GraftBatch(
-    dataSchema, required, options, pushed, () => runtimePred, limit)
+    dataSchema, required, options, pushed, () => runtimePred, limit, topN)
 
   /** APPEND-TAIL stream (`spark.readStream.format("graft")`) — see
     * [[graft.streaming.GraftAppendStream]]. (Spark applies no
@@ -571,7 +598,8 @@ private[sources] final class GraftBatch(
     dataSchema: StructType, requiredSchema: StructType,
     options: Map[String, String], pushed: Array[sources.Filter],
     runtime: () => ZonePred.P = () => ZonePred.And(Nil),
-    limit: Option[Int] = None) extends Batch {
+    limit: Option[Int] = None,
+    topN: Option[(String, Boolean, Long)] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -586,7 +614,7 @@ private[sources] final class GraftBatch(
     val pred = ZonePred.And(
       pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtime())
     VersionedTable.batchSlices(cat, table, v, pred,
-      limitRows = limit.map(_.toLong)).map { case (p, l) =>
+      limitRows = limit.map(_.toLong), topN = topN).map { case (p, l) =>
       PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
         : InputPartition
     }.toArray

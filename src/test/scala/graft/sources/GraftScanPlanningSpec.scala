@@ -288,6 +288,29 @@ class GraftScanPlanningSpec extends SparkSpec {
     assert(fl.collect().length == 100, "only grp=2's 100 rows exist")
   }
 
+  test("a pushed TOP-N reads only the files whose range can reach the top") {
+    // fact: three files with disjoint k ranges (0-99, 100-199, 200-299)
+    def partsOf(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions
+      }
+    val desc = spark.sql("SELECT k FROM gp.default.fact ORDER BY k DESC LIMIT 5")
+    assert(partsOf(desc) == Seq(1),
+      s"the top-5 descending live in the last file alone: ${partsOf(desc)}")
+    assert(desc.as[Long].collect().toSeq == Seq(299L, 298L, 297L, 296L, 295L),
+      "Spark's exact sort+limit still applies on top")
+    val asc = spark.sql("SELECT k FROM gp.default.fact ORDER BY k LIMIT 150")
+    assert(partsOf(asc) == Seq(2),
+      "150 ascending rows span exactly the two lowest files")
+    assert(asc.as[Long].collect().toSeq == (0L until 150L))
+    // a sort column with NULLS present voids the truncation (nulls rank
+    // outside the range algebra) — results stay exact
+    val nulled = spark.sql(
+      "SELECT txt FROM gp.default.agg ORDER BY txt LIMIT 3")
+    assert(nulled.collect().map(_.isNullAt(0)).forall(identity),
+      "NULLS FIRST: the nulls must surface, never be pruned away")
+  }
+
   test("CALL recluster: z-order rewrite from pure SQL") {
     spark.sql("CREATE TABLE gp.default.rc (x BIGINT, y BIGINT)")
     spark.sql("INSERT INTO gp.default.rc SELECT id % 97, id % 89 FROM range(2000)")
