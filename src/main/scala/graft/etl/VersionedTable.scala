@@ -2117,15 +2117,19 @@ object VersionedTable {
         if (!parsed.forall(_.isDefined)) limited
         else {
           val files = parsed.flatten
-          // far/near bounds in the asked direction
-          val byFar = if (asc) files.sortBy(_._3) else files.sortBy(-_._2)
+          // far/near bounds in the asked direction (explicit reverse
+          // ordering, not negation — -Long.MinValue overflows to itself
+          // and would missort a pathological bound into a wrong skip)
+          val byFar = if (asc) files.sortBy(_._3)
+            else files.sortBy(_._2)(Ordering[Long].reverse)
           var acc = 0L
           val prefix = byFar.takeWhile { case (rel, _, _) =>
             val take = acc < n
             acc += man.rows(rel)
             take
           }
-          if (acc < n) limited // fewer rows than n: everything is top-n
+          if (prefix.isEmpty) Nil // n <= 0: top-0 needs no file
+          else if (acc < n) limited // fewer rows than n: everything is top-n
           else {
             val t = if (asc) prefix.map(_._3).max else prefix.map(_._2).min
             files.collect {
