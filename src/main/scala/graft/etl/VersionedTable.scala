@@ -275,15 +275,323 @@ object VersionedTable {
   private def manifestPath(tgt: Catalog, table: String, v: Long): Path =
     new Path(metaDir(tgt, table), s"v$v.manifest.json")
 
-  private[etl] def readManifest(tgt: Catalog, table: String, v: Long): Option[Manifest] = {
-    val p = manifestPath(tgt, table, v)
-    val f = fs(tgt, metaDir(tgt, table))
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(parseManifest(txt))
+  private def deltaPath(tgt: Catalog, table: String, v: Long): Path =
+    new Path(metaDir(tgt, table), s"v$v.delta.json")
+
+  // ------------------------------------------------------- delta manifests
+
+  /** Commits write O(changed files), not O(table): when a parent version
+    * exists, the CAS artifact is a DELTA (`vN.delta.json` — added file
+    * entries with their zone maps, removed relPaths, plus the small
+    * authoritative top-level fields), and a FULL manifest
+    * (`vN.manifest.json`) is only written every [[CheckpointEvery]]
+    * versions as an advisory read accelerator — the Delta-log pattern
+    * (deltas are the commits, checkpoints are reconstructible caches).
+    * Readers materialize a version by walking back to the nearest
+    * checkpoint / cached version and folding deltas forward; a
+    * stat-validated LRU cache ([[manCache]]) makes the walk O(1) manifest
+    * parses in steady state. Deleting every checkpoint loses no data —
+    * reconstruction replays the delta chain from the table's v1 full
+    * manifest (ManifestDeltaSpec pins the replay). Without this, a
+    * 1-row append on a 1M-file table would rewrite ~10⁷ stat entries of
+    * JSON per commit and re-parse them on the driver per plan. */
+  private[graft] val CheckpointEvery = 16L
+
+  /** One commit's change set vs its parent. `add` carries the per-file
+    * metadata of NEW (or metadata-changed) entries; top-level fields
+    * (maxId, bucket, props) are small and authoritative-full. */
+  private final case class ManifestDelta(
+      version: Long, maxId: Option[Long],
+      bucket: Option[(Seq[String], Int)], props: Map[String, String],
+      remove: Seq[String],
+      add: Seq[(String, Option[Long], Option[Long],
+        Option[Map[String, Long]], Option[Map[String, (String, String, String)]])])
+
+  /** The delta between `m` and its parent — lossless: applying the result
+    * to `parent` reproduces `m` exactly (modulo canonical file-list sort).
+    * Carried files are compared too (cheap in-memory map equality), so a
+    * hypothetical future path that revised a kept file's metadata would
+    * still round-trip rather than silently dropping the revision. */
+  private def diffManifest(m: Manifest, parent: Manifest): ManifestDelta = {
+    val mSet = m.files.toSet
+    val pSet = parent.files.toSet
+    val removed = parent.files.filterNot(mSet)
+    def changed(r: String): Boolean =
+      parent.stats.get(r) != m.stats.get(r) ||
+        parent.sizes.get(r) != m.sizes.get(r) ||
+        parent.nulls.get(r) != m.nulls.get(r) ||
+        parent.rows.get(r) != m.rows.get(r)
+    val addRels = m.files.filter(r => !pSet(r) || changed(r))
+    val add = addRels.map(r =>
+      (r, m.sizes.get(r), m.rows.get(r), m.nulls.get(r), m.stats.get(r)))
+    ManifestDelta(m.version, m.maxId, m.bucket, m.props, removed, add)
+  }
+
+  private def renderDelta(d: ManifestDelta): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("version", d.version)
+    d.maxId.foreach(x => root.put("max_id", x))
+    d.bucket.foreach { case (keys, n) =>
+      val arr = root.putArray("bucket_keys")
+      keys.foreach(arr.add)
+      root.put("bucket_n", n)
     }
+    if (d.props.nonEmpty) {
+      val po = root.putObject("props")
+      d.props.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
+    }
+    if (d.remove.nonEmpty) {
+      val rm = root.putArray("remove")
+      d.remove.sorted.foreach(rm.add)
+    }
+    if (d.add.nonEmpty) {
+      val ad = root.putObject("add")
+      d.add.sortBy(_._1).foreach { case (rel, sz, rows, nulls, stats) =>
+        val fo = ad.putObject(rel)
+        sz.foreach(x => fo.put("size", x))
+        rows.foreach(x => fo.put("rows", x))
+        nulls.foreach { nl =>
+          val no = fo.putObject("nulls")
+          nl.toSeq.sortBy(_._1).foreach { case (c, n) => no.put(c, n) }
+        }
+        stats.foreach { st =>
+          val so = fo.putObject("stats")
+          st.toSeq.sortBy(_._1).foreach { case (c, (tag, lo, hi)) =>
+            val co = so.putObject(c)
+            co.put("t", tag); co.put("lo", lo); co.put("hi", hi)
+          }
+        }
+      }
+    }
+    mapper.writeValueAsBytes(root)
+  }
+
+  private def parseDelta(txt: String): ManifestDelta = {
+    val root = mapper.readTree(txt)
+    require(root.hasNonNull("version"), "delta manifest lacks version")
+    val bucket =
+      if (root.hasNonNull("bucket_keys") && root.hasNonNull("bucket_n")) {
+        val it = root.get("bucket_keys").elements()
+        val ks = Seq.newBuilder[String]
+        while (it.hasNext) ks += it.next().asText()
+        Some((ks.result(), root.get("bucket_n").asInt()))
+      } else None
+    val props: Map[String, String] =
+      if (!root.hasNonNull("props")) Map.empty
+      else {
+        val b = Map.newBuilder[String, String]
+        val it = root.get("props").fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }
+    val remove: Seq[String] =
+      if (!root.hasNonNull("remove")) Seq.empty
+      else {
+        val it = root.get("remove").elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }
+    val add =
+      if (!root.hasNonNull("add"))
+        Seq.empty[(String, Option[Long], Option[Long],
+          Option[Map[String, Long]], Option[Map[String, (String, String, String)]])]
+      else {
+        val b = Seq.newBuilder[(String, Option[Long], Option[Long],
+          Option[Map[String, Long]], Option[Map[String, (String, String, String)]])]
+        val fit = root.get("add").fields()
+        while (fit.hasNext) {
+          val fe = fit.next()
+          val n = fe.getValue
+          val nulls =
+            if (!n.has("nulls")) None
+            else {
+              val cb = Map.newBuilder[String, Long]
+              val cit = n.get("nulls").fields()
+              while (cit.hasNext) {
+                val ce = cit.next()
+                if (ce.getValue.isNumber) cb += ce.getKey -> ce.getValue.asLong()
+              }
+              Some(cb.result())
+            }
+          val stats =
+            if (!n.has("stats")) None
+            else {
+              val cb = Map.newBuilder[String, (String, String, String)]
+              val cit = n.get("stats").fields()
+              while (cit.hasNext) {
+                val ce = cit.next(); val cn = ce.getValue
+                if (cn.hasNonNull("t") && cn.hasNonNull("lo") && cn.hasNonNull("hi"))
+                  cb += ce.getKey -> ((cn.get("t").asText(), cn.get("lo").asText(),
+                    cn.get("hi").asText()))
+              }
+              Some(cb.result())
+            }
+          b += ((fe.getKey,
+            if (n.hasNonNull("size")) Some(n.get("size").asLong()) else None,
+            if (n.hasNonNull("rows")) Some(n.get("rows").asLong()) else None,
+            nulls, stats))
+        }
+        b.result()
+      }
+    ManifestDelta(root.get("version").asLong(),
+      if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
+      bucket, remove = remove, add = add, props = props)
+  }
+
+  /** Fold one delta onto its parent's materialized state. Removes apply
+    * first, then adds (an add of an existing relPath is a metadata
+    * revision, not a duplicate); the file list re-sorts to the canonical
+    * order [[renderManifest]] writes, so a delta-materialized manifest is
+    * indistinguishable from a parsed checkpoint. */
+  private def applyDelta(parent: Manifest, d: ManifestDelta): Manifest = {
+    val rm = d.remove.toSet
+    val addRels = d.add.map(_._1)
+    val addSet = addRels.toSet
+    val files = (parent.files.filterNot(r => rm(r) || addSet(r)) ++ addRels).sorted
+    def strip[T](m: Map[String, T]): Map[String, T] = m -- rm -- addSet
+    Manifest(d.version, d.maxId, d.bucket, files,
+      strip(parent.stats) ++ d.add.collect { case (r, _, _, _, Some(st)) => r -> st },
+      strip(parent.sizes) ++ d.add.collect { case (r, Some(sz), _, _, _) => r -> sz },
+      strip(parent.nulls) ++ d.add.collect { case (r, _, _, Some(nl), _) => r -> nl },
+      strip(parent.rows) ++ d.add.collect { case (r, _, Some(rw), _, _) => r -> rw },
+      d.props)
+  }
+
+  /** Count of manifest ARTIFACT reads (full parses + delta parses) on the
+    * calling thread — the spec surface proving the parsed-manifest cache
+    * works: re-planning against an unchanged version must not re-read
+    * JSON (same discipline as [[metaListings]]). */
+  private[etl] object manReads {
+    private val tl = ThreadLocal.withInitial[Long](() => 0L)
+    def get(): Long = tl.get()
+    def increment(): Unit = tl.set(tl.get() + 1L)
+  }
+
+  /** Parsed-manifest LRU: materialized manifests keyed by
+    * (meta dir, version), validated against the version's artifact file
+    * status (length + mtime) on every hit — manifests are immutable once
+    * CAS'd, but a DROP TABLE + re-CREATE at the same path, or a vacuum,
+    * must never serve a stale state. Bounded (a 1M-file manifest is
+    * ~100 MB in memory; 64 entries suffice — plans touch the head plus a
+    * short CDC window). */
+  private final case class CacheEntry(artifact: Path, len: Long, mtime: Long,
+                                      m: Manifest)
+  private val ManCacheMax = 64
+  private val manCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), CacheEntry](128, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), CacheEntry]): Boolean =
+          size() > ManCacheMax
+      })
+
+  /** Test seam: forget every cached materialization, forcing the next
+    * read to reconstruct from artifacts (checkpoint-replay specs). */
+  private[graft] def invalidateManifestCache(): Unit = manCache.clear()
+
+  /** Test seam: what version `v` WOULD cost as a full manifest — the
+    * O(table) bytes the delta layout avoids per commit. */
+  private[graft] def fullManifestBytes(tgt: Catalog, table: String, v: Long): Long =
+    renderManifest(readManifest(tgt, table, v).getOrElse(
+      throw new IllegalArgumentException(s"no version $v"))).length.toLong
+
+  private def cacheGet(f: org.apache.hadoop.fs.FileSystem, key: (String, Long))
+      : Option[Manifest] = {
+    val e = manCache.get(key)
+    if (e == null) None
+    else scala.util.Try(f.getFileStatus(e.artifact)).toOption match {
+      case Some(st) if st.getLen == e.len && st.getModificationTime == e.mtime =>
+        Some(e.m)
+      case _ => manCache.remove(key); None
+    }
+  }
+
+  private def cachePut(f: org.apache.hadoop.fs.FileSystem, key: (String, Long),
+                       artifact: Path, m: Manifest): Unit =
+    scala.util.Try(f.getFileStatus(artifact)).foreach(st =>
+      manCache.put(key, CacheEntry(artifact, st.getLen, st.getModificationTime, m)))
+
+  private def readBytes(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Test seam: downgrade a table to the LEGACY layout — a full manifest
+    * at every version, no deltas — so specs that simulate pre-delta
+    * writers (hand-edited manifests, stripped stats fields, scrambled
+    * mtimes) exercise exactly the files such a writer would have left. */
+  private[graft] def forceFullManifests(tgt: Catalog, table: String): Unit = {
+    val f = fs(tgt, metaDir(tgt, table))
+    versions(tgt, table).foreach { v =>
+      val m = readManifest(tgt, table, v).getOrElse(
+        throw new IllegalStateException(s"version $v unreadable"))
+      val mp = manifestPath(tgt, table, v)
+      writeAdvisoryFile(f, mp, renderManifest(m))
+      f.delete(deltaPath(tgt, table, v), false)
+      // drop the checksum sidecar so specs may hand-edit the file raw —
+      // the CAS path (hard link) never leaves one either
+      f.delete(new Path(mp.getParent, "." + mp.getName + ".crc"), false)
+      f.delete(new Path(mp.getParent, "." + deltaPath(tgt, table, v).getName + ".crc"), false)
+    }
+  }
+
+  /** Does version `v` have a commit artifact (full checkpoint OR delta)?
+    * Delta probed first — on a sharded table every non-checkpoint version
+    * has only the delta. */
+  private def versionExists(f: org.apache.hadoop.fs.FileSystem, tgt: Catalog,
+                            table: String, v: Long): Boolean =
+    f.exists(deltaPath(tgt, table, v)) || f.exists(manifestPath(tgt, table, v))
+
+  /** Materialize version `v`: full checkpoint if present, else walk the
+    * delta chain back to the nearest checkpoint / cached version and fold
+    * forward (each intermediate lands in the cache, so a subsequent walk —
+    * the next commit, a CDC step — starts one delta away). None when the
+    * version has no artifact, or its chain was vacuumed away. */
+  private[etl] def readManifest(tgt: Catalog, table: String, v: Long): Option[Manifest] = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val dirKey = metaDir(tgt, table)
+    cacheGet(f, (dirKey, v)) match {
+      case hit @ Some(_) => return hit
+      case None =>
+    }
+    // walk back: collect unapplied deltas newest-first until a base
+    var base: Option[Manifest] = None
+    var pending: List[(Long, ManifestDelta)] = Nil
+    var cur = v
+    var done = false
+    while (!done) {
+      cacheGet(f, (dirKey, cur)) match {
+        case Some(m) => base = Some(m); done = true
+        case None =>
+          val mp = manifestPath(tgt, table, cur)
+          val dp = deltaPath(tgt, table, cur)
+          if (f.exists(mp)) {
+            manReads.increment()
+            val m = parseManifest(readBytes(f, mp))
+            cachePut(f, (dirKey, cur), mp, m)
+            base = Some(m); done = true
+          } else if (f.exists(dp)) {
+            manReads.increment()
+            pending = (cur, parseDelta(readBytes(f, dp))) :: pending
+            cur -= 1
+            if (cur < 0) return None // corrupt chain: deltas with no root
+          } else {
+            // neither artifact: v itself absent, or a vacuumed/broken chain
+            return None
+          }
+      }
+    }
+    // fold forward oldest-first, caching each step (stamped against its
+    // own version's artifact so stat-validation keeps working)
+    var acc = base.get
+    pending.foreach { case (ver, d) =>
+      acc = applyDelta(acc, d)
+      val artifact = deltaPath(tgt, table, ver)
+      cachePut(f, (dirKey, ver), artifact, acc)
+    }
+    if (acc.version == v) Some(acc)
+    else base.filter(_.version == v) // v itself was the checkpoint base
   }
 
   // ---------------------------------------------------- version log pointer
@@ -303,6 +611,25 @@ object VersionedTable {
 
   private def pointerPath(tgt: Catalog, table: String) =
     new Path(metaDir(tgt, table), "_vlast")
+
+  /** Publish reconstructible-content bytes at `p` (checkpoint writes):
+    * staged under a uuid tmp then renamed, so readers never observe a torn
+    * file. NOT a CAS — every writer of a given checkpoint derives the same
+    * bytes from the same immutable version, so whoever lands is right;
+    * rename-refused (HDFS semantics, a racer landed first) is success.
+    * Throws IOException only when nothing usable ended up at `p`. */
+  private def writeAdvisoryFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
+                                bytes: Array[Byte]): Unit = {
+    if (f.exists(p)) return
+    val tmp = new Path(p.getParent, p.getName + s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      if (!f.exists(p))
+        throw new java.io.IOException(s"checkpoint write failed: $p")
+    }
+  }
 
   /** The Delta-`_last_checkpoint` analog: a tiny advisory file recording
     * the retained version RANGE `[lo, hi]` (versions are contiguous by
@@ -350,20 +677,20 @@ object VersionedTable {
     def listAll(): Seq[Long] = {
       metaListings.increment()
       val md = new Path(metaDir(tgt, table))
+      val pat = "v(\\d+)\\.(manifest|delta)\\.json".r
       if (!f.exists(md)) Seq.empty
       else f.listStatus(md).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && n.endsWith(".manifest.json"))
-        .map(_.stripPrefix("v").stripSuffix(".manifest.json").toLong)
-        .sorted
+        .collect { case pat(v, _) => v.toLong }
+        .distinct.sorted
     }
     readPointer(tgt, table) match {
       case None => listAll()
       case Some((lo0, hi0)) =>
         var lo = lo0
-        while (lo <= hi0 && !f.exists(manifestPath(tgt, table, lo))) lo += 1
+        while (lo <= hi0 && !versionExists(f, tgt, table, lo)) lo += 1
         var hi = math.max(hi0, lo)
-        while (f.exists(manifestPath(tgt, table, hi + 1))) hi += 1
-        if (lo > hi || !f.exists(manifestPath(tgt, table, hi)))
+        while (versionExists(f, tgt, table, hi + 1)) hi += 1
+        if (lo > hi || !versionExists(f, tgt, table, hi))
           listAll() // pointer nonsense (manual surgery): list authoritatively
         else lo to hi
     }
@@ -376,12 +703,22 @@ object VersionedTable {
     * wall clock ([[CommitTsProp]] — survives backup/restore and dir
     * copies), falling back to file mtime for manifests from older
     * writers. */
+  /** Mtime of version `v`'s COMMIT artifact — the delta when present (a
+    * checkpoint may be (re)written long after the commit, e.g. by vacuum),
+    * the full manifest for legacy/root versions. Fallback only: every
+    * writer since CommitTsProp stamps the wall clock into the manifest. */
+  private def artifactMtime(tgt: Catalog, table: String, v: Long): Long = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val dp = deltaPath(tgt, table, v)
+    f.getFileStatus(if (f.exists(dp)) dp else manifestPath(tgt, table, v))
+      .getModificationTime
+  }
+
   private def committedAtMillis(tgt: Catalog, table: String, v: Long): Long =
     readManifest(tgt, table, v)
       .flatMap(_.props.get(CommitTsProp))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .getOrElse(fs(tgt, metaDir(tgt, table))
-        .getFileStatus(manifestPath(tgt, table, v)).getModificationTime)
+      .getOrElse(artifactMtime(tgt, table, v))
 
   /** TIMESTAMP time travel: the newest version committed at or before
     * `tsMillis` — resolved by the manifest-RECORDED commit time
@@ -401,9 +738,6 @@ object VersionedTable {
           "(state was empty, or vacuumed away)"))
   }
 
-  /** The head manifest's props map (empty for a missing table) — the
-    * commit-carried metadata surface: recorded upsert keys, commit
-    * times, streaming-sink epoch stamps, clone provenance. */
   /** (version, props, bucket spec) of the head manifest in ONE pointer
     * resolution + ONE manifest read — for callers (DESCRIBE's
     * `Table.properties()`) that would otherwise stack three. */
@@ -476,16 +810,35 @@ object VersionedTable {
     // make TIMESTAMP AS OF resolve to a state containing later-recorded
     // data and strand the skewed version unreachable). One parent
     // manifest read per commit — the commit paths read the head anyway.
-    val parentTs = readManifest(tgt, table, m0.version - 1)
+    val parent = readManifest(tgt, table, m0.version - 1)
+    val parentTs = parent
       .flatMap(_.props.get(CommitTsProp))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
     val ts = math.max(commitClock.value(), parentTs.fold(Long.MinValue)(_ + 1L))
     val m = m0.copy(props = m0.props + (CommitTsProp -> ts.toString))
     val f = fs(tgt, metaDir(tgt, table))
     f.mkdirs(new Path(metaDir(tgt, table)))
-    val won = commitProtocol.value.putIfAbsent(f,
-      manifestPath(tgt, table, m.version), renderManifest(m))
+    // O(changed files) commit bytes: a delta vs the parent is the CAS
+    // artifact whenever a parent exists; the table's FIRST version (no
+    // parent — fresh table, or a clone's v1) is the full root the delta
+    // chain replays from. The parent-vs-delta choice is a pure function of
+    // the parent's existence, so two racing writers always CAS the SAME
+    // path. Every CheckpointEvery-th version additionally gets a full
+    // checkpoint AFTER winning — advisory (readers reconstruct from the
+    // chain if it's missing), so its write is best-effort and non-CAS.
+    val won = parent match {
+      case None =>
+        commitProtocol.value.putIfAbsent(f,
+          manifestPath(tgt, table, m.version), renderManifest(m))
+      case Some(pm) =>
+        commitProtocol.value.putIfAbsent(f,
+          deltaPath(tgt, table, m.version), renderDelta(diffManifest(m, pm)))
+    }
     if (won) {
+      if (parent.isDefined && m.version % CheckpointEvery == 0L)
+        try writeAdvisoryFile(f, manifestPath(tgt, table, m.version),
+          renderManifest(m.copy(files = m.files.sorted)))
+        catch { case _: java.io.IOException => () } // accelerator only
       // advance the advisory pointer (see [[versions]]): lo from the
       // existing pointer when present; a legacy table adopting the
       // pointer pays ONE listing here, after which its reads are
@@ -1032,7 +1385,8 @@ object VersionedTable {
            ensure: Boolean = true, safe: Boolean = false,
            bucketBy: Option[(Seq[String], Int)] = None,
            extraProps: Map[String, String] = Map.empty,
-           bloomBy: Seq[String] = Nil): Long = {
+           bloomBy: Seq[String] = Nil,
+           dropProps: Seq[String] = Nil): Long = {
     val incoming = if (incoming0.columns.contains(Loader.IdCol))
       incoming0.drop(Loader.IdCol) else incoming0
     // optimistic concurrency: merge against the observed head, stage the
@@ -1042,7 +1396,7 @@ object VersionedTable {
     // survive as consecutive versions.
     commitWithRetry(table, "load")(() =>
       loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe,
-        bucketBy, extraProps, bloomBy))
+        bucketBy, extraProps, bloomBy, dropProps))
   }
 
   /** One optimistic attempt; None = lost the manifest CAS. `extraProps`
@@ -1054,7 +1408,8 @@ object VersionedTable {
                           ensure: Boolean, safe: Boolean,
                           bucketBy: Option[(Seq[String], Int)],
                           extraProps: Map[String, String],
-                          bloomBy: Seq[String]): Option[Long] = {
+                          bloomBy: Seq[String],
+                          dropProps: Seq[String] = Nil): Option[Long] = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     val headMan = cur.flatMap(v => readManifest(tgt, table, v))
@@ -1193,9 +1548,9 @@ object VersionedTable {
         val props1 = if (upsertFields.nonEmpty)
           props0 + (UpsertKeysProp -> upsertFields.mkString(","))
         else props0
-        val props = (if (bloomBy.nonEmpty)
+        val props = ((if (bloomBy.nonEmpty)
           props1 + (BloomColsProp -> bloomBy.mkString(","))
-        else props1) ++ extraProps
+        else props1) ++ extraProps) -- dropProps
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
           fm.stats, fm.sizes, fm.nulls, fm.rows, props) }))
       Some(newV)
@@ -1773,15 +2128,13 @@ object VersionedTable {
     * Driver-side tiny frame, vacuum-bounded. The audit surface a lake
     * operator reads before rollback/vacuum decisions. */
   def history(tgt: Catalog, table: String): DataFrame = {
-    val f = fs(tgt, metaDir(tgt, table))
     val rows = versions(tgt, table).map { v =>
       val man = readManifest(tgt, table, v).get
       // manifest-recorded commit time first (survives mtime-scrambling
       // copies), mtime for legacy manifests — same rule as versionAt
       val ts = new java.sql.Timestamp(man.props.get(CommitTsProp)
         .flatMap(s => scala.util.Try(s.toLong).toOption)
-        .getOrElse(
-          f.getFileStatus(manifestPath(tgt, table, v)).getModificationTime))
+        .getOrElse(artifactMtime(tgt, table, v)))
       def total(m: Map[String, Long]): Option[Long] =
         if (man.files.forall(m.contains)) Some(man.files.map(m).sum) else None
       (v, ts, man.files.size,
@@ -2493,7 +2846,21 @@ object VersionedTable {
     val referenced: Set[String] =
       keep.flatMap(v => manifestFiles(tgt, table, v))
         .map(r => new Path(r).toUri.getPath).toSet ++ cloneReferenced
+    // the new floor must stand alone: materialize a full checkpoint at
+    // keep.head BEFORE any delete, so the delta chain it anchored can go.
+    // Strict (throws on failure — aborting here deletes nothing).
+    keep.headOption.foreach { lo =>
+      if (!f.exists(manifestPath(tgt, table, lo))) {
+        val m = readManifest(tgt, table, lo).getOrElse(throw new IllegalStateException(
+          s"vacuum: version $lo of '$table' is unreadable; aborting"))
+        writeAdvisoryFile(f, manifestPath(tgt, table, lo), renderManifest(m))
+      }
+    }
     drop.foreach { v =>
+      // delta first: a crash mid-pair leaves the FULL manifest, keeping the
+      // half-dropped version readable (a dangling delta whose chain is gone
+      // would instead surface as a phantom version)
+      f.delete(deltaPath(tgt, table, v), false)
       f.delete(manifestPath(tgt, table, v), false)
     }
     // re-point BEFORE sweeping data so a crash mid-sweep leaves readers a
@@ -2504,6 +2871,7 @@ object VersionedTable {
     // staging names from the CAS path included)
     f.listStatus(new Path(metaDir(tgt, table))).toSeq
       .filter(st => st.getPath.getName.contains(".manifest.json.tmp") ||
+        st.getPath.getName.contains(".delta.json.tmp") ||
         st.getPath.getName.startsWith("_vlast.tmp"))
       .foreach(st => f.delete(st.getPath, false))
     val dd = new Path(dataDir(tgt, table))

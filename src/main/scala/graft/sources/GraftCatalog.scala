@@ -144,8 +144,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // now — a typo'd column name fails the CREATE, not the first insert.
     val check = Option(properties.get("check")).map(_.trim).filter(_.nonEmpty)
     check.foreach { sql =>
-      empty.where(org.apache.spark.sql.functions.expr(sql))
+      val analyzed = empty.where(org.apache.spark.sql.functions.expr(sql))
         .queryExecution.analyzed
+      // eager validation, Delta's ADD CONSTRAINT discipline: a
+      // non-deterministic gate (rand() < 0.5) would admit or refuse the
+      // SAME row depending on when the commit ran, and a subquery would
+      // re-evaluate against whatever the referenced table holds at each
+      // commit — both make enforcement nondeterministic, so both fail the
+      // CREATE, not the first insert
+      val cond = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"CHECK constraint did not analyze to a row predicate: $sql"))
+      if (!cond.deterministic)
+        throw new IllegalArgumentException(
+          s"CHECK constraint must be deterministic — ($sql) would admit or " +
+            "refuse the same row depending on evaluation time")
+      if (cond.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        throw new IllegalArgumentException(
+          s"CHECK constraint must not contain a subquery — ($sql) would " +
+            "re-evaluate against another table's state at each commit")
     }
     VersionedTable.load(c, t, empty,
       extraProps = check.map(VersionedTable.CheckConstraintProp -> _).toMap)
@@ -153,10 +172,53 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       acceptAnySchema = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft schema evolution happens through loads (ensure widening), " +
-        "so every version stays self-describing — ALTER TABLE is not modeled")
+  /** `ALTER TABLE ... ADD COLUMN(S)` — routed through the library's
+    * `ensure` widening (the reference's dataset auto-ALTER,
+    * easy_etl/__init__.py:96, README.md:185-197): the ALTER commits one
+    * empty file bearing the WIDENED schema (the same trick CREATE uses
+    * for v1), so the new column exists from this version on while every
+    * older file simply reads it as null — no data rewrite, O(1) commit.
+    * Everything else (drop, rename, type change) keeps the refusal:
+    * dropping/renaming would re-interpret files already committed, so
+    * those evolutions stay load-driven where every version is
+    * self-describing. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = tableName(ident)
+    val c = cat
+    if (VersionedTable.currentVersion(c, t).isEmpty)
+      throw new NoSuchTableException(ident.asInstanceOf[Identifier])
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.isEmpty || adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "graft supports ALTER TABLE ADD COLUMN(S) only — drops, renames and " +
+          "type changes would re-interpret already-committed files; evolve " +
+          "those through loads (ensure widening) so every version stays " +
+          "self-describing")
+    val existing = VersionedTable.read(c, t).schema
+      .fields.filterNot(_.name == graft.etl.Loader.IdCol)
+    val names = existing.map(_.name.toLowerCase).toSet
+    val newFields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")
+      val n = a.fieldNames.head
+      require(!n.equalsIgnoreCase(graft.etl.Loader.IdCol),
+        s"column name '$n' is reserved for the surrogate id")
+      require(!names.contains(n.toLowerCase),
+        s"column '$n' already exists on '$t'")
+      require(a.isNullable,
+        s"added column '$n' must be nullable — every pre-ALTER row reads " +
+          "it as null, which a NOT NULL column would contradict")
+      require(a.position() == null,
+        "FIRST/AFTER positions are not supported — new columns append")
+      StructField(n, a.dataType, nullable = true)
+    }
+    val widened = StructType(existing ++ newFields)
+    val empty = c.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), widened)
+    VersionedTable.load(c, t, empty)
+    new GraftBatchTable(widened, Map("dir" -> dir, "table" -> t),
+      acceptAnySchema = false)
+  }
 
   /** CLONE-SAFE drop: a zero-copy clone references this table's data
     * files by absolute path, so deleting them would strand every live
@@ -209,10 +271,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   // see [[GraftProcedures]]. Procedures live under any of the accepted
   // namespaces (`system` by convention, like the big formats).
 
+  /** The ONE namespace gate both procedure entry points share: `system`
+    * by convention (like the big formats), with the root and `default`
+    * accepted as aliases — a single predicate so the two sets can never
+    * drift apart. */
+  private def procedureNamespace(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("default")) ||
+      ns.sameElements(Array("system"))
+
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
-    require(ident.namespace.isEmpty ||
-      ident.namespace.sameElements(Array("default")) ||
-      ident.namespace.sameElements(Array("system")),
+    require(procedureNamespace(ident.namespace),
       s"graft procedures live in the system namespace; got " +
         ident.namespace.mkString("."))
     ident.name.toLowerCase match {
@@ -233,11 +301,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    // procedures live under `system` (accepted aliases: root, default —
-    // the same set loadProcedure's gate admits); any other namespace
-    // lists empty rather than duplicating the set under every name
-    if (namespace.isEmpty || namespace.sameElements(Array("system")) ||
-      namespace.sameElements(Array("default")))
+    // exactly the namespaces loadProcedure's gate admits (root, default,
+    // system — one shared predicate); any other namespace lists empty
+    // rather than duplicating the set under every name
+    if (procedureNamespace(namespace))
       Array("clone", "compact", "expire_snapshots", "history", "recluster",
         "rollback", "vacuum")
         .map(n => Identifier.of(Array("system"), n))

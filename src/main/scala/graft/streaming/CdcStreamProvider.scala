@@ -262,9 +262,22 @@ private[graft] object CdcStreamProvider {
       startingTimestamp: Option[String]): Option[Long] = {
     require(startingVersion.isEmpty || startingTimestamp.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
-    startingVersion.orElse(startingTimestamp.map { t =>
-      VersionedTable.versionAtOrAfter(cat, table, parseUtcMillis(t)).getOrElse(
-        VersionedTable.currentVersion(cat, table).getOrElse(0L) + 1L)
+    // versions start at 1; 0 or negative would serialize an offset whose
+    // crash-restore is ambiguous — reject loudly instead of mis-resuming
+    startingVersion.foreach(v => require(v >= 1,
+      s"startingVersion must be >= 1 (versions are 1-based), got $v"))
+    startingVersion.orElse(startingTimestamp.flatMap { t =>
+      val resolved = VersionedTable.versionAtOrAfter(cat, table, parseUtcMillis(t))
+        .getOrElse(VersionedTable.currentVersion(cat, table).getOrElse(0L) + 1L)
+      // the exact "changes since" diff needs the resolved version's BASE
+      // manifest (resolved-1); when vacuum already dropped it, fall back
+      // to the snapshot bootstrap — Delta's rule: serve from the earliest
+      // available commit — rather than failing later with an opaque
+      // vacuumed-away error mid-stream
+      if (resolved > 1 &&
+          VersionedTable.versions(cat, table).headOption.forall(resolved <= _))
+        None
+      else Some(resolved)
     })
   }
 }
@@ -360,7 +373,9 @@ private[streaming] final class CdcMicroBatchStream(
       VersionedTable.cdcStepBytes(cat, table, v))
 
   override def deserializeOffset(json: String): Offset = {
-    val m = java.util.regex.Pattern.compile("\\d+").matcher(json)
+    // sign-aware: an offset of -1 must restore as -1 after a crash, not 1
+    // ("\\d+" alone drops the minus and silently skips the re-snapshot)
+    val m = java.util.regex.Pattern.compile("-?\\d+").matcher(json)
     require(m.find(), s"malformed graft-cdc offset: $json")
     CdcOffset(m.group().toLong)
   }
@@ -490,7 +505,9 @@ private[graft] final class GraftAppendStream(
       VersionedTable.appendedBytes(cat, table, v))
 
   override def deserializeOffset(json: String): Offset = {
-    val m = java.util.regex.Pattern.compile("\\d+").matcher(json)
+    // sign-aware: an offset of -1 must restore as -1 after a crash, not 1
+    // ("\\d+" alone drops the minus and silently skips the re-snapshot)
+    val m = java.util.regex.Pattern.compile("-?\\d+").matcher(json)
     require(m.find(), s"malformed graft stream offset: $json")
     CdcOffset(m.group().toLong)
   }

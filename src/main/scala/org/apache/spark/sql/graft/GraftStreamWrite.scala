@@ -64,6 +64,25 @@ object GraftStreamWrite {
   /** One committed task attempt's staged file. */
   final case class StagedFile(path: String, rows: Long) extends WriterCommitMessage
 
+  val EpochPropPrefix = "stream_epoch_"
+
+  /** Retained FOREIGN (other query ids') epoch stamps per manifest —
+    * the accretion cap. Own stamps are never dropped by their query. */
+  val MaxForeignEpochs = 16
+
+  /** Epoch id of a stamp — both formats: new `"<epoch>@<millis>"` and
+    * legacy plain `"<epoch>"`. */
+  def epochOf(stamp: String): Long =
+    scala.util.Try(stamp.takeWhile(_ != '@').toLong).getOrElse(-1L)
+
+  /** Wall clock of a stamp; legacy unstamped values sort oldest (they
+    * predate the GC, so they are the right first victims). */
+  def stampedAt(stamp: String): Long =
+    stamp.split('@') match {
+      case Array(_, ts) => scala.util.Try(ts.toLong).getOrElse(Long.MinValue)
+      case _ => Long.MinValue
+    }
+
   /** Build a staging writer factory (executor-side parquet via Spark's
     * own [[ParquetFileFormat.prepareWrite]] writer) for any consumer —
     * the streaming sink's epochs and the row-level replace write share
@@ -117,9 +136,9 @@ final class GraftStreamingWrite(
     val files = messages.collect {
       case GraftStreamWrite.StagedFile(p, n) if n > 0 => p
     }
-    val replayed = VersionedTable.tableProps(c, table).get(epochProp)
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
-      .exists(_ >= epochId)
+    val props = VersionedTable.tableProps(c, table)
+    val replayed = props.get(epochProp)
+      .map(GraftStreamWrite.epochOf).exists(_ >= epochId)
     if (replayed) {
       // the crash landed BETWEEN our manifest commit and the engine's
       // checkpoint commit: the data is already a version — re-delivery
@@ -129,9 +148,23 @@ final class GraftStreamingWrite(
     }
     if (files.nonEmpty) {
       val batch = spark.read.schema(schema).parquet(files: _*)
+      // the epoch stamp carries its wall clock ("<epoch>@<millis>") so
+      // FOREIGN queries' stale stamps age out: without GC a manifest
+      // accretes one prop per historical streaming query forever. Keep
+      // the newest MaxForeignEpochs foreign stamps; a query idle past
+      // that many OTHER queries' lifetimes re-registers from scratch on
+      // restart (Delta's txnAppId retention tradeoff, by count not time).
+      val now = System.currentTimeMillis()
+      val foreign = props.keys.filter(k =>
+        k.startsWith(GraftStreamWrite.EpochPropPrefix) && k != epochProp).toSeq
+      val stale =
+        if (foreign.size <= GraftStreamWrite.MaxForeignEpochs) Nil
+        else foreign.sortBy(k => GraftStreamWrite.stampedAt(props(k)))
+          .dropRight(GraftStreamWrite.MaxForeignEpochs)
       VersionedTable.load(c, table, batch,
         upsertFields = upsertKeys, idOrder = idOrder, bucketBy = bucketBy,
-        extraProps = Map(epochProp -> epochId.toString))
+        extraProps = Map(epochProp -> s"$epochId@$now"),
+        dropProps = stale)
     }
     cleanupThrough(epochId)
   }

@@ -28,7 +28,9 @@ class ManifestCommitSpec extends SparkSpec {
     // ids continue from the RECORDED floor (1), not a mis-parsed 999
     assert(VersionedTable.read(tgt, "t").agg(max("id")).head().getLong(0) == 2L)
     // field order independence: a hand-written manifest with files FIRST
-    // and extra unknown fields still parses
+    // and extra unknown fields still parses (legacy layout first, so the
+    // hand-written FULL file is the version's sole artifact)
+    VersionedTable.forceFullManifests(tgt, "t")
     val md = new java.io.File(s"${tgt.dirPath("t")}.__vmeta")
     val v2 = new java.io.File(md, "v2.manifest.json")
     val m = VersionedTable.readManifest(tgt, "t", 2L).get

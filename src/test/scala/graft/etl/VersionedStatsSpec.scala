@@ -112,6 +112,8 @@ class VersionedStatsSpec extends SparkSpec {
     assert(numFiles < VersionedTable.files(tgt, "t", 3L).size,
       "the Catalyst scan must mount fewer files on IS NULL")
     // a manifest stripped of null counts degrades to a full read
+    // (legacy layout: a pre-delta writer left a full manifest per version)
+    VersionedTable.forceFullManifests(tgt, "t")
     val v3f = new java.io.File(s"${tgt.dirPath("t")}.__vmeta/v3.manifest.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(v3f).asInstanceOf[
@@ -224,7 +226,8 @@ class VersionedStatsSpec extends SparkSpec {
     val tgt = freshCat()
     threeBatches(tgt)
     // strip the stats field from v3's manifest, simulating a table
-    // committed by a pre-zone-map writer
+    // committed by a pre-zone-map writer (which wrote full manifests only)
+    VersionedTable.forceFullManifests(tgt, "t")
     val md = new java.io.File(s"${tgt.dirPath("t")}.__vmeta")
     val v3 = new java.io.File(md, "v3.manifest.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -382,7 +385,8 @@ class VersionedStatsSpec extends SparkSpec {
     val v4 = VersionedTable.rollback(tgt, "t", 2L)
     assert(VersionedTable.readManifest(tgt, "t", v4).get.sizes == m2.sizes)
     // a pre-sizes manifest (field stripped) still reads correctly via the
-    // per-file status fallback
+    // per-file status fallback (legacy layout: full manifests only)
+    VersionedTable.forceFullManifests(tgt, "t")
     val v3f = new java.io.File(s"${tgt.dirPath("t")}.__vmeta/v3.manifest.json")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(v3f).asInstanceOf[

@@ -79,8 +79,11 @@ class GraftBatchSourceSpec extends SparkSpec {
     }
     val md = new java.io.File(s"${tgt.dirPath("t")}.__vmeta")
     (1 to 3).foreach { v =>
-      assert(new java.io.File(md, s"v$v.manifest.json")
-        .setLastModified((4 - v) * 77777L)) // mtimes reversed + wrong
+      // scramble whichever artifact the version committed (delta for
+      // child versions, full manifest for the root)
+      val art = Seq(s"v$v.delta.json", s"v$v.manifest.json")
+        .map(new java.io.File(md, _)).filter(_.exists)
+      assert(art.nonEmpty && art.forall(_.setLastModified((4 - v) * 77777L)))
     }
     def at(ts: String) = spark.read.format("graft")
       .option("dir", tgt.dir).option("table", "t")

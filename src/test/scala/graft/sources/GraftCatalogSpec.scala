@@ -53,8 +53,9 @@ class GraftCatalogSpec extends SparkSpec {
     // commit times, not what a copy/restore happened to leave on disk
     val md = new java.io.File(s"$warehouse/tt.__vmeta")
     (1 to 3).foreach { v =>
-      assert(new java.io.File(md, s"v$v.manifest.json")
-        .setLastModified((4 - v) * 999L))
+      val art = Seq(s"v$v.delta.json", s"v$v.manifest.json")
+        .map(new java.io.File(md, _)).filter(_.exists)
+      assert(art.nonEmpty && art.forall(_.setLastModified((4 - v) * 999L)))
     }
     val t2 = "1970-01-01 00:41:40" // 2500 s = between v2 (2000s) and v3 (3000s)
     assert(spark.sql(

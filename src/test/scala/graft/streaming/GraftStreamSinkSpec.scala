@@ -188,4 +188,49 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 1L -> 3L),
       s"updated aggregate rows must merge onto their group key, got $got")
   }
+
+  test("stale foreign epoch stamps are GC'd: N dead queries leave at most K props") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graft.GraftStreamWrite
+    val tgt = new Catalog(spark, tmpDir("gsinkgc"))
+    // simulate 25 historical streaming queries' stamps (aged, stamped
+    // format) plus one legacy unstamped value — the accretion this GC caps
+    val old = (1 to 25).map(i =>
+      s"stream_epoch_dead-$i" -> s"$i@${1000L * i}").toMap +
+      ("stream_epoch_legacy" -> "7")
+    VersionedTable.load(tgt, "t", Seq((1L, "a")).toDF("k", "v"),
+      idOrder = Seq("k"), extraProps = old)
+    assert(VersionedTable.tableProps(tgt, "t")
+      .count(_._1.startsWith("stream_epoch_")) == 26)
+    val input = MemoryStream[(Long, String)]
+    val q = sink(input.toDF().toDF("k", "v"), tgt, "t", tmpDir("gsinkgcck")).start()
+    try {
+      input.addData((2L, "b"))
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    val stamps = VersionedTable.tableProps(tgt, "t")
+      .filter(_._1.startsWith("stream_epoch_"))
+    assert(stamps.size <= GraftStreamWrite.MaxForeignEpochs + 1,
+      s"epoch stamps must stay capped, got ${stamps.size}")
+    // the live query's own stamp survives, and the drop order is
+    // oldest-first: the legacy unstamped value and the oldest dead
+    // queries go, the newest dead ones stay
+    assert(stamps.keys.exists(!_.startsWith("stream_epoch_dead-")),
+      "the live query's own stamp must survive the GC")
+    assert(!stamps.contains("stream_epoch_legacy"),
+      "legacy unstamped values sort oldest and are dropped first")
+    assert(stamps.contains("stream_epoch_dead-25") &&
+      !stamps.contains("stream_epoch_dead-1"),
+      "drop order is oldest stamp first")
+    // rows were still committed normally
+    assert(VersionedTable.read(tgt, "t").count() == 2L)
+  }
+
+  test("epoch stamp parsing: both formats, ages order correctly") {
+    import org.apache.spark.sql.graft.GraftStreamWrite._
+    assert(epochOf("17@123456") == 17L && epochOf("17") == 17L)
+    assert(stampedAt("17@123456") == 123456L)
+    assert(stampedAt("17") == Long.MinValue, "legacy stamps sort oldest")
+    assert(epochOf("junk") == -1L)
+  }
 }
