@@ -76,7 +76,10 @@ object VersionedTable {
     * files' column zone maps plus row/null counts (`rows` and `nulls`
     * power IS NULL / IS NOT NULL skipping and whole-file delete
     * coverage; both optional per file — absence only disables the
-    * optimization). */
+    * optimization). `dvs` are the files' DELETION VECTORS (merge-on-read
+    * row-level ops): relPath → (DV sidecar relPath, deleted-row count);
+    * a file's live rows are the file minus its DV's positions, applied
+    * at read time; compaction/rewrites materialize and drop the entry. */
   private[etl] final case class Manifest(version: Long, maxId: Option[Long],
                                          bucket: Option[(Seq[String], Int)],
                                          files: Seq[String],
@@ -84,7 +87,12 @@ object VersionedTable {
                                          sizes: Map[String, Long] = Map.empty,
                                          nulls: Map[String, Map[String, Long]] = Map.empty,
                                          rows: Map[String, Long] = Map.empty,
-                                         props: Map[String, String] = Map.empty)
+                                         props: Map[String, String] = Map.empty,
+                                         dvs: Map[String, (String, Long)] = Map.empty) {
+    /** Live (post-DV) row count of `rel`, when recorded. */
+    def liveRows(rel: String): Option[Long] =
+      rows.get(rel).map(n => n - dvs.get(rel).fold(0L)(_._2))
+  }
 
   // a plain databind mapper (tree model — no reflection/module setup);
   // jackson ships with Spark itself, so this adds no dependency
@@ -134,8 +142,30 @@ object VersionedTable {
       val po = root.putObject("props")
       m.props.toSeq.sortBy(_._1).foreach { case (k, v) => po.put(k, v) }
     }
+    if (m.dvs.nonEmpty) {
+      val dv = root.putObject("dvs")
+      m.dvs.toSeq.sortBy(_._1).foreach { case (rel, (p, n)) =>
+        val o = dv.putObject(rel)
+        o.put("p", p); o.put("n", n)
+      }
+    }
     mapper.writeValueAsBytes(root)
   }
+
+  private def parseDvs(root: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, (String, Long)] =
+    if (!root.hasNonNull("dvs")) Map.empty
+    else {
+      val b = Map.newBuilder[String, (String, Long)]
+      val it = root.get("dvs").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val n = e.getValue
+        if (n.hasNonNull("p") && n.hasNonNull("n"))
+          b += e.getKey -> ((n.get("p").asText(), n.get("n").asLong()))
+      }
+      b.result()
+    }
 
   private def parseManifest(txt: String): Manifest = {
     val root = mapper.readTree(txt)
@@ -215,7 +245,8 @@ object VersionedTable {
       }
     Manifest(root.get("version").asLong(),
       if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
-      bucket, files, stats, longMap("sizes"), nulls, longMap("rows"), props)
+      bucket, files, stats, longMap("sizes"), nulls, longMap("rows"), props,
+      parseDvs(root))
   }
 
   /** Manifest prop carrying the commit wall-clock (epoch millis), stamped
@@ -247,6 +278,78 @@ object VersionedTable {
     * one codegen'd filter + limit-1 probe, never O(table): existing
     * rows satisfied the constraint when they were written (induction). */
   private[graft] val CheckConstraintProp = "check_constraint"
+
+  /** Manifest prop recording the version's DATA schema (StructType JSON,
+    * surrogate id column included) — the read path's source of truth, so
+    * a version whose files predate a widening still reads the WIDENED
+    * shape (absent columns null-fill in the parquet reader). Stamped by
+    * every data-writing commit from the batch it actually wrote; absent
+    * on legacy manifests, where the reader falls back to probing one
+    * file's footer (the pre-prop behavior — correct there because every
+    * legacy commit rewrote to a uniform schema). This is what makes
+    * `ALTER TABLE ADD COLUMN` ([[widenSchema]]) a metadata-only commit
+    * instead of an O(table) rewrite. */
+  private[graft] val SchemaProp = "schema_json"
+
+  /** Manifest prop selecting the table's ROW-LEVEL-OP strategy:
+    * `copy-on-write` (default — rewrite the matched files' groups) or
+    * `merge-on-read` (record deletion-vector sidecars, apply at read,
+    * compaction materializes). Declared at CREATE
+    * (`TBLPROPERTIES('write.mode'='merge-on-read')`) or on any load via
+    * `extraProps`; the SQL surface routes UPDATE/MERGE/DELETE through
+    * the delta-based operation when set ([[graft.sources.GraftBatchTable]]). */
+  private[graft] val WriteModeProp = "write_mode"
+  private[graft] val MergeOnRead = "merge-on-read"
+
+  /** Is version-head `table` in merge-on-read mode? */
+  private[graft] def isMergeOnRead(tgt: Catalog, table: String): Boolean =
+    currentVersion(tgt, table).flatMap(readManifest(tgt, table, _))
+      .exists(_.props.get(WriteModeProp).contains(MergeOnRead))
+
+  /** Does version `v` (head when None) carry any deletion vector?
+    * Columnar scans downgrade to row mode while true — the position
+    * filter is row-at-a-time; compaction restores the vectorized path. */
+  private[graft] def hasDvs(tgt: Catalog, table: String,
+                            v: Option[Long]): Boolean =
+    v.orElse(currentVersion(tgt, table))
+      .flatMap(readManifest(tgt, table, _)).exists(_.dvs.nonEmpty)
+
+  /** The deletion-vector map of version `v` — audit/spec surface:
+    * relPath → (sidecar relPath, deleted-row count). */
+  def deletionVectors(tgt: Catalog, table: String,
+                      v: Long): Map[String, (String, Long)] =
+    readManifest(tgt, table, v).fold(Map.empty[String, (String, Long)])(_.dvs)
+
+  /** The schema a manifest advertises, when its writer recorded one. */
+  private def recordedSchema(man: Manifest)
+      : Option[org.apache.spark.sql.types.StructType] =
+    man.props.get(SchemaProp).flatMap(j => scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+
+  /** Recorded schemas normalize to ALL-NULLABLE (deeply) before entering
+    * the manifest — the parquet read contract the legacy footer probe
+    * always surfaced. Recording an INSERT batch's literal non-nullability
+    * would poison later reads: a widened column marked required makes
+    * the vectorized reader REFUSE pre-widening files ("required column
+    * missing") instead of null-filling, and `INSERT ... VALUES (NULL)`
+    * would trip AssertNotNull against a column that is nullable on disk. */
+  private def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = deepNullable(m.keyType),
+        valueType = deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
+  private def schemaJson(s: org.apache.spark.sql.types.StructType): String =
+    deepNullable(s).json
 
   /** Refuse `rows` if any violates `checkSql` — the commit-time gate.
     * Reports one offending row (truncated) so the failure is actionable. */
@@ -305,7 +408,10 @@ object VersionedTable {
       bucket: Option[(Seq[String], Int)], props: Map[String, String],
       remove: Seq[String],
       add: Seq[(String, Option[Long], Option[Long],
-        Option[Map[String, Long]], Option[Map[String, (String, String, String)]])])
+        Option[Map[String, Long]], Option[Map[String, (String, String, String)]])],
+      // deletion-vector entries of the ADDed (or metadata-revised) rels —
+      // a DV commit re-adds its file with the new sidecar ref here
+      dvs: Map[String, (String, Long)] = Map.empty)
 
   /** The delta between `m` and its parent — lossless: applying the result
     * to `parent` reproduces `m` exactly (modulo canonical file-list sort).
@@ -320,11 +426,13 @@ object VersionedTable {
       parent.stats.get(r) != m.stats.get(r) ||
         parent.sizes.get(r) != m.sizes.get(r) ||
         parent.nulls.get(r) != m.nulls.get(r) ||
-        parent.rows.get(r) != m.rows.get(r)
+        parent.rows.get(r) != m.rows.get(r) ||
+        parent.dvs.get(r) != m.dvs.get(r)
     val addRels = m.files.filter(r => !pSet(r) || changed(r))
     val add = addRels.map(r =>
       (r, m.sizes.get(r), m.rows.get(r), m.nulls.get(r), m.stats.get(r)))
-    ManifestDelta(m.version, m.maxId, m.bucket, m.props, removed, add)
+    ManifestDelta(m.version, m.maxId, m.bucket, m.props, removed, add,
+      addRels.flatMap(r => m.dvs.get(r).map(r -> _)).toMap)
   }
 
   private def renderDelta(d: ManifestDelta): Array[Byte] = {
@@ -350,6 +458,9 @@ object VersionedTable {
         val fo = ad.putObject(rel)
         sz.foreach(x => fo.put("size", x))
         rows.foreach(x => fo.put("rows", x))
+        d.dvs.get(rel).foreach { case (p, n) =>
+          val o = fo.putObject("dv"); o.put("p", p); o.put("n", n)
+        }
         nulls.foreach { nl =>
           val no = fo.putObject("nulls")
           nl.toSeq.sortBy(_._1).foreach { case (c, n) => no.put(c, n) }
@@ -392,17 +503,24 @@ object VersionedTable {
         while (it.hasNext) b += it.next().asText()
         b.result()
       }
-    val add =
+    val (add, dvs) =
       if (!root.hasNonNull("add"))
-        Seq.empty[(String, Option[Long], Option[Long],
-          Option[Map[String, Long]], Option[Map[String, (String, String, String)]])]
+        (Seq.empty[(String, Option[Long], Option[Long],
+          Option[Map[String, Long]], Option[Map[String, (String, String, String)]])],
+          Map.empty[String, (String, Long)])
       else {
         val b = Seq.newBuilder[(String, Option[Long], Option[Long],
           Option[Map[String, Long]], Option[Map[String, (String, String, String)]])]
+        val dvb = Map.newBuilder[String, (String, Long)]
         val fit = root.get("add").fields()
         while (fit.hasNext) {
           val fe = fit.next()
           val n = fe.getValue
+          if (n.hasNonNull("dv")) {
+            val d = n.get("dv")
+            if (d.hasNonNull("p") && d.hasNonNull("n"))
+              dvb += fe.getKey -> ((d.get("p").asText(), d.get("n").asLong()))
+          }
           val nulls =
             if (!n.has("nulls")) None
             else {
@@ -432,11 +550,11 @@ object VersionedTable {
             if (n.hasNonNull("rows")) Some(n.get("rows").asLong()) else None,
             nulls, stats))
         }
-        b.result()
+        (b.result(), dvb.result())
       }
     ManifestDelta(root.get("version").asLong(),
       if (root.hasNonNull("max_id")) Some(root.get("max_id").asLong()) else None,
-      bucket, remove = remove, add = add, props = props)
+      bucket, remove = remove, add = add, props = props, dvs = dvs)
   }
 
   /** Fold one delta onto its parent's materialized state. Removes apply
@@ -455,7 +573,8 @@ object VersionedTable {
       strip(parent.sizes) ++ d.add.collect { case (r, Some(sz), _, _, _) => r -> sz },
       strip(parent.nulls) ++ d.add.collect { case (r, _, _, Some(nl), _) => r -> nl },
       strip(parent.rows) ++ d.add.collect { case (r, _, Some(rw), _, _) => r -> rw },
-      d.props)
+      d.props,
+      strip(parent.dvs) ++ d.dvs)
   }
 
   /** Count of manifest ARTIFACT reads (full parses + delta parses) on the
@@ -478,17 +597,47 @@ object VersionedTable {
   private final case class CacheEntry(artifact: Path, len: Long, mtime: Long,
                                       m: Manifest)
   private val ManCacheMax = 64
-  private val manCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long), CacheEntry](128, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long), CacheEntry]): Boolean =
-          size() > ManCacheMax
-      })
 
-  /** Test seam: forget every cached materialization, forcing the next
-    * read to reconstruct from artifacts (checkpoint-replay specs). */
-  private[graft] def invalidateManifestCache(): Unit = manCache.clear()
+  /** WEIGHT bound for the LRU — total cached FILE ENTRIES across every
+    * manifest, not manifest count: 64 × 1M-file manifests under a flat
+    * entry cap would pin ~6 GB of driver heap; weighing by file count
+    * bounds the heap by data (~100 B/entry → ~50 MB worst case here).
+    * The most-recent entry always survives even when it alone exceeds
+    * the budget (a plan in flight must keep its own manifest). Test
+    * seam: specs shrink it to force eviction with synthetic manifests. */
+  @volatile private[graft] var manCacheMaxFiles: Long = 512L * 1024
+
+  private val manCache =
+    new java.util.LinkedHashMap[(String, Long), CacheEntry](128, 0.75f, true)
+  private var manCacheWeight: Long = 0L
+
+  private def entryWeight(e: CacheEntry): Long = math.max(1L, e.m.files.size.toLong)
+
+  private def cacheRemoveLocked(key: (String, Long)): Unit = {
+    val old = manCache.remove(key)
+    if (old != null) manCacheWeight -= entryWeight(old)
+  }
+
+  private def cacheEvictLocked(): Unit = {
+    val it = manCache.entrySet().iterator()
+    while (manCache.size > 1 &&
+      (manCache.size > ManCacheMax || manCacheWeight > manCacheMaxFiles) &&
+      it.hasNext) {
+      val e = it.next()
+      it.remove()
+      manCacheWeight -= entryWeight(e.getValue)
+    }
+  }
+
+  /** Test seams: forget every cached materialization (checkpoint-replay
+    * specs), and observe the cache's entry count / weight (weight-bound
+    * specs). */
+  private[graft] def invalidateManifestCache(): Unit = manCache.synchronized {
+    manCache.clear(); manCacheWeight = 0L
+  }
+  private[graft] def manifestCacheStats: (Int, Long) = manCache.synchronized {
+    (manCache.size, manCacheWeight)
+  }
 
   /** Test seam: what version `v` WOULD cost as a full manifest — the
     * O(table) bytes the delta layout avoids per commit. */
@@ -498,19 +647,26 @@ object VersionedTable {
 
   private def cacheGet(f: org.apache.hadoop.fs.FileSystem, key: (String, Long))
       : Option[Manifest] = {
-    val e = manCache.get(key)
+    val e = manCache.synchronized(manCache.get(key))
     if (e == null) None
     else scala.util.Try(f.getFileStatus(e.artifact)).toOption match {
       case Some(st) if st.getLen == e.len && st.getModificationTime == e.mtime =>
         Some(e.m)
-      case _ => manCache.remove(key); None
+      case _ => manCache.synchronized(cacheRemoveLocked(key)); None
     }
   }
 
   private def cachePut(f: org.apache.hadoop.fs.FileSystem, key: (String, Long),
                        artifact: Path, m: Manifest): Unit =
-    scala.util.Try(f.getFileStatus(artifact)).foreach(st =>
-      manCache.put(key, CacheEntry(artifact, st.getLen, st.getModificationTime, m)))
+    scala.util.Try(f.getFileStatus(artifact)).foreach { st =>
+      val e = CacheEntry(artifact, st.getLen, st.getModificationTime, m)
+      manCache.synchronized {
+        cacheRemoveLocked(key)
+        manCache.put(key, e)
+        manCacheWeight += entryWeight(e)
+        cacheEvictLocked()
+      }
+    }
 
   private def readBytes(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = f.open(p)
@@ -1484,8 +1640,10 @@ object VersionedTable {
           bucketOfRel(r).map(touched.contains).getOrElse(true))
         val slice =
           if (touchedRel.nonEmpty)
-            tgt.spark.read.parquet(touchedRel.map(r =>
-              new Path(dataDir(tgt, table), r).toString): _*)
+            // explicit schema: a metadata-widened table's pre-widening
+            // files null-fill instead of narrowing the merge input;
+            // DV-aware: a rewrite must not resurrect deleted positions
+            readRelsWithDv(tgt, table, headMan.get, touchedRel, Some(ex.schema))
           else tgt.spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), ex.schema)
         (Loader.upsertMerged(slice, incoming, upsertFields, maxId, order,
@@ -1548,11 +1706,15 @@ object VersionedTable {
         val props1 = if (upsertFields.nonEmpty)
           props0 + (UpsertKeysProp -> upsertFields.mkString(","))
         else props0
-        val props = ((if (bloomBy.nonEmpty)
+        val props = (((if (bloomBy.nonEmpty)
           props1 + (BloomColsProp -> bloomBy.mkString(","))
-        else props1) ++ extraProps) -- dropProps
+        else props1) ++ extraProps) -- dropProps) +
+          // the committed batch's schema is the version's schema — the
+          // read-path source of truth (see SchemaProp)
+          (SchemaProp -> schemaJson(out.schema))
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
-          fm.stats, fm.sizes, fm.nulls, fm.rows, props) }))
+          fm.stats, fm.sizes, fm.nulls, fm.rows, props,
+          dvCarry(headMan, carryRel)) }))
       Some(newV)
     else {
       // lost the race: the staged batch references a superseded head —
@@ -1560,6 +1722,44 @@ object VersionedTable {
       // vacuum, same as any crashed commit)
       fs(tgt, dataDir(tgt, table)).delete(batch, true)
       None
+    }
+  }
+
+  /** METADATA-ONLY SCHEMA WIDENING — the commit under SQL `ALTER TABLE
+    * ADD COLUMN(S)`: the new version carries the parent's files VERBATIM
+    * and records the widened schema in [[SchemaProp]]; no file is read,
+    * written, or rewritten, so widening a 100 TB table costs one small
+    * JSON commit. Every pre-widening file reads the added columns as
+    * null (the parquet reader null-fills requested-but-absent columns);
+    * later writes carry them physically. Added columns must be nullable
+    * (pre-widening rows ARE null in them) and fresh (case-insensitive).
+    * Same optimistic CAS as [[load]]. Returns the new version. */
+  def widenSchema(tgt: Catalog, table: String,
+                  newFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    require(newFields.nonEmpty, "widenSchema needs at least one new column")
+    require(newFields.map(_.name.toLowerCase).distinct.size == newFields.size,
+      "widenSchema: duplicate names among the added columns")
+    commitWithRetry(table, "widenSchema") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val current = readVersion(tgt, table, cur).schema
+      val names = current.fieldNames.map(_.toLowerCase).toSet
+      newFields.foreach { f =>
+        require(!f.name.equalsIgnoreCase(Loader.IdCol),
+          s"column name '${f.name}' is reserved for the surrogate id")
+        require(!names.contains(f.name.toLowerCase),
+          s"column '${f.name}' already exists on '$table'")
+        require(f.nullable,
+          s"added column '${f.name}' must be nullable — every pre-widening " +
+            "row reads it as null, which a NOT NULL column would contradict")
+      }
+      val widened = org.apache.spark.sql.types.StructType(
+        current.fields ++ newFields)
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        props = man.props + (SchemaProp -> schemaJson(widened))))) Some(cur + 1)
+      else None
     }
   }
 
@@ -1625,10 +1825,130 @@ object VersionedTable {
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepRel ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
-        headMan.props)))
+        headMan.props + (SchemaProp -> schemaJson(out.schema)),
+        dvCarry(Some(headMan), keepRel))))
       expectedVersion + 1
     else {
       fs(tgt, dataDir(tgt, table)).delete(batch, true)
+      throw new java.util.ConcurrentModificationException(
+        s"row-level operation on '$table' was derived from version " +
+          s"$expectedVersion but another writer committed first — " +
+          "retry the statement against the new head")
+    }
+  }
+
+  /** MERGE-ON-READ ROW-LEVEL COMMIT — the primitive under SQL
+    * UPDATE/MERGE/DELETE on a `merge-on-read` table (Spark's delta-based
+    * row-level operations, [[graft.sources.GraftDeltaRowLevelOperation]]):
+    * `deletes` maps scanned data files (absolute paths) to the ROW
+    * POSITIONS the statement removed (an UPDATE is delete + reinsert),
+    * `stagedFiles` hold the inserted/updated rows. The commit writes one
+    * merged DV sidecar per touched file (old DV ∪ new positions — DVs
+    * are immutable; the manifest re-points) and appends the staged rows
+    * — O(changed rows + DV) bytes, UNTOUCHED FILES CARRIED VERBATIM: a
+    * 1-row UPDATE on a 100 TB table never rewrites a data file. A file
+    * whose merged DV covers every recorded row drops from the manifest
+    * outright. Same conflict rule as [[replaceScanned]]: derived from
+    * `expectedVersion`, CAS failure refuses with
+    * ConcurrentModificationException (retry the STATEMENT). */
+  private[graft] def applyRowDeltas(tgt: Catalog, table: String,
+                                    expectedVersion: Long,
+                                    deletes: Map[String, Array[Long]],
+                                    stagedFiles: Seq[String],
+                                    idOrder: Seq[String]): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    val headMan = readManifest(tgt, table, expectedVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$table' has no version $expectedVersion"))
+    val relByPath = headMan.files.map(r =>
+      new Path(dataDir(tgt, table), r).toUri.getPath -> r).toMap
+    val dels: Map[String, Array[Long]] = deletes.map { case (p, pos) =>
+      relByPath.getOrElse(new Path(p).toUri.getPath,
+        throw new IllegalStateException(
+          s"row-level delete names a file not in v$expectedVersion: $p")) -> pos
+    }
+    val f = fs(tgt, dataDir(tgt, table))
+    // one merged sidecar per touched file: prior DV ∪ this statement's
+    // positions (sidecars are immutable — the manifest re-points)
+    val newDvs: Map[String, (String, Long)] = dels.map { case (rel, pos) =>
+      val prior = headMan.dvs.get(rel).fold(Array.empty[Long]) { case (p, _) =>
+        org.apache.spark.sql.graft.DeletionVectors.read(
+          f, new Path(dataDir(tgt, table), p))
+      }
+      val merged = (prior ++ pos).distinct.sorted
+      headMan.rows.get(rel).foreach(n => require(
+        merged.forall(x => x >= 0 && x < n),
+        s"deletion vector position out of range for '$rel' ($n rows)"))
+      val sidecar = s"dv-${java.util.UUID.randomUUID()}.dv"
+      org.apache.spark.sql.graft.DeletionVectors.write(
+        f, new Path(dataDir(tgt, table), sidecar), merged)
+      rel -> ((sidecar, merged.length.toLong))
+    }
+    def cleanupSidecars(): Unit = newDvs.values.foreach { case (p, _) =>
+      try f.delete(new Path(dataDir(tgt, table), p), false)
+      catch { case _: java.io.IOException => () }
+    }
+    // a file whose merged DV covers every recorded row is LOGICALLY
+    // EMPTY: drop it (and its DV) from the manifest — readers never
+    // mount it, vacuum reclaims both once unreferenced
+    val gone = newDvs.collect { case (rel, (_, n))
+      if headMan.rows.get(rel).contains(n) => rel }.toSet
+    val keepRel = headMan.files.filterNot(gone)
+    // keep at least one schema-bearing file (the same invariant every
+    // rewrite path maintains — an empty table still reads its schema)
+    val keepSafe = if (keepRel.nonEmpty || stagedFiles.nonEmpty) keepRel
+      else headMan.files.take(1)
+    val goneSafe = gone -- keepSafe
+    val schema = recordedSchema(headMan)
+      .map(s => org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(_.name == Loader.IdCol)))
+    val replacement =
+      if (stagedFiles.nonEmpty) {
+        val r = tgt.spark.read
+        schema.fold(r)(r.schema).parquet(stagedFiles: _*)
+      } else null
+    val (batch, newParts) =
+      if (replacement == null) (null, Seq.empty[(String, Long)])
+      else {
+        val floor = headMan.maxId.getOrElse(
+          footerMaxId(tgt, headMan.files.map(r =>
+            new Path(dataDir(tgt, table), r).toString)).getOrElse(0L))
+        val order = if (idOrder.nonEmpty) idOrder
+          else replacement.columns.toSeq
+        val out = Loader.withSurrogateIds(replacement, floor, order)
+        writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan))
+      }
+    def cleanupBatch(): Unit =
+      if (batch != null) fs(tgt, dataDir(tgt, table)).delete(batch, true)
+    // the CHECK gate validates the STAGED bytes, like every write path
+    headMan.props.get(CheckConstraintProp)
+      .filter(_ => newParts.nonEmpty).foreach { c =>
+        try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
+          new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+        catch { case e: Throwable =>
+          cleanupBatch(); cleanupSidecars()
+          throw e
+        }
+      }
+    val newRel = newParts.map(_._1)
+    val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+    val floor0 = headMan.maxId
+    val committedMax =
+      if (newAbs.isEmpty) floor0
+      else footerMaxId(tgt, newAbs).map(m => math.max(m, floor0.getOrElse(0L)))
+        .orElse(floor0)
+    preCommitHook.value()
+    val fm = manifestMeta(tgt, table, Some(headMan), keepSafe, newParts,
+      recordedSchema(headMan).getOrElse(
+        org.apache.spark.sql.types.StructType(Nil)))
+    if (tryCommitManifest(tgt, table,
+      Manifest(expectedVersion + 1, committedMax, headMan.bucket,
+        keepSafe ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
+        headMan.props,
+        (dvCarry(Some(headMan), keepSafe) ++ newDvs) -- goneSafe -- newRel)))
+      expectedVersion + 1
+    else {
+      cleanupBatch(); cleanupSidecars()
       throw new java.util.ConcurrentModificationException(
         s"row-level operation on '$table' was derived from version " +
           s"$expectedVersion but another writer committed first — " +
@@ -1675,8 +1995,7 @@ object VersionedTable {
       // row (parquet row-group stats skip most without reading rows)
       val hit: Set[String] =
         if (candRel.isEmpty) Set.empty
-        else readFileList(tgt, candRel.map(r =>
-          new Path(dataDir(tgt, table), r).toString))
+        else readRelsWithDv(tgt, table, man, candRel)
           .where(cond).select(input_file_name().as("f")).distinct()
           .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
       val (hitRel, keepRel) = man.files.filterNot(dropped)
@@ -1695,14 +2014,14 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, Nil,
               org.apache.spark.sql.types.StructType(Nil))
             Manifest(newV, man.maxId, man.bucket, keepRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) })) Some(newV)
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              dvCarry(Some(man), keepRel)) })) Some(newV)
         else None
       } else {
         // partial rewrite; when EVERYTHING matched (hitRel empty AND
         // keepRel empty) the empty-survivors write keeps the schema alive
         val srcRel = if (hitRel.nonEmpty) hitRel else Seq(man.files.head)
-        val srcDf = tgt.spark.read
-          .parquet(srcRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
+        val srcDf = readRelsWithDv(tgt, table, man, srcRel)
         val survivors =
           if (hitRel.nonEmpty) srcDf.where(!coalesce(cond, lit(false)))
           else srcDf.where(lit(false))
@@ -1718,7 +2037,8 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
               survivors.schema)
             Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) })) Some(newV)
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              dvCarry(Some(man), keepRel)) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -1774,8 +2094,7 @@ object VersionedTable {
       // ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
       val hit: Set[String] =
         if (candRel.isEmpty) Set.empty
-        else readFileList(tgt, candRel.map(r =>
-          new Path(dataDir(tgt, table), r).toString))
+        else readRelsWithDv(tgt, table, man, candRel)
           .withColumn("__f", input_file_name())
           .join(kr, keys, "left_semi")
           .select(col("__f")).distinct()
@@ -1788,8 +2107,7 @@ object VersionedTable {
           man.copy(version = newV))) Some(newV)
         else None
       } else {
-        val survivors = tgt.spark.read
-          .parquet(hitRel.map(r => new Path(dataDir(tgt, table), r).toString): _*)
+        val survivors = readRelsWithDv(tgt, table, man, hitRel)
           .join(kr, keys, "left_anti")
         val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket, bloomColsOf(man))
         val newRel = newParts.map(_._1)
@@ -1800,7 +2118,8 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
               survivors.schema)
             Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) })) Some(newV)
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              dvCarry(Some(man), keepRel)) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           None
@@ -1837,15 +2156,21 @@ object VersionedTable {
         r -> man.sizes.getOrElse(r,
           f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen)
       }
-      val (small, keep) = sized.partition(_._2 < targetFileBytes / 2)
-      // one small file alone (or none) gains nothing — don't churn a
-      // commit (and a version) for it
-      if (small.size < 2) Some(cur)
+      // DV'd files are ALWAYS rewrite candidates regardless of size —
+      // compaction is where deletion vectors materialize (the read-side
+      // position filter disappears and the single-scan plan returns)
+      val (small, keep) = sized.partition { case (r, len) =>
+        len < targetFileBytes / 2 || man.dvs.contains(r)
+      }
+      // one small DV-less file alone (or none) gains nothing — don't
+      // churn a commit (and a version) for it
+      if (small.size < 2 && !small.exists(s => man.dvs.contains(s._1)))
+        Some(cur)
       else {
-        val smallAbs = small.map { case (r, _) =>
-          new Path(dataDir(tgt, table), r).toString
-        }
-        val rows = tgt.spark.read.parquet(smallAbs: _*)
+        // DV-aware + explicit schema: compacting must drop deleted
+        // positions and null-fill pre-widening files, never resurrect
+        // rows or narrow the rewrite to a sampled footer's shape
+        val rows = readRelsWithDv(tgt, table, man, small.map(_._1))
         val parts = math.max(1L,
           (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
         val out = man.bucket match {
@@ -1863,7 +2188,8 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keep.map(_._1),
               newParts, rows.schema)
             Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) }))
+              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              dvCarry(Some(man), keep.map(_._1))) }))
           Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -2014,7 +2340,12 @@ object VersionedTable {
           // commit_ts re-stamps at the clone's own commit
           man.props ++
             Map("clone_src_dir" -> src.dir, "clone_src_table" -> srcTable,
-              "clone_src_version" -> v.toString))))
+              "clone_src_version" -> v.toString),
+          // DV sidecars re-point by absolute path like the data files —
+          // the clone reads the same live rows the source version did
+          man.dvs.map { case (r, (p, n)) =>
+            relToAbs(r) -> ((new Path(dataDir(src, srcTable), p).toString, n))
+          })))
         Some(1L)
       else None
     }
@@ -2072,8 +2403,26 @@ object VersionedTable {
     val man = readManifest(tgt, table, v).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $v"))
     require(man.files.nonEmpty, s"version $v of '$table' lists no files")
-    val abs = man.files.map(r => new Path(dataDir(tgt, table), r).toString)
-    if (man.stats.isEmpty) readFileList(tgt, abs)
+    if (man.dvs.nonEmpty) {
+      // merge-on-read: DV'd files filter their deleted positions (exact,
+      // row-index based); clean files keep the zone-map planning path
+      // below through a two-sided union. Compaction materializes DVs and
+      // restores the single-scan plan.
+      val dirty = man.files.filter(man.dvs.contains)
+      val clean = man.files.filterNot(man.dvs.contains)
+      val dirtyDf = readRelsWithDv(tgt, table, man, dirty)
+      return if (clean.isEmpty) dirtyDf
+        else readVersionClean(tgt, table, man, clean).unionByName(dirtyDf)
+    }
+    readVersionClean(tgt, table, man, man.files)
+  }
+
+  /** The DV-free read core: `rels` of `man` through the zone-map
+    * FileIndex (or a plain list read for stats-less legacy manifests). */
+  private def readVersionClean(tgt: Catalog, table: String, man: Manifest,
+                               rels: Seq[String]): DataFrame = {
+    val abs = rels.map(r => new Path(dataDir(tgt, table), r).toString)
+    if (man.stats.isEmpty) readFileList(tgt, abs, recordedSchema(man))
     else {
       // PLANNING-TIME zone maps: the scan is built over a custom
       // FileIndex, so whatever filter Catalyst later pushes down —
@@ -2086,7 +2435,7 @@ object VersionedTable {
       // on an object store plans from the manifest alone); pre-sizes
       // manifests fall back to one status call per missing file.
       val fsys = fs(tgt, dataDir(tgt, table))
-      val statuses = man.files.zip(abs).map { case (rel, a) =>
+      val statuses = rels.zip(abs).map { case (rel, a) =>
         man.sizes.get(rel) match {
           case Some(len) => new org.apache.hadoop.fs.FileStatus(
             len, false, 1, 128L * 1024 * 1024, 0L, fsys.makeQualified(new Path(a)))
@@ -2094,8 +2443,11 @@ object VersionedTable {
         }
       }
       tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      val schema = tgt.spark.read.parquet(abs.head).schema
-      val relByAbs = man.files.map { rel =>
+      // the manifest-recorded schema wins (metadata widenings never
+      // rewrote the files); the footer probe is the legacy fallback
+      val schema = recordedSchema(man)
+        .getOrElse(tgt.spark.read.parquet(abs.head).schema)
+      val relByAbs = rels.map { rel =>
         new Path(dataDir(tgt, table), rel).toUri.getPath -> rel
       }.toMap
       // bucketsFor is constant per predicate but the closure runs per
@@ -2149,9 +2501,55 @@ object VersionedTable {
   }
 
   /** The shared explicit-file-list read (NTZ normalization included). */
-  private def readFileList(tgt: Catalog, absFiles: Seq[String]): DataFrame = {
+  /** The DV entries that survive when exactly `keep` files carry forward
+    * (a rewritten/dropped file's DV dies with it). */
+  private def dvCarry(parent: Option[Manifest],
+                      keep: Seq[String]): Map[String, (String, Long)] = {
+    val k = keep.toSet
+    parent.fold(Map.empty[String, (String, Long)])(_.dvs.filter(kv => k(kv._1)))
+  }
+
+  /** Read `rels` of `man`, APPLYING their deletion vectors: clean files
+    * take the plain parquet path untouched; DV'd files read with the
+    * `_metadata.row_index` column and drop their DV positions through a
+    * broadcast sorted-array probe (exact under row-group skipping — the
+    * reader stamps true file positions). Every internal rewrite path
+    * (delete, deleteKeys, compact, scoped upsert) funnels through here
+    * so a rewrite can never resurrect a DV-deleted row. */
+  private def readRelsWithDv(tgt: Catalog, table: String, man: Manifest,
+                             rels: Seq[String],
+                             schema: Option[org.apache.spark.sql.types.StructType]
+                               = None): DataFrame = {
+    val sch = schema.orElse(recordedSchema(man))
+    def abs(r: String) = new Path(dataDir(tgt, table), r).toString
+    val (dirty, clean) = rels.partition(man.dvs.contains)
+    if (dirty.isEmpty) return readFileList(tgt, clean.map(abs), sch)
+    val f = fs(tgt, dataDir(tgt, table))
+    val dvByPath: Map[String, Array[Long]] = dirty.map { r =>
+      new Path(abs(r)).toUri.getPath ->
+        org.apache.spark.sql.graft.DeletionVectors.read(
+          f, new Path(dataDir(tgt, table), man.dvs(r)._1))
+    }.toMap
+    val bc = tgt.spark.sparkContext.broadcast(dvByPath)
+    val live = udf((fp: String, idx: Long) => {
+      val a = bc.value.getOrElse(new Path(fp).toUri.getPath, null)
+      a == null || java.util.Arrays.binarySearch(a, idx) < 0
+    })
+    val dirtyDf = readFileList(tgt, dirty.map(abs), sch)
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+      .where(live(col("__graft_fp"), col("__graft_ri")))
+      .drop("__graft_fp", "__graft_ri")
+    if (clean.isEmpty) dirtyDf
+    else readFileList(tgt, clean.map(abs), sch).unionByName(dirtyDf)
+  }
+
+  private def readFileList(tgt: Catalog, absFiles: Seq[String],
+                           schema: Option[org.apache.spark.sql.types.StructType]
+                             = None): DataFrame = {
     tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = tgt.spark.read.parquet(absFiles: _*)
+    val df = schema.fold(tgt.spark.read)(tgt.spark.read.schema)
+      .parquet(absFiles: _*)
     df.schema.fields.collect {
       case fld if fld.dataType == org.apache.spark.sql.types.TimestampNTZType => fld.name
     }.foldLeft(df)((d, c) =>
@@ -2191,9 +2589,9 @@ object VersionedTable {
       // every file excluded: an empty frame with the version's schema
       // (one footer read for the schema — no scan tasks at all)
       readFileList(tgt, Seq(new Path(dataDir(tgt, table),
-        man.files.head).toString)).where(lit(false)).where(pred)
-    else readFileList(tgt, keepRel.map(r =>
-      new Path(dataDir(tgt, table), r).toString)).where(pred)
+        man.files.head).toString), recordedSchema(man))
+        .where(lit(false)).where(pred)
+    else readRelsWithDv(tgt, table, man, keepRel).where(pred)
   }
 
   /** The files of version `v` a [[readWhere]] with `pred` would SKIP
@@ -2236,28 +2634,30 @@ object VersionedTable {
         val inBucket = man.files.filter(r => bucketOfRel(r).contains(b))
           .filter(r => fileAdmits(man, r, tree))
         if (inBucket.isEmpty) base.limit(0).where(pred)
-        else tgt.spark.read.parquet(inBucket.map(r =>
-          new Path(dataDir(tgt, table), r).toString): _*).where(pred)
+        else readRelsWithDv(tgt, table, man, inBucket).where(pred)
       case _ =>
         // flat table: zone maps are the only file-level pruning available
         val (keepRel, skipped) = pruneByStats(man, pred)
         if (skipped.isEmpty) base.where(pred)
         else if (keepRel.isEmpty) base.limit(0).where(pred)
-        else readFileList(tgt, keepRel.map(r =>
-          new Path(dataDir(tgt, table), r).toString)).where(pred)
+        else readRelsWithDv(tgt, table, man, keepRel).where(pred)
     }
   }
 
   // ------------------------------------------- streaming CDC partition plan
 
-  /** (absolute path, byte length) of version `v`'s files — lengths from
-    * the manifest (status-RPC fallback for pre-sizes manifests). */
+  /** (absolute path, byte length, DV sidecar) of version `v`'s files —
+    * lengths from the manifest (status-RPC fallback for pre-sizes
+    * manifests). */
   private def fileSlices(tgt: Catalog, table: String,
-                         man: Manifest): Seq[(String, Long)] = {
+                         man: Manifest): Seq[(String, Long, Option[String])] = {
     lazy val f = fs(tgt, dataDir(tgt, table))
     man.files.map { rel =>
       val abs = new Path(dataDir(tgt, table), rel).toString
-      abs -> man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen)
+      (abs, man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen),
+        man.dvs.get(rel).map { case (p, _) =>
+          new Path(dataDir(tgt, table), p).toString
+        })
     }
   }
 
@@ -2281,7 +2681,8 @@ object VersionedTable {
     * a vacuumed-away `fromV` has no manifest to diff FROM. */
   private[graft] def cdcSlices(tgt: Catalog, table: String, fromV: Long,
                                toV: Long)
-      : Seq[(Seq[(String, Long)], Seq[(String, Long)])] = {
+      : Seq[(Seq[(String, Long, Option[String])],
+             Seq[(String, Long, Option[String])])] = {
     val manB = readManifest(tgt, table, toV).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $toV"))
     if (fromV <= 0L)
@@ -2291,27 +2692,36 @@ object VersionedTable {
         "from an older version could resurrect keys deleted inside the gap; " +
         "retain more versions or reset the stream checkpoint to re-bootstrap"))
     val (setA, setB) = (manA.files.toSet, manB.files.toSet)
-    val onlyA = manA.files.filterNot(setB)
-    val onlyB = manB.files.filterNot(setA)
-    def slices(man: Manifest, rels: Seq[String]): Seq[(String, String, Long)] = {
+    // a file SHARED by both versions but with a different deletion
+    // vector changed rows: it enters BOTH sides (each with its own DV),
+    // and the partition-local diff emits exactly the newly-deleted keys
+    val dvChanged = manA.files.filter(r =>
+      setB(r) && manA.dvs.get(r) != manB.dvs.get(r))
+    val onlyA = manA.files.filterNot(setB) ++ dvChanged
+    val onlyB = manB.files.filterNot(setA) ++ dvChanged
+    def slices(man: Manifest, rels: Seq[String])
+        : Seq[(String, String, Long, Option[String])] = {
       lazy val f = fs(tgt, dataDir(tgt, table))
       rels.map { rel =>
         val abs = new Path(dataDir(tgt, table), rel).toString
-        (rel, abs, man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen))
+        (rel, abs, man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen),
+          man.dvs.get(rel).map { case (p, _) =>
+            new Path(dataDir(tgt, table), p).toString
+          })
       }
     }
     val a = slices(manA, onlyA)
     val b = slices(manB, onlyB)
-    if (a.isEmpty) b.map { case (_, abs, len) => (Nil, Seq((abs, len))) }
+    if (a.isEmpty) b.map { case (_, abs, len, dv) => (Nil, Seq((abs, len, dv))) }
     else if ((onlyA ++ onlyB).forall(r => bucketOfRel(r).isDefined)) {
       val byBucket = (a.map((_, true)) ++ b.map((_, false)))
-        .groupBy { case ((rel, _, _), _) => bucketOfRel(rel).get }
+        .groupBy { case ((rel, _, _, _), _) => bucketOfRel(rel).get }
       byBucket.toSeq.sortBy(_._1).map { case (_, members) =>
-        (members.collect { case ((_, abs, len), true) => (abs, len) },
-         members.collect { case ((_, abs, len), false) => (abs, len) })
+        (members.collect { case ((_, abs, len, dv), true) => (abs, len, dv) },
+         members.collect { case ((_, abs, len, dv), false) => (abs, len, dv) })
       }
     } else
-      Seq((a.map(t => (t._2, t._3)), b.map(t => (t._2, t._3))))
+      Seq((a.map(t => (t._2, t._3, t._4)), b.map(t => (t._2, t._3, t._4))))
   }
 
   /** Append-tail plan for the `graft` STREAMING read `(fromV, toV]`:
@@ -2328,7 +2738,7 @@ object VersionedTable {
                                   fromV: Long, toV: Long,
                                   skipChanges: Boolean,
                                   snapshotBootstrap: Boolean = true)
-      : Seq[(String, Long)] = {
+      : Seq[(String, Long, Option[String])] = {
     if (fromV <= 0L && snapshotBootstrap) {
       // fresh stream, no startingVersion: the first batch IS the end
       // version's snapshot (one atomic state; per-version walking it
@@ -2352,12 +2762,17 @@ object VersionedTable {
       val b = man(v + 1)
       val setA = a.files.toSet
       val removed = setA -- b.files.toSet
-      if (removed.nonEmpty) {
+      // a deletion-vector change on a carried file IS a change commit:
+      // rows vanished without any file being removed
+      val dvChanged = b.files.exists(r => setA(r) && a.dvs.get(r) != b.dvs.get(r))
+      if (removed.nonEmpty || dvChanged) {
         if (!skipChanges) throw new IllegalStateException(
-          s"version ${v + 1} of '$table' rewrites or deletes data files " +
-            s"(${removed.size} removed) — the 'graft' stream tails APPENDS " +
-            "only. Use format 'graft-cdc' for update/delete semantics, or " +
-            "option skipChangeCommits=true to skip change commits")
+          s"version ${v + 1} of '$table' rewrites or deletes data rows " +
+            s"(${removed.size} files removed" +
+            (if (dvChanged) ", deletion vectors changed" else "") +
+            ") — the 'graft' stream tails APPENDS only. Use format " +
+            "'graft-cdc' for update/delete semantics, or option " +
+            "skipChangeCommits=true to skip change commits")
         Nil
       } else fileSlices(tgt, table,
         b.copy(files = b.files.filterNot(setA)))
@@ -2406,13 +2821,15 @@ object VersionedTable {
 
   /** Batch-read plan for the DataSource-V2 `graft` format: version `v`'s
     * (or the head's) files zone-map-pruned against `pred`, as (absolute
-    * path, byte length) — manifest-only, zero listings or status RPCs
-    * for sized manifests. */
+    * path, byte length, optional deletion-vector sidecar absolute path)
+    * — manifest-only, zero listings or status RPCs for sized manifests.
+    * A slice with a DV must be read through a position-filtering reader
+    * ([[org.apache.spark.sql.graft.PlainReaderFactory]]). */
   private[graft] def batchSlices(tgt: Catalog, table: String, v: Option[Long],
                                  pred: org.apache.spark.sql.graft.ZonePred.P,
                                  limitRows: Option[Long] = None,
                                  topN: Option[(String, Boolean, Long)] = None)
-      : Seq[(String, Long)] = {
+      : Seq[(String, Long, Option[String])] = {
     val ver = v.orElse(currentVersion(tgt, table)).getOrElse(
       throw new IllegalArgumentException(s"versioned table '$table' not found"))
     val man = readManifest(tgt, table, ver).getOrElse(
@@ -2425,20 +2842,26 @@ object VersionedTable {
     // layout an eq-pinned key additionally restricts to its bucket's
     // files ([[bucketsFor]]) — the SQL point-lookup twin of [[lookup]].
     val keepB = bucketsFor(man, pred)
-    val surv = man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+    // LIVE row counts (physical minus deletion-vector positions) drive
+    // every count-based decision here: a DV'd file still admits/prunes
+    // by its recorded bounds (supersets — one-sided as always), but
+    // limit/top-N truncation must never overcount rows a reader will
+    // drop, or a pushed LIMIT could return short
+    val surv = man.files.filter(rel => !man.liveRows(rel).contains(0L) &&
       keepB.forall(ks => bucketOfRel(rel).forall(ks.contains)) &&
       fileAdmits(man, rel, pred))
-    // a pushed LIMIT keeps files only until their RECORDED row counts
-    // cover it — LIMIT 10 on a 100k-file table reads one file. Exact
-    // only when the caller guarantees no post-scan row filtering (the
-    // scan builder does: Spark pushes limits only adjacent to the scan)
-    // and every kept file has a recorded count (one unknown voids it).
+    // a pushed LIMIT keeps files only until their recorded LIVE row
+    // counts cover it — LIMIT 10 on a 100k-file table reads one file.
+    // Exact only when the caller guarantees no post-scan row filtering
+    // (the scan builder does: Spark pushes limits only adjacent to the
+    // scan) and every kept file has a recorded count (one unknown voids
+    // it).
     val limited = limitRows match {
       case Some(n) if surv.forall(man.rows.contains) =>
         var acc = 0L
         surv.takeWhile { rel =>
           val take = acc < n
-          acc += man.rows(rel)
+          acc += man.liveRows(rel).get
           take
         }
       case _ => surv
@@ -2478,7 +2901,7 @@ object VersionedTable {
           var acc = 0L
           val prefix = byFar.takeWhile { case (rel, _, _) =>
             val take = acc < n
-            acc += man.rows(rel)
+            acc += man.liveRows(rel).get
             take
           }
           if (prefix.isEmpty) Nil // n <= 0: top-0 needs no file
@@ -2494,7 +2917,10 @@ object VersionedTable {
     }
     kept.map { rel =>
       val abs = new Path(dataDir(tgt, table), rel).toString
-      abs -> man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen)
+      (abs, man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen),
+        man.dvs.get(rel).map { case (p, _) =>
+          new Path(dataDir(tgt, table), p).toString
+        })
     }
   }
 
@@ -2526,6 +2952,11 @@ object VersionedTable {
                                      wants: Seq[AggWant]): Option[Seq[Any]] = {
     val ver = v.orElse(currentVersion(tgt, table)).getOrElse(return None)
     val man = readManifest(tgt, table, ver).getOrElse(return None)
+    // deletion vectors void the metadata answer: recorded counts/bounds
+    // describe the PHYSICAL file, and the DV'd rows' contribution to
+    // count/min/max is unknowable without reading — fall back to the
+    // scan (which applies the DVs exactly)
+    if (man.dvs.nonEmpty) return None
     // files that can hold rows; a recorded 0-row file contributes nothing
     // (and legitimately has no column stats)
     val files = man.files.filterNot(r => man.rows.get(r).contains(0L))
@@ -2576,12 +3007,12 @@ object VersionedTable {
       throw new IllegalArgumentException(s"table '$table' has no version $ver"))
     lazy val f = fs(tgt, dataDir(tgt, table))
     val keepB = bucketsFor(man, pred)
-    val surv = man.files.filter(rel => !man.rows.get(rel).contains(0L) &&
+    val surv = man.files.filter(rel => !man.liveRows(rel).contains(0L) &&
       keepB.forall(ks => bucketOfRel(rel).forall(ks.contains)) &&
       fileAdmits(man, rel, pred))
     val bytes = surv.map(rel => man.sizes.getOrElse(rel,
       f.getFileStatus(new Path(dataDir(tgt, table), rel)).getLen)).sum
-    val rows = surv.map(man.rows.get)
+    val rows = surv.map(man.liveRows)
     (bytes,
       if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None,
       colStatsOf(man, surv))
@@ -2690,21 +3121,36 @@ object VersionedTable {
     * forward across the drop). */
   def changes(tgt: Catalog, table: String, fromV: Long, toV: Long,
               keys: Seq[String], includeOld: Boolean): DataFrame = {
-    val filesA = manifestFiles(tgt, table, fromV)
-    val filesB = manifestFiles(tgt, table, toV)
-    val (setA, setB) = (filesA.toSet, filesB.toSet)
-    val onlyA = filesA.filterNot(setB)
-    val onlyB = filesB.filterNot(setA)
+    val manA = readManifest(tgt, table, fromV).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$table' has no version $fromV"))
+    val manB = readManifest(tgt, table, toV).getOrElse(
+      throw new IllegalArgumentException(s"table '$table' has no version $toV"))
+    val (setA, setB) = (manA.files.toSet, manB.files.toSet)
+    // a shared file whose deletion vector differs changed rows — it
+    // enters both sides (each side applies its OWN DV), so newly-DV'd
+    // keys surface as deletes exactly like a rewrite's vanished rows
+    val dvChanged = manA.files.filter(r =>
+      setB(r) && manA.dvs.get(r) != manB.dvs.get(r))
+    val onlyA = manA.files.filterNot(setB) ++ dvChanged
+    val onlyB = manB.files.filterNot(setA) ++ dvChanged
     // a side with no unshared files contributes no candidate rows; an
     // empty LOCAL relation with the side's schema (one footer read, zero
     // data I/O — a limit(0) parquet scan would still mount the file)
-    def side(only: Seq[String], all: Seq[String]): DataFrame =
-      if (only.nonEmpty) tgt.spark.read.parquet(only: _*)
+    def side(man: Manifest, only: Seq[String]): DataFrame = {
+      // the version's RECORDED schema (metadata widenings never rewrote
+      // the files, and a mixed-era file list must not take its shape from
+      // whichever footer the reader samples); footer probe = legacy.
+      // readRelsWithDv applies the side's deletion vectors.
+      val sch = recordedSchema(man)
+      if (only.nonEmpty) readRelsWithDv(tgt, table, man, only, sch)
       else tgt.spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        tgt.spark.read.parquet(all.head).schema)
-    val a0 = side(onlyA, filesA)
-    val b = side(onlyB, filesB)
+        sch.getOrElse(tgt.spark.read.parquet(new Path(
+          dataDir(tgt, table), man.files.head).toString).schema))
+    }
+    val a0 = side(manA, onlyA)
+    val b = side(manB, onlyB)
     require(keys.forall(k => a0.columns.contains(k) && b.columns.contains(k)),
       "change-feed keys must exist in both versions' schemas")
     // schema alignment (see doc): old side gains the added columns as
@@ -2807,6 +3253,14 @@ object VersionedTable {
     val keep = vs.takeRight(keepLast)
     val drop = vs.dropRight(keepLast)
     val f = fs(tgt, metaDir(tgt, table))
+    // a version's referenced paths = its data files PLUS its DV sidecars
+    // (both live in data dirs; an unreferenced sidecar reclaims exactly
+    // like an unreferenced data file)
+    def versionPaths(cat: Catalog, t: String, v: Long): Seq[String] =
+      manifestFiles(cat, t, v) ++
+        readManifest(cat, t, v).toSeq.flatMap(_.dvs.values.map { case (p, _) =>
+          new Path(dataDir(cat, t), p).toString
+        })
     if (dryRun) {
       // report what WOULD be reclaimed without deleting any manifest or
       // data file — the operator's pre-flight. (Dead clones' markers may
@@ -2816,17 +3270,18 @@ object VersionedTable {
         else liveClones(tgt, table).flatMap { case (cDir, cTable) =>
           val cCat = new Catalog(tgt.spark, cDir)
           versions(cCat, cTable)
-            .flatMap(v => manifestFiles(cCat, cTable, v))
+            .flatMap(v => versionPaths(cCat, cTable, v))
             .map(p => new Path(p).toUri.getPath)
         }.toSet
-      val ref = keep.flatMap(v => manifestFiles(tgt, table, v))
+      val ref = keep.flatMap(v => versionPaths(tgt, table, v))
         .map(r => new Path(r).toUri.getPath).toSet ++ cloneRef
       val dd = new Path(dataDir(tgt, table))
       var would = 0
       def scan(p: Path): Unit =
         f.listStatus(p).foreach { st =>
           if (st.isDirectory) scan(st.getPath)
-          else if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          else if (st.isFile && (st.getPath.getName.endsWith(".parquet") ||
+            st.getPath.getName.endsWith(".dv")) &&
             !ref.contains(st.getPath.toUri.getPath)) would += 1
         }
       if (f.exists(dd)) scan(dd)
@@ -2840,11 +3295,11 @@ object VersionedTable {
       else liveClones(tgt, table).flatMap { case (cDir, cTable) =>
         val cCat = new Catalog(tgt.spark, cDir)
         versions(cCat, cTable)
-          .flatMap(v => manifestFiles(cCat, cTable, v))
+          .flatMap(v => versionPaths(cCat, cTable, v))
           .map(p => new Path(p).toUri.getPath)
       }.toSet
     val referenced: Set[String] =
-      keep.flatMap(v => manifestFiles(tgt, table, v))
+      keep.flatMap(v => versionPaths(tgt, table, v))
         .map(r => new Path(r).toUri.getPath).toSet ++ cloneReferenced
     // the new floor must stand alone: materialize a full checkpoint at
     // keep.head BEFORE any delete, so the delta chain it anchored can go.
@@ -2879,7 +3334,8 @@ object VersionedTable {
     def sweep(p: Path): Unit = {
       f.listStatus(p).toSeq.foreach { st =>
         if (st.isDirectory) sweep(st.getPath)
-        else if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        else if (st.isFile && (st.getPath.getName.endsWith(".parquet") ||
+          st.getPath.getName.endsWith(".dv")) &&
           !referenced.contains(st.getPath.toUri.getPath)) {
           f.delete(st.getPath, false); removed += 1
         }

@@ -48,7 +48,7 @@ object StorageQueries {
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
     "q_versioned_sql_merge", "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
-    "q_versioned_agg_pushdown")
+    "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -65,7 +65,9 @@ object StorageQueries {
     sqlOpsFixture(spark, sfDir)
     sqlJoinFixture(spark, sfDir)
     sqlPointFixture(spark, sfDir)
-    sqlCheckFixture(spark, sfDir); ()
+    sqlCheckFixture(spark, sfDir)
+    sqlAlterFixture(spark, sfDir)
+    sqlMorFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -473,6 +475,90 @@ object StorageQueries {
       spark.sql(s"INSERT INTO $name.default.ck " +
         "SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey > 700 AND o_orderkey <= 1000")
+      name
+    })
+  }
+
+  /** Fixture for the SQL ALTER query (F49): CREATE (v1) → INSERT (v2) →
+    * `ALTER TABLE ADD COLUMN` (v3 — METADATA-ONLY: the commit carries
+    * v2's files verbatim and records the widened schema; asserted here
+    * file-for-file) → widened INSERT (v4). Pure-SQL schema evolution,
+    * the catalog twin of the loader's `ensure` widening. */
+  private val sqlAlterNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlAlterFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlAlterNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"galt${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlalter").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.al " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.al " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 600")
+      val cat = new Catalog(spark, dir)
+      val preFiles = VersionedTable.files(cat, "al", 2L).toSet
+      spark.sql(s"ALTER TABLE $name.default.al ADD COLUMN o_orderstatus STRING")
+      require(VersionedTable.files(cat, "al", 3L).toSet == preFiles,
+        "ALTER ADD COLUMN must be metadata-only (files carried verbatim)")
+      spark.sql(s"INSERT INTO $name.default.al " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the MERGE-ON-READ query (F50): a
+    * `write.mode = 'merge-on-read'` table seeded by two INSERTs, then a
+    * scattered UPDATE, a MERGE (matched update + unmatched insert), and
+    * a 1-row DELETE — every row-level statement lands as DELETION
+    * VECTORS (position sidecars) + appended rows, with all untouched
+    * files carried verbatim (asserted file-for-file on the UPDATE). */
+  private val sqlMorNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMorFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlMorNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gmor${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlmor").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.t " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $name.default.t " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 500")
+      spark.sql(s"INSERT INTO $name.default.t " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > 500 AND o_orderkey <= 1000")
+      val cat = new Catalog(spark, dir)
+      val pre = VersionedTable.files(cat, "t", 3L).toSet
+      spark.sql(s"UPDATE $name.default.t SET o_totalprice = 0 " +
+        "WHERE o_orderkey % 100 = 7")
+      require(pre.subsetOf(VersionedTable.files(cat, "t", 4L).toSet),
+        "merge-on-read UPDATE must carry every pre-existing file verbatim")
+      require(VersionedTable.deletionVectors(cat, "t", 4L).nonEmpty,
+        "merge-on-read UPDATE must record deletion vectors")
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice * 3 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 800 AND o_orderkey <= 1200""".stripMargin)
+        .createOrReplaceTempView("graft_mor_src")
+      spark.sql(s"""
+        MERGE INTO $name.default.t t USING graft_mor_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+          VALUES (s.o_orderkey, s.o_totalprice)""")
+      spark.sql(s"DELETE FROM $name.default.t WHERE o_orderkey = 3")
       name
     })
   }
@@ -1165,6 +1251,47 @@ object StorageQueries {
         FROM $name.default.t""")
     },
 
+    // F49 SQL ALTER TABLE ADD COLUMN — metadata-only schema widening
+    // through the catalog: the widened head reads BOTH eras (pre-ALTER
+    // rows null in the new column), VERSION AS OF still serves the
+    // narrow pre-ALTER schema, and the batch CDC feed aligns the eras
+    // under the widened schema (old files null-filled). The fixture
+    // asserts the ALTER carried v2's files verbatim — no rewrite.
+    "q_alter_add_column" -> { (spark, sfDir) =>
+      val (name, dir) = sqlAlterFixture(spark, sfDir)
+      val head = spark.sql(s"""
+        SELECT 'head' AS era, o_orderkey, o_totalprice, o_orderstatus
+        FROM $name.default.al""")
+      val pre = spark.sql(s"""
+        SELECT 'pre' AS era, o_orderkey, o_totalprice,
+               CAST(NULL AS STRING) AS o_orderstatus
+        FROM $name.default.al VERSION AS OF 2""")
+      val feed = spark.read.format("graft-cdc")
+        .option("dir", dir).option("table", "al")
+        .option("keys", "o_orderkey")
+        .option("startingVersion", "1").option("endingVersion", "4").load()
+        .select(concat(lit("cdc_"), col("op")).as("era"),
+          col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      head.unionByName(pre).unionByName(feed)
+        .orderBy("era", "o_orderkey")
+    },
+
+    // F50 MERGE-ON-READ row-level ops: UPDATE / MERGE / DELETE on a
+    // 'write.mode'='merge-on-read' table commit DELETION VECTORS
+    // (per-file position sidecars) + appended rows — O(changed rows),
+    // untouched files carried verbatim (asserted in the fixture) — and
+    // every read surface applies them: the head SELECT reflects all
+    // three statements, time travel reads the pre-DML snapshot exactly.
+    "q_versioned_mor" -> { (spark, sfDir) =>
+      val name = sqlMorFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT 'head' AS era, o_orderkey, o_totalprice FROM $name.default.t
+        UNION ALL
+        SELECT 'pre' AS era, o_orderkey, o_totalprice
+        FROM $name.default.t VERSION AS OF 3
+        ORDER BY era, o_orderkey""")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1554,6 +1681,39 @@ object StorageQueries {
         |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
+
+    "q_versioned_mor" ->
+      """WITH head AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 100 = 7 THEN 0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey <= 800 AND o_orderkey <> 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 3 AS o_totalprice FROM orders
+        |  WHERE o_orderkey > 800 AND o_orderkey <= 1200)
+        |SELECT 'head' AS era, o_orderkey, o_totalprice FROM head
+        |UNION ALL
+        |SELECT 'pre' AS era, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1000
+        |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_alter_add_column" ->
+      """WITH pre AS (SELECT o_orderkey, o_totalprice FROM orders
+        |             WHERE o_orderkey <= 600),
+        |post AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |         WHERE o_orderkey > 600 AND o_orderkey <= 1200),
+        |head AS (SELECT o_orderkey, o_totalprice,
+        |                CAST(NULL AS VARCHAR) AS o_orderstatus FROM pre
+        |         UNION ALL
+        |         SELECT o_orderkey, o_totalprice, o_orderstatus FROM post)
+        |SELECT 'head' AS era, o_orderkey, o_totalprice, o_orderstatus FROM head
+        |UNION ALL
+        |SELECT 'pre' AS era, o_orderkey, o_totalprice,
+        |       CAST(NULL AS VARCHAR) AS o_orderstatus FROM pre
+        |UNION ALL
+        |SELECT 'cdc_insert' AS era, o_orderkey, o_totalprice, o_orderstatus
+        |FROM head
+        |ORDER BY era, o_orderkey""".stripMargin,
 
     "q_versioned_agg_pushdown" ->
       """SELECT count(*) AS n_rows,

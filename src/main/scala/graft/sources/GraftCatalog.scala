@@ -38,9 +38,9 @@ import graft.etl.{Catalog, VersionedTable}
   * (`INSERT INTO` = one versioned commit; concurrent inserts serialize
   * through the manifest CAS). `CREATE TABLE` commits version 1 as one
   * empty schema-bearing file, so the table's schema exists from birth.
-  * Rename and ALTER are refused: schema evolution in this layer happens
-  * through loads (`ensure` widening), which keeps every version
-  * self-describing.
+  * `ALTER TABLE ADD COLUMN(S)` is a metadata-only commit ([[alterTable]]);
+  * rename and every other ALTER are refused — those evolutions stay
+  * load-driven, which keeps every version self-describing.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
@@ -166,18 +166,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           s"CHECK constraint must not contain a subquery — ($sql) would " +
             "re-evaluate against another table's state at each commit")
     }
+    // write.mode: 'copy-on-write' (default) or 'merge-on-read' — the
+    // latter routes UPDATE/MERGE/DELETE through deletion vectors
+    // (GraftDeltaRowLevelOperation) instead of group rewrites
+    val mode = Option(properties.get("write.mode")).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty)
+    mode.foreach(m => require(
+      m == "copy-on-write" || m == VersionedTable.MergeOnRead,
+      s"unknown write.mode '$m' — use 'copy-on-write' or 'merge-on-read'"))
     VersionedTable.load(c, t, empty,
-      extraProps = check.map(VersionedTable.CheckConstraintProp -> _).toMap)
+      extraProps = check.map(VersionedTable.CheckConstraintProp -> _).toMap ++
+        mode.filter(_ == VersionedTable.MergeOnRead)
+          .map(VersionedTable.WriteModeProp -> _).toMap)
     new GraftBatchTable(schema, Map("dir" -> dir, "table" -> t),
       acceptAnySchema = false)
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)` — routed through the library's
-    * `ensure` widening (the reference's dataset auto-ALTER,
-    * easy_etl/__init__.py:96, README.md:185-197): the ALTER commits one
-    * empty file bearing the WIDENED schema (the same trick CREATE uses
-    * for v1), so the new column exists from this version on while every
-    * older file simply reads it as null — no data rewrite, O(1) commit.
+  /** `ALTER TABLE ... ADD COLUMN(S)` — a METADATA-ONLY commit (the
+    * reference's dataset auto-ALTER, easy_etl/__init__.py:96,
+    * README.md:185-197): [[VersionedTable.widenSchema]] carries the
+    * parent's files verbatim and records the widened schema in the
+    * manifest, so the ALTER reads, writes, and rewrites NOTHING —
+    * genuinely O(1) commit bytes on a table of any size. Pre-ALTER files
+    * read the new column as null; post-ALTER inserts carry it.
     * Everything else (drop, rename, type change) keeps the refusal:
     * dropping/renaming would re-interpret files already committed, so
     * those evolutions stay load-driven where every version is
@@ -212,12 +223,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         "FIRST/AFTER positions are not supported — new columns append")
       StructField(n, a.dataType, nullable = true)
     }
-    val widened = StructType(existing ++ newFields)
-    val empty = c.spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), widened)
-    VersionedTable.load(c, t, empty)
-    new GraftBatchTable(widened, Map("dir" -> dir, "table" -> t),
-      acceptAnySchema = false)
+    VersionedTable.widenSchema(c, t, newFields.toSeq)
+    new GraftBatchTable(StructType(existing ++ newFields),
+      Map("dir" -> dir, "table" -> t), acceptAnySchema = false)
   }
 
   /** CLONE-SAFE drop: a zero-copy clone references this table's data

@@ -160,18 +160,26 @@ private[sources] final class GraftRowLevelOperation(
               pushed.toSeq.map(GraftTableProvider.filterPred))
             val slices0 = VersionedTable.batchSlices(cat, table, Some(v), pred)
             val slices = runtimeKeep.fold(slices0)(keep =>
-              slices0.filter { case (p, _) => keep.contains(p) })
+              slices0.filter { case (p, _, _) => keep.contains(p) })
             scannedVersion = v
             scannedFiles = slices.map(_._1).toSet
-            slices.map { case (p, l) =>
-              PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
+            slices.map { case (p, l, dv) =>
+              // DVs ride the slice: a copy-on-write rewrite of a DV'd
+              // file must re-derive only its LIVE rows
+              PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l, dv))
                 : InputPartition
             }.toArray
           }
-          override def createReaderFactory(): PartitionReaderFactory =
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val spark = SparkSession.active
+            val cat = new Catalog(spark,
+              GraftTableProvider.requiredOpt(options, "dir"))
+            val table = GraftTableProvider.requiredOpt(options, "table")
             // filters = Nil: every row of a scanned file must surface
-            PlainBatchRead.readerFactory(SparkSession.active,
-              dataSchema, required, Nil)
+            PlainBatchRead.readerFactory(spark, dataSchema, required, Nil,
+              allowColumnar = !VersionedTable.hasDvs(cat, table,
+                Some(pinnedVersion(cat, table))))
+          }
         }
       }
     }

@@ -114,29 +114,51 @@ private[sources] final class GraftBatchTable(
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** One metadata column: `_file`, the absolute data-file path a row
-    * lives in — queryable (`SELECT _file, * FROM g.default.t`) and the
-    * attribute Spark's group-based row-level operations carry so their
-    * writes take the projecting task ([[GraftRowLevelOperation]]).
-    * A table whose DATA schema already has `_file` (foreign parquet)
-    * declares none — the data column wins, unshadowed. */
+  /** METADATA columns: `_file`, the absolute data-file path a row lives
+    * in, and `_pos`, its row position within that file — queryable
+    * (`SELECT _file, _pos, * FROM g.default.t`), the group-based ops'
+    * routing attribute, and together the ROW ID the merge-on-read
+    * delta operations key their deletion vectors on
+    * ([[GraftDeltaRowLevelOperation]]). A table whose DATA schema
+    * already has either name (foreign parquet) declares that one out —
+    * the data column wins, unshadowed. */
   override def metadataColumns()
-      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (dataSchema.fieldNames.contains(
-      org.apache.spark.sql.graft.PlainBatchRead.FileCol))
-      Array.empty
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = org.apache.spark.sql.graft.PlainBatchRead.FileCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "absolute path of the data file the row lives in"
-    })
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def metaCol(n: String, dt: org.apache.spark.sql.types.DataType,
+                doc: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = doc
+      }
+    val have = dataSchema.fieldNames.toSet
+    (if (have.contains(org.apache.spark.sql.graft.PlainBatchRead.FileCol)) Nil
+     else Seq(metaCol(org.apache.spark.sql.graft.PlainBatchRead.FileCol,
+       org.apache.spark.sql.types.StringType,
+       "absolute path of the data file the row lives in"))) ++
+    (if (have.contains(org.apache.spark.sql.graft.PlainBatchRead.PosCol)) Nil
+     else Seq(metaCol(org.apache.spark.sql.graft.PlainBatchRead.PosCol,
+       org.apache.spark.sql.types.LongType,
+       "row position within the data file")))
+  }.toArray
 
-  /** SQL UPDATE / MERGE (group-based copy-on-write) — see
-    * [[GraftRowLevelOperation]]. Time-travel handles refuse: a row-level
-    * write always derives from and commits against the head. */
+  /** Is this table in merge-on-read mode (recorded `write.mode` table
+    * property, or the `mergeOnRead` read/write option)? Routes
+    * UPDATE/MERGE/DELETE to the deletion-vector operation. */
+  private def mergeOnRead: Boolean =
+    GraftTableProvider.opt(options, "mergeOnRead").exists(_.toBoolean) || {
+      import GraftTableProvider.opt
+      (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield
+        VersionedTable.isMergeOnRead(
+          new Catalog(SparkSession.active, d), t)).getOrElse(false)
+    }
+
+  /** SQL UPDATE / MERGE / DELETE routing: group-based copy-on-write
+    * ([[GraftRowLevelOperation]]) by default; delta-based deletion
+    * vectors ([[GraftDeltaRowLevelOperation]]) on merge-on-read tables.
+    * Time-travel handles refuse: a row-level write always derives from
+    * and commits against the head. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -148,7 +170,13 @@ private[sources] final class GraftBatchTable(
       org.apache.spark.sql.graft.PlainBatchRead.FileCol),
       "row-level operations need the _file metadata column, which this " +
         "table's own _file data column shadows — rename the column")
-    GraftRowLevelOps.builder(dataSchema, options)(info)
+    if (mergeOnRead) {
+      require(!dataSchema.fieldNames.contains(
+        org.apache.spark.sql.graft.PlainBatchRead.PosCol),
+        "merge-on-read operations need the _pos metadata column, which " +
+          "this table's own _pos data column shadows — rename the column")
+      GraftDeltaRowLevelOps.builder(dataSchema, options)(info)
+    } else GraftRowLevelOps.builder(dataSchema, options)(info)
   }
 
   /** SQL `DELETE FROM g.default.t WHERE ...` — routed to the versioned
@@ -160,7 +188,11 @@ private[sources] final class GraftBatchTable(
     * than half-applied. An empty condition (or TRUNCATE) deletes all
     * rows — the head keeps one empty schema-bearing file. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    filters.forall(f => GraftTableProvider.filterColumn(f).isDefined)
+    // merge-on-read: decline the metadata delete so Spark routes the
+    // statement through the delta operation — positions recorded as a
+    // deletion vector instead of a boundary-file rewrite
+    !mergeOnRead &&
+      filters.forall(f => GraftTableProvider.filterColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -614,15 +646,26 @@ private[sources] final class GraftBatch(
     val pred = ZonePred.And(
       pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtime())
     VersionedTable.batchSlices(cat, table, v, pred,
-      limitRows = limit.map(_.toLong), topN = topN).map { case (p, l) =>
-      PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l))
+      limitRows = limit.map(_.toLong), topN = topN).map { case (p, l, dv) =>
+      PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l, dv))
         : InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    PlainBatchRead.readerFactory(SparkSession.active, dataSchema,
-      requiredSchema, pushed.toSeq)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    import GraftTableProvider.{opt, requiredOpt}
+    val spark = SparkSession.active
+    // a version carrying deletion vectors reads row-mode throughout
+    // (mixed columnar/row partitions are an engine error; compaction
+    // materializes the DVs and restores the vectorized scan)
+    val cat = new Catalog(spark, requiredOpt(options, "dir"))
+    val table = requiredOpt(options, "table")
+    val v = GraftTableProvider.resolveVersion(cat, table,
+      opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
+    PlainBatchRead.readerFactory(spark, dataSchema,
+      requiredSchema, pushed.toSeq,
+      allowColumnar = !VersionedTable.hasDvs(cat, table, v))
+  }
 }
 
 object GraftTableProvider {

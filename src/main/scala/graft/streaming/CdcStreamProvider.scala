@@ -197,10 +197,10 @@ private[streaming] final class CdcScan(
       if (sv >= ev) return Array.empty
       VersionedTable.cdcSlices(cat, table, sv, ev).map { case (old, fresh) =>
         org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
-          old.map { case (p, l) =>
-            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) },
-          fresh.map { case (p, l) =>
-            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) })
+          old.map { case (p, l, dv) =>
+            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) },
+          fresh.map { case (p, l, dv) =>
+            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) })
           : InputPartition
       }.toArray
     }
@@ -273,11 +273,19 @@ private[graft] object CdcStreamProvider {
       // manifest (resolved-1); when vacuum already dropped it, fall back
       // to the snapshot bootstrap — Delta's rule: serve from the earliest
       // available commit — rather than failing later with an opaque
-      // vacuumed-away error mid-stream
+      // vacuumed-away error mid-stream. LOUDLY: the consumer asked for
+      // changes-since-an-instant and will instead receive the whole
+      // current table as inserts — silent, that reads as mass duplicates.
       if (resolved > 1 &&
-          VersionedTable.versions(cat, table).headOption.forall(resolved <= _))
+          VersionedTable.versions(cat, table).headOption.forall(resolved <= _)) {
+        System.err.println(
+          s"[graft] WARNING: startingTimestamp '$t' on '$table' resolves " +
+            s"to version $resolved, whose diff base was vacuumed away — " +
+            "falling back to a FULL SNAPSHOT bootstrap (the entire current " +
+            "table re-emits as inserts). Retain more versions, or expect " +
+            "the duplicates and apply the feed idempotently by key")
         None
-      else Some(resolved)
+      } else Some(resolved)
     })
   }
 }
@@ -386,8 +394,8 @@ private[streaming] final class CdcMicroBatchStream(
     if (sv >= ev) return Array.empty
     VersionedTable.cdcSlices(cat, table, sv, ev).map { case (old, fresh) =>
       org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
-        old.map { case (p, l) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) },
-        fresh.map { case (p, l) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l) })
+        old.map { case (p, l, dv) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) },
+        fresh.map { case (p, l, dv) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) })
         : InputPartition
     }.toArray
   }
@@ -521,16 +529,19 @@ private[graft] final class GraftAppendStream(
     // and change commits inside the range are detected, not folded away)
     VersionedTable.appendSlices(cat, table, sv, ev, skipChangeCommits,
       snapshotBootstrap = startingVersion.isEmpty)
-      .map { case (p, l) =>
+      .map { case (p, l, dv) =>
         org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(
-          org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l))
+          org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv))
           : InputPartition
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // bootstrap snapshots may carry deletion vectors: row mode then
+    // (appends never do — a DV commit is a change commit in this tail)
     org.apache.spark.sql.graft.PlainBatchRead.readerFactory(spark,
-      dataSchema, requiredSchema, filters)
+      dataSchema, requiredSchema, filters,
+      allowColumnar = !VersionedTable.hasDvs(cat, table, None))
 
   override def commit(end: Offset): Unit = ()
 

@@ -40,8 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object CdcMicroBatch {
 
   /** One data file of a CDC slice (absolute path + byte length from the
-    * manifest — no status RPC at plan time). */
-  final case class FileSlice(path: String, length: Long) extends Serializable
+    * manifest — no status RPC at plan time). `dv` is the file's
+    * deletion-vector sidecar (absolute path) when the planned version
+    * carries one — the reader drops those positions. */
+  final case class FileSlice(path: String, length: Long,
+                             dv: Option[String] = None) extends Serializable
 
   final case class CdcInputPartition(oldFiles: Seq[FileSlice],
                                      newFiles: Seq[FileSlice]) extends InputPartition
@@ -66,7 +69,9 @@ object CdcMicroBatch {
     val keyOrdinals = keys.map(dataSchema.fieldIndex)
     val valueOrdinals = dataSchema.fieldNames.indices
       .filterNot(keyOrdinals.contains)
-    new CdcReaderFactory(readFunc, dataSchema, keyOrdinals, valueOrdinals)
+    new CdcReaderFactory(readFunc, dataSchema, keyOrdinals, valueOrdinals,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
   }
 }
 
@@ -87,34 +92,40 @@ object CdcMicroBatch {
   * results, Spark picks per [[PartitionReaderFactory.supportColumnarReads]]). */
 object PlainBatchRead {
 
-  /** The table's one METADATA column: the absolute data-file path a row
-    * lives in — `SELECT _file FROM g.default.t` works, and Spark's
-    * group-based row-level operations require at least one declared
-    * metadata attribute to route their writes through the projecting
-    * task (the Iceberg `_file` pattern). */
+  /** The table's METADATA columns: `_file`, the absolute data-file path
+    * a row lives in, and `_pos`, the row's position within that file —
+    * queryable, and together the ROW ID Spark's delta-based row-level
+    * operations key their deletes on (the Iceberg `_file`/`_pos`
+    * pattern). `_pos` values come from the parquet readers' row-index
+    * generation, so they are exact under row-group/page skipping. */
   val FileCol = "_file"
+  val PosCol = "_pos"
 
   final case class FileInputPartition(file: CdcMicroBatch.FileSlice)
     extends InputPartition
 
   def readerFactory(spark: SparkSession,
                     dataSchema: StructType, requiredSchema: StructType,
-                    filters: Seq[org.apache.spark.sql.sources.Filter])
+                    filters: Seq[org.apache.spark.sql.sources.Filter],
+                    allowColumnar: Boolean = true)
       : PartitionReaderFactory = {
-    // `_file` requested: read the data columns, inject the partition's
-    // path at the right ordinal (row mode — metadata queries are the
-    // rare case; the common scan below stays columnar; a constant
-    // ColumnVector alongside the batch would keep DML scans vectorized
-    // — the known perf seam). A DATA column named `_file` (foreign
-    // parquet) wins over the metadata column: never inject over it.
+    // `_file`/`_pos` requested: read the data columns, inject path /
+    // row position at the right ordinals (row mode — metadata queries
+    // and DML scans are the rare case; the common scan stays columnar).
+    // A DATA column of the same name (foreign parquet) wins over the
+    // metadata column: never inject over it.
     val fileOrdinal =
       if (dataSchema.fieldNames.contains(FileCol)) -1
       else requiredSchema.fieldNames.indexOf(FileCol)
-    val dataRequired =
-      if (fileOrdinal < 0) requiredSchema
-      else StructType(requiredSchema.fields.filterNot(_.name == FileCol))
+    val posOrdinal =
+      if (dataSchema.fieldNames.contains(PosCol)) -1
+      else requiredSchema.fieldNames.indexOf(PosCol)
+    val dataRequired = StructType(requiredSchema.fields.filterNot(f =>
+      (fileOrdinal >= 0 && f.name == FileCol) ||
+        (posOrdinal >= 0 && f.name == PosCol)))
     val fmt = new ParquetFileFormat
-    val columnar = fileOrdinal < 0 && fmt.supportBatch(spark, dataRequired)
+    val columnar = allowColumnar && fileOrdinal < 0 && posOrdinal < 0 &&
+      fmt.supportBatch(spark, dataRequired)
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark,
       dataSchema = dataSchema,
@@ -123,8 +134,29 @@ object PlainBatchRead {
       filters = filters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = spark.sessionState.newHadoopConf())
-    new PlainReaderFactory(readFunc, columnar, fileOrdinal,
-      dataRequired.fields.map(_.dataType))
+    // row-index twin: the same read with parquet's ROW-INDEX temp column
+    // appended — the readers stamp each row's TRUE file position (exact
+    // under row-group/page skipping), consumed for `_pos` projection and
+    // deletion-vector filtering. Built unconditionally (cheap closure);
+    // used only by partitions that need it.
+    val rowIdxFunc = fmt.buildReaderWithPartitionValues(
+      spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      // NULLABLE on purpose: the file physically lacks this column, and
+      // the vectorized reader's checkColumn refuses required-but-missing
+      // columns before the row-index generator ever sees them
+      requiredSchema = StructType(dataRequired.fields :+
+        org.apache.spark.sql.types.StructField(
+          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          org.apache.spark.sql.types.LongType, nullable = true)),
+      filters = filters,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,
+      posOrdinal, dataRequired.fields.map(_.dataType),
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
   }
 
   private[graft] def partitionedFile(f: CdcMicroBatch.FileSlice): PartitionedFile =
@@ -135,14 +167,21 @@ object PlainBatchRead {
 
 final class PlainReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
+    rowIdxFunc: PartitionedFile => Iterator[InternalRow],
     columnar: Boolean,
     fileOrdinal: Int = -1,
-    dataTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty)
+    posOrdinal: Int = -1,
+    dataTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
+    conf: org.apache.spark.util.SerializableConfiguration = null)
   extends PartitionReaderFactory {
 
   private val nDataFields = dataTypes.length
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && (partition match {
+      case PlainBatchRead.FileInputPartition(f) => f.dv.isEmpty
+      case _ => true
+    })
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -150,19 +189,41 @@ final class PlainReaderFactory(
         new PartitionReader[InternalRow] {
           // constant per partition: the file path `_file` surfaces
           private val pathValue = UTF8String.fromString(f.path)
-          private val it =
-            readFunc(PlainBatchRead.partitionedFile(f))
+          // row index needed when `_pos` projects OR a deletion vector
+          // must filter; both read through the row-index twin
+          private val needIdx = posOrdinal >= 0 || f.dv.nonEmpty
+          private val dv: Array[Long] =
+            f.dv.fold(Array.empty[Long])(p => DeletionVectors.read(conf.value, p))
+          private val raw =
+            (if (needIdx) rowIdxFunc else readFunc)(
+              PlainBatchRead.partitionedFile(f))
               .asInstanceOf[Iterator[Any]].flatMap {
                 case b: ColumnarBatch => b.rowIterator().asScala
                 case r: InternalRow => Iterator.single(r)
               }
-          private def withFile(r: InternalRow): InternalRow =
-            if (fileOrdinal < 0) r
-            else {
-              val g = new GenericInternalRow(nDataFields + 1)
+          private val it =
+            if (dv.isEmpty) raw
+            else raw.filter(r =>
+              !DeletionVectors.contains(dv, r.getLong(nDataFields)))
+          private val outWidth = nDataFields +
+            (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0)
+          private def project(r: InternalRow): InternalRow =
+            if (fileOrdinal < 0 && posOrdinal < 0 && !needIdx) r
+            else if (fileOrdinal < 0 && posOrdinal < 0) {
+              // DV-only read: strip the trailing row-index column
+              val g = new GenericInternalRow(nDataFields)
+              var i = 0
+              while (i < nDataFields) {
+                g.update(i, if (r.isNullAt(i)) null else r.get(i, dataTypes(i)))
+                i += 1
+              }
+              g
+            } else {
+              val g = new GenericInternalRow(outWidth)
               var i = 0; var j = 0
-              while (j < nDataFields + 1) {
+              while (j < outWidth) {
                 if (j == fileOrdinal) g.update(j, pathValue)
+                else if (j == posOrdinal) g.update(j, r.getLong(nDataFields))
                 else {
                   g.update(j,
                     if (r.isNullAt(i)) null else r.get(i, dataTypes(i)))
@@ -174,7 +235,7 @@ final class PlainReaderFactory(
             }
           private var cur: InternalRow = _
           override def next(): Boolean = {
-            if (it.hasNext) { cur = withFile(it.next()); true } else false
+            if (it.hasNext) { cur = project(it.next()); true } else false
           }
           override def get(): InternalRow = cur
           override def close(): Unit = ()
@@ -212,12 +273,15 @@ final class CdcReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     dataSchema: StructType,
     keyOrdinals: Seq[Int],
-    valueOrdinals: Seq[Int]) extends PartitionReaderFactory {
+    valueOrdinals: Seq[Int],
+    conf: org.apache.spark.util.SerializableConfiguration = null)
+  extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: CdcMicroBatch.CdcInputPartition =>
-        new CdcPartitionReader(p, readFunc, dataSchema, keyOrdinals, valueOrdinals)
+        new CdcPartitionReader(p, readFunc, dataSchema, keyOrdinals,
+          valueOrdinals, conf)
       case other => throw new IllegalArgumentException(
         s"unexpected partition type: ${other.getClass}")
     }
@@ -228,7 +292,9 @@ final class CdcPartitionReader(
     readFunc: PartitionedFile => Iterator[InternalRow],
     dataSchema: StructType,
     keyOrdinals: Seq[Int],
-    valueOrdinals: Seq[Int]) extends PartitionReader[InternalRow] {
+    valueOrdinals: Seq[Int],
+    conf: org.apache.spark.util.SerializableConfiguration = null)
+  extends PartitionReader[InternalRow] {
 
   private val fieldTypes = dataSchema.fields.map(_.dataType)
   private val nFields = fieldTypes.length
@@ -240,9 +306,18 @@ final class CdcPartitionReader(
         Array.empty[String], 0L, f.length, Map.empty)
       // defensive unwrap: with OPTION_RETURNING_BATCH=false the reader
       // yields rows, but the FileFormat contract allows batches
-      readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+      val base = readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
+      }
+      f.dv match {
+        case None => base
+        case Some(dvPath) =>
+          // deletion vector: this read is predicate-free and full-file,
+          // so the running count IS the row's file position
+          val dv = DeletionVectors.read(conf.value, dvPath)
+          var pos = -1L
+          base.filter { _ => pos += 1; !DeletionVectors.contains(dv, pos) }
       }
     }
 

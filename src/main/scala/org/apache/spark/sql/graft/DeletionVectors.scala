@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** DELETION-VECTOR sidecar IO — the merge-on-read companion files of the
+  * versioned layer (the Iceberg position-delete / Delta DV pattern,
+  * re-derived): one sidecar per (file, commit) holding the SORTED row
+  * positions deleted from that data file, applied at read time so a
+  * 1-row DML on a 100 TB table commits O(row) bytes instead of
+  * rewriting the file. Format: magic, count, then count big-endian
+  * longs — dumb on purpose (a DV is small by construction; a file whose
+  * DV grows large is exactly the file compaction should rewrite).
+  *
+  * Sidecars live in the table's data directory (`dv-<uuid>.dv`) and are
+  * referenced from the manifest (`dvs`: relPath → (sidecar, count)), so
+  * vacuum's liveness reasoning covers them like data files. They are
+  * immutable once written: a later DML on the same file writes a NEW
+  * merged sidecar and re-points the manifest — time travel reads each
+  * version's own DV state.
+  */
+object DeletionVectors {
+
+  private val Magic = 0x47445631 // "GDV1"
+
+  /** Write `positions` (must be sorted ascending, distinct) to `p`. */
+  def write(fs: FileSystem, p: Path, positions: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(p, false)))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(positions.length)
+      var i = 0
+      while (i < positions.length) { out.writeLong(positions(i)); i += 1 }
+    } finally out.close()
+  }
+
+  /** Read a sidecar's sorted position array. */
+  def read(fs: FileSystem, p: Path): Array[Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p)))
+    try {
+      require(in.readInt() == Magic, s"not a graft deletion vector: $p")
+      val n = in.readInt()
+      require(n >= 0, s"corrupt deletion vector (count $n): $p")
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = in.readLong(); i += 1 }
+      a
+    } finally in.close()
+  }
+
+  /** Read via a fresh FileSystem from `conf` — the executor-side entry
+    * (readers carry a SerializableConfiguration, not a FileSystem). */
+  def read(conf: Configuration, path: String): Array[Long] = {
+    val p = new Path(path)
+    read(p.getFileSystem(conf), p)
+  }
+
+  /** Membership probe over a sorted position array. */
+  def contains(sorted: Array[Long], pos: Long): Boolean =
+    java.util.Arrays.binarySearch(sorted, pos) >= 0
+}

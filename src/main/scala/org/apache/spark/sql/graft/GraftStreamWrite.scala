@@ -70,6 +70,12 @@ object GraftStreamWrite {
     * the accretion cap. Own stamps are never dropped by their query. */
   val MaxForeignEpochs = 16
 
+  /** AGE FLOOR under the cap: a foreign stamp younger than this never
+    * drops, however many stamps accrete — it may belong to a LIVE
+    * concurrent query whose replay detection the drop would silently
+    * disable. Only stamps both over-cap AND older than the floor go. */
+  val ForeignStampAgeFloorMs: Long = 6L * 60 * 60 * 1000 // 6 hours
+
   /** Epoch id of a stamp — both formats: new `"<epoch>@<millis>"` and
     * legacy plain `"<epoch>"`. */
   def epochOf(stamp: String): Long =
@@ -151,9 +157,13 @@ final class GraftStreamingWrite(
       // the epoch stamp carries its wall clock ("<epoch>@<millis>") so
       // FOREIGN queries' stale stamps age out: without GC a manifest
       // accretes one prop per historical streaming query forever. Keep
-      // the newest MaxForeignEpochs foreign stamps; a query idle past
-      // that many OTHER queries' lifetimes re-registers from scratch on
-      // restart (Delta's txnAppId retention tradeoff, by count not time).
+      // the newest MaxForeignEpochs foreign stamps (Delta's txnAppId
+      // retention tradeoff) — but NEVER drop a stamp younger than the
+      // age floor: with more than MaxForeignEpochs LIVE concurrent
+      // writers on one table, a count-only cap would evict the oldest
+      // live query's stamp and silently disable its crash-replay
+      // detection; a young stamp is presumed live, so only genuinely
+      // idle queries lose idempotence.
       val now = System.currentTimeMillis()
       val foreign = props.keys.filter(k =>
         k.startsWith(GraftStreamWrite.EpochPropPrefix) && k != epochProp).toSeq
@@ -161,6 +171,8 @@ final class GraftStreamingWrite(
         if (foreign.size <= GraftStreamWrite.MaxForeignEpochs) Nil
         else foreign.sortBy(k => GraftStreamWrite.stampedAt(props(k)))
           .dropRight(GraftStreamWrite.MaxForeignEpochs)
+          .filter(k => GraftStreamWrite.stampedAt(props(k)) <
+            now - GraftStreamWrite.ForeignStampAgeFloorMs)
       VersionedTable.load(c, table, batch,
         upsertFields = upsertKeys, idOrder = idOrder, bucketBy = bucketBy,
         extraProps = Map(epochProp -> s"$epochId@$now"),

@@ -150,6 +150,29 @@ class ManifestDeltaSpec extends SparkSpec {
       VersionedTable.CheckpointEvery + 1)
   }
 
+  test("parsed-manifest cache is WEIGHT-bounded by total cached file entries") {
+    val tgt = freshCat()
+    (1 to 10).foreach(k => append(tgt, k.toLong)) // vN references N files
+    val saved = VersionedTable.manCacheMaxFiles
+    try {
+      VersionedTable.manCacheMaxFiles = 8L
+      VersionedTable.invalidateManifestCache()
+      // touching every version would cache 1+2+...+10 = 55 file entries
+      // under a count-only cap; the weight bound must evict instead
+      (1L to 10L).foreach(v => VersionedTable.readManifest(tgt, "t", v))
+      val (n, weight) = VersionedTable.manifestCacheStats
+      assert(weight <= 8L || n == 1,
+        s"cache must hold <= 8 file entries total (or a single oversized " +
+          s"most-recent entry); got $n manifests / $weight entries")
+      assert(n >= 1, "the most-recent manifest must survive eviction")
+      // reads stay correct through evictions — only the cache shrank
+      assert(VersionedTable.readVersion(tgt, "t", 10L).count() == 10L)
+    } finally {
+      VersionedTable.manCacheMaxFiles = saved
+      VersionedTable.invalidateManifestCache()
+    }
+  }
+
   test("vacuum checkpoints the new floor, then drops the chain it hung from") {
     val tgt = freshCat()
     (1 to 10).foreach(k => append(tgt, k.toLong))

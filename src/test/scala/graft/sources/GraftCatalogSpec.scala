@@ -75,11 +75,66 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gq.default.ctas")
     assert(VersionedTable.currentVersion(lib, "ctas").isEmpty)
     intercept[Exception] { spark.sql("SELECT * FROM gq.default.ctas").collect() }
-    // ALTER and RENAME are refused by design
-    spark.sql("CREATE TABLE gq.default.fixed (k BIGINT)")
+  }
+
+  test("ALTER TABLE ADD COLUMN is a metadata-only widening") {
+    spark.sql("CREATE TABLE gq.default.alt (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO gq.default.alt VALUES (1, 'a'), (2, 'b')")
+    val preFiles = VersionedTable.files(lib, "alt", 2L).toSet
+    spark.sql("ALTER TABLE gq.default.alt ADD COLUMN z BIGINT")
+    // metadata-only: v3 carries v2's files VERBATIM — nothing rewritten
+    assert(VersionedTable.files(lib, "alt", 3L).toSet == preFiles,
+      "the ALTER must not add, drop, or rewrite a single data file")
+    // pre-ALTER rows read the new column as null
+    assert(spark.sql("SELECT k, s, z FROM gq.default.alt ORDER BY k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))) ==
+      Seq((1L, "a", None), (2L, "b", None)))
+    // an INSERT with the widened arity lands; both eras read together
+    spark.sql("INSERT INTO gq.default.alt VALUES (3, 'c', 30)")
+    assert(spark.sql("SELECT k, s, z FROM gq.default.alt ORDER BY k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))) ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+    // time travel: the pre-ALTER version still reads its NARROW schema
+    assert(spark.sql("SELECT * FROM gq.default.alt VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "s"))
+    // multiple adds in one statement
+    spark.sql("ALTER TABLE gq.default.alt ADD COLUMNS (u STRING, w DOUBLE)")
+    assert(spark.sql("SELECT * FROM gq.default.alt").columns.toSeq ==
+      Seq("k", "s", "z", "u", "w"))
+    // the widened column feeds DML: zone maps have no stats for it on
+    // old files (admit-all), so the filter still sees every row
+    spark.sql("UPDATE gq.default.alt SET u = 'x' WHERE z IS NULL")
+    assert(spark.sql("SELECT count(*) FROM gq.default.alt WHERE u = 'x'")
+      .head().getLong(0) == 2L)
+    // refusals: drop / rename / type change stay refused by design...
     intercept[Exception] {
-      spark.sql("ALTER TABLE gq.default.fixed ADD COLUMN z BIGINT")
+      spark.sql("ALTER TABLE gq.default.alt DROP COLUMN s")
     }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gq.default.alt RENAME COLUMN s TO s2")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gq.default.alt ALTER COLUMN k TYPE STRING")
+    }
+    // ...as are the unsound adds: reserved id, NOT NULL, duplicate,
+    // positioned (FIRST/AFTER), nested
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gq.default.alt ADD COLUMN id BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gq.default.alt ADD COLUMN nn BIGINT NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gq.default.alt ADD COLUMN s STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gq.default.alt ADD COLUMN f BIGINT FIRST")
+    }
+    // nothing above committed: the head is still the 2-ALTER + DML state
+    assert(spark.sql("SELECT * FROM gq.default.alt").columns.toSeq ==
+      Seq("k", "s", "z", "u", "w"))
   }
 
   test("CREATE TABLE rejects the reserved surrogate-id column name") {

@@ -226,6 +226,32 @@ class GraftStreamSinkSpec extends SparkSpec {
     assert(VersionedTable.read(tgt, "t").count() == 2L)
   }
 
+  test("epoch GC age floor: young over-cap stamps survive (live writers keep idempotence)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.graft.GraftStreamWrite
+    val tgt = new Catalog(spark, tmpDir("gsinkfloor"))
+    // 25 foreign stamps, all YOUNG (stamped now): over the count cap,
+    // but every one could belong to a live concurrent query — the age
+    // floor must keep them all
+    val now = System.currentTimeMillis()
+    val young = (1 to 25).map(i =>
+      s"stream_epoch_live-$i" -> s"$i@${now - i}").toMap
+    VersionedTable.load(tgt, "t", Seq((1L, "a")).toDF("k", "v"),
+      idOrder = Seq("k"), extraProps = young)
+    val input = MemoryStream[(Long, String)]
+    val q = sink(input.toDF().toDF("k", "v"), tgt, "t", tmpDir("gsinkfloorck")).start()
+    try {
+      input.addData((2L, "b"))
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    val stamps = VersionedTable.tableProps(tgt, "t")
+      .filter(_._1.startsWith("stream_epoch_"))
+    assert((1 to 25).forall(i => stamps.contains(s"stream_epoch_live-$i")),
+      s"no stamp younger than the age floor may drop, got ${stamps.size}")
+    assert(GraftStreamWrite.ForeignStampAgeFloorMs >= 60L * 60 * 1000,
+      "the floor must be generous enough to cover real trigger gaps")
+  }
+
   test("epoch stamp parsing: both formats, ages order correctly") {
     import org.apache.spark.sql.graft.GraftStreamWrite._
     assert(epochOf("17@123456") == 17L && epochOf("17") == 17L)
