@@ -692,6 +692,26 @@ object VersionedTable {
     }
   }
 
+  /** Test seam: strip the HEAD manifest's per-file metadata (stats,
+    * sizes, nulls, rows) — emulating a legacy writer that recorded none,
+    * so property suites can assert pushdowns VOID (rather than answer
+    * wrong) when the metadata they reason over is absent. */
+  private[graft] def stripFileMeta(tgt: Catalog, table: String): Unit = {
+    val v = currentVersion(tgt, table).getOrElse(
+      throw new IllegalArgumentException(s"versioned table '$table' not found"))
+    val m = readManifest(tgt, table, v).get
+    val f = fs(tgt, metaDir(tgt, table))
+    val mp = manifestPath(tgt, table, v)
+    writeAdvisoryFile(f, mp, renderManifest(m.copy(
+      stats = Map.empty, sizes = Map.empty, nulls = Map.empty,
+      rows = Map.empty)))
+    f.delete(deltaPath(tgt, table, v), false)
+    f.delete(new Path(mp.getParent, "." + mp.getName + ".crc"), false)
+    f.delete(new Path(mp.getParent,
+      "." + deltaPath(tgt, table, v).getName + ".crc"), false)
+    invalidateManifestCache()
+  }
+
   /** Does version `v` have a commit artifact (full checkpoint OR delta)?
     * Delta probed first — on a sharded table every non-checkpoint version
     * has only the delta. */
@@ -2680,13 +2700,23 @@ object VersionedTable {
     * vacuumed gap is exact for retained endpoints ([[changes]] doc), but
     * a vacuumed-away `fromV` has no manifest to diff FROM. */
   private[graft] def cdcSlices(tgt: Catalog, table: String, fromV: Long,
-                               toV: Long)
+                               toV: Long,
+                               admit: org.apache.spark.sql.graft.ZonePred.P =
+                                 org.apache.spark.sql.graft.ZonePred.And(Nil))
       : Seq[(Seq[(String, Long, Option[String])],
              Seq[(String, Long, Option[String])])] = {
     val manB = readManifest(tgt, table, toV).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $toV"))
+    // ADMISSION-TIME pruning (the `admissionFilter` option): drop files
+    // whose zone maps prove no admitted row — sound for KEY-column
+    // predicates (a matching key's files always admit on both sides;
+    // non-matching keys may surface spurious rows, which the consumer's
+    // re-applied filter drops — the provider enforces the key-only rule)
+    def admitted(man: Manifest, rels: Seq[String]): Seq[String] =
+      rels.filter(r => fileAdmits(man, r, admit))
     if (fromV <= 0L)
-      return fileSlices(tgt, table, manB).map(s => (Nil, Seq(s)))
+      return fileSlices(tgt, table,
+        manB.copy(files = admitted(manB, manB.files))).map(s => (Nil, Seq(s)))
     val manA = readManifest(tgt, table, fromV).getOrElse(throw new IllegalStateException(
       s"CDC start version v$fromV of '$table' was vacuumed away — a diff " +
         "from an older version could resurrect keys deleted inside the gap; " +
@@ -2697,8 +2727,8 @@ object VersionedTable {
     // and the partition-local diff emits exactly the newly-deleted keys
     val dvChanged = manA.files.filter(r =>
       setB(r) && manA.dvs.get(r) != manB.dvs.get(r))
-    val onlyA = manA.files.filterNot(setB) ++ dvChanged
-    val onlyB = manB.files.filterNot(setA) ++ dvChanged
+    val onlyA = admitted(manA, manA.files.filterNot(setB) ++ dvChanged)
+    val onlyB = admitted(manB, manB.files.filterNot(setA) ++ dvChanged)
     def slices(man: Manifest, rels: Seq[String])
         : Seq[(String, String, Long, Option[String])] = {
       lazy val f = fs(tgt, dataDir(tgt, table))
@@ -2737,15 +2767,24 @@ object VersionedTable {
   private[graft] def appendSlices(tgt: Catalog, table: String,
                                   fromV: Long, toV: Long,
                                   skipChanges: Boolean,
-                                  snapshotBootstrap: Boolean = true)
+                                  snapshotBootstrap: Boolean = true,
+                                  admit: org.apache.spark.sql.graft.ZonePred.P =
+                                    org.apache.spark.sql.graft.ZonePred.And(Nil))
       : Seq[(String, Long, Option[String])] = {
+    // ADMISSION-TIME pruning (the `admissionFilter` option): a file whose
+    // zone maps prove no matching row never enters a batch — the
+    // streaming twin of the batch format's pushed-filter file pruning
+    // (one-sided as always; the source also row-filters, so the stream
+    // equals `unfiltered.where(pred)` exactly)
+    def admitted(man: Manifest, rels: Seq[String]): Seq[String] =
+      rels.filter(r => fileAdmits(man, r, admit))
     if (fromV <= 0L && snapshotBootstrap) {
       // fresh stream, no startingVersion: the first batch IS the end
       // version's snapshot (one atomic state; per-version walking it
       // would replay intermediate rewrites the snapshot already folded)
       val man = readManifest(tgt, table, toV).getOrElse(
         throw new IllegalArgumentException(s"table '$table' has no version $toV"))
-      return fileSlices(tgt, table, man)
+      return fileSlices(tgt, table, man.copy(files = admitted(man, man.files)))
     }
     // per-version WALK — also for `startingVersion=1` (fromV 0 with the
     // snapshot disabled): v1's prior state is empty, so its "appends" are
@@ -2775,7 +2814,7 @@ object VersionedTable {
             "skipChangeCommits=true to skip change commits")
         Nil
       } else fileSlices(tgt, table,
-        b.copy(files = b.files.filterNot(setA)))
+        b.copy(files = admitted(b, b.files.filterNot(setA))))
     }
   }
 

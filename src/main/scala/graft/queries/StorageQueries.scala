@@ -48,7 +48,8 @@ object StorageQueries {
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
     "q_versioned_sql_merge", "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
-    "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor")
+    "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
+    "q_versioned_sql_namespaces")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -67,7 +68,8 @@ object StorageQueries {
     sqlPointFixture(spark, sfDir)
     sqlCheckFixture(spark, sfDir)
     sqlAlterFixture(spark, sfDir)
-    sqlMorFixture(spark, sfDir); ()
+    sqlMorFixture(spark, sfDir)
+    sqlNsFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -559,6 +561,38 @@ object StorageQueries {
         WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
           VALUES (s.o_orderkey, s.o_totalprice)""")
       spark.sql(s"DELETE FROM $name.default.t WHERE o_orderkey = 3")
+      name
+    })
+  }
+
+  /** Fixture for the SQL NAMESPACES query (F51): two namespaces in one
+    * catalog — the reference's two-DB model (easy_etl/__init__.py:8-10
+    * wires a source and a target database) in pure SQL: `src` holds a
+    * lineitem-derived fact, `tgt` a supplier dim, same table NAME in
+    * both to prove full independence; the query joins across. */
+  private val sqlNsNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlNsFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlNsNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gns${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlns").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE NAMESPACE $name.src")
+      spark.sql(s"CREATE NAMESPACE $name.tgt")
+      spark.sql(s"CREATE TABLE $name.src.d AS " +
+        "SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem " +
+        "WHERE l_orderkey <= 1500")
+      spark.sql(s"CREATE TABLE $name.tgt.d AS " +
+        "SELECT s_suppkey, s_nationkey FROM supplier")
+      require(!spark.sql(s"SHOW TABLES IN $name.default")
+        .select("tableName").collect().map(_.getString(0)).contains("d"),
+        "namespaced tables must not leak into default")
       name
     })
   }
@@ -1292,6 +1326,21 @@ object StorageQueries {
         ORDER BY era, o_orderkey""")
     },
 
+    // F51 SQL NAMESPACES — the reference's two-DB model in pure SQL:
+    // `g.src.*` and `g.tgt.*` are sibling directories under one catalog
+    // root, the SAME table name fully independent in each, and a
+    // cross-namespace join reads both through one session (the fixture
+    // also pins that namespaced tables never leak into default).
+    "q_versioned_sql_namespaces" -> { (spark, sfDir) =>
+      val name = sqlNsFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT t.s_nationkey, count(*) AS n_items,
+               sum(s.l_quantity) AS sum_qty
+        FROM $name.src.d s JOIN $name.tgt.d t ON s.l_suppkey = t.s_suppkey
+        GROUP BY t.s_nationkey
+        ORDER BY t.s_nationkey""")
+    },
+
     // F19 rollback: undo a bad delete with an O(1) metadata commit — the
     // restored head must read back EXACTLY the pre-mistake state (the
     // oracle replays it), with the mistake still in history as its own
@@ -1681,6 +1730,16 @@ object StorageQueries {
         |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
+
+    "q_versioned_sql_namespaces" ->
+      """SELECT t.s_nationkey, count(*) AS n_items,
+        |       sum(s.l_quantity) AS sum_qty
+        |FROM (SELECT l_orderkey, l_suppkey, l_quantity FROM lineitem
+        |      WHERE l_orderkey <= 1500) s
+        |JOIN (SELECT s_suppkey, s_nationkey FROM supplier) t
+        |  ON s.l_suppkey = t.s_suppkey
+        |GROUP BY t.s_nationkey
+        |ORDER BY t.s_nationkey""".stripMargin,
 
     "q_versioned_mor" ->
       """WITH head AS (

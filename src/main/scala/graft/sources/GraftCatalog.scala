@@ -42,7 +42,8 @@ import graft.etl.{Catalog, VersionedTable}
   * rename and every other ALTER are refused — those evolutions stay
   * load-driven, which keeps every version self-describing.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
 
   private var catalogName: String = _
   private var dir: String = _
@@ -58,36 +59,143 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def defaultNamespace(): Array[String] = Array("default")
 
+  // ------------------------------------------------------------ namespaces
+  //
+  // Namespaces map to catalog SUBDIRECTORIES (the reference's two-DB
+  // model — easy_etl/__init__.py:8-10 wires a source and a target
+  // database; here `g.src.*` / `g.tgt.*` are sibling directories under
+  // one root): `default` IS the root (back-compat — every pre-namespace
+  // table keeps its path), any other namespace lives at `dir/<ns>/`,
+  // marked by a `_graft_namespace` file so table-data directories can
+  // never masquerade as namespaces. One level deep, like the big
+  // formats' database level.
+
+  private val NsMarker = "_graft_namespace"
+
+  private def fsOf: org.apache.hadoop.fs.FileSystem =
+    new Path(dir).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def isDefault(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("default"))
+
+  private def nsDir(ns: Array[String]): String =
+    if (isDefault(ns)) dir else s"$dir/${ns.head}"
+
+  private def validNs(ns: Array[String]): Unit = {
+    require(ns.length <= 1,
+      s"graft namespaces are one level deep; got ${ns.mkString(".")}")
+    ns.headOption.foreach(n => require(
+      n.matches("[A-Za-z0-9_][A-Za-z0-9_-]*"),
+      s"invalid namespace name '$n'"))
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean = {
+    validNs(ns)
+    isDefault(ns) || fsOf.exists(new Path(s"${nsDir(ns)}/$NsMarker"))
+  }
+
+  override def createNamespace(ns: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    validNs(ns)
+    require(!isDefault(ns), "namespace 'default' always exists")
+    if (namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(ns)
+    val f = fsOf
+    f.mkdirs(new Path(nsDir(ns)))
+    f.create(new Path(s"${nsDir(ns)}/$NsMarker"), true).close()
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val f = fsOf
+    val p = new Path(dir)
+    val subs =
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq
+        .filter(st => st.isDirectory &&
+          f.exists(new Path(st.getPath, NsMarker)))
+        .map(_.getPath.getName)
+    (Seq("default") ++ subs.sorted).map(n => Array(n)).toArray
+  }
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.isEmpty) listNamespaces()
+    else if (namespaceExists(parent)) Array.empty // one level deep
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(parent)
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(ns)
+    new java.util.HashMap[String, String]()
+  }
+
+  override def alterNamespace(ns: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog
+                                .NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  /** DROP NAMESPACE: empty namespaces only (cascade refuses — dropping
+    * tables is an explicit, clone-guarded operation). */
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    validNs(ns)
+    require(!isDefault(ns), "cannot drop the default namespace")
+    if (!namespaceExists(ns)) false
+    else {
+      require(listTables(ns).isEmpty,
+        s"namespace '${ns.head}' still holds tables — drop them first " +
+          "(DROP NAMESPACE ... CASCADE is refused: table drops are " +
+          "explicit, clone-guarded operations)")
+      fsOf.delete(new Path(nsDir(ns)), true)
+    }
+  }
+
+  /** The graft [[Catalog]] rooted at a namespace's directory — every
+    * table operation resolves through this, so `g.src.t` and `g.tgt.t`
+    * are fully independent tables. */
+  private def catFor(ns: Array[String]): Catalog = {
+    validNs(ns)
+    require(namespaceExists(ns), s"namespace '${ns.mkString(".")}' not found" +
+      s" — CREATE NAMESPACE $catalogName.${ns.mkString(".")} first")
+    new Catalog(SparkSession.active, nsDir(ns))
+  }
+
   private def cat: Catalog = new Catalog(SparkSession.active, dir)
 
   private def tableName(ident: Identifier): String = {
-    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("default")),
-      s"graft catalogs are single-namespace; got ${ident.namespace.mkString(".")}")
+    validNs(ident.namespace)
     ident.name
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val c = cat
-    val p = new Path(dir)
+    val c = catFor(namespace)
+    val p = new Path(c.dir)
     val fs = p.getFileSystem(c.spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Array.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
       .filter(_.endsWith(".__vmeta"))
       .map(_.stripSuffix(".__vmeta"))
       .sorted
-      .map(n => Identifier.of(Array("default"), n))
+      .map(n => Identifier.of(
+        if (isDefault(namespace)) Array("default") else namespace, n))
       .toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    VersionedTable.currentVersion(cat, tableName(ident)).isDefined
+    namespaceExists(ident.namespace) &&
+      VersionedTable.currentVersion(catFor(ident.namespace),
+        tableName(ident)).isDefined
 
   private def graftTable(ident: Identifier, extra: Map[String, String]): Table = {
     val t = tableName(ident)
-    val c = cat
+    val c = catFor(ident.namespace)
     if (VersionedTable.currentVersion(c, t).isEmpty)
       throw new NoSuchTableException(ident.asInstanceOf[Identifier])
-    val opts = Map("dir" -> dir, "table" -> t) ++ extra
+    val opts = Map("dir" -> c.dir, "table" -> t) ++ extra
     // the SQL surface hides the loader's surrogate id column: SELECT *
     // shows the user's columns, and INSERT arity/names align against
     // them (ids keep being stamped by the loader underneath). The
@@ -128,7 +236,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "would silently overwrite yours — rename the column (e.g. " +
           s"'${tableName(ident)}_id')"))
     val t = tableName(ident)
-    val c = cat
+    val c = catFor(ident.namespace)
     if (VersionedTable.currentVersion(c, t).isDefined)
       throw new TableAlreadyExistsException(ident.asInstanceOf[Identifier])
     val schema = StructType(columns.map(col =>
@@ -178,7 +286,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       extraProps = check.map(VersionedTable.CheckConstraintProp -> _).toMap ++
         mode.filter(_ == VersionedTable.MergeOnRead)
           .map(VersionedTable.WriteModeProp -> _).toMap)
-    new GraftBatchTable(schema, Map("dir" -> dir, "table" -> t),
+    new GraftBatchTable(schema, Map("dir" -> c.dir, "table" -> t),
       acceptAnySchema = false)
   }
 
@@ -195,7 +303,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * self-describing. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = tableName(ident)
-    val c = cat
+    val c = catFor(ident.namespace)
     if (VersionedTable.currentVersion(c, t).isEmpty)
       throw new NoSuchTableException(ident.asInstanceOf[Identifier])
     val adds = changes.collect { case a: TableChange.AddColumn => a }
@@ -225,7 +333,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     VersionedTable.widenSchema(c, t, newFields.toSeq)
     new GraftBatchTable(StructType(existing ++ newFields),
-      Map("dir" -> dir, "table" -> t), acceptAnySchema = false)
+      Map("dir" -> c.dir, "table" -> t), acceptAnySchema = false)
   }
 
   /** CLONE-SAFE drop: a zero-copy clone references this table's data
@@ -235,7 +343,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * ([[purgeTable]]) is the force escape. */
   override def dropTable(ident: Identifier): Boolean = {
     val t = tableName(ident)
-    val c = cat
+    val c = catFor(ident.namespace)
     if (VersionedTable.currentVersion(c, t).isEmpty) false
     else {
       val clones = VersionedTable.liveClones(c, t)
@@ -253,13 +361,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * for). */
   override def purgeTable(ident: Identifier): Boolean = {
     val t = tableName(ident)
-    val c = cat
+    val c = catFor(ident.namespace)
     if (VersionedTable.currentVersion(c, t).isEmpty) false
     else reallyDrop(c, t)
   }
 
   private def reallyDrop(c: Catalog, t: String): Boolean = {
-    val fs = new Path(dir)
+    val fs = new Path(c.dir)
       .getFileSystem(c.spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"${c.dirPath(t)}.__vdata"), true)
     fs.delete(new Path(s"${c.dirPath(t)}.__vmeta"), true)

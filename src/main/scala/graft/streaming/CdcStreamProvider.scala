@@ -154,6 +154,31 @@ private[streaming] final class CdcScan(
     }
   }
 
+  /** The `admissionFilter` option for the CDC shapes: driver-side FILE
+    * pruning at batch planning, restricted to KEY-column predicates —
+    * the one shape that is diff-sound: a matching key's files always
+    * admit on both sides (zone pruning is one-sided), so the feed is
+    * COMPLETE for matching keys; files holding only non-matching keys
+    * may skip, which can surface those keys' rows asymmetrically — the
+    * consumer re-applies the same predicate and drops them (they never
+    * match). A value-column predicate would instead lose matching keys'
+    * counterpart rows, so it is refused. */
+  private def resolveAdmission(spark: SparkSession, cat: graft.etl.Catalog,
+                               table: String): Option[CdcStreamProvider.Admission] =
+    options.find(_._1.equalsIgnoreCase("admissionFilter")).map(_._2.trim)
+      .filter(_.nonEmpty).map { sql =>
+        val a = CdcStreamProvider.admission(spark,
+          StructType(fullSchema.fields.drop(1)), sql)
+        val keys = resolveKeys(cat, table).map(_.toLowerCase).toSet
+        require(a.refs.nonEmpty && a.refs.forall(r => keys(r.toLowerCase)),
+          s"graft-cdc admissionFilter may reference KEY columns only " +
+            s"(got ${a.refs.mkString(", ")}; keys: ${keys.mkString(", ")}) — " +
+            "pruning by a value column would lose matching keys' " +
+            "counterpart rows from the diff; re-apply the filter " +
+            "downstream for exact results")
+        a
+      }
+
   /** Bounded batch feed (startingVersion, endingVersion] — the
     * `table_changes` shape over the same planner/readers as the stream.
     * Bounds also take TIMESTAMPS (`startingTimestamp` = earliest commit
@@ -195,7 +220,9 @@ private[streaming] final class CdcScan(
 
     override def planInputPartitions(): Array[InputPartition] = {
       if (sv >= ev) return Array.empty
-      VersionedTable.cdcSlices(cat, table, sv, ev).map { case (old, fresh) =>
+      val admit = resolveAdmission(spark, cat, table)
+        .map(_.zonePred).getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil))
+      VersionedTable.cdcSlices(cat, table, sv, ev, admit).map { case (old, fresh) =>
         org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
           old.map { case (p, l, dv) =>
             org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) },
@@ -224,11 +251,58 @@ private[streaming] final class CdcScan(
       maxBytesPerTrigger = optNum("maxBytesPerTrigger"),
       startingVersion = CdcStreamProvider.resolveStartingVersion(
         cat, opt("table"), optNum("startingVersion"),
-        options.find(_._1.equalsIgnoreCase("startingTimestamp")).map(_._2)))
+        options.find(_._1.equalsIgnoreCase("startingTimestamp")).map(_._2)),
+      admit = resolveAdmission(spark, cat, opt("table")).map(_.zonePred)
+        .getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil)))
   }
 }
 
 private[graft] object CdcStreamProvider {
+
+  /** Parse an `admissionFilter` option against `schema`: resolve and
+    * bind through an empty frame (so functions and casts resolve like
+    * any WHERE clause), returning the zone-predicate tree (driver-side
+    * FILE pruning at batch planning) and the bound row predicate (the
+    * exact row-level half — executors drop non-matching rows, so a
+    * filtered stream equals `unfiltered.where(pred)`). Deterministic
+    * expressions only; subqueries refused (they would re-evaluate
+    * against another table's state at each trigger). */
+  private[graft] final case class Admission(
+      zonePred: org.apache.spark.sql.graft.ZonePred.P,
+      rowPred: org.apache.spark.sql.catalyst.expressions.Expression,
+      refs: Set[String])
+
+  private[graft] def admission(spark: SparkSession,
+                               schema: StructType, sql: String): Admission = {
+    val analyzed = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .where(org.apache.spark.sql.functions.expr(sql))
+      .queryExecution.analyzed
+    val f = analyzed.collectFirst {
+      case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt
+    }.getOrElse(throw new IllegalArgumentException(
+      s"admissionFilter did not analyze to a row predicate: $sql"))
+    require(f.condition.deterministic,
+      s"admissionFilter must be deterministic: $sql")
+    require(!f.condition.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      s"admissionFilter must not contain a subquery: $sql")
+    // constant-fold by hand: the ANALYZED tree wraps coerced literals in
+    // Casts (`k >= 250` on a bigint column is `k >= cast(250 as bigint)`),
+    // and the optimizer can't run here (it would fold the empty relation
+    // and drop the Filter) — without this every coerced literal reads as
+    // Unknown and the zone maps prune nothing
+    val folded = f.condition.transformUp {
+      case e if e.foldable &&
+          !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(org.apache.spark.sql.catalyst.InternalRow.empty), e.dataType)
+    }
+    val bound = org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(folded, f.child.output)
+    Admission(org.apache.spark.sql.graft.ZoneMapFileIndex.resolvedPred(folded),
+      bound, f.condition.references.map(_.name).toSet)
+  }
 
   /** Epoch millis, or an ISO-8601 instant — THE one timestamp parser
     * behind `timestampAsOf`, `startingTimestamp`, and the
@@ -300,7 +374,9 @@ private[streaming] final class CdcMicroBatchStream(
     keys: Seq[String], dataSchema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    admit: org.apache.spark.sql.graft.ZonePred.P =
+      org.apache.spark.sql.graft.ZonePred.And(Nil))
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -392,7 +468,7 @@ private[streaming] final class CdcMicroBatchStream(
     val (sv, ev) = (start.asInstanceOf[CdcOffset].version,
       end.asInstanceOf[CdcOffset].version)
     if (sv >= ev) return Array.empty
-    VersionedTable.cdcSlices(cat, table, sv, ev).map { case (old, fresh) =>
+    VersionedTable.cdcSlices(cat, table, sv, ev, admit).map { case (old, fresh) =>
       org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
         old.map { case (p, l, dv) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) },
         fresh.map { case (p, l, dv) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) })
@@ -441,11 +517,21 @@ private[graft] final class GraftAppendStream(
     maxVersionsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long],
     skipChangeCommits: Boolean,
-    startingVersion: Option[Long])
+    startingVersion: Option[Long],
+    admissionFilter: Option[String] = None)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
   private val cat = new Catalog(spark, dir)
+
+  /** The `admissionFilter` option, resolved once at stream start:
+    * per-batch file planning skips every file whose zone maps prove no
+    * matching row (the streaming twin of batch pushed-filter pruning),
+    * and the readers drop non-matching rows exactly — the filtered
+    * stream IS `unfiltered.where(pred)`, at a fraction of the I/O on a
+    * clustered table. */
+  private val admission =
+    admissionFilter.map(CdcStreamProvider.admission(spark, dataSchema, _))
 
   @volatile private var availableTarget: Option[Long] = None
 
@@ -528,7 +614,9 @@ private[graft] final class GraftAppendStream(
     // batch (startingVersion=1 means v1's APPENDS, not a head snapshot —
     // and change commits inside the range are detected, not folded away)
     VersionedTable.appendSlices(cat, table, sv, ev, skipChangeCommits,
-      snapshotBootstrap = startingVersion.isEmpty)
+      snapshotBootstrap = startingVersion.isEmpty,
+      admit = admission.map(_.zonePred)
+        .getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil)))
       .map { case (p, l, dv) =>
         org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(
           org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv))
@@ -541,7 +629,8 @@ private[graft] final class GraftAppendStream(
     // (appends never do — a DV commit is a change commit in this tail)
     org.apache.spark.sql.graft.PlainBatchRead.readerFactory(spark,
       dataSchema, requiredSchema, filters,
-      allowColumnar = !VersionedTable.hasDvs(cat, table, None))
+      allowColumnar = !VersionedTable.hasDvs(cat, table, None),
+      rowFilter = admission.map(_.rowPred))
 
   override def commit(end: Offset): Unit = ()
 

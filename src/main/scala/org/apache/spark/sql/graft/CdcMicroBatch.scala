@@ -107,7 +107,8 @@ object PlainBatchRead {
   def readerFactory(spark: SparkSession,
                     dataSchema: StructType, requiredSchema: StructType,
                     filters: Seq[org.apache.spark.sql.sources.Filter],
-                    allowColumnar: Boolean = true)
+                    allowColumnar: Boolean = true,
+                    rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
       : PartitionReaderFactory = {
     // `_file`/`_pos` requested: read the data columns, inject path /
     // row position at the right ordinals (row mode — metadata queries
@@ -125,7 +126,7 @@ object PlainBatchRead {
         (posOrdinal >= 0 && f.name == PosCol)))
     val fmt = new ParquetFileFormat
     val columnar = allowColumnar && fileOrdinal < 0 && posOrdinal < 0 &&
-      fmt.supportBatch(spark, dataRequired)
+      rowFilter.isEmpty && fmt.supportBatch(spark, dataRequired)
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark,
       dataSchema = dataSchema,
@@ -156,7 +157,8 @@ object PlainBatchRead {
     new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,
       posOrdinal, dataRequired.fields.map(_.dataType),
       new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
+        spark.sessionState.newHadoopConf()),
+      rowFilter)
   }
 
   private[graft] def partitionedFile(f: CdcMicroBatch.FileSlice): PartitionedFile =
@@ -172,7 +174,11 @@ final class PlainReaderFactory(
     fileOrdinal: Int = -1,
     posOrdinal: Int = -1,
     dataTypes: Array[org.apache.spark.sql.types.DataType] = Array.empty,
-    conf: org.apache.spark.util.SerializableConfiguration = null)
+    conf: org.apache.spark.util.SerializableConfiguration = null,
+    // BOUND catalyst predicate over the data-column ordinals (the
+    // admission filter's exact row-level half): rows failing it drop
+    // inside the reader, so a filtered stream equals unfiltered+filter
+    rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
   extends PartitionReaderFactory {
 
   private val nDataFields = dataTypes.length
@@ -201,10 +207,17 @@ final class PlainReaderFactory(
                 case b: ColumnarBatch => b.rowIterator().asScala
                 case r: InternalRow => Iterator.single(r)
               }
-          private val it =
+          private val dvFiltered =
             if (dv.isEmpty) raw
             else raw.filter(r =>
               !DeletionVectors.contains(dv, r.getLong(nDataFields)))
+          private val it = rowFilter match {
+            case None => dvFiltered
+            case Some(e) =>
+              val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+              p.initialize(0)
+              dvFiltered.filter(p.eval)
+          }
           private val outWidth = nDataFields +
             (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0)
           private def project(r: InternalRow): InternalRow =

@@ -1,0 +1,190 @@
+package graft.etl
+
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SEEDED PROPERTY SUITE for the pushdown + zone-map surfaces: random
+  * table layouts (append / keyed-delete / range-delete histories, flat
+  * and bucketed, null mixes, Long.MinValue/MaxValue extremes, all-null
+  * columns, empty tables, stats-stripped legacy manifests) checked at
+  * multiple retained versions against an INDEPENDENT in-memory model —
+  * pushed plans must equal unpushed semantics for:
+  *
+  *   - full scans and zone-pruned filters (eq / range / IS [NOT] NULL /
+  *     AND / OR shapes — the one-sided skipping can drop files, never
+  *     rows);
+  *   - LIMIT n (the truncation must never return short);
+  *   - ORDER BY c LIMIT n, both directions (the top-N file walk's
+  *     threshold reasoning, including the null-voiding rule);
+  *   - global count(*) / count(c) / min / max (manifest-answered when
+  *     safe, scan-answered otherwise — identical either way).
+  *
+  * The soundness claims these exercise are hand-reasoned one-sided
+  * guards (GraftScanBuilder, VersionedTable.batchSlices top-N walk);
+  * this suite is the cheap insurance that a layout nobody hand-wrote
+  * can't slip past them. Seed printed on failure for replay.
+  */
+class PushdownFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class R(k: Long, c: Option[Long], s: String)
+
+  /** Build a random multi-version table; returns (catalog, snapshots —
+    * snapshot(i) is the expected state of version i+1). */
+  private def buildTable(rnd: Random, bucketed: Boolean, extremes: Boolean,
+                         allNullC: Boolean): (Catalog, Vector[Vector[R]]) = {
+    val tgt = new Catalog(spark, tmpDir("fuzz"))
+    var nextK = 0L
+    var state = Vector.empty[R]
+    val snaps = Vector.newBuilder[Vector[R]]
+    val nCommits = 3 + rnd.nextInt(3)
+    var committed = 0
+    while (committed < nCommits) {
+      val op = if (state.isEmpty) 0 else rnd.nextInt(10)
+      if (op < 6) {
+        val n = rnd.nextInt(120)
+        val rows = (0 until n).map { _ =>
+          nextK += 1
+          val c =
+            if (allNullC) None
+            else if (rnd.nextDouble() < 0.1) None
+            else if (extremes && rnd.nextDouble() < 0.05)
+              Some(if (rnd.nextBoolean()) Long.MaxValue else Long.MinValue)
+            else Some(rnd.nextInt(1000).toLong)
+          R(nextK, c, s"s$nextK")
+        }.toVector
+        VersionedTable.load(tgt, "t",
+          rows.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s"),
+          idOrder = Seq("k"),
+          bucketBy = if (bucketed && committed == 0) Some((Seq("k"), 4)) else None)
+        state = state ++ rows
+      } else if (op < 8) {
+        val victims = state.filter(_ => rnd.nextDouble() < 0.2).map(_.k)
+        VersionedTable.deleteKeys(tgt, "t", victims.toDF("k"), Seq("k"))
+        val vs = victims.toSet
+        state = state.filterNot(r => vs(r.k))
+      } else {
+        val x = rnd.nextInt(1000).toLong
+        VersionedTable.delete(tgt, "t", col("c") <= x)
+        // Spark WHERE semantics: NULL c does not match, survives
+        state = state.filterNot(r => r.c.exists(_ <= x))
+      }
+      committed += 1
+      snaps += state
+    }
+    (tgt, snaps.result())
+  }
+
+  private def reader(tgt: Catalog, v: Long) =
+    spark.read.format("graft")
+      .option("dir", tgt.dir).option("table", "t")
+      .option("versionAsOf", v.toString).load()
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Option[Long], String)] =
+    df.select("k", "c", "s").collect().toSeq.map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(2)))
+
+  private def checkVersion(tgt: Catalog, v: Long, truth: Vector[R],
+                           rnd: Random, tag: String): Unit = {
+    val df = reader(tgt, v)
+    val truthT = truth.map(r => (r.k, r.c, r.s))
+    // full scan
+    assert(rowsOf(df).sorted == truthT.sorted, s"[$tag v$v] full scan")
+    // zone-pruned filters vs model semantics (pred true keeps the row)
+    val x = rnd.nextInt(1000).toLong
+    val y = rnd.nextInt(1000).toLong
+    val k0 = if (truth.nonEmpty) truth(rnd.nextInt(truth.size)).k else 7L
+    val preds: Seq[(org.apache.spark.sql.Column, R => Boolean)] = Seq(
+      (col("c") >= x, r => r.c.exists(_ >= x)),
+      (col("c") < y, r => r.c.exists(_ < y)),
+      (col("k") === k0, r => r.k == k0),
+      (col("c").isNull, r => r.c.isEmpty),
+      (col("c").isNotNull, r => r.c.nonEmpty),
+      (col("c") >= x && col("k") < k0, r => r.c.exists(_ >= x) && r.k < k0),
+      (col("c") < y || col("c").isNull, r => r.c.forall(_ < y)))
+    preds.foreach { case (p, model) =>
+      assert(rowsOf(df.where(p)).sorted ==
+        truth.filter(model).map(r => (r.k, r.c, r.s)).sorted,
+        s"[$tag v$v] filter $p")
+    }
+    // LIMIT: never short, always a subset
+    Seq(0, 1, 7, truth.size, truth.size + 3).foreach { n =>
+      val got = rowsOf(df.limit(n))
+      assert(got.size == math.min(n, truth.size), s"[$tag v$v] limit $n size")
+      assert(got.toSet.subsetOf(truthT.toSet), s"[$tag v$v] limit $n subset")
+    }
+    // ORDER BY c LIMIT n: the c-value sequence must be exact (rows may
+    // tie; values cannot differ). Spark defaults: ASC NULLS FIRST,
+    // DESC NULLS LAST.
+    val asc = truth.map(_.c).sorted(Ordering.by((o: Option[Long]) =>
+      (o.nonEmpty, o.getOrElse(Long.MinValue))))
+    val desc = asc.reverse // DESC NULLS LAST is exactly the reversal
+    def cVals(d: org.apache.spark.sql.DataFrame): Seq[Option[Long]] =
+      d.select("c").collect().toSeq.map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    Seq(1, 5, truth.size + 2).foreach { n =>
+      assert(cVals(df.orderBy(col("c")).limit(n)) == asc.take(n),
+        s"[$tag v$v] top-$n asc")
+      assert(cVals(df.orderBy(col("c").desc).limit(n)) == desc.take(n),
+        s"[$tag v$v] top-$n desc")
+    }
+    // global aggregates (manifest-answered when safe — identical either way)
+    val agg = df.agg(count(lit(1)).as("n"), count(col("c")).as("nc"),
+      min(col("k")).as("mink"), max(col("k")).as("maxk"),
+      min(col("c")).as("minc"), max(col("c")).as("maxc")).head()
+    assert(agg.getLong(0) == truth.size, s"[$tag v$v] count(*)")
+    assert(agg.getLong(1) == truth.count(_.c.nonEmpty), s"[$tag v$v] count(c)")
+    def lopt(i: Int) = if (agg.isNullAt(i)) None else Some(agg.getLong(i))
+    assert(lopt(2) == truth.map(_.k).minOption, s"[$tag v$v] min(k)")
+    assert(lopt(3) == truth.map(_.k).maxOption, s"[$tag v$v] max(k)")
+    assert(lopt(4) == truth.flatMap(_.c).minOption, s"[$tag v$v] min(c)")
+    assert(lopt(5) == truth.flatMap(_.c).maxOption, s"[$tag v$v] max(c)")
+  }
+
+  private def runCase(seed: Long, bucketed: Boolean, extremes: Boolean,
+                      allNullC: Boolean): Unit = {
+    val rnd = new Random(seed)
+    val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC)
+    val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC"
+    // first, last, and one random middle version
+    val vs = Set(1, snaps.size, 1 + rnd.nextInt(snaps.size)).toSeq.sorted
+    vs.foreach(v => checkVersion(tgt, v.toLong, snaps(v - 1), rnd, tag))
+    // legacy emulation: strip the head's per-file metadata — every
+    // pushdown must VOID (and still answer exactly), never guess
+    VersionedTable.stripFileMeta(tgt, "t")
+    checkVersion(tgt, snaps.size.toLong, snaps.last, rnd, s"$tag stripped")
+  }
+
+  test("random flat layouts: pushed plans equal unpushed semantics") {
+    runCase(20260815L, bucketed = false, extremes = false, allNullC = false)
+    runCase(20260816L, bucketed = false, extremes = false, allNullC = false)
+  }
+
+  test("random bucketed layouts: bucket pruning + pushdowns stay exact") {
+    runCase(20260817L, bucketed = true, extremes = false, allNullC = false)
+  }
+
+  test("Long.MinValue/MaxValue extremes never missort a truncation") {
+    runCase(20260818L, bucketed = false, extremes = true, allNullC = false)
+  }
+
+  test("all-null sort column voids top-N truncation, results exact") {
+    runCase(20260819L, bucketed = false, extremes = false, allNullC = true)
+  }
+
+  test("empty table: zero partitions, zero rows, null extrema") {
+    val tgt = new Catalog(spark, tmpDir("fuzzempty"))
+    VersionedTable.load(tgt, "t", spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType)))))
+    checkVersion(tgt, 1L, Vector.empty, new Random(1L), "empty")
+  }
+}

@@ -137,6 +137,42 @@ class GraftCatalogSpec extends SparkSpec {
       Seq("k", "s", "z", "u", "w"))
   }
 
+  test("namespaces: two-DB model in pure SQL — create, use, join across, drop") {
+    spark.sql("CREATE NAMESPACE gq.src")
+    spark.sql("CREATE NAMESPACE gq.tgt")
+    val nss = spark.sql("SHOW NAMESPACES IN gq")
+      .select("namespace").as[String].collect().toSet
+    assert(Set("default", "src", "tgt").subsetOf(nss), s"got $nss")
+    // same table NAME in two namespaces: fully independent state
+    spark.sql("CREATE TABLE gq.src.ev (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gq.tgt.ev (k BIGINT, lbl STRING)")
+    spark.sql("INSERT INTO gq.src.ev VALUES (1, 10), (2, 20), (3, 30)")
+    spark.sql("INSERT INTO gq.tgt.ev VALUES (1, 'a'), (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM gq.src.ev").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM gq.tgt.ev").head().getLong(0) == 2L)
+    // cross-namespace join
+    assert(spark.sql("""
+      SELECT s.k, s.v, t.lbl FROM gq.src.ev s JOIN gq.tgt.ev t ON s.k = t.k
+      ORDER BY s.k""").as[(Long, Long, String)].collect().toSeq ==
+      Seq((1L, 10L, "a"), (3L, 30L, "c")))
+    // SHOW TABLES per namespace; versioned semantics hold inside one
+    assert(spark.sql("SHOW TABLES IN gq.src").select("tableName")
+      .as[String].collect().toSeq == Seq("ev"))
+    assert(spark.sql("SELECT count(*) FROM gq.src.ev VERSION AS OF 1")
+      .head().getLong(0) == 0L)
+    // an unknown namespace refuses at CREATE; duplicates refuse
+    intercept[Exception] { spark.sql("CREATE TABLE gq.nope.t (k BIGINT)") }
+    intercept[Exception] { spark.sql("CREATE NAMESPACE gq.src") }
+    // DROP NAMESPACE: refuses while tables remain, succeeds when empty
+    intercept[Exception] { spark.sql("DROP NAMESPACE gq.src") }
+    spark.sql("DROP TABLE gq.src.ev")
+    spark.sql("DROP NAMESPACE gq.src")
+    assert(!spark.sql("SHOW NAMESPACES IN gq")
+      .select("namespace").as[String].collect().toSet.contains("src"))
+    spark.sql("DROP TABLE gq.tgt.ev")
+    spark.sql("DROP NAMESPACE gq.tgt")
+  }
+
   test("CREATE TABLE rejects the reserved surrogate-id column name") {
     val err = intercept[Exception] {
       spark.sql("CREATE TABLE gq.default.badid (id BIGINT, s STRING)")
