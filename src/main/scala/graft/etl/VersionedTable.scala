@@ -161,8 +161,12 @@ object VersionedTable {
       while (it.hasNext) {
         val e = it.next()
         val n = e.getValue
-        if (n.hasNonNull("p") && n.hasNonNull("n"))
-          b += e.getKey -> ((n.get("p").asText(), n.get("n").asLong()))
+        // LOUD on malformation: silently dropping a deletion-vector
+        // entry would resurrect its deleted rows — corruption must be
+        // an error, never a wrong answer
+        require(n.hasNonNull("p") && n.hasNonNull("n"),
+          s"corrupt deletion-vector entry for '${e.getKey}' (missing p/n)")
+        b += e.getKey -> ((n.get("p").asText(), n.get("n").asLong()))
       }
       b.result()
     }
@@ -518,8 +522,11 @@ object VersionedTable {
           val n = fe.getValue
           if (n.hasNonNull("dv")) {
             val d = n.get("dv")
-            if (d.hasNonNull("p") && d.hasNonNull("n"))
-              dvb += fe.getKey -> ((d.get("p").asText(), d.get("n").asLong()))
+            // same loudness rule as parseDvs: a dropped entry would
+            // silently resurrect deleted rows
+            require(d.hasNonNull("p") && d.hasNonNull("n"),
+              s"corrupt deletion-vector entry for '${fe.getKey}' (missing p/n)")
+            dvb += fe.getKey -> ((d.get("p").asText(), d.get("n").asLong()))
           }
           val nulls =
             if (!n.has("nulls")) None

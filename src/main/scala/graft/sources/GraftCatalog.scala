@@ -82,6 +82,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private def nsDir(ns: Array[String]): String =
     if (isDefault(ns)) dir else s"$dir/${ns.head}"
 
+  private def wellFormed(ns: Array[String]): Boolean =
+    ns.length <= 1 &&
+      ns.headOption.forall(_.matches("[A-Za-z0-9_][A-Za-z0-9_-]*"))
+
   private def validNs(ns: Array[String]): Unit = {
     require(ns.length <= 1,
       s"graft namespaces are one level deep; got ${ns.mkString(".")}")
@@ -90,10 +94,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       s"invalid namespace name '$n'"))
   }
 
-  override def namespaceExists(ns: Array[String]): Boolean = {
-    validNs(ns)
-    isDefault(ns) || fsOf.exists(new Path(s"${nsDir(ns)}/$NsMarker"))
-  }
+  /** Contract-shaped: a malformed (multi-level / bad-name) namespace
+    * simply does not exist — probes return false, resolution throws
+    * NoSuchNamespaceException, never an opaque IllegalArgument. */
+  override def namespaceExists(ns: Array[String]): Boolean =
+    wellFormed(ns) &&
+      (isDefault(ns) || fsOf.exists(new Path(s"${nsDir(ns)}/$NsMarker")))
 
   override def createNamespace(ns: Array[String],
                                metadata: JMap[String, String]): Unit = {
@@ -158,18 +164,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * table operation resolves through this, so `g.src.t` and `g.tgt.t`
     * are fully independent tables. */
   private def catFor(ns: Array[String]): Catalog = {
-    validNs(ns)
-    require(namespaceExists(ns), s"namespace '${ns.mkString(".")}' not found" +
-      s" — CREATE NAMESPACE $catalogName.${ns.mkString(".")} first")
+    if (!namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(ns)
     new Catalog(SparkSession.active, nsDir(ns))
   }
 
   private def cat: Catalog = new Catalog(SparkSession.active, dir)
 
-  private def tableName(ident: Identifier): String = {
-    validNs(ident.namespace)
-    ident.name
-  }
+  // namespace validation happens in catFor (NoSuchNamespaceException —
+  // the contract shape); the name needs no gate of its own
+  private def tableName(ident: Identifier): String = ident.name
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val c = catFor(namespace)

@@ -634,6 +634,15 @@ private[sources] final class GraftBatch(
     limit: Option[Int] = None,
     topN: Option[(String, Boolean, Long)] = None) extends Batch {
 
+  /** Whether the PLANNED partitions carry any deletion vector — set by
+    * planInputPartitions and read by createReaderFactory, so the two
+    * always describe ONE version: re-resolving the head in the factory
+    * would race a concurrent commit (e.g. a compaction materializing
+    * DVs) into mixed columnar/row partitions, which the engine rejects.
+    * BatchScanExec materializes partitions before it builds the
+    * factory, so the flag is always set when consulted. */
+  @volatile private var plannedHasDv = true // safe default: row mode
+
   override def planInputPartitions(): Array[InputPartition] = {
     import GraftTableProvider.{opt, requiredOpt}
     val spark = SparkSession.active
@@ -646,27 +655,21 @@ private[sources] final class GraftBatch(
     // sets prune files here exactly like static pushdown
     val pred = ZonePred.And(
       pushed.toSeq.map(GraftTableProvider.filterPred) :+ runtime())
-    VersionedTable.batchSlices(cat, table, v, pred,
-      limitRows = limit.map(_.toLong), topN = topN).map { case (p, l, dv) =>
+    val slices = VersionedTable.batchSlices(cat, table, v, pred,
+      limitRows = limit.map(_.toLong), topN = topN)
+    plannedHasDv = slices.exists(_._3.nonEmpty)
+    slices.map { case (p, l, dv) =>
       PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l, dv))
         : InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    import GraftTableProvider.{opt, requiredOpt}
-    val spark = SparkSession.active
-    // a version carrying deletion vectors reads row-mode throughout
+  override def createReaderFactory(): PartitionReaderFactory =
+    // row mode while any PLANNED partition carries a deletion vector
     // (mixed columnar/row partitions are an engine error; compaction
     // materializes the DVs and restores the vectorized scan)
-    val cat = new Catalog(spark, requiredOpt(options, "dir"))
-    val table = requiredOpt(options, "table")
-    val v = GraftTableProvider.resolveVersion(cat, table,
-      opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
-    PlainBatchRead.readerFactory(spark, dataSchema,
-      requiredSchema, pushed.toSeq,
-      allowColumnar = !VersionedTable.hasDvs(cat, table, v))
-  }
+    PlainBatchRead.readerFactory(SparkSession.active, dataSchema,
+      requiredSchema, pushed.toSeq, allowColumnar = !plannedHasDv)
 }
 
 object GraftTableProvider {

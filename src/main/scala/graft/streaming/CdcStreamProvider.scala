@@ -613,23 +613,31 @@ private[graft] final class GraftAppendStream(
     // with startingVersion the walk is per-version from the very first
     // batch (startingVersion=1 means v1's APPENDS, not a head snapshot —
     // and change commits inside the range are detected, not folded away)
-    VersionedTable.appendSlices(cat, table, sv, ev, skipChangeCommits,
+    val slices = VersionedTable.appendSlices(cat, table, sv, ev,
+      skipChangeCommits,
       snapshotBootstrap = startingVersion.isEmpty,
       admit = admission.map(_.zonePred)
         .getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil)))
-      .map { case (p, l, dv) =>
+    plannedHasDv = slices.exists(_._3.nonEmpty)
+    slices.map { case (p, l, dv) =>
         org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(
           org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv))
           : InputPartition
       }.toArray
   }
 
+  /** Whether the last-PLANNED batch carries deletion vectors — only the
+    * bootstrap snapshot can (appends never do; a DV commit is a change
+    * commit in this tail). Set at plan time so the factory always
+    * matches the batch it reads: probing the HEAD here instead would
+    * race a compaction into mixed columnar/row partitions and
+    * crash-loop the replayed batch. Row-mode default until planned. */
+  @volatile private var plannedHasDv = true
+
   override def createReaderFactory(): PartitionReaderFactory =
-    // bootstrap snapshots may carry deletion vectors: row mode then
-    // (appends never do — a DV commit is a change commit in this tail)
     org.apache.spark.sql.graft.PlainBatchRead.readerFactory(spark,
       dataSchema, requiredSchema, filters,
-      allowColumnar = !VersionedTable.hasDvs(cat, table, None),
+      allowColumnar = !plannedHasDv,
       rowFilter = admission.map(_.rowPred))
 
   override def commit(end: Offset): Unit = ()

@@ -127,6 +127,10 @@ object PlainBatchRead {
     val fmt = new ParquetFileFormat
     val columnar = allowColumnar && fileOrdinal < 0 && posOrdinal < 0 &&
       rowFilter.isEmpty && fmt.supportBatch(spark, dataRequired)
+    // ONE session-conf materialization per factory (newHadoopConf copies
+    // every SQL conf); the builders get private copies so their schema
+    // keys can't cross-contaminate, each a cheap Configuration clone
+    val baseConf = spark.sessionState.newHadoopConf()
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark,
       dataSchema = dataSchema,
@@ -134,30 +138,33 @@ object PlainBatchRead {
       requiredSchema = dataRequired,
       filters = filters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
-      hadoopConf = spark.sessionState.newHadoopConf())
+      hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     // row-index twin: the same read with parquet's ROW-INDEX temp column
     // appended — the readers stamp each row's TRUE file position (exact
     // under row-group/page skipping), consumed for `_pos` projection and
-    // deletion-vector filtering. Built unconditionally (cheap closure);
-    // used only by partitions that need it.
-    val rowIdxFunc = fmt.buildReaderWithPartitionValues(
-      spark,
-      dataSchema = dataSchema,
-      partitionSchema = StructType(Nil),
-      // NULLABLE on purpose: the file physically lacks this column, and
-      // the vectorized reader's checkColumn refuses required-but-missing
-      // columns before the row-index generator ever sees them
-      requiredSchema = StructType(dataRequired.fields :+
-        org.apache.spark.sql.types.StructField(
-          ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-          org.apache.spark.sql.types.LongType, nullable = true)),
-      filters = filters,
-      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = spark.sessionState.newHadoopConf())
+    // deletion-vector filtering. Built only when a partition could need
+    // it (`_pos` projected, or the caller says DV'd slices are possible
+    // — allowColumnar=false is exactly that signal): a pure columnar
+    // scan never pays for the second reader closure.
+    val rowIdxFunc =
+      if (posOrdinal < 0 && allowColumnar) null
+      else fmt.buildReaderWithPartitionValues(
+        spark,
+        dataSchema = dataSchema,
+        partitionSchema = StructType(Nil),
+        // NULLABLE on purpose: the file physically lacks this column, and
+        // the vectorized reader's checkColumn refuses required-but-missing
+        // columns before the row-index generator ever sees them
+        requiredSchema = StructType(dataRequired.fields :+
+          org.apache.spark.sql.types.StructField(
+            ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            org.apache.spark.sql.types.LongType, nullable = true)),
+        filters = filters,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,
       posOrdinal, dataRequired.fields.map(_.dataType),
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()),
+      new org.apache.spark.util.SerializableConfiguration(baseConf),
       rowFilter)
   }
 
@@ -198,6 +205,10 @@ final class PlainReaderFactory(
           // row index needed when `_pos` projects OR a deletion vector
           // must filter; both read through the row-index twin
           private val needIdx = posOrdinal >= 0 || f.dv.nonEmpty
+          require(!needIdx || rowIdxFunc != null,
+            "graft reader contract violation: a deletion-vector'd " +
+              "partition reached a factory built columnar-only — the " +
+              "scan must plan its partitions before building the factory")
           private val dv: Array[Long] =
             f.dv.fold(Array.empty[Long])(p => DeletionVectors.read(conf.value, p))
           private val raw =
