@@ -119,7 +119,8 @@ private[sources] final class GraftDeltaRowLevelOperation(
             // row mode: the scan projects `_pos` (and applies DVs), so
             // the vectorized path is off for this DML scan by design
             PlainBatchRead.readerFactory(SparkSession.active,
-              dataSchema, required, pushed.toSeq, allowColumnar = false)
+              dataSchema, required, pushed.toSeq, allowColumnar = false,
+              mayHaveDv = true)
         }
       }
     }

@@ -175,9 +175,12 @@ private[sources] final class GraftRowLevelOperation(
             val cat = new Catalog(spark,
               GraftTableProvider.requiredOpt(options, "dir"))
             val table = GraftTableProvider.requiredOpt(options, "table")
-            // filters = Nil: every row of a scanned file must surface
+            // filters = Nil: every row of a scanned file must surface.
+            // DV'd versions stay vectorized (selection-vector filter);
+            // the _file projection alone forces row mode where needed.
             PlainBatchRead.readerFactory(spark, dataSchema, required, Nil,
-              allowColumnar = !VersionedTable.hasDvs(cat, table,
+              allowColumnar = true,
+              mayHaveDv = VersionedTable.hasDvs(cat, table,
                 Some(pinnedVersion(cat, table))))
           }
         }

@@ -638,10 +638,10 @@ private[sources] final class GraftBatch(
     * planInputPartitions and read by createReaderFactory, so the two
     * always describe ONE version: re-resolving the head in the factory
     * would race a concurrent commit (e.g. a compaction materializing
-    * DVs) into mixed columnar/row partitions, which the engine rejects.
+    * DVs) into a factory that can't serve the planned slices.
     * BatchScanExec materializes partitions before it builds the
     * factory, so the flag is always set when consulted. */
-  @volatile private var plannedHasDv = true // safe default: row mode
+  @volatile private var plannedHasDv = true // safe default: DV-capable
 
   override def planInputPartitions(): Array[InputPartition] = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -665,11 +665,13 @@ private[sources] final class GraftBatch(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // row mode while any PLANNED partition carries a deletion vector
-    // (mixed columnar/row partitions are an engine error; compaction
-    // materializes the DVs and restores the vectorized scan)
+    // VECTORIZED even under deletion vectors: when any planned partition
+    // carries a DV the factory gets the batch-returning row-index twin
+    // and applies the vector by selection ([[DvColumnar]]) — one MOR
+    // delete no longer drops the whole scan to row mode
     PlainBatchRead.readerFactory(SparkSession.active, dataSchema,
-      requiredSchema, pushed.toSeq, allowColumnar = !plannedHasDv)
+      requiredSchema, pushed.toSeq, allowColumnar = true,
+      mayHaveDv = plannedHasDv)
 }
 
 object GraftTableProvider {

@@ -630,15 +630,16 @@ private[graft] final class GraftAppendStream(
     * bootstrap snapshot can (appends never do; a DV commit is a change
     * commit in this tail). Set at plan time so the factory always
     * matches the batch it reads: probing the HEAD here instead would
-    * race a compaction into mixed columnar/row partitions and
-    * crash-loop the replayed batch. Row-mode default until planned. */
+    * race a compaction into a factory that can't serve the planned
+    * slices and crash-loop the replayed batch. DV-capable until planned. */
   @volatile private var plannedHasDv = true
 
   override def createReaderFactory(): PartitionReaderFactory =
     org.apache.spark.sql.graft.PlainBatchRead.readerFactory(spark,
       dataSchema, requiredSchema, filters,
-      allowColumnar = !plannedHasDv,
-      rowFilter = admission.map(_.rowPred))
+      allowColumnar = true,
+      rowFilter = admission.map(_.rowPred),
+      mayHaveDv = plannedHasDv)
 
   override def commit(end: Offset): Unit = ()
 

@@ -108,8 +108,16 @@ object PlainBatchRead {
                     dataSchema: StructType, requiredSchema: StructType,
                     filters: Seq[org.apache.spark.sql.sources.Filter],
                     allowColumnar: Boolean = true,
-                    rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+                    rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+                    mayHaveDv: Boolean = false)
       : PartitionReaderFactory = {
+    // the admission row predicate is BOUND against the full dataSchema
+    // ordinals — sound only while the reader's output IS dataSchema.
+    // Spark applies no pruning to DSv2 streaming scans today; if that
+    // ever changes this fails loudly instead of misfiltering ordinals.
+    require(rowFilter.isEmpty || requiredSchema == dataSchema,
+      "rowFilter is bound against the full table schema but the scan " +
+        s"was pruned to $requiredSchema — rebind before pruning streams")
     // `_file`/`_pos` requested: read the data columns, inject path /
     // row position at the right ordinals (row mode — metadata queries
     // and DML scans are the rare case; the common scan stays columnar).
@@ -144,28 +152,45 @@ object PlainBatchRead {
     // under row-group/page skipping), consumed for `_pos` projection and
     // deletion-vector filtering. Built only when a partition could need
     // it (`_pos` projected, or the caller says DV'd slices are possible
-    // — allowColumnar=false is exactly that signal): a pure columnar
-    // scan never pays for the second reader closure.
+    // and the scan is row-mode anyway — allowColumnar=false is that
+    // legacy signal): a pure columnar scan never pays the extra closure.
+    // NULLABLE on purpose: the file physically lacks this column, and
+    // the vectorized reader's checkColumn refuses required-but-missing
+    // columns before the row-index generator ever sees them.
+    val idxSchema = StructType(dataRequired.fields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val needRowIdx =
+      posOrdinal >= 0 || ((mayHaveDv || !allowColumnar) && !columnar)
     val rowIdxFunc =
-      if (posOrdinal < 0 && allowColumnar) null
+      if (!needRowIdx) null
       else fmt.buildReaderWithPartitionValues(
         spark,
         dataSchema = dataSchema,
         partitionSchema = StructType(Nil),
-        // NULLABLE on purpose: the file physically lacks this column, and
-        // the vectorized reader's checkColumn refuses required-but-missing
-        // columns before the row-index generator ever sees them
-        requiredSchema = StructType(dataRequired.fields :+
-          org.apache.spark.sql.types.StructField(
-            ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-            org.apache.spark.sql.types.LongType, nullable = true)),
+        requiredSchema = idxSchema,
         filters = filters,
         options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
+    // columnar row-index twin: BATCH-returning with the row-index column
+    // appended — DV'd partitions stay vectorized, the deletion vector
+    // applied per-batch by selection vector ([[DvColumnar.filterBatch]])
+    // instead of dropping the whole scan to row mode
+    val colIdxFunc =
+      if (!(columnar && mayHaveDv)) null
+      else fmt.buildReaderWithPartitionValues(
+        spark,
+        dataSchema = dataSchema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = idxSchema,
+        filters = filters,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
         hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,
       posOrdinal, dataRequired.fields.map(_.dataType),
       new org.apache.spark.util.SerializableConfiguration(baseConf),
-      rowFilter)
+      rowFilter, colIdxFunc)
   }
 
   private[graft] def partitionedFile(f: CdcMicroBatch.FileSlice): PartitionedFile =
@@ -185,14 +210,19 @@ final class PlainReaderFactory(
     // BOUND catalyst predicate over the data-column ordinals (the
     // admission filter's exact row-level half): rows failing it drop
     // inside the reader, so a filtered stream equals unfiltered+filter
-    rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    // batch-returning twin with the row-index column appended — present
+    // exactly when the planner said DV'd slices are possible on a
+    // columnar-capable scan; DV'd partitions then stay vectorized
+    colIdxFunc: PartitionedFile => Iterator[InternalRow] = null)
   extends PartitionReaderFactory {
 
   private val nDataFields = dataTypes.length
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar && (partition match {
-      case PlainBatchRead.FileInputPartition(f) => f.dv.isEmpty
+      case PlainBatchRead.FileInputPartition(f) =>
+        f.dv.isEmpty || colIdxFunc != null
       case _ => true
     })
 
@@ -275,6 +305,32 @@ final class PlainReaderFactory(
     * completion and reuses its batch buffer between `next()` calls. */
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
+      case PlainBatchRead.FileInputPartition(f) if f.dv.nonEmpty =>
+        // DV'd file, still vectorized: read through the row-index twin
+        // and drop deleted positions per-batch by selection vector
+        new PartitionReader[ColumnarBatch] {
+          require(columnar && colIdxFunc != null,
+            "graft reader contract violation: a deletion-vector'd " +
+              "partition reached a columnar factory built without the " +
+              "row-index twin — plan partitions before building the factory")
+          private val dv: Array[Long] =
+            DeletionVectors.read(conf.value, f.dv.get)
+          private val it =
+            colIdxFunc(PlainBatchRead.partitionedFile(f))
+              .asInstanceOf[Iterator[ColumnarBatch]]
+          private var cur: ColumnarBatch = _
+          override def next(): Boolean = {
+            // skip batches filtered to empty (Spark handles 0-row batches,
+            // but not emitting them at all is strictly cheaper)
+            while (it.hasNext) {
+              val b = DvColumnar.filterBatch(it.next(), nDataFields, dv)
+              if (b.numRows() > 0) { cur = b; return true }
+            }
+            false
+          }
+          override def get(): ColumnarBatch = cur
+          override def close(): Unit = ()
+        }
       case PlainBatchRead.FileInputPartition(f) =>
         new PartitionReader[ColumnarBatch] {
           require(columnar, "columnar read requested from a row-built factory")

@@ -163,6 +163,28 @@ class DeletionVectorSpec extends SparkSpec {
       Seq((2L, 20L), (3L, 42L), (4L, 40L), (5L, 50L), (6L, 60L)))
   }
 
+  test("a DV'd table still scans COLUMNAR — the vector applies by selection, not row mode") {
+    mkTable("vz")
+    spark.sql("DELETE FROM gdv.default.vz WHERE k = 3")
+    spark.sql("UPDATE gdv.default.vz SET v = 11 WHERE k = 1")
+    assert(VersionedTable.deletionVectors(lib, "vz", 6L).size == 2,
+      "fixture: two files must carry DVs")
+    val df = spark.sql("SELECT k, v FROM gdv.default.vz WHERE k >= 1")
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in the plan"))
+    assert(scan.supportsColumnar,
+      "a deletion-vector'd scan must stay vectorized (selection-vector DV)")
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "the executed plan must include the columnar-to-row boundary")
+    assert(df.orderBy("k").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 11L), (2L, 20L), (4L, 40L), (5L, 50L), (6L, 60L)),
+      "DV-filtered columnar read must return exactly the live rows")
+    // library read path over the same DV'd version agrees
+    assert(VersionedTable.read(lib, "vz").select("k", "v").orderBy("k")
+      .as[(Long, Long)].collect().toSeq == state("vz"))
+  }
+
   test("metadata-answered aggregates decline on DV'd versions; the scan answers") {
     mkTable("a")
     spark.sql("DELETE FROM gdv.default.a WHERE k = 4")
