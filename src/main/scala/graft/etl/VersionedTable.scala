@@ -305,6 +305,21 @@ object VersionedTable {
   private[graft] val WriteModeProp = "write_mode"
   private[graft] val MergeOnRead = "merge-on-read"
 
+  /** Manifest prop capping a file's deleted fraction before a row-level
+    * statement stops growing its deletion vector and REWRITES the file
+    * copy-on-write instead (`dv_max_fraction`, default
+    * [[DefaultDvMaxFraction]]): a mostly-deleted file is cheaper
+    * rewritten than vectored, and an uncapped DV would otherwise grow
+    * toward the file's own row count — the Delta/Iceberg tuning knob. */
+  private[graft] val DvMaxFractionProp = "dv_max_fraction"
+  private[graft] val DefaultDvMaxFraction = 0.5
+
+  /** The fraction fallback only fires once a file's merged DV reaches
+    * this many positions: rewriting a 10-row file saves nothing, and
+    * tiny tables would otherwise flip to copy-on-write on their first
+    * delete. Below the floor a DV always commits. */
+  private[graft] val DvMinRewritePositions = 1024L
+
   /** Is version-head `table` in merge-on-read mode? */
   private[graft] def isMergeOnRead(tgt: Catalog, table: String): Boolean =
     currentVersion(tgt, table).flatMap(readManifest(tgt, table, _))
@@ -1866,67 +1881,138 @@ object VersionedTable {
 
   /** MERGE-ON-READ ROW-LEVEL COMMIT — the primitive under SQL
     * UPDATE/MERGE/DELETE on a `merge-on-read` table (Spark's delta-based
-    * row-level operations, [[graft.sources.GraftDeltaRowLevelOperation]]):
-    * `deletes` maps scanned data files (absolute paths) to the ROW
-    * POSITIONS the statement removed (an UPDATE is delete + reinsert),
-    * `stagedFiles` hold the inserted/updated rows. The commit writes one
-    * merged DV sidecar per touched file (old DV ∪ new positions — DVs
-    * are immutable; the manifest re-points) and appends the staged rows
-    * — O(changed rows + DV) bytes, UNTOUCHED FILES CARRIED VERBATIM: a
-    * 1-row UPDATE on a 100 TB table never rewrites a data file. A file
-    * whose merged DV covers every recorded row drops from the manifest
-    * outright. Same conflict rule as [[replaceScanned]]: derived from
-    * `expectedVersion`, CAS failure refuses with
-    * ConcurrentModificationException (retry the STATEMENT). */
+    * row-level operations, [[graft.sources.GraftDeltaRowLevelOperation]])
+    * and the library-path MOR delete ([[delete]]/[[deleteKeys]]):
+    * `deletes` maps scanned data files (absolute paths) to FRAGMENT
+    * SIDECARS — position lists the tasks wrote EXECUTOR-SIDE (an UPDATE
+    * is delete + reinsert), so neither the commit messages nor this
+    * driver ever materialize a statement's full deleted-position set;
+    * `stagedFiles` hold the inserted/updated rows; `dropWhole` names
+    * files (rel paths) a zone-map proof already showed fully deleted.
+    *
+    * Per touched file — never statement-wide — the driver merges prior
+    * DV ∪ fragments (bounded by ONE file's row count; files merge in
+    * parallel) and picks one of three outcomes:
+    *   - full coverage → the file drops from the manifest outright;
+    *   - deleted fraction ≥ `dv_max_fraction` (default 0.5) → the file
+    *     REWRITES copy-on-write (its live rows, ids preserved, read
+    *     distributed with the merged sidecar applied executor-side) —
+    *     a bulk DELETE can't grow a DV toward the file's own size;
+    *   - otherwise → one merged DV sidecar, the file carried verbatim.
+    * Untouched files always carry verbatim: a 1-row UPDATE on a 100 TB
+    * table commits O(row + DV) bytes. Same conflict rule as
+    * [[replaceScanned]]: derived from `expectedVersion`, CAS failure
+    * refuses with ConcurrentModificationException (retry the STATEMENT). */
   private[graft] def applyRowDeltas(tgt: Catalog, table: String,
                                     expectedVersion: Long,
-                                    deletes: Map[String, Array[Long]],
+                                    deletes: Map[String, Seq[String]],
                                     stagedFiles: Seq[String],
-                                    idOrder: Seq[String]): Long = {
+                                    idOrder: Seq[String],
+                                    dropWhole: Set[String] = Set.empty): Long = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val headMan = readManifest(tgt, table, expectedVersion).getOrElse(
       throw new IllegalArgumentException(
         s"table '$table' has no version $expectedVersion"))
     val relByPath = headMan.files.map(r =>
       new Path(dataDir(tgt, table), r).toUri.getPath -> r).toMap
-    val dels: Map[String, Array[Long]] = deletes.map { case (p, pos) =>
+    val dels: Map[String, Seq[String]] = deletes.map { case (p, frags) =>
       relByPath.getOrElse(new Path(p).toUri.getPath,
         throw new IllegalStateException(
-          s"row-level delete names a file not in v$expectedVersion: $p")) -> pos
+          s"row-level delete names a file not in v$expectedVersion: $p")) -> frags
     }
+    require(dropWhole.subsetOf(headMan.files.toSet),
+      s"dropWhole names files not in v$expectedVersion: " +
+        (dropWhole -- headMan.files).mkString(","))
     val f = fs(tgt, dataDir(tgt, table))
-    // one merged sidecar per touched file: prior DV ∪ this statement's
-    // positions (sidecars are immutable — the manifest re-points)
-    val newDvs: Map[String, (String, Long)] = dels.map { case (rel, pos) =>
+    val maxFrac = headMan.props.get(DvMaxFractionProp)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(DefaultDvMaxFraction)
+    // per-file outcome of the merge pass
+    sealed trait Outcome
+    case object Gone extends Outcome                      // fully covered
+    case class Rewrite(sidecar: String, n: Long) extends Outcome
+    case class Dv(sidecar: String, n: Long) extends Outcome
+    // ONE file at a time: read prior DV ∪ fragments, classify, write the
+    // merged sidecar, release the array — driver memory is bounded by a
+    // single file's positions even on a statement deleting billions of
+    // rows. Files merge in parallel (independent IO).
+    def mergeOne(rel: String, frags: Seq[String]): (String, Outcome) = {
       val prior = headMan.dvs.get(rel).fold(Array.empty[Long]) { case (p, _) =>
         org.apache.spark.sql.graft.DeletionVectors.read(
           f, new Path(dataDir(tgt, table), p))
       }
-      val merged = (prior ++ pos).distinct.sorted
+      val merged = (prior ++ frags.flatMap(p =>
+        org.apache.spark.sql.graft.DeletionVectors.read(f, new Path(p))))
+        .distinct.sorted
       headMan.rows.get(rel).foreach(n => require(
         merged.forall(x => x >= 0 && x < n),
         s"deletion vector position out of range for '$rel' ($n rows)"))
-      val sidecar = s"dv-${java.util.UUID.randomUUID()}.dv"
-      org.apache.spark.sql.graft.DeletionVectors.write(
-        f, new Path(dataDir(tgt, table), sidecar), merged)
-      rel -> ((sidecar, merged.length.toLong))
+      val rows = headMan.rows.get(rel)
+      if (rows.contains(merged.length.toLong)) rel -> Gone
+      else {
+        // the sidecar is written for BOTH outcomes: a Dv commits it; a
+        // Rewrite's survivor read applies it executor-side, then it is
+        // deleted with the statement's other discards
+        val sidecar = s"dv-${java.util.UUID.randomUUID()}.dv"
+        org.apache.spark.sql.graft.DeletionVectors.write(
+          f, new Path(dataDir(tgt, table), sidecar), merged)
+        val cow = rows.exists(n =>
+          n > 0 && merged.length >= DvMinRewritePositions &&
+            merged.length.toDouble >= n * maxFrac)
+        rel -> (if (cow) Rewrite(sidecar, merged.length.toLong)
+                else Dv(sidecar, merged.length.toLong))
+      }
     }
-    def cleanupSidecars(): Unit = newDvs.values.foreach { case (p, _) =>
+    val outcomes: Map[String, Outcome] =
+      if (dels.size <= 1) dels.map { case (r, fr) => mergeOne(r, fr) }
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        Await.result(
+          Future.traverse(dels.toSeq) { case (r, fr) =>
+            Future(mergeOne(r, fr))
+          }, Duration.Inf).toMap
+      }
+    val newDvs: Map[String, (String, Long)] = outcomes.collect {
+      case (rel, Dv(p, n)) => rel -> ((p, n))
+    }
+    val rewriteDvs: Map[String, (String, Long)] = outcomes.collect {
+      case (rel, Rewrite(p, n)) => rel -> ((p, n))
+    }
+    def cleanupSidecars(paths: Iterable[String]): Unit = paths.foreach { p =>
       try f.delete(new Path(dataDir(tgt, table), p), false)
       catch { case _: java.io.IOException => () }
     }
+    def cleanupAllSidecars(): Unit =
+      cleanupSidecars((newDvs.values ++ rewriteDvs.values).map(_._1))
     // a file whose merged DV covers every recorded row is LOGICALLY
     // EMPTY: drop it (and its DV) from the manifest — readers never
-    // mount it, vacuum reclaims both once unreferenced
-    val gone = newDvs.collect { case (rel, (_, n))
-      if headMan.rows.get(rel).contains(n) => rel }.toSet
-    val keepRel = headMan.files.filterNot(gone)
+    // mount it, vacuum reclaims both once unreferenced. `dropWhole`
+    // joins the same set (its proof was metadata-only).
+    val gone = outcomes.collect { case (rel, Gone) => rel }.toSet ++ dropWhole
+    val rewriteRel = rewriteDvs.keySet
+    val keepRel = headMan.files.filterNot(r => gone(r) || rewriteRel(r))
+    val schemaFull = recordedSchema(headMan)
+    // CoW-fraction fallback: the heavily-deleted files' LIVE rows (ids
+    // preserved — these are existing rows) rewrite as a fresh batch, read
+    // distributed with the merged sidecars applied executor-side
+    val (rwBatch, rwParts) =
+      if (rewriteRel.isEmpty) (null, Seq.empty[(String, Long)])
+      else writeBatch(tgt, table,
+        readRelsWithSidecars(tgt, table, rewriteRel.toSeq,
+          rewriteDvs.map { case (rel, (p, _)) => rel -> p }, schemaFull),
+        headMan.bucket, bloomColsOf(headMan))
+    def cleanupRewrite(): Unit =
+      if (rwBatch != null) fs(tgt, dataDir(tgt, table)).delete(rwBatch, true)
     // keep at least one schema-bearing file (the same invariant every
     // rewrite path maintains — an empty table still reads its schema)
-    val keepSafe = if (keepRel.nonEmpty || stagedFiles.nonEmpty) keepRel
+    val keepSafe =
+      if (keepRel.nonEmpty || stagedFiles.nonEmpty || rwParts.nonEmpty) keepRel
       else headMan.files.take(1)
-    val goneSafe = gone -- keepSafe
-    val schema = recordedSchema(headMan)
+    val goneSafe = (gone ++ rewriteRel) -- keepSafe
+    val schema = schemaFull
       .map(s => org.apache.spark.sql.types.StructType(
         s.fields.filterNot(_.name == Loader.IdCol)))
     val replacement =
@@ -1947,35 +2033,43 @@ object VersionedTable {
       }
     def cleanupBatch(): Unit =
       if (batch != null) fs(tgt, dataDir(tgt, table)).delete(batch, true)
+    def cleanupAll(): Unit = {
+      cleanupBatch(); cleanupRewrite(); cleanupAllSidecars()
+    }
     // the CHECK gate validates the STAGED bytes, like every write path
+    // (rewrite parts hold pre-existing, already-validated rows)
     headMan.props.get(CheckConstraintProp)
       .filter(_ => newParts.nonEmpty).foreach { c =>
         try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
           new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
         catch { case e: Throwable =>
-          cleanupBatch(); cleanupSidecars()
+          cleanupAll()
           throw e
         }
       }
-    val newRel = newParts.map(_._1)
-    val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+    val newRel = rwParts.map(_._1) ++ newParts.map(_._1)
+    val stagedAbs = newParts.map(p =>
+      new Path(dataDir(tgt, table), p._1).toString)
     val floor0 = headMan.maxId
     val committedMax =
-      if (newAbs.isEmpty) floor0
-      else footerMaxId(tgt, newAbs).map(m => math.max(m, floor0.getOrElse(0L)))
+      if (stagedAbs.isEmpty) floor0
+      else footerMaxId(tgt, stagedAbs).map(m => math.max(m, floor0.getOrElse(0L)))
         .orElse(floor0)
     preCommitHook.value()
-    val fm = manifestMeta(tgt, table, Some(headMan), keepSafe, newParts,
-      recordedSchema(headMan).getOrElse(
-        org.apache.spark.sql.types.StructType(Nil)))
+    val fm = manifestMeta(tgt, table, Some(headMan), keepSafe,
+      rwParts ++ newParts,
+      schemaFull.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepSafe ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
         headMan.props,
-        (dvCarry(Some(headMan), keepSafe) ++ newDvs) -- goneSafe -- newRel)))
+        (dvCarry(Some(headMan), keepSafe) ++ newDvs) -- goneSafe -- newRel))) {
+      // rewritten files' merged sidecars were commit-transient: nothing
+      // references them now (best-effort — vacuum sweeps leftovers)
+      cleanupSidecars(rewriteDvs.values.map(_._1))
       expectedVersion + 1
-    else {
-      cleanupBatch(); cleanupSidecars()
+    } else {
+      cleanupAll()
       throw new java.util.ConcurrentModificationException(
         s"row-level operation on '$table' was derived from version " +
           s"$expectedVersion but another writer committed first — " +
@@ -2003,9 +2097,29 @@ object VersionedTable {
     * with ZERO data I/O — not probed, not rewritten. On a range-clustered
     * table this makes retention deletes (`ts < cutoff`) metadata-only for
     * every fully-expired file, the partition-drop story without partition
-    * dirs; only the boundary file pays a rewrite. */
+    * dirs; only the boundary file pays a rewrite.
+    *
+    * MERGE-ON-READ tables (`write.mode = merge-on-read`) take the DV
+    * path instead — the same commit shape as SQL DELETE on the catalog
+    * surface: matched positions spill to fragment sidecars
+    * EXECUTOR-SIDE (only pointers reach the driver), fully-covered
+    * files still drop metadata-only, and [[applyRowDeltas]]'s
+    * `dv_max_fraction` fallback rewrites any file the statement has
+    * mostly deleted. Untouched files carry byte-for-byte verbatim. */
   def delete(tgt: Catalog, table: String, cond: org.apache.spark.sql.Column): Long = {
     Loader.ensureParquetWriteConf(tgt.spark)
+    if (isMergeOnRead(tgt, table))
+      return commitWithRetry(table, "delete") { () =>
+        // head state re-read each attempt (stale after a lost race)
+        val cur = currentVersion(tgt, table).getOrElse(
+          throw new IllegalArgumentException(s"versioned table '$table' not found"))
+        val man = readManifest(tgt, table, cur).get
+        val tree = org.apache.spark.sql.graft.ColumnExprBridge.predTree(cond)
+        val (candRel0, _) = pruneByStats(man, cond)
+        val dropped = candRel0.filter(r => fileCovered(man, r, tree)).toSet
+        deleteMorAttempt(tgt, table, cur, man, _.where(cond),
+          candRel0.filterNot(dropped), dropped)
+      }
     commitWithRetry(table, "delete") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
@@ -2117,6 +2231,12 @@ object VersionedTable {
       val man = readManifest(tgt, table, cur).get
       def absOf(rel: String) = new Path(dataDir(tgt, table), rel).toUri.getPath
       val candRel = envelope.map(p => pruneByStats(man, p)._1).getOrElse(man.files)
+      if (man.props.get(WriteModeProp).contains(MergeOnRead))
+        // merge-on-read: victims become DV positions (fragments written
+        // executor-side); no file rewrites below dv_max_fraction
+        deleteMorAttempt(tgt, table, cur, man,
+          _.join(kr, keys, "left_semi"), candRel, Set.empty)
+      else {
       // input_file_name() must bind on the SCAN side — above a join it is
       // ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
       val hit: Set[String] =
@@ -2152,7 +2272,104 @@ object VersionedTable {
           None
         }
       }
+      }
     } finally kr.unpersist()
+  }
+
+  /** One MERGE-ON-READ delete attempt (shared by [[delete]] and
+    * [[deleteKeys]] on `write.mode = merge-on-read` tables): `matchedOf`
+    * narrows the candidate files' rows to the victims (a predicate or a
+    * semi-join), whose `(file, row-position)` pairs spill to fragment
+    * sidecars EXECUTOR-SIDE — the driver collects only (file → fragment
+    * path) pointers, then commits through [[applyRowDeltas]] (merged
+    * sidecar per file, full-coverage drop, `dv_max_fraction` CoW
+    * fallback). `dropWhole` carries the zone-map-proven fully-covered
+    * files, dropped metadata-only without being scanned. None on a lost
+    * CAS race — the caller's retry loop recomputes against the new head. */
+  private def deleteMorAttempt(tgt: Catalog, table: String,
+                               cur: Long, man: Manifest,
+                               matchedOf: DataFrame => DataFrame,
+                               candRel: Seq[String],
+                               dropWhole: Set[String]): Option[Long] = {
+    def abs(r: String) = new Path(dataDir(tgt, table), r).toString
+    val stage = s"${tgt.dirPath(table)}.__vstage/mor-del-${java.util.UUID.randomUUID()}"
+    val f = fs(tgt, dataDir(tgt, table))
+    try {
+      // probe WITHOUT applying prior DVs: a re-matched already-deleted
+      // position unions into the merged sidecar idempotently, and
+      // skipping the DV filter keeps the probe a plain vectorized scan
+      val frags: Map[String, Seq[String]] =
+        if (candRel.isEmpty) Map.empty
+        else writePositionFragments(tgt.spark,
+          matchedOf(readFileList(tgt, candRel.map(abs), recordedSchema(man))
+            .withColumn("__graft_fp", col("_metadata.file_path"))
+            .withColumn("__graft_ri", col("_metadata.row_index")))
+            .select(col("__graft_fp"), col("__graft_ri")), stage)
+      if (frags.isEmpty && dropWhole.isEmpty) {
+        // nothing matched: the delete is recorded without touching a byte
+        preCommitHook.value()
+        if (tryCommitManifest(tgt, table, man.copy(version = cur + 1L)))
+          Some(cur + 1L)
+        else None
+      } else {
+        try Some(applyRowDeltas(tgt, table, cur, frags, Nil, Nil, dropWhole))
+        catch { case _: java.util.ConcurrentModificationException => None }
+      }
+    } finally {
+      try { val p = new Path(stage); if (f.exists(p)) f.delete(p, true) }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Positions buffered per file before an executor spills a fragment
+    * sidecar — 4M longs = 32 MB. */
+  private val MorFragFlushAt = 4 << 20
+
+  /** Spill `(file path, row position)` pairs to fragment sidecars
+    * EXECUTOR-SIDE: one shuffle partition per file (so each file's
+    * positions arrive sorted and together), fragments of ≤
+    * [[MorFragFlushAt]] positions each — the driver receives only the
+    * (file → fragment paths) pointer map, O(files), regardless of how
+    * many rows the statement deletes. */
+  private def writePositionFragments(spark: org.apache.spark.sql.SparkSession,
+                                     fpRi: DataFrame,
+                                     stageDir: String): Map[String, Seq[String]] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val inEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val outEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING)
+    val cols = fpRi.columns
+    val flushAt = MorFragFlushAt
+    val pairs = fpRi
+      .repartition(col(cols(0)))
+      .sortWithinPartitions(col(cols(0)), col(cols(1)))
+      .as[(String, Long)](inEnc)
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        var curFile: String = null
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+        def flush(): Unit = if (curFile != null && buf.nonEmpty) {
+          val p = new Path(stageDir,
+            s"dvfrag-${java.util.UUID.randomUUID()}.dv")
+          org.apache.spark.sql.graft.DeletionVectors.write(
+            p.getFileSystem(conf.value), p, buf.toArray)
+          out += ((curFile, p.toString))
+          buf.clear()
+        }
+        it.foreach { case (fp, ri) =>
+          if (fp != curFile) { flush(); curFile = fp }
+          buf += ri
+          if (buf.length >= flushAt) flush()
+        }
+        flush()
+        out.iterator
+      }(outEnc)
+      .collect()
+    pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
   }
 
   /** COMPACTION as a version: coalesce small files into
@@ -2538,9 +2755,9 @@ object VersionedTable {
 
   /** Read `rels` of `man`, APPLYING their deletion vectors: clean files
     * take the plain parquet path untouched; DV'd files read with the
-    * `_metadata.row_index` column and drop their DV positions through a
-    * broadcast sorted-array probe (exact under row-group skipping — the
-    * reader stamps true file positions). Every internal rewrite path
+    * `_metadata.row_index` column and drop their DV positions through an
+    * executor-side sorted-array probe (exact under row-group skipping —
+    * the reader stamps true file positions). Every internal rewrite path
     * (delete, deleteKeys, compact, scoped upsert) funnels through here
     * so a rewrite can never resurrect a DV-deleted row. */
   private def readRelsWithDv(tgt: Catalog, table: String, man: Manifest,
@@ -2548,19 +2765,51 @@ object VersionedTable {
                              schema: Option[org.apache.spark.sql.types.StructType]
                                = None): DataFrame = {
     val sch = schema.orElse(recordedSchema(man))
-    def abs(r: String) = new Path(dataDir(tgt, table), r).toString
     val (dirty, clean) = rels.partition(man.dvs.contains)
+    readRelsApplyingSidecars(tgt, table, dirty, clean,
+      dirty.map(r => r -> man.dvs(r)._1).toMap, sch)
+  }
+
+  /** [[readRelsWithDv]] with EXPLICIT sidecars — for positions merged by
+    * an in-flight statement that no manifest records yet (the MOR
+    * CoW-fraction rewrite reads a file's live rows this way). */
+  private def readRelsWithSidecars(tgt: Catalog, table: String,
+                                   rels: Seq[String],
+                                   sidecarByRel: Map[String, String],
+                                   schema: Option[org.apache.spark.sql.types.StructType]
+                                     = None): DataFrame = {
+    val (dirty, clean) = rels.partition(sidecarByRel.contains)
+    readRelsApplyingSidecars(tgt, table, dirty, clean, sidecarByRel, schema)
+  }
+
+  /** The shared DV-applying read core: sidecars decode EXECUTOR-SIDE
+    * (per-JVM LRU — [[org.apache.spark.sql.graft.DeletionVectors
+    * .readCached]]), so the driver broadcasts only (file → sidecar path)
+    * pointers, never the position arrays — a heavily-deleted file's
+    * vector stays off the driver heap on the rewrite path. */
+  private def readRelsApplyingSidecars(
+      tgt: Catalog, table: String,
+      dirty: Seq[String], clean: Seq[String],
+      sidecarByRel: Map[String, String],
+      sch: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    def abs(r: String) = new Path(dataDir(tgt, table), r).toString
     if (dirty.isEmpty) return readFileList(tgt, clean.map(abs), sch)
-    val f = fs(tgt, dataDir(tgt, table))
-    val dvByPath: Map[String, Array[Long]] = dirty.map { r =>
+    val dvPathByFile: Map[String, String] = dirty.map { r =>
       new Path(abs(r)).toUri.getPath ->
-        org.apache.spark.sql.graft.DeletionVectors.read(
-          f, new Path(dataDir(tgt, table), man.dvs(r)._1))
+        new Path(dataDir(tgt, table), sidecarByRel(r)).toString
     }.toMap
-    val bc = tgt.spark.sparkContext.broadcast(dvByPath)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      tgt.spark.sessionState.newHadoopConf())
+    val bc = tgt.spark.sparkContext.broadcast((dvPathByFile, conf))
     val live = udf((fp: String, idx: Long) => {
-      val a = bc.value.getOrElse(new Path(fp).toUri.getPath, null)
-      a == null || java.util.Arrays.binarySearch(a, idx) < 0
+      val (byFile, c) = bc.value
+      byFile.get(new Path(fp).toUri.getPath) match {
+        case None => true
+        case Some(sidecar) =>
+          val a = org.apache.spark.sql.graft.DeletionVectors
+            .readCached(c.value, sidecar)
+          java.util.Arrays.binarySearch(a, idx) < 0
+      }
     })
     val dirtyDf = readFileList(tgt, dirty.map(abs), sch)
       .withColumn("__graft_fp", col("_metadata.file_path"))

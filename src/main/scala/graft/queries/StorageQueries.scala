@@ -1326,6 +1326,42 @@ object StorageQueries {
         ORDER BY era, o_orderkey""")
     },
 
+    // F52 LIBRARY-PATH merge-on-read: VersionedTable.delete/deleteKeys on
+    // a 'write.mode'='merge-on-read' table commit DELETION VECTORS like
+    // SQL DELETE on the catalog surface — positions spill to fragment
+    // sidecars executor-side, EVERY data file carried verbatim (asserted
+    // in the fixture), time travel reads the pre-delete snapshot exactly.
+    "q_versioned_mor_library" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1500")
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 800),
+        idOrder = Seq("o_orderkey"),
+        extraProps = Map(
+          VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead))
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") > 800),
+        idOrder = Seq("o_orderkey"))
+      val pre = VersionedTable.files(tgt, "t", 2L).toSet
+      VersionedTable.delete(tgt, "t", col("o_orderkey") % 100 === 7)
+      require(VersionedTable.files(tgt, "t", 3L).toSet == pre,
+        "library MOR delete must carry every data file verbatim")
+      require(VersionedTable.deletionVectors(tgt, "t", 3L).nonEmpty,
+        "library MOR delete must record deletion vectors")
+      VersionedTable.deleteKeys(tgt, "t",
+        spark.range(1).select(lit(66L).as("o_orderkey"))
+          .union(spark.range(1).select(lit(1200L).as("o_orderkey"))),
+        Seq("o_orderkey"))
+      require(VersionedTable.files(tgt, "t", 4L).toSet == pre,
+        "library MOR deleteKeys must carry every data file verbatim")
+      VersionedTable.read(tgt, "t")
+        .select(lit("head").as("era"), col("o_orderkey"), col("o_totalprice"))
+        .unionByName(VersionedTable.readVersion(tgt, "t", 2L)
+          .select(lit("pre").as("era"), col("o_orderkey"), col("o_totalprice")))
+        .orderBy("era", "o_orderkey")
+    },
+
     // F51 SQL NAMESPACES — the reference's two-DB model in pure SQL:
     // `g.src.*` and `g.tgt.*` are sibling directories under one catalog
     // root, the SAME table name fully independent in each, and a
@@ -1754,6 +1790,15 @@ object StorageQueries {
         |UNION ALL
         |SELECT 'pre' AS era, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 1000
+        |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_versioned_mor_library" ->
+      """WITH state AS (SELECT o_orderkey, o_totalprice FROM orders
+        |               WHERE o_orderkey <= 1500)
+        |SELECT 'head' AS era, o_orderkey, o_totalprice FROM state
+        |WHERE o_orderkey % 100 <> 7 AND o_orderkey NOT IN (66, 1200)
+        |UNION ALL
+        |SELECT 'pre' AS era, o_orderkey, o_totalprice FROM state
         |ORDER BY era, o_orderkey""".stripMargin,
 
     "q_alter_add_column" ->

@@ -134,10 +134,13 @@ private[sources] final class GraftDeltaRowLevelOperation(
 }
 
 /** One task's commit payload: the staged insert file (if any rows) plus
-  * the (file → deleted positions) map the task accumulated. */
+  * POINTERS to the position-fragment sidecars the task wrote
+  * executor-side (file → fragment paths) — never the positions
+  * themselves, so a bulk DELETE's commit messages stay O(files), not
+  * O(deleted rows), through the driver. */
 private[sources] final case class DeltaTaskCommit(
     staged: Option[(String, Long)],
-    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+    deletes: Map[String, Seq[String]]) extends WriterCommitMessage
 
 /** The merge-on-read write: per-row deltas → one versioned DV commit. */
 private[sources] final class GraftDeltaRowWrite(
@@ -158,7 +161,9 @@ private[sources] final class GraftDeltaRowWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val inner = GraftStreamWrite.stageFactory(spark, schema, stagingRoot(spark))
-    new GraftDeltaWriterFactory(inner)
+    new GraftDeltaWriterFactory(inner, stagingRoot(spark),
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -166,13 +171,13 @@ private[sources] final class GraftDeltaRowWrite(
     val cat = new Catalog(spark, dir)
     val commits = messages.collect { case m: DeltaTaskCommit => m }
     val staged = commits.flatMap(_.staged).collect { case (p, n) if n > 0 => p }
-    // merge the tasks' position lists per file (tasks partition by scan
-    // slice, but a shuffle between scan and write may split a file's
-    // matches across tasks — concatenation is exact, applyRowDeltas
-    // sorts and dedups)
+    // group the tasks' FRAGMENT POINTERS per file (tasks partition by
+    // scan slice, but a shuffle between scan and write may split a
+    // file's matches across tasks — applyRowDeltas merges and dedups
+    // fragment contents per file)
     val deletes = commits.iterator.flatMap(_.deletes)
-      .foldLeft(Map.empty[String, Array[Long]]) { case (acc, (f, pos)) =>
-        acc.updated(f, acc.get(f).fold(pos)(_ ++ pos))
+      .foldLeft(Map.empty[String, Seq[String]]) { case (acc, (f, frags)) =>
+        acc.updated(f, acc.getOrElse(f, Nil) ++ frags)
       }
     if (deletes.isEmpty && staged.isEmpty) {
       // a DML that matched nothing commits NO version (Delta/Iceberg)
@@ -196,27 +201,61 @@ private[sources] final class GraftDeltaRowWrite(
 }
 
 private[sources] final class GraftDeltaWriterFactory(
-    inner: org.apache.spark.sql.graft.GraftStreamWriterFactory)
+    inner: org.apache.spark.sql.graft.GraftStreamWriterFactory,
+    stagingRoot: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new GraftDeltaTaskWriter(inner.createWriter(partitionId, taskId))
+    new GraftDeltaTaskWriter(inner.createWriter(partitionId, taskId),
+      stagingRoot, conf)
 }
 
-/** Task-side delta consumer: deletes accumulate (file → positions),
-  * inserts stream to the staged parquet writer. The id rows carry
+/** Task-side delta consumer: deleted positions SPILL to fragment
+  * sidecars in the staging dir (bounded buffer per file — a bulk DELETE
+  * never accumulates its full position set in task memory), inserts
+  * stream to the staged parquet writer. The id rows carry
   * [[GraftDeltaRowLevelOperation.rowId]]'s projection — `(_file, _pos)`
   * in that order. */
 private[sources] final class GraftDeltaTaskWriter(
-    inner: DataWriter[InternalRow]) extends DeltaWriter[InternalRow] {
+    inner: DataWriter[InternalRow],
+    stagingRoot: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+  extends DeltaWriter[InternalRow] {
 
-  private val deletes =
+  /** Positions buffered per file before spilling to a fragment — 4M
+    * longs = 32 MB, small enough to never threaten a task heap, big
+    * enough that fragments stay few and chunky. */
+  private val FlushAt = 4 << 20
+
+  private val buffered =
     scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+  private val fragments =
+    scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+  private lazy val fsys =
+    new Path(stagingRoot).getFileSystem(conf.value)
+
+  private def flush(file: String): Unit =
+    buffered.get(file).filter(_.nonEmpty).foreach { b =>
+      // positions within one task's view of one file are distinct by
+      // construction (Spark hands each matched row once); sort suffices
+      // for the fragment contract — the commit-side merge dedups anyway
+      val pos = b.toArray
+      java.util.Arrays.sort(pos)
+      val p = new Path(stagingRoot,
+        s"dvfrag-${UUID.randomUUID()}.dv")
+      org.apache.spark.sql.graft.DeletionVectors.write(fsys, p, pos)
+      fragments.getOrElseUpdate(file,
+        new scala.collection.mutable.ArrayBuffer[String]()) += p.toString
+      b.clear()
+    }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
-    deletes.getOrElseUpdate(file,
-      new scala.collection.mutable.ArrayBuffer[Long]()) += id.getLong(1)
+    val b = buffered.getOrElseUpdate(file,
+      new scala.collection.mutable.ArrayBuffer[Long]())
+    b += id.getLong(1)
+    if (b.length >= FlushAt) flush(file)
   }
 
   override def update(metadata: InternalRow, id: InternalRow,
@@ -233,11 +272,12 @@ private[sources] final class GraftDeltaTaskWriter(
   override def insert(row: InternalRow): Unit = inner.write(row)
 
   override def commit(): WriterCommitMessage = {
+    buffered.keys.toSeq.foreach(flush)
     val staged = inner.commit() match {
       case GraftStreamWrite.StagedFile(p, n) => Some((p, n))
       case _ => None
     }
-    DeltaTaskCommit(staged, deletes.view.mapValues(_.toArray).toMap)
+    DeltaTaskCommit(staged, fragments.view.mapValues(_.toSeq).toMap)
   }
 
   override def abort(): Unit = inner.abort()

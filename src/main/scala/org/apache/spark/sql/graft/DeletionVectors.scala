@@ -57,6 +57,29 @@ object DeletionVectors {
     read(p.getFileSystem(conf), p)
   }
 
+  /** Per-JVM LRU of decoded sidecars — sidecars are IMMUTABLE once
+    * written (a merge writes a NEW sidecar), so caching by path is
+    * always sound. Bounded: an executor scanning many partitions of the
+    * same DV'd files decodes each sidecar once, and the cap stops a
+    * long-lived executor from accreting dead tables' vectors. */
+  private val CacheEntries = 64
+  private val cache =
+    new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Long]]): Boolean =
+        size() > CacheEntries
+    }
+
+  def readCached(conf: Configuration, path: String): Array[Long] = {
+    cache.synchronized { Option(cache.get(path)) } match {
+      case Some(a) => a
+      case None =>
+        val a = read(conf, path)
+        cache.synchronized { cache.put(path, a) }
+        a
+    }
+  }
+
   /** Membership probe over a sorted position array. */
   def contains(sorted: Array[Long], pos: Long): Boolean =
     java.util.Arrays.binarySearch(sorted, pos) >= 0

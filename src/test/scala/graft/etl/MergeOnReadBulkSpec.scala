@@ -1,0 +1,141 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bulk-scale merge-on-read contracts (round-14 hardening):
+  *
+  *   - DML positions travel as EXECUTOR-written fragment sidecars; the
+  *     task commit messages carry only (file → fragment path) pointers —
+  *     never the position arrays — so a bulk DELETE is O(files) through
+  *     the driver's commit hop;
+  *   - the `dv_max_fraction` fallback: a statement that deletes most of
+  *     a file's rows (≥ fraction AND ≥ the absolute floor) REWRITES that
+  *     file copy-on-write instead of growing its DV — a DV can never
+  *     balloon toward the file's own size;
+  *   - the LIBRARY path ([[VersionedTable.delete]]/[[deleteKeys]]) on a
+  *     `write.mode = merge-on-read` table commits DVs exactly like SQL
+  *     DELETE on the catalog surface: untouched files carried verbatim.
+  */
+class MergeOnReadBulkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("gmor")
+  spark.conf.set("spark.sql.catalog.gmor", classOf[graft.sources.GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gmor.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  private def morProps = Map(VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead)
+
+  test("bulk DELETE above dv_max_fraction rewrites the files copy-on-write") {
+    spark.sql("CREATE TABLE gmor.default.bulk (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO gmor.default.bulk " +
+      "SELECT id, id * 10 FROM range(0, 12000)")
+    val v2Files = VersionedTable.files(lib, "bulk", 2L).toSet
+    assert(v2Files.nonEmpty)
+    // 60% of EVERY file (k % 10 < 6 is uniform across any row layout):
+    // per-file merged DV ≥ floor (1024) and ≥ 0.5 × rows → CoW fallback
+    spark.sql("DELETE FROM gmor.default.bulk WHERE k % 10 < 6")
+    val v3Files = VersionedTable.files(lib, "bulk", 3L).toSet
+    assert(VersionedTable.deletionVectors(lib, "bulk", 3L).isEmpty,
+      "a bulk delete must not commit DVs — the fraction fallback rewrites")
+    val carried = v3Files intersect v2Files
+    if (carried.nonEmpty) {
+      // only the row-less v1 schema file may carry through a bulk rewrite
+      assert(spark.read.parquet(carried.toSeq: _*).count() == 0L,
+        s"heavily-deleted files must be replaced, not carried: $carried")
+    }
+    val got = spark.sql("SELECT count(*), sum(v) FROM gmor.default.bulk")
+      .as[(Long, Long)].head()
+    val live = (0 until 12000).filter(_ % 10 >= 6)
+    assert(got == ((live.size.toLong, live.map(_ * 10L).sum)),
+      s"rewritten table must hold exactly the live rows: $got")
+    // time travel: the pre-delete version is untouched
+    assert(spark.sql(
+      "SELECT count(*) FROM gmor.default.bulk VERSION AS OF 2")
+      .as[Long].head() == 12000L)
+  }
+
+  test("a small scattered DELETE stays a DV (below the rewrite floor)") {
+    spark.sql("CREATE TABLE gmor.default.sm (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO gmor.default.sm SELECT id, id FROM range(0, 12000)")
+    val pre = VersionedTable.files(lib, "sm", 2L).toSet
+    spark.sql("DELETE FROM gmor.default.sm WHERE k % 100 = 7") // 1% per file
+    assert(VersionedTable.files(lib, "sm", 3L).toSet == pre,
+      "a scattered 1% delete must carry every data file verbatim")
+    val dvs = VersionedTable.deletionVectors(lib, "sm", 3L)
+    assert(dvs.nonEmpty && dvs.values.map(_._2).sum == 120L,
+      s"the 120 deleted positions must land in DVs: $dvs")
+    assert(spark.sql("SELECT count(*) FROM gmor.default.sm")
+      .as[Long].head() == 11880L)
+  }
+
+  test("library-path delete on a merge-on-read table commits a DV, files verbatim") {
+    VersionedTable.load(lib, "libm",
+      spark.range(0, 500).select($"id".as("k"), ($"id" * 2).as("v")),
+      extraProps = morProps)
+    VersionedTable.load(lib, "libm",
+      spark.range(500, 1000).select($"id".as("k"), ($"id" * 2).as("v")))
+    val pre = VersionedTable.files(lib, "libm", 2L).toSet
+    val v = VersionedTable.delete(lib, "libm", col("k") === 123L || col("k") === 777L)
+    assert(v == 3L)
+    assert(VersionedTable.files(lib, "libm", 3L).toSet == pre,
+      "the library MOR delete must not rewrite or add a single data file")
+    val dvs = VersionedTable.deletionVectors(lib, "libm", 3L)
+    assert(dvs.size == 2 && dvs.values.map(_._2).sum == 2L,
+      s"one position in each touched file's DV: $dvs")
+    assert(VersionedTable.read(lib, "libm").count() == 998L)
+    assert(VersionedTable.read(lib, "libm")
+      .where(col("k").isin(123L, 777L)).count() == 0L)
+    // time travel + a second delete MERGES into a new sidecar
+    assert(VersionedTable.readVersion(lib, "libm", 2L).count() == 1000L)
+    VersionedTable.delete(lib, "libm", col("k") === 124L)
+    val dvs2 = VersionedTable.deletionVectors(lib, "libm", 4L)
+    assert(dvs2.values.map(_._2).sum == 3L, s"merged positions: $dvs2")
+    // a delete matching NOTHING commits a metadata-only version
+    val v5 = VersionedTable.delete(lib, "libm", col("k") === -1L)
+    assert(v5 == 5L)
+    assert(VersionedTable.files(lib, "libm", 5L).toSet == pre)
+    assert(VersionedTable.read(lib, "libm").count() == 997L)
+  }
+
+  test("library-path deleteKeys on a merge-on-read table commits a DV") {
+    VersionedTable.load(lib, "libk",
+      spark.range(0, 1000).select($"id".as("k"), ($"id" % 7).as("v")),
+      extraProps = morProps)
+    val pre = VersionedTable.files(lib, "libk", 1L).toSet
+    val victims = Seq(3L, 99L, 512L).toDF("k")
+    val v = VersionedTable.deleteKeys(lib, "libk", victims, Seq("k"))
+    assert(v == 2L)
+    assert(VersionedTable.files(lib, "libk", 2L).toSet == pre,
+      "deleteKeys on MOR must carry every data file verbatim")
+    assert(VersionedTable.deletionVectors(lib, "libk", 2L)
+      .values.map(_._2).sum == 3L)
+    assert(VersionedTable.read(lib, "libk").count() == 997L)
+    assert(VersionedTable.read(lib, "libk")
+      .where(col("k").isin(3L, 99L, 512L)).count() == 0L)
+    // library CHANGE FEED sees the three deletes
+    val feed = VersionedTable.changes(lib, "libk", 1L, 2L, Seq("k"))
+      .select("op", "k").as[(String, Long)].collect().toSet
+    assert(feed == Set(("delete", 3L), ("delete", 99L), ("delete", 512L)),
+      s"the DV delete must surface in the change feed: $feed")
+  }
+
+  test("a zone-covered file drops metadata-only through the library MOR delete") {
+    VersionedTable.load(lib, "libz",
+      spark.range(0, 100).select($"id".as("k")), extraProps = morProps,
+      idOrder = Seq("k"))
+    VersionedTable.load(lib, "libz",
+      spark.range(100, 200).select($"id".as("k")))
+    val preFiles = VersionedTable.files(lib, "libz", 2L)
+    VersionedTable.delete(lib, "libz", col("k") < 100L)
+    val post = VersionedTable.files(lib, "libz", 3L).toSet
+    assert(post.subsetOf(preFiles.toSet) && post.size < preFiles.size,
+      "fully-covered files must drop without a rewrite")
+    assert(VersionedTable.deletionVectors(lib, "libz", 3L).isEmpty,
+      "a whole-file drop needs no DV")
+    assert(VersionedTable.read(lib, "libz").count() == 100L)
+  }
+}
