@@ -32,17 +32,39 @@ class PushdownFuzzSpec extends SparkSpec {
   private case class R(k: Long, c: Option[Long], s: String)
 
   /** Build a random multi-version table; returns (catalog, snapshots —
-    * snapshot(i) is the expected state of version i+1). */
+    * snapshot(i) is the expected state of version i+1). With `mor` the
+    * table is merge-on-read: every delete/deleteKeys commits DELETION
+    * VECTORS instead of rewrites, so the checked versions carry DV'd
+    * manifests — zone filters, LIMIT's live-row counting, top-N, and the
+    * manifest-aggregate decline rule all get fuzzed over DVs. */
   private def buildTable(rnd: Random, bucketed: Boolean, extremes: Boolean,
-                         allNullC: Boolean): (Catalog, Vector[Vector[R]]) = {
+                         allNullC: Boolean,
+                         mor: Boolean = false): (Catalog, Vector[Vector[R]]) = {
     val tgt = new Catalog(spark, tmpDir("fuzz"))
     var nextK = 0L
     var state = Vector.empty[R]
     val snaps = Vector.newBuilder[Vector[R]]
     val nCommits = 3 + rnd.nextInt(3)
     var committed = 0
+    var deletes = 0
+    def doDelete(): Unit = if (rnd.nextBoolean()) {
+      val victims = state.filter(_ => rnd.nextDouble() < 0.2).map(_.k)
+      VersionedTable.deleteKeys(tgt, "t", victims.toDF("k"), Seq("k"))
+      val vs = victims.toSet
+      state = state.filterNot(r => vs(r.k))
+    } else {
+      val x = rnd.nextInt(1000).toLong
+      VersionedTable.delete(tgt, "t", col("c") <= x)
+      // Spark WHERE semantics: NULL c does not match, survives
+      state = state.filterNot(r => r.c.exists(_ <= x))
+    }
     while (committed < nCommits) {
-      val op = if (state.isEmpty) 0 else rnd.nextInt(10)
+      val op =
+        if (state.isEmpty) 0
+        // a MOR case must actually exercise DVs: force the last commit
+        // to a delete when the random walk produced none
+        else if (mor && deletes == 0 && committed == nCommits - 1) 9
+        else rnd.nextInt(10)
       if (op < 6) {
         val n = rnd.nextInt(120)
         val rows = (0 until n).map { _ =>
@@ -58,18 +80,14 @@ class PushdownFuzzSpec extends SparkSpec {
         VersionedTable.load(tgt, "t",
           rows.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s"),
           idOrder = Seq("k"),
-          bucketBy = if (bucketed && committed == 0) Some((Seq("k"), 4)) else None)
+          bucketBy = if (bucketed && committed == 0) Some((Seq("k"), 4)) else None,
+          extraProps = if (mor && committed == 0)
+            Map(VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead)
+          else Map.empty)
         state = state ++ rows
-      } else if (op < 8) {
-        val victims = state.filter(_ => rnd.nextDouble() < 0.2).map(_.k)
-        VersionedTable.deleteKeys(tgt, "t", victims.toDF("k"), Seq("k"))
-        val vs = victims.toSet
-        state = state.filterNot(r => vs(r.k))
       } else {
-        val x = rnd.nextInt(1000).toLong
-        VersionedTable.delete(tgt, "t", col("c") <= x)
-        // Spark WHERE semantics: NULL c does not match, survives
-        state = state.filterNot(r => r.c.exists(_ <= x))
+        doDelete()
+        deletes += 1
       }
       committed += 1
       snaps += state
@@ -144,10 +162,10 @@ class PushdownFuzzSpec extends SparkSpec {
   }
 
   private def runCase(seed: Long, bucketed: Boolean, extremes: Boolean,
-                      allNullC: Boolean): Unit = {
+                      allNullC: Boolean, mor: Boolean = false): Unit = {
     val rnd = new Random(seed)
-    val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC)
-    val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC"
+    val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC, mor)
+    val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC m=$mor"
     // first, last, and one random middle version
     val vs = Set(1, snaps.size, 1 + rnd.nextInt(snaps.size)).toSeq.sorted
     vs.foreach(v => checkVersion(tgt, v.toLong, snaps(v - 1), rnd, tag))
@@ -172,6 +190,18 @@ class PushdownFuzzSpec extends SparkSpec {
 
   test("all-null sort column voids top-N truncation, results exact") {
     runCase(20260819L, bucketed = false, extremes = false, allNullC = true)
+  }
+
+  test("merge-on-read histories: every pushdown stays exact over deletion vectors") {
+    runCase(20260820L, bucketed = false, extremes = false, allNullC = false,
+      mor = true)
+    runCase(20260821L, bucketed = false, extremes = true, allNullC = false,
+      mor = true)
+  }
+
+  test("bucketed merge-on-read: bucket pruning composes with deletion vectors") {
+    runCase(20260822L, bucketed = true, extremes = false, allNullC = false,
+      mor = true)
   }
 
   test("empty table: zero partitions, zero rows, null extrema") {
