@@ -2612,8 +2612,8 @@ object VersionedTable {
       }) finally out.close()
     } catch {
       case e: java.io.IOException =>
-        System.err.println(
-          s"[graft] WARNING: clone '$dstTable' committed but its protection " +
+        graft.GraftLog.warn(
+          s"clone '$dstTable' committed but its protection " +
             s"marker write on source '$srcTable' failed (${e.getMessage}); " +
             "the source's vacuum will NOT protect the shared files — " +
             "re-register by re-creating the marker or vacuum with care")

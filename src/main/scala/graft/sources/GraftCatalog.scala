@@ -105,6 +105,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                                metadata: JMap[String, String]): Unit = {
     validNs(ns)
     require(!isDefault(ns), "namespace 'default' always exists")
+    // refuse-loudly convention: graft namespaces carry no metadata, so
+    // CREATE NAMESPACE ... WITH PROPERTIES/COMMENT must not "succeed"
+    // while silently dropping what the user declared (Spark itself
+    // injects an 'owner' property — that one is tolerated and ignored)
+    val declared = metadata.asScala.keySet - "owner"
+    if (declared.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft namespaces carry no metadata — remove " +
+          s"${declared.toSeq.sorted.mkString("'", "', '", "'")} " +
+          "(properties/comments on CREATE NAMESPACE are unsupported)")
     if (namespaceExists(ns))
       throw new org.apache.spark.sql.catalyst.analysis
         .NamespaceAlreadyExistsException(ns)
@@ -146,16 +156,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       "graft namespaces carry no mutable metadata")
 
   /** DROP NAMESPACE: empty namespaces only (cascade refuses — dropping
-    * tables is an explicit, clone-guarded operation). */
+    * tables is an explicit, clone-guarded operation). A non-empty
+    * namespace surfaces as the contract's
+    * [[org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException]]
+    * shape, so SQL tooling that catches it (e.g. to offer CASCADE)
+    * recognizes the refusal. */
   override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
     validNs(ns)
     require(!isDefault(ns), "cannot drop the default namespace")
     if (!namespaceExists(ns)) false
     else {
-      require(listTables(ns).isEmpty,
-        s"namespace '${ns.head}' still holds tables — drop them first " +
-          "(DROP NAMESPACE ... CASCADE is refused: table drops are " +
-          "explicit, clone-guarded operations)")
+      if (listTables(ns).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(ns,
+            details = "drop its tables first — CASCADE is refused: " +
+              "table drops are explicit, clone-guarded operations")
       fsOf.delete(new Path(nsDir(ns)), true)
     }
   }

@@ -622,7 +622,8 @@ private[sources] final class GraftScan(
       skipChangeCommits = o("skipChangeCommits").exists(_.toBoolean),
       startingVersion = graft.streaming.CdcStreamProvider
         .resolveStartingVersion(new Catalog(spark, dir), table,
-          o("startingVersion").map(_.toLong), o("startingTimestamp")),
+          o("startingVersion").map(_.toLong), o("startingTimestamp"),
+          failOnDataLoss = o("failOnDataLoss").exists(_.toBoolean)),
       admissionFilter = o("admissionFilter").map(_.trim).filter(_.nonEmpty))
   }
 }

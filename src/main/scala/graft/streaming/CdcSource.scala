@@ -201,8 +201,8 @@ object CdcSource {
         }
       }
       if (needsRebase) {
-        System.err.println(
-          s"[graft] view '$view': watermark lost with pre-v$v0 state in the " +
+        graft.GraftLog.warn(
+          s"view '$view': watermark lost with pre-v$v0 state in the " +
             "view — rebuilding from the earliest retained snapshot to avoid " +
             "double-counting")
         val vp = new Path(viewTgt.dirPath(view))

@@ -140,8 +140,8 @@ private[streaming] final class CdcScan(
     (explicit, recorded) match {
       case (Some(e), Some(r)) =>
         if (e.map(_.toLowerCase).toSet != r.map(_.toLowerCase).toSet)
-          System.err.println(
-            s"[graft] WARNING: graft-cdc 'keys' option (${e.mkString(",")}) " +
+          graft.GraftLog.warn(
+            s"graft-cdc 'keys' option (${e.mkString(",")}) " +
               s"differs from table '$table''s recorded upsert keys " +
               s"(${r.mkString(",")}) — using the explicit option; a non-key " +
               "column here makes every update read as an insert+delete pair")
@@ -251,7 +251,9 @@ private[streaming] final class CdcScan(
       maxBytesPerTrigger = optNum("maxBytesPerTrigger"),
       startingVersion = CdcStreamProvider.resolveStartingVersion(
         cat, opt("table"), optNum("startingVersion"),
-        options.find(_._1.equalsIgnoreCase("startingTimestamp")).map(_._2)),
+        options.find(_._1.equalsIgnoreCase("startingTimestamp")).map(_._2),
+        failOnDataLoss = options.find(_._1.equalsIgnoreCase("failOnDataLoss"))
+          .exists(_._2.toBoolean)),
       admit = resolveAdmission(spark, cat, opt("table")).map(_.zonePred)
         .getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil)))
   }
@@ -329,11 +331,19 @@ private[graft] object CdcStreamProvider {
     * (ISO-8601 UTC / epoch millis, resolved to the EARLIEST commit at or
     * after the instant by the manifest-recorded commit times); both
     * together are rejected; neither = snapshot bootstrap. A timestamp
-    * past every retained commit starts an empty tail at the head. */
+    * past every retained commit starts an empty tail at the head.
+    *
+    * `failOnDataLoss`: when the resolved version's diff base was
+    * VACUUMED away, the default (false) falls back to a full-snapshot
+    * bootstrap with a logged warning — the entire current table re-emits
+    * as inserts, safe only for idempotent keyed consumers. `true` fails
+    * the query instead (Kafka/Delta's loud-death option) for operators
+    * who would rather re-provision than risk duplicates. */
   private[graft] def resolveStartingVersion(
       cat: graft.etl.Catalog, table: String,
       startingVersion: Option[Long],
-      startingTimestamp: Option[String]): Option[Long] = {
+      startingTimestamp: Option[String],
+      failOnDataLoss: Boolean = false): Option[Long] = {
     require(startingVersion.isEmpty || startingTimestamp.isEmpty,
       "startingVersion and startingTimestamp are mutually exclusive")
     // versions start at 1; 0 or negative would serialize an offset whose
@@ -352,11 +362,17 @@ private[graft] object CdcStreamProvider {
       // current table as inserts — silent, that reads as mass duplicates.
       if (resolved > 1 &&
           VersionedTable.versions(cat, table).headOption.forall(resolved <= _)) {
-        System.err.println(
-          s"[graft] WARNING: startingTimestamp '$t' on '$table' resolves " +
+        if (failOnDataLoss) throw new IllegalStateException(
+          s"startingTimestamp '$t' on '$table' resolves to version " +
+            s"$resolved, whose diff base was vacuumed away, and " +
+            "failOnDataLoss=true refuses the full-snapshot fallback — " +
+            "retain more versions or restart without the option")
+        graft.GraftLog.warn(
+          s"startingTimestamp '$t' on '$table' resolves " +
             s"to version $resolved, whose diff base was vacuumed away — " +
             "falling back to a FULL SNAPSHOT bootstrap (the entire current " +
-            "table re-emits as inserts). Retain more versions, or expect " +
+            "table re-emits as inserts). Retain more versions, set " +
+            "failOnDataLoss=true to refuse instead, or expect " +
             "the duplicates and apply the feed idempotently by key")
         None
       } else Some(resolved)

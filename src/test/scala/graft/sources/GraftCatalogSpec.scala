@@ -163,8 +163,28 @@ class GraftCatalogSpec extends SparkSpec {
     // an unknown namespace refuses at CREATE; duplicates refuse
     intercept[Exception] { spark.sql("CREATE TABLE gq.nope.t (k BIGINT)") }
     intercept[Exception] { spark.sql("CREATE NAMESPACE gq.src") }
-    // DROP NAMESPACE: refuses while tables remain, succeeds when empty
-    intercept[Exception] { spark.sql("DROP NAMESPACE gq.src") }
+    // declared namespace metadata refuses LOUDLY (never silently dropped)
+    val metaErr = intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gq.meta WITH PROPERTIES ('k' = 'v')")
+    }
+    assert(metaErr.getMessage.contains("no metadata"),
+      s"properties must refuse by name: ${metaErr.getMessage}")
+    intercept[Exception] {
+      spark.sql("CREATE NAMESPACE gq.meta2 COMMENT 'nope'")
+    }
+    assert(!spark.sql("SHOW NAMESPACES IN gq").select("namespace")
+      .as[String].collect().toSet.exists(Set("meta", "meta2")),
+      "a refused CREATE NAMESPACE must create nothing")
+    // DROP NAMESPACE: refuses while tables remain. The catalog throws
+    // the contract's NonEmptyNamespaceException, which Spark RECOGNIZES
+    // and rewraps as the standard SCHEMA_NOT_EMPTY condition (with the
+    // CASCADE hint) — a bare require() would surface as an opaque
+    // IllegalArgumentException instead.
+    val dropErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DROP NAMESPACE gq.src")
+    }
+    assert(dropErr.getCondition == "SCHEMA_NOT_EMPTY",
+      s"non-empty drop must surface as SCHEMA_NOT_EMPTY, got $dropErr")
     spark.sql("DROP TABLE gq.src.ev")
     spark.sql("DROP NAMESPACE gq.src")
     assert(!spark.sql("SHOW NAMESPACES IN gq")

@@ -195,6 +195,30 @@ class CdcV2StreamSpec extends SparkSpec {
     assert(snap.length == 29 && snap.forall(_._1 == "insert"))
   }
 
+  test("failOnDataLoss refuses the vacuumed-startingTimestamp snapshot fallback") {
+    val src = new Catalog(spark, tmpDir("v2dl"))
+    VersionedTable.load(src, "t", Seq((1L, "a")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((2L, "b")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.load(src, "t", Seq((3L, "c")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.vacuum(src, "t", keepLast = 1)
+    // a timestamp before the earliest RETAINED commit resolves to a
+    // version whose diff base was vacuumed: the default falls back to
+    // the full-snapshot bootstrap (None) with a logged warning...
+    assert(CdcStreamProvider.resolveStartingVersion(
+      src, "t", None, Some("0")).isEmpty,
+      "the vacuumed diff base must fall back to the snapshot bootstrap")
+    // ...and failOnDataLoss=true refuses loudly instead
+    val e = intercept[IllegalStateException] {
+      CdcStreamProvider.resolveStartingVersion(
+        src, "t", None, Some("0"), failOnDataLoss = true)
+    }
+    assert(e.getMessage.contains("failOnDataLoss"),
+      s"the refusal must name the option: ${e.getMessage}")
+    // an explicit startingVersion is unaffected by the option
+    assert(CdcStreamProvider.resolveStartingVersion(
+      src, "t", Some(3L), None, failOnDataLoss = true).contains(3L))
+  }
+
   test("a vacuumed-away checkpoint version fails loudly") {
     val src = new Catalog(spark, tmpDir("v2vsrc"))
     val dst = new Catalog(spark, tmpDir("v2vdst"))
