@@ -59,6 +59,52 @@ class AppendTailStreamSpec extends SparkSpec {
       (1L to 13L), "tail must reconstruct the table exactly")
   }
 
+  test("a DV'd bootstrap replays exactly across a compaction on restart") {
+    // the round-13 crash-loop worry, pinned: a batch PLANNED over a DV'd
+    // snapshot must replay bit-identically after a compaction
+    // materializes the DVs — replay plans from the batch's own immutable
+    // manifests (DV sidecars intact until vacuum), never the new head.
+    val src = new Catalog(spark, tmpDir("atmor"))
+    val out = tmpDir("atmorout") + "/rows"
+    val ckpt = tmpDir("atmorck")
+    val log = new ConcurrentLinkedQueue[Long]()
+    VersionedTable.load(src, "t",
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "s"), idOrder = Seq("k"),
+      extraProps = Map(VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead))
+    VersionedTable.load(src, "t", (21L to 25L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    VersionedTable.delete(src, "t", col("k") === 3L || col("k") === 12L) // v3: DVs
+    assert(VersionedTable.deletionVectors(src, "t", 3L).nonEmpty, "fixture: DV'd head")
+    // bootstrap snapshot OF the DV'd head: 23 live rows
+    drain(reader(src, Map("admissionFilter" -> "k >= 1")), ckpt, log, out)
+    assert(log.asScala.toSeq == Seq(23L),
+      s"DV'd snapshot must emit exactly the live rows, got ${log.asScala.toSeq}")
+    // force REDELIVERY of the planned batch: drop its commit marker, so
+    // the restart replays offsets the engine already planned...
+    val commit0 = new org.apache.hadoop.fs.Path(s"$ckpt/commits/0")
+    commit0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(commit0, false)
+    // ...and move the table PAST the batch meanwhile: compaction
+    // materializes the DVs (a change commit — skipped on the tail)
+    VersionedTable.compact(src, "t", 128L * 1024 * 1024)
+    assert(VersionedTable.deletionVectors(src, "t", 4L).isEmpty)
+    drain(reader(src, Map("admissionFilter" -> "k >= 1",
+      "skipChangeCommits" -> "true")), ckpt, log, out)
+    assert(log.asScala.toSeq == Seq(23L, 23L),
+      s"the replayed batch must re-emit the same 23 rows, got ${log.asScala.toSeq}")
+    // the two drains' outputs are identical row sets (replay ≡ original)
+    val rows = spark.read.parquet(out).select("k").as[Long].collect().sorted.toSeq
+    val live = (1L to 25L).filterNot(k => k == 3L || k == 12L)
+    assert(rows == (live ++ live).sorted,
+      "replay must reproduce the DV-filtered snapshot exactly")
+    // and the stream continues cleanly past the compaction with new appends
+    VersionedTable.load(src, "t", Seq((26L, "v26")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    drain(reader(src, Map("admissionFilter" -> "k >= 1",
+      "skipChangeCommits" -> "true")), ckpt, log, out)
+    assert(log.asScala.toSeq == Seq(23L, 23L, 1L))
+  }
+
   test("a change commit refuses loudly; skipChangeCommits skips it and continues") {
     val src = new Catalog(spark, tmpDir("atc"))
     VersionedTable.load(src, "t", (1L to 5L).map(i => (i, s"v$i")).toDF("k", "s"),

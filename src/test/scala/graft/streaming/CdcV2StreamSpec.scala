@@ -195,6 +195,39 @@ class CdcV2StreamSpec extends SparkSpec {
     assert(snap.length == 29 && snap.forall(_._1 == "insert"))
   }
 
+  test("the CDC stream replays a DV-delete batch exactly across a compaction") {
+    val src = new Catalog(spark, tmpDir("v2morsrc"))
+    val dst = new Catalog(spark, tmpDir("v2mordst"))
+    val ckpt = tmpDir("v2morck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t",
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "s"), idOrder = Seq("k"),
+      extraProps = Map(VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead))
+    drain(src, dst, ckpt, log)
+    // v2: a MOR delete — the feed must carry exactly the delete rows
+    VersionedTable.delete(src, "t", col("k") > 27L)
+    log.clear()
+    drain(src, dst, ckpt, log)
+    assert(log.asScala.toSeq.map(x => (x._1, x._3)) ==
+      Seq((3L, Map("delete" -> 3L))),
+      s"the DV delete must feed 3 delete rows: ${log.asScala.toSeq}")
+    assert(snap(dst, "m") == snap(src, "t"))
+    // force redelivery of that batch, compact meanwhile: the replay plans
+    // from v1/v2's immutable manifests (DV sidecars intact), re-emitting
+    // the SAME delete rows; the compaction itself diffs to nothing
+    val commit1 = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+    commit1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(commit1, false)
+    VersionedTable.compact(src, "t", 128L * 1024 * 1024)
+    log.clear()
+    drain(src, dst, ckpt, log)
+    assert(log.asScala.toSeq.map(x => (x._1, x._3)) ==
+      Seq((3L, Map("delete" -> 3L))),
+      s"replay must re-emit the same delete batch: ${log.asScala.toSeq}")
+    assert(snap(dst, "m") == snap(src, "t"),
+      "the idempotent keyed apply must converge to the source state")
+  }
+
   test("failOnDataLoss refuses the vacuumed-startingTimestamp snapshot fallback") {
     val src = new Catalog(spark, tmpDir("v2dl"))
     VersionedTable.load(src, "t", Seq((1L, "a")).toDF("k", "s"), idOrder = Seq("k"))
