@@ -326,8 +326,9 @@ object VersionedTable {
       .exists(_.props.get(WriteModeProp).contains(MergeOnRead))
 
   /** Does version `v` (head when None) carry any deletion vector?
-    * Columnar scans downgrade to row mode while true — the position
-    * filter is row-at-a-time; compaction restores the vectorized path. */
+    * Scan factories consult this to build the row-index reader twin —
+    * DV'd scans stay vectorized, applying the vector per ColumnarBatch
+    * ([[org.apache.spark.sql.graft.DvColumnar]]). */
   private[graft] def hasDvs(tgt: Catalog, table: String,
                             v: Option[Long]): Boolean =
     v.orElse(currentVersion(tgt, table))

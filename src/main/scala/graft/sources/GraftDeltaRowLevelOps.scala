@@ -31,18 +31,23 @@ import graft.etl.{Catalog, VersionedTable}
   *      row-group skipping); pushed filters zone-prune whole files
   *      driver-side exactly like a normal read, and existing deletion
   *      vectors filter, so an already-deleted row can never re-match;
-  *   2. the WRITE receives per-row deltas: `delete(id)` accumulates
-  *      (file → positions); updates arrive as delete + reinsert
+  *   2. the WRITE receives per-row deltas: `delete(id)` SPILLS positions
+  *      to fragment sidecars in the staging dir (bounded task buffer);
+  *      updates arrive as delete + reinsert
   *      ([[representUpdateAsDeleteAndInsert]]); inserted/updated rows
   *      stage as executor parquet (the streaming sink's machinery);
-  *   3. the driver commits ONE version ([[VersionedTable.applyRowDeltas]]):
+  *   3. the driver commits ONE version ([[VersionedTable.applyRowDeltas]])
+  *      from POINTERS alone — commit messages are O(files), and the
+  *      per-file prior∪fragments merge is bounded by one file's rows:
   *      one merged DV sidecar per touched file, staged rows appended,
   *      EVERY untouched byte carried verbatim — a 1-row UPDATE on a
-  *      100 TB table commits O(row + DV) bytes. Reads apply the DVs;
-  *      compaction materializes them.
+  *      100 TB table commits O(row + DV) bytes. Reads apply the DVs
+  *      (vectorized — [[DvColumnar]]); compaction materializes them.
   *
   * Copy-on-write remains the bulk path (and the default): a statement
-  * touching most of a file's rows is cheaper rewritten than vectored.
+  * touching most of a file's rows is cheaper rewritten than vectored —
+  * enforced per file by `dv_max_fraction` (a mostly-deleted file
+  * rewrites inside the DV commit instead of growing its vector).
   * Same conflict rule as the CoW op: scans pin one version, a
   * concurrent commit fails the statement's CAS with
   * ConcurrentModificationException — retry the statement.

@@ -240,7 +240,8 @@ final class PlainReaderFactory(
               "partition reached a factory built columnar-only — the " +
               "scan must plan its partitions before building the factory")
           private val dv: Array[Long] =
-            f.dv.fold(Array.empty[Long])(p => DeletionVectors.read(conf.value, p))
+            f.dv.fold(Array.empty[Long])(p =>
+              DeletionVectors.readCached(conf.value, p))
           private val raw =
             (if (needIdx) rowIdxFunc else readFunc)(
               PlainBatchRead.partitionedFile(f))
@@ -314,7 +315,7 @@ final class PlainReaderFactory(
               "partition reached a columnar factory built without the " +
               "row-index twin — plan partitions before building the factory")
           private val dv: Array[Long] =
-            DeletionVectors.read(conf.value, f.dv.get)
+            DeletionVectors.readCached(conf.value, f.dv.get)
           private val it =
             colIdxFunc(PlainBatchRead.partitionedFile(f))
               .asInstanceOf[Iterator[ColumnarBatch]]
@@ -395,7 +396,7 @@ final class CdcPartitionReader(
         case Some(dvPath) =>
           // deletion vector: this read is predicate-free and full-file,
           // so the running count IS the row's file position
-          val dv = DeletionVectors.read(conf.value, dvPath)
+          val dv = DeletionVectors.readCached(conf.value, dvPath)
           var pos = -1L
           base.filter { _ => pos += 1; !DeletionVectors.contains(dv, pos) }
       }
