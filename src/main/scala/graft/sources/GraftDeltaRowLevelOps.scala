@@ -114,11 +114,9 @@ private[sources] final class GraftDeltaRowLevelOperation(
             val v = pinnedVersion(cat, table)
             val pred = ZonePred.And(
               pushed.toSeq.map(GraftTableProvider.filterPred))
-            VersionedTable.batchSlices(cat, table, Some(v), pred)
-              .map { case (p, l, dv) =>
-                PlainBatchRead.FileInputPartition(
-                  CdcMicroBatch.FileSlice(p, l, dv)): InputPartition
-              }.toArray
+            PlainBatchRead.planPartitions(spark,
+              VersionedTable.batchSlices(cat, table, Some(v), pred)
+                .map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) })
           }
           override def createReaderFactory(): PartitionReaderFactory =
             // row mode: the scan projects `_pos` (and applies DVs), so

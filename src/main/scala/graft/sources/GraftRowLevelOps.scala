@@ -163,12 +163,12 @@ private[sources] final class GraftRowLevelOperation(
               slices0.filter { case (p, _, _) => keep.contains(p) })
             scannedVersion = v
             scannedFiles = slices.map(_._1).toSet
-            slices.map { case (p, l, dv) =>
-              // DVs ride the slice: a copy-on-write rewrite of a DV'd
-              // file must re-derive only its LIVE rows
-              PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l, dv))
-                : InputPartition
-            }.toArray
+            // DVs ride the slice: a copy-on-write rewrite of a DV'd
+            // file must re-derive only its LIVE rows. Split + pack like
+            // every batch read (row identity is file-global — exact
+            // under ranged reads).
+            PlainBatchRead.planPartitions(spark,
+              slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) })
           }
           override def createReaderFactory(): PartitionReaderFactory = {
             val spark = SparkSession.active

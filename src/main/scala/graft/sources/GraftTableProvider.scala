@@ -659,10 +659,10 @@ private[sources] final class GraftBatch(
     val slices = VersionedTable.batchSlices(cat, table, v, pred,
       limitRows = limit.map(_.toLong), topN = topN)
     plannedHasDv = slices.exists(_._3.nonEmpty)
-    slices.map { case (p, l, dv) =>
-      PlainBatchRead.FileInputPartition(CdcMicroBatch.FileSlice(p, l, dv))
-        : InputPartition
-    }.toArray
+    // Spark-style split + pack: big files fan out across tasks, tiny
+    // files share one — see [[PlainBatchRead.planPartitions]]
+    PlainBatchRead.planPartitions(spark,
+      slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) })
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -635,11 +635,12 @@ private[graft] final class GraftAppendStream(
       admit = admission.map(_.zonePred)
         .getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil)))
     plannedHasDv = slices.exists(_._3.nonEmpty)
-    slices.map { case (p, l, dv) =>
-        org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(
-          org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv))
-          : InputPartition
-      }.toArray
+    // split + pack like the batch format: a bootstrap over big compacted
+    // files fans out, a burst of tiny appends shares tasks
+    org.apache.spark.sql.graft.PlainBatchRead.planPartitions(spark,
+      slices.map { case (p, l, dv) =>
+        org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv)
+      })
   }
 
   /** Whether the last-PLANNED batch carries deletion vectors — only the

@@ -39,12 +39,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CdcMicroBatch {
 
-  /** One data file of a CDC slice (absolute path + byte length from the
-    * manifest — no status RPC at plan time). `dv` is the file's
-    * deletion-vector sidecar (absolute path) when the planned version
-    * carries one — the reader drops those positions. */
+  /** One data file — or one BYTE RANGE of one — of a planned scan
+    * (absolute path + lengths from the manifest: no status RPC at plan
+    * time). `dv` is the file's deletion-vector sidecar (absolute path)
+    * when the planned version carries one — the reader drops those
+    * positions (row indexes are file-global, so a ranged read filters
+    * exactly). `start`/`fileSize` carry the range: the default is the
+    * whole file (`start = 0`, `fileSize = length`). */
   final case class FileSlice(path: String, length: Long,
-                             dv: Option[String] = None) extends Serializable
+                             dv: Option[String] = None,
+                             start: Long = 0L,
+                             fileSizeOpt: Long = -1L) extends Serializable {
+    def fileSize: Long = if (fileSizeOpt < 0L) length else fileSizeOpt
+  }
 
   final case class CdcInputPartition(oldFiles: Seq[FileSlice],
                                      newFiles: Seq[FileSlice]) extends InputPartition
@@ -103,6 +110,52 @@ object PlainBatchRead {
 
   final case class FileInputPartition(file: CdcMicroBatch.FileSlice)
     extends InputPartition
+
+  /** A bin-packed partition: several small files (or ranges) read by one
+    * task — the Spark-native scan's FilePartition shape for the `graft`
+    * format, so a million tiny appends don't plan a million tasks. */
+  final case class FilesInputPartition(files: Seq[CdcMicroBatch.FileSlice])
+    extends InputPartition
+
+  /** SPLIT + PACK planned slices into input partitions, the way Spark's
+    * own file scans do (`FilePartition.getFilePartitions` re-derived):
+    * files larger than `spark.sql.files.maxPartitionBytes` split into
+    * byte ranges (parquet reads the row groups whose midpoints fall in
+    * the range; `_pos`/DV row indexes stay file-global and exact), then
+    * ranges pack first-fit-decreasing into partitions up to the same
+    * budget, each file charged `spark.sql.files.openCostInBytes` so
+    * thousands of tiny files don't collapse into one task. One
+    * file-per-partition was the old shape — correct, but a 1 GB
+    * compacted file serialized into one task and a year of micro-appends
+    * planned a task per file; at 100 TB both ends matter. */
+  def planPartitions(spark: SparkSession,
+                     slices: Seq[CdcMicroBatch.FileSlice]): Array[InputPartition] = {
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val ranges = slices.flatMap { s =>
+      if (s.length <= maxBytes) Seq(s)
+      else (0L until s.length by maxBytes).map { off =>
+        s.copy(start = s.start + off,
+          length = math.min(maxBytes, s.length - off),
+          fileSizeOpt = s.fileSize)
+      }
+    }
+    val out = Array.newBuilder[InputPartition]
+    var bin = Vector.empty[CdcMicroBatch.FileSlice]
+    var binBytes = 0L
+    def flush(): Unit = {
+      if (bin.length == 1) out += FileInputPartition(bin.head)
+      else if (bin.nonEmpty) out += FilesInputPartition(bin)
+      bin = Vector.empty; binBytes = 0L
+    }
+    ranges.sortBy(-_.length).foreach { r =>
+      val cost = r.length + openCost
+      if (bin.nonEmpty && binBytes + cost > maxBytes) flush()
+      bin :+= r; binBytes += cost
+    }
+    flush()
+    out.result()
+  }
 
   def readerFactory(spark: SparkSession,
                     dataSchema: StructType, requiredSchema: StructType,
@@ -195,8 +248,8 @@ object PlainBatchRead {
 
   private[graft] def partitionedFile(f: CdcMicroBatch.FileSlice): PartitionedFile =
     PartitionedFile(InternalRow.empty,
-      SparkPath.fromPathString(f.path), 0L, f.length,
-      Array.empty[String], 0L, f.length, Map.empty)
+      SparkPath.fromPathString(f.path), f.start, f.length,
+      Array.empty[String], 0L, f.fileSize, Map.empty)
 }
 
 final class PlainReaderFactory(
@@ -219,135 +272,135 @@ final class PlainReaderFactory(
 
   private val nDataFields = dataTypes.length
 
-  override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && (partition match {
-      case PlainBatchRead.FileInputPartition(f) =>
-        f.dv.isEmpty || colIdxFunc != null
-      case _ => true
-    })
-
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+  private def slicesOf(partition: InputPartition): Seq[CdcMicroBatch.FileSlice] =
     partition match {
-      case PlainBatchRead.FileInputPartition(f) =>
-        new PartitionReader[InternalRow] {
-          // constant per partition: the file path `_file` surfaces
-          private val pathValue = UTF8String.fromString(f.path)
-          // row index needed when `_pos` projects OR a deletion vector
-          // must filter; both read through the row-index twin
-          private val needIdx = posOrdinal >= 0 || f.dv.nonEmpty
-          require(!needIdx || rowIdxFunc != null,
-            "graft reader contract violation: a deletion-vector'd " +
-              "partition reached a factory built columnar-only — the " +
-              "scan must plan its partitions before building the factory")
-          private val dv: Array[Long] =
-            f.dv.fold(Array.empty[Long])(p =>
-              DeletionVectors.readCached(conf.value, p))
-          private val raw =
-            (if (needIdx) rowIdxFunc else readFunc)(
-              PlainBatchRead.partitionedFile(f))
-              .asInstanceOf[Iterator[Any]].flatMap {
-                case b: ColumnarBatch => b.rowIterator().asScala
-                case r: InternalRow => Iterator.single(r)
-              }
-          private val dvFiltered =
-            if (dv.isEmpty) raw
-            else raw.filter(r =>
-              !DeletionVectors.contains(dv, r.getLong(nDataFields)))
-          private val it = rowFilter match {
-            case None => dvFiltered
-            case Some(e) =>
-              val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
-              p.initialize(0)
-              dvFiltered.filter(p.eval)
-          }
-          private val outWidth = nDataFields +
-            (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0)
-          private def project(r: InternalRow): InternalRow =
-            if (fileOrdinal < 0 && posOrdinal < 0 && !needIdx) r
-            else if (fileOrdinal < 0 && posOrdinal < 0) {
-              // DV-only read: strip the trailing row-index column
-              val g = new GenericInternalRow(nDataFields)
-              var i = 0
-              while (i < nDataFields) {
-                g.update(i, if (r.isNullAt(i)) null else r.get(i, dataTypes(i)))
-                i += 1
-              }
-              g
-            } else {
-              val g = new GenericInternalRow(outWidth)
-              var i = 0; var j = 0
-              while (j < outWidth) {
-                if (j == fileOrdinal) g.update(j, pathValue)
-                else if (j == posOrdinal) g.update(j, r.getLong(nDataFields))
-                else {
-                  g.update(j,
-                    if (r.isNullAt(i)) null else r.get(i, dataTypes(i)))
-                  i += 1
-                }
-                j += 1
-              }
-              g
-            }
-          private var cur: InternalRow = _
-          override def next(): Boolean = {
-            if (it.hasNext) { cur = project(it.next()); true } else false
-          }
-          override def get(): InternalRow = cur
-          override def close(): Unit = ()
-        }
+      case PlainBatchRead.FileInputPartition(f) => Seq(f)
+      case PlainBatchRead.FilesInputPartition(fs) => fs
       case other => throw new IllegalArgumentException(
         s"unexpected partition type: ${other.getClass}")
     }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar &&
+      slicesOf(partition).forall(f => f.dv.isEmpty || colIdxFunc != null)
+
+  /** One slice's PROJECTED row iterator — built lazily per slice so a
+    * packed partition opens one file at a time. */
+  private def sliceRows(f: CdcMicroBatch.FileSlice): Iterator[InternalRow] = {
+    // constant per slice: the file path `_file` surfaces
+    val pathValue = UTF8String.fromString(f.path)
+    // row index needed when `_pos` projects OR a deletion vector must
+    // filter; both read through the row-index twin
+    val needIdx = posOrdinal >= 0 || f.dv.nonEmpty
+    require(!needIdx || rowIdxFunc != null,
+      "graft reader contract violation: a deletion-vector'd " +
+        "partition reached a factory built columnar-only — the " +
+        "scan must plan its partitions before building the factory")
+    val dv: Array[Long] =
+      f.dv.fold(Array.empty[Long])(p =>
+        DeletionVectors.readCached(conf.value, p))
+    val raw =
+      (if (needIdx) rowIdxFunc else readFunc)(
+        PlainBatchRead.partitionedFile(f))
+        .asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r: InternalRow => Iterator.single(r)
+        }
+    val dvFiltered =
+      if (dv.isEmpty) raw
+      else raw.filter(r =>
+        !DeletionVectors.contains(dv, r.getLong(nDataFields)))
+    val it = rowFilter match {
+      case None => dvFiltered
+      case Some(e) =>
+        val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+        p.initialize(0)
+        dvFiltered.filter(p.eval)
+    }
+    val outWidth = nDataFields +
+      (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0)
+    def project(r: InternalRow): InternalRow =
+      if (fileOrdinal < 0 && posOrdinal < 0 && !needIdx) r
+      else if (fileOrdinal < 0 && posOrdinal < 0) {
+        // DV-only read: strip the trailing row-index column
+        val g = new GenericInternalRow(nDataFields)
+        var i = 0
+        while (i < nDataFields) {
+          g.update(i, if (r.isNullAt(i)) null else r.get(i, dataTypes(i)))
+          i += 1
+        }
+        g
+      } else {
+        val g = new GenericInternalRow(outWidth)
+        var i = 0; var j = 0
+        while (j < outWidth) {
+          if (j == fileOrdinal) g.update(j, pathValue)
+          else if (j == posOrdinal) g.update(j, r.getLong(nDataFields))
+          else {
+            g.update(j,
+              if (r.isNullAt(i)) null else r.get(i, dataTypes(i)))
+            i += 1
+          }
+          j += 1
+        }
+        g
+      }
+    it.map(project)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slices = slicesOf(partition)
+    new PartitionReader[InternalRow] {
+      private val it = slices.iterator.flatMap(sliceRows)
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (it.hasNext) { cur = it.next(); true } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 
   /** Vectorized path: the reader closure was built batch-returning
     * (`OPTION_RETURNING_BATCH=true` ⇒ elements ARE `ColumnarBatch`es);
     * hand them through whole. Batch close/reuse follows Spark's own
     * contract — the underlying `RecordReaderIterator` closes on task
     * completion and reuses its batch buffer between `next()` calls. */
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    partition match {
-      case PlainBatchRead.FileInputPartition(f) if f.dv.nonEmpty =>
-        // DV'd file, still vectorized: read through the row-index twin
-        // and drop deleted positions per-batch by selection vector
-        new PartitionReader[ColumnarBatch] {
-          require(columnar && colIdxFunc != null,
-            "graft reader contract violation: a deletion-vector'd " +
-              "partition reached a columnar factory built without the " +
-              "row-index twin — plan partitions before building the factory")
-          private val dv: Array[Long] =
-            DeletionVectors.readCached(conf.value, f.dv.get)
-          private val it =
-            colIdxFunc(PlainBatchRead.partitionedFile(f))
-              .asInstanceOf[Iterator[ColumnarBatch]]
-          private var cur: ColumnarBatch = _
-          override def next(): Boolean = {
-            // skip batches filtered to empty (Spark handles 0-row batches,
-            // but not emitting them at all is strictly cheaper)
-            while (it.hasNext) {
-              val b = DvColumnar.filterBatch(it.next(), nDataFields, dv)
-              if (b.numRows() > 0) { cur = b; return true }
-            }
-            false
-          }
-          override def get(): ColumnarBatch = cur
-          override def close(): Unit = ()
-        }
-      case PlainBatchRead.FileInputPartition(f) =>
-        new PartitionReader[ColumnarBatch] {
-          require(columnar, "columnar read requested from a row-built factory")
-          private val it =
-            readFunc(PlainBatchRead.partitionedFile(f))
-              .asInstanceOf[Iterator[ColumnarBatch]]
-          private var cur: ColumnarBatch = _
-          override def next(): Boolean = {
-            if (it.hasNext) { cur = it.next(); true } else false
-          }
-          override def get(): ColumnarBatch = cur
-          override def close(): Unit = ()
-        }
-      case other => throw new IllegalArgumentException(
-        s"unexpected partition type: ${other.getClass}")
+  /** One slice's batch iterator: clean slices stream straight through
+    * the batch reader; DV'd slices read through the row-index twin and
+    * drop deleted positions per-batch by selection vector — still
+    * vectorized either way. Empty filtered batches are skipped (Spark
+    * handles 0-row batches, but not emitting them is strictly cheaper). */
+  private def sliceBatches(f: CdcMicroBatch.FileSlice): Iterator[ColumnarBatch] =
+    f.dv match {
+      case None =>
+        readFunc(PlainBatchRead.partitionedFile(f))
+          .asInstanceOf[Iterator[ColumnarBatch]]
+      case Some(dvPath) =>
+        require(colIdxFunc != null,
+          "graft reader contract violation: a deletion-vector'd " +
+            "partition reached a columnar factory built without the " +
+            "row-index twin — plan partitions before building the factory")
+        val dv = DeletionVectors.readCached(conf.value, dvPath)
+        colIdxFunc(PlainBatchRead.partitionedFile(f))
+          .asInstanceOf[Iterator[ColumnarBatch]]
+          .map(DvColumnar.filterBatch(_, nDataFields, dv))
+          .filter(_.numRows() > 0)
     }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    require(columnar, "columnar read requested from a row-built factory")
+    val slices = slicesOf(partition)
+    new PartitionReader[ColumnarBatch] {
+      private val it = slices.iterator.flatMap(sliceBatches)
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean = {
+        if (it.hasNext) { cur = it.next(); true } else false
+      }
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final class CdcReaderFactory(

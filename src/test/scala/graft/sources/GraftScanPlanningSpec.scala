@@ -127,13 +127,22 @@ class GraftScanPlanningSpec extends SparkSpec {
       Seq(("a", 4950L), ("b", 4950L), ("c", 4950L)))
   }
 
+  /** Planned FILE count from raw partitions (bin-packing coalesces tiny
+    * files into shared partitions since round 14). */
+  private def nFiles(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Int =
+    parts.map {
+      case org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(_) => 1
+      case org.apache.spark.sql.graft.PlainBatchRead.FilesInputPartition(fs) => fs.size
+      case _ => 1
+    }.sum
+
   test("runtime IN filter prunes files through the zone maps") {
     val df = spark.sql("SELECT * FROM gp.default.fact")
     val scan = scanOf(df)
     val batch = scan.toBatch
     // three appended data files; CREATE TABLE's empty schema-bearing
     // file is skipped by its RECORDED zero row count (exact, not zone-map)
-    assert(batch.planInputPartitions().length == 3,
+    assert(nFiles(batch.planInputPartitions()) == 3,
       "three appended files, the 0-row create file skipped")
 
     assert(scan.filterAttributes().map(_.fieldNames().head).toSet ==
@@ -143,7 +152,7 @@ class GraftScanPlanningSpec extends SparkSpec {
     scan.filter(Array(new Predicate("IN", Array(
       Expressions.column("k"),
       v2lit(5L), v2lit(7L)))))
-    assert(batch.planInputPartitions().length == 1,
+    assert(nFiles(batch.planInputPartitions()) == 1,
       "the IN set's range admits exactly one file")
 
     // rows still come back right (Spark re-applies the join anyway;
@@ -152,7 +161,7 @@ class GraftScanPlanningSpec extends SparkSpec {
     scan2.filter(Array(new Predicate("IN", Array(
       Expressions.column("k"), v2lit(250L)))))
     val kept = scan2.toBatch.planInputPartitions()
-    assert(kept.length == 1, "k=250 lives in the third file")
+    assert(nFiles(kept) == 1, "k=250 lives in the third file")
 
     // an EMPTY IN is exact — no key survived, zero partitions launch
     val scan3 = scanOf(spark.sql("SELECT * FROM gp.default.fact"))
@@ -163,7 +172,7 @@ class GraftScanPlanningSpec extends SparkSpec {
     // an unrecognized shape prunes NOTHING (one-sided, never wrong-skips)
     val scan4 = scanOf(spark.sql("SELECT * FROM gp.default.fact"))
     scan4.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty)))
-    assert(scan4.toBatch.planInputPartitions().length == 3)
+    assert(nFiles(scan4.toBatch.planInputPartitions()) == 3)
   }
 
   test("Spark plans a dynamic-pruning subquery against the scan end-to-end") {
@@ -193,8 +202,9 @@ class GraftScanPlanningSpec extends SparkSpec {
         .option("bucketBy", "grp").option("numBuckets", "4").save()
     }
     def parts(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      scanOf(df).toBatch.planInputPartitions().toSeq.map {
-        case PlainBatchRead.FileInputPartition(s) => s.path
+      scanOf(df).toBatch.planInputPartitions().toSeq.flatMap {
+        case PlainBatchRead.FileInputPartition(s) => Seq(s.path)
+        case PlainBatchRead.FilesInputPartition(fs) => fs.map(_.path)
       }
     val read = spark.read.format("graft")
       .option("dir", dir).option("table", "bt")
@@ -273,13 +283,23 @@ class GraftScanPlanningSpec extends SparkSpec {
     assert(spark.sql("SELECT avg(k) FROM gp.default.agg").head().getDouble(0) > 0)
   }
 
+  /** PLANNED FILE count (not partitions — bin-packing coalesces tiny
+    * files into shared tasks, so partition counts stopped being a file
+    * proxy in round 14): unwrap the scan's input partitions. */
+  private def filesOf(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions.map {
+        case org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(_) => 1
+        case org.apache.spark.sql.graft.PlainBatchRead.FilesInputPartition(fs) => fs.size
+        case _ => 1
+      }.sum
+    }
+
   test("a pushed LIMIT truncates the file list by recorded row counts") {
     // fact has three 100-row files (mkFact): LIMIT 10 needs one of them
     val lim = spark.sql("SELECT * FROM gp.default.fact LIMIT 10")
-    val parts = lim.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.inputRDD.getNumPartitions
-    }
-    assert(parts == Seq(1), s"LIMIT 10 must plan one 100-row file: $parts")
+    assert(filesOf(lim) == Seq(1),
+      s"LIMIT 10 must plan one 100-row file: ${filesOf(lim)}")
     assert(lim.collect().length == 10, "Spark's exact limit still applies on top")
     // a limit UNDER a filter must not truncate (the filter drops rows,
     // recorded counts are pre-filter) — Spark keeps them separate, and
@@ -290,17 +310,13 @@ class GraftScanPlanningSpec extends SparkSpec {
 
   test("a pushed TOP-N reads only the files whose range can reach the top") {
     // fact: three files with disjoint k ranges (0-99, 100-199, 200-299)
-    def partsOf(df: org.apache.spark.sql.DataFrame): Seq[Int] =
-      df.queryExecution.executedPlan.collect {
-        case b: BatchScanExec => b.inputRDD.getNumPartitions
-      }
     val desc = spark.sql("SELECT k FROM gp.default.fact ORDER BY k DESC LIMIT 5")
-    assert(partsOf(desc) == Seq(1),
-      s"the top-5 descending live in the last file alone: ${partsOf(desc)}")
+    assert(filesOf(desc) == Seq(1),
+      s"the top-5 descending live in the last file alone: ${filesOf(desc)}")
     assert(desc.as[Long].collect().toSeq == Seq(299L, 298L, 297L, 296L, 295L),
       "Spark's exact sort+limit still applies on top")
     val asc = spark.sql("SELECT k FROM gp.default.fact ORDER BY k LIMIT 150")
-    assert(partsOf(asc) == Seq(2),
+    assert(filesOf(asc) == Seq(2),
       "150 ascending rows span exactly the two lowest files")
     assert(asc.as[Long].collect().toSeq == (0L until 150L))
     // a sort column with NULLS present voids the truncation (nulls rank
