@@ -564,19 +564,7 @@ object Loader {
   private[etl] def upsertMerged(ex: DataFrame, incoming: DataFrame, keys: Seq[String],
                                 maxId: Long, order: Seq[String],
                                 ensure: Boolean, safe: Boolean): DataFrame = {
-    // The reference's sequential per-row upsert converges to one row per
-    // key: later incoming rows overwrite earlier ones. Collapse incoming
-    // to the LAST row per key under the deterministic insertion order
-    // (ties broken by the remaining columns) before the matched/fresh
-    // split, so duplicate keys can't multiply the join.
-    val one = {
-      val tieBreak = (order ++ incoming.columns.filterNot(order.contains)).distinct
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keys.map(col): _*)
-        .orderBy(tieBreak.map(c => col(c).desc_nulls_last): _*)
-      incoming.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
-    }
+    val one = collapseLastPerKey(incoming, keys, order)
     // Matched rows: join incoming onto the FULL existing row and pick
     // per column — incoming's value where the column exists in incoming
     // (the supplied fields), the existing value otherwise. This mirrors
@@ -607,6 +595,22 @@ object Loader {
     // safe=false could never narrow on the upsert path.
     val target = finalSchema(ex, fresh, ensure, safe)
     unionAligned(Seq(kept, matched, fresh), target)
+  }
+
+  /** The reference's sequential per-row upsert converges to one row per
+    * key: later incoming rows overwrite earlier ones. Collapse incoming
+    * to the LAST row per key under the deterministic insertion order
+    * (ties broken by the remaining columns) before any matched/fresh
+    * split, so duplicate keys can't multiply a join — shared by the
+    * copy-on-write merge and the merge-on-read upsert. */
+  private[etl] def collapseLastPerKey(incoming: DataFrame, keys: Seq[String],
+                                      order: Seq[String]): DataFrame = {
+    val tieBreak = (order ++ incoming.columns.filterNot(order.contains)).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(tieBreak.map(c => col(c).desc_nulls_last): _*)
+    incoming.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
   }
 
   /** Stamp a surrogate `id` = startId + 1-based rank under `orderCols`.

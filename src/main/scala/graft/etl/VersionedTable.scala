@@ -1656,6 +1656,18 @@ object VersionedTable {
       case _ => 0L
     }
 
+    // MERGE-ON-READ upsert: matched rows' old versions become deletion
+    // vectors and the statement appends only the merged + fresh rows —
+    // no table or bucket rewrite (schema evolution, flat→bucketed
+    // migration, partial-field incoming, and new bloom declarations fall
+    // back to the copy-on-write paths below)
+    if (upsertFields.nonEmpty && existing.isDefined &&
+        headMan.exists(_.props.get(WriteModeProp).contains(MergeOnRead)) &&
+        Loader.sameColumnSet(existing.get, incoming) &&
+        !(bucket.isDefined && recorded.isEmpty) && bloomBy.isEmpty)
+      return morUpsertAttempt(tgt, table, cur.get, headMan.get, incoming,
+        upsertFields, order, maxId, extraProps, dropProps)
+
     // bucket-scoped upsert: recorded bucket layout + keys covered by the
     // upsert key (a matched row can never change buckets) + unchanged
     // column set (a partial rewrite must not evolve the table out from
@@ -1909,7 +1921,17 @@ object VersionedTable {
                                     deletes: Map[String, Seq[String]],
                                     stagedFiles: Seq[String],
                                     idOrder: Seq[String],
-                                    dropWhole: Set[String] = Set.empty): Long = {
+                                    dropWhole: Set[String] = Set.empty,
+                                    // staged parquet whose rows already
+                                    // CARRY their surrogate ids (the MOR
+                                    // upsert's merged-matched rows) —
+                                    // appended verbatim, never re-stamped
+                                    stagedWithIds: Seq[String] = Nil,
+                                    // committed atomically into the
+                                    // manifest's props (upsert-key
+                                    // recording etc.)
+                                    propsDelta: Map[String, String] = Map.empty,
+                                    dropProps: Seq[String] = Nil): Long = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val headMan = readManifest(tgt, table, expectedVersion).getOrElse(
       throw new IllegalArgumentException(
@@ -2032,24 +2054,38 @@ object VersionedTable {
         val out = Loader.withSurrogateIds(replacement, floor, order)
         writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan))
       }
-    def cleanupBatch(): Unit =
+    // id-carrying staged rows (MOR upsert's merged-matched + fresh):
+    // written through the same bucket/bloom-aware batch writer, ids
+    // verbatim
+    val (idBatch, idParts) =
+      if (stagedWithIds.isEmpty) (null, Seq.empty[(String, Long)])
+      else {
+        val r = tgt.spark.read
+        writeBatch(tgt, table,
+          schemaFull.fold(r)(r.schema).parquet(stagedWithIds: _*),
+          headMan.bucket, bloomColsOf(headMan))
+      }
+    def cleanupBatch(): Unit = {
       if (batch != null) fs(tgt, dataDir(tgt, table)).delete(batch, true)
+      if (idBatch != null) fs(tgt, dataDir(tgt, table)).delete(idBatch, true)
+    }
     def cleanupAll(): Unit = {
       cleanupBatch(); cleanupRewrite(); cleanupAllSidecars()
     }
     // the CHECK gate validates the STAGED bytes, like every write path
-    // (rewrite parts hold pre-existing, already-validated rows)
-    headMan.props.get(CheckConstraintProp)
-      .filter(_ => newParts.nonEmpty).foreach { c =>
-        try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
+    // (rewrite parts hold pre-existing, already-validated rows; the
+    // id-carrying merged rows are MODIFIED rows and validate too)
+    (headMan.props ++ propsDelta).get(CheckConstraintProp)
+      .filter(_ => newParts.nonEmpty || idParts.nonEmpty).foreach { c =>
+        try enforceCheck(tgt.spark.read.parquet((newParts ++ idParts).map(p =>
           new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
         catch { case e: Throwable =>
           cleanupAll()
           throw e
         }
       }
-    val newRel = rwParts.map(_._1) ++ newParts.map(_._1)
-    val stagedAbs = newParts.map(p =>
+    val newRel = rwParts.map(_._1) ++ newParts.map(_._1) ++ idParts.map(_._1)
+    val stagedAbs = (newParts ++ idParts).map(p =>
       new Path(dataDir(tgt, table), p._1).toString)
     val floor0 = headMan.maxId
     val committedMax =
@@ -2058,12 +2094,12 @@ object VersionedTable {
         .orElse(floor0)
     preCommitHook.value()
     val fm = manifestMeta(tgt, table, Some(headMan), keepSafe,
-      rwParts ++ newParts,
+      rwParts ++ newParts ++ idParts,
       schemaFull.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepSafe ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
-        headMan.props,
+        (headMan.props ++ propsDelta) -- dropProps,
         (dvCarry(Some(headMan), keepSafe) ++ newDvs) -- goneSafe -- newRel))) {
       // rewritten files' merged sidecars were commit-transient: nothing
       // references them now (best-effort — vacuum sweeps leftovers)
@@ -2317,6 +2353,143 @@ object VersionedTable {
         catch { case _: java.util.ConcurrentModificationException => None }
       }
     } finally {
+      try { val p = new Path(stage); if (f.exists(p)) f.delete(p, true) }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** LIVE rows of `rels` WITH their row identity: the data columns plus
+    * `__graft_fp` (file path) and `__graft_ri` (row position), prior
+    * deletion vectors applied — the MOR upsert's probe input (a
+    * DV-deleted row must neither match nor resurrect). */
+  private def readRelsLiveWithIdentity(tgt: Catalog, table: String,
+                                       man: Manifest, rels: Seq[String],
+                                       sch: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    def abs(r: String) = new Path(dataDir(tgt, table), r).toString
+    val df = readFileList(tgt, rels.map(abs), sch)
+      .withColumn("__graft_fp", col("_metadata.file_path"))
+      .withColumn("__graft_ri", col("_metadata.row_index"))
+    val dirty = rels.filter(man.dvs.contains)
+    if (dirty.isEmpty) df
+    else {
+      val dvPathByFile: Map[String, String] = dirty.map { r =>
+        new Path(abs(r)).toUri.getPath ->
+          new Path(dataDir(tgt, table), man.dvs(r)._1).toString
+      }.toMap
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        tgt.spark.sessionState.newHadoopConf())
+      val bc = tgt.spark.sparkContext.broadcast((dvPathByFile, conf))
+      val live = udf((fp: String, idx: Long) => {
+        val (byFile, c) = bc.value
+        byFile.get(new Path(fp).toUri.getPath) match {
+          case None => true
+          case Some(sidecar) =>
+            val a = org.apache.spark.sql.graft.DeletionVectors
+              .readCached(c.value, sidecar)
+            java.util.Arrays.binarySearch(a, idx) < 0
+        }
+      })
+      df.where(live(col("__graft_fp"), col("__graft_ri")))
+    }
+  }
+
+  /** MERGE-ON-READ KEYED UPSERT — one [[load]] attempt on a
+    * `write.mode = merge-on-read` table: instead of rewriting the whole
+    * table (flat) or every touched bucket, the matched LIVE rows' old
+    * versions become deletion-vector positions (fragments written
+    * executor-side) while the statement appends exactly two row sets —
+    * the merged matched rows (EXISTING ids kept, incoming values taken:
+    * the copy-on-write `upsertMerged` semantics bit-for-bit) and the
+    * fresh keys (new ids above the floor). Untouched files — including
+    * the matched rows' own files — carry byte-for-byte verbatim, so the
+    * commit is O(matched + incoming + DV) regardless of table size.
+    * Requires an unchanged column set (schema evolution falls back to
+    * the copy-on-write path in [[loadAttempt]]). None = lost the CAS. */
+  private def morUpsertAttempt(tgt: Catalog, table: String,
+                               cur: Long, man: Manifest,
+                               incoming: DataFrame, keys: Seq[String],
+                               order: Seq[String], floor: Long,
+                               extraProps: Map[String, String],
+                               dropProps: Seq[String]): Option[Long] = {
+    val spark = tgt.spark
+    val stage = s"${tgt.dirPath(table)}.__vstage/mor-ups-${java.util.UUID.randomUUID()}"
+    val f = fs(tgt, dataDir(tgt, table))
+    val one = Loader.collapseLastPerKey(incoming, keys, order)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // key-envelope pruning, as in deleteKeys: a candidate superset is
+      // sound, and complete — every existing row with an incoming key
+      // lives in a candidate file
+      val envelope: Option[org.apache.spark.sql.Column] = {
+        val aggExprs = keys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+        val r = one.agg(aggExprs.head, aggExprs.tail: _*).head()
+        scala.util.Try {
+          keys.zipWithIndex.map { case (k, i) =>
+            val (lo, hi) = (r.get(2 * i), r.get(2 * i + 1))
+            require(lo != null && hi != null)
+            col(k) >= lit(lo) && col(k) <= lit(hi)
+          }.reduce(_ && _)
+        }.toOption
+      }
+      val candRel = envelope.map(p => pruneByStats(man, p)._1).getOrElse(man.files)
+      val exLive = readRelsLiveWithIdentity(tgt, table, man, candRel,
+        recordedSchema(man))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val inCols = one.columns.toSet
+        val renamedIn = one.columns.filterNot(keys.contains).foldLeft(one) {
+          (d, c) => d.withColumnRenamed(c, s"__in_$c")
+        }
+        val joined = exLive.join(renamedIn, keys, "inner")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // the matched rows' OLD versions → deletion-vector fragments
+          val frags = writePositionFragments(spark,
+            joined.select(col("__graft_fp"), col("__graft_ri")), stage)
+          // merged matched rows: existing id + incoming values (the
+          // upsertMerged column rule; the unchanged-column-set gate means
+          // every non-id column is incoming-supplied)
+          val exCols = exLive.columns.filterNot(c =>
+            c == "__graft_fp" || c == "__graft_ri")
+          val mergedMatched = joined.select(exCols.toIndexedSeq.map { c =>
+            if (keys.contains(c) || c == Loader.IdCol) col(c)
+            else if (inCols.contains(c)) col(s"__in_$c").as(c)
+            else col(c)
+          }: _*)
+          // fresh keys: new ids above the floor, deterministic order
+          val fresh = Loader.withSurrogateIds(
+            one.join(exLive.select(keys.map(col): _*), keys, "left_anti"),
+            floor, order)
+          val targetSchema = recordedSchema(man).getOrElse(
+            org.apache.spark.sql.types.StructType(
+              mergedMatched.schema.fields))
+          val staged = Loader.unionAligned(Seq(mergedMatched, fresh),
+            targetSchema)
+          val stagedDir = s"$stage/rows"
+          staged.write.parquet(stagedDir)
+          if (frags.isEmpty &&
+              spark.read.parquet(stagedDir).isEmpty) {
+            // an upsert of zero rows records a metadata-only version
+            preCommitHook.value()
+            if (tryCommitManifest(tgt, table, man.copy(version = cur + 1L)))
+              Some(cur + 1L)
+            else None
+          } else {
+            try Some(applyRowDeltas(tgt, table, cur, frags, Nil, order,
+              stagedWithIds = Seq(stagedDir),
+              propsDelta = extraProps +
+                (UpsertKeysProp -> keys.mkString(",")),
+              dropProps = dropProps))
+            catch {
+              case _: java.util.ConcurrentModificationException => None
+            }
+          }
+        } finally joined.unpersist()
+      } finally exLive.unpersist()
+    } finally {
+      one.unpersist()
       try { val p = new Path(stage); if (f.exists(p)) f.delete(p, true) }
       catch { case _: java.io.IOException => () }
     }

@@ -1362,6 +1362,47 @@ object StorageQueries {
         .orderBy("era", "o_orderkey")
     },
 
+    // F53 MERGE-ON-READ KEYED UPSERT (library path): a keyed load on a
+    // 'write.mode'='merge-on-read' table commits deletion vectors for
+    // the matched rows' old versions + appends merged/fresh rows —
+    // NO table or bucket rewrite (every pre-existing file verbatim,
+    // asserted in the fixture) — with upsertMerged's exact semantics:
+    // matched rows keep ids, fresh continue above the floor, duplicate
+    // incoming keys collapse last-wins.
+    "q_versioned_mor_upsert" -> { (spark, sfDir) =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val tgt = tmpCat(spark)
+      val base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey <= 1500")
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") <= 800),
+        idOrder = Seq("o_orderkey"),
+        extraProps = Map(
+          VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead))
+      VersionedTable.load(tgt, "t", base.where(col("o_orderkey") > 800),
+        idOrder = Seq("o_orderkey"))
+      val pre = VersionedTable.files(tgt, "t", 2L).toSet
+      // updates (keys % 100 = 7) + fresh inserts (keys shifted by 10000)
+      VersionedTable.load(tgt, "t",
+        base.where(col("o_orderkey") % 100 === 7)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(base.where(col("o_orderkey") <= 100)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000)),
+        upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"))
+      require(pre.subsetOf(VersionedTable.files(tgt, "t", 3L).toSet),
+        "MOR upsert must carry every pre-existing data file verbatim")
+      require(VersionedTable.deletionVectors(tgt, "t", 3L).nonEmpty,
+        "MOR upsert must record deletion vectors for the matched rows")
+      VersionedTable.read(tgt, "t")
+        .select(lit("head").as("era"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .unionByName(VersionedTable.readVersion(tgt, "t", 2L)
+          .select(lit("pre").as("era"), col("o_orderkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        .orderBy("era", "o_orderkey")
+    },
+
     // F51 SQL NAMESPACES — the reference's two-DB model in pure SQL:
     // `g.src.*` and `g.tgt.*` are sibling directories under one catalog
     // root, the SAME table name fully independent in each, and a
@@ -1799,6 +1840,24 @@ object StorageQueries {
         |WHERE o_orderkey % 100 <> 7 AND o_orderkey NOT IN (66, 1200)
         |UNION ALL
         |SELECT 'pre' AS era, o_orderkey, o_totalprice FROM state
+        |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_versioned_mor_upsert" ->
+      """WITH state AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |               FROM orders WHERE o_orderkey <= 1500),
+        |head AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 100 = 7 THEN 'U'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 100 = 7 THEN o_totalprice * 2
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM state
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000, o_orderstatus, o_totalprice
+        |  FROM state WHERE o_orderkey <= 100)
+        |SELECT 'head' AS era, o_orderkey, o_orderstatus, o_totalprice FROM head
+        |UNION ALL
+        |SELECT 'pre' AS era, o_orderkey, o_orderstatus, o_totalprice FROM state
         |ORDER BY era, o_orderkey""".stripMargin,
 
     "q_alter_add_column" ->

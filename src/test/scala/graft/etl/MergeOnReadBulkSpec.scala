@@ -123,6 +123,86 @@ class MergeOnReadBulkSpec extends SparkSpec {
       s"the DV delete must surface in the change feed: $feed")
   }
 
+  test("a keyed upsert on a merge-on-read table commits DVs + merged rows, files verbatim") {
+    VersionedTable.load(lib, "ups",
+      spark.range(0, 1000).select($"id".as("k"), ($"id" * 10).as("v"),
+        concat(lit("s"), $"id").as("s")),
+      idOrder = Seq("k"), extraProps = morProps)
+    VersionedTable.load(lib, "ups",
+      spark.range(1000, 2000).select($"id".as("k"), ($"id" * 10).as("v"),
+        concat(lit("s"), $"id").as("s")), idOrder = Seq("k"))
+    val pre = VersionedTable.files(lib, "ups", 2L).toSet
+    // CoW twin for semantics comparison (same history, copy-on-write)
+    VersionedTable.load(lib, "upsCow",
+      spark.range(0, 1000).select($"id".as("k"), ($"id" * 10).as("v"),
+        concat(lit("s"), $"id").as("s")), idOrder = Seq("k"))
+    VersionedTable.load(lib, "upsCow",
+      spark.range(1000, 2000).select($"id".as("k"), ($"id" * 10).as("v"),
+        concat(lit("s"), $"id").as("s")), idOrder = Seq("k"))
+    // update 3 scattered keys (one dup — last wins), insert 2 fresh
+    val batch = Seq(
+      (7L, -7L, "U7a"), (7L, -77L, "U7"), (512L, -512L, "U512"),
+      (1999L, -1999L, "U1999"), (5000L, 50L, "N5000"), (5001L, 51L, "N5001"))
+      .toDF("k", "v", "s")
+    VersionedTable.load(lib, "ups", batch, upsertFields = Seq("k"),
+      idOrder = Seq("k"))
+    VersionedTable.load(lib, "upsCow", batch, upsertFields = Seq("k"),
+      idOrder = Seq("k"))
+    // files verbatim + DVs recorded for the matched rows
+    assert(pre.subsetOf(VersionedTable.files(lib, "ups", 3L).toSet),
+      "the MOR upsert must carry every pre-existing data file verbatim")
+    val dvs = VersionedTable.deletionVectors(lib, "ups", 3L)
+    assert(dvs.values.map(_._2).sum == 3L,
+      s"three matched rows' old versions must be DV'd: $dvs")
+    // bit-identical semantics vs the copy-on-write upsert — INCLUDING ids
+    // (matched rows keep theirs, fresh rows continue above the floor)
+    val got = VersionedTable.read(lib, "ups")
+      .select("id", "k", "v", "s").orderBy("k")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val want = VersionedTable.read(lib, "upsCow")
+      .select("id", "k", "v", "s").orderBy("k")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == want,
+      s"MOR upsert must equal the CoW upsert bit-for-bit (ids included)")
+    // time travel reads the pre-upsert state; the change feed carries
+    // exactly the updates + inserts
+    assert(VersionedTable.readVersion(lib, "ups", 2L).count() == 2000L)
+    val feed = VersionedTable.changes(lib, "ups", 2L, 3L, Seq("k"))
+      .select("op", "k").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(feed == Map(
+      "update" -> Set(7L, 512L, 1999L), "insert" -> Set(5000L, 5001L)),
+      s"the MOR upsert's change feed: $feed")
+    // a second upsert touching an already-DV'd file merges positions
+    VersionedTable.load(lib, "ups", Seq((8L, -8L, "U8")).toDF("k", "v", "s"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    assert(VersionedTable.files(lib, "ups", 3L).toSet
+      .subsetOf(VersionedTable.files(lib, "ups", 4L).toSet))
+    assert(VersionedTable.read(lib, "ups").where($"k" === 8L)
+      .select("s").as[String].head() == "U8")
+  }
+
+  test("a bucketed merge-on-read upsert DVs in place of the bucket rewrite") {
+    VersionedTable.load(lib, "upsb",
+      spark.range(0, 2000).select($"id".as("k"), ($"id" % 7).as("v")),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 4)),
+      extraProps = morProps)
+    val pre = VersionedTable.files(lib, "upsb", 1L).toSet
+    VersionedTable.load(lib, "upsb",
+      Seq((13L, -1L), (9999L, -2L)).toDF("k", "v"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    assert(pre.subsetOf(VersionedTable.files(lib, "upsb", 2L).toSet),
+      "bucketed MOR upsert must not rewrite even the touched bucket")
+    assert(VersionedTable.deletionVectors(lib, "upsb", 2L)
+      .values.map(_._2).sum == 1L)
+    val got = VersionedTable.read(lib, "upsb").where($"v" < 0)
+      .select("k", "v").orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((13L, -1L), (9999L, -2L)), s"got $got")
+    assert(VersionedTable.read(lib, "upsb").count() == 2001L)
+    // bucket-pruned lookup still works over the DV'd bucketed layout
+    assert(VersionedTable.lookup(lib, "upsb", 2L, Map("k" -> 13L)).count() == 1L)
+  }
+
   test("a zone-covered file drops metadata-only through the library MOR delete") {
     VersionedTable.load(lib, "libz",
       spark.range(0, 100).select($"id".as("k")), extraProps = morProps,
