@@ -1995,7 +1995,9 @@ object VersionedTable {
           scala.concurrent.ExecutionContext.global
         Await.result(
           Future.traverse(dels.toSeq) { case (r, fr) =>
-            Future(mergeOne(r, fr))
+            // blocking IO on the shared global pool: let the fork-join
+            // pool compensate instead of starving other driver work
+            Future(scala.concurrent.blocking(mergeOne(r, fr)))
           }, Duration.Inf).toMap
       }
     val newDvs: Map[String, (String, Long)] = outcomes.collect {
@@ -2029,11 +2031,30 @@ object VersionedTable {
         headMan.bucket, bloomColsOf(headMan))
     def cleanupRewrite(): Unit =
       if (rwBatch != null) fs(tgt, dataDir(tgt, table)).delete(rwBatch, true)
-    // keep at least one schema-bearing file (the same invariant every
-    // rewrite path maintains — an empty table still reads its schema)
+    // keep at least one schema-bearing file (the invariant every rewrite
+    // path maintains — an empty table still reads its schema). When the
+    // statement empties the table outright (every file Gone/dropped,
+    // nothing staged), a FRESH EMPTY file carries the schema — the CoW
+    // delete's own TRUNCATE shape. Re-mounting a fully-deleted file
+    // bare (the old fallback) would RESURRECT its rows: Gone files
+    // carry no committed DV.
     val keepSafe =
-      if (keepRel.nonEmpty || stagedFiles.nonEmpty || rwParts.nonEmpty) keepRel
-      else headMan.files.take(1)
+      if (keepRel.nonEmpty || stagedFiles.nonEmpty ||
+          stagedWithIds.nonEmpty || rwParts.nonEmpty) keepRel
+      else Nil
+    val (emptyBatch, emptyParts) =
+      if (keepSafe.nonEmpty || stagedFiles.nonEmpty ||
+          stagedWithIds.nonEmpty || rwParts.nonEmpty)
+        (null, Seq.empty[(String, Long)])
+      else {
+        val sch = schemaFull.getOrElse(tgt.spark.read.parquet(
+          new Path(dataDir(tgt, table), headMan.files.head).toString).schema)
+        writeBatch(tgt, table, tgt.spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), sch),
+          headMan.bucket, bloomColsOf(headMan))
+      }
+    def cleanupEmpty(): Unit =
+      if (emptyBatch != null) fs(tgt, dataDir(tgt, table)).delete(emptyBatch, true)
     val goneSafe = (gone ++ rewriteRel) -- keepSafe
     val schema = schemaFull
       .map(s => org.apache.spark.sql.types.StructType(
@@ -2070,7 +2091,7 @@ object VersionedTable {
       if (idBatch != null) fs(tgt, dataDir(tgt, table)).delete(idBatch, true)
     }
     def cleanupAll(): Unit = {
-      cleanupBatch(); cleanupRewrite(); cleanupAllSidecars()
+      cleanupBatch(); cleanupRewrite(); cleanupEmpty(); cleanupAllSidecars()
     }
     // the CHECK gate validates the STAGED bytes, like every write path
     // (rewrite parts hold pre-existing, already-validated rows; the
@@ -2084,7 +2105,8 @@ object VersionedTable {
           throw e
         }
       }
-    val newRel = rwParts.map(_._1) ++ newParts.map(_._1) ++ idParts.map(_._1)
+    val newRel = rwParts.map(_._1) ++ newParts.map(_._1) ++
+      idParts.map(_._1) ++ emptyParts.map(_._1)
     val stagedAbs = (newParts ++ idParts).map(p =>
       new Path(dataDir(tgt, table), p._1).toString)
     val floor0 = headMan.maxId
@@ -2094,7 +2116,7 @@ object VersionedTable {
         .orElse(floor0)
     preCommitHook.value()
     val fm = manifestMeta(tgt, table, Some(headMan), keepSafe,
-      rwParts ++ newParts ++ idParts,
+      rwParts ++ newParts ++ idParts ++ emptyParts,
       schemaFull.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
@@ -2358,6 +2380,29 @@ object VersionedTable {
     }
   }
 
+  /** The executor-side LIVE-ROW predicate over (file path, row index):
+    * true when the row's position is absent from its file's sidecar —
+    * sidecars decode executor-side through the per-JVM cache, the driver
+    * broadcasts only pointers. ONE copy, shared by every DV-applying
+    * read (the sidecar read, the rewrite read, the upsert probe). */
+  private def liveRowUdf(spark: org.apache.spark.sql.SparkSession,
+                         dvPathByFile: Map[String, String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val bc = spark.sparkContext.broadcast((dvPathByFile, conf))
+    udf((fp: String, idx: Long) => {
+      val (byFile, c) = bc.value
+      byFile.get(new Path(fp).toUri.getPath) match {
+        case None => true
+        case Some(sidecar) =>
+          val a = org.apache.spark.sql.graft.DeletionVectors
+            .readCached(c.value, sidecar)
+          java.util.Arrays.binarySearch(a, idx) < 0
+      }
+    })
+  }
+
   /** LIVE rows of `rels` WITH their row identity: the data columns plus
     * `__graft_fp` (file path) and `__graft_ri` (row position), prior
     * deletion vectors applied — the MOR upsert's probe input (a
@@ -2373,23 +2418,10 @@ object VersionedTable {
     val dirty = rels.filter(man.dvs.contains)
     if (dirty.isEmpty) df
     else {
-      val dvPathByFile: Map[String, String] = dirty.map { r =>
+      val live = liveRowUdf(tgt.spark, dirty.map { r =>
         new Path(abs(r)).toUri.getPath ->
           new Path(dataDir(tgt, table), man.dvs(r)._1).toString
-      }.toMap
-      val conf = new org.apache.spark.util.SerializableConfiguration(
-        tgt.spark.sessionState.newHadoopConf())
-      val bc = tgt.spark.sparkContext.broadcast((dvPathByFile, conf))
-      val live = udf((fp: String, idx: Long) => {
-        val (byFile, c) = bc.value
-        byFile.get(new Path(fp).toUri.getPath) match {
-          case None => true
-          case Some(sidecar) =>
-            val a = org.apache.spark.sql.graft.DeletionVectors
-              .readCached(c.value, sidecar)
-            java.util.Arrays.binarySearch(a, idx) < 0
-        }
-      })
+      }.toMap)
       df.where(live(col("__graft_fp"), col("__graft_ri")))
     }
   }
@@ -2471,9 +2503,15 @@ object VersionedTable {
           staged.write.parquet(stagedDir)
           if (frags.isEmpty &&
               spark.read.parquet(stagedDir).isEmpty) {
-            // an upsert of zero rows records a metadata-only version
+            // an upsert of zero rows records a metadata-only version —
+            // carrying extraProps/keys ATOMICALLY like the CoW path (an
+            // idempotent writer's epoch stamp must land even on an
+            // empty batch, or a replay re-applies it)
             preCommitHook.value()
-            if (tryCommitManifest(tgt, table, man.copy(version = cur + 1L)))
+            if (tryCommitManifest(tgt, table, man.copy(
+              version = cur + 1L,
+              props = (man.props ++ extraProps +
+                (UpsertKeysProp -> keys.mkString(","))) -- dropProps)))
               Some(cur + 1L)
             else None
           } else {
@@ -2495,14 +2533,12 @@ object VersionedTable {
     }
   }
 
-  /** Positions buffered per file before an executor spills a fragment
-    * sidecar — 4M longs = 32 MB. */
-  private val MorFragFlushAt = 4 << 20
 
   /** Spill `(file path, row position)` pairs to fragment sidecars
     * EXECUTOR-SIDE: one shuffle partition per file (so each file's
     * positions arrive sorted and together), fragments of ≤
-    * [[MorFragFlushAt]] positions each — the driver receives only the
+    * [[org.apache.spark.sql.graft.DeletionVectors.FragmentFlushPositions]]
+    * positions each — the driver receives only the
     * (file → fragment paths) pointer map, O(files), regardless of how
     * many rows the statement deletes. */
   private def writePositionFragments(spark: org.apache.spark.sql.SparkSession,
@@ -2517,7 +2553,7 @@ object VersionedTable {
       org.apache.spark.sql.Encoders.STRING,
       org.apache.spark.sql.Encoders.STRING)
     val cols = fpRi.columns
-    val flushAt = MorFragFlushAt
+    val flushAt = org.apache.spark.sql.graft.DeletionVectors.FragmentFlushPositions
     val pairs = fpRi
       .repartition(col(cols(0)))
       .sortWithinPartitions(col(cols(0)), col(cols(1)))
@@ -2968,23 +3004,10 @@ object VersionedTable {
       sch: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     def abs(r: String) = new Path(dataDir(tgt, table), r).toString
     if (dirty.isEmpty) return readFileList(tgt, clean.map(abs), sch)
-    val dvPathByFile: Map[String, String] = dirty.map { r =>
+    val live = liveRowUdf(tgt.spark, dirty.map { r =>
       new Path(abs(r)).toUri.getPath ->
         new Path(dataDir(tgt, table), sidecarByRel(r)).toString
-    }.toMap
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      tgt.spark.sessionState.newHadoopConf())
-    val bc = tgt.spark.sparkContext.broadcast((dvPathByFile, conf))
-    val live = udf((fp: String, idx: Long) => {
-      val (byFile, c) = bc.value
-      byFile.get(new Path(fp).toUri.getPath) match {
-        case None => true
-        case Some(sidecar) =>
-          val a = org.apache.spark.sql.graft.DeletionVectors
-            .readCached(c.value, sidecar)
-          java.util.Arrays.binarySearch(a, idx) < 0
-      }
-    })
+    }.toMap)
     val dirtyDf = readFileList(tgt, dirty.map(abs), sch)
       .withColumn("__graft_fp", col("_metadata.file_path"))
       .withColumn("__graft_ri", col("_metadata.row_index"))

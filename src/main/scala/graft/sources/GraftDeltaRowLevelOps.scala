@@ -226,10 +226,8 @@ private[sources] final class GraftDeltaTaskWriter(
     conf: org.apache.spark.util.SerializableConfiguration)
   extends DeltaWriter[InternalRow] {
 
-  /** Positions buffered per file before spilling to a fragment — 4M
-    * longs = 32 MB, small enough to never threaten a task heap, big
-    * enough that fragments stay few and chunky. */
-  private val FlushAt = 4 << 20
+  private val FlushAt =
+    org.apache.spark.sql.graft.DeletionVectors.FragmentFlushPositions
 
   private val buffered =
     scala.collection.mutable.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()

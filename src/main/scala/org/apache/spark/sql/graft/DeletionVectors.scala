@@ -29,6 +29,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object DeletionVectors {
 
+  /** Positions buffered per (task, file) before a writer spills a
+    * fragment sidecar — 4M longs = 32 MB: small enough to never
+    * threaten a task heap, big enough that fragments stay few and
+    * chunky. ONE constant for both fragment writers (the SQL DML task
+    * writer and the library probe), because the per-fragment contract
+    * (sorted within a fragment) is what the commit-side merge relies on. */
+  val FragmentFlushPositions: Int = 4 << 20
+
   private val Magic = 0x47445631  // "GDV1": count × big-endian longs
   private val Magic2 = 0x47445632 // "GDV2": count × delta-varint
 
@@ -106,23 +114,33 @@ object DeletionVectors {
 
   /** Per-JVM LRU of decoded sidecars — sidecars are IMMUTABLE once
     * written (a merge writes a NEW sidecar), so caching by path is
-    * always sound. Bounded: an executor scanning many partitions of the
-    * same DV'd files decodes each sidecar once, and the cap stops a
-    * long-lived executor from accreting dead tables' vectors. */
-  private val CacheEntries = 64
+    * always sound. Bounded by DECODED BYTES, not entry count: a legal
+    * DV can reach dv_max_fraction of a big file's rows (hundreds of MB
+    * decoded), so an entry-count cap could pin gigabytes on a
+    * long-lived executor. Oversized single vectors are returned
+    * uncached rather than evicting the whole working set. */
+  private val CacheMaxBytes = 256L << 20
+  private var cacheBytes = 0L
   private val cache =
-    new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Array[Long]]): Boolean =
-        size() > CacheEntries
-    }
+    new java.util.LinkedHashMap[String, Array[Long]](16, 0.75f, true)
 
   def readCached(conf: Configuration, path: String): Array[Long] = {
     cache.synchronized { Option(cache.get(path)) } match {
       case Some(a) => a
       case None =>
         val a = read(conf, path)
-        cache.synchronized { cache.put(path, a) }
+        val bytes = a.length.toLong * 8L
+        if (bytes <= CacheMaxBytes / 4) cache.synchronized {
+          if (!cache.containsKey(path)) {
+            cacheBytes += bytes
+            cache.put(path, a)
+            val it = cache.entrySet().iterator()
+            while (cacheBytes > CacheMaxBytes && it.hasNext) {
+              cacheBytes -= it.next().getValue.length.toLong * 8L
+              it.remove()
+            }
+          }
+        }
         a
     }
   }

@@ -203,6 +203,54 @@ class MergeOnReadBulkSpec extends SparkSpec {
     assert(VersionedTable.lookup(lib, "upsb", 2L, Map("k" -> 13L)).count() == 1L)
   }
 
+  test("a MOR delete that empties the table never resurrects rows (TRUNCATE shape)") {
+    // review-found regression: the keep-one-schema-file fallback used to
+    // re-mount a fully-deleted file BARE (Gone files carry no committed
+    // DV) — the delete "succeeded" while every row survived
+    VersionedTable.load(lib, "trunc",
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      idOrder = Seq("k"), extraProps = morProps)
+    val v = VersionedTable.delete(lib, "trunc", col("k") >= 0L)
+    assert(v == 2L)
+    assert(VersionedTable.read(lib, "trunc").count() == 0L,
+      "a full-coverage MOR delete must leave ZERO rows at the head")
+    assert(VersionedTable.read(lib, "trunc").columns.toSeq.nonEmpty,
+      "the empty head must still read its schema")
+    assert(VersionedTable.readVersion(lib, "trunc", 1L).count() == 3L,
+      "the pre-delete version still time-travels")
+    // deleteKeys emptying the table behaves the same
+    VersionedTable.load(lib, "trunck",
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      idOrder = Seq("k"), extraProps = morProps)
+    VersionedTable.deleteKeys(lib, "trunck", Seq(1L, 2L).toDF("k"), Seq("k"))
+    assert(VersionedTable.read(lib, "trunck").count() == 0L,
+      "deleteKeys emptying a MOR table must leave zero rows")
+    // and the table stays WRITABLE after the truncate
+    VersionedTable.load(lib, "trunc", Seq((9L, 90L)).toDF("k", "v"))
+    assert(VersionedTable.read(lib, "trunc").select("k", "v")
+      .as[(Long, Long)].collect().toSeq == Seq((9L, 90L)))
+  }
+
+  test("a full-overlap MOR upsert replaces every row without duplication") {
+    // review-found regression twin: incoming matches EVERY live row (the
+    // dimension-refresh shape) — the old fallback kept an old data file
+    // verbatim alongside the merged rows, duplicating every key
+    VersionedTable.load(lib, "full",
+      spark.range(0, 100).select($"id".as("k"), ($"id" * 10).as("v")),
+      idOrder = Seq("k"), extraProps = morProps)
+    VersionedTable.load(lib, "full",
+      spark.range(0, 100).select($"id".as("k"), ($"id" * 100).as("v")),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val got = VersionedTable.read(lib, "full").select("k", "v")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == (0L until 100L).map(k => (k, k * 100L)),
+      s"every key exactly once with the incoming value: ${got.take(6)}...")
+    // matched rows keep their ids (the upsertMerged contract)
+    val ids = VersionedTable.read(lib, "full").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == (1L to 100L), s"ids preserved, no re-issue: ${ids.take(6)}")
+  }
+
   test("a zone-covered file drops metadata-only through the library MOR delete") {
     VersionedTable.load(lib, "libz",
       spark.range(0, 100).select($"id".as("k")), extraProps = morProps,
