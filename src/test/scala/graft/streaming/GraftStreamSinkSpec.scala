@@ -140,6 +140,38 @@ class GraftStreamSinkSpec extends SparkSpec {
       "committed epochs must leave no staged files behind")
   }
 
+  test("keyed epochs into a MERGE-ON-READ table commit DVs, files verbatim") {
+    implicit val sqlCtx = spark.sqlContext
+    val tgt = new Catalog(spark, tmpDir("gsinkm"))
+    // pre-create the MOR table with a base state
+    VersionedTable.load(tgt, "t",
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), idOrder = Seq("k"),
+      extraProps = Map(
+        VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead))
+    val pre = VersionedTable.files(tgt, "t", 1L).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = sink(input.toDF().toDF("k", "v"), tgt, "t", tmpDir("gsinkmck"))
+      .option("upsertKeys", "k").start()
+    try {
+      input.addData((7L, "UP"), (101L, "NEW"))
+      q.processAllAvailable()
+      input.addData((8L, "UP8"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // each epoch: DV for the matched key + appended merged/fresh rows;
+    // every pre-existing data file carried verbatim, epoch stamps intact
+    assert(pre.subsetOf(VersionedTable.files(tgt, "t", 3L).toSet),
+      "streamed MOR upserts must never rewrite a pre-existing file")
+    assert(VersionedTable.deletionVectors(tgt, "t", 3L)
+      .values.map(_._2).sum == 2L,
+      "the two matched keys' old rows must be DV'd")
+    val rows = VersionedTable.read(tgt, "t").select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(rows.size == 101 && rows(7L) == "UP" && rows(8L) == "UP8" &&
+      rows(101L) == "NEW" && rows(9L) == "v9",
+      s"streamed keyed merge over MOR: ${rows.toSeq.sortBy(_._1).take(10)}")
+  }
+
   test("outputMode Update WITHOUT upsertKeys is refused, not silently duplicated") {
     implicit val sqlCtx = spark.sqlContext
     val tgt = new Catalog(spark, tmpDir("gsinknokeys"))
