@@ -104,6 +104,45 @@ class CdcSourceSpec extends SparkSpec {
       Seq("g"), aggs, ckpt).isEmpty)
   }
 
+  test("maintainView stays exact over a MERGE-ON-READ source (DV deletes + upserts)") {
+    // the CDC diff over DV'd manifests feeds the view: a shared file
+    // whose DV changed enters both diff sides, so retraction semantics
+    // must hold exactly as they do over copy-on-write commits
+    val src = new Catalog(spark, tmpDir("cdcmvm"))
+    val viewTgt = new Catalog(spark, tmpDir("cdcmvmv"))
+    val ckpt = tmpDir("cdcmvmc")
+    import graft.etl.MaterializedAgg
+    val aggs = Seq(
+      MaterializedAgg.AggCol("count", "", "n"),
+      MaterializedAgg.AggCol("sum", "v", "sv"),
+      MaterializedAgg.AggCol("min", "v", "mn"))
+    def freshAgg() = VersionedTable.read(src, "t").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    def viewState() = MaterializedAgg.read(viewTgt, "vw", Seq("g"), aggs)
+      .where(col("n") > 0).orderBy("g")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    VersionedTable.load(src, "t",
+      (1L to 40L).map(i => (i, s"g${i % 3}", i * 10L)).toDF("k", "g", "v"),
+      idOrder = Seq("k"),
+      extraProps = Map(
+        VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead))
+    CdcSource.maintainView(src, "t", Seq("k"), viewTgt, "vw",
+      Seq("g"), aggs, ckpt)
+    assert(viewState() == freshAgg())
+    // MOR delete (DV commit) including a group minimum, then a MOR
+    // keyed upsert (DV + merged append) — both drain through the feed
+    VersionedTable.delete(src, "t", col("k") <= 3L)
+    VersionedTable.load(src, "t",
+      Seq((7L, "g1", -7L), (99L, "g0", 990L)).toDF("k", "g", "v"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val drained = CdcSource.maintainView(src, "t", Seq("k"), viewTgt, "vw",
+      Seq("g"), aggs, ckpt)
+    assert(drained == Seq(2L, 3L), s"both MOR versions drain: $drained")
+    assert(viewState() == freshAgg(),
+      "the view must equal a fresh aggregation after DV-backed changes")
+  }
+
   test("mirrorOnce refuses to resume from a vacuumed watermark") {
     val src = new Catalog(spark, tmpDir("cdcsrcv"))
     val dst = new Catalog(spark, tmpDir("cdcdstv"))
