@@ -47,6 +47,12 @@ class PushdownFuzzSpec extends SparkSpec {
     val nCommits = 3 + rnd.nextInt(3)
     var committed = 0
     var deletes = 0
+    def genC(): Option[Long] =
+      if (allNullC) None
+      else if (rnd.nextDouble() < 0.1) None
+      else if (extremes && rnd.nextDouble() < 0.05)
+        Some(if (rnd.nextBoolean()) Long.MaxValue else Long.MinValue)
+      else Some(rnd.nextInt(1000).toLong)
     def doDelete(): Unit = if (rnd.nextBoolean()) {
       val victims = state.filter(_ => rnd.nextDouble() < 0.2).map(_.k)
       VersionedTable.deleteKeys(tgt, "t", victims.toDF("k"), Seq("k"))
@@ -58,6 +64,23 @@ class PushdownFuzzSpec extends SparkSpec {
       // Spark WHERE semantics: NULL c does not match, survives
       state = state.filterNot(r => r.c.exists(_ <= x))
     }
+    // KEYED upsert: update a random subset of live keys + insert fresh
+    // ones — on MOR tables this drives the DV-upsert path against the
+    // same model that checks the copy-on-write merge
+    def doUpsert(): Unit = {
+      val updates = state.filter(_ => rnd.nextDouble() < 0.15)
+        .map(r => R(r.k, genC(), s"u${r.k}c$committed"))
+      val inserts = (0 to rnd.nextInt(30)).map { _ =>
+        nextK += 1
+        R(nextK, genC(), s"s$nextK")
+      }.toVector
+      val batch = updates ++ inserts // keys unique by construction
+      VersionedTable.load(tgt, "t",
+        batch.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s"),
+        upsertFields = Seq("k"), idOrder = Seq("k"))
+      val byK = batch.map(r => r.k -> r).toMap
+      state = state.map(r => byK.getOrElse(r.k, r)) ++ inserts
+    }
     while (committed < nCommits) {
       val op =
         if (state.isEmpty) 0
@@ -65,17 +88,11 @@ class PushdownFuzzSpec extends SparkSpec {
         // to a delete when the random walk produced none
         else if (mor && deletes == 0 && committed == nCommits - 1) 9
         else rnd.nextInt(10)
-      if (op < 6) {
+      if (op < 5) {
         val n = rnd.nextInt(120)
         val rows = (0 until n).map { _ =>
           nextK += 1
-          val c =
-            if (allNullC) None
-            else if (rnd.nextDouble() < 0.1) None
-            else if (extremes && rnd.nextDouble() < 0.05)
-              Some(if (rnd.nextBoolean()) Long.MaxValue else Long.MinValue)
-            else Some(rnd.nextInt(1000).toLong)
-          R(nextK, c, s"s$nextK")
+          R(nextK, genC(), s"s$nextK")
         }.toVector
         VersionedTable.load(tgt, "t",
           rows.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s"),
@@ -85,6 +102,8 @@ class PushdownFuzzSpec extends SparkSpec {
             Map(VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead)
           else Map.empty)
         state = state ++ rows
+      } else if (op < 7) {
+        doUpsert()
       } else {
         doDelete()
         deletes += 1
