@@ -2535,12 +2535,15 @@ object VersionedTable {
 
 
   /** Spill `(file path, row position)` pairs to fragment sidecars
-    * EXECUTOR-SIDE: one shuffle partition per file (so each file's
-    * positions arrive sorted and together), fragments of ≤
+    * EXECUTOR-SIDE: shuffle on (file, position-block) — the block is the
+    * position divided by the flush size, so one file's positions spread
+    * across tasks in sorted runs instead of funneling a single-file bulk
+    * delete through one task (the commit-side merge accepts any number
+    * of fragments per file) — fragments of ≤
     * [[org.apache.spark.sql.graft.DeletionVectors.FragmentFlushPositions]]
-    * positions each — the driver receives only the
-    * (file → fragment paths) pointer map, O(files), regardless of how
-    * many rows the statement deletes. */
+    * positions each; the driver receives only the
+    * (file → fragment paths) pointer map, O(files + blocks), regardless
+    * of how many rows the statement deletes. */
   private def writePositionFragments(spark: org.apache.spark.sql.SparkSession,
                                      fpRi: DataFrame,
                                      stageDir: String): Map[String, Seq[String]] = {
@@ -2555,7 +2558,8 @@ object VersionedTable {
     val cols = fpRi.columns
     val flushAt = org.apache.spark.sql.graft.DeletionVectors.FragmentFlushPositions
     val pairs = fpRi
-      .repartition(col(cols(0)))
+      .repartition(col(cols(0)),
+        (col(cols(1)) / lit(flushAt.toLong)).cast("long"))
       .sortWithinPartitions(col(cols(0)), col(cols(1)))
       .as[(String, Long)](inEnc)
       .mapPartitions { it =>

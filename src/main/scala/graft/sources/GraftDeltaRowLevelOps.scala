@@ -51,6 +51,15 @@ import graft.etl.{Catalog, VersionedTable}
   * Same conflict rule as the CoW op: scans pin one version, a
   * concurrent commit fails the statement's CAS with
   * ConcurrentModificationException — retry the statement.
+  *
+  * SCAN ceiling, pinned here so nobody chases it: Spark's runtime
+  * group filtering (`RowLevelOperationRuntimeGroupFiltering`) applies
+  * to GROUP-BASED operations only, so a `MERGE INTO` on a MOR table
+  * reads every statically-admitted file — UPDATE/DELETE WHERE still
+  * zone-prune through their pushed condition, and the LIBRARY upsert
+  * ([[graft.etl.VersionedTable]]'s merge-on-read load path) prunes by
+  * the batch's key envelope, which SQL MERGE's ON condition cannot
+  * express. Prefer the library path for huge-table small-batch merges.
   */
 private[sources] final class GraftDeltaRowLevelOperation(
     cmd: RowLevelOperation.Command, dataSchema: StructType,
