@@ -295,6 +295,25 @@ object VersionedTable {
     * instead of an O(table) rewrite. */
   private[graft] val SchemaProp = "schema_json"
 
+  /** Manifest prop holding the table's COLUMN MAPPING (JSON object,
+    * logical name → PHYSICAL in-file name; identity entries absent) —
+    * what makes `ALTER TABLE RENAME COLUMN` / `DROP COLUMN` metadata-only
+    * commits ([[renameColumn]]/[[dropColumn]]): a column's physical name
+    * is assigned at birth and never changes, so a rename re-labels only
+    * the manifest and every file — old or new — keeps reading under the
+    * stable physical name. Absent on tables that never renamed/dropped
+    * (the identity mapping), where every translation helper is a no-op.
+    * See [[org.apache.spark.sql.graft.ColumnMapping]]. */
+  private[graft] val ColMapProp = "col_map_json"
+
+  /** Manifest prop listing RETIRED physical names (JSON array) — the
+    * in-file names of dropped columns (and of any column whose physical
+    * diverged from its logical). A later ADD COLUMN whose name collides
+    * with a retired physical gets a FRESH physical name instead
+    * ([[extendMapping]]), so re-adding a dropped column can never
+    * resurrect the old bytes still present in unrewritten files. */
+  private[graft] val ColMapRetiredProp = "col_map_retired"
+
   /** Manifest prop selecting the table's ROW-LEVEL-OP strategy:
     * `copy-on-write` (default — rewrite the matched files' groups) or
     * `merge-on-read` (record deletion-vector sidecars, apply at read,
@@ -346,6 +365,100 @@ object VersionedTable {
     man.props.get(SchemaProp).flatMap(j => scala.util.Try(
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+
+  // ---------------------------------------------------- column mapping
+
+  /** The manifest's logical → physical column mapping (identity entries
+    * absent; empty = untranslated table). */
+  private[graft] def physOfMan(man: Manifest): Map[String, String] =
+    man.props.get(ColMapProp).fold(Map.empty[String, String]) { j =>
+      scala.util.Try {
+        val o = mapper.readTree(j)
+        val b = Map.newBuilder[String, String]
+        o.fields().forEachRemaining(e => b += (e.getKey -> e.getValue.asText()))
+        b.result()
+      }.getOrElse(throw new IllegalStateException(
+        s"unparseable $ColMapProp in manifest v${man.version}: $j"))
+    }
+
+  /** The manifest's retired physical names (dropped columns' in-file
+    * names — reserved forever, see [[ColMapRetiredProp]]). */
+  private[graft] def retiredOf(man: Manifest): Set[String] =
+    man.props.get(ColMapRetiredProp).fold(Set.empty[String]) { j =>
+      scala.util.Try {
+        val a = mapper.readTree(j)
+        val b = Set.newBuilder[String]
+        a.elements().forEachRemaining(e => b += e.asText())
+        b.result()
+      }.getOrElse(throw new IllegalStateException(
+        s"unparseable $ColMapRetiredProp in manifest v${man.version}: $j"))
+    }
+
+  private def colMapJson(physOf: Map[String, String]): String = {
+    val o = mapper.createObjectNode()
+    physOf.toSeq.sortBy(_._1).foreach { case (l, p) => o.put(l, p) }
+    mapper.writeValueAsString(o)
+  }
+
+  private def retiredJson(retired: Set[String]): String = {
+    val a = mapper.createArrayNode()
+    retired.toSeq.sorted.foreach(a.add)
+    mapper.writeValueAsString(a)
+  }
+
+  /** `props` with the mapping props REPLACED canonically: identity
+    * entries never stored, empty maps remove the prop outright (a
+    * rename-back that restores full identity leaves no stale mapping
+    * behind; unmapped tables' manifests stay byte-identical). */
+  private def withMappingProps(props: Map[String, String],
+                               physOf: Map[String, String],
+                               retired: Set[String]): Map[String, String] = {
+    val canonical = physOf.filter { case (l, p) => l != p }
+    val base = props - ColMapProp - ColMapRetiredProp
+    (if (canonical.isEmpty) base
+     else base + (ColMapProp -> colMapJson(canonical))) ++
+      (if (retired.isEmpty) Map.empty[String, String]
+       else Map(ColMapRetiredProp -> retiredJson(retired)))
+  }
+
+  /** The CHILD mapping for a commit writing `schema`: the parent's
+    * mapping restricted to surviving logical names, plus a FRESH
+    * physical name for any new column whose name collides with a
+    * reserved physical (a retired name, or another column's mapped
+    * physical) — without this, a post-drop re-add of the same name
+    * would read the dropped column's bytes out of old files.
+    * Deterministic in (parent, schema); identity in, identity out. */
+  private[graft] def extendMapping(parent: Option[Manifest],
+                                   schema: org.apache.spark.sql.types.StructType)
+      : Map[String, String] = {
+    val physOf0 = parent.fold(Map.empty[String, String])(physOfMan)
+    if (physOf0.isEmpty && parent.forall(retiredOf(_).isEmpty))
+      return Map.empty
+    val names = schema.fieldNames.toSet
+    val physOf = physOf0.filter { case (l, _) => names(l) }
+    val retired = parent.fold(Set.empty[String])(retiredOf)
+    val reserved0 = retired ++ physOf.values
+    val fresh = schema.fieldNames.filterNot(physOf.contains)
+    val (out, _) = fresh.foldLeft((physOf, reserved0)) {
+      case ((m, reserved), name) =>
+        if (!reserved(name)) (m, reserved) // identity stays absent
+        else {
+          var i = parent.fold(1L)(_.version + 1)
+          var cand = s"${name}__p$i"
+          while (reserved(cand) || names(cand)) { i += 1; cand = s"${name}__p$i" }
+          (m + (name -> cand), reserved + cand)
+        }
+    }
+    out
+  }
+
+  /** The logical → physical mapping of version `v` (head when None) —
+    * scan factories capture this at plan time so a rename committing
+    * between planning and reading can't mistranslate. */
+  private[graft] def columnMapping(tgt: Catalog, table: String,
+                                   v: Option[Long] = None): Map[String, String] =
+    v.orElse(currentVersion(tgt, table))
+      .flatMap(readManifest(tgt, table, _)).fold(Map.empty[String, String])(physOfMan)
 
   /** Recorded schemas normalize to ALL-NULLABLE (deeply) before entering
     * the manifest — the parquet read contract the legacy footer probe
@@ -1133,12 +1246,21 @@ object VersionedTable {
     else {
       val absToRel = newRel.map(r =>
         new Path(dataDir(tgt, table), r).toString -> r).toMap
+      // the files carry PHYSICAL names (the writeBatch boundary); the
+      // manifest records stats under LOGICAL names — request physical,
+      // re-key back, and the whole stat/pruning layer stays logical
+      val physOf = extendMapping(parent, schema)
+      val toLogical = org.apache.spark.sql.graft.ColumnMapping.reverse(physOf)
+      def rekey[A](m: Map[String, A]): Map[String, A] =
+        if (toLogical.isEmpty) m
+        else m.map { case (c, v) => toLogical.getOrElse(c, c) -> v }
       val meta = graft.sources.ParquetSource
-        .footerFileMeta(tgt.spark, absToRel.keys.toSeq, cols)
+        .footerFileMeta(tgt.spark, absToRel.keys.toSeq,
+          cols.map(org.apache.spark.sql.graft.ColumnMapping.phys(physOf, _)))
       val fStats = meta.collect { case (abs, (_, m, _)) if m.nonEmpty =>
-        absToRel(abs) -> clampStringBounds(m) }
+        absToRel(abs) -> clampStringBounds(rekey(m)) }
       val fNulls = meta.collect { case (abs, (_, _, n)) if n.nonEmpty =>
-        absToRel(abs) -> n }
+        absToRel(abs) -> rekey(n) }
       val fRows = meta.map { case (abs, (r, _, _)) => absToRel(abs) -> r }
       FileMeta(cStats ++ fStats, cSizes ++ newParts.toMap,
         cNulls ++ fNulls, cRows ++ fRows)
@@ -1544,9 +1666,15 @@ object VersionedTable {
       // degrades fpp, never correctness
       s"parquet.bloom.filter.expected.ndv#$c" -> "100000")).toMap
 
-  private def writeBatch(tgt: Catalog, table: String, out: DataFrame,
+  private def writeBatch(tgt: Catalog, table: String, out0: DataFrame,
                          bucket: Option[(Seq[String], Int)],
-                         bloomCols: Seq[String] = Nil): (Path, Seq[(String, Long)]) = {
+                         bloomCols: Seq[String] = Nil,
+                         physOf: Map[String, String] = Map.empty)
+      : (Path, Seq[(String, Long)]) = {
+    // the WRITE boundary of column mapping: files always carry PHYSICAL
+    // names (bucket keys and bloom columns are identity-mapped by the
+    // rename refusal matrix, so their references below still resolve)
+    val out = org.apache.spark.sql.graft.ColumnMapping.toPhysical(out0, physOf)
     val uuid = java.util.UUID.randomUUID().toString
     val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
     val opts = bloomOptions(out, bloomCols)
@@ -1724,8 +1852,11 @@ object VersionedTable {
             Loader.finalSchema(ex, withIds, ensure, safe)), Nil)
     }
 
+    // the commit's column mapping: the parent's, extended with fresh
+    // physical names for any new column colliding with a retired one
+    val physOf = extendMapping(headMan, out.schema)
     val (batch, newParts) = writeBatch(tgt, table, out, bucket,
-      (headMan.toSeq.flatMap(bloomColsOf) ++ bloomBy).distinct)
+      (headMan.toSeq.flatMap(bloomColsOf) ++ bloomBy).distinct, physOf)
     // CHECK constraint gates the STAGED files — the bytes that would
     // commit — not the incoming plan: a non-deterministic source
     // (rand(), current_timestamp()) re-executes between a plan-side
@@ -1761,12 +1892,14 @@ object VersionedTable {
         val props1 = if (upsertFields.nonEmpty)
           props0 + (UpsertKeysProp -> upsertFields.mkString(","))
         else props0
-        val props = (((if (bloomBy.nonEmpty)
-          props1 + (BloomColsProp -> bloomBy.mkString(","))
-        else props1) ++ extraProps) -- dropProps) +
-          // the committed batch's schema is the version's schema — the
-          // read-path source of truth (see SchemaProp)
-          (SchemaProp -> schemaJson(out.schema))
+        val props = withMappingProps(
+          (((if (bloomBy.nonEmpty)
+            props1 + (BloomColsProp -> bloomBy.mkString(","))
+          else props1) ++ extraProps) -- dropProps) +
+            // the committed batch's schema is the version's schema — the
+            // read-path source of truth (see SchemaProp)
+            (SchemaProp -> schemaJson(out.schema)),
+          physOf, headMan.fold(Set.empty[String])(retiredOf))
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
           fm.stats, fm.sizes, fm.nulls, fm.rows, props,
           dvCarry(headMan, carryRel)) }))
@@ -1811,9 +1944,136 @@ object VersionedTable {
       }
       val widened = org.apache.spark.sql.types.StructType(
         current.fields ++ newFields)
+      // a new column whose name collides with a RETIRED physical (or a
+      // mapped physical) gets a fresh in-file name — the metadata-only
+      // widen must not alias old bytes back to life
+      val physOf = extendMapping(Some(man), widened)
       preCommitHook.value()
       if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
-        props = man.props + (SchemaProp -> schemaJson(widened))))) Some(cur + 1)
+        props = withMappingProps(
+          man.props + (SchemaProp -> schemaJson(widened)),
+          physOf, retiredOf(man))))) Some(cur + 1)
+      else None
+    }
+  }
+
+  /** Columns a RENAME/DROP must refuse: the surrogate id, recorded
+    * upsert/CDC keys, the bucket layout's keys, bloom-declared columns,
+    * and any column the table's CHECK constraint references — each is
+    * load-bearing table METADATA keyed by logical name; silently
+    * re-labeling underneath would corrupt upserts, pruning, or
+    * enforcement. (Delta similarly refuses renames of partition and
+    * constraint columns.) */
+  private def mappingRefusals(tgt: Catalog, man: Manifest,
+                              name: String, verb: String): Unit = {
+    require(!name.equalsIgnoreCase(Loader.IdCol),
+      s"cannot $verb the surrogate id column '$name'")
+    val keys = man.props.get(UpsertKeysProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(!keys.exists(_.equalsIgnoreCase(name)),
+      s"cannot $verb '$name': it is a recorded upsert/CDC key " +
+        s"(${keys.mkString(",")})")
+    man.bucket.foreach { case (bKeys, _) =>
+      require(!bKeys.exists(_.equalsIgnoreCase(name)),
+        s"cannot $verb '$name': it is a bucket-layout key " +
+          s"(${bKeys.mkString(",")})")
+    }
+    val bloom = man.props.get(BloomColsProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(!bloom.exists(_.equalsIgnoreCase(name)),
+      s"cannot $verb '$name': bloom filters are declared on it " +
+        s"(${bloom.mkString(",")})")
+    man.props.get(CheckConstraintProp).foreach { c =>
+      val refs = scala.util.Try(
+        tgt.spark.sessionState.sqlParser.parseExpression(c)
+          .references.map(_.name).toSet).getOrElse(Set.empty[String])
+      require(!refs.exists(_.equalsIgnoreCase(name)),
+        s"cannot $verb '$name': the table's CHECK constraint references " +
+          s"it ($c)")
+    }
+  }
+
+  /** METADATA-ONLY COLUMN RENAME — the commit under SQL `ALTER TABLE
+    * RENAME COLUMN`: the new version carries the parent's files VERBATIM
+    * and re-labels only the manifest — the column keeps its PHYSICAL
+    * in-file name ([[ColMapProp]]), so no file is read or rewritten and
+    * old and new files stay interchangeable. Zone maps / null counts
+    * re-key to the new logical name (same bytes, same bounds — the
+    * stats stay valid and pruning on the renamed column keeps working).
+    * Refused for id/key/bucket/bloom/CHECK columns
+    * ([[mappingRefusals]]). Time travel is era-consistent: older
+    * versions keep reading under their own recorded names. */
+  def renameColumn(tgt: Catalog, table: String, from: String,
+                   to: String): Long = {
+    require(from != to, s"rename to the same name: '$from'")
+    commitWithRetry(table, "renameColumn") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val current = readVersion(tgt, table, cur).schema
+      require(current.fieldNames.exists(_.equalsIgnoreCase(from)),
+        s"no column '$from' on '$table'")
+      require(!current.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists on '$table'")
+      require(!to.equalsIgnoreCase(Loader.IdCol),
+        s"'$to' is reserved for the surrogate id")
+      mappingRefusals(tgt, man, from, "rename")
+      val exact = current.fieldNames.find(_.equalsIgnoreCase(from)).get
+      val physOf0 = physOfMan(man)
+      val physical = physOf0.getOrElse(exact, exact)
+      val physOf = (physOf0 - exact) + (to -> physical)
+      val renamed = org.apache.spark.sql.types.StructType(current.fields.map(
+        f => if (f.name == exact) f.copy(name = to) else f))
+      // stats/null counts re-key: same bytes, same bounds
+      def rekey[A](m: Map[String, Map[String, A]]) = m.map { case (rel, cols) =>
+        rel -> cols.map { case (c, v) => (if (c == exact) to else c) -> v }
+      }
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        stats = rekey(man.stats), nulls = rekey(man.nulls),
+        props = withMappingProps(
+          man.props + (SchemaProp -> schemaJson(renamed)),
+          physOf, retiredOf(man))))) Some(cur + 1)
+      else None
+    }
+  }
+
+  /** METADATA-ONLY COLUMN DROP — the commit under SQL `ALTER TABLE DROP
+    * COLUMN`: the new version carries the parent's files VERBATIM and
+    * removes the column from the recorded schema; the bytes stay in old
+    * files but no reader ever requests them again. The column's PHYSICAL
+    * name RETIRES ([[ColMapRetiredProp]]) so a later ADD COLUMN of the
+    * same name maps to a fresh in-file name instead of resurrecting the
+    * old data; the column's zone maps / null counts strip from every
+    * carried file (a re-added namesake must never prune on the dead
+    * column's bounds). Same refusal matrix as [[renameColumn]]. */
+  def dropColumn(tgt: Catalog, table: String, name: String): Long = {
+    commitWithRetry(table, "dropColumn") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val current = readVersion(tgt, table, cur).schema
+      require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name' on '$table'")
+      require(current.fields.count(!_.name.equalsIgnoreCase(Loader.IdCol)) > 1,
+        s"cannot drop the last column of '$table'")
+      mappingRefusals(tgt, man, name, "drop")
+      val exact = current.fieldNames.find(_.equalsIgnoreCase(name)).get
+      val physOf0 = physOfMan(man)
+      val physical = physOf0.getOrElse(exact, exact)
+      val physOf = physOf0 - exact
+      val retired = retiredOf(man) + physical
+      val narrowed = org.apache.spark.sql.types.StructType(
+        current.fields.filterNot(_.name == exact))
+      def strip[A](m: Map[String, Map[String, A]]) = m.map { case (rel, cols) =>
+        rel -> (cols - exact)
+      }
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        stats = strip(man.stats), nulls = strip(man.nulls),
+        props = withMappingProps(
+          man.props + (SchemaProp -> schemaJson(narrowed)),
+          physOf, retired)))) Some(cur + 1)
       else None
     }
   }
@@ -1856,7 +2116,9 @@ object VersionedTable {
         new Path(dataDir(tgt, table), r).toString)).getOrElse(0L))
     val order = if (idOrder.nonEmpty) idOrder else replacement.columns.toSeq
     val out = Loader.withSurrogateIds(replacement, floor, order)
-    val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan))
+    val physOf = physOfMan(headMan)
+    val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket,
+      bloomColsOf(headMan), physOf)
     // SQL UPDATE/MERGE must not write rows the table's CHECK refuses —
     // validated on the STAGED files (atomic with what would commit; see
     // loadAttempt), cleaned up on violation
@@ -2027,8 +2289,9 @@ object VersionedTable {
       if (rewriteRel.isEmpty) (null, Seq.empty[(String, Long)])
       else writeBatch(tgt, table,
         readRelsWithSidecars(tgt, table, rewriteRel.toSeq,
-          rewriteDvs.map { case (rel, (p, _)) => rel -> p }, schemaFull),
-        headMan.bucket, bloomColsOf(headMan))
+          rewriteDvs.map { case (rel, (p, _)) => rel -> p }, schemaFull,
+          physOfMan(headMan)),
+        headMan.bucket, bloomColsOf(headMan), physOfMan(headMan))
     def cleanupRewrite(): Unit =
       if (rwBatch != null) fs(tgt, dataDir(tgt, table)).delete(rwBatch, true)
     // keep at least one schema-bearing file (the invariant every rewrite
@@ -2051,7 +2314,7 @@ object VersionedTable {
           new Path(dataDir(tgt, table), headMan.files.head).toString).schema)
         writeBatch(tgt, table, tgt.spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), sch),
-          headMan.bucket, bloomColsOf(headMan))
+          headMan.bucket, bloomColsOf(headMan), physOfMan(headMan))
       }
     def cleanupEmpty(): Unit =
       if (emptyBatch != null) fs(tgt, dataDir(tgt, table)).delete(emptyBatch, true)
@@ -2073,7 +2336,8 @@ object VersionedTable {
         val order = if (idOrder.nonEmpty) idOrder
           else replacement.columns.toSeq
         val out = Loader.withSurrogateIds(replacement, floor, order)
-        writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan))
+        writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan),
+          physOfMan(headMan))
       }
     // id-carrying staged rows (MOR upsert's merged-matched + fresh):
     // written through the same bucket/bloom-aware batch writer, ids
@@ -2084,7 +2348,7 @@ object VersionedTable {
         val r = tgt.spark.read
         writeBatch(tgt, table,
           schemaFull.fold(r)(r.schema).parquet(stagedWithIds: _*),
-          headMan.bucket, bloomColsOf(headMan))
+          headMan.bucket, bloomColsOf(headMan), physOfMan(headMan))
       }
     def cleanupBatch(): Unit = {
       if (batch != null) fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -2225,7 +2489,8 @@ object VersionedTable {
         val survivors =
           if (hitRel.nonEmpty) srcDf.where(!coalesce(cond, lit(false)))
           else srcDf.where(lit(false))
-        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket, bloomColsOf(man))
+        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket,
+          bloomColsOf(man), physOfMan(man))
         val newRel = newParts.map(_._1)
         // the id floor NEVER decreases on delete (deleted rows' ids are
         // not reissued — they may still be referenced by older versions);
@@ -2315,7 +2580,8 @@ object VersionedTable {
       } else {
         val survivors = readRelsWithDv(tgt, table, man, hitRel)
           .join(kr, keys, "left_anti")
-        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket, bloomColsOf(man))
+        val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket,
+          bloomColsOf(man), physOfMan(man))
         val newRel = newParts.map(_._1)
         val keepAbs = (keepRel ++ newRel).map(r =>
           new Path(dataDir(tgt, table), r).toString)
@@ -2359,11 +2625,22 @@ object VersionedTable {
       // skipping the DV filter keeps the probe a plain vectorized scan
       val frags: Map[String, Seq[String]] =
         if (candRel.isEmpty) Map.empty
-        else writePositionFragments(tgt.spark,
-          matchedOf(readFileList(tgt, candRel.map(abs), recordedSchema(man))
+        else {
+          // raw (physical-named) read for the `_metadata` extraction,
+          // logical names restored before the caller's predicate runs
+          val physOf = physOfMan(man)
+          val sch = recordedSchema(man)
+          val raw = readFileListRaw(tgt, candRel.map(abs), sch, physOf)
             .withColumn("__graft_fp", col("_metadata.file_path"))
-            .withColumn("__graft_ri", col("_metadata.row_index")))
-            .select(col("__graft_fp"), col("__graft_ri")), stage)
+            .withColumn("__graft_ri", col("_metadata.row_index"))
+          val probe =
+            if (physOf.isEmpty) raw
+            else org.apache.spark.sql.graft.ColumnMapping.toLogicalNames(
+              raw, sch.get.fieldNames.toSeq ++ Seq("__graft_fp", "__graft_ri"))
+          writePositionFragments(tgt.spark,
+            matchedOf(probe).select(col("__graft_fp"), col("__graft_ri")),
+            stage)
+        }
       if (frags.isEmpty && dropWhole.isEmpty) {
         // nothing matched: the delete is recorded without touching a byte
         preCommitHook.value()
@@ -2412,18 +2689,26 @@ object VersionedTable {
                                        sch: Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
     def abs(r: String) = new Path(dataDir(tgt, table), r).toString
-    val df = readFileList(tgt, rels.map(abs), sch)
+    val physOf = physOfMan(man)
+    // raw (physical-named) frame for the `_metadata` extraction; logical
+    // names restored at the end — callers see (logical cols, __graft_fp,
+    // __graft_ri)
+    val raw = readFileListRaw(tgt, rels.map(abs), sch, physOf)
       .withColumn("__graft_fp", col("_metadata.file_path"))
       .withColumn("__graft_ri", col("_metadata.row_index"))
     val dirty = rels.filter(man.dvs.contains)
-    if (dirty.isEmpty) df
-    else {
-      val live = liveRowUdf(tgt.spark, dirty.map { r =>
-        new Path(abs(r)).toUri.getPath ->
-          new Path(dataDir(tgt, table), man.dvs(r)._1).toString
-      }.toMap)
-      df.where(live(col("__graft_fp"), col("__graft_ri")))
-    }
+    val lively =
+      if (dirty.isEmpty) raw
+      else {
+        val live = liveRowUdf(tgt.spark, dirty.map { r =>
+          new Path(abs(r)).toUri.getPath ->
+            new Path(dataDir(tgt, table), man.dvs(r)._1).toString
+        }.toMap)
+        raw.where(live(col("__graft_fp"), col("__graft_ri")))
+      }
+    if (physOf.isEmpty) lively
+    else org.apache.spark.sql.graft.ColumnMapping.toLogicalNames(
+      lively, sch.get.fieldNames.toSeq ++ Seq("__graft_fp", "__graft_ri"))
   }
 
   /** MERGE-ON-READ KEYED UPSERT — one [[load]] attempt on a
@@ -2639,7 +2924,8 @@ object VersionedTable {
           case None => rows.coalesce(parts)
         }
         preCommitHook.value()
-        val (batch, newParts) = writeBatch(tgt, table, out, man.bucket, bloomColsOf(man))
+        val (batch, newParts) = writeBatch(tgt, table, out, man.bucket,
+          bloomColsOf(man), physOfMan(man))
         val newRel = newParts.map(_._1)
         val newV = cur + 1L
         if (tryCommitManifest(tgt, table,
@@ -2700,7 +2986,8 @@ object VersionedTable {
       val out = rows.repartitionByRange(parts, sortKey)
         .sortWithinPartitions(sortKey)
       preCommitHook.value()
-      val (batch, newParts) = writeBatch(tgt, table, out, None, bloomColsOf(man))
+      val (batch, newParts) = writeBatch(tgt, table, out, None,
+        bloomColsOf(man), physOfMan(man))
       val newRel = newParts.map(_._1)
       val newV = cur + 1L
       if (tryCommitManifest(tgt, table,
@@ -2880,7 +3167,8 @@ object VersionedTable {
   private def readVersionClean(tgt: Catalog, table: String, man: Manifest,
                                rels: Seq[String]): DataFrame = {
     val abs = rels.map(r => new Path(dataDir(tgt, table), r).toString)
-    if (man.stats.isEmpty) readFileList(tgt, abs, recordedSchema(man))
+    val physOf = physOfMan(man)
+    if (man.stats.isEmpty) readFileList(tgt, abs, recordedSchema(man), physOf)
     else {
       // PLANNING-TIME zone maps: the scan is built over a custom
       // FileIndex, so whatever filter Catalyst later pushes down —
@@ -2908,21 +3196,33 @@ object VersionedTable {
       val relByAbs = rels.map { rel =>
         new Path(dataDir(tgt, table), rel).toUri.getPath -> rel
       }.toMap
+      // COLUMN MAPPING: the scan reads PHYSICAL names (the logical
+      // rename is an alias projection on top), so predicates Catalyst
+      // pushes to the FileIndex arrive physical-named — translate each
+      // leaf back before consulting the LOGICAL manifest stats
+      val toLogical = org.apache.spark.sql.graft.ColumnMapping.reverse(physOf)
       // bucketsFor is constant per predicate but the closure runs per
       // FILE — memoize by tree (value equality) so a 100k-file listing
       // hashes the key once, not 100k times
       val bucketCache =
         new java.util.concurrent.ConcurrentHashMap[ZonePred.P, Option[Set[Int]]]()
-      val admits = (absPath: String, p: ZonePred.P) =>
+      val admits = (absPath: String, p0: ZonePred.P) =>
         relByAbs.get(absPath) match {
           case None => true
           case Some(rel) =>
+            val p = org.apache.spark.sql.graft.ColumnMapping
+              .mapZonePred(p0, toLogical)
             bucketCache.computeIfAbsent(p, bucketsFor(man, _)).forall(ks =>
               bucketOfRel(rel).forall(ks.contains)) &&
               fileAdmits(man, rel, p)
         }
-      val df = org.apache.spark.sql.graft.ZoneMapRead
-        .dataFrame(tgt.spark, statuses, schema, admits)
+      val df0 = org.apache.spark.sql.graft.ZoneMapRead.dataFrame(tgt.spark,
+        statuses, org.apache.spark.sql.graft.ColumnMapping
+          .physSchema(schema, physOf), admits)
+      val df =
+        if (physOf.isEmpty) df0
+        else org.apache.spark.sql.graft.ColumnMapping.toLogicalNames(
+          df0, schema.fieldNames.toSeq)
       df.schema.fields.collect {
         case fld if fld.dataType == org.apache.spark.sql.types.TimestampNTZType => fld.name
       }.foldLeft(df)((d, c) =>
@@ -2981,7 +3281,7 @@ object VersionedTable {
     val sch = schema.orElse(recordedSchema(man))
     val (dirty, clean) = rels.partition(man.dvs.contains)
     readRelsApplyingSidecars(tgt, table, dirty, clean,
-      dirty.map(r => r -> man.dvs(r)._1).toMap, sch)
+      dirty.map(r => r -> man.dvs(r)._1).toMap, sch, physOfMan(man))
   }
 
   /** [[readRelsWithDv]] with EXPLICIT sidecars — for positions merged by
@@ -2991,9 +3291,12 @@ object VersionedTable {
                                    rels: Seq[String],
                                    sidecarByRel: Map[String, String],
                                    schema: Option[org.apache.spark.sql.types.StructType]
-                                     = None): DataFrame = {
+                                     = None,
+                                   physOf: Map[String, String] = Map.empty)
+      : DataFrame = {
     val (dirty, clean) = rels.partition(sidecarByRel.contains)
-    readRelsApplyingSidecars(tgt, table, dirty, clean, sidecarByRel, schema)
+    readRelsApplyingSidecars(tgt, table, dirty, clean, sidecarByRel, schema,
+      physOf)
   }
 
   /** The shared DV-applying read core: sidecars decode EXECUTOR-SIDE
@@ -3005,32 +3308,58 @@ object VersionedTable {
       tgt: Catalog, table: String,
       dirty: Seq[String], clean: Seq[String],
       sidecarByRel: Map[String, String],
-      sch: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      sch: Option[org.apache.spark.sql.types.StructType],
+      physOf: Map[String, String] = Map.empty): DataFrame = {
     def abs(r: String) = new Path(dataDir(tgt, table), r).toString
-    if (dirty.isEmpty) return readFileList(tgt, clean.map(abs), sch)
+    if (dirty.isEmpty) return readFileList(tgt, clean.map(abs), sch, physOf)
     val live = liveRowUdf(tgt.spark, dirty.map { r =>
       new Path(abs(r)).toUri.getPath ->
         new Path(dataDir(tgt, table), sidecarByRel(r)).toString
     }.toMap)
-    val dirtyDf = readFileList(tgt, dirty.map(abs), sch)
+    // `_metadata` extraction happens on the RAW (physical-named) frame —
+    // the logical rename is a projection that would hide the metadata
+    // column, so it comes last
+    val dirtyRaw = readFileListRaw(tgt, dirty.map(abs), sch, physOf)
       .withColumn("__graft_fp", col("_metadata.file_path"))
       .withColumn("__graft_ri", col("_metadata.row_index"))
       .where(live(col("__graft_fp"), col("__graft_ri")))
       .drop("__graft_fp", "__graft_ri")
+    val dirtyDf =
+      if (physOf.isEmpty) dirtyRaw
+      else org.apache.spark.sql.graft.ColumnMapping.toLogicalNames(
+        dirtyRaw, sch.get.fieldNames.toSeq)
     if (clean.isEmpty) dirtyDf
-    else readFileList(tgt, clean.map(abs), sch).unionByName(dirtyDf)
+    else readFileList(tgt, clean.map(abs), sch, physOf).unionByName(dirtyDf)
   }
 
-  private def readFileList(tgt: Catalog, absFiles: Seq[String],
-                           schema: Option[org.apache.spark.sql.types.StructType]
-                             = None): DataFrame = {
+  /** The raw file-list read — PHYSICAL names when `physOf` is set (the
+    * mapped callers restore logical names LAST, after any `_metadata`
+    * extraction: a rename projection would hide the metadata column). */
+  private def readFileListRaw(tgt: Catalog, absFiles: Seq[String],
+                              schema: Option[org.apache.spark.sql.types.StructType],
+                              physOf: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnMapping
+    require(physOf.isEmpty || schema.isDefined,
+      "a column-mapped read needs the recorded schema (mapped tables " +
+        "always record one — a rename/drop commit writes it)")
     tgt.spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = schema.fold(tgt.spark.read)(tgt.spark.read.schema)
+    val physSch = schema.map(ColumnMapping.physSchema(_, physOf))
+    val df = physSch.fold(tgt.spark.read)(tgt.spark.read.schema)
       .parquet(absFiles: _*)
     df.schema.fields.collect {
       case fld if fld.dataType == org.apache.spark.sql.types.TimestampNTZType => fld.name
     }.foldLeft(df)((d, c) =>
       d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType)))
+  }
+
+  private def readFileList(tgt: Catalog, absFiles: Seq[String],
+                           schema: Option[org.apache.spark.sql.types.StructType]
+                             = None,
+                           physOf: Map[String, String] = Map.empty): DataFrame = {
+    val raw = readFileListRaw(tgt, absFiles, schema, physOf)
+    if (physOf.isEmpty) raw
+    else org.apache.spark.sql.graft.ColumnMapping.toLogicalNames(
+      raw, schema.get.fieldNames.toSeq)
   }
 
   /** ZONE-MAP FILTERED READ of the head version — see the v-taking
@@ -3066,7 +3395,7 @@ object VersionedTable {
       // every file excluded: an empty frame with the version's schema
       // (one footer read for the schema — no scan tasks at all)
       readFileList(tgt, Seq(new Path(dataDir(tgt, table),
-        man.files.head).toString), recordedSchema(man))
+        man.files.head).toString), recordedSchema(man), physOfMan(man))
         .where(lit(false)).where(pred)
     else readRelsWithDv(tgt, table, man, keepRel).where(pred)
   }

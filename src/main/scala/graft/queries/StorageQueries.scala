@@ -49,7 +49,7 @@ object StorageQueries {
     "q_versioned_sql_merge", "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
-    "q_versioned_sql_namespaces")
+    "q_versioned_sql_namespaces", "q_alter_column_mapping")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -69,7 +69,8 @@ object StorageQueries {
     sqlCheckFixture(spark, sfDir)
     sqlAlterFixture(spark, sfDir)
     sqlMorFixture(spark, sfDir)
-    sqlNsFixture(spark, sfDir); ()
+    sqlNsFixture(spark, sfDir)
+    sqlColMapFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -511,6 +512,52 @@ object StorageQueries {
       spark.sql(s"INSERT INTO $name.default.al " +
         "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
         "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the COLUMN-MAPPING query (F54): a catalog table taken
+    * through the full metadata-only schema-change lifecycle — RENAME
+    * COLUMN (files verbatim, stable physical names), an insert under the
+    * new name, DROP COLUMN (files verbatim, physical name retired), a
+    * re-ADD of the SAME name (fresh physical — the dead bytes must never
+    * resurface), and a final insert carrying real values for the
+    * namesake. The oracle recomputes every era from the source parquet,
+    * so a resurrection or a mistranslated read hash-mismatches. */
+  private val sqlCmapNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlColMapFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlCmapNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gcmap${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlcmap").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.cm " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)")
+      spark.sql(s"INSERT INTO $name.default.cm " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey <= 500")
+      val cat = new Catalog(spark, dir)
+      val pre3 = VersionedTable.files(cat, "cm", 2L).toSet
+      spark.sql(s"ALTER TABLE $name.default.cm RENAME COLUMN o_totalprice TO price")
+      require(VersionedTable.files(cat, "cm", 3L).toSet == pre3,
+        "RENAME COLUMN must be metadata-only (files carried verbatim)")
+      spark.sql(s"INSERT INTO $name.default.cm " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey > 500 AND o_orderkey <= 900")
+      val pre5 = VersionedTable.files(cat, "cm", 4L).toSet
+      spark.sql(s"ALTER TABLE $name.default.cm DROP COLUMN o_orderstatus")
+      require(VersionedTable.files(cat, "cm", 5L).toSet == pre5,
+        "DROP COLUMN must be metadata-only (files carried verbatim)")
+      spark.sql(s"ALTER TABLE $name.default.cm ADD COLUMN o_orderstatus STRING")
+      spark.sql(s"INSERT INTO $name.default.cm " +
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey > 900 AND o_orderkey <= 1200")
       (name, dir)
     })
   }
@@ -1310,6 +1357,26 @@ object StorageQueries {
         .orderBy("era", "o_orderkey")
     },
 
+    // F54 COLUMN MAPPING — metadata-only RENAME/DROP COLUMN (name-mode
+    // mapping, Delta's design): a rename re-labels only the manifest
+    // (the column keeps its immutable PHYSICAL in-file name; every data
+    // file carries verbatim — fixture-asserted), a drop retires the
+    // physical name so the re-added namesake reads NULL for old rows
+    // instead of the dead bytes, and the head filter on the RENAMED
+    // column exercises the translated pushdown + re-keyed zone maps.
+    // Time travel stays era-consistent (VERSION AS OF 2 reads the
+    // original names and the pre-drop values).
+    "q_alter_column_mapping" -> { (spark, sfDir) =>
+      val (name, _) = sqlColMapFixture(spark, sfDir)
+      val head = spark.sql(s"""
+        SELECT 'head' AS era, o_orderkey, price, o_orderstatus
+        FROM $name.default.cm WHERE price > 1000.0""")
+      val pre = spark.sql(s"""
+        SELECT 'pre' AS era, o_orderkey, o_totalprice AS price, o_orderstatus
+        FROM $name.default.cm VERSION AS OF 2""")
+      head.unionByName(pre).orderBy("era", "o_orderkey")
+    },
+
     // F50 MERGE-ON-READ row-level ops: UPDATE / MERGE / DELETE on a
     // 'write.mode'='merge-on-read' table commit DELETION VECTORS
     // (per-file position sidecars) + appended rows — O(changed rows),
@@ -1876,6 +1943,19 @@ object StorageQueries {
         |UNION ALL
         |SELECT 'cdc_insert' AS era, o_orderkey, o_totalprice, o_orderstatus
         |FROM head
+        |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_alter_column_mapping" ->
+      """WITH head AS (
+        |  SELECT o_orderkey, o_totalprice AS price,
+        |         CASE WHEN o_orderkey > 900 THEN o_orderstatus END
+        |           AS o_orderstatus
+        |  FROM orders WHERE o_orderkey <= 1200)
+        |SELECT 'head' AS era, o_orderkey, price, o_orderstatus FROM head
+        |WHERE price > 1000.0
+        |UNION ALL
+        |SELECT 'pre' AS era, o_orderkey, o_totalprice AS price, o_orderstatus
+        |FROM orders WHERE o_orderkey <= 500
         |ORDER BY era, o_orderkey""".stripMargin,
 
     "q_versioned_agg_pushdown" ->

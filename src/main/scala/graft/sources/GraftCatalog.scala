@@ -326,33 +326,61 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val c = catFor(ident.namespace)
     if (VersionedTable.currentVersion(c, t).isEmpty)
       throw new NoSuchTableException(ident.asInstanceOf[Identifier])
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.isEmpty || adds.size != changes.size)
+    val supported = changes.forall {
+      case _: TableChange.AddColumn => true
+      case _: TableChange.RenameColumn => true
+      case _: TableChange.DeleteColumn => true
+      case _ => false
+    }
+    if (changes.isEmpty || !supported)
       throw new UnsupportedOperationException(
-        "graft supports ALTER TABLE ADD COLUMN(S) only — drops, renames and " +
-          "type changes would re-interpret already-committed files; evolve " +
+        "graft supports ALTER TABLE ADD/RENAME/DROP COLUMN(S) only — type " +
+          "changes would re-interpret already-committed files; evolve " +
           "those through loads (ensure widening) so every version stays " +
           "self-describing")
-    val existing = VersionedTable.read(c, t).schema
-      .fields.filterNot(_.name == graft.etl.Loader.IdCol)
-    val names = existing.map(_.name.toLowerCase).toSet
-    val newFields = adds.map { a =>
-      require(a.fieldNames.length == 1,
-        s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")
-      val n = a.fieldNames.head
-      require(!n.equalsIgnoreCase(graft.etl.Loader.IdCol),
-        s"column name '$n' is reserved for the surrogate id")
-      require(!names.contains(n.toLowerCase),
-        s"column '$n' already exists on '$t'")
-      require(a.isNullable,
-        s"added column '$n' must be nullable — every pre-ALTER row reads " +
-          "it as null, which a NOT NULL column would contradict")
-      require(a.position() == null,
-        "FIRST/AFTER positions are not supported — new columns append")
-      StructField(n, a.dataType, nullable = true)
+    // each change is its own metadata-only commit (ALTER statements
+    // arrive one clause at a time from Spark's parser anyway); adds
+    // batch into one widen like before
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) {
+      val existing = VersionedTable.read(c, t).schema
+        .fields.filterNot(_.name == graft.etl.Loader.IdCol)
+      val names = existing.map(_.name.toLowerCase).toSet
+      val newFields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"nested column adds are not supported: ${a.fieldNames.mkString(".")}")
+        val n = a.fieldNames.head
+        require(!n.equalsIgnoreCase(graft.etl.Loader.IdCol),
+          s"column name '$n' is reserved for the surrogate id")
+        require(!names.contains(n.toLowerCase),
+          s"column '$n' already exists on '$t'")
+        require(a.isNullable,
+          s"added column '$n' must be nullable — every pre-ALTER row reads " +
+            "it as null, which a NOT NULL column would contradict")
+        require(a.position() == null,
+          "FIRST/AFTER positions are not supported — new columns append")
+        StructField(n, a.dataType, nullable = true)
+      }
+      VersionedTable.widenSchema(c, t, newFields.toSeq)
     }
-    VersionedTable.widenSchema(c, t, newFields.toSeq)
-    new GraftBatchTable(StructType(existing ++ newFields),
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested column renames are not supported: ${r.fieldNames.mkString(".")}")
+        // metadata-only: the column keeps its PHYSICAL in-file name
+        // (name-mode column mapping) — no file is read or rewritten
+        VersionedTable.renameColumn(c, t, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested column drops are not supported: ${d.fieldNames.mkString(".")}")
+        // metadata-only: the physical name retires so a later re-add of
+        // the same name can never resurrect the old bytes
+        VersionedTable.dropColumn(c, t, d.fieldNames.head)
+      case _ => () // adds handled above
+    }
+    val after = VersionedTable.read(c, t).schema
+      .fields.filterNot(_.name == graft.etl.Loader.IdCol)
+    new GraftBatchTable(StructType(after),
       Map("dir" -> c.dir, "table" -> t), acceptAnySchema = false)
   }
 

@@ -127,12 +127,18 @@ private[sources] final class GraftDeltaRowLevelOperation(
               VersionedTable.batchSlices(cat, table, Some(v), pred)
                 .map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) })
           }
-          override def createReaderFactory(): PartitionReaderFactory =
+          override def createReaderFactory(): PartitionReaderFactory = {
+            val cat = new Catalog(SparkSession.active,
+              GraftTableProvider.requiredOpt(options, "dir"))
+            val table = GraftTableProvider.requiredOpt(options, "table")
             // row mode: the scan projects `_pos` (and applies DVs), so
             // the vectorized path is off for this DML scan by design
             PlainBatchRead.readerFactory(SparkSession.active,
               dataSchema, required, pushed.toSeq, allowColumnar = false,
-              mayHaveDv = true)
+              mayHaveDv = true,
+              physOf = VersionedTable.columnMapping(cat, table,
+                Some(pinnedVersion(cat, table))))
+          }
         }
       }
     }

@@ -181,6 +181,8 @@ private[sources] final class GraftRowLevelOperation(
             PlainBatchRead.readerFactory(spark, dataSchema, required, Nil,
               allowColumnar = true,
               mayHaveDv = VersionedTable.hasDvs(cat, table,
+                Some(pinnedVersion(cat, table))),
+              physOf = VersionedTable.columnMapping(cat, table,
                 Some(pinnedVersion(cat, table))))
           }
         }

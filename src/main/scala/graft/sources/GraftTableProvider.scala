@@ -643,6 +643,10 @@ private[sources] final class GraftBatch(
     * BatchScanExec materializes partitions before it builds the
     * factory, so the flag is always set when consulted. */
   @volatile private var plannedHasDv = true // safe default: DV-capable
+  // the planned version's COLUMN MAPPING — captured with the file plan
+  // so a rename committing between planning and factory construction
+  // can't mistranslate (same one-version rule as plannedHasDv)
+  @volatile private var plannedPhysOf: Map[String, String] = Map.empty
 
   override def planInputPartitions(): Array[InputPartition] = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -659,6 +663,7 @@ private[sources] final class GraftBatch(
     val slices = VersionedTable.batchSlices(cat, table, v, pred,
       limitRows = limit.map(_.toLong), topN = topN)
     plannedHasDv = slices.exists(_._3.nonEmpty)
+    plannedPhysOf = VersionedTable.columnMapping(cat, table, v)
     // Spark-style split + pack: big files fan out across tasks, tiny
     // files share one — see [[PlainBatchRead.planPartitions]]
     PlainBatchRead.planPartitions(spark,
@@ -672,7 +677,7 @@ private[sources] final class GraftBatch(
     // delete no longer drops the whole scan to row mode
     PlainBatchRead.readerFactory(SparkSession.active, dataSchema,
       requiredSchema, pushed.toSeq, allowColumnar = true,
-      mayHaveDv = plannedHasDv)
+      mayHaveDv = plannedHasDv, physOf = plannedPhysOf)
 }
 
 object GraftTableProvider {

@@ -233,9 +233,13 @@ private[streaming] final class CdcScan(
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
+      // the bounded feed presents the RANGE-END version's names: both
+      // diff sides read through ev's mapping (physical names are stable,
+      // so old files resolve the same columns)
       org.apache.spark.sql.graft.CdcMicroBatch.readerFactory(spark,
         StructType(fullSchema.fields.drop(1)),
-        resolveKeys(cat, table))
+        resolveKeys(cat, table),
+        VersionedTable.columnMapping(cat, table, Some(ev)))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -260,6 +264,29 @@ private[streaming] final class CdcScan(
 }
 
 private[graft] object CdcStreamProvider {
+
+  /** COLUMN-MAPPING STABILITY GUARD for long-running streams: the stream
+    * captured (dataSchema, physOf) at start; physical names are
+    * immutable, so the pair stays valid forever — UNLESS a later commit
+    * re-points one of the captured logical names at a different physical
+    * column (RENAME away + ADD a namesake). Reading on would silently
+    * decode the WRONG column, so the batch fails loudly instead and the
+    * operator restarts the stream against the new schema (Delta blocks
+    * column-mapping changes under streams the same way). */
+  private[streaming] def requireMappingStable(
+      cat: Catalog, table: String, v: Long,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      captured: Map[String, String]): Unit = {
+    val now = VersionedTable.columnMapping(cat, table, Some(v))
+    val drifted = dataSchema.fieldNames.filter(f =>
+      now.getOrElse(f, f) != captured.getOrElse(f, f))
+    if (drifted.nonEmpty)
+      throw new IllegalStateException(
+        s"column mapping of '$table' changed under a running stream " +
+          s"(columns: ${drifted.mkString(", ")} were renamed/re-added " +
+          s"since the stream started) — restart the stream to pick up " +
+          "the new schema")
+  }
 
   /** Parse an `admissionFilter` option against `schema`: resolve and
     * bind through an empty frame (so functions and casts resolve like
@@ -398,6 +425,14 @@ private[streaming] final class CdcMicroBatchStream(
 
   private val cat = new Catalog(spark, dir)
 
+  // COLUMN MAPPING captured at stream start — era-paired with
+  // `dataSchema` (physical names are immutable, so the pair stays valid
+  // for the stream's lifetime); a later RENAME that re-points one of
+  // OUR logical names fails the per-batch stability guard loudly
+  // (restart the stream) instead of silently reading another column
+  private val capturedPhysOf =
+    VersionedTable.columnMapping(cat, table)
+
   // Trigger.AvailableNow contract: pin the drain target ONCE at query
   // start, so commits racing the drain don't extend it — without this
   // native support Spark falls back to a single Trigger.Once-style batch
@@ -484,6 +519,8 @@ private[streaming] final class CdcMicroBatchStream(
     val (sv, ev) = (start.asInstanceOf[CdcOffset].version,
       end.asInstanceOf[CdcOffset].version)
     if (sv >= ev) return Array.empty
+    CdcStreamProvider.requireMappingStable(cat, table, ev, dataSchema,
+      capturedPhysOf)
     VersionedTable.cdcSlices(cat, table, sv, ev, admit).map { case (old, fresh) =>
       org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
         old.map { case (p, l, dv) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) },
@@ -493,7 +530,8 @@ private[streaming] final class CdcMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.graft.CdcMicroBatch.readerFactory(spark, dataSchema, keys)
+    org.apache.spark.sql.graft.CdcMicroBatch.readerFactory(spark, dataSchema,
+      keys, capturedPhysOf)
 
   override def commit(end: Offset): Unit = () // checkpoint WAL owns progress
 
@@ -548,6 +586,12 @@ private[graft] final class GraftAppendStream(
     * clustered table. */
   private val admission =
     admissionFilter.map(CdcStreamProvider.admission(spark, dataSchema, _))
+
+  // column mapping captured at stream start, era-paired with dataSchema;
+  // a mid-stream RENAME of one of our columns fails the per-batch guard
+  // loudly — see [[CdcStreamProvider.requireMappingStable]]
+  private val capturedPhysOf =
+    VersionedTable.columnMapping(cat, table)
 
   @volatile private var availableTarget: Option[Long] = None
 
@@ -626,6 +670,8 @@ private[graft] final class GraftAppendStream(
     val (sv, ev) = (start.asInstanceOf[CdcOffset].version,
       end.asInstanceOf[CdcOffset].version)
     if (sv >= ev) return Array.empty
+    CdcStreamProvider.requireMappingStable(cat, table, ev, dataSchema,
+      capturedPhysOf)
     // with startingVersion the walk is per-version from the very first
     // batch (startingVersion=1 means v1's APPENDS, not a head snapshot —
     // and change commits inside the range are detected, not folded away)
@@ -656,7 +702,8 @@ private[graft] final class GraftAppendStream(
       dataSchema, requiredSchema, filters,
       allowColumnar = true,
       rowFilter = admission.map(_.rowPred),
-      mayHaveDv = plannedHasDv)
+      mayHaveDv = plannedHasDv,
+      physOf = capturedPhysOf)
 
   override def commit(end: Offset): Unit = ()
 

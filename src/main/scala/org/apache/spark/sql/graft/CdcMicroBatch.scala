@@ -60,15 +60,20 @@ object CdcMicroBatch {
     * closure + broadcast hadoop conf). `dataSchema` is the table schema
     * the stream was started with; `keys` name the CDC key columns. */
   def readerFactory(spark: SparkSession, dataSchema: StructType,
-                    keys: Seq[String]): CdcReaderFactory = {
+                    keys: Seq[String],
+                    physOf: Map[String, String] = Map.empty): CdcReaderFactory = {
     keys.foreach(k => require(dataSchema.fieldNames.contains(k),
       s"CDC key column '$k' not in table schema ${dataSchema.fieldNames.mkString(",")}"))
     val fmt = new ParquetFileFormat
+    // column mapping: files carry PHYSICAL names on both diff sides
+    // (physical names are stable across renames); the diff itself is
+    // ordinal-based so only the parquet resolution translates
+    val physSchema = ColumnMapping.physSchema(dataSchema, physOf)
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark,
-      dataSchema = dataSchema,
+      dataSchema = physSchema,
       partitionSchema = StructType(Nil),
-      requiredSchema = dataSchema,
+      requiredSchema = physSchema,
       filters = Nil,
       // row-returning, never ColumnarBatch (the diff is row-at-a-time)
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
@@ -162,7 +167,8 @@ object PlainBatchRead {
                     filters: Seq[org.apache.spark.sql.sources.Filter],
                     allowColumnar: Boolean = true,
                     rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-                    mayHaveDv: Boolean = false)
+                    mayHaveDv: Boolean = false,
+                    physOf: Map[String, String] = Map.empty)
       : PartitionReaderFactory = {
     // the admission row predicate is BOUND against the full dataSchema
     // ordinals — sound only while the reader's output IS dataSchema.
@@ -188,16 +194,26 @@ object PlainBatchRead {
     val fmt = new ParquetFileFormat
     val columnar = allowColumnar && fileOrdinal < 0 && posOrdinal < 0 &&
       rowFilter.isEmpty && fmt.supportBatch(spark, dataRequired)
+    // COLUMN MAPPING: the parquet readers resolve columns BY NAME inside
+    // the files, which carry PHYSICAL names — translate the schemas (and
+    // the row-group-skipping filters: an untranslated logical name could
+    // coincide with a RETIRED physical column still present in old files
+    // and skip on the wrong bytes). Emission is positional, so the
+    // factory's output still matches the LOGICAL requiredSchema; the
+    // rowFilter binds by ordinal and needs no translation.
+    val physData = ColumnMapping.physSchema(dataSchema, physOf)
+    val physRequired = ColumnMapping.physSchema(dataRequired, physOf)
+    val physFilters = ColumnMapping.translateFilters(filters, physOf)
     // ONE session-conf materialization per factory (newHadoopConf copies
     // every SQL conf); the builders get private copies so their schema
     // keys can't cross-contaminate, each a cheap Configuration clone
     val baseConf = spark.sessionState.newHadoopConf()
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark,
-      dataSchema = dataSchema,
+      dataSchema = physData,
       partitionSchema = StructType(Nil),
-      requiredSchema = dataRequired,
-      filters = filters,
+      requiredSchema = physRequired,
+      filters = physFilters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     // row-index twin: the same read with parquet's ROW-INDEX temp column
@@ -210,7 +226,7 @@ object PlainBatchRead {
     // NULLABLE on purpose: the file physically lacks this column, and
     // the vectorized reader's checkColumn refuses required-but-missing
     // columns before the row-index generator ever sees them.
-    val idxSchema = StructType(dataRequired.fields :+
+    val idxSchema = StructType(physRequired.fields :+
       org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
         org.apache.spark.sql.types.LongType, nullable = true))
@@ -220,10 +236,10 @@ object PlainBatchRead {
       if (!needRowIdx) null
       else fmt.buildReaderWithPartitionValues(
         spark,
-        dataSchema = dataSchema,
+        dataSchema = physData,
         partitionSchema = StructType(Nil),
         requiredSchema = idxSchema,
-        filters = filters,
+        filters = physFilters,
         options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
         hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     // columnar row-index twin: BATCH-returning with the row-index column
@@ -234,10 +250,10 @@ object PlainBatchRead {
       if (!(columnar && mayHaveDv)) null
       else fmt.buildReaderWithPartitionValues(
         spark,
-        dataSchema = dataSchema,
+        dataSchema = physData,
         partitionSchema = StructType(Nil),
         requiredSchema = idxSchema,
-        filters = filters,
+        filters = physFilters,
         options = Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
         hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,

@@ -39,11 +39,13 @@ class PushdownFuzzSpec extends SparkSpec {
     * manifest-aggregate decline rule all get fuzzed over DVs. */
   private def buildTable(rnd: Random, bucketed: Boolean, extremes: Boolean,
                          allNullC: Boolean,
-                         mor: Boolean = false): (Catalog, Vector[Vector[R]]) = {
+                         mor: Boolean = false,
+                         mapped: Boolean = false)
+      : (Catalog, Vector[(Long, Vector[R])]) = {
     val tgt = new Catalog(spark, tmpDir("fuzz"))
     var nextK = 0L
     var state = Vector.empty[R]
-    val snaps = Vector.newBuilder[Vector[R]]
+    val snaps = Vector.newBuilder[(Long, Vector[R])]
     val nCommits = 3 + rnd.nextInt(3)
     var committed = 0
     var deletes = 0
@@ -94,13 +96,26 @@ class PushdownFuzzSpec extends SparkSpec {
           nextK += 1
           R(nextK, genC(), s"s$nextK")
         }.toVector
-        VersionedTable.load(tgt, "t",
-          rows.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s"),
+        // the MAPPED dimension: the table is born with column 'c0' plus
+        // a junk column 'd'; right after the first commit 'c0' RENAMES
+        // to 'c' and 'd' DROPS — every later commit and every checked
+        // read then runs under a NON-IDENTITY column mapping (files
+        // carry physical 'c0' and dead 'd' bytes forever)
+        val df0 =
+          if (mapped && committed == 0)
+            rows.map(r => (r.k, r.c, r.s, "junk"))
+              .toDF("k", "c0", "s", "d")
+          else rows.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s")
+        VersionedTable.load(tgt, "t", df0,
           idOrder = Seq("k"),
           bucketBy = if (bucketed && committed == 0) Some((Seq("k"), 4)) else None,
           extraProps = if (mor && committed == 0)
             Map(VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead)
           else Map.empty)
+        if (mapped && committed == 0) {
+          VersionedTable.renameColumn(tgt, "t", "c0", "c")
+          VersionedTable.dropColumn(tgt, "t", "d")
+        }
         state = state ++ rows
       } else if (op < 7) {
         doUpsert()
@@ -109,7 +124,7 @@ class PushdownFuzzSpec extends SparkSpec {
         deletes += 1
       }
       committed += 1
-      snaps += state
+      snaps += (VersionedTable.currentVersion(tgt, "t").get -> state)
     }
     (tgt, snaps.result())
   }
@@ -181,17 +196,25 @@ class PushdownFuzzSpec extends SparkSpec {
   }
 
   private def runCase(seed: Long, bucketed: Boolean, extremes: Boolean,
-                      allNullC: Boolean, mor: Boolean = false): Unit = {
+                      allNullC: Boolean, mor: Boolean = false,
+                      mapped: Boolean = false): Unit = {
     val rnd = new Random(seed)
-    val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC, mor)
-    val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC m=$mor"
-    // first, last, and one random middle version
-    val vs = Set(1, snaps.size, 1 + rnd.nextInt(snaps.size)).toSeq.sorted
-    vs.foreach(v => checkVersion(tgt, v.toLong, snaps(v - 1), rnd, tag))
+    val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC, mor,
+      mapped)
+    val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC m=$mor p=$mapped"
+    // first, last, and one random middle snapshot (mapped histories skip
+    // the first — its schema is the pre-rename one by design)
+    val checkable = if (mapped) snaps.drop(1) else snaps
+    val is = Set(0, checkable.size - 1, rnd.nextInt(checkable.size)).toSeq.sorted
+    is.foreach { i =>
+      val (v, truth) = checkable(i)
+      checkVersion(tgt, v, truth, rnd, tag)
+    }
     // legacy emulation: strip the head's per-file metadata — every
     // pushdown must VOID (and still answer exactly), never guess
     VersionedTable.stripFileMeta(tgt, "t")
-    checkVersion(tgt, snaps.size.toLong, snaps.last, rnd, s"$tag stripped")
+    val (hv, htruth) = snaps.last
+    checkVersion(tgt, hv, htruth, rnd, s"$tag stripped")
   }
 
   test("random flat layouts: pushed plans equal unpushed semantics") {
@@ -221,6 +244,15 @@ class PushdownFuzzSpec extends SparkSpec {
   test("bucketed merge-on-read: bucket pruning composes with deletion vectors") {
     runCase(20260822L, bucketed = true, extremes = false, allNullC = false,
       mor = true)
+  }
+
+  test("column-mapped histories: every pushdown stays exact under rename+drop") {
+    runCase(20260823L, bucketed = false, extremes = false, allNullC = false,
+      mapped = true)
+    runCase(20260824L, bucketed = false, extremes = true, allNullC = false,
+      mor = true, mapped = true)
+    runCase(20260825L, bucketed = true, extremes = false, allNullC = false,
+      mapped = true)
   }
 
   test("empty table: zero partitions, zero rows, null extrema") {

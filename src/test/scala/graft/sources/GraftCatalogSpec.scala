@@ -108,13 +108,17 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("UPDATE gq.default.alt SET u = 'x' WHERE z IS NULL")
     assert(spark.sql("SELECT count(*) FROM gq.default.alt WHERE u = 'x'")
       .head().getLong(0) == 2L)
-    // refusals: drop / rename / type change stay refused by design...
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gq.default.alt DROP COLUMN s")
-    }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gq.default.alt RENAME COLUMN s TO s2")
-    }
+    // RENAME / DROP are metadata-only via column mapping now (F54 —
+    // ColumnMappingSpec owns the deep coverage); here just the catalog
+    // wiring: rename reads under the new name, drop removes the column
+    spark.sql("ALTER TABLE gq.default.alt RENAME COLUMN s TO s2")
+    assert(spark.sql("SELECT s2 FROM gq.default.alt WHERE k = 1")
+      .head().getString(0) == "a")
+    spark.sql("ALTER TABLE gq.default.alt DROP COLUMN w")
+    assert(spark.sql("SELECT * FROM gq.default.alt").columns.toSeq ==
+      Seq("k", "s2", "z", "u"))
+    // type changes stay refused by design (they would re-interpret
+    // already-committed files)
     intercept[Exception] {
       spark.sql("ALTER TABLE gq.default.alt ALTER COLUMN k TYPE STRING")
     }
@@ -127,14 +131,14 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE gq.default.alt ADD COLUMN nn BIGINT NOT NULL")
     }
     intercept[Exception] {
-      spark.sql("ALTER TABLE gq.default.alt ADD COLUMN s STRING")
+      spark.sql("ALTER TABLE gq.default.alt ADD COLUMN s2 STRING")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE gq.default.alt ADD COLUMN f BIGINT FIRST")
     }
-    // nothing above committed: the head is still the 2-ALTER + DML state
+    // nothing above committed: the head is still the rename+drop state
     assert(spark.sql("SELECT * FROM gq.default.alt").columns.toSeq ==
-      Seq("k", "s", "z", "u", "w"))
+      Seq("k", "s2", "z", "u"))
   }
 
   test("namespaces: two-DB model in pure SQL — create, use, join across, drop") {
