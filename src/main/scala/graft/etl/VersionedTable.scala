@@ -484,6 +484,30 @@ object VersionedTable {
   private def schemaJson(s: org.apache.spark.sql.types.StructType): String =
     deepNullable(s).json
 
+  /** Carry the parent schema's FIELD METADATA (column defaults,
+    * comments) onto the child's same-named fields: computed write frames
+    * (upsert merges, coalesce projections, user appends) routinely drop
+    * metadata, and SchemaProp is the read contract — losing a column's
+    * EXISTS_DEFAULT here would silently flip every pre-ADD row from the
+    * frozen default to NULL on the table's next load. A field that
+    * arrives WITH metadata keeps its own. */
+  private def carryFieldMetadata(parent: Option[Manifest],
+                                 schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{Metadata, StructType}
+    parent.flatMap(recordedSchema).fold(schema) { ps =>
+      val byName = ps.fields.map(f => f.name -> f).toMap
+      StructType(schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(pf) if f.metadata == Metadata.empty &&
+              pf.metadata != Metadata.empty =>
+            f.copy(metadata = pf.metadata)
+          case _ => f
+        }
+      })
+    }
+  }
+
   /** Refuse `rows` if any violates `checkSql` — the commit-time gate.
     * Reports one offending row (truncated) so the failure is actionable. */
   private def enforceCheck(rows: DataFrame, checkSql: String,
@@ -1898,7 +1922,7 @@ object VersionedTable {
           else props1) ++ extraProps) -- dropProps) +
             // the committed batch's schema is the version's schema — the
             // read-path source of truth (see SchemaProp)
-            (SchemaProp -> schemaJson(out.schema)),
+            (SchemaProp -> schemaJson(carryFieldMetadata(headMan, out.schema))),
           physOf, headMan.fold(Set.empty[String])(retiredOf))
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
           fm.stats, fm.sizes, fm.nulls, fm.rows, props,
@@ -2038,6 +2062,40 @@ object VersionedTable {
     }
   }
 
+  /** METADATA-ONLY `ALTER COLUMN ... SET/DROP DEFAULT`: re-points the
+    * column's CURRENT_DEFAULT (what future INSERTs omit to) in the
+    * recorded schema. The frozen EXISTS_DEFAULT — what pre-ADD rows read
+    * — never changes here: those rows' values are committed history.
+    * `sqlOrNull = null` (or empty) drops the default. */
+  def setColumnDefault(tgt: Catalog, table: String, name: String,
+                       sqlOrNull: String): Long = {
+    val normalized = Option(sqlOrNull).map(_.trim).filter(_.nonEmpty).orNull
+    if (normalized != null)
+      require(scala.util.Try(
+        tgt.spark.sessionState.sqlParser.parseExpression(normalized)).isSuccess,
+        s"unparseable DEFAULT expression for '$name': $normalized")
+    commitWithRetry(table, "setColumnDefault") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val current = readVersion(tgt, table, cur).schema
+      require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name' on '$table'")
+      require(!name.equalsIgnoreCase(Loader.IdCol),
+        s"cannot default the surrogate id column '$name'")
+      val exact = current.fieldNames.find(_.equalsIgnoreCase(name)).get
+      val updated = org.apache.spark.sql.types.StructType(current.fields.map(f =>
+        if (f.name == exact)
+          org.apache.spark.sql.graft.DefaultColumns
+            .fieldWithCurrentDefault(f, normalized)
+        else f))
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        props = man.props + (SchemaProp -> schemaJson(updated))))) Some(cur + 1)
+      else None
+    }
+  }
+
   /** METADATA-ONLY COLUMN DROP — the commit under SQL `ALTER TABLE DROP
     * COLUMN`: the new version carries the parent's files VERBATIM and
     * removes the column from the recorded schema; the bytes stay in old
@@ -2075,6 +2133,60 @@ object VersionedTable {
           man.props + (SchemaProp -> schemaJson(narrowed)),
           physOf, retired)))) Some(cur + 1)
       else None
+    }
+  }
+
+  /** ATOMIC WHOLE-TABLE REPLACE — the commit under `[CREATE OR] REPLACE
+    * TABLE ... [AS SELECT]` through the staging catalog
+    * ([[graft.sources.GraftCatalog.stageCreateOrReplace]]): ONE manifest
+    * commit swaps the entire file set (and possibly the whole schema)
+    * while HISTORY SURVIVES — older versions keep reading their own
+    * manifests, time travel crosses the replace boundary, clones stay
+    * valid (no data file is deleted; vacuum reclaims on its own
+    * schedule). The drop+create fallback Spark runs against non-staging
+    * catalogs is the opposite on every axis: non-atomic AND
+    * history-destroying. The id floor stays MONOTONE across the replace
+    * (retained older versions reference the old ids; reissuing one would
+    * corrupt audit joins). Column mapping and retired physicals RESET —
+    * the new file set is a fresh era; old eras' manifests keep their own
+    * mapping. */
+  private[graft] def replaceAll(tgt: Catalog, table: String,
+                                incoming0: DataFrame,
+                                extraProps: Map[String, String]): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    commitWithRetry(table, "replaceAll") { () =>
+      val cur = currentVersion(tgt, table)
+      val headMan = cur.flatMap(readManifest(tgt, table, _))
+      val floor = headMan.flatMap(_.maxId).getOrElse(0L)
+      val incoming = if (incoming0.columns.contains(Loader.IdCol))
+        incoming0.drop(Loader.IdCol) else incoming0
+      val out = Loader.withSurrogateIds(incoming, floor,
+        incoming.columns.toSeq)
+      val (batch, newParts) = writeBatch(tgt, table, out, None)
+      extraProps.get(CheckConstraintProp)
+        .filter(_ => newParts.nonEmpty).foreach { c =>
+          try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
+            new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+          catch { case e: Throwable =>
+            fs(tgt, dataDir(tgt, table)).delete(batch, true)
+            throw e
+          }
+        }
+      val newRel = newParts.map(_._1)
+      val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+      val committedMax = footerMaxId(tgt, newAbs).map(math.max(_, floor))
+        .orElse(headMan.flatMap(_.maxId))
+      preCommitHook.value()
+      val fm = manifestMeta(tgt, table, None, Nil, newParts, out.schema)
+      if (tryCommitManifest(tgt, table,
+        Manifest(cur.getOrElse(0L) + 1, committedMax, None, newRel,
+          fm.stats, fm.sizes, fm.nulls, fm.rows,
+          extraProps + (SchemaProp -> schemaJson(out.schema)))))
+        Some(cur.getOrElse(0L) + 1)
+      else {
+        fs(tgt, dataDir(tgt, table)).delete(batch, true)
+        None
+      }
     }
   }
 
@@ -2142,7 +2254,8 @@ object VersionedTable {
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepRel ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
-        headMan.props + (SchemaProp -> schemaJson(out.schema)),
+        headMan.props +
+          (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan), out.schema))),
         dvCarry(Some(headMan), keepRel))))
       expectedVersion + 1
     else {
@@ -3984,8 +4097,13 @@ object VersionedTable {
     val bCols = b.columns.toSet
     val added = b.schema.fields.toSeq.filterNot(f => aCols.contains(f.name))
     val dropped = a0.columns.toSeq.filterNot(bCols.contains)
+    // a column added with a DEFAULT aligns the old side with its frozen
+    // EXISTS_DEFAULT (what a head read returns for those rows), typed
+    // null otherwise — so the feed never fabricates an "update" for a
+    // row whose defaulted value didn't change
     val a = added.foldLeft(a0)((d, f) =>
-      d.withColumn(f.name, lit(null).cast(f.dataType)))
+      d.withColumn(f.name,
+        org.apache.spark.sql.graft.DefaultColumns.existsDefaultColumn(f)))
     val valCols = b.columns.toSeq.filterNot(keys.contains)
     val aR = a.columns.foldLeft(a)((d, c) =>
       if (keys.contains(c)) d else d.withColumnRenamed(c, s"__a_$c"))

@@ -49,7 +49,8 @@ object StorageQueries {
     "q_versioned_sql_merge", "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
-    "q_versioned_sql_namespaces", "q_alter_column_mapping")
+    "q_versioned_sql_namespaces", "q_alter_column_mapping",
+    "q_alter_column_default")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -70,7 +71,8 @@ object StorageQueries {
     sqlAlterFixture(spark, sfDir)
     sqlMorFixture(spark, sfDir)
     sqlNsFixture(spark, sfDir)
-    sqlColMapFixture(spark, sfDir); ()
+    sqlColMapFixture(spark, sfDir)
+    sqlColDefFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -511,6 +513,40 @@ object StorageQueries {
         "ALTER ADD COLUMN must be metadata-only (files carried verbatim)")
       spark.sql(s"INSERT INTO $name.default.al " +
         "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders " +
+        "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the COLUMN-DEFAULT query (F55): ADD COLUMN ... DEFAULT
+    * on a populated table (metadata-only, files verbatim — asserted),
+    * then an insert carrying real values: the head mixes
+    * default-filled pre-ADD rows with materialized post-ADD rows. */
+  private val sqlCdefNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlColDefFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlCdefNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gcdef${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlcdef").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.cd " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.cd " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 600")
+      val cat = new Catalog(spark, dir)
+      val pre = VersionedTable.files(cat, "cd", 2L).toSet
+      spark.sql(
+        s"ALTER TABLE $name.default.cd ADD COLUMN src STRING DEFAULT 'legacy'")
+      require(VersionedTable.files(cat, "cd", 3L).toSet == pre,
+        "ADD COLUMN DEFAULT must be metadata-only (files carried verbatim)")
+      spark.sql(s"INSERT INTO $name.default.cd " +
+        "SELECT o_orderkey, o_totalprice, 'fresh' FROM orders " +
         "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
       (name, dir)
     })
@@ -1366,6 +1402,21 @@ object StorageQueries {
     // column exercises the translated pushdown + re-keyed zone maps.
     // Time travel stays era-consistent (VERSION AS OF 2 reads the
     // original names and the pre-drop values).
+    // F55 COLUMN DEFAULT VALUES — `ALTER TABLE ADD COLUMN ... DEFAULT`
+    // stays metadata-only: the default freezes as the recorded schema's
+    // EXISTS_DEFAULT and Spark's parquet readers fill it for files
+    // physically lacking the column (pre-ADD rows read 'legacy' without
+    // a byte rewritten — fixture-asserted files-verbatim), while
+    // post-ADD inserts materialize real values. The WHERE on the
+    // defaulted column exercises the mixed-era filter path.
+    "q_alter_column_default" -> { (spark, sfDir) =>
+      val (name, _) = sqlColDefFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, o_totalprice, src FROM $name.default.cd
+        WHERE src IN ('legacy', 'fresh')
+        ORDER BY o_orderkey""")
+    },
+
     "q_alter_column_mapping" -> { (spark, sfDir) =>
       val (name, _) = sqlColMapFixture(spark, sfDir)
       val head = spark.sql(s"""
@@ -1944,6 +1995,13 @@ object StorageQueries {
         |SELECT 'cdc_insert' AS era, o_orderkey, o_totalprice, o_orderstatus
         |FROM head
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_alter_column_default" ->
+      """SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey <= 600 THEN 'legacy' ELSE 'fresh' END
+        |         AS src
+        |FROM orders WHERE o_orderkey <= 1200
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_alter_column_mapping" ->
       """WITH head AS (

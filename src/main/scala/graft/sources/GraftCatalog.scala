@@ -43,7 +43,8 @@ import graft.etl.{Catalog, VersionedTable}
   * load-driven, which keeps every version self-describing.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+  with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var dir: String = _
@@ -56,6 +57,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   }
 
   override def name(): String = catalogName
+
+  /** DDL may declare column DEFAULT values (CREATE and ALTER): Spark
+    * only parses/folds them when the catalog opts in — the values land
+    * as field metadata in the recorded schema, where the parquet readers
+    * fill `EXISTS_DEFAULT` for files physically lacking the column. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -259,27 +269,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val c = catFor(ident.namespace)
     if (VersionedTable.currentVersion(c, t).isDefined)
       throw new TableAlreadyExistsException(ident.asInstanceOf[Identifier])
-    val schema = StructType(columns.map(col =>
-      StructField(col.name, col.dataType, col.nullable)))
+    // defaults/comments ride the schema as field metadata — a CREATE-time
+    // DEFAULT becomes the column's CURRENT_DEFAULT (all files carry the
+    // column physically from birth, so EXISTS_DEFAULT never fires here)
+    val schema = org.apache.spark.sql.graft.DefaultColumns
+      .v2ColumnsToStructType(columns)
     // version 1 = one empty schema-bearing file: the table exists, reads
     // are empty, the first INSERT is version 2
     val empty = c.spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    // CHECK constraint: TBLPROPERTIES('check' = '<boolean sql>') records
-    // the commit-time row gate (Delta's constraint shape) in the v1
-    // manifest; every later INSERT/UPDATE/MERGE validates its incoming
-    // rows against it. The expression must RESOLVE against the schema
-    // now — a typo'd column name fails the CREATE, not the first insert.
+    VersionedTable.load(c, t, empty,
+      extraProps = validatedTableProps(c, schema, properties))
+    new GraftBatchTable(schema, Map("dir" -> c.dir, "table" -> t),
+      acceptAnySchema = false)
+  }
+
+  /** The CHECK / write.mode TBLPROPERTIES, validated eagerly against
+    * `schema` — shared by CREATE and the staged CREATE/REPLACE paths.
+    *
+    * CHECK ('check' = '<boolean sql>') records the commit-time row gate
+    * (Delta's constraint shape); the expression must RESOLVE against the
+    * schema NOW — a typo'd column fails the CREATE, not the first
+    * insert — and must be deterministic and subquery-free (Delta's ADD
+    * CONSTRAINT discipline: a rand() gate would admit or refuse the same
+    * row depending on evaluation time; a subquery would re-evaluate
+    * against another table's state at each commit). write.mode selects
+    * 'copy-on-write' (default) or 'merge-on-read' row-level ops. */
+  private def validatedTableProps(c: Catalog, schema: StructType,
+                                  properties: JMap[String, String])
+      : Map[String, String] = {
+    val empty = c.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val check = Option(properties.get("check")).map(_.trim).filter(_.nonEmpty)
     check.foreach { sql =>
       val analyzed = empty.where(org.apache.spark.sql.functions.expr(sql))
         .queryExecution.analyzed
-      // eager validation, Delta's ADD CONSTRAINT discipline: a
-      // non-deterministic gate (rand() < 0.5) would admit or refuse the
-      // SAME row depending on when the commit ran, and a subquery would
-      // re-evaluate against whatever the referenced table holds at each
-      // commit — both make enforcement nondeterministic, so both fail the
-      // CREATE, not the first insert
       val cond = analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.getOrElse(throw new IllegalArgumentException(
@@ -294,21 +318,63 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"CHECK constraint must not contain a subquery — ($sql) would " +
             "re-evaluate against another table's state at each commit")
     }
-    // write.mode: 'copy-on-write' (default) or 'merge-on-read' — the
-    // latter routes UPDATE/MERGE/DELETE through deletion vectors
-    // (GraftDeltaRowLevelOperation) instead of group rewrites
     val mode = Option(properties.get("write.mode")).map(_.trim.toLowerCase)
       .filter(_.nonEmpty)
     mode.foreach(m => require(
       m == "copy-on-write" || m == VersionedTable.MergeOnRead,
       s"unknown write.mode '$m' — use 'copy-on-write' or 'merge-on-read'"))
-    VersionedTable.load(c, t, empty,
-      extraProps = check.map(VersionedTable.CheckConstraintProp -> _).toMap ++
-        mode.filter(_ == VersionedTable.MergeOnRead)
-          .map(VersionedTable.WriteModeProp -> _).toMap)
-    new GraftBatchTable(schema, Map("dir" -> c.dir, "table" -> t),
-      acceptAnySchema = false)
+    check.map(VersionedTable.CheckConstraintProp -> _).toMap ++
+      mode.filter(_ == VersionedTable.MergeOnRead)
+        .map(VersionedTable.WriteModeProp -> _).toMap
   }
+
+  // ------------------------------------------- atomic CREATE OR REPLACE
+
+  /** Shared staging entry: validates the declaration like [[createTable]]
+    * and returns the staged table whose `commitStagedChanges` lands the
+    * create/replace — data included — as ONE versioned commit
+    * ([[GraftStagedTable]]). `requireExists`: Some(false) = CREATE,
+    * Some(true) = REPLACE, None = CREATE OR REPLACE. */
+  private def stage(ident: Identifier,
+                    info: org.apache.spark.sql.connector.catalog.TableInfo,
+                    requireExists: Option[Boolean])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(info.partitions().isEmpty,
+      "graft tables take no PARTITIONED BY — use the bucketBy write option " +
+        "(hash layout) or recluster (sort layout) instead")
+    info.columns().find(_.name.equalsIgnoreCase(graft.etl.Loader.IdCol))
+      .foreach(c => throw new IllegalArgumentException(
+        s"column name '${c.name}' is reserved: graft tables stamp their " +
+          "own surrogate 'id' column — rename the column"))
+    val t = tableName(ident)
+    val c = catFor(ident.namespace)
+    val exists = VersionedTable.currentVersion(c, t).isDefined
+    requireExists.foreach { must =>
+      if (must && !exists)
+        throw new NoSuchTableException(ident.asInstanceOf[Identifier])
+      if (!must && exists)
+        throw new TableAlreadyExistsException(ident.asInstanceOf[Identifier])
+    }
+    val schema = org.apache.spark.sql.graft.DefaultColumns
+      .v2ColumnsToStructType(info.columns())
+    new GraftStagedTable(c, t, schema,
+      validatedTableProps(c, schema, info.properties()), requireExists)
+  }
+
+  override def stageCreate(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, Some(false))
+
+  override def stageReplace(ident: Identifier,
+                            info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, Some(true))
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, None)
 
   /** `ALTER TABLE ... ADD COLUMN(S)` — a METADATA-ONLY commit (the
     * reference's dataset auto-ALTER, easy_etl/__init__.py:96,
@@ -330,14 +396,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _: TableChange.AddColumn => true
       case _: TableChange.RenameColumn => true
       case _: TableChange.DeleteColumn => true
+      case _: TableChange.UpdateColumnDefaultValue => true
       case _ => false
     }
     if (changes.isEmpty || !supported)
       throw new UnsupportedOperationException(
-        "graft supports ALTER TABLE ADD/RENAME/DROP COLUMN(S) only — type " +
-          "changes would re-interpret already-committed files; evolve " +
-          "those through loads (ensure widening) so every version stays " +
-          "self-describing")
+        "graft supports ALTER TABLE ADD/RENAME/DROP COLUMN(S) and " +
+          "SET/DROP DEFAULT only — type changes would re-interpret " +
+          "already-committed files; evolve those through loads (ensure " +
+          "widening) so every version stays self-describing")
     // each change is its own metadata-only commit (ALTER statements
     // arrive one clause at a time from Spark's parser anyway); adds
     // batch into one widen like before
@@ -359,7 +426,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             "it as null, which a NOT NULL column would contradict")
         require(a.position() == null,
           "FIRST/AFTER positions are not supported — new columns append")
-        StructField(n, a.dataType, nullable = true)
+        val f = StructField(n, a.dataType, nullable = true)
+        // ADD COLUMN ... DEFAULT v: still metadata-only — the default
+        // freezes as EXISTS_DEFAULT (pre-ADD files fill it at read; the
+        // parquet readers implement the fill natively) and records as
+        // CURRENT_DEFAULT for future INSERTs
+        if (a.defaultValue() == null) f
+        else org.apache.spark.sql.graft.DefaultColumns
+          .fieldWithDefault(f, a.defaultValue())
       }
       VersionedTable.widenSchema(c, t, newFields.toSeq)
     }
@@ -376,6 +450,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // metadata-only: the physical name retires so a later re-add of
         // the same name can never resurrect the old bytes
         VersionedTable.dropColumn(c, t, d.fieldNames.head)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          s"nested column defaults are not supported: ${u.fieldNames.mkString(".")}")
+        // SET/DROP DEFAULT re-points CURRENT_DEFAULT only — the frozen
+        // EXISTS_DEFAULT is pre-ADD rows' history, never a dial
+        VersionedTable.setColumnDefault(c, t, u.fieldNames.head,
+          Option(u.newCurrentDefault()).map(dv =>
+            Option(dv.getSql).getOrElse(dv.toString)).orNull)
       case _ => () // adds handled above
     }
     val after = VersionedTable.read(c, t).schema
