@@ -283,6 +283,41 @@ object VersionedTable {
     * rows satisfied the constraint when they were written (induction). */
   private[graft] val CheckConstraintProp = "check_constraint"
 
+  /** Manifest prop holding the table's NAMED CHECK constraints (JSON
+    * object, name → boolean SQL) — the `ALTER TABLE ADD CONSTRAINT name
+    * CHECK (...)` surface ([[addCheckConstraint]]/[[dropCheckConstraint]]).
+    * Enforcement conjoins these with the legacy unnamed
+    * [[CheckConstraintProp]] ([[effectiveCheck]]) at every write gate. */
+  private[graft] val CheckConstraintsProp = "check_constraints_json"
+
+  /** The named CHECK constraints recorded in `props` (empty when none). */
+  private[graft] def namedChecks(props: Map[String, String]): Map[String, String] =
+    props.get(CheckConstraintsProp).fold(Map.empty[String, String]) { j =>
+      scala.util.Try {
+        val o = mapper.readTree(j)
+        val b = Map.newBuilder[String, String]
+        o.fields().forEachRemaining(e => b += (e.getKey -> e.getValue.asText()))
+        b.result()
+      }.getOrElse(throw new IllegalStateException(
+        s"unparseable $CheckConstraintsProp: $j"))
+    }
+
+  private def namedChecksJson(m: Map[String, String]): String = {
+    val o = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (n, sql) => o.put(n, sql) }
+    mapper.writeValueAsString(o)
+  }
+
+  /** The ONE boolean SQL every write gate enforces: the conjunction of
+    * the unnamed TBLPROPERTIES check and every named constraint (each
+    * parenthesized — precedence can't leak between them). None = no
+    * gate. */
+  private[graft] def effectiveCheck(props: Map[String, String]): Option[String] = {
+    val parts = props.get(CheckConstraintProp).toSeq ++
+      namedChecks(props).toSeq.sortBy(_._1).map(_._2)
+    if (parts.isEmpty) None else Some(parts.map(p => s"($p)").mkString(" AND "))
+  }
+
   /** Manifest prop recording the version's DATA schema (StructType JSON,
     * surrogate id column included) — the read path's source of truth, so
     * a version whose files predate a widening still reads the WIDENED
@@ -1770,8 +1805,8 @@ object VersionedTable {
     // the EXISTING rows — Delta's ADD CONSTRAINT scan — because the
     // manifest must never advertise a CHECK its committed data violates
     // (the per-commit induction starts from a verified base).
-    val checkSql = extraProps.get(CheckConstraintProp)
-      .orElse(headMan.flatMap(_.props.get(CheckConstraintProp)))
+    val checkSql = effectiveCheck(
+      headMan.fold(Map.empty[String, String])(_.props) ++ extraProps)
     for {
       c <- extraProps.get(CheckConstraintProp)
       man <- headMan
@@ -2007,7 +2042,7 @@ object VersionedTable {
     require(!bloom.exists(_.equalsIgnoreCase(name)),
       s"cannot $verb '$name': bloom filters are declared on it " +
         s"(${bloom.mkString(",")})")
-    man.props.get(CheckConstraintProp).foreach { c =>
+    effectiveCheck(man.props).foreach { c =>
       val refs = scala.util.Try(
         tgt.spark.sessionState.sqlParser.parseExpression(c)
           .references.map(_.name).toSet).getOrElse(Set.empty[String])
@@ -2062,6 +2097,135 @@ object VersionedTable {
     }
   }
 
+  /** The prop keys `ALTER TABLE SET/UNSET TBLPROPERTIES` must not touch:
+    * engine-owned metadata whose corruption breaks reads (the recorded
+    * schema, the column mapping), audit (commit times), write semantics
+    * that only a data commit may change (upsert keys — recorded by keyed
+    * loads, consumed by CDC), and the streaming sinks' exactly-once
+    * epoch stamps. */
+  private def reservedProp(k: String): Boolean =
+    Set(SchemaProp, ColMapProp, ColMapRetiredProp, CommitTsProp,
+      UpsertKeysProp, CheckConstraintsProp).contains(k) ||
+      k.startsWith(org.apache.spark.sql.graft.GraftStreamWrite.EpochPropPrefix)
+
+  /** METADATA-ONLY `ALTER TABLE SET/UNSET TBLPROPERTIES` — ONE manifest
+    * commit updating the table's recorded props, with the engine-known
+    * keys VALIDATED rather than stored blind:
+    *
+    *   - `check_constraint` / `check`: the commit-time row gate. A new
+    *     or changed constraint on a non-empty table VALIDATES THE
+    *     EXISTING ROWS first (one scan — Delta's ADD CONSTRAINT
+    *     discipline: the manifest must never advertise a CHECK its
+    *     committed data violates);
+    *   - `write_mode` / `write.mode`: `copy-on-write` ↔ `merge-on-read`,
+    *     flippable at any time (existing deletion vectors keep applying
+    *     either way — the mode only routes FUTURE row-level ops);
+    *   - `dv_max_fraction`: a double in (0, 1];
+    *   - `bloom_cols`: must name existing columns (future writes stamp
+    *     the filters);
+    *   - [[reservedProp]] keys refuse loudly; anything else stores
+    *     verbatim (the user's namespace).
+    *
+    * Free-form props surface through `SHOW TBLPROPERTIES` (the table's
+    * `properties()` reads the head manifest). */
+  def setTableProps(tgt: Catalog, table: String, set: Map[String, String],
+                    unset: Seq[String]): Long = {
+    (set.keys ++ unset).foreach(k => require(!reservedProp(k),
+      s"table property '$k' is engine-owned and cannot be set/unset " +
+        "directly — it is maintained by data commits"))
+    // SQL-surface aliases normalize onto the manifest's internal keys
+    def norm(k: String): String = k match {
+      case "check" => CheckConstraintProp
+      case "write.mode" => WriteModeProp
+      case other => other
+    }
+    val sets = set.map { case (k, v) => norm(k) -> v }
+    val unsets = unset.map(norm)
+    sets.get(WriteModeProp).foreach(m => require(
+      m == "copy-on-write" || m == MergeOnRead,
+      s"unknown write mode '$m' — use 'copy-on-write' or 'merge-on-read'"))
+    sets.get(DvMaxFractionProp).foreach(s => require(
+      scala.util.Try(s.toDouble).toOption.exists(d => d > 0 && d <= 1),
+      s"$DvMaxFractionProp must be a double in (0, 1], got '$s'"))
+    commitWithRetry(table, "setTableProps") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      sets.get(BloomColsProp).foreach { cs =>
+        val have = readVersion(tgt, table, cur).columns.toSet
+        val missing = cs.split(",").map(_.trim).filter(_.nonEmpty)
+          .filterNot(have.contains)
+        require(missing.isEmpty,
+          s"bloom_cols names missing columns: ${missing.mkString(",")}")
+      }
+      // a NEW or CHANGED check validates the existing rows before the
+      // manifest may advertise it (same induction base as loadAttempt)
+      sets.get(CheckConstraintProp)
+        .filterNot(c => man.props.get(CheckConstraintProp).contains(c))
+        .foreach(c => enforceCheck(readVersion(tgt, table, cur), c, table))
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        props = (man.props ++ sets) -- unsets))) Some(cur + 1)
+      else None
+    }
+  }
+
+  /** `ALTER TABLE ADD CONSTRAINT name CHECK (sql)` — the named twin of
+    * the TBLPROPERTIES check: validated against the EXISTING rows first
+    * (one scan — the manifest must never advertise a CHECK its committed
+    * data violates), then ONE metadata commit records it; every later
+    * write gate enforces the conjunction of all recorded constraints
+    * ([[effectiveCheck]]). */
+  def addCheckConstraint(tgt: Catalog, table: String, name: String,
+                         sql: String): Long = {
+    require(name.trim.nonEmpty && sql.trim.nonEmpty,
+      "constraint name and CHECK expression must be non-empty")
+    commitWithRetry(table, "addCheckConstraint") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val existing = namedChecks(man.props)
+      require(!existing.contains(name),
+        s"constraint '$name' already exists on '$table' " +
+          s"(${existing(name)}) — DROP it first")
+      enforceCheck(readVersion(tgt, table, cur), sql, table)
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        props = man.props +
+          (CheckConstraintsProp -> namedChecksJson(existing + (name -> sql))))))
+        Some(cur + 1)
+      else None
+    }
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT name` — one metadata commit removing
+    * the named CHECK; unknown names refuse unless `ifExists`. */
+  def dropCheckConstraint(tgt: Catalog, table: String, name: String,
+                          ifExists: Boolean = false): Long = {
+    commitWithRetry(table, "dropCheckConstraint") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val existing = namedChecks(man.props)
+      if (!existing.contains(name)) {
+        if (!ifExists) throw new IllegalArgumentException(
+          s"no constraint '$name' on '$table' " +
+            s"(have: ${existing.keys.toSeq.sorted.mkString(", ")})")
+        Some(cur) // IF EXISTS no-op: nothing to commit
+      } else {
+        val remaining = existing - name
+        preCommitHook.value()
+        if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+          props =
+            if (remaining.isEmpty) man.props - CheckConstraintsProp
+            else man.props +
+              (CheckConstraintsProp -> namedChecksJson(remaining)))))
+          Some(cur + 1)
+        else None
+      }
+    }
+  }
+
   /** METADATA-ONLY `ALTER COLUMN ... SET/DROP DEFAULT`: re-points the
     * column's CURRENT_DEFAULT (what future INSERTs omit to) in the
     * recorded schema. The frozen EXISTS_DEFAULT — what pre-ADD rows read
@@ -2089,6 +2253,28 @@ object VersionedTable {
           org.apache.spark.sql.graft.DefaultColumns
             .fieldWithCurrentDefault(f, normalized)
         else f))
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        props = man.props + (SchemaProp -> schemaJson(updated))))) Some(cur + 1)
+      else None
+    }
+  }
+
+  /** METADATA-ONLY `ALTER COLUMN ... COMMENT '...'`: records the comment
+    * in the recorded schema's field metadata (one manifest commit);
+    * surfaces through DESCRIBE. */
+  def setColumnComment(tgt: Catalog, table: String, name: String,
+                       comment: String): Long = {
+    commitWithRetry(table, "setColumnComment") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val current = readVersion(tgt, table, cur).schema
+      require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name' on '$table'")
+      val exact = current.fieldNames.find(_.equalsIgnoreCase(name)).get
+      val updated = org.apache.spark.sql.types.StructType(current.fields.map(f =>
+        if (f.name == exact) f.withComment(comment) else f))
       preCommitHook.value()
       if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
         props = man.props + (SchemaProp -> schemaJson(updated))))) Some(cur + 1)
@@ -2163,7 +2349,7 @@ object VersionedTable {
       val out = Loader.withSurrogateIds(incoming, floor,
         incoming.columns.toSeq)
       val (batch, newParts) = writeBatch(tgt, table, out, None)
-      extraProps.get(CheckConstraintProp)
+      effectiveCheck(extraProps)
         .filter(_ => newParts.nonEmpty).foreach { c =>
           try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
             new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
@@ -2234,7 +2420,7 @@ object VersionedTable {
     // SQL UPDATE/MERGE must not write rows the table's CHECK refuses —
     // validated on the STAGED files (atomic with what would commit; see
     // loadAttempt), cleaned up on violation
-    headMan.props.get(CheckConstraintProp)
+    effectiveCheck(headMan.props)
       .filter(_ => newParts.nonEmpty).foreach { c =>
         try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
           new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
@@ -2473,7 +2659,7 @@ object VersionedTable {
     // the CHECK gate validates the STAGED bytes, like every write path
     // (rewrite parts hold pre-existing, already-validated rows; the
     // id-carrying merged rows are MODIFIED rows and validate too)
-    (headMan.props ++ propsDelta).get(CheckConstraintProp)
+    effectiveCheck(headMan.props ++ propsDelta)
       .filter(_ => newParts.nonEmpty || idParts.nonEmpty).foreach { c =>
         try enforceCheck(tgt.spark.read.parquet((newParts ++ idParts).map(p =>
           new Path(dataDir(tgt, table), p._1).toString): _*), c, table)

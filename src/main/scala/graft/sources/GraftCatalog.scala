@@ -64,8 +64,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * fill `EXISTS_DEFAULT` for files physically lacking the column. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -298,26 +301,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   private def validatedTableProps(c: Catalog, schema: StructType,
                                   properties: JMap[String, String])
       : Map[String, String] = {
-    val empty = c.spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val check = Option(properties.get("check")).map(_.trim).filter(_.nonEmpty)
-    check.foreach { sql =>
-      val analyzed = empty.where(org.apache.spark.sql.functions.expr(sql))
-        .queryExecution.analyzed
-      val cond = analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.getOrElse(throw new IllegalArgumentException(
-        s"CHECK constraint did not analyze to a row predicate: $sql"))
-      if (!cond.deterministic)
-        throw new IllegalArgumentException(
-          s"CHECK constraint must be deterministic — ($sql) would admit or " +
-            "refuse the same row depending on evaluation time")
-      if (cond.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
-        throw new IllegalArgumentException(
-          s"CHECK constraint must not contain a subquery — ($sql) would " +
-            "re-evaluate against another table's state at each commit")
-    }
+    check.foreach(validateCheckSql(c, schema, _))
     val mode = Option(properties.get("write.mode")).map(_.trim.toLowerCase)
       .filter(_.nonEmpty)
     mode.foreach(m => require(
@@ -326,6 +311,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     check.map(VersionedTable.CheckConstraintProp -> _).toMap ++
       mode.filter(_ == VersionedTable.MergeOnRead)
         .map(VersionedTable.WriteModeProp -> _).toMap
+  }
+
+  /** Eager CHECK-expression discipline shared by every constraint entry
+    * point: must RESOLVE against the schema (a typo'd column fails the
+    * DDL, not the first insert), must be deterministic (a rand() gate
+    * would admit or refuse the same row depending on evaluation time),
+    * and must be subquery-free (a subquery would re-evaluate against
+    * another table's state at each commit). */
+  private def validateCheckSql(c: Catalog, schema: StructType,
+                               sql: String): Unit = {
+    val empty = c.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val analyzed = empty.where(org.apache.spark.sql.functions.expr(sql))
+      .queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"CHECK constraint did not analyze to a row predicate: $sql"))
+    if (!cond.deterministic)
+      throw new IllegalArgumentException(
+        s"CHECK constraint must be deterministic — ($sql) would admit or " +
+          "refuse the same row depending on evaluation time")
+    if (cond.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      throw new IllegalArgumentException(
+        s"CHECK constraint must not contain a subquery — ($sql) would " +
+          "re-evaluate against another table's state at each commit")
   }
 
   // ------------------------------------------- atomic CREATE OR REPLACE
@@ -397,14 +409,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _: TableChange.RenameColumn => true
       case _: TableChange.DeleteColumn => true
       case _: TableChange.UpdateColumnDefaultValue => true
+      case _: TableChange.SetProperty => true
+      case _: TableChange.RemoveProperty => true
+      case _: TableChange.AddConstraint => true
+      case _: TableChange.DropConstraint => true
+      case _: TableChange.UpdateColumnComment => true
       case _ => false
     }
     if (changes.isEmpty || !supported)
       throw new UnsupportedOperationException(
-        "graft supports ALTER TABLE ADD/RENAME/DROP COLUMN(S) and " +
-          "SET/DROP DEFAULT only — type changes would re-interpret " +
-          "already-committed files; evolve those through loads (ensure " +
-          "widening) so every version stays self-describing")
+        "graft supports ALTER TABLE ADD/RENAME/DROP COLUMN(S), SET/DROP " +
+          "DEFAULT, and SET/UNSET TBLPROPERTIES only — type changes " +
+          "would re-interpret already-committed files; evolve those " +
+          "through loads (ensure widening) so every version stays " +
+          "self-describing")
+    // SET/UNSET TBLPROPERTIES batch into ONE metadata commit (validated
+    // keys: check, write.mode, dv_max_fraction, bloom_cols; reserved
+    // engine keys refuse; the rest is the user's namespace)
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val unsetProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      VersionedTable.setTableProps(c, t, setProps, unsetProps.toSeq)
     // each change is its own metadata-only commit (ALTER statements
     // arrive one clause at a time from Spark's parser anyway); adds
     // batch into one widen like before
@@ -450,6 +479,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // metadata-only: the physical name retires so a later re-add of
         // the same name can never resurrect the old bytes
         VersionedTable.dropColumn(c, t, d.fieldNames.head)
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(chk.enforced(),
+              "graft enforces every CHECK constraint — NOT ENFORCED is " +
+                "not supported")
+            val sql = Option(chk.predicateSql()).getOrElse(
+              throw new IllegalArgumentException(
+                s"constraint '${chk.name()}' carries no SQL predicate"))
+            val tblSchema = StructType(VersionedTable.read(c, t).schema
+              .fields.filterNot(_.name == graft.etl.Loader.IdCol))
+            validateCheckSql(c, tblSchema, sql)
+            // validates the EXISTING rows (one scan), then one metadata
+            // commit — the manifest never advertises a violated CHECK
+            VersionedTable.addCheckConstraint(c, t, chk.name(), sql)
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are enforced; '${other.toDDL}' " +
+              "(unique/primary-key/foreign-key) is informational in SQL " +
+              "engines and graft refuses to record what it cannot enforce")
+        }
+      case d: TableChange.DropConstraint =>
+        VersionedTable.dropCheckConstraint(c, t, d.name(), d.ifExists())
+      case cc: TableChange.UpdateColumnComment =>
+        require(cc.fieldNames.length == 1,
+          s"nested column comments are not supported: ${cc.fieldNames.mkString(".")}")
+        VersionedTable.setColumnComment(c, t, cc.fieldNames.head, cc.newComment())
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames.length == 1,
           s"nested column defaults are not supported: ${u.fieldNames.mkString(".")}")

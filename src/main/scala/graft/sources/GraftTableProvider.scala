@@ -240,6 +240,29 @@ private[sources] final class GraftBatchTable(
 
   override def schema(): StructType = dataSchema
 
+  /** The recorded CHECK constraints, reported to Spark: the named ones
+    * (`ALTER TABLE ADD CONSTRAINT`) plus the legacy TBLPROPERTIES check
+    * under the name `check`. Spark's DSv2 write path adds its own
+    * row-level validation for enforced constraints — belt — and the
+    * versioned commit gate re-validates the staged bytes — suspenders. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import GraftTableProvider.opt
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
+      val cat = new Catalog(SparkSession.active, d)
+      VersionedTable.headSummary(cat, t).map { case (_, props, _) =>
+        val named = VersionedTable.namedChecks(props).toSeq.sortBy(_._1)
+        val legacy = props.get(VersionedTable.CheckConstraintProp)
+          .map("check" -> _).toSeq
+        (legacy ++ named).map { case (n, sql) =>
+          Constraint.check(n).predicateSql(sql).build()
+            : org.apache.spark.sql.connector.catalog.constraints.Constraint
+        }.toArray
+      }.getOrElse(Array.empty)
+    }).getOrElse(Array.empty)
+  }
+
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
