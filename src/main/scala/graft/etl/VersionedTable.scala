@@ -3498,8 +3498,13 @@ object VersionedTable {
       // COLUMN MAPPING: the scan reads PHYSICAL names (the logical
       // rename is an alias projection on top), so predicates Catalyst
       // pushes to the FileIndex arrive physical-named — translate each
-      // leaf back before consulting the LOGICAL manifest stats
+      // leaf back before consulting the LOGICAL manifest stats. The
+      // translation is constant per predicate but the closure runs per
+      // FILE — memoized like bucketsFor below, so a 100k-file listing
+      // rebuilds the tree once, not 100k times.
       val toLogical = org.apache.spark.sql.graft.ColumnMapping.reverse(physOf)
+      val predCache =
+        new java.util.concurrent.ConcurrentHashMap[ZonePred.P, ZonePred.P]()
       // bucketsFor is constant per predicate but the closure runs per
       // FILE — memoize by tree (value equality) so a 100k-file listing
       // hashes the key once, not 100k times
@@ -3509,8 +3514,10 @@ object VersionedTable {
         relByAbs.get(absPath) match {
           case None => true
           case Some(rel) =>
-            val p = org.apache.spark.sql.graft.ColumnMapping
-              .mapZonePred(p0, toLogical)
+            val p =
+              if (toLogical.isEmpty) p0
+              else predCache.computeIfAbsent(p0,
+                org.apache.spark.sql.graft.ColumnMapping.mapZonePred(_, toLogical))
             bucketCache.computeIfAbsent(p, bucketsFor(man, _)).forall(ks =>
               bucketOfRel(rel).forall(ks.contains)) &&
               fileAdmits(man, rel, p)

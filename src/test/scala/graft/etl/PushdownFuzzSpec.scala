@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
 class PushdownFuzzSpec extends SparkSpec {
   import spark.implicits._
 
-  private case class R(k: Long, c: Option[Long], s: String)
+  private case class R(k: Long, c: Option[Long], s: String,
+                       d2: Option[Long] = None)
 
   /** Build a random multi-version table; returns (catalog, snapshots —
     * snapshot(i) is the expected state of version i+1). With `mor` the
@@ -40,7 +41,8 @@ class PushdownFuzzSpec extends SparkSpec {
   private def buildTable(rnd: Random, bucketed: Boolean, extremes: Boolean,
                          allNullC: Boolean,
                          mor: Boolean = false,
-                         mapped: Boolean = false)
+                         mapped: Boolean = false,
+                         defaulted: Boolean = false)
       : (Catalog, Vector[(Long, Vector[R])]) = {
     val tgt = new Catalog(spark, tmpDir("fuzz"))
     var nextK = 0L
@@ -49,6 +51,9 @@ class PushdownFuzzSpec extends SparkSpec {
     val nCommits = 3 + rnd.nextInt(3)
     var committed = 0
     var deletes = 0
+    def genD2(): Option[Long] =
+      if (rnd.nextDouble() < 0.2) None // explicit NULL: must STAY null
+      else Some(rnd.nextInt(20).toLong) // includes 7 — collides with the default
     def genC(): Option[Long] =
       if (allNullC) None
       else if (rnd.nextDouble() < 0.1) None
@@ -71,14 +76,18 @@ class PushdownFuzzSpec extends SparkSpec {
     // same model that checks the copy-on-write merge
     def doUpsert(): Unit = {
       val updates = state.filter(_ => rnd.nextDouble() < 0.15)
-        .map(r => R(r.k, genC(), s"u${r.k}c$committed"))
+        .map(r => R(r.k, genC(), s"u${r.k}c$committed",
+          if (defaulted) genD2() else None))
       val inserts = (0 to rnd.nextInt(30)).map { _ =>
         nextK += 1
-        R(nextK, genC(), s"s$nextK")
+        R(nextK, genC(), s"s$nextK", if (defaulted) genD2() else None)
       }.toVector
       val batch = updates ++ inserts // keys unique by construction
-      VersionedTable.load(tgt, "t",
-        batch.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s"),
+      val bdf =
+        if (defaulted)
+          batch.map(r => (r.k, r.c, r.s, r.d2)).toDF("k", "c", "s", "d2")
+        else batch.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s")
+      VersionedTable.load(tgt, "t", bdf,
         upsertFields = Seq("k"), idOrder = Seq("k"))
       val byK = batch.map(r => r.k -> r).toMap
       state = state.map(r => byK.getOrElse(r.k, r)) ++ inserts
@@ -101,11 +110,16 @@ class PushdownFuzzSpec extends SparkSpec {
         // to 'c' and 'd' DROPS — every later commit and every checked
         // read then runs under a NON-IDENTITY column mapping (files
         // carry physical 'c0' and dead 'd' bytes forever)
+        val rowsD =
+          if (defaulted && committed > 0) rows.map(_.copy(d2 = genD2()))
+          else rows
         val df0 =
           if (mapped && committed == 0)
-            rows.map(r => (r.k, r.c, r.s, "junk"))
+            rowsD.map(r => (r.k, r.c, r.s, "junk"))
               .toDF("k", "c0", "s", "d")
-          else rows.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s")
+          else if (defaulted && committed > 0)
+            rowsD.map(r => (r.k, r.c, r.s, r.d2)).toDF("k", "c", "s", "d2")
+          else rowsD.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s")
         VersionedTable.load(tgt, "t", df0,
           idOrder = Seq("k"),
           bucketBy = if (bucketed && committed == 0) Some((Seq("k"), 4)) else None,
@@ -116,7 +130,23 @@ class PushdownFuzzSpec extends SparkSpec {
           VersionedTable.renameColumn(tgt, "t", "c0", "c")
           VersionedTable.dropColumn(tgt, "t", "d")
         }
-        state = state ++ rows
+        // the DEFAULTED dimension: after the first commit, ADD a column
+        // with a frozen existence default — every pre-ADD row reads 7
+        // from files that physically lack the column, every later write
+        // materializes explicit values (including NULLs, which must stay
+        // NULL: a file that HAS the column never fills the default)
+        if (defaulted && committed == 0) {
+          val meta = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(org.apache.spark.sql.graft.DefaultColumns.ExistsKey, "7")
+            .putString(org.apache.spark.sql.graft.DefaultColumns.CurrentKey, "7")
+            .build()
+          VersionedTable.widenSchema(tgt, "t", Seq(
+            org.apache.spark.sql.types.StructField("d2",
+              org.apache.spark.sql.types.LongType, nullable = true, meta)))
+          state = state.map(_.copy(d2 = Some(7L)))
+        }
+        state = state ++ (if (defaulted && committed == 0)
+          rowsD.map(_.copy(d2 = Some(7L))) else rowsD)
       } else if (op < 7) {
         doUpsert()
       } else {
@@ -161,6 +191,21 @@ class PushdownFuzzSpec extends SparkSpec {
         truth.filter(model).map(r => (r.k, r.c, r.s)).sorted,
         s"[$tag v$v] filter $p")
     }
+    // the DEFAULTED dimension: pre-ADD rows read the frozen 7 from
+    // files that lack the column; explicit NULLs written after the ADD
+    // stay NULL — and filters on the defaulted column stay exact
+    if (df.columns.contains("d2")) {
+      def rows4(d: org.apache.spark.sql.DataFrame) =
+        d.select("k", "c", "s", "d2").collect().toSeq.map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getString(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      def t4(rs: Vector[R]) = rs.map(r => (r.k, r.c, r.s, r.d2))
+      assert(rows4(df).sorted == t4(truth).sorted, s"[$tag v$v] d2 full scan")
+      assert(rows4(df.where(col("d2") === 7L)).sorted ==
+        t4(truth.filter(_.d2.contains(7L))).sorted, s"[$tag v$v] d2 = 7")
+      assert(rows4(df.where(col("d2").isNull)).sorted ==
+        t4(truth.filter(_.d2.isEmpty)).sorted, s"[$tag v$v] d2 IS NULL")
+    }
     // LIMIT: never short, always a subset
     Seq(0, 1, 7, truth.size, truth.size + 3).foreach { n =>
       val got = rowsOf(df.limit(n))
@@ -197,14 +242,16 @@ class PushdownFuzzSpec extends SparkSpec {
 
   private def runCase(seed: Long, bucketed: Boolean, extremes: Boolean,
                       allNullC: Boolean, mor: Boolean = false,
-                      mapped: Boolean = false): Unit = {
+                      mapped: Boolean = false,
+                      defaulted: Boolean = false): Unit = {
     val rnd = new Random(seed)
     val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC, mor,
-      mapped)
-    val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC m=$mor p=$mapped"
-    // first, last, and one random middle snapshot (mapped histories skip
-    // the first — its schema is the pre-rename one by design)
-    val checkable = if (mapped) snaps.drop(1) else snaps
+      mapped, defaulted)
+    val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC m=$mor " +
+      s"p=$mapped f=$defaulted"
+    // first, last, and one random middle snapshot (mapped/defaulted
+    // histories skip the first — its schema predates the ALTER)
+    val checkable = if (mapped || defaulted) snaps.drop(1) else snaps
     val is = Set(0, checkable.size - 1, rnd.nextInt(checkable.size)).toSeq.sorted
     is.foreach { i =>
       val (v, truth) = checkable(i)
@@ -253,6 +300,13 @@ class PushdownFuzzSpec extends SparkSpec {
       mor = true, mapped = true)
     runCase(20260825L, bucketed = true, extremes = false, allNullC = false,
       mapped = true)
+  }
+
+  test("existence-defaulted histories: pushdowns exact over mixed-era files") {
+    runCase(20260826L, bucketed = false, extremes = false, allNullC = false,
+      defaulted = true)
+    runCase(20260827L, bucketed = false, extremes = false, allNullC = false,
+      mor = true, defaulted = true)
   }
 
   test("empty table: zero partitions, zero rows, null extrema") {
