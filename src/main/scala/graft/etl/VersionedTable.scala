@@ -2103,7 +2103,7 @@ object VersionedTable {
     * that only a data commit may change (upsert keys — recorded by keyed
     * loads, consumed by CDC), and the streaming sinks' exactly-once
     * epoch stamps. */
-  private def reservedProp(k: String): Boolean =
+  private[graft] def isReservedProp(k: String): Boolean =
     Set(SchemaProp, ColMapProp, ColMapRetiredProp, CommitTsProp,
       UpsertKeysProp, CheckConstraintsProp).contains(k) ||
       k.startsWith(org.apache.spark.sql.graft.GraftStreamWrite.EpochPropPrefix)
@@ -2130,7 +2130,7 @@ object VersionedTable {
     * `properties()` reads the head manifest). */
   def setTableProps(tgt: Catalog, table: String, set: Map[String, String],
                     unset: Seq[String]): Long = {
-    (set.keys ++ unset).foreach(k => require(!reservedProp(k),
+    (set.keys ++ unset).foreach(k => require(!isReservedProp(k),
       s"table property '$k' is engine-owned and cannot be set/unset " +
         "directly — it is maintained by data commits"))
     // SQL-surface aliases normalize onto the manifest's internal keys
@@ -2279,6 +2279,85 @@ object VersionedTable {
       if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
         props = man.props + (SchemaProp -> schemaJson(updated))))) Some(cur + 1)
       else None
+    }
+  }
+
+  /** The LOSSLESS type-widening matrix (`ALTER COLUMN ... TYPE`):
+    * parquet's readers upcast these natively (Spark 4 type widening), so
+    * the change is METADATA-ONLY — old files keep their narrow physical
+    * type and read back wide. Integral→double stops at int (a long
+    * doesn't fit a double losslessly). */
+  private val widenable: Set[(org.apache.spark.sql.types.DataType,
+    org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val chain = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val ints = for {
+      (a, i) <- chain.zipWithIndex; b <- chain.drop(i + 1)
+    } yield (a, b)
+    val toDouble = Seq[DataType](ByteType, ShortType, IntegerType, FloatType)
+      .map(t => (t, DoubleType: DataType))
+    (ints ++ toDouble).toSet
+  }
+
+  /** The zone-map comparison domain a type's footer stats live in —
+    * widenings INSIDE one domain (int→long, float→double) keep every
+    * recorded range valid; a domain CROSSING (int→double) strips the
+    * column's carried stats instead (long-tagged bounds must never be
+    * compared against double-typed predicates). */
+  private def statDomain(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case FloatType | DoubleType => "double"
+      case other => other.typeName
+    }
+  }
+
+  /** METADATA-ONLY TYPE WIDENING — the commit under SQL `ALTER TABLE
+    * ALTER COLUMN c TYPE t`: for the LOSSLESS pairs in [[widenable]],
+    * the new version carries every file VERBATIM and records only the
+    * widened schema; parquet's readers upcast the narrow physical values
+    * natively (probed: int→long, short→int, float→double, int→double),
+    * and future writes land the wide type. Keys/bucket keys refuse —
+    * bucket placement hashes the STRINGIFIED value, and a float-era
+    * "0.1" and its double upcast stringify differently, so a widened key
+    * would silently re-home rows. Narrowings and lossy changes refuse
+    * (they would re-interpret committed bytes). */
+  def widenColumnType(tgt: Catalog, table: String, name: String,
+                      newType: org.apache.spark.sql.types.DataType): Long = {
+    commitWithRetry(table, "widenColumnType") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val current = readVersion(tgt, table, cur).schema
+      require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"no column '$name' on '$table'")
+      val exact = current.fieldNames.find(_.equalsIgnoreCase(name)).get
+      val from = current(exact).dataType
+      if (from == newType) Some(cur) // no-op
+      else {
+        require(widenable.contains((from, newType)),
+          s"cannot change '$name' from ${from.simpleString} to " +
+            s"${newType.simpleString} — only lossless widenings " +
+            "(byte/short/int→long, byte/short/int/float→double) are " +
+            "metadata-safe; anything else would re-interpret committed files")
+        mappingRefusals(tgt, man, exact, "widen the type of")
+        val updated = org.apache.spark.sql.types.StructType(current.fields.map(
+          f => if (f.name == exact) f.copy(dataType = newType) else f))
+        // domain-crossing widenings strip the column's carried RANGES
+        // (long-tagged bounds must never compare against double-typed
+        // predicates); null counts are type-independent and stay
+        val crossed = statDomain(from) != statDomain(newType)
+        val stats =
+          if (!crossed) man.stats
+          else man.stats.map { case (rel, cols) => rel -> (cols - exact) }
+        preCommitHook.value()
+        if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+          stats = stats,
+          props = man.props + (SchemaProp -> schemaJson(updated)))))
+          Some(cur + 1)
+        else None
+      }
     }
   }
 

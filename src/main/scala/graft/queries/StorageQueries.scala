@@ -50,7 +50,7 @@ object StorageQueries {
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
-    "q_alter_column_default")
+    "q_alter_column_default", "q_alter_widen_type")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -72,7 +72,8 @@ object StorageQueries {
     sqlMorFixture(spark, sfDir)
     sqlNsFixture(spark, sfDir)
     sqlColMapFixture(spark, sfDir)
-    sqlColDefFixture(spark, sfDir); ()
+    sqlColDefFixture(spark, sfDir)
+    sqlWidenFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -547,6 +548,39 @@ object StorageQueries {
         "ADD COLUMN DEFAULT must be metadata-only (files carried verbatim)")
       spark.sql(s"INSERT INTO $name.default.cd " +
         "SELECT o_orderkey, o_totalprice, 'fresh' FROM orders " +
+        "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the TYPE-WIDENING query (F59): an INT column widened to
+    * BIGINT metadata-only (files verbatim — asserted), then an insert
+    * carrying values beyond the int range: the head reads narrow-era
+    * files upcast and wide-era files natively, in one scan. */
+  private val sqlWidenNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlWidenFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlWidenNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gwide${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlwiden").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.wd (o_orderkey BIGINT, qty INT)")
+      spark.sql(s"INSERT INTO $name.default.wd " +
+        "SELECT o_orderkey, CAST(o_orderkey AS INT) FROM orders " +
+        "WHERE o_orderkey <= 600")
+      val cat = new Catalog(spark, dir)
+      val pre = VersionedTable.files(cat, "wd", 2L).toSet
+      spark.sql(s"ALTER TABLE $name.default.wd ALTER COLUMN qty TYPE BIGINT")
+      require(VersionedTable.files(cat, "wd", 3L).toSet == pre,
+        "ALTER COLUMN TYPE (widening) must be metadata-only")
+      spark.sql(s"INSERT INTO $name.default.wd " +
+        "SELECT o_orderkey, o_orderkey * 10000000000 FROM orders " +
         "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
       (name, dir)
     })
@@ -1409,6 +1443,17 @@ object StorageQueries {
     // a byte rewritten — fixture-asserted files-verbatim), while
     // post-ADD inserts materialize real values. The WHERE on the
     // defaulted column exercises the mixed-era filter path.
+    // F59 METADATA-ONLY TYPE WIDENING — ALTER COLUMN qty TYPE BIGINT
+    // carries every file verbatim (fixture-asserted); narrow-era files
+    // upcast in the readers, wide-era values exceed the int range, and
+    // the filter runs over the mixed eras.
+    "q_alter_widen_type" -> { (spark, sfDir) =>
+      val (name, _) = sqlWidenFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, qty FROM $name.default.wd
+        WHERE qty > 100 ORDER BY o_orderkey""")
+    },
+
     "q_alter_column_default" -> { (spark, sfDir) =>
       val (name, _) = sqlColDefFixture(spark, sfDir)
       spark.sql(s"""
@@ -1995,6 +2040,15 @@ object StorageQueries {
         |SELECT 'cdc_insert' AS era, o_orderkey, o_totalprice, o_orderstatus
         |FROM head
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_alter_widen_type" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey <= 600 THEN o_orderkey
+        |            ELSE o_orderkey * 10000000000 END AS qty
+        |FROM orders WHERE o_orderkey <= 1200
+        |  AND (CASE WHEN o_orderkey <= 600 THEN o_orderkey
+        |            ELSE o_orderkey * 10000000000 END) > 100
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_alter_column_default" ->
       """SELECT o_orderkey, o_totalprice,

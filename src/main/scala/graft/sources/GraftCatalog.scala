@@ -308,7 +308,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     mode.foreach(m => require(
       m == "copy-on-write" || m == VersionedTable.MergeOnRead,
       s"unknown write.mode '$m' — use 'copy-on-write' or 'merge-on-read'"))
-    check.map(VersionedTable.CheckConstraintProp -> _).toMap ++
+    // the rest of the user's TBLPROPERTIES persist (same contract as
+    // ALTER TABLE SET TBLPROPERTIES — visible in SHOW TBLPROPERTIES),
+    // minus Spark's own bookkeeping keys and anything engine-reserved
+    val sparkInternal = Set("provider", "owner", "location", "comment",
+      "external", "check", "write.mode")
+    val user = properties.asScala.toMap.filter { case (k, _) =>
+      !sparkInternal(k) && !k.startsWith("option.") &&
+        !VersionedTable.isReservedProp(k)
+    }
+    user ++ check.map(VersionedTable.CheckConstraintProp -> _).toMap ++
       mode.filter(_ == VersionedTable.MergeOnRead)
         .map(VersionedTable.WriteModeProp -> _).toMap
   }
@@ -414,6 +423,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _: TableChange.AddConstraint => true
       case _: TableChange.DropConstraint => true
       case _: TableChange.UpdateColumnComment => true
+      case _: TableChange.UpdateColumnType => true
       case _ => false
     }
     if (changes.isEmpty || !supported)
@@ -501,6 +511,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         }
       case d: TableChange.DropConstraint =>
         VersionedTable.dropCheckConstraint(c, t, d.name(), d.ifExists())
+      case ty: TableChange.UpdateColumnType =>
+        require(ty.fieldNames.length == 1,
+          s"nested column types are not supported: ${ty.fieldNames.mkString(".")}")
+        // metadata-only for the lossless widening matrix; anything else
+        // refuses inside (it would re-interpret committed files)
+        VersionedTable.widenColumnType(c, t, ty.fieldNames.head, ty.newDataType())
       case cc: TableChange.UpdateColumnComment =>
         require(cc.fieldNames.length == 1,
           s"nested column comments are not supported: ${cc.fieldNames.mkString(".")}")

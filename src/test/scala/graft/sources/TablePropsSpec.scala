@@ -20,6 +20,13 @@ class TablePropsSpec extends SparkSpec {
   private val lib = new Catalog(spark, warehouse)
 
   test("SET/UNSET TBLPROPERTIES: one metadata commit, validated keys") {
+    // user TBLPROPERTIES at CREATE persist like SET TBLPROPERTIES would
+    spark.sql("CREATE TABLE gtp.default.p0 (k BIGINT) " +
+      "TBLPROPERTIES ('origin' = 'crawl-7')")
+    val created = spark.sql("SHOW TBLPROPERTIES gtp.default.p0")
+      .as[(String, String)].collect().toMap
+    assert(created.get("origin").contains("crawl-7"), s"got $created")
+
     spark.sql("CREATE TABLE gtp.default.p1 (k BIGINT, n BIGINT)")
     spark.sql("INSERT INTO gtp.default.p1 VALUES (1, 5)")
     val vPre = VersionedTable.currentVersion(lib, "p1").get
