@@ -495,6 +495,12 @@ object VersionedTable {
     v.orElse(currentVersion(tgt, table))
       .flatMap(readManifest(tgt, table, _)).fold(Map.empty[String, String])(physOfMan)
 
+  /** The recorded schema of version `v`, when its writer recorded one —
+    * the streams' type-drift guard reads this per batch. */
+  private[graft] def recordedSchemaAt(tgt: Catalog, table: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    readManifest(tgt, table, v).flatMap(recordedSchema)
+
   /** Recorded schemas normalize to ALL-NULLABLE (deeply) before entering
     * the manifest — the parquet read contract the legacy footer probe
     * always surfaced. Recording an INSERT batch's literal non-nullability

@@ -286,6 +286,31 @@ private[graft] object CdcStreamProvider {
           s"(columns: ${drifted.mkString(", ")} were renamed/re-added " +
           s"since the stream started) — restart the stream to pick up " +
           "the new schema")
+    // TYPE drift is just as silent-dangerous: a mid-stream widen means
+    // new files carry the wide physical type, which the stream's narrow
+    // captured schema cannot decode — fail with the restart hint instead
+    // of a deep parquet column-convert error
+    val recorded = VersionedTable.recordedSchemaAt(cat, table, v)
+    recorded.foreach { sch =>
+      // the read path normalizes TimestampNTZ to Timestamp, so the
+      // stream's captured schema legitimately differs there — only a
+      // REAL retype (a mid-stream widen) should fail the batch
+      def norm(dt: org.apache.spark.sql.types.DataType) =
+        if (dt == org.apache.spark.sql.types.TimestampNTZType)
+          org.apache.spark.sql.types.TimestampType
+        else dt
+      val byName = sch.fields.map(f => f.name -> norm(f.dataType)).toMap
+      val retyped = dataSchema.fields.collect {
+        case f if byName.get(f.name).exists(_ != norm(f.dataType)) =>
+          s"${f.name} (${norm(f.dataType).simpleString} → " +
+            s"${byName(f.name).simpleString})"
+      }
+      if (retyped.nonEmpty)
+        throw new IllegalStateException(
+          s"column types of '$table' changed under a running stream " +
+            s"(${retyped.mkString(", ")}) — restart the stream to pick " +
+            "up the widened schema")
+    }
   }
 
   /** Parse an `admissionFilter` option against `schema`: resolve and

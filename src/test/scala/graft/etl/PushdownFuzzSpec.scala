@@ -42,7 +42,8 @@ class PushdownFuzzSpec extends SparkSpec {
                          allNullC: Boolean,
                          mor: Boolean = false,
                          mapped: Boolean = false,
-                         defaulted: Boolean = false)
+                         defaulted: Boolean = false,
+                         widened: Boolean = false)
       : (Catalog, Vector[(Long, Vector[R])]) = {
     val tgt = new Catalog(spark, tmpDir("fuzz"))
     var nextK = 0L
@@ -117,6 +118,13 @@ class PushdownFuzzSpec extends SparkSpec {
           if (mapped && committed == 0)
             rowsD.map(r => (r.k, r.c, r.s, "junk"))
               .toDF("k", "c0", "s", "d")
+          else if (widened && committed == 0)
+            // the WIDENED dimension: the table is born with c as INT
+            // (values fit by genC construction — the extremes knob is
+            // off for widened runs) and widens to LONG right after —
+            // every later commit and check runs over mixed-era files
+            rowsD.map(r => (r.k, r.c.map(_.toInt), r.s))
+              .toDF("k", "c", "s")
           else if (defaulted && committed > 0)
             rowsD.map(r => (r.k, r.c, r.s, r.d2)).toDF("k", "c", "s", "d2")
           else rowsD.map(r => (r.k, r.c, r.s)).toDF("k", "c", "s")
@@ -135,6 +143,9 @@ class PushdownFuzzSpec extends SparkSpec {
         // from files that physically lack the column, every later write
         // materializes explicit values (including NULLs, which must stay
         // NULL: a file that HAS the column never fills the default)
+        if (widened && committed == 0)
+          VersionedTable.widenColumnType(tgt, "t", "c",
+            org.apache.spark.sql.types.LongType)
         if (defaulted && committed == 0) {
           val meta = new org.apache.spark.sql.types.MetadataBuilder()
             .putString(org.apache.spark.sql.graft.DefaultColumns.ExistsKey, "7")
@@ -243,15 +254,18 @@ class PushdownFuzzSpec extends SparkSpec {
   private def runCase(seed: Long, bucketed: Boolean, extremes: Boolean,
                       allNullC: Boolean, mor: Boolean = false,
                       mapped: Boolean = false,
-                      defaulted: Boolean = false): Unit = {
+                      defaulted: Boolean = false,
+                      widened: Boolean = false): Unit = {
+    require(!(widened && extremes), "widened runs need int-sized c values")
     val rnd = new Random(seed)
     val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC, mor,
-      mapped, defaulted)
+      mapped, defaulted, widened)
     val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC m=$mor " +
-      s"p=$mapped f=$defaulted"
+      s"p=$mapped f=$defaulted w=$widened"
     // first, last, and one random middle snapshot (mapped/defaulted
     // histories skip the first — its schema predates the ALTER)
-    val checkable = if (mapped || defaulted) snaps.drop(1) else snaps
+    val checkable =
+      if (mapped || defaulted || widened) snaps.drop(1) else snaps
     val is = Set(0, checkable.size - 1, rnd.nextInt(checkable.size)).toSeq.sorted
     is.foreach { i =>
       val (v, truth) = checkable(i)
@@ -307,6 +321,13 @@ class PushdownFuzzSpec extends SparkSpec {
       defaulted = true)
     runCase(20260827L, bucketed = false, extremes = false, allNullC = false,
       mor = true, defaulted = true)
+  }
+
+  test("type-widened histories: pushdowns exact over mixed int/long-era files") {
+    runCase(20260828L, bucketed = false, extremes = false, allNullC = false,
+      widened = true)
+    runCase(20260829L, bucketed = false, extremes = false, allNullC = false,
+      mor = true, widened = true)
   }
 
   test("empty table: zero partitions, zero rows, null extrema") {

@@ -90,6 +90,33 @@ class TypeWideningSpec extends SparkSpec {
     refuse(VersionedTable.widenColumnType(lib, "w3", "n", DoubleType), "lossless")
   }
 
+  test("a mid-stream widen fails the batch loudly with the restart hint") {
+    VersionedTable.load(lib, "w5", Seq((1L, 10)).toDF("k", "n"))
+    val ckpt = tmpDir("gwiden-ckpt")
+    val q = spark.readStream.format("graft")
+      .option("dir", warehouse).option("table", "w5")
+      .load().select("k", "n")
+      .writeStream.format("memory").queryName("gwiden_w5")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gwiden_w5").count() == 1L)
+      // widen n mid-stream, then append a wide value: the stream's
+      // narrow captured schema cannot decode the new files — the guard
+      // must fail the batch with the restart hint, not a deep parquet
+      // column-convert error
+      VersionedTable.widenColumnType(lib, "w5", "n", LongType)
+      VersionedTable.load(lib, "w5", Seq((2L, 8000000000L)).toDF("k", "n"))
+      val e = intercept[Throwable] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("column types")),
+        s"expected the type-drift refusal, got: $e")
+    } finally q.stop()
+  }
+
   test("a widened table still upserts, time travels, and feeds CDC") {
     val inc = Seq((1L, 10), (2L, 20)).toDF("k", "n")
     VersionedTable.load(lib, "w4", inc, upsertFields = Seq("k"))
