@@ -2461,6 +2461,73 @@ object VersionedTable {
     }
   }
 
+  /** SAME-SCHEMA CONTENT REPLACE — the commit under SQL `INSERT
+    * OVERWRITE`: one versioned commit swaps the table's rows for
+    * `incoming` while EVERYTHING DECLARED carries — props (CHECK
+    * constraints gate the staged bytes, write.mode, user TBLPROPERTIES),
+    * the bucket layout (overwrite rows re-bucket through the same
+    * writer), bloom declarations, and the column mapping (files keep
+    * writing stable physical names). History survives like every commit:
+    * time travel reads the pre-overwrite versions, rollback undoes it.
+    * The id floor stays monotone. Contrast [[replaceAll]] (RTAS), which
+    * REPLACES the declaration too. */
+  private[graft] def replaceContents(tgt: Catalog, table: String,
+                                     incoming0: DataFrame): Long = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    commitWithRetry(table, "replaceContents") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"INSERT OVERWRITE: versioned table '$table' not found"))
+      val headMan = readManifest(tgt, table, cur).get
+      val floor = headMan.maxId.getOrElse(0L)
+      val incoming = if (incoming0.columns.contains(Loader.IdCol))
+        incoming0.drop(Loader.IdCol) else incoming0
+      val out = Loader.withSurrogateIds(incoming, floor,
+        incoming.columns.toSeq)
+      val physOf = extendMapping(Some(headMan), out.schema)
+      val (batch0, newParts0) = writeBatch(tgt, table, out, headMan.bucket,
+        bloomColsOf(headMan), physOf)
+      // an OVERWRITE from an empty query must still leave one
+      // schema-bearing file (the invariant every read relies on); an
+      // empty plan can stage zero part files
+      val (batch, newParts) =
+        if (newParts0.nonEmpty) (batch0, newParts0)
+        else {
+          fs(tgt, dataDir(tgt, table)).delete(batch0, true)
+          writeBatch(tgt, table, tgt.spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), out.schema),
+            headMan.bucket, bloomColsOf(headMan), physOf)
+        }
+      effectiveCheck(headMan.props)
+        .filter(_ => newParts.nonEmpty).foreach { c =>
+          try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
+            new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+          catch { case e: Throwable =>
+            fs(tgt, dataDir(tgt, table)).delete(batch, true)
+            throw e
+          }
+        }
+      val newRel = newParts.map(_._1)
+      val newAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+      val committedMax = footerMaxId(tgt, newAbs).map(math.max(_, floor))
+        .orElse(headMan.maxId)
+      preCommitHook.value()
+      val fm = manifestMeta(tgt, table, Some(headMan), Nil, newParts,
+        out.schema)
+      if (tryCommitManifest(tgt, table,
+        Manifest(cur + 1, committedMax, headMan.bucket, newRel,
+          fm.stats, fm.sizes, fm.nulls, fm.rows,
+          headMan.props +
+            (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan),
+              out.schema))))))
+        Some(cur + 1)
+      else {
+        fs(tgt, dataDir(tgt, table)).delete(batch, true)
+        None
+      }
+    }
+  }
+
   /** COPY-ON-WRITE GROUP REPLACE — the commit primitive under SQL
     * UPDATE/MERGE (Spark's group-based row-level operations): the rows
     * of `removedAbs` (the files the operation's scan planned, whose full

@@ -50,7 +50,7 @@ object StorageQueries {
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
-    "q_alter_column_default", "q_alter_widen_type")
+    "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -73,7 +73,8 @@ object StorageQueries {
     sqlNsFixture(spark, sfDir)
     sqlColMapFixture(spark, sfDir)
     sqlColDefFixture(spark, sfDir)
-    sqlWidenFixture(spark, sfDir); ()
+    sqlWidenFixture(spark, sfDir)
+    sqlOverwriteFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -549,6 +550,34 @@ object StorageQueries {
       spark.sql(s"INSERT INTO $name.default.cd " +
         "SELECT o_orderkey, o_totalprice, 'fresh' FROM orders " +
         "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the INSERT-OVERWRITE query (F60): a populated table
+    * content-replaced by one INSERT OVERWRITE commit — the head holds
+    * only the new rows, VERSION AS OF still reads the pre-overwrite
+    * state (history survives the swap). */
+  private val sqlOverwriteNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlOverwriteFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlOverwriteNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"giow${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqliow").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.ow " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.ow " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800")
+      spark.sql(s"INSERT OVERWRITE $name.default.ow " +
+        "SELECT o_orderkey, o_totalprice * 2 FROM orders " +
+        "WHERE o_orderkey > 400 AND o_orderkey <= 1200")
       (name, dir)
     })
   }
@@ -1443,6 +1472,19 @@ object StorageQueries {
     // a byte rewritten — fixture-asserted files-verbatim), while
     // post-ADD inserts materialize real values. The WHERE on the
     // defaulted column exercises the mixed-era filter path.
+    // F60 INSERT OVERWRITE — a same-schema versioned CONTENT REPLACE:
+    // one commit swaps the rows (declaration/props carried), and the
+    // pre-overwrite version still reads exactly (history survives the
+    // swap — Spark's classic overwrite idiom without losing time travel).
+    "q_insert_overwrite" -> { (spark, sfDir) =>
+      val (name, _) = sqlOverwriteFixture(spark, sfDir)
+      val head = spark.sql(s"""SELECT 'head' AS era, o_orderkey, o_totalprice
+        FROM $name.default.ow""")
+      val pre = spark.sql(s"""SELECT 'pre' AS era, o_orderkey, o_totalprice
+        FROM $name.default.ow VERSION AS OF 2""")
+      head.unionByName(pre).orderBy("era", "o_orderkey")
+    },
+
     // F59 METADATA-ONLY TYPE WIDENING — ALTER COLUMN qty TYPE BIGINT
     // carries every file verbatim (fixture-asserted); narrow-era files
     // upcast in the readers, wide-era values exceed the int range, and
@@ -2039,6 +2081,14 @@ object StorageQueries {
         |UNION ALL
         |SELECT 'cdc_insert' AS era, o_orderkey, o_totalprice, o_orderstatus
         |FROM head
+        |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_insert_overwrite" ->
+      """SELECT 'head' AS era, o_orderkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 1200
+        |UNION ALL
+        |SELECT 'pre' AS era, o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
 
     "q_alter_widen_type" ->

@@ -266,7 +266,10 @@ private[sources] final class GraftBatchTable(
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      // INSERT OVERWRITE: a same-schema versioned content replace
+      // (replaceContents) — truncate-capable through the V1 fallback
+      TableCapability.TRUNCATE)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -294,7 +297,15 @@ private[sources] final class GraftBatchTable(
 }
 
 private[sources] class GraftWriteBuilder(
-    info: LogicalWriteInfo, options: Map[String, String]) extends WriteBuilder {
+    info: LogicalWriteInfo, options: Map[String, String]) extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+      // INSERT OVERWRITE arrives as truncate() on the builder (the V1
+      // fallback then calls insert(overwrite = false) — the intent
+      // travels HERE, not in the boolean)
+      @volatile private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
       override def build(): V1Write = new V1Write {
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -302,15 +313,17 @@ private[sources] class GraftWriteBuilder(
             SparkSession.active, info.queryId(), info.schema(), options)
         override def toInsertableRelation: sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            require(!overwrite,
-              "graft writes are versioned commits; use delete + append or " +
-                "rollback instead of overwrite")
             import GraftTableProvider.{csvOpt, opt, requiredOpt}
             val cat = new Catalog(data.sparkSession, requiredOpt(options, "dir"))
             val table = requiredOpt(options, "table")
             require(opt(options, "versionAsOf").isEmpty,
               "cannot write AT a version — writes always commit a new head")
-            VersionedTable.load(cat, table, data,
+            if (overwrite || truncateFirst)
+              // INSERT OVERWRITE = one SAME-SCHEMA versioned commit
+              // swapping the rows: props/CHECKs/layout/mapping carry,
+              // history survives (time travel + rollback cross it)
+              VersionedTable.replaceContents(cat, table, data)
+            else VersionedTable.load(cat, table, data,
               upsertFields = csvOpt(options, "upsertKeys"),
               idOrder = csvOpt(options, "idOrder"),
               bucketBy = csvOpt(options, "bucketBy") match {

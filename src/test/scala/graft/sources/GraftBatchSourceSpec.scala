@@ -136,13 +136,14 @@ class GraftBatchSourceSpec extends SparkSpec {
     // round trip: format read sees the format write
     val rt = read(tgt, "t").select("k", "s").collect().map(_.toSeq).toSet
     assert(rt == head.select("k", "s").collect().map(_.toSeq).toSet)
-    // overwrite mode is refused (replacement is a modeled operation)
-    val e = intercept[Exception] {
-      Seq((1L, "x")).toDF("k", "s").write.format("graft").mode("overwrite")
-        .option("dir", tgt.dir).option("table", "t").save()
-    }
-    assert(VersionedTable.read(tgt, "t").count() == 21L,
-      s"a refused overwrite must not touch the table ($e)")
+    // overwrite mode = one SAME-SCHEMA content-replace commit (F60):
+    // the head holds only the new rows, history survives the swap
+    Seq((1L, "x")).toDF("k", "s").write.format("graft").mode("overwrite")
+      .option("dir", tgt.dir).option("table", "t").save()
+    assert(VersionedTable.read(tgt, "t").count() == 1L)
+    assert(VersionedTable.read(tgt, "t").select("s").as[String].head() == "x")
+    assert(VersionedTable.readVersion(tgt, "t", 2L).count() == 21L,
+      "the pre-overwrite version must still read exactly")
     // bucketed create through options: layout recorded, scoped upserts on
     val tgt2 = new Catalog(spark, tmpDir("gbw2"))
     (1L to 32L).map(i => (i, s"v$i")).toDF("k", "s").write.format("graft")
