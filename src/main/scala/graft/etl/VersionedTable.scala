@@ -535,18 +535,74 @@ object VersionedTable {
   private def carryFieldMetadata(parent: Option[Manifest],
                                  schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types.{Metadata, StructType}
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructType}
     parent.flatMap(recordedSchema).fold(schema) { ps =>
       val byName = ps.fields.map(f => f.name -> f).toMap
       StructType(schema.fields.map { f =>
         byName.get(f.name) match {
-          case Some(pf) if f.metadata == Metadata.empty &&
-              pf.metadata != Metadata.empty =>
-            f.copy(metadata = pf.metadata)
+          case Some(pf) if pf.metadata != Metadata.empty =>
+            // PER-KEY merge, incoming wins: an incoming field carrying
+            // unrelated metadata (a comment propagated from a source
+            // plan) must not suppress the parent's EXISTS_DEFAULT —
+            // that would flip pre-ADD rows from the frozen default to
+            // NULL on this commit
+            val merged = new MetadataBuilder()
+              .withMetadata(pf.metadata).withMetadata(f.metadata).build()
+            if (merged == f.metadata) f else f.copy(metadata = merged)
           case _ => f
         }
       })
     }
+  }
+
+  /** Eager CHECK-expression discipline, shared by EVERY constraint entry
+    * point (CREATE/replace TBLPROPERTIES, SET TBLPROPERTIES, ADD
+    * CONSTRAINT, and the library twins): must RESOLVE against `schema`
+    * (a typo'd column fails the DDL, not the first insert), must be
+    * DETERMINISTIC (a rand() gate would admit or refuse the same row
+    * depending on evaluation time), and must be SUBQUERY-FREE (a
+    * subquery would re-evaluate against another table's state at each
+    * commit). */
+  private[graft] def validateCheckSql(spark: org.apache.spark.sql.SparkSession,
+                                      schema: org.apache.spark.sql.types.StructType,
+                                      sql: String): Unit = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val analyzed = empty.where(expr(sql)).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"CHECK constraint did not analyze to a row predicate: $sql"))
+    if (!cond.deterministic)
+      throw new IllegalArgumentException(
+        s"CHECK constraint must be deterministic — ($sql) would admit or " +
+          "refuse the same row depending on evaluation time")
+    if (cond.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+      throw new IllegalArgumentException(
+        s"CHECK constraint must not contain a subquery — ($sql) would " +
+          "re-evaluate against another table's state at each commit")
+  }
+
+  /** The commit-time CHECK gate over FRESHLY-STAGED batch files: staged
+    * parquet carries PHYSICAL column names (the writeBatch boundary),
+    * but the CHECK SQL references LOGICAL names — restore them before
+    * evaluating, or a constraint added after a rename would fail every
+    * insert (unresolvable column), and under chained renames could
+    * silently validate the WRONG column's bytes. Name-based reverse
+    * rename (not positional) because the staged groups may differ in
+    * column order/width (id-carrying vs fresh batches). */
+  private def enforceCheckStaged(tgt: Catalog, absFiles: Seq[String],
+                                 physOf: Map[String, String],
+                                 checkSql: String, table: String): Unit = {
+    val raw = tgt.spark.read.parquet(absFiles: _*)
+    val logical =
+      if (physOf.isEmpty) raw
+      else {
+        val toLogical = org.apache.spark.sql.graft.ColumnMapping.reverse(physOf)
+        raw.toDF(raw.columns.map(c => toLogical.getOrElse(c, c)).toSeq: _*)
+      }
+    enforceCheck(logical, checkSql, table)
   }
 
   /** Refuse `rows` if any violates `checkSql` — the commit-time gate.
@@ -1930,8 +1986,8 @@ object VersionedTable {
     // schema is the final one, absent columns already null-filled).
     // On violation the staged batch is removed and nothing committed.
     checkSql.filter(_ => newParts.nonEmpty).foreach { c =>
-      try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
-        new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+      try enforceCheckStaged(tgt, newParts.map(p =>
+        new Path(dataDir(tgt, table), p._1).toString), physOf, c, table)
       catch { case e: Throwable =>
         fs(tgt, dataDir(tgt, table)).delete(batch, true)
         throw e
@@ -2164,11 +2220,17 @@ object VersionedTable {
         require(missing.isEmpty,
           s"bloom_cols names missing columns: ${missing.mkString(",")}")
       }
-      // a NEW or CHANGED check validates the existing rows before the
-      // manifest may advertise it (same induction base as loadAttempt)
+      // a NEW or CHANGED check gets the full eager discipline
+      // (resolution/determinism/subquery-free) and then validates the
+      // existing rows before the manifest may advertise it (same
+      // induction base as loadAttempt)
       sets.get(CheckConstraintProp)
         .filterNot(c => man.props.get(CheckConstraintProp).contains(c))
-        .foreach(c => enforceCheck(readVersion(tgt, table, cur), c, table))
+        .foreach { c =>
+          val frame = readVersion(tgt, table, cur)
+          validateCheckSql(tgt.spark, frame.schema, c)
+          enforceCheck(frame, c, table)
+        }
       preCommitHook.value()
       if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
         props = (man.props ++ sets) -- unsets))) Some(cur + 1)
@@ -2194,7 +2256,9 @@ object VersionedTable {
       require(!existing.contains(name),
         s"constraint '$name' already exists on '$table' " +
           s"(${existing(name)}) — DROP it first")
-      enforceCheck(readVersion(tgt, table, cur), sql, table)
+      val frame = readVersion(tgt, table, cur)
+      validateCheckSql(tgt.spark, frame.schema, sql)
+      enforceCheck(frame, sql, table)
       preCommitHook.value()
       if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
         props = man.props +
@@ -2376,26 +2440,40 @@ object VersionedTable {
     * old data; the column's zone maps / null counts strip from every
     * carried file (a re-added namesake must never prune on the dead
     * column's bounds). Same refusal matrix as [[renameColumn]]. */
-  def dropColumn(tgt: Catalog, table: String, name: String): Long = {
+  def dropColumn(tgt: Catalog, table: String, name: String): Long =
+    dropColumns(tgt, table, Seq(name))
+
+  /** Multi-column drop as ONE metadata commit — `ALTER TABLE DROP
+    * COLUMNS (a, b)` must be atomic: every name validates (existence +
+    * the refusal matrix) BEFORE anything commits, so a refused name
+    * leaves the table untouched instead of half-altered. */
+  def dropColumns(tgt: Catalog, table: String, names: Seq[String]): Long = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
     commitWithRetry(table, "dropColumn") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
       val current = readVersion(tgt, table, cur).schema
-      require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"no column '$name' on '$table'")
-      require(current.fields.count(!_.name.equalsIgnoreCase(Loader.IdCol)) > 1,
-        s"cannot drop the last column of '$table'")
-      mappingRefusals(tgt, man, name, "drop")
-      val exact = current.fieldNames.find(_.equalsIgnoreCase(name)).get
+      val exacts = names.map { name =>
+        require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"no column '$name' on '$table'")
+        mappingRefusals(tgt, man, name, "drop")
+        current.fieldNames.find(_.equalsIgnoreCase(name)).get
+      }
+      require(exacts.distinct.size == exacts.size,
+        s"duplicate columns in DROP: ${names.mkString(", ")}")
+      val gone = exacts.toSet
+      require(current.fields.count(f =>
+        !f.name.equalsIgnoreCase(Loader.IdCol) && !gone(f.name)) >= 1,
+        s"cannot drop the last column(s) of '$table'")
       val physOf0 = physOfMan(man)
-      val physical = physOf0.getOrElse(exact, exact)
-      val physOf = physOf0 - exact
-      val retired = retiredOf(man) + physical
+      val physOf = physOf0 -- gone
+      val retired = retiredOf(man) ++
+        exacts.map(e => physOf0.getOrElse(e, e))
       val narrowed = org.apache.spark.sql.types.StructType(
-        current.fields.filterNot(_.name == exact))
+        current.fields.filterNot(f => gone(f.name)))
       def strip[A](m: Map[String, Map[String, A]]) = m.map { case (rel, cols) =>
-        rel -> (cols - exact)
+        rel -> (cols -- gone)
       }
       preCommitHook.value()
       if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
@@ -2436,8 +2514,8 @@ object VersionedTable {
       val (batch, newParts) = writeBatch(tgt, table, out, None)
       effectiveCheck(extraProps)
         .filter(_ => newParts.nonEmpty).foreach { c =>
-          try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
-            new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+          try enforceCheckStaged(tgt, newParts.map(p =>
+            new Path(dataDir(tgt, table), p._1).toString), Map.empty, c, table)
           catch { case e: Throwable =>
             fs(tgt, dataDir(tgt, table)).delete(batch, true)
             throw e
@@ -2500,8 +2578,8 @@ object VersionedTable {
         }
       effectiveCheck(headMan.props)
         .filter(_ => newParts.nonEmpty).foreach { c =>
-          try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
-            new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+          try enforceCheckStaged(tgt, newParts.map(p =>
+            new Path(dataDir(tgt, table), p._1).toString), physOf, c, table)
           catch { case e: Throwable =>
             fs(tgt, dataDir(tgt, table)).delete(batch, true)
             throw e
@@ -2574,8 +2652,8 @@ object VersionedTable {
     // loadAttempt), cleaned up on violation
     effectiveCheck(headMan.props)
       .filter(_ => newParts.nonEmpty).foreach { c =>
-        try enforceCheck(tgt.spark.read.parquet(newParts.map(p =>
-          new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+        try enforceCheckStaged(tgt, newParts.map(p =>
+          new Path(dataDir(tgt, table), p._1).toString), physOf, c, table)
         catch { case e: Throwable =>
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
           throw e
@@ -2813,8 +2891,9 @@ object VersionedTable {
     // id-carrying merged rows are MODIFIED rows and validate too)
     effectiveCheck(headMan.props ++ propsDelta)
       .filter(_ => newParts.nonEmpty || idParts.nonEmpty).foreach { c =>
-        try enforceCheck(tgt.spark.read.parquet((newParts ++ idParts).map(p =>
-          new Path(dataDir(tgt, table), p._1).toString): _*), c, table)
+        try enforceCheckStaged(tgt, (newParts ++ idParts).map(p =>
+          new Path(dataDir(tgt, table), p._1).toString),
+          physOfMan(headMan), c, table)
         catch { case e: Throwable =>
           cleanupAll()
           throw e
@@ -3442,7 +3521,12 @@ object VersionedTable {
       val newRel = newParts.map(_._1)
       val newV = cur + 1L
       if (tryCommitManifest(tgt, table,
-        { val fm = manifestMeta(tgt, table, None, Nil, newParts, rows.schema)
+        // parent = Some(man): the rewritten files carry PHYSICAL names,
+        // so the footer-stat request must translate through the table's
+        // column mapping (a renamed column's zone maps would otherwise
+        // vanish from the reclustered manifest — or worse, mis-key)
+        { val fm = manifestMeta(tgt, table, Some(man), Nil, newParts,
+            rows.schema)
           Manifest(newV, man.maxId, None, newRel,
             fm.stats, fm.sizes, fm.nulls, fm.rows, man.props) }))
         Some(newV)

@@ -310,7 +310,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       s"unknown write.mode '$m' — use 'copy-on-write' or 'merge-on-read'"))
     // the rest of the user's TBLPROPERTIES persist (same contract as
     // ALTER TABLE SET TBLPROPERTIES — visible in SHOW TBLPROPERTIES),
-    // minus Spark's own bookkeeping keys and anything engine-reserved
+    // minus Spark's own bookkeeping keys and anything engine-reserved.
+    // The INTERNAL spellings of the validated keys refuse at CREATE —
+    // 'check_constraint' smuggled as a user prop would become an
+    // UNVALIDATED write gate (use the validated 'check'/'write.mode'
+    // aliases) — and the tunables validate here like SET TBLPROPERTIES.
+    Seq(VersionedTable.CheckConstraintProp, VersionedTable.WriteModeProp)
+      .foreach(k => require(properties.get(k) == null,
+        s"TBLPROPERTIES key '$k' is the engine's internal spelling — " +
+          "declare it as 'check' / 'write.mode' so it validates"))
+    Option(properties.get(VersionedTable.DvMaxFractionProp)).foreach(v =>
+      require(scala.util.Try(v.toDouble).toOption.exists(d => d > 0 && d <= 1),
+        s"${VersionedTable.DvMaxFractionProp} must be a double in (0, 1], " +
+          s"got '$v'"))
+    Option(properties.get(VersionedTable.BloomColsProp)).foreach { cs =>
+      val have = schema.fieldNames.toSet
+      val missing = cs.split(",").map(_.trim).filter(_.nonEmpty)
+        .filterNot(have.contains)
+      require(missing.isEmpty,
+        s"bloom_cols names missing columns: ${missing.mkString(",")}")
+    }
     val sparkInternal = Set("provider", "owner", "location", "comment",
       "external", "check", "write.mode")
     val user = properties.asScala.toMap.filter { case (k, _) =>
@@ -322,32 +341,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         .map(VersionedTable.WriteModeProp -> _).toMap
   }
 
-  /** Eager CHECK-expression discipline shared by every constraint entry
-    * point: must RESOLVE against the schema (a typo'd column fails the
-    * DDL, not the first insert), must be deterministic (a rand() gate
-    * would admit or refuse the same row depending on evaluation time),
-    * and must be subquery-free (a subquery would re-evaluate against
-    * another table's state at each commit). */
+  /** The shared eager CHECK discipline lives on the engine
+    * ([[VersionedTable.validateCheckSql]]) so the library twins get the
+    * same resolution/determinism/subquery checks as the SQL DDL. */
   private def validateCheckSql(c: Catalog, schema: StructType,
-                               sql: String): Unit = {
-    val empty = c.spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val analyzed = empty.where(org.apache.spark.sql.functions.expr(sql))
-      .queryExecution.analyzed
-    val cond = analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.getOrElse(throw new IllegalArgumentException(
-      s"CHECK constraint did not analyze to a row predicate: $sql"))
-    if (!cond.deterministic)
-      throw new IllegalArgumentException(
-        s"CHECK constraint must be deterministic — ($sql) would admit or " +
-          "refuse the same row depending on evaluation time")
-    if (cond.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
-      throw new IllegalArgumentException(
-        s"CHECK constraint must not contain a subquery — ($sql) would " +
-          "re-evaluate against another table's state at each commit")
-  }
+                               sql: String): Unit =
+    VersionedTable.validateCheckSql(c.spark, schema, sql)
 
   // ------------------------------------------- atomic CREATE OR REPLACE
 
@@ -433,6 +432,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "would re-interpret already-committed files; evolve those " +
           "through loads (ensure widening) so every version stays " +
           "self-describing")
+    // ATOMICITY: each clause kind lands as ONE commit (adds batch into
+    // one widen, drops into one dropColumns, props into one
+    // setTableProps), and a statement mixing SCHEMA-EVOLVING kinds is
+    // refused up front — per-kind commits with no rollback would leave
+    // a mid-statement failure half-applied. Spark's parser emits
+    // single-kind statements, so this costs real users nothing.
+    def kindOf(ch: TableChange): String = ch match {
+      case _: TableChange.AddColumn => "add"
+      case _: TableChange.RenameColumn => "rename"
+      case _: TableChange.DeleteColumn => "drop"
+      case _: TableChange.UpdateColumnType => "retype"
+      case _: TableChange.UpdateColumnComment => "comment"
+      case _: TableChange.UpdateColumnDefaultValue => "default"
+      case _: TableChange.AddConstraint => "add-constraint"
+      case _: TableChange.DropConstraint => "drop-constraint"
+      case _ => "props"
+    }
+    val kinds = changes.map(kindOf).distinct
+    require(kinds.size == 1,
+      s"one ALTER kind per statement (got ${kinds.mkString(", ")}) — " +
+        "mixed statements cannot apply atomically")
+    require(kinds.head == "add" || kinds.head == "drop" ||
+      kinds.head == "props" || changes.size == 1,
+      s"multiple ${kinds.head} clauses in one statement are not supported")
+    // multi-drop: ONE atomic commit, every name validated first
+    val dropNames = changes.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames.length == 1,
+        s"nested column drops are not supported: ${d.fieldNames.mkString(".")}")
+      d.fieldNames.head
+    }
+    if (dropNames.nonEmpty) VersionedTable.dropColumns(c, t, dropNames.toSeq)
     // SET/UNSET TBLPROPERTIES batch into ONE metadata commit (validated
     // keys: check, write.mode, dv_max_fraction, bloom_cols; reserved
     // engine keys refuse; the rest is the user's namespace)
@@ -483,12 +513,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // metadata-only: the column keeps its PHYSICAL in-file name
         // (name-mode column mapping) — no file is read or rewritten
         VersionedTable.renameColumn(c, t, r.fieldNames.head, r.newName)
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          s"nested column drops are not supported: ${d.fieldNames.mkString(".")}")
-        // metadata-only: the physical name retires so a later re-add of
-        // the same name can never resurrect the old bytes
-        VersionedTable.dropColumn(c, t, d.fieldNames.head)
+      case _: TableChange.DeleteColumn => () // batched above (atomic)
       case a: TableChange.AddConstraint =>
         a.constraint() match {
           case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>

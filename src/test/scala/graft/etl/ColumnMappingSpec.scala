@@ -196,6 +196,23 @@ class ColumnMappingSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gcm.default.m1").head().getLong(0) == 99L)
   }
 
+  test("recluster after a rename keeps the renamed column's zone maps") {
+    spark.sql("CREATE TABLE gcm.default.rc (k BIGINT, amt BIGINT)")
+    spark.sql("INSERT INTO gcm.default.rc SELECT id, id * 100 FROM range(0, 2000)")
+    spark.sql("ALTER TABLE gcm.default.rc RENAME COLUMN amt TO amount")
+    VersionedTable.recluster(lib, "rc", Seq("amount"), targetFileBytes = 16 * 1024)
+    val v = VersionedTable.currentVersion(lib, "rc").get
+    // the rewritten (physical-named) files' footer stats must re-key to
+    // the LOGICAL name — pruning on the renamed column keeps working
+    assert(VersionedTable.skippedFiles(lib, "rc", v,
+      col("amount") > lit(150000L)).nonEmpty,
+      "reclustered files must record zone maps under the renamed name")
+    assert(VersionedTable.readWhere(lib, "rc", v,
+      col("amount") > lit(150000L)).count() ==
+      spark.sql("SELECT count(*) FROM gcm.default.rc WHERE amount > 150000")
+        .head().getLong(0))
+  }
+
   test("streams survive a rename of their columns; a re-pointed name fails loudly") {
     // ONE long-running append-tail stream: its captured (schema, mapping)
     // pair must outlive renames that happen underneath it

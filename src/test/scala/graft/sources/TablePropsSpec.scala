@@ -141,6 +141,46 @@ class TablePropsSpec extends SparkSpec {
     }
   }
 
+  test("review pins: renamed-column CHECK gates, atomic DROP COLUMNS, eager SET-check discipline") {
+    // a CHECK added AFTER a rename must gate inserts through the
+    // translated staged read (the staged files carry the PHYSICAL name)
+    spark.sql("CREATE TABLE gtp.default.p7 (k BIGINT, a BIGINT)")
+    spark.sql("INSERT INTO gtp.default.p7 VALUES (1, 5)")
+    spark.sql("ALTER TABLE gtp.default.p7 RENAME COLUMN a TO b")
+    spark.sql("ALTER TABLE gtp.default.p7 ADD CONSTRAINT b_pos CHECK (b >= 0)")
+    spark.sql("INSERT INTO gtp.default.p7 VALUES (2, 7)") // passes the gate
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtp.default.p7 VALUES (3, -1)")
+    }
+    assert(spark.sql("SELECT count(*) FROM gtp.default.p7").head().getLong(0) == 2L)
+
+    // DROP COLUMNS with one refused name must leave the table UNTOUCHED
+    val inc = Seq((1L, "x", 9L)).toDF("k", "v", "n")
+    VersionedTable.load(lib, "p8", inc, upsertFields = Seq("k"))
+    val vPre = VersionedTable.currentVersion(lib, "p8").get
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtp.default.p8 DROP COLUMNS (v, k)") // k is a key
+    }
+    assert(VersionedTable.currentVersion(lib, "p8").contains(vPre),
+      "a refused multi-drop must commit nothing")
+    assert(spark.sql("SELECT v FROM gtp.default.p8").count() == 1L)
+    // the all-clean multi-drop is ONE commit
+    spark.sql("ALTER TABLE gtp.default.p8 DROP COLUMNS (v, n)")
+    assert(VersionedTable.currentVersion(lib, "p8").contains(vPre + 1))
+    assert(spark.sql("SELECT * FROM gtp.default.p8").columns.toSeq == Seq("k"))
+
+    // SET TBLPROPERTIES('check') gets the full eager discipline
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtp.default.p8 SET TBLPROPERTIES " +
+        "('check' = 'rand() < 0.5')")
+    }
+    // and the internal spelling refuses at CREATE (unvalidated smuggle)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtp.default.p9 (k BIGINT) " +
+        "TBLPROPERTIES ('check_constraint' = 'nope > 0')")
+    }
+  }
+
   test("ALTER COLUMN COMMENT is a metadata-only commit surfacing in DESCRIBE") {
     spark.sql("CREATE TABLE gtp.default.p6 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO gtp.default.p6 VALUES (1, 'a')")
