@@ -343,20 +343,22 @@ object StorageQueries {
       spark.sql(s"INSERT INTO $name.default.t " +
         "SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
-      spark.sql(s"CALL $name.system.rollback('t', 2)")
+      // atomic CTAS (the staging catalog) = ONE data-bearing commit:
+      // v1 = CTAS rows, v2 = the INSERT, v3 = the rollback below
+      spark.sql(s"CALL $name.system.rollback('t', 1)")
       // zero-copy clone of the post-rollback state, then compact it and
-      // DELETE a slice — all pure SQL; the clone must read v2's rows
+      // DELETE a slice — all pure SQL; the clone must read v1's rows
       // minus the deleted range
-      spark.sql(s"CALL $name.system.clone('t', 't2', 4)")
+      spark.sql(s"CALL $name.system.clone('t', 't2', 3)")
       spark.sql(s"CALL $name.system.compact('t2', ${128L * 1024 * 1024})")
       spark.sql(s"DELETE FROM $name.default.t2 WHERE o_orderkey <= 400")
       name
     })
   }
 
-  /** Fixture for the SQL row-level-DML query (F39): CTAS seed (v1+v2),
-    * then MERGE INTO (matched update + not-matched insert, v3) and a
-    * ranged UPDATE (v4) — pure SQL, group-based copy-on-write. */
+  /** Fixture for the SQL row-level-DML query (F39): atomic CTAS seed
+    * (v1), then MERGE INTO (matched update + not-matched insert, v2) and
+    * a ranged UPDATE (v3) — pure SQL, group-based copy-on-write. */
   private val sqlMergeNames =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -1172,15 +1174,15 @@ object StorageQueries {
       val pre = spark.sql(
         s"""SELECT 'pre' AS part, o_orderkey AS k,
            |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
-           |FROM $name.default.t VERSION AS OF 2""".stripMargin)
+           |FROM $name.default.t VERSION AS OF 1""".stripMargin)
       head.unionByName(pre).orderBy("part", "k")
     },
 
     // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
     // fixture rolls the table back via `CALL rollback`, the query reads
     // the post-rollback head and `CALL history`'s metadata row counts
-    // (v1 create-empty, v2 CTAS data, v3 insert, v4 rollback). The
-    // oracle replays all four states' counts.
+    // (v1 CTAS data — one atomic commit via the staging catalog —
+    // v2 insert, v3 rollback). The oracle replays all three counts.
     "q_versioned_sql_ops" -> { (spark, sfDir) =>
       val name = sqlOpsFixture(spark, sfDir)
       val head = spark.sql(
@@ -1360,17 +1362,18 @@ object StorageQueries {
     },
 
     // F36 the SQL CATALOG surface: versioned tables managed in pure SQL
-    // via a registered GraftCatalog — CTAS (create v1 + append v2),
-    // INSERT (v3), head SELECT and VERSION AS OF time travel, no graft
-    // API anywhere in the pipeline. Oracle replays both states.
+    // via a registered GraftCatalog — atomic CTAS (v1, one data-bearing
+    // commit through the staging catalog), INSERT (v2), head SELECT and
+    // VERSION AS OF time travel, no graft API anywhere in the pipeline.
+    // Oracle replays both states.
     "q_versioned_sql_catalog" -> { (spark, sfDir) =>
       val name = sqlCatalogFixture(spark, sfDir)
       spark.sql(s"""
         SELECT 'head' AS state, o_orderkey, o_totalprice
         FROM $name.default.t
         UNION ALL
-        SELECT 'v2' AS state, o_orderkey, o_totalprice
-        FROM $name.default.t VERSION AS OF 2
+        SELECT 'pre' AS state, o_orderkey, o_totalprice
+        FROM $name.default.t VERSION AS OF 1
         ORDER BY state, o_orderkey""")
     },
 
@@ -1980,11 +1983,10 @@ object StorageQueries {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
         |FROM c1 WHERE o_orderkey > 400
-        |UNION ALL SELECT 'hist', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
-        |UNION ALL SELECT 'hist', CAST(2 AS BIGINT), (SELECT count(*) FROM c1)
-        |UNION ALL SELECT 'hist', CAST(3 AS BIGINT),
+        |UNION ALL SELECT 'hist', CAST(1 AS BIGINT), (SELECT count(*) FROM c1)
+        |UNION ALL SELECT 'hist', CAST(2 AS BIGINT),
         |          (SELECT count(*) FROM c1) + (SELECT count(*) FROM c2)
-        |UNION ALL SELECT 'hist', CAST(4 AS BIGINT), (SELECT count(*) FROM c1)
+        |UNION ALL SELECT 'hist', CAST(3 AS BIGINT), (SELECT count(*) FROM c1)
         |ORDER BY part, k""".stripMargin,
 
     "q_stream_sink_v2" ->
@@ -2009,7 +2011,7 @@ object StorageQueries {
       """SELECT 'head' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 1200
         |UNION ALL
-        |SELECT 'v2' AS state, o_orderkey, o_totalprice FROM orders
+        |SELECT 'pre' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
 
