@@ -37,10 +37,18 @@ import graft.etl.{Catalog, VersionedTable}
   * parquet pushdown); writes route through the same V1Write commit path
   * (`INSERT INTO` = one versioned commit; concurrent inserts serialize
   * through the manifest CAS). `CREATE TABLE` commits version 1 as one
-  * empty schema-bearing file, so the table's schema exists from birth.
-  * `ALTER TABLE ADD COLUMN(S)` is a metadata-only commit ([[alterTable]]);
-  * rename and every other ALTER are refused — those evolutions stay
-  * load-driven, which keeps every version self-describing.
+  * empty schema-bearing file, so the table's schema exists from birth;
+  * `CREATE OR REPLACE ... AS SELECT` stages atomically and preserves
+  * history ([[GraftStagedTable]]).
+  *
+  * The ALTER surface is METADATA-ONLY across the board ([[alterTable]]):
+  * ADD COLUMN(S) (with DEFAULT values — pre-ADD rows read the frozen
+  * existence default), RENAME/DROP COLUMN (name-mode column mapping —
+  * files keep immutable physical names), lossless ALTER COLUMN TYPE
+  * widening, SET/DROP DEFAULT, COMMENT, SET/UNSET TBLPROPERTIES
+  * (validated keys), and ADD/DROP CONSTRAINT (named CHECKs, validated
+  * against existing rows). Type NARROWING and lossy changes refuse —
+  * they would re-interpret committed files.
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.SupportsNamespaces
