@@ -584,6 +584,17 @@ object VersionedTable {
           "re-evaluate against another table's state at each commit")
   }
 
+  /** Eager `SET DEFAULT` validation — the same DDL discipline as
+    * [[validateCheckSql]], delegated to Spark's own default-column
+    * analysis (parse + resolve + constant-fold + cast, see
+    * [[org.apache.spark.sql.graft.DefaultColumns.validateDefault]]) so
+    * a `rand()` or column-referencing "default" refuses at ALTER time,
+    * never at the next INSERT's analysis. */
+  private[graft] def validateDefaultSql(
+      spark: org.apache.spark.sql.SparkSession,
+      field: org.apache.spark.sql.types.StructField, sql: String): Unit =
+    org.apache.spark.sql.graft.DefaultColumns.validateDefault(field, sql)
+
   /** The commit-time CHECK gate over FRESHLY-STAGED batch files: staged
     * parquet carries PHYSICAL column names (the writeBatch boundary),
     * but the CHECK SQL references LOGICAL names — restore them before
@@ -2227,7 +2238,11 @@ object VersionedTable {
       sets.get(CheckConstraintProp)
         .filterNot(c => man.props.get(CheckConstraintProp).contains(c))
         .foreach { c =>
-          val frame = readVersion(tgt, table, cur)
+          // validate WITHOUT the surrogate id column — CREATE-time
+          // validation runs against the declared schema (no id), so a
+          // check referencing the engine column must refuse identically
+          // from every entry point
+          val frame = readVersion(tgt, table, cur).drop(Loader.IdCol)
           validateCheckSql(tgt.spark, frame.schema, c)
           enforceCheck(frame, c, table)
         }
@@ -2248,6 +2263,12 @@ object VersionedTable {
                          sql: String): Long = {
     require(name.trim.nonEmpty && sql.trim.nonEmpty,
       "constraint name and CHECK expression must be non-empty")
+    // 'check' is the name constraints() already reports the legacy
+    // TBLPROPERTIES check under — accepting it would surface two
+    // distinct constraints to Spark under one name
+    require(!name.equalsIgnoreCase("check"),
+      "constraint name 'check' is reserved for the legacy TBLPROPERTIES " +
+        "check — pick another name (or use SET TBLPROPERTIES('check'=...))")
     commitWithRetry(table, "addCheckConstraint") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
@@ -2256,7 +2277,8 @@ object VersionedTable {
       require(!existing.contains(name),
         s"constraint '$name' already exists on '$table' " +
           s"(${existing(name)}) — DROP it first")
-      val frame = readVersion(tgt, table, cur)
+      // same no-surrogate-id discipline as CREATE and SET TBLPROPERTIES
+      val frame = readVersion(tgt, table, cur).drop(Loader.IdCol)
       validateCheckSql(tgt.spark, frame.schema, sql)
       enforceCheck(frame, sql, table)
       preCommitHook.value()
@@ -2304,10 +2326,6 @@ object VersionedTable {
   def setColumnDefault(tgt: Catalog, table: String, name: String,
                        sqlOrNull: String): Long = {
     val normalized = Option(sqlOrNull).map(_.trim).filter(_.nonEmpty).orNull
-    if (normalized != null)
-      require(scala.util.Try(
-        tgt.spark.sessionState.sqlParser.parseExpression(normalized)).isSuccess,
-        s"unparseable DEFAULT expression for '$name': $normalized")
     commitWithRetry(table, "setColumnDefault") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
@@ -2318,6 +2336,8 @@ object VersionedTable {
       require(!name.equalsIgnoreCase(Loader.IdCol),
         s"cannot default the surrogate id column '$name'")
       val exact = current.fieldNames.find(_.equalsIgnoreCase(name)).get
+      if (normalized != null)
+        validateDefaultSql(tgt.spark, current(exact), normalized)
       val updated = org.apache.spark.sql.types.StructType(current.fields.map(f =>
         if (f.name == exact)
           org.apache.spark.sql.graft.DefaultColumns
@@ -2592,12 +2612,18 @@ object VersionedTable {
       preCommitHook.value()
       val fm = manifestMeta(tgt, table, Some(headMan), Nil, newParts,
         out.schema)
+      // the staged files were written under `physOf` — the commit must
+      // record that SAME mapping (extendMapping can assign a FRESH
+      // physical when the overwrite frame re-adds a retired name via the
+      // path-based acceptAnySchema writer); committing headMan.props
+      // verbatim would strand such a column's bytes under a name the
+      // manifest never learns
       if (tryCommitManifest(tgt, table,
         Manifest(cur + 1, committedMax, headMan.bucket, newRel,
           fm.stats, fm.sizes, fm.nulls, fm.rows,
-          headMan.props +
+          withMappingProps(headMan.props +
             (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan),
-              out.schema))))))
+              out.schema))), physOf, retiredOf(headMan)))))
         Some(cur + 1)
       else {
         fs(tgt, dataDir(tgt, table)).delete(batch, true)

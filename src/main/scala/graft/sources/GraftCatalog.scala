@@ -560,8 +560,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // SET/DROP DEFAULT re-points CURRENT_DEFAULT only — the frozen
         // EXISTS_DEFAULT is pre-ADD rows' history, never a dial
         VersionedTable.setColumnDefault(c, t, u.fieldNames.head,
-          Option(u.newCurrentDefault()).map(dv =>
-            Option(dv.getSql).getOrElse(dv.toString)).orNull)
+          Option(u.newCurrentDefault()).map(
+            org.apache.spark.sql.graft.DefaultColumns.currentSql).orNull)
       case _ => () // adds handled above
     }
     val after = VersionedTable.read(c, t).schema

@@ -50,10 +50,33 @@ object DefaultColumns {
       lv.value, lv.dataType).sql
   }
 
+  /** The SQL text to record for `dv` as CURRENT_DEFAULT: the user's own
+    * text when Spark kept it, else the folded literal rendered through
+    * Catalyst's `Literal.sql` — NEVER `toString`, which has no SQL
+    * round-trip guarantee (a default supplied only as a folded literal
+    * must not record unparseable text). */
+  def currentSql(dv: ColumnDefaultValue): String =
+    Option(dv.getSql).getOrElse(foldedSql(dv))
+
+  /** Same for the plain `DefaultValue` the SET DEFAULT TableChange
+    * carries (no folded literal field): user text when kept, else the
+    * V2 literal expression rendered via `Literal.sql`; anything else
+    * refuses — recording text that cannot re-parse would poison every
+    * later INSERT's analysis. */
+  def currentSql(dv: org.apache.spark.sql.connector.catalog.DefaultValue): String =
+    Option(dv.getSql).getOrElse(dv.getExpression match {
+      case lv: org.apache.spark.sql.connector.expressions.LiteralValue[_] =>
+        new org.apache.spark.sql.catalyst.expressions.Literal(
+          lv.value, lv.dataType).sql
+      case other => throw new IllegalArgumentException(
+        "SET DEFAULT carried no SQL text and a non-literal expression " +
+          s"($other) — graft records only re-parseable default text")
+    })
+
   /** `field` carrying `dv` as CURRENT (user SQL text) + EXISTS (folded
     * literal) metadata — the ALTER ADD COLUMN conversion. */
   def fieldWithDefault(field: StructField, dv: ColumnDefaultValue): StructField = {
-    val sql = Option(dv.getSql).getOrElse(foldedSql(dv))
+    val sql = currentSql(dv)
     field.copy(metadata = new MetadataBuilder().withMetadata(field.metadata)
       .putString(CurrentKey, sql)
       .putString(ExistsKey, foldedSql(dv))
@@ -85,4 +108,18 @@ object DefaultColumns {
 
   def hasExistsDefault(field: StructField): Boolean =
     field.metadata.contains(ExistsKey)
+
+  /** Eager `SET DEFAULT` validation — delegates to the SAME analysis
+    * Spark runs for CREATE/ADD COLUMN defaults
+    * (`ResolveDefaultColumns.analyze`): the expression must parse,
+    * resolve WITHOUT column references, CONSTANT-FOLD (a `rand()`
+    * "default" would differ per INSERT), and cast to the column's type —
+    * all refused at ALTER time, never at the next INSERT's analysis. */
+  def validateDefault(field: StructField, sql: String): Unit =
+    try ResolveDefaultColumns.analyze(field.name, field.dataType, sql,
+      "ALTER TABLE ... SET DEFAULT")
+    catch { case e: Exception =>
+      throw new IllegalArgumentException(
+        s"invalid DEFAULT for '${field.name}': ($sql) — ${e.getMessage}")
+    }
 }

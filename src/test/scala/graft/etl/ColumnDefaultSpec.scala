@@ -100,6 +100,32 @@ class ColumnDefaultSpec extends SparkSpec {
       .head().getLong(0) == 42L)
   }
 
+  test("SET DEFAULT refuses non-constant / unresolvable expressions at ALTER time") {
+    spark.sql("CREATE TABLE gcd.default.d6 (k BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO gcd.default.d6 VALUES (1, 2)")
+    val vPre = VersionedTable.currentVersion(lib, "d6").get
+    // non-deterministic: rand() would hand every INSERT a different
+    // "default" — refused eagerly, not at the next INSERT's analysis
+    intercept[Exception] {
+      VersionedTable.setColumnDefault(lib, "d6", "n", "cast(rand() * 10 as bigint)")
+    }
+    // a column reference is not a constant — same eager refusal
+    intercept[Exception] {
+      VersionedTable.setColumnDefault(lib, "d6", "n", "k + 1")
+    }
+    // unparseable text refuses too
+    intercept[Exception] {
+      VersionedTable.setColumnDefault(lib, "d6", "n", "not ) sql (")
+    }
+    assert(VersionedTable.currentVersion(lib, "d6").contains(vPre),
+      "a refused SET DEFAULT must commit nothing")
+    // a constant EXPRESSION (not just a literal) is fine and drives inserts
+    VersionedTable.setColumnDefault(lib, "d6", "n", "10 + 32")
+    spark.sql("INSERT INTO gcd.default.d6 (k) VALUES (2)")
+    assert(spark.sql("SELECT n FROM gcd.default.d6 WHERE k = 2")
+      .head().getLong(0) == 42L)
+  }
+
   test("defaults survive a rename of the defaulted column (mapping composes)") {
     spark.sql("CREATE TABLE gcd.default.d4 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO gcd.default.d4 VALUES (1, 'a')")

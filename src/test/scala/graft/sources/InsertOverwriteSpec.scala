@@ -74,6 +74,27 @@ class InsertOverwriteSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq((7L, 71L), (8L, 80L)))
   }
 
+  test("overwrite re-adding a dropped name commits the fresh physical mapping") {
+    spark.sql("CREATE TABLE gio.default.t4 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gio.default.t4 VALUES (1, 'old')")
+    spark.sql("ALTER TABLE gio.default.t4 DROP COLUMN v")
+    // the path-based acceptAnySchema writer in overwrite mode can
+    // re-introduce the retired NAME; its data must land under a fresh
+    // physical name that the commit RECORDS — a manifest missing the
+    // mapping entry would read the column as NULL forever
+    Seq((2L, "new")).toDF("k", "v").write.format("graft")
+      .mode("overwrite").option("dir", warehouse).option("table", "t4").save()
+    assert(VersionedTable.read(lib, "t4").select("k", "v")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "new")),
+      "the re-added column's bytes must be reachable at head")
+    assert(spark.sql("SELECT v FROM gio.default.t4").as[String]
+      .collect().toSeq == Seq("new"))
+    val v = VersionedTable.currentVersion(lib, "t4").get
+    val raw = spark.read.parquet(VersionedTable.files(lib, "t4", v).head)
+    assert(!raw.columns.contains("v"),
+      s"the file must carry a FRESH physical (not the retired 'v'): ${raw.columns.toSeq}")
+  }
+
   test("overwrite on a renamed table keeps physical names stable") {
     spark.sql("CREATE TABLE gio.default.t3 (k BIGINT, v STRING)")
     spark.sql("INSERT INTO gio.default.t3 VALUES (1, 'a')")

@@ -141,6 +141,30 @@ class TablePropsSpec extends SparkSpec {
     }
   }
 
+  test("ADD CONSTRAINT refuses the reserved name 'check' and the surrogate id column") {
+    spark.sql("CREATE TABLE gtp.default.prsv (k BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO gtp.default.prsv VALUES (1, 5)")
+    val vPre = VersionedTable.currentVersion(lib, "prsv").get
+    // 'check' is how constraints() reports the legacy TBLPROPERTIES
+    // gate — one name must never denote two distinct constraints
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtp.default.prsv ADD CONSTRAINT check CHECK (n > 0)")
+    }
+    intercept[Exception] {
+      VersionedTable.addCheckConstraint(lib, "prsv", "CHECK", "n > 0")
+    }
+    // the engine's surrogate id is invisible to CREATE-time checks; the
+    // ALTER entry points must refuse it identically
+    intercept[Exception] {
+      VersionedTable.addCheckConstraint(lib, "prsv", "id_gate", "id > 0")
+    }
+    intercept[Exception] {
+      VersionedTable.setTableProps(lib, "prsv", Map("check" -> "id > 0"), Nil)
+    }
+    assert(VersionedTable.currentVersion(lib, "prsv").contains(vPre),
+      "every refusal above must commit nothing")
+  }
+
   test("review pins: renamed-column CHECK gates, atomic DROP COLUMNS, eager SET-check discipline") {
     // a CHECK added AFTER a rename must gate inserts through the
     // translated staged read (the staged files carry the PHYSICAL name)
