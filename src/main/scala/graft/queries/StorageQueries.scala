@@ -46,7 +46,8 @@ object StorageQueries {
     "q_versioned_log_checkpoint", "q_versioned_v2_read", "q_cdc_batch_read",
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
-    "q_versioned_sql_merge", "q_versioned_sql_join",
+    "q_versioned_sql_merge", "q_versioned_sql_merge_full",
+    "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
@@ -65,6 +66,7 @@ object StorageQueries {
     v2WriteFixture(spark, sfDir)
     streamSinkFixture(spark, sfDir)
     sqlOpsFixture(spark, sfDir)
+    sqlMergeFullFixture(spark, sfDir)
     sqlJoinFixture(spark, sfDir)
     sqlPointFixture(spark, sfDir)
     sqlCheckFixture(spark, sfDir)
@@ -386,6 +388,69 @@ object StorageQueries {
           VALUES (s.o_orderkey, s.o_totalprice)""")
       spark.sql(
         s"UPDATE $name.default.t SET o_totalprice = 0 WHERE o_orderkey <= 100")
+      name
+    })
+  }
+
+  /** Fixture for the FULL-MERGE query (F39 third clause): ONE MERGE
+    * statement with all three clause families — matched update,
+    * not-matched insert, and `WHEN NOT MATCHED BY SOURCE` (the standard
+    * SCD-deactivation shape: delete stale keys, deactivate the rest) —
+    * on BOTH write modes: a copy-on-write table and a merge-on-read
+    * twin, which must commit the NMBS deletes/updates as deletion
+    * vectors with every pre-existing file carried verbatim. */
+  private val sqlMergeFullNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlMergeFullFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlMergeFullNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gmf${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlmergefull").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      val seed = "SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT) AS active " +
+        "FROM orders WHERE o_orderkey <= 1000"
+      spark.sql(s"CREATE TABLE $name.default.t AS $seed")
+      spark.sql(s"CREATE TABLE $name.default.tm " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, active BIGINT) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      // ONE seed file: the untouched band (400 < k <= 500) then
+      // guarantees partial coverage, so the MOR MERGE must commit a DV
+      // with the file carried verbatim (fully-covered files correctly
+      // DROP instead — not the shape this fixture asserts)
+      spark.sql(s"INSERT INTO $name.default.tm " +
+        seed.replace("SELECT ", "SELECT /*+ REPARTITION(1) */ "))
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 500 AND o_orderkey <= 1500""".stripMargin)
+        .createOrReplaceTempView("graft_mergefull_src")
+      // the deactivation clause is CONDITIONAL (k <= 400) so part of the
+      // MOR file stays untouched — an unconditional NMBS update covers
+      // every row, which (correctly) drops the file instead of a DV
+      def mergeInto(table: String): Unit = spark.sql(s"""
+        MERGE INTO $name.default.$table t USING graft_mergefull_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, active)
+          VALUES (s.o_orderkey, s.o_totalprice, 1)
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey <= 250 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.o_orderkey <= 400
+          THEN UPDATE SET active = 0""")
+      mergeInto("t")
+      val cat = new Catalog(spark, dir)
+      val preV = VersionedTable.currentVersion(cat, "tm").get
+      val pre = VersionedTable.files(cat, "tm", preV).toSet
+      mergeInto("tm")
+      val postV = VersionedTable.currentVersion(cat, "tm").get
+      require(pre.subsetOf(VersionedTable.files(cat, "tm", postV).toSet),
+        "merge-on-read MERGE (incl. NOT MATCHED BY SOURCE) must carry " +
+          "every pre-existing file verbatim")
+      require(VersionedTable.deletionVectors(cat, "tm", postV).nonEmpty,
+        "the NMBS deletes/updates must commit as deletion vectors")
       name
     })
   }
@@ -1176,6 +1241,26 @@ object StorageQueries {
            |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v
            |FROM $name.default.t VERSION AS OF 1""".stripMargin)
       head.unionByName(pre).orderBy("part", "k")
+    },
+
+    // F39 full MERGE: ONE statement with matched-update, not-matched-
+    // insert AND the third clause family `WHEN NOT MATCHED BY SOURCE`
+    // (conditional DELETE of stale keys + deactivation UPDATE of the
+    // rest — the standard SCD sync), run identically on a copy-on-write
+    // table and a merge-on-read twin (which must answer byte-identically
+    // while committing deletion vectors — asserted in the fixture). The
+    // oracle replays the merge relationally.
+    "q_versioned_sql_merge_full" -> { (spark, sfDir) =>
+      val name = sqlMergeFullFixture(spark, sfDir)
+      val cow = spark.sql(
+        s"""SELECT 'cow' AS part, o_orderkey AS k,
+           |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v, active
+           |FROM $name.default.t""".stripMargin)
+      val mor = spark.sql(
+        s"""SELECT 'mor' AS part, o_orderkey AS k,
+           |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v, active
+           |FROM $name.default.tm""".stripMargin)
+      cow.unionByName(mor).orderBy("part", "k")
     },
 
     // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
@@ -1972,6 +2057,30 @@ object StorageQueries {
         |UNION ALL
         |SELECT 'pre', o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
         |FROM c1
+        |ORDER BY part, k""".stripMargin,
+
+    "q_versioned_sql_merge_full" ->
+      """WITH c1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_orderkey <= 1000),
+        |     src AS (SELECT o_orderkey, o_totalprice * 2 AS p FROM orders
+        |             WHERE o_orderkey > 500 AND o_orderkey <= 1500),
+        |     fin AS (
+        |       SELECT c1.o_orderkey, coalesce(src.p, c1.o_totalprice) AS p,
+        |              CASE WHEN src.o_orderkey IS NULL
+        |                    AND c1.o_orderkey <= 400 THEN 0
+        |                   ELSE 1 END AS a
+        |       FROM c1 LEFT JOIN src USING (o_orderkey)
+        |       WHERE src.o_orderkey IS NOT NULL OR c1.o_orderkey > 250
+        |       UNION ALL
+        |       SELECT src.o_orderkey, src.p, 1
+        |       FROM src LEFT JOIN c1 USING (o_orderkey)
+        |       WHERE c1.o_orderkey IS NULL)
+        |SELECT 'cow' AS part, o_orderkey AS k,
+        |       CAST(floor(p * 100) AS BIGINT) AS v, CAST(a AS BIGINT) AS active
+        |FROM fin
+        |UNION ALL
+        |SELECT 'mor', o_orderkey, CAST(floor(p * 100) AS BIGINT), CAST(a AS BIGINT)
+        |FROM fin
         |ORDER BY part, k""".stripMargin,
 
     "q_versioned_sql_ops" ->

@@ -70,6 +70,54 @@ class GraftRowLevelOpsSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length, "ids must stay unique")
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: SCD sync on CoW and MOR tables") {
+    // the third clause family: target rows with NO source match are
+    // conditionally deleted (stale keys) or deactivated — the standard
+    // SCD-maintenance shape; semantics must be identical on both write
+    // modes, with MOR committing the NMBS effects as deletion vectors
+    def seed(t: String, props: String): Unit = {
+      spark.sql(s"CREATE TABLE gr.default.$t " +
+        s"(k BIGINT, v BIGINT, active BOOLEAN)$props")
+      // ONE seed file, so the untouched keys (11-14) guarantee partial
+      // coverage — a fully-covered MOR file correctly DROPS instead of
+      // carrying with a DV, which is not the shape this test pins
+      spark.sql(s"INSERT INTO gr.default.$t " +
+        "SELECT /*+ REPARTITION(1) */ id, id * 10, true FROM range(1, 21)")
+    }
+    seed("sc", "")
+    seed("sm", " TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    spark.range(15, 26).select(col("id").as("k"), (col("id") * 100L).as("v"))
+      .createOrReplaceTempView("sc_src")
+    // the second NMBS clause is CONDITIONAL so some rows stay untouched —
+    // an unconditional NMBS update covers every row of a MOR file, which
+    // (correctly) drops the file outright instead of committing a DV
+    def merge(t: String): Unit = spark.sql(s"""
+      MERGE INTO gr.default.$t t USING sc_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v, active) VALUES (s.k, s.v, true)
+      WHEN NOT MATCHED BY SOURCE AND t.k <= 5 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.k <= 10 THEN UPDATE SET active = false""")
+    merge("sc")
+    val preFiles = VersionedTable.files(lib, "sm",
+      VersionedTable.currentVersion(lib, "sm").get).toSet
+    merge("sm")
+    // keys 1-5 deleted; 6-10 deactivated; 11-14 untouched; 15-20 updated;
+    // 21-25 inserted
+    val want = ((6L to 10L).map(i => (i, i * 10L, false)) ++
+      (11L to 14L).map(i => (i, i * 10L, true)) ++
+      (15L to 25L).map(i => (i, i * 100L, true))).toSeq
+    for (t <- Seq("sc", "sm")) {
+      val got = spark.sql(s"SELECT k, v, active FROM gr.default.$t ORDER BY k")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(got == want, s"$t:\n$got\n$want")
+    }
+    val postV = VersionedTable.currentVersion(lib, "sm").get
+    assert(preFiles.subsetOf(VersionedTable.files(lib, "sm", postV).toSet),
+      "MOR NMBS must carry every pre-existing file verbatim")
+    assert(VersionedTable.deletionVectors(lib, "sm", postV).nonEmpty,
+      "MOR NMBS deletes/updates must commit deletion vectors")
+  }
+
   test("MERGE runtime-filters to the groups that contain matches") {
     spark.sql("CREATE TABLE gr.default.rf (k BIGINT, v BIGINT)")
     // three appends with disjoint key ranges → three file groups; the
