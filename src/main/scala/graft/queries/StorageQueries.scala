@@ -314,14 +314,30 @@ object StorageQueries {
       spark.conf.set(s"spark.sql.catalog.$name",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
-      spark.sql(s"CREATE TABLE $name.default.t AS " +
-        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800")
-      spark.sql(s"INSERT INTO $name.default.t " +
-        "SELECT o_orderkey, o_totalprice FROM orders " +
-        "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
+      // commit times PINNED through the clock seam so the query's
+      // `TIMESTAMP AS OF` leg resolves deterministically: CTAS @ 1000 s,
+      // INSERT @ 2000 s — a timestamp between them reads the CTAS state
+      VersionedTable.commitClock.withValue(() => 1000000L) {
+        spark.sql(s"CREATE TABLE $name.default.t AS " +
+          "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800")
+      }
+      VersionedTable.commitClock.withValue(() => 2000000L) {
+        spark.sql(s"INSERT INTO $name.default.t " +
+          "SELECT o_orderkey, o_totalprice FROM orders " +
+          "WHERE o_orderkey > 800 AND o_orderkey <= 1200")
+      }
       name
     })
   }
+
+  /** Epoch-millis → the `TIMESTAMP AS OF` literal Spark will read back
+    * as that instant — rendered in the SESSION timezone, so the query
+    * is deterministic whatever zone the driver runs in. */
+  private def tsLiteral(spark: SparkSession, epochMs: Long): String =
+    java.time.Instant.ofEpochMilli(epochMs)
+      .atZone(java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
 
   /** Fixture for the SQL-PROCEDURES query (F37): its own catalog (the
     * rollback mutates state, so it cannot share [[sqlCatalogFixture]]) —
@@ -1453,12 +1469,19 @@ object StorageQueries {
     // Oracle replays both states.
     "q_versioned_sql_catalog" -> { (spark, sfDir) =>
       val name = sqlCatalogFixture(spark, sfDir)
+      // both SQL time-travel syntaxes: VERSION AS OF, and TIMESTAMP AS
+      // OF at 1500 s — between the pinned CTAS (1000 s) and INSERT
+      // (2000 s) commits, so it must read exactly the CTAS state
+      val t15 = tsLiteral(spark, 1500000L)
       spark.sql(s"""
         SELECT 'head' AS state, o_orderkey, o_totalprice
         FROM $name.default.t
         UNION ALL
         SELECT 'pre' AS state, o_orderkey, o_totalprice
         FROM $name.default.t VERSION AS OF 1
+        UNION ALL
+        SELECT 'ts' AS state, o_orderkey, o_totalprice
+        FROM $name.default.t TIMESTAMP AS OF '$t15'
         ORDER BY state, o_orderkey""")
     },
 
@@ -2121,6 +2144,9 @@ object StorageQueries {
         |WHERE o_orderkey <= 1200
         |UNION ALL
         |SELECT 'pre' AS state, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 800
+        |UNION ALL
+        |SELECT 'ts' AS state, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 800
         |ORDER BY state, o_orderkey""".stripMargin,
 

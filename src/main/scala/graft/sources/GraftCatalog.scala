@@ -253,9 +253,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     graftTable(ident, Map("versionAsOf" -> version.toLong.toString))
 
-  /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch.
+    * Resolved against the identifier's NAMESPACE (like every other
+    * table operation) — against the root dir, a namespaced table's
+    * time travel would look up the wrong directory. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val v = VersionedTable.versionAt(cat, tableName(ident),
+    val v = VersionedTable.versionAt(catFor(ident.namespace), tableName(ident),
       Math.floorDiv(timestampMicros, 1000L))
     graftTable(ident, Map("versionAsOf" -> v.toString))
   }

@@ -63,6 +63,25 @@ class GraftCatalogSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("TIMESTAMP AS OF resolves against the table's NAMESPACE") {
+    // the timestamp overload must look the table up in the identifier's
+    // namespace directory, like every other table operation — against
+    // the root dir a namespaced table's time travel fails outright
+    spark.sql("CREATE NAMESPACE gq.tns")
+    VersionedTable.commitClock.withValue(() => 1000000L) {
+      spark.sql("CREATE TABLE gq.tns.tt (k BIGINT)")
+    }
+    VersionedTable.commitClock.withValue(() => 2000000L) {
+      spark.sql("INSERT INTO gq.tns.tt VALUES (7)")
+    }
+    VersionedTable.commitClock.withValue(() => 3000000L) {
+      spark.sql("INSERT INTO gq.tns.tt VALUES (8)")
+    }
+    assert(spark.sql(
+      "SELECT k FROM gq.tns.tt TIMESTAMP AS OF '1970-01-01 00:41:40'")
+      .as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("CTAS, SHOW TABLES and DROP TABLE") {
     spark.range(5).select(col("id").as("n"))
       .createOrReplaceTempView("gcat_src")
