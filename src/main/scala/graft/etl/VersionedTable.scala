@@ -2389,6 +2389,30 @@ object VersionedTable {
     (ints ++ toDouble).toSet
   }
 
+  /** The full lossless matrix: the fixed pairs above plus the DECIMAL
+    * widenings Spark's parquet readers upcast natively (probed:
+    * decimal(p,s)→decimal(p+k,s+j) with k ≥ j, and the int family into
+    * any decimal with enough integral digits — the readers' own rule is
+    * "scale may grow, precision-minus-scale may not shrink"). */
+  private[graft] def isWidenable(from: org.apache.spark.sql.types.DataType,
+                                 to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(20)
+      case _ => None
+    }
+    widenable.contains((from, to)) || ((from, to) match {
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (f, t: DecimalType) =>
+        intDigits(f).exists(d => t.precision - t.scale >= d && t.scale >= 0)
+      case _ => false
+    })
+  }
+
   /** The zone-map comparison domain a type's footer stats live in —
     * widenings INSIDE one domain (int→long, float→double) keep every
     * recorded range valid; a domain CROSSING (int→double) strips the
@@ -2426,11 +2450,13 @@ object VersionedTable {
       val from = current(exact).dataType
       if (from == newType) Some(cur) // no-op
       else {
-        require(widenable.contains((from, newType)),
+        require(isWidenable(from, newType),
           s"cannot change '$name' from ${from.simpleString} to " +
             s"${newType.simpleString} — only lossless widenings " +
-            "(byte/short/int→long, byte/short/int/float→double) are " +
-            "metadata-safe; anything else would re-interpret committed files")
+            "(byte/short/int→long, byte/short/int/float→double, " +
+            "decimal(p,s)→decimal(p+k,s+j) with k ≥ j, int family→" +
+            "decimal with enough integral digits) are metadata-safe; " +
+            "anything else would re-interpret committed files")
         mappingRefusals(tgt, man, exact, "widen the type of")
         val updated = org.apache.spark.sql.types.StructType(current.fields.map(
           f => if (f.name == exact) f.copy(dataType = newType) else f))

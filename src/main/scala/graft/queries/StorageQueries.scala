@@ -682,17 +682,27 @@ object StorageQueries {
       spark.conf.set(s"spark.sql.catalog.$name",
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
-      spark.sql(s"CREATE TABLE $name.default.wd (o_orderkey BIGINT, qty INT)")
+      spark.sql(s"CREATE TABLE $name.default.wd " +
+        "(o_orderkey BIGINT, qty INT, amt DECIMAL(10,2))")
+      // +0.25 is exact in binary, so Spark's and DuckDB's double→decimal
+      // casts agree bit-for-bit (no rounding-mode dependence)
       spark.sql(s"INSERT INTO $name.default.wd " +
-        "SELECT o_orderkey, CAST(o_orderkey AS INT) FROM orders " +
+        "SELECT o_orderkey, CAST(o_orderkey AS INT), " +
+        "CAST(o_orderkey + 0.25 AS DECIMAL(10,2)) FROM orders " +
         "WHERE o_orderkey <= 600")
       val cat = new Catalog(spark, dir)
       val pre = VersionedTable.files(cat, "wd", 2L).toSet
       spark.sql(s"ALTER TABLE $name.default.wd ALTER COLUMN qty TYPE BIGINT")
       require(VersionedTable.files(cat, "wd", 3L).toSet == pre,
         "ALTER COLUMN TYPE (widening) must be metadata-only")
+      // F59 decimal widening: same scale, wider precision — the old
+      // files' INT64-backed decimal(10,2) values read back as (16,2)
+      spark.sql(s"ALTER TABLE $name.default.wd ALTER COLUMN amt TYPE DECIMAL(16,2)")
+      require(VersionedTable.files(cat, "wd", 4L).toSet == pre,
+        "decimal widening must be metadata-only too")
       spark.sql(s"INSERT INTO $name.default.wd " +
-        "SELECT o_orderkey, o_orderkey * 10000000000 FROM orders " +
+        "SELECT o_orderkey, o_orderkey * 10000000000, " +
+        "CAST(o_orderkey * 10000000 + 0.75 AS DECIMAL(16,2)) FROM orders " +
         "WHERE o_orderkey > 600 AND o_orderkey <= 1200")
       (name, dir)
     })
@@ -1602,8 +1612,12 @@ object StorageQueries {
     // the filter runs over the mixed eras.
     "q_alter_widen_type" -> { (spark, sfDir) =>
       val (name, _) = sqlWidenFixture(spark, sfDir)
+      // amt surfaces as exact CENTS so the decimal widening hashes
+      // engine-independently (pre-widen rows: INT64-backed decimal(10,2)
+      // bytes read through the (16,2) head schema)
       spark.sql(s"""
-        SELECT o_orderkey, qty FROM $name.default.wd
+        SELECT o_orderkey, qty, CAST(amt * 100 AS BIGINT) AS amt_cents
+        FROM $name.default.wd
         WHERE qty > 100 ORDER BY o_orderkey""")
     },
 
@@ -2231,7 +2245,10 @@ object StorageQueries {
     "q_alter_widen_type" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_orderkey <= 600 THEN o_orderkey
-        |            ELSE o_orderkey * 10000000000 END AS qty
+        |            ELSE o_orderkey * 10000000000 END AS qty,
+        |       CAST((CASE WHEN o_orderkey <= 600 THEN o_orderkey + 0.25
+        |             ELSE o_orderkey * 10000000 + 0.75 END) * 100
+        |            AS BIGINT) AS amt_cents
         |FROM orders WHERE o_orderkey <= 1200
         |  AND (CASE WHEN o_orderkey <= 600 THEN o_orderkey
         |            ELSE o_orderkey * 10000000000 END) > 100

@@ -90,6 +90,57 @@ class TypeWideningSpec extends SparkSpec {
     refuse(VersionedTable.widenColumnType(lib, "w3", "n", DoubleType), "lossless")
   }
 
+  test("decimal widenings: precision growth, int→decimal; lossy shapes refuse") {
+    spark.sql("CREATE TABLE gtw.default.w6 " +
+      "(k BIGINT, amt DECIMAL(10,2), n INT, b BIGINT)")
+    spark.sql("INSERT INTO gtw.default.w6 " +
+      "SELECT id, CAST(id + 0.25 AS DECIMAL(10,2)), CAST(id AS INT), id " +
+      "FROM range(0, 50)")
+    val before = files("w6")
+
+    // decimal(10,2) → decimal(16,2): metadata-only, both eras read wide
+    spark.sql("ALTER TABLE gtw.default.w6 ALTER COLUMN amt TYPE DECIMAL(16,2)")
+    assert(files("w6") == before,
+      "decimal precision widening must carry every file VERBATIM")
+    assert(spark.sql("SELECT * FROM gtw.default.w6").schema("amt").dataType ==
+      DecimalType(16, 2))
+    // int → decimal(12,0) is lossless (10 integral digits fit)
+    spark.sql("ALTER TABLE gtw.default.w6 ALTER COLUMN n TYPE DECIMAL(12,0)")
+    assert(files("w6") == before)
+    // post-widen rows exceed the old precision; old rows still exact
+    spark.sql("INSERT INTO gtw.default.w6 VALUES " +
+      "(99, CAST(12345678901234.50 AS DECIMAL(16,2)), " +
+      "CAST(99999999999 AS DECIMAL(12,0)), 99)")
+    val cents = spark.sql(
+      "SELECT CAST(sum(amt) * 100 AS DECIMAL(38,0)) FROM gtw.default.w6")
+      .head().getDecimal(0)
+    val want = new java.math.BigDecimal(
+      ((0L until 50L).map(_ * 100 + 25).sum + 1234567890123450L))
+    assert(cents.compareTo(want) == 0, s"got $cents want $want")
+    assert(spark.sql("SELECT n FROM gtw.default.w6 WHERE k = 0")
+      .head().getDecimal(0).longValueExact() == 0L)
+
+    // lossy shapes refuse at the ENGINE's own gate (Spark's SQL analysis
+    // would also refuse these via Cast.canUpCast — the library API must
+    // hold the same line on its own)
+    def refuse(col: String, to: DataType): Unit = {
+      val e = intercept[Exception](
+        VersionedTable.widenColumnType(lib, "w6", col, to))
+      assert(e.getMessage != null &&
+        e.getMessage.toLowerCase.contains("lossless"),
+        s"expected a lossless-matrix refusal, got: ${e.getMessage}")
+    }
+    refuse("amt", DecimalType(16, 1)) // scale shrink re-interprets the fraction
+    refuse("amt", DecimalType(12, 2)) // precision shrink
+    refuse("amt", DecimalType(16, 4)) // scale growth eats integral headroom
+    refuse("b", DecimalType(18, 0))   // long needs 20 integral digits
+    refuse("amt", DoubleType)         // decimal → double is lossy
+    // long → decimal(20,0) is fine
+    spark.sql("ALTER TABLE gtw.default.w6 ALTER COLUMN b TYPE DECIMAL(20,0)")
+    assert(spark.sql("SELECT sum(b) FROM gtw.default.w6")
+      .head().getDecimal(0).longValueExact() == (0L until 50L).sum + 99L)
+  }
+
   test("a mid-stream widen fails the batch loudly with the restart hint") {
     VersionedTable.load(lib, "w5", Seq((1L, 10)).toDF("k", "n"))
     val ckpt = tmpDir("gwiden-ckpt")
