@@ -368,6 +368,83 @@ object VersionedTable {
   private[graft] val DvMaxFractionProp = "dv_max_fraction"
   private[graft] val DefaultDvMaxFraction = 0.5
 
+  /** Manifest prop recording the table's PARTITION TRANSFORMS — the
+    * Iceberg-style hidden-partitioning declaration (`PARTITIONED BY
+    * (days(ts))` at CREATE): a JSON list of `{"fn": ..., "col": ...}`
+    * with fn ∈ identity|years|months|days|hours. Spark-first, the
+    * transform guides the FILE LAYOUT, not a directory tree: every
+    * write range-clusters its rows on the derived value (and sorts by
+    * the base column within), so each file covers a tight base-column
+    * range and the EXISTING zone maps prune raw-predicate scans —
+    * `WHERE ts >= '...'` skips files with no `days(ts)` literal in the
+    * query. `bucket(n, col)` transforms translate to the hash-bucket
+    * layout ([[Manifest.bucket]]) instead. The declared columns join
+    * the rename/drop refusal matrix like bucket keys. */
+  private[graft] val PartitionSpecProp = "partition_spec"
+
+  /** One declared transform: `fn` ∈ identity|years|months|days|hours. */
+  private[graft] final case class PartTransform(fn: String, col: String)
+
+  private[graft] val TemporalTransformFns =
+    Set("years", "months", "days", "hours")
+
+  private[graft] def partSpecJson(spec: Seq[PartTransform]): String = {
+    val a = mapper.createArrayNode()
+    spec.foreach { t =>
+      val o = mapper.createObjectNode()
+      o.put("fn", t.fn); o.put("col", t.col); a.add(o)
+    }
+    mapper.writeValueAsString(a)
+  }
+
+  /** The recorded transforms of a manifest (empty when undeclared). */
+  private[graft] def partSpecOf(props: Map[String, String]): Seq[PartTransform] =
+    props.get(PartitionSpecProp).fold(Seq.empty[PartTransform]) { j =>
+      scala.util.Try {
+        val a = mapper.readTree(j)
+        val b = Seq.newBuilder[PartTransform]
+        a.elements().forEachRemaining(o =>
+          b += PartTransform(o.get("fn").asText(), o.get("col").asText()))
+        b.result()
+      }.getOrElse(throw new IllegalStateException(
+        s"unparseable $PartitionSpecProp: $j"))
+    }
+
+  /** The derived clustering Column of one transform — every temporal fn
+    * is MONOTONIC in the base column, so range-clustering on it keeps
+    * each file's base-column zone map tight. */
+  private[graft] def transformExpr(t: PartTransform): org.apache.spark.sql.Column =
+    t.fn match {
+      case "identity" => col(t.col)
+      case "years" => date_trunc("year", col(t.col))
+      case "months" => date_trunc("month", col(t.col))
+      case "days" => date_trunc("day", col(t.col))
+      case "hours" => date_trunc("hour", col(t.col))
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform '$other' on '${t.col}'")
+    }
+
+  /** Eager CREATE-time validation of a transform list against `schema`:
+    * columns must exist, temporal fns need a date/timestamp column. */
+  private[graft] def validatePartSpec(spec: Seq[PartTransform],
+                                      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    spec.foreach { t =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(t.col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition transform ${t.fn}(${t.col}) names a missing column"))
+      require(t.fn == "identity" || (f.dataType match {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }), s"partition transform ${t.fn}(${t.col}) needs a date/timestamp " +
+        s"column, got ${f.dataType.simpleString}")
+      require(!f.name.equalsIgnoreCase(Loader.IdCol),
+        "cannot partition by the surrogate id column")
+    }
+    require(spec.map(_.col.toLowerCase).distinct.size == spec.size,
+      "each column may appear in at most one partition transform")
+  }
+
   /** The fraction fallback only fires once a file's merged DV reaches
     * this many positions: rewriting a 10-row file saves nothing, and
     * tiny tables would otherwise flip to copy-on-write on their first
@@ -1801,12 +1878,37 @@ object VersionedTable {
   private def writeBatch(tgt: Catalog, table: String, out0: DataFrame,
                          bucket: Option[(Seq[String], Int)],
                          bloomCols: Seq[String] = Nil,
-                         physOf: Map[String, String] = Map.empty)
+                         physOf: Map[String, String] = Map.empty,
+                         partSpec: Seq[PartTransform] = Nil)
       : (Path, Seq[(String, Long)]) = {
     // the WRITE boundary of column mapping: files always carry PHYSICAL
-    // names (bucket keys and bloom columns are identity-mapped by the
-    // rename refusal matrix, so their references below still resolve)
-    val out = org.apache.spark.sql.graft.ColumnMapping.toPhysical(out0, physOf)
+    // names (bucket keys, bloom columns, and partition-transform columns
+    // are identity-mapped by the rename refusal matrix, so their
+    // references below still resolve)
+    val out1 = org.apache.spark.sql.graft.ColumnMapping.toPhysical(out0, physOf)
+    // HIDDEN PARTITIONING layout: range-cluster on the monotonic derived
+    // values, sort by the base columns within — each file covers a tight
+    // base-column range, so the zone maps prune RAW predicates. Applied
+    // only when every declared column is present (a narrow staged frame
+    // skips the arrangement, never fails the write).
+    val spec = partSpec.filter(t =>
+      out1.columns.exists(_.equalsIgnoreCase(t.col)))
+    val out = if (spec.isEmpty || spec.size != partSpec.size) out1 else {
+      val n = tgt.spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val derived = spec.map(transformExpr)
+      val bases = spec.map(t => col(t.col))
+      bucket match {
+        case Some((keys, bn)) =>
+          // co-range bucket ids WITH the derived values so a large
+          // bucket's several files carry disjoint base ranges
+          out1.repartitionByRange(n,
+            (Loader.bucketIdExpr(keys, bn) +: derived): _*)
+            .sortWithinPartitions((derived ++ bases): _*)
+        case None =>
+          out1.repartitionByRange(n, derived: _*)
+            .sortWithinPartitions((derived ++ bases): _*)
+      }
+    }
     val uuid = java.util.UUID.randomUUID().toString
     val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
     val opts = bloomOptions(out, bloomCols)
@@ -1988,7 +2090,8 @@ object VersionedTable {
     // physical names for any new column colliding with a retired one
     val physOf = extendMapping(headMan, out.schema)
     val (batch, newParts) = writeBatch(tgt, table, out, bucket,
-      (headMan.toSeq.flatMap(bloomColsOf) ++ bloomBy).distinct, physOf)
+      (headMan.toSeq.flatMap(bloomColsOf) ++ bloomBy).distinct, physOf,
+      partSpecOf(headMan.fold(Map.empty[String, String])(_.props) ++ extraProps))
     // CHECK constraint gates the STAGED files — the bytes that would
     // commit — not the incoming plan: a non-deterministic source
     // (rand(), current_timestamp()) re-executes between a plan-side
@@ -2115,6 +2218,11 @@ object VersionedTable {
     require(!bloom.exists(_.equalsIgnoreCase(name)),
       s"cannot $verb '$name': bloom filters are declared on it " +
         s"(${bloom.mkString(",")})")
+    val pSpec = partSpecOf(man.props)
+    pSpec.find(_.col.equalsIgnoreCase(name)).foreach(t =>
+      throw new IllegalArgumentException(
+        s"cannot $verb '$name': the table is partitioned by " +
+          s"${t.fn}(${t.col})"))
     effectiveCheck(man.props).foreach { c =>
       val refs = scala.util.Try(
         tgt.spark.sessionState.sqlParser.parseExpression(c)
@@ -2178,7 +2286,7 @@ object VersionedTable {
     * epoch stamps. */
   private[graft] def isReservedProp(k: String): Boolean =
     Set(SchemaProp, ColMapProp, ColMapRetiredProp, CommitTsProp,
-      UpsertKeysProp, CheckConstraintsProp).contains(k) ||
+      UpsertKeysProp, CheckConstraintsProp, PartitionSpecProp).contains(k) ||
       k.startsWith(org.apache.spark.sql.graft.GraftStreamWrite.EpochPropPrefix)
 
   /** METADATA-ONLY `ALTER TABLE SET/UNSET TBLPROPERTIES` — ONE manifest
@@ -2557,7 +2665,8 @@ object VersionedTable {
         incoming0.drop(Loader.IdCol) else incoming0
       val out = Loader.withSurrogateIds(incoming, floor,
         incoming.columns.toSeq)
-      val (batch, newParts) = writeBatch(tgt, table, out, None)
+      val (batch, newParts) = writeBatch(tgt, table, out, None,
+        partSpec = partSpecOf(extraProps))
       effectiveCheck(extraProps)
         .filter(_ => newParts.nonEmpty).foreach { c =>
           try enforceCheckStaged(tgt, newParts.map(p =>
@@ -2610,7 +2719,7 @@ object VersionedTable {
         incoming.columns.toSeq)
       val physOf = extendMapping(Some(headMan), out.schema)
       val (batch0, newParts0) = writeBatch(tgt, table, out, headMan.bucket,
-        bloomColsOf(headMan), physOf)
+        bloomColsOf(headMan), physOf, partSpecOf(headMan.props))
       // an OVERWRITE from an empty query must still leave one
       // schema-bearing file (the invariant every read relies on); an
       // empty plan can stage zero part files
@@ -2620,7 +2729,8 @@ object VersionedTable {
           fs(tgt, dataDir(tgt, table)).delete(batch0, true)
           writeBatch(tgt, table, tgt.spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), out.schema),
-            headMan.bucket, bloomColsOf(headMan), physOf)
+            headMan.bucket, bloomColsOf(headMan), physOf,
+            partSpecOf(headMan.props))
         }
       effectiveCheck(headMan.props)
         .filter(_ => newParts.nonEmpty).foreach { c =>
@@ -2698,7 +2808,7 @@ object VersionedTable {
     val out = Loader.withSurrogateIds(replacement, floor, order)
     val physOf = physOfMan(headMan)
     val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket,
-      bloomColsOf(headMan), physOf)
+      bloomColsOf(headMan), physOf, partSpecOf(headMan.props))
     // SQL UPDATE/MERGE must not write rows the table's CHECK refuses —
     // validated on the STAGED files (atomic with what would commit; see
     // loadAttempt), cleaned up on violation
@@ -3072,7 +3182,7 @@ object VersionedTable {
           if (hitRel.nonEmpty) srcDf.where(!coalesce(cond, lit(false)))
           else srcDf.where(lit(false))
         val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket,
-          bloomColsOf(man), physOfMan(man))
+          bloomColsOf(man), physOfMan(man), partSpecOf(man.props))
         val newRel = newParts.map(_._1)
         // the id floor NEVER decreases on delete (deleted rows' ids are
         // not reissued — they may still be referenced by older versions);
@@ -3163,7 +3273,7 @@ object VersionedTable {
         val survivors = readRelsWithDv(tgt, table, man, hitRel)
           .join(kr, keys, "left_anti")
         val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket,
-          bloomColsOf(man), physOfMan(man))
+          bloomColsOf(man), physOfMan(man), partSpecOf(man.props))
         val newRel = newParts.map(_._1)
         val keepAbs = (keepRel ++ newRel).map(r =>
           new Path(dataDir(tgt, table), r).toString)

@@ -47,7 +47,7 @@ object StorageQueries {
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
     "q_versioned_sql_merge", "q_versioned_sql_merge_full",
-    "q_versioned_sql_join",
+    "q_partition_transform", "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
@@ -67,6 +67,7 @@ object StorageQueries {
     streamSinkFixture(spark, sfDir)
     sqlOpsFixture(spark, sfDir)
     sqlMergeFullFixture(spark, sfDir)
+    sqlPtxFixture(spark, sfDir)
     sqlJoinFixture(spark, sfDir)
     sqlPointFixture(spark, sfDir)
     sqlCheckFixture(spark, sfDir)
@@ -804,6 +805,33 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the PARTITION-TRANSFORM query: an `events`-derived
+    * table declared `PARTITIONED BY (days(ts))` — hidden partitioning.
+    * Writes range-cluster files on the derived day, so the zone maps on
+    * the RAW ts column prune a plain `WHERE ts >= ...` scan (asserted
+    * in-query); no directory tree, no user-managed derived column. */
+  private val sqlPtxNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlPtxFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlPtxNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gptx${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlptx").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.ev " +
+        "(event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE) " +
+        "PARTITIONED BY (days(ts))")
+      spark.sql(s"INSERT INTO $name.default.ev " +
+        "SELECT event_id, ts, user_id, value FROM events")
+      (name, dir)
+    })
+  }
+
   /** Fixture for the SQL NAMESPACES query (F51): two namespaces in one
     * catalog — the reference's two-DB model (easy_etl/__init__.py:8-10
     * wires a source and a target database) in pure SQL: `src` holds a
@@ -1287,6 +1315,31 @@ object StorageQueries {
            |  CAST(floor(o_totalprice * 100) AS BIGINT) AS v, active
            |FROM $name.default.tm""".stripMargin)
       cow.unionByName(mor).orderBy("part", "k")
+    },
+
+    // HIDDEN PARTITIONING: `PARTITIONED BY (days(ts))` records a
+    // derivation, every write range-clusters files on the derived day,
+    // and a scan filtering on the RAW ts column prunes files through
+    // the ordinary zone maps (asserted in-query — the 100 TB shape:
+    // event-time queries touch O(days asked), not O(table)). The
+    // oracle replays the filtered aggregate relationally.
+    "q_partition_transform" -> { (spark, sfDir) =>
+      val (name, dir) = sqlPtxFixture(spark, sfDir)
+      val lib = new Catalog(spark, dir)
+      val v = VersionedTable.currentVersion(lib, "ev").get
+      val all = VersionedTable.files(lib, "ev", v)
+      val cut = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+      val skipped = VersionedTable.skippedFiles(lib, "ev", v, col("ts") >= cut)
+      require(skipped.nonEmpty && skipped.size < all.size,
+        s"the raw-ts predicate must file-skip on the transform layout " +
+          s"(${skipped.size} of ${all.size})")
+      spark.sql(s"""
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS day, count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS su,
+               min(event_id) AS mn, max(event_id) AS mx
+        FROM $name.default.ev
+        WHERE ts >= TIMESTAMP'2024-01-21 00:00:00'
+        GROUP BY CAST(ts AS DATE) ORDER BY day""")
     },
 
     // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
@@ -2095,6 +2148,14 @@ object StorageQueries {
         |SELECT 'pre', o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
         |FROM c1
         |ORDER BY part, k""".stripMargin,
+
+    "q_partition_transform" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS su,
+        |       min(event_id) AS mn, max(event_id) AS mx
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
 
     "q_versioned_sql_merge_full" ->
       """WITH c1 AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -263,12 +263,60 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     graftTable(ident, Map("versionAsOf" -> v.toString))
   }
 
+  /** `PARTITIONED BY (...)` → graft layouts (HIDDEN partitioning, the
+    * Iceberg model re-expressed Spark-first): `bucket(n, col)` becomes
+    * the hash-bucket layout (bucket-pruned point lookups, F42);
+    * `days(ts)`/`months`/`years`/`hours`/identity become a recorded
+    * [[VersionedTable.PartitionSpecProp]] derivation — every write
+    * range-clusters files on the derived value so the existing zone
+    * maps prune RAW base-column predicates; no directory tree, no
+    * user-managed derived column. Multiple temporal/identity transforms
+    * compose; at most one bucket transform. */
+  private def translatePartitions(partitions: Array[Transform])
+      : (Option[(Seq[String], Int)], Seq[VersionedTable.PartTransform]) = {
+    def one(t: Transform): String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"${t.name()}(...) must reference exactly one top-level column")
+      refs.head.fieldNames().head
+    }
+    val spec = Seq.newBuilder[VersionedTable.PartTransform]
+    var bucket: Option[(Seq[String], Int)] = None
+    partitions.foreach { t =>
+      t.name() match {
+        case "bucket" =>
+          require(bucket.isEmpty, "at most one bucket(...) transform")
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value() match {
+                case i: java.lang.Integer => i.intValue()
+                case x => x.toString.toInt
+              }
+          }.getOrElse(throw new IllegalArgumentException(
+            "bucket(...) needs a bucket count"))
+          val cols = t.references().map { r =>
+            require(r.fieldNames().length == 1,
+              "bucket(...) must reference top-level columns")
+            r.fieldNames().head
+          }
+          require(cols.nonEmpty, "bucket(...) needs at least one column")
+          bucket = Some((cols.toSeq, n))
+        case fn @ ("years" | "months" | "days" | "hours") =>
+          spec += VersionedTable.PartTransform(fn, one(t))
+        case "identity" =>
+          spec += VersionedTable.PartTransform("identity", one(t))
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other' — graft supports " +
+            "identity, years, months, days, hours, and bucket(n, col)")
+      }
+    }
+    (bucket, spec.result())
+  }
+
   override def createTable(ident: Identifier, columns: Array[V2Column],
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables take no PARTITIONED BY — use the bucketBy write option " +
-        "(hash layout) or recluster (sort layout) instead")
+    val (bucketBy, pSpec) = translatePartitions(partitions)
     // `id` is the loader's RESERVED surrogate-key column: the load path
     // restamps it and the SQL surface hides it, so a user column of that
     // name would have its data silently destroyed — refuse at CREATE time
@@ -288,12 +336,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // column physically from birth, so EXISTS_DEFAULT never fires here)
     val schema = org.apache.spark.sql.graft.DefaultColumns
       .v2ColumnsToStructType(columns)
+    VersionedTable.validatePartSpec(pSpec, schema)
     // version 1 = one empty schema-bearing file: the table exists, reads
-    // are empty, the first INSERT is version 2
+    // are empty, the first INSERT is version 2; the bucket layout and
+    // the partition-transform derivations record WITH it, so every
+    // later write lays files out accordingly
     val empty = c.spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    VersionedTable.load(c, t, empty,
-      extraProps = validatedTableProps(c, schema, properties))
+    VersionedTable.load(c, t, empty, bucketBy = bucketBy,
+      extraProps = validatedTableProps(c, schema, properties) ++
+        (if (pSpec.isEmpty) Map.empty[String, String]
+         else Map(VersionedTable.PartitionSpecProp ->
+           VersionedTable.partSpecJson(pSpec))))
     new GraftBatchTable(schema, Map("dir" -> c.dir, "table" -> t),
       acceptAnySchema = false)
   }
@@ -370,9 +424,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                     info: org.apache.spark.sql.connector.catalog.TableInfo,
                     requireExists: Option[Boolean])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(info.partitions().isEmpty,
-      "graft tables take no PARTITIONED BY — use the bucketBy write option " +
-        "(hash layout) or recluster (sort layout) instead")
+    val (bucketBy, pSpec) = translatePartitions(info.partitions())
+    require(bucketBy.isEmpty,
+      "bucket(...) transforms are not supported on CTAS/REPLACE — " +
+        "CREATE the bucketed table first, then INSERT")
     info.columns().find(_.name.equalsIgnoreCase(graft.etl.Loader.IdCol))
       .foreach(c => throw new IllegalArgumentException(
         s"column name '${c.name}' is reserved: graft tables stamp their " +
@@ -388,8 +443,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
     val schema = org.apache.spark.sql.graft.DefaultColumns
       .v2ColumnsToStructType(info.columns())
+    VersionedTable.validatePartSpec(pSpec, schema)
     new GraftStagedTable(c, t, schema,
-      validatedTableProps(c, schema, info.properties()), requireExists)
+      validatedTableProps(c, schema, info.properties()) ++
+        (if (pSpec.isEmpty) Map.empty[String, String]
+         else Map(VersionedTable.PartitionSpecProp ->
+           VersionedTable.partSpecJson(pSpec))), requireExists)
   }
 
   override def stageCreate(ident: Identifier,

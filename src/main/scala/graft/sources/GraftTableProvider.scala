@@ -240,6 +240,31 @@ private[sources] final class GraftBatchTable(
 
   override def schema(): StructType = dataSchema
 
+  /** The recorded HIDDEN-PARTITIONING declaration, reported back to
+    * Spark (DESCRIBE / SHOW CREATE TABLE): the partition-transform
+    * derivations plus the bucket layout, as the same `Transform`s the
+    * CREATE accepted. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import GraftTableProvider.opt
+    import org.apache.spark.sql.connector.expressions.Expressions
+    (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
+      val cat = new Catalog(SparkSession.active, d)
+      VersionedTable.headSummary(cat, t).map { case (_, props, bucket) =>
+        val derived = VersionedTable.partSpecOf(props).map {
+          case VersionedTable.PartTransform("identity", c) =>
+            Expressions.identity(c)
+          case VersionedTable.PartTransform(fn, c) =>
+            Expressions.apply(fn, Expressions.column(c))
+        }
+        val b = bucket.toSeq.map { case (keys, n) =>
+          Expressions.bucket(n, keys: _*)
+        }
+        (derived ++ b).toArray
+      }.getOrElse(Array.empty)
+    }).getOrElse(Array.empty)
+  }
+
   /** The recorded CHECK constraints, reported to Spark: the named ones
     * (`ALTER TABLE ADD CONSTRAINT`) plus the legacy TBLPROPERTIES check
     * under the name `check`. Spark's DSv2 write path adds its own

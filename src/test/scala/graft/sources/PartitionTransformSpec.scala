@@ -1,0 +1,148 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlainBatchRead
+
+/** HIDDEN PARTITIONING (partition transforms): `PARTITIONED BY
+  * (days(ts))` at CREATE records a derivation in the manifest, every
+  * write range-clusters files on the derived value, and the EXISTING
+  * zone maps prune scans on RAW base-column predicates — the Iceberg
+  * model re-expressed Spark-first (no directory tree, no user-managed
+  * derived column). `bucket(n, col)` translates to the hash-bucket
+  * layout (bucket-pruned point lookups). The declared columns join the
+  * rename/drop refusal matrix like bucket keys. */
+class PartitionTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("gptx")
+  spark.conf.set("spark.sql.catalog.gpt",
+    classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gpt.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case s: GraftScan => s }
+      .getOrElse(fail("no GraftScan in the plan"))
+      .toBatch.planInputPartitions().toSeq.flatMap {
+        case PlainBatchRead.FileInputPartition(s) => Seq(s.path)
+        case PlainBatchRead.FilesInputPartition(fs) => fs.map(_.path)
+      }
+
+  test("days(ts): writes range-cluster files; raw ts predicates prune") {
+    spark.sql("CREATE TABLE gpt.default.ev " +
+      "(k BIGINT, ts TIMESTAMP, v DOUBLE) PARTITIONED BY (days(ts))")
+    // ~14 days of per-minute events, written UNSORTED in event time
+    // (reverse id order) — the transform layout must still cluster them
+    spark.sql("""INSERT INTO gpt.default.ev
+      SELECT id, TIMESTAMP'2026-01-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST(20000 - id AS INT),0), id * 1.5
+      FROM range(0, 20000)""")
+    val v = VersionedTable.currentVersion(lib, "ev").get
+    val all = VersionedTable.files(lib, "ev", v)
+    // library-surface pruning: the zone maps on the RAW column skip
+    val cut = java.sql.Timestamp.valueOf("2026-01-10 00:00:00")
+    val skipped = VersionedTable.skippedFiles(lib, "ev", v, col("ts") >= cut)
+    assert(skipped.nonEmpty && skipped.size < all.size,
+      s"raw-predicate file skipping must fire: ${skipped.size} of ${all.size}")
+    // SQL-surface pruning: the scan plans strictly fewer files
+    val q = spark.sql(
+      "SELECT * FROM gpt.default.ev WHERE ts >= TIMESTAMP'2026-01-10 00:00:00'")
+    val planned = scannedFiles(q)
+    assert(planned.nonEmpty && planned.size < all.size,
+      s"the SQL scan must plan fewer files: ${planned.size} of ${all.size}")
+    // and results stay exact through the prune: minutes 1..20000, the
+    // cut at day 9 (minute 12960) leaves 12960..20000 inclusive
+    assert(q.count() == 20000L - 9L * 1440L + 1L)
+    // a second INSERT keeps the layout: pruning still fires at the head
+    spark.sql("""INSERT INTO gpt.default.ev
+      SELECT id + 20000, TIMESTAMP'2026-02-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST(id AS INT),0), id * 1.5
+      FROM range(0, 2000)""")
+    val v2 = VersionedTable.currentVersion(lib, "ev").get
+    val feb = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val skipFeb = VersionedTable.skippedFiles(lib, "ev", v2, col("ts") >= feb)
+    // all.size counts v1's empty schema-bearing file too, which records
+    // no stats and so can never PROVE a skip — every data file must
+    assert(skipFeb.size >= all.size - 1,
+      s"every january data file must skip under a february predicate " +
+        s"(${skipFeb.size} of ${all.size})")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.ev " +
+      "WHERE ts >= TIMESTAMP'2026-02-01 00:00:00'").head().getLong(0) == 2000L)
+  }
+
+  test("the declaration guards and surfaces: refusals, DESCRIBE, reserved prop") {
+    // rename/drop of the transform column refuse like bucket keys
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gpt.default.ev RENAME COLUMN ts TO t2")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gpt.default.ev DROP COLUMN ts")
+    }
+    // the spec is engine-owned: SET TBLPROPERTIES refuses it
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gpt.default.ev SET TBLPROPERTIES " +
+        "('partition_spec' = '[]')")
+    }
+    // DESCRIBE reports the transform back
+    val desc = spark.sql("DESCRIBE EXTENDED gpt.default.ev")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("days(ts)"), s"DESCRIBE must show the transform:\n$desc")
+    // unsupported transforms refuse at CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gpt.default.bad (k BIGINT, s STRING) " +
+        "PARTITIONED BY (truncate(4, s))")
+    }
+  }
+
+  test("bucket(n, col) translates to the hash layout; point lookups prune") {
+    spark.sql("CREATE TABLE gpt.default.bk (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gpt.default.bk " +
+      "SELECT id, concat('v', id) FROM range(0, 200)")
+    assert(VersionedTable.bucketSpec(lib, "bk").contains((Seq("k"), 4)),
+      "the bucket transform must record the hash layout")
+    val v = VersionedTable.currentVersion(lib, "bk").get
+    assert(VersionedTable.lookup(lib, "bk", v, Map("k" -> 7L))
+      .select("v").as[String].head() == "v7")
+    // the SQL scan bucket-prunes on key equality
+    val all = scannedFiles(spark.sql("SELECT * FROM gpt.default.bk"))
+    val one = scannedFiles(
+      spark.sql("SELECT * FROM gpt.default.bk WHERE k = 7"))
+    assert(one.nonEmpty && one.size < all.size,
+      s"bucket pruning must shrink the scan: ${one.size} of ${all.size}")
+  }
+
+  test("CTAS with days(ts) lays out and prunes; composed days+identity works") {
+    spark.sql("CREATE TABLE gpt.default.cts PARTITIONED BY (days(ts)) AS " +
+      "SELECT * FROM gpt.default.ev WHERE k < 5000")
+    val v = VersionedTable.currentVersion(lib, "cts").get
+    val all = VersionedTable.files(lib, "cts", v)
+    val cut = java.sql.Timestamp.valueOf("2026-01-12 00:00:00")
+    val skipped = VersionedTable.skippedFiles(lib, "cts", v, col("ts") < cut)
+    assert(skipped.nonEmpty && skipped.size < all.size,
+      s"CTAS must lay out by the transform: ${skipped.size} of ${all.size}")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.cts").head()
+      .getLong(0) == 5000L)
+
+    // composed transforms: identity(src) + days(ts) — both prune
+    spark.sql("CREATE TABLE gpt.default.mx " +
+      "(src STRING, ts TIMESTAMP, n BIGINT) PARTITIONED BY (src, days(ts))")
+    spark.sql("""INSERT INTO gpt.default.mx
+      SELECT IF(id % 2 = 0, 'web', 'app'),
+             TIMESTAMP'2026-01-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST(id AS INT),0), id
+      FROM range(0, 10000)""")
+    val vm = VersionedTable.currentVersion(lib, "mx").get
+    val allM = VersionedTable.files(lib, "mx", vm)
+    val skipSrc = VersionedTable.skippedFiles(lib, "mx", vm, col("src") === "web")
+    assert(skipSrc.nonEmpty && skipSrc.size < allM.size,
+      s"identity transform must prune on its column: ${skipSrc.size} of ${allM.size}")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.mx WHERE src = 'web'")
+      .head().getLong(0) == 5000L)
+  }
+}
