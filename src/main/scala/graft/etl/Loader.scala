@@ -615,16 +615,14 @@ object Loader {
 
   /** Stamp a surrogate `id` = startId + 1-based rank under `orderCols`.
     * Distributed range sort, then per-partition index offsets — no global
-    * single-partition bottleneck (SURVEY.md §7.5 item 2).
-    */
+    * single-partition bottleneck (SURVEY.md §7.5 item 2). The stamp stays
+    * in the UNSAFE row representation end-to-end
+    * ([[org.apache.spark.sql.graft.RowIdStamp]]): the old `.rdd` path
+    * deserialized every row to a boxed `Row` and re-encoded it — the
+    * boxing, not the RDD node, was the cost on every load. */
   def withSurrogateIds(df: DataFrame, startId: Long, orderCols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
     val sorted = df.orderBy(orderCols.map(col): _*)
-    val outSchema = StructType(StructField(IdCol, LongType, nullable = false) +: sorted.schema.fields)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq((startId + i + 1L) +: r.toSeq)
-    }
-    spark.createDataFrame(rdd, outSchema)
+    org.apache.spark.sql.graft.RowIdStamp.zipWithIds(sorted, startId, IdCol)
   }
 
   /** Same column names and types in the same order (nullability ignored —

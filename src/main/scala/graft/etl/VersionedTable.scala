@@ -368,6 +368,57 @@ object VersionedTable {
   private[graft] val DvMaxFractionProp = "dv_max_fraction"
   private[graft] val DefaultDvMaxFraction = 0.5
 
+  /** AUTO-COMPACTION trigger props (all opt-in, unset = today's fully
+    * manual `CALL compact`): after a successful load/DML commit the
+    * writer inspects the NEW head and, when a threshold is crossed,
+    * logs the recommendation and runs one compaction commit — Delta's
+    * auto-compaction shape, bounding how far a year of MOR deletes or
+    * micro-appends can silently accrete.
+    *   - `compact.trigger.dv_bytes`: total deletion-vector size at head
+    *     (estimated as one byte per position — the delta-varint rate)
+    *     before DVs materialize away;
+    *   - `compact.trigger.small_files`: how many sub-half-target files
+    *     may accrete before they bin-pack;
+    *   - `compact.target_bytes`: the auto-run's target file size
+    *     (default [[DefaultCompactTargetBytes]]). */
+  private[graft] val CompactDvBytesProp = "compact.trigger.dv_bytes"
+  private[graft] val CompactSmallFilesProp = "compact.trigger.small_files"
+  private[graft] val CompactTargetBytesProp = "compact.target_bytes"
+  private[graft] val DefaultCompactTargetBytes = 128L * 1024 * 1024
+
+  /** Post-commit auto-compaction check — O(manifest) driver math, zero
+    * file RPCs (sizes and DV position counts are manifest-recorded);
+    * only a crossed threshold costs anything (the compaction itself,
+    * which was the point). Runs AFTER the triggering commit, as its own
+    * version — a CAS loss inside is compact's own retry to handle. */
+  private def maybeAutoCompact(tgt: Catalog, table: String): Unit = {
+    val head = currentVersion(tgt, table)
+      .flatMap(readManifest(tgt, table, _)).getOrElse(return)
+    def longProp(k: String): Option[Long] =
+      head.props.get(k).flatMap(s => scala.util.Try(s.toLong).toOption)
+    val dvT = longProp(CompactDvBytesProp)
+    val sfT = longProp(CompactSmallFilesProp)
+    if (dvT.isEmpty && sfT.isEmpty) return
+    val target = longProp(CompactTargetBytesProp)
+      .getOrElse(DefaultCompactTargetBytes)
+    val dvBytes = head.dvs.valuesIterator.map(_._2).sum // ~1 byte/position
+    val smallFiles = head.files.count(r =>
+      head.sizes.get(r).exists(_ < target / 2))
+    val dvHit = dvT.exists(t => dvBytes >= t)
+    // a single small file is already optimal — re-compacting it every
+    // load would rewrite the same bytes forever
+    val sfHit = sfT.exists(t => smallFiles.toLong >= t && smallFiles >= 2)
+    if (dvHit || sfHit) {
+      graft.GraftLog.warn(
+        s"auto-compaction on '$table' v${head.version}: " +
+          (if (dvHit) s"dv_bytes≈$dvBytes ≥ ${dvT.get} " else "") +
+          (if (sfHit) s"small_files=$smallFiles ≥ ${sfT.get} " else "") +
+          s"— compacting to ~$target B files")
+      compact(tgt, table, target)
+      ()
+    }
+  }
+
   /** Manifest prop recording the table's PARTITION TRANSFORMS — the
     * Iceberg-style hidden-partitioning declaration (`PARTITIONED BY
     * (days(ts))` at CREATE): a JSON list of `{"fn": ..., "col": ...}`
@@ -1955,9 +2006,11 @@ object VersionedTable {
     // first — discard the staged files (their ids and merge inputs are
     // stale) and re-merge against the NEW head, so both writers' rows
     // survive as consecutive versions.
-    commitWithRetry(table, "load")(() =>
+    val v = commitWithRetry(table, "load")(() =>
       loadAttempt(tgt, table, incoming, upsertFields, idOrder, ensure, safe,
         bucketBy, extraProps, bloomBy, dropProps))
+    maybeAutoCompact(tgt, table)
+    v
   }
 
   /** One optimistic attempt; None = lost the manifest CAS. `extraProps`
@@ -2328,6 +2381,10 @@ object VersionedTable {
     sets.get(DvMaxFractionProp).foreach(s => require(
       scala.util.Try(s.toDouble).toOption.exists(d => d > 0 && d <= 1),
       s"$DvMaxFractionProp must be a double in (0, 1], got '$s'"))
+    Seq(CompactDvBytesProp, CompactSmallFilesProp, CompactTargetBytesProp)
+      .foreach(k => sets.get(k).foreach(s => require(
+        scala.util.Try(s.toLong).toOption.exists(_ > 0),
+        s"$k must be a positive long, got '$s'")))
     commitWithRetry(table, "setTableProps") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
@@ -2834,9 +2891,10 @@ object VersionedTable {
         keepRel ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
         headMan.props +
           (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan), out.schema))),
-        dvCarry(Some(headMan), keepRel))))
+        dvCarry(Some(headMan), keepRel)))) {
+      maybeAutoCompact(tgt, table)
       expectedVersion + 1
-    else {
+    } else {
       fs(tgt, dataDir(tgt, table)).delete(batch, true)
       throw new java.util.ConcurrentModificationException(
         s"row-level operation on '$table' was derived from version " +
@@ -2917,11 +2975,14 @@ object VersionedTable {
         org.apache.spark.sql.graft.DeletionVectors.read(
           f, new Path(dataDir(tgt, table), p))
       }
-      val merged = (prior ++ frags.flatMap(p =>
-        org.apache.spark.sql.graft.DeletionVectors.read(f, new Path(p))))
-        .distinct.sorted
+      // every input is a SORTED run (the prior sidecar wrote
+      // distinct-sorted; fragments sortWithinPartitions before the
+      // spill) — k-way merge streams them in O(total), no re-sort
+      val merged = org.apache.spark.sql.graft.DeletionVectors
+        .mergeSortedRuns(prior +: frags.map(p =>
+          org.apache.spark.sql.graft.DeletionVectors.read(f, new Path(p))))
       headMan.rows.get(rel).foreach(n => require(
-        merged.forall(x => x >= 0 && x < n),
+        merged.isEmpty || (merged.head >= 0 && merged.last < n),
         s"deletion vector position out of range for '$rel' ($n rows)"))
       val rows = headMan.rows.get(rel)
       if (rows.contains(merged.length.toLong)) rel -> Gone
@@ -3082,6 +3143,7 @@ object VersionedTable {
       // rewritten files' merged sidecars were commit-transient: nothing
       // references them now (best-effort — vacuum sweeps leftovers)
       cleanupSidecars(rewriteDvs.values.map(_._1))
+      maybeAutoCompact(tgt, table)
       expectedVersion + 1
     } else {
       cleanupAll()

@@ -388,6 +388,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       require(scala.util.Try(v.toDouble).toOption.exists(d => d > 0 && d <= 1),
         s"${VersionedTable.DvMaxFractionProp} must be a double in (0, 1], " +
           s"got '$v'"))
+    Seq(VersionedTable.CompactDvBytesProp,
+      VersionedTable.CompactSmallFilesProp,
+      VersionedTable.CompactTargetBytesProp).foreach(k =>
+      Option(properties.get(k)).foreach(v => require(
+        scala.util.Try(v.toLong).toOption.exists(_ > 0),
+        s"$k must be a positive long, got '$v'")))
     Option(properties.get(VersionedTable.BloomColsProp)).foreach { cs =>
       val have = schema.fieldNames.toSet
       val missing = cs.split(",").map(_.trim).filter(_.nonEmpty)

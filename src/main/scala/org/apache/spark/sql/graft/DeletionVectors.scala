@@ -79,6 +79,38 @@ object DeletionVectors {
   }
 
   /** Read a sidecar's sorted position array (either format version). */
+  /** Streaming K-WAY MERGE + dedup of already-sorted position runs —
+    * the driver-side DV merge (prior DV ∪ a statement's fragment
+    * sidecars, every input sorted by construction: the prior sidecar
+    * wrote distinct-sorted, fragments sortWithinPartitions before the
+    * spill). O(total) time and ONE output allocation, replacing the
+    * concat + distinct + sort that re-sorted data already in order.
+    * Duplicates across runs (a re-DELETE of an already-vectored row —
+    * the probe scan skips DV filtering by design) collapse. */
+  def mergeSortedRuns(runs: Seq[Array[Long]]): Array[Long] = {
+    val live = runs.filter(_.nonEmpty).toArray
+    if (live.isEmpty) return Array.emptyLongArray
+    val total = live.iterator.map(_.length).sum
+    val out = new Array[Long](total)
+    var n = 0
+    // entries are Array(value, runIdx, posInRun) — reused in place so
+    // the merge allocates nothing per element
+    val pq = new java.util.PriorityQueue[Array[Long]](live.length,
+      (a: Array[Long], b: Array[Long]) => java.lang.Long.compare(a(0), b(0)))
+    var i = 0
+    while (i < live.length) { pq.add(Array(live(i)(0), i, 0)); i += 1 }
+    var last = 0L
+    while (!pq.isEmpty) {
+      val e = pq.poll()
+      val v = e(0)
+      if (n == 0 || v != last) { out(n) = v; n += 1; last = v }
+      val r = e(1).toInt
+      val p = e(2).toInt + 1
+      if (p < live(r).length) { e(0) = live(r)(p); e(2) = p; pq.add(e) }
+    }
+    if (n == total) out else java.util.Arrays.copyOf(out, n)
+  }
+
   def read(fs: FileSystem, p: Path): Array[Long] = {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(p)))

@@ -1,0 +1,98 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** AUTO-COMPACTION triggers (opt-in table props): after a load/DML
+  * commit the writer inspects the new head and, when
+  * `compact.trigger.small_files` or `compact.trigger.dv_bytes` is
+  * crossed, runs ONE compaction commit — bounding how far micro-appends
+  * or a year of MOR deletes can silently accrete. Unset props keep
+  * compaction fully manual (every other suite exercises that default). */
+class AutoCompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("gautoc")
+  spark.conf.set("spark.sql.catalog.gac",
+    classOf[graft.sources.GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gac.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  private def files(t: String): Seq[String] = {
+    val v = VersionedTable.currentVersion(lib, t).get
+    VersionedTable.readManifest(lib, t, v).get.files
+  }
+
+  test("small-file trigger: micro-appends bin-pack; table diffs to nothing") {
+    spark.sql("CREATE TABLE gac.default.t1 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('compact.trigger.small_files' = '7')")
+    // five single-partition micro-appends (+ the CREATE's empty
+    // schema-bearing file, itself small) stay under the threshold of 7
+    (1 to 5).foreach(i => spark.sql(
+      s"INSERT INTO gac.default.t1 SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 100}, concat('v', id) FROM range(0, 10)"))
+    val before = files("t1").size
+    assert(before >= 5, s"micro-appends must accrete first: $before")
+    val vPre = VersionedTable.currentVersion(lib, "t1").get
+    // the sixth crosses the threshold: the load commits, then ONE
+    // compaction commit bin-packs the small files
+    spark.sql("INSERT INTO gac.default.t1 SELECT /*+ REPARTITION(1) */ " +
+      "id + 600, concat('v', id) FROM range(0, 10)")
+    val vPost = VersionedTable.currentVersion(lib, "t1").get
+    assert(vPost == vPre + 2,
+      s"load + auto-compaction must be two commits (v$vPre -> v$vPost)")
+    assert(files("t1").size < before,
+      s"compaction must shrink the file count: ${files("t1").size} vs $before")
+    // the table's CONTENT is untouched: 60 rows, every key exactly once
+    val got = spark.sql("SELECT k FROM gac.default.t1 ORDER BY k")
+      .as[Long].collect().toSeq
+    val want = (1 to 6).flatMap(i => (0L until 10L).map(_ + i * 100L)).sorted
+    assert(got == want, "auto-compaction must not change the rows")
+    // time travel still reads the pre-compaction head exactly
+    assert(spark.sql(s"SELECT count(*) FROM gac.default.t1 VERSION AS OF $vPre")
+      .head().getLong(0) == 50L)
+  }
+
+  test("dv-bytes trigger: MOR deletes accrete DVs, then materialize away") {
+    spark.sql("CREATE TABLE gac.default.t2 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read', " +
+      "'compact.trigger.dv_bytes' = '2000')")
+    spark.sql("INSERT INTO gac.default.t2 " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 10000)")
+    // a small DELETE commits a DV and stays below the byte threshold
+    spark.sql("DELETE FROM gac.default.t2 WHERE k < 500")
+    val vDv = VersionedTable.currentVersion(lib, "t2").get
+    assert(VersionedTable.deletionVectors(lib, "t2", vDv).nonEmpty,
+      "below the threshold the DV must stay")
+    // the second DELETE pushes total DV positions past the threshold:
+    // the DML commits, then compaction materializes every DV away
+    spark.sql("DELETE FROM gac.default.t2 WHERE k >= 500 AND k < 3000")
+    val vPost = VersionedTable.currentVersion(lib, "t2").get
+    assert(vPost == vDv + 2,
+      s"DML + auto-compaction must be two commits (v$vDv -> v$vPost)")
+    assert(VersionedTable.deletionVectors(lib, "t2", vPost).isEmpty,
+      "compaction must materialize the DVs away")
+    assert(spark.sql("SELECT count(*) FROM gac.default.t2").head()
+      .getLong(0) == 7000L)
+    assert(spark.sql("SELECT min(k) FROM gac.default.t2").head()
+      .getLong(0) == 3000L)
+  }
+
+  test("the props validate; unset keeps compaction manual") {
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gac.default.bad (k BIGINT) " +
+        "TBLPROPERTIES ('compact.trigger.small_files' = 'lots')")
+    }
+    spark.sql("CREATE TABLE gac.default.t3 (k BIGINT)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gac.default.t3 SET TBLPROPERTIES " +
+        "('compact.trigger.dv_bytes' = '-5')")
+    }
+    // no trigger props: micro-appends accrete freely (manual regime)
+    (1 to 8).foreach(i => spark.sql(
+      s"INSERT INTO gac.default.t3 SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 10} FROM range(0, 3)"))
+    assert(files("t3").size >= 8,
+      "without trigger props nothing may auto-compact")
+  }
+}

@@ -58,6 +58,30 @@ class DvFormatSpec extends AnyFunSuite {
     assert(DeletionVectors.read(fs, p).sameElements(positions))
   }
 
+  test("mergeSortedRuns == concat.distinct.sorted on fuzzed sorted runs") {
+    val rnd = new scala.util.Random(4242)
+    for (round <- 0 until 200) {
+      val k = rnd.nextInt(6) // 0..5 runs
+      val runs = Seq.fill(k) {
+        val n = rnd.nextInt(50)
+        // sorted distinct within a run; heavy overlap ACROSS runs
+        Array.fill(n)(rnd.nextInt(80).toLong).distinct.sorted
+      }
+      val got = DeletionVectors.mergeSortedRuns(runs).toSeq
+      val want = runs.flatten.distinct.sorted.toSeq
+      assert(got == want, s"round $round: $got != $want (runs=$runs)")
+    }
+    // degenerate shapes
+    assert(DeletionVectors.mergeSortedRuns(Nil).isEmpty)
+    assert(DeletionVectors.mergeSortedRuns(
+      Seq(Array.emptyLongArray, Array.emptyLongArray)).isEmpty)
+    assert(DeletionVectors.mergeSortedRuns(
+      Seq(Array(0L, 5L), Array(0L, 5L))).toSeq == Seq(0L, 5L))
+    assert(DeletionVectors.mergeSortedRuns(
+      Seq(Array(Long.MaxValue - 1, Long.MaxValue))).toSeq ==
+      Seq(Long.MaxValue - 1, Long.MaxValue))
+  }
+
   test("a non-DV file refuses loudly") {
     val p = new Path(dir, "junk.dv")
     val out = fs.create(p, false)
