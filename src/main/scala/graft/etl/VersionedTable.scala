@@ -3670,11 +3670,22 @@ object VersionedTable {
         val rows = readRelsWithDv(tgt, table, man, small.map(_._1))
         val parts = math.max(1L,
           (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
+        val pSpec = partSpecOf(man.props)
         val out = man.bucket match {
           // bucketed: one task per bucket so each bucket dir compacts to
           // ONE file (a plain coalesce would write a file per (task ×
           // bucket) pair and defeat the point)
           case Some((keys, n)) => rows.repartition(n, Loader.bucketIdExpr(keys, n))
+          // a partition-transform table must compact WITHIN the declared
+          // layout: range on the derived values at the COMPACTION's own
+          // sizing — a plain coalesce would merge days into wide files,
+          // un-pruning the table (and an auto-compaction trigger would
+          // then re-fire forever on files it can never shrink)
+          case None if pSpec.nonEmpty =>
+            rows.repartitionByRange(parts,
+              (pSpec.map(transformExpr) ++ pSpec.map(t => col(t.col))): _*)
+              .sortWithinPartitions(
+                (pSpec.map(transformExpr) ++ pSpec.map(t => col(t.col))): _*)
           case None => rows.coalesce(parts)
         }
         preCommitHook.value()

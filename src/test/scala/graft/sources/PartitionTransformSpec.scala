@@ -117,6 +117,32 @@ class PartitionTransformSpec extends SparkSpec {
       s"bucket pruning must shrink the scan: ${one.size} of ${all.size}")
   }
 
+  test("compaction preserves the transform layout: pruning survives bin-pack") {
+    spark.sql("CREATE TABLE gpt.default.cp " +
+      "(k BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+    // several micro-appends accrete small files across 10 days
+    (0 until 4).foreach(i => spark.sql(s"""
+      INSERT INTO gpt.default.cp
+      SELECT id + ${i * 3000}, TIMESTAMP'2026-03-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST((id + ${i * 3000}) % 14400 AS INT),0)
+      FROM range(0, 3000)"""))
+    val vPre = VersionedTable.currentVersion(lib, "cp").get
+    val before = VersionedTable.files(lib, "cp", vPre).size
+    VersionedTable.compact(lib, "cp", 48L * 1024)
+    val v = VersionedTable.currentVersion(lib, "cp").get
+    val after = VersionedTable.files(lib, "cp", v)
+    assert(after.size < before,
+      s"compaction must shrink the file count: ${after.size} vs $before")
+    // the compacted files must STILL cover disjoint day ranges — a
+    // plain coalesce would merge days and un-prune the table
+    val cut = java.sql.Timestamp.valueOf("2026-03-06 00:00:00")
+    val skipped = VersionedTable.skippedFiles(lib, "cp", v, col("ts") >= cut)
+    assert(skipped.nonEmpty,
+      s"pruning must survive compaction (files: ${after.size})")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.cp").head()
+      .getLong(0) == 12000L, "compaction must not change the rows")
+  }
+
   test("CTAS with days(ts) lays out and prunes; composed days+identity works") {
     spark.sql("CREATE TABLE gpt.default.cts PARTITIONED BY (days(ts)) AS " +
       "SELECT * FROM gpt.default.ev WHERE k < 5000")
