@@ -433,8 +433,10 @@ object VersionedTable {
     * the rename/drop refusal matrix like bucket keys. */
   private[graft] val PartitionSpecProp = "partition_spec"
 
-  /** One declared transform: `fn` ∈ identity|years|months|days|hours. */
-  private[graft] final case class PartTransform(fn: String, col: String)
+  /** One declared transform: `fn` ∈ identity|years|months|days|hours|
+    * truncate (`n` = truncate width, 0 otherwise). */
+  private[graft] final case class PartTransform(fn: String, col: String,
+                                                n: Int = 0)
 
   private[graft] val TemporalTransformFns =
     Set("years", "months", "days", "hours")
@@ -443,7 +445,9 @@ object VersionedTable {
     val a = mapper.createArrayNode()
     spec.foreach { t =>
       val o = mapper.createObjectNode()
-      o.put("fn", t.fn); o.put("col", t.col); a.add(o)
+      o.put("fn", t.fn); o.put("col", t.col)
+      if (t.n != 0) o.put("n", t.n)
+      a.add(o)
     }
     mapper.writeValueAsString(a)
   }
@@ -455,7 +459,8 @@ object VersionedTable {
         val a = mapper.readTree(j)
         val b = Seq.newBuilder[PartTransform]
         a.elements().forEachRemaining(o =>
-          b += PartTransform(o.get("fn").asText(), o.get("col").asText()))
+          b += PartTransform(o.get("fn").asText(), o.get("col").asText(),
+            if (o.has("n")) o.get("n").asInt() else 0))
         b.result()
       }.getOrElse(throw new IllegalStateException(
         s"unparseable $PartitionSpecProp: $j"))
@@ -471,6 +476,9 @@ object VersionedTable {
       case "months" => date_trunc("month", col(t.col))
       case "days" => date_trunc("day", col(t.col))
       case "hours" => date_trunc("hour", col(t.col))
+      // string prefix / integer width-bucket — both monotonic in the
+      // base column, so the zone maps stay tight like the temporal fns
+      case "truncate" => substring(col(t.col), 1, t.n)
       case other => throw new IllegalArgumentException(
         s"unknown partition transform '$other' on '${t.col}'")
     }
@@ -484,11 +492,19 @@ object VersionedTable {
       val f = schema.fields.find(_.name.equalsIgnoreCase(t.col)).getOrElse(
         throw new IllegalArgumentException(
           s"partition transform ${t.fn}(${t.col}) names a missing column"))
-      require(t.fn == "identity" || (f.dataType match {
-        case DateType | TimestampType | TimestampNTZType => true
-        case _ => false
-      }), s"partition transform ${t.fn}(${t.col}) needs a date/timestamp " +
-        s"column, got ${f.dataType.simpleString}")
+      t.fn match {
+        case "identity" => ()
+        case "truncate" =>
+          require(f.dataType == StringType,
+            s"truncate(${t.n}, ${t.col}) needs a string column, got " +
+              f.dataType.simpleString)
+          require(t.n > 0, s"truncate width must be positive, got ${t.n}")
+        case _ => require(f.dataType match {
+          case DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }, s"partition transform ${t.fn}(${t.col}) needs a date/timestamp " +
+          s"column, got ${f.dataType.simpleString}")
+      }
       require(!f.name.equalsIgnoreCase(Loader.IdCol),
         "cannot partition by the surrogate id column")
     }

@@ -305,9 +305,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           spec += VersionedTable.PartTransform(fn, one(t))
         case "identity" =>
           spec += VersionedTable.PartTransform("identity", one(t))
+        case "truncate" =>
+          val w = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value() match {
+                case i: java.lang.Integer => i.intValue()
+                case x => x.toString.toInt
+              }
+          }.getOrElse(throw new IllegalArgumentException(
+            "truncate(...) needs a width"))
+          spec += VersionedTable.PartTransform("truncate", one(t), w)
         case other => throw new IllegalArgumentException(
           s"unsupported partition transform '$other' — graft supports " +
-            "identity, years, months, days, hours, and bucket(n, col)")
+            "identity, years, months, days, hours, truncate(n, col), " +
+            "and bucket(n, col)")
       }
     }
     (bucket, spec.result())

@@ -252,9 +252,12 @@ private[sources] final class GraftBatchTable(
       val cat = new Catalog(SparkSession.active, d)
       VersionedTable.headSummary(cat, t).map { case (_, props, bucket) =>
         val derived = VersionedTable.partSpecOf(props).map {
-          case VersionedTable.PartTransform("identity", c) =>
+          case VersionedTable.PartTransform("identity", c, _) =>
             Expressions.identity(c)
-          case VersionedTable.PartTransform(fn, c) =>
+          case VersionedTable.PartTransform("truncate", c, w) =>
+            Expressions.apply("truncate",
+              Expressions.literal(Int.box(w)), Expressions.column(c))
+          case VersionedTable.PartTransform(fn, c, _) =>
             Expressions.apply(fn, Expressions.column(c))
         }
         val b = bucket.toSeq.map { case (keys, n) =>

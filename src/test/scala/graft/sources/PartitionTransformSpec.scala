@@ -95,8 +95,29 @@ class PartitionTransformSpec extends SparkSpec {
     // unsupported transforms refuse at CREATE
     intercept[Exception] {
       spark.sql("CREATE TABLE gpt.default.bad (k BIGINT, s STRING) " +
-        "PARTITIONED BY (truncate(4, s))")
+        "PARTITIONED BY (zoom(s))")
     }
+    // truncate needs a string column
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gpt.default.bad2 (k BIGINT, s STRING) " +
+        "PARTITIONED BY (truncate(4, k))")
+    }
+  }
+
+  test("truncate(n, s): string-prefix clustering prunes raw string predicates") {
+    spark.sql("CREATE TABLE gpt.default.tr (s STRING, n BIGINT) " +
+      "PARTITIONED BY (truncate(2, s))")
+    spark.sql("INSERT INTO gpt.default.tr " +
+      "SELECT concat(CASE WHEN id % 4 = 0 THEN 'aa' WHEN id % 4 = 1 THEN 'gg' " +
+      "WHEN id % 4 = 2 THEN 'mm' ELSE 'zz' END, id), id FROM range(0, 8000)")
+    val v = VersionedTable.currentVersion(lib, "tr").get
+    val all = VersionedTable.files(lib, "tr", v)
+    val skipped = VersionedTable.skippedFiles(lib, "tr", v, col("s") >= "zz")
+    assert(skipped.nonEmpty && skipped.size < all.size,
+      s"prefix clustering must prune raw string predicates: " +
+        s"${skipped.size} of ${all.size}")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.tr WHERE s >= 'zz'")
+      .head().getLong(0) == 2000L)
   }
 
   test("bucket(n, col) translates to the hash layout; point lookups prune") {
