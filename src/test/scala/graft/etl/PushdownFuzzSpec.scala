@@ -43,7 +43,8 @@ class PushdownFuzzSpec extends SparkSpec {
                          mor: Boolean = false,
                          mapped: Boolean = false,
                          defaulted: Boolean = false,
-                         widened: Boolean = false)
+                         widened: Boolean = false,
+                         transformed: Boolean = false)
       : (Catalog, Vector[(Long, Vector[R])]) = {
     val tgt = new Catalog(spark, tmpDir("fuzz"))
     var nextK = 0L
@@ -131,9 +132,20 @@ class PushdownFuzzSpec extends SparkSpec {
         VersionedTable.load(tgt, "t", df0,
           idOrder = Seq("k"),
           bucketBy = if (bucketed && committed == 0) Some((Seq("k"), 4)) else None,
-          extraProps = if (mor && committed == 0)
+          extraProps = (if (mor && committed == 0)
             Map(VersionedTable.WriteModeProp -> VersionedTable.MergeOnRead)
-          else Map.empty)
+          else Map.empty[String, String]) ++
+            // the TRANSFORMED dimension: the table declares an identity
+            // partition transform on k at birth — every write then
+            // range-clusters its files on k, and every checked read
+            // (filters, LIMIT, top-N, aggregates, DVs) runs over the
+            // arranged layout; results must be IDENTICAL to the flat
+            // model (the arrangement may only move file boundaries)
+            (if (transformed && committed == 0)
+              Map(VersionedTable.PartitionSpecProp ->
+                VersionedTable.partSpecJson(Seq(
+                  VersionedTable.PartTransform("identity", "k"))))
+            else Map.empty[String, String]))
         if (mapped && committed == 0) {
           VersionedTable.renameColumn(tgt, "t", "c0", "c")
           VersionedTable.dropColumn(tgt, "t", "d")
@@ -255,13 +267,14 @@ class PushdownFuzzSpec extends SparkSpec {
                       allNullC: Boolean, mor: Boolean = false,
                       mapped: Boolean = false,
                       defaulted: Boolean = false,
-                      widened: Boolean = false): Unit = {
+                      widened: Boolean = false,
+                      transformed: Boolean = false): Unit = {
     require(!(widened && extremes), "widened runs need int-sized c values")
     val rnd = new Random(seed)
     val (tgt, snaps) = buildTable(rnd, bucketed, extremes, allNullC, mor,
-      mapped, defaulted, widened)
+      mapped, defaulted, widened, transformed)
     val tag = s"seed=$seed b=$bucketed x=$extremes n=$allNullC m=$mor " +
-      s"p=$mapped f=$defaulted w=$widened"
+      s"p=$mapped f=$defaulted w=$widened t=$transformed"
     // first, last, and one random middle snapshot (mapped/defaulted
     // histories skip the first — its schema predates the ALTER)
     val checkable =
@@ -328,6 +341,15 @@ class PushdownFuzzSpec extends SparkSpec {
       widened = true)
     runCase(20260829L, bucketed = false, extremes = false, allNullC = false,
       mor = true, widened = true)
+  }
+
+  test("partition-transformed histories: the arranged layout never changes results") {
+    runCase(20260830L, bucketed = false, extremes = false, allNullC = false,
+      transformed = true)
+    runCase(20260831L, bucketed = false, extremes = true, allNullC = false,
+      mor = true, transformed = true)
+    runCase(20260832L, bucketed = false, extremes = false, allNullC = false,
+      defaulted = true, transformed = true)
   }
 
   test("empty table: zero partitions, zero rows, null extrema") {
