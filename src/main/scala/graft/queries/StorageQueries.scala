@@ -47,7 +47,8 @@ object StorageQueries {
     "q_versioned_v2_write", "q_versioned_history", "q_versioned_sql_catalog",
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
     "q_versioned_sql_merge", "q_versioned_sql_merge_full",
-    "q_partition_transform", "q_versioned_sql_join",
+    "q_versioned_merge_evolve", "q_partition_transform",
+    "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
@@ -468,6 +469,22 @@ object StorageQueries {
           "every pre-existing file verbatim")
       require(VersionedTable.deletionVectors(cat, "tm", postV).nonEmpty,
         "the NMBS deletes/updates must commit as deletion vectors")
+      // MERGE WITH SCHEMA EVOLUTION: the source carries a column the
+      // target lacks; the analyzer widens the table METADATA-ONLY (the
+      // AddColumn TableChange → widenSchema) and merges against the
+      // evolved schema — pre-existing unmatched rows read NULL
+      spark.sql(s"CREATE TABLE $name.default.te AS " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800")
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+          |CAST(o_orderkey % 7 AS BIGINT) AS grade FROM orders
+          |WHERE o_orderkey > 400 AND o_orderkey <= 1200""".stripMargin)
+        .createOrReplaceTempView("graft_mergeevo_src")
+      spark.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO $name.default.te t
+        USING graft_mergeevo_src s ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
       name
     })
   }
@@ -1317,6 +1334,19 @@ object StorageQueries {
       cow.unionByName(mor).orderBy("part", "k")
     },
 
+    // MERGE WITH SCHEMA EVOLUTION (the AUTOMATIC_SCHEMA_EVOLUTION
+    // capability): the source's extra column lands as a metadata-only
+    // ADD COLUMN before the rewrite — unmatched pre-existing rows read
+    // NULL, matched/inserted rows carry the source values. The oracle
+    // replays the evolved merge relationally.
+    "q_versioned_merge_evolve" -> { (spark, sfDir) =>
+      val name = sqlMergeFullFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v, grade
+        FROM $name.default.te ORDER BY k""")
+    },
+
     // HIDDEN PARTITIONING: `PARTITIONED BY (days(ts))` records a
     // derivation, every write range-clusters files on the derived day,
     // and a scan filtering on the RAW ts column prunes files through
@@ -2148,6 +2178,15 @@ object StorageQueries {
         |SELECT 'pre', o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
         |FROM c1
         |ORDER BY part, k""".stripMargin,
+
+    "q_versioned_merge_evolve" ->
+      """SELECT o_orderkey AS k,
+        |       CAST(floor((CASE WHEN o_orderkey <= 400 THEN o_totalprice
+        |                   ELSE o_totalprice * 2 END) * 100) AS BIGINT) AS v,
+        |       CASE WHEN o_orderkey <= 400 THEN NULL
+        |            ELSE CAST(o_orderkey % 7 AS BIGINT) END AS grade
+        |FROM orders WHERE o_orderkey <= 1200
+        |ORDER BY k""".stripMargin,
 
     "q_partition_transform" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,

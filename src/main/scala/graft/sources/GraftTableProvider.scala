@@ -297,7 +297,13 @@ private[sources] final class GraftBatchTable(
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
       // INSERT OVERWRITE: a same-schema versioned content replace
       // (replaceContents) — truncate-capable through the V1 fallback
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // MERGE WITH SCHEMA EVOLUTION: the analyzer diffs the source
+      // schema, sends the new columns as AddColumn TableChanges through
+      // the catalog (metadata-only widenSchema — the same ensure-widen
+      // the library load path has always had), then plans the rewrite
+      // against the evolved schema
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }

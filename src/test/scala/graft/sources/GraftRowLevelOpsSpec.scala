@@ -118,6 +118,38 @@ class GraftRowLevelOpsSpec extends SparkSpec {
       "MOR NMBS deletes/updates must commit deletion vectors")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens metadata-only, then merges") {
+    spark.sql("CREATE TABLE gr.default.se (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gr.default.se SELECT id, id * 10 FROM range(1, 11)")
+    val vPre = VersionedTable.currentVersion(lib, "se").get
+    val preFiles = VersionedTable.files(lib, "se", vPre).toSet
+    spark.range(8, 14).select(col("id").as("k"), (col("id") * 100L).as("v"),
+      concat(lit("t"), col("id")).as("tag")).createOrReplaceTempView("se_src")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO gr.default.se t USING se_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.sql("SELECT k, v, tag FROM gr.default.se ORDER BY k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    val want = (1L to 7L).map(i => (i, i * 10L, null)) ++
+      (8L to 13L).map(i => (i, i * 100L, s"t$i"))
+    assert(got == want, s"evolved merge:\n$got\n$want")
+    // without the WITH SCHEMA EVOLUTION clause the capability must not
+    // leak: plain MERGE name-aligns INSERT * (the extra source column is
+    // ignored) and the target schema does NOT evolve
+    spark.sql("CREATE TABLE gr.default.se2 (k BIGINT, v BIGINT)")
+    spark.sql("""
+      MERGE INTO gr.default.se2 t USING se_src s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT * FROM gr.default.se2").columns.toSeq ==
+      Seq("k", "v"),
+      "plain MERGE must never auto-evolve the schema")
+    assert(spark.sql("SELECT count(*) FROM gr.default.se2")
+      .head().getLong(0) == 6L)
+  }
+
   test("MERGE runtime-filters to the groups that contain matches") {
     spark.sql("CREATE TABLE gr.default.rf (k BIGINT, v BIGINT)")
     // three appends with disjoint key ranges → three file groups; the
