@@ -405,17 +405,29 @@ object VersionedTable {
     val smallFiles = head.files.count(r =>
       head.sizes.get(r).exists(_ < target / 2))
     val dvHit = dvT.exists(t => dvBytes >= t)
-    // a single small file is already optimal — re-compacting it every
-    // load would rewrite the same bytes forever
-    val sfHit = sfT.exists(t => smallFiles.toLong >= t && smallFiles >= 2)
+    // the small-file floor compaction can actually reach: 1 flat file,
+    // or one file PER BUCKET on a bucketed table — at or under the
+    // floor, a compaction can never shrink the count, and triggering
+    // would rewrite the same bytes on every commit forever
+    val floor = head.bucket.map(_._2).getOrElse(1)
+    val sfHit = sfT.exists(t => smallFiles.toLong >= t && smallFiles > floor)
     if (dvHit || sfHit) {
       graft.GraftLog.warn(
         s"auto-compaction on '$table' v${head.version}: " +
           (if (dvHit) s"dv_bytes≈$dvBytes ≥ ${dvT.get} " else "") +
           (if (sfHit) s"small_files=$smallFiles ≥ ${sfT.get} " else "") +
           s"— compacting to ~$target B files")
-      compact(tgt, table, target)
-      ()
+      // best-effort by contract: the TRIGGERING commit is already
+      // durable, so a compaction failure (executor loss, exhausted CAS
+      // under contention) must not make the committed statement LOOK
+      // failed — a caller retrying the "failed" append would duplicate
+      // its rows. Log and move on; the next commit re-triggers.
+      try { compact(tgt, table, target); () }
+      catch { case e: Exception =>
+        graft.GraftLog.warn(
+          s"auto-compaction on '$table' failed (the triggering commit " +
+            s"IS durable; the next commit re-triggers): $e")
+      }
     }
   }
 
@@ -493,7 +505,14 @@ object VersionedTable {
         throw new IllegalArgumentException(
           s"partition transform ${t.fn}(${t.col}) names a missing column"))
       t.fn match {
-        case "identity" => ()
+        case "identity" =>
+          // eager like every other invalid spec: range-clustering needs
+          // an ORDERABLE column (a map would otherwise fail the CREATE's
+          // empty write with Spark's generic ordering error)
+          require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType),
+            s"partition transform (${t.col}) needs an orderable column, " +
+              s"got ${f.dataType.simpleString}")
         case "truncate" =>
           require(f.dataType == StringType,
             s"truncate(${t.n}, ${t.col}) needs a string column, got " +
@@ -3059,7 +3078,8 @@ object VersionedTable {
         readRelsWithSidecars(tgt, table, rewriteRel.toSeq,
           rewriteDvs.map { case (rel, (p, _)) => rel -> p }, schemaFull,
           physOfMan(headMan)),
-        headMan.bucket, bloomColsOf(headMan), physOfMan(headMan))
+        headMan.bucket, bloomColsOf(headMan), physOfMan(headMan),
+        partSpecOf(headMan.props))
     def cleanupRewrite(): Unit =
       if (rwBatch != null) fs(tgt, dataDir(tgt, table)).delete(rwBatch, true)
     // keep at least one schema-bearing file (the invariant every rewrite
@@ -3104,8 +3124,10 @@ object VersionedTable {
         val order = if (idOrder.nonEmpty) idOrder
           else replacement.columns.toSeq
         val out = Loader.withSurrogateIds(replacement, floor, order)
+        // the MOR statement's inserted rows respect the declared
+        // partition-transform layout like every other write
         writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan),
-          physOfMan(headMan))
+          physOfMan(headMan), partSpecOf(headMan.props))
       }
     // id-carrying staged rows (MOR upsert's merged-matched + fresh):
     // written through the same bucket/bloom-aware batch writer, ids
@@ -3116,7 +3138,8 @@ object VersionedTable {
         val r = tgt.spark.read
         writeBatch(tgt, table,
           schemaFull.fold(r)(r.schema).parquet(stagedWithIds: _*),
-          headMan.bucket, bloomColsOf(headMan), physOfMan(headMan))
+          headMan.bucket, bloomColsOf(headMan), physOfMan(headMan),
+          partSpecOf(headMan.props))
       }
     def cleanupBatch(): Unit = {
       if (batch != null) fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -3213,7 +3236,7 @@ object VersionedTable {
         deleteMorAttempt(tgt, table, cur, man, _.where(cond),
           candRel0.filterNot(dropped), dropped)
       }
-    commitWithRetry(table, "delete") { () =>
+    val committed = commitWithRetry(table, "delete") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
@@ -3280,6 +3303,8 @@ object VersionedTable {
         }
       }
     }
+    maybeAutoCompact(tgt, table)
+    committed
   }
 
   /** Keyed DELETE: remove every row whose `keys` tuple appears in
@@ -3319,7 +3344,8 @@ object VersionedTable {
         }.reduce(_ && _)
       }.toOption // empty frame / un-lit-able key type: no pruning
     }
-    try commitWithRetry(table, "deleteKeys") { () =>
+    try {
+      val committed = commitWithRetry(table, "deleteKeys") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
@@ -3368,6 +3394,12 @@ object VersionedTable {
         }
       }
       }
+      }
+      // CoW deletes rewrite boundary files into fresh small ones — the
+      // same accretion the trigger exists for (the MOR route already
+      // checks inside applyRowDeltas; re-checking is a cheap no-op)
+      maybeAutoCompact(tgt, table)
+      committed
     } finally kr.unpersist()
   }
 
@@ -3688,6 +3720,14 @@ object VersionedTable {
           (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
         val pSpec = partSpecOf(man.props)
         val out = man.bucket match {
+          // bucketed WITH a transform spec: range on (bucketId, derived)
+          // like writeBatch's combined branch, so a large bucket's
+          // several files keep disjoint base ranges through compaction
+          case Some((keys, n)) if pSpec.nonEmpty =>
+            rows.repartitionByRange(math.max(parts, n),
+              (Loader.bucketIdExpr(keys, n) +: pSpec.map(transformExpr)): _*)
+              .sortWithinPartitions(
+                (pSpec.map(transformExpr) ++ pSpec.map(t => col(t.col))): _*)
           // bucketed: one task per bucket so each bucket dir compacts to
           // ONE file (a plain coalesce would write a file per (task ×
           // bucket) pair and defeat the point)

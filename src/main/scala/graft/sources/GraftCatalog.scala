@@ -280,20 +280,22 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         s"${t.name()}(...) must reference exactly one top-level column")
       refs.head.fieldNames().head
     }
+    def intArg(t: Transform, what: String): Int =
+      t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case i: java.lang.Integer => i.intValue()
+            case x => x.toString.toInt
+          }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"${t.name()}(...) needs $what"))
     val spec = Seq.newBuilder[VersionedTable.PartTransform]
     var bucket: Option[(Seq[String], Int)] = None
     partitions.foreach { t =>
       t.name() match {
         case "bucket" =>
           require(bucket.isEmpty, "at most one bucket(...) transform")
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value() match {
-                case i: java.lang.Integer => i.intValue()
-                case x => x.toString.toInt
-              }
-          }.getOrElse(throw new IllegalArgumentException(
-            "bucket(...) needs a bucket count"))
+          val n = intArg(t, "a bucket count")
           val cols = t.references().map { r =>
             require(r.fieldNames().length == 1,
               "bucket(...) must reference top-level columns")
@@ -306,15 +308,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         case "identity" =>
           spec += VersionedTable.PartTransform("identity", one(t))
         case "truncate" =>
-          val w = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-              l.value() match {
-                case i: java.lang.Integer => i.intValue()
-                case x => x.toString.toInt
-              }
-          }.getOrElse(throw new IllegalArgumentException(
-            "truncate(...) needs a width"))
-          spec += VersionedTable.PartTransform("truncate", one(t), w)
+          spec += VersionedTable.PartTransform("truncate", one(t),
+            intArg(t, "a width"))
         case other => throw new IllegalArgumentException(
           s"unsupported partition transform '$other' — graft supports " +
             "identity, years, months, days, hours, truncate(n, col), " +

@@ -78,6 +78,53 @@ class AutoCompactSpec extends SparkSpec {
       .getLong(0) == 3000L)
   }
 
+  test("CoW DELETEs trigger too; bucketed tables stop at their file floor") {
+    // copy-on-write library DELETE rewrites only the boundary file —
+    // the untouched small files still cross the threshold and the
+    // delete path must run the post-commit check like load does
+    spark.sql("CREATE TABLE gac.default.t4 (k BIGINT, v STRING)")
+    (1 to 3).foreach(i => spark.sql(
+      s"INSERT INTO gac.default.t4 SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 100}, concat('v', id) FROM range(0, 50)"))
+    // declare the trigger AFTER the accretion (SET TBLPROPERTIES itself
+    // never compacts), so the NEXT DML commit is what must fire it
+    VersionedTable.setTableProps(lib, "t4",
+      Map(VersionedTable.CompactSmallFilesProp -> "3"), Nil)
+    val before = files("t4").size
+    val vPre = VersionedTable.currentVersion(lib, "t4").get
+    VersionedTable.delete(lib, "t4", col("k") >= 100L && col("k") <= 105L)
+    val vPost = VersionedTable.currentVersion(lib, "t4").get
+    assert(vPost == vPre + 2,
+      s"DELETE + auto-compaction must be two commits (v$vPre -> v$vPost)")
+    assert(files("t4").size < before,
+      s"compaction must shrink the count: ${files("t4").size} vs $before")
+    assert(spark.sql("SELECT count(*) FROM gac.default.t4").head()
+      .getLong(0) == 144L)
+
+    // a bucketed table's reachable floor is ONE FILE PER BUCKET: at or
+    // under it the trigger must NOT fire — compaction could never
+    // shrink the count, so firing would rewrite the same bytes on
+    // every commit for nothing
+    spark.sql("CREATE TABLE gac.default.t5 (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('compact.trigger.small_files' = '2')")
+    spark.sql("INSERT INTO gac.default.t5 " +
+      "SELECT /*+ REPARTITION(1) */ id, concat('v', id) FROM range(0, 100)")
+    // the insert's 4 bucket files + the CREATE's empty file cross the
+    // threshold once; the compaction lands AT the 4-file floor
+    val v = VersionedTable.currentVersion(lib, "t5").get
+    assert(v == 3L && files("t5").size == 4,
+      s"one compaction to the floor expected (v$v, ${files("t5").size} files)")
+    // at the floor the trigger must NOT fire again: a 1-row delete
+    // rewrites one bucket file (count stays 4 = floor) and commits
+    // exactly ONE version — no futile re-compaction of the same bytes
+    VersionedTable.delete(lib, "t5", col("k") === 0L)
+    val v2 = VersionedTable.currentVersion(lib, "t5").get
+    assert(v2 == v + 1,
+      s"at the bucket floor the delete must be ONE commit (v$v -> v$v2)")
+    assert(files("t5").size == 4)
+  }
+
   test("the props validate; unset keeps compaction manual") {
     intercept[Exception] {
       spark.sql("CREATE TABLE gac.default.bad (k BIGINT) " +

@@ -102,6 +102,12 @@ class PartitionTransformSpec extends SparkSpec {
       spark.sql("CREATE TABLE gpt.default.bad2 (k BIGINT, s STRING) " +
         "PARTITIONED BY (truncate(4, k))")
     }
+    // identity needs an ORDERABLE column — eager, not a generic
+    // ordering error at the CREATE's empty write
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gpt.default.bad3 " +
+        "(k BIGINT, m MAP<STRING, STRING>) PARTITIONED BY (m)")
+    }
   }
 
   test("truncate(n, s): string-prefix clustering prunes raw string predicates") {
@@ -162,6 +168,53 @@ class PartitionTransformSpec extends SparkSpec {
       s"pruning must survive compaction (files: ${after.size})")
     assert(spark.sql("SELECT count(*) FROM gpt.default.cp").head()
       .getLong(0) == 12000L, "compaction must not change the rows")
+  }
+
+  test("MOR DML respects the layout: merge-inserted rows prune; bucket+days compacts clustered") {
+    spark.sql("CREATE TABLE gpt.default.md (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    spark.sql("""INSERT INTO gpt.default.md
+      SELECT id, TIMESTAMP'2026-04-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST(id AS INT),0)
+      FROM range(0, 5000)""")
+    // a MERGE whose NOT-MATCHED inserts span ~10 further days — the MOR
+    // staged-insert path must range-cluster them like any other write
+    spark.sql("""SELECT id + 100000 AS k, TIMESTAMP'2026-05-01 00:00:00'
+      + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts
+      FROM range(0, 14000)""").createOrReplaceTempView("md_src")
+    spark.sql("""MERGE INTO gpt.default.md t USING md_src s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""")
+    val v = VersionedTable.currentVersion(lib, "md").get
+    val all = VersionedTable.files(lib, "md", v)
+    val cut = java.sql.Timestamp.valueOf("2026-05-05 00:00:00")
+    val skipped = VersionedTable.skippedFiles(lib, "md", v, col("ts") >= cut)
+    assert(skipped.nonEmpty && skipped.size < all.size,
+      s"MOR merge-inserted files must range-cluster: ${skipped.size} of ${all.size}")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.md " +
+      "WHERE ts >= TIMESTAMP'2026-05-05 00:00:00'").head()
+      .getLong(0) == 14000L - 4L * 1440L)
+
+    // composed bucket + days: compaction must keep BOTH contracts —
+    // bucket dirs AND disjoint day ranges per file within a bucket
+    spark.sql("CREATE TABLE gpt.default.bd (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (bucket(2, k), days(ts))")
+    (0 until 3).foreach(i => spark.sql(s"""
+      INSERT INTO gpt.default.bd
+      SELECT id + ${i * 4000}, TIMESTAMP'2026-06-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST((id + ${i * 4000}) % 12000 AS INT),0)
+      FROM range(0, 4000)"""))
+    VersionedTable.compact(lib, "bd", 24L * 1024)
+    val vb = VersionedTable.currentVersion(lib, "bd").get
+    val allB = VersionedTable.files(lib, "bd", vb)
+    assert(allB.forall(_.contains("__gbucket=")),
+      s"bucket dirs must survive compaction: $allB")
+    val cutB = java.sql.Timestamp.valueOf("2026-06-05 00:00:00")
+    val skippedB = VersionedTable.skippedFiles(lib, "bd", vb, col("ts") >= cutB)
+    assert(skippedB.nonEmpty,
+      s"day pruning must survive bucketed compaction (${allB.size} files)")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.bd").head()
+      .getLong(0) == 12000L)
   }
 
   test("CTAS with days(ts) lays out and prunes; composed days+identity works") {
