@@ -217,6 +217,34 @@ class PartitionTransformSpec extends SparkSpec {
       .getLong(0) == 12000L)
   }
 
+  test("a STREAM into a days(date) table lands arranged; DATE transforms work") {
+    implicit val sqlCtx = spark.sqlContext
+    // months() on a DATE column — the transform set covers both
+    // temporal types, and the streaming sink commits through the same
+    // arranged load path as batch writes
+    spark.sql("CREATE TABLE gpt.default.st (k BIGINT, d DATE) " +
+      "PARTITIONED BY (months(d))")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Int)]
+    val q = input.toDF().toDF("k", "off")
+      .selectExpr("k", "date_add(DATE'2026-01-01', CAST(off AS INT)) AS d")
+      .writeStream
+      .option("checkpointLocation", tmpDir("gptck"))
+      .toTable("gpt.default.st")
+    input.addData((0L until 4000L).map(i => (i, (i % 300).toInt)): _*)
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val v = VersionedTable.currentVersion(lib, "st").get
+    val all = VersionedTable.files(lib, "st", v)
+    val cut = java.sql.Date.valueOf("2026-08-01")
+    val skipped = VersionedTable.skippedFiles(lib, "st", v, col("d") >= cut)
+    assert(skipped.nonEmpty && skipped.size < all.size,
+      s"the streamed batch must range-cluster by month: " +
+        s"${skipped.size} of ${all.size}")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.st " +
+      "WHERE d >= DATE'2026-08-01'").head().getLong(0) ==
+      (0L until 4000L).count(i => i % 300 >= 212))
+  }
+
   test("CTAS with days(ts) lays out and prunes; composed days+identity works") {
     spark.sql("CREATE TABLE gpt.default.cts PARTITIONED BY (days(ts)) AS " +
       "SELECT * FROM gpt.default.ev WHERE k < 5000")
