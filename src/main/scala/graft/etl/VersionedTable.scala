@@ -478,6 +478,77 @@ object VersionedTable {
         s"unparseable $PartitionSpecProp: $j"))
     }
 
+  /** PARTITION-SPEC EVOLUTION — the Iceberg headline re-expressed
+    * Spark-first, where it is genuinely FREE: one metadata commit
+    * re-points [[PartitionSpecProp]] (empty = drop the declaration).
+    * Old files are untouched and stay exactly as prunable as they were —
+    * file skipping reads the ZONE MAPS, never the spec, so there is no
+    * Iceberg-style per-spec partition lineage to reconcile; only writes
+    * AFTER the change arrange by the new derivation. The new spec's
+    * columns join the rename/drop refusal matrix from this version on
+    * (and the old spec's columns leave it). */
+  def setPartitionSpec(tgt: Catalog, table: String,
+                       spec: Seq[PartTransform]): Long = {
+    commitWithRetry(table, "setPartitionSpec") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(s"versioned table '$table' not found"))
+      val man = readManifest(tgt, table, cur).get
+      val schema = org.apache.spark.sql.types.StructType(
+        readVersion(tgt, table, cur).schema
+          .fields.filterNot(_.name.equalsIgnoreCase(Loader.IdCol)))
+      validatePartSpec(spec, schema)
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
+        props =
+          if (spec.isEmpty) man.props - PartitionSpecProp
+          else man.props + (PartitionSpecProp -> partSpecJson(spec)))))
+        Some(cur + 1)
+      else None
+    }
+  }
+
+  /** The text form the SQL procedure takes — `"days(ts), truncate(4,
+    * host), src"` (a bare name = identity). */
+  private[graft] def parsePartSpec(text: String): Seq[PartTransform] = {
+    val fnPat = """^\s*([a-zA-Z_]+)\s*\(\s*([^()]*)\s*\)\s*$""".r
+    // split on commas OUTSIDE parentheses (truncate's width argument)
+    val parts = {
+      val b = Seq.newBuilder[String]
+      var depth = 0; val sb = new StringBuilder
+      text.foreach {
+        case '(' => depth += 1; sb.append('(')
+        case ')' => depth -= 1; sb.append(')')
+        case ',' if depth == 0 => b += sb.toString; sb.clear()
+        case c => sb.append(c)
+      }
+      if (sb.toString.trim.nonEmpty) b += sb.toString
+      b.result()
+    }
+    parts.map(_.trim).filter(_.nonEmpty).map {
+      case fnPat(fn, args) =>
+        val a = args.split(",").map(_.trim).filter(_.nonEmpty)
+        fn.toLowerCase match {
+          case f @ ("years" | "months" | "days" | "hours") =>
+            require(a.length == 1, s"$f(...) takes one column")
+            PartTransform(f, a.head)
+          case "truncate" =>
+            require(a.length == 2,
+              "truncate takes (width, column)")
+            PartTransform("truncate", a(1),
+              scala.util.Try(a(0).toInt).getOrElse(
+                throw new IllegalArgumentException(
+                  s"truncate width must be an int, got '${a(0)}'")))
+          case "identity" =>
+            require(a.length == 1, "identity(...) takes one column")
+            PartTransform("identity", a.head)
+          case other => throw new IllegalArgumentException(
+            s"unknown partition transform '$other' — use identity, " +
+              "years, months, days, hours, or truncate(n, col)")
+        }
+      case bare => PartTransform("identity", bare)
+    }
+  }
+
   /** The derived clustering Column of one transform — every temporal fn
     * is MONOTONIC in the base column, so range-clustering on it keeps
     * each file's base-column zone map tight. */

@@ -715,12 +715,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "clone" => GraftProcedures.clone(() => cat)
       case "recluster" => GraftProcedures.recluster(() => cat)
       case "expire_snapshots" => GraftProcedures.expireSnapshots(() => cat)
+      case "set_partition_spec" => GraftProcedures.setPartitionSpec(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
           "rollback(table, version), vacuum(table, keep_last), " +
           "compact(table, target_bytes), clone(source, target, version), " +
           "recluster(table, cluster_by, target_bytes), " +
-          "expire_snapshots(table, older_than)")
+          "expire_snapshots(table, older_than), " +
+          "set_partition_spec(table, spec)")
     }
   }
 
@@ -730,7 +732,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // rather than duplicating the set under every name
     if (procedureNamespace(namespace))
       Array("clone", "compact", "expire_snapshots", "history", "recluster",
-        "rollback", "vacuum")
+        "rollback", "set_partition_spec", "vacuum")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 }

@@ -194,4 +194,24 @@ private[sources] object GraftProcedures {
             nullable = false))), removed)
       }
     }
+
+  /** `CALL g.system.set_partition_spec('t', 'days(ts), truncate(4, h)')`
+    * — partition-spec EVOLUTION as one metadata commit: old files stay
+    * exactly as prunable as they were (file skipping reads zone maps,
+    * never the spec), only later writes arrange by the new derivation;
+    * an empty spec drops the declaration. Returns the committed
+    * version. */
+  def setPartitionSpec(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("set_partition_spec",
+      "re-point a table's partition transforms (metadata-only)",
+      Array(param("table", StringType), param("spec", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val committed = VersionedTable.setPartitionSpec(cat(),
+          input.getUTF8String(0).toString,
+          VersionedTable.parsePartSpec(input.getUTF8String(1).toString))
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
 }

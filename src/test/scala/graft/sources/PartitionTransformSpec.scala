@@ -217,6 +217,56 @@ class PartitionTransformSpec extends SparkSpec {
       .getLong(0) == 12000L)
   }
 
+  test("partition-spec EVOLUTION: one metadata commit; old files untouched") {
+    // a flat table accretes un-clustered files first
+    spark.sql("CREATE TABLE gpt.default.pe (k BIGINT, ts TIMESTAMP)")
+    spark.sql("""INSERT INTO gpt.default.pe
+      SELECT id, TIMESTAMP'2026-07-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST((id * 37) % 20000 AS INT),0)
+      FROM range(0, 8000)""")
+    val vPre = VersionedTable.currentVersion(lib, "pe").get
+    val preFiles = VersionedTable.files(lib, "pe", vPre).toSet
+    // evolve: declare days(ts) AFTER the fact — metadata-only
+    spark.sql("CALL gpt.system.set_partition_spec('pe', 'days(ts)')")
+    val vSpec = VersionedTable.currentVersion(lib, "pe").get
+    assert(vSpec == vPre + 1 &&
+      VersionedTable.files(lib, "pe", vSpec).toSet == preFiles,
+      "spec evolution must be ONE metadata commit, files verbatim")
+    // the declared column joins the refusal matrix from now on
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gpt.default.pe RENAME COLUMN ts TO t2")
+    }
+    // writes AFTER the change arrange: a later-month insert's files
+    // prune under a raw predicate even though the old files cannot
+    spark.sql("""INSERT INTO gpt.default.pe
+      SELECT id + 8000, TIMESTAMP'2026-09-01 00:00:00'
+               + make_interval(0,0,0,0,0,CAST(id AS INT),0)
+      FROM range(0, 10000)""")
+    val v2 = VersionedTable.currentVersion(lib, "pe").get
+    val all2 = VersionedTable.files(lib, "pe", v2)
+    val cut = java.sql.Timestamp.valueOf("2026-09-04 00:00:00")
+    val skipped = VersionedTable.skippedFiles(lib, "pe", v2, col("ts") >= cut)
+    assert(skipped.nonEmpty && skipped.size < all2.size,
+      s"post-evolution writes must range-cluster: ${skipped.size} of ${all2.size}")
+    assert(spark.sql("SELECT count(*) FROM gpt.default.pe " +
+      "WHERE ts >= TIMESTAMP'2026-09-04 00:00:00'").head()
+      .getLong(0) == 10000L - 3L * 1440L)
+    // dropping the spec restores renameability and stops arranging
+    spark.sql("CALL gpt.system.set_partition_spec('pe', '')")
+    spark.sql("ALTER TABLE gpt.default.pe RENAME COLUMN ts TO t2")
+    assert(spark.sql("SELECT * FROM gpt.default.pe").columns.toSeq ==
+      Seq("k", "t2"))
+    // an invalid evolved spec refuses with nothing committed
+    val vNow = VersionedTable.currentVersion(lib, "pe").get
+    intercept[Exception] {
+      spark.sql("CALL gpt.system.set_partition_spec('pe', 'days(nope)')")
+    }
+    intercept[Exception] {
+      spark.sql("CALL gpt.system.set_partition_spec('pe', 'zoom(k)')")
+    }
+    assert(VersionedTable.currentVersion(lib, "pe").contains(vNow))
+  }
+
   test("a STREAM into a days(date) table lands arranged; DATE transforms work") {
     implicit val sqlCtx = spark.sqlContext
     // months() on a DATE column — the transform set covers both
