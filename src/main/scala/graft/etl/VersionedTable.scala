@@ -57,6 +57,20 @@ import org.apache.hadoop.fs.Path
 object VersionedTable {
 
   private def dataDir(tgt: Catalog, table: String) = s"${tgt.dirPath(table)}.__vdata"
+
+  /** The table's data directory — the scan planner's path-join base. */
+  private[graft] def dataDirPath(tgt: Catalog, table: String): String =
+    dataDir(tgt, table)
+
+  /** Per-file recorded ROW COUNTS of version `v` (head when None), keyed
+    * by ABSOLUTE path — the SPJ planner's zero-row stray-file check. */
+  private[graft] def fileRowCounts(tgt: Catalog, table: String,
+                                   v: Option[Long]): Map[String, Long] =
+    v.orElse(currentVersion(tgt, table))
+      .flatMap(readManifest(tgt, table, _))
+      .fold(Map.empty[String, Long])(_.rows.map { case (rel, r) =>
+        new Path(dataDir(tgt, table), rel).toString -> r
+      })
   private def metaDir(tgt: Catalog, table: String) = s"${tgt.dirPath(table)}.__vmeta"
 
   private def fs(tgt: Catalog, p: String) =

@@ -52,7 +52,8 @@ import graft.etl.{Catalog, VersionedTable}
   */
 class GraftCatalog extends TableCatalog with ProcedureCatalog
   with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var dir: String = _
@@ -725,6 +726,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "set_partition_spec(table, spec)")
     }
   }
+
+  // ------------------------------------------------- catalog functions
+  // the `bucket` transform's V2 function — what storage-partitioned
+  // joins resolve each side's KeyGroupedPartitioning through
+  // ([[GraftBucketFunction]]); same namespace gate as procedures.
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (procedureNamespace(ident.namespace) &&
+        ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident.asInstanceOf[Identifier])
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (procedureNamespace(namespace))
+      Array(Identifier.of(Array("system"), "bucket"))
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    procedureNamespace(ident.namespace) &&
+      ident.name.equalsIgnoreCase("bucket")
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     // exactly the namespaces loadProcedure's gate admits (root, default,

@@ -576,6 +576,7 @@ private[sources] final class GraftScan(
     topN: Option[(String, Boolean, Long)] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   /** Runtime predicates arrive after toBatch is materialized
@@ -586,6 +587,33 @@ private[sources] final class GraftScan(
 
   override def readSchema(): StructType = required
   override def description(): String = "graft versioned-table batch scan"
+
+  /** STORAGE-PARTITIONED JOINS: on a hash-bucketed table (with
+    * `spark.sql.sources.v2.bucketing.enabled`) the scan reports
+    * `KeyGroupedPartitioning(bucket(n, keys), n)` and plans one keyed
+    * partition PER BUCKET — two graft tables co-bucketed on the join
+    * keys then join with NO exchange on either side (the planner
+    * resolves `bucket` through the catalog's [[GraftBucketFunction]]
+    * and zips equal bucket ids). At 100 TB this is the difference
+    * between shuffling both fact tables and reading them co-located.
+    * All N keys are always present (empty buckets plan no-op tasks),
+    * so the report and the plan can never drift — including under
+    * runtime filters. */
+  private[sources] def spjSpec: Option[(Seq[String], Int)] =
+    GraftTableProvider.spjBucketSpec(options, required)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjSpec match {
+      case Some((keys, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, keys: _*)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   /** Runtime-filterable columns: the stat-eligible set RESTRICTED to the
     * pruned output schema — Spark resolves these against the scan's
@@ -734,10 +762,34 @@ private[sources] final class GraftBatch(
       limitRows = limit.map(_.toLong), topN = topN)
     plannedHasDv = slices.exists(_._3.nonEmpty)
     plannedPhysOf = VersionedTable.columnMapping(cat, table, v)
-    // Spark-style split + pack: big files fan out across tasks, tiny
-    // files share one — see [[PlainBatchRead.planPartitions]]
-    PlainBatchRead.planPartitions(spark,
-      slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) })
+    val fileSlices =
+      slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) }
+    // storage-partitioned join: one KEYED partition per bucket (all N
+    // present — empty buckets are no-op tasks), matching the scan's
+    // reported KeyGroupedPartitioning exactly; LIMIT/top-N plans keep
+    // the flat shape (their truncation walks are order-dependent)
+    GraftTableProvider.spjBucketSpec(options, requiredSchema)
+      .filter(_ => limit.isEmpty && topN.isEmpty) match {
+      case Some((_, n)) =>
+        val pat = "__gbucket=(\\d+)/".r
+        def bucketOf(path: String): Option[Int] =
+          pat.findFirstMatchIn(path).map(_.group(1).toInt)
+        // files outside a bucket dir: the CREATE's empty schema-bearing
+        // file (recorded rows = 0) contributes nothing — drop it; a
+        // ROW-BEARING one would be a layout violation, plan flat
+        val rowsByAbs = VersionedTable.fileRowCounts(cat, table, v)
+        val (inBucket, stray) =
+          fileSlices.partition(s => bucketOf(s.path).exists(_ < n))
+        if (stray.forall(s => rowsByAbs.get(s.path).contains(0L)))
+          (0 until n).map(b => PlainBatchRead.BucketFilesInputPartition(
+            inBucket.filter(s => bucketOf(s.path).contains(b)), b)
+            : InputPartition).toArray
+        else PlainBatchRead.planPartitions(spark, fileSlices)
+      case None =>
+        // Spark-style split + pack: big files fan out across tasks, tiny
+        // files share one — see [[PlainBatchRead.planPartitions]]
+        PlainBatchRead.planPartitions(spark, fileSlices)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -764,6 +816,31 @@ object GraftTableProvider {
 
   private[graft] def csvOpt(options: Map[String, String], k: String): Seq[String] =
     opt(options, k).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** The bucket spec to report for STORAGE-PARTITIONED JOINS, when the
+    * shape qualifies: `spark.sql.sources.v2.bucketing.enabled` on, the
+    * table hash-bucketed, every bucket key in the scan's pruned output
+    * (Spark resolves the transform's references against the scan
+    * output), and no time travel (an old version's file set must not be
+    * grouped by the head's spec). One helper so the scan's REPORT and
+    * the batch's PLAN can never disagree. */
+  private[sources] def spjBucketSpec(options: Map[String, String],
+                                     required: StructType)
+      : Option[(Seq[String], Int)] = {
+    val spark = SparkSession.active
+    val on = spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled")
+      .exists(_.toBoolean)
+    if (!on || opt(options, "versionAsOf").nonEmpty ||
+        opt(options, "timestampAsOf").nonEmpty) None
+    else for {
+      d <- opt(options, "dir")
+      t <- opt(options, "table")
+      spec <- VersionedTable.bucketSpec(new Catalog(spark, d), t)
+      if spec._1.forall(k =>
+        required.fieldNames.exists(_.equalsIgnoreCase(k)))
+    } yield spec
+  }
 
   /** Resolve the time-travel options to a concrete version: `versionAsOf`
     * wins alone, `timestampAsOf` (epoch millis, or ISO-8601 parsed as

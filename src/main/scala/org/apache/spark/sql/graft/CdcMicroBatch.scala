@@ -122,6 +122,21 @@ object PlainBatchRead {
   final case class FilesInputPartition(files: Seq[CdcMicroBatch.FileSlice])
     extends InputPartition
 
+  /** One hash bucket's whole file set as ONE keyed partition — what a
+    * storage-partitioned join groups on: the key is the bucket id, and
+    * Spark zips equal keys across the two sides with NO exchange
+    * ([[graft.sources.GraftBucketFunction]]). Empty file lists are
+    * legal (a runtime filter pruned the bucket; the task is a no-op)
+    * so both sides always present all N keys. */
+  final case class BucketFilesInputPartition(
+      files: Seq[CdcMicroBatch.FileSlice], bucketId: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](bucketId))
+  }
+
   /** SPLIT + PACK planned slices into input partitions, the way Spark's
     * own file scans do (`FilePartition.getFilePartitions` re-derived):
     * files larger than `spark.sql.files.maxPartitionBytes` split into
@@ -292,6 +307,7 @@ final class PlainReaderFactory(
     partition match {
       case PlainBatchRead.FileInputPartition(f) => Seq(f)
       case PlainBatchRead.FilesInputPartition(fs) => fs
+      case PlainBatchRead.BucketFilesInputPartition(fs, _) => fs
       case other => throw new IllegalArgumentException(
         s"unexpected partition type: ${other.getClass}")
     }

@@ -32,6 +32,7 @@ class GraftBatchSourceSpec extends SparkSpec {
         b.inputPartitions.map {
           case org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(_) => 1
           case org.apache.spark.sql.graft.PlainBatchRead.FilesInputPartition(fs) => fs.size
+          case org.apache.spark.sql.graft.PlainBatchRead.BucketFilesInputPartition(fs, _) => fs.size
           case _ => 1
         }.sum
     }.sum

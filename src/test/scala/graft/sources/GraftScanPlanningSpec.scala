@@ -133,6 +133,7 @@ class GraftScanPlanningSpec extends SparkSpec {
     parts.map {
       case org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(_) => 1
       case org.apache.spark.sql.graft.PlainBatchRead.FilesInputPartition(fs) => fs.size
+      case org.apache.spark.sql.graft.PlainBatchRead.BucketFilesInputPartition(fs, _) => fs.size
       case _ => 1
     }.sum
 
@@ -205,6 +206,7 @@ class GraftScanPlanningSpec extends SparkSpec {
       scanOf(df).toBatch.planInputPartitions().toSeq.flatMap {
         case PlainBatchRead.FileInputPartition(s) => Seq(s.path)
         case PlainBatchRead.FilesInputPartition(fs) => fs.map(_.path)
+        case PlainBatchRead.BucketFilesInputPartition(fs, _) => fs.map(_.path)
       }
     val read = spark.read.format("graft")
       .option("dir", dir).option("table", "bt")
@@ -291,6 +293,7 @@ class GraftScanPlanningSpec extends SparkSpec {
       case b: BatchScanExec => b.inputPartitions.map {
         case org.apache.spark.sql.graft.PlainBatchRead.FileInputPartition(_) => 1
         case org.apache.spark.sql.graft.PlainBatchRead.FilesInputPartition(fs) => fs.size
+        case org.apache.spark.sql.graft.PlainBatchRead.BucketFilesInputPartition(fs, _) => fs.size
         case _ => 1
       }.sum
     }

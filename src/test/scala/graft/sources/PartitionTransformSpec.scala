@@ -31,6 +31,7 @@ class PartitionTransformSpec extends SparkSpec {
       .toBatch.planInputPartitions().toSeq.flatMap {
         case PlainBatchRead.FileInputPartition(s) => Seq(s.path)
         case PlainBatchRead.FilesInputPartition(fs) => fs.map(_.path)
+        case PlainBatchRead.BucketFilesInputPartition(fs, _) => fs.map(_.path)
       }
 
   test("days(ts): writes range-cluster files; raw ts predicates prune") {

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+
+import org.apache.spark.sql.functions._
+
+/** STORAGE-PARTITIONED JOINS (SPJ): two graft tables hash-bucketed on
+  * the join keys report `KeyGroupedPartitioning(bucket(n, k))`, the
+  * planner resolves `bucket` through the catalog's V2 function
+  * ([[GraftBucketFunction]]) on both sides, and the join plans with NO
+  * exchange — each bucket id zips against its twin
+  * (`spark.sql.sources.v2.bucketing.enabled`, default on). The Iceberg
+  * capability, re-expressed over graft's portable-hash bucket layout.
+  * At 100 TB: a fact-fact join reads both sides co-located instead of
+  * shuffling them. */
+class StoragePartitionedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("gspj")
+  spark.conf.set("spark.sql.catalog.gj",
+    classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gj.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  // AQE hides exchanges from a naive collect (AdaptiveSparkPlanExec's
+  // children don't traverse) — count them in the rendered plan instead
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  private def noBroadcast[A](f: => A): A = {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("co-bucketed tables join with ZERO exchanges; results exact") {
+    spark.sql("CREATE TABLE gj.default.a (k BIGINT, va STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gj.default.b (k BIGINT, vb STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gj.default.a " +
+      "SELECT id, concat('a', id) FROM range(0, 1000)")
+    spark.sql("INSERT INTO gj.default.b " +
+      "SELECT id, concat('b', id) FROM range(500, 1500)")
+    noBroadcast {
+      val j = spark.sql("SELECT a.k, a.va, b.vb FROM gj.default.a a " +
+        "JOIN gj.default.b b ON a.k = b.k")
+      assert(shuffles(j) == 0,
+        s"co-bucketed join must plan NO exchange:\n${j.queryExecution.executedPlan}")
+      val rows = j.collect()
+      assert(rows.length == 500)
+      assert(rows.forall(r => r.getString(1) == s"a${r.getLong(0)}" &&
+        r.getString(2) == s"b${r.getLong(0)}"),
+        "every bucket must zip against its true twin — a bucket-id " +
+          "mismatch would silently drop or misjoin rows")
+    }
+  }
+
+  test("mismatched bucket counts fall back to a shuffled join, still exact") {
+    spark.sql("CREATE TABLE gj.default.c (k BIGINT, vc STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO gj.default.c " +
+      "SELECT id, concat('c', id) FROM range(0, 600)")
+    noBroadcast {
+      val j = spark.sql("SELECT a.k FROM gj.default.a a " +
+        "JOIN gj.default.c c ON a.k = c.k")
+      // different n → incompatible partitionings → Spark shuffles; the
+      // results must be exact either way
+      assert(j.count() == 600L)
+    }
+  }
+
+  test("updates and compaction keep SPJ valid (rows re-bucket in place)") {
+    // a keyed upsert rewrites touched buckets; compaction coalesces
+    // within buckets — SPJ must still zip correct twins afterwards
+    VersionedTable.load(lib, "a",
+      (0L until 50L).map(i => (i, s"A$i")).toDF("k", "va"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    VersionedTable.compact(lib, "b", 128L * 1024 * 1024)
+    noBroadcast {
+      val j = spark.sql("SELECT a.k, a.va, b.vb FROM gj.default.a a " +
+        "JOIN gj.default.b b ON a.k = b.k")
+      assert(shuffles(j) == 0, "SPJ must survive upsert + compaction")
+      val rows = j.collect()
+      assert(rows.length == 500)
+      assert(rows.forall { r =>
+        val k = r.getLong(0)
+        // keys < 50 never match (b starts at 500); the upsert only
+        // touched a-side values — check the joined values stay true
+        r.getString(1) == s"a$k" && r.getString(2) == s"b$k"
+      })
+    }
+  }
+
+  test("disabling the conf restores the shuffled plan (results identical)") {
+    val old = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try noBroadcast {
+      val j = spark.sql("SELECT a.k FROM gj.default.a a " +
+        "JOIN gj.default.b b ON a.k = b.k")
+      assert(shuffles(j) > 0, "with the conf off the join must shuffle")
+      assert(j.count() == 500L)
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", old)
+  }
+}
