@@ -48,7 +48,7 @@ object StorageQueries {
     "q_stream_sink_v2", "q_versioned_sql_ops", "q_stream_append_tail",
     "q_versioned_sql_merge", "q_versioned_sql_merge_full",
     "q_versioned_merge_evolve", "q_partition_transform",
-    "q_versioned_sql_join",
+    "q_versioned_spj", "q_versioned_sql_join",
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
@@ -68,6 +68,7 @@ object StorageQueries {
     streamSinkFixture(spark, sfDir)
     sqlOpsFixture(spark, sfDir)
     sqlMergeFullFixture(spark, sfDir)
+    sqlSpjFixture(spark, sfDir)
     sqlPtxFixture(spark, sfDir)
     sqlJoinFixture(spark, sfDir)
     sqlPointFixture(spark, sfDir)
@@ -822,6 +823,37 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the STORAGE-PARTITIONED-JOIN query (F64): an orders
+    * fact and a customer-rollup dim, BOTH hash-bucketed on the join key
+    * via `PARTITIONED BY (bucket(8, ...))` — the join must plan with
+    * ZERO exchanges (asserted in-query) and zip true twins. */
+  private val sqlSpjNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlSpjFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlSpjNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gspj${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlspj").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.fct " +
+        "(o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (bucket(8, o_custkey))")
+      spark.sql(s"INSERT INTO $name.default.fct " +
+        "SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey <= 4000")
+      spark.sql(s"CREATE TABLE $name.default.dim " +
+        "(c_custkey BIGINT, c_nationkey BIGINT) " +
+        "PARTITIONED BY (bucket(8, c_custkey))")
+      spark.sql(s"INSERT INTO $name.default.dim " +
+        "SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM customer")
+      name
+    })
+  }
+
   /** Fixture for the PARTITION-TRANSFORM query: an `events`-derived
     * table declared `PARTITIONED BY (days(ts))` — hidden partitioning.
     * Writes range-cluster files on the derived day, so the zone maps on
@@ -1345,6 +1377,30 @@ object StorageQueries {
         SELECT o_orderkey AS k,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS v, grade
         FROM $name.default.te ORDER BY k""")
+    },
+
+    // F64 STORAGE-PARTITIONED JOIN: both tables hash-bucketed on the
+    // join key — the plan must contain ZERO exchanges (asserted
+    // in-query: the whole point is eliminating the two fact shuffles at
+    // 100 TB), the bucket ids must zip true twins (hash-checked by the
+    // oracle's relational replay), and aggregation on top is exact.
+    "q_versioned_spj" -> { (spark, sfDir) =>
+      val name = sqlSpjFixture(spark, sfDir)
+      // the JOIN itself must be exchange-free (the rollup on top then
+      // legitimately shuffles once for its own non-bucket grouping key)
+      val bare = spark.sql(s"""
+        SELECT f.o_custkey FROM $name.default.fct f
+        JOIN $name.default.dim d ON f.o_custkey = d.c_custkey""")
+      val nShuffles = "Exchange hashpartitioning".r
+        .findAllIn(bare.queryExecution.executedPlan.toString).size
+      require(nShuffles == 0,
+        s"the co-bucketed join must plan ZERO exchanges, found $nShuffles")
+      spark.sql(s"""
+        SELECT d.c_nationkey, count(*) AS n,
+               sum(CAST(floor(f.o_totalprice * 100) AS BIGINT)) AS v
+        FROM $name.default.fct f JOIN $name.default.dim d
+          ON f.o_custkey = d.c_custkey
+        GROUP BY d.c_nationkey ORDER BY d.c_nationkey""")
     },
 
     // HIDDEN PARTITIONING: `PARTITIONED BY (days(ts))` records a
@@ -2187,6 +2243,16 @@ object StorageQueries {
         |            ELSE CAST(o_orderkey % 7 AS BIGINT) END AS grade
         |FROM orders WHERE o_orderkey <= 1200
         |ORDER BY k""".stripMargin,
+
+    "q_versioned_spj" ->
+      """SELECT c.c_nationkey, count(*) AS n,
+        |       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |FROM (SELECT o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderkey <= 4000) o
+        |JOIN (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |      FROM customer) c
+        |  ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
 
     "q_partition_transform" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n,

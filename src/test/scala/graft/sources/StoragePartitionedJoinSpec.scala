@@ -94,6 +94,18 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY the bucket key aggregates without an exchange") {
+    // a hash bucket holds COMPLETE key groups, so the same reported
+    // partitioning satisfies the aggregate's clustering too
+    val agg = spark.sql(
+      "SELECT k, count(*) AS n FROM gj.default.a GROUP BY k")
+    assert(shuffles(agg) == 0,
+      s"bucket-key aggregation must not shuffle:\n${agg.queryExecution.executedPlan}")
+    assert(agg.count() == 1000L)
+    assert(spark.sql("SELECT max(n) FROM (SELECT k, count(*) AS n " +
+      "FROM gj.default.a GROUP BY k)").head().getLong(0) == 1L)
+  }
+
   test("disabling the conf restores the shuffled plan (results identical)") {
     val old = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
