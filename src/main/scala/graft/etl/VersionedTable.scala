@@ -4033,6 +4033,115 @@ object VersionedTable {
     committed
   }
 
+  // -------------------------------------------------------------------- tags
+  //
+  // NAMED REFS: a tag is an immutable name → version pointer (Iceberg's
+  // `create_tag` shape; Delta spells the same need as a user-managed
+  // version note). One tiny JSON file per tag in the meta dir, created
+  // with create-exclusive semantics so concurrent same-name creates
+  // serialize through the filesystem — no manifest commit, O(1) on a
+  // table of any size. Tags PIN retention: [[vacuum]] (and
+  // `expire_snapshots`, which routes through it) keeps every version at
+  // or after the oldest tagged one, so `VERSION AS OF 'v1_release'`
+  // keeps answering until the tag is dropped. The retained set stays a
+  // contiguous SUFFIX (the pointer/delta-chain invariant), so a tag on
+  // v3 also retains v4+ — the cost of keeping the version list
+  // probe-free; drop old tags to release history.
+
+  private def tagPath(tgt: Catalog, table: String, name: String): Path =
+    new Path(metaDir(tgt, table), s"tag-$name.json")
+
+  /** Tag names: identifier-shaped, never digit-led — a name that could
+    * parse as a VERSION AS OF number would be ambiguous in every
+    * resolution surface. */
+  private def validTagName(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_.-]*"),
+      s"invalid tag name '$name' — use [A-Za-z_][A-Za-z0-9_.-]* " +
+        "(digit-led names would collide with version numbers)")
+
+  /** Create tag `name` → version `v` (must be a retained version). Tags
+    * are IMMUTABLE: re-pointing is drop + create, so a reader holding a
+    * tag name can never silently see a different state. */
+  def createTag(tgt: Catalog, table: String, name: String, v: Long): Unit = {
+    validTagName(name)
+    require(versions(tgt, table).contains(v),
+      s"table '$table' has no retained version $v to tag")
+    val f = fs(tgt, metaDir(tgt, table))
+    val p = tagPath(tgt, table, name)
+    val out =
+      try f.create(p, false)
+      catch { case e: java.io.IOException =>
+        if (f.exists(p)) throw new IllegalArgumentException(
+          s"tag '$name' already exists on '$table' — tags are immutable " +
+            "refs; drop it first to re-point")
+        else throw e
+      }
+    try out.write(mapper.writeValueAsBytes {
+      val o = mapper.createObjectNode()
+      o.put("version", v)
+      o.put("created_at", System.currentTimeMillis())
+      o
+    }) finally out.close()
+  }
+
+  /** Drop tag `name`; false when absent (with `ifExists`), error without. */
+  def dropTag(tgt: Catalog, table: String, name: String,
+              ifExists: Boolean = false): Boolean = {
+    validTagName(name)
+    val f = fs(tgt, metaDir(tgt, table))
+    val p = tagPath(tgt, table, name)
+    if (f.exists(p)) f.delete(p, false)
+    else if (ifExists) false
+    else throw new IllegalArgumentException(
+      s"table '$table' has no tag '$name'")
+  }
+
+  /** All tags of `table`: (name, version, created_at millis), name-sorted.
+    * Driver-side listing of the meta dir — O(tags), no data I/O. */
+  def tags(tgt: Catalog, table: String): Seq[(String, Long, Long)] = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val md = new Path(metaDir(tgt, table))
+    if (!f.exists(md)) Nil
+    else f.listStatus(md).toSeq
+      .filter(st => st.getPath.getName.startsWith("tag-") &&
+        st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val name = st.getPath.getName
+          .stripPrefix("tag-").stripSuffix(".json")
+        val in = f.open(st.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val o = mapper.readTree(txt)
+        (name, o.get("version").asLong(),
+          Option(o.get("created_at")).map(_.asLong()).getOrElse(0L))
+      }.sortBy(_._1)
+  }
+
+  /** The version tag `name` points at, when the tag exists. */
+  def tagVersion(tgt: Catalog, table: String, name: String): Option[Long] = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val p = tagPath(tgt, table, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(mapper.readTree(txt).get("version").asLong())
+    }
+  }
+
+  /** Resolve a VERSION AS OF ref: a number is a version, anything else a
+    * tag — the shared resolution of the SQL time-travel path and the
+    * reader option, so the two surfaces can never diverge. */
+  def resolveVersionRef(tgt: Catalog, table: String, ref: String): Long = {
+    val s = ref.trim
+    if (s.matches("[+-]?\\d+")) s.toLong
+    else tagVersion(tgt, table, s).getOrElse(
+      throw new IllegalArgumentException(
+        s"table '$table' has no tag '$s' — " +
+          s"available: ${tags(tgt, table).map(_._1).mkString(", ")}"))
+  }
+
   // ------------------------------------------------------------------- reads
 
   /** Absolute data-file paths version `v` references (audit/spec surface:
@@ -4998,8 +5107,15 @@ object VersionedTable {
              dryRun: Boolean = false): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     val vs = versions(tgt, table)
-    val keep = vs.takeRight(keepLast)
-    val drop = vs.dropRight(keepLast)
+    // TAGS pin retention: every version at or after the oldest tagged one
+    // survives (the retained set must stay a contiguous suffix — the
+    // pointer/delta-chain invariant), so a tagged state keeps answering
+    // `VERSION AS OF 'name'` until its tag is dropped
+    val pinned = tags(tgt, table).map(_._2)
+    val keepN = pinned.minOption.fold(keepLast)(lo =>
+      math.max(keepLast, vs.count(_ >= lo)))
+    val keep = vs.takeRight(keepN)
+    val drop = vs.dropRight(keepN)
     val f = fs(tgt, metaDir(tgt, table))
     // a version's referenced paths = its data files PLUS its DV sidecars
     // (both live in data dirs; an unreferenced sidecar reclaims exactly

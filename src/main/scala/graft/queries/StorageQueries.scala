@@ -52,7 +52,8 @@ object StorageQueries {
     "q_versioned_point_lookup", "q_versioned_check",
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
-    "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite")
+    "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
+    "q_versioned_tag")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -79,7 +80,8 @@ object StorageQueries {
     sqlColMapFixture(spark, sfDir)
     sqlColDefFixture(spark, sfDir)
     sqlWidenFixture(spark, sfDir)
-    sqlOverwriteFixture(spark, sfDir); ()
+    sqlOverwriteFixture(spark, sfDir)
+    sqlTagFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -680,6 +682,41 @@ object StorageQueries {
       spark.sql(s"INSERT OVERWRITE $name.default.ow " +
         "SELECT o_orderkey, o_totalprice * 2 FROM orders " +
         "WHERE o_orderkey > 400 AND o_orderkey <= 1200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the NAMED-REF query (F65): a tag stamped on the
+    * pre-overwrite version, the table overwritten, then VACUUMED down to
+    * keep_last=1 — the tag must PIN the tagged version through the
+    * vacuum (asserted here), and the query reads head + tag eras. */
+  private val sqlTagNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlTagFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlTagNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gtagq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqltag").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.tg " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.tg " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800")
+      spark.sql(s"CALL $name.system.create_tag('tg', 'raw_load', 2)")
+      spark.sql(s"INSERT OVERWRITE $name.default.tg " +
+        "SELECT o_orderkey, o_totalprice * 2 FROM orders " +
+        "WHERE o_orderkey > 400 AND o_orderkey <= 1200")
+      // the tag must pin v2 through a keep-only-head vacuum — the
+      // retention guarantee the named ref exists for
+      spark.sql(s"CALL $name.system.vacuum('tg', 1)").collect()
+      val cat = new Catalog(spark, dir)
+      require(VersionedTable.versions(cat, "tg").contains(2L),
+        "vacuum must keep the tagged version")
       (name, dir)
     })
   }
@@ -1745,6 +1782,19 @@ object StorageQueries {
       head.unionByName(pre).orderBy("era", "o_orderkey")
     },
 
+    // F65 NAMED REFS (tags) — `VERSION AS OF 'raw_load'` resolves an
+    // immutable tag → version pointer; the fixture vacuumed to
+    // keep_last=1 and asserted the tag PINNED the tagged version, so
+    // this read crossing the vacuum is the retention guarantee itself.
+    "q_versioned_tag" -> { (spark, sfDir) =>
+      val (name, _) = sqlTagFixture(spark, sfDir)
+      val head = spark.sql(s"""SELECT 'head' AS era, o_orderkey, o_totalprice
+        FROM $name.default.tg""")
+      val tagged = spark.sql(s"""SELECT 'tag' AS era, o_orderkey, o_totalprice
+        FROM $name.default.tg VERSION AS OF 'raw_load'""")
+      head.unionByName(tagged).orderBy("era", "o_orderkey")
+    },
+
     // F59 METADATA-ONLY TYPE WIDENING — ALTER COLUMN qty TYPE BIGINT
     // carries every file verbatim (fixture-asserted); narrow-era files
     // upcast in the readers, wide-era values exceed the int range, and
@@ -2405,6 +2455,14 @@ object StorageQueries {
         |FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 1200
         |UNION ALL
         |SELECT 'pre' AS era, o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 800
+        |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_versioned_tag" ->
+      """SELECT 'head' AS era, o_orderkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 1200
+        |UNION ALL
+        |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
 

@@ -250,9 +250,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def loadTable(ident: Identifier): Table = graftTable(ident, Map.empty)
 
-  /** SQL `VERSION AS OF v`. */
+  /** SQL `VERSION AS OF v` — a number is a version, anything else a TAG
+    * (`VERSION AS OF 'v1_release'` — the named-ref surface; tags resolve
+    * through [[VersionedTable.resolveVersionRef]], shared with the
+    * reader-option path). */
   override def loadTable(ident: Identifier, version: String): Table =
-    graftTable(ident, Map("versionAsOf" -> version.toLong.toString))
+    graftTable(ident, Map("versionAsOf" -> VersionedTable.resolveVersionRef(
+      catFor(ident.namespace), tableName(ident), version).toString))
 
   /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch.
     * Resolved against the identifier's NAMESPACE (like every other
@@ -717,13 +721,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "recluster" => GraftProcedures.recluster(() => cat)
       case "expire_snapshots" => GraftProcedures.expireSnapshots(() => cat)
       case "set_partition_spec" => GraftProcedures.setPartitionSpec(() => cat)
+      case "create_tag" => GraftProcedures.createTag(() => cat)
+      case "drop_tag" => GraftProcedures.dropTag(() => cat)
+      case "tags" => GraftProcedures.tags(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
           "rollback(table, version), vacuum(table, keep_last), " +
           "compact(table, target_bytes), clone(source, target, version), " +
           "recluster(table, cluster_by, target_bytes), " +
           "expire_snapshots(table, older_than), " +
-          "set_partition_spec(table, spec)")
+          "set_partition_spec(table, spec), " +
+          "create_tag(table, name, version), drop_tag(table, name), " +
+          "tags(table)")
     }
   }
 
@@ -754,8 +763,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // system — one shared predicate); any other namespace lists empty
     // rather than duplicating the set under every name
     if (procedureNamespace(namespace))
-      Array("clone", "compact", "expire_snapshots", "history", "recluster",
-        "rollback", "set_partition_spec", "vacuum")
+      Array("clone", "compact", "create_tag", "drop_tag", "expire_snapshots",
+        "history", "recluster", "rollback", "set_partition_spec", "tags",
+        "vacuum")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 }

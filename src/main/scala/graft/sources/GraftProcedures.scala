@@ -195,6 +195,71 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.create_tag('t', 'v1_release', 3)` — NAMED REFS: an
+    * immutable tag → version pointer (`SELECT ... FROM t VERSION AS OF
+    * 'v1_release'`), one O(1) meta-dir file, no manifest commit. A tag
+    * PINS retention: vacuum/expire keep every version at or after the
+    * oldest tagged one until the tag is dropped. Returns the tagged
+    * version. */
+  def createTag(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("create_tag",
+      "tag a retained version with an immutable name (pins retention)",
+      Array(param("table", StringType), param("name", StringType),
+        param("version", LongType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val v = input.getLong(2)
+        VersionedTable.createTag(cat(), input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString, v)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("tagged_version", LongType,
+            nullable = false))), v)
+      }
+    }
+
+  /** `CALL g.system.drop_tag('t', 'v1_release')` — drop a tag (releases
+    * its retention pin); returns whether a tag was dropped. */
+  def dropTag(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("drop_tag",
+      "drop a named tag, releasing its retention pin",
+      Array(param("table", StringType), param("name", StringType),
+        ProcedureParameter.in("if_exists", BooleanType)
+          .defaultValue("false").build())) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val ifExists = !input.isNullAt(2) && input.getBoolean(2)
+        val dropped = VersionedTable.dropTag(cat(),
+          input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString, ifExists)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("dropped", BooleanType,
+            nullable = false))), dropped)
+      }
+    }
+
+  /** `CALL g.system.tags('t')` — one row per tag (name, version,
+    * created_at millis), name-sorted. */
+  def tags(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("tags",
+      "list a table's named tags (pure metadata)",
+      Array(param("table", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val rows = VersionedTable.tags(cat(),
+          input.getUTF8String(0).toString).map { case (n, v, ts) =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n), v, ts))
+            : InternalRow
+        }.toArray
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", StringType,
+            nullable = false),
+          org.apache.spark.sql.types.StructField("version", LongType,
+            nullable = false),
+          org.apache.spark.sql.types.StructField("created_at", LongType,
+            nullable = false)))
+        Collections.singletonList[Scan](
+          new ResultScan(schema, rows)).iterator()
+      }
+    }
+
   /** `CALL g.system.set_partition_spec('t', 'days(ts), truncate(4, h)')`
     * — partition-spec EVOLUTION as one metadata commit: old files stay
     * exactly as prunable as they were (file skipping reads zone maps,

@@ -843,18 +843,21 @@ object GraftTableProvider {
   }
 
   /** Resolve the time-travel options to a concrete version: `versionAsOf`
-    * wins alone, `timestampAsOf` (epoch millis, or ISO-8601 parsed as
-    * UTC — the project-wide session contract) resolves by manifest
-    * commit time; both together are rejected. */
+    * wins alone (a number is a version, anything else a TAG — the same
+    * [[VersionedTable.resolveVersionRef]] the SQL path uses),
+    * `timestampAsOf` (epoch millis, or ISO-8601 parsed as UTC — the
+    * project-wide session contract) resolves by manifest commit time;
+    * both together are rejected. */
   private[sources] def resolveVersion(cat: Catalog, table: String,
                                       versionAsOf: Option[String],
                                       timestampAsOf: Option[String]): Option[Long] = {
     require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
-    versionAsOf.map(_.toLong).orElse(timestampAsOf.map { t =>
-      VersionedTable.versionAt(cat, table,
-        graft.streaming.CdcStreamProvider.parseUtcMillis(t))
-    })
+    versionAsOf.map(VersionedTable.resolveVersionRef(cat, table, _))
+      .orElse(timestampAsOf.map { t =>
+        VersionedTable.versionAt(cat, table,
+          graft.streaming.CdcStreamProvider.parseUtcMillis(t))
+      })
   }
 
   /** EXACT translation of a pushed `sources.Filter` back into a Column —
