@@ -749,6 +749,13 @@ object VersionedTable {
       : Option[org.apache.spark.sql.types.StructType] =
     readManifest(tgt, table, v).flatMap(recordedSchema)
 
+  /** Whether the head's recorded schema declares any GENERATED column —
+    * the merge-on-read row-op gate's cheap engine-side probe (one
+    * LRU-cached manifest read, no data I/O). */
+  private[graft] def hasGeneratedColumns(tgt: Catalog, table: String): Boolean =
+    currentVersion(tgt, table).flatMap(recordedSchemaAt(tgt, table, _))
+      .exists(GeneratedCols.hasGenerated)
+
   /** Recorded schemas normalize to ALL-NULLABLE (deeply) before entering
     * the manifest — the parquet read contract the legacy footer probe
     * always surfaced. Recording an INSERT batch's literal non-nullability
@@ -2100,6 +2107,20 @@ object VersionedTable {
     }
   }
 
+  /** GENERATED / IDENTITY materialization over a user-provided write
+    * frame, driven by the parent manifest's RECORDED schema (the
+    * declarations live there as field metadata) — the shared pre-write
+    * hook of the load, overwrite, and copy-on-write row-op paths. A
+    * table without declarations passes through untouched. */
+  private def prepareDeclaredColumns(tgt: Catalog, headMan: Option[Manifest],
+                                     df: DataFrame,
+                                     verifyProvided: Boolean = true): DataFrame =
+    headMan.flatMap(recordedSchema) match {
+      case Some(s) if GeneratedCols.hasGenerated(s) =>
+        GeneratedCols.materialize(tgt.spark, s, df, verifyProvided)
+      case _ => df
+    }
+
   // -------------------------------------------------------------------- load
 
   /** Load `incoming` as the next version. Append (no `upsertFields`) writes
@@ -2137,7 +2158,7 @@ object VersionedTable {
     * ride the committed manifest's props map ATOMICALLY with the data —
     * the hook idempotent writers (the streaming sink's epoch stamp) hang
     * their dedup state on. */
-  private def loadAttempt(tgt: Catalog, table: String, incoming: DataFrame,
+  private def loadAttempt(tgt: Catalog, table: String, incoming0: DataFrame,
                           upsertFields: Seq[String], idOrder: Seq[String],
                           ensure: Boolean, safe: Boolean,
                           bucketBy: Option[(Seq[String], Int)],
@@ -2147,6 +2168,10 @@ object VersionedTable {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     val headMan = cur.flatMap(v => readManifest(tgt, table, v))
+    // GENERATED / IDENTITY columns materialize on the INCOMING frame
+    // before any merge or staging: computed values land in the written
+    // bytes, provided mismatches refuse in-flight (GeneratedCols)
+    val incoming = prepareDeclaredColumns(tgt, headMan, incoming0)
     // CHECK constraint to enforce on this commit: this load's own
     // declaration wins over the recorded one. A NEWLY-declared (or
     // changed) constraint on a non-empty table additionally validates
@@ -2403,6 +2428,17 @@ object VersionedTable {
       require(!refs.exists(_.equalsIgnoreCase(name)),
         s"cannot $verb '$name': the table's CHECK constraint references " +
           s"it ($c)")
+    }
+    // a base column a GENERATED column is computed from: renaming or
+    // dropping it would dangle the recorded expression text
+    recordedSchema(man).foreach { s =>
+      GeneratedCols.generationExprs(s).foreach { case (f, sql) =>
+        if (!f.name.equalsIgnoreCase(name))
+          require(!GeneratedCols.referencedCols(tgt.spark, sql)
+            .exists(_.equalsIgnoreCase(name)),
+            s"cannot $verb '$name': generated column '${f.name}' is " +
+              s"computed from it ($sql)")
+      }
     }
   }
 
@@ -2890,8 +2926,9 @@ object VersionedTable {
           s"INSERT OVERWRITE: versioned table '$table' not found"))
       val headMan = readManifest(tgt, table, cur).get
       val floor = headMan.maxId.getOrElse(0L)
-      val incoming = if (incoming0.columns.contains(Loader.IdCol))
-        incoming0.drop(Loader.IdCol) else incoming0
+      val incoming = prepareDeclaredColumns(tgt, Some(headMan),
+        if (incoming0.columns.contains(Loader.IdCol))
+          incoming0.drop(Loader.IdCol) else incoming0)
       val out = Loader.withSurrogateIds(incoming, floor,
         incoming.columns.toSeq)
       val physOf = extendMapping(Some(headMan), out.schema)
@@ -2976,8 +3013,13 @@ object VersionedTable {
     require(removeRel.size == removedAbs.size,
       s"row-level replace lost track of scanned files: planned " +
         s"${removedAbs.size}, matched ${removeRel.size} in v$expectedVersion")
-    val replacement = if (replacement0.columns.contains(Loader.IdCol))
-      replacement0.drop(Loader.IdCol) else replacement0
+    // verifyProvided = false: Spark's group-based row ops re-emit the
+    // PRE-update derived values it scanned — recompute them outright so
+    // an UPDATE on a base column refreshes its generated columns
+    val replacement = prepareDeclaredColumns(tgt, Some(headMan),
+      if (replacement0.columns.contains(Loader.IdCol))
+        replacement0.drop(Loader.IdCol) else replacement0,
+      verifyProvided = false)
     val floor = headMan.maxId.getOrElse(
       footerMaxId(tgt, headMan.files.map(r =>
         new Path(dataDir(tgt, table), r).toString)).getOrElse(0L))

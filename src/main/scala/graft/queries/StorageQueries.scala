@@ -53,7 +53,7 @@ object StorageQueries {
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
-    "q_versioned_tag")
+    "q_versioned_tag", "q_generated_column")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -81,7 +81,8 @@ object StorageQueries {
     sqlColDefFixture(spark, sfDir)
     sqlWidenFixture(spark, sfDir)
     sqlOverwriteFixture(spark, sfDir)
-    sqlTagFixture(spark, sfDir); ()
+    sqlTagFixture(spark, sfDir)
+    sqlGenFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -717,6 +718,36 @@ object StorageQueries {
       val cat = new Catalog(spark, dir)
       require(VersionedTable.versions(cat, "tg").contains(2L),
         "vacuum must keep the tagged version")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the GENERATED-COLUMN query (F66): a column computed by
+    * the ENGINE on every write — the INSERT omits it (computed), the
+    * UPDATE changes its base column (recomputed by the copy-on-write
+    * row op), and the oracle re-derives both eras from the source rows.
+    * FLOOR keeps the double→bigint step engine-independent (Spark CAST
+    * truncates, DuckDB CAST rounds). */
+  private val sqlGenNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlGenFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlGenNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"ggenq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlgen").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.gn " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, cents BIGINT " +
+        "GENERATED ALWAYS AS (CAST(FLOOR(o_totalprice * 100) AS BIGINT)))")
+      spark.sql(s"INSERT INTO $name.default.gn (o_orderkey, o_totalprice) " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      spark.sql(s"UPDATE $name.default.gn " +
+        "SET o_totalprice = o_totalprice * 2 WHERE o_orderkey <= 300")
       (name, dir)
     })
   }
@@ -1795,6 +1826,17 @@ object StorageQueries {
       head.unionByName(tagged).orderBy("era", "o_orderkey")
     },
 
+    // F66 GENERATED COLUMNS — `cents` is never supplied by a write: the
+    // INSERT omits it (engine computes), the UPDATE doubles its BASE
+    // column (the copy-on-write row op recomputes), and the oracle
+    // re-derives the expression over both eras from the source rows.
+    "q_generated_column" -> { (spark, sfDir) =>
+      val (name, _) = sqlGenFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, o_totalprice, cents FROM $name.default.gn
+        ORDER BY o_orderkey""")
+    },
+
     // F59 METADATA-ONLY TYPE WIDENING — ALTER COLUMN qty TYPE BIGINT
     // carries every file verbatim (fixture-asserted); narrow-era files
     // upcast in the readers, wide-era values exceed the int range, and
@@ -2465,6 +2507,16 @@ object StorageQueries {
         |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_generated_column" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey <= 300 THEN o_totalprice * 2
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       CAST(FLOOR((CASE WHEN o_orderkey <= 300 THEN o_totalprice * 2
+        |                        ELSE o_totalprice END) * 100) AS BIGINT)
+        |         AS cents
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_alter_widen_type" ->
       """SELECT o_orderkey,

@@ -77,7 +77,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // GENERATED ALWAYS AS (expr): Spark parses + validates the
+      // expression at CREATE; the engine records it as field metadata
+      // and computes/verifies it on every write (GeneratedCols)
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def defaultNamespace(): Array[String] = Array("default")
 
@@ -344,9 +349,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new TableAlreadyExistsException(ident.asInstanceOf[Identifier])
     // defaults/comments ride the schema as field metadata — a CREATE-time
     // DEFAULT becomes the column's CURRENT_DEFAULT (all files carry the
-    // column physically from birth, so EXISTS_DEFAULT never fires here)
-    val schema = org.apache.spark.sql.graft.DefaultColumns
-      .v2ColumnsToStructType(columns)
+    // column physically from birth, so EXISTS_DEFAULT never fires here);
+    // generated-column declarations re-attach the same way (the base
+    // conversion drops them)
+    val schema = graft.etl.GeneratedCols.attachDeclarations(columns,
+      org.apache.spark.sql.graft.DefaultColumns.v2ColumnsToStructType(columns))
     VersionedTable.validatePartSpec(pSpec, schema)
     // version 1 = one empty schema-bearing file: the table exists, reads
     // are empty, the first INSERT is version 2; the bucket layout and
@@ -458,8 +465,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       if (!must && exists)
         throw new TableAlreadyExistsException(ident.asInstanceOf[Identifier])
     }
-    val schema = org.apache.spark.sql.graft.DefaultColumns
-      .v2ColumnsToStructType(info.columns())
+    val schema = graft.etl.GeneratedCols.attachDeclarations(info.columns(),
+      org.apache.spark.sql.graft.DefaultColumns
+        .v2ColumnsToStructType(info.columns()))
     VersionedTable.validatePartSpec(pSpec, schema)
     new GraftStagedTable(c, t, schema,
       validatedTableProps(c, schema, info.properties()) ++

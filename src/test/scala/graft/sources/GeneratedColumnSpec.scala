@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.etl.{Catalog, VersionedTable}
+
+/** GENERATED COLUMNS (`GENERATED ALWAYS AS (expr)`): Spark validates the
+  * expression at CREATE (catalog capability); the ENGINE computes the
+  * column on every write — omitted/null values compute from the row's
+  * base columns, provided non-null values must match or the write
+  * refuses in-flight — and recomputes on copy-on-write UPDATE/MERGE so
+  * a SET on a base column can never leave the derived value stale. */
+class GeneratedColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("ggen")
+  spark.conf.set("spark.sql.catalog.ggen",
+    classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.ggen.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  test("omitted and null values compute; full-width matches pass") {
+    spark.sql("CREATE TABLE ggen.default.t (k BIGINT, v STRING, " +
+      "twice BIGINT GENERATED ALWAYS AS (k * 2))")
+    // by-name INSERT omitting the generated column → engine computes
+    spark.sql("INSERT INTO ggen.default.t (k, v) VALUES (1, 'a'), (2, 'b')")
+    // full-width INSERT providing the MATCHING value → passes
+    spark.sql("INSERT INTO ggen.default.t VALUES (3, 'c', 6)")
+    // explicit NULL = omitted → computes
+    spark.sql("INSERT INTO ggen.default.t VALUES (4, 'd', NULL)")
+    val rows = spark.sql(
+      "SELECT k, twice FROM ggen.default.t ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L)))
+  }
+
+  test("a provided mismatch refuses the write; nothing commits") {
+    spark.sql("CREATE TABLE ggen.default.m (k BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (k * 2))")
+    spark.sql("INSERT INTO ggen.default.m VALUES (1, 2)")
+    val before = VersionedTable.currentVersion(lib, "m").get
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO ggen.default.m VALUES (5, 11)"))
+    assert(Option(e.getMessage).getOrElse(
+      e.getCause.getMessage).contains("GENERATED") ||
+      e.toString.contains("GENERATED"),
+      s"refusal must name the generated column: $e")
+    assert(VersionedTable.currentVersion(lib, "m").get == before,
+      "a refused write must not commit")
+    assert(spark.sql("SELECT count(*) FROM ggen.default.m")
+      .head().getLong(0) == 1L)
+  }
+
+  test("CoW UPDATE recomputes; MERGE keeps derived values consistent") {
+    spark.sql("CREATE TABLE ggen.default.u (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(price * 100 AS BIGINT)))")
+    spark.sql("INSERT INTO ggen.default.u (k, price) " +
+      "VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    // UPDATE of the BASE column must recompute the derived one
+    spark.sql("UPDATE ggen.default.u SET price = 10.0 WHERE k = 2")
+    assert(spark.sql("SELECT cents FROM ggen.default.u WHERE k = 2")
+      .head().getLong(0) == 1000L)
+    // MERGE: updated and inserted rows recompute too
+    Seq((3L, 7.0), (4L, 9.0)).toDF("k", "price")
+      .createOrReplaceTempView("src_gen")
+    spark.sql("""MERGE INTO ggen.default.u t USING src_gen s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET t.price = s.price
+      WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)""")
+    val rows = spark.sql(
+      "SELECT k, cents FROM ggen.default.u ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 150L), (2L, 1000L), (3L, 700L), (4L, 900L)))
+  }
+
+  test("library loads compute too, including narrow frames") {
+    spark.sql("CREATE TABLE ggen.default.lib (k BIGINT, v STRING, " +
+      "twice BIGINT GENERATED ALWAYS AS (k * 2))")
+    // library-path load omitting the generated column entirely
+    VersionedTable.load(lib, "lib", Seq((10L, "x")).toDF("k", "v"))
+    // narrow frame omitting a BASE column the expression references:
+    // its rows read k null → twice computes null
+    VersionedTable.load(lib, "lib", Seq("y").toDF("v"))
+    val rows = spark.sql(
+      "SELECT v, twice FROM ggen.default.lib ORDER BY v").collect()
+    assert(rows.map(r => (r.getString(0),
+      if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq(("x", 20L), ("y", -1L)))
+  }
+
+  test("DDL guards: bad expressions refuse at CREATE; refusal matrix; DESCRIBE") {
+    // a non-deterministic / unresolvable expression refuses at CREATE
+    intercept[Exception](spark.sql("CREATE TABLE ggen.default.bad1 " +
+      "(k BIGINT, g DOUBLE GENERATED ALWAYS AS (rand()))"))
+    intercept[Exception](spark.sql("CREATE TABLE ggen.default.bad2 " +
+      "(k BIGINT, g BIGINT GENERATED ALWAYS AS (nope + 1))"))
+    spark.sql("CREATE TABLE ggen.default.d (k BIGINT, v STRING, " +
+      "twice BIGINT GENERATED ALWAYS AS (k * 2))")
+    spark.sql("INSERT INTO ggen.default.d (k, v) VALUES (1, 'a')")
+    // renaming/dropping the referenced BASE column refuses
+    val re = intercept[Exception](spark.sql(
+      "ALTER TABLE ggen.default.d RENAME COLUMN k TO kk"))
+    assert(re.getMessage.contains("generated"))
+    val de = intercept[Exception](spark.sql(
+      "ALTER TABLE ggen.default.d DROP COLUMN k"))
+    assert(de.getMessage.contains("generated"))
+    // the generated column itself may rename (expression text unchanged)
+    spark.sql("ALTER TABLE ggen.default.d RENAME COLUMN twice TO dbl")
+    assert(spark.sql("SELECT dbl FROM ggen.default.d").head().getLong(0) == 2L)
+    // DESCRIBE round-trips the declaration from the recorded metadata
+    val desc = spark.sql("DESCRIBE TABLE ggen.default.d").collect()
+      .map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("dbl"), desc)
+  }
+
+  test("merge-on-read tables with generated columns refuse UPDATE/MERGE") {
+    spark.sql("CREATE TABLE ggen.default.mor (k BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (k * 2)) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO ggen.default.mor (k) VALUES (1), (2)")
+    val e = intercept[Exception](spark.sql(
+      "UPDATE ggen.default.mor SET k = 9 WHERE k = 1"))
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    // DELETE stays available (removes rows; no value to go stale)
+    spark.sql("DELETE FROM ggen.default.mor WHERE k = 1")
+    assert(spark.sql("SELECT k, twice FROM ggen.default.mor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 4L)))
+  }
+}
