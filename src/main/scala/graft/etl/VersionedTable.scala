@@ -749,12 +749,12 @@ object VersionedTable {
       : Option[org.apache.spark.sql.types.StructType] =
     readManifest(tgt, table, v).flatMap(recordedSchema)
 
-  /** Whether the head's recorded schema declares any GENERATED column —
-    * the merge-on-read row-op gate's cheap engine-side probe (one
-    * LRU-cached manifest read, no data I/O). */
+  /** Whether the head's recorded schema declares any GENERATED or
+    * IDENTITY column — the merge-on-read row-op gate's cheap engine-side
+    * probe (one LRU-cached manifest read, no data I/O). */
   private[graft] def hasGeneratedColumns(tgt: Catalog, table: String): Boolean =
     currentVersion(tgt, table).flatMap(recordedSchemaAt(tgt, table, _))
-      .exists(GeneratedCols.hasGenerated)
+      .exists(s => GeneratedCols.hasGenerated(s) || GeneratedCols.hasIdentity(s))
 
   /** Recorded schemas normalize to ALL-NULLABLE (deeply) before entering
     * the manifest — the parquet read contract the legacy footer probe
@@ -2111,15 +2111,74 @@ object VersionedTable {
     * frame, driven by the parent manifest's RECORDED schema (the
     * declarations live there as field metadata) — the shared pre-write
     * hook of the load, overwrite, and copy-on-write row-op paths. A
-    * table without declarations passes through untouched. */
-  private def prepareDeclaredColumns(tgt: Catalog, headMan: Option[Manifest],
+    * table without declarations passes through untouched.
+    *
+    * IDENTITY assignment is WATERMARK-FREE: the next value derives from
+    * the head's recorded zone maps over the identity column (manifest
+    * math, zero file I/O — one scan fallback for stat gaps), so
+    * rollback/compaction/clone need no bookkeeping and the direction
+    * invariant holds against whatever state is actually committed.
+    * Deleted rows' stats over-approximate the extreme — the safe
+    * direction (values never reissue under a live head). */
+  private def prepareDeclaredColumns(tgt: Catalog, table: String,
+                                     headMan: Option[Manifest],
                                      df: DataFrame,
                                      verifyProvided: Boolean = true): DataFrame =
     headMan.flatMap(recordedSchema) match {
-      case Some(s) if GeneratedCols.hasGenerated(s) =>
-        GeneratedCols.materialize(tgt.spark, s, df, verifyProvided)
+      case Some(s) =>
+        val d1 =
+          if (GeneratedCols.hasGenerated(s))
+            GeneratedCols.materialize(tgt.spark, s, df, verifyProvided)
+          else df
+        GeneratedCols.identitySpecs(s).foldLeft(d1) { case (d, (f, spec)) =>
+          val asc = spec.getStep > 0
+          val withCol =
+            if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          // GENERATED ALWAYS AS IDENTITY: explicit values refuse (one
+          // bounded probe); BY DEFAULT keeps provided values and fills
+          // the rest. Row-op frames (verifyProvided = false) re-emit
+          // EXISTING rows' values — never refused, never re-stamped.
+          if (verifyProvided && !spec.isAllowExplicitInsert)
+            require(withCol.filter(col(f.name).isNotNull).limit(1).isEmpty,
+              s"identity column '${f.name}' is GENERATED ALWAYS — " +
+                "explicit values are not accepted (declare GENERATED BY " +
+                "DEFAULT to allow them)")
+          val next = identityHighWater(tgt, table, headMan.get, f.name, asc)
+            .map(_ + spec.getStep).getOrElse(spec.getStart)
+          org.apache.spark.sql.graft.IdentityStamp.stamp(
+            withCol, withCol.columns.find(_.equalsIgnoreCase(f.name)).get,
+            next, spec.getStep)
+        }
       case _ => df
     }
+
+  /** The committed extreme of identity column `colName` in `man`'s
+    * state: the max (ascending) / min (descending) over the recorded
+    * per-file zone maps — pure manifest math when every row-bearing
+    * file records a usable range, ONE aggregation scan otherwise. None
+    * on an empty table (the next value is the declared START). */
+  private def identityHighWater(tgt: Catalog, table: String, man: Manifest,
+                                colName: String, asc: Boolean): Option[Long] = {
+    val bearing = man.files.filter(r => man.rows.get(r).forall(_ > 0))
+    if (bearing.isEmpty) return None
+    val perFile: Seq[Option[Long]] = bearing.map { r =>
+      man.stats.get(r).flatMap(_.get(colName)).flatMap {
+        case ("long", lo, hi) =>
+          scala.util.Try((if (asc) hi else lo).toLong).toOption
+        case _ => None
+      }
+    }
+    if (perFile.forall(_.isDefined))
+      Some(perFile.flatten.reduce((a, b) =>
+        if (asc) math.max(a, b) else math.min(a, b)))
+    else {
+      val r = readVersion(tgt, table, man.version)
+        .agg((if (asc) max(col(colName).cast("long"))
+              else min(col(colName).cast("long"))).as("x")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
 
   // -------------------------------------------------------------------- load
 
@@ -2171,7 +2230,7 @@ object VersionedTable {
     // GENERATED / IDENTITY columns materialize on the INCOMING frame
     // before any merge or staging: computed values land in the written
     // bytes, provided mismatches refuse in-flight (GeneratedCols)
-    val incoming = prepareDeclaredColumns(tgt, headMan, incoming0)
+    val incoming = prepareDeclaredColumns(tgt, table, headMan, incoming0)
     // CHECK constraint to enforce on this commit: this load's own
     // declaration wins over the recorded one. A NEWLY-declared (or
     // changed) constraint on a non-empty table additionally validates
@@ -2926,7 +2985,7 @@ object VersionedTable {
           s"INSERT OVERWRITE: versioned table '$table' not found"))
       val headMan = readManifest(tgt, table, cur).get
       val floor = headMan.maxId.getOrElse(0L)
-      val incoming = prepareDeclaredColumns(tgt, Some(headMan),
+      val incoming = prepareDeclaredColumns(tgt, table, Some(headMan),
         if (incoming0.columns.contains(Loader.IdCol))
           incoming0.drop(Loader.IdCol) else incoming0)
       val out = Loader.withSurrogateIds(incoming, floor,
@@ -3016,7 +3075,7 @@ object VersionedTable {
     // verifyProvided = false: Spark's group-based row ops re-emit the
     // PRE-update derived values it scanned — recompute them outright so
     // an UPDATE on a base column refreshes its generated columns
-    val replacement = prepareDeclaredColumns(tgt, Some(headMan),
+    val replacement = prepareDeclaredColumns(tgt, table, Some(headMan),
       if (replacement0.columns.contains(Loader.IdCol))
         replacement0.drop(Loader.IdCol) else replacement0,
       verifyProvided = false)

@@ -53,7 +53,7 @@ object StorageQueries {
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
-    "q_versioned_tag", "q_generated_column")
+    "q_versioned_tag", "q_generated_column", "q_identity_column")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -82,7 +82,8 @@ object StorageQueries {
     sqlWidenFixture(spark, sfDir)
     sqlOverwriteFixture(spark, sfDir)
     sqlTagFixture(spark, sfDir)
-    sqlGenFixture(spark, sfDir); ()
+    sqlGenFixture(spark, sfDir)
+    sqlIdnFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -748,6 +749,40 @@ object StorageQueries {
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
       spark.sql(s"UPDATE $name.default.gn " +
         "SET o_totalprice = o_totalprice * 2 WHERE o_orderkey <= 300")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the IDENTITY-COLUMN query (F67): the engine assigns
+    * rid = 1, 2, ... in the write's partition-major order — the INSERTs
+    * are ORDER BY o_orderkey with disjoint increasing key ranges, so the
+    * assignment is deterministically row_number() over o_orderkey and
+    * the DuckDB oracle can recompute it; the UPDATE then proves a
+    * copy-on-write rewrite KEEPS existing rows' identity values. */
+  private val sqlIdnNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlIdnFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlIdnNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gidnq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlidn").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.idn " +
+        "(rid BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.idn (o_orderkey, o_totalprice) " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey <= 1000 ORDER BY o_orderkey")
+      spark.sql(s"INSERT INTO $name.default.idn (o_orderkey, o_totalprice) " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > 1000 AND o_orderkey <= 1400 ORDER BY o_orderkey")
+      spark.sql(s"UPDATE $name.default.idn " +
+        "SET o_totalprice = o_totalprice * 3 WHERE o_orderkey <= 200")
       (name, dir)
     })
   }
@@ -1837,6 +1872,17 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // F67 IDENTITY COLUMNS — rid is engine-assigned (never in any
+    // INSERT), monotone across the two commits, and STABLE through the
+    // copy-on-write UPDATE rewrite; the oracle recomputes it as
+    // row_number() over the deterministically-ordered insert stream.
+    "q_identity_column" -> { (spark, sfDir) =>
+      val (name, _) = sqlIdnFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT rid, o_orderkey, o_totalprice FROM $name.default.idn
+        ORDER BY rid""")
+    },
+
     // F59 METADATA-ONLY TYPE WIDENING — ALTER COLUMN qty TYPE BIGINT
     // carries every file verbatim (fixture-asserted); narrow-era files
     // upcast in the readers, wide-era values exceed the int range, and
@@ -2507,6 +2553,14 @@ object StorageQueries {
         |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_identity_column" ->
+      """SELECT row_number() OVER (ORDER BY o_orderkey) AS rid,
+        |       o_orderkey,
+        |       CASE WHEN o_orderkey <= 200 THEN o_totalprice * 3
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey <= 1400
+        |ORDER BY rid""".stripMargin,
 
     "q_generated_column" ->
       """SELECT o_orderkey,

@@ -82,7 +82,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       // expression at CREATE; the engine records it as field metadata
       // and computes/verifies it on every write (GeneratedCols)
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // GENERATED { ALWAYS | BY DEFAULT } AS IDENTITY: the engine
+      // assigns start + i*step to null slots on every write, next value
+      // derived watermark-free from the head's zone maps
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def defaultNamespace(): Array[String] = Array("default")
 

@@ -176,9 +176,10 @@ private[sources] final class GraftBatchTable(
         "merge-on-read operations need the _pos metadata column, which " +
           "this table's own _pos data column shadows — rename the column")
       // the delta op stages updated/inserted rows executor-side, past
-      // the engine's generated-column materialization hook — refuse
+      // the engine's generated/identity materialization hook — refuse
       // UPDATE/MERGE rather than commit rows whose generated values
-      // could go stale (DELETE only removes rows: nothing to recompute)
+      // could go stale or whose identity slots stay null (DELETE only
+      // removes rows: nothing to recompute or assign)
       val isDelete = info.command() ==
         org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
       require(isDelete || (!graft.etl.GeneratedCols.hasGenerated(dataSchema) && {
@@ -186,9 +187,9 @@ private[sources] final class GraftBatchTable(
         !(for { d <- opt(options, "dir"); t <- opt(options, "table") } yield
           VersionedTable.hasGeneratedColumns(
             new Catalog(SparkSession.active, d), t)).getOrElse(false)
-      }), "UPDATE/MERGE on a merge-on-read table with GENERATED columns " +
-        "is not supported — set write.mode to copy-on-write for this " +
-        "table (DELETE works either way)")
+      }), "UPDATE/MERGE on a merge-on-read table with GENERATED or " +
+        "IDENTITY columns is not supported — set write.mode to " +
+        "copy-on-write for this table (DELETE works either way)")
       GraftDeltaRowLevelOps.builder(dataSchema, options)(info)
     } else GraftRowLevelOps.builder(dataSchema, options)(info)
   }
