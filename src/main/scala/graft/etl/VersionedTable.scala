@@ -459,6 +459,17 @@ object VersionedTable {
     * the rename/drop refusal matrix like bucket keys. */
   private[graft] val PartitionSpecProp = "partition_spec"
 
+  /** CLUSTER BY marker: the user's `CLUSTER BY (a, b)` column list, kept
+    * ALONGSIDE the identity [[PartitionSpecProp]] transforms it expands
+    * to (the arrangement machinery is shared) so `partitioning()` can
+    * report the declaration back in its original shape. */
+  private[graft] val ClusterByProp = "cluster_by_cols"
+
+  private[graft] def clusterByOf(props: Map[String, String]): Seq[String] =
+    props.get(ClusterByProp)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
   /** One declared transform: `fn` ∈ identity|years|months|days|hours|
     * truncate (`n` = truncate width, 0 otherwise). */
   private[graft] final case class PartTransform(fn: String, col: String,
@@ -502,7 +513,8 @@ object VersionedTable {
     * columns join the rename/drop refusal matrix from this version on
     * (and the old spec's columns leave it). */
   def setPartitionSpec(tgt: Catalog, table: String,
-                       spec: Seq[PartTransform]): Long = {
+                       spec: Seq[PartTransform],
+                       clusterBy: Option[Seq[String]] = None): Long = {
     commitWithRetry(table, "setPartitionSpec") { () =>
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
@@ -512,10 +524,15 @@ object VersionedTable {
           .fields.filterNot(_.name.equalsIgnoreCase(Loader.IdCol)))
       validatePartSpec(spec, schema)
       preCommitHook.value()
+      // re-pointing the spec also re-points (or clears) the CLUSTER BY
+      // marker — the two record ONE declaration and must never disagree
+      val base = man.props - PartitionSpecProp - ClusterByProp
       if (tryCommitManifest(tgt, table, man.copy(version = cur + 1,
-        props =
-          if (spec.isEmpty) man.props - PartitionSpecProp
-          else man.props + (PartitionSpecProp -> partSpecJson(spec)))))
+        props = base ++
+          (if (spec.isEmpty) Map.empty[String, String]
+           else Map(PartitionSpecProp -> partSpecJson(spec))) ++
+          clusterBy.filter(_.nonEmpty)
+            .map(cs => ClusterByProp -> cs.mkString(",")).toMap)))
         Some(cur + 1)
       else None
     }
@@ -2554,7 +2571,8 @@ object VersionedTable {
     * epoch stamps. */
   private[graft] def isReservedProp(k: String): Boolean =
     Set(SchemaProp, ColMapProp, ColMapRetiredProp, CommitTsProp,
-      UpsertKeysProp, CheckConstraintsProp, PartitionSpecProp).contains(k) ||
+      UpsertKeysProp, CheckConstraintsProp, PartitionSpecProp,
+      ClusterByProp).contains(k) ||
       k.startsWith(org.apache.spark.sql.graft.GraftStreamWrite.EpochPropPrefix)
 
   /** METADATA-ONLY `ALTER TABLE SET/UNSET TBLPROPERTIES` — ONE manifest

@@ -53,7 +53,8 @@ object StorageQueries {
     "q_versioned_agg_pushdown", "q_alter_add_column", "q_versioned_mor",
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
-    "q_versioned_tag", "q_generated_column", "q_identity_column")
+    "q_versioned_tag", "q_generated_column", "q_identity_column",
+    "q_cluster_by")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -83,7 +84,8 @@ object StorageQueries {
     sqlOverwriteFixture(spark, sfDir)
     sqlTagFixture(spark, sfDir)
     sqlGenFixture(spark, sfDir)
-    sqlIdnFixture(spark, sfDir); ()
+    sqlIdnFixture(spark, sfDir)
+    sqlCbyFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -783,6 +785,35 @@ object StorageQueries {
         "WHERE o_orderkey > 1000 AND o_orderkey <= 1400 ORDER BY o_orderkey")
       spark.sql(s"UPDATE $name.default.idn " +
         "SET o_totalprice = o_totalprice * 3 WHERE o_orderkey <= 200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the CLUSTER BY query (F68): a liquid-clustered table
+    * whose declaration is re-pointed mid-history (`ALTER TABLE ...
+    * CLUSTER BY`) — both eras' rows must read back exactly; pruning is
+    * spec-asserted in ClusterBySpec, content here. */
+  private val sqlCbyNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlCbyFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlCbyNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gcbyq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlcby").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.cb " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) CLUSTER BY (o_totalprice)")
+      spark.sql(s"INSERT INTO $name.default.cb " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1200")
+      spark.sql(s"ALTER TABLE $name.default.cb CLUSTER BY (o_orderkey)")
+      spark.sql(s"INSERT INTO $name.default.cb " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > 1200 AND o_orderkey <= 1400")
       (name, dir)
     })
   }
@@ -1872,6 +1903,18 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // F68 CLUSTER BY — a liquid-clustered table re-pointed mid-history:
+    // the filter runs across both clustering eras' files (zone-map
+    // pruning fires on whichever era's arrangement covers it) and the
+    // oracle recomputes the surviving rows from the source.
+    "q_cluster_by" -> { (spark, sfDir) =>
+      val (name, _) = sqlCbyFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, o_totalprice FROM $name.default.cb
+        WHERE o_totalprice > 50000.0 OR o_orderkey > 1300
+        ORDER BY o_orderkey""")
+    },
+
     // F67 IDENTITY COLUMNS — rid is engine-assigned (never in any
     // INSERT), monotone across the two commits, and STABLE through the
     // copy-on-write UPDATE rewrite; the oracle recomputes it as
@@ -2553,6 +2596,12 @@ object StorageQueries {
         |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_cluster_by" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1400
+        |  AND (o_totalprice > 50000.0 OR o_orderkey > 1300)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_identity_column" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS rid,

@@ -288,7 +288,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * user-managed derived column. Multiple temporal/identity transforms
     * compose; at most one bucket transform. */
   private def translatePartitions(partitions: Array[Transform])
-      : (Option[(Seq[String], Int)], Seq[VersionedTable.PartTransform]) = {
+      : (Option[(Seq[String], Int)], Seq[VersionedTable.PartTransform],
+         Seq[String]) = {
     def one(t: Transform): String = {
       val refs = t.references()
       require(refs.length == 1 && refs.head.fieldNames().length == 1,
@@ -306,8 +307,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         s"${t.name()}(...) needs $what"))
     val spec = Seq.newBuilder[VersionedTable.PartTransform]
     var bucket: Option[(Seq[String], Int)] = None
+    var clusterBy: Seq[String] = Nil
     partitions.foreach { t =>
       t.name() match {
+        case "cluster_by" =>
+          // `CLUSTER BY (a, b)` — Delta's liquid-clustering DDL shape,
+          // expanded onto the identity-transform range-cluster layout
+          // (every write arranges files on the columns, zone maps prune)
+          // with the original declaration recorded for reporting
+          require(clusterBy.isEmpty, "at most one CLUSTER BY clause")
+          val cols = t.references().map { r =>
+            require(r.fieldNames().length == 1,
+              "CLUSTER BY must reference top-level columns")
+            r.fieldNames().head
+          }.toSeq
+          require(cols.nonEmpty, "CLUSTER BY needs at least one column")
+          clusterBy = cols
+          cols.foreach(c =>
+            spec += VersionedTable.PartTransform("identity", c))
         case "bucket" =>
           require(bucket.isEmpty, "at most one bucket(...) transform")
           val n = intArg(t, "a bucket count")
@@ -328,16 +345,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         case other => throw new IllegalArgumentException(
           s"unsupported partition transform '$other' — graft supports " +
             "identity, years, months, days, hours, truncate(n, col), " +
-            "and bucket(n, col)")
+            "bucket(n, col), and CLUSTER BY")
       }
     }
-    (bucket, spec.result())
+    (bucket, spec.result(), clusterBy)
   }
 
   override def createTable(ident: Identifier, columns: Array[V2Column],
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
-    val (bucketBy, pSpec) = translatePartitions(partitions)
+    val (bucketBy, pSpec, clusterCols) = translatePartitions(partitions)
     // `id` is the loader's RESERVED surrogate-key column: the load path
     // restamps it and the SQL surface hides it, so a user column of that
     // name would have its data silently destroyed — refuse at CREATE time
@@ -370,7 +387,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       extraProps = validatedTableProps(c, schema, properties) ++
         (if (pSpec.isEmpty) Map.empty[String, String]
          else Map(VersionedTable.PartitionSpecProp ->
-           VersionedTable.partSpecJson(pSpec))))
+           VersionedTable.partSpecJson(pSpec))) ++
+        (if (clusterCols.isEmpty) Map.empty[String, String]
+         else Map(VersionedTable.ClusterByProp -> clusterCols.mkString(","))))
     new GraftBatchTable(schema, Map("dir" -> c.dir, "table" -> t),
       acceptAnySchema = false)
   }
@@ -453,7 +472,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
                     info: org.apache.spark.sql.connector.catalog.TableInfo,
                     requireExists: Option[Boolean])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
-    val (bucketBy, pSpec) = translatePartitions(info.partitions())
+    val (bucketBy, pSpec, clusterCols) = translatePartitions(info.partitions())
     require(bucketBy.isEmpty,
       "bucket(...) transforms are not supported on CTAS/REPLACE — " +
         "CREATE the bucketed table first, then INSERT")
@@ -478,7 +497,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       validatedTableProps(c, schema, info.properties()) ++
         (if (pSpec.isEmpty) Map.empty[String, String]
          else Map(VersionedTable.PartitionSpecProp ->
-           VersionedTable.partSpecJson(pSpec))), requireExists)
+           VersionedTable.partSpecJson(pSpec))) ++
+        (if (clusterCols.isEmpty) Map.empty[String, String]
+         else Map(VersionedTable.ClusterByProp -> clusterCols.mkString(","))),
+      requireExists)
   }
 
   override def stageCreate(ident: Identifier,
@@ -523,6 +545,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _: TableChange.DropConstraint => true
       case _: TableChange.UpdateColumnComment => true
       case _: TableChange.UpdateColumnType => true
+      case _: TableChange.ClusterBy => true
       case _ => false
     }
     if (changes.isEmpty || !supported)
@@ -547,6 +570,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _: TableChange.UpdateColumnDefaultValue => "default"
       case _: TableChange.AddConstraint => "add-constraint"
       case _: TableChange.DropConstraint => "drop-constraint"
+      case _: TableChange.ClusterBy => "cluster"
       case _ => "props"
     }
     val kinds = changes.map(kindOf).distinct
@@ -646,6 +670,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(cc.fieldNames.length == 1,
           s"nested column comments are not supported: ${cc.fieldNames.mkString(".")}")
         VersionedTable.setColumnComment(c, t, cc.fieldNames.head, cc.newComment())
+      case cb: TableChange.ClusterBy =>
+        // `ALTER TABLE ... CLUSTER BY (a, b)` / `CLUSTER BY NONE` — one
+        // metadata commit re-pointing the arrangement declaration (the
+        // partition-spec evolution rule: old files stay exactly as
+        // prunable, only later writes arrange by the new columns)
+        val cols = cb.clusteringColumns().map { r =>
+          require(r.fieldNames().length == 1,
+            "CLUSTER BY must reference top-level columns")
+          r.fieldNames().head
+        }.toSeq
+        VersionedTable.setPartitionSpec(c, t,
+          cols.map(VersionedTable.PartTransform("identity", _)),
+          clusterBy = Some(cols))
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames.length == 1,
           s"nested column defaults are not supported: ${u.fieldNames.mkString(".")}")

@@ -266,7 +266,13 @@ private[sources] final class GraftBatchTable(
     (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
       val cat = new Catalog(SparkSession.active, d)
       VersionedTable.headSummary(cat, t).map { case (_, props, bucket) =>
-        val derived = VersionedTable.partSpecOf(props).map {
+        // a CLUSTER BY declaration reports back in its ORIGINAL shape
+        // (one ClusterByTransform), not as the identity transforms it
+        // expanded to — same declaration, Spark's own rendering
+        val clusterCols = VersionedTable.clusterByOf(props)
+        val clusterSet = clusterCols.map(_.toLowerCase).toSet
+        val derived = VersionedTable.partSpecOf(props).filterNot(t =>
+          t.fn == "identity" && clusterSet(t.col.toLowerCase)).map {
           case VersionedTable.PartTransform("identity", c, _) =>
             Expressions.identity(c)
           case VersionedTable.PartTransform("truncate", c, w) =>
@@ -275,10 +281,15 @@ private[sources] final class GraftBatchTable(
           case VersionedTable.PartTransform(fn, c, _) =>
             Expressions.apply(fn, Expressions.column(c))
         }
+        val cb =
+          if (clusterCols.isEmpty) Nil
+          else Seq(org.apache.spark.sql.connector.expressions.ClusterByTransform(
+            clusterCols.map(c => Expressions.column(c)
+              .asInstanceOf[org.apache.spark.sql.connector.expressions.NamedReference])))
         val b = bucket.toSeq.map { case (keys, n) =>
           Expressions.bucket(n, keys: _*)
         }
-        (derived ++ b).toArray
+        (derived ++ cb ++ b).toArray
       }.getOrElse(Array.empty)
     }).getOrElse(Array.empty)
   }
