@@ -5221,6 +5221,18 @@ object VersionedTable {
     vacuum(tgt, table, keepN, ignoreClones, dryRun)
   }
 
+  /** ORPHAN-FILE removal: reclaim data/DV files referenced by NO
+    * retained version — crashed commits' staged batches, lost-CAS
+    * leftovers — while keeping EVERY version readable (vacuum with the
+    * full version list as the keep set; Iceberg's
+    * `remove_orphan_files` shape). */
+  def removeOrphanFiles(tgt: Catalog, table: String,
+                        dryRun: Boolean = false): Int = {
+    val n = versions(tgt, table).size
+    require(n > 0, s"versioned table '$table' not found")
+    vacuum(tgt, table, n, dryRun = dryRun)
+  }
+
   def vacuum(tgt: Catalog, table: String, keepLast: Int,
              ignoreClones: Boolean = false,
              dryRun: Boolean = false): Int = {

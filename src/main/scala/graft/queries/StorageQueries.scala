@@ -54,7 +54,7 @@ object StorageQueries {
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
     "q_versioned_tag", "q_generated_column", "q_identity_column",
-    "q_cluster_by")
+    "q_cluster_by", "q_versioned_sql_subquery")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -85,7 +85,8 @@ object StorageQueries {
     sqlTagFixture(spark, sfDir)
     sqlGenFixture(spark, sfDir)
     sqlIdnFixture(spark, sfDir)
-    sqlCbyFixture(spark, sfDir); ()
+    sqlCbyFixture(spark, sfDir)
+    sqlSubqFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -814,6 +815,44 @@ object StorageQueries {
       spark.sql(s"INSERT INTO $name.default.cb " +
         "SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey > 1200 AND o_orderkey <= 1400")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the SUBQUERY row-op query: a merge-on-read table whose
+    * DELETE condition is an IN-subquery — unexpressible as a pushed
+    * filter, so Spark routes it through the delta row-level operation
+    * and the matches commit as deletion vectors (files verbatim,
+    * asserted). The oracle recomputes the survivor set with the same
+    * subquery over the source. */
+  private val sqlSubqNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlSubqFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlSubqNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gsubq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlsubq").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.sq " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      spark.sql(s"INSERT INTO $name.default.sq " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1200")
+      val cat = new Catalog(spark, dir)
+      val pre = VersionedTable.files(cat, "sq",
+        VersionedTable.currentVersion(cat, "sq").get).toSet
+      spark.sql(s"DELETE FROM $name.default.sq WHERE o_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)")
+      val v = VersionedTable.currentVersion(cat, "sq").get
+      require(VersionedTable.files(cat, "sq", v).toSet == pre,
+        "the MOR subquery delete must carry every data file verbatim")
+      require(VersionedTable.deletionVectors(cat, "sq", v).nonEmpty,
+        "the subquery delete must commit deletion vectors")
       (name, dir)
     })
   }
@@ -1903,6 +1942,18 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // SUBQUERY row-level ops — `DELETE ... WHERE k IN (SELECT ...)` on a
+    // merge-on-read table routes through the delta row-level operation
+    // (no pushed-filter spelling exists) and commits deletion vectors;
+    // the head read applies them and the oracle recomputes the
+    // survivors with the same subquery.
+    "q_versioned_sql_subquery" -> { (spark, sfDir) =>
+      val (name, _) = sqlSubqFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, o_totalprice FROM $name.default.sq
+        ORDER BY o_orderkey""")
+    },
+
     // F68 CLUSTER BY — a liquid-clustered table re-pointed mid-history:
     // the filter runs across both clustering eras' files (zone-map
     // pruning fires on whichever era's arrangement covers it) and the
@@ -2596,6 +2647,13 @@ object StorageQueries {
         |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_versioned_sql_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 1200
+        |  AND o_orderkey NOT IN
+        |    (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_cluster_by" ->
       """SELECT o_orderkey, o_totalprice FROM orders

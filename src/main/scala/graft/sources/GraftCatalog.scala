@@ -774,6 +774,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "create_tag" => GraftProcedures.createTag(() => cat)
       case "drop_tag" => GraftProcedures.dropTag(() => cat)
       case "tags" => GraftProcedures.tags(() => cat)
+      case "remove_orphan_files" => GraftProcedures.removeOrphanFiles(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
           "rollback(table, version), vacuum(table, keep_last), " +
@@ -782,7 +783,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "expire_snapshots(table, older_than), " +
           "set_partition_spec(table, spec), " +
           "create_tag(table, name, version), drop_tag(table, name), " +
-          "tags(table)")
+          "tags(table), remove_orphan_files(table)")
     }
   }
 
@@ -814,8 +815,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // rather than duplicating the set under every name
     if (procedureNamespace(namespace))
       Array("clone", "compact", "create_tag", "drop_tag", "expire_snapshots",
-        "history", "recluster", "rollback", "set_partition_spec", "tags",
-        "vacuum")
+        "history", "recluster", "remove_orphan_files", "rollback",
+        "set_partition_spec", "tags", "vacuum")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 }

@@ -195,6 +195,27 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.remove_orphan_files('t'[, dry_run])` — reclaim
+    * data/DV files no retained version references (crashed commits'
+    * staged batches, lost-CAS leftovers) while keeping EVERY version
+    * readable; returns the delete count. `dry_run => true` only
+    * reports. */
+  def removeOrphanFiles(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("remove_orphan_files",
+      "reclaim files referenced by no retained version (history kept)",
+      Array(param("table", StringType),
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false").build())) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val dry = !input.isNullAt(1) && input.getBoolean(1)
+        val removed = VersionedTable.removeOrphanFiles(cat(),
+          input.getUTF8String(0).toString, dryRun = dry)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("files_deleted", IntegerType,
+            nullable = false))), removed)
+      }
+    }
+
   /** `CALL g.system.create_tag('t', 'v1_release', 3)` — NAMED REFS: an
     * immutable tag → version pointer (`SELECT ... FROM t VERSION AS OF
     * 'v1_release'`), one O(1) meta-dir file, no manifest commit. A tag
