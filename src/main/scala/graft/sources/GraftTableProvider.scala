@@ -747,7 +747,8 @@ private[sources] final class GraftScan(
       startingVersion = graft.streaming.CdcStreamProvider
         .resolveStartingVersion(new Catalog(spark, dir), table,
           o("startingVersion").map(_.toLong), o("startingTimestamp"),
-          failOnDataLoss = o("failOnDataLoss").exists(_.toBoolean)),
+          failOnDataLoss = o("failOnDataLoss").exists(_.toBoolean),
+          startingTag = o("startingTag")),
       admissionFilter = o("admissionFilter").map(_.trim).filter(_.nonEmpty))
   }
 }

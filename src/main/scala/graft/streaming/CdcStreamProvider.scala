@@ -257,7 +257,9 @@ private[streaming] final class CdcScan(
         cat, opt("table"), optNum("startingVersion"),
         options.find(_._1.equalsIgnoreCase("startingTimestamp")).map(_._2),
         failOnDataLoss = options.find(_._1.equalsIgnoreCase("failOnDataLoss"))
-          .exists(_._2.toBoolean)),
+          .exists(_._2.toBoolean),
+        startingTag = options.find(_._1.equalsIgnoreCase("startingTag"))
+          .map(_._2)),
       admit = resolveAdmission(spark, cat, opt("table")).map(_.zonePred)
         .getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil)))
   }
@@ -393,11 +395,21 @@ private[graft] object CdcStreamProvider {
     * who would rather re-provision than risk duplicates. */
   private[graft] def resolveStartingVersion(
       cat: graft.etl.Catalog, table: String,
-      startingVersion: Option[Long],
+      startingVersion0: Option[Long],
       startingTimestamp: Option[String],
-      failOnDataLoss: Boolean = false): Option[Long] = {
-    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
-      "startingVersion and startingTimestamp are mutually exclusive")
+      failOnDataLoss: Boolean = false,
+      startingTag: Option[String] = None): Option[Long] = {
+    require(Seq(startingVersion0, startingTimestamp, startingTag)
+      .count(_.isDefined) <= 1,
+      "startingVersion, startingTimestamp, and startingTag are mutually " +
+        "exclusive")
+    // NAMED REFS compose with streams: `startingTag` starts the feed at
+    // the tagged version's changes — and the tag PINS vacuum retention,
+    // so the diff base can never be reclaimed out from under the offset
+    val startingVersion = startingVersion0.orElse(startingTag.map(tag =>
+      graft.etl.VersionedTable.tagVersion(cat, table, tag).getOrElse(
+        throw new IllegalArgumentException(
+          s"table '$table' has no tag '$tag' for startingTag"))))
     // versions start at 1; 0 or negative would serialize an offset whose
     // crash-restore is ambiguous — reject loudly instead of mis-resuming
     startingVersion.foreach(v => require(v >= 1,

@@ -111,6 +111,22 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(desc.contains("dbl"), desc)
   }
 
+  test("INSERT OVERWRITE computes and verifies like any write") {
+    spark.sql("CREATE TABLE ggen.default.ow (k BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (k * 2))")
+    spark.sql("INSERT INTO ggen.default.ow (k) VALUES (1), (2)")
+    spark.sql("INSERT OVERWRITE ggen.default.ow (k) VALUES (7), (8)")
+    val rows = spark.sql(
+      "SELECT k, twice FROM ggen.default.ow ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 14L), (8L, 16L)))
+    // a mismatching overwrite refuses and leaves the head untouched
+    intercept[Exception](spark.sql(
+      "INSERT OVERWRITE ggen.default.ow VALUES (9, 19)"))
+    assert(spark.sql("SELECT sum(twice) FROM ggen.default.ow")
+      .head().getLong(0) == 30L)
+  }
+
   test("merge-on-read tables with generated columns refuse UPDATE/MERGE") {
     spark.sql("CREATE TABLE ggen.default.mor (k BIGINT, " +
       "twice BIGINT GENERATED ALWAYS AS (k * 2)) " +

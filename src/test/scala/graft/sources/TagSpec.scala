@@ -93,6 +93,40 @@ class TagSpec extends SparkSpec {
     assert(VersionedTable.read(lib, "vt").count() == 4L)
   }
 
+  test("startingTag starts the append-tail stream at the tagged version") {
+    spark.sql("CREATE TABLE gtag.default.st (k BIGINT)")
+    spark.sql("INSERT INTO gtag.default.st VALUES (1), (2)")  // v2
+    spark.sql("INSERT INTO gtag.default.st VALUES (3)")       // v3
+    spark.sql("CALL gtag.system.create_tag('st', 'resume_here', 3)")
+    spark.sql("INSERT INTO gtag.default.st VALUES (4), (5)")  // v4
+    val out = tmpDir("gtag-stream-out")
+    val ckpt = tmpDir("gtag-stream-ckpt")
+    val q = spark.readStream.format("graft")
+      .option("dir", warehouse).option("table", "st")
+      .option("startingTag", "resume_here")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // the feed begins AT the tagged version's appends: {3} then {4,5}
+    val got = spark.read.parquet(out).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 4L, 5L), got.toString)
+    // an unknown tag refuses loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("dir", warehouse).option("table", "st")
+        .option("startingTag", "nope").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("gtag-ckpt2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("tags survive rollback and expire_snapshots protects them") {
     spark.sql("CREATE TABLE gtag.default.s (k BIGINT)")
     spark.sql("INSERT INTO gtag.default.s VALUES (1)")   // v2
