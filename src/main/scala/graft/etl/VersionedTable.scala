@@ -4152,6 +4152,92 @@ object VersionedTable {
     committed
   }
 
+  /** FAST-FORWARD PUBLISH — the write-audit-publish (WAP) pattern over
+    * zero-copy clones: stage writes on a CLONE (`clone` = the branch),
+    * audit it, then publish by committing the branch's head state onto
+    * the source as ONE metadata manifest (files referenced by absolute
+    * path — no data read, copied, or rewritten; a 100 TB publish costs
+    * one JSON commit). Git's fast-forward rule: the source must be
+    * EXACTLY at the version the branch was cloned from — if it advanced,
+    * the publish refuses (a silent overwrite would drop the concurrent
+    * commits; re-clone and re-apply instead). After the publish the
+    * source references the branch's data files, so the branch registers
+    * the source as a live clone of ITSELF — branch vacuum protects the
+    * shared files and a branch DROP refuses until the source rewrites
+    * them away (the same ownership guard cloneTable established, run in
+    * the other direction). History survives: the source's prior versions
+    * still time-travel, and the id floor stays monotone (the branch's
+    * ids descend from the shared clone-point floor). */
+  def fastForward(tgt: Catalog, table: String,
+                  branchCat: Catalog, branchTable: String): Long = {
+    val bv = currentVersion(branchCat, branchTable).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch table '$branchTable' not found"))
+    val bman = readManifest(branchCat, branchTable, bv).get
+    val srcDir = bman.props.get("clone_src_dir")
+    val srcTable = bman.props.get("clone_src_table")
+    val srcV = bman.props.get("clone_src_version").map(_.toLong)
+    require(srcDir.map(new Path(_).toUri.getPath)
+        .contains(new Path(tgt.dir).toUri.getPath) &&
+        srcTable.contains(table) && srcV.isDefined,
+      s"'$branchTable' is not a clone of '$table' — fast_forward " +
+        "publishes a branch made with clone(source, branch, version)")
+    def abs(rel: String): String =
+      new Path(dataDir(branchCat, branchTable), rel).toString
+    val committed = commitWithRetry(table, "fastForward") { () =>
+      val cur = currentVersion(tgt, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"versioned table '$table' not found"))
+      require(cur == srcV.get,
+        s"cannot fast-forward '$table': it advanced to v$cur since the " +
+          s"branch was cloned at v${srcV.get} — the branch's changes were " +
+          "derived from a superseded state; re-clone and re-apply")
+      // the target's id floor — monotone across the publish (the branch
+      // grew above the shared clone-point floor, but take the max anyway)
+      val floor = readManifest(tgt, table, cur).flatMap(_.maxId)
+      preCommitHook.value()
+      if (tryCommitManifest(tgt, table,
+        Manifest(cur + 1,
+          (bman.maxId.toSeq ++ floor.toSeq).maxOption,
+          bman.bucket,
+          bman.files.map(abs),
+          bman.stats.map { case (r, st) => abs(r) -> st },
+          bman.sizes.map { case (r, len) => abs(r) -> len },
+          bman.nulls.map { case (r, n) => abs(r) -> n },
+          bman.rows.map { case (r, n) => abs(r) -> n },
+          // the branch's props ARE the published truth (schema, mapping,
+          // keys, constraints all descend from the clone point) — minus
+          // its clone provenance: the target is not a clone
+          bman.props - "clone_src_dir" - "clone_src_table"
+            - "clone_src_version",
+          bman.dvs.map { case (r, (p, n)) => abs(r) -> ((abs(p), n)) })))
+        Some(cur + 1)
+      else None
+    }
+    // the TARGET now references the branch's files — register it as a
+    // live clone of the branch (same marker cloneTable writes, reverse
+    // direction), so branch vacuum/DROP protect the shared files.
+    // Best-effort like cloneTable's marker: the publish is already
+    // durable, so a failed marker write warns instead of failing.
+    try {
+      val f = fs(branchCat, metaDir(branchCat, branchTable))
+      val marker = new Path(metaDir(branchCat, branchTable),
+        s"clone-${java.util.UUID.randomUUID()}.json")
+      val out = f.create(marker, false)
+      try out.write(mapper.writeValueAsBytes {
+        val o = mapper.createObjectNode()
+        o.put("dir", tgt.dir); o.put("table", table); o
+      }) finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        graft.GraftLog.warn(
+          s"fast_forward published '$table' but the protection marker " +
+            s"write on branch '$branchTable' failed (${e.getMessage}); " +
+            "the branch's vacuum will NOT protect the published files")
+    }
+    committed
+  }
+
   // -------------------------------------------------------------------- tags
   //
   // NAMED REFS: a tag is an immutable name → version pointer (Iceberg's

@@ -54,7 +54,7 @@ object StorageQueries {
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
     "q_versioned_tag", "q_generated_column", "q_identity_column",
-    "q_cluster_by", "q_versioned_sql_subquery")
+    "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -86,7 +86,8 @@ object StorageQueries {
     sqlGenFixture(spark, sfDir)
     sqlIdnFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
-    sqlSubqFixture(spark, sfDir); ()
+    sqlSubqFixture(spark, sfDir)
+    sqlWapFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -853,6 +854,43 @@ object StorageQueries {
         "the MOR subquery delete must carry every data file verbatim")
       require(VersionedTable.deletionVectors(cat, "sq", v).nonEmpty,
         "the subquery delete must commit deletion vectors")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the WRITE-AUDIT-PUBLISH query (F70): writes staged on
+    * a zero-copy clone (insert + delete + update), then published onto
+    * the source with ONE fast_forward commit — the head reads the
+    * branch state, the pre-publish version still time-travels, and the
+    * oracle recomputes both eras from the source rows. */
+  private val sqlWapNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlWapFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlWapNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gwapq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlwap").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.wp " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.wp " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      spark.sql(s"CALL $name.system.clone('wp', 'wp_dev', 2)")
+      spark.sql(s"INSERT INTO $name.default.wp_dev " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey > 1000 AND o_orderkey <= 1300")
+      spark.sql(s"DELETE FROM $name.default.wp_dev WHERE o_orderkey <= 200")
+      spark.sql(s"UPDATE $name.default.wp_dev " +
+        "SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey > 900 AND o_orderkey <= 1000")
+      val committed = spark.sql(
+        s"CALL $name.system.fast_forward('wp', 'wp_dev')").head().getLong(0)
+      require(committed == 3L, s"the publish must be ONE commit: $committed")
       (name, dir)
     })
   }
@@ -1942,6 +1980,19 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // F70 WRITE-AUDIT-PUBLISH — insert/delete/update staged on a
+    // zero-copy clone, published by ONE fast_forward commit
+    // (fixture-asserted); head = branch state, the pre-publish version
+    // still time-travels, both eras oracle-recomputed.
+    "q_versioned_wap" -> { (spark, sfDir) =>
+      val (name, _) = sqlWapFixture(spark, sfDir)
+      val head = spark.sql(s"""SELECT 'head' AS era, o_orderkey, o_totalprice
+        FROM $name.default.wp""")
+      val pre = spark.sql(s"""SELECT 'pre' AS era, o_orderkey, o_totalprice
+        FROM $name.default.wp VERSION AS OF 2""")
+      head.unionByName(pre).orderBy("era", "o_orderkey")
+    },
+
     // SUBQUERY row-level ops — `DELETE ... WHERE k IN (SELECT ...)` on a
     // merge-on-read table routes through the delta row-level operation
     // (no pushed-filter spelling exists) and commits deletion vectors;
@@ -2646,6 +2697,17 @@ object StorageQueries {
         |UNION ALL
         |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
+        |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_versioned_wap" ->
+      """SELECT 'head' AS era, o_orderkey,
+        |       CASE WHEN o_orderkey > 900 AND o_orderkey <= 1000
+        |            THEN o_totalprice * 2 ELSE o_totalprice END
+        |         AS o_totalprice
+        |FROM orders WHERE o_orderkey > 200 AND o_orderkey <= 1300
+        |UNION ALL
+        |SELECT 'pre' AS era, o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 1000
         |ORDER BY era, o_orderkey""".stripMargin,
 
     "q_versioned_sql_subquery" ->

@@ -775,6 +775,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "drop_tag" => GraftProcedures.dropTag(() => cat)
       case "tags" => GraftProcedures.tags(() => cat)
       case "remove_orphan_files" => GraftProcedures.removeOrphanFiles(() => cat)
+      case "fast_forward" => GraftProcedures.fastForward(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
           "rollback(table, version), vacuum(table, keep_last), " +
@@ -783,7 +784,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "expire_snapshots(table, older_than), " +
           "set_partition_spec(table, spec), " +
           "create_tag(table, name, version), drop_tag(table, name), " +
-          "tags(table), remove_orphan_files(table)")
+          "tags(table), remove_orphan_files(table), " +
+          "fast_forward(table, branch)")
     }
   }
 
@@ -815,8 +817,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     // rather than duplicating the set under every name
     if (procedureNamespace(namespace))
       Array("clone", "compact", "create_tag", "drop_tag", "expire_snapshots",
-        "history", "recluster", "remove_orphan_files", "rollback",
-        "set_partition_spec", "tags", "vacuum")
+        "fast_forward", "history", "recluster", "remove_orphan_files",
+        "rollback", "set_partition_spec", "tags", "vacuum")
         .map(n => Identifier.of(Array("system"), n))
     else Array.empty
 }

@@ -195,6 +195,26 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.fast_forward('t', 't_dev')` — PUBLISH a branch
+    * (a zero-copy clone of 't') back onto 't' as ONE metadata commit:
+    * the write-audit-publish pattern. Refuses if 't' advanced since the
+    * branch was cloned (git's fast-forward rule). Returns the committed
+    * version. */
+  def fastForward(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("fast_forward",
+      "publish a branch (clone) back onto its source — one metadata commit",
+      Array(param("table", StringType), param("branch", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val c = cat()
+        val committed = VersionedTable.fastForward(c,
+          input.getUTF8String(0).toString, c,
+          input.getUTF8String(1).toString)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
+
   /** `CALL g.system.remove_orphan_files('t'[, dry_run])` — reclaim
     * data/DV files no retained version references (crashed commits'
     * staged batches, lost-CAS leftovers) while keeping EVERY version
