@@ -1620,6 +1620,10 @@ object VersionedTable {
       case f if Set[DataType](ByteType, ShortType, IntegerType, LongType,
         FloatType, DoubleType, StringType, DateType, TimestampType,
         TimestampNTZType).contains(f.dataType) => f.name
+      // int-backed decimals (precision ≤ 18) record unscaled ranges —
+      // wider ones write fixed-len bytes and the footer tagger omits them
+      case f if f.dataType.isInstanceOf[DecimalType] &&
+        f.dataType.asInstanceOf[DecimalType].precision <= 18 => f.name
     }.take(MaxStatsCols)
   }
 
@@ -1798,6 +1802,16 @@ object VersionedTable {
         case s: String if s.forall(_ < 128.toChar) => Some(s)
         case _ => None
       }
+      // int-backed decimal: bounds are UNSCALED at the file's recorded
+      // scale — rescale the literal into that domain. EXACT literals
+      // only (integral/decimal — Spark compares those with a decimal
+      // column exactly); a float/double literal makes Spark widen the
+      // COLUMN to double, where an exact-domain prune could wrongly
+      // skip a value whose double rounding matches — so it canonicalizes
+      // to None and the file is kept.
+      case t if t.startsWith("dec:") =>
+        scala.util.Try(t.stripPrefix("dec:").toInt).toOption.flatMap(s =>
+          num.map(_ * BigDecimal(10).pow(s)))
       case _ => None
     }
   }
@@ -2821,6 +2835,13 @@ object VersionedTable {
     dt match {
       case ByteType | ShortType | IntegerType | LongType => "long"
       case FloatType | DoubleType => "double"
+      // decimals compare in the UNSCALED domain of their scale: a
+      // precision-only widening (10,2)→(16,2) keeps every recorded
+      // range valid (same scale, same unscaled values); a scale change
+      // crosses domains and strips (conservative — the per-file scale
+      // tags would stay individually sound, but new-era predicates stop
+      // consulting old-era bounds)
+      case d: DecimalType => s"dec:${d.scale}"
       case other => other.typeName
     }
   }

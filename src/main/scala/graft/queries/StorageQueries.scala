@@ -54,7 +54,8 @@ object StorageQueries {
     "q_versioned_sql_namespaces", "q_alter_column_mapping",
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
     "q_versioned_tag", "q_generated_column", "q_identity_column",
-    "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap")
+    "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
+    "q_decimal_skipping")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -87,7 +88,8 @@ object StorageQueries {
     sqlIdnFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
-    sqlWapFixture(spark, sfDir); ()
+    sqlWapFixture(spark, sfDir)
+    sqlDzFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -891,6 +893,42 @@ object StorageQueries {
       val committed = spark.sql(
         s"CALL $name.system.fast_forward('wp', 'wp_dev')").head().getLong(0)
       require(committed == 3L, s"the publish must be ONE commit: $committed")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the DECIMAL-SKIPPING query (F71): a DECIMAL(12,2)
+    * column loaded in disjoint ranges — the fixture ASSERTS decimal
+    * zone-map pruning fires on the library surface, and the query's SQL
+    * predicate prunes through the DSv2 pushed-filter path; values
+    * surface as exact cents so both engines hash identically. */
+  private val sqlDzNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlDzFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlDzNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gdzq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqldz").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.dz " +
+        "(o_orderkey BIGINT, amt DECIMAL(12,2))")
+      Seq("o_orderkey <= 500",
+        "o_orderkey > 500 AND o_orderkey <= 1000",
+        "o_orderkey > 1000 AND o_orderkey <= 1400").foreach(w =>
+        spark.sql(s"INSERT INTO $name.default.dz " +
+          "SELECT o_orderkey, CAST(o_orderkey + 0.25 AS DECIMAL(12,2)) " +
+          s"FROM orders WHERE $w"))
+      val cat = new Catalog(spark, dir)
+      val v = VersionedTable.currentVersion(cat, "dz").get
+      val skipped = VersionedTable.skippedFiles(cat, "dz", v,
+        col("amt") >= new java.math.BigDecimal("1000.25"))
+      require(skipped.nonEmpty,
+        "decimal zone maps must prune the low-range files")
       (name, dir)
     })
   }
@@ -1980,6 +2018,19 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // F71 DECIMAL ZONE MAPS — the fixture asserted library-surface
+    // pruning; this SQL predicate prunes through the DSv2 pushed-filter
+    // path (unscaled per-file domains, literal rescaled per file's
+    // recorded scale), and the oracle recomputes the survivors.
+    "q_decimal_skipping" -> { (spark, sfDir) =>
+      val (name, _) = sqlDzFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey, CAST(amt * 100 AS BIGINT) AS cents
+        FROM $name.default.dz
+        WHERE amt >= CAST(1000.25 AS DECIMAL(12,2))
+        ORDER BY o_orderkey""")
+    },
+
     // F70 WRITE-AUDIT-PUBLISH — insert/delete/update staged on a
     // zero-copy clone, published by ONE fast_forward commit
     // (fixture-asserted); head = branch state, the pre-publish version
@@ -2698,6 +2749,13 @@ object StorageQueries {
         |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_decimal_skipping" ->
+      """SELECT o_orderkey,
+        |       CAST((o_orderkey + 0.25) * 100 AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey <= 1400 AND o_orderkey + 0.25 >= 1000.25
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_versioned_wap" ->
       """SELECT 'head' AS era, o_orderkey,

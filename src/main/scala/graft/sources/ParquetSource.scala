@@ -353,10 +353,17 @@ object ParquetSource {
           Some("date")
         case (INT64, _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
           Some("ts")
+        // int-backed DECIMALS (precision ≤ 18 — Spark's writer uses
+        // INT32/INT64 there): bounds are UNSCALED ints; the tag carries
+        // the file's own scale so the read side rescales predicate
+        // literals per file — sound even across scale-widening ALTERs
+        // (each era's files keep their own recorded domain)
+        case (INT32 | INT64, a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          Some(s"dec:${a.getScale}")
         case (FLOAT | DOUBLE, _) => Some("double")
         case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
           Some("string")
-        case _ => None // unsigned ints, decimals, fixed-len, maps/lists
+        case _ => None // unsigned ints, fixed-len decimals, maps/lists
       }
     }
     // unit factor to micros for TIMESTAMP columns (floor like Spark's
@@ -413,6 +420,9 @@ object ParquetSource {
                 val lohi: Option[(String, String)] = (tag.get,
                   s.genericGetMin, s.genericGetMax) match {
                   case ("long" | "date", lo: java.lang.Number, hi: java.lang.Number) =>
+                    Some((lo.longValue.toString, hi.longValue.toString))
+                  case (t, lo: java.lang.Number, hi: java.lang.Number)
+                    if t.startsWith("dec:") => // unscaled int bounds
                     Some((lo.longValue.toString, hi.longValue.toString))
                   case ("ts", lo: java.lang.Number, hi: java.lang.Number) =>
                     for (l <- toMicros(prim.get, lo.longValue);
