@@ -1963,8 +1963,12 @@ object VersionedTable {
     * the recorded zone maps — pure driver-side metadata, no I/O. */
   private[etl] def pruneByStats(man: Manifest,
                                 pred: org.apache.spark.sql.Column)
+      : (Seq[String], Seq[String]) =
+    pruneByPred(man,
+      org.apache.spark.sql.graft.ColumnExprBridge.predTree(pred))
+
+  private[etl] def pruneByPred(man: Manifest, p: ZonePred.P)
       : (Seq[String], Seq[String]) = {
-    val p = org.apache.spark.sql.graft.ColumnExprBridge.predTree(pred)
     val keepB = bucketsFor(man, p)
     if ((p == ZonePred.Unknown || (man.stats.isEmpty && man.nulls.isEmpty))
         && keepB.isEmpty)
@@ -3912,7 +3916,17 @@ object VersionedTable {
     * replaced small files become vacuumable once unreferenced. Returns
     * the new version, or the current one when nothing needs compacting.
     */
-  def compact(tgt: Catalog, table: String, targetFileBytes: Long): Long = {
+  def compact(tgt: Catalog, table: String, targetFileBytes: Long): Long =
+    compact(tgt, table, targetFileBytes, None)
+
+  /** SCOPED compaction (`OPTIMIZE ... WHERE` shape): with `where`, only
+    * files whose zone maps ADMIT the predicate are candidates — at
+    * 100 TB, maintaining yesterday's hot partition rewrites O(that
+    * partition), never the table. One-sided like every prune: a file
+    * without usable stats is admitted (conservatively a candidate);
+    * non-admitted files carry VERBATIM, DVs included. */
+  def compact(tgt: Catalog, table: String, targetFileBytes: Long,
+              where: Option[org.apache.spark.sql.Column]): Long = {
     Loader.ensureParquetWriteConf(tgt.spark)
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     commitWithRetry(table, "compact") { () =>
@@ -3926,11 +3940,25 @@ object VersionedTable {
         r -> man.sizes.getOrElse(r,
           f.getFileStatus(new Path(dataDir(tgt, table), r)).getLen)
       }
+      // the scope: files the predicate MAY touch (kept by the prune) —
+      // everything else is out of bounds and carries verbatim. The
+      // predicate ANALYZES against the recorded schema (the shared
+      // admission path), so SQL-text scopes from the procedure and
+      // coerced literals both reach the zone maps; an unanalyzable
+      // scope refuses loudly rather than silently widening to the table
+      val admitted: Set[String] = where.fold(man.files.toSet) { c =>
+        val p = recordedSchema(man) match {
+          case Some(s) => graft.streaming.CdcStreamProvider
+            .admissionOf(tgt.spark, s, c, c.toString).zonePred
+          case None => org.apache.spark.sql.graft.ColumnExprBridge.predTree(c)
+        }
+        pruneByPred(man, p)._1.toSet
+      }
       // DV'd files are ALWAYS rewrite candidates regardless of size —
       // compaction is where deletion vectors materialize (the read-side
       // position filter disappears and the single-scan plan returns)
       val (small, keep) = sized.partition { case (r, len) =>
-        len < targetFileBytes / 2 || man.dvs.contains(r)
+        admitted(r) && (len < targetFileBytes / 2 || man.dvs.contains(r))
       }
       // one small DV-less file alone (or none) gains nothing — don't
       // churn a commit (and a version) for it

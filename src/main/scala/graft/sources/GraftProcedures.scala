@@ -92,16 +92,25 @@ private[sources] object GraftProcedures {
       }
     }
 
-  /** `CALL g.system.compact('t', targetBytes)` — bin-pack the head
-    * version's small files toward the target size (one new commit);
-    * returns the committed version. */
+  /** `CALL g.system.compact('t', targetBytes[, where])` — bin-pack the
+    * head version's small files toward the target size (one new commit);
+    * an optional `where` SQL predicate SCOPES the rewrite to files whose
+    * zone maps admit it (`OPTIMIZE ... WHERE` — maintain one hot
+    * partition without touching the table). Returns the committed
+    * version. */
   def compact(cat: () => Catalog): UnboundProcedure =
     new GraftProc("compact",
       "bin-pack a versioned table's small files toward a target size",
-      Array(param("table", StringType), param("target_bytes", LongType))) {
+      Array(param("table", StringType), param("target_bytes", LongType),
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''").build())) {
       override def run(input: InternalRow): JIterator[Scan] = {
+        val where = Option(input)
+          .filterNot(_.isNullAt(2)).map(_.getUTF8String(2).toString.trim)
+          .filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
         val committed = VersionedTable.compact(cat(),
-          input.getUTF8String(0).toString, input.getLong(1))
+          input.getUTF8String(0).toString, input.getLong(1), where)
         one(StructType(Seq(
           org.apache.spark.sql.types.StructField("committed_version", LongType,
             nullable = false))), committed)

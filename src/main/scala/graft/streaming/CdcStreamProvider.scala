@@ -329,10 +329,21 @@ private[graft] object CdcStreamProvider {
       refs: Set[String])
 
   private[graft] def admission(spark: SparkSession,
-                               schema: StructType, sql: String): Admission = {
+                               schema: StructType, sql: String): Admission =
+    admissionOf(spark, schema,
+      org.apache.spark.sql.functions.expr(sql), sql)
+
+  /** The Column-shaped twin: analyze ANY predicate Column (including an
+    * `expr(text)` wrapper the node walker can't see through) against an
+    * empty frame of `schema`, fold coerced literals, and export the
+    * zone-pruning tree — the shared SQL-text → ZonePred path of the
+    * streaming admission filter and the scoped-compaction WHERE. */
+  private[graft] def admissionOf(spark: SparkSession, schema: StructType,
+                                 pred: org.apache.spark.sql.Column,
+                                 sql: String): Admission = {
     val analyzed = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      .where(org.apache.spark.sql.functions.expr(sql))
+      .where(pred)
       .queryExecution.analyzed
     val f = analyzed.collectFirst {
       case flt: org.apache.spark.sql.catalyst.plans.logical.Filter => flt
