@@ -274,6 +274,12 @@ object VersionedTable {
     * for manifests committed by older writers. */
   private[graft] val CommitTsProp = "commit_ts_ms"
 
+  /** The commit's self-declared operation label (`load`, `delete`,
+    * `compact`, `rollback`, `row-op`, ... — whatever the path called
+    * itself) — stamped by every commit, surfaced as `DESCRIBE HISTORY`'s
+    * operation column. Engine-owned. */
+  private[graft] val OperationProp = "operation"
+
   /** Manifest prop recording the table's upsert/CDC key columns
     * (comma-separated) — written by every keyed load, so CDC consumers
     * (`graft-cdc`) can default their `keys` from the table itself
@@ -1531,7 +1537,10 @@ object VersionedTable {
       .flatMap(_.props.get(CommitTsProp))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
     val ts = math.max(commitClock.value(), parentTs.fold(Long.MinValue)(_ + 1L))
-    val m = m0.copy(props = m0.props + (CommitTsProp -> ts.toString))
+    val m = m0.copy(props = m0.props + (CommitTsProp -> ts.toString) +
+      // the commit names its own operation (DESCRIBE HISTORY's column);
+      // stamped HERE so carried parent props can never leak a stale label
+      (OperationProp -> commitOp.value))
     val f = fs(tgt, metaDir(tgt, table))
     f.mkdirs(new Path(metaDir(tgt, table)))
     // O(changed files) commit bytes: a delta vs the parent is the CAS
@@ -1583,16 +1592,24 @@ object VersionedTable {
   /** The shared optimistic-retry shell: run `attempt` (stage + CAS; None =
     * lost the race) until it commits or the retry budget is spent — ONE
     * copy of the loop for load, delete, and rollback. */
+  /** The OPERATION label the in-flight commit stamps into its manifest
+    * ([[OperationProp]] — `DESCRIBE HISTORY`'s operation column):
+    * [[commitWithRetry]] sets it from its own `what` label, so every
+    * commit path names itself for free; the direct-CAS row-op paths set
+    * it explicitly. */
+  private val commitOp = new scala.util.DynamicVariable[String]("write")
+
   private def commitWithRetry(table: String, what: String)
-                             (attempt: () => Option[Long]): Long = {
-    var i = 0
-    while (i < MaxCommitRetries) {
-      attempt().foreach(v => return v)
-      i += 1
+                             (attempt: () => Option[Long]): Long =
+    commitOp.withValue(what) {
+      var i = 0
+      while (i < MaxCommitRetries) {
+        attempt().foreach(v => return v)
+        i += 1
+      }
+      throw new java.io.IOException(
+        s"versioned $what on '$table' lost the commit race $MaxCommitRetries times")
     }
-    throw new java.io.IOException(
-      s"versioned $what on '$table' lost the commit race $MaxCommitRetries times")
-  }
 
   /** Max of the id column across `absFiles`, from parquet FOOTER column
     * statistics — metadata-only (no row I/O), driver cost O(new files per
@@ -2590,7 +2607,7 @@ object VersionedTable {
   private[graft] def isReservedProp(k: String): Boolean =
     Set(SchemaProp, ColMapProp, ColMapRetiredProp, CommitTsProp,
       UpsertKeysProp, CheckConstraintsProp, PartitionSpecProp,
-      ClusterByProp).contains(k) ||
+      ClusterByProp, OperationProp).contains(k) ||
       k.startsWith(org.apache.spark.sql.graft.GraftStreamWrite.EpochPropPrefix)
 
   /** METADATA-ONLY `ALTER TABLE SET/UNSET TBLPROPERTIES` — ONE manifest
@@ -3104,7 +3121,8 @@ object VersionedTable {
                                     expectedVersion: Long,
                                     removedAbs: Set[String],
                                     replacement0: DataFrame,
-                                    idOrder: Seq[String]): Long = {
+                                    idOrder: Seq[String]): Long =
+    commitOp.withValue("row-op (copy-on-write)") {
     Loader.ensureParquetWriteConf(tgt.spark)
     val headMan = readManifest(tgt, table, expectedVersion).getOrElse(
       throw new IllegalArgumentException(
@@ -3165,7 +3183,7 @@ object VersionedTable {
           s"$expectedVersion but another writer committed first — " +
           "retry the statement against the new head")
     }
-  }
+    }
 
   /** MERGE-ON-READ ROW-LEVEL COMMIT — the primitive under SQL
     * UPDATE/MERGE/DELETE on a `merge-on-read` table (Spark's delta-based
@@ -3206,7 +3224,13 @@ object VersionedTable {
                                     // manifest's props (upsert-key
                                     // recording etc.)
                                     propsDelta: Map[String, String] = Map.empty,
-                                    dropProps: Seq[String] = Nil): Long = {
+                                    dropProps: Seq[String] = Nil): Long =
+    // label the commit when reached DIRECTLY from the SQL delta ops;
+    // library paths (delete/deleteKeys/load) arrive under their own
+    // commitWithRetry label and keep it
+    commitOp.withValue(
+      if (commitOp.value == "write") "row-op (merge-on-read)"
+      else commitOp.value) {
     Loader.ensureParquetWriteConf(tgt.spark)
     val headMan = readManifest(tgt, table, expectedVersion).getOrElse(
       throw new IllegalArgumentException(
@@ -3420,7 +3444,7 @@ object VersionedTable {
           s"$expectedVersion but another writer committed first — " +
           "retry the statement against the new head")
     }
-  }
+    }
 
   // ------------------------------------------------------------------ delete
 
@@ -4528,15 +4552,15 @@ object VersionedTable {
         .getOrElse(artifactMtime(tgt, table, v)))
       def total(m: Map[String, Long]): Option[Long] =
         if (man.files.forall(m.contains)) Some(man.files.map(m).sum) else None
-      (v, ts, man.files.size,
+      (v, ts, man.props.get(OperationProp).orNull, man.files.size,
         total(man.sizes).map(java.lang.Long.valueOf).orNull,
         total(man.rows).map(java.lang.Long.valueOf).orNull,
         man.maxId.map(java.lang.Long.valueOf).orNull,
         man.bucket.isDefined)
     }
     import tgt.spark.implicits._
-    rows.toDF("version", "committed_at", "n_files", "total_bytes",
-      "total_rows", "max_id", "bucketed")
+    rows.toDF("version", "committed_at", "operation", "n_files",
+      "total_bytes", "total_rows", "max_id", "bucketed")
   }
 
   /** The shared explicit-file-list read (NTZ normalization included). */
