@@ -127,6 +127,41 @@ class GeneratedColumnSpec extends SparkSpec {
       .head().getLong(0) == 30L)
   }
 
+  test("composition: CLUSTER BY a generated column; streaming sink computes") {
+    // the generated column materializes BEFORE the layout arrangement,
+    // so clustering (and pruning) on it just works
+    spark.sql("CREATE TABLE ggen.default.cl (k BIGINT, " +
+      "ksq BIGINT GENERATED ALWAYS AS (k * k)) CLUSTER BY (ksq)")
+    spark.sql("INSERT INTO ggen.default.cl (k) " +
+      "SELECT (id * 37) % 10000 FROM range(0, 10000)")
+    val v = graft.etl.VersionedTable.currentVersion(lib, "cl").get
+    val skipped = graft.etl.VersionedTable.skippedFiles(lib, "cl", v,
+      org.apache.spark.sql.functions.col("ksq") >= 50000000L)
+    assert(skipped.nonEmpty, "zone maps must prune on the generated column")
+    assert(spark.sql("SELECT count(*) FROM ggen.default.cl " +
+      "WHERE ksq <> k * k").head().getLong(0) == 0L)
+
+    // the streaming sink funnels through the same load hook
+    implicit val sqlCtx = spark.sqlContext
+    spark.sql("CREATE TABLE ggen.default.st (k BIGINT, " +
+      "twice BIGINT GENERATED ALWAYS AS (k * 2))")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = input.toDF().toDF("k").writeStream.format("graft")
+      .option("dir", warehouse).option("table", "st")
+      .option("checkpointLocation", tmpDir("ggen-ck"))
+      .start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql(
+      "SELECT k, twice FROM ggen.default.st ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 4L), (3L, 6L)),
+      "streamed rows must compute generated columns like batch loads")
+  }
+
   test("merge-on-read tables with generated columns refuse UPDATE/MERGE") {
     spark.sql("CREATE TABLE ggen.default.mor (k BIGINT, " +
       "twice BIGINT GENERATED ALWAYS AS (k * 2)) " +
