@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
 import org.apache.spark.sql.connector.catalog.{Column => V2Column}
 import org.apache.spark.sql.functions._
@@ -128,9 +128,4 @@ object GeneratedCols {
       typedNulls.map(_._1).foldLeft(out)((x, r) => x.drop(r))
     }
   }
-
-  /** The identity column as a typed assignment base: used by the write
-    * paths to stamp `start + i * step` over rows arriving with a null
-    * identity value (see [[VersionedTable]]'s load hook). */
-  def castTo(c: Column, f: StructField): Column = c.cast(f.dataType)
 }

@@ -2178,30 +2178,37 @@ object VersionedTable {
                                      verifyProvided: Boolean = true): DataFrame =
     headMan.flatMap(recordedSchema) match {
       case Some(s) =>
-        val d1 =
-          if (GeneratedCols.hasGenerated(s))
-            GeneratedCols.materialize(tgt.spark, s, df, verifyProvided)
-          else df
-        GeneratedCols.identitySpecs(s).foldLeft(d1) { case (d, (f, spec)) =>
-          val asc = spec.getStep > 0
-          val withCol =
-            if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
-            else d.withColumn(f.name, lit(null).cast(f.dataType))
-          // GENERATED ALWAYS AS IDENTITY: explicit values refuse (one
-          // bounded probe); BY DEFAULT keeps provided values and fills
-          // the rest. Row-op frames (verifyProvided = false) re-emit
-          // EXISTING rows' values — never refused, never re-stamped.
-          if (verifyProvided && !spec.isAllowExplicitInsert)
-            require(withCol.filter(col(f.name).isNotNull).limit(1).isEmpty,
-              s"identity column '${f.name}' is GENERATED ALWAYS — " +
-                "explicit values are not accepted (declare GENERATED BY " +
-                "DEFAULT to allow them)")
-          val next = identityHighWater(tgt, table, headMan.get, f.name, asc)
-            .map(_ + spec.getStep).getOrElse(spec.getStart)
-          org.apache.spark.sql.graft.IdentityStamp.stamp(
-            withCol, withCol.columns.find(_.equalsIgnoreCase(f.name)).get,
-            next, spec.getStep)
+        // IDENTITY stamps FIRST: a generation expression may reference
+        // an identity column (Spark's CREATE validation allows it — the
+        // identity column is not itself "generated" in that check), and
+        // computing it before assignment would freeze NULLs into the
+        // derived column forever
+        val d1 = GeneratedCols.identitySpecs(s).foldLeft(df) {
+          case (d, (f, spec)) =>
+            val asc = spec.getStep > 0
+            val withCol =
+              if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+              else d.withColumn(f.name, lit(null).cast(f.dataType))
+            // GENERATED ALWAYS AS IDENTITY: explicit values refuse
+            // IN-TASK (the stamp throws on a non-null slot — no probe
+            // action, no extra plan execution, fails before any commit);
+            // BY DEFAULT keeps provided values and fills the rest.
+            // Row-op frames (verifyProvided = false) re-emit EXISTING
+            // rows' values — never refused, never re-stamped. (An
+            // explicit row-op SET on the identity column is therefore
+            // the user overriding the assignment — the same contract as
+            // BY DEFAULT explicit inserts: the engine guarantees
+            // uniqueness and direction for values IT assigns.)
+            val next = identityHighWater(tgt, table, headMan.get, f.name, asc)
+              .map(_ + spec.getStep).getOrElse(spec.getStart)
+            org.apache.spark.sql.graft.IdentityStamp.stamp(
+              withCol, withCol.columns.find(_.equalsIgnoreCase(f.name)).get,
+              next, spec.getStep,
+              refuseExplicit = verifyProvided && !spec.isAllowExplicitInsert)
         }
+        if (GeneratedCols.hasGenerated(s))
+          GeneratedCols.materialize(tgt.spark, s, d1, verifyProvided)
+        else d1
       case _ => df
     }
 
@@ -3974,7 +3981,17 @@ object VersionedTable {
         val p = recordedSchema(man) match {
           case Some(s) => graft.streaming.CdcStreamProvider
             .admissionOf(tgt.spark, s, c, c.toString).zonePred
-          case None => org.apache.spark.sql.graft.ColumnExprBridge.predTree(c)
+          case None =>
+            // legacy schema-less manifest: the node walker is all we
+            // have — an unwalkable scope REFUSES (widening silently to
+            // the whole table would be the exact O(table) rewrite the
+            // scope exists to avoid)
+            val p0 = org.apache.spark.sql.graft.ColumnExprBridge.predTree(c)
+            require(p0 != ZonePred.Unknown,
+              s"compact scope is not analyzable on '$table' (no recorded " +
+                "schema to resolve it against) — use column-DSL " +
+                "predicates, or compact unscoped")
+            p0
         }
         pruneByPred(man, p)._1.toSet
       }
@@ -4201,29 +4218,38 @@ object VersionedTable {
     // written after the clone commit (a crashed clone leaves no marker —
     // nothing to protect; a crash between commit and marker loses
     // protection for this clone only, same as the pre-guard behavior).
-    // BEST-EFFORT like writePointer: the clone is already durably
-    // committed above, so an IOException here must not fail the call —
-    // a retry would hit "clone target already exists" while the clone
-    // stayed unprotected. Warn and return the committed version instead.
+    writeCloneMarker(src, srcTable, dst.dir, dstTable,
+      what = s"clone '$dstTable'")
+    committed
+  }
+
+  /** The clone-protection marker write, shared by [[cloneTable]] (clone
+    * registers on its source) and [[fastForward]] (the published source
+    * registers on its branch): one filename convention, one JSON shape,
+    * one failure mode — BEST-EFFORT like writePointer: the commit it
+    * protects is already durable, so an IOException warns instead of
+    * failing the call (a retry would hit already-exists while the files
+    * stayed unprotected). */
+  private def writeCloneMarker(ownerCat: Catalog, ownerTable: String,
+                               refDir: String, refTable: String,
+                               what: String): Unit =
     try {
-      val f = fs(src, metaDir(src, srcTable))
-      val marker = new Path(metaDir(src, srcTable),
+      val f = fs(ownerCat, metaDir(ownerCat, ownerTable))
+      val marker = new Path(metaDir(ownerCat, ownerTable),
         s"clone-${java.util.UUID.randomUUID()}.json")
       val out = f.create(marker, false)
       try out.write(mapper.writeValueAsBytes {
         val o = mapper.createObjectNode()
-        o.put("dir", dst.dir); o.put("table", dstTable); o
+        o.put("dir", refDir); o.put("table", refTable); o
       }) finally out.close()
     } catch {
       case e: java.io.IOException =>
         graft.GraftLog.warn(
-          s"clone '$dstTable' committed but its protection " +
-            s"marker write on source '$srcTable' failed (${e.getMessage}); " +
-            "the source's vacuum will NOT protect the shared files — " +
-            "re-register by re-creating the marker or vacuum with care")
+          s"$what committed but its protection marker write on " +
+            s"'$ownerTable' failed (${e.getMessage}); that table's vacuum " +
+            "will NOT protect the shared files — re-create the marker or " +
+            "vacuum with care")
     }
-    committed
-  }
 
   /** FAST-FORWARD PUBLISH — the write-audit-publish (WAP) pattern over
     * zero-copy clones: stage writes on a CLONE (`clone` = the branch),
@@ -4288,26 +4314,10 @@ object VersionedTable {
       else None
     }
     // the TARGET now references the branch's files — register it as a
-    // live clone of the branch (same marker cloneTable writes, reverse
-    // direction), so branch vacuum/DROP protect the shared files.
-    // Best-effort like cloneTable's marker: the publish is already
-    // durable, so a failed marker write warns instead of failing.
-    try {
-      val f = fs(branchCat, metaDir(branchCat, branchTable))
-      val marker = new Path(metaDir(branchCat, branchTable),
-        s"clone-${java.util.UUID.randomUUID()}.json")
-      val out = f.create(marker, false)
-      try out.write(mapper.writeValueAsBytes {
-        val o = mapper.createObjectNode()
-        o.put("dir", tgt.dir); o.put("table", table); o
-      }) finally out.close()
-    } catch {
-      case e: java.io.IOException =>
-        graft.GraftLog.warn(
-          s"fast_forward published '$table' but the protection marker " +
-            s"write on branch '$branchTable' failed (${e.getMessage}); " +
-            "the branch's vacuum will NOT protect the published files")
-    }
+    // live clone of the branch (the cloneTable marker, reverse
+    // direction), so branch vacuum/DROP protect the shared files
+    writeCloneMarker(branchCat, branchTable, tgt.dir, table,
+      what = s"fast_forward of '$table'")
     committed
   }
 
@@ -4346,20 +4356,34 @@ object VersionedTable {
       s"table '$table' has no retained version $v to tag")
     val f = fs(tgt, metaDir(tgt, table))
     val p = tagPath(tgt, table, name)
-    val out =
-      try f.create(p, false)
-      catch { case e: java.io.IOException =>
-        if (f.exists(p)) throw new IllegalArgumentException(
-          s"tag '$name' already exists on '$table' — tags are immutable " +
-            "refs; drop it first to re-point")
-        else throw e
-      }
+    if (f.exists(p)) throw new IllegalArgumentException(
+      s"tag '$name' already exists on '$table' — tags are immutable " +
+        "refs; drop it first to re-point")
+    // CRASH-SAFE: body to a tmp sibling, then rename into place — a
+    // crash mid-write leaves only an ignored tmp (vacuum's stray sweep
+    // class), never a TORN tag file that would brick every later tags()
+    // listing and therefore every vacuum. The exists-then-rename pair is
+    // the same exclusivity the clone markers accept (a same-instant
+    // duplicate create is a benign last-writer-wins on an identical
+    // name, not corruption). NOTE the create/vacuum race is the clone
+    // marker's documented class: a tag created while a vacuum is mid-
+    // flight may miss that vacuum's pin pass — create tags before
+    // retention maintenance, not during.
+    val tmp = new Path(metaDir(tgt, table),
+      s"tag-$name.json.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
     try out.write(mapper.writeValueAsBytes {
       val o = mapper.createObjectNode()
       o.put("version", v)
       o.put("created_at", System.currentTimeMillis())
       o
     }) finally out.close()
+    if (!f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists on '$table' — tags are immutable " +
+          "refs; drop it first to re-point")
+    }
   }
 
   /** Drop tag `name`; false when absent (with `ifExists`), error without. */
@@ -4383,29 +4407,41 @@ object VersionedTable {
     else f.listStatus(md).toSeq
       .filter(st => st.getPath.getName.startsWith("tag-") &&
         st.getPath.getName.endsWith(".json"))
-      .map { st =>
+      .flatMap { st =>
         val name = st.getPath.getName
           .stripPrefix("tag-").stripSuffix(".json")
-        val in = f.open(st.getPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val o = mapper.readTree(txt)
-        (name, o.get("version").asLong(),
-          Option(o.get("created_at")).map(_.asLong()).getOrElse(0L))
+        // a damaged tag file (manual surgery, torn pre-rename writer)
+        // must not brick listings — and through them every VACUUM.
+        // Warn and skip: resolution by the name then fails with "no
+        // tag", guiding a drop + re-create.
+        scala.util.Try {
+          val in = f.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val o = mapper.readTree(txt)
+          (name, o.get("version").asLong(),
+            Option(o.get("created_at")).map(_.asLong()).getOrElse(0L))
+        }.toOption.orElse {
+          graft.GraftLog.warn(
+            s"unreadable tag file '${st.getPath.getName}' on '$table' — " +
+              "skipping it (drop_tag and re-create to repair)")
+          None
+        }
       }.sortBy(_._1)
   }
 
-  /** The version tag `name` points at, when the tag exists. */
+  /** The version tag `name` points at, when the tag exists (a damaged
+    * tag file reads as missing — same tolerance as [[tags]]). */
   def tagVersion(tgt: Catalog, table: String, name: String): Option[Long] = {
     val f = fs(tgt, metaDir(tgt, table))
     val p = tagPath(tgt, table, name)
     if (!f.exists(p)) None
-    else {
+    else scala.util.Try {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      Some(mapper.readTree(txt).get("version").asLong())
-    }
+      mapper.readTree(txt).get("version").asLong()
+    }.toOption
   }
 
   /** Resolve a VERSION AS OF ref: a number is a version, anything else a
@@ -5384,17 +5420,29 @@ object VersionedTable {
     * retained version — crashed commits' staged batches, lost-CAS
     * leftovers — while keeping EVERY version readable (vacuum with the
     * full version list as the keep set; Iceberg's
-    * `remove_orphan_files` shape). */
+    * `remove_orphan_files` shape). An unreferenced file younger than
+    * `olderThanMs` is NOT an orphan — it is indistinguishable from a
+    * CONCURRENT writer's staged-but-uncommitted batch, and deleting it
+    * would make that writer's CAS commit reference vanished bytes
+    * (Iceberg requires the same grace window, default 3 days; here 24 h,
+    * explicit for tests/operators who know the table is quiet). */
   def removeOrphanFiles(tgt: Catalog, table: String,
-                        dryRun: Boolean = false): Int = {
+                        dryRun: Boolean = false,
+                        olderThanMs: Long =
+                          System.currentTimeMillis() - 24L * 3600 * 1000): Int = {
     val n = versions(tgt, table).size
     require(n > 0, s"versioned table '$table' not found")
-    vacuum(tgt, table, n, dryRun = dryRun)
+    vacuum(tgt, table, n, dryRun = dryRun, sweepOlderThan = Some(olderThanMs))
   }
 
   def vacuum(tgt: Catalog, table: String, keepLast: Int,
              ignoreClones: Boolean = false,
-             dryRun: Boolean = false): Int = {
+             dryRun: Boolean = false,
+             // when set, the data-dir sweep only deletes files whose
+             // mtime is strictly older — the orphan-removal grace window
+             // (an unreferenced young file may be a concurrent writer's
+             // staged batch)
+             sweepOlderThan: Option[Long] = None): Int = {
     require(keepLast >= 1, "must keep at least the current version")
     val vs = versions(tgt, table)
     // TAGS pin retention: every version at or after the oldest tagged one
@@ -5436,7 +5484,8 @@ object VersionedTable {
           if (st.isDirectory) scan(st.getPath)
           else if (st.isFile && (st.getPath.getName.endsWith(".parquet") ||
             st.getPath.getName.endsWith(".dv")) &&
-            !ref.contains(st.getPath.toUri.getPath)) would += 1
+            !ref.contains(st.getPath.toUri.getPath) &&
+            sweepOlderThan.forall(st.getModificationTime < _)) would += 1
         }
       if (f.exists(dd)) scan(dd)
       return would
@@ -5481,6 +5530,7 @@ object VersionedTable {
     f.listStatus(new Path(metaDir(tgt, table))).toSeq
       .filter(st => st.getPath.getName.contains(".manifest.json.tmp") ||
         st.getPath.getName.contains(".delta.json.tmp") ||
+        st.getPath.getName.contains(".json.tmp-") || // torn tag writers
         st.getPath.getName.startsWith("_vlast.tmp"))
       .foreach(st => f.delete(st.getPath, false))
     val dd = new Path(dataDir(tgt, table))
@@ -5490,7 +5540,8 @@ object VersionedTable {
         if (st.isDirectory) sweep(st.getPath)
         else if (st.isFile && (st.getPath.getName.endsWith(".parquet") ||
           st.getPath.getName.endsWith(".dv")) &&
-          !referenced.contains(st.getPath.toUri.getPath)) {
+          !referenced.contains(st.getPath.toUri.getPath) &&
+          sweepOlderThan.forall(st.getModificationTime < _)) {
           f.delete(st.getPath, false); removed += 1
         }
       }

@@ -234,11 +234,21 @@ private[sources] object GraftProcedures {
       "reclaim files referenced by no retained version (history kept)",
       Array(param("table", StringType),
         ProcedureParameter.in("dry_run", BooleanType)
-          .defaultValue("false").build())) {
+          .defaultValue("false").build(),
+        // grace window: unreferenced files YOUNGER than this instant are
+        // kept — they may be a concurrent writer's staged batch (the
+        // Iceberg older_than rule; default = 24 h ago)
+        ProcedureParameter.in("older_than", StringType)
+          .defaultValue("''").build())) {
       override def run(input: InternalRow): JIterator[Scan] = {
         val dry = !input.isNullAt(1) && input.getBoolean(1)
+        val cutoff = Option(input).filterNot(_.isNullAt(2))
+          .map(_.getUTF8String(2).toString.trim).filter(_.nonEmpty)
+          .map(graft.streaming.CdcStreamProvider.parseUtcMillis)
+          .getOrElse(System.currentTimeMillis() - 24L * 3600 * 1000)
         val removed = VersionedTable.removeOrphanFiles(cat(),
-          input.getUTF8String(0).toString, dryRun = dry)
+          input.getUTF8String(0).toString, dryRun = dry,
+          olderThanMs = cutoff)
         one(StructType(Seq(
           org.apache.spark.sql.types.StructField("files_deleted", IntegerType,
             nullable = false))), removed)

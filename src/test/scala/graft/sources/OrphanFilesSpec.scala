@@ -26,13 +26,24 @@ class OrphanFilesSpec extends SparkSpec {
       .write.mode("overwrite").parquet(orphan.getParent)
     val planted = dataDir.listFiles().count(_.getName.startsWith("batch-dead"))
     assert(planted == 1)
-    // dry_run reports without deleting
-    val wouldGo = spark.sql("CALL gorph.system.remove_orphan_files('t', true)")
+    // the GRACE WINDOW: with the default 24h cutoff a freshly-written
+    // unreferenced file is indistinguishable from a concurrent writer's
+    // staged batch — it must NOT reclaim
+    assert(spark.sql("CALL gorph.system.remove_orphan_files('t')")
+      .head().getInt(0) == 0, "a young unreferenced file must survive " +
+      "the default grace window")
+    assert(new java.io.File(orphan.getParent).exists())
+    // an explicit future cutoff (the operator asserting the table is
+    // quiet): dry_run reports without deleting
+    val cut = (System.currentTimeMillis() + 60000).toString
+    val wouldGo = spark.sql(
+      s"CALL gorph.system.remove_orphan_files('t', true, '$cut')")
       .head().getInt(0)
     assert(wouldGo >= 1, s"dry_run must count the orphan: $wouldGo")
     assert(new java.io.File(orphan.getParent).exists())
     // the real sweep reclaims it and keeps both versions readable
-    val gone = spark.sql("CALL gorph.system.remove_orphan_files('t')")
+    val gone = spark.sql(
+      s"CALL gorph.system.remove_orphan_files('t', false, '$cut')")
       .head().getInt(0)
     assert(gone == wouldGo, s"sweep must match the dry run: $gone vs $wouldGo")
     assert(VersionedTable.versions(lib, "t") == Seq(1L, 2L))

@@ -73,6 +73,27 @@ class TagSpec extends SparkSpec {
       VersionedTable.createTag(lib, "r", "future", 99L))
   }
 
+  test("a damaged tag file never bricks listings or vacuum") {
+    VersionedTable.load(lib, "tt", Seq((1L, "a")).toDF("k", "v"))
+    VersionedTable.load(lib, "tt", Seq((2L, "b")).toDF("k", "v"))
+    VersionedTable.createTag(lib, "tt", "good", 2L)
+    // simulate a torn pre-atomic-write tag (manual surgery class)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$warehouse/tt.__vmeta/tag-torn.json"),
+      "{not json".getBytes)
+    // listings skip it, the good tag survives
+    assert(VersionedTable.tags(lib, "tt").map(_._1) == Seq("good"))
+    // resolution by the torn name reads as missing
+    assert(VersionedTable.tagVersion(lib, "tt", "torn").isEmpty)
+    // vacuum still runs (and still honors the good tag's pin)
+    VersionedTable.vacuum(lib, "tt", keepLast = 1)
+    assert(VersionedTable.versions(lib, "tt") == Seq(2L))
+    // drop_tag repairs the name
+    assert(VersionedTable.dropTag(lib, "tt", "torn"))
+    VersionedTable.createTag(lib, "tt", "torn", 2L)
+    assert(VersionedTable.tagVersion(lib, "tt", "torn").contains(2L))
+  }
+
   test("tags pin vacuum retention; dropping the tag releases it") {
     VersionedTable.load(lib, "vt", Seq((1L, "a")).toDF("k", "v"))   // v1
     VersionedTable.load(lib, "vt", Seq((2L, "b")).toDF("k", "v"))   // v2
