@@ -128,4 +128,46 @@ object GeneratedCols {
       typedNulls.map(_._1).foldLeft(out)((x, r) => x.drop(r))
     }
   }
+
+  /** BOUND full-row projection recomputing every generated column — the
+    * merge-on-read row-op path's executor-side twin of [[materialize]]:
+    * the delta writers receive InternalRows (no DataFrame to transform),
+    * so the generation expressions analyze ONCE on the driver against an
+    * empty frame of the write schema, bind by ordinal, and ship to the
+    * tasks as serializable Catalyst expressions (each task builds one
+    * codegen'd UnsafeProjection from them). Row-op semantics match the
+    * copy-on-write path: recompute unconditionally — the frames re-emit
+    * pre-update derived values. None when the schema declares no
+    * generated column present in the write schema. */
+  def boundRowProjection(spark: SparkSession, tableSchema: StructType,
+                         writeSchema: StructType)
+      : Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = {
+    val genByName = generationExprs(tableSchema)
+      .map { case (f, sql) => f.name.toLowerCase -> sql }.toMap
+    if (genByName.isEmpty ||
+        !writeSchema.fieldNames.exists(n => genByName.contains(n.toLowerCase)))
+      return None
+    val cols = writeSchema.fields.map { f =>
+      genByName.get(f.name.toLowerCase) match {
+        case Some(sql) => expr(sql).cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val analyzed = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), writeSchema)
+      .select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
+      .queryExecution.analyzed
+    val project = analyzed.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }.getOrElse(throw new IllegalStateException(
+      "generated-column projection did not analyze to a Project"))
+    Some(project.projectList.map { e =>
+      val child = e match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case x => x
+      }
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(child, project.child.output)
+    })
+  }
 }

@@ -772,12 +772,18 @@ object VersionedTable {
       : Option[org.apache.spark.sql.types.StructType] =
     readManifest(tgt, table, v).flatMap(recordedSchema)
 
-  /** Whether the head's recorded schema declares any GENERATED or
-    * IDENTITY column — the merge-on-read row-op gate's cheap engine-side
-    * probe (one LRU-cached manifest read, no data I/O). */
-  private[graft] def hasGeneratedColumns(tgt: Catalog, table: String): Boolean =
+  /** The head version's recorded schema (declarations included), when
+    * one exists — the row-op paths' source of generated/identity
+    * metadata (one LRU-cached manifest read, no data I/O). */
+  private[graft] def recordedHeadSchema(tgt: Catalog, table: String)
+      : Option[org.apache.spark.sql.types.StructType] =
     currentVersion(tgt, table).flatMap(recordedSchemaAt(tgt, table, _))
-      .exists(s => GeneratedCols.hasGenerated(s) || GeneratedCols.hasIdentity(s))
+
+  /** Whether the head's recorded schema declares any IDENTITY column —
+    * the merge-on-read row-op gate's cheap engine-side probe (generated
+    * columns recompute in the delta writers and no longer gate). */
+  private[graft] def hasIdentityColumns(tgt: Catalog, table: String): Boolean =
+    recordedHeadSchema(tgt, table).exists(GeneratedCols.hasIdentity)
 
   /** Recorded schemas normalize to ALL-NULLABLE (deeply) before entering
     * the manifest — the parquet read contract the legacy footer probe

@@ -179,9 +179,16 @@ private[sources] final class GraftDeltaRowWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     val inner = GraftStreamWrite.stageFactory(spark, schema, stagingRoot(spark))
+    // GENERATED columns recompute in the TASKS (the copy-on-write
+    // row-op semantics): the expressions analyze once here against the
+    // write schema and ship bound — each task wraps its inserts in one
+    // codegen'd projection
+    val cat = new Catalog(spark, dir)
+    val genExprs = VersionedTable.recordedHeadSchema(cat, table)
+      .flatMap(s => graft.etl.GeneratedCols.boundRowProjection(spark, s, schema))
     new GraftDeltaWriterFactory(inner, stagingRoot(spark),
       new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
+        spark.sessionState.newHadoopConf()), genExprs)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -221,12 +228,13 @@ private[sources] final class GraftDeltaRowWrite(
 private[sources] final class GraftDeltaWriterFactory(
     inner: org.apache.spark.sql.graft.GraftStreamWriterFactory,
     stagingRoot: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    genExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaTaskWriter(inner.createWriter(partitionId, taskId),
-      stagingRoot, conf)
+      stagingRoot, conf, genExprs)
 }
 
 /** Task-side delta consumer: deleted positions SPILL to fragment
@@ -238,8 +246,14 @@ private[sources] final class GraftDeltaWriterFactory(
 private[sources] final class GraftDeltaTaskWriter(
     inner: DataWriter[InternalRow],
     stagingRoot: String,
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    genExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
   extends DeltaWriter[InternalRow] {
+
+  // generated-column recompute over every inserted/updated row — one
+  // codegen'd projection per task, built from the driver-bound exprs
+  private lazy val genProj = genExprs.map(es =>
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(es))
 
   private val FlushAt =
     org.apache.spark.sql.graft.DeletionVectors.FragmentFlushPositions
@@ -285,7 +299,8 @@ private[sources] final class GraftDeltaTaskWriter(
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
     insert(row)
 
-  override def insert(row: InternalRow): Unit = inner.write(row)
+  override def insert(row: InternalRow): Unit =
+    inner.write(genProj.fold(row)(p => p(row)))
 
   override def commit(): WriterCommitMessage = {
     buffered.keys.toSeq.foreach(flush)

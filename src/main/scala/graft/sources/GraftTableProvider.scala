@@ -175,21 +175,22 @@ private[sources] final class GraftBatchTable(
         org.apache.spark.sql.graft.PlainBatchRead.PosCol),
         "merge-on-read operations need the _pos metadata column, which " +
           "this table's own _pos data column shadows — rename the column")
-      // the delta op stages updated/inserted rows executor-side, past
-      // the engine's generated/identity materialization hook — refuse
-      // UPDATE/MERGE rather than commit rows whose generated values
-      // could go stale or whose identity slots stay null (DELETE only
-      // removes rows: nothing to recompute or assign)
+      // GENERATED columns recompute inside the delta writers (the bound
+      // projection GraftDeltaRowLevelOps ships to tasks) — only
+      // IDENTITY columns still refuse UPDATE/MERGE here: MOR inserts
+      // have no global zip order to assign from, and a null identity
+      // slot must never commit (DELETE only removes rows: nothing to
+      // assign)
       val isDelete = info.command() ==
         org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
-      require(isDelete || (!graft.etl.GeneratedCols.hasGenerated(dataSchema) && {
+      require(isDelete || (!graft.etl.GeneratedCols.hasIdentity(dataSchema) && {
         import GraftTableProvider.opt
         !(for { d <- opt(options, "dir"); t <- opt(options, "table") } yield
-          VersionedTable.hasGeneratedColumns(
+          VersionedTable.hasIdentityColumns(
             new Catalog(SparkSession.active, d), t)).getOrElse(false)
-      }), "UPDATE/MERGE on a merge-on-read table with GENERATED or " +
-        "IDENTITY columns is not supported — set write.mode to " +
-        "copy-on-write for this table (DELETE works either way)")
+      }), "UPDATE/MERGE on a merge-on-read table with IDENTITY columns " +
+        "is not supported — set write.mode to copy-on-write for this " +
+        "table (DELETE works either way)")
       GraftDeltaRowLevelOps.builder(dataSchema, options)(info)
     } else GraftRowLevelOps.builder(dataSchema, options)(info)
   }

@@ -162,17 +162,38 @@ class GeneratedColumnSpec extends SparkSpec {
       "streamed rows must compute generated columns like batch loads")
   }
 
-  test("merge-on-read tables with generated columns refuse UPDATE/MERGE") {
+  test("merge-on-read UPDATE/MERGE recompute generated columns in-task") {
     spark.sql("CREATE TABLE ggen.default.mor (k BIGINT, " +
       "twice BIGINT GENERATED ALWAYS AS (k * 2)) " +
       "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
-    spark.sql("INSERT INTO ggen.default.mor (k) VALUES (1), (2)")
-    val e = intercept[Exception](spark.sql(
-      "UPDATE ggen.default.mor SET k = 9 WHERE k = 1"))
-    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
-    // DELETE stays available (removes rows; no value to go stale)
-    spark.sql("DELETE FROM ggen.default.mor WHERE k = 1")
-    assert(spark.sql("SELECT k, twice FROM ggen.default.mor").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 4L)))
+    spark.sql("INSERT INTO ggen.default.mor (k) VALUES (1), (2), (3)")
+    val preFiles = graft.etl.VersionedTable.files(lib, "mor",
+      graft.etl.VersionedTable.currentVersion(lib, "mor").get).toSet
+    // UPDATE of the base column: the delta writers' bound projection
+    // recomputes the derived value; files carry verbatim + DVs
+    spark.sql("UPDATE ggen.default.mor SET k = 9 WHERE k = 1")
+    val v = graft.etl.VersionedTable.currentVersion(lib, "mor").get
+    assert(preFiles.subsetOf(
+      graft.etl.VersionedTable.files(lib, "mor", v).toSet),
+      "the MOR update must carry the original files verbatim")
+    assert(graft.etl.VersionedTable.deletionVectors(lib, "mor", v).nonEmpty,
+      "the MOR update must commit deletion vectors")
+    assert(spark.sql("SELECT twice FROM ggen.default.mor WHERE k = 9")
+      .head().getLong(0) == 18L, "the derived value must recompute")
+    // MERGE: updated and inserted rows recompute too
+    import spark.implicits._
+    Seq(2L, 7L).toDF("mk").createOrReplaceTempView("src_morgen")
+    spark.sql("""MERGE INTO ggen.default.mor t USING src_morgen s
+      ON t.k = s.mk
+      WHEN MATCHED THEN UPDATE SET t.k = s.mk * 10
+      WHEN NOT MATCHED THEN INSERT (k) VALUES (s.mk)""")
+    val rows = spark.sql(
+      "SELECT k, twice FROM ggen.default.mor ORDER BY k").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 6L), (7L, 14L), (9L, 18L), (20L, 40L)), rows.mkString(","))
+    // DELETE keeps working (removes rows; no value to go stale)
+    spark.sql("DELETE FROM ggen.default.mor WHERE k = 3")
+    assert(spark.sql("SELECT count(*) FROM ggen.default.mor")
+      .head().getLong(0) == 3L)
   }
 }
