@@ -55,7 +55,7 @@ object StorageQueries {
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
     "q_versioned_tag", "q_generated_column", "q_identity_column",
     "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
-    "q_decimal_skipping")
+    "q_decimal_skipping", "q_history_operations")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -89,7 +89,8 @@ object StorageQueries {
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
-    sqlDzFixture(spark, sfDir); ()
+    sqlDzFixture(spark, sfDir)
+    sqlHopFixture(spark, sfDir); ()
   }
 
   /** Build the 4-version orders table every versioned query reads:
@@ -929,6 +930,37 @@ object StorageQueries {
         col("amt") >= new java.math.BigDecimal("1000.25"))
       require(skipped.nonEmpty,
         "decimal zone maps must prune the low-range files")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the OPERATION-HISTORY query: a table taken through a
+    * KNOWN op sequence (create, insert, row-op update, delete,
+    * rollback) — the oracle hardcodes the expected (version, operation,
+    * total_rows) rows as constants, so the driver's gate pins the
+    * DESCRIBE HISTORY operation column end-to-end. */
+  private val sqlHopNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlHopFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlHopNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"ghopq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlhop").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.hp " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")                    // v1
+      spark.sql(s"INSERT INTO $name.default.hp " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey <= 1000")                                    // v2
+      spark.sql(s"UPDATE $name.default.hp SET o_totalprice = 0.0 " +
+        "WHERE o_orderkey <= 100")                                     // v3
+      spark.sql(s"DELETE FROM $name.default.hp WHERE o_orderkey <= 200") // v4
+      spark.sql(s"CALL $name.system.rollback('hp', 3)")                // v5
       (name, dir)
     })
   }
@@ -2031,6 +2063,17 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // OPERATION-labeled DESCRIBE HISTORY — a known op sequence (create,
+    // insert, CoW update, delete, rollback); the oracle recomputes the
+    // expected (version, operation, total_rows) rows, so the commit
+    // self-labeling is driver-gated end-to-end, not just spec-pinned.
+    "q_history_operations" -> { (spark, sfDir) =>
+      val (name, dirPath) = sqlHopFixture(spark, sfDir)
+      VersionedTable.history(new Catalog(spark, dirPath), "hp")
+        .select("version", "operation", "total_rows")
+        .orderBy("version")
+    },
+
     // F70 WRITE-AUDIT-PUBLISH — insert/delete/update staged on a
     // zero-copy clone, published by ONE fast_forward commit
     // (fixture-asserted); head = branch state, the pre-publish version
@@ -2749,6 +2792,18 @@ object StorageQueries {
         |SELECT 'tag' AS era, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 800
         |ORDER BY era, o_orderkey""".stripMargin,
+
+    "q_history_operations" ->
+      """WITH n AS (SELECT count(*) AS c FROM orders WHERE o_orderkey <= 1000),
+        |     d AS (SELECT count(*) AS c FROM orders
+        |           WHERE o_orderkey > 200 AND o_orderkey <= 1000)
+        |SELECT CAST(1 AS BIGINT) AS version, 'load' AS operation,
+        |       CAST(0 AS BIGINT) AS total_rows
+        |UNION ALL SELECT 2, 'load', (SELECT c FROM n)
+        |UNION ALL SELECT 3, 'row-op (copy-on-write)', (SELECT c FROM n)
+        |UNION ALL SELECT 4, 'delete', (SELECT c FROM d)
+        |UNION ALL SELECT 5, 'rollback', (SELECT c FROM n)
+        |ORDER BY version""".stripMargin,
 
     "q_decimal_skipping" ->
       """SELECT o_orderkey,
