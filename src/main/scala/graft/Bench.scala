@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Generic warmup (NOT the benchmarked queries): absorb session start,

@@ -3985,8 +3985,19 @@ object VersionedTable {
       // scope refuses loudly rather than silently widening to the table
       val admitted: Set[String] = where.fold(man.files.toSet) { c =>
         val p = recordedSchema(man) match {
-          case Some(s) => graft.streaming.CdcStreamProvider
-            .admissionOf(tgt.spark, s, c, c.toString).zonePred
+          case Some(s) =>
+            val p0 = graft.streaming.CdcStreamProvider
+              .admissionOf(tgt.spark, s, c, c.toString).zonePred
+            // a scope that ANALYZES but exports no zone algebra (e.g.
+            // `k % 2 = 0`, function calls) would keep every file —
+            // silently widening to the O(table) rewrite the scope
+            // exists to avoid. Refuse loudly, same as the legacy branch.
+            require(p0 != ZonePred.Unknown,
+              s"compact scope on '$table' is not expressible in the " +
+                "zone-map algebra (comparisons/IN/null-tests on table " +
+                "columns) — it would admit every file; narrow the " +
+                "predicate, or compact unscoped")
+            p0
           case None =>
             // legacy schema-less manifest: the node walker is all we
             // have — an unwalkable scope REFUSES (widening silently to
@@ -3999,6 +4010,12 @@ object VersionedTable {
                 "predicates, or compact unscoped")
             p0
         }
+        // with NO usable stats at all, a scoped compact degenerates the
+        // same way — every file is conservatively admitted. Refuse:
+        // unscoped compaction is the honest spelling of that rewrite.
+        require(man.stats.nonEmpty || man.nulls.nonEmpty || man.files.isEmpty,
+          s"table '$table' records no file statistics — a compact scope " +
+            "cannot prune anything here; compact unscoped")
         pruneByPred(man, p)._1.toSet
       }
       // DV'd files are ALWAYS rewrite candidates regardless of size —
@@ -4362,34 +4379,31 @@ object VersionedTable {
       s"table '$table' has no retained version $v to tag")
     val f = fs(tgt, metaDir(tgt, table))
     val p = tagPath(tgt, table, name)
-    if (f.exists(p)) throw new IllegalArgumentException(
-      s"tag '$name' already exists on '$table' — tags are immutable " +
-        "refs; drop it first to re-point")
-    // CRASH-SAFE: body to a tmp sibling, then rename into place — a
-    // crash mid-write leaves only an ignored tmp (vacuum's stray sweep
-    // class), never a TORN tag file that would brick every later tags()
-    // listing and therefore every vacuum. The exists-then-rename pair is
-    // the same exclusivity the clone markers accept (a same-instant
-    // duplicate create is a benign last-writer-wins on an identical
-    // name, not corruption). NOTE the create/vacuum race is the clone
+    // CREATE-EXCLUSIVE: the final file opens with overwrite=false, so
+    // two concurrent create_tag('x') calls — even pointing at DIFFERENT
+    // versions — cannot end in a silent last-writer-wins (an
+    // exists-then-rename pair would: Hadoop rename overwrites on POSIX
+    // local filesystems). Exactly one creator wins; the loser gets the
+    // immutability error. Crash-safety needs no tmp+rename here: the
+    // tolerant tags() reader skips a torn file with a warning, so the
+    // worst a mid-write crash leaves is a droppable damaged tag — never
+    // a bricked listing. NOTE the create/vacuum race is the clone
     // marker's documented class: a tag created while a vacuum is mid-
     // flight may miss that vacuum's pin pass — create tags before
     // retention maintenance, not during.
-    val tmp = new Path(metaDir(tgt, table),
-      s"tag-$name.json.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
+    val out = try f.create(p, false) catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if f.exists(p) =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists on '$table' — tags are immutable " +
+            "refs; drop it first to re-point")
+    }
     try out.write(mapper.writeValueAsBytes {
       val o = mapper.createObjectNode()
       o.put("version", v)
       o.put("created_at", System.currentTimeMillis())
       o
     }) finally out.close()
-    if (!f.rename(tmp, p)) {
-      f.delete(tmp, false)
-      throw new IllegalArgumentException(
-        s"tag '$name' already exists on '$table' — tags are immutable " +
-          "refs; drop it first to re-point")
-    }
   }
 
   /** Drop tag `name`; false when absent (with `ifExists`), error without. */
@@ -5532,12 +5546,19 @@ object VersionedTable {
     // deletes above and this write lags lo — healed by probing)
     keep.headOption.foreach(lo => writePointer(tgt, table, lo, keep.last))
     // stray tmp manifests from crashed commits die here too (uuid-suffixed
-    // staging names from the CAS path included)
+    // staging names from the CAS path included) — but only past an mtime
+    // GRACE WINDOW: a young tmp is indistinguishable from a concurrent
+    // writer's live staging file (a CAS commit mid-flight, a legacy tag
+    // writer between write and rename), and sweeping it would fail that
+    // writer with a misleading error. An hour outlives any staging step;
+    // a crashed writer's tmp is eternal and dies on the next vacuum.
+    val tmpGraceCutoff = System.currentTimeMillis() - 60L * 60 * 1000
     f.listStatus(new Path(metaDir(tgt, table))).toSeq
       .filter(st => st.getPath.getName.contains(".manifest.json.tmp") ||
         st.getPath.getName.contains(".delta.json.tmp") ||
         st.getPath.getName.contains(".json.tmp-") || // torn tag writers
         st.getPath.getName.startsWith("_vlast.tmp"))
+      .filter(_.getModificationTime < tmpGraceCutoff)
       .foreach(st => f.delete(st.getPath, false))
     val dd = new Path(dataDir(tgt, table))
     var removed = 0

@@ -143,6 +143,27 @@ private[sources] final class GraftBatchTable(
        "row position within the data file")))
   }.toArray
 
+  /** GENERATED ALWAYS AS column names (lowercase) of this table — from
+    * the data schema's field metadata when present (path surface), else
+    * from the head manifest's recorded schema (the catalog surface's
+    * scan-derived schema drops declaration metadata). One LRU-cached
+    * manifest read, no data I/O; the analysis-time assignment refusal
+    * ([[RefuseGeneratedAssignments]]) keys on this. */
+  private[sources] lazy val generatedColumnNames: Set[String] = {
+    val own = graft.etl.GeneratedCols.generationExprs(dataSchema)
+      .map(_._1.name.toLowerCase).toSet
+    if (own.nonEmpty) own
+    else {
+      import GraftTableProvider.opt
+      (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield
+        VersionedTable.recordedHeadSchema(
+          new Catalog(SparkSession.active, d), t)
+          .map(s => graft.etl.GeneratedCols.generationExprs(s)
+            .map(_._1.name.toLowerCase).toSet)
+          .getOrElse(Set.empty[String])).getOrElse(Set.empty[String])
+    }
+  }
+
   /** Is this table in merge-on-read mode (recorded `write.mode` table
     * property, or the `mergeOnRead` read/write option)? Routes
     * UPDATE/MERGE/DELETE to the deletion-vector operation. */

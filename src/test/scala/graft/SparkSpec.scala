@@ -12,6 +12,7 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

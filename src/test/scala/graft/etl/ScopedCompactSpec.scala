@@ -53,4 +53,18 @@ class ScopedCompactSpec extends SparkSpec {
     spark.sql("CALL gscmp.system.compact('t', 134217728)")
     assert(VersionedTable.read(lib, "t").count() == 400L)
   }
+
+  test("a scope outside the zone-map algebra refuses, never widens") {
+    for (i <- 0 until 3)
+      VersionedTable.load(lib, "u",
+        Seq.tabulate(20)(j => (i * 100L + j, s"r$j")).toDF("k", "v"))
+    // analyzes fine against the recorded schema, but `%` exports no
+    // zone predicate — admitting every file would be the silent
+    // O(table) rewrite the scope exists to avoid
+    val e = intercept[Exception](
+      spark.sql("CALL gscmp.system.compact('u', 134217728, 'k % 2 = 0')"))
+    assert(e.getMessage.contains("zone-map algebra"), e.getMessage)
+    // nothing committed
+    assert(VersionedTable.currentVersion(lib, "u").contains(3L))
+  }
 }

@@ -71,6 +71,31 @@ class GeneratedColumnSpec extends SparkSpec {
       Seq((1L, 150L), (2L, 1000L), (3L, 700L), (4L, 900L)))
   }
 
+  test("explicit UPDATE/MERGE SET on a generated column refuses at analysis") {
+    spark.sql("CREATE TABLE ggen.default.ra (k BIGINT, price DOUBLE, " +
+      "cents BIGINT GENERATED ALWAYS AS (CAST(price * 100 AS BIGINT)))")
+    spark.sql("INSERT INTO ggen.default.ra (k, price) VALUES (1, 1.5)")
+    // the engine recomputes generated columns on every row-level write,
+    // so an explicit SET would succeed while silently having no effect —
+    // it must refuse instead (analysis-time, nothing commits)
+    val e1 = intercept[Exception](spark.sql(
+      "UPDATE ggen.default.ra SET cents = 999 WHERE k = 1"))
+    assert(e1.getMessage.contains("GENERATED ALWAYS AS column 'cents'"),
+      e1.getMessage)
+    Seq((1L, 9.0)).toDF("k", "price").createOrReplaceTempView("src_ra")
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO ggen.default.ra t USING src_ra s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET t.price = s.price, t.cents = 42"""))
+    assert(e2.getMessage.contains("GENERATED ALWAYS AS column 'cents'"),
+      e2.getMessage)
+    // nothing committed; base-column row ops still work
+    assert(spark.sql("SELECT cents FROM ggen.default.ra").head().getLong(0)
+      == 150L)
+    spark.sql("UPDATE ggen.default.ra SET price = 2.0 WHERE k = 1")
+    assert(spark.sql("SELECT cents FROM ggen.default.ra").head().getLong(0)
+      == 200L)
+  }
+
   test("library loads compute too, including narrow frames") {
     spark.sql("CREATE TABLE ggen.default.lib (k BIGINT, v STRING, " +
       "twice BIGINT GENERATED ALWAYS AS (k * 2))")
