@@ -2218,6 +2218,29 @@ object VersionedTable {
       case _ => df
     }
 
+  /** The merge-on-read delta write's per-statement identity reservation:
+    * `(column, firstValue, step)` for every identity column of `table`'s
+    * head — firstValue one step beyond the committed high water (the
+    * same watermark-free zone-map derivation the load path uses). The
+    * tasks then stride the reservation disjointly
+    * ([[org.apache.spark.sql.graft.IdentityStamp.TaskIdentityAssigner]]);
+    * uniqueness against CONCURRENT writers holds because the delta
+    * commit CASes against the pinned version and REFUSES on conflict —
+    * values derived from a stale head never commit. */
+  private[graft] def identityDeltaSpecs(tgt: Catalog, table: String)
+      : Seq[(String, Long, Long)] =
+    (for {
+      v <- currentVersion(tgt, table).toSeq
+      man <- readManifest(tgt, table, v).toSeq
+      s <- recordedSchema(man).toSeq
+      (f, spec) <- GeneratedCols.identitySpecs(s)
+    } yield {
+      val asc = spec.getStep > 0
+      val base = identityHighWater(tgt, table, man, f.name, asc)
+        .map(_ + spec.getStep).getOrElse(spec.getStart)
+      (f.name, base, spec.getStep)
+    })
+
   /** The committed extreme of identity column `colName` in `man`'s
     * state: the max (ascending) / min (descending) over the recorded
     * per-file zone maps — pure manifest math when every row-bearing

@@ -55,7 +55,7 @@ object StorageQueries {
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
     "q_versioned_tag", "q_generated_column", "q_identity_column",
     "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
-    "q_decimal_skipping", "q_history_operations")
+    "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -86,6 +86,7 @@ object StorageQueries {
     sqlTagFixture(spark, sfDir)
     sqlGenFixture(spark, sfDir)
     sqlIdnFixture(spark, sfDir)
+    sqlIdmFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
@@ -790,6 +791,57 @@ object StorageQueries {
         "WHERE o_orderkey > 1000 AND o_orderkey <= 1400 ORDER BY o_orderkey")
       spark.sql(s"UPDATE $name.default.idn " +
         "SET o_totalprice = o_totalprice * 3 WHERE o_orderkey <= 200")
+      (name, dir)
+    })
+  }
+
+  /** Fixture for the MERGE-ON-READ IDENTITY query (F67/F50): a keyed
+    * MERGE into an identity SCD table on the MOR layout — matched rows
+    * reinsert CARRYING their engine-assigned rid (deletion vectors mask
+    * the old positions, pre-existing files carry verbatim — asserted),
+    * while inserted rows draw FRESH values from the statement's
+    * high-water reservation, strided disjointly across tasks. Fresh
+    * values are unique and beyond the watermark but task-interleaved
+    * (not SQL-predictable), so the query surfaces them as rid_new /
+    * rid_uniq booleans the oracle CAN recompute. */
+  private val sqlIdmNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlIdmFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlIdmNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gidmq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlidm").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.idm " +
+        "(rid BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        "o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+      // deterministic rid for the base: global ORDER BY makes the zip's
+      // partition-major order the key order → rid = row_number
+      spark.sql(s"INSERT INTO $name.default.idm (o_orderkey, o_totalprice) " +
+        "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey <= 1000 ORDER BY o_orderkey")
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS p FROM orders
+          |WHERE o_orderkey > 500 AND o_orderkey <= 1300""".stripMargin)
+        .createOrReplaceTempView("graft_idm_src")
+      val cat = new Catalog(spark, dir)
+      val pre = VersionedTable.files(cat, "idm", 2L).toSet
+      spark.sql(s"""
+        MERGE INTO $name.default.idm t USING graft_idm_src s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.p
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice)
+          VALUES (s.o_orderkey, s.p)""")
+      require(pre.subsetOf(VersionedTable.files(cat, "idm", 3L).toSet),
+        "MOR identity MERGE must carry every pre-existing file verbatim")
+      require(VersionedTable.deletionVectors(cat, "idm", 3L).nonEmpty,
+        "MOR identity MERGE must record deletion vectors")
       (name, dir)
     })
   }
@@ -2122,6 +2174,26 @@ object StorageQueries {
         ORDER BY rid""")
     },
 
+    // F67+F50 MERGE-ON-READ IDENTITY — the keyed-SCD shape: matched
+    // rows keep their engine-assigned rid through the delete+reinsert
+    // delta path; inserted rows draw fresh values from the statement's
+    // strided high-water reservation. Fresh values are task-interleaved
+    // (not SQL-predictable), so they surface as booleans: beyond the
+    // base watermark, and globally unique.
+    "q_identity_mor_merge" -> { (spark, sfDir) =>
+      val (name, _) = sqlIdmFixture(spark, sfDir)
+      spark.sql(s"""
+        WITH n AS (SELECT count(*) AS c FROM $name.default.idm
+                   WHERE o_orderkey <= 1000)
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN rid <= (SELECT c FROM n) THEN rid
+                    ELSE CAST(-1 AS BIGINT) END AS rid_known,
+               rid > (SELECT c FROM n) AS rid_new,
+               (COUNT(*) OVER (PARTITION BY rid)) = 1 AS rid_uniq
+        FROM $name.default.idm
+        ORDER BY o_orderkey""")
+    },
+
     // F59 METADATA-ONLY TYPE WIDENING — ALTER COLUMN qty TYPE BIGINT
     // carries every file verbatim (fixture-asserted); narrow-era files
     // upcast in the readers, wide-era values exceed the int range, and
@@ -2835,6 +2907,26 @@ object StorageQueries {
         |WHERE o_orderkey <= 1400
         |  AND (o_totalprice > 50000.0 OR o_orderkey > 1300)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_identity_mor_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice,
+        |                     row_number() OVER (ORDER BY o_orderkey) AS rid
+        |              FROM orders WHERE o_orderkey <= 1000),
+        |     merged AS (
+        |       SELECT b.o_orderkey,
+        |              CASE WHEN b.o_orderkey > 500 THEN b.o_totalprice * 2
+        |                   ELSE b.o_totalprice END AS o_totalprice,
+        |              b.rid AS rid_known
+        |       FROM base b
+        |       UNION ALL
+        |       SELECT o.o_orderkey, o.o_totalprice * 2,
+        |              CAST(-1 AS BIGINT)
+        |       FROM orders o
+        |       WHERE o.o_orderkey > 1000 AND o.o_orderkey <= 1300)
+        |SELECT o_orderkey, o_totalprice, rid_known,
+        |       rid_known = -1 AS rid_new,
+        |       TRUE AS rid_uniq
+        |FROM merged ORDER BY o_orderkey""".stripMargin,
 
     "q_identity_column" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS rid,

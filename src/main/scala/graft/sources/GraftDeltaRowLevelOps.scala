@@ -186,9 +186,20 @@ private[sources] final class GraftDeltaRowWrite(
     val cat = new Catalog(spark, dir)
     val genExprs = VersionedTable.recordedHeadSchema(cat, table)
       .flatMap(s => graft.etl.GeneratedCols.boundRowProjection(spark, s, schema))
+    // IDENTITY columns assign in the tasks too: one high-water
+    // reservation per statement (driver-side manifest math), strided
+    // disjointly across the write's tasks — MERGE-inserted rows get
+    // fresh values with no global zip, reinserted update rows carry
+    // their own. Identity stamps BEFORE the generated projection so a
+    // generation expression deriving from the identity column sees the
+    // assigned value.
+    val idSpecs = VersionedTable.identityDeltaSpecs(cat, table)
+      .filter { case (c, _, _) => schema.fieldNames.exists(_.equalsIgnoreCase(c)) }
     new GraftDeltaWriterFactory(inner, stagingRoot(spark),
       new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()), genExprs)
+        spark.sessionState.newHadoopConf()), genExprs,
+      if (idSpecs.isEmpty) None
+      else Some((schema, idSpecs, info.numPartitions())))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -229,12 +240,19 @@ private[sources] final class GraftDeltaWriterFactory(
     inner: org.apache.spark.sql.graft.GraftStreamWriterFactory,
     stagingRoot: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    genExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+    genExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    // (write schema, (column, reservationBase, step)*, numTasks) when
+    // the table declares identity columns present in the write schema
+    idSpecs: Option[(StructType, Seq[(String, Long, Long)], Int)] = None)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaTaskWriter(inner.createWriter(partitionId, taskId),
-      stagingRoot, conf, genExprs)
+      stagingRoot, conf, genExprs,
+      idSpecs.map { case (s, specs, n) =>
+        new org.apache.spark.sql.graft.IdentityStamp.TaskIdentityAssigner(
+          s, specs, partitionId, n)
+      })
 }
 
 /** Task-side delta consumer: deleted positions SPILL to fragment
@@ -247,7 +265,8 @@ private[sources] final class GraftDeltaTaskWriter(
     inner: DataWriter[InternalRow],
     stagingRoot: String,
     conf: org.apache.spark.util.SerializableConfiguration,
-    genExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None)
+    genExprs: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]] = None,
+    idAssigner: Option[org.apache.spark.sql.graft.IdentityStamp.TaskIdentityAssigner] = None)
   extends DeltaWriter[InternalRow] {
 
   // generated-column recompute over every inserted/updated row — one
@@ -299,8 +318,12 @@ private[sources] final class GraftDeltaTaskWriter(
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
     insert(row)
 
-  override def insert(row: InternalRow): Unit =
-    inner.write(genProj.fold(row)(p => p(row)))
+  override def insert(row: InternalRow): Unit = {
+    // identity assignment first (a generation expression may derive
+    // from the identity column), then the generated-column recompute
+    val assigned = idAssigner.fold(row)(a => a(row))
+    inner.write(genProj.fold(assigned)(p => p(assigned)))
+  }
 
   override def commit(): WriterCommitMessage = {
     buffered.keys.toSeq.foreach(flush)

@@ -197,21 +197,11 @@ private[sources] final class GraftBatchTable(
         "merge-on-read operations need the _pos metadata column, which " +
           "this table's own _pos data column shadows — rename the column")
       // GENERATED columns recompute inside the delta writers (the bound
-      // projection GraftDeltaRowLevelOps ships to tasks) — only
-      // IDENTITY columns still refuse UPDATE/MERGE here: MOR inserts
-      // have no global zip order to assign from, and a null identity
-      // slot must never commit (DELETE only removes rows: nothing to
-      // assign)
-      val isDelete = info.command() ==
-        org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE
-      require(isDelete || (!graft.etl.GeneratedCols.hasIdentity(dataSchema) && {
-        import GraftTableProvider.opt
-        !(for { d <- opt(options, "dir"); t <- opt(options, "table") } yield
-          VersionedTable.hasIdentityColumns(
-            new Catalog(SparkSession.active, d), t)).getOrElse(false)
-      }), "UPDATE/MERGE on a merge-on-read table with IDENTITY columns " +
-        "is not supported — set write.mode to copy-on-write for this " +
-        "table (DELETE works either way)")
+      // projection GraftDeltaRowLevelOps ships to tasks); IDENTITY
+      // columns assign there too — a per-statement high-water
+      // reservation strided disjointly across the write's tasks, so a
+      // keyed MERGE into an identity SCD table works on the MOR layout
+      // with no global zip and no extra pass
       GraftDeltaRowLevelOps.builder(dataSchema, options)(info)
     } else GraftRowLevelOps.builder(dataSchema, options)(info)
   }

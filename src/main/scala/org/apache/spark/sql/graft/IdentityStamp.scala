@@ -108,6 +108,55 @@ object IdentityStamp {
         s"identity column '$colName' must be integral, got $other")
     }
 
+  /** Per-task identity assigner for the merge-on-read DELTA writers —
+    * the path with no DataFrame and no global zip: each task fills NULL
+    * identity slots with `base + step * (taskIndex + numTasks * i)`,
+    * `i` its own 0-based assigned-row counter. A strided interleave of
+    * the statement's reservation: disjoint across tasks by construction,
+    * every value beyond the statement's high-water `base` in the step
+    * direction, ONE pass, zero coordination. Values are NOT contiguous
+    * and not globally ordered — the documented monotone-not-gapless
+    * identity contract (uniqueness + direction, never density). A task
+    * RETRY replays the same (taskIndex, counter) sequence, so attempts
+    * are idempotent; the commit protocol keeps exactly one. Reinserted
+    * rows (updates) arrive with their identity slot non-null and pass
+    * through untouched — like BY DEFAULT explicit inserts, the engine
+    * guarantees uniqueness only for values IT assigns. */
+  final class TaskIdentityAssigner(schema: org.apache.spark.sql.types.StructType,
+                                   specs: Seq[(String, Long, Long)],
+                                   taskIndex: Int, numTasks: Int) {
+    private val types = schema.fields.map(_.dataType)
+    private val proj = UnsafeProjection.create(schema)
+    private final class Slot(val idx: Int, base: Long, step: Long) {
+      private val validate = validator(types(idx), schema.fields(idx).name)
+      val view = new OverrideRow(idx, types)
+      private var i = 0L
+      def next(): Long = {
+        val v = base + step * (taskIndex.toLong + numTasks.toLong * i)
+        validate(v); i += 1; v
+      }
+    }
+    private val slots: Array[Slot] = specs.flatMap { case (c, base, step) =>
+      schema.fields.zipWithIndex
+        .find(_._1.name.equalsIgnoreCase(c))
+        .map { case (_, idx) => new Slot(idx, base, step) }
+    }.toArray
+
+    /** The row with NULL identity slots filled (projected to unsafe) —
+      * or the input row untouched when nothing needed assignment. */
+    def apply(row: InternalRow): InternalRow = {
+      var r = row
+      var touched = false
+      var k = 0
+      while (k < slots.length) {
+        val s = slots(k)
+        if (r.isNullAt(s.idx)) { r = s.view.set(r, s.next()); touched = true }
+        k += 1
+      }
+      if (touched) proj(r) else row
+    }
+  }
+
   def stamp(df: DataFrame, colName: String, next: Long, step: Long,
             refuseExplicit: Boolean = false): DataFrame = {
     val spark = df.sparkSession
