@@ -476,6 +476,48 @@ object VersionedTable {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Clustered-layout selector (`TBLPROPERTIES('cluster.layout' =
+    * 'zorder')`): `range` (default) range-clusters on the column
+    * SEQUENCE — perfect pruning on the first clustered column, little on
+    * the rest — while `zorder` arranges every write on the Morton
+    * interleave of the clustered columns' normalized ranks
+    * ([[graft.operators.ZOrder.zValue]]), so each file covers a tight
+    * range in EVERY clustered dimension and zone maps prune predicates
+    * on the second column too. Costs one bounds aggregation per write;
+    * applies to CLUSTER BY tables (>= 2 identity-clustered columns of
+    * numeric/string type). Compaction preserves the curve. */
+  private[graft] val ClusterLayoutProp = "cluster.layout"
+
+  private[graft] def zorderLayout(props: Map[String, String]): Boolean =
+    props.get(ClusterLayoutProp).exists(_.equalsIgnoreCase("zorder"))
+
+  /** Eager CREATE/ALTER validation of the zorder layout declaration:
+    * needs >= 2 clustered columns, every one numeric or string (any
+    * other type would z-rank as a constant — no locality, no error). */
+  private[graft] def validateClusterLayout(props: Map[String, String],
+      clusterCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    props.get(ClusterLayoutProp).foreach { v =>
+      require(v.equalsIgnoreCase("range") || v.equalsIgnoreCase("zorder"),
+        s"unknown $ClusterLayoutProp '$v' — use 'range' or 'zorder'")
+      if (v.equalsIgnoreCase("zorder")) {
+        require(clusterCols.size >= 2,
+          s"$ClusterLayoutProp='zorder' needs CLUSTER BY with >= 2 " +
+            "columns (one column z-orders to a plain range — declare " +
+            "'range' or drop the property)")
+        clusterCols.foreach { c =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"zorder cluster column '$c' is not a table column"))
+          require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+            || f.dataType == org.apache.spark.sql.types.StringType,
+            s"zorder cluster column '$c' must be numeric or string, " +
+              s"got ${f.dataType.simpleString}")
+        }
+      }
+    }
+  }
+
   /** One declared transform: `fn` ∈ identity|years|months|days|hours|
     * truncate (`n` = truncate width, 0 otherwise). */
   private[graft] final case class PartTransform(fn: String, col: String,
@@ -2115,7 +2157,8 @@ object VersionedTable {
                          bucket: Option[(Seq[String], Int)],
                          bloomCols: Seq[String] = Nil,
                          physOf: Map[String, String] = Map.empty,
-                         partSpec: Seq[PartTransform] = Nil)
+                         partSpec: Seq[PartTransform] = Nil,
+                         zorder: Boolean = false)
       : (Path, Seq[(String, Long)]) = {
     // the WRITE boundary of column mapping: files always carry PHYSICAL
     // names (bucket keys, bloom columns, and partition-transform columns
@@ -2133,14 +2176,32 @@ object VersionedTable {
       val n = tgt.spark.conf.get("spark.sql.shuffle.partitions").toInt
       val derived = spec.map(transformExpr)
       val bases = spec.map(t => col(t.col))
-      bucket match {
-        case Some((keys, bn)) =>
+      // ZORDER layout: range on the Morton interleave of the clustered
+      // columns instead of their lexicographic sequence — each file
+      // covers a tight range in EVERY clustered dimension, so the zone
+      // maps prune the second column too. One bounds aggregation per
+      // write (ZOrder.zValue collects min/max as plan literals); ties
+      // sort by the base columns for stable, tight files. Only the
+      // all-identity CLUSTER BY shape z-orders (validated at declare
+      // time); temporal-transform specs keep the monotonic range.
+      val zCol =
+        if (zorder && spec.size >= 2 && spec.forall(_.fn == "identity"))
+          Some(graft.operators.ZOrder.zValue(out1, spec.map(_.col)))
+        else None
+      (bucket, zCol) match {
+        case (Some((keys, bn)), Some(z)) =>
+          out1.repartitionByRange(n, Loader.bucketIdExpr(keys, bn), z)
+            .sortWithinPartitions((z +: bases): _*)
+        case (None, Some(z)) =>
+          out1.repartitionByRange(n, z)
+            .sortWithinPartitions((z +: bases): _*)
+        case (Some((keys, bn)), None) =>
           // co-range bucket ids WITH the derived values so a large
           // bucket's several files carry disjoint base ranges
           out1.repartitionByRange(n,
             (Loader.bucketIdExpr(keys, bn) +: derived): _*)
             .sortWithinPartitions((derived ++ bases): _*)
-        case None =>
+        case (None, None) =>
           out1.repartitionByRange(n, derived: _*)
             .sortWithinPartitions((derived ++ bases): _*)
       }
@@ -2436,7 +2497,8 @@ object VersionedTable {
     val physOf = extendMapping(headMan, out.schema)
     val (batch, newParts) = writeBatch(tgt, table, out, bucket,
       (headMan.toSeq.flatMap(bloomColsOf) ++ bloomBy).distinct, physOf,
-      partSpecOf(headMan.fold(Map.empty[String, String])(_.props) ++ extraProps))
+      partSpecOf(headMan.fold(Map.empty[String, String])(_.props) ++ extraProps),
+      zorderLayout(headMan.fold(Map.empty[String, String])(_.props) ++ extraProps))
     // CHECK constraint gates the STAGED files — the bytes that would
     // commit — not the incoming plan: a non-deterministic source
     // (rand(), current_timestamp()) re-executes between a plan-side
@@ -2699,6 +2761,15 @@ object VersionedTable {
           .filterNot(have.contains)
         require(missing.isEmpty,
           s"bloom_cols names missing columns: ${missing.mkString(",")}")
+      }
+      // layout re-point validates against the CURRENT declaration —
+      // zorder without a >= 2-column CLUSTER BY (or on unsupported
+      // types) refuses here, not silently at the next write
+      sets.get(ClusterLayoutProp).foreach { _ =>
+        validateClusterLayout(sets, clusterByOf(man.props),
+          org.apache.spark.sql.types.StructType(
+            readVersion(tgt, table, cur).schema.fields
+              .filterNot(_.name.equalsIgnoreCase(Loader.IdCol))))
       }
       // a NEW or CHANGED check gets the full eager discipline
       // (resolution/determinism/subquery-free) and then validates the
@@ -3034,7 +3105,7 @@ object VersionedTable {
       val out = Loader.withSurrogateIds(incoming, floor,
         incoming.columns.toSeq)
       val (batch, newParts) = writeBatch(tgt, table, out, None,
-        partSpec = partSpecOf(extraProps))
+        partSpec = partSpecOf(extraProps), zorder = zorderLayout(extraProps))
       effectiveCheck(extraProps)
         .filter(_ => newParts.nonEmpty).foreach { c =>
           try enforceCheckStaged(tgt, newParts.map(p =>
@@ -3088,7 +3159,8 @@ object VersionedTable {
         incoming.columns.toSeq)
       val physOf = extendMapping(Some(headMan), out.schema)
       val (batch0, newParts0) = writeBatch(tgt, table, out, headMan.bucket,
-        bloomColsOf(headMan), physOf, partSpecOf(headMan.props))
+        bloomColsOf(headMan), physOf, partSpecOf(headMan.props),
+      zorderLayout(headMan.props))
       // an OVERWRITE from an empty query must still leave one
       // schema-bearing file (the invariant every read relies on); an
       // empty plan can stage zero part files
@@ -3099,7 +3171,7 @@ object VersionedTable {
           writeBatch(tgt, table, tgt.spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), out.schema),
             headMan.bucket, bloomColsOf(headMan), physOf,
-            partSpecOf(headMan.props))
+            partSpecOf(headMan.props), zorderLayout(headMan.props))
         }
       effectiveCheck(headMan.props)
         .filter(_ => newParts.nonEmpty).foreach { c =>
@@ -3183,7 +3255,8 @@ object VersionedTable {
     val out = Loader.withSurrogateIds(replacement, floor, order)
     val physOf = physOfMan(headMan)
     val (batch, newParts) = writeBatch(tgt, table, out, headMan.bucket,
-      bloomColsOf(headMan), physOf, partSpecOf(headMan.props))
+      bloomColsOf(headMan), physOf, partSpecOf(headMan.props),
+      zorderLayout(headMan.props))
     // SQL UPDATE/MERGE must not write rows the table's CHECK refuses —
     // validated on the STAGED files (atomic with what would commit; see
     // loadAttempt), cleaned up on violation
@@ -3368,7 +3441,7 @@ object VersionedTable {
           rewriteDvs.map { case (rel, (p, _)) => rel -> p }, schemaFull,
           physOfMan(headMan)),
         headMan.bucket, bloomColsOf(headMan), physOfMan(headMan),
-        partSpecOf(headMan.props))
+        partSpecOf(headMan.props), zorderLayout(headMan.props))
     def cleanupRewrite(): Unit =
       if (rwBatch != null) fs(tgt, dataDir(tgt, table)).delete(rwBatch, true)
     // keep at least one schema-bearing file (the invariant every rewrite
@@ -3416,7 +3489,8 @@ object VersionedTable {
         // the MOR statement's inserted rows respect the declared
         // partition-transform layout like every other write
         writeBatch(tgt, table, out, headMan.bucket, bloomColsOf(headMan),
-          physOfMan(headMan), partSpecOf(headMan.props))
+          physOfMan(headMan), partSpecOf(headMan.props),
+          zorderLayout(headMan.props))
       }
     // id-carrying staged rows (MOR upsert's merged-matched + fresh):
     // written through the same bucket/bloom-aware batch writer, ids
@@ -3428,7 +3502,7 @@ object VersionedTable {
         writeBatch(tgt, table,
           schemaFull.fold(r)(r.schema).parquet(stagedWithIds: _*),
           headMan.bucket, bloomColsOf(headMan), physOfMan(headMan),
-          partSpecOf(headMan.props))
+          partSpecOf(headMan.props), zorderLayout(headMan.props))
       }
     def cleanupBatch(): Unit = {
       if (batch != null) fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -3572,7 +3646,8 @@ object VersionedTable {
           if (hitRel.nonEmpty) srcDf.where(!coalesce(cond, lit(false)))
           else srcDf.where(lit(false))
         val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket,
-          bloomColsOf(man), physOfMan(man), partSpecOf(man.props))
+          bloomColsOf(man), physOfMan(man), partSpecOf(man.props),
+          zorderLayout(man.props))
         val newRel = newParts.map(_._1)
         // the id floor NEVER decreases on delete (deleted rows' ids are
         // not reissued — they may still be referenced by older versions);
@@ -3666,7 +3741,8 @@ object VersionedTable {
         val survivors = readRelsWithDv(tgt, table, man, hitRel)
           .join(kr, keys, "left_anti")
         val (batch, newParts) = writeBatch(tgt, table, survivors, man.bucket,
-          bloomColsOf(man), physOfMan(man), partSpecOf(man.props))
+          bloomColsOf(man), physOfMan(man), partSpecOf(man.props),
+          zorderLayout(man.props))
         val newRel = newParts.map(_._1)
         val keepAbs = (keepRel ++ newRel).map(r =>
           new Path(dataDir(tgt, table), r).toString)
@@ -4059,11 +4135,27 @@ object VersionedTable {
         val parts = math.max(1L,
           (small.map(_._2).sum + targetFileBytes - 1) / targetFileBytes).toInt
         val pSpec = partSpecOf(man.props)
-        val out = man.bucket match {
+        // a ZORDER table compacts ALONG THE CURVE: range on the Morton
+        // value at the compaction's own sizing — a lexicographic range
+        // here would undo the interleave and un-prune the second
+        // clustered column on every maintenance pass
+        val zCol =
+          if (zorderLayout(man.props) && pSpec.size >= 2 &&
+            pSpec.forall(_.fn == "identity"))
+            Some(graft.operators.ZOrder.zValue(rows, pSpec.map(_.col)))
+          else None
+        val out = (man.bucket, zCol) match {
+          case (Some((keys, n)), Some(z)) =>
+            rows.repartitionByRange(math.max(parts, n),
+              Loader.bucketIdExpr(keys, n), z)
+              .sortWithinPartitions((z +: pSpec.map(t => col(t.col))): _*)
+          case (None, Some(z)) =>
+            rows.repartitionByRange(parts, z)
+              .sortWithinPartitions((z +: pSpec.map(t => col(t.col))): _*)
           // bucketed WITH a transform spec: range on (bucketId, derived)
           // like writeBatch's combined branch, so a large bucket's
           // several files keep disjoint base ranges through compaction
-          case Some((keys, n)) if pSpec.nonEmpty =>
+          case (Some((keys, n)), None) if pSpec.nonEmpty =>
             rows.repartitionByRange(math.max(parts, n),
               (Loader.bucketIdExpr(keys, n) +: pSpec.map(transformExpr)): _*)
               .sortWithinPartitions(
@@ -4071,18 +4163,19 @@ object VersionedTable {
           // bucketed: one task per bucket so each bucket dir compacts to
           // ONE file (a plain coalesce would write a file per (task ×
           // bucket) pair and defeat the point)
-          case Some((keys, n)) => rows.repartition(n, Loader.bucketIdExpr(keys, n))
+          case (Some((keys, n)), None) =>
+            rows.repartition(n, Loader.bucketIdExpr(keys, n))
           // a partition-transform table must compact WITHIN the declared
           // layout: range on the derived values at the COMPACTION's own
           // sizing — a plain coalesce would merge days into wide files,
           // un-pruning the table (and an auto-compaction trigger would
           // then re-fire forever on files it can never shrink)
-          case None if pSpec.nonEmpty =>
+          case (None, None) if pSpec.nonEmpty =>
             rows.repartitionByRange(parts,
               (pSpec.map(transformExpr) ++ pSpec.map(t => col(t.col))): _*)
               .sortWithinPartitions(
                 (pSpec.map(transformExpr) ++ pSpec.map(t => col(t.col))): _*)
-          case None => rows.coalesce(parts)
+          case (None, None) => rows.coalesce(parts)
         }
         preCommitHook.value()
         val (batch, newParts) = writeBatch(tgt, table, out, man.bucket,

@@ -55,7 +55,8 @@ object StorageQueries {
     "q_alter_column_default", "q_alter_widen_type", "q_insert_overwrite",
     "q_versioned_tag", "q_generated_column", "q_identity_column",
     "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
-    "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge")
+    "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge",
+    "q_zorder_cluster")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -87,6 +88,7 @@ object StorageQueries {
     sqlGenFixture(spark, sfDir)
     sqlIdnFixture(spark, sfDir)
     sqlIdmFixture(spark, sfDir)
+    sqlZocFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
@@ -1214,6 +1216,35 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the Z-ORDER CLUSTER BY query: a two-dimension
+    * liquid-clustered table with `cluster.layout = 'zorder'` — every
+    * write arranges on the Morton interleave of the clustered columns,
+    * so zone maps prune BOTH dimensions (a lexicographic range gives
+    * the second column none). The skip assertions live in the query
+    * itself, driver-gated at both scales. */
+  private val sqlZocNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]()
+
+  private def sqlZocFixture(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlZocNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gzoc${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlzoc").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.z " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "CLUSTER BY (o_custkey, o_totalprice) " +
+        "TBLPROPERTIES ('cluster.layout' = 'zorder')")
+      spark.sql(s"INSERT INTO $name.default.z " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")
+      (name, dir)
+    })
+  }
+
   /** Fixture for the SQL NAMESPACES query (F51): two namespaces in one
     * catalog — the reference's two-DB model (easy_etl/__init__.py:8-10
     * wires a source and a target database) in pure SQL: `src` holds a
@@ -1759,6 +1790,35 @@ object StorageQueries {
         FROM $name.default.ev
         WHERE ts >= TIMESTAMP'2024-01-21 00:00:00'
         GROUP BY CAST(ts AS DATE) ORDER BY day""")
+    },
+
+    // Z-ORDER CLUSTER BY — the multi-dimensional layout: with
+    // cluster.layout='zorder' every write arranges on the Morton
+    // interleave, so the SECOND clustered column file-skips too
+    // (asserted in-query on BOTH dimensions — the lexicographic layout
+    // this replaces prunes only the first). The oracle recomputes the
+    // surviving rows; the layout never changes results.
+    "q_zorder_cluster" -> { (spark, sfDir) =>
+      val (name, dir) = sqlZocFixture(spark, sfDir)
+      val lib = new Catalog(spark, dir)
+      val v = VersionedTable.currentVersion(lib, "z").get
+      val all = VersionedTable.files(lib, "z", v)
+      require(all.size >= 3, s"need several files to measure pruning: $all")
+      val skipSecond = VersionedTable.skippedFiles(lib, "z", v,
+        col("o_totalprice") < 50000.0)
+      require(skipSecond.nonEmpty,
+        s"zorder must file-skip on the SECOND clustered column " +
+          s"(0 of ${all.size} skipped for o_totalprice < 50000)")
+      val skipFirst = VersionedTable.skippedFiles(lib, "z", v,
+        col("o_custkey") < 15L)
+      require(skipFirst.nonEmpty,
+        s"zorder must keep the first column prunable (0 of ${all.size})")
+      spark.sql(s"""
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.z
+        WHERE o_totalprice < 50000.0
+        ORDER BY o_orderkey""")
     },
 
     // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
@@ -2906,6 +2966,12 @@ object StorageQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 1400
         |  AND (o_totalprice > 50000.0 OR o_orderkey > 1300)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_zorder_cluster" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_totalprice < 50000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_identity_mor_merge" ->

@@ -377,6 +377,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val schema = graft.etl.GeneratedCols.attachDeclarations(columns,
       org.apache.spark.sql.graft.DefaultColumns.v2ColumnsToStructType(columns))
     VersionedTable.validatePartSpec(pSpec, schema)
+    VersionedTable.validateClusterLayout(
+      properties.asScala.toMap, clusterCols, schema)
     // version 1 = one empty schema-bearing file: the table exists, reads
     // are empty, the first INSERT is version 2; the bucket layout and
     // the partition-transform derivations record WITH it, so every
@@ -493,6 +495,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       org.apache.spark.sql.graft.DefaultColumns
         .v2ColumnsToStructType(info.columns()))
     VersionedTable.validatePartSpec(pSpec, schema)
+    VersionedTable.validateClusterLayout(
+      info.properties().asScala.toMap, clusterCols, schema)
     new GraftStagedTable(c, t, schema,
       validatedTableProps(c, schema, info.properties()) ++
         (if (pSpec.isEmpty) Map.empty[String, String]

@@ -57,6 +57,67 @@ class ClusterBySpec extends SparkSpec {
       "ALTER TABLE gcby.default.d SET TBLPROPERTIES ('cluster_by_cols'='v')"))
   }
 
+  test("zorder layout: the SECOND clustered column prunes too") {
+    // two independent uniform dimensions — a lexicographic range on
+    // (x, y) gives y no file-level locality at all; the Morton curve
+    // gives both dimensions ~sqrt locality
+    spark.sql("CREATE TABLE gcby.default.z (x BIGINT, y BIGINT, v DOUBLE) " +
+      "CLUSTER BY (x, y) TBLPROPERTIES ('cluster.layout' = 'zorder')")
+    spark.sql("INSERT INTO gcby.default.z " +
+      "SELECT (id * 37) % 4096, (id * 101) % 4096, id * 1.0 " +
+      "FROM range(0, 40000)")
+    val v = VersionedTable.currentVersion(lib, "z").get
+    val all = VersionedTable.files(lib, "z", v)
+    assert(all.size >= 3, s"need several files to measure pruning: $all")
+    val skipY = VersionedTable.skippedFiles(lib, "z", v, col("y") < 1024L)
+    assert(skipY.nonEmpty,
+      s"zorder must give the second clustered column file-level " +
+        s"locality: 0/${all.size} skipped for y < 1024")
+    val skipX = VersionedTable.skippedFiles(lib, "z", v, col("x") < 1024L)
+    assert(skipX.nonEmpty, "first column must keep pruning too")
+    // content exact under the curve layout
+    assert(spark.sql("SELECT count(*) FROM gcby.default.z").head().getLong(0)
+      == 40000L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gcby.default.z WHERE x < 1024 AND y < 1024")
+      .head().getLong(0) ==
+      spark.range(0, 40000).selectExpr(
+        "(id * 37) % 4096 AS x", "(id * 101) % 4096 AS y")
+        .where("x < 1024 AND y < 1024").count())
+    // compaction preserves the curve: still prunable on y afterwards
+    spark.sql("INSERT INTO gcby.default.z " +
+      "SELECT (id * 37) % 4096, (id * 101) % 4096, id * 1.0 " +
+      "FROM range(40000, 44000)")
+    spark.sql(s"CALL gcby.system.compact('z', ${64L * 1024 * 1024})")
+    val v2 = VersionedTable.currentVersion(lib, "z").get
+    val all2 = VersionedTable.files(lib, "z", v2)
+    if (all2.size >= 3)
+      assert(VersionedTable.skippedFiles(lib, "z", v2, col("y") < 1024L)
+        .nonEmpty, "compaction must compact along the z-curve")
+    assert(spark.sql("SELECT count(*) FROM gcby.default.z").head().getLong(0)
+      == 44000L)
+  }
+
+  test("zorder layout guards: needs >= 2 columns, supported types") {
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE gcby.default.z1 (x BIGINT, v DOUBLE) " +
+        "CLUSTER BY (x) TBLPROPERTIES ('cluster.layout' = 'zorder')"))
+    assert(e1.getMessage.contains(">= 2"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gcby.default.z2 (x BIGINT, b BOOLEAN, v DOUBLE) " +
+        "CLUSTER BY (x, b) TBLPROPERTIES ('cluster.layout' = 'zorder')"))
+    assert(e2.getMessage.contains("numeric or string"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE TABLE gcby.default.z3 (x BIGINT, y BIGINT) " +
+        "CLUSTER BY (x, y) TBLPROPERTIES ('cluster.layout' = 'hilbert')"))
+    assert(e3.getMessage.contains("'range' or 'zorder'"), e3.getMessage)
+    // ALTER re-point onto zorder validates against the declaration too
+    spark.sql("CREATE TABLE gcby.default.z4 (x BIGINT, v DOUBLE) CLUSTER BY (x)")
+    val e4 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcby.default.z4 SET TBLPROPERTIES ('cluster.layout' = 'zorder')"))
+    assert(e4.getMessage.contains(">= 2"), e4.getMessage)
+  }
+
   test("ALTER TABLE CLUSTER BY re-points metadata-only; NONE clears") {
     spark.sql(
       "CREATE TABLE gcby.default.e (k BIGINT, ts BIGINT, v DOUBLE) " +
