@@ -1685,10 +1685,11 @@ object VersionedTable {
       case f if Set[DataType](ByteType, ShortType, IntegerType, LongType,
         FloatType, DoubleType, StringType, DateType, TimestampType,
         TimestampNTZType).contains(f.dataType) => f.name
-      // int-backed decimals (precision ≤ 18) record unscaled ranges —
-      // wider ones write fixed-len bytes and the footer tagger omits them
-      case f if f.dataType.isInstanceOf[DecimalType] &&
-        f.dataType.asInstanceOf[DecimalType].precision <= 18 => f.name
+      // decimals of ANY precision record unscaled ranges: INT32/INT64
+      // bounds up to p = 18, FIXED_LEN_BYTE_ARRAY big-endian
+      // two's-complement beyond — both decode to the same `dec:<scale>`
+      // domain (wide bounds just carry BigInteger strings)
+      case f if f.dataType.isInstanceOf[DecimalType] => f.name
     }.take(MaxStatsCols)
   }
 
@@ -1893,8 +1894,11 @@ object VersionedTable {
       case "double" => scala.util.Try(
         (BigDecimal(new java.math.BigDecimal(loS.toDouble)): Any,
          BigDecimal(new java.math.BigDecimal(hiS.toDouble)): Any)).toOption
+      // integral domains, incl. UNSCALED decimal bounds — parse as
+      // BigInt, not Long: an FLBA-backed decimal(25, 2)'s unscaled
+      // range exceeds 64 bits
       case _ => scala.util.Try(
-        (BigDecimal(loS.toLong): Any, BigDecimal(hiS.toLong): Any)).toOption
+        (BigDecimal(BigInt(loS)): Any, BigDecimal(BigInt(hiS)): Any)).toOption
     }
 
   private def leOrd(a: Any, b: Any): Boolean = (a, b) match {

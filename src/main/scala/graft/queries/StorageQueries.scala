@@ -971,12 +971,13 @@ object StorageQueries {
         classOf[graft.sources.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
       spark.sql(s"CREATE TABLE $name.default.dz " +
-        "(o_orderkey BIGINT, amt DECIMAL(12,2))")
+        "(o_orderkey BIGINT, amt DECIMAL(12,2), wamt DECIMAL(25,2))")
       Seq("o_orderkey <= 500",
         "o_orderkey > 500 AND o_orderkey <= 1000",
         "o_orderkey > 1000 AND o_orderkey <= 1400").foreach(w =>
         spark.sql(s"INSERT INTO $name.default.dz " +
-          "SELECT o_orderkey, CAST(o_orderkey + 0.25 AS DECIMAL(12,2)) " +
+          "SELECT o_orderkey, CAST(o_orderkey + 0.25 AS DECIMAL(12,2)), " +
+          "CAST(o_orderkey + 10000000000000000000.25 AS DECIMAL(25,2)) " +
           s"FROM orders WHERE $w"))
       val cat = new Catalog(spark, dir)
       val v = VersionedTable.currentVersion(cat, "dz").get
@@ -984,6 +985,12 @@ object StorageQueries {
         col("amt") >= new java.math.BigDecimal("1000.25"))
       require(skipped.nonEmpty,
         "decimal zone maps must prune the low-range files")
+      // the WIDE column (p > 18, FLBA-backed bounds) must prune too —
+      // its unscaled range exceeds 64 bits by construction
+      val wskipped = VersionedTable.skippedFiles(cat, "dz", v,
+        col("wamt") >= new java.math.BigDecimal("10000000000000001000.25"))
+      require(wskipped.nonEmpty,
+        "wide-decimal zone maps must prune the low-range files")
       (name, dir)
     })
   }
@@ -2169,9 +2176,11 @@ object StorageQueries {
     "q_decimal_skipping" -> { (spark, sfDir) =>
       val (name, _) = sqlDzFixture(spark, sfDir)
       spark.sql(s"""
-        SELECT o_orderkey, CAST(amt * 100 AS BIGINT) AS cents
+        SELECT o_orderkey, CAST(amt * 100 AS BIGINT) AS cents,
+               CAST((wamt - 10000000000000000000) * 100 AS BIGINT) AS wcents
         FROM $name.default.dz
         WHERE amt >= CAST(1000.25 AS DECIMAL(12,2))
+          AND wamt >= CAST(10000000000000001000.25 AS DECIMAL(25,2))
         ORDER BY o_orderkey""")
     },
 
@@ -2939,7 +2948,8 @@ object StorageQueries {
 
     "q_decimal_skipping" ->
       """SELECT o_orderkey,
-        |       CAST((o_orderkey + 0.25) * 100 AS BIGINT) AS cents
+        |       CAST((o_orderkey + 0.25) * 100 AS BIGINT) AS cents,
+        |       CAST((o_orderkey + 0.25) * 100 AS BIGINT) AS wcents
         |FROM orders
         |WHERE o_orderkey <= 1400 AND o_orderkey + 0.25 >= 1000.25
         |ORDER BY o_orderkey""".stripMargin,

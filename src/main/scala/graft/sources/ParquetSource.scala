@@ -360,10 +360,18 @@ object ParquetSource {
         // (each era's files keep their own recorded domain)
         case (INT32 | INT64, a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
           Some(s"dec:${a.getScale}")
+        // WIDE decimals (precision > 18): FIXED_LEN_BYTE_ARRAY (or
+        // BINARY) big-endian two's-complement unscaled values — parquet
+        // orders their stats as SIGNED decimal values, so the bounds
+        // decode to BigIntegers in the same `dec:` domain (the decimal
+        // strings just exceed 64 bits; the read side parses BigInt)
+        case (FIXED_LEN_BYTE_ARRAY | BINARY,
+              a: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          Some(s"dec:${a.getScale}")
         case (FLOAT | DOUBLE, _) => Some("double")
         case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
           Some("string")
-        case _ => None // unsigned ints, fixed-len decimals, maps/lists
+        case _ => None // unsigned ints, maps/lists
       }
     }
     // unit factor to micros for TIMESTAMP columns (floor like Spark's
@@ -424,6 +432,13 @@ object ParquetSource {
                   case (t, lo: java.lang.Number, hi: java.lang.Number)
                     if t.startsWith("dec:") => // unscaled int bounds
                     Some((lo.longValue.toString, hi.longValue.toString))
+                  case (t, lo: org.apache.parquet.io.api.Binary,
+                        hi: org.apache.parquet.io.api.Binary)
+                    if t.startsWith("dec:") =>
+                    // FLBA/BINARY decimal: big-endian two's-complement
+                    // unscaled value (parquet's DECIMAL sort order)
+                    Some((new java.math.BigInteger(lo.getBytes).toString,
+                      new java.math.BigInteger(hi.getBytes).toString))
                   case ("ts", lo: java.lang.Number, hi: java.lang.Number) =>
                     for (l <- toMicros(prim.get, lo.longValue);
                          h <- toMicros(prim.get, hi.longValue))
@@ -445,6 +460,8 @@ object ParquetSource {
                       def lt(a: String, b: String): Boolean = t match {
                         case "string" => a.compareTo(b) < 0
                         case "double" => a.toDouble < b.toDouble
+                        // dec: bounds can exceed 64 bits (wide decimals)
+                        case d if d.startsWith("dec:") => BigInt(a) < BigInt(b)
                         case _ => a.toLong < b.toLong
                       }
                       acc(name) = (t, if (lt(lo, plo)) lo else plo,

@@ -46,6 +46,34 @@ class DecimalStatsSpec extends SparkSpec {
       col("amt") < new java.math.BigDecimal("0.30")).count() == 1L)
   }
 
+  test("WIDE decimals (p > 18, FLBA-backed) prune too") {
+    // decimal(25, 2): unscaled values deliberately beyond 64 bits —
+    // parquet stores FIXED_LEN_BYTE_ARRAY, stats decode as BigIntegers
+    val big = new java.math.BigDecimal("10000000000000000000") // 1e19 > Long.Max
+    def wideDf(lo: Int, hi: Int) =
+      spark.range(lo, hi).select(col("id").as("k"),
+        (col("id").cast(DecimalType(25, 2)) +
+          lit(big).cast(DecimalType(25, 2))).cast(DecimalType(25, 2)).as("amt"))
+    VersionedTable.load(lib, "wide", wideDf(0, 1000))
+    VersionedTable.load(lib, "wide", wideDf(1000, 2000))
+    VersionedTable.load(lib, "wide", wideDf(2000, 3000))
+    val v = VersionedTable.currentVersion(lib, "wide").get
+    val all = VersionedTable.files(lib, "wide", v)
+    val cut = new java.math.BigDecimal("10000000000000002000.00")
+    val skipped = VersionedTable.skippedFiles(lib, "wide", v, col("amt") >= cut)
+    assert(skipped.nonEmpty && skipped.size < all.size,
+      s"wide-decimal zone maps must prune: ${skipped.size}/${all.size}")
+    // exactness through the prune, at full precision
+    assert(VersionedTable.readWhere(lib, "wide", col("amt") >= cut).count()
+      == 1000L)
+    assert(VersionedTable.readWhere(lib, "wide",
+      col("amt") === new java.math.BigDecimal("10000000000000000007.00"))
+      .count() == 1L)
+    // double literals keep refusing to prune (column widens to double)
+    assert(VersionedTable.skippedFiles(lib, "wide", v,
+      col("amt") >= 1.0e19).isEmpty)
+  }
+
   test("whole-file delete coverage proves on decimal ranges") {
     VersionedTable.load(lib, "d", decDf(0, 1000))
     VersionedTable.load(lib, "d", decDf(1000, 2000))
