@@ -4497,6 +4497,9 @@ object VersionedTable {
     validTagName(name)
     require(versions(tgt, table).contains(v),
       s"table '$table' has no retained version $v to tag")
+    require(branchTableOf(tgt, table, name).isEmpty,
+      s"'$name' is already a branch on '$table' — tags and branches " +
+        "share the ref namespace")
     val f = fs(tgt, metaDir(tgt, table))
     val p = tagPath(tgt, table, name)
     // CREATE-EXCLUSIVE: the final file opens with overwrite=false, so
@@ -4586,14 +4589,129 @@ object VersionedTable {
 
   /** Resolve a VERSION AS OF ref: a number is a version, anything else a
     * tag — the shared resolution of the SQL time-travel path and the
-    * reader option, so the two surfaces can never diverge. */
+    * reader option, so the two surfaces can never diverge. (BRANCH refs
+    * resolve one level up, at the table-loading surfaces — a branch
+    * names a different table, not a version of this one.) */
   def resolveVersionRef(tgt: Catalog, table: String, ref: String): Long = {
     val s = ref.trim
     if (s.matches("[+-]?\\d+")) s.toLong
     else tagVersion(tgt, table, s).getOrElse(
       throw new IllegalArgumentException(
-        s"table '$table' has no tag '$s' — " +
-          s"available: ${tags(tgt, table).map(_._1).mkString(", ")}"))
+        s"table '$table' has no tag or branch '$s' — tags: " +
+          s"${tags(tgt, table).map(_._1).mkString(", ")}; branches: " +
+          s"${branches(tgt, table).map(_._1).mkString(", ")}"))
+  }
+
+  // --------------------------------------------------------------- branches
+  //
+  // NAMED BRANCHES: ergonomic sugar over the clone + fast_forward
+  // write-audit-publish pattern (F70). `create_branch('t', 'dev')`
+  // zero-copy-clones t's head into an engine-named table and records a
+  // branch marker; `VERSION AS OF 'dev'` (both surfaces) then reads the
+  // BRANCH's head, writes target the branch table directly, and
+  // `fast_forward('t', 'dev')` publishes — one name through the whole
+  // cycle. A branch is exactly a clone: the existing clone markers
+  // protect the shared files from vacuum/DROP, and the fast-forward
+  // provenance rule still refuses a stale publish. Markers share the
+  // tag namespace (a ref must resolve unambiguously), one O(1) JSON
+  // file each, create-exclusive like tags.
+
+  private def branchPath(tgt: Catalog, table: String, name: String): Path =
+    new Path(metaDir(tgt, table), s"branch-$name.json")
+
+  /** The engine-owned table a branch materializes as. */
+  private[graft] def branchTableName(table: String, name: String): String =
+    s"${table}__branch_$name"
+
+  /** Create branch `name` from `table`'s head: reserve the name
+    * (create-exclusive marker), then zero-copy clone. Returns the
+    * branch's table name — write to it directly, publish with
+    * `fast_forward(table, name)`. */
+  def createBranch(tgt: Catalog, table: String, name: String): String = {
+    validTagName(name)
+    require(tagVersion(tgt, table, name).isEmpty,
+      s"'$name' is already a tag on '$table' — tags and branches share " +
+        "the ref namespace")
+    val v = currentVersion(tgt, table).getOrElse(
+      throw new IllegalArgumentException(s"versioned table '$table' not found"))
+    val bt = branchTableName(table, name)
+    val f = fs(tgt, metaDir(tgt, table))
+    val p = branchPath(tgt, table, name)
+    // the marker reserves the name FIRST (create-exclusive — concurrent
+    // same-name creates serialize through the filesystem like tags)
+    val out = try f.create(p, false) catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if f.exists(p) =>
+        throw new IllegalArgumentException(
+          s"branch '$name' already exists on '$table' — drop_branch first")
+    }
+    try out.write(mapper.writeValueAsBytes {
+      val o = mapper.createObjectNode()
+      o.put("table", bt)
+      o.put("from_version", v)
+      o.put("created_at", System.currentTimeMillis())
+      o
+    }) finally out.close()
+    try { cloneTable(tgt, table, tgt, bt, v); () }
+    catch { case e: Throwable => f.delete(p, false); throw e }
+    bt
+  }
+
+  /** The branch's table name, when branch `name` exists (damaged marker
+    * reads as missing — the tags tolerance). */
+  def branchTableOf(tgt: Catalog, table: String, name: String): Option[String] = {
+    if (!name.matches("[A-Za-z_][A-Za-z0-9_.-]*")) return None
+    val f = fs(tgt, metaDir(tgt, table))
+    val p = branchPath(tgt, table, name)
+    if (!f.exists(p)) None
+    else scala.util.Try {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      mapper.readTree(txt).get("table").asText()
+    }.toOption
+  }
+
+  /** All branches of `table`: (name, branchTable, created_at millis). */
+  def branches(tgt: Catalog, table: String): Seq[(String, String, Long)] = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val md = new Path(metaDir(tgt, table))
+    if (!f.exists(md)) Nil
+    else f.listStatus(md).toSeq
+      .filter(st => st.getPath.getName.startsWith("branch-") &&
+        st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        val name = st.getPath.getName
+          .stripPrefix("branch-").stripSuffix(".json")
+        scala.util.Try {
+          val in = f.open(st.getPath)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val o = mapper.readTree(txt)
+          (name, o.get("table").asText(),
+            Option(o.get("created_at")).map(_.asLong()).getOrElse(0L))
+        }.toOption.orElse {
+          graft.GraftLog.warn(
+            s"unreadable branch marker '${st.getPath.getName}' on " +
+              s"'$table' — skipping (drop_branch and re-create to repair)")
+          None
+        }
+      }.sortBy(_._1)
+  }
+
+  /** Drop branch `name`'s MARKER — the ref disappears; the branch's
+    * table (and its data) remains an ordinary table until dropped
+    * itself, still clone-protected against vacuum of the shared files.
+    * False when absent (with `ifExists`), error without. */
+  def dropBranch(tgt: Catalog, table: String, name: String,
+                 ifExists: Boolean = false): Boolean = {
+    validTagName(name)
+    val f = fs(tgt, metaDir(tgt, table))
+    val p = branchPath(tgt, table, name)
+    if (f.exists(p)) f.delete(p, false)
+    else if (ifExists) false
+    else throw new IllegalArgumentException(
+      s"table '$table' has no branch '$name'")
   }
 
   // ------------------------------------------------------------------- reads

@@ -56,7 +56,7 @@ object StorageQueries {
     "q_versioned_tag", "q_generated_column", "q_identity_column",
     "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
     "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge",
-    "q_zorder_cluster")
+    "q_zorder_cluster", "q_versioned_branch")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -89,6 +89,7 @@ object StorageQueries {
     sqlIdnFixture(spark, sfDir)
     sqlIdmFixture(spark, sfDir)
     sqlZocFixture(spark, sfDir)
+    sqlBrFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
@@ -1252,6 +1253,46 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the BRANCH-REF query: the write-audit-publish cycle
+    * driven entirely by NAMES — `create_branch` clones the head,
+    * audit writes land on the branch, `fast_forward(table, name)`
+    * publishes; a second branch stays unpublished and is read through
+    * `VERSION AS OF '<name>'`. */
+  private val sqlBrNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlBrFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlBrNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gbrq${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlbr").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.br " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.br " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      // published branch: doubled tail + a delete, one-commit publish
+      val bt = spark.sql(s"CALL $name.system.create_branch('br', 'audit')")
+        .head().getString(0)
+      spark.sql(s"INSERT INTO $name.default.$bt " +
+        "SELECT o_orderkey, o_totalprice * 2 FROM orders " +
+        "WHERE o_orderkey > 1000 AND o_orderkey <= 1200")
+      spark.sql(s"DELETE FROM $name.default.$bt WHERE o_orderkey <= 100")
+      spark.sql(s"CALL $name.system.fast_forward('br', 'audit')")
+      // unpublished branch: read through the ref only
+      val wt = spark.sql(s"CALL $name.system.create_branch('br', 'wip')")
+        .head().getString(0)
+      spark.sql(s"INSERT INTO $name.default.$wt " +
+        "SELECT o_orderkey, o_totalprice * 3 FROM orders " +
+        "WHERE o_orderkey > 1200 AND o_orderkey <= 1300")
+      name
+    })
+  }
+
   /** Fixture for the SQL NAMESPACES query (F51): two namespaces in one
     * catalog — the reference's two-DB model (easy_etl/__init__.py:8-10
     * wires a source and a target database) in pure SQL: `src` holds a
@@ -1826,6 +1867,22 @@ object StorageQueries {
         FROM $name.default.z
         WHERE o_totalprice < 50000.0
         ORDER BY o_orderkey""")
+    },
+
+    // NAMED BRANCHES over write-audit-publish — the cycle by one name:
+    // create_branch clones the head, audit writes land on the branch,
+    // fast_forward(table, name) publishes as ONE commit; an unpublished
+    // second branch reads through VERSION AS OF '<name>' (the live
+    // branch head, not a pinned version). The oracle replays both eras.
+    "q_versioned_branch" -> { (spark, sfDir) =>
+      val name = sqlBrFixture(spark, sfDir)
+      val head = spark.sql(s"""SELECT 'head' AS era, o_orderkey,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.br""")
+      val wip = spark.sql(s"""SELECT 'wip' AS era, o_orderkey,
+          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.br VERSION AS OF 'wip'""")
+      head.unionByName(wip).orderBy("era", "o_orderkey")
     },
 
     // F37 SQL stored PROCEDURES: the ops surface in pure SQL — the
@@ -2977,6 +3034,25 @@ object StorageQueries {
         |WHERE o_orderkey <= 1400
         |  AND (o_totalprice > 50000.0 OR o_orderkey > 1300)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_versioned_branch" ->
+      """WITH head AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey > 100 AND o_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2 FROM orders
+        |  WHERE o_orderkey > 1000 AND o_orderkey <= 1200),
+        |     wip AS (
+        |  SELECT * FROM head
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 3 FROM orders
+        |  WHERE o_orderkey > 1200 AND o_orderkey <= 1300)
+        |SELECT 'head' AS era, o_orderkey,
+        |       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM head
+        |UNION ALL
+        |SELECT 'wip' AS era, o_orderkey,
+        |       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM wip
+        |ORDER BY era, o_orderkey""".stripMargin,
 
     "q_zorder_cluster" ->
       """SELECT o_orderkey, o_custkey,

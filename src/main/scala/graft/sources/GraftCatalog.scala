@@ -260,13 +260,27 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def loadTable(ident: Identifier): Table = graftTable(ident, Map.empty)
 
-  /** SQL `VERSION AS OF v` — a number is a version, anything else a TAG
-    * (`VERSION AS OF 'v1_release'` — the named-ref surface; tags resolve
-    * through [[VersionedTable.resolveVersionRef]], shared with the
-    * reader-option path). */
-  override def loadTable(ident: Identifier, version: String): Table =
-    graftTable(ident, Map("versionAsOf" -> VersionedTable.resolveVersionRef(
-      catFor(ident.namespace), tableName(ident), version).toString))
+  /** SQL `VERSION AS OF v` — a number is a version, anything else a
+    * NAMED REF: a TAG resolves to a pinned version of THIS table, a
+    * BRANCH redirects to the branch table's live head (the
+    * write-audit-publish read surface — `VERSION AS OF 'dev'` shows the
+    * audit state before `fast_forward` publishes it). Tags win on a
+    * (refused-at-create) collision; both resolve through the same
+    * VersionedTable helpers the reader-option path uses. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val c = catFor(ident.namespace)
+    val t = tableName(ident)
+    val s = version.trim
+    if (!s.matches("[+-]?\\d+") && VersionedTable.tagVersion(c, t, s).isEmpty)
+      VersionedTable.branchTableOf(c, t, s) match {
+        case Some(bt) =>
+          return graftTable(
+            Identifier.of(ident.namespace, bt), Map.empty)
+        case None => ()
+      }
+    graftTable(ident, Map("versionAsOf" ->
+      VersionedTable.resolveVersionRef(c, t, version).toString))
+  }
 
   /** SQL `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch.
     * Resolved against the identifier's NAMESPACE (like every other
@@ -780,6 +794,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "tags" => GraftProcedures.tags(() => cat)
       case "remove_orphan_files" => GraftProcedures.removeOrphanFiles(() => cat)
       case "fast_forward" => GraftProcedures.fastForward(() => cat)
+      case "create_branch" => GraftProcedures.createBranch(() => cat)
+      case "drop_branch" => GraftProcedures.dropBranch(() => cat)
+      case "branches" => GraftProcedures.branches(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
           "rollback(table, version), vacuum(table, keep_last), " +
@@ -789,7 +806,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           "set_partition_spec(table, spec), " +
           "create_tag(table, name, version), drop_tag(table, name), " +
           "tags(table), remove_orphan_files(table), " +
-          "fast_forward(table, branch)")
+          "fast_forward(table, branch), create_branch(table, name), " +
+          "drop_branch(table, name), branches(table)")
     }
   }
 

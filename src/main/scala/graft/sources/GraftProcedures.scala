@@ -215,12 +215,82 @@ private[sources] object GraftProcedures {
       Array(param("table", StringType), param("branch", StringType))) {
       override def run(input: InternalRow): JIterator[Scan] = {
         val c = cat()
-        val committed = VersionedTable.fastForward(c,
-          input.getUTF8String(0).toString, c,
-          input.getUTF8String(1).toString)
+        val table = input.getUTF8String(0).toString
+        // the second argument is a BRANCH NAME when one exists (the
+        // create_branch sugar), else a clone table's name (the raw WAP
+        // shape) — one procedure publishes both
+        val ref = input.getUTF8String(1).toString
+        val branchTable = VersionedTable.branchTableOf(c, table, ref)
+          .getOrElse(ref)
+        val committed = VersionedTable.fastForward(c, table, c, branchTable)
         one(StructType(Seq(
           org.apache.spark.sql.types.StructField("committed_version", LongType,
             nullable = false))), committed)
+      }
+    }
+
+  /** `CALL g.system.create_branch('t', 'dev')` — named-branch sugar
+    * over the clone + fast_forward write-audit-publish cycle: zero-copy
+    * clone t's head into an engine-named table, record the ref. Read
+    * the branch with `VERSION AS OF 'dev'`, write to the returned
+    * table, publish with `fast_forward('t', 'dev')`. */
+  def createBranch(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("create_branch",
+      "create a named branch (zero-copy clone) of a table's head",
+      Array(param("table", StringType), param("name", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val bt = VersionedTable.createBranch(cat(),
+          input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("branch_table", StringType,
+            nullable = false))),
+          org.apache.spark.unsafe.types.UTF8String.fromString(bt))
+      }
+    }
+
+  /** `CALL g.system.drop_branch('t', 'dev')` — drop the branch REF; the
+    * branch's table remains an ordinary table until dropped itself. */
+  def dropBranch(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("drop_branch",
+      "drop a named branch ref (the branch table itself remains)",
+      Array(param("table", StringType), param("name", StringType),
+        ProcedureParameter.in("if_exists", BooleanType)
+          .defaultValue("false").build())) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val ifExists = !input.isNullAt(2) && input.getBoolean(2)
+        val dropped = VersionedTable.dropBranch(cat(),
+          input.getUTF8String(0).toString,
+          input.getUTF8String(1).toString, ifExists)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("dropped", BooleanType,
+            nullable = false))), dropped)
+      }
+    }
+
+  /** `CALL g.system.branches('t')` — one row per branch (name,
+    * branch_table, created_at millis), name-sorted. */
+  def branches(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("branches",
+      "list a table's named branches (pure metadata)",
+      Array(param("table", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val rows = VersionedTable.branches(cat(),
+          input.getUTF8String(0).toString).map { case (n, bt, ts) =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            org.apache.spark.unsafe.types.UTF8String.fromString(bt), ts))
+            : InternalRow
+        }.toArray
+        val schema = StructType(Seq(
+          org.apache.spark.sql.types.StructField("name", StringType,
+            nullable = false),
+          org.apache.spark.sql.types.StructField("branch_table", StringType,
+            nullable = false),
+          org.apache.spark.sql.types.StructField("created_at", LongType,
+            nullable = false)))
+        Collections.singletonList[Scan](
+          new ResultScan(schema, rows)).iterator()
       }
     }
 

@@ -83,10 +83,13 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    val cat = new Catalog(spark, required(options, "dir"))
-    val table = required(options, "table")
+    val opts = GraftTableProvider.rewriteBranchRef(
+      options.asCaseSensitiveMap().asScala.toMap)
+    val cat = new Catalog(spark, GraftTableProvider.requiredOpt(opts, "dir"))
+    val table = GraftTableProvider.requiredOpt(opts, "table")
     val v = GraftTableProvider.resolveVersion(cat, table,
-      Option(options.get("versionAsOf")), Option(options.get("timestampAsOf")))
+      GraftTableProvider.opt(opts, "versionAsOf"),
+      GraftTableProvider.opt(opts, "timestampAsOf"))
     if (v.isEmpty && VersionedTable.currentVersion(cat, table).isEmpty)
       // a first WRITE creates the table — there is nothing to infer yet;
       // the write takes the incoming frame's schema (ACCEPT_ANY_SCHEMA)
@@ -102,7 +105,8 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     // the PATH-based format keeps ACCEPT_ANY_SCHEMA: a first save() has
     // no table to validate against (the catalog surface, which always
     // knows its schema, turns validation ON — GraftCatalog)
-    new GraftBatchTable(schema, properties.asScala.toMap,
+    new GraftBatchTable(schema,
+      GraftTableProvider.rewriteBranchRef(properties.asScala.toMap),
       acceptAnySchema = true)
 }
 
@@ -848,6 +852,24 @@ object GraftTableProvider {
     * read/write/stream/DML surface of the format. */
   private[graft] def opt(options: Map[String, String], k: String): Option[String] =
     options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+
+  /** BRANCH redirect for the reader-option surface: a non-numeric
+    * `versionAsOf` that is not a tag but IS a branch rewrites the
+    * options onto the branch table's live head — the same indirection
+    * the SQL catalog's `VERSION AS OF 'dev'` applies. */
+  private[sources] def rewriteBranchRef(options: Map[String, String])
+      : Map[String, String] =
+    (for {
+      d <- opt(options, "dir")
+      t <- opt(options, "table")
+      r <- opt(options, "versionAsOf").map(_.trim)
+      if !r.matches("[+-]?\\d+")
+      cat = new Catalog(SparkSession.active, d)
+      if VersionedTable.tagVersion(cat, t, r).isEmpty
+      bt <- VersionedTable.branchTableOf(cat, t, r)
+    } yield options.filterNot(kv => kv._1.equalsIgnoreCase("versionAsOf") ||
+      kv._1.equalsIgnoreCase("table")) + ("table" -> bt))
+      .getOrElse(options)
 
   private[graft] def requiredOpt(options: Map[String, String], k: String): String =
     opt(options, k).getOrElse(throw new IllegalArgumentException(
