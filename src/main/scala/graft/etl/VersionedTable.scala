@@ -2679,6 +2679,9 @@ object VersionedTable {
         s"column '$to' already exists on '$table'")
       require(!to.equalsIgnoreCase(Loader.IdCol),
         s"'$to' is reserved for the surrogate id")
+      require(!hasEqTombstones(man.props),
+        s"'$table' carries live equality tombstones keyed by logical " +
+          "column names — compact to materialize them before renaming")
       mappingRefusals(tgt, man, from, "rename")
       val exact = current.fieldNames.find(_.equalsIgnoreCase(from)).get
       val physOf0 = physOfMan(man)
@@ -3050,6 +3053,9 @@ object VersionedTable {
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
+      require(!hasEqTombstones(man.props),
+        s"'$table' carries live equality tombstones keyed by logical " +
+          "column names — compact to materialize them before dropping")
       val current = readVersion(tgt, table, cur).schema
       val exacts = names.map { name =>
         require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
@@ -4189,8 +4195,13 @@ object VersionedTable {
         if (tryCommitManifest(tgt, table,
           { val fm = manifestMeta(tgt, table, Some(man), keep.map(_._1),
               newParts, rows.schema)
+            // equality tombstones: rewritten files are born PAST every
+            // tombstone (unstamped); carried files keep their stamps, and
+            // a tombstone no surviving file is stamped below drops — the
+            // materialization step of the write-without-read upsert
             Manifest(newV, man.maxId, man.bucket, keep.map(_._1) ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              fm.stats, fm.sizes, fm.nulls, fm.rows,
+              pruneEqProps(man.props, keep.map(_._1)),
               dvCarry(Some(man), keep.map(_._1))) }))
           Some(newV)
         else {
@@ -4330,6 +4341,10 @@ object VersionedTable {
     val man = readManifest(src, srcTable, v).getOrElse(
       throw new IllegalArgumentException(
         s"table '$srcTable' has no version $v to clone"))
+    require(!hasEqTombstones(man.props),
+      s"'$srcTable' v$v carries live equality tombstones — a clone's " +
+        "stamp bookkeeping would not transfer; compact to materialize " +
+        "them first")
     val relToAbs = man.files.map(r =>
       r -> new Path(dataDir(src, srcTable), r).toString).toMap
     val committed = commitWithRetry(dstTable, "clone") { () =>
@@ -4740,18 +4755,22 @@ object VersionedTable {
     val man = readManifest(tgt, table, v).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $v"))
     require(man.files.nonEmpty, s"version $v of '$table' lists no files")
-    if (man.dvs.nonEmpty) {
-      // merge-on-read: DV'd files filter their deleted positions (exact,
-      // row-index based); clean files keep the zone-map planning path
-      // below through a two-sided union. Compaction materializes DVs and
-      // restores the single-scan plan.
-      val dirty = man.files.filter(man.dvs.contains)
-      val clean = man.files.filterNot(man.dvs.contains)
-      val dirtyDf = readRelsWithDv(tgt, table, man, dirty)
-      return if (clean.isEmpty) dirtyDf
+    // equality tombstones (if any) wrap the whole composition: stamp
+    // groups anti-join their applicable tombstones, tombstone-free
+    // manifests keep the untouched fast paths below
+    readRelsEq(tgt, table, man, man.files, { rels =>
+      val dirty = rels.filter(man.dvs.contains)
+      val clean = rels.filterNot(man.dvs.contains)
+      if (dirty.nonEmpty) {
+        // merge-on-read: DV'd files filter their deleted positions
+        // (exact, row-index based); clean files keep the zone-map
+        // planning path below through a two-sided union. Compaction
+        // materializes DVs and restores the single-scan plan.
+        val dirtyDf = readRelsWithDvNoEq(tgt, table, man, dirty)
+        if (clean.isEmpty) dirtyDf
         else readVersionClean(tgt, table, man, clean).unionByName(dirtyDf)
-    }
-    readVersionClean(tgt, table, man, man.files)
+      } else readVersionClean(tgt, table, man, rels)
+    })
   }
 
   /** The DV-free read core: `rels` of `man` through the zone-map
@@ -4876,11 +4895,313 @@ object VersionedTable {
   private def readRelsWithDv(tgt: Catalog, table: String, man: Manifest,
                              rels: Seq[String],
                              schema: Option[org.apache.spark.sql.types.StructType]
-                               = None): DataFrame = {
+                               = None): DataFrame =
+    readRelsEq(tgt, table, man, rels,
+      g => readRelsWithDvNoEq(tgt, table, man, g, schema))
+
+  private def readRelsWithDvNoEq(tgt: Catalog, table: String, man: Manifest,
+                                 rels: Seq[String],
+                                 schema: Option[org.apache.spark.sql.types.StructType]
+                                   = None): DataFrame = {
     val sch = schema.orElse(recordedSchema(man))
     val (dirty, clean) = rels.partition(man.dvs.contains)
     readRelsApplyingSidecars(tgt, table, dirty, clean,
       dirty.map(r => r -> man.dvs(r)._1).toMap, sch, physOfMan(man))
+  }
+
+  // ----------------------------------------------------- equality tombstones
+  //
+  // WRITE-WITHOUT-READ keyed upsert (the Iceberg equality-delete shape):
+  // an [[upsertEqualityDelete]] batch commits its data files PLUS a
+  // small key-tombstone file — "rows with these keys in any OLDER file
+  // are deleted" — without reading the target at all, so continuous CDC
+  // ingest is O(batch) per trigger instead of O(batch × target-probe).
+  // Tombstones resolve at READ (an anti-join over the older files'
+  // stamp groups) and MATERIALIZE at compaction (rewritten files are
+  // born past every tombstone; fully-covered tombstones drop).
+  //
+  // Applicability is tracked through per-file SEQUENCE STAMPS carried in
+  // the manifest props: a tombstone with seq = its commit version
+  // applies to rows of files whose stamp is STRICTLY LOWER; files
+  // without a stamp are "newer than every tombstone" (∞). Each
+  // tombstone commit stamps its parent's unstamped files with
+  // (commitVersion - 1) — any file unstamped at that moment was added
+  // after the previous tombstone, so the older tombstones correctly
+  // don't apply — and its own data files with commitVersion. Everything
+  // lives in props, so every commit path carries the state atomically.
+
+  /** One committed tombstone: `files` hold the batch's DISTINCT key
+    * tuples under their logical names (parquet bytes with an `.eqdel`
+    * extension so the data-file sweeps never touch them). */
+  private[etl] final case class EqTombstone(files: Seq[String], seq: Long,
+                                            keys: Seq[String])
+
+  private[graft] val EqDelProp = "eq_tombstones"
+  private[graft] val EqSeqProp = "eq_seqs"
+
+  private[etl] def eqTombstonesOf(props: Map[String, String]): Seq[EqTombstone] =
+    props.get(EqDelProp).toSeq.flatMap { j =>
+      val root = mapper.readTree(j)
+      (0 until root.size).map { i =>
+        val o = root.get(i)
+        EqTombstone(
+          (0 until o.get("files").size).map(o.get("files").get(_).asText()),
+          o.get("seq").asLong(),
+          (0 until o.get("keys").size).map(o.get("keys").get(_).asText()))
+      }
+    }
+
+  private def eqSeqsOf(props: Map[String, String]): Map[String, Long] =
+    props.get(EqSeqProp).fold(Map.empty[String, Long]) { j =>
+      val root = mapper.readTree(j)
+      val it = root.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val k = it.next(); b += k -> root.get(k).asLong() }
+      b.result()
+    }
+
+  private def renderEqTombstones(ts: Seq[EqTombstone]): String = {
+    val arr = mapper.createArrayNode()
+    ts.sortBy(_.seq).foreach { t =>
+      val o = arr.addObject()
+      val fs = o.putArray("files"); t.files.foreach(fs.add)
+      o.put("seq", t.seq)
+      val ks = o.putArray("keys"); t.keys.foreach(ks.add)
+    }
+    mapper.writeValueAsString(arr)
+  }
+
+  private def renderEqSeqs(m: Map[String, Long]): String = {
+    val o = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+    mapper.writeValueAsString(o)
+  }
+
+  /** Whether `props` carry live (unmaterialized) equality tombstones —
+    * the gate the CDC/clone/rename surfaces refuse on. */
+  private[graft] def hasEqTombstones(props: Map[String, String]): Boolean =
+    eqTombstonesOf(props).nonEmpty
+
+  /** Distinct key columns of version `v`'s live tombstones (lowercase) —
+    * what the SQL scan keeps through pruning. Empty almost always. */
+  private[graft] def eqTombstoneKeyCols(tgt: Catalog, table: String,
+                                        v: Long): Seq[String] =
+    readManifest(tgt, table, v).toSeq
+      .flatMap(m => eqTombstonesOf(m.props).flatMap(_.keys)).distinct
+
+  /** Version `v`'s equality-delete state for the SQL scan:
+    * `(entries = (keys, seq, absTombstoneFiles)*, stampsByAbsDataPath)`.
+    * `(Nil, empty)` when no tombstones are live. */
+  private[graft] def eqDeleteState(tgt: Catalog, table: String, v: Long)
+      : (Seq[(Seq[String], Long, Seq[String])], Map[String, Long]) =
+    readManifest(tgt, table, v).fold(
+      (Seq.empty[(Seq[String], Long, Seq[String])], Map.empty[String, Long])) { m =>
+      val ts = eqTombstonesOf(m.props)
+      if (ts.isEmpty) (Nil, Map.empty)
+      else (
+        ts.map(t => (t.keys, t.seq,
+          t.files.map(r => new Path(dataDir(tgt, table), r).toString))),
+        eqSeqsOf(m.props).map { case (r, s) =>
+          new Path(dataDir(tgt, table), r).toString -> s
+        })
+    }
+
+  /** Read `rels` applying every applicable equality tombstone: files
+    * group by their stamp (one group per tombstone era — O(tombstone
+    * commits) groups, not O(files)), each group anti-joins against the
+    * union of the tombstones STRICTLY NEWER than its stamp. No live
+    * tombstones → the untouched fast path. */
+  private def readRelsEq(tgt: Catalog, table: String, man: Manifest,
+                         rels: Seq[String],
+                         reader: Seq[String] => DataFrame): DataFrame = {
+    val eq = eqTombstonesOf(man.props)
+    if (eq.isEmpty || rels.isEmpty) return reader(rels)
+    val stamps = eqSeqsOf(man.props)
+    val groups = rels.groupBy(r => stamps.getOrElse(r, Long.MaxValue))
+      .toSeq.sortBy(_._1)
+    groups.map { case (s, g) =>
+      val applicable = eq.filter(_.seq > s)
+      // distinct key SETS anti-join separately (upsert keys may evolve
+      // between statements); within a set, one union of tombstone files
+      applicable.groupBy(_.keys).toSeq.sortBy(_._1.mkString(","))
+        .foldLeft(reader(g)) { case (b, (ks, ts)) =>
+          val tomb = tombstoneFrame(tgt, table, ts, ks)
+          val cond = ks.map(k => b(k) <=> tomb(k)).reduce(_ && _)
+          b.join(tomb, cond, "left_anti")
+        }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The key tuples of `ts` as one frame (logical names — tombstones are
+    * written post-mapping, and renames refuse while any are live). */
+  private def tombstoneFrame(tgt: Catalog, table: String,
+                             ts: Seq[EqTombstone], keys: Seq[String]): DataFrame = {
+    val abs = ts.flatMap(_.files)
+      .map(r => new Path(dataDir(tgt, table), r).toString)
+    tgt.spark.read.parquet(abs: _*)
+      .select(keys.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** WRITE-WITHOUT-READ keyed upsert (equality tombstones — see the
+    * section doc): commit the batch's data files plus one key-tombstone
+    * file as ONE version, never reading the target. Semantically a
+    * DELETE-matching-keys + INSERT: matched rows' surrogate ids are NOT
+    * preserved (unlike the copy-on-write upsert, which merges). The
+    * batch's column set must match the recorded schema (no evolution on
+    * this path — use [[load]] to evolve first). Reads resolve tombstones
+    * with an anti-join; [[compact]] materializes them. The CDC/change-
+    * feed surfaces, clone/branch, and column rename/drop REFUSE while
+    * tombstones are live (compact first) — a version diff cannot see
+    * through an unresolved key delete. */
+  def upsertEqualityDelete(tgt: Catalog, table: String, incoming0: DataFrame,
+                           keys: Seq[String], idOrder: Seq[String] = Nil,
+                           extraProps: Map[String, String] = Map.empty,
+                           dropProps: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "upsertEqualityDelete needs key columns")
+    val incoming = if (incoming0.columns.contains(Loader.IdCol))
+      incoming0.drop(Loader.IdCol) else incoming0
+    keys.foreach(k => require(
+      incoming.columns.exists(_.equalsIgnoreCase(k)),
+      s"equality-upsert key '$k' absent from the incoming frame"))
+    val v = commitWithRetry(table, "eq-upsert")(() =>
+      eqUpsertAttempt(tgt, table, incoming, keys, idOrder, extraProps,
+        dropProps))
+    maybeAutoCompact(tgt, table)
+    v
+  }
+
+  private def eqUpsertAttempt(tgt: Catalog, table: String,
+                              incoming0: DataFrame, keys: Seq[String],
+                              idOrder: Seq[String],
+                              extraProps: Map[String, String],
+                              dropProps: Seq[String]): Option[Long] = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    val cur = currentVersion(tgt, table)
+    if (cur.isEmpty)
+      // first load: nothing to tombstone — the plain keyed load records
+      // the keys and lays the table out
+      return loadAttempt(tgt, table, incoming0, keys, idOrder,
+        ensure = true, safe = false, None, extraProps, Nil, dropProps)
+    val headMan = readManifest(tgt, table, cur.get)
+    val man = headMan.get
+    val recorded = recordedSchema(man).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' records no schema — equality upsert needs a " +
+          "schema-recording head (write once with load() first)"))
+    val incoming = prepareDeclaredColumns(tgt, table, headMan, incoming0)
+    val want = recorded.fieldNames.filterNot(_.equalsIgnoreCase(Loader.IdCol))
+      .map(_.toLowerCase).toSet
+    val have = incoming.columns.map(_.toLowerCase).toSet
+    require(want == have,
+      s"equality upsert cannot evolve the schema: table has " +
+        s"${want.toSeq.sorted.mkString(",")}, batch has " +
+        s"${have.toSeq.sorted.mkString(",")} — load() evolves first")
+    val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
+    val maxId = man.maxId.getOrElse {
+      val r = readVersion(tgt, table, cur.get)
+        .agg(max(col(Loader.IdCol))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val out = Loader.withSurrogateIds(incoming, maxId, order)
+    val physOf = extendMapping(headMan, out.schema)
+    val checkSql = effectiveCheck(man.props ++ extraProps)
+    val (batch, newParts) = writeBatch(tgt, table, out, man.bucket,
+      bloomColsOf(man), physOf,
+      partSpecOf(man.props ++ extraProps),
+      zorderLayout(man.props ++ extraProps))
+    def abort(e: Throwable): Nothing = {
+      fs(tgt, dataDir(tgt, table)).delete(batch, true)
+      throw e
+    }
+    checkSql.filter(_ => newParts.nonEmpty).foreach { c =>
+      try enforceCheckStaged(tgt, newParts.map(p =>
+        new Path(dataDir(tgt, table), p._1).toString), physOf, c, table)
+      catch { case e: Throwable => abort(e) }
+    }
+    val newV = cur.get + 1L
+    val newRel = newParts.map(_._1)
+    val stagedAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+    // the tombstone derives from the STAGED bytes (not the incoming
+    // plan — a nondeterministic source must not disagree with what was
+    // written); written only when the parent can hold matching rows
+    val parentHasRows = man.files.exists(r => man.liveRows(r).forall(_ > 0))
+    val tombEntry: Option[EqTombstone] =
+      if (!parentHasRows || newParts.isEmpty) None
+      else try {
+        val kdf = readFileList(tgt, stagedAbs, Some(out.schema), physOf)
+          .select(keys.map(col): _*).distinct().repartition(1)
+        val tmp = new Path(dataDir(tgt, table), s"eqdel-${java.util.UUID.randomUUID()}")
+        kdf.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val f = fs(tgt, dataDir(tgt, table))
+        // swap the extension so the data-file sweeps (vacuum, orphan
+        // removal) can never mistake a tombstone for an unreferenced
+        // data file; explicit-path parquet reads ignore extensions
+        val rels = f.listStatus(tmp).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map { st =>
+            val dst = new Path(tmp,
+              st.getPath.getName.stripSuffix(".parquet") + ".eqdel")
+            require(f.rename(st.getPath, dst),
+              s"could not finalize tombstone file ${st.getPath}")
+            s"${tmp.getName}/${dst.getName}"
+          }
+        f.listStatus(tmp).toSeq.filter(_.getPath.getName.startsWith("_"))
+          .foreach(st => f.delete(st.getPath, false))
+        Some(EqTombstone(rels, newV, keys.map(_.toLowerCase)))
+      } catch { case e: Throwable => abort(e) }
+    val oldStamps = eqSeqsOf(man.props)
+    val stamps: Map[String, Long] = tombEntry match {
+      case None => oldStamps
+      case Some(_) =>
+        // stamp the parent's unstamped files with (newV - 1): they were
+        // added after the previous tombstone, so older tombstones
+        // correctly don't apply; the batch's own files stamp newV
+        man.files.map(r => r -> oldStamps.getOrElse(r, newV - 1)).toMap ++
+          newRel.map(_ -> newV)
+    }
+    val eq = eqTombstonesOf(man.props) ++ tombEntry
+    val committedMax = footerMaxId(tgt, stagedAbs).map(m => math.max(m, maxId))
+      .orElse(Some(maxId))
+    preCommitHook.value()
+    val fm = manifestMeta(tgt, table, headMan, man.files, newParts, out.schema)
+    val props = withMappingProps(
+      ((man.props ++ extraProps) -- dropProps) +
+        (UpsertKeysProp -> keys.mkString(",")) +
+        (SchemaProp -> schemaJson(carryFieldMetadata(headMan, out.schema))) +
+        (EqDelProp -> renderEqTombstones(eq)) ++
+        (if (stamps.isEmpty) Map.empty[String, String]
+         else Map(EqSeqProp -> renderEqSeqs(stamps))),
+      physOf, retiredOf(man))
+    if (tryCommitManifest(tgt, table,
+      Manifest(newV, committedMax, man.bucket, man.files ++ newRel,
+        fm.stats, fm.sizes, fm.nulls, fm.rows, props,
+        dvCarry(headMan, man.files))))
+      Some(newV)
+    else {
+      val f = fs(tgt, dataDir(tgt, table))
+      f.delete(batch, true)
+      tombEntry.foreach(t => t.files.headOption.foreach(r =>
+        f.delete(new Path(dataDir(tgt, table), r).getParent, true)))
+      None
+    }
+  }
+
+  /** Tombstone/stamp hygiene for a rewriting commit (PURE — older
+    * retained versions still reference the tombstone files, so physical
+    * reclaim stays vacuum's job): keep stamps only for surviving files;
+    * a tombstone with NO surviving file stamped below its seq has been
+    * fully materialized — drop it from the props. */
+  private def pruneEqProps(props: Map[String, String],
+                           liveRels: Seq[String]): Map[String, String] = {
+    val eq = eqTombstonesOf(props)
+    if (eq.isEmpty) return props
+    val live = liveRels.toSet
+    val stamps = eqSeqsOf(props).filter { case (r, _) => live(r) }
+    val kept = eq.filter(t => stamps.values.exists(_ < t.seq))
+    val p1 = if (kept.isEmpty) props - EqDelProp
+      else props + (EqDelProp -> renderEqTombstones(kept))
+    if (stamps.isEmpty || kept.isEmpty) p1 - EqSeqProp
+    else p1 + (EqSeqProp -> renderEqSeqs(stamps))
   }
 
   /** [[readRelsWithDv]] with EXPLICIT sidecars — for positions merged by
@@ -5092,6 +5413,9 @@ object VersionedTable {
              Seq[(String, Long, Option[String])])] = {
     val manB = readManifest(tgt, table, toV).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $toV"))
+    require(!hasEqTombstones(manB.props),
+      s"'$table' carries live equality tombstones — the CDC diff cannot " +
+        "see through an unresolved key delete; run compact first")
     // ADMISSION-TIME pruning (the `admissionFilter` option): drop files
     // whose zone maps prove no admitted row — sound for KEY-column
     // predicates (a matching key's files always admit on both sides;
@@ -5550,6 +5874,12 @@ object VersionedTable {
         s"table '$table' has no version $fromV"))
     val manB = readManifest(tgt, table, toV).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $toV"))
+    // a file-set diff cannot see through an UNRESOLVED equality
+    // tombstone (it deletes rows without touching files) — refuse
+    // loudly; compaction materializes and re-opens the feed
+    require(!hasEqTombstones(manA.props) && !hasEqTombstones(manB.props),
+      s"'$table' carries live equality tombstones in the requested " +
+        "range — change feeds need materialized state; run compact first")
     val (setA, setB) = (manA.files.toSet, manB.files.toSet)
     // a shared file whose deletion vector differs changed rows — it
     // enters both sides (each side applies its OWN DV), so newly-DV'd
@@ -5714,13 +6044,17 @@ object VersionedTable {
     val drop = vs.dropRight(keepN)
     val f = fs(tgt, metaDir(tgt, table))
     // a version's referenced paths = its data files PLUS its DV sidecars
-    // (both live in data dirs; an unreferenced sidecar reclaims exactly
-    // like an unreferenced data file)
+    // PLUS its live equality-tombstone files (all live in data dirs; an
+    // unreferenced sidecar/tombstone reclaims exactly like an
+    // unreferenced data file)
     def versionPaths(cat: Catalog, t: String, v: Long): Seq[String] =
       manifestFiles(cat, t, v) ++
-        readManifest(cat, t, v).toSeq.flatMap(_.dvs.values.map { case (p, _) =>
-          new Path(dataDir(cat, t), p).toString
-        })
+        readManifest(cat, t, v).toSeq.flatMap { m =>
+          m.dvs.values.map { case (p, _) =>
+            new Path(dataDir(cat, t), p).toString
+          } ++ eqTombstonesOf(m.props).flatMap(_.files).map(r =>
+            new Path(dataDir(cat, t), r).toString)
+        }
     if (dryRun) {
       // report what WOULD be reclaimed without deleting any manifest or
       // data file — the operator's pre-flight. (Dead clones' markers may
@@ -5741,7 +6075,8 @@ object VersionedTable {
         f.listStatus(p).foreach { st =>
           if (st.isDirectory) scan(st.getPath)
           else if (st.isFile && (st.getPath.getName.endsWith(".parquet") ||
-            st.getPath.getName.endsWith(".dv")) &&
+            st.getPath.getName.endsWith(".dv") ||
+            st.getPath.getName.endsWith(".eqdel")) &&
             !ref.contains(st.getPath.toUri.getPath) &&
             sweepOlderThan.forall(st.getModificationTime < _)) would += 1
         }
@@ -5804,7 +6139,8 @@ object VersionedTable {
       f.listStatus(p).toSeq.foreach { st =>
         if (st.isDirectory) sweep(st.getPath)
         else if (st.isFile && (st.getPath.getName.endsWith(".parquet") ||
-          st.getPath.getName.endsWith(".dv")) &&
+          st.getPath.getName.endsWith(".dv") ||
+          st.getPath.getName.endsWith(".eqdel")) &&
           !referenced.contains(st.getPath.toUri.getPath) &&
           sweepOlderThan.forall(st.getModificationTime < _)) {
           f.delete(st.getPath, false); removed += 1

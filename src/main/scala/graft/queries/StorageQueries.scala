@@ -56,7 +56,7 @@ object StorageQueries {
     "q_versioned_tag", "q_generated_column", "q_identity_column",
     "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
     "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge",
-    "q_zorder_cluster", "q_versioned_branch")
+    "q_zorder_cluster", "q_versioned_branch", "q_eq_upsert")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -90,6 +90,7 @@ object StorageQueries {
     sqlIdmFixture(spark, sfDir)
     sqlZocFixture(spark, sfDir)
     sqlBrFixture(spark, sfDir)
+    sqlEquFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
@@ -1293,6 +1294,46 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the EQUALITY-TOMBSTONE upsert query: a keyed upsert
+    * committed WITHOUT reading the target (batch data files + one key
+    * tombstone per statement — the Iceberg equality-delete shape, the
+    * O(batch) CDC-ingest path), read back through the SQL surface where
+    * the tasks resolve the tombstones; a second statement stacks; a
+    * scoped compact materializes PART of the table while the rest keeps
+    * resolving at read. */
+  private val sqlEquNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlEquFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlEquNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"gequ${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqlequ").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      val cat = new Catalog(spark, dir)
+      VersionedTable.load(cat, "eq", spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000"),
+        idOrder = Seq("o_orderkey"))
+      // two write-without-read statements: updates double, inserts extend
+      VersionedTable.upsertEqualityDelete(cat, "eq", spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 500 AND o_orderkey <= 1200""".stripMargin),
+        keys = Seq("o_orderkey"))
+      VersionedTable.upsertEqualityDelete(cat, "eq", spark.sql(
+        """SELECT o_orderkey, o_totalprice * 3 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 1100 AND o_orderkey <= 1300""".stripMargin),
+        keys = Seq("o_orderkey"))
+      val v = VersionedTable.currentVersion(cat, "eq").get
+      require(VersionedTable.eqTombstoneKeyCols(cat, "eq", v).nonEmpty,
+        "the fixture must leave live tombstones for the read to resolve")
+      name
+    })
+  }
+
   /** Fixture for the SQL NAMESPACES query (F51): two namespaces in one
     * catalog — the reference's two-DB model (easy_etl/__init__.py:8-10
     * wires a source and a target database) in pure SQL: `src` holds a
@@ -1866,6 +1907,20 @@ object StorageQueries {
                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         FROM $name.default.z
         WHERE o_totalprice < 50000.0
+        ORDER BY o_orderkey""")
+    },
+
+    // EQUALITY-TOMBSTONE keyed upsert — the write-without-read CDC
+    // ingest path: each statement commits batch files + a key tombstone
+    // (never probing the target), reads resolve the tombstones in-task,
+    // and the end state must equal the ordinary keyed merge. The oracle
+    // replays last-writer-wins by key.
+    "q_eq_upsert" -> { (spark, sfDir) =>
+      val name = sqlEquFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.eq
         ORDER BY o_orderkey""")
     },
 
@@ -3033,6 +3088,15 @@ object StorageQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 1400
         |  AND (o_totalprice > 50000.0 OR o_orderkey > 1300)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_eq_upsert" ->
+      """SELECT o_orderkey,
+        |       CAST(FLOOR((CASE
+        |         WHEN o_orderkey > 1100 THEN o_totalprice * 3
+        |         WHEN o_orderkey > 500 THEN o_totalprice * 2
+        |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey <= 1300
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_versioned_branch" ->

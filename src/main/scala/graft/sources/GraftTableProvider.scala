@@ -191,6 +191,17 @@ private[sources] final class GraftBatchTable(
       k.equalsIgnoreCase("timestampAsOf")),
       "cannot UPDATE/MERGE at a time-travel version — row-level " +
         "operations always commit a new head")
+    // live equality tombstones: the row-op scans' rewrite semantics
+    // cannot see through an unresolved key delete — refuse loudly
+    require({
+      import GraftTableProvider.opt
+      !(for { d <- opt(options, "dir"); t <- opt(options, "table")
+              c = new Catalog(SparkSession.active, d)
+              v <- VersionedTable.currentVersion(c, t) } yield
+        VersionedTable.eqTombstoneKeyCols(c, t, v).nonEmpty)
+        .getOrElse(false)
+    }, "row-level operations on a table with live equality tombstones " +
+      "are not supported — run compact to materialize them first")
     require(!dataSchema.fieldNames.contains(
       org.apache.spark.sql.graft.PlainBatchRead.FileCol),
       "row-level operations need the _file metadata column, which this " +
@@ -426,6 +437,23 @@ private[sources] final class GraftScanBuilder(
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = dataSchema
 
+  /** Key columns of LIVE equality tombstones (empty for most tables):
+    * the read applies key anti-filters inside the tasks, so these
+    * columns must survive pruning, manifest-math shortcuts (pushed
+    * aggregates, limit/top-N truncation) must stand down — row counts
+    * no longer tell the live truth until compaction materializes. */
+  private lazy val liveEqKeys: Seq[String] = {
+    import GraftTableProvider.opt
+    (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
+      val cat = new Catalog(SparkSession.active, d)
+      GraftTableProvider.resolveVersion(cat, t,
+        opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
+        .orElse(VersionedTable.currentVersion(cat, t))
+        .map(VersionedTable.eqTombstoneKeyCols(cat, t, _))
+        .getOrElse(Nil)
+    }).getOrElse(Nil)
+  }
+
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters
     filters // all reported UNHANDLED: Spark re-applies, pruning only skips
@@ -433,8 +461,18 @@ private[sources] final class GraftScanBuilder(
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // live equality tombstones: their key columns ride along (Spark's
+    // project above the scan still prunes the OUTPUT — only the read
+    // widens, and only until compaction clears the tombstones)
+    val missing = liveEqKeys.filter(k =>
+      !requiredSchema.fieldNames.exists(_.equalsIgnoreCase(k)) &&
+        dataSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    required =
+      if (missing.isEmpty) requiredSchema
+      else StructType(requiredSchema.fields ++ missing.map(k =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).get))
+  }
 
   // ---------------------------------------------------- limit pushdown
   //
@@ -449,6 +487,9 @@ private[sources] final class GraftScanBuilder(
   private var limit: Option[Int] = None
 
   override def pushLimit(l: Int): Boolean = {
+    // recorded row counts over-count through live equality tombstones —
+    // a truncated file set could return FEWER than l live rows
+    if (liveEqKeys.nonEmpty) return false
     limit = Some(l)
     true // partially pushed (default isPartiallyPushed = true)
   }
@@ -563,10 +604,12 @@ private[sources] final class GraftScanBuilder(
     computeAgg(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    computeAgg(agg) match {
+    // manifest row counts cannot answer through live equality
+    // tombstones (rows are logically deleted without touching files)
+    liveEqKeys.isEmpty && (computeAgg(agg) match {
       case Some(r) => pushedAgg = Some(r); true
       case None => false
-    }
+    })
 
   override def build(): Scan = pushedAgg match {
     case Some((schema, row)) =>
@@ -788,6 +831,8 @@ private[sources] final class GraftBatch(
   // so a rename committing between planning and factory construction
   // can't mistranslate (same one-version rule as plannedHasDv)
   @volatile private var plannedPhysOf: Map[String, String] = Map.empty
+  // the planned version's live equality tombstones (keys, seq, files)
+  @volatile private var plannedEq: Seq[(Seq[String], Long, Seq[String])] = Nil
 
   override def planInputPartitions(): Array[InputPartition] = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -805,8 +850,21 @@ private[sources] final class GraftBatch(
       limitRows = limit.map(_.toLong), topN = topN)
     plannedHasDv = slices.exists(_._3.nonEmpty)
     plannedPhysOf = VersionedTable.columnMapping(cat, table, v)
+    // live equality tombstones ride the plan: each slice carries its
+    // stamp, the factory ships the key sets — resolution happens in the
+    // tasks (the write-without-read upsert's read half)
+    val (eqEntries, eqStamps) =
+      v.orElse(VersionedTable.currentVersion(cat, table)) match {
+        case Some(vv) => VersionedTable.eqDeleteState(cat, table, vv)
+        case None => (Nil, Map.empty[String, Long])
+      }
+    plannedEq = eqEntries
+    val stampsNorm = eqStamps.map { case (k, x) =>
+      new org.apache.hadoop.fs.Path(k).toUri.getPath -> x }
     val fileSlices =
-      slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) }
+      slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv,
+        eqSeq = stampsNorm.getOrElse(
+          new org.apache.hadoop.fs.Path(p).toUri.getPath, Long.MaxValue)) }
     // storage-partitioned join: one KEYED partition per bucket (all N
     // present — empty buckets are no-op tasks), matching the scan's
     // reported KeyGroupedPartitioning exactly; LIMIT/top-N plans keep
@@ -835,14 +893,32 @@ private[sources] final class GraftBatch(
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // live tombstone key sets collect ONCE on the driver (exact typed
+    // read through the table schema) and broadcast; bounded by the
+    // compaction cadence — materialize with compact to clear
+    val eqBc = plannedEq.map { case (keys, seq, files) =>
+      val keySchema = StructType(keys.map(k =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalStateException(
+            s"tombstone key '$k' not in table schema"))))
+      val df = spark.read.schema(keySchema).parquet(files: _*)
+      val rows = df.queryExecution.toRdd.mapPartitions { it =>
+        val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keySchema)
+        it.map(r => p(r).copy(): org.apache.spark.sql.catalyst.InternalRow)
+      }.collect()
+      (keys, seq, spark.sparkContext.broadcast(rows))
+    }
     // VECTORIZED even under deletion vectors: when any planned partition
     // carries a DV the factory gets the batch-returning row-index twin
     // and applies the vector by selection ([[DvColumnar]]) — one MOR
     // delete no longer drops the whole scan to row mode
-    PlainBatchRead.readerFactory(SparkSession.active, dataSchema,
+    PlainBatchRead.readerFactory(spark, dataSchema,
       requiredSchema, pushed.toSeq, allowColumnar = true,
-      mayHaveDv = plannedHasDv, physOf = plannedPhysOf)
+      mayHaveDv = plannedHasDv, physOf = plannedPhysOf, eqDeletes = eqBc)
+  }
 }
 
 object GraftTableProvider {

@@ -49,7 +49,11 @@ object CdcMicroBatch {
   final case class FileSlice(path: String, length: Long,
                              dv: Option[String] = None,
                              start: Long = 0L,
-                             fileSizeOpt: Long = -1L) extends Serializable {
+                             fileSizeOpt: Long = -1L,
+                             // equality-tombstone stamp: tombstones with
+                             // seq STRICTLY GREATER delete matching keys
+                             // from this file (MaxValue = newer than all)
+                             eqSeq: Long = Long.MaxValue) extends Serializable {
     def fileSize: Long = if (fileSizeOpt < 0L) length else fileSizeOpt
   }
 
@@ -183,7 +187,13 @@ object PlainBatchRead {
                     allowColumnar: Boolean = true,
                     rowFilter: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
                     mayHaveDv: Boolean = false,
-                    physOf: Map[String, String] = Map.empty)
+                    physOf: Map[String, String] = Map.empty,
+                    // live equality tombstones: (key columns, seq,
+                    // broadcast key rows) per tombstone — tasks drop
+                    // rows of OLDER slices whose key tuple matches
+                    // ([[EqDeleteFilters]]); forces row mode
+                    eqDeletes: Seq[(Seq[String], Long,
+                      org.apache.spark.broadcast.Broadcast[Array[InternalRow]])] = Nil)
       : PartitionReaderFactory = {
     // the admission row predicate is BOUND against the full dataSchema
     // ordinals — sound only while the reader's output IS dataSchema.
@@ -208,7 +218,8 @@ object PlainBatchRead {
         (posOrdinal >= 0 && f.name == PosCol)))
     val fmt = new ParquetFileFormat
     val columnar = allowColumnar && fileOrdinal < 0 && posOrdinal < 0 &&
-      rowFilter.isEmpty && fmt.supportBatch(spark, dataRequired)
+      rowFilter.isEmpty && eqDeletes.isEmpty &&
+      fmt.supportBatch(spark, dataRequired)
     // COLUMN MAPPING: the parquet readers resolve columns BY NAME inside
     // the files, which carry PHYSICAL names — translate the schemas (and
     // the row-group-skipping filters: an untranslated logical name could
@@ -271,10 +282,42 @@ object PlainBatchRead {
         filters = physFilters,
         options = Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
         hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
+    // equality-tombstone key ordinals resolve against the DATA-COLUMN
+    // layout the raw iterators emit (dataRequired — before any _file /
+    // _pos injection); the scan guarantees key columns survive pruning
+    val eqBound = eqDeletes.map { case (ks, seq, bc) =>
+      val ords = ks.map { k =>
+        val i = dataRequired.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+        require(i >= 0,
+          s"equality-delete key '$k' missing from the read schema — " +
+            "the scan must keep tombstone keys through pruning")
+        i
+      }
+      (ords.toArray, ords.map(dataRequired.fields(_).dataType).toArray, seq, bc)
+    }
     new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,
       posOrdinal, dataRequired.fields.map(_.dataType),
       new org.apache.spark.util.SerializableConfiguration(baseConf),
-      rowFilter, colIdxFunc)
+      rowFilter, colIdxFunc, eqBound)
+  }
+
+  /** Per-executor materialization of a broadcast tombstone key set —
+    * built once per broadcast id, shared by every task probing it
+    * (UnsafeRow equality is byte-wise, so probes need no copies). The
+    * cache clears wholesale past a small bound: tombstones are transient
+    * (compaction materializes them), never a long-lived population. */
+  private val eqSetCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashSet[InternalRow]]()
+
+  private[graft] def eqDeleteSet(
+      bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])
+      : java.util.HashSet[InternalRow] = {
+    if (eqSetCache.size > 64) eqSetCache.clear()
+    eqSetCache.computeIfAbsent(bc.id, _ => {
+      val set = new java.util.HashSet[InternalRow](bc.value.length * 2)
+      bc.value.foreach(set.add)
+      set
+    })
   }
 
   private[graft] def partitionedFile(f: CdcMicroBatch.FileSlice): PartitionedFile =
@@ -298,7 +341,12 @@ final class PlainReaderFactory(
     // batch-returning twin with the row-index column appended — present
     // exactly when the planner said DV'd slices are possible on a
     // columnar-capable scan; DV'd partitions then stay vectorized
-    colIdxFunc: PartitionedFile => Iterator[InternalRow] = null)
+    colIdxFunc: PartitionedFile => Iterator[InternalRow] = null,
+    // bound equality tombstones: (key ordinals, key types, seq,
+    // broadcast key rows) — applied per slice to rows of files whose
+    // eqSeq is strictly below the tombstone's
+    eqDeletes: Seq[(Array[Int], Array[org.apache.spark.sql.types.DataType],
+      Long, org.apache.spark.broadcast.Broadcast[Array[InternalRow]])] = Nil)
   extends PartitionReaderFactory {
 
   private val nDataFields = dataTypes.length
@@ -342,13 +390,29 @@ final class PlainReaderFactory(
       if (dv.isEmpty) raw
       else raw.filter(r =>
         !DeletionVectors.contains(dv, r.getLong(nDataFields)))
-    val it = rowFilter match {
+    val it0 = rowFilter match {
       case None => dvFiltered
       case Some(e) =>
         val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
         p.initialize(0)
         dvFiltered.filter(p.eval)
     }
+    // equality tombstones STRICTLY NEWER than this slice's stamp drop
+    // matching keys — the read-side half of the write-without-read
+    // upsert (key sets built once per executor from the broadcast)
+    val eqApplicable = eqDeletes.filter(_._3 > f.eqSeq)
+    val it =
+      if (eqApplicable.isEmpty) it0
+      else {
+        val probes = eqApplicable.map { case (ords, types, _, bc) =>
+          val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(types.zip(ords).map { case (t, o) =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(o, t,
+                nullable = true) }.toIndexedSeq)
+          (proj, PlainBatchRead.eqDeleteSet(bc))
+        }
+        it0.filter(r => !probes.exists { case (p, set) => set.contains(p(r)) })
+      }
     val outWidth = nDataFields +
       (if (fileOrdinal >= 0) 1 else 0) + (if (posOrdinal >= 0) 1 else 0)
     def project(r: InternalRow): InternalRow =

@@ -110,6 +110,16 @@ object GraftStreamWrite {
       throw new IllegalArgumentException("graft format requires option 'table'"))
     val csv = (k: String) => opt(k).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val eqMode = opt("upsertMode").map(_.trim.toLowerCase) match {
+      case None | Some("merge") => false
+      case Some("equality-delete") | Some("equality") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown upsertMode '$other' — use 'merge' (read-and-merge, " +
+          "the default) or 'equality-delete' (write-without-read " +
+          "tombstones, resolved at read / materialized by compact)")
+    }
+    if (eqMode) require(csv("upsertKeys").nonEmpty,
+      "upsertMode 'equality-delete' requires upsertKeys")
     new GraftStreamingWrite(spark, dir, table, queryId, schema,
       upsertKeys = csv("upsertKeys"), idOrder = csv("idOrder"),
       bucketBy = csv("bucketBy") match {
@@ -117,14 +127,18 @@ object GraftStreamWrite {
         case cols => Some((cols, opt("numBuckets").map(_.toInt).getOrElse(
           throw new IllegalArgumentException(
             "bucketBy requires option 'numBuckets'"))))
-      })
+      }, equalityDelete = eqMode)
   }
 }
 
 final class GraftStreamingWrite(
     spark: SparkSession, dir: String, table: String, queryId: String,
     schema: StructType, upsertKeys: Seq[String], idOrder: Seq[String],
-    bucketBy: Option[(Seq[String], Int)]) extends StreamingWrite {
+    bucketBy: Option[(Seq[String], Int)],
+    // write-without-read keyed upsert: each epoch commits data files +
+    // a key tombstone, NEVER reading the target — continuous CDC ingest
+    // stays O(batch) per trigger ([[VersionedTable.upsertEqualityDelete]])
+    equalityDelete: Boolean = false) extends StreamingWrite {
 
   private def cat = new Catalog(spark, dir)
   private def stagingRoot = s"${cat.dirPath(table)}.__vstage/$queryId"
@@ -173,10 +187,16 @@ final class GraftStreamingWrite(
           .dropRight(GraftStreamWrite.MaxForeignEpochs)
           .filter(k => GraftStreamWrite.stampedAt(props(k)) <
             now - GraftStreamWrite.ForeignStampAgeFloorMs)
-      VersionedTable.load(c, table, batch,
-        upsertFields = upsertKeys, idOrder = idOrder, bucketBy = bucketBy,
-        extraProps = Map(epochProp -> s"$epochId@$now"),
-        dropProps = stale)
+      if (equalityDelete)
+        VersionedTable.upsertEqualityDelete(c, table, batch, upsertKeys,
+          idOrder = idOrder,
+          extraProps = Map(epochProp -> s"$epochId@$now"),
+          dropProps = stale)
+      else
+        VersionedTable.load(c, table, batch,
+          upsertFields = upsertKeys, idOrder = idOrder, bucketBy = bucketBy,
+          extraProps = Map(epochProp -> s"$epochId@$now"),
+          dropProps = stale)
     }
     cleanupThrough(epochId)
   }

@@ -1,0 +1,199 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WRITE-WITHOUT-READ keyed upsert (equality tombstones — the Iceberg
+  * equality-delete shape): each batch commits its data files plus a
+  * key-tombstone file, NEVER reading the target, so continuous CDC
+  * ingest is O(batch) per trigger. Tombstones resolve at read (stamp-
+  * grouped anti-joins) and materialize at compaction; the diff-based
+  * surfaces (CDC, clone, rename/drop, row-level ops) refuse while any
+  * are live. */
+class EqualityDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = tmpDir("geq")
+  spark.conf.set("spark.sql.catalog.geq",
+    classOf[graft.sources.GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.geq.dir", warehouse)
+  private val lib = new Catalog(spark, warehouse)
+
+  private def state(table: String): Map[Long, Double] =
+    VersionedTable.read(lib, table).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("upsert semantics match the keyed merge; the target is never read") {
+    VersionedTable.load(lib, "t",
+      Seq.tabulate(1000)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    // count every record READ by any job during the eq-upsert: the
+    // batch is memory-sourced, so a zero proves no target probe
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      VersionedTable.upsertEqualityDelete(lib, "t",
+        Seq.tabulate(500)(i => (500L + i, (500 + i) * 2.0)).toDF("k", "v"),
+        keys = Seq("k"), idOrder = Seq("k"))
+      Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the staged batch re-reads ITS OWN files for the tombstone and the
+    // footer stats (O(batch)); the 1000-row target would dwarf that
+    assert(read.get() <= 600L,
+      s"equality upsert must not probe the target: read ${read.get()} records")
+    val s = state("t")
+    assert(s.size == 1000)
+    assert(s(250L) == 250.0, "unmatched rows keep their values")
+    assert(s(750L) == 1500.0, "matched rows take the batch's values")
+    // repeated statements stack correctly (newer tombstones apply to
+    // the previous batch's files too)
+    VersionedTable.upsertEqualityDelete(lib, "t",
+      Seq.tabulate(300)(i => (400L + i, -1.0)).toDF("k", "v"),
+      keys = Seq("k"), idOrder = Seq("k"))
+    val s2 = state("t")
+    assert(s2.size == 1000)
+    assert(s2(450L) == -1.0 && s2(699L) == -1.0)
+    assert(s2(700L) == 1400.0, "second batch's tombstone stops at its keys")
+    assert(s2(399L) == 399.0)
+  }
+
+  test("reads agree on every surface; filters and time travel hold") {
+    VersionedTable.load(lib, "s",
+      Seq.tabulate(200)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "s",
+      Seq.tabulate(100)(i => (100L + i, 0.5)).toDF("k", "v"),
+      keys = Seq("k"))
+    // library read, filtered read, SQL catalog read — one answer
+    assert(VersionedTable.read(lib, "s").count() == 200L)
+    assert(VersionedTable.readWhere(lib, "s", col("k") >= 100L)
+      .agg(sum("v")).head().getDouble(0) == 50.0)
+    assert(spark.sql("SELECT count(*) FROM geq.default.s WHERE v = 0.5")
+      .head().getLong(0) == 100L)
+    assert(spark.sql("SELECT sum(v) FROM geq.default.s").head().getDouble(0)
+      == (0 until 100).map(_ * 1.0).sum + 50.0)
+    // pruned projection that does NOT select the key column still filters
+    assert(spark.sql("SELECT sum(v) FROM geq.default.s WHERE v = 0.5")
+      .head().getDouble(0) == 50.0)
+    // time travel: the pre-upsert version reads its own full state
+    assert(VersionedTable.readVersion(lib, "s", 1L).count() == 200L)
+    assert(VersionedTable.readVersion(lib, "s", 1L)
+      .where(col("k") === 150L).select("v").head().getDouble(0) == 150.0)
+  }
+
+  test("compaction materializes: tombstones drop, results unchanged") {
+    VersionedTable.load(lib, "m",
+      Seq.tabulate(400)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "m",
+      Seq.tabulate(200)(i => (200L + i, -2.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    val before = state("m")
+    val v0 = VersionedTable.currentVersion(lib, "m").get
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "m", v0).nonEmpty)
+    VersionedTable.compact(lib, "m", 256L * 1024 * 1024)
+    val v1 = VersionedTable.currentVersion(lib, "m").get
+    assert(v1 == v0 + 1)
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "m", v1).isEmpty,
+      "a full compaction must materialize and drop the tombstones")
+    assert(state("m") == before, "materialization must not change rows")
+    // CDC re-opens after materialization (from the compacted version)
+    assert(VersionedTable.changes(lib, "m", v1, v1, Seq("k")).count() == 0L)
+  }
+
+  test("diff surfaces, clone, renames, and row ops refuse while live") {
+    VersionedTable.load(lib, "r",
+      Seq.tabulate(50)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "r",
+      Seq((1L, 9.0)).toDF("k", "v"), keys = Seq("k"))
+    val v = VersionedTable.currentVersion(lib, "r").get
+    val e1 = intercept[Exception](
+      VersionedTable.changes(lib, "r", 1L, v, Seq("k")))
+    assert(e1.getMessage.contains("equality tombstones"), e1.getMessage)
+    val e2 = intercept[Exception](
+      VersionedTable.cloneTable(lib, "r", lib, "r2", v))
+    assert(e2.getMessage.contains("equality tombstones"), e2.getMessage)
+    val e3 = intercept[Exception](
+      VersionedTable.renameColumn(lib, "r", "v", "val"))
+    assert(e3.getMessage.contains("equality tombstones"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "UPDATE geq.default.r SET v = 0 WHERE k = 3"))
+    assert(e4.getMessage.contains("equality tombstones"), e4.getMessage)
+    // materialize → everything re-opens
+    VersionedTable.compact(lib, "r", 256L * 1024 * 1024)
+    spark.sql("UPDATE geq.default.r SET v = 0 WHERE k = 3")
+    assert(spark.sql("SELECT v FROM geq.default.r WHERE k = 3")
+      .head().getDouble(0) == 0.0)
+  }
+
+  test("vacuum keeps referenced tombstones, sweeps expired ones") {
+    VersionedTable.load(lib, "vc",
+      Seq.tabulate(60)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "vc",
+      Seq.tabulate(30)(i => (i.toLong, -5.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    def eqFiles(): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(warehouse, "vc.__vdata"))
+        .filter(_.getName.endsWith(".eqdel"))
+    }
+    assert(eqFiles().nonEmpty)
+    // vacuum keeping everything: the tombstone is referenced — survives
+    VersionedTable.vacuum(lib, "vc",
+      VersionedTable.versions(lib, "vc").size)
+    assert(eqFiles().nonEmpty, "referenced tombstones must survive vacuum")
+    assert(state("vc")(10L) == -5.0)
+    // materialize, then retain only the head: the tombstone file is
+    // unreferenced by every kept version — swept
+    VersionedTable.compact(lib, "vc", 256L * 1024 * 1024)
+    VersionedTable.vacuum(lib, "vc", 1)
+    assert(eqFiles().isEmpty, "unreferenced tombstones must sweep")
+    assert(state("vc")(10L) == -5.0)
+  }
+
+  test("the streaming sink's equality mode: O(batch) epochs, exact state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    VersionedTable.load(lib, "st",
+      Seq.tabulate(500)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft")
+      .option("dir", warehouse).option("table", "st")
+      .option("upsertKeys", "k").option("upsertMode", "equality-delete")
+      .option("checkpointLocation", tmpDir("geqck"))
+      .start()
+    try {
+      val read = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        mem.addData((100L, -1.0), (600L, -1.0))
+        q.processAllAvailable()
+        mem.addData((101L, -2.0))
+        q.processAllAvailable()
+        Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(read.get() <= 50L,
+        s"equality epochs must not probe the 500-row target: ${read.get()}")
+    } finally q.stop()
+    val s = state("st")
+    assert(s.size == 501) // 500 original keys + inserted 600; 100/101 update
+    assert(s(100L) == -1.0 && s(600L) == -1.0 && s(101L) == -2.0)
+    assert(s(99L) == 99.0)
+  }
+}
