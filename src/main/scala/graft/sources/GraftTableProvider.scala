@@ -882,9 +882,23 @@ private[sources] final class GraftBatch(
         val (inBucket, stray) =
           fileSlices.partition(s => bucketOf(s.path).exists(_ < n))
         if (stray.forall(s => rowsByAbs.get(s.path).contains(0L)))
-          (0 until n).map(b => PlainBatchRead.BucketFilesInputPartition(
-            inBucket.filter(s => bucketOf(s.path).contains(b)), b)
-            : InputPartition).toArray
+          // SEVERAL task-sized keyed partitions per bucket (split +
+          // packed like any scan): Spark re-groups them to one task per
+          // key on the classic SPJ path, and with
+          // partiallyClusteredDistribution enabled keeps a HOT bucket's
+          // splits as separate tasks, replicating the other side's
+          // group — skew stops pinning one task per bucket with no
+          // fallback exchange. Empty buckets still plan one no-op keyed
+          // partition so both sides always present all N keys.
+          (0 until n).flatMap { b =>
+            val mine = inBucket.filter(s => bucketOf(s.path).contains(b))
+            val packs = PlainBatchRead.splitAndPack(spark, mine)
+            if (packs.isEmpty)
+              Seq(PlainBatchRead.BucketFilesInputPartition(Nil, b)
+                : InputPartition)
+            else packs.map(g =>
+              PlainBatchRead.BucketFilesInputPartition(g, b): InputPartition)
+          }.toArray
         else PlainBatchRead.planPartitions(spark, fileSlices)
       case None =>
         // Spark-style split + pack: big files fan out across tasks, tiny

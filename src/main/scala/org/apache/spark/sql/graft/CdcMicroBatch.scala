@@ -153,7 +153,19 @@ object PlainBatchRead {
     * compacted file serialized into one task and a year of micro-appends
     * planned a task per file; at 100 TB both ends matter. */
   def planPartitions(spark: SparkSession,
-                     slices: Seq[CdcMicroBatch.FileSlice]): Array[InputPartition] = {
+                     slices: Seq[CdcMicroBatch.FileSlice]): Array[InputPartition] =
+    splitAndPack(spark, slices).map { bin =>
+      if (bin.length == 1) FileInputPartition(bin.head): InputPartition
+      else FilesInputPartition(bin): InputPartition
+    }.toArray
+
+  /** The split + first-fit-decreasing packing behind [[planPartitions]],
+    * exposed as slice GROUPS so the storage-partitioned-join planner can
+    * pack WITHIN a bucket (several task-sized partitions per hot bucket
+    * — what the partially-clustered distribution splits and replicates
+    * against). */
+  def splitAndPack(spark: SparkSession,
+      slices: Seq[CdcMicroBatch.FileSlice]): Seq[Seq[CdcMicroBatch.FileSlice]] = {
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     val openCost = spark.sessionState.conf.filesOpenCostInBytes
     val ranges = slices.flatMap { s =>
@@ -164,12 +176,11 @@ object PlainBatchRead {
           fileSizeOpt = s.fileSize)
       }
     }
-    val out = Array.newBuilder[InputPartition]
+    val out = Seq.newBuilder[Seq[CdcMicroBatch.FileSlice]]
     var bin = Vector.empty[CdcMicroBatch.FileSlice]
     var binBytes = 0L
     def flush(): Unit = {
-      if (bin.length == 1) out += FileInputPartition(bin.head)
-      else if (bin.nonEmpty) out += FilesInputPartition(bin)
+      if (bin.nonEmpty) out += bin
       bin = Vector.empty; binBytes = 0L
     }
     ranges.sortBy(-_.length).foreach { r =>

@@ -94,6 +94,59 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("skewed buckets: partially-clustered SPJ splits the hot side") {
+    // a HOT bucket: many small files land in the same bucket via many
+    // micro-appends, while the dim side stays tiny — the classic skew
+    // that pins one task per bucket on the naive SPJ plan
+    spark.sql("CREATE TABLE gj.default.hot (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gj.default.dim (k BIGINT, d STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    for (i <- 0 until 6)
+      spark.sql("INSERT INTO gj.default.hot " +
+        s"SELECT CAST(4 * id AS BIGINT), CAST(id + $i * 10000 AS DOUBLE) " +
+        "FROM range(0, 5000)") // k % 4 == 0 for a fixed bucket — all hot
+    spark.sql("INSERT INTO gj.default.dim " +
+      "SELECT CAST(4 * id AS BIGINT), concat('d', 4 * id) FROM range(0, 5000)")
+    val expect = 6L * 5000L
+    def runWith(partially: Boolean): (Long, Int, Int) = {
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        partially.toString)
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        partially.toString)
+      // pack tight so the hot bucket yields several task-sized groups
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+      try noBroadcast {
+        val j = spark.sql("SELECT h.k, h.v, d.d FROM gj.default.hot h " +
+          "JOIN gj.default.dim d ON h.k = d.k")
+        val n = j.count()
+        val sh = shuffles(j)
+        // the join's output RDD partition count = joined task count
+        // (AQE-safe — leaf collection can't see through adaptive plans)
+        (n, sh, j.rdd.getNumPartitions)
+      } finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+        spark.conf.unset("spark.sql.sources.v2.bucketing." +
+          "partiallyClusteredDistribution.enabled")
+      }
+    }
+    // classic SPJ: exact, zero exchanges, one task per bucket
+    val (n0, sh0, parts0) = runWith(partially = false)
+    assert(n0 == expect && sh0 == 0, s"classic SPJ: $n0 rows, $sh0 shuffles")
+    assert(parts0 == 4, s"classic SPJ groups to one task per bucket: $parts0")
+    // partially-clustered: STILL exact and exchange-free, but the hot
+    // bucket's splits stay separate tasks (dim groups replicate)
+    val (n1, sh1, parts1) = runWith(partially = true)
+    assert(n1 == expect, s"partially-clustered SPJ must stay exact: $n1")
+    assert(sh1 == 0,
+      "partially-clustered SPJ must not fall back to an exchange")
+    assert(parts1 > 4,
+      s"the hot bucket must split across tasks (got $parts1 partitions)")
+  }
+
   test("GROUP BY the bucket key aggregates without an exchange") {
     // a hash bucket holds COMPLETE key groups, so the same reported
     // partitioning satisfies the aggregate's clustering too
