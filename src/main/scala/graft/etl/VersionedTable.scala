@@ -403,6 +403,13 @@ object VersionedTable {
     *     (default [[DefaultCompactTargetBytes]]). */
   private[graft] val CompactDvBytesProp = "compact.trigger.dv_bytes"
   private[graft] val CompactSmallFilesProp = "compact.trigger.small_files"
+  /** `compact.trigger.eq_tombstones`: how many LIVE equality tombstones
+    * (write-without-read upsert statements — [[upsertEqualityDelete]])
+    * may accrete before auto-compaction materializes them. Every live
+    * tombstone costs each read an anti-join (and stands the manifest-
+    * math shortcuts down), so continuous CDC ingest should bound them —
+    * this is the knob. */
+  private[graft] val CompactEqTombstonesProp = "compact.trigger.eq_tombstones"
   private[graft] val CompactTargetBytesProp = "compact.target_bytes"
   private[graft] val DefaultCompactTargetBytes = 128L * 1024 * 1024
 
@@ -418,12 +425,15 @@ object VersionedTable {
       head.props.get(k).flatMap(s => scala.util.Try(s.toLong).toOption)
     val dvT = longProp(CompactDvBytesProp)
     val sfT = longProp(CompactSmallFilesProp)
-    if (dvT.isEmpty && sfT.isEmpty) return
+    val eqT = longProp(CompactEqTombstonesProp)
+    if (dvT.isEmpty && sfT.isEmpty && eqT.isEmpty) return
     val target = longProp(CompactTargetBytesProp)
       .getOrElse(DefaultCompactTargetBytes)
     val dvBytes = head.dvs.valuesIterator.map(_._2).sum // ~1 byte/position
     val smallFiles = head.files.count(r =>
       head.sizes.get(r).exists(_ < target / 2))
+    val liveTombs = eqTombstonesOf(head.props).size
+    val eqHit = eqT.exists(t => liveTombs.toLong >= t)
     val dvHit = dvT.exists(t => dvBytes >= t)
     // the small-file floor compaction can actually reach: 1 flat file,
     // or one file PER BUCKET on a bucketed table — at or under the
@@ -431,11 +441,12 @@ object VersionedTable {
     // would rewrite the same bytes on every commit forever
     val floor = head.bucket.map(_._2).getOrElse(1)
     val sfHit = sfT.exists(t => smallFiles.toLong >= t && smallFiles > floor)
-    if (dvHit || sfHit) {
+    if (dvHit || sfHit || eqHit) {
       graft.GraftLog.warn(
         s"auto-compaction on '$table' v${head.version}: " +
           (if (dvHit) s"dv_bytes≈$dvBytes ≥ ${dvT.get} " else "") +
           (if (sfHit) s"small_files=$smallFiles ≥ ${sfT.get} " else "") +
+          (if (eqHit) s"eq_tombstones=$liveTombs ≥ ${eqT.get} " else "") +
           s"— compacting to ~$target B files")
       // best-effort by contract: the TRIGGERING commit is already
       // durable, so a compaction failure (executor loss, exhausted CAS
@@ -2754,7 +2765,8 @@ object VersionedTable {
     sets.get(DvMaxFractionProp).foreach(s => require(
       scala.util.Try(s.toDouble).toOption.exists(d => d > 0 && d <= 1),
       s"$DvMaxFractionProp must be a double in (0, 1], got '$s'"))
-    Seq(CompactDvBytesProp, CompactSmallFilesProp, CompactTargetBytesProp)
+    Seq(CompactDvBytesProp, CompactSmallFilesProp, CompactTargetBytesProp,
+      CompactEqTombstonesProp)
       .foreach(k => sets.get(k).foreach(s => require(
         scala.util.Try(s.toLong).toOption.exists(_ > 0),
         s"$k must be a positive long, got '$s'")))
@@ -4129,13 +4141,24 @@ object VersionedTable {
       }
       // DV'd files are ALWAYS rewrite candidates regardless of size —
       // compaction is where deletion vectors materialize (the read-side
-      // position filter disappears and the single-scan plan returns)
+      // position filter disappears and the single-scan plan returns).
+      // Files under a live equality tombstone (stamped below any
+      // tombstone's seq) are candidates for the same reason: rewriting
+      // them is what MATERIALIZES the tombstone (the rewrite is born
+      // past every seq), letting pruneEqProps drop it — without this, a
+      // large stamped file would keep a tombstone alive forever
+      val eqStamps = eqSeqsOf(man.props)
+      val maxEqSeq = eqTombstonesOf(man.props).map(_.seq).maxOption
+      def tombstoned(r: String): Boolean =
+        maxEqSeq.exists(s => eqStamps.getOrElse(r, Long.MaxValue) < s)
       val (small, keep) = sized.partition { case (r, len) =>
-        admitted(r) && (len < targetFileBytes / 2 || man.dvs.contains(r))
+        admitted(r) && (len < targetFileBytes / 2 || man.dvs.contains(r) ||
+          tombstoned(r))
       }
-      // one small DV-less file alone (or none) gains nothing — don't
-      // churn a commit (and a version) for it
-      if (small.size < 2 && !small.exists(s => man.dvs.contains(s._1)))
+      // one small DV-less un-tombstoned file alone (or none) gains
+      // nothing — don't churn a commit (and a version) for it
+      if (small.size < 2 && !small.exists(s => man.dvs.contains(s._1)) &&
+          !small.exists(s => tombstoned(s._1)))
         Some(cur)
       else {
         // DV-aware + explicit schema: compacting must drop deleted

@@ -125,6 +125,39 @@ class AutoCompactSpec extends SparkSpec {
     assert(files("t5").size == 4)
   }
 
+  test("eq-tombstone trigger: CDC statements accrete, then materialize") {
+    VersionedTable.load(lib, "eq",
+      Seq.tabulate(200)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"),
+      extraProps = Map(
+        VersionedTable.CompactEqTombstonesProp -> "3"))
+    def liveTombs: Int = {
+      val v = VersionedTable.currentVersion(lib, "eq").get
+      VersionedTable.eqTombstoneKeyCols(lib, "eq", v).size
+    }
+    // two statements stay under the threshold of 3 — tombstones live
+    VersionedTable.upsertEqualityDelete(lib, "eq",
+      Seq.tabulate(50)(i => (i.toLong, -1.0)).toDF("k", "v"), Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "eq",
+      Seq.tabulate(50)(i => (50L + i, -2.0)).toDF("k", "v"), Seq("k"))
+    assert(liveTombs > 0, "under the threshold: tombstones stay live")
+    // the third crosses it — auto-compaction materializes them all
+    VersionedTable.upsertEqualityDelete(lib, "eq",
+      Seq.tabulate(50)(i => (100L + i, -3.0)).toDF("k", "v"), Seq("k"))
+    assert(liveTombs == 0,
+      "crossing compact.trigger.eq_tombstones must materialize")
+    // state exact through the auto-materialization
+    val s = VersionedTable.read(lib, "eq").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.size == 200 && s(25L) == -1.0 && s(75L) == -2.0 &&
+      s(125L) == -3.0 && s(175L) == 175.0, s.take(5).toString)
+    // and the trigger reaches a fixed point (no futile re-fire)
+    val v0 = VersionedTable.currentVersion(lib, "eq").get
+    VersionedTable.load(lib, "eq", Seq((500L, 500.0)).toDF("k", "v"))
+    assert(VersionedTable.currentVersion(lib, "eq").get == v0 + 1,
+      "a plain append after materialization must not re-trigger")
+  }
+
   test("the props validate; unset keeps compaction manual") {
     intercept[Exception] {
       spark.sql("CREATE TABLE gac.default.bad (k BIGINT) " +
