@@ -3220,7 +3220,10 @@ object VersionedTable {
       if (tryCommitManifest(tgt, table,
         Manifest(cur + 1, committedMax, headMan.bucket, newRel,
           fm.stats, fm.sizes, fm.nulls, fm.rows,
-          withMappingProps(headMan.props +
+          // an overwrite replaces EVERY file, so any live equality
+          // tombstone becomes inert — prune it (its refusal matrix
+          // would otherwise keep gating CDC/clone/renames for nothing)
+          withMappingProps(pruneEqProps(headMan.props, newRel) +
             (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan),
               out.schema))), physOf, retiredOf(headMan)))))
         Some(cur + 1)
