@@ -1,0 +1,92 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Seeded property suite for the equality-tombstone machinery — the
+  * PushdownFuzzSpec insurance pattern over the write-without-read
+  * upsert: random interleavings of appends, equality upserts, keyed
+  * CoW upserts, range deletes, and compactions, with every retained
+  * version checked against an exact in-memory model (full state,
+  * filtered reads, and time travel). Catches stamp-bookkeeping
+  * mistakes no hand-written case would think of. */
+class EqualityFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("seeded fuzz: random eq-upsert histories ≡ the in-memory model") {
+    import scala.util.Random
+    for (seed <- Seq(7L, 23L, 91L)) {
+      val rnd = new Random(seed)
+      val cat = new Catalog(spark, tmpDir("geqf"))
+      // model: key -> value at each committed version
+      var state = Map.empty[Long, Double]
+      var history = Vector.empty[(Long, Map[Long, Double])] // (version, state)
+      def df(m: Seq[(Long, Double)]) = m.toDF("k", "v")
+      def commit(v: Long): Unit = history :+= (v, state)
+
+      // first load
+      val base = (0L until 200L).map(k => k -> (k * 1.0))
+      state = base.toMap
+      commit(VersionedTable.load(cat, "f", df(base), idOrder = Seq("k")))
+
+      for (step <- 0 until 7) {
+        rnd.nextInt(5) match {
+          case 0 => // append fresh keys
+            val lo = 1000L * (step + 1)
+            val rows = (lo until lo + 30 + rnd.nextInt(40)).map(k =>
+              k -> (k * 1.0))
+            state = state ++ rows
+            commit(VersionedTable.load(cat, "f", df(rows)))
+          case 1 | 2 => // equality upsert over a random key window
+            val lo = rnd.nextInt(250).toLong
+            val rows = (lo until lo + 20 + rnd.nextInt(60)).map(k =>
+              k -> (-(step + 1) * 1000.0 - k))
+            state = state ++ rows
+            commit(VersionedTable.upsertEqualityDelete(cat, "f", df(rows),
+              keys = Seq("k")))
+          case 3 => // CoW keyed upsert interleaves with the eq machinery
+            val lo = rnd.nextInt(200).toLong
+            val rows = (lo until lo + 10 + rnd.nextInt(30)).map(k =>
+              k -> ((step + 1) * 10000.0 + k))
+            state = state ++ rows
+            commit(VersionedTable.load(cat, "f", df(rows),
+              upsertFields = Seq("k")))
+          case 4 => // compaction materializes mid-history
+            val v = VersionedTable.compact(cat, "f", 256L * 1024 * 1024)
+            commit(v)
+        }
+        // current state: full, filtered (both pruning-eligible and not)
+        val got = VersionedTable.read(cat, "f").select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got == state, s"seed $seed step $step: full state diverged " +
+          s"(${(got.toSet diff state.toSet).take(3)} vs " +
+          s"${(state.toSet diff got.toSet).take(3)})")
+        val cut = rnd.nextInt(300).toLong
+        val gotF = VersionedTable.readWhere(cat, "f", col("k") >= cut)
+          .select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(gotF == state.filter(_._1 >= cut),
+          s"seed $seed step $step: filtered read diverged at k >= $cut")
+        // negative-value filter exercises non-key pruning columns
+        val gotN = VersionedTable.read(cat, "f").where(col("v") < 0)
+          .count()
+        assert(gotN == state.count(_._2 < 0),
+          s"seed $seed step $step: value filter diverged")
+      }
+      // TIME TRAVEL: every retained version reads back its own state
+      history.takeRight(5).foreach { case (v, st) =>
+        val got = VersionedTable.readVersion(cat, "f", v).select("k", "v")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got == st, s"seed $seed: time travel to v$v diverged")
+      }
+      // and a final full materialization converges to a clean manifest
+      VersionedTable.compact(cat, "f", 256L * 1024 * 1024)
+      val head = VersionedTable.currentVersion(cat, "f").get
+      assert(VersionedTable.eqTombstoneKeyCols(cat, "f", head).isEmpty,
+        s"seed $seed: full compaction must materialize all tombstones")
+      val fin = VersionedTable.read(cat, "f").select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fin == state, s"seed $seed: post-materialization state diverged")
+    }
+  }
+}
