@@ -132,6 +132,37 @@ class EqualityDeleteSpec extends SparkSpec {
       .head().getDouble(0) == 0.0)
   }
 
+  test("deletion vectors and tombstones compose on one MOR table") {
+    spark.sql("CREATE TABLE geq.default.dv (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO geq.default.dv " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(0, 300)")
+    // a MOR DELETE first: positions mask via deletion vectors
+    spark.sql("DELETE FROM geq.default.dv WHERE k < 50")
+    // then a write-without-read upsert over a window straddling the DV
+    VersionedTable.upsertEqualityDelete(lib, "dv",
+      Seq.tabulate(100)(i => (i.toLong, -1.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    // expected: 0..299 minus nothing (the eq batch REINSERTS 0..49!)
+    // — deleted keys come back when the upsert writes them, like any
+    // keyed upsert; 50..99 update; 100..299 untouched
+    val s = VersionedTable.read(lib, "dv").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.size == 300, s"both mechanisms must apply: ${s.size}")
+    assert(s(25L) == -1.0, "DV-deleted key reinserted by the eq batch")
+    assert(s(75L) == -1.0, "live key updated by the eq batch")
+    assert(s(200L) == 200.0, "untouched rows keep their values")
+    // SQL surface agrees (in-task broadcast sets over DV-filtered rows)
+    assert(spark.sql("SELECT count(*) FROM geq.default.dv WHERE v = -1.0")
+      .head().getLong(0) == 100L)
+    // compaction materializes BOTH: DVs and tombstones gone, state kept
+    VersionedTable.compact(lib, "dv", 256L * 1024 * 1024)
+    val v = VersionedTable.currentVersion(lib, "dv").get
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "dv", v).isEmpty)
+    assert(VersionedTable.deletionVectors(lib, "dv", v).isEmpty)
+    assert(VersionedTable.read(lib, "dv").count() == 300L)
+  }
+
   test("vacuum keeps referenced tombstones, sweeps expired ones") {
     VersionedTable.load(lib, "vc",
       Seq.tabulate(60)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
