@@ -5078,7 +5078,12 @@ object VersionedTable {
     * with an anti-join; [[compact]] materializes them. The CDC/change-
     * feed surfaces, clone/branch, and column rename/drop REFUSE while
     * tombstones are live (compact first) — a version diff cannot see
-    * through an unresolved key delete. */
+    * through an unresolved key delete.
+    *
+    * NULL keys match null-safely (a null-keyed batch row tombstones
+    * older null-keyed rows — the Iceberg equality-delete rule), where
+    * the copy-on-write upsert's equi-join would leave them unmatched;
+    * keyed tables should not carry null keys under either contract. */
   def upsertEqualityDelete(tgt: Catalog, table: String, incoming0: DataFrame,
                            keys: Seq[String], idOrder: Seq[String] = Nil,
                            extraProps: Map[String, String] = Map.empty,
