@@ -3305,7 +3305,9 @@ object VersionedTable {
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepRel ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
-        headMan.props +
+        // the rewrite's eq-filtered output materializes any tombstone
+        // whose last stamped file it replaced — prune the inert entries
+        pruneEqProps(headMan.props, keepRel) +
           (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan), out.schema))),
         dvCarry(Some(headMan), keepRel)))) {
       maybeAutoCompact(tgt, table)
@@ -3462,9 +3464,13 @@ object VersionedTable {
     val (rwBatch, rwParts) =
       if (rewriteRel.isEmpty) (null, Seq.empty[(String, Long)])
       else writeBatch(tgt, table,
-        readRelsWithSidecars(tgt, table, rewriteRel.toSeq,
-          rewriteDvs.map { case (rel, (p, _)) => rel -> p }, schemaFull,
-          physOfMan(headMan)),
+        // eq-wrapped: a rewritten file is born UNSTAMPED (past every
+        // tombstone), so re-emitting a tombstoned row here would
+        // resurrect it — the stamp-grouped anti-join filters first
+        readRelsEq(tgt, table, headMan, rewriteRel.toSeq, rels =>
+          readRelsWithSidecars(tgt, table, rels,
+            rewriteDvs.map { case (rel, (p, _)) => rel -> p }, schemaFull,
+            physOfMan(headMan))),
         headMan.bucket, bloomColsOf(headMan), physOfMan(headMan),
         partSpecOf(headMan.props), zorderLayout(headMan.props))
     def cleanupRewrite(): Unit =
@@ -3565,7 +3571,8 @@ object VersionedTable {
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepSafe ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
-        (headMan.props ++ propsDelta) -- dropProps,
+        pruneEqProps((headMan.props ++ propsDelta) -- dropProps,
+          keepSafe ++ newRel),
         (dvCarry(Some(headMan), keepSafe) ++ newDvs) -- goneSafe -- newRel))) {
       // rewritten files' merged sidecars were commit-transient: nothing
       // references them now (best-effort — vacuum sweeps leftovers)

@@ -108,10 +108,39 @@ private[sources] final class GraftDeltaRowLevelOperation(
         filters // pruning only; Spark re-applies the condition
       }
       override def pushedFilters(): Array[sources.Filter] = pushed
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
+
+      // live equality tombstones: their key columns must survive
+      // pruning — the in-task anti-filter binds them by ordinal (a
+      // DELETE pruned to its condition columns would otherwise miss
+      // them); Spark's project above the scan keeps the OUTPUT narrow
+      private lazy val eqKeyCols: Seq[String] = {
+        (GraftTableProvider.opt(options, "dir"),
+         GraftTableProvider.opt(options, "table")) match {
+          case (Some(d), Some(t)) =>
+            val c = new Catalog(SparkSession.active, d)
+            VersionedTable.currentVersion(c, t)
+              .map(VersionedTable.eqTombstoneKeyCols(c, t, _))
+              .getOrElse(Nil)
+          case _ => Nil
+        }
+      }
+
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val missing = eqKeyCols.filter(k =>
+          !requiredSchema.fieldNames.exists(_.equalsIgnoreCase(k)) &&
+            dataSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
+        required =
+          if (missing.isEmpty) requiredSchema
+          else StructType(requiredSchema.fields ++ missing.map(k =>
+            dataSchema.fields.find(_.name.equalsIgnoreCase(k)).get))
+      }
 
       override def build(): Scan = new Scan {
+        // the pinned version's live equality tombstones: the delta
+        // scan must APPLY them — matching a tombstoned row would
+        // reinsert (resurrect) it through the update path
+        @volatile private var plannedEq
+            : Seq[(Seq[String], Long, Seq[String])] = Nil
         override def readSchema(): StructType = required
         override def description(): String = "graft merge-on-read row-op scan"
         override def toBatch: Batch = new Batch {
@@ -123,21 +152,31 @@ private[sources] final class GraftDeltaRowLevelOperation(
             val v = pinnedVersion(cat, table)
             val pred = ZonePred.And(
               pushed.toSeq.map(GraftTableProvider.filterPred))
+            val (eqEntries, eqStamps) =
+              VersionedTable.eqDeleteState(cat, table, v)
+            plannedEq = eqEntries
+            val stampsNorm = eqStamps.map { case (k, x) =>
+              new Path(k).toUri.getPath -> x }
             PlainBatchRead.planPartitions(spark,
               VersionedTable.batchSlices(cat, table, Some(v), pred)
-                .map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) })
+                .map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv,
+                  eqSeq = stampsNorm.getOrElse(
+                    new Path(p).toUri.getPath, Long.MaxValue)) })
           }
           override def createReaderFactory(): PartitionReaderFactory = {
-            val cat = new Catalog(SparkSession.active,
+            val spark = SparkSession.active
+            val cat = new Catalog(spark,
               GraftTableProvider.requiredOpt(options, "dir"))
             val table = GraftTableProvider.requiredOpt(options, "table")
             // row mode: the scan projects `_pos` (and applies DVs), so
             // the vectorized path is off for this DML scan by design
-            PlainBatchRead.readerFactory(SparkSession.active,
+            PlainBatchRead.readerFactory(spark,
               dataSchema, required, pushed.toSeq, allowColumnar = false,
               mayHaveDv = true,
               physOf = VersionedTable.columnMapping(cat, table,
-                Some(pinnedVersion(cat, table))))
+                Some(pinnedVersion(cat, table))),
+              eqDeletes = GraftTableProvider.eqBroadcasts(
+                spark, dataSchema, plannedEq))
           }
         }
       }

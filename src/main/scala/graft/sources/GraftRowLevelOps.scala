@@ -105,8 +105,32 @@ private[sources] final class GraftRowLevelOperation(
         filters // group pruning only; Spark keeps the condition in the plan
       }
       override def pushedFilters(): Array[sources.Filter] = pushed
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
+
+      // live equality tombstones: their key columns must survive
+      // pruning — the in-task anti-filter binds them by ordinal (a
+      // DELETE pruned to its condition columns would otherwise miss
+      // them); Spark's project above the scan keeps the OUTPUT narrow
+      private lazy val eqKeyCols: Seq[String] = {
+        (GraftTableProvider.opt(options, "dir"),
+         GraftTableProvider.opt(options, "table")) match {
+          case (Some(d), Some(t)) =>
+            val c = new Catalog(SparkSession.active, d)
+            VersionedTable.currentVersion(c, t)
+              .map(VersionedTable.eqTombstoneKeyCols(c, t, _))
+              .getOrElse(Nil)
+          case _ => Nil
+        }
+      }
+
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        val missing = eqKeyCols.filter(k =>
+          !requiredSchema.fieldNames.exists(_.equalsIgnoreCase(k)) &&
+            dataSchema.fieldNames.exists(_.equalsIgnoreCase(k)))
+        required =
+          if (missing.isEmpty) requiredSchema
+          else StructType(requiredSchema.fields ++ missing.map(k =>
+            dataSchema.fields.find(_.name.equalsIgnoreCase(k)).get))
+      }
 
       override def build(): Scan = new Scan
         with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -118,6 +142,11 @@ private[sources] final class GraftRowLevelOperation(
         // contain matches (Iceberg's copy-on-write pattern). Narrowing
         // only — an unrecognized predicate shape leaves the set as-is.
         @volatile private var runtimeKeep: Option[Set[String]] = None
+        // the pinned version's live equality tombstones: the rewrite's
+        // scan must APPLY them — re-emitting a tombstoned row into the
+        // replacement files would resurrect it
+        @volatile private var plannedEq
+            : Seq[(Seq[String], Long, Seq[String])] = Nil
 
         override def filterAttributes()
             : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -163,12 +192,22 @@ private[sources] final class GraftRowLevelOperation(
               slices0.filter { case (p, _, _) => keep.contains(p) })
             scannedVersion = v
             scannedFiles = slices.map(_._1).toSet
+            // equality tombstones ride the plan like the batch scan's:
+            // each slice carries its stamp, the factory ships key sets
+            val (eqEntries, eqStamps) =
+              VersionedTable.eqDeleteState(cat, table, v)
+            plannedEq = eqEntries
+            val stampsNorm = eqStamps.map { case (k, x) =>
+              new org.apache.hadoop.fs.Path(k).toUri.getPath -> x }
             // DVs ride the slice: a copy-on-write rewrite of a DV'd
             // file must re-derive only its LIVE rows. Split + pack like
             // every batch read (row identity is file-global — exact
             // under ranged reads).
             PlainBatchRead.planPartitions(spark,
-              slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv) })
+              slices.map { case (p, l, dv) => CdcMicroBatch.FileSlice(p, l, dv,
+                eqSeq = stampsNorm.getOrElse(
+                  new org.apache.hadoop.fs.Path(p).toUri.getPath,
+                  Long.MaxValue)) })
           }
           override def createReaderFactory(): PartitionReaderFactory = {
             val spark = SparkSession.active
@@ -183,7 +222,9 @@ private[sources] final class GraftRowLevelOperation(
               mayHaveDv = VersionedTable.hasDvs(cat, table,
                 Some(pinnedVersion(cat, table))),
               physOf = VersionedTable.columnMapping(cat, table,
-                Some(pinnedVersion(cat, table))))
+                Some(pinnedVersion(cat, table))),
+              eqDeletes = GraftTableProvider.eqBroadcasts(
+                spark, dataSchema, plannedEq))
           }
         }
       }

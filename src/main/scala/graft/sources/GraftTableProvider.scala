@@ -191,17 +191,9 @@ private[sources] final class GraftBatchTable(
       k.equalsIgnoreCase("timestampAsOf")),
       "cannot UPDATE/MERGE at a time-travel version — row-level " +
         "operations always commit a new head")
-    // live equality tombstones: the row-op scans' rewrite semantics
-    // cannot see through an unresolved key delete — refuse loudly
-    require({
-      import GraftTableProvider.opt
-      !(for { d <- opt(options, "dir"); t <- opt(options, "table")
-              c = new Catalog(SparkSession.active, d)
-              v <- VersionedTable.currentVersion(c, t) } yield
-        VersionedTable.eqTombstoneKeyCols(c, t, v).nonEmpty)
-        .getOrElse(false)
-    }, "row-level operations on a table with live equality tombstones " +
-      "are not supported — run compact to materialize them first")
+    // live equality tombstones apply INSIDE both row-op scans (their
+    // keys held through pruning, stamps on every slice), so a rewrite
+    // can never resurrect a tombstoned row — no refusal needed here
     require(!dataSchema.fieldNames.contains(
       org.apache.spark.sql.graft.PlainBatchRead.FileCol),
       "row-level operations need the _file metadata column, which this " +
@@ -909,22 +901,7 @@ private[sources] final class GraftBatch(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    // live tombstone key sets collect ONCE on the driver (exact typed
-    // read through the table schema) and broadcast; bounded by the
-    // compaction cadence — materialize with compact to clear
-    val eqBc = plannedEq.map { case (keys, seq, files) =>
-      val keySchema = StructType(keys.map(k =>
-        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
-          throw new IllegalStateException(
-            s"tombstone key '$k' not in table schema"))))
-      val df = spark.read.schema(keySchema).parquet(files: _*)
-      val rows = df.queryExecution.toRdd.mapPartitions { it =>
-        val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-          .create(keySchema)
-        it.map(r => p(r).copy(): org.apache.spark.sql.catalyst.InternalRow)
-      }.collect()
-      (keys, seq, spark.sparkContext.broadcast(rows))
-    }
+    val eqBc = GraftTableProvider.eqBroadcasts(spark, dataSchema, plannedEq)
     // VECTORIZED even under deletion vectors: when any planned partition
     // carries a DV the factory gets the batch-returning row-index twin
     // and applies the vector by selection ([[DvColumnar]]) — one MOR
@@ -942,6 +919,32 @@ object GraftTableProvider {
     * read/write/stream/DML surface of the format. */
   private[graft] def opt(options: Map[String, String], k: String): Option[String] =
     options.find(_._1.equalsIgnoreCase(k)).map(_._2)
+
+  /** Live tombstone key sets, collected ONCE on the driver (exact typed
+    * read through the table schema) and broadcast for the in-task
+    * anti-filters; bounded by the compaction cadence — materialize with
+    * compact to clear. Shared by the batch scan and BOTH row-level-op
+    * scans (a rewrite reading through a tombstone would resurrect its
+    * rows). */
+  private[sources] def eqBroadcasts(spark: SparkSession,
+      dataSchema: StructType,
+      entries: Seq[(Seq[String], Long, Seq[String])])
+      : Seq[(Seq[String], Long,
+        org.apache.spark.broadcast.Broadcast[
+          Array[org.apache.spark.sql.catalyst.InternalRow]])] =
+    entries.map { case (keys, seq, files) =>
+      val keySchema = StructType(keys.map(k =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalStateException(
+            s"tombstone key '$k' not in table schema"))))
+      val df = spark.read.schema(keySchema).parquet(files: _*)
+      val rows = df.queryExecution.toRdd.mapPartitions { it =>
+        val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keySchema)
+        it.map(r => p(r).copy(): org.apache.spark.sql.catalyst.InternalRow)
+      }.collect()
+      (keys, seq, spark.sparkContext.broadcast(rows))
+    }
 
   /** BRANCH redirect for the reader-option surface: a non-numeric
     * `versionAsOf` that is not a tag but IS a branch rewrites the

@@ -106,7 +106,7 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(VersionedTable.changes(lib, "m", v1, v1, Seq("k")).count() == 0L)
   }
 
-  test("diff surfaces, clone, renames, and row ops refuse while live") {
+  test("diff surfaces, clone, and renames refuse while live; row ops work") {
     VersionedTable.load(lib, "r",
       Seq.tabulate(50)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
       idOrder = Seq("k"))
@@ -122,14 +122,68 @@ class EqualityDeleteSpec extends SparkSpec {
     val e3 = intercept[Exception](
       VersionedTable.renameColumn(lib, "r", "v", "val"))
     assert(e3.getMessage.contains("equality tombstones"), e3.getMessage)
-    val e4 = intercept[Exception](spark.sql(
-      "UPDATE geq.default.r SET v = 0 WHERE k = 3"))
-    assert(e4.getMessage.contains("equality tombstones"), e4.getMessage)
-    // materialize → everything re-opens
+    // row-level ops WORK while tombstones live: their scans apply the
+    // key anti-filters, so a rewrite can never resurrect a dead row.
+    // k=1 is tombstoned-then-reinserted at 9.0; the UPDATE must see THAT
+    spark.sql("UPDATE geq.default.r SET v = v + 100 WHERE k <= 3")
+    val s = state("r")
+    assert(s(1L) == 109.0, s"the update must compose with the tombstone: $s")
+    assert(s(2L) == 102.0 && s(3L) == 103.0 && s(4L) == 4.0)
+    assert(s.size == 50, "no resurrection, no loss")
+    // and a DELETE composes too
+    spark.sql("DELETE FROM geq.default.r WHERE k = 1")
+    assert(state("r").size == 49)
+    assert(!state("r").contains(1L))
+    // materialize → the remaining refusals re-open
     VersionedTable.compact(lib, "r", 256L * 1024 * 1024)
-    spark.sql("UPDATE geq.default.r SET v = 0 WHERE k = 3")
-    assert(spark.sql("SELECT v FROM geq.default.r WHERE k = 3")
-      .head().getDouble(0) == 0.0)
+    VersionedTable.renameColumn(lib, "r", "v", "val")
+    assert(VersionedTable.read(lib, "r").columns.contains("val"))
+  }
+
+  test("row ops on a MOR table with live tombstones compose exactly") {
+    spark.sql("CREATE TABLE geq.default.rm (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO geq.default.rm " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    VersionedTable.upsertEqualityDelete(lib, "rm",
+      Seq.tabulate(20)(i => (i.toLong, -1.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    // MOR UPDATE over a window straddling tombstoned rows: the delta
+    // scan must match the LIVE rows only (old 0..19 are dead; their
+    // reinserted twins carry v = -1.0)
+    spark.sql("UPDATE geq.default.rm SET v = 777 WHERE v = -1.0")
+    val s = VersionedTable.read(lib, "rm").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.size == 100, s"no resurrection: ${s.size}")
+    assert((0L until 20L).forall(k => s(k) == 777.0), s.take(5).toString)
+    assert(s(50L) == 50.0)
+    // MOR DELETE of a tombstoned-then-updated key
+    spark.sql("DELETE FROM geq.default.rm WHERE k < 5")
+    assert(VersionedTable.read(lib, "rm").count() == 95L)
+  }
+
+  test("the dv_max_fraction rewrite fallback cannot resurrect tombstones") {
+    // force the CoW-fraction fallback: any DV'd file rewrites instead
+    // of vectoring — the rewrite is born UNSTAMPED, so it must apply
+    // the tombstones first or dead rows come back
+    spark.sql("CREATE TABLE geq.default.fr (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('write.mode' = 'merge-on-read', " +
+      "'dv_max_fraction' = '0.01')")
+    spark.sql("INSERT INTO geq.default.fr " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(0, 200)")
+    // tombstone half the keys (they reinsert at -1.0)
+    VersionedTable.upsertEqualityDelete(lib, "fr",
+      Seq.tabulate(100)(i => (i.toLong, -1.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    // a tiny MOR DELETE on the ORIGINAL file exceeds the 1% fraction →
+    // that file's live rows rewrite through the fallback
+    spark.sql("DELETE FROM geq.default.fr WHERE k = 150")
+    val s = VersionedTable.read(lib, "fr").select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s.size == 199, s"no resurrection through the rewrite: ${s.size}")
+    assert((0L until 100L).forall(k => s(k) == -1.0),
+      "tombstoned keys keep their reinserted values")
+    assert(!s.contains(150L) && s(151L) == 151.0)
   }
 
   test("deletion vectors and tombstones compose on one MOR table") {
