@@ -1581,7 +1581,7 @@ object VersionedTable {
   /** Attempt to commit a manifest — the optimistic-concurrency CAS.
     * False when ANOTHER writer committed this version first (the caller
     * re-reads the head and retries its merge). */
-  private def tryCommitManifest(tgt: Catalog, table: String, m0: Manifest): Boolean = {
+  private[etl] def tryCommitManifest(tgt: Catalog, table: String, m0: Manifest): Boolean = {
     // stamp the commit wall-clock INTO the manifest (see [[CommitTsProp]]):
     // one place, so every commit path — load, delete, rollback, compact,
     // recluster, clone — carries its own time and TIMESTAMP AS OF
@@ -2557,8 +2557,15 @@ object VersionedTable {
             // read-path source of truth (see SchemaProp)
             (SchemaProp -> schemaJson(carryFieldMetadata(headMan, out.schema))),
           physOf, headMan.fold(Set.empty[String])(retiredOf))
+        // tombstone hygiene: a CoW rewrite (full or bucket-scoped)
+        // replaces stamped files — stamps survive only for carried
+        // files, and a tombstone no surviving file is stamped below is
+        // fully materialized by the rewrite (the read applied it) and
+        // must NOT ride forward as live-looking props (it would keep
+        // CDC/clone/rename refusing forever over nothing)
         Manifest(newV, committedMax, bucket, carryRel ++ newRel,
-          fm.stats, fm.sizes, fm.nulls, fm.rows, props,
+          fm.stats, fm.sizes, fm.nulls, fm.rows,
+          pruneEqProps(props, carryRel ++ newRel),
           dvCarry(headMan, carryRel)) }))
       Some(newV)
     else {
@@ -3666,7 +3673,8 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, Nil,
               org.apache.spark.sql.types.StructType(Nil))
             Manifest(newV, man.maxId, man.bucket, keepRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              fm.stats, fm.sizes, fm.nulls, fm.rows,
+              pruneEqProps(man.props, keepRel),
               dvCarry(Some(man), keepRel)) })) Some(newV)
         else None
       } else {
@@ -3691,7 +3699,8 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
               survivors.schema)
             Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              fm.stats, fm.sizes, fm.nulls, fm.rows,
+              pruneEqProps(man.props, keepRel ++ newRel),
               dvCarry(Some(man), keepRel)) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -3783,7 +3792,8 @@ object VersionedTable {
           { val fm = manifestMeta(tgt, table, Some(man), keepRel, newParts,
               survivors.schema)
             Manifest(newV, maxId, man.bucket, keepRel ++ newRel,
-              fm.stats, fm.sizes, fm.nulls, fm.rows, man.props,
+              fm.stats, fm.sizes, fm.nulls, fm.rows,
+              pruneEqProps(man.props, keepRel ++ newRel),
               dvCarry(Some(man), keepRel)) })) Some(newV)
         else {
           fs(tgt, dataDir(tgt, table)).delete(batch, true)
@@ -4166,11 +4176,23 @@ object VersionedTable {
           tombstoned(r))
       }
       // one small DV-less un-tombstoned file alone (or none) gains
-      // nothing — don't churn a commit (and a version) for it
+      // nothing — don't churn a commit (and a version) for it. EXCEPT:
+      // inert tombstone props (live-looking entries no live file is
+      // stamped below — a pre-hygiene rewrite left them) still commit a
+      // PROPS-ONLY prune here, because "run compact first" is the
+      // remediation every tombstone refusal advertises and it must work
+      // in exactly this state
       if (small.size < 2 && !small.exists(s => man.dvs.contains(s._1)) &&
-          !small.exists(s => tombstoned(s._1)))
-        Some(cur)
-      else {
+          !small.exists(s => tombstoned(s._1))) {
+        val pruned = pruneEqProps(man.props, man.files)
+        if (pruned == man.props) Some(cur)
+        else {
+          preCommitHook.value()
+          if (tryCommitManifest(tgt, table,
+            man.copy(version = cur + 1, props = pruned))) Some(cur + 1)
+          else None
+        }
+      } else {
         // DV-aware + explicit schema: compacting must drop deleted
         // positions and null-fill pre-widening files, never resurrect
         // rows or narrow the rewrite to a sampled footer's shape
@@ -4530,6 +4552,57 @@ object VersionedTable {
   private def tagPath(tgt: Catalog, table: String, name: String): Path =
     new Path(metaDir(tgt, table), s"tag-$name.json")
 
+  /** ONE create-exclusive reservation file shared by BOTH ref kinds:
+    * tags and branches share a namespace, but each kind's own marker
+    * file made exclusivity check-then-act ACROSS kinds — a concurrent
+    * `create_tag('x')` and `create_branch('x')` could each pass the
+    * other kind's existence check and both succeed, leaving an
+    * ambiguous ref (the tag silently shadowing the branch on every
+    * resolution). Both creators now reserve `ref-<name>.json` FIRST
+    * (create-exclusive, kind recorded inside); exactly one wins, and
+    * the loser's error names the winning kind. The kind files stay the
+    * resolution source of truth (legacy tables without reservation
+    * markers keep resolving; their sequential cross-kind creates are
+    * still caught by the pre-checks). */
+  private def refMarkerPath(tgt: Catalog, table: String, name: String): Path =
+    new Path(metaDir(tgt, table), s"ref-$name.json")
+
+  private def reserveRef(tgt: Catalog, table: String, name: String,
+                         kind: String): Unit = {
+    val f = fs(tgt, metaDir(tgt, table))
+    val p = refMarkerPath(tgt, table, name)
+    val out = try f.create(p, false) catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if f.exists(p) =>
+        val heldAs = scala.util.Try {
+          val in = f.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          mapper.readTree(txt).get("kind").asText()
+        }.getOrElse("ref")
+        throw new IllegalArgumentException(
+          s"'$name' is already reserved as a $heldAs on '$table' — tags " +
+            "and branches share the ref namespace; drop it first " +
+            "(a crashed create leaves a stale reservation: " +
+            s"drop_$heldAs('$name', ifExists) sweeps it)")
+    }
+    try out.write(mapper.writeValueAsBytes {
+      val o = mapper.createObjectNode()
+      o.put("kind", kind)
+      o.put("created_at", System.currentTimeMillis())
+      o
+    }) finally out.close()
+  }
+
+  /** Release `name`'s reservation (ref drop / failed create rollback);
+    * best-effort — a missing marker (legacy ref) is fine. */
+  private def releaseRef(tgt: Catalog, table: String, name: String): Unit =
+    try {
+      val f = fs(tgt, metaDir(tgt, table))
+      val p = refMarkerPath(tgt, table, name)
+      if (f.exists(p)) { f.delete(p, false); () }
+    } catch { case _: java.io.IOException => () }
+
   /** Tag names: identifier-shaped, never digit-led — a name that could
     * parse as a VERSION AS OF number would be ambiguous in every
     * resolution surface. */
@@ -4550,6 +4623,15 @@ object VersionedTable {
         "share the ref namespace")
     val f = fs(tgt, metaDir(tgt, table))
     val p = tagPath(tgt, table, name)
+    // sequential duplicate first, for the precise message (the ref
+    // reservation below would otherwise report it as "reserved")
+    require(!f.exists(p),
+      s"tag '$name' already exists on '$table' — tags are immutable " +
+        "refs; drop it first to re-point")
+    // reserve the name across BOTH ref kinds (see refMarkerPath): the
+    // pre-checks catch sequential collisions with a clear message; the
+    // reservation closes the concurrent create_tag/create_branch window
+    reserveRef(tgt, table, name, "tag")
     // CREATE-EXCLUSIVE: the final file opens with overwrite=false, so
     // two concurrent create_tag('x') calls — even pointing at DIFFERENT
     // versions — cannot end in a silent last-writer-wins (an
@@ -4565,6 +4647,9 @@ object VersionedTable {
     val out = try f.create(p, false) catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.io.IOException if f.exists(p) =>
+        // a LEGACY tag (created before reservation markers) holds the
+        // name without one — release the reservation we just took
+        releaseRef(tgt, table, name)
         throw new IllegalArgumentException(
           s"tag '$name' already exists on '$table' — tags are immutable " +
             "refs; drop it first to re-point")
@@ -4574,7 +4659,9 @@ object VersionedTable {
       o.put("version", v)
       o.put("created_at", System.currentTimeMillis())
       o
-    }) finally out.close()
+    }) catch {
+      case e: Throwable => releaseRef(tgt, table, name); throw e
+    } finally out.close()
   }
 
   /** Drop tag `name`; false when absent (with `ifExists`), error without. */
@@ -4583,9 +4670,20 @@ object VersionedTable {
     validTagName(name)
     val f = fs(tgt, metaDir(tgt, table))
     val p = tagPath(tgt, table, name)
-    if (f.exists(p)) f.delete(p, false)
-    else if (ifExists) false
-    else throw new IllegalArgumentException(
+    // the reservation releases only when no ref of EITHER kind still
+    // holds the name (a branch's reservation must survive a tag drop)
+    def releaseIfFree(): Unit =
+      if (branchTableOf(tgt, table, name).isEmpty) releaseRef(tgt, table, name)
+    if (f.exists(p)) {
+      val r = f.delete(p, false)
+      releaseIfFree()
+      r
+    } else if (ifExists) {
+      // sweep a stale reservation (crashed create: marker written, tag
+      // file never landed) so the name becomes creatable again
+      releaseIfFree()
+      false
+    } else throw new IllegalArgumentException(
       s"table '$table' has no tag '$name'")
   }
 
@@ -4685,23 +4783,36 @@ object VersionedTable {
     val bt = branchTableName(table, name)
     val f = fs(tgt, metaDir(tgt, table))
     val p = branchPath(tgt, table, name)
-    // the marker reserves the name FIRST (create-exclusive — concurrent
-    // same-name creates serialize through the filesystem like tags)
+    // sequential duplicate first, for the precise message
+    require(!f.exists(p),
+      s"branch '$name' already exists on '$table' — drop_branch first")
+    // reserve the name across BOTH ref kinds (see refMarkerPath) — the
+    // kind pre-checks are check-then-act; the reservation closes the
+    // concurrent create_tag/create_branch window
+    reserveRef(tgt, table, name, "branch")
+    // the kind marker next (create-exclusive — concurrent same-name
+    // branch creates serialize through the filesystem like tags)
     val out = try f.create(p, false) catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
            _: java.io.IOException if f.exists(p) =>
+        releaseRef(tgt, table, name) // legacy branch holds it markerless
         throw new IllegalArgumentException(
           s"branch '$name' already exists on '$table' — drop_branch first")
     }
-    try out.write(mapper.writeValueAsBytes {
-      val o = mapper.createObjectNode()
-      o.put("table", bt)
-      o.put("from_version", v)
-      o.put("created_at", System.currentTimeMillis())
-      o
-    }) finally out.close()
-    try { cloneTable(tgt, table, tgt, bt, v); () }
-    catch { case e: Throwable => f.delete(p, false); throw e }
+    try {
+      try out.write(mapper.writeValueAsBytes {
+        val o = mapper.createObjectNode()
+        o.put("table", bt)
+        o.put("from_version", v)
+        o.put("created_at", System.currentTimeMillis())
+        o
+      }) finally out.close()
+      cloneTable(tgt, table, tgt, bt, v); ()
+    } catch { case e: Throwable =>
+      f.delete(p, false)
+      releaseRef(tgt, table, name)
+      throw e
+    }
     bt
   }
 
@@ -4756,9 +4867,18 @@ object VersionedTable {
     validTagName(name)
     val f = fs(tgt, metaDir(tgt, table))
     val p = branchPath(tgt, table, name)
-    if (f.exists(p)) f.delete(p, false)
-    else if (ifExists) false
-    else throw new IllegalArgumentException(
+    // mirror of dropTag: release the shared reservation only when no
+    // ref of either kind still holds the name
+    def releaseIfFree(): Unit =
+      if (tagVersion(tgt, table, name).isEmpty) releaseRef(tgt, table, name)
+    if (f.exists(p)) {
+      val r = f.delete(p, false)
+      releaseIfFree()
+      r
+    } else if (ifExists) {
+      releaseIfFree()
+      false
+    } else throw new IllegalArgumentException(
       s"table '$table' has no branch '$name'")
   }
 

@@ -831,8 +831,15 @@ private[sources] final class GraftBatch(
     val spark = SparkSession.active
     val cat = new Catalog(spark, requiredOpt(options, "dir"))
     val table = requiredOpt(options, "table")
+    // the version is resolved ONCE and pinned for every sub-plan below
+    // (slices, column mapping, tombstone state, SPJ row counts): an
+    // eq-upsert or rename committing between two independent head reads
+    // would otherwise apply version-(N+1) metadata to version-N slices —
+    // matched rows would vanish from the snapshot (neither old nor new
+    // value visible)
     val v = GraftTableProvider.resolveVersion(cat, table,
-      opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
+        opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
+      .orElse(VersionedTable.currentVersion(cat, table))
     // runtime() re-reads the scan's dynamic-filter state: BatchScanExec
     // re-plans partitions AFTER scan.filter(...) lands, so join-time IN
     // sets prune files here exactly like static pushdown
@@ -843,10 +850,11 @@ private[sources] final class GraftBatch(
     plannedHasDv = slices.exists(_._3.nonEmpty)
     plannedPhysOf = VersionedTable.columnMapping(cat, table, v)
     // live equality tombstones ride the plan: each slice carries its
-    // stamp, the factory ships the key sets — resolution happens in the
-    // tasks (the write-without-read upsert's read half)
+    // stamp, the factory ships the key-file specs — key-set loading AND
+    // probing both happen in the tasks (the write-without-read upsert's
+    // read half; zero driver state)
     val (eqEntries, eqStamps) =
-      v.orElse(VersionedTable.currentVersion(cat, table)) match {
+      v match {
         case Some(vv) => VersionedTable.eqDeleteState(cat, table, vv)
         case None => (Nil, Map.empty[String, Long])
       }

@@ -245,6 +245,78 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(state("vc")(10L) == -5.0)
   }
 
+  test("CoW rewrites prune tombstone props they materialize") {
+    // a copy-on-write keyed upsert (and any full rewrite) reads through
+    // the tombstones and replaces every stamped file — the commit must
+    // NOT carry the now-inert tombstone props forward, or CDC/clone/
+    // rename refuse forever over state that no longer exists
+    VersionedTable.load(lib, "pr",
+      Seq.tabulate(80)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"), upsertFields = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "pr",
+      Seq.tabulate(20)(i => (i.toLong, -3.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "pr",
+      VersionedTable.currentVersion(lib, "pr").get).nonEmpty)
+    // CoW keyed upsert: full rewrite (no bucket layout) — reads resolve
+    // the tombstones, so the rewritten state needs none of them
+    VersionedTable.load(lib, "pr",
+      Seq.tabulate(5)(i => (i.toLong, 100.0 + i)).toDF("k", "v"),
+      idOrder = Seq("k"), upsertFields = Seq("k"))
+    val v = VersionedTable.currentVersion(lib, "pr").get
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "pr", v).isEmpty,
+      "a full CoW rewrite must prune the tombstone props it materialized")
+    // the diff surfaces re-open at the pruned head — no compact
+    // required (feeds CROSSING the tombstoned version resolve the
+    // tombstones at read time; see the change-feed eq cases)
+    assert(VersionedTable.changes(lib, "pr", v, v, Seq("k")).count() == 0L)
+    VersionedTable.cloneTable(lib, "pr", lib, "pr_clone", v)
+    assert(state("pr_clone") == state("pr"))
+    val s = state("pr")
+    assert(s(2L) == 102.0 && s(10L) == -3.0 && s(50L) == 50.0)
+
+    // the CoW DELETE paths prune too: rewrite every stamped file away
+    VersionedTable.load(lib, "pd",
+      Seq.tabulate(40)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "pd",
+      Seq.tabulate(10)(i => (i.toLong, -1.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    VersionedTable.delete(lib, "pd", col("k") < 1000L) // all rows, all files
+    val vd = VersionedTable.currentVersion(lib, "pd").get
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "pd", vd).isEmpty,
+      "a delete that rewrites/drops every stamped file must prune")
+  }
+
+  test("compact commits a props-only prune for inert tombstone props") {
+    // simulate a pre-hygiene table: a manifest whose tombstone props
+    // reference no live stamped file (a legacy rewrite left them) —
+    // every diff surface refuses with "run compact first", so compact
+    // must clear them even when NO file qualifies for a data rewrite
+    VersionedTable.load(lib, "in",
+      Seq.tabulate(30)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    val cur = VersionedTable.currentVersion(lib, "in").get
+    val man = VersionedTable.readManifest(lib, "in", cur).get
+    val inert = """[{"files":["gone/gone.eqdel"],"seq":1,"keys":["k"]}]"""
+    assert(VersionedTable.tryCommitManifest(lib, "in",
+      man.copy(version = cur + 1,
+        props = man.props + ("eq_tombstones" -> inert))))
+    val e = intercept[Exception](
+      VersionedTable.changes(lib, "in", 1L, cur + 1, Seq("k")))
+    assert(e.getMessage.contains("equality tombstones"), e.getMessage)
+    // ONE compact — no rewritable files (a single fresh file, no DVs,
+    // nothing stamped) — must still commit the metadata-only prune
+    VersionedTable.compact(lib, "in", 256L * 1024 * 1024)
+    val v = VersionedTable.currentVersion(lib, "in").get
+    assert(v == cur + 2, "the prune must be a real commit")
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "in", v).isEmpty,
+      "compact must clear inert tombstone props (its refusal message " +
+        "advertises exactly this remediation)")
+    assert(VersionedTable.changes(lib, "in", v, v, Seq("k")).count() == 0L)
+    assert(state("in").size == 30)
+  }
+
   test("the streaming sink's equality mode: O(batch) epochs, exact state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

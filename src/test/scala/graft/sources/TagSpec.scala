@@ -169,4 +169,41 @@ class TagSpec extends SparkSpec {
       "SELECT count(*) FROM gtag.default.s VERSION AS OF 'pre_rb'")
       .head().getLong(0) == 2L)
   }
+
+  test("tags and branches reserve one shared ref namespace exclusively") {
+    spark.sql("CREATE TABLE gtag.default.x (k BIGINT)")
+    spark.sql("INSERT INTO gtag.default.x VALUES (1)") // v2
+    // the reservation marker lands with the tag and releases with it
+    VersionedTable.createTag(lib, "x", "shared", 2L)
+    val marker = new java.io.File(warehouse, "x.__vmeta/ref-shared.json")
+    assert(marker.exists(), "a tag create must reserve the shared ref name")
+    intercept[IllegalArgumentException](
+      VersionedTable.createBranch(lib, "x", "shared"))
+    VersionedTable.dropTag(lib, "x", "shared")
+    assert(!marker.exists(), "dropping the tag must release the reservation")
+    // the freed name is creatable as the OTHER kind
+    VersionedTable.createBranch(lib, "x", "shared")
+    assert(marker.exists(), "a branch create reserves the same marker")
+    // dropping a NON-EXISTENT tag of that name must NOT release the
+    // branch's reservation (the cross-kind shadowing this guards against)
+    assert(!VersionedTable.dropTag(lib, "x", "shared", ifExists = true))
+    assert(marker.exists(),
+      "a tag drop must not free a name a live branch still holds")
+    intercept[IllegalArgumentException](
+      VersionedTable.createTag(lib, "x", "shared", 2L))
+    VersionedTable.dropBranch(lib, "x", "shared")
+    assert(!marker.exists())
+    // a STALE reservation (crashed create: marker only, no ref of either
+    // kind) blocks creation until swept by a drop with ifExists
+    val stale = new java.io.File(warehouse, "x.__vmeta/ref-crashed.json")
+    java.nio.file.Files.write(stale.toPath,
+      """{"kind":"tag","created_at":0}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.createTag(lib, "x", "crashed", 2L))
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    assert(!VersionedTable.dropTag(lib, "x", "crashed", ifExists = true))
+    assert(!stale.exists(), "ifExists drop sweeps a stale reservation")
+    VersionedTable.createTag(lib, "x", "crashed", 2L)
+    assert(VersionedTable.tagVersion(lib, "x", "crashed").contains(2L))
+  }
 }
