@@ -410,6 +410,15 @@ object VersionedTable {
     * math shortcuts down), so continuous CDC ingest should bound them —
     * this is the knob. */
   private[graft] val CompactEqTombstonesProp = "compact.trigger.eq_tombstones"
+  /** `eq.key_budget`: total KEYS across live equality tombstones
+    * (manifest-recorded write-time counts) past which scan planning and
+    * the post-commit check WARN. Each live key costs every executor one
+    * hash-set entry on every scan of the table — bounded state, but an
+    * operator should hear about a million-key backlog before it becomes
+    * executor-memory pressure. A warning, not a refusal: the read stays
+    * correct at any size; compaction clears it. */
+  private[graft] val EqKeyBudgetProp = "eq.key_budget"
+  private[graft] val DefaultEqKeyBudget = 4L * 1000 * 1000
   private[graft] val CompactTargetBytesProp = "compact.target_bytes"
   private[graft] val DefaultCompactTargetBytes = 128L * 1024 * 1024
 
@@ -421,6 +430,10 @@ object VersionedTable {
   private def maybeAutoCompact(tgt: Catalog, table: String): Unit = {
     val head = currentVersion(tgt, table)
       .flatMap(readManifest(tgt, table, _)).getOrElse(return)
+    // key-budget accretion check rides the same post-commit hook: the
+    // writer hears about a runaway tombstone backlog even when no
+    // compaction trigger is configured
+    warnEqKeyBudget(table, head.props)
     def longProp(k: String): Option[Long] =
       head.props.get(k).flatMap(s => scala.util.Try(s.toLong).toOption)
     val dvT = longProp(CompactDvBytesProp)
@@ -5085,9 +5098,15 @@ object VersionedTable {
 
   /** One committed tombstone: `files` hold the batch's DISTINCT key
     * tuples under their logical names (parquet bytes with an `.eqdel`
-    * extension so the data-file sweeps never touch them). */
+    * extension so the data-file sweeps never touch them). `rows`/`bytes`
+    * record the key count and file size AT WRITE TIME (footer/status
+    * metadata, known for free) so scan planning and the observability
+    * surfaces can reason about accretion without opening a key file;
+    * absent on tombstones committed by earlier versions of the layer. */
   private[etl] final case class EqTombstone(files: Seq[String], seq: Long,
-                                            keys: Seq[String])
+                                            keys: Seq[String],
+                                            rows: Option[Long] = None,
+                                            bytes: Option[Long] = None)
 
   private[graft] val EqDelProp = "eq_tombstones"
   private[graft] val EqSeqProp = "eq_seqs"
@@ -5100,7 +5119,9 @@ object VersionedTable {
         EqTombstone(
           (0 until o.get("files").size).map(o.get("files").get(_).asText()),
           o.get("seq").asLong(),
-          (0 until o.get("keys").size).map(o.get("keys").get(_).asText()))
+          (0 until o.get("keys").size).map(o.get("keys").get(_).asText()),
+          Option(o.get("rows")).map(_.asLong()),
+          Option(o.get("bytes")).map(_.asLong()))
       }
     }
 
@@ -5120,6 +5141,8 @@ object VersionedTable {
       val fs = o.putArray("files"); t.files.foreach(fs.add)
       o.put("seq", t.seq)
       val ks = o.putArray("keys"); t.keys.foreach(ks.add)
+      t.rows.foreach(o.put("rows", _))
+      t.bytes.foreach(o.put("bytes", _))
     }
     mapper.writeValueAsString(arr)
   }
@@ -5134,6 +5157,28 @@ object VersionedTable {
     * the gate the CDC/clone/rename surfaces refuse on. */
   private[graft] def hasEqTombstones(props: Map[String, String]): Boolean =
     eqTombstonesOf(props).nonEmpty
+
+  /** WARN when the live tombstones' recorded key counts exceed the
+    * budget ([[EqKeyBudgetProp]]) — called from scan planning and the
+    * post-commit check, the two places an operator watches. */
+  private def warnEqKeyBudget(table: String, props: Map[String, String]): Unit = {
+    val ts = eqTombstonesOf(props)
+    if (ts.isEmpty) return
+    val budget = props.get(EqKeyBudgetProp)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(DefaultEqKeyBudget)
+    val total = ts.flatMap(_.rows).sum
+    val uncounted = ts.count(_.rows.isEmpty)
+    if (total > budget)
+      graft.GraftLog.warn(
+        s"'$table' carries ${ts.size} live equality tombstones totaling " +
+          s"$total recorded keys (> eq.key_budget $budget" +
+          (if (uncounted > 0) s"; $uncounted more without recorded counts"
+           else "") +
+          ") — every scan loads these key sets per executor; run compact " +
+          "(or set compact.trigger.eq_tombstones) to materialize, or " +
+          "raise eq.key_budget")
+  }
 
   /** Distinct key columns of version `v`'s live tombstones (lowercase) —
     * what the SQL scan keeps through pruning. Empty almost always. */
@@ -5151,12 +5196,15 @@ object VersionedTable {
       (Seq.empty[(Seq[String], Long, Seq[String])], Map.empty[String, Long])) { m =>
       val ts = eqTombstonesOf(m.props)
       if (ts.isEmpty) (Nil, Map.empty)
-      else (
+      else {
+        warnEqKeyBudget(table, m.props)
+        (
         ts.map(t => (t.keys, t.seq,
           t.files.map(r => new Path(dataDir(tgt, table), r).toString))),
         eqSeqsOf(m.props).map { case (r, s) =>
           new Path(dataDir(tgt, table), r).toString -> s
         })
+      }
     }
 
   /** Read `rels` applying every applicable equality tombstone: files
@@ -5178,7 +5226,7 @@ object VersionedTable {
       // between statements); within a set, one union of tombstone files
       applicable.groupBy(_.keys).toSeq.sortBy(_._1.mkString(","))
         .foldLeft(reader(g)) { case (b, (ks, ts)) =>
-          val tomb = tombstoneFrame(tgt, table, ts, ks)
+          val tomb = tombstoneFrame(tgt, table, ts, ks, b.schema)
           val cond = ks.map(k => b(k) <=> tomb(k)).reduce(_ && _)
           b.join(tomb, cond, "left_anti")
         }
@@ -5186,12 +5234,20 @@ object VersionedTable {
   }
 
   /** The key tuples of `ts` as one frame (logical names — tombstones are
-    * written post-mapping, and renames refuse while any are live). */
+    * written post-mapping, and renames refuse while any are live). The
+    * key SCHEMA comes from the base read (same fields, same types), so
+    * building the frame never runs a schema-inference footer job —
+    * plan construction stays zero-job. */
   private def tombstoneFrame(tgt: Catalog, table: String,
-                             ts: Seq[EqTombstone], keys: Seq[String]): DataFrame = {
+                             ts: Seq[EqTombstone], keys: Seq[String],
+                             baseSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val abs = ts.flatMap(_.files)
       .map(r => new Path(dataDir(tgt, table), r).toString)
-    tgt.spark.read.parquet(abs: _*)
+    val keySchema = org.apache.spark.sql.types.StructType(keys.map(k =>
+      baseSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalStateException(
+          s"tombstone key '$k' not in the read schema of '$table'"))))
+    tgt.spark.read.schema(keySchema).parquet(abs: _*)
       .select(keys.map(org.apache.spark.sql.functions.col): _*)
   }
 
@@ -5305,7 +5361,17 @@ object VersionedTable {
           }
         f.listStatus(tmp).toSeq.filter(_.getPath.getName.startsWith("_"))
           .foreach(st => f.delete(st.getPath, false))
-        Some(EqTombstone(rels, newV, keys.map(_.toLowerCase)))
+        // record key count + bytes AT WRITE TIME (footer/status metadata
+        // of the just-staged key files — driver-cheap): scan planning
+        // warns past the key budget and DESCRIBE/history can show the
+        // accretion without opening a key file. Best-effort — a failed
+        // probe commits a countless tombstone, exactly the legacy shape.
+        val eqAbs = rels.map(r => new Path(dataDir(tgt, table), r).toString)
+        val nKeys = scala.util.Try(graft.sources.ParquetSource
+          .footerFileMeta(tgt.spark, eqAbs, Nil).values.map(_._1).sum).toOption
+        val nBytes = scala.util.Try(eqAbs.map(p =>
+          f.getFileStatus(new Path(p)).getLen).sum).toOption
+        Some(EqTombstone(rels, newV, keys.map(_.toLowerCase), nKeys, nBytes))
       } catch { case e: Throwable => abort(e) }
     val oldStamps = eqSeqsOf(man.props)
     val stamps: Map[String, Long] = tombEntry match {

@@ -175,8 +175,7 @@ private[sources] final class GraftDeltaRowLevelOperation(
               mayHaveDv = true,
               physOf = VersionedTable.columnMapping(cat, table,
                 Some(pinnedVersion(cat, table))),
-              eqDeletes = GraftTableProvider.eqBroadcasts(
-                spark, dataSchema, plannedEq))
+              eqDeletes = plannedEq)
           }
         }
       }

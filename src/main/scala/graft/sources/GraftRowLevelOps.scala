@@ -223,8 +223,7 @@ private[sources] final class GraftRowLevelOperation(
                 Some(pinnedVersion(cat, table))),
               physOf = VersionedTable.columnMapping(cat, table,
                 Some(pinnedVersion(cat, table))),
-              eqDeletes = GraftTableProvider.eqBroadcasts(
-                spark, dataSchema, plannedEq))
+              eqDeletes = plannedEq)
           }
         }
       }

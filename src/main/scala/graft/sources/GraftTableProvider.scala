@@ -909,14 +909,17 @@ private[sources] final class GraftBatch(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
-    val eqBc = GraftTableProvider.eqBroadcasts(spark, dataSchema, plannedEq)
     // VECTORIZED even under deletion vectors: when any planned partition
     // carries a DV the factory gets the batch-returning row-index twin
     // and applies the vector by selection ([[DvColumnar]]) — one MOR
-    // delete no longer drops the whole scan to row mode
+    // delete no longer drops the whole scan to row mode.
+    // Tombstone key sets ship as FILE SPECS and load executor-side
+    // ([[PlainBatchRead.eqDeleteSet]]) — no driver collect, however
+    // large the CDC batch behind the tombstone was
     PlainBatchRead.readerFactory(spark, dataSchema,
       requiredSchema, pushed.toSeq, allowColumnar = true,
-      mayHaveDv = plannedHasDv, physOf = plannedPhysOf, eqDeletes = eqBc)
+      mayHaveDv = plannedHasDv, physOf = plannedPhysOf,
+      eqDeletes = plannedEq)
   }
 }
 
@@ -927,32 +930,6 @@ object GraftTableProvider {
     * read/write/stream/DML surface of the format. */
   private[graft] def opt(options: Map[String, String], k: String): Option[String] =
     options.find(_._1.equalsIgnoreCase(k)).map(_._2)
-
-  /** Live tombstone key sets, collected ONCE on the driver (exact typed
-    * read through the table schema) and broadcast for the in-task
-    * anti-filters; bounded by the compaction cadence — materialize with
-    * compact to clear. Shared by the batch scan and BOTH row-level-op
-    * scans (a rewrite reading through a tombstone would resurrect its
-    * rows). */
-  private[sources] def eqBroadcasts(spark: SparkSession,
-      dataSchema: StructType,
-      entries: Seq[(Seq[String], Long, Seq[String])])
-      : Seq[(Seq[String], Long,
-        org.apache.spark.broadcast.Broadcast[
-          Array[org.apache.spark.sql.catalyst.InternalRow]])] =
-    entries.map { case (keys, seq, files) =>
-      val keySchema = StructType(keys.map(k =>
-        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
-          throw new IllegalStateException(
-            s"tombstone key '$k' not in table schema"))))
-      val df = spark.read.schema(keySchema).parquet(files: _*)
-      val rows = df.queryExecution.toRdd.mapPartitions { it =>
-        val p = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-          .create(keySchema)
-        it.map(r => p(r).copy(): org.apache.spark.sql.catalyst.InternalRow)
-      }.collect()
-      (keys, seq, spark.sparkContext.broadcast(rows))
-    }
 
   /** BRANCH redirect for the reader-option surface: a non-numeric
     * `versionAsOf` that is not a tag but IS a branch rewrites the

@@ -200,11 +200,12 @@ object PlainBatchRead {
                     mayHaveDv: Boolean = false,
                     physOf: Map[String, String] = Map.empty,
                     // live equality tombstones: (key columns, seq,
-                    // broadcast key rows) per tombstone — tasks drop
-                    // rows of OLDER slices whose key tuple matches
-                    // ([[EqDeleteFilters]]); forces row mode
-                    eqDeletes: Seq[(Seq[String], Long,
-                      org.apache.spark.broadcast.Broadcast[Array[InternalRow]])] = Nil)
+                    // absolute key-file paths) per tombstone — tasks
+                    // load the key sets EXECUTOR-SIDE ([[eqDeleteSet]])
+                    // and drop rows of OLDER slices whose key tuple
+                    // matches; zero driver state, so a 100M-key CDC
+                    // batch can never OOM the driver at plan time
+                    eqDeletes: Seq[(Seq[String], Long, Seq[String])] = Nil)
       : PartitionReaderFactory = {
     // the admission row predicate is BOUND against the full dataSchema
     // ordinals — sound only while the reader's output IS dataSchema.
@@ -295,8 +296,16 @@ object PlainBatchRead {
         hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     // equality-tombstone key ordinals resolve against the DATA-COLUMN
     // layout the raw iterators emit (dataRequired — before any _file /
-    // _pos injection); the scan guarantees key columns survive pruning
-    val eqBound = eqDeletes.map { case (ks, seq, bc) =>
+    // _pos injection); the scan guarantees key columns survive pruning.
+    // Each spec also carries a DRIVER-BUILT reader closure for its key
+    // files (logical names — tombstones are written post-mapping and
+    // renames refuse while any are live), shipped to executors like the
+    // data readers; the key SETS are loaded in the tasks, never here
+    val eqBound = eqDeletes.map { case (ks, seq, files) =>
+      val keySchema = StructType(ks.map(k =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalStateException(
+            s"tombstone key '$k' not in table schema"))))
       val ords = ks.map { k =>
         val i = dataRequired.fieldNames.indexWhere(_.equalsIgnoreCase(k))
         require(i >= 0,
@@ -304,7 +313,16 @@ object PlainBatchRead {
             "the scan must keep tombstone keys through pruning")
         i
       }
-      (ords.toArray, ords.map(dataRequired.fields(_).dataType).toArray, seq, bc)
+      val keyRead = fmt.buildReaderWithPartitionValues(
+        spark,
+        dataSchema = keySchema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = keySchema,
+        filters = Nil,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
+      EqDeleteSpec(ords.toArray,
+        ords.map(dataRequired.fields(_).dataType).toArray, seq, files, keyRead)
     }
     new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,
       posOrdinal, dataRequired.fields.map(_.dataType),
@@ -312,21 +330,51 @@ object PlainBatchRead {
       rowFilter, colIdxFunc, eqBound)
   }
 
-  /** Per-executor materialization of a broadcast tombstone key set —
-    * built once per broadcast id, shared by every task probing it
-    * (UnsafeRow equality is byte-wise, so probes need no copies). The
-    * cache clears wholesale past a small bound: tombstones are transient
-    * (compaction materializes them), never a long-lived population. */
-  private val eqSetCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashSet[InternalRow]]()
+  /** One live equality tombstone, as the DRIVER plans it and the TASKS
+    * resolve it: probe ordinals/types bound against the scan's
+    * data-column layout, the tombstone's sequence stamp, its key-file
+    * paths, and a Spark-built parquet reader closure for those files
+    * (the same ship-a-closure pattern as the data readers). The key SET
+    * never exists on the driver — the old broadcast design collected
+    * every tombstone key at plan time, which on a 100M-row CDC batch is
+    * a multi-GB driver allocation per scan. */
+  final case class EqDeleteSpec(
+      ords: Array[Int],
+      types: Array[org.apache.spark.sql.types.DataType],
+      seq: Long,
+      files: Seq[String],
+      read: PartitionedFile => Iterator[InternalRow]) extends Serializable
 
-  private[graft] def eqDeleteSet(
-      bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])
+  /** Per-executor materialization of a tombstone key set — the
+    * DV-sidecar pattern ([[DeletionVectors.readCached]]): loaded once
+    * per tombstone (keyed by its file list) from the key files
+    * themselves, shared by every task probing it (UnsafeRow equality is
+    * byte-wise, so probes need no copies). The cache clears wholesale
+    * past a small bound: tombstones are transient (compaction
+    * materializes them), never a long-lived population. */
+  private val eqSetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[InternalRow]]()
+
+  private[graft] def eqDeleteSet(spec: EqDeleteSpec,
+      conf: org.apache.hadoop.conf.Configuration)
       : java.util.HashSet[InternalRow] = {
+    val key = spec.files.sorted.mkString("\n")
     if (eqSetCache.size > 64) eqSetCache.clear()
-    eqSetCache.computeIfAbsent(bc.id, _ => {
-      val set = new java.util.HashSet[InternalRow](bc.value.length * 2)
-      bc.value.foreach(set.add)
+    eqSetCache.computeIfAbsent(key, _ => {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      val proj = UnsafeProjection.create(
+        spec.types.zipWithIndex.map { case (t, i) =>
+          BoundReference(i, t, nullable = true) }.toIndexedSeq)
+      val set = new java.util.HashSet[InternalRow]()
+      spec.files.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val len = hp.getFileSystem(conf).getFileStatus(hp).getLen
+        spec.read(partitionedFile(CdcMicroBatch.FileSlice(p, len)))
+          .asInstanceOf[Iterator[Any]].flatMap {
+            case b: ColumnarBatch => b.rowIterator().asScala
+            case r: InternalRow => Iterator.single(r)
+          }.foreach(r => set.add(proj(r).copy()))
+      }
       set
     })
   }
@@ -353,11 +401,11 @@ final class PlainReaderFactory(
     // exactly when the planner said DV'd slices are possible on a
     // columnar-capable scan; DV'd partitions then stay vectorized
     colIdxFunc: PartitionedFile => Iterator[InternalRow] = null,
-    // bound equality tombstones: (key ordinals, key types, seq,
-    // broadcast key rows) — applied per slice to rows of files whose
-    // eqSeq is strictly below the tombstone's
-    eqDeletes: Seq[(Array[Int], Array[org.apache.spark.sql.types.DataType],
-      Long, org.apache.spark.broadcast.Broadcast[Array[InternalRow]])] = Nil)
+    // bound equality tombstones ([[PlainBatchRead.EqDeleteSpec]]) —
+    // applied per slice to rows of files whose eqSeq is strictly below
+    // the tombstone's; key sets load executor-side from the spec's
+    // files through a per-executor cache
+    eqDeletes: Seq[PlainBatchRead.EqDeleteSpec] = Nil)
   extends PartitionReaderFactory {
 
   private val nDataFields = dataTypes.length
@@ -410,17 +458,17 @@ final class PlainReaderFactory(
     }
     // equality tombstones STRICTLY NEWER than this slice's stamp drop
     // matching keys — the read-side half of the write-without-read
-    // upsert (key sets built once per executor from the broadcast)
-    val eqApplicable = eqDeletes.filter(_._3 > f.eqSeq)
+    // upsert (key sets loaded once per executor from the key files)
+    val eqApplicable = eqDeletes.filter(_.seq > f.eqSeq)
     val it =
       if (eqApplicable.isEmpty) it0
       else {
-        val probes = eqApplicable.map { case (ords, types, _, bc) =>
+        val probes = eqApplicable.map { spec =>
           val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-            .create(types.zip(ords).map { case (t, o) =>
+            .create(spec.types.zip(spec.ords).map { case (t, o) =>
               org.apache.spark.sql.catalyst.expressions.BoundReference(o, t,
                 nullable = true) }.toIndexedSeq)
-          (proj, PlainBatchRead.eqDeleteSet(bc))
+          (proj, PlainBatchRead.eqDeleteSet(spec, conf.value))
         }
         it0.filter(r => !probes.exists { case (p, set) => set.contains(p(r)) })
       }

@@ -245,6 +245,49 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(state("vc")(10L) == -5.0)
   }
 
+  test("SQL scans load tombstone keys executor-side: no driver collect") {
+    VersionedTable.load(lib, "nz",
+      Seq.tabulate(800)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "nz",
+      Seq.tabulate(100)(i => (i.toLong, -1.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "nz",
+      Seq.tabulate(50)(i => (700L + i, -2.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    // write-time key counts ride the manifest (scan planning budgets on
+    // them; DESCRIBE/history surface them)
+    val man = VersionedTable.readManifest(lib, "nz",
+      VersionedTable.currentVersion(lib, "nz").get).get
+    val ts = VersionedTable.eqTombstonesOf(man.props)
+    assert(ts.map(_.rows) == Seq(Some(100L), Some(50L)),
+      s"tombstones must record their write-time key counts: $ts")
+    assert(ts.forall(_.bytes.exists(_ > 0L)))
+    // ONE Spark job per read: the key sets load INSIDE the scan's own
+    // tasks (per-executor cache), never as a separate driver-side
+    // collect job at factory-construction time — with the old broadcast
+    // design this read planned 1 + <live tombstones> jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows = try {
+      val r = spark.read.format("graft")
+        .option("dir", warehouse).option("table", "nz")
+        .load().where(col("v") < 0.0).collect()
+      Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1,
+      s"a tombstone-bearing scan must plan exactly its own job (no " +
+        s"driver key collect): saw ${jobs.get()}")
+    assert(rows.length == 150, s"both tombstones must apply: ${rows.length}")
+    assert(VersionedTable.read(lib, "nz").count() == 800L)
+  }
+
   test("CoW rewrites prune tombstone props they materialize") {
     // a copy-on-write keyed upsert (and any full rewrite) reads through
     // the tombstones and replaces every stamped file — the commit must
