@@ -5207,6 +5207,91 @@ object VersionedTable {
       }
     }
 
+  /** SHARED files a version diff must re-examine because their
+    * APPLICABLE tombstone sets differ between the two manifests: an
+    * eq-upsert between the versions deleted rows from files it never
+    * touched, so a file-set diff alone would miss those deletes. The
+    * candidate set is zone-pruned by the DELTA tombstones' key
+    * envelopes (read from the key files' own parquet footers — driver
+    * metadata, O(delta tombstones) tiny footer passes): a
+    * time-correlated CDC batch re-examines the files near its key
+    * range, not the table. Any missing stat, foreign domain, or footer
+    * failure keeps the file — pruning is one-sided. */
+  private def eqChangedShared(tgt: Catalog, table: String,
+                              manA: Manifest, manB: Manifest,
+                              shared: Seq[String]): Seq[String] = {
+    val eqA = eqTombstonesOf(manA.props)
+    val eqB = eqTombstonesOf(manB.props)
+    if ((eqA.isEmpty && eqB.isEmpty) || shared.isEmpty) return Nil
+    val stA = eqSeqsOf(manA.props)
+    val stB = eqSeqsOf(manB.props)
+    def ident(t: EqTombstone) = (t.seq, t.keys, t.files)
+    // envelope per delta tombstone, memoized: col -> (tag, lo, hi) in
+    // the SAME footer-stat encoding as the manifest zone maps
+    val envCache = scala.collection.mutable.Map
+      .empty[(Long, Seq[String], Seq[String]),
+             Option[Map[String, (String, String, String)]]]
+    def envOf(t: EqTombstone): Option[Map[String, (String, String, String)]] =
+      envCache.getOrElseUpdate(ident(t), scala.util.Try {
+        val abs = t.files.map(r => new Path(dataDir(tgt, table), r).toString)
+        val perFile = graft.sources.ParquetSource
+          .footerColumnRanges(tgt.spark, abs, t.keys)
+        val merged = t.keys.flatMap { k =>
+          val ranges = abs.map(f => perFile.getOrElse(f, Map.empty)
+            .find(_._1.equalsIgnoreCase(k)).map(_._2))
+          if (ranges.exists(_.isEmpty)) None
+          else {
+            val rs = ranges.flatten
+            val tags = rs.map(_._1).distinct
+            if (tags.size != 1) None
+            else {
+              val parsed = rs.map { case (tag, lo, hi) => parseBounds(tag, lo, hi) }
+              if (parsed.exists(_.isEmpty)) None
+              else {
+                val ps = parsed.flatten
+                val lo = rs.map(_._2).zip(ps.map(_._1))
+                  .reduceLeft((a, b) => if (leOrd(a._2, b._2)) a else b)._1
+                val hi = rs.map(_._3).zip(ps.map(_._2))
+                  .reduceLeft((a, b) => if (leOrd(a._2, b._2)) b else a)._1
+                Some(k -> ((tags.head, lo, hi)))
+              }
+            }
+          }
+        }.toMap
+        if (merged.size == t.keys.size) Some(merged) else None
+      }.toOption.flatten)
+    // may a key tuple of `t` live in file `rel`? Needs EVERY key
+    // column's ranges to overlap (a tuple match requires all columns);
+    // one provably-disjoint column excludes the file
+    def mayOverlap(man: Manifest, rel: String, t: EqTombstone): Boolean =
+      envOf(t) match {
+        case None => true
+        case Some(env) =>
+          val st = man.stats.getOrElse(rel, Map.empty)
+          t.keys.forall { k =>
+            (for {
+              (ftag, flo, fhi) <- resolveKey(st, k)
+              (ttag, tlo, thi) <- env.get(k)
+              if ftag == ttag
+              (fl, fh) <- parseBounds(ftag, flo, fhi)
+              (tl, th) <- parseBounds(ttag, tlo, thi)
+            } yield !(ltOrd(fh, tl) || ltOrd(th, fl))).getOrElse(true)
+          }
+      }
+    shared.filter { r =>
+      val appA = eqA.filter(_.seq > stA.getOrElse(r, Long.MaxValue))
+      val appB = eqB.filter(_.seq > stB.getOrElse(r, Long.MaxValue))
+      val (idsA, idsB) = (appA.map(ident).toSet, appB.map(ident).toSet)
+      if (idsA == idsB) false
+      else {
+        val delta = (appA ++ appB)
+          .filter(t => idsA(ident(t)) ^ idsB(ident(t)))
+          .distinctBy(ident)
+        delta.exists(t => mayOverlap(manB, r, t))
+      }
+    }
+  }
+
   /** Read `rels` applying every applicable equality tombstone: files
     * group by their stamp (one group per tombstone era — O(tombstone
     * commits) groups, not O(files)), each group anti-joins against the
@@ -5596,18 +5681,23 @@ object VersionedTable {
 
   // ------------------------------------------- streaming CDC partition plan
 
-  /** (absolute path, byte length, DV sidecar) of version `v`'s files —
-    * lengths from the manifest (status-RPC fallback for pre-sizes
-    * manifests). */
-  private def fileSlices(tgt: Catalog, table: String,
-                         man: Manifest): Seq[(String, Long, Option[String])] = {
+  /** (absolute path, byte length, DV sidecar, tombstone stamp) of
+    * version `v`'s files — lengths from the manifest (status-RPC
+    * fallback for pre-sizes manifests). The stamp is the file's
+    * equality-tombstone sequence ([[EqSeqProp]]; MaxValue = newer than
+    * every tombstone), so streaming readers can apply key anti-filters
+    * exactly like the batch scan. */
+  private def fileSlices(tgt: Catalog, table: String, man: Manifest)
+      : Seq[(String, Long, Option[String], Long)] = {
     lazy val f = fs(tgt, dataDir(tgt, table))
+    val stamps = eqSeqsOf(man.props)
     man.files.map { rel =>
       val abs = new Path(dataDir(tgt, table), rel).toString
       (abs, man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen),
         man.dvs.get(rel).map { case (p, _) =>
           new Path(dataDir(tgt, table), p).toString
-        })
+        },
+        stamps.getOrElse(rel, Long.MaxValue))
     }
   }
 
@@ -5633,13 +5723,10 @@ object VersionedTable {
                                toV: Long,
                                admit: org.apache.spark.sql.graft.ZonePred.P =
                                  org.apache.spark.sql.graft.ZonePred.And(Nil))
-      : Seq[(Seq[(String, Long, Option[String])],
-             Seq[(String, Long, Option[String])])] = {
+      : Seq[(Seq[(String, Long, Option[String], Long)],
+             Seq[(String, Long, Option[String], Long)])] = {
     val manB = readManifest(tgt, table, toV).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $toV"))
-    require(!hasEqTombstones(manB.props),
-      s"'$table' carries live equality tombstones — the CDC diff cannot " +
-        "see through an unresolved key delete; run compact first")
     // ADMISSION-TIME pruning (the `admissionFilter` option): drop files
     // whose zone maps prove no admitted row — sound for KEY-column
     // predicates (a matching key's files always admit on both sides;
@@ -5660,31 +5747,44 @@ object VersionedTable {
     // and the partition-local diff emits exactly the newly-deleted keys
     val dvChanged = manA.files.filter(r =>
       setB(r) && manA.dvs.get(r) != manB.dvs.get(r))
-    val onlyA = admitted(manA, manA.files.filterNot(setB) ++ dvChanged)
-    val onlyB = admitted(manB, manB.files.filterNot(setA) ++ dvChanged)
+    // LIVE EQUALITY TOMBSTONES: shared files whose applicable tombstone
+    // sets differ enter both sides too — each side's reader applies its
+    // own key anti-filters ([[CdcMicroBatch]] ships per-side specs), so
+    // an eq-upsert's implied deletes surface as feed rows instead of
+    // refusing the stream (zone-pruned by the delta tombstones' key
+    // envelopes, [[eqChangedShared]])
+    val eqChanged = eqChangedShared(tgt, table, manA, manB,
+      manA.files.filter(r => setB(r)).filterNot(dvChanged.toSet))
+    val onlyA = admitted(manA,
+      manA.files.filterNot(setB) ++ dvChanged ++ eqChanged)
+    val onlyB = admitted(manB,
+      manB.files.filterNot(setA) ++ dvChanged ++ eqChanged)
     def slices(man: Manifest, rels: Seq[String])
-        : Seq[(String, String, Long, Option[String])] = {
+        : Seq[(String, String, Long, Option[String], Long)] = {
       lazy val f = fs(tgt, dataDir(tgt, table))
+      val stamps = eqSeqsOf(man.props)
       rels.map { rel =>
         val abs = new Path(dataDir(tgt, table), rel).toString
         (rel, abs, man.sizes.getOrElse(rel, f.getFileStatus(new Path(abs)).getLen),
           man.dvs.get(rel).map { case (p, _) =>
             new Path(dataDir(tgt, table), p).toString
-          })
+          },
+          stamps.getOrElse(rel, Long.MaxValue))
       }
     }
     val a = slices(manA, onlyA)
     val b = slices(manB, onlyB)
-    if (a.isEmpty) b.map { case (_, abs, len, dv) => (Nil, Seq((abs, len, dv))) }
+    if (a.isEmpty) b.map { case (_, abs, len, dv, sq) =>
+      (Nil, Seq((abs, len, dv, sq))) }
     else if ((onlyA ++ onlyB).forall(r => bucketOfRel(r).isDefined)) {
       val byBucket = (a.map((_, true)) ++ b.map((_, false)))
-        .groupBy { case ((rel, _, _, _), _) => bucketOfRel(rel).get }
+        .groupBy { case ((rel, _, _, _, _), _) => bucketOfRel(rel).get }
       byBucket.toSeq.sortBy(_._1).map { case (_, members) =>
-        (members.collect { case ((_, abs, len, dv), true) => (abs, len, dv) },
-         members.collect { case ((_, abs, len, dv), false) => (abs, len, dv) })
+        (members.collect { case ((_, abs, len, dv, sq), true) => (abs, len, dv, sq) },
+         members.collect { case ((_, abs, len, dv, sq), false) => (abs, len, dv, sq) })
       }
     } else
-      Seq((a.map(t => (t._2, t._3, t._4)), b.map(t => (t._2, t._3, t._4))))
+      Seq((a.map(t => (t._2, t._3, t._4, t._5)), b.map(t => (t._2, t._3, t._4, t._5))))
   }
 
   /** Append-tail plan for the `graft` STREAMING read `(fromV, toV]`:
@@ -5703,7 +5803,7 @@ object VersionedTable {
                                   snapshotBootstrap: Boolean = true,
                                   admit: org.apache.spark.sql.graft.ZonePred.P =
                                     org.apache.spark.sql.graft.ZonePred.And(Nil))
-      : Seq[(String, Long, Option[String])] = {
+      : Seq[(String, Long, Option[String], Long)] = {
     // ADMISSION-TIME pruning (the `admissionFilter` option): a file whose
     // zone maps prove no matching row never enters a batch — the
     // streaming twin of the batch format's pushed-filter file pruning
@@ -5737,11 +5837,22 @@ object VersionedTable {
       // a deletion-vector change on a carried file IS a change commit:
       // rows vanished without any file being removed
       val dvChanged = b.files.exists(r => setA(r) && a.dvs.get(r) != b.dvs.get(r))
-      if (removed.nonEmpty || dvChanged) {
+      // so is a NEW equality tombstone (a write-without-read upsert):
+      // it deletes rows from files the commit never touched — invisible
+      // to the file-set walk, so it must be detected from the props
+      // (tombstones DROPPED without file changes are metadata-only
+      // prunes of inert entries: no rows changed, not a change commit)
+      val eqAdded = {
+        val ea = eqTombstonesOf(a.props)
+          .map(t => (t.seq, t.keys, t.files)).toSet
+        eqTombstonesOf(b.props).exists(t => !ea((t.seq, t.keys, t.files)))
+      }
+      if (removed.nonEmpty || dvChanged || eqAdded) {
         if (!skipChanges) throw new IllegalStateException(
           s"version ${v + 1} of '$table' rewrites or deletes data rows " +
             s"(${removed.size} files removed" +
             (if (dvChanged) ", deletion vectors changed" else "") +
+            (if (eqAdded) ", equality tombstone committed" else "") +
             ") — the 'graft' stream tails APPENDS only. Use format " +
             "'graft-cdc' for update/delete semantics, or option " +
             "skipChangeCommits=true to skip change commits")
@@ -6098,20 +6209,26 @@ object VersionedTable {
         s"table '$table' has no version $fromV"))
     val manB = readManifest(tgt, table, toV).getOrElse(
       throw new IllegalArgumentException(s"table '$table' has no version $toV"))
-    // a file-set diff cannot see through an UNRESOLVED equality
-    // tombstone (it deletes rows without touching files) — refuse
-    // loudly; compaction materializes and re-opens the feed
-    require(!hasEqTombstones(manA.props) && !hasEqTombstones(manB.props),
-      s"'$table' carries live equality tombstones in the requested " +
-        "range — change feeds need materialized state; run compact first")
     val (setA, setB) = (manA.files.toSet, manB.files.toSet)
     // a shared file whose deletion vector differs changed rows — it
     // enters both sides (each side applies its OWN DV), so newly-DV'd
     // keys surface as deletes exactly like a rewrite's vanished rows
     val dvChanged = manA.files.filter(r =>
       setB(r) && manA.dvs.get(r) != manB.dvs.get(r))
-    val onlyA = manA.files.filterNot(setB) ++ dvChanged
-    val onlyB = manB.files.filterNot(setA) ++ dvChanged
+    // LIVE EQUALITY TOMBSTONES resolve AT READ instead of refusing: a
+    // shared file contributes identical rows to both sides only when
+    // the same tombstones apply to it under both manifests, so shared
+    // files whose applicable sets differ enter BOTH sides — each side's
+    // read resolves its own tombstones (readRelsWithDv routes through
+    // readRelsEq). An eq-upsert's delete side is then (tombstone keys ∩
+    // parent live rows) and its insert side the batch files: the
+    // last-writer-wins diff, computed distributed, nothing
+    // materialized. [[eqChangedShared]] zone-prunes the candidates by
+    // the delta tombstones' key envelopes.
+    val eqChanged = eqChangedShared(tgt, table, manA, manB,
+      manA.files.filter(r => setB(r)).filterNot(dvChanged.toSet))
+    val onlyA = manA.files.filterNot(setB) ++ dvChanged ++ eqChanged
+    val onlyB = manB.files.filterNot(setA) ++ dvChanged ++ eqChanged
     // a side with no unshared files contributes no candidate rows; an
     // empty LOCAL relation with the side's schema (one footer read, zero
     // data I/O — a limit(0) parquet scan would still mount the file)

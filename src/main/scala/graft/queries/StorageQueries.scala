@@ -1924,6 +1924,28 @@ object StorageQueries {
         ORDER BY o_orderkey""")
     },
 
+    // change feed ACROSS live equality tombstones — the composition the
+    // write-without-read ingest path exists for (CDC ingest feeding
+    // incremental downstream consumers), with NO compact between ingest
+    // and feed read: shared files whose applicable tombstone sets
+    // differ enter both diff sides (zone-pruned by the delta
+    // tombstones' key envelopes) and each side reads its version's
+    // RESOLVED state. Two spans over the eq fixture's history: v1→v3
+    // folds both statements last-writer-wins; v2→v3 retracts from v2's
+    // resolved (doubled) values. The oracle replays the same
+    // last-writer-wins states and diffs them by value.
+    "q_change_feed_eq" -> { (spark, sfDir) =>
+      val name = sqlEquFixture(spark, sfDir)
+      val dir = spark.conf.get(s"spark.sql.catalog.$name.dir")
+      val cat = new Catalog(spark, dir)
+      def span(tag: String, a: Long, b: Long) =
+        VersionedTable.changes(cat, "eq", a, b, Seq("o_orderkey"))
+          .select(lit(tag).as("span"), col("op"), col("o_orderkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      span("v1v3", 1L, 3L).unionByName(span("v2v3", 2L, 3L))
+        .orderBy("span", "o_orderkey")
+    },
+
     // NAMED BRANCHES over write-audit-publish — the cycle by one name:
     // create_branch clones the head, audit writes land on the branch,
     // fast_forward(table, name) publishes as ONE commit; an unpublished
@@ -3098,6 +3120,40 @@ object StorageQueries {
         |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey <= 1300
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_change_feed_eq" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice AS p FROM orders
+        |            WHERE o_orderkey <= 1000),
+        |     b2 AS (SELECT o_orderkey, o_totalprice * 2 AS p FROM orders
+        |            WHERE o_orderkey > 500 AND o_orderkey <= 1200),
+        |     b3 AS (SELECT o_orderkey, o_totalprice * 3 AS p FROM orders
+        |            WHERE o_orderkey > 1100 AND o_orderkey <= 1300),
+        |     v2 AS (SELECT coalesce(b2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+        |                   coalesce(b2.p, v1.p) AS p
+        |            FROM v1 FULL JOIN b2 ON v1.o_orderkey = b2.o_orderkey),
+        |     v3 AS (SELECT coalesce(b3.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |                   coalesce(b3.p, v2.p) AS p
+        |            FROM v2 FULL JOIN b3 ON v2.o_orderkey = b3.o_orderkey),
+        |     f13 AS (SELECT 'v1v3' AS span,
+        |                    CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |                         WHEN v3.o_orderkey IS NULL THEN 'delete'
+        |                         ELSE 'update' END AS op,
+        |                    coalesce(v3.o_orderkey, v1.o_orderkey) AS o_orderkey,
+        |                    CAST(FLOOR(coalesce(v3.p, v1.p) * 100) AS BIGINT) AS cents
+        |             FROM v1 FULL JOIN v3 ON v1.o_orderkey = v3.o_orderkey
+        |             WHERE v1.o_orderkey IS NULL OR v3.o_orderkey IS NULL
+        |                OR v1.p <> v3.p),
+        |     f23 AS (SELECT 'v2v3' AS span,
+        |                    CASE WHEN v2.o_orderkey IS NULL THEN 'insert'
+        |                         WHEN v3.o_orderkey IS NULL THEN 'delete'
+        |                         ELSE 'update' END AS op,
+        |                    coalesce(v3.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |                    CAST(FLOOR(coalesce(v3.p, v2.p) * 100) AS BIGINT) AS cents
+        |             FROM v2 FULL JOIN v3 ON v2.o_orderkey = v3.o_orderkey
+        |             WHERE v2.o_orderkey IS NULL OR v3.o_orderkey IS NULL
+        |                OR v2.p <> v3.p)
+        |SELECT * FROM f13 UNION ALL SELECT * FROM f23
+        |ORDER BY span, o_orderkey""".stripMargin,
 
     "q_versioned_branch" ->
       """WITH head AS (

@@ -222,12 +222,24 @@ private[streaming] final class CdcScan(
       if (sv >= ev) return Array.empty
       val admit = resolveAdmission(spark, cat, table)
         .map(_.zonePred).getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil))
+      // per-SIDE live tombstone specs: the diff reader resolves each
+      // version's own tombstones before diffing, so the feed sees
+      // through write-without-read upserts without a compact
+      val ds = StructType(fullSchema.fields.drop(1))
+      val eqOld = if (sv <= 0L) Nil
+        else org.apache.spark.sql.graft.PlainBatchRead.eqSpecs(spark, ds, ds,
+          VersionedTable.eqDeleteState(cat, table, sv)._1)
+      val eqNew = org.apache.spark.sql.graft.PlainBatchRead.eqSpecs(spark, ds, ds,
+        VersionedTable.eqDeleteState(cat, table, ev)._1)
       VersionedTable.cdcSlices(cat, table, sv, ev, admit).map { case (old, fresh) =>
         org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
-          old.map { case (p, l, dv) =>
-            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) },
-          fresh.map { case (p, l, dv) =>
-            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) })
+          old.map { case (p, l, dv, sq) =>
+            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv,
+              eqSeq = sq) },
+          fresh.map { case (p, l, dv, sq) =>
+            org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv,
+              eqSeq = sq) },
+          eqOld, eqNew)
           : InputPartition
       }.toArray
     }
@@ -569,10 +581,22 @@ private[streaming] final class CdcMicroBatchStream(
     if (sv >= ev) return Array.empty
     CdcStreamProvider.requireMappingStable(cat, table, ev, dataSchema,
       capturedPhysOf)
+    // per-SIDE live tombstone specs (see the bounded batch): each diff
+    // side reads its version's RESOLVED state
+    val eqOld = if (sv <= 0L) Nil
+      else org.apache.spark.sql.graft.PlainBatchRead.eqSpecs(spark,
+        dataSchema, dataSchema,
+        VersionedTable.eqDeleteState(cat, table, sv)._1)
+    val eqNew = org.apache.spark.sql.graft.PlainBatchRead.eqSpecs(spark,
+      dataSchema, dataSchema,
+      VersionedTable.eqDeleteState(cat, table, ev)._1)
     VersionedTable.cdcSlices(cat, table, sv, ev, admit).map { case (old, fresh) =>
       org.apache.spark.sql.graft.CdcMicroBatch.CdcInputPartition(
-        old.map { case (p, l, dv) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) },
-        fresh.map { case (p, l, dv) => org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv) })
+        old.map { case (p, l, dv, sq) =>
+          org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv, eqSeq = sq) },
+        fresh.map { case (p, l, dv, sq) =>
+          org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv, eqSeq = sq) },
+        eqOld, eqNew)
         : InputPartition
     }.toArray
   }
@@ -729,11 +753,17 @@ private[graft] final class GraftAppendStream(
       admit = admission.map(_.zonePred)
         .getOrElse(org.apache.spark.sql.graft.ZonePred.And(Nil)))
     plannedHasDv = slices.exists(_._3.nonEmpty)
+    // live tombstones at the planned END version (only the bootstrap
+    // snapshot can carry them: any LATER eq-upsert is detected as a
+    // change commit by the walk) — the readers resolve them in-task,
+    // so a bootstrap over a hot CDC table never surfaces dead rows
+    plannedEq = VersionedTable.eqDeleteState(cat, table, ev)._1
     // split + pack like the batch format: a bootstrap over big compacted
     // files fans out, a burst of tiny appends shares tasks
     org.apache.spark.sql.graft.PlainBatchRead.planPartitions(spark,
-      slices.map { case (p, l, dv) =>
-        org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv)
+      slices.map { case (p, l, dv, sq) =>
+        org.apache.spark.sql.graft.CdcMicroBatch.FileSlice(p, l, dv,
+          eqSeq = sq)
       })
   }
 
@@ -744,6 +774,8 @@ private[graft] final class GraftAppendStream(
     * race a compaction into a factory that can't serve the planned
     * slices and crash-loop the replayed batch. DV-capable until planned. */
   @volatile private var plannedHasDv = true
+  // the planned batch's live tombstone state — same one-version rule
+  @volatile private var plannedEq: Seq[(Seq[String], Long, Seq[String])] = Nil
 
   override def createReaderFactory(): PartitionReaderFactory =
     org.apache.spark.sql.graft.PlainBatchRead.readerFactory(spark,
@@ -751,7 +783,8 @@ private[graft] final class GraftAppendStream(
       allowColumnar = true,
       rowFilter = admission.map(_.rowPred),
       mayHaveDv = plannedHasDv,
-      physOf = capturedPhysOf)
+      physOf = capturedPhysOf,
+      eqDeletes = plannedEq)
 
   override def commit(end: Offset): Unit = ()
 

@@ -57,8 +57,16 @@ object CdcMicroBatch {
     def fileSize: Long = if (fileSizeOpt < 0L) length else fileSizeOpt
   }
 
+  /** One CDC diff partition. `eqOld`/`eqNew` carry each SIDE's live
+    * equality tombstones ([[PlainBatchRead.EqDeleteSpec]]): the reader
+    * resolves them per side before diffing, so a write-without-read
+    * upsert's implied deletes surface as feed rows — the old side reads
+    * the FROM version's resolved state, the new side the TO version's. */
   final case class CdcInputPartition(oldFiles: Seq[FileSlice],
-                                     newFiles: Seq[FileSlice]) extends InputPartition
+                                     newFiles: Seq[FileSlice],
+                                     eqOld: Seq[PlainBatchRead.EqDeleteSpec] = Nil,
+                                     eqNew: Seq[PlainBatchRead.EqDeleteSpec] = Nil)
+    extends InputPartition
 
   /** Build the factory on the DRIVER (needs the session for the reader
     * closure + broadcast hadoop conf). `dataSchema` is the table schema
@@ -296,34 +304,8 @@ object PlainBatchRead {
         hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
     // equality-tombstone key ordinals resolve against the DATA-COLUMN
     // layout the raw iterators emit (dataRequired — before any _file /
-    // _pos injection); the scan guarantees key columns survive pruning.
-    // Each spec also carries a DRIVER-BUILT reader closure for its key
-    // files (logical names — tombstones are written post-mapping and
-    // renames refuse while any are live), shipped to executors like the
-    // data readers; the key SETS are loaded in the tasks, never here
-    val eqBound = eqDeletes.map { case (ks, seq, files) =>
-      val keySchema = StructType(ks.map(k =>
-        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
-          throw new IllegalStateException(
-            s"tombstone key '$k' not in table schema"))))
-      val ords = ks.map { k =>
-        val i = dataRequired.fieldNames.indexWhere(_.equalsIgnoreCase(k))
-        require(i >= 0,
-          s"equality-delete key '$k' missing from the read schema — " +
-            "the scan must keep tombstone keys through pruning")
-        i
-      }
-      val keyRead = fmt.buildReaderWithPartitionValues(
-        spark,
-        dataSchema = keySchema,
-        partitionSchema = StructType(Nil),
-        requiredSchema = keySchema,
-        filters = Nil,
-        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-        hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
-      EqDeleteSpec(ords.toArray,
-        ords.map(dataRequired.fields(_).dataType).toArray, seq, files, keyRead)
-    }
+    // _pos injection); the scan guarantees key columns survive pruning
+    val eqBound = eqSpecs(spark, dataSchema, dataRequired, eqDeletes)
     new PlainReaderFactory(readFunc, rowIdxFunc, columnar, fileOrdinal,
       posOrdinal, dataRequired.fields.map(_.dataType),
       new org.apache.spark.util.SerializableConfiguration(baseConf),
@@ -344,6 +326,46 @@ object PlainBatchRead {
       seq: Long,
       files: Seq[String],
       read: PartitionedFile => Iterator[InternalRow]) extends Serializable
+
+  /** DRIVER-built tombstone specs — one per live tombstone: probe
+    * ordinals/types bound against `bindTo` (the row layout the
+    * consumer's iterators emit), plus a Spark-built parquet reader
+    * closure for the key files (LOGICAL names — tombstones are written
+    * post-mapping and renames refuse while any are live), shipped to
+    * executors like the data readers. The key SETS load in the tasks
+    * ([[eqDeleteSet]]), never on the driver. Shared by the batch scan,
+    * both row-level-op scans, the CDC diff reader, and the append-tail
+    * bootstrap. */
+  def eqSpecs(spark: SparkSession, dataSchema: StructType,
+              bindTo: StructType,
+              entries: Seq[(Seq[String], Long, Seq[String])]): Seq[EqDeleteSpec] = {
+    if (entries.isEmpty) return Nil
+    val fmt = new ParquetFileFormat
+    val baseConf = spark.sessionState.newHadoopConf()
+    entries.map { case (ks, seq, files) =>
+      val keySchema = StructType(ks.map(k =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalStateException(
+            s"tombstone key '$k' not in table schema"))))
+      val ords = ks.map { k =>
+        val i = bindTo.fieldNames.indexWhere(_.equalsIgnoreCase(k))
+        require(i >= 0,
+          s"equality-delete key '$k' missing from the read schema — " +
+            "the scan must keep tombstone keys through pruning")
+        i
+      }
+      val keyRead = fmt.buildReaderWithPartitionValues(
+        spark,
+        dataSchema = keySchema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = keySchema,
+        filters = Nil,
+        options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        hadoopConf = new org.apache.hadoop.conf.Configuration(baseConf))
+      EqDeleteSpec(ords.toArray,
+        ords.map(bindTo.fields(_).dataType).toArray, seq, files, keyRead)
+    }
+  }
 
   /** Per-executor materialization of a tombstone key set — the
     * DV-sidecar pattern ([[DeletionVectors.readCached]]): loaded once
@@ -588,7 +610,8 @@ final class CdcPartitionReader(
   private val fieldTypes = dataSchema.fields.map(_.dataType)
   private val nFields = fieldTypes.length
 
-  private def rows(files: Seq[CdcMicroBatch.FileSlice]): Iterator[InternalRow] =
+  private def rows(files: Seq[CdcMicroBatch.FileSlice],
+                   eq: Seq[PlainBatchRead.EqDeleteSpec]): Iterator[InternalRow] =
     files.iterator.flatMap { f =>
       val pf = PartitionedFile(InternalRow.empty,
         SparkPath.fromPathString(f.path), 0L, f.length,
@@ -599,7 +622,7 @@ final class CdcPartitionReader(
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
-      f.dv match {
+      val dvFiltered = f.dv match {
         case None => base
         case Some(dvPath) =>
           // deletion vector: this read is predicate-free and full-file,
@@ -607,6 +630,22 @@ final class CdcPartitionReader(
           val dv = DeletionVectors.readCached(conf.value, dvPath)
           var pos = -1L
           base.filter { _ => pos += 1; !DeletionVectors.contains(dv, pos) }
+      }
+      // the side's equality tombstones STRICTLY NEWER than this file's
+      // stamp drop matching keys — each diff side reads its own
+      // version's RESOLVED state (same in-task probe as the batch scan)
+      val applicable = eq.filter(_.seq > f.eqSeq)
+      if (applicable.isEmpty) dvFiltered
+      else {
+        val probes = applicable.map { spec =>
+          val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+            .create(spec.types.zip(spec.ords).map { case (t, o) =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(o, t,
+                nullable = true) }.toIndexedSeq)
+          (proj, PlainBatchRead.eqDeleteSet(spec, conf.value))
+        }
+        dvFiltered.filter(r =>
+          !probes.exists { case (p, set) => set.contains(p(r)) })
       }
     }
 
@@ -639,14 +678,14 @@ final class CdcPartitionReader(
   // doc); rows must be copied — the parquet reader reuses its row buffer
   private lazy val oldByKey: java.util.HashMap[Seq[Any], InternalRow] = {
     val m = new java.util.HashMap[Seq[Any], InternalRow]()
-    rows(part.oldFiles).foreach { r =>
+    rows(part.oldFiles, part.eqOld).foreach { r =>
       val c = r.copy()
       m.put(keyOf(c), c)
     }
     m
   }
 
-  private lazy val newIter = rows(part.newFiles)
+  private lazy val newIter = rows(part.newFiles, part.eqNew)
   private var leftoverIter: java.util.Iterator[InternalRow] = _
   private var current: InternalRow = _
 

@@ -113,9 +113,13 @@ class EqualityDeleteSpec extends SparkSpec {
     VersionedTable.upsertEqualityDelete(lib, "r",
       Seq((1L, 9.0)).toDF("k", "v"), keys = Seq("k"))
     val v = VersionedTable.currentVersion(lib, "r").get
-    val e1 = intercept[Exception](
-      VersionedTable.changes(lib, "r", 1L, v, Seq("k")))
-    assert(e1.getMessage.contains("equality tombstones"), e1.getMessage)
+    // the change feed RESOLVES live tombstones at read (no refusal, no
+    // compact): the eq-upsert of k=1 surfaces as exactly one update
+    val feed = VersionedTable.changes(lib, "r", 1L, v, Seq("k")).collect()
+    assert(feed.length == 1, feed.mkString(";"))
+    assert(feed.head.getAs[String]("op") == "update" &&
+      feed.head.getAs[Long]("k") == 1L &&
+      feed.head.getAs[Double]("v") == 9.0, feed.head.toString)
     val e2 = intercept[Exception](
       VersionedTable.cloneTable(lib, "r", lib, "r2", v))
     assert(e2.getMessage.contains("equality tombstones"), e2.getMessage)
@@ -345,8 +349,10 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(VersionedTable.tryCommitManifest(lib, "in",
       man.copy(version = cur + 1,
         props = man.props + ("eq_tombstones" -> inert))))
+    // the surfaces still gated on hasEqTombstones (rename) refuse and
+    // advertise "compact first" — that remediation must work below
     val e = intercept[Exception](
-      VersionedTable.changes(lib, "in", 1L, cur + 1, Seq("k")))
+      VersionedTable.renameColumn(lib, "in", "v", "val"))
     assert(e.getMessage.contains("equality tombstones"), e.getMessage)
     // ONE compact — no rewritable files (a single fresh file, no DVs,
     // nothing stamped) — must still commit the metadata-only prune
@@ -358,6 +364,46 @@ class EqualityDeleteSpec extends SparkSpec {
         "advertises exactly this remediation)")
     assert(VersionedTable.changes(lib, "in", v, v, Seq("k")).count() == 0L)
     assert(state("in").size == 30)
+  }
+
+  test("change feed resolves eq-upsert history: last-writer-wins diffs") {
+    // v1: load 0..99; v2: eq-upsert 40..59 -> -1; v3: eq-upsert 50..69
+    // (insert 100..109 via fresh keys too) -> -2
+    VersionedTable.load(lib, "cf",
+      Seq.tabulate(100)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "cf",
+      Seq.tabulate(20)(i => (40L + i, -1.0)).toDF("k", "v"), keys = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "cf",
+      Seq.tabulate(30)(i => (50L + i, -2.0)).toDF("k", "v") // 50..79
+        .union(Seq((100L, -2.0), (101L, -2.0)).toDF("k", "v")),
+      keys = Seq("k"))
+    def feed(a: Long, b: Long) =
+      VersionedTable.changes(lib, "cf", a, b, Seq("k"), includeOld = true)
+        .select("op", "k", "v", "v__old").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    // v1 -> v2: exactly the first batch's keys update
+    val f12 = feed(1L, 2L)
+    assert(f12.size == 20 && f12.forall(_._1 == "update"), f12.take(5))
+    assert(f12.contains(("update", 45L, -1.0, 45.0)))
+    // v2 -> v3: 50..59 update from -1; 60..79 update from base; inserts
+    val f23 = feed(2L, 3L)
+    assert(f23.contains(("update", 55L, -2.0, -1.0)),
+      "old side must be v2's RESOLVED state (-1), not the base value")
+    assert(f23.contains(("update", 65L, -2.0, 65.0)))
+    assert(f23.contains(("insert", 100L, -2.0, null)))
+    assert(f23.count(_._1 == "update") == 30 &&
+      f23.count(_._1 == "insert") == 2, f23.size.toString)
+    // v1 -> v3 folds: 40..49 -> -1, 50..79 -> -2, inserts
+    val f13 = feed(1L, 3L)
+    assert(f13.contains(("update", 45L, -1.0, 45.0)))
+    assert(f13.contains(("update", 55L, -2.0, 55.0)))
+    assert(f13.count(_._1 == "update") == 40 &&
+      f13.count(_._1 == "insert") == 2)
+    // an untouched-key file pruned by the delta tombstones' envelope
+    // never fabricates rows: no key outside 40..79/100..101 appears
+    assert(f13.forall(t => (t._2 >= 40L && t._2 < 80L) || t._2 >= 100L))
   }
 
   test("the streaming sink's equality mode: O(batch) epochs, exact state") {

@@ -135,6 +135,40 @@ class AppendTailStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out3).select("k").as[Long].collect().toSeq == Seq(6L))
   }
 
+  test("equality tombstones: resolved bootstrap; eq-upsert is a change commit") {
+    val src = new Catalog(spark, tmpDir("ateqsrc"))
+    val out = tmpDir("ateqout") + "/rows"
+    val ckpt = tmpDir("ateqck")
+    val log = new ConcurrentLinkedQueue[Long]()
+    VersionedTable.load(src, "t",
+      (1L to 30L).map(i => (i, s"v$i")).toDF("k", "s"), idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(src, "t",
+      (10L to 14L).map(i => (i, "EQ")).toDF("k", "s"), keys = Seq("k"))
+    // BOOTSTRAP over the live tombstone: the snapshot is the RESOLVED
+    // state — 30 rows, the tombstoned keys at their upserted values,
+    // never the dead originals
+    drain(reader(src), ckpt, log, out)
+    assert(log.asScala.toSeq == Seq(30L), log.asScala.toSeq.toString)
+    val got = spark.read.parquet(out).select("k", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 30 && got(12L) == "EQ" && got(5L) == "v5", got(12L))
+    // an eq-upsert MID-TAIL deletes rows from files it never touched —
+    // an invisible-to-file-walk change commit: refuse loudly
+    VersionedTable.upsertEqualityDelete(src, "t",
+      Seq((20L, "EQ2")).toDF("k", "s"), keys = Seq("k"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(reader(src), ckpt, log, out))
+    assert(e.getCause.getMessage.contains("equality tombstone"),
+      e.getCause.getMessage)
+    // skipChangeCommits skips that commit wholesale and the tail lives
+    VersionedTable.load(src, "t", Seq((31L, "v31")).toDF("k", "s"),
+      idOrder = Seq("k"))
+    log.clear()
+    drain(reader(src, Map("skipChangeCommits" -> "true")), ckpt, log, out)
+    assert(log.asScala.toSeq == Seq(1L),
+      s"the append after the skipped eq commit flows: ${log.asScala.toSeq}")
+  }
+
   test("maxBytesPerTrigger paces by manifest-recorded appended bytes") {
     val src = new Catalog(spark, tmpDir("atby"))
     (1 to 4).foreach { i =>

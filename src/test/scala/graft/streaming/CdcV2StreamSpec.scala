@@ -137,6 +137,45 @@ class CdcV2StreamSpec extends SparkSpec {
     assert(got.exists { case (_, k, s) => k == 5L && s == "UP" })
   }
 
+  test("the CDC stream replays across mid-history equality tombstones") {
+    val src = new Catalog(spark, tmpDir("v2eqsrc"))
+    val dst = new Catalog(spark, tmpDir("v2eqdst"))
+    val ckpt = tmpDir("v2eqck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t",
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "s"), idOrder = Seq("k"))
+    drain(src, dst, ckpt, log) // bootstrap the mirror
+    // a write-without-read upsert mid-stream: updates 10..19, inserts
+    // 41..45 — the checkpointed stream resumes ACROSS the live
+    // tombstone (no compact) and emits the exact last-writer-wins diff
+    VersionedTable.upsertEqualityDelete(src, "t",
+      ((10L to 19L).map(i => (i, "EQ")) ++
+        (41L to 45L).map(i => (i, s"n$i"))).toDF("k", "s"),
+      keys = Seq("k"))
+    log.clear()
+    drain(src, dst, ckpt, log)
+    def totalOps = log.asScala.toSeq.flatMap(_._3.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(totalOps == Map("update" -> 10L, "insert" -> 5L), totalOps.toString)
+    assert(snap(dst, "m") == snap(src, "t"))
+    // a SECOND tombstone STACKED on the still-live first: the old side
+    // of the diff is v's RESOLVED state (EQ for 15..19, base for 20..24)
+    VersionedTable.upsertEqualityDelete(src, "t",
+      (15L to 24L).map(i => (i, "EQ2")).toDF("k", "s"), keys = Seq("k"))
+    log.clear()
+    drain(src, dst, ckpt, log)
+    assert(totalOps == Map("update" -> 10L), totalOps.toString)
+    assert(snap(dst, "m") == snap(src, "t"))
+    // compaction materializes both tombstones: no logical row changes,
+    // so the feed emits NOTHING (the mirror needs no correction)
+    VersionedTable.compact(src, "t", 256L * 1024 * 1024)
+    log.clear()
+    drain(src, dst, ckpt, log)
+    assert(log.isEmpty,
+      s"materialization must not re-emit rows: ${log.asScala.toSeq}")
+    assert(snap(dst, "m") == snap(src, "t"))
+  }
+
   test("maxVersionsPerTrigger paces the drain one version per batch") {
     val src = new Catalog(spark, tmpDir("v2rsrc"))
     val dst = new Catalog(spark, tmpDir("v2rdst"))
