@@ -5387,14 +5387,41 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"'$table' records no schema — equality upsert needs a " +
           "schema-recording head (write once with load() first)"))
-    val incoming = prepareDeclaredColumns(tgt, table, headMan, incoming0)
+    val incoming0prepared = prepareDeclaredColumns(tgt, table, headMan, incoming0)
     val want = recorded.fieldNames.filterNot(_.equalsIgnoreCase(Loader.IdCol))
       .map(_.toLowerCase).toSet
-    val have = incoming.columns.map(_.toLowerCase).toSet
+    val have = incoming0prepared.columns.map(_.toLowerCase).toSet
     require(want == have,
       s"equality upsert cannot evolve the schema: table has " +
         s"${want.toSeq.sorted.mkString(",")}, batch has " +
         s"${have.toSeq.sorted.mkString(",")} — load() evolves first")
+    // TYPE alignment to the RECORDED schema by lossless upcast (a SQL
+    // VALUES literal arrives as decimal(2,1) for a double column; an
+    // unaligned write would poison the table's files) — anything lossy
+    // refuses: this path never evolves or narrows
+    val incoming = recorded.fields.toSeq
+      .filterNot(_.name.equalsIgnoreCase(Loader.IdCol))
+      .foldLeft(incoming0prepared) { (d, f) =>
+        val cur = d.schema.fields.find(_.name.equalsIgnoreCase(f.name)).get
+        if (cur.dataType == f.dataType) d
+        else {
+          // canUpCast, plus small-precision decimal → double (exactly
+          // representable at p ≤ 15 — the shape SQL literals arrive in)
+          val lossless = org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(cur.dataType, f.dataType) ||
+            ((cur.dataType, f.dataType) match {
+              case (dec: org.apache.spark.sql.types.DecimalType,
+                    org.apache.spark.sql.types.DoubleType) => dec.precision <= 15
+              case _ => false
+            })
+          require(lossless,
+            s"equality upsert cannot coerce '${f.name}' from " +
+              s"${cur.dataType.simpleString} to the recorded " +
+              s"${f.dataType.simpleString} — only lossless upcasts apply " +
+              "on this path (load() evolves the table instead)")
+          d.withColumn(cur.name, col(cur.name).cast(f.dataType))
+        }
+      }
     val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
     val maxId = man.maxId.getOrElse {
       val r = readVersion(tgt, table, cur.get)

@@ -1334,6 +1334,42 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the PURE-SQL equality-upsert query: the same history
+    * as [[sqlEquFixture]] driven ENTIRELY through SQL — CREATE/INSERT
+    * for the base, then `CALL eq_upsert(...)` twice (the F76 procedure
+    * surface: a SQL user reaches the write-without-read ingest path
+    * with no library import). Tombstones stay live; reads resolve. */
+  private val sqlEquSqlNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlEquSqlFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlEquSqlNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"geqs${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqleqs").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.eq " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      spark.sql(s"INSERT INTO $name.default.eq " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      spark.sql(s"""CALL $name.system.eq_upsert('eq',
+        'SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+         WHERE o_orderkey > 500 AND o_orderkey <= 1200', 'o_orderkey')""")
+      spark.sql(s"""CALL $name.system.eq_upsert('eq',
+        'SELECT o_orderkey, o_totalprice * 3 AS o_totalprice FROM orders
+         WHERE o_orderkey > 1100 AND o_orderkey <= 1300', 'o_orderkey')""")
+      val cat = new Catalog(spark, dir)
+      val v = VersionedTable.currentVersion(cat, "eq").get
+      require(VersionedTable.eqTombstoneKeyCols(cat, "eq", v).nonEmpty,
+        "the SQL eq_upsert fixture must leave live tombstones")
+      name
+    })
+  }
+
   /** Fixture for the SQL NAMESPACES query (F51): two namespaces in one
     * catalog — the reference's two-DB model (easy_etl/__init__.py:8-10
     * wires a source and a target database) in pure SQL: `src` holds a
@@ -1917,6 +1953,19 @@ object StorageQueries {
     // replays last-writer-wins by key.
     "q_eq_upsert" -> { (spark, sfDir) =>
       val name = sqlEquFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.eq
+        ORDER BY o_orderkey""")
+    },
+
+    // the write-without-read upsert from PURE SQL: `CALL eq_upsert(...)`
+    // drives the same history as q_eq_upsert with no library import —
+    // the fixture CREATEs, INSERTs, and CALLs twice; the read resolves
+    // the live tombstones in-task. Shares q_eq_upsert's oracle shape.
+    "q_eq_upsert_sql" -> { (spark, sfDir) =>
+      val name = sqlEquSqlFixture(spark, sfDir)
       spark.sql(s"""
         SELECT o_orderkey,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
@@ -3113,6 +3162,15 @@ object StorageQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_eq_upsert" ->
+      """SELECT o_orderkey,
+        |       CAST(FLOOR((CASE
+        |         WHEN o_orderkey > 1100 THEN o_totalprice * 3
+        |         WHEN o_orderkey > 500 THEN o_totalprice * 2
+        |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey <= 1300
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_eq_upsert_sql" ->
       """SELECT o_orderkey,
         |       CAST(FLOOR((CASE
         |         WHEN o_orderkey > 1100 THEN o_totalprice * 3

@@ -390,6 +390,40 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.eq_upsert('t', '<source>', 'k1,k2')` — the
+    * WRITE-WITHOUT-READ keyed upsert in pure SQL: `source` is a
+    * table/view name or any SELECT/WITH/VALUES statement; its frame
+    * commits as data files plus ONE key tombstone, never probing the
+    * target (the Iceberg equality-delete shape — O(batch) per
+    * statement, the continuous-CDC-ingest write path). Matched rows'
+    * surrogate ids are NOT preserved (delete + insert semantics, unlike
+    * MERGE's copy-on-write merge); reads resolve the tombstones
+    * in-task; compaction (or the `compact.trigger.eq_tombstones` prop)
+    * materializes them. Returns the committed version. */
+  def eqUpsert(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("eq_upsert",
+      "write-without-read keyed upsert: batch files + one key tombstone",
+      Array(param("table", StringType), param("source", StringType),
+        param("keys", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val c = cat()
+        val srcTxt = input.getUTF8String(1).toString.trim
+        // a statement-shaped source runs as SQL; anything else resolves
+        // as a table/view name (the two spellings users reach for)
+        val df =
+          if (srcTxt.matches("(?is)\\s*(select|with|values|from|table)\\b[\\s\\S]*"))
+            c.spark.sql(srcTxt)
+          else c.spark.table(srcTxt)
+        val keys = input.getUTF8String(2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val committed = VersionedTable.upsertEqualityDelete(c,
+          input.getUTF8String(0).toString, df, keys)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
+
   /** `CALL g.system.set_partition_spec('t', 'days(ts), truncate(4, h)')`
     * — partition-spec EVOLUTION as one metadata commit: old files stay
     * exactly as prunable as they were (file skipping reads zone maps,

@@ -366,6 +366,39 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(state("in").size == 30)
   }
 
+  test("CALL eq_upsert: the pure-SQL write-without-read surface") {
+    VersionedTable.load(lib, "sq",
+      Seq.tabulate(200)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    // source as a VIEW NAME; no target probe (the listener bound proves
+    // the library semantics carry to the SQL spelling)
+    Seq((5L, -9.0), (300L, -9.0)).toDF("k", "v")
+      .createOrReplaceTempView("eq_src_view")
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val v1 = try {
+      val r = spark.sql("CALL geq.system.eq_upsert('sq', 'eq_src_view', 'k')")
+        .head().getLong(0)
+      Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read.get() <= 20L,
+      s"CALL eq_upsert must not probe the 200-row target: ${read.get()}")
+    // source as a SELECT statement
+    val v2 = spark.sql("CALL geq.system.eq_upsert('sq', " +
+      "'SELECT id AS k, -2.0 AS v FROM range(100, 110)', 'k')")
+      .head().getLong(0)
+    assert(v2 == v1 + 1)
+    val s = state("sq")
+    assert(s.size == 201 && s(5L) == -9.0 && s(300L) == -9.0 &&
+      s(105L) == -2.0 && s(4L) == 4.0, s"$v1 ${s.size}")
+  }
+
   test("change feed resolves eq-upsert history: last-writer-wins diffs") {
     // v1: load 0..99; v2: eq-upsert 40..59 -> -1; v3: eq-upsert 50..69
     // (insert 100..109 via fresh keys too) -> -2
