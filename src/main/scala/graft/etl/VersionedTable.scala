@@ -4409,10 +4409,6 @@ object VersionedTable {
     val man = readManifest(src, srcTable, v).getOrElse(
       throw new IllegalArgumentException(
         s"table '$srcTable' has no version $v to clone"))
-    require(!hasEqTombstones(man.props),
-      s"'$srcTable' v$v carries live equality tombstones — a clone's " +
-        "stamp bookkeeping would not transfer; compact to materialize " +
-        "them first")
     val relToAbs = man.files.map(r =>
       r -> new Path(dataDir(src, srcTable), r).toString).toMap
     val committed = commitWithRetry(dstTable, "clone") { () =>
@@ -4428,8 +4424,12 @@ object VersionedTable {
           // the source's commit-carried metadata (recorded upsert keys
           // above all — the clone is byte-identical to a keyed table, so
           // CDC key-defaulting must keep working) PLUS clone provenance;
-          // commit_ts re-stamps at the clone's own commit
-          man.props ++
+          // commit_ts re-stamps at the clone's own commit. LIVE equality
+          // tombstones carry VERBATIM with their paths rebased absolute
+          // (same shared files as the data; the source's vacuum protects
+          // them through the clone marker like any referenced file) — a
+          // WAP audit branch over a hot CDC table needs no compact
+          rebaseEqProps(man.props, dataDir(src, srcTable)) ++
             Map("clone_src_dir" -> src.dir, "clone_src_table" -> srcTable,
               "clone_src_version" -> v.toString),
           // DV sidecars re-point by absolute path like the data files —
@@ -4532,8 +4532,12 @@ object VersionedTable {
           bman.rows.map { case (r, n) => abs(r) -> n },
           // the branch's props ARE the published truth (schema, mapping,
           // keys, constraints all descend from the clone point) — minus
-          // its clone provenance: the target is not a clone
-          bman.props - "clone_src_dir" - "clone_src_table"
+          // its clone provenance: the target is not a clone. Live
+          // tombstone paths rebase absolute under the BRANCH's data dir
+          // (its own eq-upserts' key files live there; carried-absolute
+          // entries pass through), so the published reads keep resolving
+          rebaseEqProps(bman.props, dataDir(branchCat, branchTable))
+            - "clone_src_dir" - "clone_src_table"
             - "clone_src_version",
           bman.dvs.map { case (r, (p, n)) => abs(r) -> ((abs(p), n)) })))
         Some(cur + 1)
@@ -5520,6 +5524,25 @@ object VersionedTable {
         f.delete(new Path(dataDir(tgt, table), r).getParent, true)))
       None
     }
+  }
+
+  /** Rebase equality-tombstone props onto ABSOLUTE paths under `base`
+    * (a clone / fast-forward publishing a manifest into another table's
+    * namespace): tombstone key files and stamp keys both re-point;
+    * already-absolute entries pass through untouched (Hadoop `Path`
+    * resolution — a clone-of-a-clone keeps the original owner's paths).
+    * No tombstones → the props verbatim. */
+  private def rebaseEqProps(props: Map[String, String],
+                            base: String): Map[String, String] = {
+    val ts = eqTombstonesOf(props)
+    if (ts.isEmpty) return props
+    def abs(r: String) = new Path(base, r).toString
+    val p1 = props + (EqDelProp -> renderEqTombstones(
+      ts.map(t => t.copy(files = t.files.map(abs)))))
+    val stamps = eqSeqsOf(props)
+    if (stamps.isEmpty) p1
+    else p1 + (EqSeqProp -> renderEqSeqs(
+      stamps.map { case (r, s) => abs(r) -> s }))
   }
 
   /** Tombstone/stamp hygiene for a rewriting commit (PURE — older

@@ -120,9 +120,17 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(feed.head.getAs[String]("op") == "update" &&
       feed.head.getAs[Long]("k") == 1L &&
       feed.head.getAs[Double]("v") == 9.0, feed.head.toString)
-    val e2 = intercept[Exception](
-      VersionedTable.cloneTable(lib, "r", lib, "r2", v))
-    assert(e2.getMessage.contains("equality tombstones"), e2.getMessage)
+    // CLONE carries live tombstones verbatim (paths rebased absolute):
+    // the clone reads the source's resolved state with no compact
+    VersionedTable.cloneTable(lib, "r", lib, "r2", v)
+    assert(state("r2") == state("r"), "clone ≡ source under live tombstones")
+    // the two evolve independently: compacting the CLONE materializes
+    // its copy; the SOURCE keeps resolving its still-live tombstones
+    VersionedTable.compact(lib, "r2", 256L * 1024 * 1024)
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "r2",
+      VersionedTable.currentVersion(lib, "r2").get).isEmpty)
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "r", v).nonEmpty)
+    assert(state("r2") == state("r"))
     val e3 = intercept[Exception](
       VersionedTable.renameColumn(lib, "r", "v", "val"))
     assert(e3.getMessage.contains("equality tombstones"), e3.getMessage)
@@ -364,6 +372,36 @@ class EqualityDeleteSpec extends SparkSpec {
         "advertises exactly this remediation)")
     assert(VersionedTable.changes(lib, "in", v, v, Seq("k")).count() == 0L)
     assert(state("in").size == 30)
+  }
+
+  test("branch + fast_forward carry live tombstones through the WAP cycle") {
+    VersionedTable.load(lib, "wb",
+      Seq.tabulate(100)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "wb",
+      Seq.tabulate(10)(i => (i.toLong, -1.0)).toDF("k", "v"), keys = Seq("k"))
+    // branch a HOT CDC table (live tombstone) — no compact required
+    val bt = VersionedTable.createBranch(lib, "wb", "audit")
+    assert(state(bt) == state("wb"), "branch head ≡ source head")
+    // audit writes land on the branch: an eq-upsert ON THE BRANCH
+    // stacks its own tombstone over the carried one
+    VersionedTable.upsertEqualityDelete(lib, bt,
+      Seq.tabulate(5)(i => (5L + i, -2.0)).toDF("k", "v"), keys = Seq("k"))
+    val bs = state(bt)
+    assert(bs(4L) == -1.0 && bs(7L) == -2.0 && bs(50L) == 50.0 &&
+      bs.size == 100, bs.take(3).toString)
+    assert(state("wb")(7L) == -1.0, "the source never sees audit writes")
+    // publish: one metadata commit; the published reads keep resolving
+    // BOTH tombstones (carried-absolute + branch-local, paths rebased)
+    VersionedTable.fastForward(lib, "wb", lib, bt)
+    assert(state("wb") == bs, "published state ≡ audited branch state")
+    // and the published table composes onward: feed + compact
+    val v = VersionedTable.currentVersion(lib, "wb").get
+    assert(VersionedTable.changes(lib, "wb", v, v, Seq("k")).count() == 0L)
+    VersionedTable.compact(lib, "wb", 256L * 1024 * 1024)
+    assert(state("wb") == bs)
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "wb",
+      VersionedTable.currentVersion(lib, "wb").get).isEmpty)
   }
 
   test("CALL eq_upsert: the pure-SQL write-without-read surface") {
