@@ -5392,40 +5392,55 @@ object VersionedTable {
         s"'$table' records no schema — equality upsert needs a " +
           "schema-recording head (write once with load() first)"))
     val incoming0prepared = prepareDeclaredColumns(tgt, table, headMan, incoming0)
-    val want = recorded.fieldNames.filterNot(_.equalsIgnoreCase(Loader.IdCol))
-      .map(_.toLowerCase).toSet
-    val have = incoming0prepared.columns.map(_.toLowerCase).toSet
-    require(want == have,
-      s"equality upsert cannot evolve the schema: table has " +
-        s"${want.toSeq.sorted.mkString(",")}, batch has " +
-        s"${have.toSeq.sorted.mkString(",")} — load() evolves first")
-    // TYPE alignment to the RECORDED schema by lossless upcast (a SQL
+    // SCHEMA EVOLUTION, the loader-ensure way: batch-only columns WIDEN
+    // the recorded schema — old rows (including the tombstoned eras'
+    // survivors) read them as null, the metadata-widening contract the
+    // readers already honor — and recorded columns the batch omits
+    // null-fill into the staged files. Only KEY columns must exist
+    // exactly (they are the tombstone's join identity); value-column
+    // TYPES coerce to the recorded types by lossless upcast (a SQL
     // VALUES literal arrives as decimal(2,1) for a double column; an
-    // unaligned write would poison the table's files) — anything lossy
-    // refuses: this path never evolves or narrows
-    val incoming = recorded.fields.toSeq
+    // unaligned write would poison the table's files), anything lossy
+    // refuses.
+    keys.foreach(k => require(
+      recorded.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"equality-upsert key '$k' is not a column of '$table' — key " +
+        "columns cannot be introduced by evolution"))
+    val recordedNonId = recorded.fields.toSeq
       .filterNot(_.name.equalsIgnoreCase(Loader.IdCol))
-      .foldLeft(incoming0prepared) { (d, f) =>
-        val cur = d.schema.fields.find(_.name.equalsIgnoreCase(f.name)).get
-        if (cur.dataType == f.dataType) d
-        else {
-          // canUpCast, plus small-precision decimal → double (exactly
-          // representable at p ≤ 15 — the shape SQL literals arrive in)
-          val lossless = org.apache.spark.sql.catalyst.expressions.Cast
-            .canUpCast(cur.dataType, f.dataType) ||
-            ((cur.dataType, f.dataType) match {
-              case (dec: org.apache.spark.sql.types.DecimalType,
-                    org.apache.spark.sql.types.DoubleType) => dec.precision <= 15
-              case _ => false
-            })
-          require(lossless,
-            s"equality upsert cannot coerce '${f.name}' from " +
-              s"${cur.dataType.simpleString} to the recorded " +
-              s"${f.dataType.simpleString} — only lossless upcasts apply " +
-              "on this path (load() evolves the table instead)")
-          d.withColumn(cur.name, col(cur.name).cast(f.dataType))
-        }
+    val extra = incoming0prepared.schema.fields.toSeq.filterNot(f =>
+      recorded.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    val missing = recordedNonId.filterNot(f =>
+      incoming0prepared.columns.exists(_.equalsIgnoreCase(f.name)))
+    val nullFilled = missing.foldLeft(incoming0prepared)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val aligned = recordedNonId.foldLeft(nullFilled) { (d, f) =>
+      val cur = d.schema.fields.find(_.name.equalsIgnoreCase(f.name)).get
+      if (cur.dataType == f.dataType) d
+      else {
+        // canUpCast, plus small-precision decimal → double (exactly
+        // representable at p ≤ 15 — the shape SQL literals arrive in)
+        val lossless = org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(cur.dataType, f.dataType) ||
+          ((cur.dataType, f.dataType) match {
+            case (dec: org.apache.spark.sql.types.DecimalType,
+                  org.apache.spark.sql.types.DoubleType) => dec.precision <= 15
+            case _ => false
+          })
+        require(lossless,
+          s"equality upsert cannot coerce '${f.name}' from " +
+            s"${cur.dataType.simpleString} to the recorded " +
+            s"${f.dataType.simpleString} — only lossless upcasts apply " +
+            "on this path")
+        d.withColumn(cur.name, col(cur.name).cast(f.dataType))
       }
+    }
+    // stable column order: the recorded schema's names first (recorded
+    // case wins — the widened SchemaProp must not fork on case), then
+    // the batch's new columns in batch order
+    val incoming = aligned.select(
+      (recordedNonId.map(f => col(f.name).as(f.name)) ++
+        extra.map(f => col(f.name))): _*)
     val order = if (idOrder.nonEmpty) idOrder else incoming.columns.toSeq
     val maxId = man.maxId.getOrElse {
       val r = readVersion(tgt, table, cur.get)
@@ -5504,10 +5519,16 @@ object VersionedTable {
       .orElse(Some(maxId))
     preCommitHook.value()
     val fm = manifestMeta(tgt, table, headMan, man.files, newParts, out.schema)
+    // widened (batch-only) columns record NULLABLE regardless of the
+    // batch frame's flag: every pre-evolution row reads them as null
+    val recordedOut = org.apache.spark.sql.types.StructType(
+      carryFieldMetadata(headMan, out.schema).fields.map(f =>
+        if (extra.exists(_.name.equalsIgnoreCase(f.name)))
+          f.copy(nullable = true) else f))
     val props = withMappingProps(
       ((man.props ++ extraProps) -- dropProps) +
         (UpsertKeysProp -> keys.mkString(",")) +
-        (SchemaProp -> schemaJson(carryFieldMetadata(headMan, out.schema))) +
+        (SchemaProp -> schemaJson(recordedOut)) +
         (EqDelProp -> renderEqTombstones(eq)) ++
         (if (stamps.isEmpty) Map.empty[String, String]
          else Map(EqSeqProp -> renderEqSeqs(stamps))),

@@ -1334,6 +1334,40 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the EVOLVING equality-upsert query: statement 2 WIDENS
+    * the schema (a new `flag` column — pre-evolution rows read null),
+    * statement 3 OMITS it (null-filled, delete+insert semantics) — the
+    * loader-ensure evolution contract on the write-without-read path.
+    * Tombstones stay live; reads resolve. */
+  private val sqlEquEvNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlEquEvFixture(spark: SparkSession, sfDir: String): Catalog = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    val dir = sqlEquEvNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val d = java.nio.file.Files.createTempDirectory("graft-sqleqev").toString
+      val cat = new Catalog(spark, d)
+      VersionedTable.load(cat, "eqv", spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800"),
+        idOrder = Seq("o_orderkey"))
+      VersionedTable.upsertEqualityDelete(cat, "eqv", spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'x' AS flag
+          |FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 900""".stripMargin),
+        keys = Seq("o_orderkey"))
+      VersionedTable.upsertEqualityDelete(cat, "eqv", spark.sql(
+        """SELECT o_orderkey, o_totalprice * 3 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 900 AND o_orderkey <= 1100""".stripMargin),
+        keys = Seq("o_orderkey"))
+      val v = VersionedTable.currentVersion(cat, "eqv").get
+      require(VersionedTable.eqTombstoneKeyCols(cat, "eqv", v).nonEmpty,
+        "the evolve fixture must leave live tombstones")
+      d
+    })
+    new Catalog(spark, dir)
+  }
+
   /** Fixture for the PURE-SQL equality-upsert query: the same history
     * as [[sqlEquFixture]] driven ENTIRELY through SQL — CREATE/INSERT
     * for the base, then `CALL eq_upsert(...)` twice (the F76 procedure
@@ -1971,6 +2005,20 @@ object StorageQueries {
                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         FROM $name.default.eq
         ORDER BY o_orderkey""")
+    },
+
+    // schema evolution ON the write-without-read path: statement 2
+    // widens (new `flag` column — pre-evolution rows, including the
+    // tombstoned era's survivors, read null), statement 3 omits it
+    // (null-filled). Oracle replays last-writer-wins with the same
+    // null pattern.
+    "q_eq_upsert_evolve" -> { (spark, sfDir) =>
+      val cat = sqlEquEvFixture(spark, sfDir)
+      VersionedTable.read(cat, "eqv")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("flag"))
+        .orderBy("o_orderkey")
     },
 
     // change feed ACROSS live equality tombstones — the composition the
@@ -3177,6 +3225,17 @@ object StorageQueries {
         |         WHEN o_orderkey > 500 THEN o_totalprice * 2
         |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey <= 1300
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_eq_upsert_evolve" ->
+      """SELECT o_orderkey,
+        |       CAST(FLOOR((CASE
+        |         WHEN o_orderkey > 900 THEN o_totalprice * 3
+        |         WHEN o_orderkey > 400 THEN o_totalprice * 2
+        |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents,
+        |       CASE WHEN o_orderkey > 400 AND o_orderkey <= 900 THEN 'x'
+        |            ELSE NULL END AS flag
+        |FROM orders WHERE o_orderkey <= 1100
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_change_feed_eq" ->

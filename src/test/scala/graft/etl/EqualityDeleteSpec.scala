@@ -374,6 +374,43 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(state("in").size == 30)
   }
 
+  test("equality upsert evolves the schema the loader-ensure way") {
+    VersionedTable.load(lib, "ev",
+      Seq.tabulate(100)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    // WIDEN: a batch-only column joins the recorded schema; every
+    // pre-evolution row (including the tombstoned era's survivors)
+    // reads it as null
+    VersionedTable.upsertEqualityDelete(lib, "ev",
+      Seq((5L, -1.0, "x"), (200L, -1.0, "y")).toDF("k", "v", "tag"),
+      keys = Seq("k"))
+    val s1 = VersionedTable.read(lib, "ev").select("k", "v", "tag").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(s1.size == 101)
+    assert(s1(5L) == ((-1.0, "x")) && s1(200L) == ((-1.0, "y")))
+    assert(s1(50L) == ((50.0, null)), "pre-evolution rows read null")
+    // NARROW batch: an omitted recorded column null-fills (delete +
+    // insert semantics — the matched row's old value does not merge)
+    VersionedTable.upsertEqualityDelete(lib, "ev",
+      Seq((6L, -2.0)).toDF("k", "v"), keys = Seq("k"))
+    val s2 = VersionedTable.read(lib, "ev").select("k", "v", "tag").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(s2(6L) == ((-2.0, null)) && s2(5L) == ((-1.0, "x")))
+    // KEY columns cannot be introduced by evolution
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.upsertEqualityDelete(lib, "ev",
+        Seq((1L, 1.0, 9L)).toDF("k", "v", "nk"), keys = Seq("nk")))
+    assert(e.getMessage.contains("cannot be introduced"), e.getMessage)
+    // the evolved history still compacts + feeds exactly
+    VersionedTable.compact(lib, "ev", 256L * 1024 * 1024)
+    val s3 = VersionedTable.read(lib, "ev").select("k", "v", "tag").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    assert(s3 == s2, "materialization preserves the evolved state")
+  }
+
   test("branch + fast_forward carry live tombstones through the WAP cycle") {
     VersionedTable.load(lib, "wb",
       Seq.tabulate(100)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
