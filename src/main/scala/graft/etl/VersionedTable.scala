@@ -419,6 +419,16 @@ object VersionedTable {
     * correct at any size; compaction clears it. */
   private[graft] val EqKeyBudgetProp = "eq.key_budget"
   private[graft] val DefaultEqKeyBudget = 4L * 1000 * 1000
+  /** Default [[CompactEqTombstonesProp]] stamped at a table's FIRST
+    * equality write when none is configured: a continuous
+    * `upsertMode=equality-delete` sink that never sets the trigger
+    * would accrete one live tombstone per epoch forever (every read
+    * paying O(live tombstones) anti-join groups). 32 bounds the
+    * read-side work while amortizing the compaction over ~32 epochs;
+    * override with any value (or a huge one to effectively disable)
+    * BEFORE or AFTER the first write — an explicitly-set prop is never
+    * touched. */
+  private[graft] val DefaultEqTombstoneTrigger = 32L
   private[graft] val CompactTargetBytesProp = "compact.target_bytes"
   private[graft] val DefaultCompactTargetBytes = 128L * 1024 * 1024
 
@@ -5020,7 +5030,9 @@ object VersionedTable {
 
   /** DESCRIBE HISTORY: one row per retained version, from PURE METADATA
     * (manifests + their commit mtimes — no data I/O): version,
-    * committed_at, n_files, total_bytes, total_rows, max_id, bucketed.
+    * committed_at, n_files, total_bytes, total_rows, max_id, bucketed,
+    * live_eq_tombstones, eq_tombstone_keys (recorded key total; null
+    * when any live tombstone predates count recording).
     * total_bytes/total_rows are null when any of the version's files
     * predates size/row recording (older writers) — absent, not wrong.
     * Driver-side tiny frame, vacuum-bounded. The audit surface a lake
@@ -5035,15 +5047,24 @@ object VersionedTable {
         .getOrElse(artifactMtime(tgt, table, v)))
       def total(m: Map[String, Long]): Option[Long] =
         if (man.files.forall(m.contains)) Some(man.files.map(m).sum) else None
+      // live-tombstone accretion per version (count + recorded keys) —
+      // the operator reads it here before deciding to compact
+      val ts2 = eqTombstonesOf(man.props)
+      val eqKeys =
+        if (ts2.isEmpty || ts2.exists(_.rows.isEmpty)) None
+        else Some(ts2.flatMap(_.rows).sum)
       (v, ts, man.props.get(OperationProp).orNull, man.files.size,
         total(man.sizes).map(java.lang.Long.valueOf).orNull,
         total(man.rows).map(java.lang.Long.valueOf).orNull,
         man.maxId.map(java.lang.Long.valueOf).orNull,
-        man.bucket.isDefined)
+        man.bucket.isDefined,
+        ts2.size,
+        eqKeys.map(java.lang.Long.valueOf).orNull)
     }
     import tgt.spark.implicits._
     rows.toDF("version", "committed_at", "operation", "n_files",
-      "total_bytes", "total_rows", "max_id", "bucketed")
+      "total_bytes", "total_rows", "max_id", "bucketed",
+      "live_eq_tombstones", "eq_tombstone_keys")
   }
 
   /** The shared explicit-file-list read (NTZ normalization included). */
@@ -5183,6 +5204,24 @@ object VersionedTable {
           "(or set compact.trigger.eq_tombstones) to materialize, or " +
           "raise eq.key_budget")
   }
+
+  /** Live-tombstone OBSERVABILITY summary of version `v`: (live
+    * tombstone count, distinct key columns, total recorded keys, total
+    * recorded bytes) — what `DESCRIBE EXTENDED` and `CALL history`
+    * surface so an operator can SEE the accretion the compaction
+    * triggers bound. Key/byte totals sum the write-time recorded
+    * counts; `None` when any live tombstone predates count recording. */
+  def eqTombstoneSummary(tgt: Catalog, table: String, v: Long)
+      : (Int, Seq[String], Option[Long], Option[Long]) =
+    readManifest(tgt, table, v).fold(
+      (0, Seq.empty[String], Option.empty[Long], Option.empty[Long])) { m =>
+      val ts = eqTombstonesOf(m.props)
+      def total(of: EqTombstone => Option[Long]): Option[Long] = {
+        val xs = ts.map(of)
+        if (ts.isEmpty || xs.exists(_.isEmpty)) None else Some(xs.flatten.sum)
+      }
+      (ts.size, ts.flatMap(_.keys).distinct, total(_.rows), total(_.bytes))
+    }
 
   /** Distinct key columns of version `v`'s live tombstones (lowercase) —
     * what the SQL scan keeps through pruning. Empty almost always. */
@@ -5525,8 +5564,14 @@ object VersionedTable {
       carryFieldMetadata(headMan, out.schema).fields.map(f =>
         if (extra.exists(_.name.equalsIgnoreCase(f.name)))
           f.copy(nullable = true) else f))
+    // first-equality-write DEFAULT compaction trigger (see
+    // [[DefaultEqTombstoneTrigger]]) — only when nothing configured it
+    val trigDefault: Map[String, String] =
+      if ((man.props ++ extraProps).contains(CompactEqTombstonesProp) ||
+          dropProps.contains(CompactEqTombstonesProp)) Map.empty
+      else Map(CompactEqTombstonesProp -> DefaultEqTombstoneTrigger.toString)
     val props = withMappingProps(
-      ((man.props ++ extraProps) -- dropProps) +
+      ((man.props ++ extraProps) -- dropProps) ++ trigDefault +
         (UpsertKeysProp -> keys.mkString(",")) +
         (SchemaProp -> schemaJson(recordedOut)) +
         (EqDelProp -> renderEqTombstones(eq)) ++

@@ -262,10 +262,25 @@ private[sources] final class GraftBatchTable(
       val cat = new Catalog(SparkSession.active, d)
       VersionedTable.headSummary(cat, t).foreach { case (v, props, bucket) =>
         m.put("current_version", v.toString)
-        props.foreach { case (k, x) => m.put(k, x) }
+        // the raw tombstone props are MACHINE state (the stamp map grows
+        // with the file count) — DESCRIBE shows the operator SUMMARY
+        // below instead
+        props.filterNot(kv =>
+          kv._1 == "eq_tombstones" || kv._1 == "eq_seqs")
+          .foreach { case (k, x) => m.put(k, x) }
         bucket.foreach { case (keys, n) =>
           m.put("bucket_keys", keys.mkString(","))
           m.put("num_buckets", n.toString)
+        }
+        // live write-without-read tombstones: the accretion the
+        // compaction triggers bound, visible per DESCRIBE EXTENDED
+        val (n, keyCols, nKeys, nBytes) =
+          VersionedTable.eqTombstoneSummary(cat, t, v)
+        if (n > 0) {
+          m.put("eq.tombstones.live", n.toString)
+          m.put("eq.tombstones.key_columns", keyCols.mkString(","))
+          nKeys.foreach(r => m.put("eq.tombstones.keys", r.toString))
+          nBytes.foreach(b => m.put("eq.tombstones.bytes", b.toString))
         }
       }
     }).getOrElse(())

@@ -514,6 +514,93 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(f13.forall(t => (t._2 >= 40L && t._2 < 80L) || t._2 >= 100L))
   }
 
+  test("tombstone accretion is observable: DESCRIBE EXTENDED + history") {
+    VersionedTable.load(lib, "ob",
+      Seq.tabulate(60)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "ob",
+      Seq.tabulate(10)(i => (i.toLong, -1.0)).toDF("k", "v"), keys = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "ob",
+      Seq.tabulate(5)(i => (i.toLong, -2.0)).toDF("k", "v"), keys = Seq("k"))
+    // DESCRIBE EXTENDED: the summary keys, never the raw machine props
+    // (the stamp map grows with the file count)
+    val props = spark.sql("DESCRIBE TABLE EXTENDED geq.default.ob")
+      .where(col("col_name") === "Table Properties")
+      .head().getString(1)
+    assert(props.contains("eq.tombstones.live=2"), props)
+    assert(props.contains("eq.tombstones.key_columns=k"), props)
+    assert(props.contains("eq.tombstones.keys=15"), props)
+    assert(props.contains("eq.tombstones.bytes="), props)
+    assert(!props.contains("eq_seqs"), "raw stamp maps must not surface")
+    // history: per-version accretion counts
+    val h = VersionedTable.history(lib, "ob")
+      .select("version", "live_eq_tombstones", "eq_tombstone_keys")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(h(1L) == ((0, -1L)) && h(2L) == ((1, 10L)) && h(3L) == ((2, 15L)), h)
+    // and the SQL procedure surface shows the same columns
+    val hp = spark.sql("CALL geq.system.history('ob')")
+      .where(col("version") === 3L)
+      .select("live_eq_tombstones", "eq_tombstone_keys").head()
+    assert(hp.getInt(0) == 2 && hp.getLong(1) == 15L)
+    // after compaction the counters return to zero
+    VersionedTable.compact(lib, "ob", 256L * 1024 * 1024)
+    val v = VersionedTable.currentVersion(lib, "ob").get
+    assert(VersionedTable.eqTombstoneSummary(lib, "ob", v) ==
+      ((0, Nil, None, None)))
+  }
+
+  test("the default eq trigger lands at first equality write and bounds a sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    VersionedTable.load(lib, "bd",
+      Seq.tabulate(50)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .format("graft")
+      .option("dir", warehouse).option("table", "bd")
+      .option("upsertKeys", "k").option("upsertMode", "equality-delete")
+      .option("checkpointLocation", tmpDir("geqbdck"))
+      .start()
+    try {
+      mem.addData((1L, -1.0))
+      q.processAllAvailable()
+      // the FIRST equality write stamps the conservative default — a
+      // sink that never configured a trigger must not accrete forever
+      val v1 = VersionedTable.currentVersion(lib, "bd").get
+      assert(VersionedTable.readManifest(lib, "bd", v1).get
+        .props.get("compact.trigger.eq_tombstones").contains("32"),
+        "the default compaction trigger must land at first equality write")
+      // a LONG run stays bounded: live tombstones never exceed the
+      // default before auto-compaction materializes them
+      var maxLive = 0
+      for (i <- 0 until 36) {
+        mem.addData((i.toLong % 50L, 1000.0 + i))
+        q.processAllAvailable()
+        val v = VersionedTable.currentVersion(lib, "bd").get
+        maxLive = math.max(maxLive,
+          VersionedTable.eqTombstoneSummary(lib, "bd", v)._1)
+      }
+      assert(maxLive <= 32,
+        s"accretion must stay bounded by the default trigger: $maxLive")
+      val vEnd = VersionedTable.currentVersion(lib, "bd").get
+      assert(VersionedTable.eqTombstoneSummary(lib, "bd", vEnd)._1 < 36,
+        "auto-compaction must have materialized at least once")
+    } finally q.stop()
+    val s = state("bd")
+    assert(s.size == 50 && s(40L) == 40.0)
+    assert(s(35L) == 1035.0, s"latest epoch wins: ${s(35L)}")
+    // an EXPLICIT trigger is never overwritten by the default
+    VersionedTable.setTableProps(lib, "bd",
+      Map("compact.trigger.eq_tombstones" -> "500"), Nil)
+    VersionedTable.upsertEqualityDelete(lib, "bd",
+      Seq((2L, -7.0)).toDF("k", "v"), keys = Seq("k"))
+    val vX = VersionedTable.currentVersion(lib, "bd").get
+    assert(VersionedTable.readManifest(lib, "bd", vX).get
+      .props.get("compact.trigger.eq_tombstones").contains("500"))
+  }
+
   test("the streaming sink's equality mode: O(batch) epochs, exact state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
