@@ -514,6 +514,41 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(f13.forall(t => (t._2 >= 40L && t._2 < 80L) || t._2 >= 100L))
   }
 
+  test("the eq feed prunes by key envelope: only files near the batch read") {
+    // ten range-disjoint files (one append commit each); an eq-upsert
+    // touching keys [0,100) must make the feed re-examine ONLY the one
+    // shared file whose zone maps overlap the tombstone's key envelope
+    // — at 100 TB this is the difference between O(delta) and O(table)
+    (0 until 10).foreach { i =>
+      VersionedTable.load(lib, "pe",
+        Seq.tabulate(1000)(j => ((i * 1000 + j).toLong, 1.0))
+          .toDF("k", "v"), idOrder = Seq("k"))
+    }
+    val vBase = VersionedTable.currentVersion(lib, "pe").get
+    VersionedTable.upsertEqualityDelete(lib, "pe",
+      Seq.tabulate(100)(i => (i.toLong, -1.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val feed = try {
+      val f = VersionedTable.changes(lib, "pe", vBase, vBase + 1, Seq("k"))
+        .collect()
+      Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+      f
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(feed.length == 100 && feed.forall(_.getAs[String]("op") == "update"))
+    // both sides of file 0 (2 x 1000) + the batch file twice + the
+    // tombstone keys + slack — far under the 10k-row table twice
+    assert(read.get() <= 3500L,
+      s"the envelope must prune untouched files from the diff: read " +
+        s"${read.get()} records (unpruned would be ~20000+)")
+  }
+
   test("tombstone accretion is observable: DESCRIBE EXTENDED + history") {
     VersionedTable.load(lib, "ob",
       Seq.tabulate(60)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
