@@ -56,7 +56,8 @@ object StorageQueries {
     "q_versioned_tag", "q_generated_column", "q_identity_column",
     "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
     "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge",
-    "q_zorder_cluster", "q_versioned_branch", "q_eq_upsert")
+    "q_zorder_cluster", "q_versioned_branch", "q_eq_upsert",
+    "q_eq_upsert_sql", "q_eq_upsert_evolve", "q_change_feed_eq")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -91,6 +92,8 @@ object StorageQueries {
     sqlZocFixture(spark, sfDir)
     sqlBrFixture(spark, sfDir)
     sqlEquFixture(spark, sfDir)
+    sqlEquSqlFixture(spark, sfDir)
+    sqlEquEvFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
