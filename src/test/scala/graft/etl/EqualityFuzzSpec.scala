@@ -30,7 +30,9 @@ class EqualityFuzzSpec extends SparkSpec {
       commit(VersionedTable.load(cat, "f", df(base), idOrder = Seq("k")))
 
       for (step <- 0 until 7) {
-        rnd.nextInt(5) match {
+        val prevState = state
+        val prevV = history.last._1
+        rnd.nextInt(6) match {
           case 0 => // append fresh keys
             val lo = 1000L * (step + 1)
             val rows = (lo until lo + 30 + rnd.nextInt(40)).map(k =>
@@ -54,6 +56,34 @@ class EqualityFuzzSpec extends SparkSpec {
           case 4 => // compaction materializes mid-history
             val v = VersionedTable.compact(cat, "f", 256L * 1024 * 1024)
             commit(v)
+          case 5 => // CoW range delete interleaves (prunes carried stamps)
+            val lo = rnd.nextInt(250).toLong
+            val hi = lo + 5 + rnd.nextInt(25)
+            state = state.filterNot { case (k, _) => k >= lo && k < hi }
+            commit(VersionedTable.delete(cat, "f",
+              col("k") >= lo && col("k") < hi))
+        }
+        // CHANGE FEED vs the model: the (prevV, curV] diff must equal
+        // the state diff — including ACROSS live tombstones (an
+        // eq-upsert's implied deletes/updates resolve at read). Updates
+        // compare by VALUE below; an eq reinsert of an identical value
+        // would also surface (new id) but the fuzz's step-salted values
+        // make that impossible.
+        val curV = history.last._1
+        if (curV > prevV) {
+          val feed = VersionedTable.changes(cat, "f", prevV, curV, Seq("k"))
+            .select("op", "k", "v").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+          val want = (prevState.keySet ++ state.keySet).flatMap { k =>
+            (prevState.get(k), state.get(k)) match {
+              case (None, Some(nv)) => Some(("insert", k, nv))
+              case (Some(ov), None) => Some(("delete", k, ov))
+              case (Some(ov), Some(nv)) if ov != nv => Some(("update", k, nv))
+              case _ => None
+            }
+          }
+          assert(feed == want, s"seed $seed step $step: feed diverged " +
+            s"(${(feed diff want).take(3)} vs ${(want diff feed).take(3)})")
         }
         // current state: full, filtered (both pruning-eligible and not)
         val got = VersionedTable.read(cat, "f").select("k", "v").collect()
