@@ -444,22 +444,33 @@ private[sources] final class GraftScanBuilder(
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = dataSchema
 
-  /** Key columns of LIVE equality tombstones (empty for most tables):
-    * the read applies key anti-filters inside the tasks, so these
-    * columns must survive pruning, manifest-math shortcuts (pushed
-    * aggregates, limit/top-N truncation) must stand down — row counts
-    * no longer tell the live truth until compaction materializes. */
-  private lazy val liveEqKeys: Seq[String] = {
+  /** Live equality-tombstone state at plan time: the key columns (the
+    * read applies key anti-filters inside the tasks, so these must
+    * survive pruning; pushed aggregates stand down — row counts no
+    * longer tell the live truth) and the KEY-COUNT PAD — the total
+    * recorded tombstone keys, the sound upper bound on how far recorded
+    * live-row counts can OVER-count. Limit/top-N truncation stays on
+    * with the pad added to its target (kept live rows ≥ kept recorded −
+    * pad); `None` pad (a tombstone without a write-time count) stands
+    * the truncations down entirely. */
+  private lazy val liveEqState: (Seq[String], Option[Long]) = {
     import GraftTableProvider.opt
     (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
       val cat = new Catalog(SparkSession.active, d)
       GraftTableProvider.resolveVersion(cat, t,
         opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
         .orElse(VersionedTable.currentVersion(cat, t))
-        .map(VersionedTable.eqTombstoneKeyCols(cat, t, _))
-        .getOrElse(Nil)
-    }).getOrElse(Nil)
+        .map { v =>
+          val (n, keyCols, nKeys, _) =
+            VersionedTable.eqTombstoneSummary(cat, t, v)
+          (keyCols, if (n == 0) Some(0L) else nKeys)
+        }
+        .getOrElse((Nil, Some(0L)))
+    }).getOrElse((Nil, Some(0L)))
   }
+
+  private def liveEqKeys: Seq[String] = liveEqState._1
+  private def liveEqPad: Option[Long] = liveEqState._2
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters
@@ -493,12 +504,15 @@ private[sources] final class GraftScanBuilder(
   // row count voids the truncation (never a wrong short read).
   private var limit: Option[Int] = None
 
-  override def pushLimit(l: Int): Boolean = {
-    // recorded row counts over-count through live equality tombstones —
-    // a truncated file set could return FEWER than l live rows
-    if (liveEqKeys.nonEmpty) return false
-    limit = Some(l)
-    true // partially pushed (default isPartiallyPushed = true)
+  override def pushLimit(l: Int): Boolean = liveEqPad match {
+    // recorded row counts over-count through live equality tombstones
+    // by AT MOST the recorded key total — truncate to (l + pad) so the
+    // kept files still hold ≥ l LIVE rows; Spark applies the exact l on
+    // top (partial push). An uncounted tombstone stands truncation down.
+    case Some(pad) if l.toLong + pad <= Int.MaxValue.toLong =>
+      limit = Some((l.toLong + pad).toInt)
+      true // partially pushed (default isPartiallyPushed = true)
+    case _ => false
   }
 
   // `ORDER BY c LIMIT n` (top-N): keep only files whose recorded range
@@ -513,10 +527,14 @@ private[sources] final class GraftScanBuilder(
       l: Int): Boolean = orders match {
     case Array(o) => o.expression() match {
       case n: org.apache.spark.sql.connector.expressions.NamedReference
-        if n.fieldNames().length == 1 =>
+        if n.fieldNames().length == 1 && liveEqPad.isDefined =>
+        // the same tombstone pad as pushLimit: the range walk's count
+        // target inflates by the recorded key total, so the threshold
+        // provably still covers the live top-l (without this, a dead
+        // top file's recorded rows could truncate the true top away)
         val asc = o.direction() ==
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
-        topN = Some((n.fieldNames()(0), asc, l.toLong))
+        topN = Some((n.fieldNames()(0), asc, l.toLong + liveEqPad.get))
         true
       case _ => false
     }

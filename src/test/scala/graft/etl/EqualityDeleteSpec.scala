@@ -549,6 +549,37 @@ class EqualityDeleteSpec extends SparkSpec {
         s"${read.get()} records (unpruned would be ~20000+)")
   }
 
+  test("top-N and LIMIT truncation stay exact over live tombstones") {
+    // ten range-disjoint files (v = k, so per-file v ranges are
+    // disjoint); an eq-upsert kills the whole TOP file's keys and
+    // reinserts them at NEGATIVE values — a count-based truncation that
+    // trusts recorded rows would keep only the (now-empty) top file and
+    // answer the ORDER BY ... LIMIT with nothing
+    (0 until 10).foreach { i =>
+      VersionedTable.load(lib, "tn",
+        Seq.tabulate(100)(j => ((i * 100 + j).toLong, (i * 100 + j).toLong))
+          .toDF("k", "s"), idOrder = Seq("k"))
+    }
+    VersionedTable.upsertEqualityDelete(lib, "tn",
+      Seq.tabulate(100)(j => ((900 + j).toLong, -(900L + j))).toDF("k", "s"),
+      keys = Seq("k"))
+    // top-5 by s DESC: the live top lives in file 9 (s 800..899) — the
+    // dead top file's recorded range must not truncate it away
+    val top = spark.sql(
+      "SELECT k, s FROM geq.default.tn ORDER BY s DESC LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top == (899L to 895L by -1L).map(k => (k, k)),
+      s"top-N must see through the tombstone: $top")
+    // ascending: the reinserted negatives ARE the live minimum
+    val bottom = spark.sql(
+      "SELECT k, s FROM geq.default.tn ORDER BY s ASC LIMIT 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bottom == Seq((999L, -999L), (998L, -998L), (997L, -997L)),
+      s"reinserted rows rank: $bottom")
+    // plain LIMIT: full count survives (1000 keys live)
+    assert(spark.sql("SELECT * FROM geq.default.tn LIMIT 950").count() == 950L)
+  }
+
   test("tombstone accretion is observable: DESCRIBE EXTENDED + history") {
     VersionedTable.load(lib, "ob",
       Seq.tabulate(60)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
