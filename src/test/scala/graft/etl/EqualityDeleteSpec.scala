@@ -578,6 +578,21 @@ class EqualityDeleteSpec extends SparkSpec {
       s"reinserted rows rank: $bottom")
     // plain LIMIT: full count survives (1000 keys live)
     assert(spark.sql("SELECT * FROM geq.default.tn LIMIT 950").count() == 950L)
+    // and the padded truncation still PRUNES: LIMIT 10 reads ~2 files
+    // (10 + the 100-key pad), not the 1100-row table
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(spark.sql("SELECT * FROM geq.default.tn LIMIT 10").count() == 10L)
+      Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read.get() <= 400L,
+      s"LIMIT must still truncate under the pad: read ${read.get()}")
   }
 
   test("tombstone accretion is observable: DESCRIBE EXTENDED + history") {
