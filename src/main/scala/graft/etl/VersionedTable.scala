@@ -3914,11 +3914,21 @@ object VersionedTable {
 
   /** LIVE rows of `rels` WITH their row identity: the data columns plus
     * `__graft_fp` (file path) and `__graft_ri` (row position), prior
-    * deletion vectors applied — the MOR upsert's probe input (a
-    * DV-deleted row must neither match nor resurrect). */
+    * deletion vectors AND live equality tombstones applied — the MOR
+    * upsert's probe input. A DV-deleted row must neither match nor
+    * resurrect; a TOMBSTONED row must not match either — its reinserted
+    * twin is also in the probe, and matching both would merge the same
+    * key twice (duplicate rows in one commit). */
   private def readRelsLiveWithIdentity(tgt: Catalog, table: String,
                                        man: Manifest, rels: Seq[String],
                                        sch: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame =
+    readRelsEq(tgt, table, man, rels,
+      g => readRelsLiveWithIdentityNoEq(tgt, table, man, g, sch))
+
+  private def readRelsLiveWithIdentityNoEq(tgt: Catalog, table: String,
+                                           man: Manifest, rels: Seq[String],
+                                           sch: Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
     def abs(r: String) = new Path(dataDir(tgt, table), r).toString
     val physOf = physOfMan(man)

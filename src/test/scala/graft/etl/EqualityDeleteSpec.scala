@@ -595,6 +595,42 @@ class EqualityDeleteSpec extends SparkSpec {
       s"LIMIT must still truncate under the pad: read ${read.get()}")
   }
 
+  test("the MOR keyed upsert probe sees through live tombstones") {
+    // merge-on-read table, then a write-without-read upsert (live
+    // tombstone), then a LIBRARY keyed upsert (the MOR load path): its
+    // probe must match LIVE rows only — matching a dead original AND
+    // its reinserted twin would commit duplicate keys
+    VersionedTable.load(lib, "mu",
+      Seq.tabulate(1000)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"), upsertFields = Seq("k"),
+      extraProps = Map("write_mode" -> "merge-on-read"))
+    VersionedTable.upsertEqualityDelete(lib, "mu",
+      Seq.tabulate(10)(i => (i.toLong, -1.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    val preFiles = VersionedTable.files(lib, "mu",
+      VersionedTable.currentVersion(lib, "mu").get).toSet
+    VersionedTable.load(lib, "mu",
+      Seq.tabulate(10)(i => ((5 + i).toLong, 500.0)).toDF("k", "v"),
+      idOrder = Seq("k"), upsertFields = Seq("k"))
+    val v3 = VersionedTable.currentVersion(lib, "mu").get
+    // the MOR path must actually run (1% matched — far under the
+    // dv_max_fraction fallback): prior files carry verbatim
+    assert((preFiles -- VersionedTable.files(lib, "mu", v3).toSet).isEmpty,
+      "the merge-on-read upsert must carry prior files verbatim")
+    val rows = VersionedTable.read(lib, "mu").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 1000,
+      s"no duplicates, no loss: ${rows.length} (dupes: " +
+        s"${rows.groupBy(_._1).filter(_._2.length > 1).keys.take(5)})")
+    val s = rows.toMap
+    assert(s(7L) == 500.0 && s(14L) == 500.0, "matched keys take new values")
+    assert(s(2L) == -1.0, "tombstone-era reinserts keep their values")
+    assert(s(50L) == 50.0)
+    // ids stay unique through the composition
+    assert(VersionedTable.read(lib, "mu").select("id").distinct().count()
+      == 1000L)
+  }
+
   test("tombstone accretion is observable: DESCRIBE EXTENDED + history") {
     VersionedTable.load(lib, "ob",
       Seq.tabulate(60)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
