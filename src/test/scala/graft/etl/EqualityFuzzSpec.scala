@@ -14,6 +14,18 @@ class EqualityFuzzSpec extends SparkSpec {
   import spark.implicits._
 
   test("seeded fuzz: random eq-upsert histories ≡ the in-memory model") {
+    fuzz(Map.empty)
+  }
+
+  test("seeded fuzz: the same histories on a MERGE-ON-READ table") {
+    // the CoW keyed upserts in the mix route through morUpsertAttempt
+    // and the range deletes through deleteMorAttempt — the DV + eq
+    // composition on every interleaving (the probe-read class of bug
+    // hand-written cases missed)
+    fuzz(Map("write_mode" -> "merge-on-read"))
+  }
+
+  private def fuzz(tableProps: Map[String, String]): Unit = {
     import scala.util.Random
     for (seed <- Seq(7L, 23L, 91L)) {
       val rnd = new Random(seed)
@@ -27,7 +39,8 @@ class EqualityFuzzSpec extends SparkSpec {
       // first load
       val base = (0L until 200L).map(k => k -> (k * 1.0))
       state = base.toMap
-      commit(VersionedTable.load(cat, "f", df(base), idOrder = Seq("k")))
+      commit(VersionedTable.load(cat, "f", df(base), idOrder = Seq("k"),
+        upsertFields = Seq("k"), extraProps = tableProps))
 
       for (step <- 0 until 7) {
         val prevState = state
