@@ -176,6 +176,33 @@ class CdcV2StreamSpec extends SparkSpec {
     assert(snap(dst, "m") == snap(src, "t"))
   }
 
+  test("eq diffs on a bucketed table plan per-bucket partitions") {
+    val src = new Catalog(spark, tmpDir("v2eqbsrc"))
+    val dst = new Catalog(spark, tmpDir("v2eqbdst"))
+    val ckpt = tmpDir("v2eqbck")
+    val log = new ConcurrentLinkedQueue[(Long, Int, Map[String, Long])]()
+    VersionedTable.load(src, "t",
+      (1L to 64L).map(i => (i, s"v$i")).toDF("k", "s"),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 8)))
+    drain(src, dst, ckpt, log)
+    // an eq-upsert of TWO keys: the diff batch must plan BUCKET-SCOPED
+    // keyed partitions (one per touched bucket — parallel, bounded
+    // state), never one monolithic old/new pair. Hash-bucketed files
+    // carry wide key ranges, so the key envelope cannot prune them
+    // here (range pruning is a clustered-layout property); the bucket
+    // grouping is what bounds the per-task state at scale.
+    VersionedTable.upsertEqualityDelete(src, "t",
+      Seq((7L, "EQ"), (9L, "EQ")).toDF("k", "s"), keys = Seq("k"))
+    log.clear()
+    drain(src, dst, ckpt, log)
+    val batches = log.asScala.toSeq
+    assert(batches.map(_._3) == Seq(Map("update" -> 2L)), batches.toString)
+    assert(batches.head._2 > 1 && batches.head._2 <= 8,
+      s"the eq diff must plan per-bucket partitions, not one pair: " +
+        s"${batches.head._2}")
+    assert(snap(dst, "m") == snap(src, "t"))
+  }
+
   test("maxVersionsPerTrigger paces the drain one version per batch") {
     val src = new Catalog(spark, tmpDir("v2rsrc"))
     val dst = new Catalog(spark, tmpDir("v2rdst"))
