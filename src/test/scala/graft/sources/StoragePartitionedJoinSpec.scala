@@ -159,6 +159,34 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       "FROM gj.default.a GROUP BY k)").head().getLong(0) == 1L)
   }
 
+  test("SPJ over live equality tombstones: exact, still zero exchanges") {
+    // a write-without-read upsert on one side must not break the keyed
+    // partitioning (the batch writes into bucket dirs; the in-task key
+    // anti-filters resolve the tombstones inside each keyed partition)
+    VersionedTable.load(lib, "ea",
+      Seq.tabulate(400)(i => (i.toLong, i * 1.0)).toDF("k", "va"),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 4)))
+    VersionedTable.load(lib, "eb",
+      Seq.tabulate(400)(i => (i.toLong, i * 2.0)).toDF("k", "vb"),
+      idOrder = Seq("k"), bucketBy = Some((Seq("k"), 4)))
+    VersionedTable.upsertEqualityDelete(lib, "ea",
+      Seq.tabulate(50)(i => (i.toLong, -1.0)).toDF("k", "va"),
+      keys = Seq("k"))
+    noBroadcast {
+      val j = spark.sql("SELECT a.k, a.va, b.vb FROM gj.default.ea a " +
+        "JOIN gj.default.eb b ON a.k = b.k")
+      assert(shuffles(j) == 0,
+        "tombstones must not cost the join its co-location")
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(rows.length == 400)
+      assert(rows.groupBy(_._1).forall(_._2.length == 1), "no duplicates")
+      val m = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(m(5L) == ((-1.0, 10.0)), "tombstoned side resolves in-task")
+      assert(m(100L) == ((100.0, 200.0)))
+    }
+  }
+
   test("disabling the conf restores the shuffled plan (results identical)") {
     val old = spark.conf.get("spark.sql.sources.v2.bucketing.enabled")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
