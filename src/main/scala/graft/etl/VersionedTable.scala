@@ -2572,10 +2572,29 @@ object VersionedTable {
         val props1 = if (upsertFields.nonEmpty)
           props0 + (UpsertKeysProp -> upsertFields.mkString(","))
         else props0
+        // [[EqLiveUniqueProp]] base case / conservative clear: a KEYED
+        // FIRST load verifies the staged batch is key-distinct (one
+        // column-pruned O(batch) job, once per table — the whole table
+        // IS the batch here) and records the invariant; every other load
+        // shape (appends, CoW merges, bucket-scoped rewrites) may land
+        // duplicate keys, so the flag drops and the truncation pad
+        // stands down until an eq-upsert chain re-establishes it
+        val liveUniqueAdj: Map[String, String] =
+          if (upsertFields.nonEmpty && existing.isEmpty &&
+              newRel.nonEmpty && {
+                val staged = newRel.flatMap(fm.rows.get)
+                staged.size == newRel.size &&
+                  staged.sum == readFileList(tgt, newAbs, Some(out.schema),
+                    physOf).select(upsertFields.map(col): _*)
+                    .distinct().count()
+              })
+            Map(EqLiveUniqueProp -> eqUniqueKeyCsv(upsertFields))
+          else Map.empty
+        val props2 = (props1 - EqLiveUniqueProp) ++ liveUniqueAdj
         val props = withMappingProps(
           (((if (bloomBy.nonEmpty)
-            props1 + (BloomColsProp -> bloomBy.mkString(","))
-          else props1) ++ extraProps) -- dropProps) +
+            props2 + (BloomColsProp -> bloomBy.mkString(","))
+          else props2) ++ extraProps) -- dropProps) +
             // the committed batch's schema is the version's schema — the
             // read-path source of truth (see SchemaProp)
             (SchemaProp -> schemaJson(carryFieldMetadata(headMan, out.schema))),
@@ -2753,7 +2772,7 @@ object VersionedTable {
   private[graft] def isReservedProp(k: String): Boolean =
     Set(SchemaProp, ColMapProp, ColMapRetiredProp, CommitTsProp,
       UpsertKeysProp, CheckConstraintsProp, PartitionSpecProp,
-      ClusterByProp, OperationProp).contains(k) ||
+      ClusterByProp, OperationProp, EqLiveUniqueProp).contains(k) ||
       k.startsWith(org.apache.spark.sql.graft.GraftStreamWrite.EpochPropPrefix)
 
   /** METADATA-ONLY `ALTER TABLE SET/UNSET TBLPROPERTIES` — ONE manifest
@@ -3253,7 +3272,10 @@ object VersionedTable {
           // an overwrite replaces EVERY file, so any live equality
           // tombstone becomes inert — prune it (its refusal matrix
           // would otherwise keep gating CDC/clone/renames for nothing)
-          withMappingProps(pruneEqProps(headMan.props, newRel) +
+          // replaced contents are arbitrary — live-key uniqueness
+          // ([[EqLiveUniqueProp]]) does not survive an overwrite
+          withMappingProps(pruneEqProps(headMan.props - EqLiveUniqueProp,
+            newRel) +
             (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan),
               out.schema))), physOf, retiredOf(headMan)))))
         Some(cur + 1)
@@ -3336,8 +3358,10 @@ object VersionedTable {
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepRel ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
         // the rewrite's eq-filtered output materializes any tombstone
-        // whose last stamped file it replaced — prune the inert entries
-        pruneEqProps(headMan.props, keepRel) +
+        // whose last stamped file it replaced — prune the inert entries.
+        // UPDATE/MERGE may rewrite key values into duplicates — the
+        // live-uniqueness invariant drops ([[EqLiveUniqueProp]])
+        pruneEqProps(headMan.props - EqLiveUniqueProp, keepRel) +
           (SchemaProp -> schemaJson(carryFieldMetadata(Some(headMan), out.schema))),
         dvCarry(Some(headMan), keepRel)))) {
       maybeAutoCompact(tgt, table)
@@ -3598,11 +3622,20 @@ object VersionedTable {
     val fm = manifestMeta(tgt, table, Some(headMan), keepSafe,
       rwParts ++ newParts ++ idParts ++ emptyParts,
       schemaFull.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
+    // [[EqLiveUniqueProp]]: inserted/modified rows (MOR upsert merges,
+    // MERGE inserts, UPDATE rewrites) may introduce duplicate keys —
+    // the uniqueness invariant drops; a pure delete (DV-only) only
+    // removes rows and preserves it
+    val propsAfter = {
+      val p = (headMan.props ++ propsDelta) -- dropProps
+      if (stagedFiles.nonEmpty || stagedWithIds.nonEmpty)
+        p - EqLiveUniqueProp
+      else p
+    }
     if (tryCommitManifest(tgt, table,
       Manifest(expectedVersion + 1, committedMax, headMan.bucket,
         keepSafe ++ newRel, fm.stats, fm.sizes, fm.nulls, fm.rows,
-        pruneEqProps((headMan.props ++ propsDelta) -- dropProps,
-          keepSafe ++ newRel),
+        pruneEqProps(propsAfter, keepSafe ++ newRel),
         (dvCarry(Some(headMan), keepSafe) ++ newDvs) -- goneSafe -- newRel))) {
       // rewritten files' merged sidecars were commit-transient: nothing
       // references them now (best-effort — vacuum sweeps leftovers)
@@ -4640,6 +4673,32 @@ object VersionedTable {
       if (f.exists(p)) { f.delete(p, false); () }
     } catch { case _: java.io.IOException => () }
 
+  /** [[releaseRef]] restricted to markers of `kind` — the DROP surfaces'
+    * release: dropTag must never delete a reservation a concurrent
+    * create_branch just took (and vice versa), so the release
+    * check-then-act is scoped to the dropper's own ref kind. A marker
+    * whose kind cannot be read (torn write) still releases — corrupt
+    * reservations must stay sweepable. Residual same-kind window
+    * (dropTag(ifExists) sweeping a stale tag marker while another
+    * create_tag is mid-create): best-effort by design — the loser's tag
+    * file still lands and holds the name via create-exclusivity; only
+    * its marker is gone (the tolerated "legacy tag" shape). */
+  private def releaseRefOfKind(tgt: Catalog, table: String, name: String,
+                               kind: String): Unit =
+    try {
+      val f = fs(tgt, metaDir(tgt, table))
+      val p = refMarkerPath(tgt, table, name)
+      if (f.exists(p)) {
+        val heldAs = scala.util.Try {
+          val in = f.open(p)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          mapper.readTree(txt).get("kind").asText()
+        }.toOption
+        if (heldAs.forall(_ == kind)) { f.delete(p, false); () }
+      }
+    } catch { case _: java.io.IOException => () }
+
   /** Tag names: identifier-shaped, never digit-led — a name that could
     * parse as a VERSION AS OF number would be ambiguous in every
     * resolution surface. */
@@ -4710,7 +4769,10 @@ object VersionedTable {
     // the reservation releases only when no ref of EITHER kind still
     // holds the name (a branch's reservation must survive a tag drop)
     def releaseIfFree(): Unit =
-      if (branchTableOf(tgt, table, name).isEmpty) releaseRef(tgt, table, name)
+      if (branchTableOf(tgt, table, name).isEmpty)
+        // kind-scoped: a reservation a concurrent create_branch took
+        // between the check above and this delete is NOT ours to release
+        releaseRefOfKind(tgt, table, name, "tag")
     if (f.exists(p)) {
       val r = f.delete(p, false)
       releaseIfFree()
@@ -4905,9 +4967,11 @@ object VersionedTable {
     val f = fs(tgt, metaDir(tgt, table))
     val p = branchPath(tgt, table, name)
     // mirror of dropTag: release the shared reservation only when no
-    // ref of either kind still holds the name
+    // ref of either kind still holds the name — and kind-scoped, so a
+    // reservation a concurrent create_tag just took is never deleted
     def releaseIfFree(): Unit =
-      if (tagVersion(tgt, table, name).isEmpty) releaseRef(tgt, table, name)
+      if (tagVersion(tgt, table, name).isEmpty)
+        releaseRefOfKind(tgt, table, name, "branch")
     if (f.exists(p)) {
       val r = f.delete(p, false)
       releaseIfFree()
@@ -5138,13 +5202,40 @@ object VersionedTable {
     * metadata, known for free) so scan planning and the observability
     * surfaces can reason about accretion without opening a key file;
     * absent on tombstones committed by earlier versions of the layer. */
+  /** `uniq`: whether this tombstone provably kills AT MOST ONE row per
+    * recorded key — true only when the staged batch was internally
+    * key-distinct (staged row count == recorded key count, both
+    * manifest metadata) AND the parent's live rows were key-unique
+    * ([[EqLiveUniqueProp]] held at commit). The LIMIT/top-N truncation
+    * pad (kept live rows ≥ kept recorded − total keys) is sound only
+    * when EVERY live tombstone carries `uniq = true`: an equality key
+    * deletes ALL matching rows, so with duplicates one key's recorded
+    * over-count can exceed the pad and a pushed limit would silently
+    * short-read. `None` (pre-flag manifests) reads as not-provably-
+    * unique — truncation stands down, never answers wrong. */
   private[etl] final case class EqTombstone(files: Seq[String], seq: Long,
                                             keys: Seq[String],
                                             rows: Option[Long] = None,
-                                            bytes: Option[Long] = None)
+                                            bytes: Option[Long] = None,
+                                            uniq: Option[Boolean] = None)
 
   private[graft] val EqDelProp = "eq_tombstones"
   private[graft] val EqSeqProp = "eq_seqs"
+
+  /** `eq.live_unique`: present (value = the lowercase-sorted key csv)
+    * only while the table's LIVE rows are provably key-unique on those
+    * columns — the induction the tombstone `uniq` flags build on. Set
+    * by a verified keyed first load and re-established by each
+    * key-distinct equality upsert; CLEARED by every write path that
+    * could introduce a duplicate key (plain/CoW loads, MOR upserts,
+    * row-level UPDATE/MERGE, replace) — deletes, compaction,
+    * reclustering, and metadata-only commits preserve it. Engine-owned
+    * ([[isReservedProp]]): user TBLPROPERTIES cannot forge it. */
+  private[graft] val EqLiveUniqueProp = "eq.live_unique"
+
+  /** Canonical [[EqLiveUniqueProp]] value for `keys`. */
+  private def eqUniqueKeyCsv(keys: Seq[String]): String =
+    keys.map(_.toLowerCase).sorted.mkString(",")
 
   private[etl] def eqTombstonesOf(props: Map[String, String]): Seq[EqTombstone] =
     props.get(EqDelProp).toSeq.flatMap { j =>
@@ -5156,7 +5247,8 @@ object VersionedTable {
           o.get("seq").asLong(),
           (0 until o.get("keys").size).map(o.get("keys").get(_).asText()),
           Option(o.get("rows")).map(_.asLong()),
-          Option(o.get("bytes")).map(_.asLong()))
+          Option(o.get("bytes")).map(_.asLong()),
+          Option(o.get("uniq")).map(_.asBoolean()))
       }
     }
 
@@ -5178,6 +5270,7 @@ object VersionedTable {
       val ks = o.putArray("keys"); t.keys.foreach(ks.add)
       t.rows.foreach(o.put("rows", _))
       t.bytes.foreach(o.put("bytes", _))
+      t.uniq.foreach(o.put("uniq", _))
     }
     mapper.writeValueAsString(arr)
   }
@@ -5231,6 +5324,27 @@ object VersionedTable {
         if (ts.isEmpty || xs.exists(_.isEmpty)) None else Some(xs.flatten.sum)
       }
       (ts.size, ts.flatMap(_.keys).distinct, total(_.rows), total(_.bytes))
+    }
+
+  /** The SQL scan's LIMIT/top-N truncation state at version `v`:
+    * `(key columns, pad)`. The pad — total recorded tombstone keys, the
+    * amount recorded row counts can over-count live rows by — is `Some`
+    * ONLY when every live tombstone both records a key count and is
+    * flagged `uniq` (kills ≤ 1 row per key, see [[EqTombstone]]): a
+    * duplicate-keyed table's tombstone can kill arbitrarily many rows
+    * per key, so there the truncations must stand down entirely.
+    * `Some(0)` with no live tombstones: truncate freely. */
+  def eqTruncationState(tgt: Catalog, table: String, v: Long)
+      : (Seq[String], Option[Long]) =
+    readManifest(tgt, table, v).fold(
+      (Seq.empty[String], Option.empty[Long])) { m =>
+      val ts = eqTombstonesOf(m.props)
+      val pad =
+        if (ts.isEmpty) Some(0L)
+        else if (ts.forall(t => t.rows.isDefined && t.uniq.contains(true)))
+          Some(ts.flatMap(_.rows).sum)
+        else None
+      (ts.flatMap(_.keys).distinct, pad)
     }
 
   /** Distinct key columns of version `v`'s live tombstones (lowercase) —
@@ -5287,12 +5401,25 @@ object VersionedTable {
     def envOf(t: EqTombstone): Option[Map[String, (String, String, String)]] =
       envCache.getOrElseUpdate(ident(t), scala.util.Try {
         val abs = t.files.map(r => new Path(dataDir(tgt, table), r).toString)
-        val perFile = graft.sources.ParquetSource
-          .footerColumnRanges(tgt.spark, abs, t.keys)
+        val meta = graft.sources.ParquetSource
+          .footerFileMeta(tgt.spark, abs, t.keys)
+        val perFile = meta.map { case (f, (_, ranges, _)) => f -> ranges }
         val merged = t.keys.flatMap { k =>
+          // NULL-AWARE: footer ranges exclude nulls, but the read path
+          // applies tombstones null-safely (<=> joins / null-matching
+          // probes) — a null key tuple matches null-keyed data rows in
+          // ANY file, so a key column whose tombstone files record any
+          // nulls (or an unknown count) must not participate in pruning
+          // (the per-column drop keeps the other, null-free key columns
+          // pruning; the data-file side needs no twin check — a
+          // null-free tombstone column only matches non-null data rows,
+          // which the file's min/max stats do cover)
+          val nullFree = abs.forall(f => meta.get(f)
+            .flatMap(_._3.find(_._1.equalsIgnoreCase(k)).map(_._2))
+            .contains(0L))
           val ranges = abs.map(f => perFile.getOrElse(f, Map.empty)
             .find(_._1.equalsIgnoreCase(k)).map(_._2))
-          if (ranges.exists(_.isEmpty)) None
+          if (!nullFree || ranges.exists(_.isEmpty)) None
           else {
             val rs = ranges.flatten
             val tags = rs.map(_._1).distinct
@@ -5311,7 +5438,11 @@ object VersionedTable {
             }
           }
         }.toMap
-        if (merged.size == t.keys.size) Some(merged) else None
+        // a PARTIAL envelope still prunes: a tuple match needs every
+        // column to match, so one provably-disjoint column excludes a
+        // file even when the others are untrackable (mayOverlap treats
+        // absent columns as may-overlap). No usable column → keep all.
+        if (merged.nonEmpty) Some(merged) else None
       }.toOption.flatten)
     // may a key tuple of `t` live in file `rel`? Needs EVERY key
     // column's ranges to overlap (a tuple match requires all columns);
@@ -5431,7 +5562,9 @@ object VersionedTable {
     val cur = currentVersion(tgt, table)
     if (cur.isEmpty)
       // first load: nothing to tombstone — the plain keyed load records
-      // the keys and lays the table out
+      // the keys, lays the table out, and (as every keyed first load
+      // does) starts the uniqueness induction ([[EqLiveUniqueProp]])
+      // from a verified base
       return loadAttempt(tgt, table, incoming0, keys, idOrder,
         ensure = true, safe = false, None, extraProps, Nil, dropProps)
     val headMan = readManifest(tgt, table, cur.get)
@@ -5467,8 +5600,14 @@ object VersionedTable {
       val cur = d.schema.fields.find(_.name.equalsIgnoreCase(f.name)).get
       if (cur.dataType == f.dataType) d
       else {
-        // canUpCast, plus small-precision decimal → double (exactly
-        // representable at p ≤ 15 — the shape SQL literals arrive in)
+        // canUpCast, plus small-precision decimal → double. NOT exact
+        // (0.1 has no binary representation) but ROUND-TRIP-UNIQUE at
+        // p ≤ 15: distinct decimals map to distinct doubles, so values
+        // written and probed through the same cast stay self-consistent
+        // — which is what the tombstone join needs. Intentionally also
+        // applies to KEY columns (a SQL VALUES literal key arrives as
+        // decimal(2,1) for a double key column; refusing would make the
+        // pure-SQL eq surface unusable on double keys).
         val lossless = org.apache.spark.sql.catalyst.expressions.Cast
           .canUpCast(cur.dataType, f.dataType) ||
           ((cur.dataType, f.dataType) match {
@@ -5519,7 +5658,7 @@ object VersionedTable {
     // plan — a nondeterministic source must not disagree with what was
     // written); written only when the parent can hold matching rows
     val parentHasRows = man.files.exists(r => man.liveRows(r).forall(_ > 0))
-    val tombEntry: Option[EqTombstone] =
+    val tombEntry0: Option[EqTombstone] =
       if (!parentHasRows || newParts.isEmpty) None
       else try {
         val kdf = readFileList(tgt, stagedAbs, Some(out.schema), physOf)
@@ -5554,7 +5693,7 @@ object VersionedTable {
         Some(EqTombstone(rels, newV, keys.map(_.toLowerCase), nKeys, nBytes))
       } catch { case e: Throwable => abort(e) }
     val oldStamps = eqSeqsOf(man.props)
-    val stamps: Map[String, Long] = tombEntry match {
+    val stamps: Map[String, Long] = tombEntry0 match {
       case None => oldStamps
       case Some(_) =>
         // stamp the parent's unstamped files with (newV - 1): they were
@@ -5563,11 +5702,45 @@ object VersionedTable {
         man.files.map(r => r -> oldStamps.getOrElse(r, newV - 1)).toMap ++
           newRel.map(_ -> newV)
     }
-    val eq = eqTombstonesOf(man.props) ++ tombEntry
     val committedMax = footerMaxId(tgt, stagedAbs).map(m => math.max(m, maxId))
       .orElse(Some(maxId))
     preCommitHook.value()
     val fm = manifestMeta(tgt, table, headMan, man.files, newParts, out.schema)
+    // UNIQUENESS INDUCTION for the truncation pad ([[EqTombstone.uniq]]):
+    // the staged batch is key-distinct iff its row total equals the
+    // tombstone's recorded key count — both already-computed metadata
+    // (fm.rows over the staged files; the distinct()'d key file's footer
+    // count). Combined with the parent's [[EqLiveUniqueProp]], each
+    // flagged tombstone provably kills ≤ 1 row per key, which is what
+    // lets pushed LIMIT/top-N keep truncating over live tombstones.
+    val stagedRows: Option[Long] = {
+      val rs = newRel.map(fm.rows.get)
+      if (rs.isEmpty || rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+    }
+    val parentUnique = man.props.get(EqLiveUniqueProp)
+      .contains(eqUniqueKeyCsv(keys))
+    val batchUnique: Boolean = tombEntry0 match {
+      case Some(t) => t.rows.isDefined && t.rows == stagedRows
+      case None if newParts.nonEmpty =>
+        // parent had no live rows — no tombstone, so no free key count;
+        // one O(batch) distinct over the staged key columns decides
+        stagedRows.exists(_ == readFileList(tgt, stagedAbs,
+          Some(out.schema), physOf)
+          .select(keys.map(col): _*).distinct().count())
+      case None => false // unused: empty batch leaves the prop untouched
+    }
+    val tombEntry = tombEntry0.map(
+      _.copy(uniq = Some(parentUnique && batchUnique)))
+    val eq = eqTombstonesOf(man.props) ++ tombEntry
+    val nowUnique =
+      if (tombEntry0.isDefined) parentUnique && batchUnique
+      else batchUnique // no parent rows: the staged batch IS the live set
+    val liveUniqueAdj: Map[String, String] =
+      if (newParts.isEmpty) // no rows landed — live state unchanged
+        man.props.get(EqLiveUniqueProp)
+          .map(v => Map(EqLiveUniqueProp -> v)).getOrElse(Map.empty)
+      else if (nowUnique) Map(EqLiveUniqueProp -> eqUniqueKeyCsv(keys))
+      else Map.empty
     // widened (batch-only) columns record NULLABLE regardless of the
     // batch frame's flag: every pre-evolution row reads them as null
     val recordedOut = org.apache.spark.sql.types.StructType(
@@ -5581,7 +5754,8 @@ object VersionedTable {
           dropProps.contains(CompactEqTombstonesProp)) Map.empty
       else Map(CompactEqTombstonesProp -> DefaultEqTombstoneTrigger.toString)
     val props = withMappingProps(
-      ((man.props ++ extraProps) -- dropProps) ++ trigDefault +
+      (((man.props ++ extraProps) -- dropProps) - EqLiveUniqueProp) ++
+        trigDefault ++ liveUniqueAdj +
         (UpsertKeysProp -> keys.mkString(",")) +
         (SchemaProp -> schemaJson(recordedOut)) +
         (EqDelProp -> renderEqTombstones(eq)) ++

@@ -447,13 +447,17 @@ private[sources] final class GraftScanBuilder(
   /** Live equality-tombstone state at plan time: the key columns (the
     * read applies key anti-filters inside the tasks, so these must
     * survive pruning; pushed aggregates stand down — row counts no
-    * longer tell the live truth) and the KEY-COUNT PAD — the total
-    * recorded tombstone keys, the sound upper bound on how far recorded
-    * live-row counts can OVER-count. Limit/top-N truncation stays on
-    * with the pad added to its target (kept live rows ≥ kept recorded −
-    * pad); `None` pad (a tombstone without a write-time count) stands
-    * the truncations down entirely. */
-  private lazy val liveEqState: (Seq[String], Option[Long]) = {
+    * longer tell the live truth), the KEY-COUNT PAD, and the RESOLVED
+    * VERSION the state was read from. The pad — total recorded
+    * tombstone keys, the sound upper bound on recorded-over-live
+    * over-count — is only offered when every live tombstone is flagged
+    * `uniq` (kills ≤ 1 row per key — [[VersionedTable.eqTruncationState]]):
+    * a duplicate-keyed table's tombstone can kill many rows per key, so
+    * there (and for uncounted legacy tombstones) limit/top-N truncation
+    * stands down entirely. When a truncation IS pushed, the resolved
+    * version PINS the batch's plan ([[GraftBatch]]) so a concurrent
+    * eq-upsert cannot pair this pad with newer tombstone state. */
+  private lazy val liveEqState: (Seq[String], Option[Long], Option[Long]) = {
     import GraftTableProvider.opt
     (for { d <- opt(options, "dir"); t <- opt(options, "table") } yield {
       val cat = new Catalog(SparkSession.active, d)
@@ -461,16 +465,16 @@ private[sources] final class GraftScanBuilder(
         opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
         .orElse(VersionedTable.currentVersion(cat, t))
         .map { v =>
-          val (n, keyCols, nKeys, _) =
-            VersionedTable.eqTombstoneSummary(cat, t, v)
-          (keyCols, if (n == 0) Some(0L) else nKeys)
+          val (keyCols, pad) = VersionedTable.eqTruncationState(cat, t, v)
+          (keyCols, pad, Some(v))
         }
-        .getOrElse((Nil, Some(0L)))
-    }).getOrElse((Nil, Some(0L)))
+        .getOrElse((Nil, Some(0L), None))
+    }).getOrElse((Nil, Some(0L), None))
   }
 
   private def liveEqKeys: Seq[String] = liveEqState._1
   private def liveEqPad: Option[Long] = liveEqState._2
+  private def liveEqVersion: Option[Long] = liveEqState._3
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters
@@ -646,12 +650,21 @@ private[sources] final class GraftScanBuilder(
         override def description(): String =
           "graft manifest-answered aggregate (zero data I/O)"
       }
-    case None => new GraftScan(dataSchema, required, options, pushed,
+    case None =>
       // belt-and-braces: Spark never pushes a limit or top-N past a
       // remaining filter (ours all remain), but make it locally
       // provable — a pushed filter voids any file truncation
-      limit.filter(_ => pushed.isEmpty),
-      topN.filter(_ => pushed.isEmpty))
+      val effLimit = limit.filter(_ => pushed.isEmpty)
+      val effTopN = topN.filter(_ => pushed.isEmpty)
+      new GraftScan(dataSchema, required, options, pushed,
+        effLimit, effTopN,
+        // a surviving truncation pins the version its pad was derived
+        // from — pad and planned tombstone state must come from ONE
+        // manifest (an eq-upsert between builder and planInputPartitions
+        // would otherwise apply a stale, smaller pad to newer tombstones)
+        pinnedVersion =
+          if (effLimit.isDefined || effTopN.isDefined) liveEqVersion
+          else None)
   }
 }
 
@@ -683,7 +696,8 @@ private[sources] final class GraftScan(
     dataSchema: StructType, required: StructType,
     options: Map[String, String], pushed: Array[sources.Filter],
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Long)] = None)
+    topN: Option[(String, Boolean, Long)] = None,
+    pinnedVersion: Option[Long] = None)
   extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -802,7 +816,8 @@ private[sources] final class GraftScan(
   }
 
   override def toBatch: Batch = new GraftBatch(
-    dataSchema, required, options, pushed, () => runtimePred, limit, topN)
+    dataSchema, required, options, pushed, () => runtimePred, limit, topN,
+    pinnedVersion)
 
   /** APPEND-TAIL stream (`spark.readStream.format("graft")`) — see
     * [[graft.streaming.GraftAppendStream]]. (Spark applies no
@@ -842,7 +857,10 @@ private[sources] final class GraftBatch(
     options: Map[String, String], pushed: Array[sources.Filter],
     runtime: () => ZonePred.P = () => ZonePred.And(Nil),
     limit: Option[Int] = None,
-    topN: Option[(String, Boolean, Long)] = None) extends Batch {
+    topN: Option[(String, Boolean, Long)] = None,
+    // set iff limit/topN carry a tombstone pad: the builder's resolved
+    // version, so pad and planned tombstone state come from ONE manifest
+    pinnedVersion: Option[Long] = None) extends Batch {
 
   /** Whether the PLANNED partitions carry any deletion vector — set by
     * planInputPartitions and read by createReaderFactory, so the two
@@ -870,8 +888,9 @@ private[sources] final class GraftBatch(
     // would otherwise apply version-(N+1) metadata to version-N slices —
     // matched rows would vanish from the snapshot (neither old nor new
     // value visible)
-    val v = GraftTableProvider.resolveVersion(cat, table,
-        opt(options, "versionAsOf"), opt(options, "timestampAsOf"))
+    val v = pinnedVersion
+      .orElse(GraftTableProvider.resolveVersion(cat, table,
+        opt(options, "versionAsOf"), opt(options, "timestampAsOf")))
       .orElse(VersionedTable.currentVersion(cat, table))
     // runtime() re-reads the scan's dynamic-filter state: BatchScanExec
     // re-plans partitions AFTER scan.filter(...) lands, so join-time IN

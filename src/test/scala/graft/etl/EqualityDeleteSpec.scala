@@ -106,7 +106,7 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(VersionedTable.changes(lib, "m", v1, v1, Seq("k")).count() == 0L)
   }
 
-  test("diff surfaces, clone, and renames refuse while live; row ops work") {
+  test("change feed + clone + row ops WORK over live tombstones; rename refuses") {
     VersionedTable.load(lib, "r",
       Seq.tabulate(50)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
       idOrder = Seq("k"))
@@ -550,16 +550,19 @@ class EqualityDeleteSpec extends SparkSpec {
   }
 
   test("top-N and LIMIT truncation stay exact over live tombstones") {
-    // ten range-disjoint files (v = k, so per-file v ranges are
-    // disjoint); an eq-upsert kills the whole TOP file's keys and
-    // reinserts them at NEGATIVE values — a count-based truncation that
-    // trusts recorded rows would keep only the (now-empty) top file and
-    // answer the ORDER BY ... LIMIT with nothing
-    (0 until 10).foreach { i =>
-      VersionedTable.load(lib, "tn",
-        Seq.tabulate(100)(j => ((i * 100 + j).toLong, (i * 100 + j).toLong))
-          .toDF("k", "s"), idOrder = Seq("k"))
-    }
+    // ten range-disjoint files (s = k, so per-file s ranges are
+    // disjoint) via ONE KEYED first load — the shape whose verified
+    // key-uniqueness lets the truncation pad stay on (plain appends
+    // cannot prove it; see the duplicate-keys case below). An eq-upsert
+    // kills the whole TOP file's keys and reinserts them at NEGATIVE
+    // values — a count-based truncation that trusts recorded rows would
+    // keep only the (now-empty) top file and answer the ORDER BY ...
+    // LIMIT with nothing
+    VersionedTable.load(lib, "tn",
+      Seq.tabulate(1000)(j => (j.toLong, j.toLong)).toDF("k", "s")
+        .repartitionByRange(10, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
     VersionedTable.upsertEqualityDelete(lib, "tn",
       Seq.tabulate(100)(j => ((900 + j).toLong, -(900L + j))).toDF("k", "s"),
       keys = Seq("k"))
@@ -593,6 +596,65 @@ class EqualityDeleteSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(read.get() <= 400L,
       s"LIMIT must still truncate under the pad: read ${read.get()}")
+  }
+
+  test("truncation stands down when key uniqueness is unprovable") {
+    // the counterexample to a naive one-row-per-key pad: a plain append
+    // lands 100 DUPLICATE rows of key 1 in one file, then an eq-upsert
+    // of that single key kills all 100 — its tombstone records ONE key,
+    // but the recorded-row over-count is 100. A truncation padded by
+    // the key count would keep too few files and silently short-read;
+    // the unprovable-uniqueness table must stand truncation down and
+    // read exactly.
+    VersionedTable.load(lib, "dup",
+      Seq.tabulate(100)(j => (1L, j.toDouble)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.load(lib, "dup",
+      Seq.tabulate(100)(j => ((2 + j).toLong, 0.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    VersionedTable.upsertEqualityDelete(lib, "dup",
+      Seq((1L, -1.0)).toDF("k", "v"), keys = Seq("k"))
+    // live rows: 100 distinct (file 2) + the reinserted k=1 → 101
+    assert(state("dup").size == 101)
+    val got = spark.sql("SELECT * FROM geq.default.dup LIMIT 101").count()
+    assert(got == 101L,
+      s"LIMIT over a duplicate-keyed table must not short-read: $got")
+    val top = spark.sql(
+      "SELECT k FROM geq.default.dup ORDER BY k ASC LIMIT 101").count()
+    assert(top == 101L, s"top-N must stand down too: $top")
+  }
+
+  test("the change feed keeps null-keyed deletes through envelope pruning") {
+    // a tombstone whose key file mixes a FAR non-null key with a NULL —
+    // footer ranges exclude nulls, so range-only envelope pruning would
+    // skip the shared file (its non-null range is disjoint from 100)
+    // and the feed would lose the null-key row's update
+    VersionedTable.load(lib, "nf",
+      (Seq.tabulate(10)(j => (Some(j.toLong), j.toDouble)) :+
+        ((None: Option[Long]), 50.0)).toDF("k", "v"),
+      idOrder = Seq("v"))
+    val v1 = VersionedTable.currentVersion(lib, "nf").get
+    VersionedTable.upsertEqualityDelete(lib, "nf",
+      Seq((Some(100L), 1.0), ((None: Option[Long]), -5.0)).toDF("k", "v"),
+      keys = Seq("k"))
+    val v2 = VersionedTable.currentVersion(lib, "nf").get
+    val feed = VersionedTable.changes(lib, "nf", v1, v2, Seq("k"))
+      .collect()
+    // the USING join pairs null keys as delete+insert (not null-safe) —
+    // fine CDC shape; the guarded bug is the null-key events being LOST
+    // to a range-only envelope prune of the shared file
+    val nullOps = feed.filter(_.isNullAt(feed.head.fieldIndex("k")))
+    assert(nullOps.exists(r => r.getAs[String]("op") == "delete" &&
+      r.getAs[Double]("v") == 50.0) &&
+      nullOps.exists(r => r.getAs[String]("op") == "insert" &&
+        r.getAs[Double]("v") == -5.0),
+      s"the null-key change must survive envelope pruning: " +
+        feed.mkString(";"))
+    // read-side agreement: the live state carries the reinserted null
+    val live = VersionedTable.read(lib, "nf").select("k", "v").collect()
+    assert(live.count(_.isNullAt(0)) == 1)
+    assert(live.find(_.isNullAt(0)).get.getDouble(1) == -5.0)
+    assert(live.length == 12) // 10 + reinserted null + new k=100
   }
 
   test("the MOR keyed upsert probe sees through live tombstones") {
