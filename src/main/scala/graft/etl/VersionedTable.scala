@@ -5525,12 +5525,17 @@ object VersionedTable {
     * file as ONE version, never reading the target. Semantically a
     * DELETE-matching-keys + INSERT: matched rows' surrogate ids are NOT
     * preserved (unlike the copy-on-write upsert, which merges). The
-    * batch's column set must match the recorded schema (no evolution on
-    * this path — use [[load]] to evolve first). Reads resolve tombstones
-    * with an anti-join; [[compact]] materializes them. The CDC/change-
-    * feed surfaces, clone/branch, and column rename/drop REFUSE while
-    * tombstones are live (compact first) — a version diff cannot see
-    * through an unresolved key delete.
+    * batch evolves the schema the loader-ensure way (see
+    * [[eqUpsertAttempt]]). Reads resolve tombstones with an anti-join;
+    * [[compact]] materializes them. The change feed, clone/branch, and
+    * row-level ops all RESOLVE live tombstones at read; only column
+    * rename/drop still refuses while any are live.
+    *
+    * `deleteKeyRows`: OPTIONAL extra keys to tombstone WITHOUT
+    * replacement rows — a mixed-op CDC batch (Debezium-shaped upserts +
+    * deletes) lands as ONE commit: the tombstone covers the batch's
+    * keys plus these, the data files hold only the upsert rows. For a
+    * delete-only batch use [[deleteKeysEquality]].
     *
     * NULL keys match null-safely (a null-keyed batch row tombstones
     * older null-keyed rows — the Iceberg equality-delete rule), where
@@ -5539,25 +5544,177 @@ object VersionedTable {
   def upsertEqualityDelete(tgt: Catalog, table: String, incoming0: DataFrame,
                            keys: Seq[String], idOrder: Seq[String] = Nil,
                            extraProps: Map[String, String] = Map.empty,
-                           dropProps: Seq[String] = Nil): Long = {
+                           dropProps: Seq[String] = Nil,
+                           deleteKeyRows: Option[DataFrame] = None): Long = {
     require(keys.nonEmpty, "upsertEqualityDelete needs key columns")
     val incoming = if (incoming0.columns.contains(Loader.IdCol))
       incoming0.drop(Loader.IdCol) else incoming0
     keys.foreach(k => require(
       incoming.columns.exists(_.equalsIgnoreCase(k)),
       s"equality-upsert key '$k' absent from the incoming frame"))
+    deleteKeyRows.foreach(d => keys.foreach(k => require(
+      d.columns.exists(_.equalsIgnoreCase(k)),
+      s"equality-delete key '$k' absent from the delete-key frame")))
     val v = commitWithRetry(table, "eq-upsert")(() =>
       eqUpsertAttempt(tgt, table, incoming, keys, idOrder, extraProps,
-        dropProps))
+        dropProps, deleteKeyRows))
     maybeAutoCompact(tgt, table)
     v
+  }
+
+  /** WRITE-WITHOUT-READ keyed DELETE: commit ONE key-tombstone file and
+    * NO data files — the delete half of the equality contract, so a
+    * delete-heavy CDC feed keeps the O(batch) property
+    * [[upsertEqualityDelete]] buys upserts (the probing [[deleteKeys]]
+    * reads and rewrites matching files; this path touches neither the
+    * target's data nor its footers). `keyRows` needs only the key
+    * columns (extra columns are ignored); its key tuples coerce to the
+    * recorded key types by the same lossless-upcast rule as the upsert
+    * path, match null-safely, and materialize ONCE into the key file
+    * (a nondeterministic source cannot disagree with what committed).
+    * A delete of zero keys, or against a table with no live rows, is a
+    * metadata no-op returning the current version. Reads resolve the
+    * tombstone exactly like an upsert's; [[compact]] materializes it;
+    * the change feed emits the deletes. Returns the committed (or
+    * current) version. */
+  def deleteKeysEquality(tgt: Catalog, table: String, keyRows: DataFrame,
+                         keys: Seq[String],
+                         extraProps: Map[String, String] = Map.empty,
+                         dropProps: Seq[String] = Nil): Long = {
+    require(keys.nonEmpty, "deleteKeysEquality needs key columns")
+    keys.foreach(k => require(
+      keyRows.columns.exists(_.equalsIgnoreCase(k)),
+      s"equality-delete key '$k' absent from the key frame"))
+    val v = commitWithRetry(table, "eq-delete")(() =>
+      eqDeleteAttempt(tgt, table, keyRows, keys, extraProps, dropProps))
+    maybeAutoCompact(tgt, table)
+    v
+  }
+
+  private def eqDeleteAttempt(tgt: Catalog, table: String,
+                              keyRows: DataFrame, keys: Seq[String],
+                              extraProps: Map[String, String],
+                              dropProps: Seq[String]): Option[Long] = {
+    Loader.ensureParquetWriteConf(tgt.spark)
+    val cur = currentVersion(tgt, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"versioned table '$table' not found"))
+    val headMan = readManifest(tgt, table, cur)
+    val man = headMan.get
+    val recorded = recordedSchema(man).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$table' records no schema — equality delete needs a " +
+          "schema-recording head"))
+    keys.foreach(k => require(
+      recorded.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"equality-delete key '$k' is not a column of '$table'"))
+    // no live rows → nothing a tombstone could kill: metadata no-op
+    // (committing one would only tax every future read)
+    val parentHasRows = man.files.exists(r => man.liveRows(r).forall(_ > 0))
+    if (!parentHasRows) return Some(cur)
+    val newV = cur + 1L
+    val f = fs(tgt, dataDir(tgt, table))
+    val kdf = alignEqKeys(keyRows, recorded, keys, table)
+      .distinct().repartition(1)
+    val (rels, nKeys, nBytes) = stageEqKeyFiles(tgt, table, kdf)
+    def cleanup(): Unit = rels.headOption.foreach(r =>
+      f.delete(new Path(dataDir(tgt, table), r).getParent, true))
+    if (nKeys.contains(0L)) { cleanup(); return Some(cur) } // empty delete
+    // deletes only REMOVE rows: the live-uniqueness invariant (and the
+    // recorded schema, layout, stats — every file is untouched) carries;
+    // uniq needs only parent uniqueness, same as the upsert path
+    val parentUnique = man.props.get(EqLiveUniqueProp)
+      .contains(eqUniqueKeyCsv(keys))
+    val tomb = EqTombstone(rels, newV, keys.map(_.toLowerCase), nKeys,
+      nBytes, uniq = Some(parentUnique))
+    val oldStamps = eqSeqsOf(man.props)
+    val stamps = man.files.map(r => r -> oldStamps.getOrElse(r, newV - 1)).toMap
+    val eq = eqTombstonesOf(man.props) :+ tomb
+    preCommitHook.value()
+    val props = ((man.props ++ extraProps) -- dropProps) +
+      (EqDelProp -> renderEqTombstones(eq)) ++
+      (if (stamps.isEmpty) Map.empty[String, String]
+       else Map(EqSeqProp -> renderEqSeqs(stamps)))
+    if (tryCommitManifest(tgt, table, man.copy(version = newV,
+      props = props)))
+      Some(newV)
+    else { cleanup(); None }
+  }
+
+  /** Project `d` to the recorded KEY columns, coercing each to its
+    * recorded type by the equality paths' lossless-upcast rule (shared
+    * by the upsert's delete-key frame and [[deleteKeysEquality]]). */
+  private def alignEqKeys(d: DataFrame,
+                          recorded: org.apache.spark.sql.types.StructType,
+                          keys: Seq[String], table: String): DataFrame =
+    d.select(keys.map { k =>
+      val rec = recorded.fields.find(_.name.equalsIgnoreCase(k)).get
+      val have = d.schema.fields.find(_.name.equalsIgnoreCase(k)).get
+      if (have.dataType == rec.dataType) col(have.name).as(rec.name)
+      else {
+        require(losslessEqCast(have.dataType, rec.dataType),
+          s"equality delete cannot coerce key '${rec.name}' from " +
+            s"${have.dataType.simpleString} to the recorded " +
+            s"${rec.dataType.simpleString} — only lossless upcasts " +
+            "apply on this path")
+        col(have.name).cast(rec.dataType).as(rec.name)
+      }
+    }: _*)
+
+  /** The equality paths' lossless coercion rule: Catalyst canUpCast,
+    * plus small-precision decimal → double (round-trip-unique at
+    * p ≤ 15 — the shape SQL literals arrive in; see the upsert path's
+    * inline note on key-column intent). */
+  private def losslessEqCast(from: org.apache.spark.sql.types.DataType,
+                             to: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to) ||
+      ((from, to) match {
+        case (dec: org.apache.spark.sql.types.DecimalType,
+              org.apache.spark.sql.types.DoubleType) => dec.precision <= 15
+        case _ => false
+      })
+
+  /** Stage `kdf`'s rows as `.eqdel` key files under a fresh tombstone
+    * dir: write, swap the extension (the data-file sweeps — vacuum,
+    * orphan removal — must never mistake a tombstone for an
+    * unreferenced data file; explicit-path parquet reads ignore
+    * extensions), and probe key count + bytes AT WRITE TIME
+    * (footer/status metadata — driver-cheap) so scan planning can warn
+    * past the key budget and DESCRIBE/history can show the accretion
+    * without opening a key file. Count/bytes are best-effort — a failed
+    * probe yields a countless tombstone, the legacy shape. */
+  private def stageEqKeyFiles(tgt: Catalog, table: String, kdf: DataFrame)
+      : (Seq[String], Option[Long], Option[Long]) = {
+    val tmp = new Path(dataDir(tgt, table),
+      s"eqdel-${java.util.UUID.randomUUID()}")
+    kdf.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val f = fs(tgt, dataDir(tgt, table))
+    val rels = f.listStatus(tmp).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dst = new Path(tmp,
+          st.getPath.getName.stripSuffix(".parquet") + ".eqdel")
+        require(f.rename(st.getPath, dst),
+          s"could not finalize tombstone file ${st.getPath}")
+        s"${tmp.getName}/${dst.getName}"
+      }
+    f.listStatus(tmp).toSeq.filter(_.getPath.getName.startsWith("_"))
+      .foreach(st => f.delete(st.getPath, false))
+    val eqAbs = rels.map(r => new Path(dataDir(tgt, table), r).toString)
+    val nKeys = scala.util.Try(graft.sources.ParquetSource
+      .footerFileMeta(tgt.spark, eqAbs, Nil).values.map(_._1).sum).toOption
+    val nBytes = scala.util.Try(eqAbs.map(p =>
+      f.getFileStatus(new Path(p)).getLen).sum).toOption
+    (rels, nKeys, nBytes)
   }
 
   private def eqUpsertAttempt(tgt: Catalog, table: String,
                               incoming0: DataFrame, keys: Seq[String],
                               idOrder: Seq[String],
                               extraProps: Map[String, String],
-                              dropProps: Seq[String]): Option[Long] = {
+                              dropProps: Seq[String],
+                              deleteKeyRows: Option[DataFrame] = None)
+      : Option[Long] = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
     if (cur.isEmpty)
@@ -5659,38 +5816,28 @@ object VersionedTable {
     // written); written only when the parent can hold matching rows
     val parentHasRows = man.files.exists(r => man.liveRows(r).forall(_ > 0))
     val tombEntry0: Option[EqTombstone] =
-      if (!parentHasRows || newParts.isEmpty) None
+      if (!parentHasRows || (newParts.isEmpty && deleteKeyRows.isEmpty)) None
       else try {
-        val kdf = readFileList(tgt, stagedAbs, Some(out.schema), physOf)
-          .select(keys.map(col): _*).distinct().repartition(1)
-        val tmp = new Path(dataDir(tgt, table), s"eqdel-${java.util.UUID.randomUUID()}")
-        kdf.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val f = fs(tgt, dataDir(tgt, table))
-        // swap the extension so the data-file sweeps (vacuum, orphan
-        // removal) can never mistake a tombstone for an unreferenced
-        // data file; explicit-path parquet reads ignore extensions
-        val rels = f.listStatus(tmp).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map { st =>
-            val dst = new Path(tmp,
-              st.getPath.getName.stripSuffix(".parquet") + ".eqdel")
-            require(f.rename(st.getPath, dst),
-              s"could not finalize tombstone file ${st.getPath}")
-            s"${tmp.getName}/${dst.getName}"
-          }
-        f.listStatus(tmp).toSeq.filter(_.getPath.getName.startsWith("_"))
-          .foreach(st => f.delete(st.getPath, false))
-        // record key count + bytes AT WRITE TIME (footer/status metadata
-        // of the just-staged key files — driver-cheap): scan planning
-        // warns past the key budget and DESCRIBE/history can show the
-        // accretion without opening a key file. Best-effort — a failed
-        // probe commits a countless tombstone, exactly the legacy shape.
-        val eqAbs = rels.map(r => new Path(dataDir(tgt, table), r).toString)
-        val nKeys = scala.util.Try(graft.sources.ParquetSource
-          .footerFileMeta(tgt.spark, eqAbs, Nil).values.map(_._1).sum).toOption
-        val nBytes = scala.util.Try(eqAbs.map(p =>
-          f.getFileStatus(new Path(p)).getLen).sum).toOption
-        Some(EqTombstone(rels, newV, keys.map(_.toLowerCase), nKeys, nBytes))
+        // staged keys ∪ explicit DELETE keys (the mixed-op CDC batch:
+        // upsert rows tombstone-and-replace, delete rows only tombstone
+        // — one key file, one commit, one epoch stamp)
+        val stagedK: Option[DataFrame] =
+          if (newParts.isEmpty) None
+          else Some(readFileList(tgt, stagedAbs, Some(out.schema), physOf)
+            .select(keys.map(col): _*))
+        val delK: Option[DataFrame] = deleteKeyRows.map(d =>
+          alignEqKeys(d, recorded, keys, table))
+        val kdf = (stagedK.toSeq ++ delK.toSeq)
+          .reduce(_.unionByName(_)).distinct().repartition(1)
+        val (rels, nKeys, nBytes) = stageEqKeyFiles(tgt, table, kdf)
+        if (nKeys.contains(0L)) {
+          // zero keys (an empty batch with an empty delete frame):
+          // a tombstone would only tax reads — stage dir swept, none
+          rels.headOption.foreach(r => fs(tgt, dataDir(tgt, table))
+            .delete(new Path(dataDir(tgt, table), r).getParent, true))
+          None
+        } else
+          Some(EqTombstone(rels, newV, keys.map(_.toLowerCase), nKeys, nBytes))
       } catch { case e: Throwable => abort(e) }
     val oldStamps = eqSeqsOf(man.props)
     val stamps: Map[String, Long] = tombEntry0 match {
@@ -5719,24 +5866,34 @@ object VersionedTable {
     }
     val parentUnique = man.props.get(EqLiveUniqueProp)
       .contains(eqUniqueKeyCsv(keys))
-    val batchUnique: Boolean = tombEntry0 match {
-      case Some(t) => t.rows.isDefined && t.rows == stagedRows
-      case None if newParts.nonEmpty =>
-        // parent had no live rows — no tombstone, so no free key count;
-        // one O(batch) distinct over the staged key columns decides
-        stagedRows.exists(_ == readFileList(tgt, stagedAbs,
-          Some(out.schema), physOf)
-          .select(keys.map(col): _*).distinct().count())
-      case None => false // unused: empty batch leaves the prop untouched
-    }
-    val tombEntry = tombEntry0.map(
-      _.copy(uniq = Some(parentUnique && batchUnique)))
+    // staged-batch key-distinctness (for the POST-state invariant): with
+    // no explicit delete keys the tombstone's recorded key count IS the
+    // staged distinct count (free); a mixed-op batch needs one O(batch)
+    // distinct over the staged key columns (the key file mixed in the
+    // delete keys)
+    val batchUnique: Boolean =
+      if (newParts.isEmpty) false // unused: no rows landed
+      else if (deleteKeyRows.isEmpty) tombEntry0 match {
+        case Some(t) => t.rows.isDefined && t.rows == stagedRows
+        case None => // parent had no live rows — no tombstone written
+          stagedRows.exists(_ == readFileList(tgt, stagedAbs,
+            Some(out.schema), physOf)
+            .select(keys.map(col): _*).distinct().count())
+      }
+      else stagedRows.exists(_ == readFileList(tgt, stagedAbs,
+        Some(out.schema), physOf)
+        .select(keys.map(col): _*).distinct().count())
+    // uniq (kills ≤ 1 row per key) needs only PARENT uniqueness: the
+    // staged files stamp at the tombstone's own seq, so the tombstone
+    // never applies to them — only to the (unique) parent rows
+    val tombEntry = tombEntry0.map(_.copy(uniq = Some(parentUnique)))
     val eq = eqTombstonesOf(man.props) ++ tombEntry
     val nowUnique =
-      if (tombEntry0.isDefined) parentUnique && batchUnique
+      if (parentHasRows) parentUnique && batchUnique
       else batchUnique // no parent rows: the staged batch IS the live set
     val liveUniqueAdj: Map[String, String] =
-      if (newParts.isEmpty) // no rows landed — live state unchanged
+      if (newParts.isEmpty) // deletes/no-ops only remove rows — the
+        // invariant (whatever its state) carries verbatim
         man.props.get(EqLiveUniqueProp)
           .map(v => Map(EqLiveUniqueProp -> v)).getOrElse(Map.empty)
       else if (nowUnique) Map(EqLiveUniqueProp -> eqUniqueKeyCsv(keys))

@@ -57,7 +57,8 @@ object StorageQueries {
     "q_cluster_by", "q_versioned_sql_subquery", "q_versioned_wap",
     "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge",
     "q_zorder_cluster", "q_versioned_branch", "q_eq_upsert",
-    "q_eq_upsert_sql", "q_eq_upsert_evolve", "q_change_feed_eq")
+    "q_eq_upsert_sql", "q_eq_upsert_evolve", "q_change_feed_eq",
+    "q_eq_delete", "q_change_feed_eq_delete")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -94,6 +95,7 @@ object StorageQueries {
     sqlEquFixture(spark, sfDir)
     sqlEquSqlFixture(spark, sfDir)
     sqlEquEvFixture(spark, sfDir)
+    sqlEqdFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
@@ -1337,6 +1339,58 @@ object StorageQueries {
     })
   }
 
+  private val sqlEqdNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** The DELETE-bearing equality history (5 versions, all write-without-
+    * read — no statement ever probes the target):
+    *   v1 keyed load  o_orderkey ≤ 1000   (verified key-unique base)
+    *   v2 eq upsert   (500, 1200] → 2×    (updates + inserts)
+    *   v3 eq DELETE   k % 7 = 0, k ≤ 900  (tombstone-only commit)
+    *   v4 MIXED batch (1100, 1300] → 3× WHILE deleting (950, 1000]
+    *      (one commit: tombstone = both key sets, data = upserts only)
+    *   v5 CALL eq_delete k > 1250         (the pure-SQL spelling)
+    * Left live (no compact) so reads resolve the full delete/upsert
+    * stack in-task. */
+  private def sqlEqdFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlEqdNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"geqd${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqleqd").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      val cat = new Catalog(spark, dir)
+      VersionedTable.load(cat, "eqd", spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000"),
+        upsertFields = Seq("o_orderkey"), idOrder = Seq("o_orderkey"))
+      VersionedTable.upsertEqualityDelete(cat, "eqd", spark.sql(
+        """SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 500 AND o_orderkey <= 1200""".stripMargin),
+        keys = Seq("o_orderkey"))
+      VersionedTable.deleteKeysEquality(cat, "eqd", spark.sql(
+        """SELECT o_orderkey FROM orders
+          |WHERE o_orderkey % 7 = 0 AND o_orderkey <= 900""".stripMargin),
+        Seq("o_orderkey"))
+      VersionedTable.upsertEqualityDelete(cat, "eqd", spark.sql(
+        """SELECT o_orderkey, o_totalprice * 3 AS o_totalprice FROM orders
+          |WHERE o_orderkey > 1100 AND o_orderkey <= 1300""".stripMargin),
+        keys = Seq("o_orderkey"),
+        deleteKeyRows = Some(spark.sql(
+          """SELECT o_orderkey FROM orders
+            |WHERE o_orderkey > 950 AND o_orderkey <= 1000""".stripMargin)))
+      spark.sql(s"CALL $name.system.eq_delete('eqd', " +
+        "'SELECT o_orderkey FROM orders WHERE o_orderkey > 1250', " +
+        "'o_orderkey')")
+      val v = VersionedTable.currentVersion(cat, "eqd").get
+      require(VersionedTable.eqTombstoneKeyCols(cat, "eqd", v).nonEmpty,
+        "the fixture must leave live tombstones for the read to resolve")
+      name
+    })
+  }
+
   /** Fixture for the EVOLVING equality-upsert query: statement 2 WIDENS
     * the schema (a new `flag` column — pre-evolution rows read null),
     * statement 3 OMITS it (null-filled, delete+insert semantics) — the
@@ -2022,6 +2076,37 @@ object StorageQueries {
           floor(col("o_totalprice") * 100).cast("long").as("cents"),
           col("flag"))
         .orderBy("o_orderkey")
+    },
+
+    // EQUALITY DELETE — the write-without-read keyed delete beside the
+    // upsert: tombstone-only commits (library + CALL eq_delete) and one
+    // MIXED-op statement (upsert + delete keys, one commit — the
+    // Debezium batch shape) stack over the upsert history; the read
+    // resolves all five eras in-task. Oracle replays last-writer-wins
+    // WITH the deletes.
+    "q_eq_delete" -> { (spark, sfDir) =>
+      val name = sqlEqdFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.eqd
+        ORDER BY o_orderkey""")
+    },
+
+    // the change feed EMITS the write-without-read deletes: one span
+    // over the delete-bearing history (v2 → v5) must surface tombstone-
+    // only deletes (v3), the mixed statement's deletes+updates (v4), and
+    // the SQL delete (v5) — with the deleted rows' OLD values. Rows both
+    // inserted and deleted inside the span (the (1250,1300] triples)
+    // must NOT appear.
+    "q_change_feed_eq_delete" -> { (spark, sfDir) =>
+      val name = sqlEqdFixture(spark, sfDir)
+      val dir = spark.conf.get(s"spark.sql.catalog.$name.dir")
+      val cat = new Catalog(spark, dir)
+      VersionedTable.changes(cat, "eqd", 2L, 5L, Seq("o_orderkey"))
+        .select(col("op"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .orderBy("op", "o_orderkey")
     },
 
     // change feed ACROSS live equality tombstones — the composition the
@@ -3229,6 +3314,39 @@ object StorageQueries {
         |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents
         |FROM orders WHERE o_orderkey <= 1300
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_eq_delete" ->
+      """SELECT o_orderkey,
+        |       CAST(FLOOR((CASE
+        |         WHEN o_orderkey > 1100 THEN o_totalprice * 3
+        |         WHEN o_orderkey > 500 THEN o_totalprice * 2
+        |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey <= 1250
+        |  AND NOT (o_orderkey % 7 = 0 AND o_orderkey <= 900)
+        |  AND NOT (o_orderkey > 950 AND o_orderkey <= 1000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_change_feed_eq_delete" ->
+      """WITH del AS (
+        |  SELECT 'delete' AS op, o_orderkey,
+        |         CAST(FLOOR((CASE WHEN o_orderkey > 500 THEN o_totalprice * 2
+        |                          ELSE o_totalprice END) * 100) AS BIGINT)
+        |           AS cents
+        |  FROM orders
+        |  WHERE (o_orderkey % 7 = 0 AND o_orderkey <= 900)
+        |     OR (o_orderkey > 950 AND o_orderkey <= 1000)),
+        |upd AS (
+        |  SELECT 'update' AS op, o_orderkey,
+        |         CAST(FLOOR(o_totalprice * 3 * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey > 1100 AND o_orderkey <= 1200),
+        |ins AS (
+        |  SELECT 'insert' AS op, o_orderkey,
+        |         CAST(FLOOR(o_totalprice * 3 * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey > 1200 AND o_orderkey <= 1250)
+        |SELECT * FROM del UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM ins
+        |ORDER BY op, o_orderkey""".stripMargin,
 
     "q_eq_upsert_evolve" ->
       """SELECT o_orderkey,

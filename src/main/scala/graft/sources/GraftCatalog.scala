@@ -798,6 +798,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case "drop_branch" => GraftProcedures.dropBranch(() => cat)
       case "branches" => GraftProcedures.branches(() => cat)
       case "eq_upsert" => GraftProcedures.eqUpsert(() => cat)
+      case "eq_delete" => GraftProcedures.eqDelete(() => cat)
       case other => throw new UnsupportedOperationException(
         s"unknown graft procedure '$other' — available: history(table), " +
           "rollback(table, version), vacuum(table, keep_last), " +

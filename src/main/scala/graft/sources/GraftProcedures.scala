@@ -424,6 +424,35 @@ private[sources] object GraftProcedures {
       }
     }
 
+  /** `CALL g.system.eq_delete('t', '<source>', 'k1,k2')` — the
+    * WRITE-WITHOUT-READ keyed DELETE in pure SQL: `source` (a table/
+    * view name or any SELECT/WITH/VALUES statement) provides the key
+    * tuples; they commit as ONE key tombstone with NO data files, never
+    * probing the target — the delete half of the CDC contract beside
+    * [[eqUpsert]]. Null keys match null-safely; zero keys (or an empty
+    * table) is a metadata no-op. Returns the committed version. */
+  def eqDelete(cat: () => Catalog): UnboundProcedure =
+    new GraftProc("eq_delete",
+      "write-without-read keyed delete: one key tombstone, no data files",
+      Array(param("table", StringType), param("source", StringType),
+        param("keys", StringType))) {
+      override def run(input: InternalRow): JIterator[Scan] = {
+        val c = cat()
+        val srcTxt = input.getUTF8String(1).toString.trim
+        val df =
+          if (srcTxt.matches("(?is)\\s*(select|with|values|from|table)\\b[\\s\\S]*"))
+            c.spark.sql(srcTxt)
+          else c.spark.table(srcTxt)
+        val keys = input.getUTF8String(2).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val committed = VersionedTable.deleteKeysEquality(c,
+          input.getUTF8String(0).toString, df, keys)
+        one(StructType(Seq(
+          org.apache.spark.sql.types.StructField("committed_version", LongType,
+            nullable = false))), committed)
+      }
+    }
+
   /** `CALL g.system.set_partition_spec('t', 'days(ts), truncate(4, h)')`
     * — partition-spec EVOLUTION as one metadata commit: old files stay
     * exactly as prunable as they were (file skipping reads zone maps,

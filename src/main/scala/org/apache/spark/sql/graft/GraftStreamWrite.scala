@@ -120,6 +120,26 @@ object GraftStreamWrite {
     }
     if (eqMode) require(csv("upsertKeys").nonEmpty,
       "upsertMode 'equality-delete' requires upsertKeys")
+    // OP-COLUMN ROUTING (Debezium-shaped feeds): `opColumn` names an
+    // indicator column; rows whose (lowercased, trimmed) value is in
+    // `deleteValues` (default "d,delete") tombstone their keys WITHOUT
+    // replacement, every other row upserts — one commit per epoch, so
+    // exactly-once holds across the mixed batch. Equality mode only:
+    // the merge path would need a target-probing delete as a SECOND
+    // commit per epoch, forking the replay stamp.
+    val opCol = opt("opColumn").map(_.trim).filter(_.nonEmpty)
+    opCol.foreach { c =>
+      require(eqMode,
+        "opColumn routing requires upsertMode 'equality-delete' — the " +
+          "merge path has no single-commit spelling for mixed " +
+          "upsert/delete epochs")
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"opColumn '$c' absent from the stream schema")
+    }
+    val delVals = csv("deleteValues").map(_.toLowerCase) match {
+      case Nil => Seq("d", "delete")
+      case vs => vs
+    }
     new GraftStreamingWrite(spark, dir, table, queryId, schema,
       upsertKeys = csv("upsertKeys"), idOrder = csv("idOrder"),
       bucketBy = csv("bucketBy") match {
@@ -127,7 +147,7 @@ object GraftStreamWrite {
         case cols => Some((cols, opt("numBuckets").map(_.toInt).getOrElse(
           throw new IllegalArgumentException(
             "bucketBy requires option 'numBuckets'"))))
-      }, equalityDelete = eqMode)
+      }, equalityDelete = eqMode, opColumn = opCol, deleteValues = delVals)
   }
 }
 
@@ -138,7 +158,11 @@ final class GraftStreamingWrite(
     // write-without-read keyed upsert: each epoch commits data files +
     // a key tombstone, NEVER reading the target — continuous CDC ingest
     // stays O(batch) per trigger ([[VersionedTable.upsertEqualityDelete]])
-    equalityDelete: Boolean = false) extends StreamingWrite {
+    equalityDelete: Boolean = false,
+    // Debezium-shaped routing: rows whose opColumn value ∈ deleteValues
+    // delete their keys (tombstone only), the rest upsert — one commit
+    opColumn: Option[String] = None,
+    deleteValues: Seq[String] = Seq("d", "delete")) extends StreamingWrite {
 
   private def cat = new Catalog(spark, dir)
   private def stagingRoot = s"${cat.dirPath(table)}.__vstage/$queryId"
@@ -187,11 +211,27 @@ final class GraftStreamingWrite(
           .dropRight(GraftStreamWrite.MaxForeignEpochs)
           .filter(k => GraftStreamWrite.stampedAt(props(k)) <
             now - GraftStreamWrite.ForeignStampAgeFloorMs)
-      if (equalityDelete)
-        VersionedTable.upsertEqualityDelete(c, table, batch, upsertKeys,
-          idOrder = idOrder,
-          extraProps = Map(epochProp -> s"$epochId@$now"),
-          dropProps = stale)
+      if (equalityDelete) opColumn match {
+        case Some(oc0) =>
+          // mixed-op epoch, ONE commit: delete rows contribute only
+          // their keys to the tombstone; upsert rows (op column
+          // dropped) stage as the replacement data files
+          val oc = batch.columns.find(_.equalsIgnoreCase(oc0)).get
+          import org.apache.spark.sql.functions.{col, lower, trim}
+          val isDel = lower(trim(col(oc).cast("string")))
+            .isin(deleteValues: _*)
+          VersionedTable.upsertEqualityDelete(c, table,
+            batch.where(!(isDel <=> true)).drop(oc), upsertKeys,
+            idOrder = idOrder,
+            extraProps = Map(epochProp -> s"$epochId@$now"),
+            dropProps = stale,
+            deleteKeyRows = Some(batch.where(isDel <=> true)))
+        case None =>
+          VersionedTable.upsertEqualityDelete(c, table, batch, upsertKeys,
+            idOrder = idOrder,
+            extraProps = Map(epochProp -> s"$epochId@$now"),
+            dropProps = stale)
+      }
       else
         VersionedTable.load(c, table, batch,
           upsertFields = upsertKeys, idOrder = idOrder, bucketBy = bucketBy,

@@ -816,4 +816,108 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(s(100L) == -1.0 && s(600L) == -1.0 && s(101L) == -2.0)
     assert(s(99L) == 99.0)
   }
+
+  test("equality DELETE: tombstone-only commit, never reading the target") {
+    VersionedTable.load(lib, "ed",
+      Seq.tabulate(1000)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val v1 = VersionedTable.currentVersion(lib, "ed").get
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val v2 = try {
+      val v = VersionedTable.deleteKeysEquality(lib, "ed",
+        Seq(5L, 6L, 7L).toDF("k"), Seq("k"))
+      Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+      v
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the commit materializes only the 3-row key frame — the 1000-row
+    // target is never opened (no data files staged, no footer probes)
+    assert(read.get() <= 10L,
+      s"equality delete must not probe the target: read ${read.get()}")
+    assert(v2 == v1 + 1)
+    val s = state("ed")
+    assert(s.size == 997 && !s.contains(5L) && s(4L) == 4.0)
+    // history labels the commit; the tombstone is observable
+    val op = VersionedTable.history(lib, "ed")
+      .where(col("version") === v2).select("operation").head().getString(0)
+    assert(op == "eq-delete", op)
+    val (n, cols, nk, _) = VersionedTable.eqTombstoneSummary(lib, "ed", v2)
+    assert(n == 1 && cols == Seq("k") && nk.contains(3L))
+    // the change feed emits the three deletes
+    val feed = VersionedTable.changes(lib, "ed", v1, v2, Seq("k")).collect()
+    assert(feed.length == 3, feed.mkString(";"))
+    assert(feed.forall(_.getAs[String]("op") == "delete"))
+    assert(feed.map(_.getAs[Long]("k")).sorted.toSeq == Seq(5L, 6L, 7L))
+    // pure-SQL spelling (int literals upcast to the long key type)
+    spark.sql("CALL geq.system.eq_delete('ed', " +
+      "'SELECT * FROM VALUES (10), (11) AS t(k)', 'k')")
+    assert(state("ed").size == 995)
+    // deletes preserve the uniqueness invariant: padded LIMIT truncation
+    // stays ON and exact over the delete tombstones
+    assert(spark.sql("SELECT * FROM geq.default.ed LIMIT 995").count() == 995L)
+    // no-op shapes: empty key frame, then a miss-only delete
+    val vSame = VersionedTable.deleteKeysEquality(lib, "ed",
+      Seq.empty[Long].toDF("k"), Seq("k"))
+    assert(vSame == VersionedTable.currentVersion(lib, "ed").get)
+    VersionedTable.deleteKeysEquality(lib, "ed",
+      Seq(100000L).toDF("k"), Seq("k"))
+    assert(state("ed").size == 995)
+    // compaction materializes delete tombstones like upsert ones
+    VersionedTable.compact(lib, "ed", 256L * 1024 * 1024)
+    val vC = VersionedTable.currentVersion(lib, "ed").get
+    assert(VersionedTable.eqTombstoneKeyCols(lib, "ed", vC).isEmpty)
+    assert(state("ed").size == 995 && !state("ed").contains(10L))
+  }
+
+  test("the streaming sink routes a mixed-op (Debezium-shaped) feed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    VersionedTable.load(lib, "mx",
+      Seq.tabulate(500)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    val mem = MemoryStream[(Long, Double, String)]
+    val q = mem.toDF().toDF("k", "v", "op").writeStream
+      .format("graft")
+      .option("dir", warehouse).option("table", "mx")
+      .option("upsertKeys", "k").option("upsertMode", "equality-delete")
+      .option("opColumn", "op")
+      .option("checkpointLocation", tmpDir("geqmx"))
+      .start()
+    try {
+      val read = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // one epoch mixing upserts, an insert, and deletes — ONE commit
+        mem.addData((100L, -1.0, "u"), (600L, 9.0, "c"),
+          (200L, 0.0, "d"), (201L, 0.0, "D"))
+        q.processAllAvailable()
+        // a delete-only epoch (tombstone, no data files)
+        mem.addData((300L, 0.0, "d"))
+        q.processAllAvailable()
+        Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(read.get() <= 60L,
+        s"mixed-op epochs must not probe the 500-row target: ${read.get()}")
+    } finally q.stop()
+    val s = state("mx")
+    // 500 - deleted {200,201,300} + inserted 600 = 498
+    assert(s.size == 498, s.size.toString)
+    assert(!s.contains(200L) && !s.contains(201L) && !s.contains(300L))
+    assert(s(100L) == -1.0 && s(600L) == 9.0 && s(99L) == 99.0)
+    // the op column itself never lands in the table
+    assert(!VersionedTable.read(lib, "mx").columns.map(_.toLowerCase)
+      .contains("op"))
+    // mixed epochs were single commits: v1 load + 2 stream epochs
+    assert(VersionedTable.currentVersion(lib, "mx").get == 3L)
+  }
 }
