@@ -2739,9 +2739,15 @@ object VersionedTable {
         s"column '$to' already exists on '$table'")
       require(!to.equalsIgnoreCase(Loader.IdCol),
         s"'$to' is reserved for the surrogate id")
-      require(!hasEqTombstones(man.props),
-        s"'$table' carries live equality tombstones keyed by logical " +
-          "column names — compact to materialize them before renaming")
+      // live equality tombstones anti-join on their KEY columns only —
+      // renaming a VALUE column never touches a key file, so it stays a
+      // metadata-only commit; a key column would silently detach every
+      // live tombstone from the rows it must kill, so it refuses
+      val eqKeys = eqTombstonesOf(man.props).flatMap(_.keys).distinct
+      require(!eqKeys.exists(_.equalsIgnoreCase(from)),
+        s"cannot rename '$from': live equality tombstones on '$table' " +
+          s"are keyed by it (${eqKeys.mkString(",")}) — compact to " +
+          "materialize them first")
       mappingRefusals(tgt, man, from, "rename")
       val exact = current.fieldNames.find(_.equalsIgnoreCase(from)).get
       val physOf0 = physOfMan(man)
@@ -3114,13 +3120,17 @@ object VersionedTable {
       val cur = currentVersion(tgt, table).getOrElse(
         throw new IllegalArgumentException(s"versioned table '$table' not found"))
       val man = readManifest(tgt, table, cur).get
-      require(!hasEqTombstones(man.props),
-        s"'$table' carries live equality tombstones keyed by logical " +
-          "column names — compact to materialize them before dropping")
+      // same matrix as the rename: tombstone KEY columns refuse (the
+      // anti-join would dangle), VALUE columns drop metadata-only
+      val eqKeys = eqTombstonesOf(man.props).flatMap(_.keys).distinct
       val current = readVersion(tgt, table, cur).schema
       val exacts = names.map { name =>
         require(current.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"no column '$name' on '$table'")
+        require(!eqKeys.exists(_.equalsIgnoreCase(name)),
+          s"cannot drop '$name': live equality tombstones on '$table' " +
+            s"are keyed by it (${eqKeys.mkString(",")}) — compact to " +
+            "materialize them first")
         mappingRefusals(tgt, man, name, "drop")
         current.fieldNames.find(_.equalsIgnoreCase(name)).get
       }
@@ -5528,8 +5538,10 @@ object VersionedTable {
     * batch evolves the schema the loader-ensure way (see
     * [[eqUpsertAttempt]]). Reads resolve tombstones with an anti-join;
     * [[compact]] materializes them. The change feed, clone/branch, and
-    * row-level ops all RESOLVE live tombstones at read; only column
-    * rename/drop still refuses while any are live.
+    * row-level ops all RESOLVE live tombstones at read; column
+    * rename/drop of VALUE columns stays metadata-only (key files never
+    * mention them) — only renaming/dropping a tombstone KEY column
+    * still refuses while any are live.
     *
     * `deleteKeyRows`: OPTIONAL extra keys to tombstone WITHOUT
     * replacement rows — a mixed-op CDC batch (Debezium-shaped upserts +

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * key-tombstone file, NEVER reading the target, so continuous CDC
   * ingest is O(batch) per trigger. Tombstones resolve at read (stamp-
   * grouped anti-joins) and materialize at compaction; the diff-based
-  * surfaces (CDC, clone, rename/drop, row-level ops) refuse while any
-  * are live. */
+  * surfaces (CDC, clone, row-level ops) and value-column rename/drop
+  * all WORK while tombstones are live — only renaming/dropping a
+  * tombstone KEY column refuses. */
 class EqualityDeleteSpec extends SparkSpec {
   import spark.implicits._
 
@@ -106,7 +107,7 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(VersionedTable.changes(lib, "m", v1, v1, Seq("k")).count() == 0L)
   }
 
-  test("change feed + clone + row ops WORK over live tombstones; rename refuses") {
+  test("feed + clone + row ops + value rename WORK over live tombstones") {
     VersionedTable.load(lib, "r",
       Seq.tabulate(50)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
       idOrder = Seq("k"))
@@ -131,9 +132,23 @@ class EqualityDeleteSpec extends SparkSpec {
       VersionedTable.currentVersion(lib, "r2").get).isEmpty)
     assert(VersionedTable.eqTombstoneKeyCols(lib, "r", v).nonEmpty)
     assert(state("r2") == state("r"))
-    val e3 = intercept[Exception](
-      VersionedTable.renameColumn(lib, "r", "v", "val"))
-    assert(e3.getMessage.contains("equality tombstones"), e3.getMessage)
+    // VALUE-column rename is metadata-only even over live tombstones —
+    // key files never mention the column — and reads keep resolving
+    VersionedTable.renameColumn(lib, "r", "v", "val")
+    val sr = VersionedTable.read(lib, "r").select("k", "val").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(sr(1L) == 9.0 && sr.size == 50,
+      "the renamed read must keep resolving the live tombstone")
+    assert(VersionedTable.changes(lib, "r", 1L, v, Seq("k")).count() == 1L,
+      "the feed must survive a value rename over live tombstones")
+    // a tombstone KEY column still refuses rename AND drop
+    val eK = intercept[Exception](
+      VersionedTable.renameColumn(lib, "r", "k", "kk"))
+    assert(eK.getMessage.toLowerCase.contains("key"), eK.getMessage)
+    val eD = intercept[Exception](
+      VersionedTable.dropColumn(lib, "r", "k"))
+    assert(eD.getMessage.toLowerCase.contains("key"), eD.getMessage)
+    VersionedTable.renameColumn(lib, "r", "val", "v")
     // row-level ops WORK while tombstones live: their scans apply the
     // key anti-filters, so a rewrite can never resurrect a dead row.
     // k=1 is tombstoned-then-reinserted at 9.0; the UPDATE must see THAT
@@ -146,7 +161,7 @@ class EqualityDeleteSpec extends SparkSpec {
     spark.sql("DELETE FROM geq.default.r WHERE k = 1")
     assert(state("r").size == 49)
     assert(!state("r").contains(1L))
-    // materialize → the remaining refusals re-open
+    // materialize → renames keep working on the compacted table too
     VersionedTable.compact(lib, "r", 256L * 1024 * 1024)
     VersionedTable.renameColumn(lib, "r", "v", "val")
     assert(VersionedTable.read(lib, "r").columns.contains("val"))
@@ -357,10 +372,11 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(VersionedTable.tryCommitManifest(lib, "in",
       man.copy(version = cur + 1,
         props = man.props + ("eq_tombstones" -> inert))))
-    // the surfaces still gated on hasEqTombstones (rename) refuse and
-    // advertise "compact first" — that remediation must work below
+    // renaming the tombstone KEY column refuses and advertises
+    // "compact first" — that remediation must work below even when the
+    // tombstone is INERT; a value rename never gates on tombstones
     val e = intercept[Exception](
-      VersionedTable.renameColumn(lib, "in", "v", "val"))
+      VersionedTable.renameColumn(lib, "in", "k", "kk"))
     assert(e.getMessage.contains("equality tombstones"), e.getMessage)
     // ONE compact — no rewritable files (a single fresh file, no DVs,
     // nothing stamped) — must still commit the metadata-only prune
