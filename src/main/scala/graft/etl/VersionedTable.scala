@@ -5557,7 +5557,8 @@ object VersionedTable {
                            keys: Seq[String], idOrder: Seq[String] = Nil,
                            extraProps: Map[String, String] = Map.empty,
                            dropProps: Seq[String] = Nil,
-                           deleteKeyRows: Option[DataFrame] = None): Long = {
+                           deleteKeyRows: Option[DataFrame] = None,
+                           requireDistinctKeys: Boolean = false): Long = {
     require(keys.nonEmpty, "upsertEqualityDelete needs key columns")
     val incoming = if (incoming0.columns.contains(Loader.IdCol))
       incoming0.drop(Loader.IdCol) else incoming0
@@ -5569,7 +5570,7 @@ object VersionedTable {
       s"equality-delete key '$k' absent from the delete-key frame")))
     val v = commitWithRetry(table, "eq-upsert")(() =>
       eqUpsertAttempt(tgt, table, incoming, keys, idOrder, extraProps,
-        dropProps, deleteKeyRows))
+        dropProps, deleteKeyRows, requireDistinctKeys))
     maybeAutoCompact(tgt, table)
     v
   }
@@ -5725,7 +5726,8 @@ object VersionedTable {
                               idOrder: Seq[String],
                               extraProps: Map[String, String],
                               dropProps: Seq[String],
-                              deleteKeyRows: Option[DataFrame] = None)
+                              deleteKeyRows: Option[DataFrame] = None,
+                              requireDistinctKeys: Boolean = false)
       : Option[Long] = {
     Loader.ensureParquetWriteConf(tgt.spark)
     val cur = currentVersion(tgt, table)
@@ -5823,6 +5825,24 @@ object VersionedTable {
     val newV = cur.get + 1L
     val newRel = newParts.map(_._1)
     val stagedAbs = newRel.map(r => new Path(dataDir(tgt, table), r).toString)
+    // routed-MERGE cardinality contract ([[graft.sources.RouteEqualityMerge]]):
+    // SQL MERGE errors when several source rows hit one target row; the
+    // equality path would land them as duplicate rows instead, so the
+    // routed spelling verifies the STAGED batch is key-distinct (two
+    // O(batch) jobs over the staged files) and aborts rather than
+    // silently diverging from MERGE semantics
+    if (requireDistinctKeys && newRel.nonEmpty) {
+      val kdf0 = readFileList(tgt, stagedAbs, Some(out.schema), physOf)
+        .select(keys.map(col): _*)
+      val total = kdf0.count()
+      val dist = kdf0.distinct().count()
+      if (total != dist) abort(new IllegalArgumentException(
+        s"equality merge into '$table': the source holds ${total - dist} " +
+          s"duplicate key row(s) on (${keys.mkString(",")}) — MERGE " +
+          "admits at most one source row per target row; dedupe the " +
+          "source (e.g. keep the latest row per key) or use " +
+          "upsertEqualityDelete directly for last-writer-wins batches"))
+    }
     // the tombstone derives from the STAGED bytes (not the incoming
     // plan — a nondeterministic source must not disagree with what was
     // written); written only when the parent can hold matching rows

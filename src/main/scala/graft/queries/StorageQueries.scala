@@ -58,7 +58,7 @@ object StorageQueries {
     "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge",
     "q_zorder_cluster", "q_versioned_branch", "q_eq_upsert",
     "q_eq_upsert_sql", "q_eq_upsert_evolve", "q_change_feed_eq",
-    "q_eq_delete", "q_change_feed_eq_delete")
+    "q_eq_delete", "q_change_feed_eq_delete", "q_eq_merge")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -94,6 +94,7 @@ object StorageQueries {
     sqlBrFixture(spark, sfDir)
     sqlEquFixture(spark, sfDir)
     sqlEquSqlFixture(spark, sfDir)
+    sqlEqmFixture(spark, sfDir)
     sqlEquEvFixture(spark, sfDir)
     sqlEqdFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
@@ -1461,6 +1462,55 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the ROUTED-MERGE query: the same history as
+    * [[sqlEquSqlFixture]], but statement 3 is a standard SQL
+    * `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` that [[graft.sources.RouteEqualityMerge]] routes to
+    * the write-without-read equality path (the table opted in with
+    * `write.merge.mode = equality`; keys were recorded by the first
+    * `CALL eq_upsert`). The fixture asserts the route actually took the
+    * equality path (head operation `eq-upsert`) — a silent fallback to
+    * the reading rewrite would still pass the oracle. */
+  private val sqlEqmNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlEqmFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlEqmNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"geqm${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqleqm").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.eqm " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.merge.mode' = 'equality')")
+      spark.sql(s"INSERT INTO $name.default.eqm " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      spark.sql(s"""CALL $name.system.eq_upsert('eqm',
+        'SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+         WHERE o_orderkey > 500 AND o_orderkey <= 1200', 'o_orderkey')""")
+      spark.sql(s"""MERGE INTO $name.default.eqm t
+        USING (SELECT o_orderkey, o_totalprice * 3 AS o_totalprice
+               FROM orders
+               WHERE o_orderkey > 1100 AND o_orderkey <= 1300) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val cat = new Catalog(spark, dir)
+      val op = VersionedTable.history(cat, "eqm")
+        .orderBy(col("version").desc).select("operation").head().getString(0)
+      require(op == "eq-upsert",
+        s"the fixture's MERGE must route to the equality path, got '$op'")
+      val v = VersionedTable.currentVersion(cat, "eqm").get
+      require(VersionedTable.eqTombstoneKeyCols(cat, "eqm", v).nonEmpty,
+        "the routed-merge fixture must leave live tombstones")
+      name
+    })
+  }
+
   /** Fixture for the SQL NAMESPACES query (F51): two namespaces in one
     * catalog — the reference's two-DB model (easy_etl/__init__.py:8-10
     * wires a source and a target database) in pure SQL: `src` holds a
@@ -2061,6 +2111,22 @@ object StorageQueries {
         SELECT o_orderkey,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         FROM $name.default.eq
+        ORDER BY o_orderkey""")
+    },
+
+    // standard SQL MERGE ROUTED to the write-without-read path
+    // (RouteEqualityMerge): the table opted in via
+    // write.merge.mode=equality, the merge is the star-shaped keyed
+    // upsert, so it commits batch + tombstone with NO target read —
+    // the fixture proves the route (head operation = eq-upsert) and
+    // the read resolves the live tombstones. Shares q_eq_upsert's
+    // oracle shape.
+    "q_eq_merge" -> { (spark, sfDir) =>
+      val name = sqlEqmFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.eqm
         ORDER BY o_orderkey""")
     },
 
@@ -3307,6 +3373,15 @@ object StorageQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_eq_upsert_sql" ->
+      """SELECT o_orderkey,
+        |       CAST(FLOOR((CASE
+        |         WHEN o_orderkey > 1100 THEN o_totalprice * 3
+        |         WHEN o_orderkey > 500 THEN o_totalprice * 2
+        |         ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey <= 1300
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_eq_merge" ->
       """SELECT o_orderkey,
         |       CAST(FLOOR((CASE
         |         WHEN o_orderkey > 1100 THEN o_totalprice * 3

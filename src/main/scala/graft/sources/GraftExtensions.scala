@@ -18,8 +18,143 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * succeed while silently having no effect — the statement must refuse
   * at analysis instead (the Delta contract for generated columns). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => RefuseGeneratedAssignments)
+    // hint-resolution: the only injection point that still sees the
+    // MergeIntoTable COMMAND — the analyzer's Resolution batch can
+    // resolve, align, and REWRITE a merge to ReplaceData/WriteDelta
+    // within one fixed-point iteration, before any extended resolution
+    // rule runs on the resolved form
+    ext.injectHintResolutionRule(_ => RouteEqualityMerge)
+  }
+}
+
+/** Routes a qualifying SQL `MERGE INTO` to the WRITE-WITHOUT-READ
+  * equality-upsert path instead of the group-based/delta row-level
+  * rewrite (which reads the target to find matches — O(table) per
+  * statement, where the equality commit is O(batch)).
+  *
+  * OPT-IN and conservative: a merge routes ONLY when every one of
+  * these holds — anything else falls through to the standard (always
+  * correct) rewrite untouched:
+  *
+  *   - the TARGET's head manifest records table property
+  *     `write.merge.mode = equality` (the user's explicit opt-in) and
+  *     recorded upsert keys;
+  *   - the ON clause is a conjunction of plain `t.k = s.k` equalities
+  *     whose column names cover EXACTLY the recorded keys;
+  *   - the actions are the upsert shape and nothing else:
+  *     `WHEN MATCHED THEN UPDATE SET *` +
+  *     `WHEN NOT MATCHED THEN INSERT *`, unconditional, no
+  *     NOT MATCHED BY SOURCE clause, no schema evolution;
+  *   - the table declares no GENERATED/IDENTITY columns (their
+  *     per-statement machinery lives in the row-level writers).
+  *
+  * The rewrite replaces the command with `AppendData.byName` over a
+  * table handle carrying `eqUpsert` write options (the batch write
+  * builder routes those to [[graft.etl.VersionedTable
+  * .upsertEqualityDelete]]), with the source projected to the target's
+  * columns. MERGE's cardinality contract survives via
+  * `requireDistinctKeys`: a source with duplicate key rows aborts the
+  * commit with a clear error instead of silently landing duplicates.
+  *
+  * Running in the HINTS batch means the target is still an
+  * UnresolvedRelation — the rule resolves it by hand through the
+  * session's catalog manager (graft catalogs only), and on ANY doubt
+  * (unknown catalog, missing table, odd shapes) declines to route. */
+object RouteEqualityMerge extends Rule[LogicalPlan] {
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+  import org.apache.spark.sql.connector.catalog.Identifier
+  import graft.etl.{Catalog => EtlCatalog, GeneratedCols, VersionedTable}
+
+  private def targetParts(p: LogicalPlan): Option[Seq[String]] = p match {
+    case s: SubqueryAlias => targetParts(s.child)
+    // the parser stamps the merge target with an internal
+    // __required_write_privileges__ option — any OTHER option means a
+    // user-shaped relation this rule should not touch
+    case u: UnresolvedRelation if u.options.keySet().asScala
+        .forall(_ == "__required_write_privileges__") =>
+      Some(u.multipartIdentifier)
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** `t.k = s.k` (either order, any qualifiers) → Some("k"). */
+  private def keyEquality(e: Expression): Option[String] = e match {
+    case EqualTo(l, r) =>
+      def last(x: Expression): Option[String] = x match {
+        case a: UnresolvedAttribute => a.nameParts.lastOption.map(_.toLowerCase)
+        case a: AttributeReference => Some(a.name.toLowerCase)
+        case _ => None
+      }
+      for { ln <- last(l); rn <- last(r) if ln == rn } yield ln
+    case _ => None
+  }
+
+  private def starShaped(m: MergeIntoTable): Boolean =
+    m.matchedActions == Seq(UpdateStarAction(None)) &&
+      m.notMatchedActions == Seq(InsertStarAction(None)) &&
+      m.notMatchedBySourceActions.isEmpty &&
+      !m.withSchemaEvolution
+
+  /** Resolve the merge target through the catalog manager; None unless
+    * it is a graft table that opted in and the merge qualifies. */
+  private def route(m: MergeIntoTable): Option[LogicalPlan] = try {
+    if (!starShaped(m)) return None
+    val parts = targetParts(m.targetTable).getOrElse(return None)
+    if (parts.size < 2) return None // current-catalog shorthand: decline
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cm = spark.sessionState.catalogManager
+    val plugin = cm.catalog(parts.head) match {
+      case g: GraftCatalog => g
+      case _ => return None
+    }
+    val ident = Identifier.of(parts.drop(1).dropRight(1).toArray, parts.last)
+    val table = plugin.loadTable(ident) match {
+      case t: GraftBatchTable => t
+      case _ => return None
+    }
+    val opts = table.tableOpts
+    if (opts.contains("versionAsOf")) return None
+    val dir = opts.getOrElse("dir", return None)
+    val name = opts.getOrElse("table", return None)
+    val cat = new EtlCatalog(spark, dir)
+    val props = VersionedTable.tableProps(cat, name)
+    if (!props.get("write.merge.mode").map(_.trim.toLowerCase)
+      .contains("equality")) return None
+    val keys = VersionedTable.recordedUpsertKeys(cat, name)
+      .getOrElse(return None).map(_.toLowerCase)
+    val onCols = conjuncts(m.mergeCondition).map(c =>
+      keyEquality(c).getOrElse(return None))
+    if (onCols.toSet != keys.toSet) return None
+    // generated/identity columns recompute in the row-level writers —
+    // keep those merges on the standard path
+    val declared = VersionedTable.recordedHeadSchema(cat, name)
+      .getOrElse(table.schema())
+    if (GeneratedCols.generationExprs(declared).nonEmpty ||
+      GeneratedCols.identitySpecs(declared).nonEmpty) return None
+    val routed = new GraftBatchTable(table.schema(),
+      opts ++ Map("eqUpsert" -> "true", "requireDistinctKeys" -> "true",
+        "upsertKeys" -> keys.mkString(","),
+        "idOrder" -> keys.mkString(",")),
+      acceptAnySchema = false)
+    val rel = org.apache.spark.sql.execution.datasources.v2
+      .DataSourceV2Relation.create(routed, Some(plugin), Some(ident))
+    val cols = table.schema().fieldNames.toSeq
+      .map(n => UnresolvedAttribute.quoted(n))
+    Some(AppendData.byName(rel, Project(cols, m.sourceTable), Map.empty))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case m: MergeIntoTable => route(m).getOrElse(m)
+    }
 }
 
 /** Analysis-time refusal of generated-column assignments, in two

@@ -250,6 +250,11 @@ private[sources] final class GraftBatchTable(
     s"graft:${options.getOrElse("dir", "?")}/${options.getOrElse("table", "?")}" +
       options.get("versionAsOf").fold("")(v => s"@v$v")
 
+  /** This handle's resolved options (dir/table/versionAsOf/...) — read
+    * by [[RouteEqualityMerge]] to re-wrap the table with routed write
+    * options; never exposed to SQL. */
+  private[sources] def tableOpts: Map[String, String] = options
+
   /** Table metadata for `DESCRIBE TABLE EXTENDED`: the manifest's
     * recorded props (upsert keys, bloom columns, commit time) plus the
     * layout and head version — the operator-visible summary of what the
@@ -412,7 +417,24 @@ private[sources] class GraftWriteBuilder(
             val table = requiredOpt(options, "table")
             require(opt(options, "versionAsOf").isEmpty,
               "cannot write AT a version — writes always commit a new head")
-            if (overwrite || truncateFirst)
+            if (opt(options, "eqUpsert").exists(_.toBoolean)) {
+              // the routed equality upsert ([[RouteEqualityMerge]] /
+              // df.write option): write-without-read keyed merge —
+              // commits the batch plus one key-tombstone file, never
+              // probing the target
+              require(!(overwrite || truncateFirst),
+                "equality upsert cannot overwrite — drop the eqUpsert " +
+                  "option for INSERT OVERWRITE")
+              val keys = csvOpt(options, "upsertKeys")
+              require(keys.nonEmpty, "eqUpsert requires option 'upsertKeys'")
+              VersionedTable.upsertEqualityDelete(cat, table, data, keys,
+                idOrder = csvOpt(options, "idOrder") match {
+                  case Nil => keys
+                  case o => o
+                },
+                requireDistinctKeys =
+                  opt(options, "requireDistinctKeys").exists(_.toBoolean))
+            } else if (overwrite || truncateFirst)
               // INSERT OVERWRITE = one SAME-SCHEMA versioned commit
               // swapping the rows: props/CHECKs/layout/mapping carry,
               // history survives (time travel + rollback cross it)
