@@ -315,6 +315,44 @@ class EqualityDeleteSpec extends SparkSpec {
     assert(VersionedTable.read(lib, "nz").count() == 800L)
   }
 
+  test("no-tombstone scans keep the pre-equality fast path: one job, no key I/O") {
+    // REGRESSION GATE for the eq machinery's cost on tables that never
+    // took an equality write: resolving eqDeleteState is a manifest
+    // props parse (metadata-only, no Spark job), so a clean table's
+    // scan must plan exactly its own job and read exactly its own rows
+    VersionedTable.load(lib, "ft",
+      Seq.tabulate(500)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      idOrder = Seq("k"))
+    val (entries, stamps) = VersionedTable.eqDeleteState(lib, "ft",
+      VersionedTable.currentVersion(lib, "ft").get)
+    assert(entries.isEmpty && stamps.isEmpty,
+      "a never-eq table must resolve an EMPTY eq state (no warn, no work)")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rows = try {
+      val r = spark.read.format("graft")
+        .option("dir", warehouse).option("table", "ft")
+        .load().where(col("k") < 100L).collect()
+      Thread.sleep(500) // listener-bus drain
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rows.length == 100)
+    assert(jobs.get() == 1,
+      s"a no-tombstone scan must plan exactly its own job: ${jobs.get()}")
+    assert(read.get() <= 500L,
+      s"a no-tombstone scan must read only data rows (no key files, no " +
+        s"probes): ${read.get()}")
+  }
+
   test("CoW rewrites prune tombstone props they materialize") {
     // a copy-on-write keyed upsert (and any full rewrite) reads through
     // the tombstones and replaces every stamped file — the commit must
