@@ -3718,9 +3718,16 @@ object VersionedTable {
       val candRel = candRel0.filterNot(dropped)
       // file-match probe: which undecided files hold at least one matching
       // row (parquet row-group stats skip most without reading rows)
+      // the probe reads WITHOUT the equality-tombstone wrap: the wrap's
+      // anti-joins add the key files as extra sources and Spark refuses
+      // input_file_name over a multi-source plan (PreReadCheck). The
+      // un-wrapped hit set is a SUPERSET (dead rows can match `cond`) —
+      // over-hit only rewrites a file whose matches were already
+      // tombstone-dead, and the rewrite below reads eq-wrapped, so it
+      // can never resurrect them
       val hit: Set[String] =
         if (candRel.isEmpty) Set.empty
-        else readRelsWithDv(tgt, table, man, candRel)
+        else readRelsWithDvNoEq(tgt, table, man, candRel)
           .where(cond).select(input_file_name().as("f")).distinct()
           .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
       val (hitRel, keepRel) = man.files.filterNot(dropped)
@@ -3829,10 +3836,14 @@ object VersionedTable {
           _.join(kr, keys, "left_semi"), candRel, Set.empty)
       else {
       // input_file_name() must bind on the SCAN side — above a join it is
-      // ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION)
+      // ambiguous (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION) — so the
+      // probe reads WITHOUT the eq-tombstone wrap (whose anti-joins add
+      // the key files as extra sources): the un-wrapped hit set is a
+      // superset, and the survivor rewrite below reads eq-wrapped, so an
+      // over-hit rewrite cannot resurrect tombstone-dead rows
       val hit: Set[String] =
         if (candRel.isEmpty) Set.empty
-        else readRelsWithDv(tgt, table, man, candRel)
+        else readRelsWithDvNoEq(tgt, table, man, candRel)
           .withColumn("__f", input_file_name())
           .join(kr, keys, "left_semi")
           .select(col("__f")).distinct()

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Seeded property suite for the equality-tombstone machinery — the
   * PushdownFuzzSpec insurance pattern over the write-without-read
   * upsert: random interleavings of appends, equality upserts, keyed
-  * CoW upserts, range deletes, and compactions, with every retained
+  * CoW upserts, range deletes, tombstone-only equality deletes, mixed
+  * upsert+delete (Debezium-shaped) batches, and compactions, with every retained
   * version checked against an exact in-memory model (full state,
   * filtered reads, and time travel). Catches stamp-bookkeeping
   * mistakes no hand-written case would think of. */
@@ -45,7 +46,7 @@ class EqualityFuzzSpec extends SparkSpec {
       for (step <- 0 until 7) {
         val prevState = state
         val prevV = history.last._1
-        rnd.nextInt(6) match {
+        rnd.nextInt(8) match {
           case 0 => // append fresh keys
             val lo = 1000L * (step + 1)
             val rows = (lo until lo + 30 + rnd.nextInt(40)).map(k =>
@@ -75,6 +76,22 @@ class EqualityFuzzSpec extends SparkSpec {
             state = state.filterNot { case (k, _) => k >= lo && k < hi }
             commit(VersionedTable.delete(cat, "f",
               col("k") >= lo && col("k") < hi))
+          case 6 => // WRITE-WITHOUT-READ delete: tombstone-only commit
+            val lo = rnd.nextInt(250).toLong
+            val ks = (lo until lo + 5 + rnd.nextInt(20)).toSeq
+            state = state -- ks
+            commit(VersionedTable.deleteKeysEquality(cat, "f",
+              ks.toDF("k"), Seq("k")))
+          case 7 => // mixed Debezium-shaped batch: upserts + deletes, ONE commit
+            val lo = rnd.nextInt(230).toLong
+            val rows = (lo until lo + 10 + rnd.nextInt(30)).map(k =>
+              k -> ((step + 1) * 100000.0 + k))
+            val dlo = rnd.nextInt(250).toLong
+            val dks = (dlo until dlo + 3 + rnd.nextInt(15))
+              .filterNot(rows.map(_._1).contains)
+            state = state ++ rows -- dks
+            commit(VersionedTable.upsertEqualityDelete(cat, "f", df(rows),
+              keys = Seq("k"), deleteKeyRows = Some(dks.toDF("k"))))
         }
         // CHANGE FEED vs the model: the (prevV, curV] diff must equal
         // the state diff — including ACROSS live tombstones (an
