@@ -5689,7 +5689,7 @@ object VersionedTable {
     * plus small-precision decimal → double (round-trip-unique at
     * p ≤ 15 — the shape SQL literals arrive in; see the upsert path's
     * inline note on key-column intent). */
-  private def losslessEqCast(from: org.apache.spark.sql.types.DataType,
+  private[graft] def losslessEqCast(from: org.apache.spark.sql.types.DataType,
                              to: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to) ||
       ((from, to) match {

@@ -58,7 +58,8 @@ object StorageQueries {
     "q_decimal_skipping", "q_history_operations", "q_identity_mor_merge",
     "q_zorder_cluster", "q_versioned_branch", "q_eq_upsert",
     "q_eq_upsert_sql", "q_eq_upsert_evolve", "q_change_feed_eq",
-    "q_eq_delete", "q_change_feed_eq_delete", "q_eq_merge")
+    "q_eq_delete", "q_change_feed_eq_delete", "q_eq_merge",
+    "q_eq_delete_sql")
 
   /** Force-build the shared versioned fixture NOW (idempotent) — the bench
     * calls this in warmup so the one-time 4-version build is timed as
@@ -97,6 +98,7 @@ object StorageQueries {
     sqlEqmFixture(spark, sfDir)
     sqlEquEvFixture(spark, sfDir)
     sqlEqdFixture(spark, sfDir)
+    sqlEqDsFixture(spark, sfDir)
     sqlCbyFixture(spark, sfDir)
     sqlSubqFixture(spark, sfDir)
     sqlWapFixture(spark, sfDir)
@@ -1392,6 +1394,51 @@ object StorageQueries {
     })
   }
 
+  /** Fixture for the ROUTED SQL DELETE query (F87): a table that opted
+    * in via `write.delete.mode = equality` takes plain `DELETE FROM`
+    * statements whose conditions are pure equality tuples (IN lists,
+    * OR-of-equalities) as WRITE-WITHOUT-READ tombstone commits — the
+    * fixture asserts the head operations are `eq-delete` (a silent
+    * fallback to the boundary-rewrite path would still pass the
+    * oracle). Tombstones stay live; reads resolve. */
+  private val sqlEqDsNames =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def sqlEqDsFixture(spark: SparkSession, sfDir: String): String = {
+    val key = (spark.sparkContext.applicationId, sfDir)
+    sqlEqDsNames.computeIfAbsent(key, { _ =>
+      val src = srcCat(spark, sfDir)
+      src.registerViews()
+      val name = s"geqr${math.abs(sfDir.hashCode)}"
+      val dir = java.nio.file.Files.createTempDirectory("graft-sqleqr").toString
+      spark.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.sources.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.dir", dir)
+      spark.sql(s"CREATE TABLE $name.default.eqs " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode' = 'equality')")
+      spark.sql(s"INSERT INTO $name.default.eqs " +
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 1000")
+      spark.sql(s"""CALL $name.system.eq_upsert('eqs',
+        'SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+         WHERE o_orderkey > 500 AND o_orderkey <= 1200', 'o_orderkey')""")
+      spark.sql(s"DELETE FROM $name.default.eqs WHERE o_orderkey IN " +
+        "(10, 20, 30, 40, 50, 60, 70, 80, 90, 100)")
+      spark.sql(s"DELETE FROM $name.default.eqs " +
+        "WHERE o_orderkey = 600 OR o_orderkey = 700")
+      val cat = new Catalog(spark, dir)
+      val ops = VersionedTable.history(cat, "eqs")
+        .orderBy(col("version").desc).select("operation")
+        .limit(2).collect().map(_.getString(0)).toSeq
+      require(ops == Seq("eq-delete", "eq-delete"),
+        s"the fixture's DELETEs must route to the equality path, got $ops")
+      val v = VersionedTable.currentVersion(cat, "eqs").get
+      require(VersionedTable.eqTombstoneKeyCols(cat, "eqs", v).nonEmpty,
+        "the routed-delete fixture must leave live tombstones")
+      name
+    })
+  }
+
   /** Fixture for the EVOLVING equality-upsert query: statement 2 WIDENS
     * the schema (a new `flag` column — pre-evolution rows read null),
     * statement 3 OMITS it (null-filled, delete+insert semantics) — the
@@ -2156,6 +2203,20 @@ object StorageQueries {
         SELECT o_orderkey,
                CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
         FROM $name.default.eqd
+        ORDER BY o_orderkey""")
+    },
+
+    // plain SQL `DELETE FROM` ROUTED to the write-without-read equality
+    // path (F87): the opted-in fixture's IN-list and OR-of-equalities
+    // DELETEs each committed ONE key-tombstone file with no target read
+    // (fixture-asserted head operations = `eq-delete`); the query reads
+    // the resolved end state with the tombstones still live.
+    "q_eq_delete_sql" -> { (spark, sfDir) =>
+      val name = sqlEqDsFixture(spark, sfDir)
+      spark.sql(s"""
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM $name.default.eqs
         ORDER BY o_orderkey""")
     },
 
@@ -3400,6 +3461,17 @@ object StorageQueries {
         |WHERE o_orderkey <= 1250
         |  AND NOT (o_orderkey % 7 = 0 AND o_orderkey <= 900)
         |  AND NOT (o_orderkey > 950 AND o_orderkey <= 1000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_eq_delete_sql" ->
+      """SELECT o_orderkey,
+        |       CAST(FLOOR((CASE WHEN o_orderkey > 500 THEN o_totalprice * 2
+        |                        ELSE o_totalprice END) * 100) AS BIGINT)
+        |         AS cents
+        |FROM orders
+        |WHERE o_orderkey <= 1200
+        |  AND o_orderkey NOT IN (10, 20, 30, 40, 50, 60, 70, 80, 90, 100)
+        |  AND o_orderkey NOT IN (600, 700)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_change_feed_eq_delete" ->

@@ -224,9 +224,63 @@ private[sources] final class GraftBatchTable(
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     // merge-on-read: decline the metadata delete so Spark routes the
     // statement through the delta operation — positions recorded as a
-    // deletion vector instead of a boundary-file rewrite
-    !mergeOnRead &&
-      filters.forall(f => GraftTableProvider.filterColumn(f).isDefined)
+    // deletion vector instead of a boundary-file rewrite. An
+    // equality-routable condition on an opted-in table accepts on BOTH
+    // layouts: the tombstone commit reads nothing either way.
+    (!mergeOnRead &&
+      filters.forall(f => GraftTableProvider.filterColumn(f).isDefined)) ||
+      eqDeleteRoute(filters).isDefined
+
+  /** SQL `DELETE` routed to the WRITE-WITHOUT-READ equality path: when
+    * the table opted in (`write.delete.mode = equality`) and the
+    * condition is a pure equality-tuple predicate
+    * ([[GraftTableProvider.eqDeleteTuples]]), the statement commits ONE
+    * key-tombstone file and touches no data file — the standard
+    * boundary-rewrite delete reads and rewrites every file whose zone
+    * maps cannot prove full coverage, which for a point delete on an
+    * unclustered 100 TB table is most of them. The route pre-checks
+    * literal→recorded-type losslessness so qualification is
+    * deterministic between `canDeleteWhere` and `deleteWhere`; anything
+    * unprovable falls back silently. Returns the commit thunk so the
+    * two callers share one qualification. */
+  private def eqDeleteRoute(filters: Array[sources.Filter])
+      : Option[() => Unit] = try {
+    import GraftTableProvider.opt
+    import org.apache.spark.sql.functions.lit
+    if (opt(options, "versionAsOf").nonEmpty ||
+      opt(options, "timestampAsOf").nonEmpty) return None
+    val spark = SparkSession.active
+    val dir = opt(options, "dir").getOrElse(return None)
+    val table = opt(options, "table").getOrElse(return None)
+    val cat = new Catalog(spark, dir)
+    if (!VersionedTable.tableProps(cat, table)
+      .get("write.delete.mode").map(_.trim.toLowerCase)
+      .contains("equality")) return None
+    val recorded = VersionedTable.recordedHeadSchema(cat, table)
+      .getOrElse(return None)
+    val (cols0, tuples) = GraftTableProvider.eqDeleteTuples(filters)
+      .getOrElse(return None)
+    val fields = cols0.map(c => recorded.fields
+      .find(_.name.equalsIgnoreCase(c)).getOrElse(return None))
+    val coercible = tuples.forall(m => cols0.forall { c =>
+      val rec = fields(cols0.indexOf(c)).dataType
+      m(c) == null || {  // a null key casts to any type's typed null
+        val t = org.apache.spark.sql.catalyst.expressions
+          .Literal(m(c)).dataType
+        t == rec || VersionedTable.losslessEqCast(t, rec)
+      }
+    })
+    if (!coercible) return None
+    Some(() => {
+      val rows = tuples.map(m =>
+        spark.range(1).select(cols0.zip(fields).map { case (c, f) =>
+          lit(m(c)).cast(f.dataType).as(f.name) }: _*))
+        .reduce(_ unionByName _)
+      VersionedTable.deleteKeysEquality(cat, table, rows,
+        fields.map(_.name))
+      ()
+    })
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     import GraftTableProvider.{opt, requiredOpt}
@@ -236,13 +290,17 @@ private[sources] final class GraftBatchTable(
     require(opt(options, "versionAsOf").isEmpty &&
       opt(options, "timestampAsOf").isEmpty,
       "cannot DELETE at a time-travel version — deletes always commit a new head")
-    val cond = filters.toSeq
-      .map(f => GraftTableProvider.filterColumn(f).getOrElse(
-        throw new UnsupportedOperationException(
-          s"DELETE condition not expressible as a pushed filter: $f")))
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    VersionedTable.delete(cat, table, cond)
+    eqDeleteRoute(filters) match {
+      case Some(commit) => commit()
+      case None =>
+        val cond = filters.toSeq
+          .map(f => GraftTableProvider.filterColumn(f).getOrElse(
+            throw new UnsupportedOperationException(
+              s"DELETE condition not expressible as a pushed filter: $f")))
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        VersionedTable.delete(cat, table, cond)
+    }
     ()
   }
 
@@ -1103,6 +1161,65 @@ object GraftTableProvider {
       case sources.AlwaysFalse() => Some(lit(false))
       case _ => None
     }
+  }
+
+  /** A routed equality DELETE above this many literal tuples falls back
+    * to the standard path: the tuple frame builds as a driver-side
+    * union, and a condition carrying thousands of literals is better
+    * served by the boundary-rewrite delete's set-oriented plan. */
+  private val MaxEqDeleteTuples = 1024
+
+  /** Parse `filters` (implicitly ANDed — the shape `deleteWhere`
+    * receives) into equality key TUPLES: `Some((cols, tuples))` when
+    * the whole condition is exactly "the row's `cols` tuple ∈ `tuples`"
+    * — the only predicate an equality tombstone can express. Admitted
+    * leaves: `EqualTo` with a non-null literal (SQL `=` never matches
+    * null rows, and a non-null tombstone key matches only equal
+    * non-null values — same rows), `EqualNullSafe` (tombstone keys
+    * match null-safely — exactly `<=>`), and null-free `In`. `And`
+    * cross-merges the two sides' tuple sets (a tuple binding the same
+    * column to two different values is a contradiction and drops);
+    * `Or` unions them. Every surviving tuple must bind the SAME column
+    * set — a partial binding (`k1 = 5` on a two-column tombstone frame)
+    * would need a wildcard no key file can record. Anything else —
+    * ranges, IS NULL, NOT, functions — returns None and the statement
+    * takes the standard delete. */
+  private[sources] def eqDeleteTuples(filters: Array[sources.Filter])
+      : Option[(Seq[String], Seq[Map[String, Any]])] = {
+    def sameVal(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, null) => true
+      case (null, _) | (_, null) => false
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (x, y) => x == y
+    }
+    def merge(a: Seq[Map[String, Any]], b: Seq[Map[String, Any]])
+        : Seq[Map[String, Any]] =
+      for {
+        x <- a; y <- b
+        if x.keySet.intersect(y.keySet).forall(k => sameVal(x(k), y(k)))
+      } yield x ++ y
+    def go(f: sources.Filter): Option[Seq[Map[String, Any]]] = f match {
+      case sources.EqualTo(c, v) if v != null =>
+        Some(Seq(Map(c.toLowerCase -> v)))
+      case sources.EqualNullSafe(c, v) =>
+        Some(Seq(Map(c.toLowerCase -> v)))
+      case sources.In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        Some(vs.toSeq.map(v => Map(c.toLowerCase -> (v: Any))))
+      case sources.And(l, r) =>
+        for { a <- go(l); b <- go(r) } yield merge(a, b)
+      case sources.Or(l, r) =>
+        for { a <- go(l); b <- go(r) } yield a ++ b
+      case _ => None
+    }
+    val per = filters.toSeq.map(go)
+    if (per.isEmpty || per.exists(_.isEmpty)) return None
+    val tuples = per.map(_.get).reduceLeft(merge)
+    // all-contradiction (`k = 1 AND k = 2`) matches zero rows — let the
+    // standard path prove the no-op rather than special-casing it here
+    if (tuples.isEmpty || tuples.size > MaxEqDeleteTuples) return None
+    val colSets = tuples.map(_.keySet).distinct
+    if (colSets.size != 1) return None
+    Some((colSets.head.toSeq.sorted, tuples))
   }
 
   /** Dynamic-filter IN lists above this stay unpruned: zone-map

@@ -974,4 +974,71 @@ class EqualityDeleteSpec extends SparkSpec {
     // mixed epochs were single commits: v1 load + 2 stream epochs
     assert(VersionedTable.currentVersion(lib, "mx").get == 3L)
   }
+
+  test("SQL DELETE routes to the equality path when the table opts in") {
+    VersionedTable.load(lib, "sd",
+      Seq.tabulate(1000)(i => (i.toLong, i * 1.0, s"s${i % 10}"))
+        .toDF("k", "v", "tag"),
+      upsertFields = Seq("k"), idOrder = Seq("k"))
+    def opAt(table: String, v: Long): String =
+      VersionedTable.history(lib, table).where(col("version") === v)
+        .select("operation").head().getString(0)
+    // WITHOUT the prop an equality-shaped DELETE takes the standard
+    // boundary-rewrite path (the conservative default)
+    spark.sql("DELETE FROM geq.default.sd WHERE k = 990")
+    assert(opAt("sd", 2L) != "eq-delete")
+    spark.sql("ALTER TABLE geq.default.sd " +
+      "SET TBLPROPERTIES ('write.delete.mode' = 'equality')")
+    val vProp = VersionedTable.currentVersion(lib, "sd").get
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // IN on the key: ONE tombstone commit, target never opened
+      spark.sql("DELETE FROM geq.default.sd WHERE k IN (5, 6, 7)")
+      // OR of AND-conjunctions over (k, tag): one two-column tombstone
+      spark.sql("DELETE FROM geq.default.sd WHERE " +
+        "(k = 20 AND tag = 's0') OR (k = 31 AND tag = 's1')")
+      // a VALUE-column equality (not the upsert key) routes too
+      spark.sql("DELETE FROM geq.default.sd WHERE v = 40.0")
+      Thread.sleep(500) // listener-bus drain (no public waitUntilEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read.get() <= 20L,
+      s"routed DELETEs must not probe the 1000-row target: ${read.get()}")
+    val vAfter = VersionedTable.currentVersion(lib, "sd").get
+    assert((vProp + 1 to vAfter).forall(v => opAt("sd", v) == "eq-delete"),
+      VersionedTable.history(lib, "sd").select("version", "operation")
+        .collect().mkString(";"))
+    val s = state("sd")
+    assert(s.size == 993 && !s.contains(990L) && !s.contains(5L) &&
+      !s.contains(20L) && !s.contains(31L) && !s.contains(40L) &&
+      s.contains(41L))
+    // a tuple mismatching on the second column deletes nothing
+    spark.sql("DELETE FROM geq.default.sd WHERE k = 50 AND tag = 's9'")
+    assert(state("sd").contains(50L))
+    // non-equality predicates provably stay on the standard path
+    spark.sql("DELETE FROM geq.default.sd WHERE k >= 995")
+    val vRange = VersionedTable.currentVersion(lib, "sd").get
+    assert(opAt("sd", vRange) != "eq-delete")
+    assert(state("sd").size == 988)
+    // feed + compaction agree with the routed deletes
+    VersionedTable.compact(lib, "sd", 256L * 1024 * 1024)
+    assert(state("sd").size == 988 && !state("sd").contains(40L))
+
+    // a MERGE-ON-READ table with the prop: DELETE skips the deletion-
+    // vector rewrite entirely — same tombstone-only commit
+    VersionedTable.load(lib, "sdm",
+      Seq.tabulate(500)(i => (i.toLong, i * 1.0)).toDF("k", "v"),
+      upsertFields = Seq("k"), idOrder = Seq("k"),
+      extraProps = Map("write.delete.mode" -> "equality",
+        "write_mode" -> "merge-on-read"))
+    spark.sql("DELETE FROM geq.default.sdm WHERE k = 13")
+    val vM = VersionedTable.currentVersion(lib, "sdm").get
+    assert(opAt("sdm", vM) == "eq-delete")
+    assert(!state("sdm").contains(13L) && state("sdm").size == 499)
+  }
 }
