@@ -33,8 +33,18 @@ object PortableHash {
   /** Modulus for all portable hashing: the Mersenne prime 2^31 - 1. */
   val P: Long = 2147483647L
 
-  /** 60-bit portable hash of a string column. */
+  /** 60-bit portable hash of a string column. Same value as
+    * `CAST(conv(substr(md5(c),1,15),16,10) AS BIGINT)` — computed by a
+    * native expression that assembles the long straight from the digest
+    * bytes instead of allocating hex/decimal strings per hash (the chain
+    * was the dominant per-task cost of the dedup family; equality is
+    * pinned by PortableHashSpec). */
   def h60(c: Column): Column =
+    org.apache.spark.sql.graft.PortableMd5.h60Col(c)
+
+  /** The public-API spelling of [[h60]] (kept for documentation and as the
+    * reference implementation the native expression is tested against). */
+  def h60Chain(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Portable hash reduced below [[P]] (safe for modular products). */
