@@ -206,5 +206,7 @@ object Catalog {
   private[etl] def invalidateDir(dir: String): Unit = {
     val it = viewOwner.entrySet().iterator()
     while (it.hasNext) if (it.next().getValue == dir) it.remove()
+    // schema evolution must re-infer on the next open
+    graft.sources.ParquetSource.invalidateSchemaCache(dir)
   }
 }

@@ -93,10 +93,16 @@ object Loader {
            targetFileBytes: Option[Long] = None,
            partitionBy: Seq[String] = Nil,
            clusterBy: Seq[String] = Nil,
-           bucketBy: Option[(Seq[String], Int)] = None): Unit = {
+           bucketBy: Option[(Seq[String], Int)] = None,
+           keyUnique: Boolean = false,
+           knownNonEmpty: Boolean = false,
+           knownPartValues: Option[Seq[org.apache.spark.sql.Row]] = None): Unit = {
     ensureParquetWriteConf(tgt.spark)
     val incoming1 = if (incoming0.columns.contains(IdCol)) incoming0.drop(IdCol) else incoming0
-    if (incoming1.isEmpty) return
+    // knownNonEmpty: the caller already materialized the batch (e.g. a
+    // matview merge whose touched-bucket probe returned rows) — the
+    // limit(1) emptiness probe would be a redundant job per statement
+    if (!knownNonEmpty && incoming1.isEmpty) return
 
     recoverStranded(tgt, table)
     val existing0 = tgt.tableIfExists(table)
@@ -205,9 +211,11 @@ object Loader {
         val scoped = recordedSpec.nonEmpty && keysCover &&
           sameColumnSet(ex, incoming) &&
           partitionScopedUpsert(tgt, table, ex, incoming, upsertFields,
-            maxId, order, ensure, safe, partCols, targetFileBytes, clusterBy)
+            maxId, order, ensure, safe, partCols, targetFileBytes, clusterBy,
+            keyUnique, knownPartValues)
         if (scoped) return
-        upsertMerged(ex, incoming, upsertFields, maxId, order, ensure, safe)
+        upsertMerged(ex, incoming, upsertFields, maxId, order, ensure, safe,
+          keyUnique)
 
       case Some(ex) =>
         val withIds = withSurrogateIds(incoming, maxId, order)
@@ -243,6 +251,12 @@ object Loader {
           (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
             .parquet(tgt.dirPath(table))
           Catalog.invalidateDir(tgt.dir)
+          if (partCols.isEmpty)
+            graft.sources.ParquetSource.primeSchemaCache(
+              tgt.dirPath(table), target, bucketed = false)
+          else if (bucketSpec.isDefined && partCols == Seq(BucketCol))
+            graft.sources.ParquetSource.primeSchemaCache(
+              tgt.dirPath(table), target, bucketed = true)
           return
         }
         unionAligned(Seq(ex, withIds), target)
@@ -336,10 +350,16 @@ object Loader {
                                     ensure: Boolean, safe: Boolean,
                                     partCols: Seq[String],
                                     targetFileBytes: Option[Long],
-                                    clusterBy: Seq[String] = Nil): Boolean = {
+                                    clusterBy: Seq[String] = Nil,
+                                    keyUnique: Boolean = false,
+                                    knownPartValues: Option[Seq[org.apache.spark.sql.Row]] = None): Boolean = {
     val MaxScopedPartitions = 1000
-    val vals = incoming.select(partCols.map(col): _*).distinct()
-      .limit(MaxScopedPartitions + 1).collect()
+    // knownPartValues: the caller already knows the exact touched leaf
+    // values (e.g. a matview merge's touched-bucket probe) — skip the
+    // distinct-collect job that would re-derive them
+    val vals = knownPartValues.map(_.toArray).getOrElse(
+      incoming.select(partCols.map(col): _*).distinct()
+        .limit(MaxScopedPartitions + 1).collect())
     if (vals.length > MaxScopedPartitions ||
       vals.exists(r => partCols.indices.exists(r.isNullAt))) return false
 
@@ -351,7 +371,8 @@ object Loader {
         .reduce(_ && _)
     }.reduce(_ || _)
     val exSlice = ex.where(touched)
-    val merged = upsertMerged(exSlice, incoming, keys, maxId, order, ensure, safe)
+    val merged = upsertMerged(exSlice, incoming, keys, maxId, order, ensure,
+      safe, keyUnique)
 
     val conf = tgt.spark.sparkContext.hadoopConfiguration
     val liveDir = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
@@ -377,6 +398,9 @@ object Loader {
     fs.delete(tmp, true)
     cleanupStrays(tgt, table)
     Catalog.invalidateDir(tgt.dir)
+    if (partCols == Seq(BucketCol))
+      graft.sources.ParquetSource.primeSchemaCache(
+        tgt.dirPath(table), merged.schema, bucketed = true)
     true
   }
 
@@ -563,8 +587,15 @@ object Loader {
     */
   private[etl] def upsertMerged(ex: DataFrame, incoming: DataFrame, keys: Seq[String],
                                 maxId: Long, order: Seq[String],
-                                ensure: Boolean, safe: Boolean): DataFrame = {
-    val one = collapseLastPerKey(incoming, keys, order)
+                                ensure: Boolean, safe: Boolean,
+                                keyUnique: Boolean = false): DataFrame = {
+    // keyUnique: the caller GUARANTEES at most one incoming row per key
+    // (e.g. a pre-aggregated state frame keyed by its group columns) — the
+    // collapse window (an exchange + sort per statement) is then a no-op
+    // and is skipped. Semantics are unchanged for a caller that honors the
+    // contract; the flag is opt-in and internal callers only.
+    val one = if (keyUnique) incoming
+      else collapseLastPerKey(incoming, keys, order)
     // Matched rows: join incoming onto the FULL existing row and pick
     // per column — incoming's value where the column exists in incoming
     // (the supplied fields), the existing value otherwise. This mirrors
@@ -711,6 +742,15 @@ object Loader {
     if (fs.exists(fileCopy)) fs.delete(fileCopy, true) // may be a dir named name.parquet
     cleanupStrays(tgt, table) // this load's .__old plus any from crashed loads
     Catalog.invalidateDir(tgt.dir)
+    // the read-side schema of a flat/bucketed table is fully determined by
+    // what was just written — prime the schema cache so the next open skips
+    // the footer-inference job (hive-partitioned layouts keep re-inferring)
+    if (partCols.isEmpty)
+      graft.sources.ParquetSource.primeSchemaCache(
+        tgt.dirPath(table), df.schema, bucketed = false)
+    else if (bucketSpec.isDefined && partCols == Seq(BucketCol))
+      graft.sources.ParquetSource.primeSchemaCache(
+        tgt.dirPath(table), df.schema, bucketed = true)
   }
 
   /** Write-path recovery: if the table dir is absent but stranded `.__old`

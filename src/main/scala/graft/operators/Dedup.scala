@@ -484,6 +484,118 @@ object Dedup {
     */
   def connectedComponentsStar(ids: DataFrame, idCol: String,
                               pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Long-typed ids (every at-scale caller: near-dup edges are id pairs)
+    // run the loop as plain pair-RDD rounds: the round body is identical
+    // algebra, but each round costs three tiny co-partitioned shuffles and
+    // ONE action — no Catalyst analysis/optimization, no AQE re-planning,
+    // no codegen compilation per round, which profiling showed dominated
+    // the DataFrame loop's wall clock (driver stacks parked in
+    // Optimizer/QueryPlan between every round's jobs; the loop data is
+    // edge-sized KB while each DataFrame round re-optimized an 8-window
+    // plan). Non-long ids (possible via dropByPairs over arbitrary key
+    // types) keep the DataFrame loop — same fixpoint, same labels.
+    val longIds = pairs.schema("id_a").dataType == LongType &&
+      pairs.schema("id_b").dataType == LongType
+    if (longIds) connectedComponentsStarRdd(ids, idCol, pairs, maxIters)
+    else connectedComponentsStarDf(ids, idCol, pairs, maxIters)
+  }
+
+  /** RDD formulation of the star rounds (Long ids). One sweep:
+    * large-star (strictly larger neighbors re-attach to the min of the
+    * closed neighborhood) then small-star (node + smaller neighbors attach
+    * to the min neighbor) — term-for-term the window algebra of
+    * [[connectedComponentsStarDf]], pinned equal by StarComponentsSpec's
+    * seeded-random-vs-union-find cases and the shared q_dedup_drop oracle.
+    */
+  private def connectedComponentsStarRdd(ids: DataFrame, idCol: String,
+                                         pairs: DataFrame,
+                                         maxIters: Int): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = ids.sparkSession
+    var e: RDD[(Long, Long)] = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // RIGHT-SIZE the loop's parallelism to the edge volume (near-dup edge
+    // sets are tiny next to the corpus): ~1M edges per partition, floor 1.
+    val edgeCount = e.count()
+    val part = new HashPartitioner(
+      math.max(1L, math.min(e.getNumPartitions.toLong,
+        edgeCount / 1000000L + 1)).toInt)
+    def sweep(edges: RDD[(Long, Long)]): RDD[(Long, Long)] = {
+      val sym = edges.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+        .partitionBy(part)
+      val minN = sym.reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // min neighbor per node
+      // large-star: every strictly-larger neighbor re-attaches to the min
+      // of u's CLOSED neighborhood (min(minN, u))
+      val large = sym.join(minN).flatMap { case (u, (v, m0)) =>
+        val m = math.min(m0, u)
+        if (v > u && v != m) Iterator((v, m)) else Iterator.empty
+      }.partitionBy(part)
+      // small-star on the (big → small) edges large-star emits
+      val l2min = large.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      large.join(l2min).flatMap { case (u, (v, m2)) =>
+        (if (v != m2) Iterator((v, m2)) else Iterator.empty) ++
+          (if (u != m2) Iterator((u, m2)) else Iterator.empty)
+      }
+    }
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      // TWO sweeps per round (typical near-dup graphs converge within the
+      // first), then one distinct; the star-forest probe below is the
+      // round's single action and materializes the persisted result
+      val small = sweep(sweep(e)).distinct(part.numPartitions)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // fixpoint = the edge set IS a star forest: no child with two
+      // parents, no parent that is itself a child — one aggregation
+      val (multiParent, chained) = small
+        .flatMap { case (u, v) => Iterator((u, (1L, 0)), (v, (0L, 1))) }
+        .reduceByKey((a: (Long, Int), b: (Long, Int)) =>
+          (a._1 + b._1, math.max(a._2, b._2)))
+        .map { kv =>
+          val (c, p) = kv._2
+          (if (c > 1) 1 else 0, if (c >= 1 && p == 1) 1 else 0) }
+        .fold((0, 0)) { case ((a1, b1), (a2, b2)) =>
+          (math.max(a1, a2), math.max(b1, b2)) }
+      e.unpersist(false)
+      e = small
+      done = multiParent == 0 && chained == 0 // empty set folds to (0,0)
+      iter += 1
+    }
+    if (!done) {
+      // degenerate reachable only when the loop never ran (maxIters == 0):
+      // an empty edge set is trivially a star forest
+      if (e.isEmpty()) done = true
+      else {
+        e.unpersist(false)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge in $maxIters rounds")
+      }
+    }
+    val implicits = spark.implicits
+    import implicits._
+    val eOut = e.toDF("id", "comp")
+    // label join: ≤ one edge per non-root node — broadcast under the same
+    // comfort zone as the DataFrame loop so the corpus ids never shuffle
+    val labels = ids.select(col(idCol).as("id"))
+      .join(if (edgeCount <= 1000000L) broadcast(eOut) else eOut,
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .cache()
+    labels.count() // materialize before releasing the edge blocks
+    e.unpersist(false)
+    labels
+  }
+
+  private def connectedComponentsStarDf(ids: DataFrame, idCol: String,
+                                        pairs: DataFrame,
+                                        maxIters: Int): DataFrame = {
     // Every round MUST truncate lineage (localCheckpoint): each
     // iteration's plan references the previous one several times (sym
     // union, two joins), so an un-truncated loop grows the logical plan

@@ -45,6 +45,66 @@ object ParquetSource {
   def read(spark: SparkSession, path: String): DataFrame =
     read(spark, path, keepBucket = false)
 
+  /** Schema cache for [[read]]: `spark.read.parquet(path)` with no schema
+    * runs a one-task footer-inference JOB per call, and every graft write
+    * statement re-opens its table several times (existence probe, merge
+    * read, staged-swap verification) — at ~50-90 ms of fixed job overhead
+    * each, inference was a measurable slice of every load/upsert/matview
+    * statement (optimization guide §1.2: remove passes that recompute what
+    * is already known). The cache hands the previously-inferred schema to
+    * `.schema(...)` so re-opens plan with zero jobs. Invalidated on every
+    * graft write via [[graft.etl.Catalog.invalidateDir]] (all Loader write
+    * paths end there), so schema evolution re-infers; raw source corpora
+    * are immutable and stay cached for the session. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  // same lifecycle: the per-open driver footer probe for nano-timestamp
+  // columns re-reads one footer per read() call otherwise
+  private val nanoColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Prime the schema cache right after a write whose read-side schema is
+    * fully determined: flat tables (read schema = written data schema) and
+    * hash-bucketed tables (one derived partition column, always written as
+    * small ints, so directory type inference is IntegerType by
+    * construction). Hive-partitioned tables are NOT primed — their
+    * partition value types go through Spark's directory inference, which
+    * this cache must not second-guess. All fields are relaxed to nullable,
+    * matching what a parquet read reports for data written by graft (and
+    * over-nullable is always safe to read with). */
+  private[graft] def primeSchemaCache(path: String,
+                                      dataSchema: org.apache.spark.sql.types.StructType,
+                                      bucketed: Boolean): Unit = {
+    def nullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.map(f => f.copy(dataType = nullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = nullable(m.keyType),
+          valueType = nullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    val dataFields = dataSchema.fields.filterNot(_.name == BucketCol)
+      .map(f => f.copy(dataType = nullable(f.dataType), nullable = true))
+    val full =
+      if (bucketed)
+        dataFields :+ org.apache.spark.sql.types.StructField(
+          BucketCol, org.apache.spark.sql.types.IntegerType, nullable = true)
+      else dataFields
+    schemaCache.put(path, org.apache.spark.sql.types.StructType(full))
+  }
+
+  /** Drop cached schemas for every path under `prefix` (a catalog dir or a
+    * table dir) — called from the write paths' cache invalidation. */
+  private[graft] def invalidateSchemaCache(prefix: String): Unit = {
+    val it = schemaCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    val it2 = nanoColsCache.keySet().iterator()
+    while (it2.hasNext) if (it2.next().startsWith(prefix)) it2.remove()
+  }
+
   /** `keepBucket = true` preserves the physical [[BucketCol]] partition
     * column of a bucketed table — the writer-side read: predicates on the
     * PHYSICAL partition column partition-prune at the directory level,
@@ -64,8 +124,16 @@ object ParquetSource {
     //   2. a defensive cast for files that carry explicit Spark
     //      TimestampNTZ metadata (inference doesn't apply to those).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = spark.read.parquet(path)
-    val nanoCols = nanoTimestampCols(spark, path)
+    val cachedSchema = schemaCache.get(path)
+    val df =
+      if (cachedSchema != null) spark.read.schema(cachedSchema).parquet(path)
+      else {
+        val d = spark.read.parquet(path)
+        schemaCache.put(path, d.schema)
+        d
+      }
+    val nanoCols = nanoColsCache.computeIfAbsent(path,
+      p => nanoTimestampCols(spark, p))
     val withNanos = nanoCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
     }
