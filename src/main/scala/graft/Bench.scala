@@ -87,6 +87,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => } // a read-only target must not fail the bench
+    // The full line above, at 216 queries, is ~7 KB — longer than the
+    // 2,000-char stdout tail the driver keeps, so its head (and the total)
+    // was unparseable for two rounds (r17/r18 PERF both came back empty).
+    // ALSO print, as the very last line, a compact summary WITHOUT the
+    // per-query map (≤ ~1.5 KB incl. a capped error sample) so a tail-
+    // bounded collector always sees one complete parseable JSON line; the
+    // full per-query map stays in the line above and in the sidecar file.
+    // The timing methodology and the full line are unchanged.
+    val errSample = failed.take(3).mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$errSample,"fixture_build_s":$fixtureBuildS,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"queries_file":"$out"}""")
     spark.stop()
   }
 }
