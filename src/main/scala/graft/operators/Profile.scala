@@ -139,11 +139,35 @@ object Profile {
   /** Shared core over (__key, v) pairs — see [[quantiles]] for the
     * distributed-prefix-sum design discussion. */
   private def quantilesByKey(pairs: DataFrame, qs: Seq[Double]): DataFrame = {
+    val (result, caches) = quantilesByKeyRaw(pairs, qs)
+    Dedup.materializeAndRelease(result, caches: _*)
+  }
+
+  /** [[quantilesByKey]] with the intermediates exposed: returns
+    * (quantile result, persisted (__key, v, c, pid) value census, caches to
+    * release once the caller's result is materialized). [[outlierSummary]]
+    * computes its fence-violation counts from the SAME census instead of a
+    * second corpus scan — exact multiplicities, so the counts are identical
+    * to a re-scan (guide §1.2: never recompute what a prior pass already
+    * aggregated).
+    *
+    * The base aggregation is persisted BEFORE the range repartition:
+    * Spark's range exchange runs a sampling pass over its child first, so
+    * an unpersisted census executed the whole corpus scan + aggregation
+    * twice (once to pick split points, once to shuffle).
+    */
+  private def quantilesByKeyRaw(pairs: DataFrame,
+                                qs: Seq[Double]): (DataFrame, Seq[DataFrame]) = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile fractions must be in (0, 1]: $qs")
     val qPpms = qs.map(q => math.round(q * 1e6))
     require(qPpms.distinct.size == qPpms.size, s"duplicate quantiles at ppm resolution: $qs")
     val counts = pairs.groupBy("__key", "v").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (Right-sizing the range exchange DOWN to census volume was measured
+    // 3× SLOWER here — a single split serializes the cumsum window's sort;
+    // the ambient split count keeps the window parallel and is already
+    // proportional to cores. Left at the session default.)
     val parted = counts.repartitionByRange(col("__key"), col("v"))
       .withColumn("pid", spark_partition_id().cast(LongType))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -154,8 +178,8 @@ object Profile {
         sum(col("pc")).over(Window.partitionBy("__key").orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__key"), col("pid"), col("off"))
-    // derive per-key totals from the PERSISTED frame — `counts` would
-    // re-run the whole base aggregation a second time
+    // derive per-key totals from the PERSISTED frame — an unpersisted
+    // `counts` would re-run the whole base aggregation a second time
     val ns = parted.groupBy("__key").agg(sum(col("c")).as("n"))
     val thresholds = ns.select(col("__key"), col("n"),
         explode(array(qPpms.map(lit): _*)).as("q_ppm"))
@@ -167,7 +191,7 @@ object Profile {
       .where(col("cum") >= col("t"))
       .groupBy(col("__key"), col("q_ppm"))
       .agg(min(col("v")).as("value_e9"))
-    Dedup.materializeAndRelease(result, parted)
+    (result, Seq(parted, counts))
   }
 
   /** The DuckDB spelling of [[quantiles]] for one column `c` of table
@@ -190,33 +214,41 @@ object Profile {
     * unit-mismatch batches (cents vs dollars shifts min/max 100×) without
     * materializing per-row flags.
     *
-    * Scale: the quantile pass is the distributed prefix-sum census (see
-    * [[quantiles]]); the count pass is one partial aggregation over the
-    * same exploded pairs with the O(columns) fence frame broadcast —
-    * two corpus scans total, nothing driver-side.
+    * Scale: ONE corpus scan total — the quantile pass's distributed
+    * prefix-sum census (see [[quantiles]]) is persisted as a (column,
+    * value, multiplicity) table, and the fence-violation counts aggregate
+    * that census (Σ c per side of each fence — exact multiplicities, so
+    * the counts are identical to a row-level re-scan) with the O(columns)
+    * fence frame broadcast. Nothing driver-side.
     */
   def outlierSummary(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "outlier summary of zero columns")
-    val fences = quantiles(df, cols, Seq(0.25, 0.75))
-      .groupBy("column")
-      .agg(
-        max(when(col("q_ppm") === 250000L, col("value_e9"))).as("__q1"),
-        max(when(col("q_ppm") === 750000L, col("value_e9"))).as("__q3"))
-      .select(col("column"),
-        expr("CAST(__q1 - (3 * (__q3 - __q1)) DIV 2 AS BIGINT)").as("lo_e9"),
-        expr("CAST(__q3 + (3 * (__q3 - __q1)) DIV 2 AS BIGINT)").as("hi_e9"))
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("column"),
           PortableHash.e9(col(c).cast(DoubleType)).as("v"))): _*)).as("__p"))
-      .select(col("__p.column").as("column"), col("__p.v").as("v"))
+      .select(col("__p.column").as("__key"), col("__p.v").as("v"))
       .where(col("v").isNotNull)
-    pairs.join(broadcast(fences), Seq("column"))
-      .groupBy("column")
-      .agg(count(lit(1)).as("n"),
+    val (qres, caches) = quantilesByKeyRaw(pairs, Seq(0.25, 0.75))
+    val fences = qres
+      .groupBy(col("__key"))
+      .agg(
+        max(when(col("q_ppm") === 250000L, col("value_e9"))).as("__q1"),
+        max(when(col("q_ppm") === 750000L, col("value_e9"))).as("__q3"))
+      .select(col("__key"),
+        expr("CAST(__q1 - (3 * (__q3 - __q1)) DIV 2 AS BIGINT)").as("lo_e9"),
+        expr("CAST(__q3 + (3 * (__q3 - __q1)) DIV 2 AS BIGINT)").as("hi_e9"))
+    // count fence violations from the persisted census (caches.head is the
+    // range-parted (__key, v, c) table): sum multiplicities per side
+    val result = caches.head.join(broadcast(fences), Seq("__key"))
+      .groupBy(col("__key").as("column"))
+      .agg(sum(col("c")).cast("long").as("n"),
         first(col("lo_e9")).as("lo_e9"), first(col("hi_e9")).as("hi_e9"),
-        sum(when(col("v") < col("lo_e9"), 1L).otherwise(0L)).as("n_below"),
-        sum(when(col("v") > col("hi_e9"), 1L).otherwise(0L)).as("n_above"))
+        sum(when(col("v") < col("lo_e9"), col("c")).otherwise(0L))
+          .cast("long").as("n_below"),
+        sum(when(col("v") > col("hi_e9"), col("c")).otherwise(0L))
+          .cast("long").as("n_above"))
       .orderBy("column")
+    Dedup.materializeAndRelease(result, caches: _*)
   }
 
   /** DuckDB twin of [[outlierSummary]] for one column of `src`. */
