@@ -360,12 +360,52 @@ object TextAnalysis {
       .withColumn("f_ellipsis_lines", lit(10L) * ellipsisLines <= lit(3L) * nLines)
       .withColumn("f_alpha_words", lit(5L) * alphaWords >= lit(4L) * n)
       .withColumn("f_stopwords", stopHits >= 2L)
-      .withColumn("gopher_keep",
-        col("f_word_count") && col("f_mean_word_len") && col("f_symbol_ratio") &&
-          col("f_bullet_lines") && col("f_ellipsis_lines") &&
-          col("f_alpha_words") && col("f_stopwords"))
+      .withColumn("gopher_keep", gopherKeepExpr(col(textCol), minWords, maxWords))
       .drop("__toks", "__lines")
   }
+
+  /** `gopher_keep` as ONE self-contained let-bound tree — the same
+    * conjunction of the seven flags above, but with the input text AND the
+    * token/line arrays bound as lambda VALUES (the [[QualityClassifier]] /
+    * shingles trick). Why: a downstream `filter(gopher_keep)` is
+    * deterministic, so Catalyst pushes it below windows/joins down to the
+    * scan, INLINING the referenced column trees — with the flag-column
+    * formulation that re-ran the normalize+tokenize chain once per
+    * subpredicate (~10× per row in q_pipeline_curate's pushed scan filter,
+    * its dominant task cost; lambda-bearing trees are outside Spark's
+    * subexpression elimination, so nothing de-duplicated them). Bound as
+    * values, the gate costs one tokenize + one line split per row wherever
+    * the optimizer moves it. Boolean-identical by construction: the same
+    * seven conditions over the same arrays, in the same order.
+    */
+  private def gopherKeepExpr(text: Column, minWords: Int, maxWords: Int): Column =
+    element_at(transform(array(coalesce(text, lit(""))), tv =>
+      element_at(transform(array(struct(
+          tokens(tv).as("ws"),
+          filter(split(tv, "\n"), l => l =!= lit("")).as("ls"))), b => {
+        val toks = b.getField("ws")
+        val lines = b.getField("ls")
+        val n = size(toks).cast(LongType)
+        val totLen = aggregate(toks, lit(0L), (a, w) => a + length(w).cast(LongType))
+        val nLines = size(lines).cast(LongType)
+        val bulletLines = size(filter(lines, l =>
+          l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).cast(LongType)
+        val ellipsisLines = size(filter(lines, l =>
+          l.endsWith("...") || l.endsWith("…"))).cast(LongType)
+        val hashes = (length(tv) - length(regexp_replace(tv, "#", ""))).cast(LongType)
+        val ellipses = ((length(tv) - length(regexp_replace(tv, "\\.\\.\\.", ""))) / 3).cast(LongType) +
+          (length(tv) - length(regexp_replace(tv, "…", ""))).cast(LongType)
+        val alphaWords = size(filter(toks, w => w.rlike("[a-z]"))).cast(LongType)
+        val stopHits = size(array_intersect(array_distinct(toks),
+          typedLit(Stopwords))).cast(LongType)
+        (n >= minWords && n <= maxWords) &&
+          (totLen >= lit(3L) * n && totLen <= lit(10L) * n) &&
+          (lit(10L) * (hashes + ellipses) <= n) &&
+          (lit(10L) * bulletLines <= lit(9L) * nLines) &&
+          (lit(10L) * ellipsisLines <= lit(3L) * nLines) &&
+          (lit(5L) * alphaWords >= lit(4L) * n) &&
+          (stopHits >= 2L)
+      }), 1)), 1)
 
   /** Stopword profiles for the n-gram/stopword language-ID heuristic.
     * Order matters: ties resolve to the FIRST language in this list.
