@@ -837,8 +837,23 @@ object Dedup {
         df.join(broadcast(dropIds.toDF("__drop_id")),
           col(idCol) === col("__drop_id"), "left_anti")
       case None =>
-        val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
-        df.join(comps.where(col("id") === col("comp")).select(col("id").as(idCol)), Seq(idCol))
+        // Distributed fallback: components via the large-star/small-star
+        // RDD rounds, NOT the min-label propagation loop — propagation
+        // needs O(diameter) rounds, and each DataFrame round re-plans a
+        // multi-join query through Catalyst (measured ~7 s of the 11 s
+        // q_dedup_drop_star wall clock against edge data measured in KB;
+        // the star rounds are plain co-partitioned pair-RDD shuffles with
+        // one action per round). Labels are identical by construction —
+        // comp = minimum id of the component — pinned star-vs-union-find
+        // by StarComponentsSpec and by the q_dedup_drop/q_dedup_drop_star
+        // shared oracle.
+        val comps = connectedComponentsStar(df.select(col(idCol)), idCol, pairs)
+        // keep-set = component roots; materialize it and RELEASE the
+        // corpus-sized labels cache (previously leaked until session end)
+        val keep = materializeAndRelease(
+          comps.where(col("id") === col("comp")).select(col("id").as(idCol)),
+          comps)
+        df.join(keep, Seq(idCol))
     }
     // both paths have consumed pairs into driver state or a materialized
     // label cache; release its blocks now rather than at application exit
@@ -858,7 +873,7 @@ object Dedup {
                   maxDriverEdges: Int = 10_000_000): DataFrame = {
     val comps = connectedComponentsAuto(df.select(col(idCol)), idCol, pairs, maxDriverEdges)
     val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
-    sizes.agg(
+    val report = sizes.agg(
       sum(col("sz")).as("n_total"),
       sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
       sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("n_dup_members"),
@@ -866,6 +881,10 @@ object Dedup {
     .select(col("n_total"), col("n_dup_groups"), col("n_dup_members"),
       col("n_dropped"),
       expr("CAST(n_dropped * 1000000 DIV n_total AS BIGINT)").as("drop_ppm"))
+    // the distributed-components path hands back a cached corpus-sized
+    // labels frame — fold it into the one-row report and release it (the
+    // driver-union-find path returns an uncached frame: unpersist no-ops)
+    materializeAndRelease(report, comps)
   }
 
   // ---- SimHash ------------------------------------------------------------

@@ -772,6 +772,8 @@ object VectorSimilarity {
       .where(col("__rn") === 1)
       .drop("__rn", "__comp")
       .withColumnRenamed("__ccos", "centroid_cosine")
-    Dedup.materializeAndRelease(out, pairs)
+    // comps may be a cached labels frame (distributed-components path) —
+    // release it with the pairs once the result is materialized
+    Dedup.materializeAndRelease(out, pairs, comps)
   }
 }
