@@ -209,4 +209,17 @@ object Catalog {
     // schema evolution must re-infer on the next open
     graft.sources.ParquetSource.invalidateSchemaCache(dir)
   }
+
+  /** Table-scoped variant for the write paths: view registrations are still
+    * evicted catalog-wide (a view's plan may join several tables of the
+    * dir), but the schema/sidecar caches drop ONLY the written table's two
+    * layouts (dir + single-file twin) — a multi-table statement keeps every
+    * OTHER table's cached metadata instead of re-inferring the whole
+    * catalog after each write. */
+  private[etl] def invalidateTable(tgt: Catalog, table: String): Unit = {
+    val it = viewOwner.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue == tgt.dir) it.remove()
+    graft.sources.ParquetSource.invalidateSchemaCache(tgt.dirPath(table))
+    graft.sources.ParquetSource.invalidateSchemaCache(tgt.filePath(table))
+  }
 }

@@ -246,11 +246,12 @@ object Loader {
         // migrates the layout (and writes the sidecar) atomically
         val layoutUnchanged = partCols.isEmpty || recordedSpec.nonEmpty
         if (dirLayout && layoutUnchanged && sameShape(target, ex.schema)) {
-          val w = shard(unionAligned(Seq(withIds), target), targetFileBytes, partCols, clusterBy)
-            .write.mode(SaveMode.Append)
+          val w = applyBlockSize(
+            shard(unionAligned(Seq(withIds), target), targetFileBytes, partCols, clusterBy)
+              .write.mode(SaveMode.Append), targetFileBytes)
           (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
             .parquet(tgt.dirPath(table))
-          Catalog.invalidateDir(tgt.dir)
+          Catalog.invalidateTable(tgt, table)
           if (partCols.isEmpty)
             graft.sources.ParquetSource.primeSchemaCache(
               tgt.dirPath(table), target, bucketed = false)
@@ -263,7 +264,7 @@ object Loader {
     }
 
     writeAtomic(tgt, table, shard(merged, targetFileBytes, partCols, clusterBy),
-      partCols, bucketSpec)
+      partCols, bucketSpec, targetFileBytes)
   }
 
   val BucketCol: String = graft.sources.ParquetSource.BucketCol
@@ -380,7 +381,8 @@ object Loader {
     val tmp = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
     val aside = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__part-" + uuid)
     val fs = liveDir.getFileSystem(conf)
-    shard(merged, targetFileBytes, partCols, clusterBy).write.mode(SaveMode.Overwrite)
+    applyBlockSize(shard(merged, targetFileBytes, partCols, clusterBy)
+        .write.mode(SaveMode.Overwrite), targetFileBytes)
       .partitionBy(partCols: _*).parquet(tmp.toString)
     fs.mkdirs(aside)
     leafPartDirs(fs, tmp, partCols.size).foreach { leaf =>
@@ -397,7 +399,7 @@ object Loader {
     fs.delete(aside, true)
     fs.delete(tmp, true)
     cleanupStrays(tgt, table)
-    Catalog.invalidateDir(tgt.dir)
+    Catalog.invalidateTable(tgt, table)
     if (partCols == Seq(BucketCol))
       graft.sources.ParquetSource.primeSchemaCache(
         tgt.dirPath(table), merged.schema, bucketed = true)
@@ -425,6 +427,24 @@ object Loader {
     require(c.startsWith(b + "/"), s"$child not under $base")
     c.substring(b.length + 1)
   }
+
+  /** Parquet row-group bound for a sized write: `parquet.block.size`
+    * capped at a quarter of `targetFileBytes` (floor 1 MB, never above the
+    * 128 MB parquet default). Why: Spark schedules one scan task per
+    * FilePartition byte range, but a task can only read ROW GROUPS whose
+    * start falls in its range — a file written as one giant row group is
+    * one task on every future scan no matter how it is split (guide §6:
+    * single-row-group files serialize re-reads). Bounding the row group at
+    * target/4 makes every at-target output file carry ≥4 independently
+    * readable row groups, so downstream scans parallelize. Unsized writes
+    * keep the parquet default. */
+  private def blockSizeFor(targetFileBytes: Option[Long]): Option[Long] =
+    targetFileBytes.map(t =>
+      math.max(1L << 20, math.min(128L << 20, t / 4)))
+
+  private def applyBlockSize(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+                             targetFileBytes: Option[Long]): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    blockSizeFor(targetFileBytes).fold(w)(b => w.option("parquet.block.size", b))
 
   /** Distribute `df` toward ~targetFileBytes output files. Flat layouts
     * round-robin; Hive-partitioned writes distribute on the partition
@@ -546,7 +566,7 @@ object Loader {
     writeAtomic(tgt, table,
       shard(ex, Some(targetFileBytes), partCols, clusterBy,
         knownTotalBytes = known, knownPartValues = knownVals),
-      partCols, bucketSpec)
+      partCols, bucketSpec, Some(targetFileBytes))
   }
 
   /** OPTIMIZE ZORDER BY: rewrite a table's files in Morton (z-value) order
@@ -578,7 +598,7 @@ object Loader {
       .footerTotalByteSize(tgt.spark, tgt.dirPath(table))
     val laid = shard(ex.withColumn("__zc", z), Some(targetFileBytes), partCols,
       clusterBy = Seq("__zc"), knownTotalBytes = known).drop("__zc")
-    writeAtomic(tgt, table, laid, partCols, bucketSpec)
+    writeAtomic(tgt, table, laid, partCols, bucketSpec, Some(targetFileBytes))
   }
 
   /** The join-based MERGE shared by the parquet and JDBC sinks: replace
@@ -708,14 +728,15 @@ object Loader {
     */
   private def writeAtomic(tgt: Catalog, table: String, df: DataFrame,
                           partCols: Seq[String] = Nil,
-                          bucketSpec: Option[(Seq[String], Int)] = None): Unit = {
+                          bucketSpec: Option[(Seq[String], Int)] = None,
+                          targetFileBytes: Option[Long] = None): Unit = {
     val conf = tgt.spark.sparkContext.hadoopConfiguration
     val finalPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table))
     val uuid = java.util.UUID.randomUUID().toString
     val tmpPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__tmp-" + uuid)
     val oldPath = new org.apache.hadoop.fs.Path(tgt.dirPath(table) + ".__old-" + uuid)
     val fs = finalPath.getFileSystem(conf)
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = applyBlockSize(df.write.mode(SaveMode.Overwrite), targetFileBytes)
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmpPath.toString)
     // sidecar lands in the tmp dir BEFORE the swap: a table is never
     // visible without its partitioning record
@@ -741,7 +762,7 @@ object Loader {
     val fileCopy = new org.apache.hadoop.fs.Path(tgt.filePath(table))
     if (fs.exists(fileCopy)) fs.delete(fileCopy, true) // may be a dir named name.parquet
     cleanupStrays(tgt, table) // this load's .__old plus any from crashed loads
-    Catalog.invalidateDir(tgt.dir)
+    Catalog.invalidateTable(tgt, table)
     // the read-side schema of a flat/bucketed table is fully determined by
     // what was just written — prime the schema cache so the next open skips
     // the footer-inference job (hive-partitioned layouts keep re-inferring)

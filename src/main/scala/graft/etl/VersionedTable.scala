@@ -2196,7 +2196,8 @@ object VersionedTable {
                          bloomCols: Seq[String] = Nil,
                          physOf: Map[String, String] = Map.empty,
                          partSpec: Seq[PartTransform] = Nil,
-                         zorder: Boolean = false)
+                         zorder: Boolean = false,
+                         extraOpts: Map[String, String] = Map.empty)
       : (Path, Seq[(String, Long)]) = {
     // the WRITE boundary of column mapping: files always carry PHYSICAL
     // names (bucket keys, bloom columns, and partition-transform columns
@@ -2246,7 +2247,7 @@ object VersionedTable {
     }
     val uuid = java.util.UUID.randomUUID().toString
     val batch = new Path(dataDir(tgt, table), s"batch-$uuid")
-    val opts = bloomOptions(out, bloomCols)
+    val opts = bloomOptions(out, bloomCols) ++ extraOpts
     bucket match {
       case Some((keys, n)) =>
         out.withColumn(Loader.BucketCol, Loader.bucketIdExpr(keys, n))
@@ -4330,8 +4331,14 @@ object VersionedTable {
           case (None, None) => rows.coalesce(parts)
         }
         preCommitHook.value()
+        // bound the parquet row group at a quarter of the file target so
+        // every at-target compacted file carries ≥4 independently
+        // readable row groups — a single-row-group file is one scan task
+        // forever, no matter how the re-read splits it (guide §6)
         val (batch, newParts) = writeBatch(tgt, table, out, man.bucket,
-          bloomColsOf(man), physOfMan(man))
+          bloomColsOf(man), physOfMan(man),
+          extraOpts = Map("parquet.block.size" -> math.max(1L << 20,
+            math.min(128L << 20, targetFileBytes / 4)).toString))
         val newRel = newParts.map(_._1)
         val newV = cur + 1L
         if (tryCommitManifest(tgt, table,

@@ -62,6 +62,24 @@ object ParquetSource {
   // columns re-reads one footer per read() call otherwise
   private val nanoColsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  // sidecar caches, same lifecycle: every read() (and several Loader probes
+  // per write statement) re-opened the partitioning/bucketing sidecars —
+  // each an exists + open + read round-trip against the filesystem. Local
+  // FS makes that microseconds; an object store makes it 2 metadata RTTs
+  // per open (guide §6: metadata passes count as I/O at scale).
+  private val partSpecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private val bucketSpecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Seq[String], Int)]]()
+  // Generation counter closing the infer-then-put race: a read that starts
+  // inference before a writer's invalidation and finishes after it would
+  // re-install the PRE-swap schema (silently missing new columns). Every
+  // invalidation bumps the generation; a reader only caches what it
+  // computed if no invalidation happened in between. INVARIANT the caches
+  // rest on: every writer of a catalog path routes through
+  // Catalog.invalidateDir (all Loader write paths end there) — an
+  // out-of-band write into a catalog dir pins stale metadata.
+  private val cacheGen = new java.util.concurrent.atomic.AtomicLong()
 
   /** Prime the schema cache right after a write whose read-side schema is
     * fully determined: flat tables (read schema = written data schema) and
@@ -96,13 +114,24 @@ object ParquetSource {
     schemaCache.put(path, org.apache.spark.sql.types.StructType(full))
   }
 
-  /** Drop cached schemas for every path under `prefix` (a catalog dir or a
-    * table dir) — called from the write paths' cache invalidation. */
+  /** Drop cached schemas and sidecar specs for `prefix` (a catalog dir or a
+    * table dir) and everything under it — called from the write paths' cache
+    * invalidation. Matches on PATH-SEGMENT boundaries (`prefix` itself or
+    * `prefix/…`), so `/cat` never evicts a sibling `/cat-other`; the
+    * single-file twin `<table>.parquet` is its own key and must be passed
+    * explicitly when both layouts are in play. */
   private[graft] def invalidateSchemaCache(prefix: String): Unit = {
-    val it = schemaCache.keySet().iterator()
-    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
-    val it2 = nanoColsCache.keySet().iterator()
-    while (it2.hasNext) if (it2.next().startsWith(prefix)) it2.remove()
+    cacheGen.incrementAndGet()
+    val slash = prefix + "/"
+    def sweep(m: java.util.concurrent.ConcurrentHashMap[String, _]): Unit = {
+      val it = m.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k == prefix || k.startsWith(slash)) it.remove()
+      }
+    }
+    sweep(schemaCache); sweep(nanoColsCache)
+    sweep(partSpecCache); sweep(bucketSpecCache)
   }
 
   /** `keepBucket = true` preserves the physical [[BucketCol]] partition
@@ -124,16 +153,26 @@ object ParquetSource {
     //   2. a defensive cast for files that carry explicit Spark
     //      TimestampNTZ metadata (inference doesn't apply to those).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val gen = cacheGen.get()
     val cachedSchema = schemaCache.get(path)
     val df =
       if (cachedSchema != null) spark.read.schema(cachedSchema).parquet(path)
       else {
         val d = spark.read.parquet(path)
-        schemaCache.put(path, d.schema)
+        // only cache what we inferred if no writer invalidated mid-infer —
+        // a stale put would silently misread the post-swap table
+        if (cacheGen.get() == gen) schemaCache.put(path, d.schema)
         d
       }
-    val nanoCols = nanoColsCache.computeIfAbsent(path,
-      p => nanoTimestampCols(spark, p))
+    val nanoCols = {
+      val c = nanoColsCache.get(path)
+      if (c != null) c
+      else {
+        val v = nanoTimestampCols(spark, path)
+        if (cacheGen.get() == gen) nanoColsCache.put(path, v)
+        v
+      }
+    }
     val withNanos = nanoCols.foldLeft(df) { (d, c) =>
       d.withColumn(c, expr(s"timestamp_micros(`$c` div 1000)"))
     }
@@ -155,8 +194,22 @@ object ParquetSource {
     else cast
   }
 
-  /** (col, catalogString) pairs from the partition sidecar, empty if none. */
+  /** (col, catalogString) pairs from the partition sidecar, empty if none.
+    * Cached per path (invalidated with the schema cache): the sidecar is
+    * consulted on every table open and several times per write statement. */
   def readPartSpec(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val c = partSpecCache.get(path)
+    if (c != null) c
+    else {
+      val gen = cacheGen.get()
+      val v = readPartSpecUncached(spark, path)
+      if (cacheGen.get() == gen) partSpecCache.put(path, v)
+      v
+    }
+  }
+
+  private def readPartSpecUncached(spark: SparkSession,
+                                   path: String): Seq[(String, String)] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path, PartSpecFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -188,8 +241,22 @@ object ParquetSource {
   }
 
   /** (bucket key columns, bucket count) from the bucketing sidecar, None
-    * if the table isn't bucketed. */
+    * if the table isn't bucketed. Cached per path (invalidated with the
+    * schema cache) — the write path probes it up to five times per
+    * statement and every read() consults it once. */
   def readBucketSpec(spark: SparkSession, path: String): Option[(Seq[String], Int)] = {
+    val c = bucketSpecCache.get(path)
+    if (c != null) c
+    else {
+      val gen = cacheGen.get()
+      val v = readBucketSpecUncached(spark, path)
+      if (cacheGen.get() == gen) bucketSpecCache.put(path, v)
+      v
+    }
+  }
+
+  private def readBucketSpecUncached(spark: SparkSession,
+                                     path: String): Option[(Seq[String], Int)] = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path, BucketSpecFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
