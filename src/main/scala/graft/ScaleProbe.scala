@@ -32,7 +32,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val mults = (if (args.nonEmpty) args.toSeq else Seq("2", "10")).map(_.toInt)
+    val dedupMode = args.headOption.contains("dedup")
+    val numArgs: Seq[String] = if (dedupMode) args.drop(1).toSeq else args.toSeq
+    val mults = (if (numArgs.nonEmpty) numArgs else Seq("2", "10")).map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,6 +42,7 @@ object ScaleProbe {
       .config("spark.sql.extensions", "graft.sources.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (dedupMode) { dedupProbe(spark, sfDir, mults); spark.stop(); return }
     val orders0 = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey", "o_totalprice", "o_orderdate")
     orders0.cache().count() // warm: decode + JIT off the measured path
@@ -115,5 +118,64 @@ object ScaleProbe {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
     spark.stop()
+  }
+
+  /** Scale probe for the MINHASH DEDUP family (the suite's biggest CPU
+    * family, previously sampled only at sf0.1): amplify the documents
+    * corpus by era-shifted unions whose texts share NO shingles across
+    * eras (an `eraN` marker is interleaved into every token gap, so every
+    * 3-gram shingle of era i contains a token era j never has) — the
+    * near-dup structure grows LINEARLY with the corpus (each era carries
+    * the registry's own every-10th-doc truncated-copy shape) instead of
+    * quadratically (plain text copies would make every doc an m-way
+    * duplicate cluster and measure the data, not the algorithm).
+    * Reported per multiplier (one warm JVM; compare shape, not absolutes):
+    *
+    *   - `pairs_s` / `n_pairs` — the banded-minhash candidate/verify
+    *     pipeline alone (must grow ~linearly: shingling O(corpus),
+    *     banding O(corpus × perms), verify O(candidates))
+    *   - `drop_s` / `n_kept`   — the full dropNearDuplicates action
+    *     (pairs + components + anti-join)
+    *
+    * Usage: `sbt "runMain graft.ScaleProbe dedup 1 2 4 10"`. */
+  private def dedupProbe(spark: SparkSession, sfDir: String,
+                         mults: Seq[Int]): Unit = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    docs0.cache().count() // warm: decode + JIT off the measured path
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val fmt = new java.text.DecimalFormat("0.###")
+    mults.foreach { m =>
+      val base = (0 until m).map { i =>
+        docs0.select((col("doc_id") + lit(i.toLong * 1_000_000L)).as("doc_id"),
+          regexp_replace(col("text"), "\\s+", s" era$i ").as("text"))
+      }.reduce(_ unionByName _)
+      // the registry's q_dedup_drop shape: every 10th doc also present as
+      // a head-truncated near-copy under a shifted id
+      val toks = split(col("text"), "\\s+")
+      val near = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(500_000_000L)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(3), size(toks))).as("text"))
+      val corpus = base.unionByName(near)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = corpus.count()
+      val (nPairs, pairsS) = timed {
+        val p = graft.operators.Dedup.minHashPairs(corpus, "doc_id", "text",
+          n = 3, numPerms = 16, bands = 4, threshold = 0.6)
+        val c = p.count(); p.unpersist(); c
+      }
+      val (nKept, dropS) = timed {
+        graft.operators.Dedup.dropNearDuplicates(corpus, "doc_id", "text",
+          n = 3, numPerms = 16, bands = 4, threshold = 0.6).count()
+      }
+      def s(d: Double) = fmt.format(d)
+      println(s"""{"probe":"dedup_scale","mult":$m,"docs":$nDocs,""" +
+        s""""n_pairs":$nPairs,"n_kept":$nKept,""" +
+        s""""pairs_s":${s(pairsS)},"drop_s":${s(dropS)}}""")
+      corpus.unpersist()
+    }
   }
 }
