@@ -1017,8 +1017,14 @@ object TextAnalysis {
     * Scale: rolling hashes are a projection; the dup census is ONE
     * partial-aggregating shuffle on the window hash (a window duplicated a
     * million times partial-aggregates, never buffers); removal joins back
-    * on the hash (AQE splits hot hashes); the rebuild is one groupBy(doc)
-    * with an in-group sort — no corpus self-join anywhere.
+    * on the hash (AQE splits hot hashes); the rebuild collapses removed
+    * positions to ONE per-doc array (O(docs-with-removals) rows, bounded
+    * by the removal volume) and reassembles each document with row-local
+    * array ops against the already-tokenized base — the corpus is never
+    * exploded to token granularity and never regrouped (the previous
+    * formulation shuffled every token of every document through a
+    * left-anti join plus a collect_list regroup; at 100 TB that is two
+    * corpus-sized shuffles for what is per-row arithmetic).
     */
   def dropDuplicatedWindows(df: DataFrame, idCol: String, textCol: String,
                             windowTokens: Int): DataFrame = {
@@ -1041,24 +1047,26 @@ object TextAnalysis {
       .select(col("__h"), col("__keep"))
     val removed = windows.join(dupes, Seq("__h"))
       .where(col("__enc") =!= col("__keep"))
-    val covered = removed.select(col(idCol),
+    // positions covered by a removed window, ONE array per affected doc
+    // (collect_set: overlapping windows cover positions repeatedly)
+    val coveredPerDoc = removed.select(col(idCol),
       explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1).cast(LongType)))
         .as("__tp"))
-      .distinct()
-    val toksPos = base.select(col(idCol), posexplode(toks).as(Seq("__tp0", "__tok")))
-      .select(col(idCol), (col("__tp0") + 1).cast(LongType).as("__tp"), col("__tok"))
-    val kept = toksPos.join(covered, Seq(idCol, "__tp"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__tp"), col("__tok")))).as("__arr"))
+      .groupBy(col(idCol)).agg(collect_set(col("__tp")).as("__cov"))
+    // rebuild row-locally: surviving positions in order (array_except
+    // preserves left-operand order), tokens looked up by position —
+    // byte-identical to the explode/anti-join/regroup it replaces
+    val keptPos = array_except(
+      when(n >= 1, sequence(lit(1L), n.cast(LongType)))
+        .otherwise(typedLit(Seq.empty[Long])),
+      coalesce(col("__cov"), typedLit(Seq.empty[Long])))
+    val out = base
+      .join(coveredPerDoc, Seq(idCol), "left")
       .select(col(idCol),
-        concat_ws(" ", transform(col("__arr"), s => s.getField("__tok"))).as("clean_text"),
-        size(col("__arr")).cast(LongType).as("__nk"))
-    val out = base.select(col(idCol), n.cast(LongType).as("n_tokens"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed"))
+        concat_ws(" ",
+          transform(keptPos, p => element_at(toks, p.cast("int")))).as("clean_text"),
+        n.cast(LongType).as("n_tokens"),
+        (n.cast(LongType) - size(keptPos).cast(LongType)).as("n_removed"))
     Dedup.materializeAndRelease(out, base)
   }
 
