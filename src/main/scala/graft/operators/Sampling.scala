@@ -291,7 +291,18 @@ object Sampling {
       s"need 0 <= lowerQ <= upperQ <= 1: $lowerQ, $upperQ")
     val qs = Seq(lowerQ, upperQ).filter(_ > 0.0).distinct
     require(qs.nonEmpty, "upperQ must be > 0")
-    val gq = graft.operators.Profile.groupQuantiles(df, groupCol, scoreCol, qs)
+    // the input frame is read TWICE — once by the quantile census, once as
+    // the band-filter probe side. A caller often hands in a derived score
+    // frame (e.g. corpus typicality: a corpus-wide token aggregation), so
+    // an unpersisted input re-runs that whole pipeline for the probe
+    // (guide §1.2: never recompute what a prior pass already computed).
+    // groupQuantiles materializes eagerly, which populates this cache;
+    // the probe join then reads blocks. Caller-owned caches are left alone.
+    val callerOwned =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val d = if (callerOwned) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gq = graft.operators.Profile.groupQuantiles(d, groupCol, scoreCol, qs)
     val loPpm = math.round(lowerQ * 1e6)
     val hiPpm = math.round(upperQ * 1e6)
     val bounds = gq.groupBy(col(groupCol).as("__g"))
@@ -299,10 +310,11 @@ object Sampling {
         min(when(col("q_ppm") === hiPpm, col("value_e9"))).as("__hi"))
     val v = PortableHash.e9(col(scoreCol).cast("double"))
     val lo = if (lowerQ > 0.0) v >= col("__lo") else lit(true)
-    df.join(broadcast(bounds), col(groupCol).cast("string") === col("__g"))
+    val out = d.join(broadcast(bounds), col(groupCol).cast("string") === col("__g"))
       .where(lo && v <= col("__hi"))
       .where(hashSamplePredicate(col(keyCol), fraction))
       .drop("__g", "__lo", "__hi")
+    if (callerOwned) out else Dedup.materializeAndRelease(out, d)
   }
 
   /** The per-epoch shuffle key for `key` at `epoch`:
