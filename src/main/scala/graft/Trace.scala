@@ -21,7 +21,19 @@ object Trace {
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong
     val cpuMs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
-    override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    // opt-in per-job inventory (SPARK_GRAFT_TRACE_JOBS=1): job id, SQL
+    // execution id and call site — the signal for WHICH statement owns a
+    // suite's fixed-cost jobs when totals alone don't say
+    private val perJob = sys.env.get("SPARK_GRAFT_TRACE_JOBS").contains("1")
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet()
+      if (perJob) {
+        val p = j.properties
+        val exec = Option(p).flatMap(pp => Option(pp.getProperty("spark.sql.execution.id"))).getOrElse("-")
+        val site = Option(p).flatMap(pp => Option(pp.getProperty("callSite.short"))).getOrElse("?")
+        println(s"JOB job=${j.jobId} exec=$exec stages=${j.stageIds.length} site=$site")
+      }
+    }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
       stages.incrementAndGet()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

@@ -314,11 +314,23 @@ object MaterializedAgg {
     val srcCols = (groupBy ++ aggs.filter(_.func != "count").map(_.src)).distinct
     srcCols.foreach(c => require(feed.columns.contains(c),
       s"feed lacks column '$c' needed by the view definition"))
-    val plus = feed.where(col("op").isin("insert", "update"))
-      .select(lit(1).as("__sign") +: srcCols.map(col): _*)
-    val minus = feed.where(col("op").isin("update", "delete"))
-      .select(lit(-1).as("__sign") +: srcCols.map(c => oldSide(c).as(c)): _*)
-    val contrib = plus.unionByName(minus)
+    // ONE pass over the feed instead of two (guide §1.2): the old
+    // plus-∪-minus union put the whole upstream feed plan — a CDC diff —
+    // under BOTH union branches, re-executing everything above the reused
+    // exchanges once per branch. Each row now explodes to its signed
+    // contributions in place: +new for insert/update, −old for
+    // update/delete; any other/null op falls through every `when` to a
+    // null array, which explode() drops — exactly the rows the two
+    // branch filters used to exclude. Multiset-identical contributions
+    // by construction.
+    val plusStruct = struct(lit(1).as("__sign") +: srcCols.map(col): _*)
+    val minusStruct =
+      struct(lit(-1).as("__sign") +: srcCols.map(c => oldSide(c).as(c)): _*)
+    val contribArr = when(col("op") === "insert", array(plusStruct))
+      .when(col("op") === "delete", array(minusStruct))
+      .when(col("op") === "update", array(plusStruct, minusStruct))
+    val contrib = feed.select(explode(contribArr).as("__c"))
+      .select(("__sign" +: srcCols).map(n => col("__c").getField(n).as(n)): _*)
     val deltaExprs = aggs.flatMap {
       case AggCol("count", _, a) => Seq(sum(col("__sign")).as(a))
       case AggCol("sum", s, a)   => Seq(sum(col("__sign") * col(s)).as(a))

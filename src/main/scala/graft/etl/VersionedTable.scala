@@ -6771,10 +6771,45 @@ object VersionedTable {
     val valCols = b.columns.toSeq.filterNot(keys.contains)
     val aR = a.columns.foldLeft(a)((d, c) =>
       if (keys.contains(c)) d else d.withColumnRenamed(c, s"__a_$c"))
-    val joined = aR.join(b, keys, "full_outer")
-    // presence flags: a full-outer join nulls every non-key column of the
-    // absent side; use the id column (never null in a loaded table) as the
-    // unambiguous presence marker
+    // pair the two sides per key with ONE exchange instead of a full-outer
+    // join's two (guide §2.4): pad each side's projection with typed nulls
+    // for the other side's columns, union, and take the per-column
+    // `any_value(ignoreNulls)` per key. Each side contributes at most one
+    // row per key (the soundness invariant above), so the single non-null
+    // candidate IS that side's value — deterministic — and a missing side
+    // reads as all-null exactly like the join's absent side. Plan shape:
+    // union → one partial+final aggregate (one Exchange), vs two Exchanges
+    // + two sorts + SortMergeJoinExec before. One behavioral edge moves:
+    // NULL key components now pair by groupBy equality where SQL join
+    // equality kept them forever-distinct — consistent with the loader's
+    // own key semantics (collapseLastPerKey windows and bucketIdExpr both
+    // group null keys), and unreachable from loader-stamped tables whose
+    // upsert keys are non-null.
+    // Each side rides as ONE nullable struct (not flat null-padded
+    // columns): an absent side is a single null bit in the unsafe row, so
+    // the union's shuffle bytes stay at the join's per-side width
+    // (guide §2.3) instead of every row paying both sides' layouts.
+    val aValNames = aR.columns.toSeq.filterNot(keys.contains)
+    val bValNames = b.columns.toSeq.filterNot(keys.contains)
+    def sideStruct(names: Seq[String]) = struct(names.map(col): _*)
+    def nullOf(src: org.apache.spark.sql.types.StructType, names: Seq[String]) =
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        names.map(n => src(n))))
+    val aPad = aR.select(keys.map(col) ++ Seq(
+      sideStruct(aValNames).as("__sa"), nullOf(b.schema, bValNames).as("__sb")): _*)
+    val bPad = b.select(keys.map(col) ++ Seq(
+      nullOf(aR.schema, aValNames).as("__sa"), sideStruct(bValNames).as("__sb")): _*)
+    val paired = aPad.unionByName(bPad).groupBy(keys.map(col): _*)
+      .agg(any_value(col("__sa"), lit(true)).as("__sa"),
+        any_value(col("__sb"), lit(true)).as("__sb"))
+    // re-flatten to the join's column names (a null side's getField reads
+    // null, exactly like the join's absent-side columns)
+    val joined = paired.select(keys.map(col) ++
+      aValNames.map(n => col("__sa").getField(n).as(n)) ++
+      bValNames.map(n => col("__sb").getField(n).as(n)): _*)
+    // presence flags: the absent side's columns aggregate to null (no
+    // non-null candidate); use the id column (never null in a loaded
+    // table) as the unambiguous presence marker
     require(a.columns.contains(Loader.IdCol),
       "change feed expects loader-stamped tables (id column present)")
     val presentA = col(s"__a_${Loader.IdCol}").isNotNull
